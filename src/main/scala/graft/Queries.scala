@@ -1,0 +1,690 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Engine
+import graft.functions.{Functions => F}
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+
+/** The query catalog: every operator from SURVEY §2 (and the north-star
+  * extensions) as a named (Spark impl, DuckDB oracle SQL) pair.
+  *
+  * Conventions that make the driver's hash-compare deterministic:
+  *  - every computed column is aliased identically on both sides;
+  *  - every query ends in a total ORDER BY (unique key tie-breaks);
+  *  - double aggregates are round()ed (2dp for sums, 4-6dp for ratios) so
+  *    summation-order ulp noise cannot flip a digit;
+  *  - NULLS FIRST is spelled explicitly in oracle ORDER BY (DuckDB
+  *    defaults to NULLS LAST, Spark to NULLS FIRST);
+  *  - signature math (minhash/simhash/fingerprints/LSH planes) is defined
+  *    over md5 so both engines compute bit-identical values.
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = true)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** DuckDB rendering of [[graft.functions.Functions.hash64]]. */
+  private def dHash64(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
+  private def dHash64Seeded(e: String, seed: Int): String =
+    dHash64(s"'$seed:'||$e")
+
+  // ---------------------------------------------------------------------
+  // Relational core (SURVEY §2.B surface)
+  // ---------------------------------------------------------------------
+
+  private val relational: Seq[(String, Q)] = Seq(
+    "q01_pricing_summary" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity),2) AS sum_qty,
+             |  round(sum(l_extendedprice),2) AS sum_base_price,
+             |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |  round(avg(l_quantity),4) AS avg_qty,
+             |  round(avg(l_discount),4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q02_revenue_by_nation" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sup = t(s, d, "supplier")
+        val nat = t(s, d, "nation")
+        val reg = t(s, d, "region")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    "q03_top_orders" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    "q04_segment_top_customers" -> Q(
+      (s, d) => {
+        val w = Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d, "customer")
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("c_mktsegment"), col("rn"))
+      },
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer) WHERE rn <= 3
+             |ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    "q05_running_revenue" -> Q(
+      (s, d) => {
+        val w = Window
+          .partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // running sum over l_quantity: integral doubles stay exactly
+        // representable, so the result is independent of the engine's
+        // window-aggregation tree shape (DuckDB uses segment trees)
+        t(s, d, "lineitem")
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity")).over(frame).as("running_qty"),
+            row_number().over(w).cast("bigint").as("seq"),
+            lag(col("l_extendedprice"), 1).over(w).as("prev_price"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  sum(l_quantity) OVER (
+             |    PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+             |  row_number() OVER (
+             |    PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq,
+             |  lag(l_extendedprice, 1) OVER (
+             |    PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    "q06_distinct_counts" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    "q07_semi_join" -> Q(
+      (s, d) => {
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "q08_anti_join" -> Q(
+      (s, d) => {
+        val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        t(s, d, "customer")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "q09_set_ops" -> Q(
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val orders = t(s, d, "orders")
+        val building = cust.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val auto = cust.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey").as("custkey"))
+        val bigSpenders = orders.filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("custkey"))
+        val negative = cust.filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey"))
+        building.union(auto).distinct()
+          .intersect(bigSpenders)
+          .except(negative)
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT custkey FROM (
+             |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  UNION
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             |  EXCEPT
+             |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+             |ORDER BY custkey""".stripMargin)),
+
+    "q10_rollup" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT n_name, o_orderpriority, count(*) AS n_orders,
+             |  round(sum(o_totalprice),2) AS total
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, o_orderpriority)
+             |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    "q11_cube" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    "q12_having" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+          .filter(col("n_orders") >= 3)
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+             |ORDER BY o_custkey""".stripMargin)),
+
+    "q13_scalar_funcs" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("bigint").as("yr"),
+            month(col("o_orderdate")).cast("bigint").as("mo"),
+            when(col("o_totalprice") > 200000, "high")
+              .when(col("o_totalprice") > 50000, "mid")
+              .otherwise("low").as("bucket"),
+            concat(col("o_orderstatus"), lit("-"), upper(substring(col("o_orderpriority"), 1, 8)))
+              .as("status_tag"),
+            round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+            round(ln(col("o_totalprice") + 1), 6).as("ln_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |  CASE WHEN o_totalprice > 200000 THEN 'high'
+             |       WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS bucket,
+             |  o_orderstatus || '-' || upper(substr(o_orderpriority, 1, 8)) AS status_tag,
+             |  round(sqrt(o_totalprice),4) AS sqrt_price,
+             |  round(ln(o_totalprice + 1),6) AS ln_price
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "q14_above_brand_avg" -> Q(
+      (s, d) => {
+        val part = t(s, d, "part")
+        val brandAvg = part.groupBy(col("p_brand").as("b_brand"))
+          .agg(avg(col("p_retailprice")).as("brand_avg"))
+        part
+          .join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+          .filter(col("p_retailprice") > col("brand_avg"))
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p
+             |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+             |  WHERE p2.p_brand = p.p_brand)
+             |ORDER BY p_partkey""".stripMargin)))
+
+  // ---------------------------------------------------------------------
+  // Text parsing (m33-style transforms, SURVEY §2.A S6-S15) + events
+  // ---------------------------------------------------------------------
+
+  private val textAndEvents: Seq[(String, Q)] = Seq(
+    "q15_doc_parse" -> Q(
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            F.tokens(col("text")).getItem(0).as("first_tok"),
+            regexp_extract(col("source"), "src([0-9]+)", 1).cast("bigint").as("src_id"),
+            (F.field(col("lang"), lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh")) - 1)
+              .as("lang_code"),
+            length(col("text")).cast("bigint").as("len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, string_split(trim(text), ' ')[1] AS first_tok,
+             |  CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS src_id,
+             |  list_position(['en','de','es','fr','zh'], lang) - 1 AS lang_code,
+             |  length(text) AS len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q16_event_windows" -> Q(
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+          .select(
+            col("window.start").as("bucket_start"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy(col("bucket_start"), col("event_type"))
+      },
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+             |  count(*) AS n_events, round(sum(value),2) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    "q17_json_extract" -> Q(
+      (s, d) => {
+        t(s, d, "events")
+          .select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "q18_pivot" -> Q(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .count()
+        p.select(
+            col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  count(CASE WHEN event_type = 'click' THEN 1 END) AS "click",
+             |  count(CASE WHEN event_type = 'error' THEN 1 END) AS "error",
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS "purchase",
+             |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS "signup",
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    "q19_asof_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("err_value"))
+        AsOfJoin(clicks, errors, "user_id", "ts", "ts", Seq("ts", "err_value"))
+          .select(
+            col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("click_ms"),
+            unix_millis(col("asof_ts")).as("prev_error_ms"),
+            col("asof_err_value").as("err_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS click_ms,
+             |  epoch_ms(r.ts) AS prev_error_ms, r.err_value
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS err_value
+             |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts) r
+             |ON e.user_id = r.user_id AND e.ts >= r.ts
+             |WHERE e.event_type = 'click'
+             |ORDER BY e.event_id""".stripMargin)))
+
+  // ---------------------------------------------------------------------
+  // Deduplication (north star)
+  // ---------------------------------------------------------------------
+
+  private val minhashSeeds = 12
+  private val minhashBands = 4
+
+  /** DuckDB CTE prefix reproducing tokens/shingles/minhash signatures. */
+  private def duckMinhashCtes: String = {
+    val rows = minhashSeeds / minhashBands
+    val sigEntries = (0 until minhashSeeds)
+      .map(seed =>
+        s"coalesce(list_min([${dHash64Seeded("s", seed)} for s in sg]), 9223372036854775807)")
+      .mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 3
+       |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+       |    ELSE []::VARCHAR[] END AS sg
+       |  FROM toks),
+       |mh AS (
+       |  SELECT doc_id, [
+       |    $sigEntries] AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sig, b,
+       |    array_to_string(sig[b*$rows+1:b*$rows+$rows], '_') AS bkey
+       |  FROM mh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
+  }
+
+  /** DuckDB CTE prefix reproducing per-doc 32-bit simhash. */
+  private def duckSimhashCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS t FROM documents),
+       |h AS (
+       |  SELECT doc_id, [${dHash64("tok")} for tok in t] AS hs FROM toks),
+       |sh AS (
+       |  SELECT doc_id, CAST(list_sum([
+       |    CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in hs]) > 0
+       |    THEN (1::BIGINT << j) ELSE 0 END
+       |    for j in range(0, 32)]) AS BIGINT) AS simhash
+       |  FROM h)""".stripMargin
+
+  private val dedup: Seq[(String, Q)] = Seq(
+    "q20_dedup_exact" -> Q(
+      (s, d) => {
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(
+            countDistinct(md5(col("text"))).as("n_unique"),
+            count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    "q21_exact_groups" -> Q(
+      (s, d) => {
+        Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("fingerprint"))
+      },
+      Some("""SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+             |FROM documents GROUP BY md5(text) ORDER BY fingerprint""".stripMargin)),
+
+    "q22_minhash_lsh" -> Q(
+      (s, d) => {
+        Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$duckMinhashCtes
+              |SELECT DISTINCT doc_a, doc_b, est_jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |    round(len([i for i in range(1, ${minhashSeeds + 1})
+              |      if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS est_jaccard
+              |  FROM bands a JOIN bands b2
+              |    ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "q23_simhash" -> Q(
+      (s, d) => {
+        Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text", bits = 32)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$duckSimhashCte
+              |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin)),
+
+    "q24_simhash_neardup" -> Q(
+      (s, d) => {
+        Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text",
+            bits = 32, blockShift = 24, maxHamming = 32)
+          .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some(s"""$duckSimhashCte,
+              |blocked AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM sh)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+              |FROM blocked a JOIN blocked b
+              |  ON a.block = b.block AND a.doc_id < b.doc_id
+              |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin)),
+
+    "q25_ngram_jaccard" -> Q(
+      (s, d) => {
+        Dedup.ngramJaccardPairs(
+            t(s, d, "documents"), "doc_id", "text",
+            blockCols = Seq(col("lang"), F.tokens(col("text")).getItem(0).as("tok0")),
+            shingleN = 2)
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(50)
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id, lang, t[1] AS tok0,
+             |    list_distinct([array_to_string(t[i:i+1], ' ')
+             |      for i in range(1, len(t))]) AS grams
+             |  FROM t0)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             |        len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+             |FROM g a JOIN g b ON a.lang = b.lang AND a.tok0 = b.tok0
+             |  AND a.doc_id < b.doc_id
+             |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
+
+    "q26_embedding_neardup" -> Q(
+      (s, d) => {
+        Dedup.embeddingNearDupPairs(
+            t(s, d, "embeddings"), "vec_id", "embedding", Seq(col("label")))
+          .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+          .limit(50)
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, label,
+             |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+             |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+             |     CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+             |     CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS sb,
+             |    embedding::DOUBLE[] AS e
+             |  FROM embeddings)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  round(list_cosine_similarity(a.e, b.e), 6) AS cos
+             |FROM v a JOIN v b ON a.label = b.label AND a.sb = b.sb
+             |  AND a.vec_id < b.vec_id
+             |ORDER BY cos DESC, vec_a, vec_b LIMIT 50""".stripMargin)))
+
+  // ---------------------------------------------------------------------
+  // Similarity search (north star)
+  // ---------------------------------------------------------------------
+
+  private val similarity: Seq[(String, Q)] = Seq(
+    "q27_ann_brute_topk" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+             |sc AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos
+             |  FROM q CROSS JOIN c WHERE q_id <> n_id),
+             |r AS (SELECT q_id, n_id, cos, row_number() OVER (
+             |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
+             |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    "q28_ann_lsh_topk" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, planes = 4, dims = 64)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val planeSql = (0 until 4).map { p =>
+          val coefs = Similarity.hyperplane(p, 64).mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(e, $coefs::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END"
+        }.mkString(" +\n      ")
+        s"""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e,
+           |    $planeSql AS bucket
+           |  FROM embeddings),
+           |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |    round(list_cosine_similarity(q.e, c.e), 6) AS cos
+           |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10),
+           |r AS (SELECT q_id, n_id, cos, row_number() OVER (
+           |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
+           |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+           |ORDER BY q_id, rank""".stripMargin
+      }))
+
+  // ---------------------------------------------------------------------
+  // Text analysis + multimodal plumbing (north star)
+  // ---------------------------------------------------------------------
+
+  private val textAnalysis: Seq[(String, Q)] = Seq(
+    "q29_quality_score" -> Q(
+      (s, d) => {
+        TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH q AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+             |  FROM documents)
+             |SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6) AS mean_token_len,
+             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text), 6) AS punct_ratio,
+             |  round(len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
+             |    AS stopword_ratio
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    "q30_lang_id" -> Q(
+      (s, d) => {
+        TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val lists = TextAnalysis.langWords.map { case (l, ws) =>
+          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+        }
+        val scoreCols = lists.map { case (l, arr) =>
+          s"len(list_filter(t, x -> list_contains($arr, x))) AS score_$l"
+        }.mkString(",\n  ")
+        val names = lists.map(_._1)
+        val best = s"greatest(${names.map(l => s"score_$l").mkString(", ")})"
+        val cases = names.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'")
+          .mkString("\n    ")
+        s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |scored AS (SELECT doc_id,
+           |  $scoreCols
+           |FROM toks),
+           |b AS (SELECT *, $best AS best FROM scored)
+           |SELECT doc_id, ${names.map(l => s"score_$l").mkString(", ")},
+           |  CASE $cases
+           |    ELSE 'und' END AS pred_lang
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    "q31_token_counts" -> Q(
+      (s, d) => {
+        TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(string_split(trim(text), ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q32_fingerprints" -> Q(
+      (s, d) => {
+        TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, ${dHash64("text")} AS content_fp,
+              |  ${dHash64("array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')")} AS bow_fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q33_multimodal_features" -> Q(
+      (s, d) => {
+        val bytes = octet_length(col("text").cast("binary")).cast("bigint")
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            bytes.as("n_bytes"),
+            (bytes % 640).as("fake_width"),
+            floor(bytes / 7.0).cast("bigint").mod(480).as("fake_height"),
+            (floor(bytes / 100.0).cast("bigint") + 1).as("n_frames"),
+            substring(base64(col("text").cast("binary")), 1, 16).as("b64_prefix"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+             |  octet_length(text::BLOB) % 640 AS fake_width,
+             |  (octet_length(text::BLOB) // 7) % 480 AS fake_height,
+             |  (octet_length(text::BLOB) // 100) + 1 AS n_frames,
+             |  substr(base64(text::BLOB), 1, 16) AS b64_prefix
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+
+  /** All queries in catalog order. */
+  val all: Seq[(String, Q)] =
+    relational ++ textAndEvents ++ dedup ++ similarity ++ textAnalysis
+}

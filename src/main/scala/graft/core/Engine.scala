@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Functions
+
+/** SparkSession factory and table access for the graft engine.
+  *
+  * Design notes (100 TB target, tested on local[32]):
+  *  - AQE on: runtime coalescing + skew-join splitting replace hand-tuned
+  *    partition counts when the data is 1000x larger than the test SF.
+  *  - `spark.sql.shuffle.partitions` defaults to the local core count here;
+  *    on a real cluster this is overridden (or left to AQE's coalescing).
+  *  - ANSI off: the reference stack is Hive 3.1.2
+  *    (/root/reference/examples/src/hive/create_m33_schem_view.hql:4-7
+  *    relies on CAST returning NULL on malformed input, Hive semantics).
+  */
+object Engine {
+
+  /** Default parallelism for local test runs. */
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(
+      master: String = s"local[$defaultCpus]",
+      appName: String = "graft",
+      shufflePartitions: Int = defaultCpus.toInt,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.registerAll(spark)
+    spark
+  }
+
+  /** Configure an externally built session (e.g. the driver's) with graft
+    * function registrations. Idempotent. */
+  def attach(spark: SparkSession): SparkSession = {
+    Functions.registerAll(spark)
+    spark
+  }
+
+  /** Read one of the harness parquet tables (TESTDATA.md).
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for: read the raw int64 nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
+    * — the same ns->us floor ANSI engines apply on read. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(path)
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level function API + SQL registration for graft's extensions.
+  *
+  * Everything here is deterministic and engine-portable: `hash64` is
+  * defined over md5 (identical in any engine) rather than an internal
+  * hash, so dedup signatures / LSH bucket assignments are reproducible
+  * across the Spark implementation and external oracles.
+  */
+object Functions {
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Register SQL-callable names for the custom Catalyst expressions. */
+  def registerAll(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "field", exprs => FieldIndex(exprs))
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
+  }
+
+  /** Hive `field(v, v1, v2, ...)` as a Column (see [[FieldIndex]]). */
+  def field(cols: Column*): Column = column(FieldIndex(cols.map(expression)))
+
+  /** Cosine similarity of two numeric-array columns, in double. */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
+  /** Deterministic 60-bit non-negative hash of a string: first 15 hex chars
+    * of md5, as a BIGINT. Portable across engines (md5 is standard), which
+    * makes MinHash/SimHash signatures oracle-checkable. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Seeded variant: hash64(seed || ':' || c). */
+  def hash64(c: Column, seed: Int): Column =
+    hash64(concat(lit(s"$seed:"), c))
+
+  /** Whitespace tokenization: split on single spaces after trim. */
+  def tokens(c: Column): Column = split(trim(c), " ")
+
+  /** Distinct word shingles of size n (space-joined), from a token array.
+    * Empty array when the doc has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** MinHash signature: for each seed, min over shingles of the seeded
+    * hash. NULL-free; empty shingle set => Long.MaxValue sentinel. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      coalesce(
+        array_min(transform(shingleCol, s => hash64(s, seed))),
+        lit(Long.MaxValue))
+    }: _*)
+
+  /** SimHash over a token array: `bits`-wide signature where bit j is set
+    * iff sum over distinct tokens of (+1/-1 for token-hash bit j) > 0. */
+  def simhash(toks: Column, bits: Int): Column = {
+    val h = transform(array_distinct(toks), t => hash64(t))
+    val perBit = (0 until bits).map { j =>
+      // sum of (bit j set ? 1 : -1) across tokens, sign decides bit j
+      val vote = aggregate(
+        h,
+        lit(0L),
+        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << j)).otherwise(0L)
+    }
+    perBit.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of two array columns treated as sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = size(array_union(da, db)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+}

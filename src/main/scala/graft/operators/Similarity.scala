@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.cosineSim
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query set is assumed small (broadcast side); the
+  * corpus is the big side and is never collected. Brute force is a
+  * broadcast-nested-loop with a codegen'd cosine kernel ([[graft.functions.CosineSim]])
+  * followed by a per-query top-k window. The LSH variant cuts the scanned
+  * corpus by a random-hyperplane bucket join before scoring — the standard
+  * recall/cost dial for 100 TB corpora.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        round(cosineSim(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane for LSH: component d of plane p
+    * is `(md5Hash64("plane<p>:<d>") % 2001 - 1000) / 1000.0` in [-1, 1].
+    * Computed driver-side (plain constants in the plan), reproducible in
+    * any engine with md5 — which makes bucket assignment oracle-checkable. */
+  def hyperplane(p: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"plane$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+        .substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble / 1000.0
+    }
+
+  /** Random-hyperplane LSH bucketing: bit p of the bucket is the sign of
+    * the dot product with [[hyperplane]] p. Vectors only compete inside
+    * their bucket. */
+  def lshBuckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      dims: Int): DataFrame = {
+    val bucket = (0 until planes).map { p =>
+      val coefs = hyperplane(p, dims)
+      val dot = coefs.zipWithIndex
+        .map { case (c, d) => col(vecCol).getItem(d) * lit(c) }
+        .reduce(_ + _)
+      when(dot > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+    df.select(col(idCol), col(vecCol), bucket.as("bucket"))
+  }
+
+  /** ANN top-k: score only within matching LSH buckets. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val c = lshBuckets(corpus, idCol, vecCol, planes, dims)
+      .toDF("n_id", "n_vec", "bucket")
+    val q = lshBuckets(queries, idCol, vecCol, planes, dims)
+      .toDF("q_id", "q_vec", "bucket")
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        round(cosineSim(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs): these run
+  * inside the parquet scan stage, so a 100 TB corpus pays one pass and no
+  * shuffle for per-document scoring.
+  */
+object TextAnalysis {
+
+  /** Tiny deterministic stopword lists per language for n-gram-overlap
+    * language ID. (Real lists would be larger; the operator shape — score
+    * per language inside one projection, argmax — is what matters.) */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un"))
+
+  // counts surface as BIGINT to match ANSI engines (DuckDB len/length)
+  private def overlapCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t))).cast("bigint")
+
+  /** Language-ID scores + argmax prediction (first language wins ties in
+    * declaration order; 'und' when no word matches). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(
+      col(idCol).as("doc_id") +:
+        langWords.map { case (lang, ws) => overlapCount(toks, ws).as(s"score_$lang") }: _*)
+    val best = langWords.map { case (l, _) => col(s"score_$l") }.reduce(greatest(_, _))
+    // earlier languages win ties (fold from the right so the leftmost
+    // matching WHEN ends up outermost)
+    val pred = langWords.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Per-document quality metrics: char/token counts, mean token length,
+    * punctuation ratio, stopword ratio. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = langWords.toMap.apply("en")
+    df.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("bigint").as("n_chars"),
+      size(toks).cast("bigint").as("n_tokens"),
+      round(
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          size(toks),
+        6).as("mean_token_len"),
+      round(
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+          length(t),
+        6).as("punct_ratio"),
+      round(overlapCount(toks, stop).cast("double") / size(toks), 6)
+        .as("stopword_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish `[a-z0-9]+` word-piece
+    * regex count. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z0-9]+"), lit(0))).cast("bigint")
+        .as("re_tokens"))
+
+  /** Document fingerprints: raw content hash + order-insensitive
+    * bag-of-words hash (sorted distinct tokens). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol).as("doc_id"),
+      hash64(col(textCol)).as("content_fp"),
+      hash64(concat_ws(" ", array_sort(array_distinct(toks)))).as("bow_fp"))
+  }
+}

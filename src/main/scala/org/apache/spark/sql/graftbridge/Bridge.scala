@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{classic, Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into `private[sql]` Spark internals (Column <->
+  * Expression and function registration). Lives in an
+  * `org.apache.spark.sql` subpackage — the standard pattern for Catalyst
+  * extension libraries; everything used here is Spark public source API,
+  * just package-scoped. */
+object Bridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression builder as a SQL-callable function. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark
+      .asInstanceOf[classic.SparkSession]
+      .sessionState
+      .functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: read Verify's parquet
+dumps, run each oracle SQL in DuckDB over the same testdata tables, and
+compare (columns sorted by name, rows sorted, values canonicalized).
+
+Dev tool only — the engine itself is pure Scala/Spark.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_cols = [d[0] for d in con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            failures += 1
+            continue
+        try:
+            res = con.execute(sql)
+            want_cols = [d[0] for d in res.description]
+            want = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            failures += 1
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            failures += 1
+            continue
+        g, w = rowset(got, got_cols), rowset(want, want_cols)
+        if g != w:
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            for i, (a, b) in enumerate(zip(g, w)):
+                if a != b:
+                    print(f"  first diff at {i}:\n    spark={a}\n    duck ={b}")
+                    break
+            if len(g) != len(w):
+                only_g = [r for r in g if r not in w][:2]
+                only_w = [r for r in w if r not in g][:2]
+                print(f"  only-spark: {only_g}\n  only-duck : {only_w}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(g)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
