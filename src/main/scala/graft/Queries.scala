@@ -684,7 +684,31 @@ object Queries {
              |  substr(base64(text::BLOB), 1, 16) AS b64_prefix
              |FROM documents ORDER BY doc_id""".stripMargin)))
 
+  // ---------------------------------------------------------------------
+  // m33 parity pipeline (SURVEY §2.A S1-S17) — no DuckDB oracle (input is
+  // the synthesized raw-text fixture, not a harness parquet table); the
+  // golden assertions live in M33PipelineSpec.
+  // ---------------------------------------------------------------------
+
+  private val parityPipeline: Seq[(String, Q)] = Seq(
+    "q34_m33_pipeline" -> Q(
+      (s, _) => {
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_m33_query").getAbsolutePath
+        val root = graft.sources.M33Fixture.generate(base)
+        val m33 = graft.pipeline.M33Pipeline.runApi(s, root, s"$base/warehouse")
+        m33
+          .groupBy(col("age_mil"), col("is_peculiar"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("wavelength")).as("lo_wl"),
+            max(col("wavelength")).as("hi_wl"))
+          .orderBy(col("age_mil"), col("is_peculiar"))
+      },
+      None))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
-    relational ++ textAndEvents ++ dedup ++ similarity ++ textAnalysis
+    relational ++ textAndEvents ++ dedup ++ similarity ++ textAnalysis ++
+      parityPipeline
 }

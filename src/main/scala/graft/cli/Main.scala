@@ -1,0 +1,76 @@
+package graft.cli
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Engine
+import graft.pipeline.M33Pipeline
+import graft.sinks.JdbcSink
+import graft.sources.M33Fixture
+import graft.sql.Statements
+
+/** Playground-verb-compatible CLI — SURVEY §2.A S21-S23 analog of
+  * playground.py's command surface (reference: playground.py:1050-1216).
+  *
+  * Verbs:
+  *   setup --base DIR                 generate fixture + warehouse dirs
+  *   exec-query -e SQL                run inline statement(s), print boxed
+  *   exec-file -f FILE                run a multi-statement script file
+  *   m33-pipeline --base DIR          run the full S1-S17 pipeline
+  *   export --url URL --table T --path P   JDBC export of a warehouse CSV
+  *   health                           session/executor status (S23 analog)
+  */
+object Main {
+
+  private def session(): SparkSession = Engine.session(appName = "graft-cli")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "setup" :: "--base" :: base :: Nil =>
+      val root = M33Fixture.generate(base)
+      new File(base, "warehouse").mkdirs()
+      println(s"fixture: $root")
+
+    case "exec-query" :: "-e" :: sql :: Nil =>
+      val spark = session()
+      Statements.execScript(spark, sql).foreach(_.show(100, truncate = false))
+      spark.stop()
+
+    case "exec-file" :: "-f" :: path :: Nil =>
+      val spark = session()
+      Statements.execFile(spark, path).foreach(_.show(100, truncate = false))
+      spark.stop()
+
+    case "m33-pipeline" :: "--base" :: base :: Nil =>
+      val spark = session()
+      val root = M33Fixture.generate(base)
+      val m33 = M33Pipeline.runApi(spark, root, new File(base, "warehouse").getAbsolutePath)
+      println(s"m33 rows: ${m33.count()}")
+      m33.show(10)
+      spark.stop()
+
+    case "export" :: "--url" :: url :: "--table" :: table :: "--path" :: path :: Nil =>
+      val spark = session()
+      val df = M33Pipeline.readM33Csv(spark, path)
+      JdbcSink.export(df, url, table)
+      println(s"exported ${JdbcSink.readBack(spark, url, table).count()}+ rows (first 100 shown)")
+      spark.stop()
+
+    case "health" :: Nil =>
+      val spark = session()
+      val sc = spark.sparkContext
+      println(s"spark version: ${sc.version}")
+      println(s"master: ${sc.master}")
+      println(s"default parallelism: ${sc.defaultParallelism}")
+      println(s"executor memory status: ${sc.getExecutorMemoryStatus.size} executor(s)")
+      println("status: OK")
+      spark.stop()
+
+    case other =>
+      System.err.println(s"unknown verb: ${other.mkString(" ")}")
+      System.err.println(
+        "verbs: setup --base DIR | exec-query -e SQL | exec-file -f FILE | " +
+          "m33-pipeline --base DIR | export --url URL --table T --path P | health")
+      sys.exit(2)
+  }
+}

@@ -50,6 +50,35 @@ object Engine {
     spark
   }
 
+  /** Hive-catalog session (Derby metastore under `metastoreDir`), for the
+    * SQL-mode m33 pipeline: external TEXTFILE tables, ADD PARTITION ...
+    * LOCATION, persistent views, CTAS (SURVEY §2.A S3-S5, S17). */
+  def hiveSession(
+      warehouseDir: String,
+      metastoreDir: String,
+      master: String = s"local[$defaultCpus]"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft-hive")
+      .enableHiveSupport()
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config(
+        "javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
+      .config("spark.hadoop.hive.metastore.schema.verification", "false")
+      .config("spark.hadoop.datanucleus.schema.autoCreateAll", "true")
+      .config("spark.sql.shuffle.partitions", defaultCpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.registerAll(spark)
+    spark
+  }
+
   /** Read one of the harness parquet tables (TESTDATA.md).
     *
     * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark

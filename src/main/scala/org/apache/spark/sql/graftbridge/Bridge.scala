@@ -13,14 +13,25 @@ object Bridge {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Register a Catalyst expression builder as a SQL-callable function. */
+  /** Register a Catalyst expression builder as a SQL-callable function.
+    *
+    * Registered both in the session registry (visible immediately) and in
+    * the static builtin registry (so sessions created later inherit it,
+    * and permanent views may reference it — `SessionCatalog
+    * .isTemporaryFunction` excludes builtins). */
   def registerFunction(
       spark: SparkSession,
       name: String,
-      builder: Seq[Expression] => Expression): Unit =
+      builder: Seq[Expression] => Expression): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val info = new ExpressionInfo("graft.functions", name)
+    FunctionRegistry.builtin.registerFunction(FunctionIdentifier(name), info, builder)
     spark
       .asInstanceOf[classic.SparkSession]
       .sessionState
       .functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+      .registerFunction(FunctionIdentifier(name), info, builder)
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join: latest right row with rightTs <= leftTs, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (2L, ts("2024-01-01 10:00:00"), "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (1L, ts("2024-01-01 12:00:00"), 3.0), // equal ts: <= includes it
+      (2L, ts("2024-01-01 11:00:00"), 9.0)) // after left row: excluded
+      .toDF("k", "t", "v")
+    val got = AsOfJoin(left, right, "k", "t", "t", Seq("v"))
+      .select($"tag", $"asof_v")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got("a").contains(1.0))
+    assert(got("b").contains(3.0))
+    assert(got("c").isEmpty)
+  }
+
+  test("minhash LSH finds planted near-duplicates without full cross join") {
+    val docs = (
+      Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")) ++
+        (0L until 20L).map(i => i ->
+          s"totally unrelated document number $i with its own words ${i * 7} ${i * 13}")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 3, numHashes = 12, bands = 6)
+      .filter($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)))
+  }
+
+  test("simhash: near-identical docs land at small hamming distance") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine eleven"),
+      (3L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", bits = 32)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("brute-force top-k: excludes self, ranks by cosine desc") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .select($"rank", $"n_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+  }
+
+  test("LSH top-k: same-bucket neighbors found, bucket assignment deterministic") {
+    val vecs = (0 until 50)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b1 = Similarity.lshBuckets(vecs, "vec_id", "embedding", planes = 3, dims = 8)
+      .select($"vec_id", $"bucket").as[(Long, Int)].collect().toMap
+    val b2 = Similarity.lshBuckets(vecs, "vec_id", "embedding", planes = 3, dims = 8)
+      .select($"vec_id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1) // planes actually split the space
+  }
+
+  test("langId: argmax with declaration-order tie-break, 'und' when no match") {
+    val docs = Seq(
+      (1L, "the cat and the dog"), // en
+      (2L, "der hund und die katze ist"), // de
+      (3L, "xyzzy plugh")) // no stopwords at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs, "doc_id", "text")
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("quality score: exact ratios on a crafted doc") {
+    val docs = Seq((1L, "the cat sat.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_chars") == 12L)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Double]("punct_ratio") == 0.083333) // 1/12 rounded to 6dp
+    assert(r.getAs[Double]("stopword_ratio") == 0.333333)
+  }
+}
