@@ -707,8 +707,56 @@ object Queries {
       },
       None))
 
+  // ---------------------------------------------------------------------
+  // Streaming + multimodal (north star)
+  // ---------------------------------------------------------------------
+
+  private val streamingAndMultimodal: Seq[(String, Q)] = Seq(
+    // Structured Streaming twin of q16: same transform under readStream,
+    // drained to a memory sink. Append mode only emits windows closed by
+    // the watermark, so this is a deterministic prefix of q16 — rows-only
+    // check (the batch/stream prefix equivalence is asserted in
+    // StreamingSpec).
+    "q35_streaming_windows" -> Q(
+      (s, d) => {
+        val name = "graft_stream_windows"
+        s.catalog.dropTempView(name)
+        graft.streaming.EventStreams
+          .runToMemory(s, s"$d/events.parquet",
+            graft.streaming.EventStreams.windowedCounts, name)
+          .orderBy(col("bucket_start"), col("event_type"))
+      },
+      None),
+
+    "q36_multimodal_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocuments(t(s, d, "documents"))
+        graft.multimodal.Multimodal.decodeFeatures(assets)
+          .groupBy(col("modality"))
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("width").cast("bigint")).as("sum_w"),
+            sum(col("height").cast("bigint")).as("sum_h"),
+            sum(col("n_frames").cast("bigint")).as("sum_frames"))
+          .orderBy(col("modality"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             |    octet_length(text::BLOB) AS nb
+             |  FROM documents)
+             |SELECT modality, count(*) AS n_assets,
+             |  sum(nb)::BIGINT AS total_bytes,
+             |  sum((nb % 640) + 1)::BIGINT AS sum_w,
+             |  sum((nb // 7) % 480 + 1)::BIGINT AS sum_h,
+             |  sum(CASE WHEN modality = 'video' THEN nb // 100 + 1 ELSE 1 END)::BIGINT
+             |    AS sum_frames
+             |FROM a GROUP BY modality ORDER BY modality""".stripMargin)))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ similarity ++ textAnalysis ++
-      parityPipeline
+      parityPipeline ++ streamingAndMultimodal
 }

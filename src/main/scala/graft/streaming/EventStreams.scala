@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events stream shape (TESTDATA events
+  * table): watermarked tumbling-window aggregation, session windows, and
+  * custom sessionization state via flatMapGroupsWithState.
+  *
+  * The transforms are defined over a generic DataFrame so the same code
+  * runs in batch (for the DuckDB-oracle'd q16) and under `readStream` —
+  * Spark's unified-API contract. At scale the stateful ops shuffle once
+  * on user_id and keep per-key state in the state store; the watermark
+  * bounds state size (late events beyond 10 minutes are dropped).
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionSummary(
+      user_id: Long, n_events: Int, first_ts: Timestamp, last_ts: Timestamp,
+      total_value: Double)
+
+  /** The events schema as Spark reads it (ts already truncated to us). */
+  val schemaDDL: String =
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  /** On-disk schema: ts is parquet TIMESTAMP(NANOS) = raw INT64 (see
+    * Engine.table for the batch-side handling). */
+  private val rawSchemaDDL: String =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  /** Open a file-based stream over events parquet. Spark's file stream
+    * source requires a directory; when handed a single file (the harness
+    * tables are one parquet file each) it is exposed through a symlinked
+    * temp directory. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        d.toString
+      } else path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchemaDDL)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked 5-minute tumbling window counts per event type — the
+    * streaming twin of q16_event_windows. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Session-window aggregation (gap-based, built-in session_window). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom sessionization with explicit state: emits a summary when a
+    * user's session times out (processing-time timeout for simplicity;
+    * event-time logic lives in the gap check). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long = 30L * 60 * 1000): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Int, Long, Long, Double), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event],
+         state: GroupState[(Long, Int, Long, Long, Double)]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some((uid, n, first, last, tot)) if e.ts.getTime - last <= gapMillis =>
+                cur = Some((uid, n + 1, first, e.ts.getTime, tot + e.value))
+              case Some((uid, n, first, last, tot)) =>
+                out += SessionSummary(uid, n, new Timestamp(first), new Timestamp(last),
+                  math.round(tot * 100).toDouble / 100)
+                cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
+              case None =>
+                cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Run a streaming query over `dir` into an in-memory table and block
+    * until all available input is processed (local smoke harness). */
+  def runToMemory(
+      spark: SparkSession,
+      dir: String,
+      transform: DataFrame => DataFrame,
+      queryName: String): DataFrame = {
+    val q = transform(readStream(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

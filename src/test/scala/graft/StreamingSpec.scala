@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed counts: streaming result is a prefix of the batch result") {
+    spark.catalog.dropTempView("stream_test_windows")
+    val streamed = EventStreams
+      .runToMemory(spark, s"$sf/events.parquet",
+        EventStreams.windowedCounts, "stream_test_windows")
+      .collect().toSet
+    val batch = EventStreams
+      .windowedCounts(graft.core.Engine.table(spark, sf, "events"))
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    // append mode withholds windows not yet closed by the watermark
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size - 10)
+  }
+
+  test("session windows aggregate per user with gap semantics") {
+    spark.catalog.dropTempView("stream_test_sessions")
+    val sessions = EventStreams.runToMemory(
+      spark, s"$sf/events.parquet",
+      df => EventStreams.sessionWindows(df), "stream_test_sessions")
+    assert(sessions.count() > 0)
+    assert(sessions.columns.toSet ==
+      Set("session_start", "session_end", "user_id", "n_events", "total_value"))
+  }
+
+  test("sessionize: explicit state splits on gap, aggregates in order") {
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", 7, 1.0),
+      ev(2, "2024-01-01 10:10:00", 7, 2.0), // same session (10 min gap)
+      ev(3, "2024-01-01 12:00:00", 7, 4.0), // new session (>30 min)
+      ev(4, "2024-01-01 10:05:00", 8, 8.0)).toDS()
+    val out = EventStreams.sessionize(events, gapMillis = 30L * 60 * 1000)
+      .collect()
+    // only user 7's FIRST session is emitted (second still open in state)
+    assert(out.length == 1)
+    assert(out(0).user_id == 7 && out(0).n_events == 2 && out(0).total_value == 3.0)
+  }
+}
