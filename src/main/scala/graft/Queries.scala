@@ -407,12 +407,16 @@ object Queries {
   private val minhashSeeds = 12
   private val minhashBands = 4
 
-  /** DuckDB CTE prefix reproducing tokens/shingles/minhash signatures. */
+  /** DuckDB CTE prefix reproducing tokens/shingles/minhash signatures
+    * (the universal-hash family of [[graft.operators.Dedup.MinHash]]:
+    * one md5 per shingle, then per-seed integer arithmetic mod 2^31-1). */
   private def duckMinhashCtes: String = {
+    import graft.operators.Dedup.MinHash
     val rows = minhashSeeds / minhashBands
     val sigEntries = (0 until minhashSeeds)
-      .map(seed =>
-        s"coalesce(list_min([${dHash64Seeded("s", seed)} for s in sg]), 9223372036854775807)")
+      .map(j =>
+        s"coalesce(list_min([(x * ${MinHash.a(j)} + ${MinHash.b(j)}) % ${MinHash.P} " +
+          s"for x in h]), ${MinHash.sentinel})")
       .mkString(",\n    ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -421,10 +425,12 @@ object Queries {
        |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
        |    ELSE []::VARCHAR[] END AS sg
        |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, [${dHash64("s")} % ${MinHash.P} for s in sg] AS h FROM sh),
        |mh AS (
        |  SELECT doc_id, [
        |    $sigEntries] AS sig
-       |  FROM sh),
+       |  FROM hs),
        |bands AS (
        |  SELECT doc_id, sig, b,
        |    array_to_string(sig[b*$rows+1:b*$rows+$rows], '_') AS bkey
@@ -512,19 +518,23 @@ object Queries {
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(50)
       },
-      Some("""WITH t0 AS (
-             |  SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
-             |g AS (
-             |  SELECT doc_id, lang, t[1] AS tok0,
-             |    list_distinct([array_to_string(t[i:i+1], ' ')
-             |      for i in range(1, len(t))]) AS grams
-             |  FROM t0)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-             |        len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-             |FROM g a JOIN g b ON a.lang = b.lang AND a.tok0 = b.tok0
-             |  AND a.doc_id < b.doc_id
-             |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
+      Some(s"""WITH t0 AS (
+              |  SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+              |g0 AS (
+              |  SELECT doc_id, lang, t[1] AS tok0,
+              |    list_distinct([array_to_string(t[i:i+1], ' ')
+              |      for i in range(1, len(t))]) AS grams
+              |  FROM t0),
+              |g AS (
+              |  SELECT doc_id, lang, tok0,
+              |    [${dHash64("x")} for x in grams] AS h
+              |  FROM g0)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  round(len(list_intersect(a.h, b.h))::DOUBLE /
+              |        len(list_distinct(a.h || b.h)), 6) AS jaccard
+              |FROM g a JOIN g b ON a.lang = b.lang AND a.tok0 = b.tok0
+              |  AND a.doc_id < b.doc_id
+              |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
 
     "q26_embedding_neardup" -> Q(
       (s, d) => {

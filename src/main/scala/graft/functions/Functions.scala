@@ -29,6 +29,10 @@ object Functions {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 
+  /** Inner product of two numeric-array columns, in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
   /** Deterministic 60-bit non-negative hash of a string: first 15 hex chars
     * of md5, as a BIGINT. Portable across engines (md5 is standard), which
     * makes MinHash/SimHash signatures oracle-checkable. */
@@ -38,6 +42,20 @@ object Functions {
   /** Seeded variant: hash64(seed || ':' || c). */
   def hash64(c: Column, seed: Int): Column =
     hash64(concat(lit(s"$seed:"), c))
+
+  /** Driver-side JVM twin of [[hash64]] — same value for the same string.
+    * Used to derive deterministic constants (LSH hyperplanes, MinHash
+    * universal-hash coefficients) that are inlined as literals into both
+    * the Spark plan and the oracle SQL. */
+  def md5Hash64Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 
   /** Whitespace tokenization: split on single spaces after trim. */
   def tokens(c: Column): Column = split(trim(c), " ")
@@ -51,30 +69,6 @@ object Functions {
           transform(
             sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-
-  /** MinHash signature: for each seed, min over shingles of the seeded
-    * hash. NULL-free; empty shingle set => Long.MaxValue sentinel. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      coalesce(
-        array_min(transform(shingleCol, s => hash64(s, seed))),
-        lit(Long.MaxValue))
-    }: _*)
-
-  /** SimHash over a token array: `bits`-wide signature where bit j is set
-    * iff sum over distinct tokens of (+1/-1 for token-hash bit j) > 0. */
-  def simhash(toks: Column, bits: Int): Column = {
-    val h = transform(array_distinct(toks), t => hash64(t))
-    val perBit = (0 until bits).map { j =>
-      // sum of (bit j set ? 1 : -1) across tokens, sign decides bit j
-      val vote = aggregate(
-        h,
-        lit(0L),
-        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * (1L << j)).otherwise(0L)
-    }
-    perBit.reduce(_ + _)
-  }
 
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column = {

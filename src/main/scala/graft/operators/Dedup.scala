@@ -27,12 +27,69 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** MinHash universal-hash family over the prime P = 2^31-1: minhash j
+    * of a doc is `min over shingles of (a(j) * (md5hash64(s) % P) + b(j)) % P`.
+    * One md5 per shingle (not per shingle x seed); the per-seed work is
+    * pure integer arithmetic, safe from 64-bit overflow (a, x < P so
+    * a*x + b < 2^62) — which also makes it expressible in any ANSI engine
+    * for the oracle. Coefficients derive from md5 of fixed strings, so
+    * they are reproducible constants, not RNG state. */
+  object MinHash {
+    val P: Long = 2147483647L
+    val sentinel: Long = Long.MaxValue // empty shingle set
+    def a(j: Int): Long = (md5Hash64Jvm(s"minhash_a:$j") % (P - 1)) + 1
+    def b(j: Int): Long = md5Hash64Jvm(s"minhash_b:$j") % P
+  }
+
+  /** Per-document MinHash signatures: (doc_id, sig array<long>).
+    *
+    * Shape chosen for scale: explode shingles -> one codegen'd md5 per
+    * shingle -> groupBy(doc) with `numHashes` codegen'd min-aggregates.
+    * No per-row array lambdas (Spark evaluates higher-order functions
+    * interpreted, which was 10x slower here), and partial aggregation
+    * does the min map-side so the shuffle carries one row per doc. */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12): DataFrame = {
+    // hash-repartition on doc_id BEFORE the CPU-heavy shingle/hash work:
+    // a single-file input otherwise runs the whole pipeline in one task,
+    // and the groupBy(doc_id) below reuses this partitioning (no second
+    // shuffle). On a many-file 100 TB input AQE coalesces this exchange.
+    val docs = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        shingles(tokens(col("_text")), shingleN).as("sg"))
+    val x = hash64(col("s")) % MinHash.P
+    val mins = docs
+      .select(col("doc_id"), explode(col("sg")).as("s"))
+      .select(col("doc_id"), x.as("x"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("x") * MinHash.a(0) + MinHash.b(0)) % MinHash.P).as("m0"),
+        (1 until numHashes).map(j =>
+          min((col("x") * MinHash.a(j) + MinHash.b(j)) % MinHash.P).as(s"m$j")): _*)
+    // docs whose shingle set is empty (fewer than n tokens) keep a
+    // sentinel signature
+    docs
+      .select(col("doc_id"))
+      .join(mins, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        array((0 until numHashes).map(j =>
+          coalesce(col(s"m$j"), lit(MinHash.sentinel))): _*).as("sig"))
+  }
+
   /** MinHash + LSH near-duplicate candidates.
     *
-    * shingle(n) -> `numHashes` seeded min-hashes -> `bands` bands of
-    * `numHashes/bands` rows -> docs sharing any band bucket are candidates.
-    * Output: (doc_a, doc_b, est_jaccard) where est_jaccard is the fraction
-    * of matching minhashes. Join is on the band key (shuffle, no cartesian).
+    * signatures -> `bands` bands of `numHashes/bands` rows -> docs sharing
+    * any band bucket are candidates. Output: (doc_a, doc_b, est_jaccard)
+    * where est_jaccard is the fraction of matching minhashes. Join is on
+    * the band key (shuffle, no cartesian).
     */
   def minhashLsh(
       df: DataFrame,
@@ -43,10 +100,7 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = df
-      .select(
-        col(idCol).as("doc_id"),
-        minhashSignature(shingles(tokens(col(textCol)), shingleN), numHashes).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val banded = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -73,11 +127,31 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-document SimHash signature (`bits` wide, default 32). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      simhash(tokens(col(textCol)), bits).as("simhash"))
+  /** Per-document SimHash signature (`bits` wide, default 32): bit j is
+    * set iff the sum over distinct tokens of (+1/-1 for token-hash bit j)
+    * is positive. Same explode -> codegen'd-aggregate shape as
+    * [[minhashSignatures]]: one md5 per distinct token, `bits` sum
+    * aggregates with map-side partials. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val h = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .repartition(col("doc_id")) // distribute CPU work; reused by groupBy
+      .select(col("doc_id"), explode(array_distinct(tokens(col("_text")))).as("t"))
+      .select(col("doc_id"), hash64(col("t")).as("h"))
+    val votes = h
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
+        (1 until bits).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+            .as(s"v$j")): _*)
+    votes.select(
+      col("doc_id"),
+      (0 until bits)
+        .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+        .as("simhash"))
+  }
 
   /** SimHash near-duplicate pairs within a hamming radius, blocked on the
     * top `blockBits` bits so candidate generation is a bucket join. */
@@ -101,7 +175,10 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs inside a blocking
-    * key (cheap equality blocking keeps the pair space linear-ish). */
+    * key (cheap equality blocking keeps the pair space linear-ish).
+    * Grams are hashed to longs before the pair join: the per-pair
+    * intersect/union then compares 8-byte values instead of strings, and
+    * the shuffled gram sets shrink ~5x. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -109,17 +186,29 @@ object Dedup {
       blockCols: Seq[org.apache.spark.sql.Column],
       shingleN: Int = 2,
       minJaccard: Double = 0.0): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("doc_id"),
-      struct(blockCols: _*).as("block"),
-      shingles(tokens(col(textCol)), shingleN).as("grams"))
+    val docs = df
+      .repartition(col(idCol)) // distribute gram hashing + pair work
+      .select(
+        col(idCol).as("doc_id"),
+        struct(blockCols: _*).as("block"),
+        transform(shingles(tokens(col(textCol)), shingleN), g => hash64(g)).as("grams"))
     val a = docs.as("a")
     val b = docs.as("b")
+    // grams are already distinct sets, so |union| = |a| + |b| - |inter|:
+    // one array_intersect per pair (projected once) instead of
+    // distinct x2 + intersect + union
     a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        round(jaccard(col("a.grams"), col("b.grams")), 6).as("jaccard"))
+        size(array_intersect(col("a.grams"), col("b.grams"))).as("li"),
+        (size(col("a.grams")) + size(col("b.grams"))).as("stot"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          when(col("stot") === col("li"), when(col("li") === 0, 0.0).otherwise(1.0))
+            .otherwise(col("li").cast("double") / (col("stot") - col("li"))),
+          6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -43,18 +43,15 @@ object Similarity {
     * any engine with md5 — which makes bucket assignment oracle-checkable. */
   def hyperplane(p: Int, dims: Int): Array[Double] =
     Array.tabulate(dims) { d =>
-      val hex = java.security.MessageDigest
-        .getInstance("MD5")
-        .digest(s"plane$p:$d".getBytes("UTF-8"))
-        .map("%02x".format(_))
-        .mkString
-        .substring(0, 15)
-      (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble / 1000.0
+      (graft.functions.Functions.md5Hash64Jvm(s"plane$p:$d") % 2001L - 1000L)
+        .toDouble / 1000.0
     }
 
   /** Random-hyperplane LSH bucketing: bit p of the bucket is the sign of
     * the dot product with [[hyperplane]] p. Vectors only compete inside
-    * their bucket. */
+    * their bucket. The projection is one codegen'd [[graft.functions.DotProduct]]
+    * per plane against a literal coefficient array — an unrolled
+    * per-dimension column tree would blow up janino compile time. */
   def lshBuckets(
       df: DataFrame,
       idCol: String,
@@ -62,10 +59,8 @@ object Similarity {
       planes: Int,
       dims: Int): DataFrame = {
     val bucket = (0 until planes).map { p =>
-      val coefs = hyperplane(p, dims)
-      val dot = coefs.zipWithIndex
-        .map { case (c, d) => col(vecCol).getItem(d) * lit(c) }
-        .reduce(_ + _)
+      val dot = graft.functions.Functions
+        .dotProduct(col(vecCol), lit(hyperplane(p, dims)))
       when(dot > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
     df.select(col(idCol), col(vecCol), bucket.as("bucket"))

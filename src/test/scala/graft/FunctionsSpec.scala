@@ -61,16 +61,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
 
-  test("minhash signature: more similar docs share more hashes") {
+  test("minhash signatures: more similar docs share more hashes; empty gets sentinel") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy cat again and again"),
-      (3L, "completely different content with no overlap whatsoever here now"))
+      (3L, "completely different content with no overlap whatsoever here now"),
+      (4L, "too short"))
       .toDF("id", "t")
-    val sigs = docs
-      .select(col("id"), F.minhashSignature(F.shingles(F.tokens(col("t")), 3), 16).as("sig"))
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(docs, "id", "t", shingleN = 3, numHashes = 16)
       .as[(Long, Seq[Long])].collect().toMap
     def matches(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
     assert(matches(sigs(1L), sigs(2L)) > matches(sigs(1L), sigs(3L)))
+    assert(sigs(4L).forall(_ == Long.MaxValue)) // < 3 tokens -> sentinel
   }
 }
