@@ -765,8 +765,178 @@ object Queries {
              |    AS sum_frames
              |FROM a GROUP BY modality ORDER BY modality""".stripMargin)))
 
+  // ---------------------------------------------------------------------
+  // Extended SQL surface: grouping sets, subquery decorrelation through
+  // SQL text, typed UDAF, date/string batteries, collect aggregates,
+  // approx distinct, unpivot
+  // ---------------------------------------------------------------------
+
+  private val extendedSurface: Seq[(String, Q)] = Seq(
+    "q37_grouping_sets" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+                |  round(sum(o_totalprice),2) AS total
+                |FROM orders JOIN customer ON o_custkey = c_custkey
+                |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+                |ORDER BY c_mktsegment ASC NULLS FIRST,
+                |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice),2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+             |ORDER BY c_mktsegment ASC NULLS FIRST,
+             |  o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
+    // correlated scalar subquery through SQL text — Catalyst decorrelates
+    // (RewriteCorrelatedScalarSubquery) into the aggregate+join q14 spells
+    // out manually
+    "q38_subquery_decorrelation" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o.o_orderkey, o.o_totalprice FROM orders o
+                |WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o.o_orderkey, o.o_totalprice FROM orders o
+             |WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+             |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // same result contract as q27 but via the bounded-buffer typed
+    // Aggregator (map-side top-k, no global sort)
+    "q39_topk_udaf" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val scored = emb
+          .join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .select(
+            col("q_id"),
+            col("vec_id").as("n_id"),
+            round(F.cosineSim(col("qv"), col("embedding")), 6).as("score"))
+          .as[(Long, Long, Double)]
+        scored
+          .map { case (qid, nid, sc) => (qid, graft.functions.ScoredId(nid, sc)) }
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new graft.functions.TopKByScore(5).toColumn)
+          .flatMap { case (qid, tops) =>
+            tops.zipWithIndex.map { case (sid, i) =>
+              (qid, (i + 1).toLong, sid.n_id, sid.score)
+            }
+          }
+          .toDF("q_id", "rank", "n_id", "cos")
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+             |sc AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos
+             |  FROM q CROSS JOIN c WHERE q_id <> n_id),
+             |r AS (SELECT q_id, n_id, cos, row_number() OVER (
+             |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
+             |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    "q40_date_funcs" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            trunc(col("o_orderdate"), "month").as("mon_start"),
+            datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+              .cast("bigint").as("days_to_end"),
+            (dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow"),
+            quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+            weekofyear(col("o_orderdate")).cast("bigint").as("woy"),
+            last_day(col("o_orderdate")).as("month_end"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  date_trunc('month', o_orderdate::DATE) AS mon_start,
+             |  date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS days_to_end,
+             |  dayofweek(o_orderdate)::BIGINT AS dow,
+             |  quarter(o_orderdate)::BIGINT AS qtr,
+             |  weekofyear(o_orderdate)::BIGINT AS woy,
+             |  last_day(o_orderdate::DATE) AS month_end
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "q41_string_funcs" -> Q(
+      (s, d) => {
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+            translate(col("c_name"), "#", "_").as("tr_name"),
+            reverse(col("c_mktsegment")).as("rev_seg"),
+            instr(col("c_name"), "#").cast("bigint").as("hash_pos"),
+            levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("bigint").as("lev"),
+            expr("repeat('*', CAST(c_custkey % 4 + 1 AS INT))").as("stars"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+             |  translate(c_name, '#', '_') AS tr_name,
+             |  reverse(c_mktsegment) AS rev_seg,
+             |  strpos(c_name, '#')::BIGINT AS hash_pos,
+             |  levenshtein(c_mktsegment, 'BUILDING')::BIGINT AS lev,
+             |  repeat('*', (c_custkey % 4 + 1)::INT) AS stars
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    "q42_collect_agg" -> Q(
+      (s, d) => {
+        t(s, d, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            concat_ws(",", array_sort(collect_set(col("c_nationkey"))).cast("array<string>"))
+              .as("nations"),
+            countDistinct(col("c_nationkey")).as("n_nations"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+             |  count(DISTINCT c_nationkey) AS n_nations
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // HLL sketch values are implementation-specific -> rows-only check;
+    // the exact counts ride along as a sanity column
+    "q43_approx_distinct" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    "q44_unpivot" -> Q(
+      (s, d) => {
+        t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            col("p_retailprice"),
+            col("p_size").cast("double").as("p_size"))
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("p_retailprice"), col("p_size")),
+            "metric", "val")
+          .orderBy(col("p_partkey"), col("metric"))
+      },
+      Some("""SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
+             |ORDER BY p_partkey, metric""".stripMargin)))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ similarity ++ textAnalysis ++
-      parityPipeline ++ streamingAndMultimodal
+      parityPipeline ++ streamingAndMultimodal ++ extendedSurface
 }
