@@ -34,9 +34,26 @@ object Bench {
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // BASELINE.md comparability: the reference's headline number is a
+    // 2.8M-row CTAS (ext text -> CSV table) at 50.1 s on Hive-on-MR.
+    // Same workload, same scale, fixture generation untimed.
+    val ctas = try {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_bench_m33full").getAbsolutePath
+      val root = graft.sources.M33Fixture
+        .generate(base, graft.sources.M33Fixture.fullScaleRows)
+      val view = graft.pipeline.M33Pipeline.schemView(
+        graft.pipeline.M33Pipeline.rawTable(spark, root))
+      val t0 = System.nanoTime()
+      graft.pipeline.M33Pipeline.ctasCsv(view, s"$base/wh")
+      Seq("m33_ctas_2800000_rows" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => Seq.empty }
+
+    val all = results ++ ctas
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

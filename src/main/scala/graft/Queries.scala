@@ -917,6 +917,37 @@ object Queries {
       },
       None),
 
+    // q19's as-of semantics through the custom LogicalPlan/SparkStrategy/
+    // SparkPlan operator (graft.plans.AsOfJoinExec) — same oracle as q19,
+    // so the window-composition and merge-exec implementations are
+    // cross-checked against each other and against DuckDB's ASOF JOIN
+    "q45_asof_custom" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("err_value"))
+          .withColumnRenamed("ts", "err_ts")
+        graft.plans.AsOfJoinApi
+          .asofJoinExec(clicks, errors, "user_id", "ts", "err_ts",
+            Seq("err_ts", "err_value"))
+          .select(
+            col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("click_ms"),
+            unix_millis(col("asof_err_ts")).as("prev_error_ms"),
+            col("asof_err_value").as("err_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS click_ms,
+             |  epoch_ms(r.ts) AS prev_error_ms, r.err_value
+             |FROM events e
+             |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS err_value
+             |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts) r
+             |ON e.user_id = r.user_id AND e.ts >= r.ts
+             |WHERE e.event_type = 'click'
+             |ORDER BY e.event_id""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")

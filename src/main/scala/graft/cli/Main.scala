@@ -56,6 +56,21 @@ object Main {
       println(s"exported ${JdbcSink.readBack(spark, url, table).count()}+ rows (first 100 shown)")
       spark.stop()
 
+    // S21 parity: real beeline/JDBC clients connect on the HiveServer2
+    // protocol (default port 10000)
+    case "thrift-server" :: rest =>
+      val port = rest match {
+        case "--port" :: p :: Nil => p
+        case _ => "10000"
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft_thrift").toString
+      val spark = Engine.hiveSession(s"$base/warehouse", s"$base/metastore")
+      spark.conf.set("hive.server2.thrift.port", port)
+      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        .startWithContext(spark.sqlContext)
+      println(s"HiveThriftServer2 listening on port $port (Ctrl-C to stop)")
+      Thread.currentThread().join()
+
     case "health" :: Nil =>
       val spark = session()
       val sc = spark.sparkContext
@@ -70,7 +85,8 @@ object Main {
       System.err.println(s"unknown verb: ${other.mkString(" ")}")
       System.err.println(
         "verbs: setup --base DIR | exec-query -e SQL | exec-file -f FILE | " +
-          "m33-pipeline --base DIR | export --url URL --table T --path P | health")
+          "m33-pipeline --base DIR | export --url URL --table T --path P | " +
+          "thrift-server [--port N] | health")
       sys.exit(2)
   }
 }

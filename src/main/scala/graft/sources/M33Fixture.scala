@@ -25,16 +25,20 @@ object M33Fixture {
     h.toDouble / 10.0
   }
 
+  /** Full reference scale: wavelength 3000.00..9999.99 step 0.01
+    * (700,000 rows/file, 2.8M rows over 4 files — SURVEY §1.3). */
+  val fullScaleRows: Int = 700000
+
   /** Generate the fixture under `base` (idempotent: skips if present).
-    * Returns the m33 data root. */
+    * Returns the m33 data root. Files are written in parallel. */
   def generate(base: String, rowsPerFile: Int = 2000): String = {
     val root = new File(base, "m33")
     if (root.exists()) return root.getAbsolutePath
-    for (part <- partitions; age <- ages) {
+    def writeOne(part: String, age: Int): Unit = {
       val dir = new File(root, part)
       dir.mkdirs()
       val f = new File(dir, f"hmix.a$age%06dz0790")
-      val w = new BufferedWriter(new FileWriter(f))
+      val w = new BufferedWriter(new FileWriter(f), 1 << 20)
       try {
         w.write("# synthetic m33 spectral fixture\n")
         w.write("# header line two\n")
@@ -51,6 +55,13 @@ object M33Fixture {
         }
       } finally w.close()
     }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val jobs = for (part <- partitions; age <- ages) yield (part, age)
+    Await.result(
+      Future.sequence(jobs.map { case (p, a) => Future(writeOne(p, a)) }),
+      Duration.Inf)
     root.getAbsolutePath
   }
 }

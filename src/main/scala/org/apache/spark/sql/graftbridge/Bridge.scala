@@ -13,6 +13,26 @@ object Bridge {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Logical plan of a DataFrame (classic API). */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Wrap a logical plan back into a DataFrame. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Install an extra planner strategy on a live session. */
+  def addStrategy(spark: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
+
   /** Register a Catalyst expression builder as a SQL-callable function.
     *
     * Registered both in the session registry (visible immediately) and in

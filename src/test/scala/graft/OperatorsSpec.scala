@@ -33,6 +33,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("c").isEmpty)
   }
 
+  test("custom AsOfJoinExec matches the window-composition operator") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (2L, ts("2024-01-01 10:00:00"), "c"),
+      (3L, ts("2024-01-01 09:00:00"), "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (1L, ts("2024-01-01 12:00:00"), 3.0),
+      (2L, ts("2024-01-01 11:00:00"), 9.0))
+      .toDF("k", "rt", "v")
+    val viaWindow = graft.operators.AsOfJoin(
+        left, right.withColumnRenamed("rt", "t"), "k", "t", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect().toSet
+    val viaExec = graft.plans.AsOfJoinApi
+      .asofJoinExec(left, right, "k", "t", "rt", Seq("v"))
+      .select($"tag", $"asof_v").collect().toSet
+    assert(viaExec == viaWindow)
+    // and the plan actually contains the custom operator
+    val plan = graft.plans.AsOfJoinApi
+      .asofJoinExec(left, right, "k", "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing from plan:\n$plan")
+  }
+
   test("minhash LSH finds planted near-duplicates without full cross join") {
     val docs = (
       Seq(

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.Statements
+
+/** Property tests (SURVEY §5.4) — scalacheck generators driven with fixed
+  * seeds for reproducibility. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: m33 row parse is total on whitespace-padded numeric rows") {
+    val rowGen = for {
+      pad <- Gen.oneOf("", " ", "  ", "\t".replace("\t", " ")) // leading ws
+      wl <- Gen.chooseNum(0L, 999999L)
+      fl <- Gen.chooseNum(-99999L, 99999L)
+    } yield (pad, wl / 100.0, fl / 10.0)
+    val rows = cases(rowGen, 200)
+    val df = rows
+      .map { case (pad, wl, fl) => (f"$pad$wl%.2f  $fl%.1f", "f") }
+      .toDF("row_str", "input_file")
+      .withColumn("peculiarity", org.apache.spark.sql.functions.lit("cp"))
+    val parsed = graft.pipeline.M33Pipeline.schemView(df)
+      .select($"wavelength", $"flam")
+      .as[(Option[Double], Option[Double])]
+      .collect()
+    parsed.zip(rows).foreach { case ((wl, fl), (_, ewl, efl)) =>
+      assert(wl.contains(ewl) && fl.contains(efl))
+    }
+  }
+
+  test("property: CSV CTAS round-trip preserves typed rows") {
+    val rowGen = for {
+      age <- Gen.chooseNum(0L, 999999L)
+      wl <- Gen.chooseNum(0L, 10000000L).map(_ / 100.0)
+      fl <- Gen.chooseNum(-1000000L, 1000000L).map(_ / 10.0)
+      pec <- Gen.oneOf(0, 1)
+    } yield (age, wl, fl, pec)
+    val rows = cases(rowGen, 300).distinct
+    val df = rows.toDF("age_mil", "wavelength", "flam", "is_peculiar")
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+    val path = graft.pipeline.M33Pipeline.ctasCsv(df, dir)
+    val back = graft.pipeline.M33Pipeline.readM33Csv(spark, path)
+      .as[(Long, Double, Double, Int)].collect().toSet
+    assert(back == rows.toSet)
+  }
+
+  test("property: field() equals its Scala reference semantics") {
+    val word = Gen.oneOf("cp", "nocp", "x", "yy", "")
+    val caseGen = for {
+      target <- word
+      args <- Gen.listOfN(4, word)
+    } yield (target, args)
+    cases(caseGen, 100).foreach { case (target, args) =>
+      val expected = args.indexOf(target) + 1 // 0 when absent (indexOf = -1)
+      val sql = (target +: args).map(s => s"'$s'").mkString("field(", ", ", ")")
+      val got = spark.sql(s"SELECT $sql").head().getInt(0)
+      assert(got == expected, s"field($target, $args): got $got want $expected")
+    }
+  }
+
+  test("property: statement splitter inverts joining with semicolons") {
+    val stmtGen = Gen.oneOf(
+      "SELECT 1", "SELECT 'a;b'", "UPDATE t SET x = 2", "SELECT \"q;q\"",
+      "INSERT INTO t VALUES (1, 'x')")
+    cases(Gen.listOfN(5, stmtGen), 50).foreach { stmts =>
+      assert(Statements.split(stmts.mkString(";")) == stmts)
+    }
+  }
+}
