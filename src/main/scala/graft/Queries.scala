@@ -948,6 +948,53 @@ object Queries {
              |WHERE e.event_type = 'click'
              |ORDER BY e.event_id""".stripMargin)),
 
+    // streaming exact dedup under the oracle gate: the input is the
+    // events file symlinked twice (2n duplicated rows); the deduped
+    // stream must equal the original table exactly
+    "q46_streaming_dedup" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_q46_dup")
+        java.nio.file.Files.createDirectories(dir)
+        val src = java.nio.file.Paths.get(s"$d/events.parquet")
+        for (name <- Seq("a.parquet", "b.parquet")) {
+          val link = dir.resolve(name)
+          // recreate each link: a stale link (e.g. pointing at another
+          // SF dir from a previous run) would corrupt the dedup input
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.createSymbolicLink(link, src)
+        }
+        val name = "graft_stream_dedup_q46"
+        s.catalog.dropTempView(name)
+        graft.streaming.EventStreams
+          .runToMemory(s, dir.toString, graft.streaming.EventStreams.dedupStream, name)
+          .select(
+            col("event_id"), col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ts_ms"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // salted-join skew handling, checked against the plain-join oracle
+    "q47_salted_join" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+        val sup = t(s, d, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+        graft.operators.SkewJoin.saltedJoin(li, sup, "suppkey", salts = 8)
+          .groupBy(col("s_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("s_name"))
+      },
+      Some("""SELECT s_name,
+             |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")

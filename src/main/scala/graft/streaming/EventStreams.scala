@@ -111,6 +111,37 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: one row per event_id, with the watermark
+    * bounding how long dedup state is retained (at 100 TB/day the state
+    * store would otherwise grow without bound). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each click joined to same-user error
+    * events at most `intervalMinutes` before it. Both sides watermarked
+    * so the join state expires. */
+  def clickErrorJoin(
+      clicks: DataFrame,
+      errors: DataFrame,
+      intervalMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val e = errors
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("value").as("err_value"))
+    c.join(
+      e,
+      col("user_id") === col("err_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("err_ts"),
+        col("err_value"))
+  }
+
   /** Run a streaming query over `dir` into an in-memory table and block
     * until all available input is processed (local smoke harness). */
   def runToMemory(

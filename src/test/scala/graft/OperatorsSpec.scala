@@ -109,6 +109,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b1.values.toSet.size > 1) // planes actually split the space
   }
 
+  test("salted join equals plain join on skewed data") {
+    val big = (Seq.fill(500)(7L) ++ (1L to 50L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "payload")
+    val small = (1L to 60L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select($"k", $"payload", $"name")
+      .collect().toSet
+    val salted = graft.operators.SkewJoin.saltedJoin(big, small, "k", salts = 8)
+      .select($"k", $"payload", $"name").collect().toSet
+    assert(salted == plain)
+    assert(plain.size == 550)
+  }
+
   test("langId: argmax with declaration-order tie-break, 'und' when no match") {
     val docs = Seq(
       (1L, "the cat and the dog"), // en

@@ -38,6 +38,43 @@ class StreamingSpec extends AnyFunSuite {
       Set("session_start", "session_end", "user_id", "n_events", "total_value"))
   }
 
+  test("streaming dedup: duplicated source collapses to unique event_ids") {
+    // duplicate the input by symlinking the same parquet twice into a dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_stream")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("a.parquet"), src)
+    java.nio.file.Files.createSymbolicLink(dir.resolve("b.parquet"), src)
+    spark.catalog.dropTempView("stream_test_dedup")
+    val deduped = EventStreams.runToMemory(
+      spark, dir.toString, EventStreams.dedupStream, "stream_test_dedup")
+    val n = graft.core.Engine.table(spark, sf, "events").count()
+    assert(deduped.count() == n) // 2n input rows -> n unique event_ids
+  }
+
+  test("stream-stream interval join emits click/error matches") {
+    spark.catalog.dropTempView("stream_test_ssjoin")
+    val q = EventStreams
+      .clickErrorJoin(
+        EventStreams.readStream(spark, s"$sf/events.parquet")
+          .filter($"event_type" === "click"),
+        EventStreams.readStream(spark, s"$sf/events.parquet")
+          .filter($"event_type" === "error"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_test_ssjoin")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("stream_test_ssjoin")
+    assert(got.count() > 0)
+    // every emitted pair respects the interval condition
+    val bad = got.filter(
+      $"err_ts" > $"click_ts" ||
+        $"err_ts" < $"click_ts" - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    assert(bad.count() == 0)
+  }
+
   test("sessionize: explicit state splits on gap, aggregates in order") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
