@@ -608,6 +608,32 @@ object Queries {
            |ORDER BY q_id, rank""".stripMargin
       }))
 
+  private val ivf: Seq[(String, Q)] = Seq(
+    "q48_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, centroidIds = 0L until 8L)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 8),
+             |assign AS (SELECT vec_id, e, cent_id AS cell FROM (
+             |  SELECT v.vec_id, v.e, c.cent_id, row_number() OVER (
+             |    PARTITION BY v.vec_id
+             |    ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cent_id) AS rn
+             |  FROM v CROSS JOIN cents c) WHERE rn = 1),
+             |sc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             |    round(list_cosine_similarity(q.e, n.e), 6) AS cos
+             |  FROM assign q JOIN assign n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+             |  WHERE q.vec_id < 10),
+             |r AS (SELECT q_id, n_id, cos, row_number() OVER (
+             |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
+             |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)))
+
   // ---------------------------------------------------------------------
   // Text analysis + multimodal plumbing (north star)
   // ---------------------------------------------------------------------
@@ -1015,6 +1041,7 @@ object Queries {
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
-    relational ++ textAndEvents ++ dedup ++ similarity ++ textAnalysis ++
-      parityPipeline ++ streamingAndMultimodal ++ extendedSurface
+    relational ++ textAndEvents ++ dedup ++ similarity ++ ivf ++
+      textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
+      extendedSurface
 }

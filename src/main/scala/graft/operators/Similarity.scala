@@ -66,6 +66,63 @@ object Similarity {
     df.select(col(idCol), col(vecCol), bucket.as("bucket"))
   }
 
+  /** IVF-style coarse quantization: assign every vector to its
+    * highest-cosine centroid (ties to the lowest centroid id). Centroids
+    * are designated corpus vectors (`centroidIds`) rather than k-means
+    * output so assignment is deterministic and oracle-checkable; swapping
+    * in trained centroids changes nothing structurally. The centroid set
+    * is tiny and broadcast; assignment is a broadcast join + one window
+    * per vector — no shuffle of the corpus. */
+  /** Extract the designated centroid vectors from the corpus. */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidIds: Seq[Long]): DataFrame =
+    corpus
+      .filter(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    // round before ranking so an engine-side ulp can't flip a near-tie
+    val w = Window
+      .partitionBy(col(idCol))
+      .orderBy(round(cosineSim(col(vecCol), col("cent_vec")), 6).desc, col("cent_id"))
+    df.join(broadcast(centroids))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k with nprobe=1: queries only score against corpus vectors
+    * in their own cell. The recall/cost dial is the centroid count (and,
+    * in a fuller build, nprobe). */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidIds: Seq[Long]): DataFrame = {
+    // centroids always come from the corpus — queries need not contain them
+    val cents = ivfCentroids(corpus, idCol, vecCol, centroidIds)
+    val c = ivfAssign(corpus, idCol, vecCol, cents).toDF("n_id", "n_vec", "cell")
+    val q = ivfAssign(queries, idCol, vecCol, cents).toDF("q_id", "q_vec", "cell")
+    val scored = c
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        round(cosineSim(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k: score only within matching LSH buckets. */
   def lshTopK(
       corpus: DataFrame,

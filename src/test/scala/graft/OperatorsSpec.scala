@@ -109,6 +109,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b1.values.toSet.size > 1) // planes actually split the space
   }
 
+  test("IVF: centroids assign to themselves; top-k stays within the cell") {
+    val vecs = (0 until 40)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity
+      .ivfCentroids(vecs, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L))
+    val assigned = graft.operators.Similarity
+      .ivfAssign(vecs, "vec_id", "embedding", cents)
+    val cells = assigned.select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    // a centroid's best centroid is itself (cosine 1.0)
+    Seq(0L, 1L, 2L, 3L).foreach(c => assert(cells(c) == c))
+    val topk = graft.operators.Similarity
+      .ivfTopK(vecs, vecs.filter($"vec_id" >= 35), "vec_id", "embedding",
+        k = 3, centroidIds = Seq(0L, 1L, 2L, 3L))
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+    assert(topk.nonEmpty)
+    topk.foreach { case (q, n) => assert(cells(q) == cells(n)) }
+  }
+
   test("salted join equals plain join on skewed data") {
     val big = (Seq.fill(500)(7L) ++ (1L to 50L)).zipWithIndex
       .map { case (k, i) => (k, i.toLong) }
