@@ -100,7 +100,10 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    // cache: the band self-join consumes the signatures on both sides
+    // (probe + broadcast build), which would otherwise recompute the
+    // whole shingle+hash pipeline twice. One compact row per doc.
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes).cache()
     val banded = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -176,9 +179,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for candidate pairs inside a blocking
     * key (cheap equality blocking keeps the pair space linear-ish).
-    * Grams are hashed to longs before the pair join: the per-pair
-    * intersect/union then compares 8-byte values instead of strings, and
-    * the shuffled gram sets shrink ~5x. */
+    *
+    * Shape notes: grams are hashed to a compact long array per doc before
+    * the pair join (8-byte comparisons, ~5x smaller shuffle than strings);
+    * jaccard uses one intersect per pair with |union| = |a|+|b|-|inter|.
+    * A fully-exploded alternative (join on (block, gram) rows, count per
+    * pair) was measured SLOWER and skews worse: a hot gram shared by all
+    * docs in a block makes that join quadratic per gram, while here the
+    * pair space is bounded by the blocking alone. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -194,9 +202,6 @@ object Dedup {
         transform(shingles(tokens(col(textCol)), shingleN), g => hash64(g)).as("grams"))
     val a = docs.as("a")
     val b = docs.as("b")
-    // grams are already distinct sets, so |union| = |a| + |b| - |inter|:
-    // one array_intersect per pair (projected once) instead of
-    // distinct x2 + intersect + union
     a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
