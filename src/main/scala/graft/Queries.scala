@@ -1021,6 +1021,66 @@ object Queries {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_name ORDER BY s_name""".stripMargin)),
 
+    // lateral-view / explode path: canonical word count over the corpus
+    "q49_wordcount" -> Q(
+      (s, d) => {
+        t(s, d, "documents")
+          .select(explode(F.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(30)
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin)),
+
+    // non-equi range join: event values bucketed against a derived
+    // boundary table (broadcast nested loop on the Spark side)
+    "q50_range_join" -> Q(
+      (s, d) => {
+        val buckets = s.range(0, 10)
+          .select(
+            col("id").as("bucket_id"),
+            (col("id") * 20).cast("double").as("lo"),
+            ((col("id") + 1) * 20).cast("double").as("hi"))
+        t(s, d, "events")
+          .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("bucket_id"))
+      },
+      Some("""SELECT b.bucket_id, count(*) AS n_events, round(sum(e.value),2) AS total
+             |FROM events e
+             |JOIN (SELECT range AS bucket_id, range*20 AS lo, (range+1)*20 AS hi
+             |      FROM range(0,10)) b
+             |  ON e.value >= b.lo AND e.value < b.hi
+             |GROUP BY b.bucket_id ORDER BY b.bucket_id""".stripMargin)),
+
+    // null semantics battery: coalesce / nullif / CASE over NULL,
+    // null-safe equality, count vs count(col) with NULLs
+    "q51_null_semantics" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("maybe", when(col("event_type") === "error", col("value")))
+        ev.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("maybe")).as("n_nonnull"),
+            round(coalesce(sum(col("maybe")), lit(0.0)), 2).as("sum_maybe"),
+            count(when(col("maybe").isNull, 1)).as("n_null"),
+            count(nullif(col("event_type"), lit("view"))).as("n_not_view"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_rows,
+             |  count(CASE WHEN event_type = 'error' THEN value END) AS n_nonnull,
+             |  round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 2)
+             |    AS sum_maybe,
+             |  count(CASE WHEN (CASE WHEN event_type = 'error' THEN value END) IS NULL
+             |    THEN 1 END) AS n_null,
+             |  count(nullif(event_type, 'view')) AS n_not_view
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")
