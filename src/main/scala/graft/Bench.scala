@@ -29,10 +29,19 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    // a failed query reports -1 (not its elapsed time): a crash must be
+    // distinguishable from a fast success in the recorded numbers
     val results = Queries.all.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = try {
+        q.fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+      }
+      name -> t
     }
 
     // BASELINE.md comparability: the reference's headline number is a
@@ -53,7 +62,7 @@ object Bench {
     val all = results ++ ctas
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

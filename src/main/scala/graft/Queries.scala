@@ -291,9 +291,11 @@ object Queries {
 
     "q14_above_brand_avg" -> Q(
       (s, d) => {
+        // threshold rounded to 2dp on both sides: row MEMBERSHIP must not
+        // depend on summation-order ulps in the avg
         val part = t(s, d, "part")
         val brandAvg = part.groupBy(col("p_brand").as("b_brand"))
-          .agg(avg(col("p_retailprice")).as("brand_avg"))
+          .agg(round(avg(col("p_retailprice")), 2).as("brand_avg"))
         part
           .join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
           .filter(col("p_retailprice") > col("brand_avg"))
@@ -301,7 +303,7 @@ object Queries {
           .orderBy(col("p_partkey"))
       },
       Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p
-             |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+             |WHERE p_retailprice > (SELECT round(avg(p2.p_retailprice), 2) FROM part p2
              |  WHERE p2.p_brand = p.p_brand)
              |ORDER BY p_partkey""".stripMargin)))
 
@@ -823,12 +825,12 @@ object Queries {
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("orders")
         s.sql("""SELECT o.o_orderkey, o.o_totalprice FROM orders o
-                |WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                |WHERE o.o_totalprice > (SELECT round(1.5 * avg(o2.o_totalprice), 2)
                 |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
                 |ORDER BY o.o_orderkey""".stripMargin)
       },
       Some("""SELECT o.o_orderkey, o.o_totalprice FROM orders o
-             |WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+             |WHERE o.o_totalprice > (SELECT round(1.5 * avg(o2.o_totalprice), 2)
              |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
              |ORDER BY o.o_orderkey""".stripMargin)),
 

@@ -36,7 +36,10 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dimensionality is a data bug — surface it as NULL
+    // rather than a plausible-looking truncated similarity
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -63,17 +66,21 @@ case class CosineSim(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.$lGet($i);
-         |  double $yv = (double) $b.$rGet($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
-         |}
-         |if ($nx == 0.0 || $ny == 0.0) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $a.$lGet($i);
+         |    double $yv = (double) $b.$rGet($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

@@ -34,7 +34,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dimensionality -> NULL, not a truncated product
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var dot = 0.0
@@ -55,10 +57,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
          |}
        """.stripMargin
     })

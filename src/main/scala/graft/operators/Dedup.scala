@@ -18,6 +18,9 @@ import graft.functions.Functions._
   */
 object Dedup {
 
+  // bounded cache slot for minhashLsh (see its comment)
+  private var lastCachedSigs: Option[DataFrame] = None
+
   /** Exact dedup: keep one row per distinct value of `cols`. */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
@@ -102,8 +105,14 @@ object Dedup {
     val rows = numHashes / bands
     // cache: the band self-join consumes the signatures on both sides
     // (probe + broadcast build), which would otherwise recompute the
-    // whole shingle+hash pipeline twice. One compact row per doc.
+    // whole shingle+hash pipeline twice. One compact row per doc. The
+    // previous invocation's cache is released so repeated calls (bench
+    // loops, long sessions) hold at most one signature frame.
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes).cache()
+    Dedup.synchronized {
+      lastCachedSigs.foreach(_.unpersist(blocking = false))
+      lastCachedSigs = Some(sigs)
+    }
     val banded = sigs.select(
       col("doc_id"),
       col("sig"),

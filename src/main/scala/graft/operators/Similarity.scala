@@ -83,19 +83,31 @@ object Similarity {
       .filter(col(idCol).isInCollection(centroidIds))
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
 
+  /** Assign each vector to its best centroid — zero shuffle: the centroid
+    * set is by construction small (that's what makes it a COARSE
+    * quantizer), so it is collected once and folded into a `greatest`
+    * over (rounded cosine, -cent_id) structs that runs inside the scan
+    * stage. Cosine is rounded to 6dp before the argmax so an engine-side
+    * ulp can't flip a near-tie; ties go to the lowest centroid id. */
   def ivfAssign(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame): DataFrame = {
-    // round before ranking so an engine-side ulp can't flip a near-tie
-    val w = Window
-      .partitionBy(col(idCol))
-      .orderBy(round(cosineSim(col(vecCol), col("cent_vec")), 6).desc, col("cent_id"))
-    df.join(broadcast(centroids))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+    val cents: Array[(Long, Array[Float])] = centroids
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign requires at least one centroid")
+    val scored = cents.map { case (cid, vec) =>
+      struct(
+        round(cosineSim(col(vecCol), lit(vec)), 6).as("c"),
+        lit(-cid).as("negId"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    df.select(
+      col(idCol), col(vecCol),
+      (best.getField("negId") * -1).as("cell"))
   }
 
   /** IVF top-k with nprobe=1: queries only score against corpus vectors

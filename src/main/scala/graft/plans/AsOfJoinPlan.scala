@@ -80,26 +80,39 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan) extends BinaryExecNod
       var heldKey = 0L
       var hasHeld = false
       var heldRow: InternalRow = null
+      // NULL keys/timestamps never match (SQL join semantics): right rows
+      // with NULLs are discarded up front; left rows with NULLs emit a
+      // null payload. UnsafeRow stores 0 behind a null bit, so skipping
+      // the check would fabricate matches against key/epoch 0. NULLs sort
+      // first under the required ASC ordering, so draining them preserves
+      // the merge invariant.
+      def rightInvalid(r: InternalRow): Boolean = r.isNullAt(0) || r.isNullAt(1)
       lIter.map { l =>
-        val lk = l.getLong(0)
-        val lt = l.getLong(1)
-        // consume right rows with (rk, rt) <= (lk, lt) lexicographically;
-        // remember the last one whose key matches the current left key
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = r.getLong(0)
-          if (rk < lk || (rk == lk && r.getLong(1) <= lt)) {
-            val consumed = rBuf.next()
-            if (rk == lk) {
-              heldKey = rk
-              heldRow = consumed.copy() // UnsafeRow buffers are reused
-              hasHeld = true
+        if (l.isNullAt(0) || l.isNullAt(1)) proj(joined(l, nullRight))
+        else {
+          val lk = l.getLong(0)
+          val lt = l.getLong(1)
+          // consume right rows with (rk, rt) <= (lk, lt) lexicographically;
+          // remember the last one whose key matches the current left key
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            if (rightInvalid(r)) { rBuf.next() }
+            else {
+              val rk = r.getLong(0)
+              if (rk < lk || (rk == lk && r.getLong(1) <= lt)) {
+                val consumed = rBuf.next()
+                if (rk == lk) {
+                  heldKey = rk
+                  heldRow = consumed.copy() // UnsafeRow buffers are reused
+                  hasHeld = true
+                }
+              } else advance = false
             }
-          } else advance = false
+          }
+          if (hasHeld && heldKey == lk) proj(joined(l, heldRow))
+          else proj(joined(l, nullRight))
         }
-        if (hasHeld && heldKey == lk) proj(joined(l, heldRow))
-        else proj(joined(l, nullRight))
       }
     }
   }

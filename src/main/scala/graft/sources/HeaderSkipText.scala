@@ -74,16 +74,28 @@ object HeaderSkipText {
         .toMap
     val bHeaderLens = sc.broadcast(headerLens)
 
+    // Job + setInputPaths escapes special characters (a comma-joined
+    // string path list would break on paths containing commas)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
+    org.apache.hadoop.mapreduce.lib.input.FileInputFormat
+      .setInputPaths(job, files.map(new Path(_)): _*)
     val rdd = sc
-      .newAPIHadoopFile(
-        files.mkString(","),
+      .newAPIHadoopRDD(
+        job.getConfiguration,
         classOf[TextInputFormat],
         classOf[LongWritable],
         classOf[Text])
       .asInstanceOf[NewHadoopRDD[LongWritable, Text]]
       .mapPartitionsWithInputSplit { (split, iter) =>
         val path = split.asInstanceOf[FileSplit].getPath.toString
-        val skip = bHeaderLens.value.getOrElse(path, 0L)
+        // a lookup miss means the pre-pass and the scan disagree about
+        // path rendering — fail loudly rather than silently ingesting
+        // header lines as data
+        val skip = bHeaderLens.value.getOrElse(
+          path,
+          throw new IllegalStateException(
+            s"no header length recorded for split path $path " +
+              s"(known: ${bHeaderLens.value.keys.take(3).mkString(", ")} ...)"))
         iter.collect {
           case (off, line) if off.get() >= skip => Row(line.toString, path)
         }

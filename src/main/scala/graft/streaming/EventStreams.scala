@@ -78,12 +78,19 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
-  /** Custom sessionization with explicit state: emits a summary when a
-    * user's session times out (processing-time timeout for simplicity;
-    * event-time logic lives in the gap check). */
+  /** Custom sessionization with explicit state. A session closes (and
+    * its summary is emitted) when a later event arrives past the gap.
+    *
+    * `flushOpen` decides what happens to the still-open session per user:
+    * `true` (batch analytics) emits it at end-of-input instead of storing
+    * state; `false` (streaming) keeps it in the state store so a future
+    * micro-batch can extend it — the price is that a user who goes
+    * silent forever never emits their last session (adding an event-time
+    * timeout is the production upgrade for that). */
   def sessionize(
       events: Dataset[Event],
-      gapMillis: Long = 30L * 60 * 1000): Dataset[SessionSummary] = {
+      gapMillis: Long = 30L * 60 * 1000,
+      flushOpen: Boolean = true): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -91,6 +98,9 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event],
          state: GroupState[(Long, Int, Long, Long, Double)]) =>
+          def summary(s: (Long, Int, Long, Long, Double)): SessionSummary =
+            SessionSummary(s._1, s._2, new Timestamp(s._3), new Timestamp(s._4),
+              math.round(s._5 * 100).toDouble / 100)
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
           var cur = state.getOption
@@ -98,15 +108,19 @@ object EventStreams {
             cur match {
               case Some((uid, n, first, last, tot)) if e.ts.getTime - last <= gapMillis =>
                 cur = Some((uid, n + 1, first, e.ts.getTime, tot + e.value))
-              case Some((uid, n, first, last, tot)) =>
-                out += SessionSummary(uid, n, new Timestamp(first), new Timestamp(last),
-                  math.round(tot * 100).toDouble / 100)
+              case Some(closed) =>
+                out += summary(closed)
                 cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
               case None =>
                 cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
             }
           }
-          cur.foreach(state.update)
+          if (flushOpen) {
+            cur.foreach(out += summary(_))
+            state.remove()
+          } else {
+            cur.foreach(state.update)
+          }
           out.iterator
       }
   }

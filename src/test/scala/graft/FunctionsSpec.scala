@@ -36,6 +36,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("cosine_sim / dot_product: mismatched dimensionality yields NULL") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      F.cosineSim(col("a"), col("b")).as("c"),
+      F.dotProduct(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("cosine_sim works on float arrays (embeddings schema)") {
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
     val c = df.select(F.cosineSim(col("a"), col("b"))).as[Double].head()

@@ -60,6 +60,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), s"custom exec missing from plan:\n$plan")
   }
 
+  test("custom AsOfJoinExec: NULL keys and timestamps never match") {
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), "ok"),
+      (None, Some(ts("2024-01-01 10:00:00")), "nullkey"),
+      (Some(1L), None, "nullts"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), 1.0),
+      (None, Some(ts("2024-01-01 08:00:00")), 7.0), // must never match
+      (Some(2L), None, 9.0)) // must never match
+      .toDF("k", "rt", "v")
+    val got = graft.plans.AsOfJoinApi
+      .asofJoinExec(left, right, "k", "t", "rt", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("ok").contains(1.0))
+    assert(got("nullkey").isEmpty)
+    assert(got("nullts").isEmpty)
+  }
+
   test("minhash LSH finds planted near-duplicates without full cross join") {
     val docs = (
       Seq(

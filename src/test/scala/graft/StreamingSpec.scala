@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -75,6 +77,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("watermark drops late data across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late")
+    val staging = java.nio.file.Files.createTempDirectory("graft_late_staging")
+    // write each batch to a staging dir, then move the committed part
+    // file into the watched dir atomically — writing in place would let
+    // the live stream list in-flight _temporary files
+    def writeBatch(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
+      val out = staging.resolve(name)
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select(
+          $"event_id",
+          unix_micros(to_timestamp($"tss")) * 1000 as "ts", // ns on disk
+          $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1).write.parquet(out.toString)
+      val part = java.nio.file.Files.list(out).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part, dir.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // batch 1 advances the watermark to 12:00 - 10min = 11:50
+    writeBatch("b1", Seq(
+      (1L, "2024-06-01 11:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-06-01 12:00:00", 1L, "click", 1.0, "{}")))
+    spark.catalog.dropTempView("stream_test_late")
+    val q = EventStreams
+      .windowedCounts(EventStreams.readStream(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_test_late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one on-time event and one far-late event (11:00, before
+      // the 11:50 watermark) that must be dropped
+      writeBatch("b2", Seq(
+        (3L, "2024-06-01 12:01:00", 1L, "view", 1.0, "{}"),
+        (4L, "2024-06-01 11:00:00", 1L, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("stream_test_late")
+    // the late 11:00 purchase must not appear in any emitted window
+    assert(out.filter($"event_type" === "purchase").count() == 0)
+    // the 11:00 click window WAS emitted (closed by the watermark)
+    assert(out.filter($"event_type" === "click" && $"n_events" === 1).count() >= 1)
+  }
+
   test("sessionize: explicit state splits on gap, aggregates in order") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
@@ -83,10 +131,18 @@ class StreamingSpec extends AnyFunSuite {
       ev(2, "2024-01-01 10:10:00", 7, 2.0), // same session (10 min gap)
       ev(3, "2024-01-01 12:00:00", 7, 4.0), // new session (>30 min)
       ev(4, "2024-01-01 10:05:00", 8, 8.0)).toDS()
+    // batch mode (flushOpen default): every session emitted, incl. open ones
     val out = EventStreams.sessionize(events, gapMillis = 30L * 60 * 1000)
-      .collect()
-    // only user 7's FIRST session is emitted (second still open in state)
-    assert(out.length == 1)
+      .collect().sortBy(s => (s.user_id, s.first_ts.getTime))
+    assert(out.length == 3)
     assert(out(0).user_id == 7 && out(0).n_events == 2 && out(0).total_value == 3.0)
+    assert(out(1).user_id == 7 && out(1).n_events == 1 && out(1).total_value == 4.0)
+    assert(out(2).user_id == 8 && out(2).n_events == 1)
+    // streaming mode: open sessions stay in state, only closed ones emit
+    val streamed = EventStreams
+      .sessionize(events, gapMillis = 30L * 60 * 1000, flushOpen = false)
+      .collect()
+    assert(streamed.length == 1)
+    assert(streamed(0).user_id == 7 && streamed(0).n_events == 2)
   }
 }
