@@ -30,11 +30,14 @@ object Bench {
     }
 
     // a failed query reports -1 (not its elapsed time): a crash must be
-    // distinguishable from a fast success in the recorded numbers
+    // distinguishable from a fast success in the recorded numbers.
+    // Materialize through the noop sink, NOT count(): count() lets
+    // Catalyst prune computed output columns, silently under-timing any
+    // query whose expensive work is in the final projection.
     val results = Queries.all.map { case (name, q) =>
       val t0 = System.nanoTime()
       val t = try {
-        q.fn(spark, sfDir).count()
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

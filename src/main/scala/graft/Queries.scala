@@ -976,6 +976,27 @@ object Queries {
              |WHERE e.event_type = 'click'
              |ORDER BY e.event_id""".stripMargin)),
 
+    // large-large join: the merge hint forces sort-merge (dimension
+    // joins elsewhere all broadcast; at 100 TB a fact-fact join is SMJ
+    // territory and must co-partition both sides on the key)
+    "q52_sortmerge_join" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem").hint("merge")
+        val ord = t(s, d, "orders")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("total_price"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  round(sum(l_extendedprice),2) AS total_price,
+             |  count(DISTINCT o_orderkey) AS n_orders
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // streaming exact dedup under the oracle gate: the input is the
     // events file symlinked twice (2n duplicated rows); the deduped
     // stream must equal the original table exactly

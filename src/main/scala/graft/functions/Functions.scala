@@ -35,9 +35,9 @@ object Functions {
 
   /** Deterministic 60-bit non-negative hash of a string: first 15 hex chars
     * of md5, as a BIGINT. Portable across engines (md5 is standard), which
-    * makes MinHash/SimHash signatures oracle-checkable. */
-  def hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+    * makes MinHash/SimHash signatures oracle-checkable. Evaluated by the
+    * allocation-free [[Md5Hash64]] expression. */
+  def hash64(c: Column): Column = column(Md5Hash64(expression(c)))
 
   /** Seeded variant: hash64(seed || ':' || c). */
   def hash64(c: Column, seed: Int): Column =
@@ -61,7 +61,9 @@ object Functions {
   def tokens(c: Column): Column = split(trim(c), " ")
 
   /** Distinct word shingles of size n (space-joined), from a token array.
-    * Empty array when the doc has fewer than n tokens. */
+    * Empty array when the doc has fewer than n tokens. (Composed built-in
+    * form; prefer [[wordShingles]] on hot paths — HOF lambdas run
+    * interpreted.) */
   def shingles(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array().cast("array<string>"))
@@ -69,6 +71,11 @@ object Functions {
           transform(
             sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** Single-pass equivalent of `shingles(tokens(text), n)` (see
+    * [[WordShingles]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n))
 
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column = {

@@ -63,6 +63,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1).isEmpty)
   }
 
+  test("wordShingles matches the composed shingles(tokens(...)) form") {
+    val df = Seq(
+      "a b c d e", "  leading and trailing  ", "double  space here",
+      "a b", "", "a a a a a").toDF("t")
+    val composed = df.select(F.shingles(F.tokens(col("t")), 3)).as[Seq[String]].collect()
+    val fused = df.select(F.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    composed.zip(fused).foreach { case (c, f) =>
+      assert(f.toSet == c.toSet, s"mismatch: composed=$c fused=$f")
+    }
+  }
+
   test("jaccard set semantics") {
     val df = Seq((Seq("a", "b", "b"), Seq("b", "c"))).toDF("x", "y")
     val j = df.select(F.jaccard(col("x"), col("y"))).as[Double].head()
