@@ -559,6 +559,82 @@ object Queries {
              |  AND a.vec_id < b.vec_id
              |ORDER BY cos DESC, vec_a, vec_b LIMIT 50""".stripMargin)))
 
+  private val dedupResolve: Seq[(String, Q)] = Seq(
+    // the dedup endgame: LSH candidates -> connected components ->
+    // canonical survivor per group. Oracle: recursive-CTE transitive
+    // closure over the same pair set.
+    "q53_dedup_resolve" -> Q(
+      (s, d) => {
+        val pairs = Dedup
+          .minhashLsh(t(s, d, "documents"), "doc_id", "text",
+            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+          .filter(col("est_jaccard") >= 0.5)
+        Dedup.resolveDuplicateGroups(pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$duckMinhashCtes,
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |      round(len([i for i in range(1, ${minhashSeeds + 1})
+              |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+              |  WHERE ej >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM cand
+              |  UNION SELECT doc_b, doc_a FROM cand),
+              |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+              |reach(doc_id, r) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT reach.doc_id, edges.v FROM reach
+              |    JOIN edges ON reach.r = edges.u)
+              |SELECT doc_id, min(r) AS canonical_id
+              |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE "))),
+
+    // SQL sessionization: gap-based session ids via lag + running sum —
+    // the batch twin of the streaming sessionize operator
+    "q54_sessionization" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gapUs = 30L * 60 * 1000 * 1000
+        t(s, d, "events")
+          .withColumn(
+            "is_new",
+            when(
+              lag(col("ts"), 1).over(w).isNull ||
+                unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("is_new")).over(frame))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            unix_millis(min(col("ts"))).as("start_ms"),
+            unix_millis(max(col("ts"))).as("end_ms"),
+            round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, ts, value,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+             |  round(sum(value),2) AS total_value
+             |FROM sessions GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)))
+
   // ---------------------------------------------------------------------
   // Similarity search (north star)
   // ---------------------------------------------------------------------
@@ -1124,7 +1200,7 @@ object Queries {
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
-    relational ++ textAndEvents ++ dedup ++ similarity ++ ivf ++
-      textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
+    relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
+      ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
       extendedSurface
 }

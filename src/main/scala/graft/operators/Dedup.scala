@@ -195,6 +195,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Resolve near-duplicate pairs into groups: connected components over
+    * the pair graph, labeling every member with the smallest doc id in
+    * its component (the canonical survivor).
+    *
+    * Iterative min-label propagation — the standard shuffle-based
+    * connected-components pattern: each round joins labels across edges
+    * and keeps the minimum, converging in O(diameter) rounds (near-dup
+    * components are small, so a handful). Each round is one shuffle;
+    * `localCheckpoint` truncates the growing lineage. */
+  def resolveDuplicateGroups(
+      pairs: DataFrame,
+      maxIterations: Int = 15): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") < col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs inside a blocking
     * key (cheap equality blocking keeps the pair space linear-ish).
     *

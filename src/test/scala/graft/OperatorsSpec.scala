@@ -94,6 +94,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
   }
 
+  test("resolveDuplicateGroups: connected components with min-id canonical") {
+    // chain 1-2-3 plus isolated pair 10-11; transitivity must group the chain
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.resolveDuplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: near-identical docs land at small hamming distance") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten"),
