@@ -76,7 +76,19 @@ object Engine {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
+    installHeaderSkipRule(spark)
     spark
+  }
+
+  /** Install the skip.header.line.count rewrite rule (idempotent) — Hive
+    * text tables declaring the property get real positional header skip
+    * (see [[graft.plans.ResolveHeaderSkipTextTables]]). */
+  def installHeaderSkipRule(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.ResolveHeaderSkipTextTables])) {
+      exp.extraOptimizations =
+        exp.extraOptimizations :+ graft.plans.ResolveHeaderSkipTextTables(spark)
+    }
   }
 
   /** Read one of the harness parquet tables (TESTDATA.md).

@@ -84,10 +84,10 @@ object M33Pipeline {
     s"ALTER TABLE m33_raw ADD PARTITION (peculiarity = 'nocp') LOCATION '$dataRoot/nocp'",
     // Hive auto-names unaliased view expressions (_c0.._c2, see the
     // reference golden log line 785); Spark requires explicit aliases.
-    // Spark's Hive text scan ignores skip.header.line.count, so the view
-    // carries the parse-based header filter (SURVEY §7 fallback: header
-    // lines are non-numeric by the fixture contract). The API-mode
-    // pipeline (HeaderSkipText) implements exact positional skip.
+    // Header rows never reach this view: the ResolveHeaderSkipTextTables
+    // rule gives the raw table real skip.header.line.count semantics
+    // (positional, per file), so the view is the reference transform
+    // verbatim — no parse-based filtering.
     """CREATE VIEW m33_schem (age_mil, wavelength, flam, is_peculiar) AS
       |  SELECT
       |    cast(cleaned_data.age AS BIGINT) AS _c0,
@@ -100,7 +100,6 @@ object M33Pipeline {
       |      split(trim(row_str), '  ') AS data,
       |      field(peculiarity, 'nocp', 'cp') - 1 AS is_peculiar
       |    FROM m33_raw
-      |    WHERE cast(split(trim(row_str), '  ')[0] AS DOUBLE) IS NOT NULL
       |  ) cleaned_data""".stripMargin,
     """CREATE TABLE m33
       |  ROW FORMAT DELIMITED FIELDS TERMINATED BY ','

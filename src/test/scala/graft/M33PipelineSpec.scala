@@ -73,6 +73,20 @@ class M33PipelineSpec extends AnyFunSuite {
     assert(parts == Set("peculiarity=cp", "peculiarity=nocp"))
   }
 
+  test("header-skip rule: DDL table scan skips headers positionally, prunes partitions") {
+    M33Pipeline.runSql(spark, root)
+    // no parse-based filtering in the view anymore: counts prove the
+    // rule-level positional skip (4 files x 500 data rows)
+    assert(spark.sql("SELECT count(*) FROM m33_raw").head().getLong(0) == 2000L)
+    val pruned = spark.sql("SELECT * FROM m33_raw WHERE peculiarity = 'cp'")
+    assert(pruned.count() == 1000L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_text_skip"), s"rule did not rewrite the scan:\n$plan")
+    assert(!plan.contains("HiveTableScan"))
+    // partition pruning: only the cp branch's files are scanned
+    assert(!plan.contains("nocp"), s"nocp partition not pruned:\n$plan")
+  }
+
   test("csv rendering matches Hive double format (3000.1 not 3000.100000)") {
     val whDir = new File(base, "wh_fmt").getAbsolutePath
     val path = M33Pipeline.ctasCsv(
