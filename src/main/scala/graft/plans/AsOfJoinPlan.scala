@@ -164,8 +164,11 @@ object AsOfJoinApi {
 }
 
 /** `SparkSessionExtensions` entry point (builder `.withExtensions` or the
-  * `spark.sql.extensions` conf). */
+  * `spark.sql.extensions` conf): the as-of join strategy plus the
+  * Hive header-skip rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(session => ResolveHeaderSkipTextTables(session))
+  }
 }
