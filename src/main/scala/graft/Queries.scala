@@ -1180,6 +1180,53 @@ object Queries {
              |  count(nullif(event_type, 'view')) AS n_not_view
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    "q55_stat_aggregates" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+            round(var_samp(col("l_discount")), 6).as("var_disc"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+            round(avg(col("l_tax")), 6).as("avg_tax"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+             |  round(var_samp(l_discount), 6) AS var_disc,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+             |    AS median_price,
+             |  round(avg(l_tax), 6) AS avg_tax
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "q56_array_funcs" -> Q(
+      (s, d) => {
+        val toks = F.tokens(col("text"))
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            array_contains(toks, "join").as("has_join"),
+            size(slice(toks, 1, 5)).cast("bigint").as("first5"),
+            element_at(array_sort(array_distinct(toks)), 1).as("min_tok"),
+            element_at(array_sort(array_distinct(toks)), -1).as("max_tok"),
+            concat_ws("|", slice(reverse(toks), 1, 3)).as("last3_rev"),
+            size(flatten(array(toks, toks))).cast("bigint").as("doubled"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+             |SELECT doc_id,
+             |  list_contains(t, 'join') AS has_join,
+             |  len(t[1:5]) AS first5,
+             |  list_sort(list_distinct(t))[1] AS min_tok,
+             |  list_sort(list_distinct(t))[-1] AS max_tok,
+             |  array_to_string(list_reverse(t)[1:3], '|') AS last3_rev,
+             |  len(t || t) AS doubled
+             |FROM t0 ORDER BY doc_id""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")
