@@ -45,6 +45,10 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element is a data bug — surface NULL, not a similarity
+      // computed as if the slot were 0.0 (ArrayData getters read 0 behind
+      // the null bit)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -71,15 +75,21 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xv = (double) $a.$lGet($i);
-         |    double $yv = (double) $b.$rGet($i);
-         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;  // NULL element -> NULL, never silent 0.0
+         |    } else {
+         |      double $xv = (double) $a.$lGet($i);
+         |      double $yv = (double) $b.$rGet($i);
+         |      $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |    }
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    }
          |  }
          |}
        """.stripMargin

@@ -42,6 +42,8 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      // NULL element -> NULL result (getters would silently read 0.0)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
@@ -62,8 +64,12 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  ${ev.value} = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    ${ev.value} += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;  // NULL element -> NULL, never silent 0.0
+         |    } else {
+         |      ${ev.value} += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |    }
          |  }
          |}
        """.stripMargin

@@ -27,33 +27,72 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
+      payloadPrefix: String): DataFrame =
+    apply(left, right, Seq(key), leftTs, rightTs, payload, payloadPrefix)
+
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame =
+    apply(left, right, Seq(key), leftTs, rightTs, payload, "asof_")
+
+  /** Multi-key variant: the as-of match requires equality on every key
+    * column (any equatable types), latest right ts <= left ts. */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
       payloadPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
     val leftCols = left.columns.toSeq
     val payStruct = struct(payload.map(col): _*)
     val payType = right.select(payStruct.as("p")).schema("p").dataType
+    val keyAliases = keys.zipWithIndex.map { case (k, i) => s"_k$i" }
 
     val l = left.select(
-      col(key).as("_k"),
-      col(leftTs).as("_t"),
-      lit(1).as("_side"),
-      struct(leftCols.map(col): _*).as("_lrow"),
-      lit(null).cast(payType).as("_rpay"))
-    val r = right.select(
-      col(key).as("_k"),
-      col(rightTs).as("_t"),
-      lit(0).as("_side"),
-      lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
-      payStruct.as("_rpay"))
+      keys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(leftTs).as("_t"),
+        lit(1).as("_side"),
+        struct(leftCols.map(col): _*).as("_lrow"),
+        lit(null).cast(payType).as("_rpay")): _*)
+    // NULL keys/timestamps never match (SQL join semantics, same contract
+    // as AsOfJoinExec and DuckDB ASOF): right rows with a NULL key/ts are
+    // dropped up front — otherwise Window.partitionBy groups NULL keys
+    // together and a NULL ts sorts first, seeding last(_rpay) with a row
+    // that should never be attachable.
+    val r = right
+      .filter(
+        keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .select(
+        keys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+          col(rightTs).as("_t"),
+          lit(0).as("_side"),
+          lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
+          payStruct.as("_rpay")): _*)
 
     // Right rows sort before left rows at equal timestamps (<= semantics).
     val w = Window
-      .partitionBy("_k")
+      .partitionBy(keyAliases.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Left rows with NULL key/ts bypass payload pickup explicitly (they
+    // also happen to sort before any valid right row, but the contract
+    // should not hinge on NULLS FIRST ordering).
+    val leftInvalid =
+      keyAliases.map(col(_).isNull).reduce(_ || _) || col("_t").isNull
     val joined = l
       .unionByName(r)
-      .withColumn("_pay", last(col("_rpay"), ignoreNulls = true).over(w))
+      .withColumn(
+        "_pay",
+        when(leftInvalid, lit(null).cast(payType))
+          .otherwise(last(col("_rpay"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 1)
 
     val outCols: Seq[Column] =

@@ -26,9 +26,6 @@ import graft.functions.Functions._
   */
 object Dedup {
 
-  // bounded cache slot for minhashLsh (see its comment)
-  private var lastCachedSigs: Option[DataFrame] = None
-
   /** Exact dedup: keep one row per distinct value of `cols`. */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
@@ -111,16 +108,13 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // cache: the band self-join consumes the signatures on both sides
-    // (probe + broadcast build), which would otherwise recompute the
-    // whole shingle+hash pipeline twice. One compact row per doc. The
-    // previous invocation's cache is released so repeated calls (bench
-    // loops, long sessions) hold at most one signature frame.
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes).cache()
-    Dedup.synchronized {
-      lastCachedSigs.foreach(_.unpersist(blocking = false))
-      lastCachedSigs = Some(sigs)
-    }
+    // materialize signatures once (localCheckpoint): the band self-join
+    // consumes them on both sides (probe + broadcast build), which would
+    // otherwise recompute the whole shingle+hash pipeline twice. One
+    // compact row per doc; the checkpoint is scoped to this call's plan
+    // (reclaimed with it by the ContextCleaner), so concurrent minhashLsh
+    // calls cannot evict each other — unlike a shared cache slot.
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes).localCheckpoint()
     val banded = sigs.select(
       col("doc_id"),
       col("sig"),
@@ -174,25 +168,80 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs within a hamming radius, blocked on the
-    * top `blockBits` bits so candidate generation is a bucket join. */
+  /** Split `bits` signature bits into `numChunks` contiguous chunks,
+    * widest first: Seq of (shift, width). */
+  private[operators] def chunkBounds(bits: Int, numChunks: Int): Seq[(Int, Int)] = {
+    val base = bits / numChunks
+    val extra = bits % numChunks
+    val widths = Seq.tabulate(numChunks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (shift, w) => (shift, w) }
+  }
+
+  /** The multi-table blocking keys for a hamming-radius-`r` search
+    * (Manku/Jain/Sarma, WWW'07): the signature is split into `numChunks`
+    * chunks; a pair differing in <= r bits touches <= r chunks, so some
+    * (numChunks - r)-subset of chunks is identical on both sides — one
+    * blocking table per subset, keyed on that subset's chunk values,
+    * guarantees every such pair shares a bucket in at least one table.
+    * Returns (tableId, packedKey) structs for exploding. */
+  private def simhashTableKeys(
+      sig: org.apache.spark.sql.Column,
+      bits: Int,
+      numChunks: Int,
+      maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
+    require(numChunks > maxHamming,
+      s"numChunks ($numChunks) must exceed maxHamming ($maxHamming)")
+    val bounds = chunkBounds(bits, numChunks)
+    def chunk(i: Int): org.apache.spark.sql.Column = {
+      val (shift, w) = bounds(i)
+      shiftright(sig, shift).bitwiseAND((1L << w) - 1)
+    }
+    val subsets = bounds.indices.combinations(numChunks - maxHamming).toSeq
+    subsets.zipWithIndex.map { case (ss, ti) =>
+      // pack the subset's chunk values into one long, each shifted by its
+      // own width (chunk widths vary when numChunks doesn't divide bits)
+      val packed = ss.tail.foldLeft(chunk(ss.head)) { (acc, i) =>
+        acc * (1L << bounds(i)._2) + chunk(i)
+      }
+      struct(lit(ti).as("tbl"), packed.as("tkey"))
+    }
+  }
+
+  /** SimHash near-duplicate pairs within a hamming radius.
+    *
+    * Candidate generation is the multi-table permuted-chunk scheme above:
+    * C(numChunks, numChunks - maxHamming) blocking tables, each a bucket
+    * join on ~(bits * (1 - r/numChunks)) key bits. Unlike a single
+    * top-bits block, recall at hamming <= maxHamming is GUARANTEED — the
+    * result is exactly the all-pairs hamming ball, computed without the
+    * quadratic self-join (the q24 oracle is the brute-force all-pairs
+    * query for precisely that reason). The explode factor (20 tables for
+    * bits=32, r=3, chunks=6) is the published recall/cost dial; at 100 TB
+    * the join stays linear-ish because each table's key space (~16 bits
+    * here, more with 64-bit sigs) keeps buckets small. */
   def simhashNearDup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       bits: Int = 32,
-      blockShift: Int = 16,
+      numChunks: Int = 6,
       maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol, bits)
-      .withColumn("block", shiftright(col("simhash"), blockShift))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+    val keyed = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array(simhashTableKeys(col("simhash"), bits, numChunks, maxHamming): _*))
+        .as("t"))
+      .select(col("doc_id"), col("simhash"), col("t.tbl").as("tbl"), col("t.tkey").as("tkey"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.tkey") === col("b.tkey") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can collide in several tables
   }
 
   /** Resolve near-duplicate pairs into groups: connected components over
@@ -222,16 +271,21 @@ object Dedup {
         .join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u"))
         .agg(min(col("label")).as("nbr_label"))
+      // convergence rides the SAME job that materializes the round
+      // (localCheckpoint is a Dataset action, so the observed metric is
+      // filled in when it runs) — no separate join + isEmpty job per
+      // iteration, which doubled the cost of every round
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
         .select(
           col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).cast("long").as("_changed"))
+        .observe(obs, sum(coalesce(col("_changed"), lit(0L))).as("n_changed"))
+        .drop("_changed")
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") < col("old"))
-        .isEmpty
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = next
       iter += 1
     }
@@ -270,6 +324,46 @@ object Dedup {
         col("b.doc_id").as("doc_b"),
         size(array_intersect(col("a.grams"), col("b.grams"))).as("li"),
         (size(col("a.grams")) + size(col("b.grams"))).as("stot"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          when(col("stot") === col("li"), when(col("li") === 0, 0.0).otherwise(1.0))
+            .otherwise(col("li").cast("double") / (col("stot") - col("li"))),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard on an externally-supplied candidate pair set —
+    * the scale-correct shape for corpus-wide near-dup scoring: candidate
+    * REDUCTION first (MinHash-LSH band collisions, already sub-quadratic),
+    * exact verification second. Unlike equality blocking on a natural key
+    * (language, first token, ...), the pair space is bounded by the LSH
+    * parameters rather than by the Zipf skew of the blocking key, so no
+    * single hot block can go quadratic at 100x the corpus.
+    *
+    * `candidates` must have (doc_a, doc_b) columns; grams are hashed to
+    * longs once per doc and the candidate set hash-joins against that
+    * gram table twice. */
+  def ngramJaccardOnCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      shingleN: Int = 2,
+      minJaccard: Double = 0.0): DataFrame = {
+    val docs = df
+      .repartition(col(idCol)) // distribute gram hashing
+      .select(
+        col(idCol).as("doc_id"),
+        transform(wordShingles(col(textCol), shingleN), g => hash64(g)).as("grams"))
+    candidates
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("li"),
+        (size(col("ga")) + size(col("gb"))).as("stot"))
       .select(
         col("doc_a"), col("doc_b"),
         round(

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -14,24 +14,28 @@ import org.apache.spark.sql.graftbridge.Bridge
   * `SparkStrategy` + `SparkPlan` (SURVEY §7 / builder preference (c)),
   * alongside the composition-based [[graft.operators.AsOfJoin]].
   *
-  * Physical algorithm: both children are hash-clustered on the key and
-  * sorted by (key, ts) — declared via requiredChildDistribution /
-  * requiredChildOrdering, so EnsureRequirements plans the exchanges and
-  * sorts (AQE-visible, reusable) — then a single streaming merge pass per
-  * partition holds the latest right row per key with rightTs <= leftTs.
-  * One shuffle per side, no per-key window buffers: at 100 TB this is
-  * the same cost class as a sort-merge join, with O(1) state per
-  * partition instead of the union+window's per-key running state.
+  * Physical algorithm: both children are hash-clustered on the key
+  * columns and sorted by (keys..., ts) — declared via
+  * requiredChildDistribution / requiredChildOrdering, so
+  * EnsureRequirements plans the exchanges and sorts (AQE-visible,
+  * reusable) — then a single streaming merge pass per partition holds the
+  * latest right row per key with rightTs <= leftTs. One shuffle per side,
+  * no per-key window buffers: at 100 TB this is the same cost class as a
+  * sort-merge join, with O(1) state per partition instead of the
+  * union+window's per-key running state.
   *
   * Child contract (arranged by [[AsOfJoinApi.asofJoinExec]]): each
-  * child's first two output columns are (key: bigint, ts: bigint-or-
-  * timestamp); the rest are payload. Output = left payload ++ nullable
-  * right payload. Right side should be unique per (key, ts).
+  * child's first `numKeys` output columns are the join keys (any
+  * orderable types, same types both sides), the next column is the event
+  * time as bigint, and the rest are payload. Output = left payload ++
+  * nullable right payload. Right side should be unique per (keys, ts).
   */
-case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan, numKeys: Int)
+    extends BinaryNode {
   override def output: Seq[Attribute] =
-    left.output.drop(2) ++ right.output.drop(2).map(_.withNullability(true))
-  // the merge consumes the (key, ts) columns even though they're not in
+    left.output.drop(numKeys + 1) ++
+      right.output.drop(numKeys + 1).map(_.withNullability(true))
+  // the merge consumes the (keys, ts) columns even though they're not in
   // the output — without this, ColumnPruning strips them from the children
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
@@ -42,43 +46,56 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan) extends BinaryNod
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r) => AsOfJoinExec(planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, nk) => AsOfJoinExec(planLater(l), planLater(r), nk) :: Nil
     case _ => Nil
   }
 }
 
-case class AsOfJoinExec(left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan, numKeys: Int)
+    extends BinaryExecNode {
+
+  private def tsIdx = numKeys
 
   override def output: Seq[Attribute] =
-    left.output.drop(2) ++ right.output.drop(2).map(_.withNullability(true))
+    left.output.drop(numKeys + 1) ++
+      right.output.drop(numKeys + 1).map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] = Seq(
-    ClusteredDistribution(Seq(left.output.head)),
-    ClusteredDistribution(Seq(right.output.head)))
+    ClusteredDistribution(left.output.take(numKeys)),
+    ClusteredDistribution(right.output.take(numKeys)))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(left.output(0), Ascending), SortOrder(left.output(1), Ascending)),
-    Seq(SortOrder(right.output(0), Ascending), SortOrder(right.output(1), Ascending)))
+    left.output.take(numKeys + 1).map(SortOrder(_, Ascending)),
+    right.output.take(numKeys + 1).map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val nk = numKeys
+    val ti = tsIdx
     val rightArity = right.output.size
     val leftSchema = left.output
     val rightSchema = right.output
     val outputAttrs = output
+    val keyTypes = left.output.take(nk).map(_.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // bind right attrs as nullable: unmatched left rows read the
       // null-filled row, and a non-nullable binding would skip the null
       // check and fabricate zeros
       val proj = UnsafeProjection.create(
         outputAttrs, leftSchema ++ rightSchema.map(_.withNullability(true)))
+      // key comparison via projected key rows + a natural ascending
+      // ordering over the key types — this is what generalizes the merge
+      // beyond single-bigint keys (strings, composites, dates, ...)
+      val lKeyProj = UnsafeProjection.create(leftSchema.take(nk), leftSchema)
+      val rKeyProj = UnsafeProjection.create(rightSchema.take(nk), rightSchema)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      var heldKey = 0L
-      var hasHeld = false
+      var heldKey: InternalRow = null
       var heldRow: InternalRow = null
       // NULL keys/timestamps never match (SQL join semantics): right rows
       // with NULLs are discarded up front; left rows with NULLs emit a
@@ -86,32 +103,37 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan) extends BinaryExecNod
       // the check would fabricate matches against key/epoch 0. NULLs sort
       // first under the required ASC ordering, so draining them preserves
       // the merge invariant.
-      def rightInvalid(r: InternalRow): Boolean = r.isNullAt(0) || r.isNullAt(1)
+      def anyNull(r: InternalRow): Boolean = {
+        var i = 0
+        while (i <= ti) { if (r.isNullAt(i)) return true; i += 1 }
+        false
+      }
       lIter.map { l =>
-        if (l.isNullAt(0) || l.isNullAt(1)) proj(joined(l, nullRight))
+        if (anyNull(l)) proj(joined(l, nullRight))
         else {
-          val lk = l.getLong(0)
-          val lt = l.getLong(1)
-          // consume right rows with (rk, rt) <= (lk, lt) lexicographically;
-          // remember the last one whose key matches the current left key
+          val lk = lKeyProj(l)
+          val lt = l.getLong(ti)
+          // consume right rows with (rkeys, rt) <= (lkeys, lt)
+          // lexicographically; remember the last one whose key matches
           var advance = true
           while (advance && rBuf.hasNext) {
             val r = rBuf.head
-            if (rightInvalid(r)) { rBuf.next() }
+            if (anyNull(r)) { rBuf.next() }
             else {
-              val rk = r.getLong(0)
-              if (rk < lk || (rk == lk && r.getLong(1) <= lt)) {
+              val cmp = keyOrd.compare(rKeyProj(r), lk)
+              if (cmp < 0 || (cmp == 0 && r.getLong(ti) <= lt)) {
                 val consumed = rBuf.next()
-                if (rk == lk) {
-                  heldKey = rk
-                  heldRow = consumed.copy() // UnsafeRow buffers are reused
-                  hasHeld = true
+                if (cmp == 0) {
+                  // UnsafeRow buffers are reused by the child iterators
+                  heldRow = consumed.copy()
+                  heldKey = rKeyProj(heldRow).copy()
                 }
               } else advance = false
             }
           }
-          if (hasHeld && heldKey == lk) proj(joined(l, heldRow))
-          else proj(joined(l, nullRight))
+          if (heldKey != null && keyOrd.compare(heldKey, lk) == 0) {
+            proj(joined(l, heldRow))
+          } else proj(joined(l, nullRight))
         }
       }
     }
@@ -129,9 +151,7 @@ object AsOfJoinApi {
   def install(spark: SparkSession): Unit =
     Bridge.addStrategy(spark, AsOfJoinStrategy)
 
-  /** As-of join via the custom operator. Same contract as
-    * [[graft.operators.AsOfJoin]]: latest right payload with
-    * rightTs <= leftTs per key. */
+  /** As-of join via the custom operator, single key column. */
   def asofJoinExec(
       left: DataFrame,
       right: DataFrame,
@@ -139,7 +159,33 @@ object AsOfJoinApi {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
+      payloadPrefix: String): DataFrame =
+    asofJoinExec(left, right, Seq(key), leftTs, rightTs, payload, payloadPrefix)
+
+  def asofJoinExec(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame =
+    asofJoinExec(left, right, Seq(key), leftTs, rightTs, payload, "asof_")
+
+  /** As-of join via the custom operator. Same contract as
+    * [[graft.operators.AsOfJoin]]: latest right payload with
+    * rightTs <= leftTs per key tuple. Keys keep their native types
+    * (any orderable type, multi-column supported); the right side's key
+    * columns are cast to the left's types so the merge comparator sees
+    * one schema. */
+  def asofJoinExec(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
       payloadPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
     val spark = left.sparkSession
     install(spark)
     // timestamps order by microseconds; cast-to-long would truncate to
@@ -149,17 +195,21 @@ object AsOfJoinApi {
         case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
         case _ => col(c).cast("long")
       }
+    val keyTypes = keys.map(k => left.schema(k).dataType)
     val lShaped = left.select(
-      col(key).cast("long").as("_k") +:
-        tsAsLong(left, leftTs).as("_t") +:
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"_k$i") } ++
+        Seq(tsAsLong(left, leftTs).as("_t")) ++
         left.columns.toSeq.map(col): _*)
     val rShaped = right.select(
-      col(key).cast("long").as("_k") +:
-        tsAsLong(right, rightTs).as("_t") +:
+      keys.zip(keyTypes).zipWithIndex.map { case ((k, dt), i) =>
+        col(k).cast(dt).as(s"_k$i")
+      } ++
+        Seq(tsAsLong(right, rightTs).as("_t")) ++
         payload.map(p => col(p).as(s"$payloadPrefix$p")): _*)
     Bridge.ofRows(
       spark,
-      AsOfJoinNode(Bridge.logicalPlan(lShaped), Bridge.logicalPlan(rShaped)))
+      AsOfJoinNode(
+        Bridge.logicalPlan(lShaped), Bridge.logicalPlan(rShaped), keys.size))
   }
 }
 

@@ -27,8 +27,12 @@ import org.apache.spark.sql.types.StringType
   */
 case class ResolveHeaderSkipTextTables(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  // Try-parse: a malformed property value (e.g. 'abc') must degrade to
+  // "no skip" (the rule's fallback contract), not throw inside the match
+  // guard and fail planning for every query over the table
   private def skipCount(rel: HiveTableRelation): Int =
-    rel.tableMeta.properties.get("skip.header.line.count").map(_.trim.toInt).getOrElse(0)
+    rel.tableMeta.properties.get("skip.header.line.count")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
 
   private def isTextSerde(rel: HiveTableRelation): Boolean =
     rel.tableMeta.storage.inputFormat.exists(_.contains("TextInputFormat"))

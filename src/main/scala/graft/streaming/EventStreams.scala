@@ -62,7 +62,11 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      // decimal-summed like the batch twin q16: exact addition keeps the
+      // streaming result bit-identical regardless of micro-batch order
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
       .select(
         col("window.start").as("bucket_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -72,7 +76,9 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),

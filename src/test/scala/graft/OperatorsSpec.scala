@@ -80,6 +80,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("nullts").isEmpty)
   }
 
+  test("AsOfJoinExec: string key matches the window-composition operator") {
+    val left = Seq(
+      ("us", ts("2024-01-01 10:00:00"), "a"),
+      ("us", ts("2024-01-01 12:00:00"), "b"),
+      ("de", ts("2024-01-01 10:00:00"), "c"),
+      ("fr", ts("2024-01-01 09:00:00"), "d")) // no right rows for fr
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      ("us", ts("2024-01-01 09:00:00"), 1.0),
+      ("us", ts("2024-01-01 11:30:00"), 2.0),
+      ("de", ts("2024-01-01 10:00:00"), 3.0), // equal ts: <= includes it
+      ("de", ts("2024-01-01 11:00:00"), 9.0))
+      .toDF("k", "rt", "v")
+    val viaWindow = AsOfJoin(
+        left, right.withColumnRenamed("rt", "t"), "k", "t", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect().toSet
+    val viaExec = graft.plans.AsOfJoinApi
+      .asofJoinExec(left, right, "k", "t", "rt", Seq("v"))
+      .select($"tag", $"asof_v").collect().toSet
+    assert(viaExec == viaWindow)
+    assert(viaExec.size == 4)
+  }
+
+  test("AsOfJoinExec: composite (string, long) key matches composition") {
+    val left = Seq(
+      ("us", 1L, ts("2024-01-01 10:00:00"), "a"),
+      ("us", 2L, ts("2024-01-01 10:00:00"), "b"), // same region, other id
+      ("de", 1L, ts("2024-01-01 10:00:00"), "c"))
+      .toDF("region", "uid", "t", "tag")
+    val right = Seq(
+      ("us", 1L, ts("2024-01-01 09:00:00"), 1.0),
+      ("us", 2L, ts("2024-01-01 09:30:00"), 2.0),
+      ("de", 1L, ts("2024-01-01 09:45:00"), 3.0),
+      ("de", 2L, ts("2024-01-01 09:50:00"), 9.0)) // key absent on left
+      .toDF("region", "uid", "rt", "v")
+    val viaWindow = AsOfJoin(
+        left, right.withColumnRenamed("rt", "t"),
+        Seq("region", "uid"), "t", "t", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    val viaExec = graft.plans.AsOfJoinApi
+      .asofJoinExec(left, right, Seq("region", "uid"), "t", "rt", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    assert(viaExec == viaWindow)
+    assert(viaExec == Map("a" -> Some(1.0), "b" -> Some(2.0), "c" -> Some(3.0)))
+  }
+
   test("minhash LSH finds planted near-duplicates without full cross join") {
     val docs = (
       Seq(
@@ -112,6 +158,33 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("simhashNearDup multi-table blocking = brute-force hamming ball") {
+    // near-identical planted pairs + noise docs; the multi-table scheme
+    // must return EXACTLY the all-pairs hamming <= 3 set (guaranteed
+    // recall — including pairs whose differing bits fall in any chunk,
+    // which a single top-bits block would miss)
+    val docs = (
+      Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (102L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (103L, "mu nu xi omicron pi rho sigma tau upsilon phi")) ++
+        (0L until 40L).map(i => i ->
+          s"noise document ${i} ${i * 3} ${i * 7} ${i * 11} ${i * 13} ${i * 17}")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", bits = 32)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text",
+        bits = 32, numChunks = 6, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((100L, 101L, 0))) // exact dup planted
   }
 
   test("brute-force top-k: excludes self, ranks by cosine desc") {

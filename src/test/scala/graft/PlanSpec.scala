@@ -42,11 +42,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash groupBy reuses the repartition (single exchange per side)") {
-    val p = plan("q22_minhash_lsh")
-    // signature aggregation must not add an exchange on top of the
-    // doc_id repartition: hashpartitioning(doc_id) appears, and no
-    // exchange sits between the partial and final HashAggregate
+    // q22's own plan now starts at the checkpointed signatures, so the
+    // invariant is asserted on the signature pipeline itself: the
+    // aggregation must not add an exchange on top of the doc_id
+    // repartition — exactly one hashpartitioning(doc_id) exchange
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+    val p = graft.operators.Dedup
+      .minhashSignatures(docs, "doc_id", "text", shingleN = 3, numHashes = 12)
+      .queryExecution.executedPlan.toString
     assert(p.contains("hashpartitioning(doc_id"))
+    // every shuffle is an explicit REPARTITION_BY_COL (or a broadcast):
+    // EnsureRequirements adding its own exchange would mean the groupBy
+    // stopped reusing the doc_id partitioning
+    assert(!p.contains("ENSURE_REQUIREMENTS"),
+      s"aggregate no longer reuses the doc_id repartition:\n$p")
   }
 
   test("as-of exec plans its required exchanges and sorts") {

@@ -17,11 +17,43 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle unless structurally non-SQL-expressible") {
+    // q35 is the only oracle-less entry: its input is a live stream
+    // (append-mode prefix of q16, asserted in StreamingSpec); q34 oracles
+    // through read_csv on the CTAS output, q43 through exact counts + a
+    // tolerance predicate
     val noOracle = Queries.all.filter(_._2.oracle.isEmpty).map(_._1)
     assert(
-      noOracle == Seq(
-        "q34_m33_pipeline", "q35_streaming_windows", "q43_approx_distinct"),
+      noOracle == Seq("q35_streaming_windows"),
       s"unexpected oracle-less: $noOracle")
+  }
+
+  test("approx_count_distinct stays within 5% of exact (q43 contract)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.core.Engine.table(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    df.foreach { r =>
+      val approx = r.getAs[Long]("approx").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL drift: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q55 approx bench variant agrees with exact within 1% on medians") {
+    val exact = Queries.all.find(_._1 == "q55_stat_aggregates").get._2
+    val got = exact.benchFn.get(spark, sf)
+      .select("l_returnflag", "median_price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = exact.fn(spark, sf)
+      .select("l_returnflag", "median_price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) / v <= 0.01, s"$k: approx=${got(k)} exact=$v")
+    }
   }
 
   test("flagship entry returns rows") {
