@@ -749,6 +749,38 @@ object Queries {
              |r AS (SELECT q_id, n_id, cos, row_number() OVER (
              |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
              |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // the IVF recall dial: every query scores against the union of its 2
+    // best cells (corpus stays single-cell); oracle mirrors the 2-cell
+    // probe with rn <= 2 over the same rounded-cosine/lowest-id tie rule
+    "q57_ann_ivf_nprobe2" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, centroidIds = 0L until 8L, nprobe = 2)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 8),
+             |assign AS (SELECT vec_id, e, cent_id AS cell FROM (
+             |  SELECT v.vec_id, v.e, c.cent_id, row_number() OVER (
+             |    PARTITION BY v.vec_id
+             |    ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cent_id) AS rn
+             |  FROM v CROSS JOIN cents c) WHERE rn = 1),
+             |probe AS (SELECT vec_id, e, cent_id AS cell FROM (
+             |  SELECT v.vec_id, v.e, c.cent_id, row_number() OVER (
+             |    PARTITION BY v.vec_id
+             |    ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cent_id) AS rn
+             |  FROM v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= 2),
+             |sc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             |    round(list_cosine_similarity(q.e, n.e), 6) AS cos
+             |  FROM probe q JOIN assign n ON q.cell = n.cell AND q.vec_id <> n.vec_id),
+             |r AS (SELECT q_id, n_id, cos, row_number() OVER (
+             |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
+             |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
              |ORDER BY q_id, rank""".stripMargin)))
 
   // ---------------------------------------------------------------------

@@ -110,20 +110,56 @@ object Similarity {
       (best.getField("negId") * -1).as("cell"))
   }
 
-  /** IVF top-k with nprobe=1: queries only score against corpus vectors
-    * in their own cell. The recall/cost dial is the centroid count (and,
-    * in a fuller build, nprobe). */
+  /** Multi-probe cell assignment for the QUERY side: each vector probes
+    * its `nprobe` best centroids (cosine desc, ties to the lowest
+    * centroid id), emitted as one row per probed cell. Same zero-shuffle
+    * construction as [[ivfAssign]] — the centroid scores fold into a
+    * sort_array over literal structs inside the scan stage. */
+  def ivfProbeCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cents: Array[(Long, Array[Float])] = centroids
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfProbeCells requires at least one centroid")
+    val scored = cents.map { case (cid, vec) =>
+      struct(
+        round(cosineSim(col(vecCol), lit(vec)), 6).as("c"),
+        lit(-cid).as("negId"))
+    }
+    // sort desc is lexicographic over (c, negId): cosine desc, then
+    // negId desc = centroid id asc — the same tie rule as ivfAssign
+    val top = slice(sort_array(array(scored: _*), asc = false), 1, nprobe)
+    df.select(col(idCol), col(vecCol), explode(top).as("probe"))
+      .select(
+        col(idCol), col(vecCol),
+        (col("probe").getField("negId") * -1).as("cell"))
+  }
+
+  /** IVF top-k: corpus vectors live in exactly one cell (their best
+    * centroid); each query scores against the union of its `nprobe` best
+    * cells. nprobe is the standard IVF recall/cost dial — a vector just
+    * across a cell boundary from its query is found once the query also
+    * probes that neighboring cell. No (q, n) pair can occur twice: the
+    * corpus side is single-cell, and the probe cells per query are
+    * distinct. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      centroidIds: Seq[Long]): DataFrame = {
+      centroidIds: Seq[Long],
+      nprobe: Int = 1): DataFrame = {
     // centroids always come from the corpus — queries need not contain them
     val cents = ivfCentroids(corpus, idCol, vecCol, centroidIds)
     val c = ivfAssign(corpus, idCol, vecCol, cents).toDF("n_id", "n_vec", "cell")
-    val q = ivfAssign(queries, idCol, vecCol, cents).toDF("q_id", "q_vec", "cell")
+    val q = ivfProbeCells(queries, idCol, vecCol, cents, nprobe)
+      .toDF("q_id", "q_vec", "cell")
     val scored = c
       .join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

@@ -90,44 +90,65 @@ object EventStreams {
     * `flushOpen` decides what happens to the still-open session per user:
     * `true` (batch analytics) emits it at end-of-input instead of storing
     * state; `false` (streaming) keeps it in the state store so a future
-    * micro-batch can extend it — the price is that a user who goes
-    * silent forever never emits their last session (adding an event-time
-    * timeout is the production upgrade for that). */
+    * micro-batch can extend it.
+    *
+    * `eventTimeTimeout` (streaming, requires a watermark on `ts`
+    * upstream) closes the "user went silent forever" gap of plain
+    * `flushOpen = false`: each open session registers an event-time
+    * timeout at `last event + gap`, so once the watermark passes it the
+    * session is emitted and its state dropped — without needing a
+    * follow-up event from that user. This also bounds state: at 100 TB/
+    * day the store holds only sessions younger than watermark + gap. */
   def sessionize(
       events: Dataset[Event],
       gapMillis: Long = 30L * 60 * 1000,
-      flushOpen: Boolean = true): Dataset[SessionSummary] = {
+      flushOpen: Boolean = true,
+      eventTimeTimeout: Boolean = false): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (eventTimeTimeout) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Int, Long, Long, Double), SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Event],
          state: GroupState[(Long, Int, Long, Long, Double)]) =>
           def summary(s: (Long, Int, Long, Long, Double)): SessionSummary =
             SessionSummary(s._1, s._2, new Timestamp(s._3), new Timestamp(s._4),
               math.round(s._5 * 100).toDouble / 100)
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some((uid, n, first, last, tot)) if e.ts.getTime - last <= gapMillis =>
-                cur = Some((uid, n + 1, first, e.ts.getTime, tot + e.value))
-              case Some(closed) =>
-                out += summary(closed)
-                cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
-              case None =>
-                cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
-            }
-          }
-          if (flushOpen) {
-            cur.foreach(out += summary(_))
+          if (eventTimeTimeout && state.hasTimedOut) {
+            // watermark passed last-event + gap: the session can no longer
+            // be extended (later events would be late-dropped) — emit it
+            val out = state.getOption.map(summary).iterator
             state.remove()
+            out
           } else {
-            cur.foreach(state.update)
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some((uid, n, first, last, tot)) if e.ts.getTime - last <= gapMillis =>
+                  cur = Some((uid, n + 1, first, e.ts.getTime, tot + e.value))
+                case Some(closed) =>
+                  out += summary(closed)
+                  cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
+                case None =>
+                  cur = Some((userId, 1, e.ts.getTime, e.ts.getTime, e.value))
+              }
+            }
+            if (flushOpen) {
+              cur.foreach(out += summary(_))
+              state.remove()
+            } else {
+              cur.foreach { s =>
+                state.update(s)
+                if (eventTimeTimeout) state.setTimeoutTimestamp(s._4 + gapMillis)
+              }
+            }
+            out.iterator
           }
-          out.iterator
       }
   }
 

@@ -229,6 +229,27 @@ class OperatorsSpec extends AnyFunSuite {
     topk.foreach { case (q, n) => assert(cells(q) == cells(n)) }
   }
 
+  test("IVF nprobe=2 recall vs brute force is >= nprobe=1 recall") {
+    val vecs = (0 until 60)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 50)
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val truth = topkSet(Similarity
+      .bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3))
+    val p1 = topkSet(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, centroidIds = Seq(0L, 1L, 2L, 3L), nprobe = 1))
+    val p2 = topkSet(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, centroidIds = Seq(0L, 1L, 2L, 3L), nprobe = 2))
+    val r1 = (p1 intersect truth).size.toDouble / truth.size
+    val r2 = (p2 intersect truth).size.toDouble / truth.size
+    assert(r2 >= r1, s"probing more cells lost recall: $r2 < $r1")
+    assert(r2 >= 0.5, s"nprobe=2 recall unexpectedly low: $r2")
+    // probing 2 cells can only widen each query's candidate set
+    assert(p1.forall { case (q, _) => p2.exists(_._1 == q) })
+  }
+
   test("salted join equals plain join on skewed data") {
     val big = (Seq.fill(500)(7L) ++ (1L to 50L)).zipWithIndex
       .map { case (k, i) => (k, i.toLong) }

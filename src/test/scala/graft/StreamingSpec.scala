@@ -123,6 +123,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter($"event_type" === "click" && $"n_events" === 1).count() >= 1)
   }
 
+  test("sessionize event-time timeout emits the final session of a silent user") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(
+      input.toDS()
+        .withWatermark("ts", "0 seconds").as[EventStreams.Event],
+      gapMillis = 30L * 60 * 1000, flushOpen = false, eventTimeTimeout = true)
+    spark.catalog.dropTempView("stream_test_timeout")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("stream_test_timeout").start()
+    try {
+      // user 7's only session; user 7 then goes silent forever
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 7, 1.0),
+        ev(2, "2024-01-01 10:10:00", 7, 2.0))
+      q.processAllAvailable()
+      // another user's much later event advances the watermark past
+      // 10:10 + 30min; a further batch lets the timeout fire
+      input.addData(ev(3, "2024-01-01 13:00:00", 8, 4.0))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 13:05:00", 8, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("stream_test_timeout")
+      .as[EventStreams.SessionSummary].collect()
+    val u7 = out.filter(_.user_id == 7L)
+    assert(u7.length == 1, s"expected user 7's session via timeout, got ${out.toSeq}")
+    assert(u7.head.n_events == 2 && u7.head.total_value == 3.0)
+  }
+
   test("sessionize: explicit state splits on gap, aggregates in order") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
