@@ -33,12 +33,12 @@ object Main {
 
     case "exec-query" :: "-e" :: sql :: Nil =>
       val spark = session()
-      Statements.execScript(spark, sql).foreach(_.show(100, truncate = false))
+      Statements.execScript(spark, sql).foreach(df => println(Render.box(df)))
       spark.stop()
 
     case "exec-file" :: "-f" :: path :: Nil =>
       val spark = session()
-      Statements.execFile(spark, path).foreach(_.show(100, truncate = false))
+      Statements.execFile(spark, path).foreach(df => println(Render.box(df)))
       spark.stop()
 
     case "m33-pipeline" :: "--base" :: base :: Nil =>
@@ -46,7 +46,9 @@ object Main {
       val root = M33Fixture.generate(base)
       val m33 = M33Pipeline.runApi(spark, root, new File(base, "warehouse").getAbsolutePath)
       println(s"m33 rows: ${m33.count()}")
-      m33.show(10)
+      // golden-log display parity: beeline-style box with table.column
+      // headers (reference: examples/example-output.log:1035-1139)
+      println(Render.box(m33, Some("m33"), maxRows = 10))
       spark.stop()
 
     case "export" :: "--url" :: url :: "--table" :: table :: "--path" :: path :: Nil =>
@@ -71,15 +73,13 @@ object Main {
       println(s"HiveThriftServer2 listening on port $port (Ctrl-C to stop)")
       Thread.currentThread().join()
 
+    // S23 analog of playground.py's JMX battery (playground.py:330-431):
+    // named checks with thresholds, non-zero exit when any fails
     case "health" :: Nil =>
       val spark = session()
-      val sc = spark.sparkContext
-      println(s"spark version: ${sc.version}")
-      println(s"master: ${sc.master}")
-      println(s"default parallelism: ${sc.defaultParallelism}")
-      println(s"executor memory status: ${sc.getExecutorMemoryStatus.size} executor(s)")
-      println("status: OK")
+      val ok = Health.report(spark)
       spark.stop()
+      if (!ok) sys.exit(1)
 
     case other =>
       System.err.println(s"unknown verb: ${other.mkString(" ")}")
