@@ -227,21 +227,48 @@ object Dedup {
       numChunks: Int = 6,
       maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol, bits)
-    val keyed = sigs.select(
-      col("doc_id"), col("simhash"),
+    // Collapse identical signatures into classes BEFORE the table join:
+    // dedup corpora are dominated by exact-dup clusters, and a g-doc
+    // cluster would otherwise contribute g^2 join rows through EVERY
+    // blocking table. Classes make the join touch each distinct signature
+    // once per table; doc-level pairs are expanded only at the end —
+    // output-sized work (any pair-LISTING operator is quadratic in class
+    // size by definition; pipelines that only need groups should feed
+    // classes straight into resolveDuplicateGroups instead).
+    val classes = sigs
+      .groupBy(col("simhash"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .localCheckpoint() // consumed by three branches below
+    // hamming-0 pairs: all doc pairs within a class
+    val within = classes
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).cast("integer").as("hamming"))
+    // cross-class candidates: multi-table bucket join over UNIQUE sigs
+    val keyed = classes.select(
+      col("simhash"), col("docs"),
       explode(array(simhashTableKeys(col("simhash"), bits, numChunks, maxHamming): _*))
         .as("t"))
-      .select(col("doc_id"), col("simhash"), col("t.tbl").as("tbl"), col("t.tkey").as("tkey"))
+      .select(col("simhash"), col("docs"), col("t.tbl").as("tbl"), col("t.tkey").as("tkey"))
     val a = keyed.as("a")
     val b = keyed.as("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.tkey") === col("b.tkey") &&
-        col("a.doc_id") < col("b.doc_id"))
+    val cross = a
+      .join(b, col("a.tbl") === col("b.tbl") && col("a.tkey") === col("b.tkey") &&
+        col("a.simhash") < col("b.simhash"))
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"),
+        col("a.docs").as("da"), col("b.docs").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can collide in several tables
+      .dropDuplicates("sa", "sb") // a class pair can collide in several tables
+      .select(explode(col("da")).as("x"), col("db"), col("hamming"))
+      .select(col("x"), explode(col("db")).as("y"), col("hamming"))
+      .select(
+        least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Resolve near-duplicate pairs into groups: connected components over
