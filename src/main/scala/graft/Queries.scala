@@ -1347,6 +1347,32 @@ object Queries {
              |  len(t || t) AS doubled
              |FROM t0 ORDER BY doc_id""".stripMargin)),
 
+    // bucketed co-located join: both fact tables are written bucketed on
+    // the join key (the one-time shuffle), then the recurring join plans
+    // with NO exchange on either side — the warehouse layout for
+    // repeatedly-joined 100 TB facts. Oracle is the plain join.
+    "q58_bucketed_join" -> Q(
+      (s, d) => {
+        val suffix = d.replaceAll("[^a-z0-9]", "_")
+        val (lt, ot) = (s"li_bkt_$suffix", s"ord_bkt_$suffix")
+        graft.operators.Bucketing.writeBucketed(
+          t(s, d, "lineitem").withColumnRenamed("l_orderkey", "orderkey"),
+          lt, "orderkey", numBuckets = 8)
+        graft.operators.Bucketing.writeBucketed(
+          t(s, d, "orders").withColumnRenamed("o_orderkey", "orderkey"),
+          ot, "orderkey", numBuckets = 8)
+        graft.operators.Bucketing.bucketedJoin(s, lt, ot, "orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("total_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_items,
+             |  round(sum(l_extendedprice::DECIMAL(18,6)),2)::DOUBLE AS total_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")

@@ -59,6 +59,23 @@ class PlanSpec extends AnyFunSuite {
       s"aggregate no longer reuses the doc_id repartition:\n$p")
   }
 
+  test("bucketed join plans with no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Engine.table(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "orderkey")
+    val ord = graft.core.Engine.table(spark, sf, "orders")
+      .withColumnRenamed("o_orderkey", "orderkey")
+    graft.operators.Bucketing.writeBucketed(li, "planspec_li_bkt", "orderkey", 4)
+    graft.operators.Bucketing.writeBucketed(ord, "planspec_ord_bkt", "orderkey", 4)
+    val joined = graft.operators.Bucketing
+      .bucketedJoin(spark, "planspec_li_bkt", "planspec_ord_bkt", "orderkey")
+      .select(col("orderkey"), col("o_orderstatus"), col("l_extendedprice"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(joined.count() > 0)
+  }
+
   test("as-of exec plans its required exchanges and sorts") {
     val p = plan("q45_asof_custom")
     assert(p.contains("AsOfJoin"))
