@@ -73,4 +73,38 @@ class PropertySpec extends AnyFunSuite {
       assert(Statements.split(stmts.mkString(";")) == stmts)
     }
   }
+
+  test("property: AsOfJoinExec == window composition on random data") {
+    // random multi-key event sets with NULL keys/timestamps, duplicate
+    // timestamps, and keys present on only one side — the custom merge
+    // exec and the declarative composition must agree row-for-row
+    val rowGen = for {
+      k1 <- Gen.option(Gen.chooseNum(0L, 4L))
+      k2 <- Gen.oneOf("a", "b", null)
+      ts <- Gen.option(Gen.chooseNum(0L, 40L))
+      v <- Gen.chooseNum(0, 1000)
+    } yield (k1, k2, ts, v.toDouble)
+    (0 until 5).foreach { round =>
+      val lRows = cases(rowGen, 60 + round).zipWithIndex
+        .map { case ((k1, k2, ts, v), i) => (k1, k2, ts, v, i.toLong) }
+      val rRows = cases(rowGen, 50 + round * 7)
+        // right side unique per (key, ts): drop dup timestamps per key
+        .groupBy(t => (t._1, t._2, t._3)).map(_._2.head).toSeq
+      val left = lRows.toDF("k1", "k2", "t", "lv", "row_id")
+      val right = rRows.toDF("k1", "k2", "t", "rv")
+        .withColumnRenamed("t", "rt")
+      val viaWindow = graft.operators.AsOfJoin(
+          left, right.withColumnRenamed("rt", "t"),
+          Seq("k1", "k2"), "t", "t", Seq("rv"))
+        .select($"row_id", $"asof_rv").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      val viaExec = graft.plans.AsOfJoinApi
+        .asofJoinExec(left, right, Seq("k1", "k2"), "t", "rt", Seq("rv"))
+        .select($"row_id", $"asof_rv").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(viaExec == viaWindow,
+        s"round $round diverged: ${viaExec.toSet.diff(viaWindow.toSet)} / " +
+          s"${viaWindow.toSet.diff(viaExec.toSet)}")
+    }
+  }
 }
