@@ -110,6 +110,52 @@ object Similarity {
       (best.getField("negId") * -1).as("cell"))
   }
 
+  /** Train IVF centroids with Lloyd's k-means over cosine similarity:
+    * seeds are the k lowest-id corpus vectors (deterministic — no RNG
+    * state), then `iterations` rounds of (assign via [[ivfAssign]],
+    * recompute each cell's element-wise mean). The per-round reduction is
+    * fully distributed (posexplode to (cell, dim) partial sums); only the
+    * k x dims centroid matrix ever reaches the driver — the same small
+    * collect [[ivfAssign]] already makes. Returns (cent_id, cent_vec)
+    * with cent_id = 0..k-1 re-assigned by ascending original seed order,
+    * components rounded to 6dp so downstream assignment is stable against
+    * summation-order ulps. */
+  def ivfTrainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(col("cent_id")).limit(k)
+    var cents: DataFrame = seeds
+      .as[(Long, Array[Float])].collect().sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+      .toSeq.toDF("cent_id", "cent_vec")
+    for (_ <- 0 until iterations) {
+      val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+        .toDF("vid", "v", "cell")
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .as[(Long, Int, Double)].collect()
+      val byCell = means.groupBy(_._1).map { case (cell, rows) =>
+        cell -> rows.sortBy(_._2).map(r =>
+          (math.round(r._3 * 1e6) / 1e6).toFloat)
+      }
+      // a cell that lost all members keeps its previous centroid
+      val prev = cents.as[(Long, Array[Float])].collect().toMap
+      cents = (0L until k.toLong)
+        .map(c => (c, byCell.getOrElse(c, prev(c))))
+        .toDF("cent_id", "cent_vec")
+    }
+    cents
+  }
+
   /** Multi-probe cell assignment for the QUERY side: each vector probes
     * its `nprobe` best centroids (cosine desc, ties to the lowest
     * centroid id), emitted as one row per probed cell. Same zero-shuffle
@@ -154,9 +200,21 @@ object Similarity {
       vecCol: String,
       k: Int,
       centroidIds: Seq[Long],
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
     // centroids always come from the corpus — queries need not contain them
-    val cents = ivfCentroids(corpus, idCol, vecCol, centroidIds)
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      ivfCentroids(corpus, idCol, vecCol, centroidIds), nprobe)
+
+  /** IVF top-k against an explicit centroid set — designated corpus
+    * vectors (oracle-checkable) or [[ivfTrainCentroids]] output. */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: DataFrame,
+      nprobe: Int = 1): DataFrame = {
     val c = ivfAssign(corpus, idCol, vecCol, cents).toDF("n_id", "n_vec", "cell")
     val q = ivfProbeCells(queries, idCol, vecCol, cents, nprobe)
       .toDF("q_id", "q_vec", "cell")

@@ -250,6 +250,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p1.forall { case (q, _) => p2.exists(_._1 == q) })
   }
 
+  test("IVF trained centroids: k-means training runs and recall holds up") {
+    val vecs = (0 until 60)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 50)
+    val trained = Similarity
+      .ivfTrainCentroids(vecs, "vec_id", "embedding", k = 4, iterations = 5)
+    assert(trained.count() == 4)
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val truth = topkSet(Similarity
+      .bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3))
+    val got = topkSet(Similarity.ivfTopKWith(
+      vecs, queries, "vec_id", "embedding", k = 3, trained, nprobe = 2))
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"trained-centroid recall too low: $recall")
+    // training moved the centroids off the raw seed vectors
+    val seeds = vecs.filter($"vec_id" < 4)
+      .select($"embedding").as[Array[Float]].collect().map(_.toSeq).toSet
+    val cvecs = trained.select($"cent_vec").as[Array[Float]].collect().map(_.toSeq).toSet
+    assert(cvecs != seeds)
+  }
+
   test("salted join equals plain join on skewed data") {
     val big = (Seq.fill(500)(7L) ++ (1L to 50L)).zipWithIndex
       .map { case (k, i) => (k, i.toLong) }
