@@ -910,10 +910,12 @@ object Queries {
 
   private val streamingAndMultimodal: Seq[(String, Q)] = Seq(
     // Structured Streaming twin of q16: same transform under readStream,
-    // drained to a memory sink. Append mode only emits windows closed by
-    // the watermark, so this is a deterministic prefix of q16 — rows-only
-    // check (the batch/stream prefix equivalence is asserted in
-    // StreamingSpec).
+    // drained to a memory sink. Append mode only emits windows the final
+    // watermark (max event time - 10 min) has closed — a DETERMINISTIC
+    // subset of the batch result once all input is processed, so the
+    // oracle is the batch aggregate filtered by the same watermark rule
+    // (window end <= max(ts) - delay). StreamingSpec additionally asserts
+    // the batch/stream prefix equivalence.
     "q35_streaming_windows" -> Q(
       (s, d) => {
         val name = "graft_stream_windows"
@@ -923,7 +925,16 @@ object Queries {
             graft.streaming.EventStreams.windowedCounts, name)
           .orderBy(col("bucket_start"), col("event_type"))
       },
-      None),
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+             |agg AS (
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+             |    event_type, count(*) AS n_events,
+             |    round(sum(value::DECIMAL(18,6)),2)::DOUBLE AS total_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT bucket_start, event_type, n_events, total_value
+             |FROM agg, wm
+             |WHERE bucket_start + INTERVAL 5 MINUTE <= wm.w
+             |ORDER BY bucket_start, event_type""".stripMargin)),
 
     "q36_multimodal_decode" -> Q(
       (s, d) => {

@@ -16,15 +16,12 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has an oracle unless structurally non-SQL-expressible") {
-    // q35 is the only oracle-less entry: its input is a live stream
-    // (append-mode prefix of q16, asserted in StreamingSpec); q34 oracles
-    // through read_csv on the CTAS output, q43 through exact counts + a
-    // tolerance predicate
+  test("every query has an oracle — no rows-only entries left") {
+    // q34 oracles through read_csv on its CTAS output, q43 through exact
+    // counts + a tolerance predicate, q35 through the final-watermark
+    // filter over the batch aggregate
     val noOracle = Queries.all.filter(_._2.oracle.isEmpty).map(_._1)
-    assert(
-      noOracle == Seq("q35_streaming_windows"),
-      s"unexpected oracle-less: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less: $noOracle")
   }
 
   test("approx_count_distinct stays within 5% of exact (q43 contract)") {

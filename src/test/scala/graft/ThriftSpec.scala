@@ -12,20 +12,35 @@ class ThriftSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("beeline-protocol client round-trips SQL through HiveThriftServer2") {
-    val port = 10000 + scala.util.Random.nextInt(5000)
-    spark.conf.set("hive.server2.thrift.port", port.toString)
+    // the port conf is only read when the session's HiveConf snapshot is
+    // built, which other specs may have done already — so ask the running
+    // server which port it actually bound instead of assuming ours stuck
+    val requested = 10000 + scala.util.Random.nextInt(5000)
+    spark.conf.set("hive.server2.thrift.port", requested.toString)
+    System.setProperty("hive.server2.thrift.port", requested.toString)
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithContext(spark.sqlContext)
     try {
+      import scala.jdk.CollectionConverters._
+      var bound = 0
+      var waits = 0
+      while (bound <= 0 && waits < 50) {
+        bound = server.getServices.asScala.collectFirst {
+          case t: org.apache.hive.service.cli.thrift.ThriftCLIService
+              if t.getPortNumber > 0 => t.getPortNumber
+        }.getOrElse(0)
+        if (bound <= 0) { waits += 1; Thread.sleep(200) }
+      }
+      assert(bound > 0, "thrift service never reported a bound port")
       Class.forName("org.apache.hive.jdbc.HiveDriver")
       // the server binds asynchronously; retry the connect briefly
       var conn: java.sql.Connection = null
       var attempts = 0
       while (conn == null && attempts < 50) {
-        try conn = DriverManager.getConnection(s"jdbc:hive2://localhost:$port", "root", "")
+        try conn = DriverManager.getConnection(s"jdbc:hive2://localhost:$bound", "root", "")
         catch { case _: Exception => attempts += 1; Thread.sleep(200) }
       }
-      assert(conn != null, s"could not connect to thrift server on $port")
+      assert(conn != null, s"could not connect to thrift server on $bound")
       try {
         val st = conn.createStatement()
         // engine functions must be visible through the wire protocol too
