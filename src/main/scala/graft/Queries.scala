@@ -1218,7 +1218,10 @@ object Queries {
       (s, d) => {
         val li = t(s, d, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
         val sup = t(s, d, "supplier").withColumnRenamed("s_suppkey", "suppkey")
-        graft.operators.SkewJoin.saltedJoin(li, sup, "suppkey", salts = 8)
+        // salt over columns the query reads anyway -> the scan stays
+        // pruned to 4 columns instead of the full lineitem schema
+        graft.operators.SkewJoin.saltedJoin(li, sup, "suppkey", salts = 8,
+            saltCols = Seq("l_extendedprice", "l_discount"))
           .groupBy(col("s_name"))
           .agg(
             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))

@@ -19,15 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** `saltCols`: the columns hashed into the salt. Default (empty) hashes
+    * the FULL row — always correct, but it references every column and so
+    * defeats column pruning at the scan (a 16-column parquet read for a
+    * 3-column query). Pass columns the query already reads (any per-row-
+    * varying subset spreads the hot key) to keep the scan narrow — the
+    * salt only needs to vary within a key, not be collision-free. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
-      salts: Int = 8): DataFrame = {
+      salts: Int = 8,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
+    val hashed = if (saltCols.isEmpty) big.columns.toSeq else saltCols
     val bigSalted = big.withColumn(
       "_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(hashed.map(col): _*)), lit(salts)).cast("int"))
     val smallSalted = small.withColumn(
       "_salt",
       explode(array((0 until salts).map(lit): _*)))

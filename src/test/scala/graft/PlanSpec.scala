@@ -59,6 +59,17 @@ class PlanSpec extends AnyFunSuite {
       s"aggregate no longer reuses the doc_id repartition:\n$p")
   }
 
+  test("salted join keeps the big-side scan pruned") {
+    val p = plan("q47_salted_join")
+    // the salt must not reference unread columns: the lineitem scan
+    // carries only the join key + the two aggregated value columns
+    assert(p.contains(
+      "ReadSchema: struct<l_extendedprice:double,l_discount:double,l_suppkey:bigint>") ||
+      p.contains(
+        "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"salted-join scan not pruned:\n${p.split("\n").filter(_.contains("ReadSchema")).mkString("\n")}")
+  }
+
   test("bucketed join plans with no exchange on either side") {
     import org.apache.spark.sql.functions._
     val li = graft.core.Engine.table(spark, sf, "lineitem")
