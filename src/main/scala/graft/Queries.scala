@@ -147,9 +147,14 @@ object Queries {
 
     "q05_running_revenue" -> Q(
       (s, d) => {
+        // window order ends in (l_extendedprice, l_quantity): the data
+        // contains bona fide duplicate (l_orderkey, l_linenumber) rows at
+        // larger SFs, and a non-total ORDER BY makes lag() engine-
+        // nondeterministic at the tie (caught by the sf0.1 gate)
         val w = Window
           .partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity"))
         val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // running sum over l_quantity: integral doubles stay exactly
         // representable, so the result is independent of the engine's
@@ -160,21 +165,23 @@ object Queries {
             sum(col("l_quantity")).over(frame).as("running_qty"),
             row_number().over(w).cast("bigint").as("seq"),
             lag(col("l_extendedprice"), 1).over(w).as("prev_price"))
-          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("seq"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  sum(l_quantity) OVER (
              |    PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
              |  row_number() OVER (
              |    PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq,
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity
+             |  ) AS seq,
              |  lag(l_extendedprice, 1) OVER (
              |    PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity
+             |  ) AS prev_price
              |FROM lineitem
-             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber, seq""".stripMargin)),
 
     "q06_distinct_counts" -> Q(
       (s, d) => {
@@ -234,12 +241,20 @@ object Queries {
           .except(negative)
           .orderBy(col("custkey"))
       },
+      // parenthesized to force left-to-right evaluation: standard SQL
+      // gives INTERSECT higher precedence, so an unparenthesized chain
+      // means a UNION (b INTERSECT c) — NOT the ((a UNION b) INTERSECT c)
+      // the Spark composition computes (divergence surfaced at sf0.1)
       Some("""SELECT custkey FROM (
-             |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-             |  UNION
-             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-             |  INTERSECT
-             |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+             |  SELECT custkey FROM (
+             |    SELECT custkey FROM (
+             |      SELECT c_custkey AS custkey FROM customer
+             |        WHERE c_mktsegment = 'BUILDING'
+             |      UNION
+             |      SELECT c_custkey FROM customer
+             |        WHERE c_mktsegment = 'AUTOMOBILE')
+             |    INTERSECT
+             |    SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
              |  EXCEPT
              |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
              |ORDER BY custkey""".stripMargin)),

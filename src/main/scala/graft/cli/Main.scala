@@ -25,6 +25,12 @@ object Main {
 
   private def session(): SparkSession = Engine.session(appName = "graft-cli")
 
+  // DDL statements yield zero-column frames — beeline prints a status
+  // line for those, a boxed table only for result sets
+  private def display(df: org.apache.spark.sql.DataFrame): Unit =
+    if (df.columns.isEmpty) println("No rows affected")
+    else println(Render.box(df))
+
   def main(args: Array[String]): Unit = args.toList match {
     case "setup" :: "--base" :: base :: Nil =>
       val root = M33Fixture.generate(base)
@@ -33,12 +39,12 @@ object Main {
 
     case "exec-query" :: "-e" :: sql :: Nil =>
       val spark = session()
-      Statements.execScript(spark, sql).foreach(df => println(Render.box(df)))
+      Statements.execScript(spark, sql).foreach(display)
       spark.stop()
 
     case "exec-file" :: "-f" :: path :: Nil =>
       val spark = session()
-      Statements.execFile(spark, path).foreach(df => println(Render.box(df)))
+      Statements.execFile(spark, path).foreach(display)
       spark.stop()
 
     case "m33-pipeline" :: "--base" :: base :: Nil =>
