@@ -1391,6 +1391,87 @@ object Queries {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       benchFn = Some((s, d) => q58BucketedJoin(s, d, reuseLayout = true))),
 
+    // deterministic hash sampling + train/val/test splitting: assignment
+    // is a pure function of (salt, id) through the md5-derived hash64 —
+    // stable across reruns/cluster sizes/engines (rand()/sampleBy is
+    // none of those), which is what makes eval splits trustworthy
+    "q59_deterministic_split" -> Q(
+      (s, d) => {
+        graft.operators.Sampling
+          .assignSplits(t(s, d, "documents"), "doc_id", trainPct = 80, valPct = 10)
+          .groupBy(col("lang"), col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(
+              graft.operators.Sampling.bucket(col("doc_id"), "sample", 100) < 10,
+              1)).as("n_in_10pct"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(s"""WITH x AS (SELECT lang, doc_id,
+              |  ${dHash64("'split:'||doc_id")} % 100 AS b,
+              |  ${dHash64("'sample:'||doc_id")} % 100 AS sb
+              |FROM documents)
+              |SELECT lang,
+              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              |    ELSE 'test' END AS split,
+              |  count(*) AS n_docs,
+              |  count(CASE WHEN sb < 10 THEN 1 END) AS n_in_10pct
+              |FROM x GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // the dedup endgame applied to splitting: split is hashed from the
+    // near-dup GROUP's canonical id, so no near-duplicate pair ever
+    // straddles train/test (the standard eval-leakage guard)
+    "q60_leakage_safe_split" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup
+          .minhashLsh(docs, "doc_id", "text",
+            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+          .filter(col("est_jaccard") >= 0.5)
+        graft.operators.Sampling
+          .leakageSafeSplits(docs, "doc_id", pairs, trainPct = 80, valPct = 10)
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("canonical_id")).as("n_groups"))
+          .orderBy(col("split"))
+      },
+      Some(s"""$duckMinhashCtes,
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |      round(len([i for i in range(1, ${minhashSeeds + 1})
+              |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+              |  WHERE ej >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM cand
+              |  UNION SELECT doc_b, doc_a FROM cand),
+              |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+              |reach(doc_id, r) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT reach.doc_id, edges.v FROM reach
+              |    JOIN edges ON reach.r = edges.u),
+              |canon AS (
+              |  SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+              |labeled AS (
+              |  SELECT d.doc_id,
+              |    coalesce(canon.canonical_id, d.doc_id) AS cid
+              |  FROM documents d LEFT JOIN canon ON d.doc_id = canon.doc_id),
+              |split AS (
+              |  SELECT cid,
+              |    ${dHash64("'split:'||cid")} % 100 AS b,
+              |    doc_id
+              |  FROM labeled)
+              |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              |    ELSE 'test' END AS split,
+              |  count(*) AS n_docs,
+              |  count(DISTINCT cid) AS n_groups
+              |FROM split GROUP BY 1 ORDER BY split""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE "))),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.hash64
+
+/** Deterministic sampling and train/val/test splitting for training-data
+  * pipelines.
+  *
+  * All assignment is a pure function of (salt, id) through the engine-
+  * portable md5-derived [[graft.functions.Functions.hash64]] — no RNG
+  * state, no partition dependence. That is the property a 100 TB corpus
+  * pipeline needs: re-runs, retries, cluster resizes, and incremental
+  * additions all assign every document to the same sample/split, and the
+  * assignment is reproducible in any engine (which also makes it
+  * oracle-checkable, unlike `rand()`/`sampleBy`).
+  *
+  * [[leakageSafeSplits]] is the dedup endgame applied to splitting:
+  * hashing the near-duplicate GROUP's canonical id (not the doc id)
+  * guarantees no pair of near-duplicates ever straddles train/test — the
+  * standard guard against split leakage inflating eval scores.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets) for an id column. */
+  def bucket(id: Column, salt: String, buckets: Int): Column =
+    pmod(hash64(concat(lit(salt + ":"), id.cast("string"))), lit(buckets.toLong))
+
+  /** Keep a deterministic ~`pct`% of rows (exact membership is stable
+    * forever; the fraction is approximate like any hash sample). */
+  def samplePct(df: DataFrame, idCol: String, pct: Int, salt: String = "sample"): DataFrame = {
+    require(pct >= 0 && pct <= 100)
+    df.filter(bucket(col(idCol), salt, 100) < pct)
+  }
+
+  /** Split-label expression: train/val/test by hash bucket. */
+  def splitLabel(id: Column, trainPct: Int, valPct: Int, salt: String = "split"): Column = {
+    require(trainPct + valPct <= 100)
+    val b = bucket(id, salt, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Assign every row a deterministic split label on its own id. */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), trainPct, valPct))
+
+  /** Leakage-safe splits: near-duplicate pairs are resolved to groups
+    * (connected components) and the split is hashed from the group's
+    * canonical id, so every member of a near-dup group lands in the SAME
+    * split. Docs in no group hash on their own id (they are their own
+    * canonical). */
+  def leakageSafeSplits(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val canon = Dedup.resolveDuplicateGroups(pairs)
+      .withColumnRenamed("doc_id", "_cc_doc")
+    df
+      .join(canon, df(idCol) === canon("_cc_doc"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
+      .drop("_cc_doc")
+      .withColumn("split", splitLabel(col("canonical_id"), trainPct, valPct))
+  }
+}

@@ -286,6 +286,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain.size == 550)
   }
 
+  test("sampling: hash splits are deterministic and leakage-safe") {
+    val docs = (0L until 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // determinism: two invocations keep exactly the same rows
+    val s1 = graft.operators.Sampling.samplePct(docs, "doc_id", 20)
+      .select($"doc_id").as[Long].collect().toSet
+    val s2 = graft.operators.Sampling.samplePct(docs, "doc_id", 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 200)
+    // leakage safety: every near-dup group lands in exactly one split
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L))
+      .toDF("doc_a", "doc_b")
+    val split = graft.operators.Sampling
+      .leakageSafeSplits(docs, "doc_id", pairs)
+      .select($"doc_id", $"canonical_id", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 200)
+    split.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"group $cid straddles splits: ${members.toSeq}")
+    }
+    // the chained group 1-2-3 shares one split
+    val g123 = split.filter(r => Seq(1L, 2L, 3L).contains(r._1)).map(_._3).distinct
+    assert(g123.length == 1)
+    assert(split.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
   test("langId: argmax with declaration-order tie-break, 'und' when no match") {
     val docs = Seq(
       (1L, "the cat and the dog"), // en
