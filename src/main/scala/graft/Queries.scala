@@ -1472,6 +1472,37 @@ object Queries {
               |FROM split GROUP BY 1 ORDER BY split""".stripMargin
         .replaceFirst("^WITH ", "WITH RECURSIVE "))),
 
+    // tf-idf top terms per document (rational-idf variant: IEEE division
+    // is exactly rounded so the score is bit-identical across engines;
+    // libm log differs by ulps between runtimes — see TextAnalysis.tfIdf)
+    "q61_tfidf_top_terms" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        TextAnalysis
+          .tfIdf(t(s, d, "documents"), "doc_id", "text", rationalIdf = true)
+          .filter(col("doc_id") < 50)
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term,
+             |    round(tf * ((n.n_docs + 1)::DOUBLE / (dfq.dfq + 1)), 6) AS tfidf
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+             |  WHERE doc_id < 50),
+             |r AS (SELECT doc_id, term, tfidf, row_number() OVER (
+             |  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM scored)
+             |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")

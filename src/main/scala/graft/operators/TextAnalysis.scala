@@ -82,4 +82,40 @@ object TextAnalysis {
       hash64(col(textCol)).as("content_fp"),
       hash64(concat_ws(" ", array_sort(array_distinct(toks)))).as("bow_fp"))
   }
+
+  /** Per-(doc, term) TF-IDF scores over whitespace tokens.
+    *
+    * Shape: explode -> (doc, term) counts with map-side partials, document
+    * frequencies as a second aggregate over the term table, corpus size
+    * broadcast as a one-row frame — two shuffles total, nothing collected.
+    *
+    * `rationalIdf = true` replaces `ln((N+1)/(df+1)) + 1` with the
+    * rational `(N+1)/(df+1)`: IEEE division is exactly rounded and
+    * therefore bit-identical across engines, while libm `log` is only
+    * ~1-ulp accurate and can differ between runtimes — the rational
+    * variant is what the DuckDB oracle checks; the classic log form is
+    * the production default. */
+  def tfIdf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rationalIdf: Boolean = false): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("dfq")) // terms is unique per (doc, term)
+    val total = df.select(count(lit(1)).as("n_docs"))
+    val rawIdf =
+      (col("n_docs") + lit(1)).cast("double") / (col("dfq") + lit(1))
+    val idf = if (rationalIdf) rawIdf else log(rawIdf) + lit(1.0)
+    terms
+      .join(docFreq, "term")
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * idf, 6).as("tfidf"))
+  }
 }
