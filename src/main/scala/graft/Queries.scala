@@ -1472,6 +1472,31 @@ object Queries {
               |FROM split GROUP BY 1 ORDER BY split""".stripMargin
         .replaceFirst("^WITH ", "WITH RECURSIVE "))),
 
+    // incremental dedup: the new ingest batch (doc_id % 10 = 9) is hashed
+    // and band-joined against the EXISTING corpus signatures — signatures
+    // are computed once per document ever; a daily batch never rescans
+    // the 100 TB corpus text. Oracle = all band pairs touching the batch.
+    "q62_incremental_dedup" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+        val batch = docs.filter(col("doc_id") % 10 === 9)
+        val corpusSigs = Dedup.minhashSignatures(
+          corpus, "doc_id", "text", shingleN = 3, numHashes = minhashSeeds)
+        Dedup.minhashLshIncremental(batch, "doc_id", "text", corpusSigs,
+            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$duckMinhashCtes
+              |SELECT DISTINCT least(a.doc_id, b2.doc_id) AS doc_a,
+              |  greatest(a.doc_id, b2.doc_id) AS doc_b,
+              |  round(len([i for i in range(1, ${minhashSeeds + 1})
+              |    if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS est_jaccard
+              |FROM bands a JOIN bands b2
+              |  ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id <> b2.doc_id
+              |WHERE b2.doc_id % 10 = 9
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // tf-idf top terms per document (rational-idf variant: IEEE division
     // is exactly rounded so the score is bit-identical across engines;
     // libm log differs by ulps between runtimes — see TextAnalysis.tfIdf)

@@ -92,6 +92,41 @@ object Dedup {
           coalesce(col(s"m$j"), lit(MinHash.sentinel))): _*).as("sig"))
   }
 
+  /** Band a signature frame: (doc_id, sig) -> (doc_id, sig, band, bkey). */
+  private def bandSignatures(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            concat_ws("_", slice(col("sig"), b * rows + 1, rows).cast("array<string>")).as("bkey"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  /** Pairwise estimated jaccard (fraction of matching minhash positions)
+    * between two banded sides, joined on the band key. Unrolled
+    * per-position comparison (codegen'd): the zip_with/aggregate HOF form
+    * runs interpreted per pair, which dominates when the corpus genuinely
+    * contains many near-duplicates. */
+  private def bandPairs(a0: DataFrame, b0: DataFrame, numHashes: Int): DataFrame = {
+    val a = a0.as("a")
+    val b = b0.as("b")
+    val matches = (0 until numHashes)
+      .map(i => when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        round(matches.cast("double") / numHashes, 6).as("est_jaccard"))
+      .distinct()
+  }
+
   /** MinHash + LSH near-duplicate candidates.
     *
     * signatures -> `bands` bands of `numHashes/bands` rows -> docs sharing
@@ -107,7 +142,6 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
     // materialize signatures once (localCheckpoint): the band self-join
     // consumes them on both sides (probe + broadcast build), which would
     // otherwise recompute the whole shingle+hash pipeline twice. One
@@ -115,31 +149,35 @@ object Dedup {
     // (reclaimed with it by the ContextCleaner), so concurrent minhashLsh
     // calls cannot evict each other — unlike a shared cache slot.
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes).localCheckpoint()
-    val banded = sigs.select(
-      col("doc_id"),
-      col("sig"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            concat_ws("_", slice(col("sig"), b * rows + 1, rows).cast("array<string>")).as("bkey"))
-        }: _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    // unrolled per-position comparison (codegen'd): the zip_with/
-    // aggregate HOF form runs interpreted per pair, which dominates when
-    // the corpus genuinely contains many near-duplicates
-    val matches = (0 until numHashes)
-      .map(i => when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1).otherwise(0))
-      .reduce(_ + _)
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        round(matches.cast("double") / numHashes, 6).as("est_jaccard"))
-      .distinct()
+    val banded = bandSignatures(sigs, numHashes, bands)
+    bandPairs(banded, banded, numHashes)
+  }
+
+  /** Incremental MinHash-LSH: near-dup candidates between a NEW ingest
+    * batch and an existing corpus, given the corpus's stored signatures —
+    * the daily-ingest shape at 100 TB: signatures are computed once per
+    * document ever (write [[minhashSignatures]] output to a table at
+    * ingest), and each new batch only hashes itself and band-joins
+    * against the stored bands. Emits (new x corpus) and (new x new)
+    * pairs; (corpus x corpus) pairs were already known.
+    *
+    * `corpusSigs` must be (doc_id, sig) with the same shingleN/numHashes
+    * family the corpus was built with. */
+  def minhashLshIncremental(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val newSigs =
+      minhashSignatures(newDf, idCol, textCol, shingleN, numHashes).localCheckpoint()
+    val newBands = bandSignatures(newSigs, numHashes, bands)
+    val allBands = bandSignatures(corpusSigs, numHashes, bands)
+      .unionByName(newBands)
+    bandPairs(allBands, newBands, numHashes)
   }
 
   /** Per-document SimHash signature (`bits` wide, default 32): bit j is

@@ -140,6 +140,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
   }
 
+  test("incremental LSH equals full LSH restricted to batch-touching pairs") {
+    val docs = (
+      Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (109L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (119L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")) ++
+        (0L until 30L).map(i => i ->
+          s"filler document $i with words ${i * 7} ${i * 13} ${i * 17}")
+    ).toDF("doc_id", "text")
+    val isBatch = (id: Long) => id % 10 == 9
+    val corpus = docs.filter(!($"doc_id" % 10 === 9))
+    val batch = docs.filter($"doc_id" % 10 === 9)
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 12)
+    val incr = Dedup
+      .minhashLshIncremental(batch, "doc_id", "text", corpusSigs, 3, 12, 6)
+      .as[(Long, Long, Double)].collect().toSet
+    val fullAll: Set[(Long, Long, Double)] =
+      Dedup.minhashLsh(docs, "doc_id", "text", 3, 12, 6)
+        .as[(Long, Long, Double)].collect().toSet
+    val full = fullAll.filter { case (a, b, _) => isBatch(a) || isBatch(b) }
+    assert(incr == full)
+    // the planted batch/corpus near-dup pair is found
+    assert(incr.exists { case (a, b, _) => (a, b) == (100L, 109L) })
+  }
+
   test("resolveDuplicateGroups: connected components with min-id canonical") {
     // chain 1-2-3 plus isolated pair 10-11; transitivity must group the chain
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
