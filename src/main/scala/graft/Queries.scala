@@ -951,6 +951,80 @@ object Queries {
              |WHERE bucket_start + INTERVAL 5 MINUTE <= wm.w
              |ORDER BY bucket_start, event_type""".stripMargin)),
 
+    // streaming session windows under the hash gate: append mode emits
+    // exactly the sessions whose end (last event + gap) the final
+    // watermark has passed, and the values equal gap-based batch
+    // sessionization — so the oracle is q54's logic + the emission filter
+    "q63_streaming_sessions" -> Q(
+      (s, d) => {
+        val name = "graft_stream_sessions_q63"
+        s.catalog.dropTempView(name)
+        graft.streaming.EventStreams
+          .runToMemory(s, s"$d/events.parquet",
+            df => graft.streaming.EventStreams.sessionWindows(df), name)
+          .select(
+            unix_millis(col("session_start")).as("start_ms"),
+            unix_millis(col("session_end")).as("end_ms"),
+            col("user_id"), col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("start_ms"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, ts, value,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged),
+             |agg AS (
+             |  SELECT user_id, session_id, count(*) AS n_events,
+             |    epoch_ms(min(ts)) AS start_ms,
+             |    epoch_ms(max(ts)) + 1800000 AS end_ms,
+             |    round(sum(value::DECIMAL(18,6)),2)::DOUBLE AS total_value
+             |  FROM sessions GROUP BY user_id, session_id),
+             |wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events)
+             |SELECT start_ms, end_ms, user_id, n_events, total_value
+             |FROM agg, wm WHERE agg.end_ms <= wm.w
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
+    // stream-stream interval join under the hash gate: with the harness's
+    // single-file source everything arrives in the first micro-batch
+    // (watermark still 0), so no join state is evicted before matching
+    // and the emitted set equals the batch interval join exactly
+    "q64_streaming_interval_join" -> Q(
+      (s, d) => {
+        val name = "graft_stream_ssjoin_q64"
+        s.catalog.dropTempView(name)
+        val es = graft.streaming.EventStreams
+        val clicks = es.readStream(s, s"$d/events.parquet")
+          .filter(col("event_type") === "click")
+        val errors = es.readStream(s, s"$d/events.parquet")
+          .filter(col("event_type") === "error")
+        val q = es.clickErrorJoin(clicks, errors)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(name)
+          .select(
+            col("click_id"), col("user_id"),
+            unix_millis(col("click_ts")).as("click_ms"),
+            unix_millis(col("err_ts")).as("err_ms"), col("err_value"))
+          .orderBy(col("click_id"), col("err_ms"))
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id,
+             |  epoch_ms(c.ts) AS click_ms, epoch_ms(e.ts) AS err_ms,
+             |  e.value AS err_value
+             |FROM events c JOIN events e
+             |  ON c.user_id = e.user_id
+             |  AND c.event_type = 'click' AND e.event_type = 'error'
+             |  AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
+             |ORDER BY click_id, err_ms""".stripMargin)),
+
     "q36_multimodal_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
