@@ -1000,11 +1000,12 @@ object Queries {
         val name = "graft_stream_ssjoin_q64"
         s.catalog.dropTempView(name)
         val es = graft.streaming.EventStreams
-        val clicks = es.readStream(s, s"$d/events.parquet")
-          .filter(col("event_type") === "click")
-        val errors = es.readStream(s, s"$d/events.parquet")
-          .filter(col("event_type") === "error")
-        val q = es.clickErrorJoin(clicks, errors)
+        // one file source, self-joined: both sides share the listing /
+        // schema machinery instead of opening the stream twice
+        val src = es.readStream(s, s"$d/events.parquet")
+        val q = es.clickErrorJoin(
+            src.filter(col("event_type") === "click"),
+            src.filter(col("event_type") === "error"))
           .writeStream.outputMode("append").format("memory")
           .queryName(name).start()
         try q.processAllAvailable()
