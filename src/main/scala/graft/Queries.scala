@@ -45,6 +45,20 @@ object Queries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2): org.apache.spark.sql.Column =
     round(sum(c.cast("decimal(18,6)")), scale).cast("double")
 
+  /** Hash-stable double aggregation as integer micro-units. [[dsum]] is
+    * only safe when the input doubles carry <= 6 decimal places (lineitem
+    * prices are 2dp): for >6dp data (events.value) the double->DECIMAL
+    * cast itself rounds, and THAT rounding is engine- and version-
+    * dependent (Spark rounds the shortest-repr string; DuckDB rounds the
+    * binary value, with behavior that changed across releases) — the
+    * round-2 q54 driver mismatch. IEEE double multiply and floor are
+    * exactly rounded everywhere, so `floor(x*1e6)` is bit-identical in
+    * every engine; summing the resulting integers is exact in any order.
+    * Spark floor(double) is LONG already. DuckDB twin:
+    * `sum(floor(expr*1e6)::BIGINT)::BIGINT`. */
+  private def usum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(c * lit(1e6)))
+
   /** Order-independent mean: exact decimal sum -> double -> / count.
     * DuckDB twin: `round(sum(expr::DECIMAL(18,6))::DOUBLE / count(*), s)`. */
   private def davg(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
@@ -372,15 +386,15 @@ object Queries {
       (s, d) => {
         t(s, d, "events")
           .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .agg(count(lit(1)).as("n_events"), usum(col("value")).as("total_value_micros"))
           .select(
             col("window.start").as("bucket_start"),
-            col("event_type"), col("n_events"), col("total_value"))
+            col("event_type"), col("n_events"), col("total_value_micros"))
           .orderBy(col("bucket_start"), col("event_type"))
       },
       Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
              |  count(*) AS n_events,
-             |  round(sum(value::DECIMAL(18,6)),2)::DOUBLE AS total_value
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     "q17_json_extract" -> Q(
@@ -668,7 +682,7 @@ object Queries {
             count(lit(1)).as("n_events"),
             unix_millis(min(col("ts"))).as("start_ms"),
             unix_millis(max(col("ts"))).as("end_ms"),
-            dsum(col("value")).as("total_value"))
+            usum(col("value")).as("total_value_micros"))
           .orderBy(col("user_id"), col("session_id"))
       },
       Some("""WITH flagged AS (
@@ -685,7 +699,7 @@ object Queries {
              |  FROM flagged)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
-             |  round(sum(value::DECIMAL(18,6)),2)::DOUBLE AS total_value
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
              |FROM sessions GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)))
 
@@ -944,9 +958,9 @@ object Queries {
              |agg AS (
              |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
              |    event_type, count(*) AS n_events,
-             |    round(sum(value::DECIMAL(18,6)),2)::DOUBLE AS total_value
+             |    sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
              |  FROM events GROUP BY 1, 2)
-             |SELECT bucket_start, event_type, n_events, total_value
+             |SELECT bucket_start, event_type, n_events, total_value_micros
              |FROM agg, wm
              |WHERE bucket_start + INTERVAL 5 MINUTE <= wm.w
              |ORDER BY bucket_start, event_type""".stripMargin)),
@@ -965,7 +979,7 @@ object Queries {
           .select(
             unix_millis(col("session_start")).as("start_ms"),
             unix_millis(col("session_end")).as("end_ms"),
-            col("user_id"), col("n_events"), col("total_value"))
+            col("user_id"), col("n_events"), col("total_value_micros"))
           .orderBy(col("user_id"), col("start_ms"))
       },
       Some("""WITH flagged AS (
@@ -984,10 +998,10 @@ object Queries {
              |  SELECT user_id, session_id, count(*) AS n_events,
              |    epoch_ms(min(ts)) AS start_ms,
              |    epoch_ms(max(ts)) + 1800000 AS end_ms,
-             |    round(sum(value::DECIMAL(18,6)),2)::DOUBLE AS total_value
+             |    sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
              |  FROM sessions GROUP BY user_id, session_id),
              |wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events)
-             |SELECT start_ms, end_ms, user_id, n_events, total_value
+             |SELECT start_ms, end_ms, user_id, n_events, total_value_micros
              |FROM agg, wm WHERE agg.end_ms <= wm.w
              |ORDER BY user_id, start_ms""".stripMargin)),
 
@@ -1351,11 +1365,11 @@ object Queries {
         t(s, d, "events")
           .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
           .groupBy(col("bucket_id"))
-          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+          .agg(count(lit(1)).as("n_events"), usum(col("value")).as("total_micros"))
           .orderBy(col("bucket_id"))
       },
       Some("""SELECT b.bucket_id, count(*) AS n_events,
-             |  round(sum(e.value::DECIMAL(18,6)),2)::DOUBLE AS total
+             |  sum(floor(e.value*1e6)::BIGINT)::BIGINT AS total_micros
              |FROM events e
              |JOIN (SELECT range AS bucket_id, range*20 AS lo, (range+1)*20 AS hi
              |      FROM range(0,10)) b
@@ -1372,15 +1386,15 @@ object Queries {
           .agg(
             count(lit(1)).as("n_rows"),
             count(col("maybe")).as("n_nonnull"),
-            coalesce(dsum(col("maybe")), lit(0.0)).as("sum_maybe"),
+            coalesce(usum(col("maybe")), lit(0L)).as("sum_maybe_micros"),
             count(when(col("maybe").isNull, 1)).as("n_null"),
             count(nullif(col("event_type"), lit("view"))).as("n_not_view"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n_rows,
              |  count(CASE WHEN event_type = 'error' THEN value END) AS n_nonnull,
-             |  coalesce(round(sum((CASE WHEN event_type = 'error' THEN value
-             |    END)::DECIMAL(18,6)), 2)::DOUBLE, 0) AS sum_maybe,
+             |  coalesce(sum(floor((CASE WHEN event_type = 'error' THEN value
+             |    END)*1e6)::BIGINT)::BIGINT, 0) AS sum_maybe_micros,
              |  count(CASE WHEN (CASE WHEN event_type = 'error' THEN value END) IS NULL
              |    THEN 1 END) AS n_null,
              |  count(nullif(event_type, 'view')) AS n_not_view
@@ -1621,9 +1635,17 @@ object Queries {
              |SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
              |ORDER BY p_partkey, metric""".stripMargin)))
 
+  /** Per-JVM tag for q58's managed bucketed-table names: two processes
+    * (e.g. Bench and Verify) sharing a spark-warehouse path must never
+    * collide on the same table location, so each JVM writes its own. The
+    * bench-time layout reuse (warmup writes, timed run reuses) is within
+    * one JVM and still hits. */
+  private val bucketRunTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {
-    val suffix = d.replaceAll("[^a-z0-9]", "_")
+    val suffix = d.replaceAll("[^a-z0-9]", "_") + "_" + bucketRunTag
     val (lt, ot) = (s"li_bkt_$suffix", s"ord_bkt_$suffix")
     if (!(reuseLayout && s.catalog.tableExists(lt) && s.catalog.tableExists(ot))) {
       graft.operators.Bucketing.writeBucketed(

@@ -62,14 +62,15 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      // decimal-summed like the batch twin q16: exact addition keeps the
-      // streaming result bit-identical regardless of micro-batch order
+      // integer micro-units like the batch twin q16: floor(x*1e6) is an
+      // exactly-rounded IEEE op in every engine, and summing the
+      // resulting longs is exact regardless of micro-batch order
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
+        sum(floor(col("value") * lit(1e6))).as("total_value_micros"))
       .select(
         col("window.start").as("bucket_start"),
-        col("event_type"), col("n_events"), col("total_value"))
+        col("event_type"), col("n_events"), col("total_value_micros"))
 
   /** Session-window aggregation (gap-based, built-in session_window). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
@@ -78,11 +79,11 @@ object EventStreams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
+        sum(floor(col("value") * lit(1e6))).as("total_value_micros"))
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("user_id"), col("n_events"), col("total_value"))
+        col("user_id"), col("n_events"), col("total_value_micros"))
 
   /** Custom sessionization with explicit state. A session closes (and
     * its summary is emitted) when a later event arrives past the gap.

@@ -26,7 +26,7 @@ object StreamProbe {
       .select(
         unix_millis(col("session_start")).as("start_ms"),
         unix_millis(col("session_end")).as("end_ms"),
-        col("user_id"), col("n_events"), col("total_value"))
+        col("user_id"), col("n_events"), col("total_value_micros"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/sessions")
     spark.catalog.dropTempView("probe_ssjoin")
     val clicks = es.readStream(spark, s"$sfDir/events.parquet")

@@ -80,6 +80,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("nullts").isEmpty)
   }
 
+  test("window-composition as-of join: NULL keys and timestamps never match") {
+    // same contract as AsOfJoinExec — right NULL key/ts rows are filtered
+    // up front, left NULL key/ts rows bypass payload pickup
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), "ok"),
+      (None, Some(ts("2024-01-01 10:00:00")), "nullkey"),
+      (Some(1L), None, "nullts"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), 1.0),
+      (None, Some(ts("2024-01-01 08:00:00")), 7.0), // must never match
+      (Some(2L), None, 9.0)) // must never match
+      .toDF("k", "t", "v")
+    val got = AsOfJoin(left, right, "k", "t", "t", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got("ok").contains(1.0))
+    assert(got("nullkey").isEmpty)
+    assert(got("nullts").isEmpty)
+  }
+
   test("AsOfJoinExec: string key matches the window-composition operator") {
     val left = Seq(
       ("us", ts("2024-01-01 10:00:00"), "a"),

@@ -37,7 +37,7 @@ class StreamingSpec extends AnyFunSuite {
       df => EventStreams.sessionWindows(df), "stream_test_sessions")
     assert(sessions.count() > 0)
     assert(sessions.columns.toSet ==
-      Set("session_start", "session_end", "user_id", "n_events", "total_value"))
+      Set("session_start", "session_end", "user_id", "n_events", "total_value_micros"))
   }
 
   test("streaming dedup: duplicated source collapses to unique event_ids") {

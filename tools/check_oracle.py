@@ -21,7 +21,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # full precision (shortest round-trip repr): a 9-sig-digit canon
+        # hides ulp-level engine differences that the driver's hash catches
+        return repr(v)
     return str(v)
 
 
