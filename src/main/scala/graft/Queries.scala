@@ -1065,7 +1065,44 @@ object Queries {
              |  sum((nb // 7) % 480 + 1)::BIGINT AS sum_h,
              |  sum(CASE WHEN modality = 'video' THEN nb // 100 + 1 ELSE 1 END)::BIGINT
              |    AS sum_frames
-             |FROM a GROUP BY modality ORDER BY modality""".stripMargin)))
+             |FROM a GROUP BY modality ORDER BY modality""".stripMargin)),
+
+    // REAL codec round-trip: each doc_id is encoded executor-side as a
+    // genuine BMP / PNG / WAV file (id-derived dims), then decoded by
+    // parsing the actual container headers (Codecs). The oracle predicts
+    // every parsed field — and the exact encoded byte size for the
+    // fixed-layout formats — from doc_id arithmetic: wrong header layout
+    // on either the encode or parse side fails the hash. PNG byte size is
+    // deflate-dependent (not SQL-predictable), so it is NULLed both sides;
+    // its width/height/bit_depth still come from the parsed IHDR.
+    "q65_real_codec_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMediaAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeMedia(assets)
+          .select(
+            col("asset_id"), col("codec"), col("width"), col("height"),
+            col("bit_depth"), col("sample_rate"), col("n_channels"),
+            col("n_samples"),
+            when(col("codec") =!= "png", col("n_bytes")).as("n_bytes"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  ['bmp','png','wav'][CAST(doc_id % 3 AS INT) + 1] AS codec,
+             |  CASE WHEN doc_id % 3 < 2 THEN doc_id % 31 + 1 END AS width,
+             |  CASE WHEN doc_id % 3 < 2 THEN doc_id % 17 + 1 END AS height,
+             |  CASE WHEN doc_id % 3 = 0 THEN 24::BIGINT
+             |       WHEN doc_id % 3 = 1 THEN 8::BIGINT
+             |       ELSE 16::BIGINT END AS bit_depth,
+             |  CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000 END
+             |    AS sample_rate,
+             |  CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END AS n_channels,
+             |  CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 1 END AS n_samples,
+             |  CASE WHEN doc_id % 3 = 0 THEN
+             |         54 + (doc_id % 17 + 1) * (((3 * (doc_id % 31 + 1) + 3) // 4) * 4)
+             |       WHEN doc_id % 3 = 2 THEN
+             |         44 + (doc_id % 100 + 1) * (doc_id % 2 + 1) * 2 END AS n_bytes
+             |FROM documents ORDER BY asset_id""".stripMargin)))
 
   // ---------------------------------------------------------------------
   // Extended SQL surface: grouping sets, subquery decorrelation through

@@ -31,6 +31,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("BMP encode/parse round-trip: header fields and exact file size") {
+    val b = graft.multimodal.Codecs.encodeBmp(13, 7, seed = 42L)
+    assert(b.length == graft.multimodal.Codecs.bmpFileSize(13, 7))
+    assert(b.length == 54 + 7 * ((3 * 13 + 3) / 4 * 4))
+    val info = graft.multimodal.Codecs.parseBmp(b).get
+    assert(info.width == 13 && info.height == 7 && info.bitDepth == 24)
+    // top-down BMPs store negative height: magnitude surfaces
+    val neg = b.clone()
+    val h = -7
+    neg(22) = h.toByte; neg(23) = (h >> 8).toByte
+    neg(24) = (h >> 16).toByte; neg(25) = (h >> 24).toByte
+    assert(graft.multimodal.Codecs.parseBmp(neg).get.height == 7)
+  }
+
+  test("PNG encode/parse round-trip: IHDR fields and inflatable IDAT") {
+    val C = graft.multimodal.Codecs
+    val b = C.encodePng(5, 3, seed = 9L)
+    val info = C.parsePng(b).get
+    assert(info.width == 5 && info.height == 3 && info.bitDepth == 8)
+    // the IDAT really is zlib-compressed scanline data, not filler:
+    // inflating yields height * (1 filter byte + 3*width) bytes with the
+    // deterministic pixel fill
+    val raw = C.inflateIdat(b)
+    assert(raw.length == 3 * (1 + 3 * 5))
+    assert(raw(0) == 0) // filter type 0 on every scanline
+    assert((raw(1) & 0xff) == 9) // pixel (0,0) low byte = seed
+  }
+
+  test("WAV encode/parse round-trip incl. chunk walking") {
+    val C = graft.multimodal.Codecs
+    val b = C.encodeWav(sampleRate = 16000, channels = 2, nSamples = 25, seed = 1L)
+    assert(b.length == C.wavFileSize(2, 25))
+    val a = C.parseWav(b).get
+    assert(a.sampleRate == 16000 && a.channels == 2 &&
+      a.bitsPerSample == 16 && a.nSamples == 25L)
+  }
+
+  test("parsers reject non-media payloads and truncated headers") {
+    val C = graft.multimodal.Codecs
+    assert(C.sniff("hello world, definitely not media".getBytes).isEmpty)
+    assert(C.parseBmp("BMxx".getBytes).isEmpty) // magic but truncated
+    assert(C.parsePng(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
+    assert(C.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("decodeMedia parses synthesized assets distributed-side") {
+    val ids = spark.range(0, 30).toDF("doc_id")
+    val decoded = Multimodal
+      .decodeMedia(Multimodal.synthesizeMediaAssets(ids))
+      .orderBy("asset_id").collect()
+    assert(decoded.length == 30)
+    decoded.foreach { r =>
+      val i = r.getLong(0)
+      (i % 3) match {
+        case 0 =>
+          assert(r.getString(1) == "bmp")
+          assert(r.getLong(2) == i % 31 + 1 && r.getLong(3) == i % 17 + 1)
+          assert(r.getLong(4) == 24)
+        case 1 =>
+          assert(r.getString(1) == "png")
+          assert(r.getLong(2) == i % 31 + 1 && r.getLong(3) == i % 17 + 1)
+          assert(r.getLong(4) == 8)
+        case _ =>
+          assert(r.getString(1) == "wav")
+          assert(r.getLong(5) == 8000 + (i % 8) * 1000)
+          assert(r.getLong(6) == i % 2 + 1 && r.getLong(7) == i % 100 + 1)
+      }
+    }
+  }
+
+  test("decodeFeatures uses real parsed dims for real media payloads") {
+    val C = graft.multimodal.Codecs
+    val assets = Seq(
+      (1L, "image", C.encodeBmp(20, 10, 0L), ("s", 0L)),
+      (2L, "image", C.encodePng(8, 4, 0L), ("s", 0L)))
+      .toDF("asset_id", "modality", "bytes", "meta")
+    val got = Multimodal.decodeFeatures(assets)
+      .select("asset_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((20, 10)))
+    assert(got(2L) == ((8, 4)))
+  }
+
   test("frame sampling strides video frame offsets") {
     val feats = Multimodal.decodeFeatures(Multimodal.assetsFromDocuments(docs))
     val sampled = Multimodal.sampleFrames(feats, stride = 2)
