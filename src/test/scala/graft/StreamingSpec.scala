@@ -123,6 +123,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter($"event_type" === "click" && $"n_events" === 1).count() >= 1)
   }
 
+  test("session windows: 3-batch out-of-order delivery equals single-batch") {
+    // the evidence that q63's emission gate is a semantics of the
+    // operator, not single-batch luck: the same event set delivered in
+    // one batch and in three chronologically-overlapping batches (each
+    // late row within the 10-min watermark of the prior batch's max)
+    // must emit the identical session set
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
+    val b1 = Seq(
+      ev(1, "2024-06-01 10:00:00", 1, 1.5),
+      ev(2, "2024-06-01 10:05:00", 1, 2.5),
+      ev(3, "2024-06-01 10:02:00", 2, 0.25))
+    val b2 = Seq( // wm after b1 = 10:05 - 10min = 09:55
+      ev(4, "2024-06-01 09:58:00", 2, 0.5), // 7 min late: within watermark
+      ev(5, "2024-06-01 10:20:00", 1, 1.0), // extends user 1's session
+      ev(6, "2024-06-01 10:30:00", 3, 9.0))
+    val b3 = Seq( // wm after b2 = 10:30 - 10min = 10:20
+      ev(7, "2024-06-01 12:00:00", 1, 4.0), // user 1's second session
+      ev(8, "2024-06-01 10:25:00", 2, 0.125), // late again, still within wm
+      ev(9, "2024-06-01 18:00:00", 9, 0.5)) // watermark pusher
+    def run(batches: Seq[Seq[EventStreams.Event]], name: String): Set[String] = {
+      spark.catalog.dropTempView(name)
+      val input = MemoryStream[EventStreams.Event]
+      val q = EventStreams.sessionWindows(input.toDF())
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect().map(_.mkString("|")).toSet
+    }
+    val single = run(Seq(b1 ++ b2 ++ b3), "mb_sessions_single")
+    val multi = run(Seq(b1, b2, b3), "mb_sessions_multi")
+    assert(single.nonEmpty)
+    // sessions for users 1 (x2 merged+split), 2 (merged across batches), 3
+    // are emitted; user 9's open session is withheld in BOTH modes
+    assert(multi == single, s"multi=$multi\nsingle=$single")
+    assert(single.size == 4)
+  }
+
+  test("interval join: 3-batch delivery equals single-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+      EventStreams.Event(id, Timestamp.valueOf(t), u, typ, v, "{}")
+    val b1 = Seq(
+      ev(1, "2024-06-01 10:00:00", 1, "error", 5.0),
+      ev(2, "2024-06-01 10:10:00", 1, "click", 0.0))
+    val b2 = Seq(
+      ev(3, "2024-06-01 10:25:00", 1, "click", 0.0), // joins batch-1 error
+      ev(4, "2024-06-01 10:30:00", 2, "error", 7.0))
+    val b3 = Seq(
+      ev(5, "2024-06-01 10:40:00", 2, "click", 0.0), // joins batch-2 error
+      ev(6, "2024-06-01 11:20:00", 1, "click", 0.0), // out of interval: no match
+      ev(7, "2024-06-01 18:00:00", 9, "click", 0.0)) // watermark pusher
+    def run(batches: Seq[Seq[EventStreams.Event]], name: String): Set[String] = {
+      spark.catalog.dropTempView(name)
+      val input = MemoryStream[EventStreams.Event]
+      val src = input.toDF()
+      val q = EventStreams.clickErrorJoin(
+          src.filter($"event_type" === "click"),
+          src.filter($"event_type" === "error"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect().map(_.mkString("|")).toSet
+    }
+    val single = run(Seq(b1 ++ b2 ++ b3), "mb_ssjoin_single")
+    val multi = run(Seq(b1, b2, b3), "mb_ssjoin_multi")
+    assert(single.nonEmpty)
+    assert(multi == single, s"multi=$multi\nsingle=$single")
+    // exactly the three in-interval pairs: (click2,err1), (click3,err1), (click5,err4)
+    assert(single.size == 3)
+  }
+
   test("sessionize event-time timeout emits the final session of a silent user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
