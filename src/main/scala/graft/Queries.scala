@@ -1017,14 +1017,9 @@ object Queries {
         // one file source, self-joined: both sides share the listing /
         // schema machinery instead of opening the stream twice
         val src = es.readStream(s, s"$d/events.parquet")
-        val q = es.clickErrorJoin(
+        es.drainToTable(s, es.clickErrorJoin(
             src.filter(col("event_type") === "click"),
-            src.filter(col("event_type") === "error"))
-          .writeStream.outputMode("append").format("memory")
-          .queryName(name).start()
-        try q.processAllAvailable()
-        finally q.stop()
-        s.table(name)
+            src.filter(col("event_type") === "error")), name)
           .select(
             col("click_id"), col("user_id"),
             unix_millis(col("click_ts")).as("click_ms"),

@@ -184,21 +184,54 @@ object EventStreams {
         col("err_value"))
   }
 
+  /** State-store partition count for the local harness streams. A
+    * streaming query's state is partitioned by `spark.sql.shuffle
+    * .partitions` AT START and every micro-batch then touches every
+    * state partition (delta file writes, snapshot upkeep) — so unlike a
+    * batch shuffle, over-partitioning a stream has a per-batch fixed
+    * cost even when the state is tiny. Sizing it to the load is the
+    * standard per-query production tuning; at 100 TB/day this would be
+    * raised back up with the data volume. */
+  private val statePartitions = 8
+
+  /** Checkpoint dir on tmpfs when the host has one: offset/commit logs
+    * and state deltas are fsynced per micro-batch, which dominates the
+    * fixed overhead of short-lived local streams on disk-backed temp. */
+  private def newCheckpointDir(): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft_ckpt_").toString
+  }
+
+  /** Start `out` as an append-mode memory-sink stream, drain all
+    * available input, and return the result table. The reduced state
+    * partitioning and tmpfs checkpoint change no semantics — only the
+    * fixed per-micro-batch overhead. */
+  def drainToTable(spark: SparkSession, out: DataFrame, queryName: String): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .option("checkpointLocation", newCheckpointDir())
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(queryName)
+  }
+
   /** Run a streaming query over `dir` into an in-memory table and block
     * until all available input is processed (local smoke harness). */
   def runToMemory(
       spark: SparkSession,
       dir: String,
       transform: DataFrame => DataFrame,
-      queryName: String): DataFrame = {
-    val q = transform(readStream(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
-  }
+      queryName: String): DataFrame =
+    drainToTable(spark, transform(readStream(spark, dir)), queryName)
 }
