@@ -505,6 +505,34 @@ object Queries {
        |    for j in range(0, 32)]) AS BIGINT) AS simhash
        |  FROM h)""".stripMargin
 
+  /** DuckDB CTE reproducing per-doc FULL 64-bit simhash. The token hash
+    * is the first 8 md5 digest bytes as a signed BIGINT; since DuckDB
+    * cannot parse 16 hex chars into a signed BIGINT, bit j is recovered
+    * from two partial parses (chars 2-16 = bits 0-59, char 1 = bits
+    * 60-63), and the sign bit's weight is the literal Long.MIN (1<<63
+    * overflows DuckDB's checked shift). */
+  private def duckSimhash64Cte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS t FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    [('0x'||substr(md5(tok),2,15))::BIGINT for tok in t] AS hlo,
+       |    [('0x'||substr(md5(tok),1,1))::BIGINT for tok in t] AS hhi
+       |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id, CAST(
+       |    list_sum([
+       |      CASE WHEN list_sum([CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END for hh in hlo]) > 0
+       |      THEN (1::BIGINT << j) ELSE 0 END
+       |      for j in range(0, 60)])
+       |    + list_sum([
+       |      CASE WHEN list_sum([CASE WHEN ((hh >> (j-60)) & 1) = 1 THEN 1 ELSE -1 END for hh in hhi]) > 0
+       |      THEN (CASE WHEN j = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << j) END)
+       |      ELSE 0 END
+       |      for j in range(60, 64)])
+       |    AS BIGINT) AS simhash
+       |  FROM h)""".stripMargin
+
   private val dedup: Seq[(String, Q)] = Seq(
     "q20_dedup_exact" -> Q(
       (s, d) => {
@@ -560,6 +588,26 @@ object Queries {
           .limit(20)
       },
       Some(s"""$duckSimhashCte
+              |SELECT doc_a, doc_b, hamming FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              |WHERE hamming <= 3
+              |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin)),
+
+    // 64-bit signatures: at 100x the corpus, 32-bit simhash saturates
+    // (random 32-bit pairs collide at hamming <= 3 far too often); the
+    // full-width digest hash doubles the chunk-key space to >= 32 bits
+    // per blocking table. Same guaranteed-recall scheme, same
+    // brute-force oracle
+    "q66_simhash64_neardup" -> Q(
+      (s, d) => {
+        Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text",
+            bits = 64, numChunks = 6, maxHamming = 3)
+          .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some(s"""$duckSimhash64Cte
               |SELECT doc_a, doc_b, hamming FROM (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |    bit_count(xor(a.simhash, b.simhash))::INT AS hamming

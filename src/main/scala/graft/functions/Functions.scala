@@ -39,6 +39,11 @@ object Functions {
     * allocation-free [[Md5Hash64]] expression. */
   def hash64(c: Column): Column = column(Md5Hash64(expression(c)))
 
+  /** Full-width 64-bit (signed) variant: first 8 md5 digest bytes
+    * big-endian. For signature math that wants all 64 bits (64-bit
+    * SimHash's chunk-key space). */
+  def hash64Full(c: Column): Column = column(Md5Hash64Full(expression(c)))
+
   /** Seeded variant: hash64(seed || ':' || c). */
   def hash64(c: Column, seed: Int): Column =
     hash64(concat(lit(s"$seed:"), c))

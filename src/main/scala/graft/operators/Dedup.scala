@@ -186,11 +186,17 @@ object Dedup {
     * [[minhashSignatures]]: one md5 per distinct token, `bits` sum
     * aggregates with map-side partials. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
+    // hash64 carries 60 bits (its top 4 are always 0 — they would vote
+    // every signature bit >= 60 to constant 0); wider signatures use the
+    // full-width digest hash
+    val tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (bits > 60) hash64Full else hash64
     val h = df
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
       .repartition(col("doc_id")) // distribute CPU work; reused by groupBy
       .select(col("doc_id"), explode(array_distinct(tokens(col("_text")))).as("t"))
-      .select(col("doc_id"), hash64(col("t")).as("h"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
     val votes = h
       .groupBy(col("doc_id"))
       .agg(

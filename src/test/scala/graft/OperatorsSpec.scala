@@ -233,6 +233,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains((100L, 101L, 0))) // exact dup planted
   }
 
+  test("64-bit simhash: full-width signatures, blocking = brute force") {
+    val docs = (
+      Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (102L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (103L, "mu nu xi omicron pi rho sigma tau upsilon phi")) ++
+        (0L until 40L).map(i => i ->
+          s"noise document ${i} ${i * 3} ${i * 7} ${i * 11} ${i * 13} ${i * 17}")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", bits = 64)
+      .as[(Long, Long)].collect().toMap
+    // full-width: across a corpus the top 4 bits must carry signal
+    // (hash64's 60-bit variant would pin them all to 0)
+    assert(sigs.values.exists(s => (s >>> 60) != 0L))
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text",
+        bits = 64, numChunks = 6, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((100L, 101L, 0)))
+  }
+
   test("brute-force top-k: excludes self, ranks by cosine desc") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
