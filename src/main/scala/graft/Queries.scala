@@ -654,6 +654,36 @@ object Queries {
               |JOIN g gb ON cand.doc_b = gb.doc_id
               |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
 
+    // exact-threshold guarantee path: prefix-filter candidates (SSJoin/
+    // PPJoin family) + exact verification. Oracle is the full quadratic
+    // threshold join — matching it exactly is the recall guarantee under
+    // test (LSH candidates, by contrast, are only probabilistically
+    // complete)
+    "q67_prefix_filter_jaccard" -> Q(
+      (s, d) => {
+        Dedup.ppjoinJaccard(t(s, d, "documents"), "doc_id", "text",
+            shingleN = 2, threshold = 0.5)
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |g0 AS (
+              |  SELECT doc_id,
+              |    list_distinct([array_to_string(t[i:i+1], ' ')
+              |      for i in range(1, len(t))]) AS grams
+              |  FROM t0),
+              |g AS (
+              |  SELECT doc_id, [${dHash64("x")} for x in grams] AS h
+              |  FROM g0)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    round(len(list_intersect(a.h, b.h))::DOUBLE /
+              |          len(list_distinct(a.h || b.h)), 6) AS jaccard
+              |  FROM g a JOIN g b
+              |    ON a.doc_id < b.doc_id AND len(a.h) > 0 AND len(b.h) > 0)
+              |WHERE jaccard >= 0.5
+              |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin)),
+
     "q26_embedding_neardup" -> Q(
       (s, d) => {
         Dedup.embeddingNearDupPairs(

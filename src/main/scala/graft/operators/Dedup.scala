@@ -444,6 +444,71 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filter candidate generation for threshold-Jaccard self-join
+    * (the SSJoin/PPJoin family: Chaudhuri/Ganti/Kaushik ICDE'06,
+    * Bayardo/Ma/Srikant WWW'07, Xiao/Wang/Lin/Yu WWW'08). Orders every
+    * doc's gram set by ascending document frequency (rarest first; gram
+    * value tie-break) and keeps only the first `n - ceil(t*n) + 1` grams:
+    * two sets with Jaccard >= t MUST share at least one prefix gram under
+    * any common global order, so joining on prefix grams (plus the length
+    * filter `|y| >= t*|x|`) yields a candidate set with GUARANTEED recall
+    * at threshold t — the exact-threshold alternative to MinHash-LSH
+    * candidates, whose recall is only probabilistic.
+    *
+    * Scale shape: df-count is one shuffle; the rarest-first order makes
+    * prefix buckets small by construction (a gram appearing in k docs
+    * contributes at most C(k,2) candidate pairs and rare grams dominate
+    * prefixes), unlike natural-key blocking where one Zipf-hot block goes
+    * quadratic. */
+  def prefixFilterCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val docGram = df
+      .repartition(col(idCol))
+      .select(
+        col(idCol).as("doc_id"),
+        explode(array_distinct(transform(wordShingles(col(textCol), shingleN), g => hash64(g))))
+          .as("g"))
+    val dfreq = docGram.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+    val ordered = docGram
+      .join(dfreq, "g")
+      .select(
+        col("doc_id"), col("g"),
+        row_number().over(w.orderBy(col("df"), col("g"))).as("rk"),
+        count(lit(1)).over(w).as("n"))
+    val prefix = ordered
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("g"), col("n"))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    a.join(b,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
+          col("a.n") >= ceil(lit(threshold) * col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact threshold-Jaccard self-join: prefix-filter candidates, then
+    * exact verification — every pair with jaccard >= threshold, none
+    * missed (unlike the LSH path), no all-pairs join. */
+  def ppjoinJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame =
+    ngramJaccardOnCandidates(
+      df, idCol, textCol,
+      prefixFilterCandidates(df, idCol, textCol, shingleN, threshold),
+      shingleN, minJaccard = threshold)
+
   /** Embedding near-duplicate pairs: block on provided columns plus a
     * 4-bit sign-bucket of the leading dimensions, then exact cosine. */
   def embeddingNearDupPairs(

@@ -259,6 +259,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.contains((100L, 101L, 0)))
   }
 
+  test("prefix-filter jaccard join = brute-force threshold join") {
+    // guaranteed recall at the threshold: the prefix-filter path must
+    // return EXACTLY the all-pairs jaccard >= t set on a corpus with
+    // planted near-dups whose shared grams span the frequency order
+    val docs = (
+      Seq(
+        (200L, "the quick brown fox jumps over the lazy dog tonight"),
+        (201L, "the quick brown fox jumps over the lazy cat tonight"),
+        (202L, "the quick brown fox leaps over the lazy dog tonight"),
+        (203L, "entirely different words appear in this document body here")) ++
+        (0L until 40L).map(i => i ->
+          s"filler text ${i} ${i * 5} ${i * 7} common pad ${i * 11} tail")
+    ).toDF("doc_id", "text")
+    val brute = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", Seq(lit(1)),
+        shingleN = 2, minJaccard = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup
+      .ppjoinJaccard(docs, "doc_id", "text", shingleN = 2, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute, s"got=$got\nbrute=$brute")
+    assert(got.exists { case (a, b, _) => (a, b) == ((200L, 201L)) })
+  }
+
   test("brute-force top-k: excludes self, ranks by cosine desc") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
