@@ -1140,6 +1140,33 @@ object Queries {
              |    AS sum_frames
              |FROM a GROUP BY modality ORDER BY modality""".stripMargin)),
 
+    // sequence packing (pretraining layout): global token offsets via a
+    // distributed prefix-sum (bucketed local windows + broadcast bucket
+    // bases — never a one-partition global window), then concatenate-
+    // and-chunk arithmetic. The oracle is the plain global running sum.
+    "q68_sequence_packing" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"),
+          size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+        graft.operators.Packing
+          .packSequences(docs, "doc_id", "n_tokens", capacity = 512, bucketSpan = 128)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+             |  FROM documents),
+             |off AS (
+             |  SELECT doc_id, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             |      AS start_offset
+             |  FROM toks)
+             |SELECT doc_id, n_tokens, start_offset,
+             |  start_offset // 512 AS chunk_id,
+             |  start_offset % 512 AS chunk_offset
+             |FROM off ORDER BY doc_id""".stripMargin)),
+
     // REAL codec round-trip: each doc_id is encoded executor-side as a
     // genuine BMP / PNG / WAV file (id-derived dims), then decoded by
     // parsing the actual container headers (Codecs). The oracle predicts

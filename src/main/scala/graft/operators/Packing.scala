@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines: documents are laid out in
+  * a deterministic global order, concatenated, and cut into fixed-size
+  * context windows — each doc gets its global token offset, the chunk it
+  * starts in, and its offset within that chunk.
+  *
+  * The global running sum is computed as a distributed prefix-sum, NOT a
+  * single global window (which Spark would execute on one partition —
+  * the classic scale trap of `Window.orderBy` with no partitionBy):
+  * contiguous id ranges form buckets, each bucket computes its local
+  * running sums in parallel, bucket totals (one row per bucket) get a
+  * tiny driver-scale cumulative base, and the base is broadcast-joined
+  * back. At 100 TB the big table is touched by exactly one
+  * hash-partitioned window plus one broadcast join.
+  */
+object Packing {
+
+  /** Lay out `df` rows in ascending `idCol` order and pack their token
+    * counts into chunks of `capacity` tokens. Emits the input columns
+    * `idCol`, `nTokensCol` plus `start_offset`, `chunk_id`,
+    * `chunk_offset` (all longs).
+    *
+    * `bucketSpan` is the id-range width per prefix-sum bucket: ids in
+    * `[i*span, (i+1)*span)` form bucket i, so buckets partition the
+    * global order into contiguous runs. Size it so a bucket's rows fit
+    * one task comfortably (span 2^20 at ~1k tokens/doc = ~1 GB of
+    * counted tokens per bucket). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      capacity: Long,
+      bucketSpan: Long = 1L << 20): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(bucketSpan > 0, s"bucketSpan must be positive, got $bucketSpan")
+    val id: Column = col(idCol).cast("long")
+    val n: Column = col(nTokensCol).cast("long")
+    val inBucket = Window.partitionBy(col("_bucket")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = df
+      .withColumn("_bucket", floor(id / lit(bucketSpan)))
+      .withColumn("_local_off", coalesce(sum(n).over(inBucket), lit(0L)))
+    // bucket totals: one row per bucket — the single-partition window
+    // below runs over ~(max id / span) rows, never over the data
+    val overBuckets = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = local
+      .groupBy(col("_bucket"))
+      .agg(sum(n).as("_total"))
+      .withColumn("_base", coalesce(sum(col("_total")).over(overBuckets), lit(0L)))
+      .select(col("_bucket"), col("_base"))
+    local
+      .join(broadcast(bases), "_bucket")
+      .withColumn("start_offset", col("_base") + col("_local_off"))
+      .select(
+        col(idCol), n.as(nTokensCol),
+        col("start_offset"),
+        // integral `div`, not floor(double /): offsets past 2^53 would
+        // lose precision through a double round-trip
+        expr(s"start_offset div ${capacity}L").as("chunk_id"),
+        expr(s"start_offset % ${capacity}L").as("chunk_offset"))
+  }
+}

@@ -131,12 +131,17 @@ object Similarity {
     val seeds = corpus
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
       .orderBy(col("cent_id")).limit(k)
-    var cents: DataFrame = seeds
+    // the centroid matrix lives driver-side between rounds (it is the
+    // one small collect this trainer makes); only the per-round (cell,
+    // dim) mean reduction is a cluster job
+    var centMap: Map[Long, Array[Float]] = seeds
       .as[(Long, Array[Float])].collect().sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }
-      .toSeq.toDF("cent_id", "cent_vec")
+      .toMap
+    def asDf(m: Map[Long, Array[Float]]): DataFrame =
+      m.toSeq.sortBy(_._1).toDF("cent_id", "cent_vec")
     for (_ <- 0 until iterations) {
-      val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+      val assigned = ivfAssign(corpus, idCol, vecCol, asDf(centMap))
         .toDF("vid", "v", "cell")
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -148,12 +153,11 @@ object Similarity {
           (math.round(r._3 * 1e6) / 1e6).toFloat)
       }
       // a cell that lost all members keeps its previous centroid
-      val prev = cents.as[(Long, Array[Float])].collect().toMap
-      cents = (0L until k.toLong)
-        .map(c => (c, byCell.getOrElse(c, prev(c))))
-        .toDF("cent_id", "cent_vec")
+      centMap = (0L until k.toLong)
+        .map(c => c -> byCell.getOrElse(c, centMap(c)))
+        .toMap
     }
-    cents
+    asDf(centMap)
   }
 
   /** Multi-probe cell assignment for the QUERY side: each vector probes

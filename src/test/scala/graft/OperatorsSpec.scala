@@ -283,6 +283,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, _) => (a, b) == ((200L, 201L)) })
   }
 
+  test("sequence packing: bucketed prefix-sum = global running sum") {
+    // ids straddle several buckets (span 8) with gaps and ragged counts
+    val docs = Seq(5L -> 3L, 6L -> 10L, 9L -> 7L, 17L -> 1L, 18L -> 20L,
+        40L -> 2L, 41L -> 5L)
+      .toDF("doc_id", "n_tokens")
+    val got = graft.operators.Packing
+      .packSequences(docs, "doc_id", "n_tokens", capacity = 16, bucketSpan = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // brute force: running sum in id order
+    val counts = Seq(5L -> 3L, 6L -> 10L, 9L -> 7L, 17L -> 1L, 18L -> 20L,
+      40L -> 2L, 41L -> 5L)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
+    val want = counts.zip(offsets).map { case ((id, n), off) =>
+      (id, n, off, off / 16, off % 16)
+    }
+    assert(got == want)
+    // a doc can START in any chunk position; chunk arithmetic must agree
+    assert(got.forall { case (_, _, off, cid, coff) =>
+      cid * 16 + coff == off && coff >= 0 && coff < 16
+    })
+  }
+
   test("brute-force top-k: excludes self, ranks by cosine desc") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
