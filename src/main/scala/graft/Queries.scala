@@ -1754,6 +1754,32 @@ object Queries {
              |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
              |ORDER BY doc_id, rank""".stripMargin)),
 
+    // Okapi BM25 retrieval scoring (rational-idf variant under the hash
+    // gate — see TextAnalysis.bm25: with the ln dropped, every op is an
+    // exactly-rounded IEEE op over an identical expression tree, so both
+    // engines produce bit-identical doubles). Top-100 scores corpus-wide.
+    "q69_bm25_scores" -> Q(
+      (s, d) => {
+        TextAnalysis
+          .bm25(t(s, d, "documents"), "doc_id", "text", rationalIdf = true)
+          .orderBy(col("bm25").desc, col("doc_id"), col("term"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+             |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+             |terms AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+             |tfq AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS dfq FROM tfq GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE AS tot_dl FROM dl)
+             |SELECT doc_id, term, tf,
+             |  round(((n_docs - dfq + 0.5::DOUBLE) / (dfq + 0.5::DOUBLE))
+             |    * (tf * 2.2::DOUBLE)
+             |    / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+             |        + 0.75::DOUBLE * dl / (tot_dl / n_docs))), 6) AS bm25
+             |FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+             |ORDER BY bm25 DESC, doc_id, term LIMIT 100""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")

@@ -118,4 +118,46 @@ object TextAnalysis {
         col("doc_id"), col("term"), col("tf"),
         round(col("tf") * idf, 6).as("tfidf"))
   }
+
+  /** Per-(doc, term) Okapi BM25 scores (Robertson & Spärck Jones
+    * probabilistic relevance framework) — the retrieval-scoring sibling
+    * of [[tfIdf]] for search/RAG over a curated corpus. `k1` tunes term-
+    * frequency saturation, `b` document-length normalization.
+    *
+    * Same two-shuffle shape as tfIdf plus a doc-length join; corpus
+    * stats (N, total length) broadcast as a one-row frame.
+    *
+    * `rationalIdf = true` drops the `ln` from
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`: every remaining op
+    * (+, -, *, /) is exactly rounded in IEEE so the score is
+    * bit-identical across engines when the expression tree matches —
+    * that variant is what the DuckDB oracle checks. The classic log
+    * form is the production default. */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      rationalIdf: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val docLen = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val terms = toks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy(col("term")).agg(count(lit(1)).as("dfq"))
+    val stats = docLen.select(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val rawIdf = (col("n_docs") - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5))
+    val idf = if (rationalIdf) rawIdf else log(lit(1.0) + rawIdf)
+    val norm = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)
+    terms
+      .join(docFreq, "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"), col("term"), col("tf"),
+        round(idf * (col("tf") * lit(k1 + 1)) / norm, 6).as("bm25"))
+  }
 }

@@ -452,4 +452,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.083333) // 1/12 rounded to 6dp
     assert(r.getAs[Double]("stopword_ratio") == 0.333333)
   }
+
+  test("bm25: rare terms beat common terms, long docs are penalized") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "common filler filler filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25(docs, "doc_id", "text")
+      .select($"doc_id", $"term", $"bm25")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, tm, s) => (id, tm) -> s }.toMap
+    // idf dominance: 'rare' (df=1) outscores 'common' (df=3) in doc 1
+    assert(scores((1L, "rare")) > scores((1L, "common")))
+    // length normalization: one 'common' in a short doc beats one in a
+    // long doc
+    assert(scores((1L, "common")) > scores((3L, "common")))
+    // tf saturation: tf=3 scores more than tf=1 at the same length but
+    // less than 3x (k1 saturates term frequency)
+    assert(scores((2L, "common")) > scores((1L, "common")))
+    assert(scores((2L, "common")) < 3 * scores((1L, "common")))
+    // rational variant agrees with the log form on ordering
+    val rat = TextAnalysis.bm25(docs, "doc_id", "text", rationalIdf = true)
+      .select($"doc_id", $"term", $"bm25")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, tm, s) => (id, tm) -> s }.toMap
+    assert(rat((1L, "rare")) > rat((1L, "common")))
+  }
 }
