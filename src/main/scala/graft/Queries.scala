@@ -705,40 +705,58 @@ object Queries {
              |  AND a.vec_id < b.vec_id
              |ORDER BY cos DESC, vec_a, vec_b LIMIT 50""".stripMargin)))
 
+  /** The LSH candidate pairs both CC resolvers consume (q53, q70). */
+  private def lshResolvePairs(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+      .filter(col("est_jaccard") >= 0.5)
+
+  /** Recursive-CTE transitive-closure oracle shared by q53 and q70 —
+    * both resolvers must produce the identical component labeling. */
+  private def duckResolveOracle: String =
+    s"""$duckMinhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |      round(len([i for i in range(1, ${minhashSeeds + 1})
+       |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
+       |    FROM bands a JOIN bands b2
+       |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+       |  WHERE ej >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM cand
+       |  UNION SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT reach.doc_id, edges.v FROM reach
+       |    JOIN edges ON reach.r = edges.u)
+       |SELECT doc_id, min(r) AS canonical_id
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+
   private val dedupResolve: Seq[(String, Q)] = Seq(
     // the dedup endgame: LSH candidates -> connected components ->
     // canonical survivor per group. Oracle: recursive-CTE transitive
     // closure over the same pair set.
     "q53_dedup_resolve" -> Q(
       (s, d) => {
-        val pairs = Dedup
-          .minhashLsh(t(s, d, "documents"), "doc_id", "text",
-            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
-          .filter(col("est_jaccard") >= 0.5)
-        Dedup.resolveDuplicateGroups(pairs)
+        Dedup.resolveDuplicateGroups(lshResolvePairs(s, d))
           .orderBy(col("doc_id"))
       },
-      Some(s"""$duckMinhashCtes,
-              |cand AS (
-              |  SELECT DISTINCT doc_a, doc_b FROM (
-              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-              |      round(len([i for i in range(1, ${minhashSeeds + 1})
-              |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
-              |    FROM bands a JOIN bands b2
-              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
-              |  WHERE ej >= 0.5),
-              |edges AS (
-              |  SELECT doc_a AS u, doc_b AS v FROM cand
-              |  UNION SELECT doc_b, doc_a FROM cand),
-              |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
-              |reach(doc_id, r) AS (
-              |  SELECT doc_id, doc_id FROM nodes
-              |  UNION
-              |  SELECT reach.doc_id, edges.v FROM reach
-              |    JOIN edges ON reach.r = edges.u)
-              |SELECT doc_id, min(r) AS canonical_id
-              |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
-        .replaceFirst("^WITH ", "WITH RECURSIVE "))),
+      Some(duckResolveOracle)),
+
+    // the diameter-independent resolver (alternating large-star /
+    // small-star, O(log^2 n) rounds) under the same hash gate: identical
+    // labeling through a different distributed algorithm
+    "q70_dedup_resolve_star" -> Q(
+      (s, d) => {
+        Dedup.resolveDuplicateGroupsStar(lshResolvePairs(s, d))
+          .orderBy(col("doc_id"))
+      },
+      Some(duckResolveOracle)),
 
     // SQL sessionization: gap-based session ids via lag + running sum —
     // the batch twin of the streaming sessionize operator

@@ -364,6 +364,80 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris/
+    * Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round rewires edges toward
+    * per-neighborhood minima, converging in O(log^2 n) rounds regardless
+    * of graph DIAMETER — the scale alternative to [[resolveDuplicateGroups]]'s
+    * min-label propagation, whose round count is the component diameter
+    * (fine for clustered near-dup graphs, pathological for chain-shaped
+    * ones: crawl-link graphs, record-linkage chains). Same output
+    * contract: every node labeled with its component's minimum id.
+    *
+    * Each round is two shuffles (neighborhood min + rewire); convergence
+    * detection rides the round's own materialization via `Observation`
+    * fingerprints (edge count + id sums + an order-independent hash sum),
+    * no extra comparison job. */
+  def resolveDuplicateGroupsStar(
+      pairs: DataFrame,
+      maxIterations: Int = 25): DataFrame = {
+    val u = col("u"); val v = col("v")
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(v.as("u"), u.as("v")))
+    // large-star: every neighbor larger than u links to the minimum of
+    // u's closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = bidir(e).groupBy(u).agg(least(min(v), first(u)).as("m"))
+      bidir(e).join(m, "u")
+        .filter(v > u)
+        .select(v.as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: u and its not-larger neighbors all link to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val sm = bidir(e).filter(v <= u)
+      val m = sm.groupBy(u).agg(least(min(v), first(u)).as("m"))
+      sm.join(m, "u").select(v.as("u"), col("m").as("v"))
+        .union(m.select(u, col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    val nodes = bidir(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(u.as("doc_id")).distinct().localCheckpoint()
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prevFp: (Long, Long, Long, Long) = (-1L, 0L, 0L, 0L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val obs = new org.apache.spark.sql.Observation(s"ccstar_round_$iter")
+      val next = smallStar(largeStar(edges))
+        .observe(obs,
+          count(lit(1)).as("cnt"),
+          coalesce(sum(col("u")), lit(0L)).as("su"),
+          coalesce(sum(col("v")), lit(0L)).as("sv"),
+          coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("sh"))
+        .localCheckpoint()
+      val fp = (
+        obs.get("cnt").asInstanceOf[Long], obs.get("su").asInstanceOf[Long],
+        obs.get("sv").asInstanceOf[Long], obs.get("sh").asInstanceOf[Long])
+      converged = fp == prevFp
+      prevFp = fp
+      edges = next
+      iter += 1
+    }
+    // converged state is a star per component, rooted at the min id
+    val mapping = edges.select(u.as("doc_id"), v.as("canonical_id"))
+    nodes
+      .join(mapping, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs inside a blocking
     * key (cheap equality blocking keeps the pair space linear-ish).
     *

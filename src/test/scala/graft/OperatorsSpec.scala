@@ -453,6 +453,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stopword_ratio") == 0.333333)
   }
 
+  test("large-star/small-star CC = label propagation, incl. a deep chain") {
+    // a 60-node chain (diameter 60 — the propagation resolver's worst
+    // case and exactly where the star algorithm's O(log^2 n) rounds win),
+    // plus a triangle, a pair, and shared-min components
+    val pairs = (
+      (0L until 59L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L),
+          (300L, 305L), (305L, 302L), (302L, 307L))
+    ).toDF("doc_a", "doc_b")
+    val prop = Dedup.resolveDuplicateGroups(pairs, maxIterations = 100)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.resolveDuplicateGroupsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert(star(59L) == 0L) // chain end reaches the chain-min label
+    assert(star(307L) == 300L)
+  }
+
   test("bm25: rare terms beat common terms, long docs are penalized") {
     val docs = Seq(
       (1L, "rare common common"),
