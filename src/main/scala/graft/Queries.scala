@@ -654,23 +654,28 @@ object Queries {
               |JOIN g gb ON cand.doc_b = gb.doc_id
               |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
 
-    // exact-threshold guarantee path: prefix-filter candidates (SSJoin/
-    // PPJoin family) + exact verification. Oracle is the full quadratic
-    // threshold join — matching it exactly is the recall guarantee under
-    // test (LSH candidates, by contrast, are only probabilistically
-    // complete)
+    // exact-threshold guarantee path: prefix-filter + positional-filter
+    // candidates (SSJoin/PPJoin family) + exact verification. Oracle is
+    // the full quadratic threshold join — matching it exactly is the
+    // recall guarantee under test (LSH candidates, by contrast, are only
+    // probabilistically complete). 3-gram shingles: the standard q-gram
+    // discrimination for text similarity joins — 2-grams of a
+    // shared-vocabulary corpus are so dense that prefixes stop pruning
+    // (measured 44x slower at sf0.1)
     "q67_prefix_filter_jaccard" -> Q(
       (s, d) => {
         Dedup.ppjoinJaccard(t(s, d, "documents"), "doc_id", "text",
-            shingleN = 2, threshold = 0.5)
+            shingleN = 3, threshold = 0.5)
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH t0 AS (
               |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
               |g0 AS (
               |  SELECT doc_id,
-              |    list_distinct([array_to_string(t[i:i+1], ' ')
-              |      for i in range(1, len(t))]) AS grams
+              |    CASE WHEN len(t) >= 3
+              |    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+              |      for i in range(1, len(t) - 1)])
+              |    ELSE [] END AS grams
               |  FROM t0),
               |g AS (
               |  SELECT doc_id, [${dHash64("x")} for x in grams] AS h

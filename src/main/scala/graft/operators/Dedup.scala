@@ -558,15 +558,32 @@ object Dedup {
         count(lit(1)).over(w).as("n"))
     val prefix = ordered
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("g"), col("n"))
+      .select(col("doc_id"), col("g"), col("rk"), col("n"))
     val a = prefix.as("a")
     val b = prefix.as("b")
+    // positional filter (the bound that makes this PPJoin, not just
+    // prefix filtering): both docs' grams follow the SAME global order,
+    // so at the pair's globally-FIRST shared prefix gram — positions
+    // (i, j), found as min(struct(rk_a, rk_b)) since the global min is
+    // simultaneously rank-minimal on both sides — no shared gram
+    // precedes it and every other shared gram follows it on both sides:
+    //   overlap <= 1 + min(n_a - i, n_b - j).
+    // Jaccard >= t needs overlap >= ceil(t/(1+t) * (n_a + n_b)); pairs
+    // whose bound can't reach it are pruned before the (expensive)
+    // gram-array verification join.
     a.join(b,
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
           col("a.n") >= ceil(lit(threshold) * col("b.n")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(struct(
+        col("a.rk").as("ia"), col("b.rk").as("jb"),
+        col("a.n").as("na"), col("b.n").as("nb"))).as("f"))
+      .filter(
+        lit(1) + least(col("f.na") - col("f.ia"), col("f.nb") - col("f.jb")) >=
+          ceil(lit(threshold) / (lit(1.0) + lit(threshold)) *
+            (col("f.na") + col("f.nb"))))
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** Exact threshold-Jaccard self-join: prefix-filter candidates, then
