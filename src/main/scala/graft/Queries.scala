@@ -1191,13 +1191,14 @@ object Queries {
              |FROM off ORDER BY doc_id""".stripMargin)),
 
     // REAL codec round-trip: each doc_id is encoded executor-side as a
-    // genuine BMP / PNG / WAV file (id-derived dims), then decoded by
-    // parsing the actual container headers (Codecs). The oracle predicts
-    // every parsed field — and the exact encoded byte size for the
-    // fixed-layout formats — from doc_id arithmetic: wrong header layout
-    // on either the encode or parse side fails the hash. PNG byte size is
-    // deflate-dependent (not SQL-predictable), so it is NULLed both sides;
-    // its width/height/bit_depth still come from the parsed IHDR.
+    // genuine BMP / PNG / WAV / AVI file (id-derived dims), then decoded
+    // by parsing the actual container headers (Codecs). The oracle
+    // predicts every parsed field — and the exact encoded byte size for
+    // the fixed-layout formats — from doc_id arithmetic: wrong header
+    // layout on either the encode or parse side fails the hash. PNG byte
+    // size is deflate-dependent (not SQL-predictable), so it is NULLed
+    // both sides; its width/height/bit_depth still come from the parsed
+    // IHDR. The minimal AVI is constant-size (100 B) by construction.
     "q65_real_codec_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
@@ -1206,25 +1207,27 @@ object Queries {
           .select(
             col("asset_id"), col("codec"), col("width"), col("height"),
             col("bit_depth"), col("sample_rate"), col("n_channels"),
-            col("n_samples"),
+            col("n_samples"), col("n_frames"),
             when(col("codec") =!= "png", col("n_bytes")).as("n_bytes"))
           .orderBy(col("asset_id"))
       },
       Some("""SELECT doc_id AS asset_id,
-             |  ['bmp','png','wav'][CAST(doc_id % 3 AS INT) + 1] AS codec,
-             |  CASE WHEN doc_id % 3 < 2 THEN doc_id % 31 + 1 END AS width,
-             |  CASE WHEN doc_id % 3 < 2 THEN doc_id % 17 + 1 END AS height,
-             |  CASE WHEN doc_id % 3 = 0 THEN 24::BIGINT
-             |       WHEN doc_id % 3 = 1 THEN 8::BIGINT
-             |       ELSE 16::BIGINT END AS bit_depth,
-             |  CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000 END
+             |  ['bmp','png','wav','avi'][CAST(doc_id % 4 AS INT) + 1] AS codec,
+             |  CASE WHEN doc_id % 4 IN (0, 1, 3) THEN doc_id % 31 + 1 END AS width,
+             |  CASE WHEN doc_id % 4 IN (0, 1, 3) THEN doc_id % 17 + 1 END AS height,
+             |  CASE WHEN doc_id % 4 = 0 THEN 24::BIGINT
+             |       WHEN doc_id % 4 = 1 THEN 8::BIGINT
+             |       WHEN doc_id % 4 = 2 THEN 16::BIGINT END AS bit_depth,
+             |  CASE WHEN doc_id % 4 = 2 THEN 8000 + (doc_id % 8) * 1000 END
              |    AS sample_rate,
-             |  CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END AS n_channels,
-             |  CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 1 END AS n_samples,
-             |  CASE WHEN doc_id % 3 = 0 THEN
+             |  CASE WHEN doc_id % 4 = 2 THEN doc_id % 2 + 1 END AS n_channels,
+             |  CASE WHEN doc_id % 4 = 2 THEN doc_id % 100 + 1 END AS n_samples,
+             |  CASE WHEN doc_id % 4 = 3 THEN doc_id % 50 + 1 END AS n_frames,
+             |  CASE WHEN doc_id % 4 = 0 THEN
              |         54 + (doc_id % 17 + 1) * (((3 * (doc_id % 31 + 1) + 3) // 4) * 4)
-             |       WHEN doc_id % 3 = 2 THEN
-             |         44 + (doc_id % 100 + 1) * (doc_id % 2 + 1) * 2 END AS n_bytes
+             |       WHEN doc_id % 4 = 2 THEN
+             |         44 + (doc_id % 100 + 1) * (doc_id % 2 + 1) * 2
+             |       WHEN doc_id % 4 = 3 THEN 100::BIGINT END AS n_bytes
              |FROM documents ORDER BY asset_id""".stripMargin)))
 
   // ---------------------------------------------------------------------

@@ -258,6 +258,82 @@ object Codecs {
   }
 
   // ------------------------------------------------------------------
+  // AVI — RIFF/'AVI ' container, LIST('hdrl') holding the 'avih'
+  // MainAVIHeader (dwTotalFrames at data offset 16, dwWidth at 32,
+  // dwHeight at 36). Same chunk discipline as WAV.
+  // ------------------------------------------------------------------
+
+  final case class VideoInfo(width: Int, height: Int, nFrames: Long)
+
+  /** Total encoded size of the minimal AVI this encoder writes: RIFF
+    * header (12) + hdrl LIST (12) + avih chunk (8 + 56) + empty movi
+    * LIST (12). Constant by construction — dims live in the header. */
+  val aviFileSize: Int = 100
+
+  /** Encode a minimal but well-formed AVI: full MainAVIHeader inside
+    * LIST('hdrl'), empty LIST('movi'). Frame payloads are omitted — the
+    * header-only shape a metadata-extraction pass reads. */
+  def encodeAvi(width: Int, height: Int, nFrames: Int,
+      microSecPerFrame: Int = 33333): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0)
+    val b = new Array[Byte](aviFileSize)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putU32le(b, 4, (aviFileSize - 8).toLong)
+    b(8) = 'A'; b(9) = 'V'; b(10) = 'I'; b(11) = ' '
+    // LIST 'hdrl' wrapping the avih chunk
+    b(12) = 'L'; b(13) = 'I'; b(14) = 'S'; b(15) = 'T'
+    putU32le(b, 16, (4 + 8 + 56).toLong)
+    b(20) = 'h'; b(21) = 'd'; b(22) = 'r'; b(23) = 'l'
+    b(24) = 'a'; b(25) = 'v'; b(26) = 'i'; b(27) = 'h'
+    putU32le(b, 28, 56L)
+    val d = 32 // avih data start
+    putU32le(b, d, microSecPerFrame.toLong)
+    putU32le(b, d + 16, nFrames.toLong) // dwTotalFrames
+    putU32le(b, d + 24, 1L) // dwStreams
+    putU32le(b, d + 32, width.toLong) // dwWidth
+    putU32le(b, d + 36, height.toLong) // dwHeight
+    // empty movi LIST
+    b(88) = 'L'; b(89) = 'I'; b(90) = 'S'; b(91) = 'T'
+    putU32le(b, 92, 4L)
+    b(96) = 'm'; b(97) = 'o'; b(98) = 'v'; b(99) = 'i'
+    b
+  }
+
+  /** Parse an AVI MainAVIHeader by walking RIFF chunks into the hdrl
+    * LIST (real files put strl LISTs and JUNK padding around it). */
+  def parseAvi(b: Array[Byte]): Option[VideoInfo] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ')
+      return None
+    // find 'avih' inside any LIST('hdrl') at the top level
+    var o = 12
+    while (o + 12 <= b.length) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = u32le(b, o + 4)
+      if (len > b.length.toLong) return None // bogus length
+      if (id == "LIST" && new String(b, o + 8, 4, "US-ASCII") == "hdrl") {
+        var i = o + 12 // chunks inside the LIST
+        val end = math.min(o + 8 + len.toInt, b.length)
+        while (i + 8 <= end) {
+          val cid = new String(b, i, 4, "US-ASCII")
+          val clen = u32le(b, i + 4)
+          if (clen > b.length.toLong) return None
+          if (cid == "avih" && clen >= 40 && i + 8 + 40 <= b.length) {
+            val d = i + 8
+            val w = i32le(b, d + 32)
+            val h = i32le(b, d + 36)
+            val frames = u32le(b, d + 16)
+            return if (w <= 0 || h <= 0) None else Some(VideoInfo(w, h, frames))
+          }
+          i += 8 + clen.toInt + (clen.toInt & 1)
+        }
+      }
+      o += 8 + len.toInt + (len.toInt & 1)
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------
   // sniffing — dispatch a payload to the right parser by magic bytes
   // ------------------------------------------------------------------
 
@@ -269,5 +345,8 @@ object Codecs {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
       Some("wav")
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      Some("avi")
     else None
 }

@@ -88,7 +88,11 @@ object Multimodal {
           val modality = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
           // real container headers decode for real; everything else falls
-          // back to the deterministic stub (video and the text stand-ins)
+          // back to the deterministic stub (the text stand-ins)
+          val avi = Codecs.sniff(bytes) match {
+            case Some("avi") => Codecs.parseAvi(bytes)
+            case _ => None
+          }
           val (w, h) = Codecs.sniff(bytes) match {
             case Some("bmp") =>
               Codecs.parseBmp(bytes).map(i => (i.width, i.height))
@@ -96,9 +100,12 @@ object Multimodal {
             case Some("png") =>
               Codecs.parsePng(bytes).map(i => (i.width, i.height))
                 .getOrElse(FakeCodec.dims(bytes))
+            case Some("avi") =>
+              avi.map(v => (v.width, v.height)).getOrElse(FakeCodec.dims(bytes))
             case _ => FakeCodec.dims(bytes)
           }
-          val frames = FakeCodec.frameCount(bytes, modality)
+          val frames = avi.map(_.nFrames.toInt)
+            .getOrElse(FakeCodec.frameCount(bytes, modality))
           val offsets = (0 until frames).map(i => i.toLong * 100)
           Row(id, modality, bytes.length.toLong, w, h, frames, offsets,
             FakeCodec.feature(bytes).toSeq)
@@ -110,13 +117,14 @@ object Multimodal {
     * audio-only fields NULL for images and vice versa). */
   val mediaInfoSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
-    StructField("codec", StringType, nullable = true), // bmp|png|wav, NULL if unparseable
+    StructField("codec", StringType, nullable = true), // bmp|png|wav|avi, NULL if unparseable
     StructField("width", LongType, nullable = true),
     StructField("height", LongType, nullable = true),
     StructField("bit_depth", LongType, nullable = true),
     StructField("sample_rate", LongType, nullable = true),
     StructField("n_channels", LongType, nullable = true),
     StructField("n_samples", LongType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
   /** Synthesize a real-media asset table from an id column: each id is
@@ -132,13 +140,15 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).mapPartitions { rows =>
       rows.map { r =>
         val i = r.getLong(0)
-        val bytes = (i % 3) match {
+        val bytes = (i % 4) match {
           case 0 => Codecs.encodeBmp((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i)
           case 1 => Codecs.encodePng((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i)
-          case _ => Codecs.encodeWav(
+          case 2 => Codecs.encodeWav(
             sampleRate = (8000 + (i % 8) * 1000).toInt,
             channels = (i % 2 + 1).toInt,
             nSamples = (i % 100 + 1).toInt, seed = i)
+          case _ => Codecs.encodeAvi(
+            (i % 31 + 1).toInt, (i % 17 + 1).toInt, nFrames = (i % 50 + 1).toInt)
         }
         Row(i, bytes)
       }
@@ -161,22 +171,28 @@ object Multimodal {
           case Some("bmp") =>
             Codecs.parseBmp(bytes) match {
               case Some(i) => Row(id, "bmp", i.width.toLong, i.height.toLong,
-                i.bitDepth.toLong, null, null, null, nb)
-              case None => Row(id, null, null, null, null, null, null, null, nb)
+                i.bitDepth.toLong, null, null, null, null, nb)
+              case None => Row(id, null, null, null, null, null, null, null, null, nb)
             }
           case Some("png") =>
             Codecs.parsePng(bytes) match {
               case Some(i) => Row(id, "png", i.width.toLong, i.height.toLong,
-                i.bitDepth.toLong, null, null, null, nb)
-              case None => Row(id, null, null, null, null, null, null, null, nb)
+                i.bitDepth.toLong, null, null, null, null, nb)
+              case None => Row(id, null, null, null, null, null, null, null, null, nb)
             }
           case Some("wav") =>
             Codecs.parseWav(bytes) match {
               case Some(a) => Row(id, "wav", null, null, a.bitsPerSample.toLong,
-                a.sampleRate.toLong, a.channels.toLong, a.nSamples, nb)
-              case None => Row(id, null, null, null, null, null, null, null, nb)
+                a.sampleRate.toLong, a.channels.toLong, a.nSamples, null, nb)
+              case None => Row(id, null, null, null, null, null, null, null, null, nb)
             }
-          case _ => Row(id, null, null, null, null, null, null, null, nb)
+          case Some("avi") =>
+            Codecs.parseAvi(bytes) match {
+              case Some(vi) => Row(id, "avi", vi.width.toLong, vi.height.toLong,
+                null, null, null, null, vi.nFrames, nb)
+              case None => Row(id, null, null, null, null, null, null, null, null, nb)
+            }
+          case _ => Row(id, null, null, null, null, null, null, null, null, nb)
         }
       }
     }(enc)

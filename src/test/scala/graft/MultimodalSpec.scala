@@ -76,15 +76,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(C.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("AVI encode/parse round-trip: MainAVIHeader via hdrl LIST walk") {
+    val C = graft.multimodal.Codecs
+    val b = C.encodeAvi(width = 320, height = 240, nFrames = 48)
+    assert(b.length == C.aviFileSize)
+    val v = C.parseAvi(b).get
+    assert(v.width == 320 && v.height == 240 && v.nFrames == 48L)
+    assert(C.sniff(b).contains("avi"))
+    assert(C.parseWav(b).isEmpty) // RIFF but not WAVE
+  }
+
   test("decodeMedia parses synthesized assets distributed-side") {
-    val ids = spark.range(0, 30).toDF("doc_id")
+    val ids = spark.range(0, 40).toDF("doc_id")
     val decoded = Multimodal
       .decodeMedia(Multimodal.synthesizeMediaAssets(ids))
       .orderBy("asset_id").collect()
-    assert(decoded.length == 30)
+    assert(decoded.length == 40)
     decoded.foreach { r =>
       val i = r.getLong(0)
-      (i % 3) match {
+      (i % 4) match {
         case 0 =>
           assert(r.getString(1) == "bmp")
           assert(r.getLong(2) == i % 31 + 1 && r.getLong(3) == i % 17 + 1)
@@ -93,12 +103,26 @@ class MultimodalSpec extends AnyFunSuite {
           assert(r.getString(1) == "png")
           assert(r.getLong(2) == i % 31 + 1 && r.getLong(3) == i % 17 + 1)
           assert(r.getLong(4) == 8)
-        case _ =>
+        case 2 =>
           assert(r.getString(1) == "wav")
           assert(r.getLong(5) == 8000 + (i % 8) * 1000)
           assert(r.getLong(6) == i % 2 + 1 && r.getLong(7) == i % 100 + 1)
+        case _ =>
+          assert(r.getString(1) == "avi")
+          assert(r.getLong(2) == i % 31 + 1 && r.getLong(3) == i % 17 + 1)
+          assert(r.getLong(8) == i % 50 + 1) // n_frames
       }
     }
+  }
+
+  test("decodeFeatures uses real AVI frame counts for video payloads") {
+    val C = graft.multimodal.Codecs
+    val assets = Seq(
+      (1L, "video", C.encodeAvi(64, 48, nFrames = 7), ("s", 0L)))
+      .toDF("asset_id", "modality", "bytes", "meta")
+    val r = Multimodal.decodeFeatures(assets).head()
+    assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 48)
+    assert(r.getAs[Int]("n_frames") == 7)
   }
 
   test("decodeFeatures uses real parsed dims for real media payloads") {
