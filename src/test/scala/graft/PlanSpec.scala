@@ -92,4 +92,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"))
     assert(p.contains("Sort ["))
   }
+
+  test("sequence packing: bucket bases broadcast, no global data window") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    val p = graft.operators.Packing
+      .packSequences(docs, "doc_id", "n_tokens", capacity = 512, bucketSpan = 128)
+      .queryExecution.executedPlan.toString
+    // the per-bucket base offsets join back as a broadcast (tiny side)
+    assert(p.contains("BroadcastHashJoin"), s"bases not broadcast:\n$p")
+    // the only empty-partition-spec window runs over bucket TOTALS (sum
+    // of _total), never over the data rows — the data window is
+    // partitioned by _bucket
+    val globalWindows = p.split("\n").filter(w =>
+      w.contains("Window [") && !w.contains("windowspecdefinition(_bucket"))
+    assert(globalWindows.forall(_.contains("_total")),
+      s"a global window touches data rows:\n${globalWindows.mkString("\n")}")
+  }
+
+  test("media decode is partition-preserving (no exchange)") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(0, 100).toDF("doc_id")
+    val p = graft.multimodal.Multimodal
+      .decodeMedia(graft.multimodal.Multimodal.synthesizeMediaAssets(ids))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"codec pipeline shuffles:\n$p")
+  }
+
+  test("bm25 corpus stats broadcast; term/doc joins stay key-partitioned") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+    val p = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats not broadcast:\n$p")
+  }
 }
