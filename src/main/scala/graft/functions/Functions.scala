@@ -20,6 +20,17 @@ object Functions {
       .registerFunction(spark, "field", exprs => FieldIndex(exprs))
     org.apache.spark.sql.graftbridge.Bridge
       .registerFunction(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "dot_product", exprs => DotProduct(exprs(0), exprs(1)))
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "md5_hash64", exprs => Md5Hash64(exprs.head))
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "md5_hash64_full", exprs => Md5Hash64Full(exprs.head))
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "word_shingles", { exprs =>
+        require(exprs(1).foldable, "word_shingles(text, n): n must be a literal")
+        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      })
   }
 
   /** Hive `field(v, v1, v2, ...)` as a Column (see [[FieldIndex]]). */

@@ -25,6 +25,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq(1, 0, -1))
   }
 
+  test("SQL registration covers the signature-math expressions") {
+    val r = spark.sql(
+      "SELECT md5_hash64('tok') h, md5_hash64_full('tok') hf, " +
+        "dot_product(array(1.0D,2.0D), array(3.0D,4.0D)) dp, " +
+        "word_shingles('a b c d', 3) sh").head()
+    // hash64 == first 15 md5 hex chars; full == first 8 digest bytes BE
+    assert(r.getLong(0) == java.lang.Long.parseLong("60ae136e5d49fbd", 16))
+    assert(r.getLong(1) == (r.getLong(0) << 4 | 0xf))
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+  }
+
   test("cosine_sim: identical ~1, orthogonal 0, zero-norm NULL") {
     val r = spark
       .sql("SELECT cosine_sim(array(1.0D,2.0D,3.0D), array(1.0D,2.0D,3.0D)) a, " +
