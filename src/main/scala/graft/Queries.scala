@@ -1163,6 +1163,39 @@ object Queries {
              |    AS sum_frames
              |FROM a GROUP BY modality ORDER BY modality""".stripMargin)),
 
+    // small-file compaction: fragment documents into 64 tiny parquet
+    // files, compact them to size-targeted outputs, and aggregate the
+    // COMPACTED copy. The oracle reads the same compacted parquet (q34
+    // pattern — Verify runs queries before the driver runs oracle SQL),
+    // so content preservation through the rewrite is what's hashed.
+    "q71_compaction" -> Q(
+      (s, d) => {
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_compact_query").getAbsolutePath
+        t(s, d, "documents")
+          .repartition(64) // deliberately fragment: the small-files state
+          .write.mode("overwrite").parquet(s"$base/frag")
+        val stats = graft.operators.Maintenance
+          .compactParquet(s, s"$base/frag", s"$base/out", targetBytes = 256L * 1024 * 1024)
+        require(stats.outputFiles < stats.inputFiles,
+          s"compaction did not reduce file count: $stats")
+        s.read.parquet(s"$base/out")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |  sum(n_chars)::BIGINT AS total_chars,
+              |  min(doc_id) AS min_id, max(doc_id) AS max_id
+              |FROM '${new java.io.File(
+                 System.getProperty("java.io.tmpdir"),
+                 "graft_compact_query").getAbsolutePath}/out/*.parquet'
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // sequence packing (pretraining layout): global token offsets via a
     // distributed prefix-sum (bucketed local windows + broadcast bucket
     // bases — never a one-partition global window), then concatenate-

@@ -471,6 +471,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(star(307L) == 300L)
   }
 
+  test("compaction: fewer size-targeted files, identical content") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val docs = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(s"$base/frag")
+    val stats = graft.operators.Maintenance
+      .compactParquet(spark, s"$base/frag", s"$base/out", targetBytes = 1L << 30)
+    assert(stats.inputFiles == 16)
+    assert(stats.outputFiles == 1) // tiny input, one target-sized file
+    val before = docs.orderBy("doc_id").collect().toSeq
+    val after = spark.read.parquet(s"$base/out").orderBy("doc_id").collect().toSeq
+    assert(after == before)
+  }
+
   test("bm25: rare terms beat common terms, long docs are penalized") {
     val docs = Seq(
       (1L, "rare common common"),
