@@ -213,16 +213,26 @@ object EventStreams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
+    val ckpt = newCheckpointDir()
     try {
       val q = out.writeStream
         .outputMode(OutputMode.Append)
         .format("memory")
-        .option("checkpointLocation", newCheckpointDir())
+        .option("checkpointLocation", ckpt)
         .queryName(queryName)
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      // one-shot drain: the checkpoint has no resume value — reclaim the
+      // tmpfs instead of leaking a dir per run
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () }
+    }
     spark.table(queryName)
   }
 
