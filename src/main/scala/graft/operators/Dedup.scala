@@ -171,9 +171,21 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 12,
       bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
     val newSigs =
       minhashSignatures(newDf, idCol, textCol, shingleN, numHashes).localCheckpoint()
+    minhashLshIncrementalFromSigs(newSigs, corpusSigs, numHashes, bands)
+  }
+
+  /** As [[minhashLshIncremental]], but with the new batch's signatures
+    * already computed — the shape a continuous-ingest pipeline uses,
+    * where each batch's signatures are computed once and both joined
+    * against the store and appended to it. */
+  def minhashLshIncrementalFromSigs(
+      newSigs: DataFrame,
+      corpusSigs: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val newBands = bandSignatures(newSigs, numHashes, bands)
     val allBands = bandSignatures(corpusSigs, numHashes, bands)
       .unionByName(newBands)

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Continuous-ingest near-duplicate detection: the streaming face of
+  * [[graft.operators.Dedup.minhashLshIncremental]].
+  *
+  * Each micro-batch of documents is MinHash-signed ONCE; the batch is
+  * band-joined against the persistent signature store (and itself) to
+  * emit (new x corpus) and (new x new) near-dup pairs, then its
+  * signatures are appended to the store. This is the daily/streaming
+  * ingest shape at 100 TB: per batch the work is linear in the batch
+  * plus the band-bucket collisions — the historical corpus is never
+  * re-signed, and (corpus x corpus) pairs are never recomputed.
+  *
+  * State lives in plain parquet (signature store + pair log), not the
+  * streaming state store: signatures must outlive any single query and
+  * be readable by batch jobs (backfills, group resolution), and parquet
+  * append is atomic-enough per micro-batch since `foreachBatch` runs
+  * batches sequentially.
+  */
+object IngestDedup {
+
+  /** Process one batch: emit near-dup pairs against the store + itself,
+    * then append the batch's signatures. Exposed for batch callers and
+    * tests; [[start]] wires it to a stream. */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      sigStoreDir: String,
+      pairLogDir: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): Unit = {
+    if (batch.isEmpty) return
+    val newSigs = Dedup
+      .minhashSignatures(batch, idCol, textCol, shingleN, numHashes)
+      .localCheckpoint()
+    val corpusSigs =
+      try spark.read.parquet(sigStoreDir)
+      catch {
+        case _: Exception => // first batch: no store yet
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            newSigs.schema)
+      }
+    Dedup.minhashLshIncrementalFromSigs(newSigs, corpusSigs, numHashes, bands)
+      .write.mode(SaveMode.Append).parquet(pairLogDir)
+    newSigs.write.mode(SaveMode.Append).parquet(sigStoreDir)
+  }
+
+  /** Start the continuous pipeline over a streaming document frame. */
+  def start(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sigStoreDir: String,
+      pairLogDir: String,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, batch, idCol, textCol,
+          sigStoreDir, pairLogDir, shingleN, numHashes, bands)
+      }
+      .start()
+}

@@ -107,4 +107,33 @@ class PropertySpec extends AnyFunSuite {
           s"${viaWindow.toSet.diff(viaExec.toSet)}")
     }
   }
+
+  test("property: media codec encode/parse round-trips at arbitrary dims") {
+    val C = graft.multimodal.Codecs
+    val dimGen = for {
+      w <- Gen.chooseNum(1, 200)
+      h <- Gen.chooseNum(1, 120)
+      frames <- Gen.chooseNum(0, 5000)
+      rate <- Gen.chooseNum(1, 192000)
+      ch <- Gen.chooseNum(1, 8)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (w, h, frames, rate, ch, seed)
+    cases(dimGen, 80).foreach { case (w, h, frames, rate, ch, seed) =>
+      val bmp = C.parseBmp(C.encodeBmp(w, h, seed)).get
+      assert(bmp.width == w && bmp.height == h && bmp.bitDepth == 24)
+      val png = C.parsePng(C.encodePng(w, h, seed)).get
+      assert(png.width == w && png.height == h && png.bitDepth == 8)
+      val nSamples = frames % 500
+      val wav = C.parseWav(C.encodeWav(rate, ch, nSamples, seed)).get
+      assert(wav.sampleRate == rate && wav.channels == ch &&
+        wav.nSamples == nSamples.toLong && wav.bitsPerSample == 16)
+      val avi = C.parseAvi(C.encodeAvi(w, h, frames)).get
+      assert(avi.width == w && avi.height == h && avi.nFrames == frames.toLong)
+      // sniffing never confuses the four containers
+      assert(C.sniff(C.encodeBmp(w, h, seed)).contains("bmp"))
+      assert(C.sniff(C.encodePng(w, h, seed)).contains("png"))
+      assert(C.sniff(C.encodeWav(rate, ch, nSamples, seed)).contains("wav"))
+      assert(C.sniff(C.encodeAvi(w, h, frames)).contains("avi"))
+    }
+  }
 }

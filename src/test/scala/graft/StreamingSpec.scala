@@ -198,6 +198,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(single.size == 3)
   }
 
+  test("continuous ingest dedup: 3 micro-batches = full-corpus batch run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_dedup")
+    val (sigs, pairs, ckpt) = (s"$base/sigs", s"$base/pairs", s"$base/ckpt")
+    // near-dups within a batch (1~2), across batches (1~10, 11~20), and
+    // unrelated noise
+    def doc(id: Long, text: String) = (id, text)
+    val b1 = Seq(
+      doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(2, "alpha beta gamma delta epsilon zeta eta iota"),
+      doc(3, "one two three four five six seven eight"))
+    val b2 = Seq(
+      doc(10, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      doc(11, "red orange yellow green blue indigo violet ultraviolet"))
+    val b3 = Seq(
+      doc(20, "red orange yellow green blue indigo violet infrared"), // ~11
+      doc(21, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestDedup.start(
+      input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", sigs, pairs, ckpt)
+    try Seq(b1, b2, b3).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(pairs)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.operators.Dedup
+      .minhashLsh((b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == full, s"streamed=$streamed\nfull=$full")
+    assert(streamed.exists { case (a, b, _) => (a, b) == ((1L, 10L)) })
+    // the store holds exactly one signature per ingested doc
+    assert(spark.read.parquet(sigs).count() == 7)
+  }
+
   test("sessionize event-time timeout emits the final session of a silent user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
