@@ -1163,6 +1163,31 @@ object Queries {
              |    AS sum_frames
              |FROM a GROUP BY modality ORDER BY modality""".stripMargin)),
 
+    // hive-partitioned layout: write events partitioned by event_type,
+    // read back ONE partition (the scan must prune to that directory —
+    // PlanSpec-locked) and aggregate it. The oracle aggregates the same
+    // slice of the ORIGINAL table, so the layout round-trip must
+    // preserve content bit-exactly (value doubles pass through parquet
+    // unchanged).
+    "q72_partitioned_layout" -> Q(
+      (s, d) => {
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_layout_query").getAbsolutePath
+        t(s, d, "events")
+          .write.partitionBy("event_type").mode("overwrite").parquet(base)
+        s.read.parquet(base)
+          .filter(col("event_type") === "click")
+          .agg(
+            count(lit(1)).as("n_events"),
+            usum(col("value")).as("total_value_micros"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+      },
+      Some("""SELECT count(*) AS n_events,
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros,
+             |  min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM events WHERE event_type = 'click'""".stripMargin)),
+
     // small-file compaction: fragment documents into 64 tiny parquet
     // files, compact them to size-targeted outputs, and aggregate the
     // COMPACTED copy. The oracle reads the same compacted parquet (q34

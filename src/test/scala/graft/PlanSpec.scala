@@ -120,6 +120,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"codec pipeline shuffles:\n$p")
   }
 
+  test("partitioned layout: the filter prunes to one partition directory") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_plan")
+    graft.core.Engine.table(spark, sf, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(base.toString)
+    val df = spark.read.parquet(base.toString)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("value"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"partition filter not pushed:\n$p")
+    // the data filter must NOT appear as a row-level PushedFilter — it is
+    // satisfied entirely by directory pruning
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"event_type leaked into row-level filters:\n$p")
+  }
+
   test("bm25 corpus stats broadcast; term/doc joins stay key-partitioned") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Engine.table(spark, sf, "documents")
