@@ -1864,6 +1864,35 @@ object Queries {
              |FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
              |ORDER BY bm25 DESC, doc_id, term LIMIT 100""".stripMargin)),
 
+    // BM25 retrieval: top-20 docs for a free-text query (sum of per-term
+    // scores over the query's tokens, exact-decimal summed so the
+    // ranking is deterministic). Same engine-exact rational idf as q69.
+    "q73_bm25_search" -> Q(
+      (s, d) => {
+        TextAnalysis.bm25Search(t(s, d, "documents"), "doc_id", "text",
+            queryText = "hash join vector", k = 20, rationalIdf = true)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+             |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+             |terms AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+             |tfq AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS dfq FROM tfq GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE AS tot_dl FROM dl),
+             |scored AS (
+             |  SELECT doc_id, term,
+             |    round(((n_docs - dfq + 0.5::DOUBLE) / (dfq + 0.5::DOUBLE))
+             |      * (tf * 2.2::DOUBLE)
+             |      / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+             |          + 0.75::DOUBLE * dl / (tot_dl / n_docs))), 6) AS bm25
+             |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+             |  WHERE term IN ('hash', 'join', 'vector'))
+             |SELECT doc_id,
+             |  round(sum(bm25::DECIMAL(18,6)), 6)::DOUBLE AS score,
+             |  count(*) AS n_matched
+             |FROM scored GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     "q44_unpivot" -> Q(
       (s, d) => {
         t(s, d, "part")

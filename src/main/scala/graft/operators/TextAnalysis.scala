@@ -160,4 +160,33 @@ object TextAnalysis {
         col("doc_id"), col("term"), col("tf"),
         round(idf * (col("tf") * lit(k1 + 1)) / norm, 6).as("bm25"))
   }
+
+  /** BM25 top-k retrieval: score every document against a free-text
+    * query (sum of per-term BM25 over the query's distinct tokens) and
+    * return the k best. The query is tokenized driver-side (it is one
+    * short string); scoring stays fully distributed — the term filter
+    * reaches the (doc, term) aggregate as an `isin` predicate, so only
+    * query-term rows survive the scoring joins. Per-doc summation is
+    * exact (6dp inputs summed as DECIMAL), so ranking is deterministic
+    * and engine-reproducible under `rationalIdf`. */
+  def bm25Search(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryText: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      rationalIdf: Boolean = false): DataFrame = {
+    val queryTerms = queryText.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(queryTerms.nonEmpty, "bm25Search requires a non-empty query")
+    bm25(df, idCol, textCol, k1, b, rationalIdf)
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("bm25").cast("decimal(18,6)")), 6).cast("double").as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
