@@ -15,6 +15,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // per-JVM warehouse — see Verify: no cross-process collisions, no
+      // accumulation of bucketed-table dirs across runs
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

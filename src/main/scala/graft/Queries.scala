@@ -1171,8 +1171,7 @@ object Queries {
     // unchanged).
     "q72_partitioned_layout" -> Q(
       (s, d) => {
-        val base = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_layout_query").getAbsolutePath
+        val base = scratchDir("graft_layout_query")
         t(s, d, "events")
           .write.partitionBy("event_type").mode("overwrite").parquet(base)
         s.read.parquet(base)
@@ -1195,8 +1194,7 @@ object Queries {
     // so content preservation through the rewrite is what's hashed.
     "q71_compaction" -> Q(
       (s, d) => {
-        val base = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_compact_query").getAbsolutePath
+        val base = scratchDir("graft_compact_query")
         t(s, d, "documents")
           .repartition(64) // deliberately fragment: the small-files state
           .write.mode("overwrite").parquet(s"$base/frag")
@@ -1216,9 +1214,7 @@ object Queries {
       Some(s"""SELECT source, count(*) AS n_docs,
               |  sum(n_chars)::BIGINT AS total_chars,
               |  min(doc_id) AS min_id, max(doc_id) AS max_id
-              |FROM '${new java.io.File(
-                 System.getProperty("java.io.tmpdir"),
-                 "graft_compact_query").getAbsolutePath}/out/*.parquet'
+              |FROM '${scratchDir("graft_compact_query")}/out/*.parquet'
               |GROUP BY source ORDER BY source""".stripMargin)),
 
     // sequence packing (pretraining layout): global token offsets via a
@@ -1911,13 +1907,20 @@ object Queries {
              |SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
              |ORDER BY p_partkey, metric""".stripMargin)))
 
-  /** Per-JVM tag for q58's managed bucketed-table names: two processes
-    * (e.g. Bench and Verify) sharing a spark-warehouse path must never
-    * collide on the same table location, so each JVM writes its own. The
-    * bench-time layout reuse (warmup writes, timed run reuses) is within
-    * one JVM and still hits. */
+  /** Per-JVM tag for every filesystem artifact a query writes (q58's
+    * managed bucketed tables, q71's compaction dirs, q72's partitioned
+    * layout): two processes (e.g. Bench and Verify) sharing a tmp or
+    * warehouse path must never clobber each other's files — a scan
+    * racing an `overwrite` of the same fixed path dies with
+    * FileNotFound, and an oracle that reads a query-written path could
+    * read another process's data. Oracle SQL embeds the tagged path from
+    * the SAME JVM that runs the query, so the pair stays consistent. */
   private val bucketRunTag: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** Tagged per-JVM scratch dir under java.io.tmpdir. */
+  private def scratchDir(name: String): String = new java.io.File(
+    System.getProperty("java.io.tmpdir"), s"${name}_$bucketRunTag").getAbsolutePath
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

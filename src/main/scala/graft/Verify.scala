@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // per-JVM warehouse: managed tables (q58's bucketed layout) never
+      // collide with a concurrently-running Bench, and nothing
+      // accumulates across runs — the dir dies with the tmp cleanup
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_verify_wh").toString)
       .config("spark.sql.session.timeZone", "UTC")
       // the catalog relies on Hive-style NULL-on-malformed casts
       // (Spark 4 defaults ANSI on) — must match Engine.session/Bench

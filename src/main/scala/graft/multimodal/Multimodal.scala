@@ -89,11 +89,10 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](2)
           // real container headers decode for real; everything else falls
           // back to the deterministic stub (the text stand-ins)
-          val avi = Codecs.sniff(bytes) match {
-            case Some("avi") => Codecs.parseAvi(bytes)
-            case _ => None
-          }
-          val (w, h) = Codecs.sniff(bytes) match {
+          val sniffed = Codecs.sniff(bytes)
+          val avi =
+            if (sniffed.contains("avi")) Codecs.parseAvi(bytes) else None
+          val (w, h) = sniffed match {
             case Some("bmp") =>
               Codecs.parseBmp(bytes).map(i => (i.width, i.height))
                 .getOrElse(FakeCodec.dims(bytes))
@@ -104,7 +103,12 @@ object Multimodal {
               avi.map(v => (v.width, v.height)).getOrElse(FakeCodec.dims(bytes))
             case _ => FakeCodec.dims(bytes)
           }
-          val frames = avi.map(_.nFrames.toInt)
+          // a corrupt/hostile header's u32 dwTotalFrames must not drive a
+          // per-row materialization (frame_offsets below) — clamp it; at
+          // 100 TB some assets are always corrupt
+          val maxFrames = 1 << 20
+          val frames = avi
+            .map(v => math.min(math.max(v.nFrames, 0L), maxFrames.toLong).toInt)
             .getOrElse(FakeCodec.frameCount(bytes, modality))
           val offsets = (0 until frames).map(i => i.toLong * 100)
           Row(id, modality, bytes.length.toLong, w, h, frames, offsets,

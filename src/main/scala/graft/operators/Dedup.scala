@@ -442,6 +442,11 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // a non-converged exit would return intermediate (non-star) edges as
+    // labels — silently wrong output; fail loudly instead. O(log^2 n)
+    // rounds means the default cap covers any physically storable graph.
+    require(converged,
+      s"large-star/small-star did not converge within $maxIterations rounds")
     // converged state is a star per component, rooted at the min id
     val mapping = edges.select(u.as("doc_id"), v.as("canonical_id"))
     nodes

@@ -43,7 +43,9 @@ object Packing {
     val inBucket = Window.partitionBy(col("_bucket")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = df
-      .withColumn("_bucket", floor(id / lit(bucketSpan)))
+      // integral `div` like chunk_id below: floor(double /) would round
+      // ids past 2^53 across bucket boundaries
+      .withColumn("_bucket", expr(s"CAST(`$idCol` AS BIGINT) div ${bucketSpan}L"))
       .withColumn("_local_off", coalesce(sum(n).over(inBucket), lit(0L)))
     // bucket totals: one row per bucket — the single-partition window
     // below runs over ~(max id / span) rows, never over the data

@@ -209,7 +209,10 @@ object EventStreams {
     * available input, and return the result table. The reduced state
     * partitioning and tmpfs checkpoint change no semantics — only the
     * fixed per-micro-batch overhead. */
-  def drainToTable(spark: SparkSession, out: DataFrame, queryName: String): DataFrame = {
+  def drainToTable(spark: SparkSession, out: DataFrame, queryName: String): DataFrame = synchronized {
+    // synchronized: the set/restore of the session-global shuffle
+    // partitions must not interleave across threads (A saves 200, B
+    // saves A's temporary 8, B restores 8 → session stuck at 8)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)

@@ -26,11 +26,17 @@ import graft.operators.Dedup
 object IngestDedup {
 
   /** Process one batch: emit near-dup pairs against the store + itself,
-    * then append the batch's signatures. Exposed for batch callers and
-    * tests; [[start]] wires it to a stream. */
+    * then record the batch's signatures. Both writes go to a
+    * `batch_id=N` subdirectory with overwrite semantics, so an
+    * at-least-once redelivery of the same micro-batch (crash between
+    * writes and checkpoint commit) replaces its own output instead of
+    * appending duplicates — the standard foreachBatch idempotence
+    * pattern. Exposed for batch callers and tests; [[start]] wires it to
+    * a stream. */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
+      batchId: Long,
       idCol: String,
       textCol: String,
       sigStoreDir: String,
@@ -42,17 +48,25 @@ object IngestDedup {
     val newSigs = Dedup
       .minhashSignatures(batch, idCol, textCol, shingleN, numHashes)
       .localCheckpoint()
+    // only a genuinely-missing store reads as empty; a corrupt or
+    // unreadable store must FAIL the batch (silently treating it as
+    // empty would permanently drop every cross-batch pair of this batch)
+    val storePath = new org.apache.hadoop.fs.Path(sigStoreDir)
+    val storeExists = storePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(storePath)
     val corpusSigs =
-      try spark.read.parquet(sigStoreDir)
-      catch {
-        case _: Exception => // first batch: no store yet
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            newSigs.schema)
-      }
+      if (storeExists)
+        spark.read.parquet(sigStoreDir)
+          // this batch's own partition may exist from a failed prior
+          // attempt — it must not count as corpus
+          .where(col("batch_id") =!= batchId)
+          .drop("batch_id")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSigs.schema)
     Dedup.minhashLshIncrementalFromSigs(newSigs, corpusSigs, numHashes, bands)
-      .write.mode(SaveMode.Append).parquet(pairLogDir)
-    newSigs.write.mode(SaveMode.Append).parquet(sigStoreDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$pairLogDir/batch_id=$batchId")
+    newSigs.write.mode(SaveMode.Overwrite).parquet(s"$sigStoreDir/batch_id=$batchId")
   }
 
   /** Start the continuous pipeline over a streaming document frame. */
@@ -68,8 +82,8 @@ object IngestDedup {
       bands: Int = 4): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, idCol, textCol,
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, idCol, textCol,
           sigStoreDir, pairLogDir, shingleN, numHashes, bands)
       }
       .start()
