@@ -64,6 +64,27 @@ object Queries {
   private def davg(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
     round(sum(c.cast("decimal(18,6)")).cast("double") / count(lit(1)), scale)
 
+  /** Per-JVM tag for every filesystem artifact a query writes (q58's
+    * managed bucketed tables, q71's compaction dirs, q72's partitioned
+    * layout): two processes (e.g. Bench and Verify) sharing a tmp or
+    * warehouse path must never clobber each other's files — a scan
+    * racing an `overwrite` of the same fixed path dies with
+    * FileNotFound, and an oracle that reads a query-written path could
+    * read another process's data. Oracle SQL embeds the tagged path from
+    * the SAME JVM that runs the query, so the pair stays consistent.
+    *
+    * Declared BEFORE the query-catalog vals: oracle SQL strings
+    * interpolate [[scratchDir]] during object initialization, and Scala
+    * object vals initialize in source order — a later declaration reads
+    * as null mid-init (the round-3 q71 failure: its oracle baked in
+    * `..._null/out` while the query wrote the real tagged dir). */
+  private val bucketRunTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** Tagged per-JVM scratch dir under java.io.tmpdir. */
+  private def scratchDir(name: String): String = new java.io.File(
+    System.getProperty("java.io.tmpdir"), s"${name}_$bucketRunTag").getAbsolutePath
+
   /** DuckDB rendering of [[graft.functions.Functions.hash64]]. */
   private def dHash64(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
@@ -798,7 +819,7 @@ object Queries {
              |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM flagged)
-             |SELECT user_id, session_id, count(*) AS n_events,
+             |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
              |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
              |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
              |FROM sessions GROUP BY user_id, session_id
@@ -1906,21 +1927,6 @@ object Queries {
              |UNION ALL
              |SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
              |ORDER BY p_partkey, metric""".stripMargin)))
-
-  /** Per-JVM tag for every filesystem artifact a query writes (q58's
-    * managed bucketed tables, q71's compaction dirs, q72's partitioned
-    * layout): two processes (e.g. Bench and Verify) sharing a tmp or
-    * warehouse path must never clobber each other's files — a scan
-    * racing an `overwrite` of the same fixed path dies with
-    * FileNotFound, and an oracle that reads a query-written path could
-    * read another process's data. Oracle SQL embeds the tagged path from
-    * the SAME JVM that runs the query, so the pair stays consistent. */
-  private val bucketRunTag: String =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-
-  /** Tagged per-JVM scratch dir under java.io.tmpdir. */
-  private def scratchDir(name: String): String = new java.io.File(
-    System.getProperty("java.io.tmpdir"), s"${name}_$bucketRunTag").getAbsolutePath
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

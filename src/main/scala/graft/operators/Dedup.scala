@@ -171,6 +171,7 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 12,
       bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val newSigs =
       minhashSignatures(newDf, idCol, textCol, shingleN, numHashes).localCheckpoint()
     minhashLshIncrementalFromSigs(newSigs, corpusSigs, numHashes, bands)

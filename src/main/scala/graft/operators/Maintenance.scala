@@ -32,8 +32,19 @@ object Maintenance {
       val p = new Path(dir)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else {
+        // Recursive: hive-partitioned layouts nest data files under
+        // key=value subdirectories; a top-level-only listing would see
+        // zero files for a directory spark.read.parquet reads fine.
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+        }
+        buf.toSeq
+      }
     }
     val inputs = parquetFiles(inDir)
     require(inputs.nonEmpty, s"no parquet files under $inDir")

@@ -50,6 +50,21 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         try:
+            # Type lint first: fetchall() converts HUGEINT/DECIMAL to exact
+            # Python values, but the driver's pandas path converts them to
+            # float64 ("1" -> "1.0") — a hash mismatch this gate would
+            # otherwise never see (the round-2/3 q54 red: an uncast DuckDB
+            # window sum(int) is HUGEINT). Oracles must emit only
+            # BIGINT/INT/DOUBLE/VARCHAR/BOOL/DATE/TIMESTAMP columns.
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            hazards = [(c, ty) for c, ty, *_ in desc
+                       if ty.upper().startswith(("HUGEINT", "UHUGEINT",
+                                                 "DECIMAL", "UBIGINT"))]
+            if hazards:
+                print(f"FAIL {name}: pandas-lossy oracle column types "
+                      f"{hazards} — cast to ::BIGINT/::DOUBLE")
+                failures += 1
+                continue
             res = con.execute(sql)
             want_cols = [d[0] for d in res.description]
             want = res.fetchall()
