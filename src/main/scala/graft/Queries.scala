@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Engine
 import graft.functions.{Functions => F}
-import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** The query catalog: every operator from SURVEY §2 (and the north-star
   * extensions) as a named (Spark impl, DuckDB oracle SQL) pair.
@@ -1928,6 +1928,218 @@ object Queries {
              |SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
              |ORDER BY p_partkey, metric""".stripMargin)))
 
+  // ---------------------------------------------------------------------
+  // Round-4 surface: contamination audit, PII redaction, repetition
+  // quality, dataset mixing, quantized ANN
+  // ---------------------------------------------------------------------
+
+  private val roundFourSurface: Seq[(String, Q)] = Seq(
+    // benchmark-contamination audit: per eval doc, fraction of its
+    // 3-grams already present anywhere in the train split
+    "q74_contamination" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.contamination(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", shingleN = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |g0 AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(t) >= 3
+              |    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+              |      for i in range(1, len(t) - 1)])
+              |    ELSE [] END AS grams
+              |  FROM t0),
+              |tg AS (
+              |  SELECT DISTINCT ${dHash64("g")} AS gh
+              |  FROM (SELECT unnest(grams) AS g FROM g0 WHERE doc_id % 5 <> 0)),
+              |e AS (SELECT doc_id, len(grams)::BIGINT AS n_grams, grams
+              |  FROM g0 WHERE doc_id % 5 = 0 AND len(grams) > 0),
+              |eg AS (SELECT doc_id, ${dHash64("g")} AS gh
+              |  FROM (SELECT doc_id, unnest(grams) AS g FROM e)),
+              |hits AS (
+              |  SELECT doc_id, count(*) AS n_overlap
+              |  FROM eg WHERE gh IN (SELECT gh FROM tg) GROUP BY doc_id)
+              |SELECT e.doc_id, n_grams,
+              |  coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+              |  round(coalesce(n_overlap, 0)::DOUBLE / n_grams, 6) AS contamination
+              |FROM e LEFT JOIN hits USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction over deterministically PII-augmented text (the base
+    // corpus is synthetic and PII-free, so both sides inject the same
+    // email/phone/SSN material before scrubbing)
+    "q75_pii_redaction" -> Q(
+      (s, d) => {
+        val aug = concat(
+          col("text"), lit(" mail doc"), col("doc_id").cast("string"),
+          lit("@test.org call 555-010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ssn 123-45-6789"))
+        TextAnalysis.redactPii(
+            t(s, d, "documents").withColumn("aug", aug), "doc_id", "aug")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val aug = "text || ' mail doc' || doc_id::VARCHAR || " +
+          "'@test.org call 555-010-' || " +
+          "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ssn 123-45-6789'"
+        val redacted = TextAnalysis.piiPatterns.foldLeft(aug) {
+          case (c, (_, pat, tok)) => s"regexp_replace($c, '$pat', '$tok', 'g')"
+        }
+        val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+          s"len(regexp_extract_all($aug, '$pat'))::BIGINT AS n_$name"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id,
+           |  $redacted AS redacted,
+           |  $counts
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // intra-document repetition metrics (boilerplate/loop detection)
+    "q76_repetition" -> Q(
+      (s, d) => {
+        TextAnalysis.repetitionScore(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |m AS (
+             |  SELECT doc_id, t, list_distinct(t) AS d,
+             |    CASE WHEN len(t) >= 2
+             |    THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+             |    ELSE [] END AS g2
+             |  FROM t0)
+             |SELECT doc_id,
+             |  len(t)::BIGINT AS n_tokens,
+             |  len(d)::BIGINT AS n_distinct,
+             |  round(len(d)::DOUBLE / len(t), 6) AS distinct_ratio,
+             |  list_max([len(list_filter(t, x -> x = td)) for td in d])::BIGINT
+             |    AS max_token_freq,
+             |  CASE WHEN len(g2) = 0 THEN 0.0::DOUBLE
+             |    ELSE round(1.0::DOUBLE - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+             |  END AS dup_bigram_ratio
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // training-mix construction: deterministic per-source downsampling to
+    // target proportions (scarcest source limits the total)
+    "q77_dataset_mixing" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val weights = Map("src0" -> 50L, "src1" -> 30L, "src2" -> 20L)
+        val docs = t(s, d, "documents")
+        val planDf = Sampling.mixPlan(docs, "source", weights)
+          .toDF("source", "n_total", "accept_ppm")
+        Sampling.mixSources(docs, "source", "doc_id", weights)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+          .join(planDf, "source")
+          .select(col("source"), col("n_total"), col("accept_ppm"), col("n_sampled"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w(source, wt) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+              |c AS (SELECT d.source, count(*) AS n, any_value(wt) AS wt
+              |  FROM documents d JOIN w ON d.source = w.source GROUP BY d.source),
+              |tt AS (SELECT min(n * 100 // wt) AS t FROM c),
+              |acc AS (SELECT source, n AS n_total,
+              |    (t * wt // 100) * 1000000 // n AS accept_ppm
+              |  FROM c, tt),
+              |sm AS (SELECT d.source, count(*) AS n_sampled
+              |  FROM documents d JOIN acc ON d.source = acc.source
+              |  WHERE ${dHash64("'mix:'||doc_id")} % 1000000 < accept_ppm
+              |  GROUP BY d.source)
+              |SELECT acc.source, n_total::BIGINT AS n_total,
+              |  accept_ppm::BIGINT AS accept_ppm, n_sampled
+              |FROM acc JOIN sm ON acc.source = sm.source
+              |ORDER BY acc.source""".stripMargin)),
+
+    // int8-quantized brute-force ANN: 4x narrower vectors, integer-exact
+    // quantized cosine (oracle checks the quantization arithmetic too)
+    "q78_quantized_ann" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.quantizedTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+            col("n_id"), col("qcos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |m0 AS (SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+             |qz AS (SELECT vec_id,
+             |    CASE WHEN m = 0 THEN list_transform(e, x -> 0.0::DOUBLE)
+             |    ELSE list_transform(e, x -> floor(x * 127.0::DOUBLE / m + 0.5::DOUBLE))
+             |    END AS qv
+             |  FROM m0),
+             |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    round(list_cosine_similarity(q.qv, c.qv), 6) AS qcos
+             |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10),
+             |r AS (SELECT q_id, n_id, qcos, row_number() OVER (
+             |  PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rank FROM sc)
+             |SELECT q_id, rank, n_id, qcos FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // z-order (Morton) clustered rewrite of orders on (custkey, date):
+    // read back through a 2-D box predicate — content must round-trip
+    // bit-exactly vs the same predicate on the ORIGINAL table, and the
+    // layout makes file/row-group stats tight on BOTH dimensions
+    // (clustering quality is asserted in LayoutSpec; scan pruning in
+    // PlanSpec)
+    "q79_zorder_layout" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_zorder_query")
+        graft.operators.Layout.zorderWrite(
+          t(s, d, "orders"), "o_custkey", "o_orderdate", s"$base/out",
+          numFiles = 8)
+        s.read.parquet(s"$base/out")
+          .filter(col("o_custkey").between(100, 500) &&
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            usum(col("o_totalprice")).as("total_price_micros"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  sum(floor(o_totalprice*1e6)::BIGINT)::BIGINT AS total_price_micros,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 500
+             |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-01-01'""".stripMargin)),
+
+    // streaming ANN serving: the q27 retrieval result produced by the
+    // online path — query embeddings arrive as a stream, each micro-batch
+    // is scored against the static corpus (same oracle as q27)
+    "q80_streaming_ann" -> Q(
+      (s, d) => {
+        graft.streaming.AnnServing.serveTopK(
+            s,
+            corpus = t(s, d, "embeddings"),
+            queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") < 10,
+            idCol = "vec_id", vecCol = "embedding", k = 5)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+            col("n_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+             |sc AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, nv), 6) AS cos
+             |  FROM q CROSS JOIN c WHERE q_id <> n_id),
+             |r AS (SELECT q_id, n_id, cos, row_number() OVER (
+             |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
+             |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)))
+
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {
     val suffix = d.replaceAll("[^a-z0-9]", "_") + "_" + bucketRunTag
@@ -1952,5 +2164,5 @@ object Queries {
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
-      extendedSurface
+      extendedSurface ++ roundFourSurface
 }

@@ -69,4 +69,55 @@ object Sampling {
       .drop("_cc_doc")
       .withColumn("split", splitLabel(col("canonical_id"), trainPct, valPct))
   }
+
+  /** Training-mix construction: deterministically downsample each source
+    * so the sampled corpus matches target proportions (the "data mixing"
+    * step that turns raw crawls + curated sets into a pretraining mix).
+    *
+    * `weights` are integer parts per source (e.g. web->70, books->20,
+    * code->10). The achievable total is limited by the scarcest source:
+    * T = min_s floor(count_s * P / part_s) with P = sum of parts; each
+    * source then contributes n_s = floor(T * part_s / P) rows, accepted
+    * by the deterministic [[bucket]] hash at parts-per-million
+    * resolution. All arithmetic is integer, so the plan — and the
+    * oracle — is engine-exact; membership is stable across reruns and
+    * cluster sizes like every other sampler here.
+    *
+    * Scale shape: one count-by-source aggregate (rows = #sources,
+    * collected driver-side — a handful of longs), then a pure filter
+    * riding the scan. No shuffle of data rows, no RNG. */
+  /** Per-source acceptance plan for [[mixSources]]:
+    * (source, total rows, accept parts-per-million). */
+  def mixPlan(
+      df: DataFrame,
+      sourceCol: String,
+      weights: Map[String, Long]): Seq[(String, Long, Long)] = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val p = weights.values.sum
+    val counts = df
+      .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(weights.keySet.subsetOf(counts.keySet),
+      s"sources missing from data: ${weights.keySet -- counts.keySet}")
+    val total = weights.map { case (s, w) => counts(s) * p / w }.min
+    weights.toSeq.sortBy(_._1).map { case (s, w) =>
+      (s, counts(s), total * w / p * 1000000L / counts(s))
+    }
+  }
+
+  def mixSources(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Long],
+      salt: String = "mix"): DataFrame = {
+    val plan = mixPlan(df, sourceCol, weights)
+    val ppmCol = plan.foldLeft(lit(-1L)) { case (acc, (s, _, ppm)) =>
+      when(col(sourceCol) === s, lit(ppm)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), salt, 1000000) < ppmCol)
+  }
 }

@@ -256,4 +256,54 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Symmetric int8 (maxabs) quantization of an embedding column — the
+    * standard 4x memory/bandwidth reduction for serving a 100 TB-scale
+    * vector corpus: each vector is scaled by its own max |component| to
+    * [-127, 127] and stored as small integers, with the per-vector scale
+    * kept for dequantization.
+    *
+    * Every step (widen to double, multiply, divide, +0.5, floor) is an
+    * exactly-rounded IEEE op, so quantization is bit-reproducible in any
+    * engine — which is also what makes it oracle-checkable. Pure column
+    * expressions, zero shuffle: rides the scan.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val qvec = when(maxAbs === 0d, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x =>
+        floor(x * lit(127.0) / maxAbs + lit(0.5)).cast("long")))
+    df.select(
+      col(idCol).as("vec_id"),
+      qvec.as("qvec"),
+      round(maxAbs / lit(127.0), 6).as("scale"))
+  }
+
+  /** Brute-force top-k cosine over int8-quantized vectors. Integer
+    * components make every dot product and squared norm an exact integer
+    * (well under 2^53), so the quantized cosine is order-independent and
+    * bit-identical cross-engine — no rounding convention needed beyond
+    * the final display round. Same broadcast + per-query window shape as
+    * [[bruteForceTopK]]; the scan ships int8-scale data instead of
+    * float32, which is the point at serving scale. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = quantizeInt8(corpus, idCol, vecCol).toDF("n_id", "n_qvec", "n_scale")
+    val q = quantizeInt8(queries, idCol, vecCol).toDF("q_id", "q_qvec", "q_scale")
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        round(cosineSim(
+          transform(col("q_qvec"), x => x.cast("double")),
+          transform(col("n_qvec"), x => x.cast("double"))), 6).as("qcos"))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

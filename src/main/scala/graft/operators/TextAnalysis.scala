@@ -189,4 +189,110 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Benchmark-contamination check: for each eval document, how much of
+    * it already appears in the training corpus (the standard n-gram-
+    * overlap test-set-leakage audit run before every pretraining run).
+    *
+    * Shape: the train side is reduced to its DISTINCT n-gram hash set
+    * (one shuffle, map-side partials collapse the heavy duplication);
+    * the eval side explodes to (doc, gram-hash) and LEFT SEMI-joins the
+    * train set to count hits. Joining on the 64-bit gram hash instead of
+    * the gram string keeps shuffle rows fixed-width — at 100 TB the
+    * train gram set is far larger than memory, so this must be a
+    * shuffle hash/SMJ join, never a broadcast, and a semi join ships no
+    * payload back. Nothing is ever collected.
+    */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    import graft.functions.Functions.wordShingles
+    val trainGrams = train
+      .select(explode(wordShingles(col(textCol), shingleN)).as("g"))
+      .select(hash64(col("g")).as("gh"))
+      .distinct()
+    // wordShingles is distinct per doc already, so (doc_id, gh) needs no
+    // extra global distinct (which would cost a shuffle)
+    val evalGrams = eval
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), shingleN)).as("g"))
+      .select(col("doc_id"), hash64(col("g")).as("gh"))
+    val hits = evalGrams
+      .join(trainGrams, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    evalGrams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
+  /** Intra-document repetition metrics — the quality signal that catches
+    * boilerplate/spam documents whose *tokens* are ordinary but whose
+    * structure is a loop (nav bars, keyword stuffing, generation loops).
+    *
+    * Pure array expressions inside one projection: token multiplicity is
+    * computed as, for each DISTINCT token, the count of its occurrences
+    * (`transform` over the distinct list + `filter` per element). That is
+    * O(distinct x tokens) per document — documents are bounded (a
+    * pipeline chunks long ones), and in exchange the whole operator is
+    * zero-shuffle whole-stage-codegen: at 100 TB it rides the parquet
+    * scan like the other quality scores, instead of paying an explode +
+    * two-level groupBy shuffle on every token of the corpus. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val dist = array_distinct(toks)
+    val counts = transform(dist, t => size(filter(toks, x => x === t)).cast("long"))
+    // raw (non-distinct) bigrams: Functions.shingles dedups, which would
+    // make every dup ratio 0 by construction
+    val grams2 = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    df.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(dist).cast("bigint").as("n_distinct"),
+      round(size(dist).cast("double") / size(toks), 6).as("distinct_ratio"),
+      array_max(counts).as("max_token_freq"),
+      when(size(grams2) === 0, lit(0.0)).otherwise(
+        round(lit(1.0) -
+          size(array_distinct(grams2)).cast("double") / size(grams2), 6))
+        .as("dup_bigram_ratio"))
+  }
+
+  /** PII patterns shared by [[redactPii]] and its oracle: RE2-safe (no
+    * backreferences/lookaround) so Spark (java.util.regex) and any
+    * RE2-family engine (DuckDB, Hyperscan scrubbers) compile the same
+    * automaton. Order matters: SSN before phone, or the phone pattern
+    * eats `123-45-6789`'s tail. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "\\+?[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}", "<PHONE>"))
+
+  /** PII redaction for training corpora: replace emails / SSNs / phone
+    * numbers with typed placeholder tokens and count what was removed
+    * (the counts feed the pipeline's compliance report). Pure
+    * `regexp_replace`/`regexp_extract_all` column expressions — one
+    * codegen'd pass over the scan, zero shuffle, no UDF. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    val countCols = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("bigint")
+        .as(s"n_$name")
+    }
+    df.select(
+      col(idCol).as("doc_id") +: redacted.as("redacted") +: countCols: _*)
+  }
 }

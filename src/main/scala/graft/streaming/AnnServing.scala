@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.Similarity
+
+/** Streaming ANN serving: embedding queries arrive as a stream, each
+  * micro-batch is scored against a static (pre-indexed) corpus, and
+  * per-query top-k results append to a results table — the online
+  * retrieval shape (RAG / semantic-search serving) on top of the same
+  * batch similarity operators.
+  *
+  * Per micro-batch this is exactly the batch plan: broadcast the batch's
+  * queries (queries-per-batch is small by construction — that is what a
+  * serving tier load-balances), scan the corpus, codegen'd cosine,
+  * per-query top-k window. Nothing is collected; state between batches
+  * is only the sink table. At 100 TB the corpus side would be the IVF
+  * index ([[Similarity.ivfTopKWith]]) instead of the brute-force scan —
+  * same plumbing, narrower scan.
+  */
+object AnnServing {
+
+  /** Drain all available query batches from `queriesPath` (parquet with
+    * (idCol, vecCol) columns) against `corpus`, appending each batch's
+    * top-k to a per-JVM-tagged managed table; returns the results table.
+    * `queryFilter` selects which streamed rows are queries. */
+  def serveTopK(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queriesPath: String,
+      querySchemaDDL: String,
+      queryFilter: Column,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = EventStreams.synchronized {
+    val tbl = "ann_serve_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, EventStreams.statePartitions.toString)
+    val ckpt = EventStreams.newCheckpointDir()
+    try {
+      val reader = spark.readStream.schema(querySchemaDDL)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader.parquet(EventStreams.sourceDir(queriesPath))
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val queries = batch.filter(queryFilter)
+          Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+            .write.mode("append").saveAsTable(tbl)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () }
+    }
+    spark.table(tbl)
+  }
+}

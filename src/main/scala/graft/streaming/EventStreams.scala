@@ -41,14 +41,20 @@ object EventStreams {
     * source requires a directory; when handed a single file (the harness
     * tables are one parquet file each) it is exposed through a symlinked
     * temp directory. */
-  def readStream(spark: SparkSession, path: String): DataFrame = {
+  /** File-stream sources require a directory; expose a single file (the
+    * harness tables are one parquet file each) through a symlinked temp
+    * directory. */
+  private[streaming] def sourceDir(path: String): String = {
     val p = java.nio.file.Paths.get(path)
-    val dir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
-        d.toString
-      } else path
+    if (java.nio.file.Files.isRegularFile(p)) {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+      d.toString
+    } else path
+  }
+
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val dir = sourceDir(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchemaDDL)
@@ -192,12 +198,12 @@ object EventStreams {
     * cost even when the state is tiny. Sizing it to the load is the
     * standard per-query production tuning; at 100 TB/day this would be
     * raised back up with the data volume. */
-  private val statePartitions = 8
+  private[streaming] val statePartitions = 8
 
   /** Checkpoint dir on tmpfs when the host has one: offset/commit logs
     * and state deltas are fsynced per micro-batch, which dominates the
     * fixed overhead of short-lived local streams on disk-backed temp. */
-  private def newCheckpointDir(): String = {
+  private[streaming] def newCheckpointDir(): String = {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Layout, Sampling, Similarity, TextAnalysis}
+
+/** Round-4 operators: contamination audit, PII redaction, repetition
+  * metrics, dataset mixing, int8-quantized ANN, z-order layout, AQE
+  * skew-join handling, streaming ANN serving. */
+class Round4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contamination: exact overlap ratios on a planted corpus") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d x"), // grams {a b c, b c d, c d x}: 2 of 3 in train
+      (11L, "p q r s t"), // 0 of 3
+      (12L, "a b")        // no 3-grams -> absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(train, eval, "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 3L, 2L), (11L, 3L, 0L)))
+    assert(out(0).getDouble(3) == 0.666667)
+    assert(out(1).getDouble(3) == 0.0)
+  }
+
+  test("pii redaction: emails, SSNs, phones replaced and counted") {
+    val df = Seq(
+      (1L, "mail a.b@x.io and c@d.org ssn 123-45-6789 call 555-123-4567 ok"),
+      (2L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getString(1) ==
+      "mail <EMAIL> and <EMAIL> ssn <SSN> call <PHONE> ok")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) == ((2L, 1L, 1L)))
+    assert(out(1).getString(1) == "clean text with no pii at all")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) == ((0L, 0L, 0L)))
+  }
+
+  test("repetition: exact metrics on a crafted doc") {
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(df, "doc_id", "text").head()
+    assert(r.getLong(1) == 4L)        // n_tokens
+    assert(r.getLong(2) == 2L)        // n_distinct
+    assert(r.getDouble(3) == 0.5)     // distinct_ratio
+    assert(r.getLong(4) == 3L)        // max_token_freq ("a")
+    // bigrams [a a, a a, a b]: 2 distinct of 3 -> 1 - 2/3
+    assert(r.getDouble(5) == 0.333333)
+  }
+
+  test("mix: scarcest source binds; membership deterministic; rates near target") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val w = Map("src0" -> 60L, "src1" -> 30L, "src2" -> 10L)
+    // counts are 100 each; T = min(100*100/60, 100*100/30, 100*100/10) = 166
+    val plan = Sampling.mixPlan(df, "source", w)
+    assert(plan == Seq(
+      ("src0", 100L, 990000L), ("src1", 100L, 490000L), ("src2", 100L, 160000L)))
+    val s1 = Sampling.mixSources(df, "source", "id", w)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.mixSources(df, "source", "id", w)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash membership must be reproducible")
+    val bySource = Sampling.mixSources(df, "source", "id", w)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash sampling is approximate; 100-row sources stay within +-15
+    assert(math.abs(bySource("src0") - 99L) <= 15)
+    assert(math.abs(bySource("src1") - 49L) <= 15)
+    assert(math.abs(bySource("src2") - 16L) <= 15)
+  }
+
+  test("quantizeInt8: maxabs scaling, exact integer levels") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df, "vec_id", "embedding").head()
+    // m=1.0: 0.5*127+0.5 -> floor(64.0)=64; -127+0.5 -> floor(-126.5)=-127;
+    // 31.75+0.5 -> 32; 0.5 -> 0
+    assert(r.getSeq[Long](1) == Seq(64L, -127L, 32L, 0L))
+    assert(r.getDouble(2) == 0.007874) // round(1/127, 6)
+  }
+
+  test("quantized top-k tracks full-precision top-k closely") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i.toDouble * 37 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 5)
+    def top1(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"rank" === 1).select($"q_id", $"n_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", k = 3))
+    val quant = top1(Similarity.quantizedTopK(vecs, qs, "vec_id", "embedding", k = 3))
+    // int8 quantization can flip near-ties, but most top-1s must agree
+    val agree = exact.keys.count(q => exact(q) == quant(q))
+    assert(agree >= 4, s"only $agree/5 top-1 neighbors survived quantization")
+  }
+
+  test("zorderKey2 interleaves bits") {
+    val df = Seq((5L, 3L)).toDF("a", "b")
+    // a=101 -> positions 0,4; b=011 -> positions 1,3 => 1+16+2+8 = 27
+    val z = df.select(Layout.zorderKey2($"a", $"b", 3).as("z")).head().getLong(0)
+    assert(z == 27L)
+    val z2 = Seq((0L, 7L)).toDF("a", "b")
+      .select(Layout.zorderKey2($"a", $"b", 3).as("z")).head().getLong(0)
+    assert(z2 == (2L + 8L + 32L)) // b bits at odd positions 1,3,5
+  }
+
+  test("zorder layout bounds per-file spans on BOTH dimensions") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Engine.table(spark, sf, "orders")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_spec").toString
+    Layout.zorderWrite(orders, "o_custkey", "o_orderdate", s"$base/z", numFiles = 8)
+    // linear baseline: range-sorted by custkey only
+    orders.repartitionByRange(8, $"o_custkey")
+      .sortWithinPartitions($"o_custkey")
+      .write.mode("overwrite").parquet(s"$base/lin")
+    def spans(dir: String): (Double, Double) = {
+      val df = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), $"o_custkey",
+          unix_micros($"o_orderdate".cast("timestamp")).as("d"))
+      val g = df.agg(
+        (max($"o_custkey") - min($"o_custkey")).cast("double").as("ck"),
+        (max($"d") - min($"d")).cast("double").as("dd")).head()
+      val per = df.groupBy($"f").agg(
+        (max($"o_custkey") - min($"o_custkey")).cast("double").as("ck"),
+        (max($"d") - min($"d")).cast("double").as("dd"))
+        .agg(avg($"ck"), avg($"dd")).head()
+      (per.getDouble(0) / g.getDouble(0), per.getDouble(1) / g.getDouble(1))
+    }
+    val (zck, zdd) = spans(s"$base/z")
+    val (lck, ldd) = spans(s"$base/lin")
+    // linear: razor-sharp on custkey, useless on date
+    assert(lck < 0.3 && ldd > 0.85, s"baseline unexpected: ck=$lck dd=$ldd")
+    // z-order: bounded on BOTH dimensions
+    assert(zck < 0.7, s"zorder custkey span too wide: $zck")
+    assert(zdd < 0.7, s"zorder date span too wide: $zdd")
+  }
+
+  test("AQE splits a skewed sort-merge join partition") {
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(0, 400000).select(
+        when($"id" < 360000, 0L).otherwise($"id" % 64).as("k"),
+        $"id".as("payload"))
+      val small = spark.range(0, 64).select($"id".as("k"), ($"id" * 10).as("v"))
+      val j = big.join(small, "k")
+      // execute THIS query's physical plan (a .count() would build a
+      // separate aggregate query and finalize that plan, not this one)
+      val qe = j.queryExecution
+      qe.executedPlan.execute().count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-handled join in:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("streaming ANN serving over multiple micro-batches = batch top-k") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+    // split the queries across two files; maxFilesPerTrigger=1 forces at
+    // least two micro-batches through the serving loop
+    val qdir = java.nio.file.Files.createTempDirectory("graft_ann_q").toString
+    emb.filter($"vec_id" < 5).coalesce(1).write.mode("overwrite").parquet(s"$qdir/in")
+    emb.filter($"vec_id" >= 5 && $"vec_id" < 10).coalesce(1)
+      .write.mode("append").parquet(s"$qdir/in")
+    val served = graft.streaming.AnnServing.serveTopK(
+        spark, emb, s"$qdir/in",
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+        queryFilter = lit(true), "vec_id", "embedding", k = 3,
+        maxFilesPerTrigger = Some(1))
+      .select($"q_id", $"rank", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3)
+      .select($"q_id", $"rank", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == batch)
+  }
+}
