@@ -41,13 +41,31 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Queries run on a small thread pool: most entries are planning- or
+    // setup-bound at verify scale (streaming micro-batch bootstrap, write
+    // round-trips), so overlapping them keeps the 32 cores fed. Each task
+    // gets its own `newSession()` — isolated SQLConf, so a streaming
+    // entry pinning shuffle.partitions can never leak into a concurrent
+    // query's plan. Shared state (warehouse catalog, scratch dirs,
+    // memory-sink names) is already per-query-unique, and the streaming
+    // drains serialize on their own lock.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      scala.concurrent.Future {
+        try fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(tasks),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     spark.stop()
   }
 }

@@ -93,6 +93,10 @@ object Functions {
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
 
+  /** Single-pass token-repetition stats array (see [[TokenRepetition]]). */
+  def tokenRepetition(text: Column): Column =
+    column(TokenRepetition(expression(text)))
+
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

@@ -239,34 +239,25 @@ object TextAnalysis {
     * boilerplate/spam documents whose *tokens* are ordinary but whose
     * structure is a loop (nav bars, keyword stuffing, generation loops).
     *
-    * Pure array expressions inside one projection: token multiplicity is
-    * computed as, for each DISTINCT token, the count of its occurrences
-    * (`transform` over the distinct list + `filter` per element). That is
-    * O(distinct x tokens) per document — documents are bounded (a
-    * pipeline chunks long ones), and in exchange the whole operator is
-    * zero-shuffle whole-stage-codegen: at 100 TB it rides the parquet
-    * scan like the other quality scores, instead of paying an explode +
-    * two-level groupBy shuffle on every token of the corpus. */
+    * One codegen'd [[graft.functions.TokenRepetition]] pass per document
+    * (zero shuffle — rides the parquet scan like the other quality
+    * scores). The composed higher-order-function form was 10+x slower:
+    * Spark runs HOF lambdas interpreted, and the per-distinct-token
+    * occurrence count is O(distinct x tokens) per doc. */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val dist = array_distinct(toks)
-    val counts = transform(dist, t => size(filter(toks, x => x === t)).cast("long"))
-    // raw (non-distinct) bigrams: Functions.shingles dedups, which would
-    // make every dup ratio 0 by construction
-    val grams2 = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-    df.select(
-      col(idCol).as("doc_id"),
-      size(toks).cast("bigint").as("n_tokens"),
-      size(dist).cast("bigint").as("n_distinct"),
-      round(size(dist).cast("double") / size(toks), 6).as("distinct_ratio"),
-      array_max(counts).as("max_token_freq"),
-      when(size(grams2) === 0, lit(0.0)).otherwise(
-        round(lit(1.0) -
-          size(array_distinct(grams2)).cast("double") / size(grams2), 6))
-        .as("dup_bigram_ratio"))
+    val st = graft.functions.Functions.tokenRepetition(col(textCol))
+    df.select(col(idCol).as("doc_id"), st.as("_st"))
+      .select(
+        col("doc_id"),
+        col("_st").getItem(0).as("n_tokens"),
+        col("_st").getItem(1).as("n_distinct"),
+        round(col("_st").getItem(1).cast("double") / col("_st").getItem(0), 6)
+          .as("distinct_ratio"),
+        col("_st").getItem(2).as("max_token_freq"),
+        when(col("_st").getItem(3) === 0L, lit(0.0)).otherwise(
+          round(lit(1.0) -
+            col("_st").getItem(4).cast("double") / col("_st").getItem(3), 6))
+          .as("dup_bigram_ratio"))
   }
 
   /** PII patterns shared by [[redactPii]] and its oracle: RE2-safe (no
