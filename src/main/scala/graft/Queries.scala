@@ -2138,7 +2138,96 @@ object Queries {
              |r AS (SELECT q_id, n_id, cos, row_number() OVER (
              |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
              |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
-             |ORDER BY q_id, rank""".stripMargin)))
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // SemDeDup: per-vector keep/drop verdict from intra-cluster cosine —
+    // the 16 lowest-id vectors stand in as a pre-trained coarse
+    // quantizer (the k-means trainer is ivfTrainCentroids, spec-tested;
+    // a literal centroid set is what makes the oracle exact)
+    "q81_semantic_dedup" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticDedup(
+            emb, "vec_id", "embedding",
+            Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 16L),
+            threshold = 0.35)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+             |assign AS (SELECT vec_id, e, cent_id AS cell FROM (
+             |  SELECT v.vec_id, v.e, c.cent_id, row_number() OVER (
+             |    PARTITION BY v.vec_id
+             |    ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cent_id) AS rn
+             |  FROM v CROSS JOIN cents c) WHERE rn = 1),
+             |dups AS (SELECT a.vec_id AS dup_id, count(*)::BIGINT AS n_dups_lower
+             |  FROM assign a JOIN assign b ON a.cell = b.cell
+             |    AND b.vec_id < a.vec_id
+             |    AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+             |  GROUP BY a.vec_id)
+             |SELECT v.vec_id, cell,
+             |  coalesce(n_dups_lower, 0)::BIGINT AS n_dups_lower,
+             |  dup_id IS NULL AS is_kept
+             |FROM assign v LEFT JOIN dups ON v.vec_id = dups.dup_id
+             |ORDER BY vec_id""".stripMargin)),
+
+    // content-defined chunk dedup: partial-overlap detection (quoted
+    // blocks, shared boilerplate) that whole-document signatures miss
+    "q82_chunk_dedup" -> Q(
+      (s, d) => {
+        Dedup.chunkDupStats(t(s, d, "documents"), "doc_id", "text", divisor = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |  FROM documents),
+              |tk AS (SELECT doc_id, unnest(t) AS tok,
+              |    generate_subscripts(t, 1) AS pos FROM t0),
+              |ck AS (SELECT doc_id, pos, tok,
+              |    sum(CASE WHEN ${dHash64("tok")} % 8 = 0 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+              |  FROM tk),
+              |fp AS (SELECT doc_id, chunk,
+              |    ${dHash64("string_agg(tok, ' ' ORDER BY pos)")} AS f
+              |  FROM ck GROUP BY doc_id, chunk),
+              |fr AS (SELECT f, count(DISTINCT doc_id) AS nd FROM fp GROUP BY f)
+              |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+              |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_chunks,
+              |  round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+              |    AS dup_ratio
+              |FROM fp JOIN fr ON fp.f = fr.f
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // fixed-weight linear quality classifier (CCNet-style model filter;
+    // logit not sigmoid — exp() is not bit-identical across engines)
+    "q83_quality_classifier" -> Q(
+      (s, d) => {
+        TextAnalysis.qualityClassifier(
+            t(s, d, "documents"), "doc_id", "text",
+            Seq(
+              "n_tokens" -> 0.02, "mean_token_len" -> 0.3,
+              "punct_ratio" -> -20.0, "stopword_ratio" -> 4.0),
+            intercept = -2.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH q AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |  len(t)::BIGINT AS n_tokens,
+             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
+             |    AS mean_token_len,
+             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text), 6) AS punct_ratio,
+             |  round(len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
+             |    AS stopword_ratio
+             |  FROM q),
+             |s AS (SELECT doc_id,
+             |  round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+             |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
+             |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
+             |  FROM f)
+             |SELECT doc_id, logit, logit >= 0 AS keep
+             |FROM s ORDER BY doc_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

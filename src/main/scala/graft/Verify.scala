@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name prefixes — run only matching
+    // queries (builder-side iteration; the driver always passes two args)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSeq))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,6 +44,7 @@ object Verify {
     // dumped BEFORE the query loop: a fatal mid-run (OOM, kill) must not
     // take the whole round's oracle manifest down with it
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Queries run on a small thread pool: most entries are planning- or
@@ -53,7 +59,10 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val tasks = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

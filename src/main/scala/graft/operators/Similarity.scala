@@ -306,4 +306,44 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-
+    * duplicate pruning over an embedding column — cluster the corpus with
+    * the coarse quantizer, compare pairs ONLY within a cluster, and drop
+    * every vector that has a lower-id cluster-mate with cosine >=
+    * threshold (greedy keep-first; deterministic, no RNG). Returns one
+    * verdict row per input vector: (idCol, cell, n_dups_lower, is_kept).
+    *
+    * Scale shape: cluster assignment is [[ivfAssign]]'s zero-shuffle
+    * literal fold into the scan stage; the ONLY shuffle is the cell-key
+    * self-join, and pair work is bounded by sum(cell_size^2), never
+    * corpus^2 — at 100 TB you raise k so the expected cell stays small
+    * (the paper runs 50k clusters over LAION), and the centroid matrix
+    * still fits in a literal because k*dims is tiny next to the data. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+      .select(col(idCol).as("sd_id"), col(vecCol).as("sd_v"), col("cell"))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    // cosine rounded to 6dp BEFORE the threshold compare, so an
+    // engine-side summation ulp can't flip a borderline pair
+    val dups = a
+      .join(b,
+        col("a.cell") === col("b.cell") && col("b.sd_id") < col("a.sd_id") &&
+          round(cosineSim(col("a.sd_v"), col("b.sd_v")), 6) >= threshold)
+      .groupBy(col("a.sd_id").as("dup_id"))
+      .agg(count(lit(1)).as("n_dups_lower"))
+    assigned
+      .join(dups, col("sd_id") === col("dup_id"), "left")
+      .select(
+        col("sd_id").as(idCol),
+        col("cell"),
+        coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
+        col("dup_id").isNull.as("is_kept"))
+  }
 }

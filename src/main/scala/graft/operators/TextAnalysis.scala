@@ -64,6 +64,30 @@ object TextAnalysis {
         .as("stopword_ratio"))
   }
 
+  /** Fixed-weight linear quality classifier — the model-based quality
+    * filter of the CCNet/FastText recipe, with offline-trained weights
+    * supplied as literals so serving is a pure column expression over
+    * the [[qualityScore]] features (zero shuffle, whole-stage codegen).
+    * Emits the LOGIT, not the sigmoid: exp() is a libm call whose last
+    * ulp differs across engines, while a dot product of 6dp-rounded
+    * features with literal weights is exactly evaluated everywhere;
+    * thresholding the logit at 0 is the same decision sigmoid >= 0.5
+    * makes. `weights` is ordered — the accumulation tree is built in
+    * sequence so both engines evaluate the identical expression. */
+  def qualityClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[(String, Double)],
+      intercept: Double): DataFrame = {
+    val logit = round(
+      weights.foldLeft(lit(intercept)) { case (acc, (f, w)) =>
+        acc + lit(w) * col(f).cast("double")
+      }, 6)
+    qualityScore(df, idCol, textCol)
+      .select(col("doc_id"), logit.as("logit"), (logit >= 0d).as("keep"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish `[a-z0-9]+` word-piece
     * regex count. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

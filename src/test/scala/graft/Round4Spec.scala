@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Layout, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Sampling, Similarity, TextAnalysis}
 
 /** Round-4 operators: contamination audit, PII redaction, repetition
   * metrics, dataset mixing, int8-quantized ANN, z-order layout, AQE
@@ -187,5 +187,53 @@ class Round4Spec extends AnyFunSuite {
       .select($"q_id", $"rank", $"n_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(served == batch)
+  }
+
+  test("semanticDedup: planted near-identical vectors dropped, keep-first") {
+    // two tight groups far apart + one singleton; ids 0 and 3 are the
+    // cluster seeds (centroids)
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.999f, 0.01f, 0f, 0f)),  // near-dup of 0
+      (2L, Array(0.998f, -0.02f, 0f, 0f)), // near-dup of 0 and 1
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f))          // own direction, cell of 3 or 0
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vs, "vec_id", "embedding", Seq(0L, 3L))
+    val res = Similarity.semanticDedup(vs, "vec_id", "embedding", cents, 0.99)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(res.toSeq == Seq(
+      (0L, 0L, true),   // kept: no lower-id mate
+      (1L, 1L, false),  // dup of 0
+      (2L, 2L, false),  // dup of 0 and 1
+      (3L, 0L, true),
+      (4L, 0L, true)))  // cosine to mates below threshold
+  }
+
+  test("chunkDupStats: shared boilerplate chunk detected across docs") {
+    // with divisor=1 every token is a boundary -> every token is a chunk:
+    // shared chunks are exactly shared tokens (cross-doc)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta"),
+      (3L, "epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(docs, "doc_id", "text", divisor = 1)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("qualityClassifier: logit is the literal dot product; keep at 0") {
+    val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
+    // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
+    val res = TextAnalysis.qualityClassifier(
+        docs, "doc_id", "text",
+        Seq("n_tokens" -> 1.0, "stopword_ratio" -> 3.0), intercept = -3.5)
+      .orderBy($"doc_id").collect()
+    // doc1: -3.5 + 3 + 3*round(1/3,6) = 0.499999 -> keep
+    assert(res(0).getDouble(1) == 0.499999 && res(0).getBoolean(2))
+    // doc2: -3.5 + 1 + 0 = -2.5 -> drop
+    assert(res(1).getDouble(1) == -2.5 && !res(1).getBoolean(2))
   }
 }
