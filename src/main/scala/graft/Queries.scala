@@ -2227,7 +2227,81 @@ object Queries {
              |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
              |  FROM f)
              |SELECT doc_id, logit, logit >= 0 AS keep
-             |FROM s ORDER BY doc_id""".stripMargin)))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // bigram-LM fluency scoring (KenLM-recipe core) — per-bigram MLE
+    // probability in integer micro-units so the per-doc sum is order-free
+    "q84_bigram_lm" -> Q(
+      (s, d) => {
+        TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |tk AS (SELECT doc_id, unnest(t) AS tok,
+             |    generate_subscripts(t, 1) AS pos FROM t0 WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, tok AS a, lead(tok) OVER (
+             |    PARTITION BY doc_id ORDER BY pos) AS b FROM tk),
+             |bi AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL),
+             |cb AS (SELECT a, b, count(*)::BIGINT AS cb FROM bi GROUP BY a, b),
+             |ca AS (SELECT a, sum(cb)::BIGINT AS ca FROM cb GROUP BY a),
+             |m AS (SELECT cb.a, cb.b,
+             |    floor(1e6 * cb.cb::DOUBLE / ca.ca::DOUBLE)::BIGINT AS p_micros
+             |  FROM cb JOIN ca ON cb.a = ca.a),
+             |sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             |    sum(p_micros)::BIGINT AS score_micros
+             |  FROM bi JOIN m ON bi.a = m.a AND bi.b = m.b GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+             |  coalesce(score_micros, 0)::BIGINT AS score_micros
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // per-source document cap ("max N pages per domain") — two-level
+    // hash-ordered top-k; result provably equals the one-window form
+    "q85_per_source_cap" -> Q(
+      (s, d) => {
+        Sampling.perSourceCap(t(s, d, "documents"), "doc_id", "source", cap = 100)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""WITH r AS (SELECT doc_id, source, row_number() OVER (
+              |    PARTITION BY source
+              |    ORDER BY ${dHash64("'cap:'||doc_id")}, doc_id) AS rk
+              |  FROM documents)
+              |SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= 100
+              |ORDER BY source, rk""".stripMargin)),
+
+    // per-source dataset-card stats — histogram-walk integer quantiles,
+    // no per-source row sort, no interpolation
+    "q86_corpus_stats" -> Q(
+      (s, d) => {
+        TextAnalysis.corpusStats(t(s, d, "documents"), "doc_id", "text", "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (SELECT source,
+             |    len(string_split(trim(text), ' '))::BIGINT AS ntok,
+             |    length(text)::BIGINT AS nch FROM documents),
+             |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+             |    sum(ntok)::BIGINT AS n_tokens,
+             |    min(nch) AS min_chars, max(nch) AS max_chars
+             |  FROM b GROUP BY source),
+             |h AS (SELECT source, nch, count(*)::BIGINT AS c FROM b
+             |  GROUP BY source, nch),
+             |cu AS (SELECT source, nch,
+             |    sum(c) OVER (PARTITION BY source ORDER BY nch) AS cum
+             |  FROM h),
+             |med AS (SELECT cu.source, min(nch) AS median_chars
+             |  FROM cu JOIN a ON cu.source = a.source
+             |  WHERE cum * 2 >= n_docs GROUP BY cu.source),
+             |p90 AS (SELECT cu.source, min(nch) AS p90_chars
+             |  FROM cu JOIN a ON cu.source = a.source
+             |  WHERE cum * 10 >= n_docs * 9 GROUP BY cu.source)
+             |SELECT a.source, n_docs, n_tokens, min_chars, max_chars,
+             |  median_chars, p90_chars
+             |FROM a JOIN med ON a.source = med.source
+             |JOIN p90 ON a.source = p90.source
+             |ORDER BY a.source""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -120,4 +120,42 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), salt, 1000000) < ppmCol)
   }
+
+  /** Per-source document cap (the "max N pages per domain" rule every
+    * crawl pipeline applies so one mega-site cannot dominate the mix):
+    * keep at most `cap` rows per source, chosen by the deterministic
+    * hash order on the id — rerun-stable and engine-exact, where a
+    * `LIMIT` inside a group would be neither. Emits the kept rows with
+    * their within-source `rk`.
+    *
+    * Scale shape: the naive form is one `row_number` window partitioned
+    * by source — a total sort of each source's rows on a single task,
+    * which a Zipf-hot domain turns into a straggler. This runs the
+    * standard two-level top-k instead: rows first rank within
+    * (source, salt-bucket) partitions — bounded at rows/`saltBuckets`
+    * per task — and only the per-bucket top `cap` survivors (≤
+    * cap × saltBuckets rows per source, independent of domain size)
+    * enter the final per-source ranking. Any row outside its bucket's
+    * top `cap` cannot be in the source's top `cap` under the same total
+    * order, so the two-phase result is exactly the one-phase result. */
+  def perSourceCap(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int,
+      salt: String = "cap",
+      saltBuckets: Int = 16): DataFrame = {
+    require(cap >= 1 && saltBuckets >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val h = hash64(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val wLocal = Window
+      .partitionBy(col(sourceCol), pmod(h, lit(saltBuckets.toLong)))
+      .orderBy(h.asc, col(idCol).asc)
+    val wGlobal = Window.partitionBy(col(sourceCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_lrk", row_number().over(wLocal))
+      .filter(col("_lrk") <= cap)
+      .drop("_lrk")
+      .withColumn("rk", row_number().over(wGlobal).cast("bigint"))
+      .filter(col("rk") <= cap)
+  }
 }

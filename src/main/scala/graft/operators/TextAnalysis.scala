@@ -310,4 +310,89 @@ object TextAnalysis {
     df.select(
       col(idCol).as("doc_id") +: redacted.as("redacted") +: countCols: _*)
   }
+
+  /** Bigram-LM likelihood scoring (the KenLM-style fluency filter of the
+    * CCNet recipe, reduced to its order-2 core): train MLE bigram
+    * probabilities P(b|a) = C(a,b)/C(a·) on the corpus itself, then score
+    * each document by the sum of its bigrams' probabilities. Repetitive /
+    * templated text scores high, rare-garbage text scores low — the
+    * complement of [[repetitionScore]] (which only sees within-document
+    * structure, while this sees corpus-global frequency).
+    *
+    * Each per-bigram probability becomes `floor(1e6 * C(a,b) / C(a·))`
+    * micro-units: long-long division through double is exactly rounded,
+    * floor is exact, and the per-document SUM is then integer — order-
+    * free and bit-identical in any engine (a double sum would depend on
+    * summation order, which no distributed engine pins).
+    *
+    * Scale shape: one explode pass emits the bigram stream; C(a,b) is a
+    * hash aggregate with map-side partials; C(a·) aggregates the (much
+    * smaller) distinct-bigram table, not the stream; the model join
+    * attaches scores to distinct bigrams first, so the occurrence stream
+    * is joined exactly once, keyed (a,b). Nothing driver-side; model size
+    * is vocabulary-bounded, not corpus-bounded. */
+  /** Per-source dataset-card statistics: doc count, token volume,
+    * char-length min/max and exact lower-median / p90 — the report a
+    * training-mix decision is made from. Quantiles are computed from the
+    * (source, length) HISTOGRAM, not a per-source row sort: the window
+    * walks distinct lengths (cardinality-bounded, thousands), so a
+    * Zipf-hot source costs an aggregate, never a single-task sort of
+    * its rows. The quantile rule is integer (`k*cum >= q*n` on counts) —
+    * no interpolation, engine-exact.
+    *
+    * Quantile q at denominator k = smallest length whose running count
+    * reaches ceil(q/k * n): lower median for (1,2), p90 for (9,10). */
+  def corpusStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      col(sourceCol).as("source"),
+      size(tokens(col(textCol))).cast("bigint").as("ntok"),
+      length(col(textCol)).cast("bigint").as("nch"))
+    val agg = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ntok")).as("n_tokens"),
+      min(col("nch")).as("min_chars"),
+      max(col("nch")).as("max_chars"))
+    val w = Window.partitionBy(col("source")).orderBy(col("nch"))
+    val cum = base.groupBy(col("source"), col("nch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(agg.select(col("source"), col("n_docs")), "source")
+    def quantile(num: Int, den: Int, name: String) =
+      cum.filter(col("cum") * den >= col("n_docs") * num)
+        .groupBy(col("source")).agg(min(col("nch")).as(name))
+    agg
+      .join(quantile(1, 2, "median_chars"), "source")
+      .join(quantile(9, 10, "p90_chars"), "source")
+  }
+
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("b"))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val cb = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    val ca = cb.groupBy(col("a")).agg(sum(col("cb")).as("ca"))
+    val model = cb.join(ca, "a").select(
+      col("a"), col("b"),
+      floor(lit(1e6) * col("cb").cast("double") / col("ca").cast("double"))
+        .cast("long").as("p_micros"))
+    val scored = bi.join(model, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micros")).as("score_micros"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_micros"), lit(0L)).as("score_micros"))
+  }
 }

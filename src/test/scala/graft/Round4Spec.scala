@@ -224,6 +224,50 @@ class Round4Spec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
   }
 
+  test("bigramLmScore: MLE micro-unit scores on a counted corpus") {
+    // bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b),(b,c); doc3 none.
+    // C(a,b)=3 C(b,a)=1 C(b,c)=1; C(a.)=3 C(b.)=2
+    // P(b|a)=1 -> 1e6; P(a|b)=P(c|b)=0.5 -> 500000
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2500000L), (2L, 2L, 1500000L), (3L, 0L, 0L)))
+  }
+
+  test("perSourceCap: two-level top-k equals the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 200L).map(i => (i, if (i % 4 == 0) "big" else s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val capped = Sampling.perSourceCap(docs, "doc_id", "source", cap = 7)
+      .select($"doc_id", $"source", $"rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // naive single-window reference under the same (hash, id) order
+    val h = graft.functions.Functions.hash64(concat(lit("cap:"), $"doc_id".cast("string")))
+    val naive = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy(h.asc, $"doc_id".asc)).cast("long"))
+      .filter($"rk" <= 7)
+      .select($"doc_id", $"source", $"rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(capped == naive)
+    assert(capped.groupBy(_._2).forall(_._2.size == 7))
+  }
+
+  test("corpusStats: histogram quantiles are the exact disc values") {
+    val docs = Seq(
+      (1L, "a", "s"), (2L, "ab", "s"), (3L, "abc", "s"),
+      (4L, "abcd", "s"), (5L, "abcde", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.corpusStats(docs, "doc_id", "text", "source").collect()(0)
+    // (source, n_docs, n_tokens, min, max, median, p90)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (("s", 5L, 5L, 1L, 5L, 3L, 5L)))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
