@@ -2301,7 +2301,40 @@ object Queries {
              |  median_chars, p90_chars
              |FROM a JOIN med ON a.source = med.source
              |JOIN p90 ON a.source = p90.source
-             |ORDER BY a.source""".stripMargin)))
+             |ORDER BY a.source""".stripMargin)),
+
+    // random-projection (JL/Achlioptas ±1) dim reduction + projected-space
+    // top-k — milli-unit quantization keeps every downstream value an
+    // exact integer in double, so ranking is engine-exact
+    "q87_random_projection" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.projectedTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            outDims = 8, seed = 7, k = 5)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+            col("n_id"), col("pcos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val signs = Similarity.rpSigns(7, 64, 8)
+        val projExprs = (0 until 8).map { j =>
+          val arr = signs(j).map(v => if (v > 0) "1.0" else "-1.0")
+            .mkString("[", ",", "]")
+          s"list_dot_product(iv, $arr::DOUBLE[])"
+        }.mkString("[", ",\n|      ", "]")
+        s"""WITH v AS (SELECT vec_id,
+           |    [floor(x::DOUBLE * 1000.0) for x in embedding] AS iv
+           |  FROM embeddings),
+           |p AS (SELECT vec_id, $projExprs AS proj FROM v),
+           |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |    round(list_cosine_similarity(q.proj, c.proj), 6) AS pcos
+           |  FROM p q JOIN p c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+           |r AS (SELECT q_id, n_id, pcos, row_number() OVER (
+           |  PARTITION BY q_id ORDER BY pcos DESC, n_id) AS rank FROM sc)
+           |SELECT q_id, rank, n_id, pcos FROM r WHERE rank <= 5
+           |ORDER BY q_id, rank""".stripMargin
+      }))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

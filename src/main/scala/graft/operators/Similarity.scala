@@ -346,4 +346,70 @@ object Similarity {
         coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
         col("dup_id").isNull.as("is_kept"))
   }
+
+  /** Deterministic ±1 sign matrix for sparse random projection
+    * (Achlioptas '03): sign (j, d) is the parity of
+    * `md5Hash64("rp<seed>:<j>:<d>")`. Driver-side constants like
+    * [[hyperplane]], so the projection is oracle-reproducible. */
+  def rpSigns(seed: Int, dims: Int, outDims: Int): Array[Array[Double]] =
+    Array.tabulate(outDims, dims) { (j, d) =>
+      if ((graft.functions.Functions.md5Hash64Jvm(s"rp$seed:$j:$d") & 1L) == 0L)
+        1.0 else -1.0
+    }
+
+  /** Random-projection dimensionality reduction: `outDims` components,
+    * each the dot product of the vector with a deterministic ±1 sign row
+    * (Johnson–Lindenstrauss via Achlioptas sparse projections — distances
+    * are preserved in expectation at any corpus size). Inputs are first
+    * quantized to integer milli-units (`floor(x * 1000)`), so every
+    * projected component is an EXACT small integer in double: dot
+    * products and norms downstream stay below 2^53 and bit-identical in
+    * any engine — the same trick as [[quantizeInt8]], sized so an
+    * 8-component cosine cannot leave the exact-integer range.
+    *
+    * One codegen'd [[graft.functions.DotProduct]] per component against a
+    * literal row — zero shuffle, the projection rides the scan. */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDims: Int,
+      seed: Int,
+      dims: Int = 64): DataFrame = {
+    val signs = rpSigns(seed, dims, outDims)
+    // floor() yields LONG; back to double for the codegen dot product —
+    // exact, the values are small integers
+    val iv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0)).cast("double"))
+    val proj = array((0 until outDims).map { j =>
+      graft.functions.Functions.dotProduct(iv, lit(signs(j)))
+    }: _*)
+    df.select(col(idCol), proj.as("proj"))
+  }
+
+  /** Brute-force top-k in the random-projection space: the cheap first
+    * pass of a project-then-rerank ANN pipeline (scoring at 8 dims costs
+    * 1/8th of 64-dim cosine and the candidate set is then reranked
+    * exactly — here the projected ranking itself is the contract).
+    * Same broadcast + per-query window shape as [[quantizedTopK]]. */
+  def projectedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDims: Int,
+      seed: Int,
+      k: Int,
+      dims: Int = 64): DataFrame = {
+    val c = randomProject(corpus, idCol, vecCol, outDims, seed, dims)
+      .toDF("n_id", "n_proj")
+    val q = randomProject(queries, idCol, vecCol, outDims, seed, dims)
+      .toDF("q_id", "q_proj")
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineSim(col("q_proj"), col("n_proj")), 6).as("pcos"))
+    val w = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -268,6 +268,28 @@ class Round4Spec extends AnyFunSuite {
       (("s", 5L, 5L, 1L, 5L, 3L, 5L)))
   }
 
+  test("randomProject: exact milli-unit sign sums; dup ranks first in top-k") {
+    val signs = Similarity.rpSigns(1, 4, 2)
+    val v = Array(0.5f, -0.25f, 1f, 0f)
+    val iv = v.map(x => math.floor(x.toDouble * 1000.0))
+    val expected = (0 until 2).map(j =>
+      iv.zip(signs(j)).map { case (a, s) => a * s }.sum)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, "vec_id", "embedding", 2, seed = 1, dims = 4)
+      .collect()(0).getSeq[Double](1)
+    assert(proj == expected)
+    // an exact duplicate of query 0 must rank first with cosine 1.0
+    val corpus = Seq(
+      (0L, v), (10L, v),
+      (11L, Array(-1f, 2f, 0.5f, -0.125f)), (12L, Array(0f, 0f, 0.25f, 1f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.projectedTopK(
+        corpus, corpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+        outDims = 2, seed = 1, k = 1, dims = 4)
+      .collect()(0)
+    assert(top.getLong(1) == 10L && top.getDouble(2) == 1.0)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
