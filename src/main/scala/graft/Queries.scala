@@ -2334,7 +2334,65 @@ object Queries {
            |  PARTITION BY q_id ORDER BY pcos DESC, n_id) AS rank FROM sc)
            |SELECT q_id, rank, n_id, pcos FROM r WHERE rank <= 5
            |ORDER BY q_id, rank""".stripMargin
-      }))
+      }),
+
+    // end-to-end training-data prep: quality filter -> exact dedup
+    // (keep-min-id) -> per-source cap -> deterministic split -> report.
+    // Every stage is one of the catalog's operators; the composition is
+    // the actual product a pipeline user runs
+    "q88_e2e_pipeline" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val weights = Seq(
+          "n_tokens" -> 0.02, "mean_token_len" -> 0.3,
+          "punct_ratio" -> -20.0, "stopword_ratio" -> 4.0)
+        val kept = docs.join(
+          TextAnalysis.qualityClassifier(docs, "doc_id", "text", weights, -2.5)
+            .filter(col("keep")).select(col("doc_id")), "doc_id")
+        val deduped = kept.join(
+          Dedup.exactGroups(kept, "doc_id", "text")
+            .select(col("keep_id").as("doc_id")), "doc_id")
+        val capped = Sampling.perSourceCap(deduped, "doc_id", "source", cap = 50)
+        Sampling.assignSplits(capped, "doc_id", 80, 10)
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some(s"""WITH q0 AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+              |  FROM documents),
+              |f AS (SELECT doc_id,
+              |  len(t)::BIGINT AS n_tokens,
+              |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
+              |    AS mean_token_len,
+              |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+              |    / length(text), 6) AS punct_ratio,
+              |  round(len(list_filter(t, x -> list_contains(
+              |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
+              |    AS stopword_ratio
+              |  FROM q0),
+              |lg AS (SELECT doc_id,
+              |  round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+              |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
+              |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
+              |  FROM f),
+              |kept AS (SELECT d.* FROM documents d
+              |  JOIN lg ON d.doc_id = lg.doc_id WHERE logit >= 0),
+              |grp AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+              |ded AS (SELECT kept.* FROM kept JOIN grp ON kept.doc_id = grp.doc_id),
+              |r AS (SELECT doc_id, source, n_chars, row_number() OVER (
+              |    PARTITION BY source
+              |    ORDER BY ${dHash64("'cap:'||doc_id")}, doc_id) AS rk
+              |  FROM ded),
+              |cap AS (SELECT * FROM r WHERE rk <= 50),
+              |sp AS (SELECT source, n_chars,
+              |  CASE WHEN ${dHash64("'split:'||doc_id")} % 100 < 80 THEN 'train'
+              |       WHEN ${dHash64("'split:'||doc_id")} % 100 < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM cap)
+              |SELECT source, split, count(*)::BIGINT AS n_docs,
+              |  sum(n_chars)::BIGINT AS sum_chars
+              |FROM sp GROUP BY source, split
+              |ORDER BY source, split""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -145,4 +145,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"corpus stats not broadcast:\n$p")
   }
+
+  test("random projection rides the scan: zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+    val p = graft.operators.Similarity
+      .randomProject(emb, "vec_id", "embedding", 8, seed = 7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection should not shuffle:\n$p")
+  }
+
+  test("per-source cap is two bounded windows, not one global per-source sort") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+    val p = graft.operators.Sampling
+      .perSourceCap(docs, "doc_id", "source", cap = 10)
+      .queryExecution.executedPlan.toString
+    // two Window nodes: the salt-bucketed local rank and the survivor rank
+    assert(p.sliding("Window".length).count(_ == "Window") >= 2, s"expected two windows:\n$p")
+    // the local rank partitions by (source, salt-bucket), so its exchange
+    // key must include pmod — the anti-straggler property
+    assert(p.contains("pmod"), s"local rank lost its salt bucket:\n$p")
+  }
+
+  test("bigram LM joins are keyed, never nested-loop") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+    val p = graft.operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bigram LM must join on keys:\n$p")
+  }
 }
