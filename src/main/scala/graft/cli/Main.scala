@@ -20,6 +20,8 @@ import graft.sql.Statements
   *   m33-pipeline --base DIR          run the full S1-S17 pipeline
   *   export --url URL --table T --path P   JDBC export of a warehouse CSV
   *   health                           session/executor status (S23 analog)
+  *   prep --in PATH --out DIR [--cap N]    quality→dedup→cap→split pipeline
+  *   ingest --batches DIR --store DIR --pairs DIR   file-drop dedup ingest
   */
 object Main {
 
@@ -79,6 +81,30 @@ object Main {
       println(s"HiveThriftServer2 listening on port $port (Ctrl-C to stop)")
       Thread.currentThread().join()
 
+    // training-data prep: the full quality->dedup->cap->split pipeline
+    // over a documents parquet, written partitioned by split
+    case "prep" :: "--in" :: in :: "--out" :: out :: rest =>
+      val cap = rest match {
+        case "--cap" :: c :: Nil => c.toInt
+        case Nil => 100
+        case _ =>
+          System.err.println("usage: prep --in PATH --out DIR [--cap N]")
+          sys.exit(2)
+      }
+      val spark = session()
+      val report = graft.pipeline.Prep.run(spark, in, out, cap)
+      println(Render.box(report))
+      spark.stop()
+
+    // file-drop ingest dedup: process each parquet under --batches as one
+    // batch against (and into) the persistent signature store
+    case "ingest" :: "--batches" :: b :: "--store" :: st :: "--pairs" :: pr :: Nil =>
+      val spark = session()
+      val n = graft.streaming.IngestDedup
+        .runBatchDir(spark, b, "doc_id", "text", st, pr)
+      println(s"processed $n batches; pairs under $pr, signatures under $st")
+      spark.stop()
+
     // S23 analog of playground.py's JMX battery (playground.py:330-431):
     // named checks with thresholds, non-zero exit when any fails
     case "health" :: Nil =>
@@ -92,7 +118,8 @@ object Main {
       System.err.println(
         "verbs: setup --base DIR | exec-query -e SQL | exec-file -f FILE | " +
           "m33-pipeline --base DIR | export --url URL --table T --path P | " +
-          "thrift-server [--port N] | health")
+          "thrift-server [--port N] | health | prep --in PATH --out DIR [--cap N] | " +
+          "ingest --batches DIR --store DIR --pairs DIR")
       sys.exit(2)
   }
 }

@@ -69,6 +69,32 @@ object IngestDedup {
     newSigs.write.mode(SaveMode.Overwrite).parquet(s"$sigStoreDir/batch_id=$batchId")
   }
 
+  /** Batch-mode drive of the same pipeline: each parquet file under
+    * `batchesDir` (sorted by name — the arrival order of a file-drop
+    * ingest) is processed as one batch. Produces the identical signature
+    * store and pair log the streaming path would, so a backfill over
+    * historical drops and the live stream share one store. */
+  def runBatchDir(
+      spark: SparkSession,
+      batchesDir: String,
+      idCol: String,
+      textCol: String,
+      sigStoreDir: String,
+      pairLogDir: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): Long = {
+    val p = new org.apache.hadoop.fs.Path(batchesDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    files.zipWithIndex.foreach { case (f, i) =>
+      processBatch(spark, spark.read.parquet(f), i.toLong, idCol, textCol,
+        sigStoreDir, pairLogDir, shingleN, numHashes, bands)
+    }
+    files.length.toLong
+  }
+
   /** Start the continuous pipeline over a streaming document frame. */
   def start(
       docs: DataFrame,

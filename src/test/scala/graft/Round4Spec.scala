@@ -290,6 +290,53 @@ class Round4Spec extends AnyFunSuite {
     assert(top.getLong(1) == 10L && top.getDouble(2) == 1.0)
   }
 
+  test("Prep.run: split-partitioned layout, deterministic rerun") {
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_prep").toString
+    val report = graft.pipeline.Prep
+      .run(spark, s"$sf/documents.parquet", out, cap = 30)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(report.nonEmpty && report.map(_._3).sum > 0)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("split=")))
+    // deterministic: a second run produces the identical report
+    val again = graft.pipeline.Prep
+      .run(spark, s"$sf/documents.parquet", out, cap = 30)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(report.toSeq == again.toSeq)
+  }
+
+  test("IngestDedup.runBatchDir: file-drop batches equal full-corpus pairs") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val base = java.nio.file.Files.createTempDirectory("graft_bdir").toString
+    docs.filter(col("doc_id") < 30).coalesce(1)
+      .write.parquet(s"$base/in/b0.parquet")
+    docs.filter(col("doc_id") >= 30).coalesce(1)
+      .write.parquet(s"$base/in/b1.parquet")
+    // the writes above create DIRECTORIES named *.parquet; runBatchDir
+    // lists files, so re-drop each as a single file
+    val fs = new java.io.File(s"$base/in")
+    val drop = new java.io.File(s"$base/drop"); drop.mkdirs()
+    fs.listFiles().filter(_.isDirectory).foreach { d =>
+      val part = d.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(drop, d.getName).toPath)
+    }
+    val n = graft.streaming.IngestDedup.runBatchDir(
+      spark, drop.toString, "doc_id", "text", s"$base/store", s"$base/pairs")
+    assert(n == 2)
+    val incr = spark.read.parquet(s"$base/pairs")
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
