@@ -2392,7 +2392,25 @@ object Queries {
               |SELECT source, split, count(*)::BIGINT AS n_docs,
               |  sum(n_chars)::BIGINT AS sum_chars
               |FROM sp GROUP BY source, split
-              |ORDER BY source, split""".stripMargin)))
+              |ORDER BY source, split""".stripMargin)),
+
+    // corpus vocabulary (top-V tokens, total-order cut) + per-doc OOV
+    // rate — the tokenizer-training coverage gate
+    "q89_vocab_oov" -> Q(
+      (s, d) => {
+        TextAnalysis.oovRate(t(s, d, "documents"), "doc_id", "text", vocabSize = 200)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY tok),
+             |v AS (SELECT tok FROM tc ORDER BY c DESC, tok LIMIT 200),
+             |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+             |  FROM tk LEFT JOIN v ON tk.tok = v.tok GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_oov,
+             |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_ratio
+             |FROM per ORDER BY doc_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

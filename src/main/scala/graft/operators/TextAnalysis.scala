@@ -370,6 +370,37 @@ object TextAnalysis {
       .join(quantile(9, 10, "p90_chars"), "source")
   }
 
+  /** Corpus vocabulary: the `size` most frequent tokens, ties broken by
+    * token text so the cut is a total order (a count-only cut would be
+    * nondeterministic at the boundary). Plans as hash-aggregate +
+    * TakeOrderedAndProject — per-partition top-`size` then a merge of
+    * `partitions × size` rows, never a global sort of the vocabulary. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, size: Int): DataFrame = {
+    require(size >= 1)
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(size)
+  }
+
+  /** Per-document out-of-vocabulary rate against [[vocabulary]] — the
+    * gate a tokenizer-training pipeline uses to spot documents the
+    * vocabulary doesn't cover (foreign scripts, binary junk, OCR noise).
+    * The vocab is `size` rows, so the token-stream join broadcasts it:
+    * one scan-side pass, no shuffle of the corpus. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(df, idCol, textCol, vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_ratio"))
+  }
+
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
     val bi = toks

@@ -168,6 +168,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pmod"), s"local rank lost its salt bucket:\n$p")
   }
 
+  test("vocabulary is top-k (no global sort); oov join broadcasts the vocab") {
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+    val pv = graft.operators.TextAnalysis.vocabulary(docs, "doc_id", "text", 100)
+      .queryExecution.executedPlan.toString
+    assert(pv.contains("TakeOrderedAndProject"), s"vocab cut is a global sort:\n$pv")
+    val po = graft.operators.TextAnalysis.oovRate(docs, "doc_id", "text", 100)
+      .queryExecution.executedPlan.toString
+    assert(po.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$po")
+  }
+
   test("bigram LM joins are keyed, never nested-loop") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Engine.table(spark, sf, "documents")

@@ -337,6 +337,22 @@ class Round4Spec extends AnyFunSuite {
     assert(incr == full)
   }
 
+  test("vocabulary + oovRate: total-order cut, exact OOV counts") {
+    val docs = Seq(
+      (1L, "a a a b b c"),   // freq: a=3 b=2 c=1(+1 below)=2
+      (2L, "c d")            // d=1
+    ).toDF("doc_id", "text")
+    // top-2 vocab: a(3), then b(2) vs c(2) tie -> b by token order
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text", 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(v == Seq("a", "b"))
+    val oov = TextAnalysis.oovRate(docs, "doc_id", "text", 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1: 6 tokens, oov = c -> 1; doc2: 2 tokens, oov = c,d -> 2
+    assert(oov.toSeq == Seq((1L, 6L, 1L), (2L, 2L, 2L)))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
