@@ -2410,7 +2410,27 @@ object Queries {
              |  FROM tk LEFT JOIN v ON tk.tok = v.tok GROUP BY doc_id)
              |SELECT doc_id, n_tokens, n_oov,
              |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_ratio
-             |FROM per ORDER BY doc_id""".stripMargin)))
+             |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // token-budget sampling per source — distributed prefix-sum over the
+    // hash order (q68's pattern on a hash order); oracle is the plain
+    // one-window running sum
+    "q90_token_budget" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("ntok", size(split(trim(col("text")), " ")).cast("long"))
+        Sampling.tokenBudgetSample(docs, "doc_id", "source", "ntok", budget = 800L)
+          .orderBy(col("source"), col("cum_tokens"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source,
+              |    len(string_split(trim(text), ' '))::BIGINT AS ntok
+              |  FROM documents),
+              |r AS (SELECT doc_id, source, sum(ntok) OVER (
+              |    PARTITION BY source
+              |    ORDER BY ${dHash64("'budget:'||doc_id")}, doc_id) AS cum
+              |  FROM w)
+              |SELECT doc_id, source, cum::BIGINT AS cum_tokens FROM r
+              |WHERE cum <= 800 ORDER BY source, cum_tokens""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -138,6 +138,56 @@ object Sampling {
     * enter the final per-source ranking. Any row outside its bucket's
     * top `cap` cannot be in the source's top `cap` under the same total
     * order, so the two-phase result is exactly the one-phase result. */
+  /** Token-budget sampling: keep documents per source, in deterministic
+    * hash order, while the running token total stays within `budget` —
+    * "take ~1B tokens from each source", the volume-based sibling of the
+    * row-count [[perSourceCap]]. Inclusive rule: a document is kept iff
+    * the running sum THROUGH it is ≤ budget.
+    *
+    * Scale shape: the running sum is a distributed prefix-sum, not one
+    * window per source. The 60-bit document hash is both the sample
+    * order and the bucket key (`bucket = h >> (60 - log2 buckets)`, an
+    * order-preserving range split of the hash space — and a bit shift,
+    * because 2^60 exceeds double's 2^53 exact-integer range so a
+    * float division would mis-bucket), so each (source, bucket) cumsums
+    * locally, bucket totals roll up to per-source bases (sources ×
+    * buckets rows — broadcast scale), and base + local = the exact
+    * global prefix sum. Same pattern as sequence packing (q68), applied
+    * to a hash order instead of an id order. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weightCol: String,
+      budget: Long,
+      salt: String = "budget",
+      buckets: Int = 64): DataFrame = {
+    require(budget > 0 && buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "budget must be positive and buckets a power of two")
+    import org.apache.spark.sql.expressions.Window
+    val shift = 60 - (63 - java.lang.Long.numberOfLeadingZeros(buckets.toLong))
+    val h = hash64(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val rows = df.select(
+      col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      col(weightCol).cast("long").as("w"),
+      h.as("h"), shiftrightunsigned(h, shift).as("b"))
+    val wLocal = Window.partitionBy(col("source"), col("b"))
+      .orderBy(col("h"), col("doc_id"))
+    val local = rows.withColumn("cs", sum(col("w")).over(wLocal))
+    // per-(source, bucket) totals -> running base of all EARLIER buckets
+    val wBase = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = rows.groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("bt"))
+      .withColumn("base", coalesce(sum(col("bt")).over(wBase), lit(0L)))
+      .select(col("source"), col("b"), col("base"))
+    local
+      .join(broadcast(bases), Seq("source", "b"))
+      .filter(col("base") + col("cs") <= budget)
+      .select(col("doc_id"), col("source"),
+        (col("base") + col("cs")).as("cum_tokens"))
+  }
+
   def perSourceCap(
       df: DataFrame,
       idCol: String,

@@ -353,6 +353,27 @@ class Round4Spec extends AnyFunSuite {
     assert(oov.toSeq == Seq((1L, 6L, 1L), (2L, 2L, 2L)))
   }
 
+  test("tokenBudgetSample: bucketed prefix-sum equals the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 300L).map(i => (i, s"s${i % 3}", 1L + i % 7))
+      .toDF("doc_id", "source", "w")
+    val sampled = Sampling
+      .tokenBudgetSample(rows, "doc_id", "source", "w", budget = 120L, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val h = graft.functions.Functions.hash64(
+      concat(lit("budget:"), $"doc_id".cast("string")))
+    val naive = rows
+      .withColumn("cum", sum($"w").over(
+        Window.partitionBy($"source").orderBy(h, $"doc_id")))
+      .filter($"cum" <= 120L)
+      .select($"doc_id", $"source", $"cum".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sampled == naive && sampled.nonEmpty)
+    // inclusive boundary: every source's max cum is <= budget and the
+    // NEXT doc in hash order would cross it (cap actually binds)
+    assert(sampled.groupBy(_._2).forall { case (_, s) => s.map(_._3).max <= 120L })
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
