@@ -2430,7 +2430,36 @@ object Queries {
               |    ORDER BY ${dHash64("'budget:'||doc_id")}, doc_id) AS cum
               |  FROM w)
               |SELECT doc_id, source, cum::BIGINT AS cum_tokens FROM r
-              |WHERE cum <= 800 ORDER BY source, cum_tokens""".stripMargin)))
+              |WHERE cum <= 800 ORDER BY source, cum_tokens""".stripMargin)),
+
+    // count-min sketch heavy hitters: est >= exact always; sketch memory
+    // is depth x width regardless of vocabulary size
+    "q91_count_min" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sketch = TextAnalysis.countMinSketch(docs, "doc_id", "text")
+        val top = TextAnalysis.vocabulary(docs, "doc_id", "text", 30)
+          .select(col("tok"), col("c").as("exact"))
+        TextAnalysis.cmsEstimate(sketch, top)
+          .join(top, "tok")
+          .select(col("tok"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("overest"))
+          .orderBy(col("exact").desc, col("tok"))
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |ex AS (SELECT tok, count(*)::BIGINT AS exact FROM tk GROUP BY tok),
+             |top AS (SELECT tok, exact FROM ex ORDER BY exact DESC, tok LIMIT 30),
+             |cells AS (SELECT r, ('0x'||substr(md5('cms'||r::VARCHAR||':'||tok),1,15))::BIGINT % 256 AS cell,
+             |    count(*)::BIGINT AS cnt
+             |  FROM tk, range(4) t(r) GROUP BY 1, 2),
+             |probe AS (SELECT top.tok, top.exact, r,
+             |    ('0x'||substr(md5('cms'||r::VARCHAR||':'||top.tok),1,15))::BIGINT % 256 AS cell
+             |  FROM top, range(4) t(r)),
+             |est AS (SELECT tok, exact, min(cnt)::BIGINT AS est
+             |  FROM probe JOIN cells USING (r, cell) GROUP BY tok, exact)
+             |SELECT tok, exact, est, (est - exact)::BIGINT AS overest
+             |FROM est ORDER BY exact DESC, tok""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -370,6 +370,55 @@ object TextAnalysis {
       .join(quantile(9, 10, "p90_chars"), "source")
   }
 
+  /** Count-Min sketch of the corpus token stream (Cormode & Muthukrishnan
+    * '05): `depth` rows of `width` counters; occurrence of token t adds 1
+    * to cell `hash64("cms<r>:" + t) mod width` in every row r. The whole
+    * sketch is `depth × width` longs — FIXED memory however large the
+    * vocabulary, which is the point at 100 TB: exact token counts need a
+    * vocabulary-sized shuffle, the sketch needs one map-side-combined
+    * aggregate into ~1k cells. Hashes are the engine-portable md5 family,
+    * so the sketch itself is deterministic and oracle-checkable (no
+    * RNG-seeded hash functions).
+    *
+    * Returns (r, cell, cnt). */
+  def countMinSketch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          pmod(hash64(concat(lit(s"cms$r:"), col("tok"))), lit(width.toLong))
+            .as("cell"))
+      }: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]]: est(t) = min over rows of
+    * the token's cell count — an overestimate by at most the collision
+    * mass, never an underestimate. `queries` is (tok); the sketch and the
+    * query set are both tiny, so the lookup is a broadcast join. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      queries: DataFrame,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val probes = queries.select(col("tok"),
+      explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          pmod(hash64(concat(lit(s"cms$r:"), col("tok"))), lit(width.toLong))
+            .as("cell"))
+      }: _*)).as("rc"))
+      .select(col("tok"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+    probes.join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy(col("tok"))
+      .agg(min(col("cnt")).as("est"))
+  }
+
   /** Corpus vocabulary: the `size` most frequent tokens, ties broken by
     * token text so the cut is a total order (a count-only cut would be
     * nondeterministic at the boundary). Plans as hash-aggregate +

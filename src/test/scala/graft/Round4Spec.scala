@@ -374,6 +374,22 @@ class Round4Spec extends AnyFunSuite {
     assert(sampled.groupBy(_._2).forall { case (_, s) => s.map(_._3).max <= 120L })
   }
 
+  test("countMinSketch: est >= exact for all; equal when width >> vocab") {
+    val docs = Seq((1L, "a a a b b c d e"), (2L, "a b c f g")).toDF("doc_id", "text")
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L, "e" -> 1L,
+      "f" -> 1L, "g" -> 1L)
+    val sketch = TextAnalysis.countMinSketch(docs, "doc_id", "text", depth = 4, width = 256)
+    // total mass per row must equal total token count
+    val mass = sketch.groupBy($"r").agg(sum($"cnt")).collect().map(_.getLong(1))
+    assert(mass.toSeq == Seq.fill(4)(13L))
+    val q = exact.keys.toSeq.map(Tuple1(_)).toDF("tok")
+    val est = TextAnalysis.cmsEstimate(sketch, q).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) => assert(est(t) >= c, s"underestimate for $t") }
+    // 7 tokens in 256 cells: no collisions expected -> exact
+    assert(est == exact)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
