@@ -2459,7 +2459,51 @@ object Queries {
              |est AS (SELECT tok, exact, min(cnt)::BIGINT AS est
              |  FROM probe JOIN cells USING (r, cell) GROUP BY tok, exact)
              |SELECT tok, exact, est, (est - exact)::BIGINT AS overest
-             |FROM est ORDER BY exact DESC, tok""".stripMargin)))
+             |FROM est ORDER BY exact DESC, tok""".stripMargin)),
+
+    // streaming quality gate: the BATCH classifier applied unchanged to a
+    // document stream — stateless, so verdicts are micro-batch-invariant
+    // and the oracle is the batch query
+    "q92_streaming_quality" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_q92_docs")
+        java.nio.file.Files.createDirectories(dir)
+        val link = dir.resolve("docs.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+        val name = "graft_stream_quality_q92"
+        s.catalog.dropTempView(name)
+        graft.streaming.DocStreams
+          .runToMemory(s, dir.toString,
+            docs => graft.streaming.DocStreams.qualityGate(
+              docs,
+              Seq("n_tokens" -> 0.02, "mean_token_len" -> 0.3,
+                "punct_ratio" -> -20.0, "stopword_ratio" -> 4.0),
+              intercept = -2.5),
+            name)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH q AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |  len(t)::BIGINT AS n_tokens,
+             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
+             |    AS mean_token_len,
+             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text), 6) AS punct_ratio,
+             |  round(len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
+             |    AS stopword_ratio
+             |  FROM q),
+             |s AS (SELECT doc_id,
+             |  round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+             |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
+             |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
+             |  FROM f)
+             |SELECT doc_id, logit, logit >= 0 AS keep
+             |FROM s WHERE logit >= 0 ORDER BY doc_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

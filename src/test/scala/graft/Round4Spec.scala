@@ -390,6 +390,31 @@ class Round4Spec extends AnyFunSuite {
     assert(est == exact)
   }
 
+  test("streaming quality gate: two micro-batches equal the batch verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val weights = Seq("n_tokens" -> 1.0, "stopword_ratio" -> 3.0)
+    val b1 = Seq((1L, "the cat sat"), (2L, "x"))
+    val b2 = Seq((3L, "a dog runs far"), (4L, "y z"))
+    val input = MemoryStream[(Long, String)]
+    val name = "r4_stream_quality"
+    spark.catalog.dropTempView(name)
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStreams
+      .qualityGate(stream, weights, intercept = -3.5)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try Seq(b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = graft.operators.TextAnalysis
+      .qualityClassifier((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+        weights, intercept = -3.5)
+      .filter($"keep").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
