@@ -2503,7 +2503,50 @@ object Queries {
              |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
              |  FROM f)
              |SELECT doc_id, logit, logit >= 0 AS keep
-             |FROM s WHERE logit >= 0 ORDER BY doc_id""".stripMargin)))
+             |FROM s WHERE logit >= 0 ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-filter decontamination pre-scan: eval grams -> broadcast
+    // bitset; train corpus streamed past it, zero train-side shuffle.
+    // Flags ⊇ exact overlap (no false negatives) and deterministic, so
+    // the oracle rebuilds the identical filter
+    "q93_bloom_decontaminate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.bloomContamination(
+            docs, docs.filter(col("doc_id") < 20), "doc_id", "text",
+            shingleN = 3, bits = 4096, hashes = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |g0 AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(t) >= 3
+              |    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+              |      for i in range(1, len(t) - 1)])
+              |    ELSE [] END AS grams
+              |  FROM t0),
+              |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g0 WHERE doc_id < 20),
+              |pk AS (SELECT g, ${dHash64("'bloom'||r::VARCHAR||':'||g")} % 4096 AS pos
+              |  FROM ev, range(2) t(r)),
+              |fw AS (SELECT pos // 32 AS word,
+              |    bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+              |  FROM pk GROUP BY 1),
+              |tg AS (SELECT doc_id, unnest(grams) AS g FROM g0),
+              |tp AS (SELECT doc_id, g,
+              |    ${dHash64("'bloom'||r::VARCHAR||':'||g")} % 4096 AS pos
+              |  FROM tg, range(2) t(r)),
+              |hit AS (SELECT doc_id, g,
+              |    min(CASE WHEN coalesce(bits, 0) & (1::BIGINT << (pos % 32)::INT) <> 0
+              |      THEN 1 ELSE 0 END) AS all_set
+              |  FROM tp LEFT JOIN fw ON tp.pos // 32 = fw.word
+              |  GROUP BY doc_id, g),
+              |per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+              |    sum(all_set)::BIGINT AS n_flagged
+              |  FROM hit GROUP BY doc_id)
+              |SELECT doc_id, n_grams, n_flagged,
+              |  round(n_flagged::DOUBLE / n_grams, 6) AS flag_ratio
+              |FROM per ORDER BY doc_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -370,6 +370,75 @@ object TextAnalysis {
       .join(quantile(9, 10, "p90_chars"), "source")
   }
 
+  /** (word index, 32-bit mask) Bloom probe `k` for a gram column. Words
+    * are 32-bit so the mask shift never reaches an engine's sign bit
+    * (shifting into bit 63 is an error in some engines, so a 64-bit-word
+    * Bloom would not be oracle-portable). */
+  private def bloomProbe(g: Column, k: Int, bits: Int): (Column, Column) = {
+    val pos = pmod(hash64(concat(lit(s"bloom$k:"), g)), lit(bits.toLong))
+    (shiftrightunsigned(pos, 5),
+      call_function("shiftleft", lit(1L), pmod(pos, lit(32L)).cast("int")))
+  }
+
+  /** Bloom filter of a gram set: `bits` bits as `bits/32` packed words,
+    * `hashes` md5-family probes per gram. Deterministic (no seeds), so a
+    * filter built anywhere — any engine, any partitioning — is the same
+    * words, and membership is oracle-checkable. Returns (word, bits). */
+  def bloomFilter(grams: DataFrame, gramCol: String, bits: Int, hashes: Int): DataFrame = {
+    require(bits % 32 == 0 && hashes >= 1)
+    grams.select(explode(array((0 until hashes).map { k =>
+        val (w, m) = bloomProbe(col(gramCol), k, bits)
+        struct(w.as("word"), m.as("mask"))
+      }: _*)).as("p"))
+      .groupBy(col("p.word").as("word"))
+      .agg(expr("bit_or(p.mask)").as("bits"))
+  }
+
+  /** Bloom-filter decontamination scan: build a [[bloomFilter]] from the
+    * EVAL suite's n-grams (KBs, broadcast), then flag every train
+    * document whose grams probe into it — per doc (n_grams, n_flagged,
+    * flag_ratio). Flags are a superset of [[contamination]]'s exact
+    * overlap (false positives possible, false negatives IMPOSSIBLE — a
+    * present gram always has all its bits set), which is the right
+    * failure mode for a decontamination pre-filter: the flagged slice is
+    * re-checked exactly, the unflagged 99% is passed untouched.
+    *
+    * Scale shape: at 100 TB the exact semi-join ships every train gram
+    * hash through a shuffle keyed on gram; this streams the corpus past
+    * a constant-size broadcast bitset — zero shuffle on the train side
+    * until the tiny flagged remainder. */
+  def bloomContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bits: Int = 4096,
+      hashes: Int = 2): DataFrame = {
+    import graft.functions.Functions.wordShingles
+    val evalGrams = eval
+      .select(explode(wordShingles(col(textCol), shingleN)).as("g")).distinct()
+    val filter = bloomFilter(evalGrams, "g", bits, hashes)
+    val probes = train
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), shingleN)).as("g"))
+      .select(col("doc_id"), col("g"),
+        explode(array((0 until hashes).map { k =>
+          val (w, m) = bloomProbe(col("g"), k, bits)
+          struct(w.as("word"), m.as("mask"))
+        }: _*)).as("p"))
+      .select(col("doc_id"), col("g"), col("p.word").as("word"), col("p.mask").as("mask"))
+    val perGram = probes
+      .join(broadcast(filter), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L, 1L)
+        .otherwise(0L)).as("all_set"))
+    perGram.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("all_set")).as("n_flagged"))
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_grams"), 6).as("flag_ratio"))
+  }
+
   /** Count-Min sketch of the corpus token stream (Cormode & Muthukrishnan
     * '05): `depth` rows of `width` counters; occurrence of token t adds 1
     * to cell `hash64("cms<r>:" + t) mod width` in every row r. The whole

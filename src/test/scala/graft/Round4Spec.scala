@@ -415,6 +415,24 @@ class Round4Spec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("bloomContamination: eval-identical doc fully flagged, never a false negative") {
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e"),      // identical: every gram in the filter
+      (2L, "p q r s t u"),    // disjoint: flags only from FP collisions
+      (3L, "a b c x y z")     // shares gram "a b c"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bloomContamination(train, eval, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1: 3 grams all present -> all flagged (guaranteed, not probabilistic)
+    assert(out(0) == ((1L, 3L, 3L)))
+    // doc3 shares "a b c": n_flagged >= 1 (present grams can never miss)
+    assert(out(2)._1 == 3L && out(2)._3 >= 1L)
+    // 4096 bits vs 3 eval grams: doc2's disjoint grams should not collide
+    assert(out(1) == ((2L, 4L, 0L)))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
