@@ -2546,7 +2546,54 @@ object Queries {
               |  FROM hit GROUP BY doc_id)
               |SELECT doc_id, n_grams, n_flagged,
               |  round(n_flagged::DOUBLE / n_grams, 6) AS flag_ratio
-              |FROM per ORDER BY doc_id""".stripMargin)))
+              |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // curriculum packing: classifier logit -> integer level, documents
+    // laid out level-major, then the q68 distributed prefix-sum
+    "q94_curriculum_packing" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val leveled = TextAnalysis.qualityClassifier(
+            docs, "doc_id", "text",
+            Seq("n_tokens" -> 0.02, "mean_token_len" -> 0.3,
+              "punct_ratio" -> -20.0, "stopword_ratio" -> 4.0),
+            intercept = -2.5)
+          .join(docs.select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("ntok")), "doc_id")
+          .select(col("doc_id"), col("ntok"),
+            least(greatest(floor(lit(5.0) - col("logit")), lit(0L)), lit(9L))
+              .as("level"))
+        operators.Packing.packCurriculum(
+            leveled, "doc_id", "ntok", "level", capacity = 512L)
+          .orderBy(col("start_offset"))
+      },
+      Some("""WITH q AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |f AS (SELECT doc_id, len(t)::BIGINT AS ntok,
+             |  len(t)::BIGINT AS n_tokens,
+             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
+             |    AS mean_token_len,
+             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text), 6) AS punct_ratio,
+             |  round(len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
+             |    AS stopword_ratio
+             |  FROM q),
+             |lv AS (SELECT doc_id, ntok,
+             |  least(greatest(floor(5.0::DOUBLE -
+             |    round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+             |      + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
+             |      + 4.0::DOUBLE * stopword_ratio, 6))::BIGINT, 0), 9) AS level
+             |  FROM f),
+             |o AS (SELECT doc_id, level, ntok,
+             |  coalesce(sum(ntok) OVER (ORDER BY level, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             |    AS start_offset
+             |  FROM lv)
+             |SELECT doc_id, level, ntok, start_offset,
+             |  start_offset // 512 AS chunk_id,
+             |  start_offset % 512 AS chunk_offset
+             |FROM o ORDER BY start_offset""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

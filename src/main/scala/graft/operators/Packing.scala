@@ -67,4 +67,55 @@ object Packing {
         expr(s"start_offset div ${capacity}L").as("chunk_id"),
         expr(s"start_offset % ${capacity}L").as("chunk_offset"))
   }
+
+  /** Curriculum packing: like [[packSequences]], but the global layout
+    * order is (level asc, id asc) — documents at lower `levelCol` come
+    * first, so a quality- or difficulty-ordered curriculum becomes the
+    * physical token order the trainer reads. The distributed prefix-sum
+    * generalizes by making the bucket key level-major:
+    * `bucket = level * idStride + id div span` enumerates contiguous
+    * runs of the (level, id) order, so the same local-window +
+    * broadcast-bases plan applies; the bases window still touches one
+    * row per non-empty bucket, never the data.
+    *
+    * `idStride` must exceed `max(id) div span` — it is the number of id
+    * ranges reserved per level (an exceeded stride would interleave two
+    * levels' buckets and corrupt the global order, hence the runtime
+    * guard on the bucket column). */
+  def packCurriculum(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      levelCol: String,
+      capacity: Long,
+      bucketSpan: Long = 1L << 20,
+      idStride: Long = 1L << 20): DataFrame = {
+    require(capacity > 0 && bucketSpan > 0 && idStride > 0)
+    val id: Column = col(idCol).cast("long")
+    val n: Column = col(nTokensCol).cast("long")
+    val idBucket = expr(s"CAST(`$idCol` AS BIGINT) div ${bucketSpan}L")
+    val inBucket = Window.partitionBy(col("_bucket")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = df
+      .withColumn("_bucket",
+        when(idBucket >= idStride,
+          raise_error(lit(s"idStride $idStride exceeded — raise it")).cast("long"))
+          .otherwise(col(levelCol).cast("long") * lit(idStride) + idBucket))
+      .withColumn("_local_off", coalesce(sum(n).over(inBucket), lit(0L)))
+    val overBuckets = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = local
+      .groupBy(col("_bucket"))
+      .agg(sum(n).as("_total"))
+      .withColumn("_base", coalesce(sum(col("_total")).over(overBuckets), lit(0L)))
+      .select(col("_bucket"), col("_base"))
+    local
+      .join(broadcast(bases), "_bucket")
+      .withColumn("start_offset", col("_base") + col("_local_off"))
+      .select(
+        col(idCol), col(levelCol), n.as(nTokensCol),
+        col("start_offset"),
+        expr(s"start_offset div ${capacity}L").as("chunk_id"),
+        expr(s"start_offset % ${capacity}L").as("chunk_offset"))
+  }
 }

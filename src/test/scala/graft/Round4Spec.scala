@@ -433,6 +433,31 @@ class Round4Spec extends AnyFunSuite {
     assert(out(1) == ((2L, 4L, 0L)))
   }
 
+  test("packCurriculum: level-major prefix-sum equals the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 500L).map(i => (i, 1L + i % 5, (i * 7) % 3))
+      .toDF("doc_id", "ntok", "level")
+    val packed = graft.operators.Packing
+      .packCurriculum(rows, "doc_id", "ntok", "level", capacity = 16L,
+        bucketSpan = 64L, idStride = 16L)
+      .select($"doc_id", $"start_offset", $"chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.orderBy($"level", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = rows
+      .withColumn("start_offset", coalesce(sum($"ntok").over(w), lit(0L)))
+      .select($"doc_id", $"start_offset",
+        ($"start_offset" / 16L).cast("long").as("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(packed == naive)
+    // stride guard: ids overflowing the reserved ranges must fail loudly
+    intercept[Exception] {
+      graft.operators.Packing.packCurriculum(
+        rows, "doc_id", "ntok", "level", 16L, bucketSpan = 1L, idStride = 4L)
+        .count()
+    }
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
