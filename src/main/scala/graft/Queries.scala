@@ -2593,7 +2593,48 @@ object Queries {
              |SELECT doc_id, level, ntok, start_offset,
              |  start_offset // 512 AS chunk_id,
              |  start_offset % 512 AS chunk_offset
-             |FROM o ORDER BY start_offset""".stripMargin)))
+             |FROM o ORDER BY start_offset""".stripMargin)),
+
+    // product-quantization ANN (asymmetric distance): m=8 subspaces,
+    // k=16 centroids from the 16 lowest-id vectors; milli-unit integer
+    // L2 end to end, so codes, tables, and ranking are engine-exact
+    "q95_pq_ann" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+          0L until 16L, m = 8)
+        Similarity.pqTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            cb, m = 8, k = 5)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+            col("n_id"), col("adc"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+             |  FROM embeddings),
+             |cb AS (SELECT s, vec_id AS c, iv[s*8+1 : s*8+8] AS cvec
+             |  FROM v, range(8) t(s) WHERE vec_id < 16),
+             |subs AS (SELECT vec_id, s, iv[s*8+1 : s*8+8] AS sv
+             |  FROM v, range(8) t(s)),
+             |d2 AS (SELECT vec_id, s, c,
+             |    list_sum([(sv[j]-cvec[j])*(sv[j]-cvec[j]) for j in range(1,9)])::BIGINT
+             |      AS d2
+             |  FROM subs JOIN cb USING (s)),
+             |enc AS (SELECT vec_id, s, c AS code FROM (
+             |  SELECT vec_id, s, c, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY d2, c) AS rn FROM d2)
+             |  WHERE rn = 1),
+             |dt AS (SELECT vec_id AS q_id, s, c AS code, d2 FROM d2
+             |  WHERE vec_id < 10),
+             |sc AS (SELECT q_id, e.vec_id AS n_id, sum(dt.d2)::BIGINT AS adc
+             |  FROM enc e JOIN dt ON e.s = dt.s AND e.code = dt.code
+             |    AND dt.q_id <> e.vec_id
+             |  GROUP BY q_id, e.vec_id),
+             |r AS (SELECT q_id, n_id, adc, row_number() OVER (
+             |  PARTITION BY q_id ORDER BY adc, n_id) AS rank FROM sc)
+             |SELECT q_id, rank, n_id, adc FROM r WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -387,6 +387,110 @@ object Similarity {
     df.select(col(idCol), proj.as("proj"))
   }
 
+  /** Product-quantization codebook (Jégou et al. PAMI'11) from a fixed
+    * set of training vectors: subvector `s` of training vector `i`
+    * becomes centroid `i` of subspace `s`. Training ids are explicit
+    * (the deterministic stand-in for a k-means pass, as in
+    * [[ivfCentroids]]); vectors are quantized to integer milli-units so
+    * every PQ distance downstream is exact integer arithmetic.
+    * Returns (s, c, cvec: array[long]) — m × k rows. */
+  def pqCodebook(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      trainIds: Seq[Long],
+      m: Int,
+      dims: Int = 64): Array[((Int, Int), Array[Long])] = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val train = emb.filter(col(idCol).isin(trainIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    require(train.length == trainIds.length, "missing training vectors")
+    for {
+      (s, si) <- (0 until m).map(s => (s, s * sub)).toArray
+      ((_, v), c) <- train.zipWithIndex
+    } yield ((s, c),
+      (0 until sub).map(j => math.floor(v(si + j).toDouble * 1000.0).toLong).toArray)
+  }
+
+  /** PQ codes for every vector: per subspace, the index of the nearest
+    * codebook centroid by exact integer L2 (ties to the lowest index).
+    * Row-shaped (vector × subspace × centroid, then a windowed argmin)
+    * rather than one giant projection: m × k × sub literal terms in a
+    * single codegen'd expression would blow past janino limits, while
+    * these rows are a normal key-partitioned window at any scale.
+    * Returns (idCol, s, code). */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[((Int, Int), Array[Long])],
+      m: Int,
+      dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = codebook.map { case ((s, c), v) => (s, c, v) }
+      .toSeq.toDF("s", "c", "cvec")
+    val iv = transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val subs = emb.select(col(idCol).as("pq_id"), iv.as("iv"))
+      .select(col("pq_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), slice(col("iv"), lit(s * sub + 1), lit(sub)).as("sv"))
+      }: _*)).as("p"))
+      .select(col("pq_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+    val d2 = subs.join(broadcast(cb), "s")
+      .select(col("pq_id"), col("s"), col("c"),
+        aggregate(zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy(col("pq_id"), col("s"))
+      .orderBy(col("d2"), col("c"))
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("pq_id").as(idCol), col("s"), col("c").as("code"))
+  }
+
+  /** PQ top-k with asymmetric distance (ADC): each query precomputes its
+    * m × k integer distance table; a corpus vector's approximate distance
+    * is the sum of m table lookups on its codes — the corpus is touched
+    * as (id, s, code) rows joined to the broadcast tables, so scoring
+    * cost is m lookups per vector regardless of dims, and nothing is
+    * ever recomputed against raw corpus vectors. All-integer, so ranking
+    * ties and the oracle are exact. Returns (q_id, n_id, adc, rank). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[((Int, Int), Array[Long])],
+      m: Int,
+      k: Int,
+      dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = codebook.map { case ((s, c), v) => (s, c, v) }
+      .toSeq.toDF("s", "c", "cvec")
+    val iv = transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val qsubs = queries.select(col(idCol).as("q_id"), iv.as("iv"))
+      .select(col("q_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), slice(col("iv"), lit(s * sub + 1), lit(sub)).as("sv"))
+      }: _*)).as("p"))
+      .select(col("q_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+    val dtable = qsubs.join(broadcast(cb), "s")
+      .select(col("q_id"), col("s"), col("c").as("code"),
+        aggregate(zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val codes = pqEncode(corpus, idCol, vecCol, codebook, m, dims)
+      .toDF("n_id", "s", "code")
+    val scored = codes.join(broadcast(dtable), Seq("s", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k in the random-projection space: the cheap first
     * pass of a project-then-rerank ANN pipeline (scoring at 8 dims costs
     * 1/8th of 64-dim cosine and the candidate set is then reranked

@@ -458,6 +458,27 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("pq: codes pick the nearest centroid; identical vector has adc 0") {
+    // 4 dims, m=2 subspaces of 2; training vecs 0 and 1 are the codebook
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f)),
+      (10L, Array(1f, 0f, 1f, 0f)),  // subspace 0 -> centroid 0, subspace 1 -> centroid 1
+      (11L, Array(1f, 0f, 0f, 1f))   // identical to vec 0
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(vs, "vec_id", "embedding", Seq(0L, 1L), m = 2, dims = 4)
+    assert(cb.length == 2 * 2 && cb.forall(_._2.length == 2))
+    val codes = Similarity.pqEncode(vs, "vec_id", "embedding", cb, m = 2, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes((10L, 0)) == 0 && codes((10L, 1)) == 1)
+    assert(codes((11L, 0)) == 0 && codes((11L, 1)) == 0)
+    // query = vec 0: its exact duplicate (11) must rank first with adc 0
+    val top = Similarity.pqTopK(vs, vs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", cb, m = 2, k = 1, dims = 4)
+      .collect()(0)
+    assert(top.getLong(1) == 11L && top.getLong(2) == 0L)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
