@@ -2634,7 +2634,62 @@ object Queries {
              |r AS (SELECT q_id, n_id, adc, row_number() OVER (
              |  PARTITION BY q_id ORDER BY adc, n_id) AS rank FROM sc)
              |SELECT q_id, rank, n_id, adc FROM r WHERE rank <= 5
-             |ORDER BY q_id, rank""".stripMargin)))
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // ANN evaluation: recall@5 of the PQ index vs exact integer-L2 —
+    // the report an index's m/k parameters are tuned from
+    "q96_ann_recall" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+          0L until 16L, m = 8)
+        Similarity.recallAtK(
+            Similarity.pqTopK(emb, queries, "vec_id", "embedding", cb, m = 8, k = 5),
+            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5),
+            k = 5)
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+             |  FROM embeddings),
+             |cb AS (SELECT s, vec_id AS c, iv[s*8+1 : s*8+8] AS cvec
+             |  FROM v, range(8) t(s) WHERE vec_id < 16),
+             |subs AS (SELECT vec_id, s, iv[s*8+1 : s*8+8] AS sv
+             |  FROM v, range(8) t(s)),
+             |d2 AS (SELECT vec_id, s, c,
+             |    list_sum([(sv[j]-cvec[j])*(sv[j]-cvec[j]) for j in range(1,9)])::BIGINT
+             |      AS d2
+             |  FROM subs JOIN cb USING (s)),
+             |enc AS (SELECT vec_id, s, c AS code FROM (
+             |  SELECT vec_id, s, c, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY d2, c) AS rn FROM d2)
+             |  WHERE rn = 1),
+             |dt AS (SELECT vec_id AS q_id, s, c AS code, d2 FROM d2
+             |  WHERE vec_id < 10),
+             |sc AS (SELECT q_id, e.vec_id AS n_id, sum(dt.d2)::BIGINT AS adc
+             |  FROM enc e JOIN dt ON e.s = dt.s AND e.code = dt.code
+             |    AND dt.q_id <> e.vec_id
+             |  GROUP BY q_id, e.vec_id),
+             |pq AS (SELECT q_id, n_id FROM (
+             |  SELECT q_id, n_id, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY adc, n_id) AS rank FROM sc)
+             |  WHERE rank <= 5),
+             |ed AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+             |      for j in range(1,65)])::BIGINT AS d2
+             |  FROM v q JOIN v c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+             |ex AS (SELECT q_id, n_id FROM (
+             |  SELECT q_id, n_id, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+             |  WHERE rank <= 5),
+             |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+             |  FROM ex JOIN pq ON ex.q_id = pq.q_id AND ex.n_id = pq.n_id
+             |  GROUP BY ex.q_id)
+             |SELECT q.q_id, 5::BIGINT AS k, coalesce(n_hit, 0)::BIGINT AS n_hit,
+             |  round(coalesce(n_hit, 0)::DOUBLE / 5, 6) AS recall
+             |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+             |ORDER BY q_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -491,6 +491,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact L2 top-k on milli-quantized vectors — the integer-exact
+    * ground truth an approximate index (PQ, IVF, LSH) is measured
+    * against. Same broadcast + window shape as the other top-ks. */
+  def l2TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val iv = transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val c = corpus.select(col(idCol).as("n_id"), iv.as("n_iv"))
+    val q = queries.select(col(idCol).as("q_id"), iv.as("q_iv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("q_iv"), col("n_iv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k report for an approximate top-k against an exact one:
+    * per query, how many of the true k nearest the index recovered —
+    * the tuning loop every ANN deployment runs (m/k/nprobe trade-offs
+    * are chosen from exactly this table). Both inputs are (q_id, n_id,
+    * …rank ≤ k) frames; the join is on the tiny result sets, so the
+    * report costs nothing next to the searches. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("q_id"), col("n_id"))
+      .join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k), 6)
+          .as("recall"))
+  }
+
   /** Brute-force top-k in the random-projection space: the cheap first
     * pass of a project-then-rerank ANN pipeline (scoring at 8 dims costs
     * 1/8th of 64-dim cosine and the candidate set is then reranked

@@ -479,6 +479,24 @@ class Round4Spec extends AnyFunSuite {
     assert(top.getLong(1) == 11L && top.getLong(2) == 0L)
   }
 
+  test("recallAtK: perfect index scores 1.0, disjoint index 0.0") {
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("q_id", "n_id")
+    val perfect = Similarity.recallAtK(exact, exact, k = 2)
+      .orderBy($"q_id").collect()
+    assert(perfect.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    val disjoint = Seq((0L, 9L), (1L, 9L)).toDF("q_id", "n_id")
+    val zero = Similarity.recallAtK(disjoint, exact, k = 2)
+      .orderBy($"q_id").collect()
+    assert(zero.forall(_.getLong(2) == 0L))
+    // l2TopK ground truth: an exact duplicate is the 1-NN with d2 = 0
+    val vs = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)), (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(9f, 9f, 9f, 9f))).toDF("vec_id", "embedding")
+    val nn = Similarity.l2TopK(vs, vs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 1).collect()(0)
+    assert(nn.getLong(1) == 1L && nn.getLong(2) == 0L)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
