@@ -2689,7 +2689,50 @@ object Queries {
              |SELECT q.q_id, 5::BIGINT AS k, coalesce(n_hit, 0)::BIGINT AS n_hit,
              |  round(coalesce(n_hit, 0)::DOUBLE / 5, 6) AS recall
              |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
-             |ORDER BY q_id""".stripMargin)))
+             |ORDER BY q_id""".stripMargin)),
+
+    // streaming count-min: linear sketches merged per micro-batch equal
+    // the whole-corpus sketch exactly, so the oracle is q91's
+    "q97_streaming_count_min" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_q97_docs")
+        java.nio.file.Files.createDirectories(dir)
+        val link = dir.resolve("docs.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+        // fresh per-run store: the sketch accumulates, so a reused dir
+        // would double-count across Verify/Bench runs
+        val base = java.nio.file.Files.createTempDirectory("graft_q97").toString
+        val q = graft.streaming.DocStreams.startCountMin(
+          graft.streaming.DocStreams.readStream(s, dir.toString),
+          s"$base/store", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        val sketch = s.read.parquet(s"$base/store/current")
+        val docs = t(s, d, "documents")
+        val top = TextAnalysis.vocabulary(docs, "doc_id", "text", 30)
+          .select(col("tok"), col("c").as("exact"))
+        TextAnalysis.cmsEstimate(sketch, top)
+          .join(top, "tok")
+          .select(col("tok"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("overest"))
+          .orderBy(col("exact").desc, col("tok"))
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |ex AS (SELECT tok, count(*)::BIGINT AS exact FROM tk GROUP BY tok),
+             |top AS (SELECT tok, exact FROM ex ORDER BY exact DESC, tok LIMIT 30),
+             |cells AS (SELECT r, ('0x'||substr(md5('cms'||r::VARCHAR||':'||tok),1,15))::BIGINT % 256 AS cell,
+             |    count(*)::BIGINT AS cnt
+             |  FROM tk, range(4) t(r) GROUP BY 1, 2),
+             |probe AS (SELECT top.tok, top.exact, r,
+             |    ('0x'||substr(md5('cms'||r::VARCHAR||':'||top.tok),1,15))::BIGINT % 256 AS cell
+             |  FROM top, range(4) t(r)),
+             |est AS (SELECT tok, exact, min(cnt)::BIGINT AS est
+             |  FROM probe JOIN cells USING (r, cell) GROUP BY tok, exact)
+             |SELECT tok, exact, est, (est - exact)::BIGINT AS overest
+             |FROM est ORDER BY exact DESC, tok""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

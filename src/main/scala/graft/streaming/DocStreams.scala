@@ -44,4 +44,49 @@ object DocStreams {
       transform: DataFrame => DataFrame,
       queryName: String): DataFrame =
     EventStreams.drainToTable(spark, transform(readStream(spark, dir)), queryName)
+
+  /** Streaming Count-Min maintenance: each micro-batch's sketch is ADDED
+    * cell-wise into a parquet store — CM sketches are linear, so the
+    * running store equals the batch sketch of everything seen, exactly
+    * (no approximation is introduced by splitting the stream; the only
+    * error is the sketch's own collision mass). The store is rewritten
+    * per batch, but it is `depth × width` rows however much data has
+    * flowed — rewriting ~1k rows per batch is the cheapest possible
+    * "update", and any engine can read the store directly. Heavy-hitter
+    * monitoring over a live feed without ever shuffling the corpus. */
+  def startCountMin(
+      docs: DataFrame,
+      sketchStoreDir: String,
+      checkpointDir: String,
+      depth: Int = 4,
+      width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCountMinBatch(batch, batchId, sketchStoreDir, depth, width)
+      }
+      .start()
+
+  private[streaming] def mergeCountMinBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sketchStoreDir: String,
+      depth: Int,
+      width: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = TextAnalysis.countMinSketch(batch, "doc_id", "text", depth, width)
+    val p = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(p))
+        spark.read.parquet(p.toString).unionByName(delta)
+          .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      else delta
+    // write-then-swap: a crash mid-write must not destroy the only copy
+    val next = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/next_$batchId")
+    merged.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(next, p)
+  }
 }

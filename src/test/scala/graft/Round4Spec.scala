@@ -497,6 +497,25 @@ class Round4Spec extends AnyFunSuite {
     assert(nn.getLong(1) == 1L && nn.getLong(2) == 0L)
   }
 
+  test("streaming count-min: per-batch merge equals the whole-corpus sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq((1L, "a a b c"), (2L, "d e"))
+    val b2 = Seq((3L, "a b f"), (4L, "g g g"))
+    val base = java.nio.file.Files.createTempDirectory("graft_scms").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.startCountMin(
+      input.toDF().toDF("doc_id", "text"), s"$base/store", s"$base/ckpt")
+    try Seq(b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(s"$base/store/current")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = TextAnalysis.countMinSketch(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
