@@ -2198,7 +2198,8 @@ object Queries {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // fixed-weight linear quality classifier (CCNet-style model filter;
-    // logit not sigmoid — exp() is not bit-identical across engines)
+    // logit in micro-units, not sigmoid or a rounded double — exp() and
+    // double round() ties are both engine-dependent)
     "q83_quality_classifier" -> Q(
       (s, d) => {
         TextAnalysis.qualityClassifier(
@@ -2222,11 +2223,11 @@ object Queries {
              |    AS stopword_ratio
              |  FROM q),
              |s AS (SELECT doc_id,
-             |  round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+             |  floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
              |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-             |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
+             |    + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT AS logit_micros
              |  FROM f)
-             |SELECT doc_id, logit, logit >= 0 AS keep
+             |SELECT doc_id, logit_micros, logit_micros >= 0 AS keep
              |FROM s ORDER BY doc_id""".stripMargin)),
 
     // bigram-LM fluency scoring (KenLM-recipe core) — per-bigram MLE
@@ -2371,12 +2372,12 @@ object Queries {
               |    AS stopword_ratio
               |  FROM q0),
               |lg AS (SELECT doc_id,
-              |  round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+              |  floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
               |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-              |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
+              |    + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT AS lm
               |  FROM f),
               |kept AS (SELECT d.* FROM documents d
-              |  JOIN lg ON d.doc_id = lg.doc_id WHERE logit >= 0),
+              |  JOIN lg ON d.doc_id = lg.doc_id WHERE lm >= 0),
               |grp AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
               |ded AS (SELECT kept.* FROM kept JOIN grp ON kept.doc_id = grp.doc_id),
               |r AS (SELECT doc_id, source, n_chars, row_number() OVER (
@@ -2498,12 +2499,12 @@ object Queries {
              |    AS stopword_ratio
              |  FROM q),
              |s AS (SELECT doc_id,
-             |  round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+             |  floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
              |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-             |    + 4.0::DOUBLE * stopword_ratio, 6) AS logit
+             |    + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT AS logit_micros
              |  FROM f)
-             |SELECT doc_id, logit, logit >= 0 AS keep
-             |FROM s WHERE logit >= 0 ORDER BY doc_id""".stripMargin)),
+             |SELECT doc_id, logit_micros, logit_micros >= 0 AS keep
+             |FROM s WHERE logit_micros >= 0 ORDER BY doc_id""".stripMargin)),
 
     // Bloom-filter decontamination pre-scan: eval grams -> broadcast
     // bitset; train corpus streamed past it, zero train-side shuffle.
@@ -2560,9 +2561,12 @@ object Queries {
             intercept = -2.5)
           .join(docs.select(col("doc_id"),
             size(split(trim(col("text")), " ")).cast("long").as("ntok")), "doc_id")
+          // level from integer micros: (5e6 - m) / 1e6 floored — the
+          // division is exact in double (|x| << 2^53), floor exact
           .select(col("doc_id"), col("ntok"),
-            least(greatest(floor(lit(5.0) - col("logit")), lit(0L)), lit(9L))
-              .as("level"))
+            least(greatest(
+              floor((lit(5000000L) - col("logit_micros")).cast("double") / lit(1e6)),
+              lit(0L)), lit(9L)).as("level"))
         operators.Packing.packCurriculum(
             leveled, "doc_id", "ntok", "level", capacity = 512L)
           .orderBy(col("start_offset"))
@@ -2580,10 +2584,11 @@ object Queries {
              |    AS stopword_ratio
              |  FROM q),
              |lv AS (SELECT doc_id, ntok,
-             |  least(greatest(floor(5.0::DOUBLE -
-             |    round(-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+             |  least(greatest(floor((5000000 -
+             |    floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
              |      + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-             |      + 4.0::DOUBLE * stopword_ratio, 6))::BIGINT, 0), 9) AS level
+             |      + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT)::DOUBLE
+             |    / 1e6)::BIGINT, 0), 9) AS level
              |  FROM f),
              |o AS (SELECT doc_id, level, ntok,
              |  coalesce(sum(ntok) OVER (ORDER BY level, doc_id
@@ -2732,7 +2737,43 @@ object Queries {
              |est AS (SELECT tok, exact, min(cnt)::BIGINT AS est
              |  FROM probe JOIN cells USING (r, cell) GROUP BY tok, exact)
              |SELECT tok, exact, est, (est - exact)::BIGINT AS overest
-             |FROM est ORDER BY exact DESC, tok""".stripMargin)))
+             |FROM est ORDER BY exact DESC, tok""".stripMargin)),
+
+    // blocklist compliance gate: literal-array membership folded into
+    // the scan — zero shuffle for the verdict
+    "q98_blocklist_filter" -> Q(
+      (s, d) => {
+        TextAnalysis.blocklistFilter(
+            t(s, d, "documents"), "doc_id", "text",
+            Seq("spark", "hash", "skew"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |    sum(CASE WHEN tok IN ('spark', 'hash', 'skew') THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_blocked
+             |  FROM tk GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_blocked, n_blocked = 0 AS keep
+             |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // positional-index phrase search: postings-chain equi-joins, work
+    // bounded by the rarest term's postings
+    "q99_phrase_search" -> Q(
+      (s, d) => {
+        val idx = TextAnalysis.positionalIndex(t(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.phraseSearch(idx, Seq("table", "hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |tk AS (SELECT doc_id, unnest(t) AS tok,
+             |    generate_subscripts(t, 1) AS pos FROM t0),
+             |a AS (SELECT doc_id, pos FROM tk WHERE tok = 'table'),
+             |b AS (SELECT doc_id, pos FROM tk WHERE tok = 'hash')
+             |SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
+             |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -73,19 +73,27 @@ object TextAnalysis {
     * features with literal weights is exactly evaluated everywhere;
     * thresholding the logit at 0 is the same decision sigmoid >= 0.5
     * makes. `weights` is ordered — the accumulation tree is built in
-    * sequence so both engines evaluate the identical expression. */
+    * sequence so both engines evaluate the identical expression.
+    *
+    * The logit surfaces as INTEGER MICRO-UNITS (`floor(logit * 1e6)`),
+    * not a 6dp-rounded double: `round()` of a double sitting exactly on
+    * a half-boundary is engine-dependent (HALF_UP on decimal repr vs
+    * binary rounding — observed flipping a real sf0.1 document), while
+    * IEEE multiply + floor is exactly rounded everywhere. `micros >= 0`
+    * is the same verdict `logit >= 0` makes. */
   def qualityClassifier(
       df: DataFrame,
       idCol: String,
       textCol: String,
       weights: Seq[(String, Double)],
       intercept: Double): DataFrame = {
-    val logit = round(
-      weights.foldLeft(lit(intercept)) { case (acc, (f, w)) =>
-        acc + lit(w) * col(f).cast("double")
-      }, 6)
+    val logit = weights.foldLeft(lit(intercept)) { case (acc, (f, w)) =>
+      acc + lit(w) * col(f).cast("double")
+    }
+    val micros = floor(logit * lit(1e6)).cast("long")
     qualityScore(df, idCol, textCol)
-      .select(col("doc_id"), logit.as("logit"), (logit >= 0d).as("keep"))
+      .select(col("doc_id"), micros.as("logit_micros"),
+        (micros >= 0L).as("keep"))
   }
 
   /** Token counts: whitespace tokens and a BPE-ish `[a-z0-9]+` word-piece
@@ -368,6 +376,69 @@ object TextAnalysis {
     agg
       .join(quantile(1, 2, "median_chars"), "source")
       .join(quantile(9, 10, "p90_chars"), "source")
+  }
+
+  /** Positional inverted index: one (tok, doc_id, pos) row per token
+    * occurrence — the index layout phrase and proximity search run on.
+    * Persist it partitioned/bucketed by `tok` and every query below
+    * touches only its terms' slices. */
+  def positionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search over a [[positionalIndex]]: documents containing
+    * the tokens consecutively, with occurrence counts. Each phrase term
+    * selects its index slice (at scale: a partition-pruned read, rows =
+    * that term's postings); consecutive terms chain on
+    * (doc_id, pos + i) equi-joins, so the work is bounded by the RAREST
+    * term's postings flowing through keyed joins — the classic
+    * merge-postings plan, no scan of the corpus text. */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val first = index.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          index.filter(col("tok") === w)
+            .select(col("doc_id"), (col("pos") - lit(i.toLong)).as("p0")),
+          Seq("doc_id", "p0"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Blocklist filter: per document, how many tokens hit a blocked-term
+    * list and the keep/drop verdict — the safety/compliance gate of a
+    * crawl pipeline. Small lists fold into the scan as a literal-array
+    * membership test (zero shuffle, codegen); `maxInline` guards the
+    * expression size, beyond it the list becomes a broadcast semi-join —
+    * same verdicts, still no corpus shuffle. */
+  def blocklistFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocked: Seq[String],
+      maxInline: Int = 256): DataFrame = {
+    require(blocked.nonEmpty)
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val hits =
+      if (blocked.length <= maxInline)
+        toks.select(col("doc_id"),
+          when(array_contains(array(blocked.map(lit): _*), col("tok")), 1L)
+            .otherwise(0L).as("hit"))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val bl = blocked.toDF("tok").withColumn("blocked", lit(1L))
+        toks.join(broadcast(bl), Seq("tok"), "left")
+          .select(col("doc_id"), coalesce(col("blocked"), lit(0L)).as("hit"))
+      }
+    hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("hit")).as("n_blocked"))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+        (col("n_blocked") === 0L).as("keep"))
   }
 
   /** (word index, 32-bit mask) Bloom probe `k` for a gram column. Words

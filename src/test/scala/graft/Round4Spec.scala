@@ -406,12 +406,12 @@ class Round4Spec extends AnyFunSuite {
     try Seq(b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
     val streamed = spark.table(name).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val batch = graft.operators.TextAnalysis
       .qualityClassifier((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
         weights, intercept = -3.5)
       .filter($"keep").collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
 
@@ -516,6 +516,38 @@ class Round4Spec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("blocklistFilter: inline and broadcast paths agree on verdicts") {
+    val docs = Seq(
+      (1L, "good clean text"), (2L, "contains bad word"), (3L, "bad bad")
+    ).toDF("doc_id", "text")
+    val inline = TextAnalysis.blocklistFilter(docs, "doc_id", "text", Seq("bad"))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(inline == Seq((1L, 0L, true), (2L, 1L, false), (3L, 2L, false)))
+    val bcast = TextAnalysis.blocklistFilter(docs, "doc_id", "text", Seq("bad"),
+        maxInline = 0)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(bcast == inline)
+  }
+
+  test("phraseSearch: consecutive-only matches with occurrence counts") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),     // "quick brown" once
+      (2L, "quick and brown"),         // not consecutive
+      (3L, "quick brown quick brown")  // twice
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalIndex(docs, "doc_id", "text")
+    val hits = TextAnalysis.phraseSearch(idx, Seq("quick", "brown"))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((1L, 1L), (3L, 2L)))
+    // 3-term phrase spans the chain join
+    val tri = TextAnalysis.phraseSearch(idx, Seq("the", "quick", "brown"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tri == Seq((1L, 1L)))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
@@ -523,9 +555,9 @@ class Round4Spec extends AnyFunSuite {
         docs, "doc_id", "text",
         Seq("n_tokens" -> 1.0, "stopword_ratio" -> 3.0), intercept = -3.5)
       .orderBy($"doc_id").collect()
-    // doc1: -3.5 + 3 + 3*round(1/3,6) = 0.499999 -> keep
-    assert(res(0).getDouble(1) == 0.499999 && res(0).getBoolean(2))
-    // doc2: -3.5 + 1 + 0 = -2.5 -> drop
-    assert(res(1).getDouble(1) == -2.5 && !res(1).getBoolean(2))
+    // doc1: floor((-3.5 + 3 + 3*round(1/3,6)) * 1e6) = 499999 -> keep
+    assert(res(0).getLong(1) == 499999L && res(0).getBoolean(2))
+    // doc2: -3.5 + 1 + 0 = -2.5 -> -2500000 micros -> drop
+    assert(res(1).getLong(1) == -2500000L && !res(1).getBoolean(2))
   }
 }
