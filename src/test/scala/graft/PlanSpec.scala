@@ -178,6 +178,19 @@ class PlanSpec extends AnyFunSuite {
     assert(po.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$po")
   }
 
+  test("blocklist inline path has no join; phrase search joins on keys") {
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+    val pb = graft.operators.TextAnalysis
+      .blocklistFilter(docs, "doc_id", "text", Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("Join"), s"inline blocklist must not join:\n$pb")
+    val idx = graft.operators.TextAnalysis.positionalIndex(docs, "doc_id", "text")
+    val pp = graft.operators.TextAnalysis.phraseSearch(idx, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("BroadcastNestedLoopJoin") && !pp.contains("CartesianProduct"),
+      s"phrase chain must be keyed joins:\n$pp")
+  }
+
   test("bigram LM joins are keyed, never nested-loop") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Engine.table(spark, sf, "documents")
