@@ -947,12 +947,13 @@ object Queries {
       Some("""WITH q AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
              |  FROM documents)
              |SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
-             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6) AS mean_token_len,
-             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-             |    / length(text), 6) AS punct_ratio,
-             |  round(len(list_filter(t, x -> list_contains(
-             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
-             |    AS stopword_ratio
+             |  floor(1e6 * (list_sum([length(x) for x in t])::DOUBLE / len(t)))::BIGINT
+             |    AS mean_token_len_ppm,
+             |  floor(1e6 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text)))::BIGINT AS punct_ratio_ppm,
+             |  floor(1e6 * (len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t)))::BIGINT
+             |    AS stopword_ratio_ppm
              |FROM q ORDER BY doc_id""".stripMargin)),
 
     "q30_lang_id" -> Q(
@@ -1966,7 +1967,8 @@ object Queries {
               |  FROM eg WHERE gh IN (SELECT gh FROM tg) GROUP BY doc_id)
               |SELECT e.doc_id, n_grams,
               |  coalesce(n_overlap, 0)::BIGINT AS n_overlap,
-              |  round(coalesce(n_overlap, 0)::DOUBLE / n_grams, 6) AS contamination
+              |  floor(1e6 * (coalesce(n_overlap, 0)::DOUBLE / n_grams))::BIGINT
+              |    AS contamination_ppm
               |FROM e LEFT JOIN hits USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
@@ -2017,12 +2019,12 @@ object Queries {
              |SELECT doc_id,
              |  len(t)::BIGINT AS n_tokens,
              |  len(d)::BIGINT AS n_distinct,
-             |  round(len(d)::DOUBLE / len(t), 6) AS distinct_ratio,
+             |  floor(1e6 * (len(d)::DOUBLE / len(t)))::BIGINT AS distinct_ratio_ppm,
              |  list_max([len(list_filter(t, x -> x = td)) for td in d])::BIGINT
              |    AS max_token_freq,
-             |  CASE WHEN len(g2) = 0 THEN 0.0::DOUBLE
-             |    ELSE round(1.0::DOUBLE - len(list_distinct(g2))::DOUBLE / len(g2), 6)
-             |  END AS dup_bigram_ratio
+             |  CASE WHEN len(g2) = 0 THEN 0::BIGINT
+             |    ELSE floor(1e6 * (1.0::DOUBLE - len(list_distinct(g2))::DOUBLE / len(g2)))::BIGINT
+             |  END AS dup_bigram_ppm
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     // training-mix construction: deterministic per-source downsampling to
@@ -2192,8 +2194,8 @@ object Queries {
               |fr AS (SELECT f, count(DISTINCT doc_id) AS nd FROM fp GROUP BY f)
               |SELECT doc_id, count(*)::BIGINT AS n_chunks,
               |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_chunks,
-              |  round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-              |    AS dup_ratio
+              |  floor(1e6 * (sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)))::BIGINT
+              |    AS dup_ppm
               |FROM fp JOIN fr ON fp.f = fr.f
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
@@ -2214,18 +2216,18 @@ object Queries {
              |  FROM documents),
              |f AS (SELECT doc_id,
              |  len(t)::BIGINT AS n_tokens,
-             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
-             |    AS mean_token_len,
-             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-             |    / length(text), 6) AS punct_ratio,
-             |  round(len(list_filter(t, x -> list_contains(
-             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
-             |    AS stopword_ratio
+             |  floor(1e6 * (list_sum([length(x) for x in t])::DOUBLE / len(t)))::BIGINT
+             |    AS mtl_ppm,
+             |  floor(1e6 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text)))::BIGINT AS pr_ppm,
+             |  floor(1e6 * (len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t)))::BIGINT
+             |    AS swr_ppm
              |  FROM q),
              |s AS (SELECT doc_id,
              |  floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
-             |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-             |    + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT AS logit_micros
+             |    + 0.3::DOUBLE * (mtl_ppm::DOUBLE / 1e6) + -20.0::DOUBLE * (pr_ppm::DOUBLE / 1e6)
+             |    + 4.0::DOUBLE * (swr_ppm::DOUBLE / 1e6)) * 1e6)::BIGINT AS logit_micros
              |  FROM f)
              |SELECT doc_id, logit_micros, logit_micros >= 0 AS keep
              |FROM s ORDER BY doc_id""".stripMargin)),
@@ -2363,18 +2365,18 @@ object Queries {
               |  FROM documents),
               |f AS (SELECT doc_id,
               |  len(t)::BIGINT AS n_tokens,
-              |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
-              |    AS mean_token_len,
-              |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-              |    / length(text), 6) AS punct_ratio,
-              |  round(len(list_filter(t, x -> list_contains(
-              |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
-              |    AS stopword_ratio
+              |  floor(1e6 * (list_sum([length(x) for x in t])::DOUBLE / len(t)))::BIGINT
+              |    AS mtl_ppm,
+              |  floor(1e6 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+              |    / length(text)))::BIGINT AS pr_ppm,
+              |  floor(1e6 * (len(list_filter(t, x -> list_contains(
+              |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t)))::BIGINT
+              |    AS swr_ppm
               |  FROM q0),
               |lg AS (SELECT doc_id,
               |  floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
-              |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-              |    + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT AS lm
+              |    + 0.3::DOUBLE * (mtl_ppm::DOUBLE / 1e6) + -20.0::DOUBLE * (pr_ppm::DOUBLE / 1e6)
+              |    + 4.0::DOUBLE * (swr_ppm::DOUBLE / 1e6)) * 1e6)::BIGINT AS lm
               |  FROM f),
               |kept AS (SELECT d.* FROM documents d
               |  JOIN lg ON d.doc_id = lg.doc_id WHERE lm >= 0),
@@ -2410,7 +2412,7 @@ object Queries {
              |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
              |  FROM tk LEFT JOIN v ON tk.tok = v.tok GROUP BY doc_id)
              |SELECT doc_id, n_tokens, n_oov,
-             |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_ratio
+             |  floor(1e6 * (n_oov::DOUBLE / n_tokens))::BIGINT AS oov_ppm
              |FROM per ORDER BY doc_id""".stripMargin)),
 
     // token-budget sampling per source — distributed prefix-sum over the
@@ -2490,18 +2492,18 @@ object Queries {
              |  FROM documents),
              |f AS (SELECT doc_id,
              |  len(t)::BIGINT AS n_tokens,
-             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
-             |    AS mean_token_len,
-             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-             |    / length(text), 6) AS punct_ratio,
-             |  round(len(list_filter(t, x -> list_contains(
-             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
-             |    AS stopword_ratio
+             |  floor(1e6 * (list_sum([length(x) for x in t])::DOUBLE / len(t)))::BIGINT
+             |    AS mtl_ppm,
+             |  floor(1e6 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text)))::BIGINT AS pr_ppm,
+             |  floor(1e6 * (len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t)))::BIGINT
+             |    AS swr_ppm
              |  FROM q),
              |s AS (SELECT doc_id,
              |  floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
-             |    + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-             |    + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT AS logit_micros
+             |    + 0.3::DOUBLE * (mtl_ppm::DOUBLE / 1e6) + -20.0::DOUBLE * (pr_ppm::DOUBLE / 1e6)
+             |    + 4.0::DOUBLE * (swr_ppm::DOUBLE / 1e6)) * 1e6)::BIGINT AS logit_micros
              |  FROM f)
              |SELECT doc_id, logit_micros, logit_micros >= 0 AS keep
              |FROM s WHERE logit_micros >= 0 ORDER BY doc_id""".stripMargin)),
@@ -2546,7 +2548,7 @@ object Queries {
               |    sum(all_set)::BIGINT AS n_flagged
               |  FROM hit GROUP BY doc_id)
               |SELECT doc_id, n_grams, n_flagged,
-              |  round(n_flagged::DOUBLE / n_grams, 6) AS flag_ratio
+              |  floor(1e6 * (n_flagged::DOUBLE / n_grams))::BIGINT AS flag_ppm
               |FROM per ORDER BY doc_id""".stripMargin)),
 
     // curriculum packing: classifier logit -> integer level, documents
@@ -2575,19 +2577,19 @@ object Queries {
              |  FROM documents),
              |f AS (SELECT doc_id, len(t)::BIGINT AS ntok,
              |  len(t)::BIGINT AS n_tokens,
-             |  round(list_sum([length(x) for x in t])::DOUBLE / len(t), 6)
-             |    AS mean_token_len,
-             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-             |    / length(text), 6) AS punct_ratio,
-             |  round(len(list_filter(t, x -> list_contains(
-             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t), 6)
-             |    AS stopword_ratio
+             |  floor(1e6 * (list_sum([length(x) for x in t])::DOUBLE / len(t)))::BIGINT
+             |    AS mtl_ppm,
+             |  floor(1e6 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |    / length(text)))::BIGINT AS pr_ppm,
+             |  floor(1e6 * (len(list_filter(t, x -> list_contains(
+             |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t)))::BIGINT
+             |    AS swr_ppm
              |  FROM q),
              |lv AS (SELECT doc_id, ntok,
              |  least(greatest(floor((5000000 -
              |    floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
-             |      + 0.3::DOUBLE * mean_token_len + -20.0::DOUBLE * punct_ratio
-             |      + 4.0::DOUBLE * stopword_ratio) * 1e6)::BIGINT)::DOUBLE
+             |      + 0.3::DOUBLE * (mtl_ppm::DOUBLE / 1e6) + -20.0::DOUBLE * (pr_ppm::DOUBLE / 1e6)
+             |      + 4.0::DOUBLE * (swr_ppm::DOUBLE / 1e6)) * 1e6)::BIGINT)::DOUBLE
              |    / 1e6)::BIGINT, 0), 9) AS level
              |  FROM f),
              |o AS (SELECT doc_id, level, ntok,
@@ -2692,7 +2694,7 @@ object Queries {
              |  FROM ex JOIN pq ON ex.q_id = pq.q_id AND ex.n_id = pq.n_id
              |  GROUP BY ex.q_id)
              |SELECT q.q_id, 5::BIGINT AS k, coalesce(n_hit, 0)::BIGINT AS n_hit,
-             |  round(coalesce(n_hit, 0)::DOUBLE / 5, 6) AS recall
+             |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
              |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
              |ORDER BY q_id""".stripMargin)),
 

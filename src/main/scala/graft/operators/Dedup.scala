@@ -691,7 +691,8 @@ object Dedup {
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
       .select(
         col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
-        round(col("n_shared_chunks").cast("double") / col("n_chunks"), 6)
-          .as("dup_ratio"))
+        floor(lit(1e6) *
+          (col("n_shared_chunks").cast("double") / col("n_chunks")))
+          .cast("long").as("dup_ppm"))
   }
 }

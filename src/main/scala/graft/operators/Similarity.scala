@@ -525,8 +525,9 @@ object Similarity {
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"), lit(k.toLong).as("k"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k), 6)
-          .as("recall"))
+        floor(lit(1e6) *
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k)))
+          .cast("long").as("recall_ppm"))
   }
 
   /** Brute-force top-k in the random-projection space: the cheap first

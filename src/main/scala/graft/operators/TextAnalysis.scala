@@ -48,20 +48,22 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = tokens(t)
     val stop = langWords.toMap.apply("en")
+    // ratios surface as integer PPM (floor(1e6 · n/m)), not round(x, 6):
+    // round()'s half-boundary ties are engine-dependent (decimal-repr
+    // HALF_UP vs binary), while division, the 1e6 multiply, and floor
+    // are each exactly rounded — bit-identical everywhere
     df.select(
       col(idCol).as("doc_id"),
       length(t).cast("bigint").as("n_chars"),
       size(toks).cast("bigint").as("n_tokens"),
-      round(
-        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-          size(toks),
-        6).as("mean_token_len"),
-      round(
-        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
-          length(t),
-        6).as("punct_ratio"),
-      round(overlapCount(toks, stop).cast("double") / size(toks), 6)
-        .as("stopword_ratio"))
+      floor(lit(1e6) *
+        (aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          size(toks))).cast("long").as("mean_token_len_ppm"),
+      floor(lit(1e6) *
+        ((length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+          length(t))).cast("long").as("punct_ratio_ppm"),
+      floor(lit(1e6) * (overlapCount(toks, stop).cast("double") / size(toks)))
+        .cast("long").as("stopword_ratio_ppm"))
   }
 
   /** Fixed-weight linear quality classifier — the model-based quality
@@ -87,8 +89,13 @@ object TextAnalysis {
       textCol: String,
       weights: Seq[(String, Double)],
       intercept: Double): DataFrame = {
+    // ppm features are rescaled back to ratios by an exact division —
+    // weights stay in natural (ratio) units
+    def feature(f: String): Column =
+      if (f == "n_tokens" || f == "n_chars") col(f).cast("double")
+      else col(s"${f}_ppm").cast("double") / lit(1e6)
     val logit = weights.foldLeft(lit(intercept)) { case (acc, (f, w)) =>
-      acc + lit(w) * col(f).cast("double")
+      acc + lit(w) * feature(f)
     }
     val micros = floor(logit * lit(1e6)).cast("long")
     qualityScore(df, idCol, textCol)
@@ -263,8 +270,9 @@ object TextAnalysis {
       .select(
         col("doc_id"), col("n_grams"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_grams"), 6)
-          .as("contamination"))
+        floor(lit(1e6) *
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_grams")))
+          .cast("long").as("contamination_ppm"))
   }
 
   /** Intra-document repetition metrics — the quality signal that catches
@@ -283,13 +291,15 @@ object TextAnalysis {
         col("doc_id"),
         col("_st").getItem(0).as("n_tokens"),
         col("_st").getItem(1).as("n_distinct"),
-        round(col("_st").getItem(1).cast("double") / col("_st").getItem(0), 6)
-          .as("distinct_ratio"),
+        floor(lit(1e6) *
+          (col("_st").getItem(1).cast("double") / col("_st").getItem(0)))
+          .cast("long").as("distinct_ratio_ppm"),
         col("_st").getItem(2).as("max_token_freq"),
-        when(col("_st").getItem(3) === 0L, lit(0.0)).otherwise(
-          round(lit(1.0) -
-            col("_st").getItem(4).cast("double") / col("_st").getItem(3), 6))
-          .as("dup_bigram_ratio"))
+        when(col("_st").getItem(3) === 0L, lit(0L)).otherwise(
+          floor(lit(1e6) * (lit(1.0) -
+            col("_st").getItem(4).cast("double") / col("_st").getItem(3)))
+            .cast("long"))
+          .as("dup_bigram_ppm"))
   }
 
   /** PII patterns shared by [[redactPii]] and its oracle: RE2-safe (no
@@ -507,7 +517,8 @@ object TextAnalysis {
     perGram.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("all_set")).as("n_flagged"))
       .select(col("doc_id"), col("n_grams"), col("n_flagged"),
-        round(col("n_flagged").cast("double") / col("n_grams"), 6).as("flag_ratio"))
+        floor(lit(1e6) * (col("n_flagged").cast("double") / col("n_grams")))
+          .cast("long").as("flag_ppm"))
   }
 
   /** Count-Min sketch of the corpus token stream (Cormode & Muthukrishnan
@@ -587,7 +598,8 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_ratio"))
+        floor(lit(1e6) * (col("n_oov").cast("double") / col("n_tokens")))
+          .cast("long").as("oov_ppm"))
   }
 
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {

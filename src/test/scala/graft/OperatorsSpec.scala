@@ -449,8 +449,8 @@ class OperatorsSpec extends AnyFunSuite {
     val r = TextAnalysis.qualityScore(docs, "doc_id", "text").head()
     assert(r.getAs[Long]("n_chars") == 12L)
     assert(r.getAs[Long]("n_tokens") == 3L)
-    assert(r.getAs[Double]("punct_ratio") == 0.083333) // 1/12 rounded to 6dp
-    assert(r.getAs[Double]("stopword_ratio") == 0.333333)
+    assert(r.getAs[Long]("punct_ratio_ppm") == 83333L) // floor(1e6/12)
+    assert(r.getAs[Long]("stopword_ratio_ppm") == 333333L)
   }
 
   test("large-star/small-star CC = label propagation, incl. a deep chain") {

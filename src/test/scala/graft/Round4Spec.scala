@@ -23,8 +23,8 @@ class Round4Spec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((10L, 3L, 2L), (11L, 3L, 0L)))
-    assert(out(0).getDouble(3) == 0.666667)
-    assert(out(1).getDouble(3) == 0.0)
+    assert(out(0).getLong(3) == 666666L)  // floor(2/3 * 1e6)
+    assert(out(1).getLong(3) == 0L)
   }
 
   test("pii redaction: emails, SSNs, phones replaced and counted") {
@@ -45,10 +45,10 @@ class Round4Spec extends AnyFunSuite {
     val r = TextAnalysis.repetitionScore(df, "doc_id", "text").head()
     assert(r.getLong(1) == 4L)        // n_tokens
     assert(r.getLong(2) == 2L)        // n_distinct
-    assert(r.getDouble(3) == 0.5)     // distinct_ratio
+    assert(r.getLong(3) == 500000L)   // distinct_ratio_ppm
     assert(r.getLong(4) == 3L)        // max_token_freq ("a")
-    // bigrams [a a, a a, a b]: 2 distinct of 3 -> 1 - 2/3
-    assert(r.getDouble(5) == 0.333333)
+    // bigrams [a a, a a, a b]: 2 distinct of 3 -> floor((1 - 2/3) * 1e6)
+    assert(r.getLong(5) == 333333L)
   }
 
   test("mix: scarcest source binds; membership deterministic; rates near target") {
