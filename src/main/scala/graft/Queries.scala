@@ -2775,6 +2775,26 @@ object Queries {
              |b AS (SELECT doc_id, pos FROM tk WHERE tok = 'hash')
              |SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
              |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
+    // proximity (NEAR/4) search — the window predicate rides the doc_id
+    // postings join
+    "q100_proximity_search" -> Q(
+      (s, d) => {
+        val idx = TextAnalysis.positionalIndex(t(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.proximitySearch(idx, "table", "hash", window = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |tk AS (SELECT doc_id, unnest(t) AS tok,
+             |    generate_subscripts(t, 1) AS pos FROM t0),
+             |a AS (SELECT doc_id, pos AS pa FROM tk WHERE tok = 'table'),
+             |b AS (SELECT doc_id, pos AS pb FROM tk WHERE tok = 'hash')
+             |SELECT a.doc_id, count(*)::BIGINT AS n_pairs,
+             |  min(abs(pa - pb))::BIGINT AS min_dist
+             |FROM a JOIN b ON a.doc_id = b.doc_id
+             |WHERE abs(pa - pb) <= 4 AND pa <> pb
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)))
 
   private def q58BucketedJoin(

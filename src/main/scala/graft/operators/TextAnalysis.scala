@@ -419,6 +419,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Proximity (NEAR/w) search over a [[positionalIndex]]: documents
+    * where `termA` and `termB` occur within `window` positions of each
+    * other, in either order, with the pair count. Same postings-join
+    * shape as [[phraseSearch]] — the range predicate rides a doc_id
+    * equi-join, so pair work is bounded by the two terms' postings
+    * co-located per document, never a corpus scan. */
+  def proximitySearch(
+      index: DataFrame,
+      termA: String,
+      termB: String,
+      window: Int): DataFrame = {
+    require(window >= 1)
+    val a = index.filter(col("tok") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = index.filter(col("tok") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= window && col("pa") =!= col("pb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), min(abs(col("pa") - col("pb"))).as("min_dist"))
+  }
+
   /** Blocklist filter: per document, how many tokens hit a blocked-term
     * list and the keep/drop verdict — the safety/compliance gate of a
     * crawl pipeline. Small lists fold into the scan as a literal-array

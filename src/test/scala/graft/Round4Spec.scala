@@ -546,6 +546,15 @@ class Round4Spec extends AnyFunSuite {
     val tri = TextAnalysis.phraseSearch(idx, Seq("the", "quick", "brown"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(tri == Seq((1L, 1L)))
+    // proximity: doc2's "quick ... brown" (distance 2) hits NEAR/2 but
+    // not NEAR/1; either order counts
+    val near2 = TextAnalysis.proximitySearch(idx, "brown", "quick", window = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(near2 == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 3L, 1L)))
+    val near1 = TextAnalysis.proximitySearch(idx, "brown", "quick", window = 1)
+      .orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(near1 == Seq(1L, 3L))
   }
 
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
