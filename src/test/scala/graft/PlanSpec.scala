@@ -191,6 +191,19 @@ class PlanSpec extends AnyFunSuite {
       s"phrase chain must be keyed joins:\n$pp")
   }
 
+  test("pq: codebook and distance tables broadcast; no nested-loop anywhere") {
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+    val cb = graft.operators.Similarity.pqCodebook(
+      emb, "vec_id", "embedding", 0L until 16L, m = 8)
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Similarity.pqTopK(
+        emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", cb, m = 8, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"pq lookup tables not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pq must join on keys:\n$p")
+  }
+
   test("bigram LM joins are keyed, never nested-loop") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Engine.table(spark, sf, "documents")
