@@ -2795,7 +2795,54 @@ object Queries {
              |  min(abs(pa - pb))::BIGINT AS min_dist
              |FROM a JOIN b ON a.doc_id = b.doc_id
              |WHERE abs(pa - pb) <= 4 AND pa <> pb
-             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)))
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
+    // per-label prototype centroids: exact integer milli-sums, mean in
+    // micro-units — class prototypes / semantic-search seeds
+    "q101_label_centroids" -> Q(
+      (s, d) => {
+        Similarity.labelCentroids(t(s, d, "embeddings"), "label", "embedding")
+          .orderBy(col("label"))
+      },
+      Some("""WITH v AS (SELECT label,
+             |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+             |  FROM embeddings),
+             |d AS (SELECT label, generate_subscripts(iv, 1) AS dim, unnest(iv) AS v
+             |  FROM v),
+             |g AS (SELECT label, dim, sum(v)::BIGINT AS s, count(*)::BIGINT AS n
+             |  FROM d GROUP BY label, dim),
+             |c AS (SELECT label, max(n)::BIGINT AS n_vectors,
+             |    list(floor(1e3 * (s::DOUBLE / n::DOUBLE))::BIGINT ORDER BY dim)
+             |      AS centroid_micros
+             |  FROM g GROUP BY label)
+             |SELECT label, n_vectors, centroid_micros FROM c
+             |ORDER BY label""".stripMargin)),
+
+    // cluster labeling via rational c-TF-IDF (BERTopic's labeling step,
+    // log dropped for bit-portability) — top terms per source slice
+    "q102_cluster_top_terms" -> Q(
+      (s, d) => {
+        TextAnalysis.clusterTopTerms(
+            t(s, d, "documents"), "doc_id", "text", "source", topK = 5)
+          .orderBy(col("cluster"), col("rank"))
+      },
+      Some("""WITH tk AS (SELECT source AS cluster,
+             |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+             |tf AS (SELECT cluster, tok, count(*)::BIGINT AS tf
+             |  FROM tk GROUP BY cluster, tok),
+             |ct AS (SELECT cluster, sum(tf)::BIGINT AS cluster_tokens
+             |  FROM tf GROUP BY cluster),
+             |dfc AS (SELECT tok, count(*)::BIGINT AS df_c FROM tf GROUP BY tok),
+             |sc AS (SELECT tf.cluster, tf.tok, tf.tf,
+             |    floor(1e6 * (tf.tf::DOUBLE / ct.cluster_tokens::DOUBLE)
+             |      * ((SELECT count(DISTINCT source) FROM documents)::DOUBLE
+             |        / dfc.df_c::DOUBLE))::BIGINT AS score_ppm
+             |  FROM tf JOIN ct USING (cluster) JOIN dfc USING (tok)),
+             |r AS (SELECT cluster, tok, tf, score_ppm, row_number() OVER (
+             |  PARTITION BY cluster ORDER BY score_ppm DESC, tok) AS rank FROM sc)
+             |SELECT cluster, rank::BIGINT AS rank, tok, tf, score_ppm
+             |FROM r WHERE rank <= 5
+             |ORDER BY cluster, rank""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -491,6 +491,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-label prototype centroids: the mean embedding of every label's
+    * vectors — class prototypes for nearest-prototype classification and
+    * semantic-search seeds. Vectors quantize to milli-units first, so
+    * the per-dimension SUM is an exact integer (order-free across any
+    * partitioning) and the mean surfaces as exact micro-units
+    * (`floor(1e3 * sum / n)` — milli-sum × 1e3 = micro scale).
+    *
+    * Scale shape: explode to (label, dim, value) rows, one hash
+    * aggregate on (label, dim) with map-side partials, re-assemble with
+    * a labels × dims sort — output is labels × dims rows, never
+    * corpus-sized. Returns (label, n_vectors, centroid_micros). */
+  def labelCentroids(
+      emb: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame = {
+    val iv = transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val dims = emb
+      .select(col(labelCol).as("label"), posexplode(iv).as(Seq("dim", "v")))
+    dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vectors"),
+        array_sort(collect_list(struct(col("dim"), col("s")))).as("sd"))
+      .select(col("label"), col("n_vectors"),
+        transform(col("sd"), e =>
+          floor(lit(1e3) * (e.getField("s").cast("double") / col("n_vectors")))
+            .cast("long")).as("centroid_micros"))
+  }
+
   /** Exact L2 top-k on milli-quantized vectors — the integer-exact
     * ground truth an approximate index (PQ, IVF, LSH) is measured
     * against. Same broadcast + window shape as the other top-ks. */

@@ -419,6 +419,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Cluster labeling via rational c-TF-IDF (the BERTopic labeling step
+    * with the log dropped — libm log is not bit-portable, and ranking is
+    * invariant to the monotone transform within a cluster for the
+    * rare-term regime this surfaces): score(term, cluster) =
+    * (tf_c / tokens_c) · (n_clusters / df_c), in integer ppm. Emits the
+    * `topK` highest-scoring terms per cluster — the human-readable label
+    * of each slice of the corpus.
+    *
+    * Scale shape: one (cluster, term) hash aggregate over the exploded
+    * stream; df and cluster sizes aggregate the (much smaller) distinct
+    * table; n_clusters is a broadcast scalar; per-cluster ranking
+    * windows over the term table, not the corpus. */
+  def clusterTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      clusterCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(clusterCol).as("cluster"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("tf"))
+    val ct = tf.groupBy(col("cluster")).agg(sum(col("tf")).as("cluster_tokens"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_c"))
+    val nc = tf.select(col("cluster")).distinct().count()
+    val score = floor(
+      lit(1e6) * (col("tf").cast("double") / col("cluster_tokens").cast("double")) *
+        (lit(nc.toDouble) / col("df_c").cast("double"))).cast("long")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score_ppm").desc, col("tok").asc)
+    tf.join(broadcast(ct), "cluster")
+      .join(dfc, "tok")
+      .withColumn("score_ppm", score)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("cluster"), col("rank"), col("tok"), col("tf"), col("score_ppm"))
+  }
+
   /** Proximity (NEAR/w) search over a [[positionalIndex]]: documents
     * where `termA` and `termB` occur within `window` positions of each
     * other, in either order, with the pair count. Same postings-join

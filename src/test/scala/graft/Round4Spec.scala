@@ -557,6 +557,33 @@ class Round4Spec extends AnyFunSuite {
     assert(near1 == Seq(1L, 3L))
   }
 
+  test("labelCentroids: exact micro-unit means, dims in order") {
+    val vs = Seq(
+      (0L, Array(1f, 0f), 7),
+      (1L, Array(0f, 1f), 7),     // label 7 mean = (0.5, 0.5)
+      (2L, Array(0.25f, 0.5f), 9) // label 9 singleton
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vs, "label", "embedding")
+      .orderBy($"label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    assert(out.toSeq == Seq(
+      (7, 2L, Seq(500000L, 500000L)),
+      (9, 1L, Seq(250000L, 500000L))))
+  }
+
+  test("clusterTopTerms: cluster-exclusive terms outrank shared ones") {
+    val docs = Seq(
+      (1L, "aaa aaa shared", "c1"),
+      (2L, "bbb shared shared", "c2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.clusterTopTerms(docs, "doc_id", "text", "source", topK = 2)
+      .orderBy($"cluster", $"rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // exclusive terms (df=1) beat "shared" (df=2) in both clusters
+    assert(out == Seq(
+      ("c1", 1L, "aaa"), ("c1", 2L, "shared"),
+      ("c2", 1L, "bbb"), ("c2", 2L, "shared")))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
