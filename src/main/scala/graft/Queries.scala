@@ -2842,7 +2842,42 @@ object Queries {
              |  PARTITION BY cluster ORDER BY score_ppm DESC, tok) AS rank FROM sc)
              |SELECT cluster, rank::BIGINT AS rank, tok, tf, score_ppm
              |FROM r WHERE rank <= 5
-             |ORDER BY cluster, rank""".stripMargin)))
+             |ORDER BY cluster, rank""".stripMargin)),
+
+    // nearest-prototype classification report: are these embeddings
+    // separable by class? per-true-label accuracy vs the q101 prototypes
+    "q103_prototype_report" -> Q(
+      (s, d) => {
+        Similarity.prototypeReport(
+            t(s, d, "embeddings"), "vec_id", "embedding", "label")
+          .orderBy(col("label"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |    [floor(x::DOUBLE * 1000.0) for x in embedding] AS iv
+             |  FROM embeddings),
+             |d AS (SELECT label, generate_subscripts(iv, 1) AS dim, unnest(iv) AS vv
+             |  FROM v),
+             |g AS (SELECT label, dim, sum(vv)::BIGINT AS s, count(*)::BIGINT AS n
+             |  FROM d GROUP BY label, dim),
+             |c AS (SELECT label AS proto_label,
+             |    list(floor(1e3 * (s::DOUBLE / n::DOUBLE)) ORDER BY dim) AS cm
+             |  FROM g GROUP BY label),
+             |sc AS (SELECT v.vec_id, v.label AS true_label, c.proto_label,
+             |    list_dot_product(v.iv, c.cm) /
+             |      (sqrt(list_dot_product(v.iv, v.iv)) *
+             |        sqrt(list_dot_product(c.cm, c.cm))) AS cos
+             |  FROM v CROSS JOIN c),
+             |top AS (SELECT vec_id, true_label, proto_label FROM (
+             |  SELECT vec_id, true_label, proto_label, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY cos DESC, proto_label) AS rn FROM sc)
+             |  WHERE rn = 1),
+             |per AS (SELECT true_label AS label, count(*)::BIGINT AS n_vectors,
+             |    sum(CASE WHEN proto_label = true_label THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_correct
+             |  FROM top GROUP BY true_label)
+             |SELECT label, n_vectors, n_correct,
+             |  floor(1e6 * (n_correct::DOUBLE / n_vectors))::BIGINT AS accuracy_ppm
+             |FROM per ORDER BY label""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

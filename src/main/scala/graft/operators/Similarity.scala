@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Functions.cosineSim
+import graft.functions.Functions.{cosineSim, dotProduct}
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
   *
@@ -519,6 +519,48 @@ object Similarity {
         transform(col("sd"), e =>
           floor(lit(1e3) * (e.getField("s").cast("double") / col("n_vectors")))
             .cast("long")).as("centroid_micros"))
+  }
+
+  /** Nearest-prototype classification report: assign every vector to the
+    * [[labelCentroids]] prototype with the highest cosine (ties to the
+    * lowest label) and score per-true-label accuracy — the quality gate
+    * for "are these embeddings separable by class", run before anyone
+    * trains on them. Cosine is the explicit
+    * `dot / (sqrt(n_a) * sqrt(n_b))` over exact-integer dots and norms —
+    * every step exactly rounded, so the ranking is engine-deterministic.
+    *
+    * Scale shape: prototypes are labels × dims (broadcast); the corpus
+    * is scored in one pass, ranked per vector over #labels rows, and
+    * reduced to one row per label. */
+  def prototypeReport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .select(col("label").as("proto_label"), col("centroid_micros"))
+    val iv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0)).cast("double"))
+    val scored = emb
+      .select(col(idCol).as("p_id"), col(labelCol).as("true_label"), iv.as("iv"))
+      .crossJoin(broadcast(cents))
+      .select(col("p_id"), col("true_label"), col("proto_label"),
+        (dotProduct(col("iv"), transform(col("centroid_micros"), _.cast("double"))) /
+          (sqrt(dotProduct(col("iv"), col("iv"))) *
+            sqrt(dotProduct(
+              transform(col("centroid_micros"), _.cast("double")),
+              transform(col("centroid_micros"), _.cast("double"))))))
+          .as("cos"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("proto_label"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("true_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("proto_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vectors"), col("n_correct"),
+        floor(lit(1e6) * (col("n_correct").cast("double") / col("n_vectors")))
+          .cast("long").as("accuracy_ppm"))
   }
 
   /** Exact L2 top-k on milli-quantized vectors — the integer-exact

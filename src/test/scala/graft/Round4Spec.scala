@@ -584,6 +584,18 @@ class Round4Spec extends AnyFunSuite {
       ("c2", 1L, "bbb"), ("c2", 2L, "shared")))
   }
 
+  test("prototypeReport: separable labels classify perfectly") {
+    // two tight orthogonal classes: prototypes = axis directions
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1), (1L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (2L, Array(0f, 0f, 1f, 0f), 2), (3L, Array(0f, 0.1f, 0.9f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val rep = Similarity.prototypeReport(vs, "vec_id", "embedding", "label")
+      .orderBy($"label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == Seq((1, 2L, 2L, 1000000L), (2, 2L, 2L, 1000000L)))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
