@@ -2877,7 +2877,33 @@ object Queries {
              |  FROM top GROUP BY true_label)
              |SELECT label, n_vectors, n_correct,
              |  floor(1e6 * (n_correct::DOUBLE / n_vectors))::BIGINT AS accuracy_ppm
-             |FROM per ORDER BY label""".stripMargin)))
+             |FROM per ORDER BY label""".stripMargin)),
+
+    // funnel analysis: users completing each prefix of signup -> click ->
+    // purchase in strictly increasing event time (ordered reachability;
+    // greedy earliest-next chaining is complete for ordering constraints)
+    "q104_funnel" -> Q(
+      (s, d) => {
+        operators.EventAnalytics.funnel(
+            t(s, d, "events"), "user_id", "event_type", "ts",
+            Seq("signup", "click", "purchase"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH e1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |e2 AS (SELECT ev.user_id, min(ts) AS t2 FROM events ev
+             |  JOIN e1 ON ev.user_id = e1.user_id
+             |  WHERE event_type = 'click' AND ts > t1 GROUP BY ev.user_id),
+             |e3 AS (SELECT ev.user_id, min(ts) AS t3 FROM events ev
+             |  JOIN e2 ON ev.user_id = e2.user_id
+             |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY ev.user_id)
+             |SELECT 1::BIGINT AS step, 'signup' AS event_type,
+             |  (SELECT count(*) FROM e1)::BIGINT AS n_users
+             |UNION ALL SELECT 2::BIGINT, 'click',
+             |  (SELECT count(*) FROM e2)::BIGINT
+             |UNION ALL SELECT 3::BIGINT, 'purchase',
+             |  (SELECT count(*) FROM e3)::BIGINT
+             |ORDER BY step""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

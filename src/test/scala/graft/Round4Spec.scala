@@ -596,6 +596,29 @@ class Round4Spec extends AnyFunSuite {
     assert(rep.toSeq == Seq((1, 2L, 2L, 1000000L), (2, 2L, 2L, 1000000L)))
   }
 
+  test("funnel: ordered reachability, strictly increasing time") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1 completes a->b->c in order
+      (1L, "a", ts(0)), (1L, "b", ts(5)), (1L, "c", ts(9)),
+      // user 2: b BEFORE a -> reaches only step a
+      (2L, "b", ts(1)), (2L, "a", ts(2)),
+      // user 3: a then c (no b) -> step 1 only
+      (3L, "a", ts(0)), (3L, "c", ts(1)),
+      // user 4: greedy completeness — a(0), b(1), b(6), c(3):
+      // earliest-b(1) still allows c(3); must count as completed
+      (4L, "a", ts(0)), (4L, "b", ts(1)), (4L, "b", ts(6)), (4L, "c", ts(3)),
+      // user 5 never does a
+      (5L, "b", ts(0)), (5L, "c", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.EventAnalytics
+      .funnel(ev, "user_id", "event_type", "ts", Seq("a", "b", "c"))
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a", 4L), (2L, "b", 2L), (3L, "c", 2L)))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
