@@ -2903,7 +2903,45 @@ object Queries {
              |  (SELECT count(*) FROM e2)::BIGINT
              |UNION ALL SELECT 3::BIGINT, 'purchase',
              |  (SELECT count(*) FROM e3)::BIGINT
-             |ORDER BY step""".stripMargin)))
+             |ORDER BY step""".stripMargin)),
+
+    // cohort retention matrix — integer epoch weeks (calendar
+    // date_trunc('week') start conventions vary by engine)
+    "q105_cohort_retention" -> Q(
+      (s, d) => {
+        operators.EventAnalytics.cohortRetention(
+            t(s, d, "events"), "user_id", "event_type", "ts", "signup")
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH c AS (SELECT user_id,
+             |    min((epoch_ms(ts) // 86400000) // 7) AS cohort_week
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id,
+             |    (epoch_ms(ts) // 86400000) // 7 AS week FROM events)
+             |SELECT cohort_week, (week - cohort_week)::BIGINT AS week_offset,
+             |  count(*)::BIGINT AS n_users
+             |FROM c JOIN a ON c.user_id = a.user_id
+             |WHERE week >= cohort_week
+             |GROUP BY cohort_week, week_offset
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // first-order Markov transition counts of user behavior — total
+    // (ts, event_id) order so duplicate timestamps can't flip the lead
+    "q106_transition_matrix" -> Q(
+      (s, d) => {
+        operators.EventAnalytics.transitionMatrix(
+            t(s, d, "events"), "user_id", "event_type", "ts", "event_id")
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events)
+             |SELECT event_type AS from_type, next_type AS to_type,
+             |  count(*)::BIGINT AS n
+             |FROM o WHERE next_type IS NOT NULL
+             |GROUP BY from_type, to_type
+             |ORDER BY from_type, to_type""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

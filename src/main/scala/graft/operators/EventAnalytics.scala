@@ -42,4 +42,54 @@ object EventAnalytics {
           col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** Cohort retention: users grouped by the week of their first
+    * `cohortType` event; cell (cohort_week, week_offset) counts cohort
+    * members active (any event) that many weeks later. Weeks are pure
+    * integer epoch arithmetic (`epoch_ms div 86400000 div 7`) — calendar
+    * `date_trunc('week')` has engine-varying week-start conventions,
+    * integer weeks do not. Returns (cohort_week, week_offset, n_users).
+    *
+    * Scale shape: first-event min-agg on user; per-user-week activity is
+    * a distinct on (user, week) — both single shuffles keyed on user;
+    * the matrix is cohorts × offsets rows. */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      cohortType: String): DataFrame = {
+    val cohorts = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(expr(s"(unix_millis($tsCol) div 86400000L) div 7L")).as("cohort_week"))
+    val active = events
+      .select(col(userCol).as("user"),
+        expr(s"(unix_millis($tsCol) div 86400000L) div 7L").as("week"))
+      .distinct()
+    cohorts.join(active, "user")
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-type transition counts (the first-order Markov matrix of user
+    * behavior): for each user's time-ordered event stream, count
+    * (from_type, to_type) adjacencies. Order is total — (ts, event id) —
+    * so duplicate timestamps cannot make the lag nondeterministic.
+    * Returns (from_type, to_type, n). One window shuffle keyed on user,
+    * one small aggregate — state per task is a single previous row. */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

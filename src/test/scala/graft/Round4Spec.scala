@@ -619,6 +619,34 @@ class Round4Spec extends AnyFunSuite {
     assert(out == Seq((1L, "a", 4L), (2L, "b", 2L), (3L, "c", 2L)))
   }
 
+  test("cohortRetention and transitionMatrix: exact counts on crafted streams") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int = 0) = Timestamp.valueOf(f"2024-06-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1 signs up day 3, active again 8 days later (next week)
+      (1L, 1L, "signup", ts(3)), (2L, 1L, "click", ts(11)),
+      // user 2 signs up day 4, never returns
+      (3L, 2L, "signup", ts(4)),
+      // user 3 never signs up -> no cohort
+      (4L, 3L, "click", ts(5))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val ret = graft.operators.EventAnalytics
+      .cohortRetention(ev, "user_id", "event_type", "ts", "signup")
+      .orderBy($"cohort_week", $"week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // both cohort users active at offset 0; user 1 also at offset 1
+    assert(ret == Seq((0L, 2L), (1L, 1L)))
+    // transitions: same-timestamp tie broken by event_id
+    val ev2 = Seq(
+      (1L, 9L, "a", ts(1)), (2L, 9L, "b", ts(1)), (3L, 9L, "c", ts(2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val tm = graft.operators.EventAnalytics
+      .transitionMatrix(ev2, "user_id", "event_type", "ts", "event_id")
+      .orderBy($"from_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(tm == Seq(("a", "b", 1L), ("b", "c", 1L)))
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
