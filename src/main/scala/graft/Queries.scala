@@ -2941,7 +2941,46 @@ object Queries {
              |  count(*)::BIGINT AS n
              |FROM o WHERE next_type IS NOT NULL
              |GROUP BY from_type, to_type
-             |ORDER BY from_type, to_type""".stripMargin)))
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // hourly-rate anomaly report: integer-moment z-scores in ppm,
+    // flagged at |z| >= 2
+    "q107_rate_anomalies" -> Q(
+      (s, d) => {
+        operators.EventAnalytics.rateAnomalies(t(s, d, "events"), "event_type", "ts")
+          .orderBy(col("event_type"), col("hour_idx"))
+      },
+      Some("""WITH b AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour_idx,
+             |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, count(*)::BIGINT AS nb, sum(n)::BIGINT AS s,
+             |    sum(n * n)::BIGINT AS ss FROM b GROUP BY 1),
+             |m AS (SELECT event_type, s::DOUBLE / nb AS mean,
+             |    (ss::DOUBLE - s::DOUBLE * s / nb) / nb AS variance FROM st)
+             |SELECT b.event_type, hour_idx, n,
+             |  CASE WHEN variance = 0 THEN 0::BIGINT
+             |    ELSE floor(1e6 * ((n::DOUBLE - mean) / sqrt(variance)))::BIGINT
+             |  END AS z_ppm,
+             |  CASE WHEN variance = 0 THEN false
+             |    ELSE abs((n::DOUBLE - mean) / sqrt(variance)) >= 2.0
+             |  END AS is_anomaly
+             |FROM b JOIN m ON b.event_type = m.event_type
+             |ORDER BY b.event_type, hour_idx""".stripMargin)),
+
+    // rolling 7-day distinct actives (WAU by day): bounded 7x fan-out of
+    // the deduped (user, day) table, no day-range self-join
+    "q108_rolling_actives" -> Q(
+      (s, d) => {
+        operators.EventAnalytics.rollingActiveUsers(t(s, d, "events"), "user_id", "ts")
+          .orderBy(col("day_idx"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |    epoch_ms(ts) // 86400000 AS day FROM events),
+             |w AS (SELECT DISTINCT user_id, day + o AS day_idx
+             |  FROM a, range(7) t(o)),
+             |mx AS (SELECT max(day) AS max_day FROM a)
+             |SELECT day_idx, count(*)::BIGINT AS wau
+             |FROM w, mx WHERE day_idx <= max_day
+             |GROUP BY day_idx ORDER BY day_idx""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

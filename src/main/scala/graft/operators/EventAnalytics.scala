@@ -72,6 +72,69 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Hourly-rate anomaly report per event type: each (type, hour) bucket
+    * count is z-scored against the type's own mean/variance and flagged
+    * at |z| ≥ `sigma`. The moment math is population variance computed
+    * from integer sums (`(Σx² − (Σx)²/n) / n`) — every step exactly
+    * rounded from integer inputs, so the z-score (emitted in ppm) is
+    * engine-deterministic; zero-variance types flag nothing. Returns
+    * (event_type, hour_idx, n, z_ppm, is_anomaly).
+    *
+    * Scale shape: one (type, hour) count aggregate, one per-type moment
+    * aggregate over the (small) bucket table, broadcast join back. */
+  def rateAnomalies(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      sigma: Double = 2.0): DataFrame = {
+    val buckets = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"unix_millis($tsCol) div 3600000L").as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val stats = buckets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("nb")).as("mean"),
+        ((col("ss").cast("double") - col("s").cast("double") * col("s") / col("nb")) /
+          col("nb")).as("variance"))
+    val z = (col("n").cast("double") - col("mean")) / sqrt(col("variance"))
+    buckets.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        when(col("variance") === 0d, lit(0L))
+          .otherwise(floor(lit(1e6) * z).cast("long")).as("z_ppm"),
+        when(col("variance") === 0d, lit(false))
+          .otherwise(abs(z) >= lit(sigma)).as("is_anomaly"))
+  }
+
+  /** Rolling 7-day distinct active users per day (the WAU-by-day series):
+    * day d counts users with any event in `[d-6, d]`. Exact, not
+    * sketched: each (user, day) activity row fans out to the 7 window
+    * days it contributes to, then one distinct + count per window day —
+    * bounded 7× amplification of the (already user×day-deduped) activity
+    * table, no self-join of day ranges. Returns (day_idx, wau). */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val activity = events
+      .select(col(userCol).as("user"),
+        expr(s"unix_millis($tsCol) div 86400000L").as("day"))
+      .distinct()
+    val bounds = activity.agg(max(col("day")).as("max_day"))
+    activity
+      .select(col("user"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+          .as("day_idx"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("day_idx") <= col("max_day"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("wau"))
+  }
+
   /** Event-type transition counts (the first-order Markov matrix of user
     * behavior): for each user's time-ordered event stream, count
     * (from_type, to_type) adjacencies. Order is total — (ts, event id) —

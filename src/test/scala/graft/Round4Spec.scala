@@ -647,6 +647,30 @@ class Round4Spec extends AnyFunSuite {
     assert(tm == Seq(("a", "b", 1L), ("b", "c", 1L)))
   }
 
+  test("rateAnomalies flags the spike; rollingActiveUsers covers the window") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-06-$d%02d $h%02d:30:00")
+    // type "x": nine hours of 1 plus one hour of 10 -> z = 3.0 for the
+    // spike (population z of one outlier is bounded by sqrt(n-1), so a
+    // long-enough baseline is needed for the flag to trip)
+    val ev = ((1 to 9).map(h => Seq((1L, "x", ts(1, h)))) :+
+      (1 to 10).map(i => (i.toLong, "x", ts(1, 11)))).flatten
+      .toDF("user_id", "event_type", "ts")
+    val an = graft.operators.EventAnalytics.rateAnomalies(ev, "event_type", "ts")
+      .filter($"is_anomaly").collect()
+    assert(an.length == 1 && an(0).getLong(2) == 10L)
+    // WAU: user 1 active day 1, user 2 active day 5 -> day 5 window
+    // [d5-6, d5] catches both; day 1 only user 1
+    val ev2 = Seq((1L, "a", ts(1, 1)), (2L, "a", ts(5, 1)))
+      .toDF("user_id", "event_type", "ts")
+    val wau = graft.operators.EventAnalytics
+      .rollingActiveUsers(ev2, "user_id", "ts")
+      .orderBy($"day_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val d1 = wau.keys.min
+    assert(wau(d1) == 1L && wau(d1 + 4) == 2L && wau.keys.max == d1 + 4)
+  }
+
   test("qualityClassifier: logit is the literal dot product; keep at 0") {
     val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
     // weights chosen so doc 1 (3 tokens, has stopword) crosses 0
