@@ -2980,7 +2980,73 @@ object Queries {
              |mx AS (SELECT max(day) AS max_day FROM a)
              |SELECT day_idx, count(*)::BIGINT AS wau
              |FROM w, mx WHERE day_idx <= max_day
-             |GROUP BY day_idx ORDER BY day_idx""".stripMargin)))
+             |GROUP BY day_idx ORDER BY day_idx""".stripMargin)),
+
+    // session-statistics report: q54's sessions reduced to exact
+    // histogram-walk quantiles (q86's integer rule) of size and duration
+    "q109_session_stats" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gapUs = 30L * 60 * 1000 * 1000
+        val sessions = t(s, d, "events")
+          .withColumn(
+            "is_new",
+            when(
+              lag(col("ts"), 1).over(w).isNull ||
+                unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("is_new")).over(frame))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+              .as("duration_ms"))
+        val total = sessions.agg(count(lit(1)).as("n_sessions"))
+        def quantile(metric: String, num: Int, den: Int, name: String) = {
+          val wq = Window.orderBy(col(metric))
+          sessions.groupBy(col(metric)).agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(wq))
+            .crossJoin(broadcast(total))
+            .filter(col("cum") * den >= col("n_sessions") * num)
+            .agg(min(col(metric)).as(name))
+        }
+        total
+          .crossJoin(quantile("n_events", 1, 2, "median_events"))
+          .crossJoin(quantile("n_events", 9, 10, "p90_events"))
+          .crossJoin(quantile("duration_ms", 1, 2, "median_duration_ms"))
+          .crossJoin(quantile("duration_ms", 9, 10, "p90_duration_ms"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |se AS (
+             |  SELECT user_id, ts,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged),
+             |sess AS (SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+             |    (epoch_ms(max(ts)) - epoch_ms(min(ts)))::BIGINT AS duration_ms
+             |  FROM se GROUP BY user_id, session_id),
+             |tot AS (SELECT count(*)::BIGINT AS n_sessions FROM sess),
+             |he AS (SELECT n_events AS v, count(*)::BIGINT AS c FROM sess GROUP BY 1),
+             |ce AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM he),
+             |hd AS (SELECT duration_ms AS v, count(*)::BIGINT AS c FROM sess GROUP BY 1),
+             |cd AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hd)
+             |SELECT n_sessions,
+             |  (SELECT min(v) FROM ce, tot WHERE cum * 2 >= n_sessions)::BIGINT
+             |    AS median_events,
+             |  (SELECT min(v) FROM ce, tot WHERE cum * 10 >= n_sessions * 9)::BIGINT
+             |    AS p90_events,
+             |  (SELECT min(v) FROM cd, tot WHERE cum * 2 >= n_sessions)::BIGINT
+             |    AS median_duration_ms,
+             |  (SELECT min(v) FROM cd, tot WHERE cum * 10 >= n_sessions * 9)::BIGINT
+             |    AS p90_duration_ms
+             |FROM tot""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {
