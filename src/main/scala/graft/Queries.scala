@@ -486,7 +486,11 @@ object Queries {
   /** DuckDB CTE prefix reproducing tokens/shingles/minhash signatures
     * (the universal-hash family of [[graft.operators.Dedup.MinHash]]:
     * one md5 per shingle, then per-seed integer arithmetic mod 2^31-1). */
-  private def duckMinhashCtes: String = {
+  private def duckMinhashCtes: String = duckMinhashCtesFor("documents")
+
+  /** As [[duckMinhashCtes]] but over an arbitrary source relation (a
+    * table name or a parenthesized subquery). */
+  private def duckMinhashCtesFor(src: String): String = {
     import graft.operators.Dedup.MinHash
     val rows = minhashSeeds / minhashBands
     val sigEntries = (0 until minhashSeeds)
@@ -495,7 +499,7 @@ object Queries {
           s"for x in h]), ${MinHash.sentinel})")
       .mkString(",\n    ")
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM $src mh_src),
        |sh AS (
        |  SELECT doc_id, CASE WHEN len(t) >= 3
        |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
@@ -3048,6 +3052,411 @@ object Queries {
              |    AS p90_duration_ms
              |FROM tot""".stripMargin)))
 
+  // ---------------------------------------------------------------------
+  // Round-4 additions: SQL-surface completions (window battery, lateral),
+  // time-series gap fill, collocations, format round-trips, graph
+  // analytics, exact stratified sampling, dataset diff, LSH evaluation
+  // ---------------------------------------------------------------------
+
+  private val analyticsSurface: Seq[(String, Q)] = Seq(
+    // window-function battery: ntile / percent_rank / cume_dist /
+    // lag / lead with defaults — the ranking surface q04/q05 don't touch.
+    // (o_totalprice, o_orderkey) is a total order, so rank-derived
+    // fractions are tie-free; the IEEE divisions are exactly rounded and
+    // floor'd to ppm for the hash gate
+    "q110_window_battery" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("ntile4", ntile(4).over(w).cast("long"))
+          .withColumn("pr_ppm",
+            floor(lit(1e6) * percent_rank().over(w)).cast("long"))
+          .withColumn("cd_ppm",
+            floor(lit(1e6) * cume_dist().over(w)).cast("long"))
+          .withColumn("prev_price_micros",
+            floor(lit(1e6) * lag(col("o_totalprice"), 1, 0.0).over(w)).cast("long"))
+          .withColumn("next_price_micros",
+            floor(lit(1e6) * lead(col("o_totalprice"), 1, 0.0).over(w)).cast("long"))
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("ntile4"),
+            col("pr_ppm"), col("cd_ppm"), col("prev_price_micros"),
+            col("next_price_micros"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    ntile(4) OVER win AS ntile4,
+             |    floor(1e6 * percent_rank() OVER win)::BIGINT AS pr_ppm,
+             |    floor(1e6 * cume_dist() OVER win)::BIGINT AS cd_ppm,
+             |    floor(1e6 * lag(o_totalprice, 1, 0.0) OVER win)::BIGINT
+             |      AS prev_price_micros,
+             |    floor(1e6 * lead(o_totalprice, 1, 0.0) OVER win)::BIGINT
+             |      AS next_price_micros
+             |  FROM orders
+             |  WINDOW win AS (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey))
+             |SELECT o_orderkey, o_orderpriority, ntile4, pr_ppm, cd_ppm,
+             |  prev_price_micros, next_price_micros
+             |FROM w WHERE o_orderkey % 97 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // correlated LATERAL derived table with LIMIT (top-2 orders per
+    // customer) — exercises Spark's lateral-join decorrelation, the SQL
+    // shape users write instead of the row_number idiom
+    "q111_lateral_topk" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q111_customer")
+        t(s, d, "orders").createOrReplaceTempView("q111_orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey,
+                |  floor(o.o_totalprice * 1e6) AS totalprice_micros
+                |FROM q111_customer c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM q111_orders
+                |         WHERE o_custkey = c.c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+                |WHERE c.c_custkey % 10 = 0
+                |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey,
+             |  floor(o.o_totalprice * 1e6)::BIGINT AS totalprice_micros
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+             |WHERE c.c_custkey % 10 = 0
+             |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)),
+
+    // time-series gap fill + LOCF: per-user daily grid (sequence over the
+    // observed span), daily-last value carried forward through missing
+    // days — the resampling step every metric/feature pipeline needs.
+    // Scale shape: daily-last is one (user, day) ranked reduction; the
+    // grid explode is bounded by span length; the fill is one window per
+    // user ordered by day
+    "q112_gapfill_locf" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 50)
+          .withColumn("day", expr("unix_millis(ts) div 86400000L"))
+        val wd = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val daily = ev
+          .withColumn("_rn", row_number().over(wd))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("day"),
+            floor(col("value") * lit(1e6)).cast("long").as("v_micros"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last(col("v_micros"), ignoreNulls = true).over(wf).as("v_filled"),
+            col("v_micros").isNotNull.as("is_observed"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, ts, event_id, value
+             |  FROM events WHERE user_id < 50),
+             |r AS (
+             |  SELECT user_id, day, value, row_number() OVER (
+             |    PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM e),
+             |daily AS (
+             |  SELECT user_id, day, floor(value * 1e6)::BIGINT AS v_micros
+             |  FROM r WHERE rn = 1),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+             |  FROM daily GROUP BY user_id)
+             |SELECT g.user_id, g.day,
+             |  last_value(v_micros IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+             |  (v_micros IS NOT NULL) AS is_observed
+             |FROM grid g LEFT JOIN daily dd
+             |  ON g.user_id = dd.user_id AND g.day = dd.day
+             |ORDER BY g.user_id, g.day""".stripMargin)),
+
+    // collocation extraction: adjacent-bigram PMI (rational variant —
+    // the log is monotone, so ranking by the probability RATIO ranks by
+    // PMI; every op is an exactly-rounded IEEE op over an identical
+    // expression tree, hence engine-exact in ppm). min-count filter kills
+    // the hapax-pair noise PMI is notorious for
+    "q113_pmi_collocations" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(explode(F.tokens(col("text"))).as("tk"))
+        val uni = tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+        val tot = tok.agg(count(lit(1)).as("n_total"))
+        // occurrence bigrams, NOT wordShingles (which dedups per doc —
+        // set semantics for MinHash; PMI needs raw counts)
+        val tk = F.tokens(col("text"))
+        val bgArr = when(size(tk) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(tk) - 2),
+            i => concat_ws(" ", slice(tk, i + 1, lit(2)))))
+        val bgs = docs.select(explode(bgArr).as("bg"))
+        val big = bgs.groupBy(col("bg")).agg(count(lit(1)).as("n_pair"))
+        val bt = bgs.agg(count(lit(1)).as("t_total"))
+        big.filter(col("n_pair") >= 5)
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+          .join(uni.select(col("tk").as("w1"), col("n").as("n1")), Seq("w1"))
+          .join(uni.select(col("tk").as("w2"), col("n").as("n2")), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(bt))
+          .select(col("bg"), col("n_pair"),
+            floor(lit(1e6) *
+              ((col("n_pair").cast("double") / col("t_total")) /
+                ((col("n1").cast("double") / col("n_total")) *
+                  (col("n2").cast("double") / col("n_total")))))
+              .cast("long").as("pmi_ppm"))
+          .orderBy(col("pmi_ppm").desc, col("bg"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT string_split(trim(text), ' ') AS t FROM documents),
+             |u AS (SELECT unnest(t) AS tk FROM toks),
+             |uni AS (SELECT tk, count(*)::BIGINT AS n FROM u GROUP BY tk),
+             |tot AS (SELECT count(*)::BIGINT AS n_total FROM u),
+             |bgs AS (SELECT unnest(CASE WHEN len(t) >= 2
+             |    THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+             |    ELSE []::VARCHAR[] END) AS bg FROM toks),
+             |big AS (SELECT bg, count(*)::BIGINT AS n_pair FROM bgs GROUP BY bg),
+             |bt AS (SELECT count(*)::BIGINT AS t_total FROM bgs)
+             |SELECT bg, n_pair,
+             |  floor(1e6 *
+             |    ((n_pair::DOUBLE / t_total) /
+             |      ((u1.n::DOUBLE / n_total) * (u2.n::DOUBLE / n_total))))::BIGINT
+             |    AS pmi_ppm
+             |FROM big
+             |CROSS JOIN tot CROSS JOIN bt
+             |JOIN uni u1 ON u1.tk = string_split(bg, ' ')[1]
+             |JOIN uni u2 ON u2.tk = string_split(bg, ' ')[2]
+             |WHERE n_pair >= 5
+             |ORDER BY pmi_ppm DESC, bg LIMIT 50""".stripMargin)),
+
+    // ORC round-trip: write part as ORC, read back, aggregate — the
+    // columnar-format sibling of the CSV/parquet surface (oracle reads
+    // the original parquet: equality proves sink+source fidelity)
+    "q114_orc_roundtrip" -> Q(
+      (s, d) => {
+        val dir = scratchDir("graft_orc") + "/part"
+        t(s, d, "part").write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            dsum(col("p_retailprice")).as("total_retail"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*)::BIGINT AS n_parts,
+             |  round(sum(p_retailprice::DECIMAL(18,6)), 2)::DOUBLE AS total_retail
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // JSON-lines round-trip: doubles survive (shortest-repr write, exact
+    // re-parse), so the micro-unit floor AFTER re-read equals the
+    // original — that equality is the fidelity check
+    "q115_json_roundtrip" -> Q(
+      (s, d) => {
+        val dir = scratchDir("graft_json") + "/events"
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").json(dir)
+        s.read
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+          .json(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            usum(col("value")).as("total_value_micros"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n_events,
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // conversion latency: per-user delay from first signup to first
+    // later purchase (funnel q104 counts WHO; this measures HOW LONG)
+    "q116_time_to_conversion" -> Q(
+      (s, d) => {
+        operators.EventAnalytics.timeToConversion(
+            t(s, d, "events"), "user_id", "event_type", "ts", "signup", "purchase")
+          .select(col("user").as("user_id"), col("t_from_ms"), col("t_to_ms"),
+            col("delay_ms"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(ts) AS t_from FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |c AS (SELECT e.user_id, t_from, min(ts) AS t_to FROM events e
+             |  JOIN f ON e.user_id = f.user_id
+             |  WHERE event_type = 'purchase' AND ts > t_from
+             |  GROUP BY e.user_id, t_from)
+             |SELECT user_id, epoch_ms(t_from)::BIGINT AS t_from_ms,
+             |  epoch_ms(t_to)::BIGINT AS t_to_ms,
+             |  (epoch_ms(t_to) - epoch_ms(t_from))::BIGINT AS delay_ms
+             |FROM c ORDER BY user_id""".stripMargin)),
+
+    // PageRank over the co-purchase graph (parts sharing an order), 3
+    // iterations of deterministic integer arithmetic — an ITERATIVE graph
+    // computation under the hash gate, oracle = the 3 rounds unrolled
+    "q117_pagerank_copurchase" -> Q(
+      (s, d) => {
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+        operators.Graph.pagerank(edges, iterations = 3)
+          .orderBy(col("rank_ppm").desc, col("node"))
+          .limit(100)
+      },
+      Some("""WITH it AS (
+             |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+             |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+             |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+             |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+             |nodes AS (SELECT DISTINCT src AS node FROM e
+             |  UNION SELECT DISTINCT dst FROM e),
+             |p0 AS (SELECT node, 1000000::BIGINT AS p FROM nodes),
+             |c1 AS (SELECT dst, sum(p // deg)::BIGINT AS s FROM e
+             |  JOIN deg USING (src) JOIN p0 ON p0.node = e.src GROUP BY dst),
+             |p1 AS (SELECT node, (150000 + (850 * coalesce(s, 0)) // 1000)::BIGINT AS p
+             |  FROM nodes LEFT JOIN c1 ON node = dst),
+             |c2 AS (SELECT dst, sum(p // deg)::BIGINT AS s FROM e
+             |  JOIN deg USING (src) JOIN p1 ON p1.node = e.src GROUP BY dst),
+             |p2 AS (SELECT node, (150000 + (850 * coalesce(s, 0)) // 1000)::BIGINT AS p
+             |  FROM nodes LEFT JOIN c2 ON node = dst),
+             |c3 AS (SELECT dst, sum(p // deg)::BIGINT AS s FROM e
+             |  JOIN deg USING (src) JOIN p2 ON p2.node = e.src GROUP BY dst),
+             |p3 AS (SELECT node, (150000 + (850 * coalesce(s, 0)) // 1000)::BIGINT AS p
+             |  FROM nodes LEFT JOIN c3 ON node = dst)
+             |SELECT node, p AS rank_ppm FROM p3
+             |ORDER BY rank_ppm DESC, node LIMIT 100""".stripMargin)),
+
+    // exact-quota stratified sample: exactly floor(n_lang * 25%) docs per
+    // language, membership = hash order (oracle reproduces the exact set,
+    // not just the counts)
+    "q118_stratified_sample" -> Q(
+      (s, d) => {
+        Sampling.stratifiedSample(
+            t(s, d, "documents").select(col("doc_id"), col("lang")),
+            "doc_id", "lang", ppm = 250000)
+          .select(col("doc_id"), col("lang"), col("quota"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, lang,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY ${dHash64("'strat:'||doc_id")}, doc_id) AS rk,
+              |    (count(*) OVER (PARTITION BY lang) * 250000 // 1000000)::BIGINT
+              |      AS quota
+              |  FROM documents)
+              |SELECT doc_id, lang, quota FROM r WHERE rk <= quota
+              |ORDER BY doc_id""".stripMargin)),
+
+    // dataset snapshot diff: two simulated versions of the corpus
+    // full-outer-joined on id with content hashes -> added / removed /
+    // changed / unchanged counts (the data-versioning audit every
+    // managed-corpus pipeline runs before promoting a snapshot)
+    "q119_dataset_diff" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"), md5(col("text")).as("h1"))
+        val v2 = docs.filter(col("doc_id") % 7 =!= 2)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 13 === 0, upper(col("text")))
+              .otherwise(col("text"))).as("h2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
+             |  WHERE doc_id % 11 <> 3),
+             |v2 AS (SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS h2
+             |  FROM documents WHERE doc_id % 7 <> 2),
+             |j AS (SELECT CASE WHEN h1 IS NULL THEN 'added'
+             |    WHEN h2 IS NULL THEN 'removed'
+             |    WHEN h1 <> h2 THEN 'changed'
+             |    ELSE 'unchanged' END AS status
+             |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT status, count(*)::BIGINT AS n FROM j
+             |GROUP BY status ORDER BY status""".stripMargin)),
+
+    // LSH parameter evaluation: MinHash-LSH candidates (est >= 0.5) on a
+    // deterministic eval sample, scored against the EXACT threshold join
+    // (ppjoin ground truth) -> tp/fp/fn + precision/recall ppm. The
+    // eval-on-sample shape is how LSH params are tuned before a 100 TB
+    // run commits to them
+    "q120_lsh_recall_eval" -> Q(
+      (s, d) => {
+        val sample = t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+        val truth = Dedup
+          .ppjoinJaccard(sample, "doc_id", "text", shingleN = 3, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_t"))
+        val cand = Dedup
+          .minhashLsh(sample, "doc_id", "text",
+            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_c"))
+        truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            sum(when(col("in_t").isNotNull && col("in_c").isNotNull, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("in_t").isNull, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("in_c").isNull, 1L).otherwise(0L)).as("fn"))
+          .select(col("tp"), col("fp"), col("fn"),
+            expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE (1000000 * tp) div (tp + fp) END").as("precision_ppm"),
+            expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE (1000000 * tp) div (tp + fn) END").as("recall_ppm"))
+      },
+      Some(s"""${duckMinhashCtesFor("(SELECT * FROM documents WHERE doc_id % 4 = 0)")},
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |      round(len([i for i in range(1, ${minhashSeeds + 1})
+              |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+              |  WHERE ej >= 0.5),
+              |t0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+              |  WHERE doc_id % 4 = 0),
+              |g0 AS (
+              |  SELECT doc_id, CASE WHEN len(t) >= 3
+              |    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+              |      for i in range(1, len(t) - 1)])
+              |    ELSE [] END AS grams
+              |  FROM t0),
+              |g AS (SELECT doc_id, [${dHash64("x")} for x in grams] AS h FROM g0),
+              |truth AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |      round(len(list_intersect(a.h, b.h))::DOUBLE /
+              |            len(list_distinct(a.h || b.h)), 6) AS jaccard
+              |    FROM g a JOIN g b
+              |      ON a.doc_id < b.doc_id AND len(a.h) > 0 AND len(b.h) > 0)
+              |  WHERE jaccard >= 0.5),
+              |j AS (
+              |  SELECT CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+              |      THEN 'tp' WHEN t.doc_a IS NULL THEN 'fp' ELSE 'fn' END AS k
+              |  FROM truth t FULL OUTER JOIN cand c
+              |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+              |m AS (SELECT
+              |    sum(CASE WHEN k = 'tp' THEN 1 ELSE 0 END)::BIGINT AS tp,
+              |    sum(CASE WHEN k = 'fp' THEN 1 ELSE 0 END)::BIGINT AS fp,
+              |    sum(CASE WHEN k = 'fn' THEN 1 ELSE 0 END)::BIGINT AS fn
+              |  FROM j)
+              |SELECT tp, fp, fn,
+              |  (CASE WHEN tp + fp = 0 THEN 0
+              |    ELSE (1000000 * tp) // (tp + fp) END)::BIGINT AS precision_ppm,
+              |  (CASE WHEN tp + fn = 0 THEN 0
+              |    ELSE (1000000 * tp) // (tp + fn) END)::BIGINT AS recall_ppm
+              |FROM m""".stripMargin)))
+
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {
     val suffix = d.replaceAll("[^a-z0-9]", "_") + "_" + bucketRunTag
@@ -3072,5 +3481,5 @@ object Queries {
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
-      extendedSurface ++ roundFourSurface
+      extendedSurface ++ roundFourSurface ++ analyticsSurface
 }

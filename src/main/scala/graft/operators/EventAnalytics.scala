@@ -135,6 +135,36 @@ object EventAnalytics {
       .agg(count(lit(1)).as("wau"))
   }
 
+  /** Time-to-conversion: per-user delay from the first `fromType` event
+    * to the first `toType` event strictly after it. Returns one row per
+    * converted user: (user, t_from_ms, t_to_ms, delay_ms). The q104
+    * funnel counts WHO converts; this measures HOW LONG conversion takes
+    * (the input to conversion-latency SLOs and attribution windows).
+    *
+    * Scale shape: two filtered min-aggregates keyed on user and one join
+    * — the same shrinking-frame chaining as [[funnel]], no windows over
+    * full user histories. */
+  def timeToConversion(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      fromType: String,
+      toType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("user")).agg(min(col(tsCol)).as("t_from"))
+    val conv = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("user"), col(tsCol).as("t2"))
+      .join(first, "user")
+      .filter(col("t2") > col("t_from"))
+      .groupBy(col("user"), col("t_from")).agg(min(col("t2")).as("t_to"))
+    conv.select(
+      col("user"),
+      unix_millis(col("t_from")).as("t_from_ms"),
+      unix_millis(col("t_to")).as("t_to_ms"),
+      (unix_millis(col("t_to")) - unix_millis(col("t_from"))).as("delay_ms"))
+  }
+
   /** Event-type transition counts (the first-order Markov matrix of user
     * behavior): for each user's time-ordered event stream, count
     * (from_type, to_type) adjacencies. Order is total — (ts, event id) —

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge DataFrames.
+  *
+  * Complements [[Dedup.resolveDuplicateGroups]]/[[resolveDuplicateGroupsStar]]
+  * (connected components): where CC answers "which nodes form one group",
+  * PageRank ranks nodes WITHIN the graph — e.g. scoring documents by
+  * link/citation structure to pick canonical survivors or weight training
+  * data (the original use: Page/Brin/Motwani/Winograd, "The PageRank
+  * citation ranking", 1999).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank with deterministic integer arithmetic.
+    *
+    * Ranks are parts-per-million longs; one step is
+    * `p'(v) = floor((1-d)*1e6) + (d_num * Σ_{u→v} (p(u) div deg(u))) div d_den`
+    * with damping d = d_num/d_den. Every operation is 64-bit integer
+    * division/addition, so the result is bit-identical in every engine —
+    * which is what makes an ITERATIVE graph computation oracle-checkable
+    * at all (float PageRank diverges across engines by summation order).
+    * A fixed iteration count rather than an epsilon keeps the oracle a
+    * straight-line unrolled query.
+    *
+    * `edges` must have (src, dst) columns; ranks flow src → dst. Nodes
+    * are every id appearing on either side; dangling nodes (no out-edges)
+    * keep receiving the teleport term but contribute nothing — the
+    * standard simplification when ranking within dedup/link graphs.
+    *
+    * Scale shape per iteration: one join of the rank table against the
+    * (static, cached) out-degree-annotated edge list keyed on src, one
+    * sum-aggregate keyed on dst — the canonical two-shuffle PageRank
+    * round. Lineage is truncated per round (`localCheckpoint`), the edge
+    * list is computed once; no driver-side data beyond the loop counter.
+    */
+  def pagerank(
+      edges: DataFrame,
+      iterations: Int = 3,
+      dampingNum: Long = 850,
+      dampingDen: Long = 1000): DataFrame = {
+    require(iterations >= 1 && dampingNum >= 0 && dampingNum <= dampingDen)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val teleport = (1000000L * (dampingDen - dampingNum)) / dampingDen
+    var ranks = nodes.withColumn("p", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("p div deg")).as("in_sum")) // integer division, stays long
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(
+          col("node"),
+          // `div`, not `/`: Column./ on longs is double division in Spark
+          expr(s"$teleport + ($dampingNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampingDen")
+            .as("p"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("p").as("rank_ppm"))
+  }
+
+  /** Co-occurrence edge list from a grouped item table: every ordered
+    * pair of distinct items sharing a group key (e.g. parts bought in the
+    * same order → the co-purchase graph). Pair space is quadratic in
+    * GROUP size only — groups are bounded (an order has a handful of
+    * items), never corpus-quadratic. */
+  def coOccurrenceEdges(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String): DataFrame = {
+    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val a = items.as("a")
+    val b = items.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.item") =!= col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst"))
+      .distinct()
+  }
+}

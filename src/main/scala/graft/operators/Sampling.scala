@@ -188,6 +188,35 @@ object Sampling {
         (col("base") + col("cs")).as("cum_tokens"))
   }
 
+  /** Exact-quota stratified sample: keep exactly `floor(n_g * ppm / 1e6)`
+    * rows from each stratum g, chosen by the deterministic hash order on
+    * the id — the exact-allocation sibling of [[samplePct]]/[[mixSources]],
+    * whose `bucket(id) < ppm` filter hits the target fraction only in
+    * expectation. Use this when the quota must be exact (fixed-size eval
+    * sets, per-class budgets); use the ppm filter when a ±binomial-noise
+    * fraction is fine, because exactness has a real cost at scale: the
+    * within-stratum rank is a sort-based window per stratum (Spark
+    * range-partitions the sort, but a Zipf-hot stratum still pays its
+    * full sort), where the ppm filter rides the scan with zero shuffle.
+    * Emits kept rows with their stratum quota. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      ppm: Long,
+      salt: String = "strat"): DataFrame = {
+    require(ppm >= 0 && ppm <= 1000000, s"ppm in [0, 1e6], got $ppm")
+    import org.apache.spark.sql.expressions.Window
+    val h = hash64(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol))
+    df.withColumn("_rk", row_number().over(w.orderBy(h.asc, col(idCol).asc)))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      // `div`, not `/`: Column./ on longs is double division in Spark
+      .withColumn("quota", expr(s"(_cnt * $ppm) div 1000000"))
+      .filter(col("_rk") <= col("quota"))
+      .drop("_rk", "_cnt")
+  }
+
   def perSourceCap(
       df: DataFrame,
       idCol: String,
