@@ -3301,7 +3301,8 @@ object Queries {
       (s, d) => {
         val edges = operators.Graph.coOccurrenceEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey")
-        operators.Graph.pagerank(edges, iterations = 3)
+        operators.Graph.pagerank(edges, iterations = 3,
+          assumeDistinctEdges = true)
           .orderBy(col("rank_ppm").desc, col("node"))
           .limit(100)
       },
@@ -3455,7 +3456,165 @@ object Queries {
               |    ELSE (1000000 * tp) // (tp + fp) END)::BIGINT AS precision_ppm,
               |  (CASE WHEN tp + fn = 0 THEN 0
               |    ELSE (1000000 * tp) // (tp + fn) END)::BIGINT AS recall_ppm
-              |FROM m""".stripMargin)))
+              |FROM m""".stripMargin)),
+
+    // HiveQL LATERAL VIEW explode — the Hive-dialect table-generating
+    // syntax (q49 covers the DataFrame explode; this is the SQL text a
+    // Hive user types at the REPL, part of the S21 parity surface)
+    "q121_lateral_view_wordcount" -> Q(
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("q121_documents")
+        s.sql("""SELECT source, tok, count(*) AS n
+                |FROM q121_documents
+                |LATERAL VIEW explode(split(trim(text), ' ')) x AS tok
+                |GROUP BY source, tok
+                |HAVING count(*) >= 20
+                |ORDER BY source, tok""".stripMargin)
+      },
+      Some("""SELECT source, tok, count(*)::BIGINT AS n
+             |FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+             |      FROM documents)
+             |GROUP BY source, tok HAVING count(*) >= 20
+             |ORDER BY source, tok""".stripMargin)),
+
+    // file-level zone maps: cluster events into files by user range,
+    // build the per-file min/max index in one column-pruned scan, then
+    // answer a range query opening ONLY intersecting files (residual
+    // filter keeps exactness; Round5Spec asserts files were skipped)
+    "q122_zonemap_pruned_scan" -> Q(
+      (s, d) => {
+        val dir = scratchDir("graft_zonemap") + "/events"
+        t(s, d, "events")
+          .withColumn("_ub", expr("user_id div 100"))
+          .repartition(16, col("_ub"))
+          .drop("_ub")
+          .write.mode("overwrite").parquet(dir)
+        val stats = operators.ZoneMap.buildStats(s, dir, "user_id")
+        val scan = operators.ZoneMap.prunedRead(s, dir, "user_id", stats, 100L, 299L)
+        scan.df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            usum(col("value")).as("total_value_micros"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n_events,
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
+             |FROM events WHERE user_id BETWEEN 100 AND 299
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // incremental materialized-view maintenance: the stored MV (base
+    // aggregate) absorbs a delta batch's partial aggregates in one
+    // MV-sized keyed merge — the base is never rescanned; oracle is the
+    // full recompute the merge must equal exactly
+    "q123_incremental_mv" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("day", expr("unix_millis(ts) div 86400000L"))
+        def agg(df: DataFrame) = df
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            usum(col("value")).as("total_value_micros"))
+        operators.Cdc.mergeAggDelta(
+            agg(ev.filter(col("day") < 19745)),
+            agg(ev.filter(col("day") >= 19745)),
+            Seq("event_type", "day"), Seq("n_events", "total_value_micros"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             |  count(*)::BIGINT AS n_events,
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
+             |FROM events GROUP BY 1, 2
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // CDC merge as SCD type-2: a deterministic change batch (updates,
+    // deletes, inserts keyed off custkey residues) applied to the
+    // customer snapshot; changed rows are closed, upserts open version 2
+    "q124_scd2_merge" -> Q(
+      (s, d) => {
+        val snap = t(s, d, "customer").select(
+          col("c_custkey"),
+          floor(col("c_acctbal") * lit(1e6)).cast("long").as("acctbal_micros"),
+          col("c_mktsegment"))
+        val updates = snap.filter(col("c_custkey") % 10 === 1)
+          .select(col("c_custkey"), lit("upsert").as("op"),
+            (col("acctbal_micros") + lit(100000000L)).as("acctbal_micros"),
+            col("c_mktsegment"))
+        val deletes = snap.filter(col("c_custkey") % 10 === 2)
+          .select(col("c_custkey"), lit("delete").as("op"),
+            lit(null).cast("long").as("acctbal_micros"),
+            lit(null).cast("string").as("c_mktsegment"))
+        val inserts = snap.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            lit("upsert").as("op"),
+            (col("c_custkey") * lit(1000L)).as("acctbal_micros"),
+            lit("NEW").as("c_mktsegment"))
+        operators.Cdc.scd2Apply(
+            snap, updates.unionByName(deletes).unionByName(inserts),
+            "c_custkey", Seq("acctbal_micros", "c_mktsegment"))
+          .orderBy(col("c_custkey"), col("version"))
+      },
+      Some("""WITH snap AS (SELECT c_custkey,
+             |    floor(c_acctbal*1e6)::BIGINT AS acctbal_micros, c_mktsegment
+             |  FROM customer),
+             |v1 AS (
+             |  SELECT c_custkey, 1::BIGINT AS version, acctbal_micros,
+             |    c_mktsegment, 1::BIGINT AS valid_from,
+             |    (CASE WHEN c_custkey % 10 IN (1, 2) THEN 2 END)::BIGINT AS valid_to,
+             |    (c_custkey % 10 NOT IN (1, 2)) AS is_current
+             |  FROM snap),
+             |v2u AS (
+             |  SELECT c_custkey, 2::BIGINT AS version,
+             |    (acctbal_micros + 100000000)::BIGINT AS acctbal_micros,
+             |    c_mktsegment, 2::BIGINT AS valid_from, NULL::BIGINT AS valid_to,
+             |    true AS is_current
+             |  FROM snap WHERE c_custkey % 10 = 1),
+             |v2i AS (
+             |  SELECT (c_custkey + 1000000)::BIGINT AS c_custkey,
+             |    2::BIGINT AS version, (c_custkey * 1000)::BIGINT AS acctbal_micros,
+             |    'NEW' AS c_mktsegment, 2::BIGINT AS valid_from,
+             |    NULL::BIGINT AS valid_to, true AS is_current
+             |  FROM snap WHERE c_custkey % 10 = 3)
+             |SELECT * FROM v1 UNION ALL SELECT * FROM v2u UNION ALL
+             |SELECT * FROM v2i
+             |ORDER BY c_custkey, version""".stripMargin)),
+
+    // last-touch attribution: each purchase attributed to the user's
+    // latest click at most 7 days earlier (as-of join + window bound;
+    // the latest prior click IS the only candidate, so asof+filter is
+    // exactly windowed last-touch)
+    "q125_attribution" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        val within = col("asof_ts").isNotNull &&
+          (unix_millis(col("ts")) - unix_millis(col("asof_ts")) <= 604800000L)
+        AsOfJoin(purchases, clicks, "user_id", "ts", "ts", Seq("ts", "click_id"))
+          .select(
+            col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("purchase_ms"),
+            when(within, unix_millis(col("asof_ts"))).as("click_ms"),
+            when(within, col("asof_click_id")).as("click_id"),
+            within.as("attributed"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, epoch_ms(p.ts)::BIGINT AS purchase_ms,
+             |  (CASE WHEN c.ts IS NOT NULL
+             |      AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 604800000
+             |    THEN epoch_ms(c.ts) END)::BIGINT AS click_ms,
+             |  (CASE WHEN c.ts IS NOT NULL
+             |      AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 604800000
+             |    THEN c.click_id END)::BIGINT AS click_id,
+             |  (c.ts IS NOT NULL
+             |    AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 604800000) AS attributed
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -40,9 +40,14 @@ object Graph {
       edges: DataFrame,
       iterations: Int = 3,
       dampingNum: Long = 850,
-      dampingDen: Long = 1000): DataFrame = {
+      dampingDen: Long = 1000,
+      assumeDistinctEdges: Boolean = false): DataFrame = {
     require(iterations >= 1 && dampingNum >= 0 && dampingNum <= dampingDen)
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // a duplicated edge would double-count its contribution every round;
+    // producers that already emit distinct pairs (coOccurrenceEdges) skip
+    // the defensive dedup — it is a full shuffle of the edge list
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (assumeDistinctEdges) e0 else e0.distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))

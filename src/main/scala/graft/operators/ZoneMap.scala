@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps: an explicit per-file min/max index over a
+  * clustering column, and a reader that opens only the files whose range
+  * can contain the predicate — the external-index form of the pruning
+  * parquet row-group stats give WITHIN a file (and what table formats
+  * persist in their manifests). At 100 TB the scan cost of a selective
+  * range query is dominated by how many of the tens of thousands of
+  * files must be opened at all; with data clustered on the column (range
+  * write, z-order [[Layout]], or any group-per-file layout), the index
+  * prunes the file list driver-side before a single task launches.
+  */
+object ZoneMap {
+
+  /** One scan building the index: (file, min_v, max_v, n_rows) per
+    * parquet file under `dir`. Column-pruned to `statCol` — building the
+    * index reads one column, not the table. */
+  def buildStats(spark: SparkSession, dir: String, statCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(statCol)).as("min_v"),
+        max(col(statCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  final case class PrunedScan(df: DataFrame, filesTotal: Long, filesScanned: Long)
+
+  /** Range read through the index: keep only files with
+    * `[min_v, max_v] ∩ [lo, hi] ≠ ∅`, then apply the exact filter to the
+    * surviving rows (the index prunes files; the residual predicate
+    * guarantees exactness regardless of clustering quality). The index
+    * itself is file-count-sized — driver-side by construction. */
+  def prunedRead(
+      spark: SparkSession,
+      dir: String,
+      statCol: String,
+      stats: DataFrame,
+      lo: Long,
+      hi: Long): PrunedScan = {
+    val all = stats.select(col("file"), col("min_v").cast("long"), col("max_v").cast("long"))
+      .collect()
+    val keep = all.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col(statCol).cast("long").between(lo, hi))
+    PrunedScan(df, all.length.toLong, keep.length.toLong)
+  }
+}

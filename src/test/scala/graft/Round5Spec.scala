@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventAnalytics, Graph, Sampling}
+import graft.operators.{Cdc, EventAnalytics, Graph, Sampling, ZoneMap}
 
 /** Round-5 operators: integer PageRank, co-occurrence edges, exact-quota
   * stratified sampling, time-to-conversion. */
@@ -68,5 +68,54 @@ class Round5Spec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getLong(0) == 1L)
     assert(out(0).getLong(3) == 600000L) // 10 min in ms
+  }
+
+  test("zone map: range query skips non-intersecting files, result exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zonemap_spec").toString + "/t"
+    // disjoint contiguous id ranges per file (range partitioning)
+    (0L until 400L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = ZoneMap.buildStats(spark, dir, "id")
+    val scan = ZoneMap.prunedRead(spark, dir, "id", stats, 150L, 249L)
+    assert(scan.filesTotal >= 3L)
+    assert(scan.filesScanned < scan.filesTotal) // the index actually pruned
+    val got = scan.df.agg(count(lit(1)), sum(col("v"))).head()
+    val want = spark.read.parquet(dir).filter(col("id").between(150, 249))
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(got.getLong(0) == 100L && got == want)
+    // empty intersection -> zero files, zero rows
+    val none = ZoneMap.prunedRead(spark, dir, "id", stats, 5000L, 6000L)
+    assert(none.filesScanned == 0L && none.df.count() == 0L)
+  }
+
+  test("scd2: update closes v1 and opens v2, delete closes, insert opens") {
+    val snap = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "bal")
+    val changes = Seq(
+      (1L, "upsert", 11L), // update
+      (2L, "delete", 0L),  // delete
+      (9L, "upsert", 90L)) // insert
+      .toDF("id", "op", "bal")
+    val out = Cdc.scd2Apply(snap, changes, "id", Seq("bal"))
+      .orderBy("id", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10L, 1L, 2L, false),  // closed by update
+      (1L, 2L, 11L, 2L, -1L, true),  // new version
+      (2L, 1L, 20L, 1L, 2L, false),  // closed by delete, no successor
+      (3L, 1L, 30L, 1L, -1L, true),  // untouched
+      (9L, 2L, 90L, 2L, -1L, true))) // inserted at v2
+  }
+
+  test("incremental MV merge equals full recompute") {
+    val base = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "n", "s")
+    val delta = Seq(("a", 3L, 30L), ("c", 1L, 5L)).toDF("k", "n", "s")
+    val out = Cdc.mergeAggDelta(base, delta, Seq("k"), Seq("n", "s"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 4L, 40L), ("b", 2L, 20L), ("c", 1L, 5L)))
   }
 }
