@@ -3614,7 +3614,163 @@ object Queries {
              |  (c.ts IS NOT NULL
              |    AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 604800000) AS attributed
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY p.event_id""".stripMargin)))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // interpolated percentiles at exact binary fractions (0.25/0.5/0.75):
+    // positions and interpolation weights are powers of two, so
+    // percentile_cont is EXACT on integer-valued doubles in any engine —
+    // the only probe points where a continuous percentile can sit under
+    // a hash gate without rounding games
+    "q126_percentile_battery" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile(l_quantity, 0.25D)").as("p25_qty"),
+            expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
+            expr("percentile(l_quantity, 0.75D)").as("p75_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
+             |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+             |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+             |  quantile_cont(l_quantity, 0.75) AS p75_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // regex battery beyond q41's string funcs: extract_all counts,
+    // global replace, rlike — patterns restricted to the syntax subset
+    // where Java regex (Spark) and RE2 (DuckDB) agree
+    "q127_regex_battery" -> Q(
+      (s, d) => {
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+              .cast("long").as("n_vowel_runs"),
+            size(regexp_extract_all(col("text"), lit("\\bthe\\b"), lit(0)))
+              .cast("long").as("n_the"),
+            length(regexp_replace(col("text"), "[aeiou]", ""))
+              .cast("long").as("len_novowels"),
+            col("text").rlike("[0-9]").as("has_digits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[aeiou]+'))::BIGINT AS n_vowel_runs,
+             |  len(regexp_extract_all(text, '\bthe\b'))::BIGINT AS n_the,
+             |  length(regexp_replace(text, '[aeiou]', '', 'g'))::BIGINT
+             |    AS len_novowels,
+             |  regexp_matches(text, '[0-9]') AS has_digits
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin)),
+
+    // declarative data-quality suite: null / range / uniqueness /
+    // referential checks as violation-count aggregates (the
+    // Deequ-style gate a managed pipeline runs before promoting data)
+    "q128_data_quality_report" -> Q(
+      (s, d) => {
+        import operators.Quality
+        import operators.Quality.RowCheck
+        val li = t(s, d, "lineitem")
+        Quality.report(Seq(
+          Quality.rowChecks(li, Seq(
+            RowCheck("lineitem.shipdate_not_null", col("l_shipdate").isNull),
+            RowCheck("lineitem.quantity_range_1_50",
+              !col("l_quantity").between(1, 50)),
+            RowCheck("lineitem.discount_range_0_005",
+              !col("l_discount").between(0, 0.05)))),
+          Quality.uniqueCheck(li, Seq("l_orderkey", "l_linenumber"),
+            "lineitem.unique_order_line"),
+          Quality.referentialCheck(li, "l_orderkey",
+            t(s, d, "orders"), "o_orderkey", "lineitem.orderkey_in_orders")))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH c AS (
+             |  SELECT 'lineitem.shipdate_not_null' AS check_name,
+             |    count(CASE WHEN l_shipdate IS NULL THEN 1 END)::BIGINT
+             |      AS n_violations FROM lineitem
+             |  UNION ALL SELECT 'lineitem.quantity_range_1_50',
+             |    count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END)::BIGINT
+             |    FROM lineitem
+             |  UNION ALL SELECT 'lineitem.discount_range_0_005',
+             |    count(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.05) THEN 1 END)::BIGINT
+             |    FROM lineitem
+             |  UNION ALL SELECT 'lineitem.unique_order_line',
+             |    (SELECT (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+             |     FROM lineitem)
+             |  UNION ALL SELECT 'lineitem.orderkey_in_orders',
+             |    (SELECT count(*)::BIGINT FROM lineitem
+             |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+             |SELECT check_name, n_violations, (n_violations = 0) AS pass
+             |FROM c ORDER BY check_name""".stripMargin)),
+
+    // T5-style span corruption: deterministically hash-chosen token
+    // positions are masked to a sentinel; targets carry the original
+    // masked tokens — the seq2seq pretraining preprocessing step,
+    // reproducible across engines and reruns (no RNG)
+    "q129_span_corruption" -> Q(
+      (s, d) => {
+        val toks = t(s, d, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            posexplode(F.tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("m",
+            F.hash64(concat(col("doc_id").cast("string"), lit(":"),
+              col("pos").cast("string"))) % 5 === 0)
+        toks.groupBy(col("doc_id"))
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"),
+                  when(col("m"), lit("<M>")).otherwise(col("tok")).as("v")))),
+                x => x.getField("v")), " ").as("corrupted"),
+            array_join(
+              transform(
+                filter(
+                  array_sort(collect_list(struct(col("pos"), col("tok"), col("m")))),
+                  x => x.getField("m")),
+                x => x.getField("tok")), " ").as("targets"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t
+              |  FROM documents WHERE doc_id < 50),
+              |m AS (
+              |  SELECT doc_id, t,
+              |    [${dHash64("doc_id||':'||(i-1)")} % 5 = 0
+              |      for i in range(1, len(t)+1)] AS mk
+              |  FROM t0)
+              |SELECT doc_id,
+              |  array_to_string([CASE WHEN mk[i] THEN '<M>' ELSE t[i] END
+              |    for i in range(1, len(t)+1)], ' ') AS corrupted,
+              |  array_to_string([t[i] for i in range(1, len(t)+1) if mk[i]], ' ')
+              |    AS targets
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // RANGE-frame rolling window: per-user 10-minute trailing sum keyed
+    // on the timestamp VALUE distance (not row count) — the frame type
+    // q05/q16 don't exercise; tie timestamps share a frame by definition
+    "q130_rolling_range_window" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"),
+            floor(col("value") * lit(1e6)).cast("long").as("v"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(-600000L, 0L)
+        ev.select(col("user_id"), col("event_id"), col("ms"),
+            sum(col("v")).over(w).as("rolling_value_micros"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             |    floor(value*1e6)::BIGINT AS v
+             |  FROM events WHERE user_id < 30)
+             |SELECT user_id, event_id, ms,
+             |  (sum(v) OVER (PARTITION BY user_id ORDER BY ms
+             |    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW))::BIGINT
+             |    AS rolling_value_micros
+             |FROM e ORDER BY user_id, event_id""".stripMargin)))
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Cdc, EventAnalytics, Graph, Sampling, ZoneMap}
+import graft.operators.{Cdc, EventAnalytics, Graph, Quality, Sampling, ZoneMap}
 
 /** Round-5 operators: integer PageRank, co-occurrence edges, exact-quota
   * stratified sampling, time-to-conversion. */
@@ -108,6 +108,27 @@ class Round5Spec extends AnyFunSuite {
       (2L, 1L, 20L, 1L, 2L, false),  // closed by delete, no successor
       (3L, 1L, 30L, 1L, -1L, true),  // untouched
       (9L, 2L, 90L, 2L, -1L, true))) // inserted at v2
+  }
+
+  test("quality report: null/range/unique/referential violation counts") {
+    val child = Seq(
+      (1L, Some(5L)), (1L, Some(60L)), // dup key 1; 60 out of range
+      (2L, None),                      // null value
+      (9L, Some(7L)))                  // 9 has no parent
+      .toDF("k", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.report(Seq(
+        Quality.rowChecks(child, Seq(
+          Quality.RowCheck("v_not_null", col("v").isNull),
+          Quality.RowCheck("v_range_0_50", !col("v").between(0, 50)))),
+        Quality.uniqueCheck(child, Seq("k"), "k_unique"),
+        Quality.referentialCheck(child, "k", parent, "pk", "k_in_parent")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("v_not_null") == ((1L, false)))
+    // NULL v fails between() as NULL, not true -> only 60 violates range
+    assert(out("v_range_0_50") == ((1L, false)))
+    assert(out("k_unique") == ((1L, false)))    // one surplus row on k=1
+    assert(out("k_in_parent") == ((1L, false))) // k=9 orphan
   }
 
   test("incremental MV merge equals full recompute") {
