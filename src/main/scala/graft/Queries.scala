@@ -3530,27 +3530,7 @@ object Queries {
     // customer snapshot; changed rows are closed, upserts open version 2
     "q124_scd2_merge" -> Q(
       (s, d) => {
-        val snap = t(s, d, "customer").select(
-          col("c_custkey"),
-          floor(col("c_acctbal") * lit(1e6)).cast("long").as("acctbal_micros"),
-          col("c_mktsegment"))
-        val updates = snap.filter(col("c_custkey") % 10 === 1)
-          .select(col("c_custkey"), lit("upsert").as("op"),
-            (col("acctbal_micros") + lit(100000000L)).as("acctbal_micros"),
-            col("c_mktsegment"))
-        val deletes = snap.filter(col("c_custkey") % 10 === 2)
-          .select(col("c_custkey"), lit("delete").as("op"),
-            lit(null).cast("long").as("acctbal_micros"),
-            lit(null).cast("string").as("c_mktsegment"))
-        val inserts = snap.filter(col("c_custkey") % 10 === 3)
-          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
-            lit("upsert").as("op"),
-            (col("c_custkey") * lit(1000L)).as("acctbal_micros"),
-            lit("NEW").as("c_mktsegment"))
-        operators.Cdc.scd2Apply(
-            snap, updates.unionByName(deletes).unionByName(inserts),
-            "c_custkey", Seq("acctbal_micros", "c_mktsegment"))
-          .orderBy(col("c_custkey"), col("version"))
+        q124Scd2History(s, d).orderBy(col("c_custkey"), col("version"))
       },
       Some("""WITH snap AS (SELECT c_custkey,
              |    floor(c_acctbal*1e6)::BIGINT AS acctbal_micros, c_mktsegment
@@ -3770,7 +3750,161 @@ object Queries {
              |  (sum(v) OVER (PARTITION BY user_id ORDER BY ms
              |    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW))::BIGINT
              |    AS rolling_value_micros
-             |FROM e ORDER BY user_id, event_id""".stripMargin)))
+             |FROM e ORDER BY user_id, event_id""".stripMargin)),
+
+    // streaming SCD1 upsert: latest row per user maintained in versioned
+    // parquet state by a foreachBatch merge — order-independent (max of
+    // (ts, event_id)), so any micro-batch split converges to the batch
+    // answer (Round5Spec drives a 3-way split to the same state)
+    "q131_streaming_upsert" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_q131")
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        ev.write.mode("overwrite").parquet(s"$base/src")
+        val stream = s.readStream.schema(ev.schema).parquet(s"$base/src")
+        val q = graft.streaming.UpsertSink.start(stream, s"$base/state",
+          s"$base/ckpt", "user_id", "ts", "event_id", Seq("value"))
+        try q.processAllAvailable() finally q.stop()
+        graft.streaming.UpsertSink.currentState(s, s"$base/state")
+          .select(col("user_id"),
+            unix_millis(col("ts")).as("last_ms"),
+            col("event_id").as("last_event_id"),
+            floor(col("value") * lit(1e6)).cast("long").as("last_value_micros"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, event_id, floor(value*1e6)::BIGINT AS v,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, epoch_ms(ts)::BIGINT AS last_ms,
+             |  event_id AS last_event_id, v AS last_value_micros
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // time travel: the SCD2 history queried "as of" the pre-change
+    // version must reconstruct the original snapshot EXACTLY — the
+    // oracle is the raw customer table, closing the loop on q124
+    "q132_time_travel" -> Q(
+      (s, d) => {
+        operators.Cdc.snapshotAsOf(q124Scd2History(s, d), version = 1L)
+          .filter(col("c_custkey") < 300)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, floor(c_acctbal*1e6)::BIGINT AS acctbal_micros,
+             |  c_mktsegment
+             |FROM customer WHERE c_custkey < 300
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // two-sample z-test (A/B report): click vs purchase event values,
+    // moments from exact integer milli-unit sums (micro-units would
+    // overflow the Σx² long at 100 TB row counts — milli keeps the
+    // square sum in range; the z itself is an identical IEEE tree in
+    // both engines, emitted in ppm)
+    "q133_ab_test" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            floor(col("value") * lit(1e3)).cast("long").as("vm"))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"),
+            sum(col("vm") * col("vm")).as("ss"))
+        val a = stats.filter(col("event_type") === "click")
+          .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+        val b = stats.filter(col("event_type") === "purchase")
+          .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+        val ma = col("s_a").cast("double") / col("n_a")
+        val mb = col("s_b").cast("double") / col("n_b")
+        val va = (col("ss_a").cast("double") -
+          col("s_a").cast("double") * col("s_a") / col("n_a")) / col("n_a")
+        val vb = (col("ss_b").cast("double") -
+          col("s_b").cast("double") * col("s_b") / col("n_b")) / col("n_b")
+        val z = (ma - mb) / sqrt(va / col("n_a") + vb / col("n_b"))
+        a.crossJoin(b).select(
+          col("n_a"), col("n_b"),
+          floor(lit(1e3) * ma).cast("long").as("mean_a_micros"),
+          floor(lit(1e3) * mb).cast("long").as("mean_b_micros"),
+          floor(lit(1e6) * z).cast("long").as("z_ppm"),
+          (abs(z) >= 1.96).as("significant"))
+      },
+      Some("""WITH e AS (SELECT event_type, floor(value*1e3)::BIGINT AS vm
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |st AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(vm)::BIGINT AS s, sum(vm*vm)::BIGINT AS ss
+             |  FROM e GROUP BY event_type),
+             |a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM st
+             |  WHERE event_type = 'click'),
+             |b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM st
+             |  WHERE event_type = 'purchase')
+             |SELECT n_a, n_b,
+             |  floor(1e3 * (s_a::DOUBLE / n_a))::BIGINT AS mean_a_micros,
+             |  floor(1e3 * (s_b::DOUBLE / n_b))::BIGINT AS mean_b_micros,
+             |  floor(1e6 * ((s_a::DOUBLE / n_a - s_b::DOUBLE / n_b) /
+             |    sqrt(((ss_a::DOUBLE - s_a::DOUBLE * s_a / n_a) / n_a) / n_a +
+             |         ((ss_b::DOUBLE - s_b::DOUBLE * s_b / n_b) / n_b) / n_b)))::BIGINT
+             |    AS z_ppm,
+             |  (abs((s_a::DOUBLE / n_a - s_b::DOUBLE / n_b) /
+             |    sqrt(((ss_a::DOUBLE - s_a::DOUBLE * s_a / n_a) / n_a) / n_a +
+             |         ((ss_b::DOUBLE - s_b::DOUBLE * s_b / n_b) / n_b) / n_b)) >= 1.96)
+             |    AS significant
+             |FROM a CROSS JOIN b""".stripMargin)),
+
+    // token-diversity report per source: Simpson index 1 - Σp² — the
+    // log-free diversity metric (entropy needs libm ln, which is not
+    // bit-portable across engines); counts and squares are exact longs
+    "q134_token_diversity" -> Q(
+      (s, d) => {
+        val cnt = t(s, d, "documents")
+          .select(col("source"), explode(F.tokens(col("text"))).as("tk"))
+          .groupBy(col("source"), col("tk"))
+          .agg(count(lit(1)).as("c"))
+        cnt.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("ssq"))
+          .select(col("source"), col("n_tokens"), col("n_distinct"),
+            floor(lit(1e6) * (lit(1.0) - col("ssq").cast("double") /
+              (col("n_tokens").cast("double") * col("n_tokens").cast("double"))))
+              .cast("long").as("simpson_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (
+             |  SELECT source, tok, count(*)::BIGINT AS c FROM (
+             |    SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY source, tok)
+             |SELECT source, sum(c)::BIGINT AS n_tokens,
+             |  count(*)::BIGINT AS n_distinct,
+             |  floor(1e6 * (1.0 - sum(c*c)::DOUBLE /
+             |    (sum(c)::DOUBLE * sum(c)::DOUBLE)))::BIGINT AS simpson_ppm
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)))
+
+  /** The deterministic SCD2 history q124/q132 share: customer snapshot +
+    * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
+    * ==3 insert under a shifted key) through [[graft.operators.Cdc.scd2Apply]]. */
+  private def q124Scd2History(s: SparkSession, d: String): DataFrame = {
+    val snap = t(s, d, "customer").select(
+      col("c_custkey"),
+      floor(col("c_acctbal") * lit(1e6)).cast("long").as("acctbal_micros"),
+      col("c_mktsegment"))
+    val updates = snap.filter(col("c_custkey") % 10 === 1)
+      .select(col("c_custkey"), lit("upsert").as("op"),
+        (col("acctbal_micros") + lit(100000000L)).as("acctbal_micros"),
+        col("c_mktsegment"))
+    val deletes = snap.filter(col("c_custkey") % 10 === 2)
+      .select(col("c_custkey"), lit("delete").as("op"),
+        lit(null).cast("long").as("acctbal_micros"),
+        lit(null).cast("string").as("c_mktsegment"))
+    val inserts = snap.filter(col("c_custkey") % 10 === 3)
+      .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+        lit("upsert").as("op"),
+        (col("c_custkey") * lit(1000L)).as("acctbal_micros"),
+        lit("NEW").as("c_mktsegment"))
+    operators.Cdc.scd2Apply(
+      snap, updates.unionByName(deletes).unionByName(inserts),
+      "c_custkey", Seq("acctbal_micros", "c_mktsegment"))
+  }
 
   private def q58BucketedJoin(
       s: SparkSession, d: String, reuseLayout: Boolean): DataFrame = {

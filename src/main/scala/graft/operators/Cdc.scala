@@ -64,6 +64,16 @@ object Cdc {
           Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** Time travel over an SCD2 history: the value snapshot visible "as
+    * of" `version` — rows whose validity interval contains it. Applied
+    * at `fromVersion` this reconstructs the pre-change snapshot exactly
+    * (the q132 oracle is that equality). */
+  def snapshotAsOf(history: DataFrame, version: Long): DataFrame =
+    history
+      .filter(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .drop("version", "valid_from", "valid_to", "is_current")
+
   /** Incremental additive-aggregate maintenance: fold a delta batch's
     * partial aggregates into a stored materialized view whose metrics are
     * all SUM-decomposable (counts, micro-unit sums). The base table is

@@ -45,9 +45,13 @@ object Graph {
     require(iterations >= 1 && dampingNum >= 0 && dampingNum <= dampingDen)
     // a duplicated edge would double-count its contribution every round;
     // producers that already emit distinct pairs (coOccurrenceEdges) skip
-    // the defensive dedup — it is a full shuffle of the edge list
+    // the defensive dedup — it is a full shuffle of the edge list.
+    // Materialize the edge list ONCE before fanning out: deg, the
+    // deg-annotated join, and the node set all consume it, and an
+    // expensive upstream (a pair-generating self-join) would otherwise
+    // re-execute for each.
     val e0 = edges.select(col("src"), col("dst"))
-    val e = if (assumeDistinctEdges) e0 else e0.distinct()
+    val e = (if (assumeDistinctEdges) e0 else e0.distinct()).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))

@@ -131,6 +131,38 @@ class Round5Spec extends AnyFunSuite {
     assert(out("k_in_parent") == ((1L, false))) // k=9 orphan
   }
 
+  test("streaming upsert: 3-batch split converges to batch answer; redelivery idempotent") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_spec").toString + "/state"
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, 1.5),
+      (1L, ts("2024-01-03 00:00:00"), 30L, 3.5), // latest for user 1
+      (1L, ts("2024-01-02 00:00:00"), 20L, 2.5),
+      (2L, ts("2024-01-01 00:00:00"), 11L, 9.0), // only row for user 2
+      (3L, ts("2024-01-05 00:00:00"), 50L, 7.0),
+      (3L, ts("2024-01-05 00:00:00"), 51L, 8.0)) // same ts: event_id breaks tie
+      .toDF("user_id", "ts", "event_id", "value")
+    // deliver OUT of latest-last order across 3 batches
+    val batches = Seq(Seq(1, 3), Seq(0, 5), Seq(2, 4))
+      .map(ix => rows.collect().zipWithIndex.filter(p => ix.contains(p._2)).map(_._1))
+      .map(rs => spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.toIndexedSeq), rows.schema))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.UpsertSink.processBatch(
+        spark, b, i.toLong, dir, "user_id", "ts", "event_id", Seq("value"))
+    }
+    def state() = graft.streaming.UpsertSink.currentState(spark, dir)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val got = state()
+    assert(got.toSeq == Seq((1L, 30L, 3.5), (2L, 11L, 9.0), (3L, 51L, 8.0)))
+    // redelivery of batch 1 (same id, same data): state unchanged
+    graft.streaming.UpsertSink.processBatch(
+      spark, batches(1), 1L, dir, "user_id", "ts", "event_id", Seq("value"))
+    assert(state().toSeq == got.toSeq)
+  }
+
   test("incremental MV merge equals full recompute") {
     val base = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "n", "s")
     val delta = Seq(("a", 3L, 30L), ("c", 1L, 5L)).toDF("k", "n", "s")
