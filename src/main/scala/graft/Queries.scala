@@ -3490,7 +3490,7 @@ object Queries {
           .drop("_ub")
           .write.mode("overwrite").parquet(dir)
         val stats = operators.ZoneMap.buildStats(s, dir, "user_id")
-        val scan = operators.ZoneMap.prunedRead(s, dir, "user_id", stats, 100L, 299L)
+        val scan = operators.ZoneMap.prunedRead(s, dir, "user_id", stats, 0L, 99L)
         scan.df.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             usum(col("value")).as("total_value_micros"))
@@ -3498,7 +3498,7 @@ object Queries {
       },
       Some("""SELECT event_type, count(*)::BIGINT AS n_events,
              |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
-             |FROM events WHERE user_id BETWEEN 100 AND 299
+             |FROM events WHERE user_id BETWEEN 0 AND 99
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // incremental materialized-view maintenance: the stored MV (base
@@ -3878,7 +3878,140 @@ object Queries {
              |  count(*)::BIGINT AS n_distinct,
              |  floor(1e6 * (1.0 - sum(c*c)::DOUBLE /
              |    (sum(c)::DOUBLE * sum(c)::DOUBLE)))::BIGINT AS simpson_ppm
-             |FROM c GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // federated three-source join: parquet × CSV × JDBC (embedded Derby)
+    // in one plan — the cross-source shape the reference's Sqoop/Hive
+    // stack needed three systems for; oracle computes from parquet alone,
+    // so equality proves both foreign sources round-tripped faithfully
+    "q135_federated_join" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_q135")
+        val nation = t(s, d, "nation")
+        nation.write.mode("overwrite").option("header", "true")
+          .csv(s"$base/nation_csv")
+        val nationCsv = s.read.option("header", "true")
+          .schema(nation.schema).csv(s"$base/nation_csv")
+        val url = s"jdbc:derby:$base/derby_db;create=true"
+        t(s, d, "region").write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", "region").save()
+        val regionJdbc = s.read.format("jdbc")
+          .option("url", url).option("dbtable", "region").load()
+        t(s, d, "supplier")
+          .join(nationCsv, col("s_nationkey") === col("n_nationkey"))
+          .join(regionJdbc, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            dsum(col("s_acctbal")).as("total_acctbal"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name, count(*)::BIGINT AS n_suppliers,
+             |  round(sum(s_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS total_acctbal
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // schema evolution: a later batch adds a column; mergeSchema unifies,
+    // earlier rows read as NULL — the append-only table-evolution
+    // contract a long-lived corpus depends on
+    "q136_schema_evolution" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_q136") + "/t"
+        val ord = t(s, d, "orders")
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .write.mode("overwrite").parquet(s"$base/batch=1")
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * lit(1e6)).cast("long").as("price_micros"))
+          .write.mode("overwrite").parquet(s"$base/batch=2")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy(col("batch").cast("long").as("batch"))
+          .agg(count(lit(1)).as("n"),
+            count(col("price_micros")).as("n_with_price"),
+            coalesce(sum(col("price_micros")), lit(0L)).as("total_price_micros"))
+          .orderBy(col("batch"))
+      },
+      Some("""SELECT batch, count(*)::BIGINT AS n,
+             |  count(price_micros)::BIGINT AS n_with_price,
+             |  coalesce(sum(price_micros), 0)::BIGINT AS total_price_micros
+             |FROM (
+             |  SELECT 1::BIGINT AS batch, NULL::BIGINT AS price_micros
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 2::BIGINT, floor(o_totalprice*1e6)::BIGINT
+             |  FROM orders WHERE o_orderkey % 2 = 1)
+             |GROUP BY batch ORDER BY batch""".stripMargin)),
+
+    // malformed-record handling at the source layer: planted garbage
+    // lines in a CSV; DROPMALFORMED keeps clean rows, PERMISSIVE counts
+    // corrupt ones — the S14 NULL-on-bad-cast contract extended to
+    // whole-row failures
+    "q137_malformed_csv" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_q137")
+        t(s, d, "orders").select(
+            when(col("o_orderkey") % 50 === 0,
+              concat(lit("bad_"), col("o_orderkey").cast("string")))
+              .otherwise(concat(col("o_orderkey").cast("string"), lit(","),
+                floor(col("o_totalprice") * lit(1e6)).cast("long").cast("string")))
+              .as("value"))
+          .write.mode("overwrite").text(s"$base/csv")
+        // count(id), not count(*): the CSV parser only validates REFERENCED
+        // columns (column pruning), so a count that touches no data column
+        // would let malformed ids through undropped. Valid rows always
+        // carry a numeric id, so count(id) is the kept-row count.
+        val clean = s.read.schema("id BIGINT, price_micros BIGINT")
+          .option("mode", "DROPMALFORMED").csv(s"$base/csv")
+          .agg(count(col("id")).as("n_valid"),
+            sum(col("price_micros")).as("total_price_micros"))
+        // .cache(): Spark refuses a query whose only referenced column is
+        // the internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_
+        // COLUMN); materializing first is the documented pattern
+        val corrupt = s.read
+          .schema("id BIGINT, price_micros BIGINT, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(s"$base/csv")
+          .cache()
+          .filter(col("_corrupt_record").isNotNull)
+          .agg(count(lit(1)).as("n_corrupt"))
+        clean.crossJoin(corrupt)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 50 <> 0)::BIGINT
+             |    AS n_valid,
+             |  (SELECT sum(floor(o_totalprice*1e6)::BIGINT)
+             |   FROM orders WHERE o_orderkey % 50 <> 0)::BIGINT
+             |    AS total_price_micros,
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 50 = 0)::BIGINT
+             |    AS n_corrupt""".stripMargin)),
+
+    // grouping_id()/grouping() disambiguation over CUBE — how a reader
+    // tells a real NULL group from a rollup row; both engines put the
+    // first cube column in the most significant bit
+    "q138_grouping_id" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().as("gid"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+            count(lit(1)).as("n"))
+          .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  grouping_id(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+             |  grouping(o_orderstatus)::BIGINT AS g_status,
+             |  grouping(o_orderpriority)::BIGINT AS g_priority,
+             |  count(*)::BIGINT AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST,
+             |  o_orderpriority NULLS FIRST""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
