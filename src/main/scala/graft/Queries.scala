@@ -4011,7 +4011,140 @@ object Queries {
              |  count(*)::BIGINT AS n
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY gid, o_orderstatus NULLS FIRST,
-             |  o_orderpriority NULLS FIRST""".stripMargin)))
+             |  o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // readability report: Flesch reading-ease from pure counts —
+    // sentences = [.!?]+ runs, syllables ≈ vowel runs per word (the
+    // standard programmatic approximation); the score is a fixed
+    // rational expression over three counts, emitted in milli-units
+    "q139_readability" -> Q(
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(F.tokens(col("text"))).cast("long").as("n_words"),
+            greatest(lit(1L),
+              size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+                .cast("long")).as("n_sentences"),
+            greatest(lit(1L),
+              size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+                .cast("long")).as("n_syllables"))
+          .filter(col("doc_id") < 200)
+        counts.select(col("doc_id"), col("n_words"), col("n_sentences"),
+            col("n_syllables"),
+            floor(lit(1e3) * (lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+              lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+              .cast("long").as("flesch_milli"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(trim(text), ' '))::BIGINT AS n_words,
+             |  greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+             |    AS n_sentences,
+             |  greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+')))::BIGINT
+             |    AS n_syllables,
+             |  floor(1e3 * (206.835 -
+             |    1.015 * (len(string_split(trim(text), ' '))::DOUBLE /
+             |      greatest(1, len(regexp_extract_all(text, '[.!?]+')))) -
+             |    84.6 * (greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+')))::DOUBLE /
+             |      len(string_split(trim(text), ' ')))))::BIGINT AS flesch_milli
+             |FROM documents WHERE doc_id < 200
+             |ORDER BY doc_id""".stripMargin)),
+
+    // equi-width histogram: integer bucket arithmetic (no width_bucket —
+    // not portable), top-capped last bucket
+    "q140_histogram" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .select(least(expr("CAST(floor(o_totalprice) AS BIGINT) div 50000"),
+            lit(9L)).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT least(floor(o_totalprice)::BIGINT // 50000, 9) AS bucket,
+             |  count(*)::BIGINT AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // gaps-and-islands: consecutive active-day runs per user via the
+    // day - dense-row trick; emits per-user streak stats (the classic
+    // engagement-streak query shape)
+    "q141_gaps_islands" -> Q(
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), expr("unix_millis(ts) div 86400000L").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val islands = days
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        islands.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest_streak"))
+          .filter(col("user_id") < 100)
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+             |  FROM events),
+             |r AS (SELECT user_id, day,
+             |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             |  FROM days),
+             |isl AS (SELECT user_id, grp, count(*)::BIGINT AS len
+             |  FROM r GROUP BY user_id, grp)
+             |SELECT user_id, count(*)::BIGINT AS n_streaks,
+             |  max(len)::BIGINT AS longest_streak
+             |FROM isl WHERE user_id < 100
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // rank vs dense_rank under REAL ties (p_size repeats within brand):
+    // the two-ranking semantics q110's tie-free battery can't show
+    "q142_rank_battery" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+        t(s, d, "part")
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .filter(col("p_partkey") % 20 === 0)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("rnk"), col("drnk"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""WITH w AS (
+             |  SELECT p_partkey, p_brand, p_size,
+             |    rank() OVER (PARTITION BY p_brand ORDER BY p_size)::BIGINT AS rnk,
+             |    dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size)::BIGINT
+             |      AS drnk
+             |  FROM part)
+             |SELECT p_partkey, p_brand, p_size, rnk, drnk
+             |FROM w WHERE p_partkey % 20 = 0
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // weighted sampling: per-row acceptance probability proportional to
+    // a weight column (longer docs likelier kept), deterministic hash
+    // acceptance — membership stable across reruns like every sampler
+    "q143_weighted_sample" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val maxW = docs.agg(max(col("n_chars")).as("max_w"))
+        docs.crossJoin(broadcast(maxW))
+          .withColumn("accept_ppm",
+            expr("(n_chars * 500000) div max_w"))
+          .filter(graft.operators.Sampling
+            .bucket(col("doc_id"), "wsample", 1000000) < col("accept_ppm"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH mw AS (SELECT max(n_chars) AS max_w FROM documents),
+              |k AS (
+              |  SELECT lang, n_chars FROM documents, mw
+              |  WHERE ${dHash64("'wsample:'||doc_id")} % 1000000 <
+              |    (n_chars * 500000) // max_w)
+              |SELECT lang, count(*)::BIGINT AS n_kept,
+              |  sum(n_chars)::BIGINT AS kept_chars
+              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
