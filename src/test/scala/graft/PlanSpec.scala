@@ -212,4 +212,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"bigram LM must join on keys:\n$p")
   }
+
+  test("zone-map stats build is column-pruned to the stat column") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zm_plan").toString + "/t"
+    graft.core.Engine.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val p = graft.operators.ZoneMap.buildStats(spark, dir, "user_id")
+      .queryExecution.executedPlan.toString
+    // the index build must read ONE column, not the table
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"stats build reads more than the stat column:\n$p")
+  }
+
+  test("pagerank round: rank-x-edges join is keyed; one agg per round") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val p = graft.operators.Graph.pagerank(edges, iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank must join on keys:\n$p")
+  }
+
+  test("quality row-checks run as ONE scan (single aggregate, no union of scans)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Engine.table(spark, sf, "lineitem")
+    val p = graft.operators.Quality.rowChecks(li, Seq(
+        graft.operators.Quality.RowCheck("a", col("l_quantity") > 100),
+        graft.operators.Quality.RowCheck("b", col("l_discount") > 1)))
+      .queryExecution.executedPlan.toString
+    // one HashAggregate pair over one scan; the per-check rows are
+    // projections of the SAME aggregate (reused exchange), not N scans
+    val scans = "FileScan|BatchScan".r.findAllIn(p).length
+    assert(scans <= 2 || p.contains("ReusedExchange"),
+      s"row checks re-scan the table per check:\n$p")
+  }
+
+  test("attribution as-of composition stays one user-keyed window (no self-join blowup)") {
+    val p = plan("q125_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution must not fall back to nested-loop:\n$p")
+  }
 }
