@@ -105,6 +105,55 @@ object Main {
       println(s"processed $n batches; pairs under $pr, signatures under $st")
       spark.stop()
 
+    // small-file compaction (the OPTIMIZE/rewrite_data_files action)
+    case "compact" :: "--in" :: in :: "--out" :: out :: rest =>
+      val target = rest match {
+        case "--target-mb" :: t :: Nil => t.toLong * 1024 * 1024
+        case Nil => 128L * 1024 * 1024
+        case _ =>
+          System.err.println("usage: compact --in DIR --out DIR [--target-mb N]")
+          sys.exit(2)
+      }
+      val spark = session()
+      val st = graft.operators.Maintenance.compactParquet(spark, in, out, target)
+      println(s"compacted ${st.inputFiles} files (${st.inputBytes} B) " +
+        s"into ${st.outputFiles}")
+      spark.stop()
+
+    // declarative data-quality gate over a parquet table: null checks on
+    // --not-null cols, uniqueness on --unique cols; non-zero exit on any
+    // violation (the promote/block decision a pipeline automates)
+    case "quality" :: "--in" :: in :: rest =>
+      import org.apache.spark.sql.functions.col
+      val (notNull, unique) = rest match {
+        case "--not-null" :: nn :: "--unique" :: u :: Nil =>
+          (nn.split(',').toSeq, u.split(',').toSeq)
+        case "--not-null" :: nn :: Nil => (nn.split(',').toSeq, Seq.empty[String])
+        case Nil => (Seq.empty[String], Seq.empty[String])
+        case _ =>
+          System.err.println(
+            "usage: quality --in DIR [--not-null c1,c2] [--unique k1,k2]")
+          sys.exit(2)
+      }
+      val spark = session()
+      val df = spark.read.parquet(in)
+      val parts =
+        (if (notNull.nonEmpty)
+          Seq(graft.operators.Quality.rowChecks(df, notNull.map(c =>
+            graft.operators.Quality.RowCheck(s"not_null:$c", col(c).isNull))))
+        else Seq.empty) ++
+        (if (unique.nonEmpty)
+          Seq(graft.operators.Quality.uniqueCheck(
+            df, unique, s"unique:${unique.mkString(",")}"))
+        else Seq.empty)
+      if (parts.isEmpty) { System.err.println("no checks requested"); sys.exit(2) }
+      val rows = graft.operators.Quality.report(parts).collect()
+      rows.foreach(r => println(s"${r.getString(0)}: " +
+        s"${r.getLong(1)} violations (${if (r.getBoolean(2)) "PASS" else "FAIL"})"))
+      val ok = rows.forall(_.getBoolean(2))
+      spark.stop()
+      if (!ok) sys.exit(1)
+
     // S23 analog of playground.py's JMX battery (playground.py:330-431):
     // named checks with thresholds, non-zero exit when any fails
     case "health" :: Nil =>
@@ -119,7 +168,9 @@ object Main {
         "verbs: setup --base DIR | exec-query -e SQL | exec-file -f FILE | " +
           "m33-pipeline --base DIR | export --url URL --table T --path P | " +
           "thrift-server [--port N] | health | prep --in PATH --out DIR [--cap N] | " +
-          "ingest --batches DIR --store DIR --pairs DIR")
+          "ingest --batches DIR --store DIR --pairs DIR | " +
+          "compact --in DIR --out DIR [--target-mb N] | " +
+          "quality --in DIR [--not-null c1,c2] [--unique k1,k2]")
       sys.exit(2)
   }
 }
