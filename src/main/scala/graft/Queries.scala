@@ -4144,7 +4144,109 @@ object Queries {
               |    (n_chars * 500000) // max_w)
               |SELECT lang, count(*)::BIGINT AS n_kept,
               |  sum(n_chars)::BIGINT AS kept_chars
-              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)))
+              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // bilateral shipping volume (TPC-H Q7 shape): five-table join with
+    // the nation dimension joined TWICE under different roles — the
+    // join-reorder + dual-alias stress the two-table entries don't hit
+    "q144_volume_shipping" -> Q(
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val n1 = n.select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+        val n2 = n.select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(n1, col("s_nationkey") === col("s_nk"))
+          .join(n2, col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") < col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  count(*)::BIGINT AS n_items,
+             |  round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+             |    AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_name < n2.n_name
+             |GROUP BY supp_nation, cust_nation
+             |ORDER BY supp_nation, cust_nation""".stripMargin)),
+
+    // EXISTS / NOT EXISTS in SQL text (q07/q08 are the DataFrame
+    // semi/anti forms) — the decorrelation path users actually write
+    "q145_exists_sql" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q145_customer")
+        t(s, d, "orders").createOrReplaceTempView("q145_orders")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM q145_customer c
+                |WHERE EXISTS (SELECT 1 FROM q145_orders o
+                |        WHERE o.o_custkey = c.c_custkey
+                |          AND o.o_totalprice > 200000)
+                |  AND NOT EXISTS (SELECT 1 FROM q145_orders o
+                |        WHERE o.o_custkey = c.c_custkey
+                |          AND o.o_orderstatus = 'F')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey
+             |          AND o.o_totalprice > 200000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey
+             |          AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // EXCEPT ALL / INTERSECT ALL — multiset set-op semantics (q09 covers
+    // the DISTINCT forms); stabilized to counts for the hash gate
+    "q146_setops_all" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q146_orders")
+        s.sql("""SELECT v, count(*) AS n FROM (
+                |  SELECT o_custkey AS v FROM q146_orders
+                |  WHERE o_totalprice > 100000
+                |  EXCEPT ALL
+                |  SELECT o_custkey FROM q146_orders WHERE o_orderstatus = 'F')
+                |GROUP BY v ORDER BY v""".stripMargin)
+      },
+      Some("""SELECT v, count(*)::BIGINT AS n FROM (
+             |  SELECT o_custkey AS v FROM orders WHERE o_totalprice > 100000
+             |  EXCEPT ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY v ORDER BY v""".stripMargin)),
+
+    // inline VALUES + range() table-valued generator joined to real data
+    // (calendar/spine construction without a stored dimension table)
+    "q147_values_range" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q147_orders")
+        s.sql("""SELECT b.id AS bucket, lbl.label, count(*) AS n
+                |FROM q147_orders o
+                |JOIN range(0, 10) b
+                |  ON CAST(floor(o.o_totalprice) AS BIGINT) div 50000 = b.id
+                |JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high')) AS lbl(k, label)
+                |  ON least(b.id div 3, 2) = lbl.k
+                |GROUP BY b.id, lbl.label
+                |ORDER BY bucket""".stripMargin)
+      },
+      Some("""SELECT b.range AS bucket, lbl.label, count(*)::BIGINT AS n
+             |FROM orders o
+             |JOIN range(0, 10) b
+             |  ON floor(o.o_totalprice)::BIGINT // 50000 = b.range
+             |JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high')) lbl(k, label)
+             |  ON least(b.range // 3, 2) = lbl.k
+             |GROUP BY b.range, lbl.label
+             |ORDER BY bucket""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
