@@ -4246,7 +4246,34 @@ object Queries {
              |JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high')) lbl(k, label)
              |  ON least(b.range // 3, 2) = lbl.k
              |GROUP BY b.range, lbl.label
-             |ORDER BY bucket""".stripMargin)))
+             |ORDER BY bucket""".stripMargin)),
+
+    // join-strategy hint battery: the SAME join forced through
+    // broadcast-hash, sort-merge, and shuffle-hash — results must be
+    // identical (strategy is physical, never semantic); PlanSpec asserts
+    // each hint actually took effect
+    "q148_join_hints" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q148_orders")
+        t(s, d, "customer").createOrReplaceTempView("q148_customer")
+        def one(strategy: String, hint: String) =
+          s.sql(s"""SELECT /*+ $hint(c) */ '$strategy' AS strategy,
+                   |  count(*) AS n_rows,
+                   |  sum(floor(o_totalprice * 1e6)) AS total_micros
+                   |FROM q148_orders o JOIN q148_customer c
+                   |  ON o.o_custkey = c.c_custkey""".stripMargin)
+        one("broadcast", "BROADCAST")
+          .unionByName(one("merge", "MERGE"))
+          .unionByName(one("shuffle_hash", "SHUFFLE_HASH"))
+          .orderBy(col("strategy"))
+      },
+      Some("""WITH j AS (
+             |  SELECT count(*)::BIGINT AS n_rows,
+             |    sum(floor(o_totalprice * 1e6)::BIGINT)::BIGINT AS total_micros
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+             |SELECT strategy, n_rows, total_micros FROM j,
+             |  (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+             |ORDER BY strategy""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -256,4 +256,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"attribution must not fall back to nested-loop:\n$p")
   }
+
+  test("join hints force their strategies (broadcast / merge / shuffle-hash)") {
+    graft.core.Engine.table(spark, sf, "orders")
+      .createOrReplaceTempView("planspec_orders")
+    graft.core.Engine.table(spark, sf, "customer")
+      .createOrReplaceTempView("planspec_customer")
+    def planOf(hint: String) = spark.sql(
+      s"""SELECT /*+ $hint(c) */ count(*) FROM planspec_orders o
+         |JOIN planspec_customer c ON o.o_custkey = c.c_custkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(planOf("BROADCAST").contains("BroadcastHashJoin"))
+    assert(planOf("MERGE").contains("SortMergeJoin"))
+    assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+  }
 }
