@@ -4273,7 +4273,35 @@ object Queries {
              |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
              |SELECT strategy, n_rows, total_micros FROM j,
              |  (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
-             |ORDER BY strategy""".stripMargin)))
+             |ORDER BY strategy""".stripMargin)),
+
+    // hopping (sliding) windows: 10-minute windows every 5 minutes —
+    // each event lands in 2 overlapping buckets (q16 is the tumbling
+    // case). Oracle reproduces Spark's window() via the two explicit
+    // 5-minute-aligned starts covering each event
+    "q149_hopping_windows" -> Q(
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            usum(col("value")).as("total_value_micros"))
+          .select(col("window.start").as("bucket_start"), col("event_type"),
+            col("n_events"), col("total_value_micros"))
+          .orderBy(col("bucket_start"), col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, value, epoch_ms(ts) // 300000 AS slot
+             |  FROM events),
+             |x AS (
+             |  SELECT event_type, value,
+             |    unnest([slot - 1, slot]) * 300000 AS start_ms
+             |  FROM e)
+             |SELECT epoch_ms(start_ms)::TIMESTAMP AS bucket_start, event_type,
+             |  count(*)::BIGINT AS n_events,
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
+             |FROM x GROUP BY 1, 2
+             |ORDER BY bucket_start, event_type""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
