@@ -4301,7 +4301,82 @@ object Queries {
              |  count(*)::BIGINT AS n_events,
              |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
              |FROM x GROUP BY 1, 2
-             |ORDER BY bucket_start, event_type""".stripMargin)))
+             |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    // hybrid retrieval (pseudo-relevance feedback shape): BM25 top-20
+    // lexical candidates, then rerank by embedding cosine against the
+    // top lexical hit's vector — sparse recall, dense precision, the
+    // two-stage retrieval stack. Cosine over milli-quantized integer
+    // vectors (q103's rule) keeps the ranking engine-exact
+    "q150_hybrid_retrieval" -> Q(
+      (s, d) => {
+        val cands = TextAnalysis.bm25Search(t(s, d, "documents"),
+            "doc_id", "text", queryText = "hash join vector", k = 20,
+            rationalIdf = true)
+          .select(col("doc_id"), col("score"))
+        val iv = t(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+            .as("iv"))
+        val qv = cands.orderBy(col("score").desc, col("doc_id")).limit(1)
+          .join(iv, col("doc_id") === col("vec_id"))
+          .select(col("iv").as("qv"))
+        val rr = cands
+          .join(iv, cands("doc_id") === iv("vec_id"))
+          .crossJoin(broadcast(qv))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(iv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("na", expr(
+            "aggregate(transform(iv, a -> a * a), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("nq", expr(
+            "aggregate(transform(qv, a -> a * a), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("cos_ppm",
+            floor(lit(1e6) * (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double")))))
+              .cast("long"))
+        rr.withColumn("rank",
+            row_number().over(Window.orderBy(col("cos_ppm").desc, col("doc_id")))
+              .cast("long"))
+          .select(col("rank"), col("doc_id"), col("score"), col("cos_ppm"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+             |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+             |terms AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+             |tfq AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS dfq FROM tfq GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE AS tot_dl FROM dl),
+             |scored AS (
+             |  SELECT doc_id, term,
+             |    round(((n_docs - dfq + 0.5::DOUBLE) / (dfq + 0.5::DOUBLE))
+             |      * (tf * 2.2::DOUBLE)
+             |      / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+             |          + 0.75::DOUBLE * dl / (tot_dl / n_docs))), 6) AS bm25
+             |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+             |  WHERE term IN ('hash', 'join', 'vector')),
+             |cands AS (
+             |  SELECT doc_id, round(sum(bm25::DECIMAL(18,6)), 6)::DOUBLE AS score
+             |  FROM scored GROUP BY doc_id
+             |  ORDER BY score DESC, doc_id LIMIT 20),
+             |iv AS (SELECT vec_id,
+             |    [floor(x::DOUBLE * 1000.0) for x in embedding] AS iv
+             |  FROM embeddings),
+             |qv AS (SELECT iv.iv AS qv FROM (
+             |    SELECT doc_id FROM cands ORDER BY score DESC, doc_id LIMIT 1) t
+             |  JOIN iv ON t.doc_id = iv.vec_id),
+             |rr AS (
+             |  SELECT c.doc_id, c.score,
+             |    floor(1e6 * (
+             |      list_sum([a.iv[i] * qv.qv[i]
+             |        for i in range(1, len(a.iv) + 1)])::DOUBLE /
+             |      (sqrt(list_sum([x * x for x in a.iv])::DOUBLE) *
+             |       sqrt(list_sum([x * x for x in qv.qv])::DOUBLE))))::BIGINT
+             |      AS cos_ppm
+             |  FROM cands c JOIN iv a ON c.doc_id = a.vec_id CROSS JOIN qv)
+             |SELECT row_number() OVER (ORDER BY cos_ppm DESC, doc_id)::BIGINT
+             |    AS rank,
+             |  doc_id, score, cos_ppm
+             |FROM rr ORDER BY rank""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
