@@ -91,14 +91,23 @@ object Bench {
     // stdout, and sbt appends a ~75-char "[success] ..." footer after us —
     // so the ONE machine-parsed JSON line must stay well under ~1,900
     // chars. 110 full query names at 9 significant digits is ~4 KB and has
-    // never parsed. Short keys (the qNN prefix; "m33" for the CTAS) plus
-    // millisecond precision keep the complete per-query map ~1.5 KB.
-    def shortKey(name: String): String = name.split("_")(0)
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+    // never parsed. Unpadded short keys ("q1".."q150"; "m33" for the CTAS)
+    // at centisecond precision keep the complete 150-entry map ~1.7 KB;
+    // full precision lives in BENCH_DETAIL.json.
+    def shortKey(name: String): String = {
+      val p = name.split("_")(0)
+      if (p.startsWith("q")) "q" + p.drop(1).dropWhile(_ == '0') else p.take(4)
+    }
+    def fmt(v: Double, scale: Int): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // numeric sf when the dir encodes one ("…/sf0.1"); else the full path
+    val sfJson =
+      try sfDir.replaceAll(".*sf", "").toDouble.toString
+      catch { case _: Throwable => "\"" + sfDir + "\"" }
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":$sfJson}""")
     spark.stop()
   }
 }
