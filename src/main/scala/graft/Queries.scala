@@ -4376,7 +4376,190 @@ object Queries {
              |SELECT row_number() OVER (ORDER BY cos_ppm DESC, doc_id)::BIGINT
              |    AS rank,
              |  doc_id, score, cos_ppm
-             |FROM rr ORDER BY rank""".stripMargin)))
+             |FROM rr ORDER BY rank""".stripMargin)),
+
+    // revenue-concentration report: customers bucketed into spend
+    // deciles, each decile's share of total revenue in ppm — the Lorenz/
+    // Pareto concentration readout
+    "q151_revenue_deciles" -> Q(
+      (s, d) => {
+        val perCust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(usum(col("o_totalprice")).as("rev_micros"))
+        val w = Window.orderBy(col("rev_micros").desc, col("o_custkey"))
+        perCust
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev_micros")).as("decile_micros"))
+          .withColumn("_tot", sum(col("decile_micros")).over(Window.partitionBy()))
+          // divide the TOTAL down rather than scaling the numerator up:
+          // decile_micros * 1e6 overflows int64 at sf0.1 revenue volumes
+          .select(col("decile"), col("n_customers"), col("decile_micros"),
+            expr("decile_micros div (_tot div 1000000)").as("share_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey,
+             |    sum(floor(o_totalprice*1e6)::BIGINT)::BIGINT AS rev_micros
+             |  FROM orders GROUP BY o_custkey),
+             |dec AS (
+             |  SELECT rev_micros,
+             |    ntile(10) OVER (ORDER BY rev_micros DESC, o_custkey) AS decile
+             |  FROM pc),
+             |g AS (
+             |  SELECT decile, count(*)::BIGINT AS n_customers,
+             |    sum(rev_micros)::BIGINT AS decile_micros
+             |  FROM dec GROUP BY decile),
+             |t AS (SELECT sum(decile_micros)::BIGINT AS tot FROM g)
+             |SELECT decile, n_customers, decile_micros,
+             |  (decile_micros // (tot // 1000000))::BIGINT AS share_ppm
+             |FROM g, t ORDER BY decile""".stripMargin)),
+
+    // label-noise suspects (confident-learning-lite): vectors whose
+    // nearest class prototype disagrees with their own label — the
+    // "find mislabeled examples" audit over q101/q103's machinery
+    "q152_label_noise" -> Q(
+      (s, d) => {
+        operators.Similarity
+          .prototypeAssignments(t(s, d, "embeddings"),
+            "vec_id", "embedding", "label")
+          .filter(col("proto_label") =!= col("true_label"))
+          .select(col("p_id").as("vec_id"),
+            col("true_label").cast("long").as("true_label"),
+            col("proto_label").cast("long").as("predicted_label"),
+            floor(lit(1e6) * col("cos")).cast("long").as("cos_ppm"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |    [floor(x::DOUBLE * 1000.0) for x in embedding] AS iv
+             |  FROM embeddings),
+             |dd AS (SELECT label, generate_subscripts(iv, 1) AS dim,
+             |    unnest(iv) AS vv FROM v),
+             |g AS (SELECT label, dim, sum(vv)::BIGINT AS s,
+             |    count(*)::BIGINT AS n FROM dd GROUP BY label, dim),
+             |c AS (SELECT label AS proto_label,
+             |    list(floor(1e3 * (s::DOUBLE / n::DOUBLE)) ORDER BY dim) AS cm
+             |  FROM g GROUP BY label),
+             |sc AS (SELECT v.vec_id, v.label AS true_label, c.proto_label,
+             |    list_dot_product(v.iv, c.cm) /
+             |      (sqrt(list_dot_product(v.iv, v.iv)) *
+             |        sqrt(list_dot_product(c.cm, c.cm))) AS cos
+             |  FROM v CROSS JOIN c),
+             |top AS (SELECT vec_id, true_label, proto_label, cos FROM (
+             |  SELECT vec_id, true_label, proto_label, cos, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY cos DESC, proto_label) AS rn FROM sc)
+             |  WHERE rn = 1)
+             |SELECT vec_id, true_label::BIGINT AS true_label,
+             |  proto_label::BIGINT AS predicted_label,
+             |  floor(1e6 * cos)::BIGINT AS cos_ppm
+             |FROM top WHERE proto_label <> true_label
+             |ORDER BY vec_id""".stripMargin)),
+
+    // duplicate-cluster size distribution: how big near-dup groups get —
+    // the readout that decides dedup policy (drop-all-but-one vs review)
+    "q153_dup_cluster_sizes" -> Q(
+      (s, d) => {
+        Dedup.resolveDuplicateGroups(lshResolvePairs(s, d))
+          .groupBy(col("canonical_id"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""$duckMinhashCtes,
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |      round(len([i for i in range(1, ${minhashSeeds + 1})
+              |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+              |  WHERE ej >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM cand
+              |  UNION SELECT doc_b, doc_a FROM cand),
+              |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+              |reach(doc_id, r) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT reach.doc_id, edges.v FROM reach
+              |    JOIN edges ON reach.r = edges.u),
+              |canon AS (
+              |  SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+              |cs AS (SELECT canonical_id, count(*)::BIGINT AS sz
+              |  FROM canon GROUP BY canonical_id)
+              |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+              |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+      // production path: the diameter-independent star resolver
+      benchFn = Some((s, d) =>
+        Dedup.resolveDuplicateGroupsStar(lshResolvePairs(s, d))
+          .groupBy(col("canonical_id"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("cluster_size")))),
+
+    // temporal split with embargo: train strictly before T, test strictly
+    // after T + gap, embargo rows dropped — the time-series leakage guard
+    // (q60 is the content-similarity guard; this is the temporal one)
+    "q154_temporal_embargo_split" -> Q(
+      (s, d) => {
+        val splitDay = 19740L
+        val embargoDays = 2L
+        val ev = t(s, d, "events")
+          .withColumn("day", expr("unix_millis(ts) div 86400000L"))
+          .withColumn("split",
+            when(col("day") < splitDay, "train")
+              .when(col("day") >= splitDay + embargoDays, "test")
+              .otherwise("embargo"))
+        ev.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+             |  FROM events),
+             |s AS (SELECT user_id, day,
+             |    CASE WHEN day < 19740 THEN 'train'
+             |      WHEN day >= 19742 THEN 'test'
+             |      ELSE 'embargo' END AS split
+             |  FROM e)
+             |SELECT split, count(*)::BIGINT AS n_events,
+             |  count(DISTINCT user_id)::BIGINT AS n_users,
+             |  min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
+    // first/last/nth_value with explicit frames — the value-picking
+    // window functions q110's ranking battery doesn't cover
+    "q155_nth_value_battery" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .withColumn("first_key", first(col("o_orderkey")).over(full))
+          .withColumn("last_key", last(col("o_orderkey")).over(full))
+          .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(full))
+          .filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("first_key"), col("last_key"), col("third_key"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    first_value(o_orderkey) OVER win AS first_key,
+             |    last_value(o_orderkey) OVER win AS last_key,
+             |    nth_value(o_orderkey, 3) OVER win AS third_key
+             |  FROM orders
+             |  WINDOW win AS (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |SELECT o_orderkey, o_orderpriority, first_key, last_key, third_key
+             |FROM w WHERE o_orderkey % 101 = 0
+             |ORDER BY o_orderkey""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -532,7 +532,11 @@ object Similarity {
     * Scale shape: prototypes are labels × dims (broadcast); the corpus
     * is scored in one pass, ranked per vector over #labels rows, and
     * reduced to one row per label. */
-  def prototypeReport(
+  /** Per-vector nearest-prototype assignment: (p_id, true_label,
+    * proto_label, cos) with exactly one row per vector — the shared core
+    * of [[prototypeReport]] (aggregated accuracy) and the label-noise
+    * audit (per-vector disagreements, q152). */
+  def prototypeAssignments(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -553,6 +557,15 @@ object Similarity {
           .as("cos"))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("proto_label"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  def prototypeReport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    prototypeAssignments(emb, idCol, vecCol, labelCol)
       .groupBy(col("true_label").as("label"))
       .agg(
         count(lit(1)).as("n_vectors"),
