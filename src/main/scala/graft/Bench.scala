@@ -101,8 +101,13 @@ object Bench {
     def fmt(v: Double, scale: Int): String =
       if (v < 0) "-1"
       else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, 2) }
+    def qsAt(scale: Int): String = all
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, scale) }
       .mkString("{", ",", "}")
+    // adaptive precision: if the catalog grows the map past the tail
+    // budget at centiseconds, fall back to deciseconds — a parsed
+    // low-precision line beats an unparseable precise one
+    val qs = Seq(2, 1).map(qsAt).find(_.length <= 1750).getOrElse(qsAt(0))
     // numeric sf when the dir encodes one ("…/sf0.1"); else the full path
     val sfJson =
       try sfDir.replaceAll(".*sf", "").toDouble.toString

@@ -4559,7 +4559,203 @@ object Queries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
              |SELECT o_orderkey, o_orderpriority, first_key, last_key, third_key
              |FROM w WHERE o_orderkey % 101 = 0
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // dedup cascade report: how many documents survive each stage of the
+    // standard pipeline (raw -> exact dedup -> near-dup resolution) —
+    // the shrinkage funnel that justifies dedup cost at 100 TB.
+    // Near-dup survivors = docs that are their own CC canonical
+    // (non-canonical members fold into their group's survivor)
+    "q156_dedup_cascade" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val raw = docs.agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("stage"), lit("raw").as("stage_name"), col("n"))
+        val exact = docs.agg(countDistinct(md5(col("text"))).as("n"))
+          .select(lit(2L).as("stage"), lit("exact_unique").as("stage_name"), col("n"))
+        val canon = Dedup.resolveDuplicateGroups(lshResolvePairs(s, d))
+        val nearDup = docs.select(col("doc_id"))
+          .join(canon, Seq("doc_id"), "left")
+          .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(3L).as("stage"), lit("near_dup_survivors").as("stage_name"),
+            col("n"))
+        raw.unionByName(exact).unionByName(nearDup).orderBy(col("stage"))
+      },
+      Some(s"""$duckMinhashCtes,
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |      round(len([i for i in range(1, ${minhashSeeds + 1})
+              |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+              |  WHERE ej >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM cand
+              |  UNION SELECT doc_b, doc_a FROM cand),
+              |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+              |reach(doc_id, r) AS (
+              |  SELECT doc_id, doc_id FROM nodes
+              |  UNION
+              |  SELECT reach.doc_id, edges.v FROM reach
+              |    JOIN edges ON reach.r = edges.u),
+              |canon AS (
+              |  SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+              |surv AS (
+              |  SELECT count(*)::BIGINT AS n FROM documents dd
+              |  LEFT JOIN canon ON dd.doc_id = canon.doc_id
+              |  WHERE canon.canonical_id IS NULL OR canon.canonical_id = dd.doc_id)
+              |SELECT 1::BIGINT AS stage, 'raw' AS stage_name,
+              |  (SELECT count(*) FROM documents)::BIGINT AS n
+              |UNION ALL SELECT 2::BIGINT, 'exact_unique',
+              |  (SELECT count(DISTINCT md5(text)) FROM documents)::BIGINT
+              |UNION ALL SELECT 3::BIGINT, 'near_dup_survivors', (SELECT n FROM surv)
+              |ORDER BY stage""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+      benchFn = Some((s, d) => {
+        val docs = t(s, d, "documents")
+        val canon = Dedup.resolveDuplicateGroupsStar(lshResolvePairs(s, d))
+        docs.select(col("doc_id"))
+          .join(canon, Seq("doc_id"), "left")
+          .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+      })),
+
+    // robust outlier detection: median absolute deviation in integer
+    // micro-units (exact histogram-walk medians, q86's rule) — the
+    // robust sibling of q107's mean/σ z-score, immune to the outliers
+    // it hunts
+    "q157_mad_outliers" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast("long").as("v"))
+        def medianOf(df: DataFrame, valCol: String, keyCol: String): DataFrame = {
+          val wq = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+          val counts = df.groupBy(col(keyCol), col(valCol))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(
+              wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val totals = df.groupBy(col(keyCol)).agg(count(lit(1)).as("tot"))
+          counts.join(totals, keyCol)
+            .filter(col("cum") * 2 >= col("tot"))
+            .groupBy(col(keyCol))
+            .agg(min(col(valCol)).as("med"))
+        }
+        val med = medianOf(ev, "v", "event_type")
+        val dev = ev.join(med, "event_type")
+          .withColumn("ad", abs(col("v") - col("med")))
+        val mad = medianOf(dev.select(col("event_type"), col("ad")), "ad", "event_type")
+          .withColumnRenamed("med", "mad")
+        dev.join(mad, "event_type")
+          .filter(col("ad") > col("mad") * 3)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"),
+            min(col("med")).as("median_micros"),
+            min(col("mad")).as("mad_micros"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, floor(value*1e6)::BIGINT AS v
+             |  FROM events),
+             |h AS (SELECT event_type, v, count(*)::BIGINT AS c
+             |  FROM e GROUP BY 1, 2),
+             |cum AS (SELECT event_type, v,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+             |  FROM h),
+             |tot AS (SELECT event_type, count(*)::BIGINT AS tot FROM e GROUP BY 1),
+             |med AS (SELECT c2.event_type, min(v)::BIGINT AS med
+             |  FROM cum c2 JOIN tot USING (event_type)
+             |  WHERE cum * 2 >= tot GROUP BY c2.event_type),
+             |dev AS (SELECT e.event_type, abs(v - med)::BIGINT AS ad, med
+             |  FROM e JOIN med USING (event_type)),
+             |h2 AS (SELECT event_type, ad, count(*)::BIGINT AS c
+             |  FROM dev GROUP BY 1, 2),
+             |cum2 AS (SELECT event_type, ad,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY ad) AS cum
+             |  FROM h2),
+             |mad AS (SELECT c3.event_type, min(ad)::BIGINT AS mad
+             |  FROM cum2 c3 JOIN tot USING (event_type)
+             |  WHERE cum * 2 >= tot GROUP BY c3.event_type)
+             |SELECT d.event_type, count(*)::BIGINT AS n_outliers,
+             |  min(d.med)::BIGINT AS median_micros,
+             |  min(m.mad)::BIGINT AS mad_micros
+             |FROM dev d JOIN mad m USING (event_type)
+             |WHERE d.ad > m.mad * 3
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
+    // compression-codec round-trip: the same table through snappy, gzip,
+    // and zstd parquet — identical counts and value checksums prove the
+    // IO path for every codec the cluster might standardize on
+    "q158_compression_codecs" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_q158")
+        val src = t(s, d, "supplier")
+        Seq("snappy", "gzip", "zstd").map { codec =>
+          src.write.mode("overwrite").option("compression", codec)
+            .parquet(s"$base/$codec")
+          s.read.parquet(s"$base/$codec")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("s_suppkey")).as("key_sum"),
+              usum(col("s_acctbal")).as("acctbal_micros"))
+            .select(lit(codec).as("codec"), col("n_rows"), col("key_sum"),
+              col("acctbal_micros"))
+        }.reduce(_ unionByName _).orderBy(col("codec"))
+      },
+      Some("""WITH s AS (SELECT count(*)::BIGINT AS n_rows,
+             |    sum(s_suppkey)::BIGINT AS key_sum,
+             |    sum(floor(s_acctbal*1e6)::BIGINT)::BIGINT AS acctbal_micros
+             |  FROM supplier)
+             |SELECT codec, n_rows, key_sum, acctbal_micros FROM s,
+             |  (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec)
+             |ORDER BY codec""".stripMargin)),
+
+    // period-over-period: weekly event counts with previous-week deltas
+    // (lag) and change in ppm — the WoW growth readout
+    "q159_week_over_week" -> Q(
+      (s, d) => {
+        val weekly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("(unix_millis(ts) div 86400000L) div 7L").as("week"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+        weekly
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+            when(col("prev_n").isNotNull,
+              expr("((n - prev_n) * 1000000) div prev_n")).as("change_ppm"))
+          .orderBy(col("event_type"), col("week"))
+      },
+      Some("""WITH wk AS (
+             |  SELECT event_type, (epoch_ms(ts) // 86400000) // 7 AS week,
+             |    count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, week, n,
+             |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+             |  FROM wk)
+             |SELECT event_type, week, n, prev_n,
+             |  (CASE WHEN prev_n IS NOT NULL
+             |    THEN ((n - prev_n) * 1000000) // prev_n END)::BIGINT AS change_ppm
+             |FROM l ORDER BY event_type, week""".stripMargin)),
+
+    // seasonality profile: hour-of-day × day-of-week activity heatmap in
+    // pure epoch integer arithmetic (calendar dow/hour conventions vary
+    // by engine; epoch math does not)
+    "q160_seasonality" -> Q(
+      (s, d) => {
+        t(s, d, "events")
+          .select(
+            expr("(unix_millis(ts) div 86400000L) % 7L").as("epoch_dow"),
+            expr("(unix_millis(ts) div 3600000L) % 24L").as("hour_of_day"))
+          .groupBy(col("epoch_dow"), col("hour_of_day"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("epoch_dow"), col("hour_of_day"))
+      },
+      Some("""SELECT (epoch_ms(ts) // 86400000) % 7 AS epoch_dow,
+             |  (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
+             |  count(*)::BIGINT AS n
+             |FROM events GROUP BY 1, 2
+             |ORDER BY epoch_dow, hour_of_day""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
