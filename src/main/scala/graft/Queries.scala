@@ -4414,7 +4414,26 @@ object Queries {
              |t AS (SELECT sum(decile_micros)::BIGINT AS tot FROM g)
              |SELECT decile, n_customers, decile_micros,
              |  (decile_micros // (tot // 1000000))::BIGINT AS share_ppm
-             |FROM g, t ORDER BY decile""".stripMargin)),
+             |FROM g, t ORDER BY decile""".stripMargin),
+      // production path: exact global ntile is a single-partition sort of
+      // the per-customer table — fine at 15k customers, a straggler at
+      // billions. The scale variant assigns deciles from approxQuantile
+      // boundaries (driver receives 9 doubles), then aggregates as usual.
+      benchFn = Some((s, d) => {
+        val perCust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(usum(col("o_totalprice")).as("rev_micros"))
+        val bounds = perCust.stat.approxQuantile(
+          "rev_micros", (1 to 9).map(_ / 10.0).toArray, 0.001)
+        val decile = bounds.zipWithIndex
+          .foldLeft(lit(10L): org.apache.spark.sql.Column) { case (acc, (b, i)) =>
+            when(col("rev_micros") >= lit(b), lit(9L - i)).otherwise(acc)
+          }
+        perCust.groupBy(decile.as("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev_micros")).as("decile_micros"))
+          .orderBy(col("decile"))
+      })),
 
     // label-noise suspects (confident-learning-lite): vectors whose
     // nearest class prototype disagrees with their own label — the
@@ -4755,7 +4774,93 @@ object Queries {
              |  (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
              |  count(*)::BIGINT AS n
              |FROM events GROUP BY 1, 2
-             |ORDER BY epoch_dow, hour_of_day""".stripMargin)))
+             |ORDER BY epoch_dow, hour_of_day""".stripMargin)),
+
+    // typed Dataset cogroup: per-order item rollup through the
+    // case-class/Encoder API (`KeyValueGroupedDataset.cogroup`) — the
+    // typed surface the DataFrame entries never touch; orders with no
+    // items survive with zero counts (cogroup, unlike inner join)
+    "q161_typed_cogroup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .as[(Long, String)]
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * lit(1e6)).cast("long"))
+          .as[(Long, Long)]
+        orders.groupByKey(_._1)
+          .cogroup(items.groupByKey(_._1)) { (key, os, is) =>
+            val o = os.toList
+            if (o.isEmpty) Iterator.empty
+            else {
+              var n = 0L; var sum = 0L
+              is.foreach { p => n += 1; sum += p._2 }
+              Iterator((key, o.head._2, n, sum))
+            }
+          }
+          .toDF("o_orderkey", "o_orderstatus", "n_items", "total_price_micros")
+          .filter(col("o_orderkey") % 57 === 0)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o.o_orderkey, o.o_orderstatus,
+             |  count(l.l_orderkey)::BIGINT AS n_items,
+             |  coalesce(sum(floor(l_extendedprice*1e6)::BIGINT), 0)::BIGINT
+             |    AS total_price_micros
+             |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE o.o_orderkey % 57 = 0
+             |GROUP BY o.o_orderkey, o.o_orderstatus
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // approx-quantile accuracy gate (q43's pattern for HLL): exact
+    // integer percentiles are the hash-gated truth; the approx sketch is
+    // asserted within tolerance via a TRUE-pinned predicate
+    "q162_approx_quantile_gate" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        def exactQ(num: Int, den: Int, name: String) = {
+          val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+          li.groupBy(col("l_returnflag"), col("q"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(
+              wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .join(li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("tot")),
+              "l_returnflag")
+            .filter(col("cum") * den >= col("tot") * num)
+            .groupBy(col("l_returnflag"))
+            .agg(min(col("q")).as(name))
+        }
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(q, 0.5, 10000)").as("ap50"),
+            expr("approx_percentile(q, 0.9, 10000)").as("ap90"))
+        exactQ(1, 2, "p50").join(exactQ(9, 10, "p90"), "l_returnflag")
+          .join(approx, "l_returnflag")
+          .select(col("l_returnflag"), col("p50"), col("p90"),
+            (abs(col("ap50") - col("p50")) <= 1 &&
+              abs(col("ap90") - col("p90")) <= 1).as("approx_within_1"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH e AS (SELECT l_returnflag, l_quantity::BIGINT AS q
+             |  FROM lineitem),
+             |h AS (SELECT l_returnflag, q, count(*)::BIGINT AS c
+             |  FROM e GROUP BY 1, 2),
+             |cum AS (SELECT l_returnflag, q,
+             |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum
+             |  FROM h),
+             |tot AS (SELECT l_returnflag, count(*)::BIGINT AS tot
+             |  FROM e GROUP BY 1),
+             |p50 AS (SELECT c2.l_returnflag, min(q)::BIGINT AS p50
+             |  FROM cum c2 JOIN tot USING (l_returnflag)
+             |  WHERE cum * 2 >= tot GROUP BY c2.l_returnflag),
+             |p90 AS (SELECT c3.l_returnflag, min(q)::BIGINT AS p90
+             |  FROM cum c3 JOIN tot USING (l_returnflag)
+             |  WHERE cum * 10 >= tot * 9 GROUP BY c3.l_returnflag)
+             |SELECT l_returnflag, p50, p90, true AS approx_within_1
+             |FROM p50 JOIN p90 USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
