@@ -4860,7 +4860,72 @@ object Queries {
              |  WHERE cum * 10 >= tot * 9 GROUP BY c3.l_returnflag)
              |SELECT l_returnflag, p50, p90, true AS approx_within_1
              |FROM p50 JOIN p90 USING (l_returnflag)
-             |ORDER BY l_returnflag""".stripMargin)))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // MAP-type battery: build a per-lang source→count map from entries,
+    // then point lookups, size, sorted-key join — the map column surface;
+    // the oracle stays map-free (conditional aggregates), so equality
+    // proves the map semantics rather than assuming a shared map type
+    "q163_map_functions" -> Q(
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("lang"))
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("source"), col("c")))))
+            .as("m"))
+          .select(col("lang"),
+            size(col("m")).cast("long").as("n_sources"),
+            coalesce(element_at(col("m"), "src0"), lit(0L)).as("src0_docs"),
+            coalesce(element_at(col("m"), "src7"), lit(0L)).as("src7_docs"),
+            array_join(map_keys(col("m")), ",").as("sources_csv"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang,
+             |  count(DISTINCT source)::BIGINT AS n_sources,
+             |  coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0)::BIGINT
+             |    AS src0_docs,
+             |  coalesce(sum(CASE WHEN source = 'src7' THEN 1 END), 0)::BIGINT
+             |    AS src7_docs,
+             |  array_to_string(list_sort(list(DISTINCT source)), ',')
+             |    AS sources_csv
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // nested-struct shaping: per customer, the top-2 orders as an array
+    // of structs (collected, sorted desc by the struct's leading fields,
+    // sliced) then re-flattened — the denormalize/re-normalize round-trip
+    // document pipelines do when building nested training records
+    "q164_nested_struct_topn" -> Q(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+          .select(col("o_custkey"),
+            struct(floor(col("o_totalprice") * lit(1e6)).cast("long").as("price_micros"),
+              col("o_orderkey").as("okey")).as("rec"))
+        orders.groupBy(col("o_custkey"))
+          .agg(slice(reverse(array_sort(collect_list(col("rec")))), 1, 2).as("top2"))
+          .select(col("o_custkey"),
+            size(col("top2")).cast("long").as("n"),
+            col("top2").getItem(0).getField("okey").as("top1_key"),
+            col("top2").getItem(0).getField("price_micros").as("top1_micros"),
+            col("top2").getItem(1).getField("okey").as("top2_key"))
+          .filter(col("o_custkey") % 25 === 0)
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    floor(o_totalprice*1e6)::BIGINT AS pm,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY floor(o_totalprice*1e6) DESC, o_orderkey DESC) AS rn,
+             |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+             |  FROM orders)
+             |SELECT o_custkey, least(cnt, 2)::BIGINT AS n,
+             |  max(CASE WHEN rn = 1 THEN o_orderkey END)::BIGINT AS top1_key,
+             |  max(CASE WHEN rn = 1 THEN pm END)::BIGINT AS top1_micros,
+             |  max(CASE WHEN rn = 2 THEN o_orderkey END)::BIGINT AS top2_key
+             |FROM r WHERE o_custkey % 25 = 0
+             |GROUP BY o_custkey, cnt
+             |ORDER BY o_custkey""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -163,6 +163,35 @@ class Round5Spec extends AnyFunSuite {
     assert(state().toSeq == got.toSeq)
   }
 
+  test("streaming upsert: restart from checkpoint resumes, state complete") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert_restart").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val schema = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value").schema
+    def file(n: Int, rows: Seq[(Long, java.sql.Timestamp, Long, Double)]): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq.map(
+            r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4))), schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/src/f$n")
+    def run(): Unit = {
+      val st = spark.readStream.schema(schema)
+        .parquet(s"$base/src/*")
+      val q = graft.streaming.UpsertSink.start(st, s"$base/state",
+        s"$base/ckpt", "user_id", "ts", "event_id", Seq("value"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    file(1, Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (2L, ts("2024-01-01 00:00:00"), 2L, 2.0)))
+    run() // first lifetime: processes f1, then "crashes" (stop)
+    file(2, Seq((1L, ts("2024-01-02 00:00:00"), 3L, 9.0))) // newer for user 1
+    run() // second lifetime: SAME checkpoint — must only process f2
+    val got = graft.streaming.UpsertSink.currentState(spark, s"$base/state")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 9.0), (2L, 2L, 2.0)))
+  }
+
   test("incremental MV merge equals full recompute") {
     val base = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "n", "s")
     val delta = Seq(("a", 3L, 30L), ("c", 1L, 5L)).toDF("k", "n", "s")
