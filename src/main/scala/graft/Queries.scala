@@ -4925,7 +4925,82 @@ object Queries {
              |  max(CASE WHEN rn = 2 THEN o_orderkey END)::BIGINT AS top2_key
              |FROM r WHERE o_custkey % 25 = 0
              |GROUP BY o_custkey, cnt
-             |ORDER BY o_custkey""".stripMargin)))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // key-skew diagnostic: per-key frequency moments for a join key —
+    // max/avg ratio in ppm plus the hot-key list, the report that decides
+    // whether a join needs salting (q47) or AQE skew handling
+    "q165_skew_report" -> Q(
+      (s, d) => {
+        val freq = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("key"))
+          .agg(count(lit(1)).as("c"))
+        val stats = freq.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"))
+        val top = freq.orderBy(col("c").desc, col("key")).limit(3)
+          .agg(array_join(collect_list(col("key")), ",").as("hot_keys"))
+        stats.crossJoin(top)
+          .select(col("n_keys"), col("n_rows"), col("max_c"),
+            expr("(max_c * n_keys * 1000000) div n_rows").as("skew_ratio_ppm"),
+            col("hot_keys"))
+      },
+      Some("""WITH f AS (SELECT l_suppkey AS key, count(*)::BIGINT AS c
+             |  FROM lineitem GROUP BY 1),
+             |s AS (SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+             |    max(c)::BIGINT AS max_c FROM f),
+             |t AS (SELECT array_to_string(list(key ORDER BY c DESC, key), ',')
+             |    AS hot_keys
+             |  FROM (SELECT key, c FROM f ORDER BY c DESC, key LIMIT 3))
+             |SELECT n_keys, n_rows, max_c,
+             |  ((max_c * n_keys * 1000000) // n_rows)::BIGINT AS skew_ratio_ppm,
+             |  hot_keys
+             |FROM s, t""".stripMargin)),
+
+    // explode_outer (null-preserving flatten): rows with EMPTY arrays
+    // survive as a null element — the left-join semantics of explode
+    // that plain explode silently drops
+    "q166_explode_outer" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 30)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, array().cast("array<string>"))
+              .otherwise(F.tokens(col("text"))).as("arr"))
+        docs.select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("tok")).as("n_tokens"),
+            sum(when(col("tok").isNull, 1L).otherwise(0L)).as("n_null_rows"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  (CASE WHEN doc_id % 3 = 0 THEN 1
+             |    ELSE len(string_split(trim(text), ' ')) END)::BIGINT AS n_rows,
+             |  (CASE WHEN doc_id % 3 = 0 THEN 0
+             |    ELSE len(string_split(trim(text), ' ')) END)::BIGINT AS n_tokens,
+             |  (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_null_rows
+             |FROM documents WHERE doc_id < 30
+             |ORDER BY doc_id""".stripMargin)),
+
+    // explicit CROSS JOIN (bounded dimension matrix): every region pair —
+    // the one join type the catalog never exercises on purpose elsewhere
+    "q167_cross_join_matrix" -> Q(
+      (s, d) => {
+        val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        val a = r.select(col("r_regionkey").as("ka"), col("r_name").as("na"))
+        val b = r.select(col("r_regionkey").as("kb"), col("r_name").as("nb"))
+        a.crossJoin(b)
+          .filter(col("ka") < col("kb"))
+          .select(concat(col("na"), lit("-"), col("nb")).as("pair"),
+            (col("ka") * 10 + col("kb")).as("pair_code"))
+          .orderBy(col("pair_code"))
+      },
+      Some("""SELECT a.r_name || '-' || b.r_name AS pair,
+             |  (a.r_regionkey * 10 + b.r_regionkey)::BIGINT AS pair_code
+             |FROM region a CROSS JOIN region b
+             |WHERE a.r_regionkey < b.r_regionkey
+             |ORDER BY pair_code""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
