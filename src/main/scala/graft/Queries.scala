@@ -5000,7 +5000,65 @@ object Queries {
              |  (a.r_regionkey * 10 + b.r_regionkey)::BIGINT AS pair_code
              |FROM region a CROSS JOIN region b
              |WHERE a.r_regionkey < b.r_regionkey
-             |ORDER BY pair_code""".stripMargin)))
+             |ORDER BY pair_code""".stripMargin)),
+
+    // scalar correlated subqueries in the SELECT list (count + max per
+    // outer row) — a decorrelation path distinct from the WHERE-clause
+    // forms (q14/q38): Spark rewrites each to an aggregate + outer join
+    "q168_scalar_subquery_select" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q168_customer")
+        t(s, d, "orders").createOrReplaceTempView("q168_orders")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT count(*) FROM q168_orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                |  (SELECT CAST(floor(max(o_totalprice) * 1e6) AS BIGINT)
+                |   FROM q168_orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS max_price_micros
+                |FROM q168_customer c
+                |WHERE c_custkey % 20 = 0
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey)::BIGINT AS n_orders,
+             |  (SELECT floor(max(o_totalprice) * 1e6)::BIGINT FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS max_price_micros
+             |FROM customer c
+             |WHERE c_custkey % 20 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // NOT IN with a NULL in the subquery — the three-valued-logic trap:
+    // one NULL makes NOT IN never-true (every comparison is UNKNOWN),
+    // while NOT EXISTS on the same data still matches. Both results
+    // emitted side by side
+    "q169_not_in_null_trap" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q169_orders")
+        t(s, d, "customer").createOrReplaceTempView("q169_customer")
+        s.sql("""SELECT
+                |  (SELECT count(*) FROM q169_orders WHERE o_custkey NOT IN
+                |    (SELECT CASE WHEN c_custkey = 5 THEN CAST(NULL AS BIGINT)
+                |       ELSE c_custkey END FROM q169_customer)) AS not_in_with_null,
+                |  (SELECT count(*) FROM q169_orders o WHERE NOT EXISTS
+                |    (SELECT 1 FROM q169_customer c
+                |     WHERE (CASE WHEN c_custkey = 5 THEN CAST(NULL AS BIGINT)
+                |       ELSE c_custkey END) = o.o_custkey)) AS not_exists_same,
+                |  (SELECT count(*) FROM q169_orders WHERE o_custkey NOT IN
+                |    (SELECT c_custkey FROM q169_customer WHERE c_custkey < 100))
+                |    AS not_in_clean""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             |    (SELECT CASE WHEN c_custkey = 5 THEN NULL::BIGINT
+             |       ELSE c_custkey END FROM customer))::BIGINT AS not_in_with_null,
+             |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |    (SELECT 1 FROM customer c
+             |     WHERE (CASE WHEN c_custkey = 5 THEN NULL::BIGINT
+             |       ELSE c_custkey END) = o.o_custkey))::BIGINT AS not_exists_same,
+             |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             |    (SELECT c_custkey FROM customer WHERE c_custkey < 100))::BIGINT
+             |    AS not_in_clean""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
