@@ -574,9 +574,14 @@ object Dedup {
         col("doc_id"), col("g"),
         row_number().over(w.orderBy(col("df"), col("g"))).as("rk"),
         count(lit(1)).over(w).as("n"))
+    // materialize once: the prefix table feeds BOTH sides of the
+    // self-join below, and its lineage (gram explode + df join + two
+    // windows) would otherwise execute twice when exchange reuse doesn't
+    // line up — same rationale as minhashLsh's signature checkpoint
     val prefix = ordered
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("g"), col("rk"), col("n"))
+      .localCheckpoint()
     val a = prefix.as("a")
     val b = prefix.as("b")
     // positional filter (the bound that makes this PPJoin, not just
