@@ -5058,7 +5058,128 @@ object Queries {
              |       ELSE c_custkey END) = o.o_custkey))::BIGINT AS not_exists_same,
              |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
              |    (SELECT c_custkey FROM customer WHERE c_custkey < 100))::BIGINT
-             |    AS not_in_clean""".stripMargin)))
+             |    AS not_in_clean""".stripMargin)),
+
+    // interval coverage merge: events padded to ±2-minute intervals,
+    // overlapping intervals merged per user via the running-max-end
+    // island rule — per-user span count and covered milliseconds (the
+    // classic overlapping-interval consolidation)
+    "q170_interval_merge" -> Q(
+      (s, d) => {
+        val pad = 120000L
+        val iv = t(s, d, "events").filter(col("user_id") < 100)
+          .select(col("user_id"),
+            (unix_millis(col("ts")) - pad).as("s"),
+            (unix_millis(col("ts")) + pad).as("e"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+        val marked = iv
+          .withColumn("prev_max_e",
+            max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_span",
+            when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+              .otherwise(0L))
+          .withColumn("span_id",
+            sum(col("new_span")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        marked.groupBy(col("user_id"), col("span_id"))
+          .agg(min(col("s")).as("span_s"), max(col("e")).as("span_e"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_e") - col("span_s")).as("covered_ms"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, epoch_ms(ts) - 120000 AS s, epoch_ms(ts) + 120000 AS e
+             |  FROM events WHERE user_id < 100),
+             |m AS (
+             |  SELECT user_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+             |  FROM iv),
+             |f AS (
+             |  SELECT user_id, s, e,
+             |    CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+             |      AS new_span
+             |  FROM m),
+             |g AS (
+             |  SELECT user_id, s, e,
+             |    sum(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM f),
+             |sp AS (
+             |  SELECT user_id, span_id, min(s) AS span_s, max(e) AS span_e
+             |  FROM g GROUP BY user_id, span_id)
+             |SELECT user_id, count(*)::BIGINT AS n_spans,
+             |  sum(span_e - span_s)::BIGINT AS covered_ms
+             |FROM sp GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // keep-BEST dedup survivor selection: near-dup groups resolved, then
+    // each group's survivor chosen by the q83 quality logit (ties to the
+    // lower id) instead of blindly keeping the minimum id — the policy a
+    // curation pipeline actually wants
+    "q171_dedup_keep_best" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quality = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+            Seq("n_tokens" -> 0.02, "mean_token_len" -> 0.3,
+              "punct_ratio" -> -20.0, "stopword_ratio" -> 4.0),
+            intercept = -2.5)
+          .select(col("doc_id"), col("logit_micros"))
+        val canon = Dedup.resolveDuplicateGroups(lshResolvePairs(s, d))
+        val member = canon.join(quality, "doc_id")
+        val w = Window.partitionBy(col("canonical_id"))
+          .orderBy(col("logit_micros").desc, col("doc_id"))
+        member.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("canonical_id").as("group_id"),
+            col("doc_id").as("best_doc"), col("logit_micros"))
+          .orderBy(col("group_id"))
+      },
+      Some(s"""$duckMinhashCtes,
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |      round(len([i for i in range(1, ${minhashSeeds + 1})
+              |        if a.sig[i] = b2.sig[i]])::DOUBLE / $minhashSeeds, 6) AS ej
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+              |  WHERE ej >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM cand
+              |  UNION SELECT doc_b, doc_a FROM cand),
+              |vnodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+              |reach(doc_id, r) AS (
+              |  SELECT doc_id, doc_id FROM vnodes
+              |  UNION
+              |  SELECT reach.doc_id, edges.v FROM reach
+              |    JOIN edges ON reach.r = edges.u),
+              |canon AS (
+              |  SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+              |qtoks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+              |  FROM documents),
+              |feat AS (SELECT doc_id,
+              |  len(t)::BIGINT AS n_tokens,
+              |  floor(1e6 * (list_sum([length(x) for x in t])::DOUBLE / len(t)))::BIGINT
+              |    AS mtl_ppm,
+              |  floor(1e6 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+              |    / length(text)))::BIGINT AS pr_ppm,
+              |  floor(1e6 * (len(list_filter(t, x -> list_contains(
+              |    ['the','a','of','and','to','in','is'], x)))::DOUBLE / len(t)))::BIGINT
+              |    AS swr_ppm
+              |  FROM qtoks),
+              |lg AS (SELECT doc_id,
+              |  floor((-2.5::DOUBLE + 0.02::DOUBLE * n_tokens::DOUBLE
+              |    + 0.3::DOUBLE * (mtl_ppm::DOUBLE / 1e6) + -20.0::DOUBLE * (pr_ppm::DOUBLE / 1e6)
+              |    + 4.0::DOUBLE * (swr_ppm::DOUBLE / 1e6)) * 1e6)::BIGINT AS logit_micros
+              |  FROM feat),
+              |mem AS (SELECT canon.doc_id, canonical_id, logit_micros,
+              |    row_number() OVER (PARTITION BY canonical_id
+              |      ORDER BY logit_micros DESC, canon.doc_id) AS rn
+              |  FROM canon JOIN lg ON canon.doc_id = lg.doc_id)
+              |SELECT canonical_id AS group_id, doc_id AS best_doc, logit_micros
+              |FROM mem WHERE rn = 1
+              |ORDER BY group_id""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE "))))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
