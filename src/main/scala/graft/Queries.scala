@@ -5179,7 +5179,75 @@ object Queries {
               |SELECT canonical_id AS group_id, doc_id AS best_doc, logit_micros
               |FROM mem WHERE rn = 1
               |ORDER BY group_id""".stripMargin
-        .replaceFirst("^WITH ", "WITH RECURSIVE "))))
+        .replaceFirst("^WITH ", "WITH RECURSIVE "))),
+
+    // sparse TF-IDF cosine similarity on LSH candidate pairs — the
+    // SPARSE-vector similarity (term-wise join, no dense materialization)
+    // complementing the dense embedding cosine ops. Weights are rational
+    // tf-idf floored to milli-units, so dots and norms are exact integer
+    // sums (order-free) and the cosine is one identical IEEE tree
+    "q172_sparse_tfidf_cosine" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = TextAnalysis
+          .tfIdf(docs, "doc_id", "text", rationalIdf = true)
+          .select(col("doc_id"), col("term"),
+            floor(col("tfidf") * lit(1e3)).cast("long").as("wm"))
+        val norms = w.groupBy(col("doc_id"))
+          .agg(sum(col("wm") * col("wm")).as("nsq"))
+        val cands = Dedup
+          .minhashLsh(docs, "doc_id", "text",
+            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+          .select(col("doc_a"), col("doc_b"))
+        val dots = cands
+          .join(w.select(col("doc_id").as("doc_a"), col("term"),
+            col("wm").as("wa")), Seq("doc_a"))
+          .join(w.select(col("doc_id").as("doc_b"), col("term"),
+            col("wm").as("wb")), Seq("doc_b", "term"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("doc_a"), col("nsq").as("na")), "doc_a")
+          .join(norms.select(col("doc_id").as("doc_b"), col("nsq").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            floor(lit(1e6) * (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+              .cast("long").as("cos_ppm"))
+          .orderBy(col("cos_ppm").desc, col("doc_a"), col("doc_b"))
+          .limit(50)
+      },
+      Some(s"""$duckMinhashCtes,
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)),
+              |tk2 AS (
+              |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+              |  FROM documents),
+              |tf2 AS (SELECT doc_id, term, count(*) AS tf FROM tk2 GROUP BY 1, 2),
+              |df2 AS (SELECT term, count(*) AS dfq FROM tf2 GROUP BY 1),
+              |nd AS (SELECT count(*) AS n_docs FROM documents),
+              |wts AS (
+              |  SELECT doc_id, term,
+              |    floor(round(tf * ((n_docs + 1)::DOUBLE / (dfq + 1)), 6)
+              |      * 1e3)::BIGINT AS wm
+              |  FROM tf2 JOIN df2 USING (term) CROSS JOIN nd),
+              |nrm AS (SELECT doc_id, sum(wm * wm)::BIGINT AS nsq
+              |  FROM wts GROUP BY doc_id),
+              |dots AS (
+              |  SELECT c.doc_a, c.doc_b, sum(wa.wm * wb.wm)::BIGINT AS dot
+              |  FROM cand c
+              |  JOIN wts wa ON wa.doc_id = c.doc_a
+              |  JOIN wts wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+              |  GROUP BY c.doc_a, c.doc_b)
+              |SELECT doc_a, doc_b,
+              |  floor(1e6 * (dot::DOUBLE /
+              |    (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE))))::BIGINT AS cos_ppm
+              |FROM dots
+              |JOIN nrm na ON na.doc_id = dots.doc_a
+              |JOIN nrm nb ON nb.doc_id = dots.doc_b
+              |ORDER BY cos_ppm DESC, doc_a, doc_b LIMIT 50""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
