@@ -107,7 +107,9 @@ object Bench {
     // adaptive precision: if the catalog grows the map past the tail
     // budget at centiseconds, fall back to deciseconds — a parsed
     // low-precision line beats an unparseable precise one
-    val qs = Seq(2, 1).map(qsAt).find(_.length <= 1750).getOrElse(qsAt(0))
+    // budget: 2,000-char tail − ~87 chars of fixed JSON − ~80-char sbt
+    // footer ⇒ the map may use ~1,830
+    val qs = Seq(2, 1).map(qsAt).find(_.length <= 1820).getOrElse(qsAt(0))
     // numeric sf when the dir encodes one ("…/sf0.1"); else the full path
     val sfJson =
       try sfDir.replaceAll(".*sf", "").toDouble.toString
