@@ -136,4 +136,71 @@ class PropertySpec extends AnyFunSuite {
       assert(C.sniff(C.encodeAvi(w, h, frames)).contains("avi"))
     }
   }
+
+  test("property: stratifiedSample quota is exact floor(n_g * ppm / 1e6) per stratum") {
+    val gen = for {
+      nGroups <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nGroups, Gen.choose(1, 60))
+      ppm <- Gen.oneOf(0L, 100000L, 250000L, 333333L, 500000L, 1000000L)
+    } yield (sizes, ppm)
+    cases(gen, 8).foreach { case (sizes, ppm) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (g.toLong * 1000 + i, s"g$g"))
+      }
+      val df = rows.toDF("id", "stratum")
+      val got = graft.operators.Sampling
+        .stratifiedSample(df, "id", "stratum", ppm)
+        .groupBy("stratum").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.zipWithIndex.foreach { case (n, g) =>
+        val want = n.toLong * ppm / 1000000L
+        assert(got.getOrElse(s"g$g", 0L) == want,
+          s"stratum g$g: n=$n ppm=$ppm want=$want got=${got.get(s"g$g")}")
+      }
+    }
+  }
+
+  test("property: pagerank conserves structure on symmetric graphs") {
+    // on a vertex-transitive graph (a cycle), every node must get the
+    // SAME rank, and every rank is >= the teleport floor
+    val gen = Gen.choose(3, 12)
+    cases(gen, 5).foreach { n =>
+      val edges = (0L until n.toLong).flatMap(i =>
+        Seq((i, (i + 1) % n), ((i + 1) % n, i))).toDF("src", "dst")
+      val ranks = graft.operators.Graph.pagerank(edges, iterations = 3)
+        .collect().map(_.getLong(1))
+      assert(ranks.length == n)
+      assert(ranks.toSet.size == 1, s"cycle ranks unequal: ${ranks.toSeq}")
+      assert(ranks.head >= 150000L)
+    }
+  }
+
+  test("property: scd2Apply conserves rows (v1 rows + upserts) and id coverage") {
+    val gen = for {
+      nSnap <- Gen.choose(1, 20)
+      ops <- Gen.listOfN(nSnap, Gen.oneOf("none", "upsert", "delete"))
+      nIns <- Gen.choose(0, 5)
+    } yield (nSnap, ops, nIns)
+    cases(gen, 6).foreach { case (nSnap, ops, nIns) =>
+      val snap = (0 until nSnap).map(i => (i.toLong, i.toLong * 10)).toDF("id", "bal")
+      val changes =
+        ops.zipWithIndex.collect {
+          case (op, i) if op != "none" => (i.toLong, op, 999L)
+        } ++ (0 until nIns).map(i => (1000L + i, "upsert", 5L))
+      if (changes.nonEmpty) {
+        val out = graft.operators.Cdc
+          .scd2Apply(snap, changes.toDF("id", "op", "bal"), "id", Seq("bal"))
+        val nUpserts = changes.count(_._2 == "upsert")
+        assert(out.count() == nSnap.toLong + nUpserts)
+        // current rows: one per surviving id
+        val current = out.filter($"is_current").select("id")
+          .collect().map(_.getLong(0)).toSet
+        val deleted = ops.zipWithIndex.collect {
+          case ("delete", i) => i.toLong }.toSet
+        val expected = (0 until nSnap).map(_.toLong).toSet -- deleted ++
+          (0 until nIns).map(i => 1000L + i).toSet
+        assert(current == expected)
+      }
+    }
+  }
 }
