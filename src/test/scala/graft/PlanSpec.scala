@@ -257,6 +257,31 @@ class PlanSpec extends AnyFunSuite {
       s"attribution must not fall back to nested-loop:\n$p")
   }
 
+  test("five-table star join broadcasts every dimension (no big-side shuffle joins)") {
+    val p = plan("q144_volume_shipping")
+    // nation (x2), supplier, customer are all dimension-sized: every join
+    // should be broadcast; a SortMergeJoin would mean a fact-side shuffle
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+  }
+
+  test("sparse tf-idf cosine joins on keys (scalar-stat broadcasts excepted)") {
+    val p = plan("q172_sparse_tfidf_cosine")
+    // tfIdf broadcasts its 1-row corpus-size frame as a Cross — fine;
+    // what must never appear is a non-broadcast cartesian or a keyless
+    // join of the two TERM tables
+    assert(!p.contains("CartesianProduct"), s"cartesian in sparse cosine:\n$p")
+    assert(p.contains("BroadcastHashJoin [doc_b") || p.contains("SortMergeJoin [doc_b"),
+      s"pair-term join is not keyed:\n$p")
+  }
+
+  test("interval merge is windows over user partitions, no self-join") {
+    val p = plan("q170_interval_merge")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval merge must be pure windows (no join at all):\n$p")
+  }
+
   test("join hints force their strategies (broadcast / merge / shuffle-hash)") {
     graft.core.Engine.table(spark, sf, "orders")
       .createOrReplaceTempView("planspec_orders")
