@@ -5247,7 +5247,45 @@ object Queries {
               |FROM dots
               |JOIN nrm na ON na.doc_id = dots.doc_a
               |JOIN nrm nb ON nb.doc_id = dots.doc_b
-              |ORDER BY cos_ppm DESC, doc_a, doc_b LIMIT 50""".stripMargin)))
+              |ORDER BY cos_ppm DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
+
+    // Misra–Gries heavy hitters via a native TypedImperativeAggregate:
+    // at most k=64 counters per partial buffer, DETERMINISTIC guarantees
+    // (any item with count > N/65 present; estimates undercount by at
+    // most N/65). The candidate SET is processing-order-dependent, so
+    // only the order-independent guarantees are hash-gated: the exact
+    // top-5 (oracled) must be in the sketch with bounded estimates
+    "q173_heavy_hitters_mg" -> Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(F.tokens(col("text"))).as("tok"))
+        val sketch = toks.agg(F.misraGries(col("tok"), 64).as("sk"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val w = Window.orderBy(col("n").desc, col("tok"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+        val est = element_at(
+          filter(col("sk"), e => e.getField("term") === col("tok")), 1)
+          .getField("est")
+        exact.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+          .select(col("rank"), col("tok").as("term"), col("n"),
+            exists(col("sk"), e => e.getField("term") === col("tok"))
+              .as("in_sketch"),
+            (est <= col("n") &&
+              est >= col("n") - expr("(n_total div 65)") - 1)
+              .as("est_within_bounds"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |e AS (SELECT tok, count(*)::BIGINT AS n FROM t GROUP BY tok),
+             |r AS (SELECT tok AS term, n,
+             |    row_number() OVER (ORDER BY n DESC, tok)::BIGINT AS rank
+             |  FROM e)
+             |SELECT rank, term, n, true AS in_sketch, true AS est_within_bounds
+             |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -31,7 +31,17 @@ object Functions {
         require(exprs(1).foldable, "word_shingles(text, n): n must be a literal")
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       })
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "misra_gries", { exprs =>
+        require(exprs(1).foldable, "misra_gries(col, k): k must be a literal")
+        MisraGries(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      })
   }
+
+  /** Misra–Gries heavy-hitters sketch aggregate (see [[MisraGries]]). */
+  def misraGries(c: Column, k: Int): Column =
+    column(MisraGries(expression(c), k).toAggregateExpression())
 
   /** Hive `field(v, v1, v2, ...)` as a Column (see [[FieldIndex]]). */
   def field(cols: Column*): Column = column(FieldIndex(cols.map(expression)))

@@ -192,6 +192,28 @@ class Round5Spec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 9.0), (2L, 2L, 2.0)))
   }
 
+  test("misra-gries: exact when distinct <= k; heavy hitter guaranteed under skew") {
+    import org.apache.spark.sql.functions._
+    // distinct <= k: the sketch IS the exact count table
+    val small = Seq("a", "a", "b", "a", "c", "b").toDF("t").repartition(3)
+    val sk1 = small.agg(graft.functions.Functions.misraGries(col("t"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk1 == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // planted skew with k=2 over many distinct: the majority item must
+    // survive (count 500 > N/(k+1) = 1000/3) with est undercounting by
+    // at most N/(k+1), regardless of partitioning/order
+    val rows = (0 until 500).map(_ => "hot") ++ (0 until 500).map(i => s"cold$i")
+    val df = rows.toDF("t").repartition(7)
+    val sk2 = df.agg(graft.functions.Functions.misraGries(col("t"), 2).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk2.contains("hot"), s"majority item evicted: $sk2")
+    assert(sk2("hot") <= 500L && sk2("hot") >= 500L - 1000L / 3 - 1)
+  }
+
   test("incremental MV merge equals full recompute") {
     val base = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "n", "s")
     val delta = Seq(("a", 3L, 30L), ("c", 1L, 5L)).toDF("k", "n", "s")
