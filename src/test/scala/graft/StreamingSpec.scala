@@ -268,6 +268,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(u7.head.n_events == 2 && u7.head.total_value == 3.0)
   }
 
+  test("sessionize: state store survives a query restart (open session emitted after resume)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sessionize_restart").toString
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
+    def writeFile(n: Int, evs: Seq[EventStreams.Event]): Unit =
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(s"$base/src/f$n")
+    val schema = Seq(ev(0, "2024-01-01 00:00:00", 0, 0.0)).toDS().schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$base/src/*")
+        .withWatermark("ts", "0 seconds").as[EventStreams.Event]
+      val q = EventStreams.sessionize(src, gapMillis = 30L * 60 * 1000,
+          flushOpen = false, eventTimeTimeout = true)
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", s"$base/out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // lifetime 1: user 7's open session enters the state store, then the
+    // query "crashes" (stop). Nothing is emitted yet.
+    writeFile(1, Seq(
+      ev(1, "2024-01-01 10:00:00", 7, 1.0),
+      ev(2, "2024-01-01 10:10:00", 7, 2.0),
+      ev(3, "2024-01-01 13:00:00", 8, 4.0))) // watermark past 10:10+30min
+    runOnce()
+    // lifetime 2: a NEW query on the same checkpoint sees only the new
+    // file; the timeout for user 7 can only fire if lifetime 1's state
+    // was recovered from the state store
+    writeFile(2, Seq(ev(4, "2024-01-01 13:05:00", 8, 4.0)))
+    runOnce()
+    val out = spark.read.parquet(s"$base/out").as[EventStreams.SessionSummary]
+      .collect().filter(_.user_id == 7L)
+    assert(out.length == 1,
+      s"user 7's session must be emitted after restart, got ${out.toSeq}")
+    assert(out.head.n_events == 2 && out.head.total_value == 3.0)
+  }
+
   test("sessionize: explicit state splits on gap, aggregates in order") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
