@@ -90,6 +90,33 @@ class Round5Spec extends AnyFunSuite {
     assert(none.filesScanned == 0L && none.df.count() == 0L)
   }
 
+  test("z-order + zone map: file pruning works on BOTH clustered dimensions") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder_zm").toString + "/t"
+    // two independent uniform dimensions; z-order clusters on both
+    val df = (0L until 4096L)
+      .map(i => (i, (i * 2654435761L) % 4096L))
+      .toDF("a", "b")
+    graft.operators.Layout.zorderWrite(df, "a", "b", dir, numFiles = 16, bits = 12)
+    val statsA = graft.operators.ZoneMap.buildStats(spark, dir, "a")
+    val statsB = graft.operators.ZoneMap.buildStats(spark, dir, "b")
+    val scanA = graft.operators.ZoneMap.prunedRead(spark, dir, "a", statsA, 0L, 255L)
+    val scanB = graft.operators.ZoneMap.prunedRead(spark, dir, "b", statsB, 0L, 255L)
+    // a narrow range on EITHER dimension must skip files — the whole
+    // point of the 2-d clustering (a linear sort would prune on one only)
+    assert(scanA.filesTotal >= 8L)
+    assert(scanA.filesScanned < scanA.filesTotal,
+      s"dimension a not pruned: ${scanA.filesScanned}/${scanA.filesTotal}")
+    assert(scanB.filesScanned < scanB.filesTotal,
+      s"dimension b not pruned: ${scanB.filesScanned}/${scanB.filesTotal}")
+    // exactness: pruned read equals plain filter on both dimensions
+    assert(scanA.df.count() ==
+      spark.read.parquet(dir).filter(col("a").between(0, 255)).count())
+    assert(scanB.df.count() ==
+      spark.read.parquet(dir).filter(col("b").between(0, 255)).count())
+  }
+
   test("scd2: update closes v1 and opens v2, delete closes, insert opens") {
     val snap = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "bal")
     val changes = Seq(
