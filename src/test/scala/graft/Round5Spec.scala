@@ -219,6 +219,18 @@ class Round5Spec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 9.0), (2L, 2L, 2.0)))
   }
 
+  test("misra-gries: SQL-registered name aggregates through spark.sql") {
+    import org.apache.spark.sql.functions._
+    graft.core.Engine.attach(spark)
+    Seq("x", "x", "y").toDF("t").createOrReplaceTempView("mg_sql_spec")
+    val out = spark
+      .sql("SELECT misra_gries(t, 4) AS sk FROM mg_sql_spec")
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("misra-gries: exact when distinct <= k; heavy hitter guaranteed under skew") {
     import org.apache.spark.sql.functions._
     // distinct <= k: the sketch IS the exact count table
