@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must go straight to this process's stdout, NOT
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// and the bench harness machine-parses our one JSON stdout line — a
+// prefixed line is not valid JSON and the round's numbers are lost.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

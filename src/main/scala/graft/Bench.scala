@@ -98,18 +98,34 @@ object Bench {
       val p = name.split("_")(0)
       if (p.startsWith("q")) "q" + p.drop(1).dropWhile(_ == '0') else p.take(4)
     }
+    // the machine-parsed line would silently lose a timing if two catalog
+    // names collapsed to one short key — fall back to full names (the
+    // detail file is always complete either way)
+    val keyOf: String => String =
+      if (all.map(k => shortKey(k._1)).distinct.size == all.size) shortKey
+      else identity
     def fmt(v: Double, scale: Int): String =
       if (v < 0) "-1"
-      else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    def qsAt(scale: Int): String = all
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, scale) }
+      else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString  // "2.0" -> "2"
+    def qsAt(scale: Int, entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v, scale) }
       .mkString("{", ",", "}")
     // adaptive precision: if the catalog grows the map past the tail
     // budget at centiseconds, fall back to deciseconds — a parsed
-    // low-precision line beats an unparseable precise one
+    // low-precision line beats an unparseable precise one.
     // budget: 2,000-char tail − ~87 chars of fixed JSON − ~80-char sbt
-    // footer ⇒ the map may use ~1,830
-    val qs = Seq(2, 1).map(qsAt).find(_.length <= 1820).getOrElse(qsAt(0))
+    // footer ⇒ the map may use ~1,830. Last resort: only the slowest
+    // entries that fit (the rest are in BENCH_DETAIL.json) — an
+    // incomplete parsed map still beats an unparseable complete one.
+    val qs = Seq(2, 1, 0).map(qsAt(_, all)).find(_.length <= 1820)
+      .getOrElse {
+        val slowestFirst = all.sortBy(-_._2)
+        val keep = (all.size to 1 by -1).view
+          .map(n => qsAt(1, slowestFirst.take(n).sortBy(e => all.indexOf(e))))
+          .find(_.length <= 1800)
+        keep.getOrElse(qsAt(0, slowestFirst.take(40)))
+      }
     // numeric sf when the dir encodes one ("…/sf0.1"); else the full path
     val sfJson =
       try sfDir.replaceAll(".*sf", "").toDouble.toString

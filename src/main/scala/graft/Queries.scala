@@ -2802,10 +2802,16 @@ object Queries {
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
     // per-label prototype centroids: exact integer milli-sums, mean in
-    // micro-units — class prototypes / semantic-search seeds
+    // micro-units — class prototypes / semantic-search seeds. The
+    // centroid vector is emitted as a CSV string: the oracle harness
+    // hashes pandas frames, and array cells are unhashable there (the
+    // one r04 red) — a canonical scalar rendering carries the same bits.
     "q101_label_centroids" -> Q(
       (s, d) => {
         Similarity.labelCentroids(t(s, d, "embeddings"), "label", "embedding")
+          .select(col("label"), col("n_vectors"),
+            concat_ws(",", transform(col("centroid_micros"), _.cast("string")))
+              .as("centroid_csv"))
           .orderBy(col("label"))
       },
       Some("""WITH v AS (SELECT label,
@@ -2819,7 +2825,8 @@ object Queries {
              |    list(floor(1e3 * (s::DOUBLE / n::DOUBLE))::BIGINT ORDER BY dim)
              |      AS centroid_micros
              |  FROM g GROUP BY label)
-             |SELECT label, n_vectors, centroid_micros FROM c
+             |SELECT label, n_vectors,
+             |  array_to_string(centroid_micros, ',') AS centroid_csv FROM c
              |ORDER BY label""".stripMargin)),
 
     // cluster labeling via rational c-TF-IDF (BERTopic's labeling step,
@@ -5287,6 +5294,286 @@ object Queries {
              |SELECT rank, term, n, true AS in_sketch, true AS est_within_bounds
              |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin)))
 
+  /** Round-5 surface: the SQL-dialect features Spark 4 added or that the
+    * catalog exercised only through the DataFrame API — PIVOT/UNPIVOT
+    * clauses, GROUP BY ALL, WITH RECURSIVE, native session_window,
+    * fuzzy matching, URL parsing, TRY_CAST, bit/bool aggregates and
+    * interval arithmetic. */
+  private val roundFiveSurface: Seq[(String, Q)] = Seq(
+    // SQL PIVOT clause (the relational surface of q18's DataFrame pivot).
+    // Scale: pivot compiles to one hash aggregate with conditional
+    // partials — columns, not shuffles, grow with the IN list.
+    // coalesce(...,0): a (priority, status) combo absent at small SF must
+    // read 0 in both engines, not NULL in one.
+    "q174_sql_pivot" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q174_orders")
+        s.sql("""SELECT o_orderpriority,
+                |  coalesce(n_open, 0L) AS n_open,
+                |  coalesce(n_full, 0L) AS n_full,
+                |  coalesce(n_part, 0L) AS n_part
+                |FROM (SELECT o_orderpriority, o_orderstatus FROM q174_orders)
+                |PIVOT (count(*) FOR o_orderstatus
+                |  IN ('O' AS n_open, 'F' AS n_full, 'P' AS n_part))
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  coalesce(count(*) FILTER (o_orderstatus = 'O'), 0)::BIGINT AS n_open,
+             |  coalesce(count(*) FILTER (o_orderstatus = 'F'), 0)::BIGINT AS n_full,
+             |  coalesce(count(*) FILTER (o_orderstatus = 'P'), 0)::BIGINT AS n_part
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // SQL UNPIVOT clause (the inverse surface; q44's melt via SQL text).
+    // Scale: unpivot is a projection-side explode — no shuffle beyond
+    // the feeding aggregate.
+    "q175_sql_unpivot" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q175_orders")
+        s.sql("""SELECT o_orderpriority, metric, n
+                |FROM (SELECT o_orderpriority,
+                |    count(*) AS n_orders,
+                |    count(DISTINCT o_custkey) AS n_custs
+                |  FROM q175_orders GROUP BY o_orderpriority)
+                |UNPIVOT (n FOR metric IN (n_orders, n_custs))
+                |ORDER BY o_orderpriority, metric""".stripMargin)
+      },
+      Some("""WITH a AS (SELECT o_orderpriority,
+             |    count(*)::BIGINT AS n_orders,
+             |    count(DISTINCT o_custkey)::BIGINT AS n_custs
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS n FROM a
+             |UNION ALL
+             |SELECT o_orderpriority, 'n_custs' AS metric, n_custs AS n FROM a
+             |ORDER BY o_orderpriority, metric""".stripMargin)),
+
+    // GROUP BY ALL (both dialects share it verbatim) — the analyst
+    // shorthand; proves Spark infers the same grouping set.
+    "q176_group_by_all" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q176_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                |FROM q176_lineitem GROUP BY ALL
+                |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+             |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+             |FROM lineitem GROUP BY ALL
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // WITH RECURSIVE (Spark 4's UnionLoop): gap-filled daily spine from
+    // the data's own bounds, left-joined to per-day counts — the same
+    // shape q112 builds with sequence(), now as pure recursive SQL on
+    // BOTH engines. Scale: recursion depth = #days (bounded by the
+    // calendar, not the data); the per-day aggregate is the only
+    // data-sized pass.
+    "q177_recursive_cte" -> Q(
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("q177_events")
+        s.sql("""WITH RECURSIVE bounds AS (
+                |  SELECT min(unix_millis(ts) div 86400000) AS lo,
+                |    max(unix_millis(ts) div 86400000) AS hi
+                |  FROM q177_events),
+                |spine(day) AS (
+                |  SELECT lo FROM bounds
+                |  UNION ALL
+                |  SELECT day + 1 FROM spine, bounds WHERE day < hi),
+                |perday AS (
+                |  SELECT unix_millis(ts) div 86400000 AS day, count(*) AS n
+                |  FROM q177_events GROUP BY 1)
+                |SELECT s.day, coalesce(p.n, 0L) AS n_events
+                |FROM spine s LEFT JOIN perday p ON s.day = p.day
+                |ORDER BY s.day""".stripMargin)
+      },
+      Some("""WITH RECURSIVE bounds AS (
+             |  SELECT min(epoch_ms(ts) // 86400000) AS lo,
+             |    max(epoch_ms(ts) // 86400000) AS hi
+             |  FROM events),
+             |spine(day) AS (
+             |  SELECT lo FROM bounds
+             |  UNION ALL
+             |  SELECT day + 1 FROM spine, bounds WHERE day < hi),
+             |perday AS (
+             |  SELECT epoch_ms(ts) // 86400000 AS day, count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1)
+             |SELECT s.day, coalesce(p.n, 0)::BIGINT AS n_events
+             |FROM spine s LEFT JOIN perday p ON s.day = p.day
+             |ORDER BY s.day""".stripMargin)),
+
+    // Spark's NATIVE session_window operator in batch (q54/q63 build
+    // sessions by hand; this is the SessionWindowing code path). Window
+    // end = last event + gap, so last_ms = end − gap. The islands oracle
+    // uses >= gap for "new session": Spark's windows are half-open
+    // [start, last+gap), so an event landing exactly at the boundary
+    // starts a NEW session.
+    "q178_session_window_batch" -> Q(
+      (s, d) => {
+        t(s, d, "events")
+          .filter(col("user_id") < 50)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            usum(col("value")).as("total_value_micros"))
+          .select(col("user_id"),
+            unix_millis(col("sw.start")).as("start_ms"),
+            (unix_millis(col("sw.end")) - lit(1800000L)).as("last_ms"),
+            col("n_events"), col("total_value_micros"))
+          .orderBy(col("user_id"), col("start_ms"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events WHERE user_id < 50
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, ts, value,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+             |  epoch_ms(max(ts)) AS last_ms, count(*)::BIGINT AS n_events,
+             |  sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
+             |FROM sessions GROUP BY user_id, sid
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
+    // levenshtein fuzzy matching: every distinct market segment scored
+    // against a canonical-label list (one deliberately misspelled) with
+    // per-segment best-match flag — the schema-reconciliation /
+    // dirty-label cleanup primitive. Scale: distinct-values × candidates
+    // is dimension-sized; never row-count-sized.
+    "q179_levenshtein_match" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q179_customer")
+        s.sql("""WITH segs AS (
+                |  SELECT DISTINCT c_mktsegment AS seg FROM q179_customer),
+                |cands AS (SELECT explode(array(
+                |  'AUTOMOBILE','BULDING','FURNITURE','MACHINE','HOUSEHOLD')) AS cand)
+                |SELECT seg, cand, CAST(levenshtein(seg, cand) AS BIGINT) AS dist,
+                |  levenshtein(seg, cand) =
+                |    min(levenshtein(seg, cand)) OVER (PARTITION BY seg) AS is_best
+                |FROM segs CROSS JOIN cands
+                |ORDER BY seg, cand""".stripMargin)
+      },
+      Some("""WITH segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+             |cands AS (SELECT unnest(
+             |  ['AUTOMOBILE','BULDING','FURNITURE','MACHINE','HOUSEHOLD']) AS cand)
+             |SELECT seg, cand, levenshtein(seg, cand)::BIGINT AS dist,
+             |  levenshtein(seg, cand) =
+             |    min(levenshtein(seg, cand)) OVER (PARTITION BY seg) AS is_best
+             |FROM segs CROSS JOIN cands
+             |ORDER BY seg, cand""".stripMargin)),
+
+    // parse_url battery over synthesized corpus URLs (host / path /
+    // query / single-param extraction — the web-corpus provenance
+    // columns every crawl pipeline materializes). Oracle re-derives each
+    // part with regexes from the Java/RE2 common subset.
+    "q180_parse_url" -> Q(
+      (s, d) => {
+        t(s, d, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            concat(lit("https://corp.example.com/"), col("source"),
+              lit("/doc/"), col("doc_id"), lit("?lang="), col("lang"),
+              lit("&v=2")).as("url"))
+          .select(col("doc_id"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY')").as("query"),
+            expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    'https://corp.example.com/' || source || '/doc/' || doc_id
+             |      || '?lang=' || lang || '&v=2' AS url
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT doc_id,
+             |  regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+             |  regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+             |  regexp_extract(url, '\?(.*)$', 1) AS query,
+             |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+             |FROM u ORDER BY doc_id""".stripMargin)),
+
+    // TRY_CAST malformed-input battery: a third of the rows numeric, a
+    // third prefixed-garbage, a third free text — counts and the sum of
+    // the parseable subset. The NULL-on-failure contract is the bulk
+    // ingest path (ansi=false casts row-by-row errors away; TRY_CAST is
+    // the explicit, ANSI-safe spelling).
+    "q181_try_cast" -> Q(
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q181_part")
+        s.sql("""WITH x AS (SELECT
+                |  CASE WHEN p_partkey % 3 = 0 THEN CAST(p_partkey AS STRING)
+                |       WHEN p_partkey % 3 = 1
+                |         THEN concat('x', CAST(p_partkey AS STRING))
+                |       ELSE p_name END AS sval
+                |  FROM q181_part)
+                |SELECT count(*) AS n_rows,
+                |  count(TRY_CAST(sval AS INT)) AS n_numeric,
+                |  sum(coalesce(TRY_CAST(sval AS INT), 0)) AS sum_numeric
+                |FROM x ORDER BY n_rows""".stripMargin)
+      },
+      Some("""WITH x AS (SELECT
+             |  CASE WHEN p_partkey % 3 = 0 THEN p_partkey::VARCHAR
+             |       WHEN p_partkey % 3 = 1 THEN 'x' || p_partkey::VARCHAR
+             |       ELSE p_name END AS sval
+             |  FROM part)
+             |SELECT count(*)::BIGINT AS n_rows,
+             |  count(TRY_CAST(sval AS INT))::BIGINT AS n_numeric,
+             |  sum(coalesce(TRY_CAST(sval AS INT), 0))::BIGINT AS sum_numeric
+             |FROM x ORDER BY n_rows""".stripMargin)),
+
+    // bitwise + boolean aggregate battery (bit_and/or/xor, bool_and/or)
+    // — flag-mask consolidation and predicate rollups; all five are
+    // order-independent, so map-side partials are exact at any scale.
+    "q182_bit_bool_aggs" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q182_orders")
+        s.sql("""SELECT o_orderpriority,
+                |  bit_and(o_custkey) AS band,
+                |  bit_or(o_custkey) AS bor,
+                |  bit_xor(o_custkey) AS bxor,
+                |  bool_and(o_totalprice > 0) AS all_pos,
+                |  bool_or(o_orderstatus = 'P') AS any_pending,
+                |  count(*) AS n
+                |FROM q182_orders GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  bit_and(o_custkey)::BIGINT AS band,
+             |  bit_or(o_custkey)::BIGINT AS bor,
+             |  bit_xor(o_custkey)::BIGINT AS bxor,
+             |  bool_and(o_totalprice > 0) AS all_pos,
+             |  bool_or(o_orderstatus = 'P') AS any_pending,
+             |  count(*)::BIGINT AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // date ± INTERVAL arithmetic battery: day offsets and clamped
+    // month addition per order-year. DuckDB's date+interval yields a
+    // timestamp — cast back to DATE; both engines clamp end-of-month.
+    "q183_interval_arith" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q183_orders")
+        s.sql("""SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
+                |  count(CASE WHEN o_orderdate + INTERVAL 90 DAY
+                |    > DATE '1997-01-01' THEN 1 END) AS n_due_after,
+                |  min(o_orderdate + INTERVAL 3 MONTH) AS min_due,
+                |  max(o_orderdate + INTERVAL 3 MONTH) AS max_due
+                |FROM q183_orders GROUP BY year(o_orderdate)
+                |ORDER BY yr""".stripMargin)
+      },
+      Some("""SELECT year(o_orderdate)::BIGINT AS yr, count(*)::BIGINT AS n_orders,
+             |  count(CASE WHEN o_orderdate + INTERVAL 90 DAY
+             |    > DATE '1997-01-01' THEN 1 END)::BIGINT AS n_due_after,
+             |  min((o_orderdate + INTERVAL 3 MONTH)::DATE) AS min_due,
+             |  max((o_orderdate + INTERVAL 3 MONTH)::DATE) AS max_due
+             |FROM orders GROUP BY year(o_orderdate)
+             |ORDER BY yr""".stripMargin)))
+
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
     * ==3 insert under a shifted key) through [[graft.operators.Cdc.scd2Apply]]. */
@@ -5337,5 +5624,6 @@ object Queries {
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
-      extendedSurface ++ roundFourSurface ++ analyticsSurface
+      extendedSurface ++ roundFourSurface ++ analyticsSurface ++
+      roundFiveSurface
 }

@@ -5,6 +5,7 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -38,6 +39,12 @@ case class MisraGries(
 
   require(k >= 1, s"misra_gries k must be >= 1, got $k")
 
+  // SQL-registered: misuse (non-string child) must fail at analysis, not
+  // as a runtime ClassCastException in update()'s UTF8String cast
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a STRING column, got ${child.dataType.simpleString}")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

@@ -15,7 +15,11 @@ object Quality {
   final case class RowCheck(name: String, violation: Column)
 
   /** All row-level checks in ONE scan: each check is a conditional
-    * count-aggregate, so adding a check adds a column, not a pass. */
+    * count-aggregate, so adding a check adds a column, not a pass. The
+    * single aggregate row is unpivoted to per-check rows with one
+    * `stack()` projection — a structural guarantee, not one that
+    * depends on the optimizer reusing an exchange across union
+    * branches. */
   def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
     val agg = df.agg(
@@ -23,11 +27,11 @@ object Quality {
       checks.tail.zipWithIndex.map { case (c, i) =>
         sum(when(c.violation, 1L).otherwise(0L)).as(s"c${i + 1}")
       }: _*)
-    checks.zipWithIndex.map { case (c, i) =>
-      agg.select(
-        lit(c.name).as("check_name"),
-        coalesce(col(s"c$i"), lit(0L)).as("n_violations"))
-    }.reduce(_ unionByName _)
+    val pairs = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c.name), coalesce(col(s"c$i"), lit(0L)))
+    }
+    agg.select(stack((lit(checks.size) +: pairs): _*)
+      .as(Seq("check_name", "n_violations")))
   }
 
   /** Uniqueness: violations = surplus rows beyond one per key

@@ -521,17 +521,6 @@ object Similarity {
             .cast("long")).as("centroid_micros"))
   }
 
-  /** Nearest-prototype classification report: assign every vector to the
-    * [[labelCentroids]] prototype with the highest cosine (ties to the
-    * lowest label) and score per-true-label accuracy — the quality gate
-    * for "are these embeddings separable by class", run before anyone
-    * trains on them. Cosine is the explicit
-    * `dot / (sqrt(n_a) * sqrt(n_b))` over exact-integer dots and norms —
-    * every step exactly rounded, so the ranking is engine-deterministic.
-    *
-    * Scale shape: prototypes are labels × dims (broadcast); the corpus
-    * is scored in one pass, ranked per vector over #labels rows, and
-    * reduced to one row per label. */
   /** Per-vector nearest-prototype assignment: (p_id, true_label,
     * proto_label, cos) with exactly one row per vector — the shared core
     * of [[prototypeReport]] (aggregated accuracy) and the label-noise
@@ -560,6 +549,17 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Nearest-prototype classification report: assign every vector to the
+    * [[labelCentroids]] prototype with the highest cosine (ties to the
+    * lowest label) and score per-true-label accuracy — the quality gate
+    * for "are these embeddings separable by class", run before anyone
+    * trains on them. Cosine is the explicit
+    * `dot / (sqrt(n_a) * sqrt(n_b))` over exact-integer dots and norms —
+    * every step exactly rounded, so the ranking is engine-deterministic.
+    *
+    * Scale shape: prototypes are labels × dims (broadcast); the corpus
+    * is scored in one pass, ranked per vector over #labels rows, and
+    * reduced to one row per label. */
   def prototypeReport(
       emb: DataFrame,
       idCol: String,

@@ -26,7 +26,13 @@ object UpsertSink {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter { s =>
+        // a version is readable only once its _SUCCESS marker landed —
+        // a crash mid-write leaves a partial v=N dir that must be
+        // invisible to both readers and the writer's prior-state lookup
+        s.isDirectory && s.getPath.getName.startsWith("v=") &&
+          fs.exists(new Path(s.getPath, "_SUCCESS"))
+      }
       .map(_.getPath.getName.stripPrefix("v=").toLong)
   }
 

@@ -16,6 +16,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("every result column is atomic — the oracle harness hashes pandas " +
+      "frames and array/map/struct cells are unhashable there (r04 q101 red)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = Queries.all.flatMap { case (name, q) =>
+      q.fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-atomic catalog output columns: ${offenders.mkString(", ")}")
+  }
+
   test("every query has an oracle — no rows-only entries left") {
     // q34 oracles through read_csv on its CTAS output, q43 through exact
     // counts + a tolerance predicate, q35 through the final-watermark
