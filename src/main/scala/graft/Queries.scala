@@ -5553,22 +5553,26 @@ object Queries {
              |ORDER BY o_orderpriority""".stripMargin)),
 
     // date ± INTERVAL arithmetic battery: day offsets and clamped
-    // month addition per order-year. DuckDB's date+interval yields a
-    // timestamp — cast back to DATE; both engines clamp end-of-month.
+    // month addition per order-year; both engines clamp end-of-month,
+    // and due dates surface as DATE on both sides. The oracle spells
+    // the 90-day check as a pre-shifted literal (ts + 90d > T ⟺
+    // ts > T − 90d): DuckDB 1.0's expression dedup confuses DISTINCT
+    // interval literals inside one aggregate (90 DAY vs 3 MONTH),
+    // silently computing min/max over the wrong addition.
     "q183_interval_arith" -> Q(
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("q183_orders")
         s.sql("""SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
                 |  count(CASE WHEN o_orderdate + INTERVAL 90 DAY
                 |    > DATE '1997-01-01' THEN 1 END) AS n_due_after,
-                |  min(o_orderdate + INTERVAL 3 MONTH) AS min_due,
-                |  max(o_orderdate + INTERVAL 3 MONTH) AS max_due
+                |  min(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)) AS min_due,
+                |  max(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)) AS max_due
                 |FROM q183_orders GROUP BY year(o_orderdate)
                 |ORDER BY yr""".stripMargin)
       },
       Some("""SELECT year(o_orderdate)::BIGINT AS yr, count(*)::BIGINT AS n_orders,
-             |  count(CASE WHEN o_orderdate + INTERVAL 90 DAY
-             |    > DATE '1997-01-01' THEN 1 END)::BIGINT AS n_due_after,
+             |  count(CASE WHEN o_orderdate > DATE '1996-10-03'
+             |    THEN 1 END)::BIGINT AS n_due_after,
              |  min((o_orderdate + INTERVAL 3 MONTH)::DATE) AS min_due,
              |  max((o_orderdate + INTERVAL 3 MONTH)::DATE) AS max_due
              |FROM orders GROUP BY year(o_orderdate)
