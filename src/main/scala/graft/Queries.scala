@@ -5371,20 +5371,27 @@ object Queries {
     "q177_recursive_cte" -> Q(
       (s, d) => {
         t(s, d, "events").createOrReplaceTempView("q177_events")
-        s.sql("""WITH RECURSIVE bounds AS (
-                |  SELECT min(unix_millis(ts) div 86400000) AS lo,
-                |    max(unix_millis(ts) div 86400000) AS hi
-                |  FROM q177_events),
-                |spine(day) AS (
-                |  SELECT lo FROM bounds
-                |  UNION ALL
-                |  SELECT day + 1 FROM spine, bounds WHERE day < hi),
-                |perday AS (
-                |  SELECT unix_millis(ts) div 86400000 AS day, count(*) AS n
-                |  FROM q177_events GROUP BY 1)
-                |SELECT s.day, coalesce(p.n, 0L) AS n_events
-                |FROM spine s LEFT JOIN perday p ON s.day = p.day
-                |ORDER BY s.day""".stripMargin)
+        // the spine bounds are fetched as two scalars FIRST: a bounds
+        // CTE referenced from the recursive step gets re-evaluated (a
+        // full events scan) on EVERY iteration — 30 re-scans for a
+        // 30-day spine. Two longs over the driver is the right trade at
+        // any scale; the recursion itself is then pure literal
+        // arithmetic, one tiny local job per day.
+        val b = s.sql(
+          """SELECT min(unix_millis(ts) div 86400000) AS lo,
+            |  max(unix_millis(ts) div 86400000) AS hi
+            |FROM q177_events""".stripMargin).collect()(0)
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        s.sql(s"""WITH RECURSIVE spine(day) AS (
+                 |  SELECT ${lo}L AS day
+                 |  UNION ALL
+                 |  SELECT day + 1 FROM spine WHERE day < ${hi}L),
+                 |perday AS (
+                 |  SELECT unix_millis(ts) div 86400000 AS day, count(*) AS n
+                 |  FROM q177_events GROUP BY 1)
+                 |SELECT s.day, coalesce(p.n, 0L) AS n_events
+                 |FROM spine s LEFT JOIN perday p ON s.day = p.day
+                 |ORDER BY s.day""".stripMargin)
       },
       Some("""WITH RECURSIVE bounds AS (
              |  SELECT min(epoch_ms(ts) // 86400000) AS lo,
@@ -5576,7 +5583,226 @@ object Queries {
              |  min((o_orderdate + INTERVAL 3 MONTH)::DATE) AS min_due,
              |  max((o_orderdate + INTERVAL 3 MONTH)::DATE) AS max_due
              |FROM orders GROUP BY year(o_orderdate)
-             |ORDER BY yr""".stripMargin)))
+             |ORDER BY yr""".stripMargin)),
+
+    // ORC round-trips across its codec matrix (q158 is the parquet twin)
+    // — identical checksums prove each compression IO path end-to-end.
+    "q184_orc_codecs" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_q184")
+        val src = t(s, d, "supplier")
+        Seq("snappy", "zlib", "zstd").map { codec =>
+          src.write.mode("overwrite").option("compression", codec)
+            .orc(s"$base/$codec")
+          s.read.orc(s"$base/$codec")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("s_suppkey")).as("key_sum"),
+              usum(col("s_acctbal")).as("acctbal_micros"))
+            .select(lit(codec).as("codec"), col("n_rows"), col("key_sum"),
+              col("acctbal_micros"))
+        }.reduce(_ unionByName _).orderBy(col("codec"))
+      },
+      Some("""WITH s AS (SELECT count(*)::BIGINT AS n_rows,
+             |    sum(s_suppkey)::BIGINT AS key_sum,
+             |    sum(floor(s_acctbal*1e6)::BIGINT)::BIGINT AS acctbal_micros
+             |  FROM supplier)
+             |SELECT codec, n_rows, key_sum, acctbal_micros FROM s,
+             |  (VALUES ('snappy'), ('zlib'), ('zstd')) c(codec)
+             |ORDER BY codec""".stripMargin)),
+
+    // CSV/JSONL round-trips of a deliberately hostile string column
+    // (embedded separator, quote, AND newline): writer quoting +
+    // multiLine reader must reproduce it byte-for-byte; the oracle
+    // aggregates the same synthesized column straight off the original
+    // table, so any quoting loss breaks the checksum.
+    "q185_roundtrip_quoting" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_q185")
+        val src = t(s, d, "part").select(
+          col("p_partkey"),
+          concat(col("p_name"), lit(",\"x\"\n"), col("p_type")).as("hz"))
+        src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+        src.write.mode("overwrite").json(s"$base/json")
+        val legs = Seq(
+          "csv" -> s.read.schema(src.schema).option("header", "true")
+            .option("multiLine", "true").csv(s"$base/csv"),
+          "json" -> s.read.schema(src.schema).json(s"$base/json"))
+        legs.map { case (fmt, df) =>
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col("p_partkey")).as("key_sum"),
+              sum(length(col("hz"))).as("len_sum"))
+            .select(lit(fmt).as("fmt"), col("n_rows"), col("key_sum"),
+              col("len_sum"))
+        }.reduce(_ unionByName _).orderBy(col("fmt"))
+      },
+      Some("""WITH s AS (SELECT count(*)::BIGINT AS n_rows,
+             |    sum(p_partkey)::BIGINT AS key_sum,
+             |    sum(length(p_name || ',"x"' || chr(10) || p_type))::BIGINT
+             |      AS len_sum
+             |  FROM part)
+             |SELECT fmt, n_rows, key_sum, len_sum FROM s,
+             |  (VALUES ('csv'), ('json')) f(fmt)
+             |ORDER BY fmt""".stripMargin)),
+
+    // numeric RANGE frame (q130 is the time-range twin): orders within
+    // $100 below each order, value-distance not row-distance — RANGE
+    // includes peer rows identically in both engines. Cents are
+    // floor(price*100): IEEE multiply+floor is exactly rounded, so both
+    // engines derive the same integers.
+    "q186_numeric_range_frame" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice") * lit(100)).as("cents"))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"))
+          .rangeBetween(-10000L, Window.currentRow)
+        o.select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+            count(lit(1)).over(w).as("n_nearby"),
+            sum(col("cents")).over(w).as("cents_nearby"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |    floor(o_totalprice * 100)::BIGINT AS cents
+             |  FROM orders WHERE o_custkey < 100)
+             |SELECT o_orderkey, o_orderpriority, cents,
+             |  count(*) OVER w::BIGINT AS n_nearby,
+             |  sum(cents) OVER w::BIGINT AS cents_nearby
+             |FROM o
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+             |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // higher-order array functions (transform / filter / aggregate over
+    // collected lists) — outputs reduce to order-independent scalars, so
+    // collect_list's nondeterministic order cannot leak into the hash.
+    "q187_higher_order_fns" -> Q(
+      (s, d) => {
+        val ntok = t(s, d, "documents")
+          .select(col("source"),
+            size(split(trim(col("text")), " ")).as("ntok"))
+        ntok.groupBy(col("source"))
+          .agg(collect_list((col("ntok") * 2).cast("long")).as("l"))
+          .select(col("source"),
+            size(col("l")).cast("long").as("n_docs"),
+            size(filter(col("l"), x => x > 40)).cast("long").as("n_kept"),
+            aggregate(filter(col("l"), x => x > 40), lit(0L),
+              (acc, x) => acc + x).as("sum_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH dtl AS (SELECT source,
+             |    (len(string_split(trim(text), ' ')) * 2)::BIGINT AS ntok2
+             |  FROM documents),
+             |g AS (SELECT source, list(ntok2) AS l FROM dtl GROUP BY source)
+             |SELECT source, len(l)::BIGINT AS n_docs,
+             |  len(list_filter(l, x -> x > 40))::BIGINT AS n_kept,
+             |  coalesce(list_sum(list_filter(l, x -> x > 40)), 0)::BIGINT
+             |    AS sum_kept
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // listagg WITHIN GROUP (Spark 4 surface) vs string_agg — ordered
+    // string concatenation per group, deterministic under the explicit
+    // ORDER BY inside the aggregate.
+    "q188_listagg" -> Q(
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("q188_nation")
+        t(s, d, "region").createOrReplaceTempView("q188_region")
+        s.sql("""SELECT r_name,
+                |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                |    AS nations
+                |FROM q188_region JOIN q188_nation ON r_regionkey = n_regionkey
+                |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      },
+      Some("""SELECT r_name,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM region JOIN nation ON r_regionkey = n_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // aggregate FILTER (WHERE ...) clause — conditional aggregation
+    // without CASE; one scan, conditional partials.
+    "q189_filter_clause" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q189_lineitem")
+        s.sql("""SELECT l_returnflag,
+                |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+                |  sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus = 'F')
+                |    AS qty_f,
+                |  count(*) AS n
+                |FROM q189_lineitem GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  count(*) FILTER (WHERE l_quantity > 25)::BIGINT AS n_big,
+             |  coalesce(sum(l_quantity::BIGINT) FILTER (WHERE l_linestatus = 'F'),
+             |    0)::BIGINT AS qty_f,
+             |  count(*)::BIGINT AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // VARIANT ingestion (Spark 4's semi-structured type): parse_json →
+    // typed variant_get extraction, aggregated — the schema-on-read
+    // path for ragged event payloads; oracle via DuckDB's JSON
+    // extraction over the same strings.
+    "q190_variant_json" -> Q(
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("q190_events")
+        s.sql("""SELECT event_type, count(*) AS n,
+                |  sum(CAST(variant_get(parse_json(props), '$.k', 'int') AS BIGINT))
+                |    AS k_sum
+                |FROM q190_events GROUP BY event_type
+                |ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+             |  sum(json_extract(props, '$.k')::INT)::BIGINT AS k_sum
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // left-outer stream-stream join: matched rows emit as they join; an
+    // unmatched click emits with NULL error columns only on state
+    // eviction. Eviction INSIDE the final (watermark − interval,
+    // watermark) band is batching-dependent — empirically sf0.01 held a
+    // click 9 min under the watermark while sf0.1 emitted most of that
+    // band — so the gate keeps matched rows plus the unmatched clicks
+    // below watermark − interval, where emission is deterministic (the
+    // q35/q63 final-watermark-filter pattern, applied to BOTH sides).
+    "q191_stream_left_outer" -> Q(
+      (s, d) => {
+        val name = "graft_stream_ssljoin_q191"
+        s.catalog.dropTempView(name)
+        val es = graft.streaming.EventStreams
+        val src = es.readStream(s, s"$d/events.parquet")
+        val wmMs = t(s, d, "events")
+          .agg(max(unix_millis(col("ts"))).as("m")).collect()(0)
+          .getLong(0) - 600000L
+        es.drainToTable(s, es.clickErrorLeftJoin(
+            src.filter(col("event_type") === "click"),
+            src.filter(col("event_type") === "error")), name)
+          .select(
+            col("click_id"), col("user_id"),
+            unix_millis(col("click_ts")).as("click_ms"),
+            unix_millis(col("err_ts")).as("err_ms"), col("err_value"))
+          .filter(col("err_ms").isNotNull ||
+            col("click_ms") < lit(wmMs - 1800000L))
+          .orderBy(col("click_id"), col("err_ms"))
+      },
+      Some("""WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events),
+             |m AS (SELECT c.event_id AS click_id, c.user_id,
+             |    epoch_ms(c.ts) AS click_ms, epoch_ms(e.ts) AS err_ms,
+             |    e.value AS err_value
+             |  FROM events c JOIN events e ON c.user_id = e.user_id
+             |    AND c.event_type = 'click' AND e.event_type = 'error'
+             |    AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE),
+             |um AS (SELECT c.event_id AS click_id, c.user_id,
+             |    epoch_ms(c.ts) AS click_ms, NULL::BIGINT AS err_ms,
+             |    NULL::DOUBLE AS err_value
+             |  FROM events c, wm
+             |  WHERE c.event_type = 'click' AND epoch_ms(c.ts) < wm.w - 1800000
+             |    AND NOT EXISTS (SELECT 1 FROM events e
+             |      WHERE e.user_id = c.user_id AND e.event_type = 'error'
+             |        AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE))
+             |SELECT * FROM m UNION ALL SELECT * FROM um
+             |ORDER BY click_id, err_ms NULLS FIRST""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -173,7 +173,8 @@ object EventStreams {
   def clickErrorJoin(
       clicks: DataFrame,
       errors: DataFrame,
-      intervalMinutes: Int = 30): DataFrame = {
+      intervalMinutes: Int = 30,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -185,10 +186,22 @@ object EventStreams {
       e,
       col("user_id") === col("err_user") &&
         col("err_ts") <= col("click_ts") &&
-        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"))
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"),
+      joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"), col("err_ts"),
         col("err_value"))
   }
+
+  /** Left-outer stream-stream variant of [[clickErrorJoin]]: a click with
+    * no matching error surfaces with NULL error columns — but only once
+    * the watermark has passed its last possible match time (err_ts <=
+    * click_ts, so eviction happens when watermark > click_ts). Matched
+    * rows emit as they join; unmatched ones emit from state eviction. */
+  def clickErrorLeftJoin(
+      clicks: DataFrame,
+      errors: DataFrame,
+      intervalMinutes: Int = 30): DataFrame =
+    clickErrorJoin(clicks, errors, intervalMinutes, joinType = "leftOuter")
 
   /** State-store partition count for the local harness streams. A
     * streaming query's state is partitioned by `spark.sql.shuffle
