@@ -5802,7 +5802,112 @@ object Queries {
              |      WHERE e.user_id = c.user_id AND e.event_type = 'error'
              |        AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE))
              |SELECT * FROM m UNION ALL SELECT * FROM um
-             |ORDER BY click_id, err_ms NULLS FIRST""".stripMargin)))
+             |ORDER BY click_id, err_ms NULLS FIRST""".stripMargin)),
+
+    // lead/lag IGNORE NULLS — sensor-style carry-forward across sparse
+    // readings. DuckDB 1.0 has no IGNORE NULLS syntax, so the oracle
+    // derives "latest earlier non-null" as the last element of a
+    // FILTERed list over the preceding-rows frame — same semantics,
+    // independently constructed.
+    "q192_ignore_nulls" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"),
+            when(col("event_id") % 5 === 0, lit(null).cast("long"))
+              .otherwise(floor(col("value") * lit(1e6))).as("v"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        e.select(col("user_id"), col("event_id"), col("v"),
+            lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    CASE WHEN event_id % 5 = 0 THEN NULL
+             |      ELSE floor(value * 1e6)::BIGINT END AS v
+             |  FROM events WHERE user_id < 30),
+             |l AS (SELECT user_id, event_id, v,
+             |    list(v) FILTER (v IS NOT NULL) OVER (
+             |      PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pl
+             |  FROM e)
+             |SELECT user_id, event_id, v, pl[len(pl)] AS prev_v
+             |FROM l ORDER BY user_id, event_id""".stripMargin)),
+
+    // integer math battery: pmod (always-positive mod, oracle spells it
+    // ((x%n)+n)%n), bit shifts, small factorials, abs/sign — all exact
+    // integer ops, identical at any scale.
+    "q193_int_math" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q193_orders")
+        s.sql("""SELECT o_orderpriority,
+                |  sum(pmod(o_custkey - 2 * (o_custkey div 3), 7)) AS pmod_sum,
+                |  sum(shiftleft(o_custkey % 16, 2)) AS shl_sum,
+                |  sum(shiftright(o_custkey, 3)) AS shr_sum,
+                |  sum(factorial(CAST(o_custkey % 10 AS INT))) AS fact_sum,
+                |  sum(CAST(abs(o_custkey - 1000) * signum(o_custkey - 1000) AS BIGINT))
+                |    AS abssign_sum
+                |FROM q193_orders GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  sum((((o_custkey - 2 * (o_custkey // 3)) % 7) + 7) % 7)::BIGINT
+             |    AS pmod_sum,
+             |  sum((o_custkey % 16) << 2)::BIGINT AS shl_sum,
+             |  sum(o_custkey >> 3)::BIGINT AS shr_sum,
+             |  sum(factorial((o_custkey % 10)::INT))::BIGINT AS fact_sum,
+             |  sum((abs(o_custkey - 1000) * sign(o_custkey - 1000))::BIGINT)::BIGINT
+             |    AS abssign_sum
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // string battery 2: padding, translate, repeat, reverse, left/right
+    // — the formatting/normalization helpers q41's battery doesn't cover.
+    "q194_string_shaping" -> Q(
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q194_part")
+        s.sql("""SELECT p_brand,
+                |  min(lpad(CAST(p_partkey AS STRING), 9, '0')) AS min_padded,
+                |  max(rpad(p_brand, 12, '.')) AS max_rpad,
+                |  min(translate(p_type, 'aeiou', 'AEIOU')) AS min_translated,
+                |  max(repeat(left(p_name, 2), 2)) AS max_rep,
+                |  min(reverse(right(p_name, 3))) AS min_rev,
+                |  count(*) AS n
+                |FROM q194_part GROUP BY p_brand
+                |ORDER BY p_brand""".stripMargin)
+      },
+      Some("""SELECT p_brand,
+             |  min(lpad(p_partkey::VARCHAR, 9, '0')) AS min_padded,
+             |  max(rpad(p_brand, 12, '.')) AS max_rpad,
+             |  min(translate(p_type, 'aeiou', 'AEIOU')) AS min_translated,
+             |  max(repeat(left(p_name, 2), 2)) AS max_rep,
+             |  min(reverse(right(p_name, 3))) AS min_rev,
+             |  count(*)::BIGINT AS n
+             |FROM part GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin)),
+
+    // datetime constructors: make_date / make_timestamp from integer
+    // components (the write path of calendar arithmetic — q13/q183 are
+    // the read path), verified through epoch round-trips.
+    "q195_make_datetime" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q195_orders")
+        s.sql("""SELECT year(o_orderdate) AS yr,
+                |  min(make_date(year(o_orderdate), month(o_orderdate), 1)) AS first_day,
+                |  max(unix_millis(make_timestamp(year(o_orderdate),
+                |    month(o_orderdate), day(o_orderdate), 12, 30, 15.5))) AS max_noonish_ms,
+                |  count(*) AS n
+                |FROM q195_orders GROUP BY year(o_orderdate)
+                |ORDER BY yr""".stripMargin)
+      },
+      Some("""SELECT year(o_orderdate)::BIGINT AS yr,
+             |  min(make_date(year(o_orderdate)::INT, month(o_orderdate)::INT, 1))
+             |    AS first_day,
+             |  max(epoch_ms(make_timestamp(year(o_orderdate)::BIGINT,
+             |    month(o_orderdate)::BIGINT, day(o_orderdate)::BIGINT,
+             |    12, 30, 15.5))) AS max_noonish_ms,
+             |  count(*)::BIGINT AS n
+             |FROM orders GROUP BY year(o_orderdate)
+             |ORDER BY yr""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
