@@ -5907,7 +5907,41 @@ object Queries {
              |    12, 30, 15.5))) AS max_noonish_ms,
              |  count(*)::BIGINT AS n
              |FROM orders GROUP BY year(o_orderdate)
-             |ORDER BY yr""".stripMargin)))
+             |ORDER BY yr""".stripMargin)),
+
+    // REAL image resize: synthesize genuine 24bpp BMPs executor-side
+    // (id-derived dims + pixels), nearest-neighbor halve them, then
+    // RE-PARSE the resized bytes — header dims, the exact BMP size
+    // formula, and the (0,0) pixel (NN maps it to source (0,0), whose
+    // BGR value is the encode seed = asset_id) are all id-derivable, so
+    // the oracle verifies a genuine pixel transform from arithmetic
+    // alone. Pipeline shape: synth → resize → decode, all
+    // partition-preserving mapPartitions, payloads never on the driver.
+    "q196_image_resize" -> Q(
+      (s, d) => {
+        val ids = t(s, d, "documents")
+          .filter(col("doc_id") < 800).select(col("doc_id"))
+        val assets = graft.multimodal.Multimodal.synthesizeMediaAssets(ids)
+        val resized = graft.multimodal.Multimodal.resizeImages(assets, scaleDen = 2)
+        val info = graft.multimodal.Multimodal.decodeMedia(resized)
+        val byteAt = (pos: Int) =>
+          expr(s"cast(conv(hex(substring(bytes, $pos, 1)), 16, 10) as bigint)")
+        info.join(resized, "asset_id")
+          .select(col("asset_id"), col("codec"), col("width"), col("height"),
+            col("n_bytes"),
+            (byteAt(55) + byteAt(56) * lit(256L) + byteAt(57) * lit(65536L))
+              .as("px00"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id AS asset_id,
+             |    (doc_id % 31 + 1)::BIGINT AS w, (doc_id % 17 + 1)::BIGINT AS h
+             |  FROM documents WHERE doc_id < 800 AND doc_id % 4 = 0),
+             |r AS (SELECT asset_id, greatest(w // 2, 1) AS tw,
+             |    greatest(h // 2, 1) AS th FROM b)
+             |SELECT asset_id, 'bmp' AS codec, tw AS width, th AS height,
+             |  (54 + th * ((3 * tw + 3) // 4 * 4))::BIGINT AS n_bytes,
+             |  asset_id AS px00
+             |FROM r ORDER BY asset_id""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -88,6 +88,51 @@ object Codecs {
     b
   }
 
+  /** Nearest-neighbor resize of a 24bpp BITMAPINFOHEADER BMP — a REAL
+    * pixel-level transform (the thumbnail/preprocess stage of an image
+    * pipeline), pure JVM. Resizes in storage space (bottom-up row order
+    * preserved); source pixel for target (x, y) is
+    * (x·sw/tw, y·sh/th), floor — the standard NN mapping. Returns None
+    * for anything that isn't a complete 24bpp BMP: at 100 TB some
+    * payloads are always corrupt and a resize stage must skip, not
+    * fail. */
+  def resizeBmp(src: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (tw <= 0 || th <= 0) return None
+    parseBmp(src)
+      .filter(i => i.bitDepth == 24 &&
+        src.length >= 54 + bmpRowSize(i.width) * i.height &&
+        i32le(src, 22) > 0) // top-down sources not handled by this stage
+      .map { info =>
+        val (sw, sh) = (info.width, info.height)
+        val (srs, trs) = (bmpRowSize(sw), bmpRowSize(tw))
+        val size = bmpFileSize(tw, th)
+        val out = new Array[Byte](size)
+        out(0) = 'B'; out(1) = 'M'
+        putU32le(out, 2, size.toLong)
+        putU32le(out, 10, 54L)
+        putU32le(out, 14, 40L)
+        putU32le(out, 18, tw.toLong)
+        putU32le(out, 22, th.toLong)
+        putU16le(out, 26, 1)
+        putU16le(out, 28, 24)
+        putU32le(out, 34, (trs * th).toLong)
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * sh / th).toInt
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * sw / tw).toInt
+            val so = 54 + sy * srs + 3 * sx
+            val to = 54 + y * trs + 3 * x
+            out(to) = src(so); out(to + 1) = src(so + 1); out(to + 2) = src(so + 2)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+  }
+
   /** Parse a BMP header: magic 'BM', BITMAPINFOHEADER width/height/bpp.
     * Negative height (top-down rows) surfaces as its magnitude. */
   def parseBmp(b: Array[Byte]): Option[ImageInfo] =

@@ -202,6 +202,33 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image resize stage: every parseable 24bpp BMP payload is
+    * nearest-neighbor downscaled by `scaleDen` (min dimension 1) via
+    * [[Codecs.resizeBmp]]; everything else is dropped (corrupt or
+    * non-image payloads must not fail the stage). Partition-preserving
+    * mapPartitions, payloads never touch the driver — the thumbnail /
+    * normalize step of an image-corpus pipeline. */
+  def resizeImages(assets: DataFrame,
+      scaleDen: Int = 2,
+      idCol: String = "asset_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    require(scaleDen >= 1)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Codecs.parseBmp(bytes).flatMap { i =>
+          Codecs.resizeBmp(bytes,
+            math.max(i.width / scaleDen, 1), math.max(i.height / scaleDen, 1))
+        }.map(resized => Row(id, resized))
+      }
+    }(enc)
+  }
+
   /** Frame sampling: every `stride`-th frame offset (video only). */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
     features

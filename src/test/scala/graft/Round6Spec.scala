@@ -58,6 +58,25 @@ class Round6Spec extends AnyFunSuite {
     assert(got == Map("v_not_null" -> 1L, "v_range" -> 0L, "k_positive" -> 0L))
   }
 
+  test("bmp resize: exact nearest-neighbor pixels on a hand-built image") {
+    import graft.multimodal.Codecs
+    // 4x2 source, seed 100: storage pixel (x,y) value = 100 + y*4 + x
+    val src = Codecs.encodeBmp(4, 2, seed = 100)
+    val out = Codecs.resizeBmp(src, 2, 1).get
+    val info = Codecs.parseBmp(out).get
+    assert((info.width, info.height, info.bitDepth) == ((2, 1, 24)))
+    assert(out.length == Codecs.bmpFileSize(2, 1))
+    // NN mapping: target (0,0) <- src (0,0) = 100; target (1,0) <- src (2,0) = 102
+    def px(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16)
+    assert(px(out, 54) == 100L)
+    assert(px(out, 57) == 102L)
+    // corrupt payload: skipped, not thrown
+    assert(Codecs.resizeBmp("not a bmp".getBytes, 2, 2).isEmpty)
+    // degenerate target: rejected
+    assert(Codecs.resizeBmp(src, 0, 5).isEmpty)
+  }
+
   test("bench short keys are injective over the catalog") {
     def shortKey(name: String): String = {
       val p = name.split("_")(0)
