@@ -5941,7 +5941,67 @@ object Queries {
              |SELECT asset_id, 'bmp' AS codec, tw AS width, th AS height,
              |  (54 + th * ((3 * tw + 3) // 4 * 4))::BIGINT AS n_bytes,
              |  asset_id AS px00
-             |FROM r ORDER BY asset_id""".stripMargin)))
+             |FROM r ORDER BY asset_id""".stripMargin)),
+
+    // the secondary-sort pattern: repartition by key + sortWithinPartitions
+    // + ONE streaming pass per partition (groups arrive contiguous and
+    // time-ordered, so per-user session math needs constant memory and
+    // zero window state) — the classic MR-era shape that still beats
+    // window functions when per-key sequences are huge and the logic is
+    // a fold. Oracle recomputes max inter-event gap via lag windows.
+    "q197_secondary_sort" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+          .repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ms"), col("event_id"))
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("max_gap_ms",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        e.mapPartitions { rows =>
+          new Iterator[org.apache.spark.sql.Row] {
+            private var cur = -1L
+            private var n = 0L
+            private var prevMs = 0L
+            private var maxGap = 0L
+            private var pending: org.apache.spark.sql.Row = null
+            private var done = false
+            private def roll(nextUser: Long): org.apache.spark.sql.Row = {
+              val out = org.apache.spark.sql.Row(cur, n, maxGap)
+              cur = nextUser; n = 0L; maxGap = 0L
+              out
+            }
+            override def hasNext: Boolean = {
+              if (pending != null) return true
+              while (rows.hasNext) {
+                val r = rows.next()
+                val (u, ms) = (r.getLong(0), r.getLong(1))
+                if (cur == -1L) cur = u
+                if (u != cur) { pending = roll(u); prevMs = ms; n = 1L; return true }
+                if (n > 0L) maxGap = math.max(maxGap, ms - prevMs)
+                prevMs = ms; n += 1L
+              }
+              if (!done && cur != -1L) { pending = roll(-1L); done = true; return true }
+              false
+            }
+            override def next(): org.apache.spark.sql.Row = {
+              val r = pending; pending = null; r
+            }
+          }
+        }(enc).orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+             |  FROM events)
+             |SELECT user_id, count(*)::BIGINT AS n,
+             |  coalesce(max(gap), 0)::BIGINT AS max_gap_ms
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
