@@ -77,6 +77,56 @@ class Round6Spec extends AnyFunSuite {
     assert(Codecs.resizeBmp(src, 0, 5).isEmpty)
   }
 
+  test("sessionize: RocksDB state store provider recovers across restart") {
+    // the production state backend for large state (HDFS-backed stores
+    // hold state on the heap; RocksDB spills) — same recovery contract,
+    // different provider, exercised end-to-end incl. native lib loading
+    import java.sql.Timestamp
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rocksdb_restart").toString
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      EventStreams.Event(id, Timestamp.valueOf(t), u, "click", v, "{}")
+    def writeFile(n: Int, evs: Seq[EventStreams.Event]): Unit =
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(s"$base/src/f$n")
+    val schema = Seq(ev(0, "2024-01-01 00:00:00", 0, 0.0)).toDS().schema
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val src = spark.readStream.schema(schema).parquet(s"$base/src/*")
+          .withWatermark("ts", "0 seconds").as[EventStreams.Event]
+        val q = EventStreams.sessionize(src, gapMillis = 30L * 60 * 1000,
+            flushOpen = false, eventTimeTimeout = true)
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", s"$base/ckpt")
+          .option("path", s"$base/out")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeFile(1, Seq(
+        ev(1, "2024-01-01 10:00:00", 7, 1.0),
+        ev(2, "2024-01-01 10:10:00", 7, 2.0),
+        ev(3, "2024-01-01 13:00:00", 8, 4.0)))
+      runOnce()
+      writeFile(2, Seq(ev(4, "2024-01-01 13:05:00", 8, 4.0)))
+      runOnce()
+      val out = spark.read.parquet(s"$base/out")
+        .as[EventStreams.SessionSummary]
+        .collect().filter(_.user_id == 7L)
+      assert(out.length == 1,
+        s"user 7's session must be emitted after RocksDB restart, got ${out.toSeq}")
+      assert(out.head.n_events == 2 && out.head.total_value == 3.0)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("bench short keys are injective over the catalog") {
     def shortKey(name: String): String = {
       val p = name.split("_")(0)
