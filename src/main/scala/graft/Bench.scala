@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * so the first timed query doesn't absorb JVM/session initialization —
   * per-query numbers are otherwise incomparable across runs. */
 object Bench {
+  /** Compact per-query key for the machine-parsed line ("q1".."q199";
+    * "m33" for the CTAS). Package-visible so the injectivity spec tests
+    * THIS function, not a copy that can drift. */
+  private[graft] def shortKey(name: String): String = {
+    val p = name.split("_")(0)
+    if (p.startsWith("q")) "q" + p.drop(1).dropWhile(_ == '0') else p.take(4)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,10 +110,6 @@ object Bench {
     // never parsed. Unpadded short keys ("q1".."q150"; "m33" for the CTAS)
     // at centisecond precision keep the complete 150-entry map ~1.7 KB;
     // full precision lives in BENCH_DETAIL.json.
-    def shortKey(name: String): String = {
-      val p = name.split("_")(0)
-      if (p.startsWith("q")) "q" + p.drop(1).dropWhile(_ == '0') else p.take(4)
-    }
     // the machine-parsed line would silently lose a timing if two catalog
     // names collapsed to one short key — fall back to full names (the
     // detail file is always complete either way)
@@ -132,7 +136,9 @@ object Bench {
     // carries less signal than a slowest-subset at deciseconds.
     val qs = Seq(2, 1).map(qsAt(_, all)).find(_.length <= 1820)
       .getOrElse {
-        val slowestFirst = all.sortBy(-_._2)
+        // a crashed query (-1) must survive truncation — it is the most
+        // important entry on the line, not the least
+        val slowestFirst = all.sortBy(e => if (e._2 < 0) Double.MinValue else -e._2)
         val keep = (all.size to 1 by -1).view
           .map(n => qsAt(1, slowestFirst.take(n).sortBy(e => all.indexOf(e))))
           .find(_.length <= 1800)

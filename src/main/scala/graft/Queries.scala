@@ -5382,6 +5382,10 @@ object Queries {
             |  max(unix_millis(ts) div 86400000) AS hi
             |FROM q177_events""".stripMargin).collect()(0)
         val (lo, hi) = (b.getLong(0), b.getLong(1))
+        // Spark's default cteRecursionLevelLimit is 100 — a year-long
+        // event span would hit the cliff; size the limit to the spine
+        s.conf.set("spark.sql.cteRecursionLevelLimit",
+          math.max(hi - lo + 10L, 100L).toString)
         s.sql(s"""WITH RECURSIVE spine(day) AS (
                  |  SELECT ${lo}L AS day
                  |  UNION ALL
@@ -5965,7 +5969,11 @@ object Queries {
         val enc = org.apache.spark.sql.Encoders.row(outSchema)
         e.mapPartitions { rows =>
           new Iterator[org.apache.spark.sql.Row] {
-            private var cur = -1L
+            // explicit has-group flag, NOT a key sentinel: any Long is a
+            // legal user_id, so a magic value would silently drop that
+            // user's trailing group
+            private var hasCur = false
+            private var cur = 0L
             private var n = 0L
             private var prevMs = 0L
             private var maxGap = 0L
@@ -5981,12 +5989,12 @@ object Queries {
               while (rows.hasNext) {
                 val r = rows.next()
                 val (u, ms) = (r.getLong(0), r.getLong(1))
-                if (cur == -1L) cur = u
+                if (!hasCur) { hasCur = true; cur = u }
                 if (u != cur) { pending = roll(u); prevMs = ms; n = 1L; return true }
                 if (n > 0L) maxGap = math.max(maxGap, ms - prevMs)
                 prevMs = ms; n += 1L
               }
-              if (!done && cur != -1L) { pending = roll(-1L); done = true; return true }
+              if (!done && hasCur) { pending = roll(0L); done = true; return true }
               false
             }
             override def next(): org.apache.spark.sql.Row = {

@@ -42,7 +42,9 @@ case class MisraGries(
   // SQL-registered: misuse (non-string child) must fail at analysis, not
   // as a runtime ClassCastException in update()'s UTF8String cast
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // isInstanceOf, not ==: collated StringType (Spark 4) is still a
+    // string and update()'s UTF8String cast handles it
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"misra_gries requires a STRING column, got ${child.dataType.simpleString}")
   override def children: Seq[Expression] = Seq(child)

@@ -96,9 +96,22 @@ object Codecs {
     * for anything that isn't a complete 24bpp BMP: at 100 TB some
     * payloads are always corrupt and a resize stage must skip, not
     * fail. */
-  def resizeBmp(src: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+  /** [[resizeBmp]] with target dims derived from the source's own
+    * header (`max(dim / scaleDen, 1)`) — one parse on the per-asset hot
+    * path, and the dim-derivation rule lives here, not in callers. */
+  def resizeBmpScale(src: Array[Byte], scaleDen: Int): Option[Array[Byte]] = {
+    require(scaleDen >= 1)
+    parseBmp(src).flatMap(i => resizeParsed(src, i,
+      math.max(i.width / scaleDen, 1), math.max(i.height / scaleDen, 1)))
+  }
+
+  def resizeBmp(src: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
+    parseBmp(src).flatMap(i => resizeParsed(src, i, tw, th))
+
+  private def resizeParsed(
+      src: Array[Byte], parsed: ImageInfo, tw: Int, th: Int): Option[Array[Byte]] = {
     if (tw <= 0 || th <= 0) return None
-    parseBmp(src)
+    Some(parsed)
       .filter(i => i.bitDepth == 24 &&
         src.length >= 54 + bmpRowSize(i.width) * i.height &&
         i32le(src, 22) > 0) // top-down sources not handled by this stage

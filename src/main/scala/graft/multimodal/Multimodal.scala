@@ -221,10 +221,7 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        Codecs.parseBmp(bytes).flatMap { i =>
-          Codecs.resizeBmp(bytes,
-            math.max(i.width / scaleDen, 1), math.max(i.height / scaleDen, 1))
-        }.map(resized => Row(id, resized))
+        Codecs.resizeBmpScale(bytes, scaleDen).map(resized => Row(id, resized))
       }
     }(enc)
   }

@@ -128,11 +128,7 @@ class Round6Spec extends AnyFunSuite {
   }
 
   test("bench short keys are injective over the catalog") {
-    def shortKey(name: String): String = {
-      val p = name.split("_")(0)
-      if (p.startsWith("q")) "q" + p.drop(1).dropWhile(_ == '0') else p.take(4)
-    }
-    val keys = Queries.all.map(e => shortKey(e._1))
+    val keys = Queries.all.map(e => Bench.shortKey(e._1))
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(keys.distinct.size == Queries.all.size,
       s"colliding bench keys: ${dups.mkString(", ")}")
