@@ -6009,7 +6009,41 @@ object Queries {
              |  FROM events)
              |SELECT user_id, count(*)::BIGINT AS n,
              |  coalesce(max(gap), 0)::BIGINT AS max_gap_ms
-             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // explicit bloom semi-filter: build a bloom over the dimension's
+    // keys (Spark's own runtime-filter aggregate, SQL-registered by
+    // graft), drop non-candidate fact rows BEFORE the shuffle, then
+    // verify exactly — no false negatives means the result equals the
+    // exact semi join, so correctness is independent of bloom sizing
+    // and the oracle is the plain semi join. At 100 TB this is the
+    // pre-shuffle reduction InjectRuntimeFilter performs implicitly,
+    // available to pipelines whose join shape the optimizer can't see.
+    "q198_bloom_semi_filter" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q198_orders")
+        t(s, d, "customer").createOrReplaceTempView("q198_customer")
+        s.sql("""WITH pre AS (
+                |  SELECT o_orderpriority, o_custkey FROM q198_orders
+                |  WHERE bloom_might_contain(
+                |    (SELECT bloom_agg(CAST(c_custkey AS BIGINT), 8192L, 131072L)
+                |     FROM q198_customer WHERE c_mktsegment = 'BUILDING'),
+                |    CAST(o_custkey AS BIGINT)))
+                |SELECT p.o_orderpriority, count(*) AS n
+                |FROM pre p
+                |WHERE EXISTS (SELECT 1 FROM q198_customer c
+                |  WHERE c.c_custkey = p.o_custkey
+                |    AND c.c_mktsegment = 'BUILDING')
+                |GROUP BY p.o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o.o_orderpriority, count(*)::BIGINT AS n
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o.o_custkey
+             |    AND c.c_mktsegment = 'BUILDING')
+             |GROUP BY o.o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

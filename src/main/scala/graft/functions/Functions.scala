@@ -37,6 +37,21 @@ object Functions {
         MisraGries(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
           .toAggregateExpression()
       })
+    // Spark's runtime-filter bloom expressions, surfaced as SQL
+    // functions: the engine only injects them via InjectRuntimeFilter;
+    // registering them lets a pipeline build the semi-join pre-filter
+    // EXPLICITLY (build a bloom over the dim keys, drop non-candidate
+    // fact rows before the shuffle, verify exactly after).
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "bloom_agg", { exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression()
+      })
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "bloom_might_contain", exprs =>
+        new org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)))
   }
 
   /** Misra–Gries heavy-hitters sketch aggregate (see [[MisraGries]]). */

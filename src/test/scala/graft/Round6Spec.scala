@@ -127,6 +127,22 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("bloom_agg / bloom_might_contain: no false negatives, real pruning") {
+    graft.core.Engine.attach(spark)
+    (1L to 500L).toDF("k").createOrReplaceTempView("bloom_keys")
+    (1L to 10000L).toDF("x").createOrReplaceTempView("bloom_probe")
+    val hits = spark.sql(
+      """SELECT count(*) FROM bloom_probe
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_agg(k, 1024L, 16384L) FROM bloom_keys), x)""".stripMargin)
+      .collect()(0).getLong(0)
+    // every true member passes (bloom guarantees no false negatives)...
+    assert(hits >= 500L, s"false negatives: only $hits of 500 members hit")
+    // ...and the filter actually prunes (false positives bounded well
+    // below the non-member count)
+    assert(hits < 2000L, s"bloom not pruning: $hits of 10000 passed")
+  }
+
   test("bench short keys are injective over the catalog") {
     val keys = Queries.all.map(e => Bench.shortKey(e._1))
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
