@@ -6043,7 +6043,67 @@ object Queries {
              |  WHERE c.c_custkey = o.o_custkey
              |    AND c.c_mktsegment = 'BUILDING')
              |GROUP BY o.o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin)))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // bloom ANTI fast path — the dual of q198: a bloom MISS is a
+    // PROOF of non-membership, so those fact rows join the anti result
+    // with no exact check at all; only the might-contain candidates
+    // (true members + false positives) pay the exact NOT EXISTS. The
+    // union equals the exact anti join for any bloom sizing.
+    "q199_bloom_anti_fastpath" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q199_orders")
+        t(s, d, "customer").createOrReplaceTempView("q199_customer")
+        s.sql("""WITH probed AS (
+                |  SELECT o_orderpriority, o_custkey,
+                |    bloom_might_contain(
+                |      (SELECT bloom_agg(CAST(c_custkey AS BIGINT), 8192L, 131072L)
+                |       FROM q199_customer WHERE c_mktsegment = 'BUILDING'),
+                |      CAST(o_custkey AS BIGINT)) AS maybe
+                |  FROM q199_orders),
+                |anti AS (
+                |  SELECT o_orderpriority FROM probed WHERE NOT maybe
+                |  UNION ALL
+                |  SELECT o_orderpriority FROM probed p
+                |  WHERE maybe AND NOT EXISTS (SELECT 1 FROM q199_customer c
+                |    WHERE c.c_custkey = p.o_custkey
+                |      AND c.c_mktsegment = 'BUILDING'))
+                |SELECT o_orderpriority, count(*) AS n FROM anti
+                |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o.o_orderpriority, count(*)::BIGINT AS n
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_custkey = o.o_custkey
+             |    AND c.c_mktsegment = 'BUILDING')
+             |GROUP BY o.o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // date_trunc battery: week (ISO Monday in both engines), month and
+    // quarter bucketing — the calendar rollup q13/q160 approach through
+    // epoch arithmetic instead; this exercises the calendar-aware path.
+    "q200_date_trunc" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q200_orders")
+        s.sql("""SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+                |  count(*) AS n,
+                |  count(DISTINCT CAST(date_trunc('week', o_orderdate) AS DATE))
+                |    AS n_weeks,
+                |  count(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE))
+                |    AS n_months,
+                |  min(CAST(date_trunc('week', o_orderdate) AS DATE)) AS first_week
+                |FROM q200_orders GROUP BY date_trunc('quarter', o_orderdate)
+                |ORDER BY qtr""".stripMargin)
+      },
+      Some("""SELECT date_trunc('quarter', o_orderdate)::DATE AS qtr,
+             |  count(*)::BIGINT AS n,
+             |  count(DISTINCT date_trunc('week', o_orderdate)::DATE)::BIGINT
+             |    AS n_weeks,
+             |  count(DISTINCT date_trunc('month', o_orderdate)::DATE)::BIGINT
+             |    AS n_months,
+             |  min(date_trunc('week', o_orderdate)::DATE) AS first_week
+             |FROM orders GROUP BY date_trunc('quarter', o_orderdate)
+             |ORDER BY qtr""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
