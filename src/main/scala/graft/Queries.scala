@@ -5383,9 +5383,19 @@ object Queries {
             |FROM q177_events""".stripMargin).collect()(0)
         val (lo, hi) = (b.getLong(0), b.getLong(1))
         // Spark's default cteRecursionLevelLimit is 100 — a year-long
-        // event span would hit the cliff; size the limit to the spine
-        s.conf.set("spark.sql.cteRecursionLevelLimit",
-          math.max(hi - lo + 10L, 100L).toString)
+        // event span would hit the cliff; size the limit to the spine.
+        // Only ever RAISE it (a restore-in-finally can't work here: the
+        // returned DataFrame executes lazily, after this function
+        // exits). The raised limit intentionally outlives this query —
+        // it is a safety ceiling, not a semantics change, so leaking a
+        // higher ceiling into the session is harmless; lowering a
+        // caller's own setting would not be.
+        val needed = math.max(hi - lo + 10L, 100L)
+        val current =
+          try s.conf.get("spark.sql.cteRecursionLevelLimit").toLong
+          catch { case _: Throwable => 100L }
+        if (needed > current)
+          s.conf.set("spark.sql.cteRecursionLevelLimit", needed.toString)
         s.sql(s"""WITH RECURSIVE spine(day) AS (
                  |  SELECT ${lo}L AS day
                  |  UNION ALL
@@ -6023,12 +6033,16 @@ object Queries {
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("q198_orders")
         t(s, d, "customer").createOrReplaceTempView("q198_customer")
+        // coalesce(…, false): an EMPTY build side makes bloom_agg NULL
+        // and the probe NULL — for a semi filter "no candidates" is the
+        // right degradation, so pin it to false explicitly rather than
+        // ride on WHERE's NULL-drops-rows behavior.
         s.sql("""WITH pre AS (
                 |  SELECT o_orderpriority, o_custkey FROM q198_orders
-                |  WHERE bloom_might_contain(
+                |  WHERE coalesce(bloom_might_contain(
                 |    (SELECT bloom_agg(CAST(c_custkey AS BIGINT), 8192L, 131072L)
                 |     FROM q198_customer WHERE c_mktsegment = 'BUILDING'),
-                |    CAST(o_custkey AS BIGINT)))
+                |    CAST(o_custkey AS BIGINT)), false))
                 |SELECT p.o_orderpriority, count(*) AS n
                 |FROM pre p
                 |WHERE EXISTS (SELECT 1 FROM q198_customer c
@@ -6054,12 +6068,17 @@ object Queries {
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("q199_orders")
         t(s, d, "customer").createOrReplaceTempView("q199_customer")
+        // coalesce(…, false) is load-bearing here (unlike q198): an
+        // EMPTY build side makes the probe NULL, and `NOT NULL`/`NULL
+        // AND …` would drop every row — returning an empty anti join
+        // where the exact answer is ALL fact rows. Pinned to false, a
+        // miss-everything bloom degrades to the exact NOT EXISTS path.
         s.sql("""WITH probed AS (
                 |  SELECT o_orderpriority, o_custkey,
-                |    bloom_might_contain(
+                |    coalesce(bloom_might_contain(
                 |      (SELECT bloom_agg(CAST(c_custkey AS BIGINT), 8192L, 131072L)
                 |       FROM q199_customer WHERE c_mktsegment = 'BUILDING'),
-                |      CAST(o_custkey AS BIGINT)) AS maybe
+                |      CAST(o_custkey AS BIGINT)), false) AS maybe
                 |  FROM q199_orders),
                 |anti AS (
                 |  SELECT o_orderpriority FROM probed WHERE NOT maybe

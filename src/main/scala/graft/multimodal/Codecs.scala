@@ -108,12 +108,26 @@ object Codecs {
   def resizeBmp(src: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
     parseBmp(src).flatMap(i => resizeParsed(src, i, tw, th))
 
+  /** Dim sanity bound: a header claiming a side over 64k pixels is a
+    * corrupt (or hostile) payload, not an image this stage handles —
+    * and capping dims here is what keeps the Int arithmetic below safe
+    * (with w,h ≤ 2^16 only the rowSize×height product needs Long). */
+  private val MaxDim = 1 << 16
+
   private def resizeParsed(
       src: Array[Byte], parsed: ImageInfo, tw: Int, th: Int): Option[Array[Byte]] = {
-    if (tw <= 0 || th <= 0) return None
+    if (tw <= 0 || th <= 0 || tw > MaxDim || th > MaxDim) return None
+    // target buffer must be Int-addressable (64k×64k×3bpp exceeds 2^31)
+    if (54L + bmpRowSize(tw).toLong * th > Int.MaxValue) return None
     Some(parsed)
+      // completeness bound in LONG: with a corrupt header claiming huge
+      // dims, Int `3*w` (w > ~715M) or `rowSize*h` overflows — possibly
+      // to a small/negative bound that PASSES, and the pixel loop then
+      // throws AIOOBE and fails the whole stage, violating the
+      // corrupt-payloads-are-skipped contract of resizeImages.
       .filter(i => i.bitDepth == 24 &&
-        src.length >= 54 + bmpRowSize(i.width) * i.height &&
+        i.width <= MaxDim && i.height <= MaxDim &&
+        src.length.toLong >= 54L + bmpRowSize(i.width).toLong * i.height &&
         i32le(src, 22) > 0) // top-down sources not handled by this stage
       .map { info =>
         val (sw, sh) = (info.width, info.height)

@@ -21,19 +21,44 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object UpsertSink {
 
+  /** Version dirs REQUIRE a `_SUCCESS` marker (the default Hadoop
+    * committer writes one; a state dir produced with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` is not a
+    * valid input to this sink). A marker-less dir is either a crashed
+    * partial write (only ever the newest id — benign, superseded by the
+    * retry) or missing-marker corruption of real prior state; the
+    * latter must be surfaced, not silently treated as "no state". */
   private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter { s =>
-        // a version is readable only once its _SUCCESS marker landed —
-        // a crash mid-write leaves a partial v=N dir that must be
-        // invisible to both readers and the writer's prior-state lookup
-        s.isDirectory && s.getPath.getName.startsWith("v=") &&
-          fs.exists(new Path(s.getPath, "_SUCCESS"))
-      }
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
+    if (!fs.exists(p)) return Seq.empty
+    val vDirs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => s.getPath.getName.stripPrefix("v=").toLong -> s.getPath)
+    val (ok, partial) = vDirs.partition { case (_, path) =>
+      // a version is readable only once its _SUCCESS marker landed —
+      // a crash mid-write leaves a partial v=N dir that must be
+      // invisible to both readers and the writer's prior-state lookup
+      fs.exists(new Path(path, "_SUCCESS"))
+    }
+    // version dirs but NOT ONE with a marker is not a crash signature —
+    // it's a whole state dir written without success markers (or with a
+    // committer configured marksuccessfuljobs=false). Treating it as
+    // "no state" would silently restart state from empty and the next
+    // batch would bury the evidence under a fresh marked v=N — fail
+    // loudly instead. (Torn dirs ALONGSIDE good versions are the normal
+    // crash leftover: superseded by the retry's overwrite, warn only.)
+    if (ok.isEmpty && partial.nonEmpty) throw new IllegalStateException(
+      s"state dir $stateDir has version dirs " +
+        s"(${partial.map("v=" + _._1).sorted.mkString(", ")}) but none " +
+        s"has a _SUCCESS marker — pre-existing state written without " +
+        s"success markers is not readable by this sink; refusing to " +
+        s"silently discard it")
+    if (partial.nonEmpty) System.err.println(
+      s"[UpsertSink] WARN: ignoring partial (no _SUCCESS) state " +
+        s"versions ${partial.map("v=" + _._1).sorted.mkString(", ")} " +
+        s"under $stateDir")
+    ok.map(_._1)
   }
 
   /** Latest row per key within `df` (max (orderCol, tieCol), payload
