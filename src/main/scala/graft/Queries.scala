@@ -4321,8 +4321,15 @@ object Queries {
             "doc_id", "text", queryText = "hash join vector", k = 20,
             rationalIdf = true)
           .select(col("doc_id"), col("score"))
+        // quantized components held as integer-VALUED doubles: the
+        // rerank runs on the codegen'd DotProduct expression (array
+        // float/double), and every product/sum stays far below 2^53 so
+        // double accumulation of these integers is exact — bit-equal to
+        // the BIGINT arithmetic the oracle performs. (The interpreted
+        // zip_with/aggregate lambdas this replaces cost 3-10x per row —
+        // irrelevant on 20 candidates, decisive on a top-1000 rerank.)
         val iv = t(s, d, "embeddings").select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE))")
             .as("iv"))
         val qv = cands.orderBy(col("score").desc, col("doc_id")).limit(1)
           .join(iv, col("doc_id") === col("vec_id"))
@@ -4330,15 +4337,11 @@ object Queries {
         val rr = cands
           .join(iv, cands("doc_id") === iv("vec_id"))
           .crossJoin(broadcast(qv))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(iv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("na", expr(
-            "aggregate(transform(iv, a -> a * a), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("nq", expr(
-            "aggregate(transform(qv, a -> a * a), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("dot", F.dotProduct(col("iv"), col("qv")))
+          .withColumn("na", F.dotProduct(col("iv"), col("iv")))
+          .withColumn("nq", F.dotProduct(col("qv"), col("qv")))
           .withColumn("cos_ppm",
-            floor(lit(1e6) * (col("dot").cast("double") /
-              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double")))))
+            floor(lit(1e6) * (col("dot") / (sqrt(col("na")) * sqrt(col("nq")))))
               .cast("long"))
         rr.withColumn("rank",
             row_number().over(Window.orderBy(col("cos_ppm").desc, col("doc_id")))

@@ -33,6 +33,15 @@ object ZoneMap {
     * surviving rows (the index prunes files; the residual predicate
     * guarantees exactness regardless of clustering quality). The index
     * itself is file-count-sized — driver-side by construction. */
+  /** Driver-memory guard for the stats collect: ~200 bytes/row means
+    * the 1M-file cap bounds the index at ~200 MB of driver heap. A
+    * table laid out past that isn't a driver-side zone-map candidate
+    * (keep the index distributed and semi-join on file instead); the
+    * failure mode must be this message, not an OOM. Enforced by
+    * collecting through a LIMIT cap+1 probe — one extra row proves the
+    * overflow without a second full evaluation of the stats aggregate. */
+  private[graft] val MaxIndexFiles = 1000000
+
   def prunedRead(
       spark: SparkSession,
       dir: String,
@@ -41,7 +50,12 @@ object ZoneMap {
       lo: Long,
       hi: Long): PrunedScan = {
     val all = stats.select(col("file"), col("min_v").cast("long"), col("max_v").cast("long"))
+      .limit(MaxIndexFiles + 1)
       .collect()
+    require(all.length <= MaxIndexFiles,
+      s"zone-map index over $dir exceeds the $MaxIndexFiles-file " +
+        s"driver-side collect bound; compact the layout or keep the " +
+        s"index distributed (join on file) instead")
     val keep = all.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
     val df =
       if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))

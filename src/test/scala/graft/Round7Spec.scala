@@ -92,6 +92,27 @@ class Round7Spec extends AnyFunSuite {
     assert(n == 2L, s"empty build side must keep all anti rows, got $n")
   }
 
+  test("zone map: an index past the file cap fails with a message, not an OOM") {
+    import graft.operators.ZoneMap
+    val over = spark.range(ZoneMap.MaxIndexFiles + 1L).selectExpr(
+      "concat('f', id) AS file", "id AS min_v", "id AS max_v", "1L AS n_rows")
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.prunedRead(spark, "/nonexistent", "k", over, 0L, 10L)
+    }
+    assert(e.getMessage.contains("driver-side collect bound"))
+  }
+
+  test("q150: the rerank runs on the codegen dot_product expression") {
+    val df = Queries.all.toMap.apply("q150_hybrid_retrieval")
+      .fn(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dot_product"),
+      s"expected the codegen DotProduct in the rerank, plan:\n$plan")
+    // interpreted HOF lambdas are exactly what the swap removed
+    assert(!plan.toLowerCase.contains("zip_with"))
+    assert(df.count() > 0)
+  }
+
   test("q177: a caller's higher recursion limit is never lowered") {
     val key = "spark.sql.cteRecursionLevelLimit"
     val before = spark.conf.get(key)
