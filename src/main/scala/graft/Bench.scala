@@ -145,8 +145,27 @@ object Bench {
       teardown(spark)
       t
     }
-    val passes = (1 to runs).map(_ => onePass())
-    val merged = mergePasses(entries.map(_._1), passes)
+    // wall-clock guard: a second pass only starts if it can plausibly
+    // finish inside the budget (projected from the previous pass's
+    // wall time) — on a healthy sandbox two passes take ~7 min, but the
+    // recording harness shouldn't see a 2x-longer run just because the
+    // machine was busy; one pass of real numbers beats a timeout.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    val benchStart = System.nanoTime()
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    var lastWall = 0.0
+    for (r <- 1 to runs) {
+      val elapsed = (System.nanoTime() - benchStart) / 1e9
+      if (r == 1 || elapsed + lastWall <= budget) {
+        val t0 = System.nanoTime()
+        passes += onePass()
+        lastWall = (System.nanoTime() - t0) / 1e9
+      } else System.err.println(
+        s"[bench] skipping pass $r: ${elapsed.toInt}s elapsed + " +
+          s"~${lastWall.toInt}s projected exceeds ${budget.toInt}s budget")
+    }
+    val actualRuns = passes.size
+    val merged = mergePasses(entries.map(_._1), passes.toSeq)
     val all = merged.map { case (n, t, _) => n -> t }
     val total = all.map(_._2).filter(_ >= 0).sum
 
@@ -156,7 +175,7 @@ object Bench {
       "\"" + k + "\":{\"t\":" + t + ",\"spread\":" + s + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$actualRuns,"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
@@ -216,7 +235,7 @@ object Bench {
     val sfJson =
       try sfDir.replaceAll(".*sf", "").toDouble.toString
       catch { case _: Throwable => "\"" + sfDir + "\"" }
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$runs,"queries":$qs$droppedJson,"sf":$sfJson}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","runs":$actualRuns,"queries":$qs$droppedJson,"sf":$sfJson}""")
     spark.stop()
   }
 }
