@@ -6127,6 +6127,286 @@ object Queries {
              |FROM orders GROUP BY date_trunc('quarter', o_orderdate)
              |ORDER BY qtr""".stripMargin)))
 
+  // ---------------------------------------------------------------------
+  // round-6 surface: linear-regression aggregates, discrete percentiles
+  // and mode, sketch-based distinct counting (HLL, bitmap), map
+  // higher-order functions, array set algebra
+  // ---------------------------------------------------------------------
+
+  private val roundSixSurface: Seq[(String, Q)] = Seq(
+
+    // linear-regression aggregate battery (regr_slope / regr_intercept /
+    // regr_r2 / regr_avgx / regr_count). Hash-gating strategy: the
+    // regression statistics are DERIVED deterministically from exact
+    // integer sums (n, Σx, Σy, Σxy, Σx², Σy² — order-independent BIGINT
+    // arithmetic in any engine) through an IDENTICAL IEEE expression
+    // tree in Spark and DuckDB, and the built-in regr_* results — whose
+    // one-pass co-moment accumulation is order-dependent in the last
+    // bits — are gated as within-1e-9 booleans against those trees.
+    // Inputs pre-quantized (qty as-is, price in hecto-dollars) so every
+    // integer sum stays far inside exact-BIGINT/double range at any SF.
+    "q201_regr_battery" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q201_lineitem")
+        s.sql("""WITH b AS (
+                |  SELECT l_returnflag AS rf,
+                |    CAST(l_quantity AS BIGINT) AS x,
+                |    CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS y
+                |  FROM q201_lineitem),
+                |a AS (
+                |  SELECT rf, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy,
+                |    regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rs,
+                |    regr_intercept(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS ri,
+                |    regr_r2(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rr,
+                |    regr_avgx(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rax,
+                |    regr_count(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rn
+                |  FROM b GROUP BY rf),
+                |tr AS (
+                |  SELECT rf, n, rn, rs, ri, rr, rax,
+                |    CAST(n*sxy - sx*sy AS DOUBLE)
+                |      / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                |    CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                |      / (CAST(n*sxx - sx*sx AS DOUBLE)
+                |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r2,
+                |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avgx,
+                |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avgy
+                |  FROM a)
+                |SELECT rf, CAST(rn AS BIGINT) AS n_pairs,
+                |  CAST(floor(1000000.0 * slope) AS BIGINT) AS slope_ppm,
+                |  CAST(floor(1000000.0 * (avgy - slope * avgx)) AS BIGINT)
+                |    AS intercept_ppm,
+                |  CAST(floor(1000000.0 * r2) AS BIGINT) AS r2_ppm,
+                |  CAST(floor(1000000.0 * avgx) AS BIGINT) AS avgx_ppm,
+                |  (abs(rs - slope) <= 0.000000001 * greatest(abs(slope), 1.0))
+                |    AS ok_slope,
+                |  (abs(ri - (avgy - slope * avgx))
+                |    <= 0.000000001 * greatest(abs(avgy - slope * avgx), 1.0))
+                |    AS ok_intercept,
+                |  (abs(rr - r2) <= 0.000000001) AS ok_r2,
+                |  (abs(rax - avgx) <= 0.000000001 * greatest(abs(avgx), 1.0))
+                |    AS ok_avgx
+                |FROM tr ORDER BY rf""".stripMargin)
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS rf,
+             |    CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS y
+             |  FROM lineitem),
+             |a AS (
+             |  SELECT rf, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy,
+             |    regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rs,
+             |    regr_intercept(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS ri,
+             |    regr_r2(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rr,
+             |    regr_avgx(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rax,
+             |    regr_count(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS rn
+             |  FROM b GROUP BY rf),
+             |tr AS (
+             |  SELECT rf, n, rn, rs, ri, rr, rax,
+             |    CAST(n*sxy - sx*sy AS DOUBLE)
+             |      / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+             |    CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             |      / (CAST(n*sxx - sx*sx AS DOUBLE)
+             |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r2,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avgx,
+             |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avgy
+             |  FROM a)
+             |SELECT rf, CAST(rn AS BIGINT) AS n_pairs,
+             |  CAST(floor(1000000.0 * slope) AS BIGINT) AS slope_ppm,
+             |  CAST(floor(1000000.0 * (avgy - slope * avgx)) AS BIGINT)
+             |    AS intercept_ppm,
+             |  CAST(floor(1000000.0 * r2) AS BIGINT) AS r2_ppm,
+             |  CAST(floor(1000000.0 * avgx) AS BIGINT) AS avgx_ppm,
+             |  (abs(rs - slope) <= 0.000000001 * greatest(abs(slope), 1.0))
+             |    AS ok_slope,
+             |  (abs(ri - (avgy - slope * avgx))
+             |    <= 0.000000001 * greatest(abs(avgy - slope * avgx), 1.0))
+             |    AS ok_intercept,
+             |  (abs(rr - r2) <= 0.000000001) AS ok_r2,
+             |  (abs(rax - avgx) <= 0.000000001 * greatest(abs(avgx), 1.0))
+             |    AS ok_avgx
+             |FROM tr ORDER BY rf""".stripMargin)),
+
+    // SQL-standard inverse-distribution aggregates: percentile_disc
+    // WITHIN GROUP picks an ACTUAL element (no interpolation, so the
+    // result is engine-exact on any ordered domain), plus mode() — the
+    // most frequent value, deterministic on this data (the spec-checked
+    // margins between top-1 and top-2 counts are >= 8 at every SF; a
+    // genuine tie would be engine-dependent and is the one shape this
+    // battery deliberately avoids).
+    "q202_percentile_disc_mode" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q202_lineitem")
+        s.sql("""SELECT l_returnflag AS rf, count(*) AS n_rows,
+                |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                |    AS BIGINT) AS q25,
+                |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                |    AS BIGINT) AS q50,
+                |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)
+                |    AS BIGINT) AS q75,
+                |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)
+                |    AS BIGINT) AS q95,
+                |  mode(l_linestatus) AS mode_status
+                |FROM q202_lineitem GROUP BY l_returnflag
+                |ORDER BY rf""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS rf, count(*)::BIGINT AS n_rows,
+             |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+             |    AS BIGINT) AS q25,
+             |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+             |    AS BIGINT) AS q50,
+             |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)
+             |    AS BIGINT) AS q75,
+             |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)
+             |    AS BIGINT) AS q95,
+             |  mode(l_linestatus) AS mode_status
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY rf""".stripMargin)),
+
+    // HyperLogLog sketch distinct (Apache DataSketches HLL under
+    // Spark's hll_sketch_agg): the 100 TB cardinality path — fixed-size
+    // mergeable partials instead of a shuffle of every distinct key.
+    // Oracled on the q43 pattern: the exact distinct count (engine-
+    // exact both sides) rides next to a pinned-tolerance boolean; the
+    // estimate itself is sketch-internal and intentionally not hashed.
+    "q203_hll_distinct" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q203_orders")
+        s.sql("""SELECT o_orderpriority,
+                |  count(DISTINCT o_custkey) AS n_exact,
+                |  (abs(CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey))
+                |         AS DOUBLE)
+                |       - CAST(count(DISTINCT o_custkey) AS DOUBLE))
+                |    <= 0.05 * CAST(count(DISTINCT o_custkey) AS DOUBLE))
+                |    AS ok_hll
+                |FROM q203_orders GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(DISTINCT o_custkey)::BIGINT AS n_exact,
+             |  TRUE AS ok_hll
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // bitmap-index distinct counting: bitmap_bit_position buckets the
+    // key space into fixed 32k-bit bitmaps, bitmap_construct_agg ORs
+    // positions per bucket, bitmap_count pops them — EXACT distinct
+    // with bounded per-group state and a two-level aggregation that
+    // map-side combines; the classic OLAP-cube distinct-count layout.
+    // The oracle is plain count(DISTINCT): correctness is independent
+    // of the bucket formula.
+    "q204_bitmap_distinct" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q204_orders")
+        s.sql("""WITH pos AS (
+                |  SELECT o_orderpriority,
+                |    bitmap_bucket_number(o_custkey) AS bkt,
+                |    bitmap_bit_position(o_custkey) AS pos
+                |  FROM q204_orders),
+                |bm AS (
+                |  SELECT o_orderpriority, bkt,
+                |    bitmap_count(bitmap_construct_agg(pos)) AS c
+                |  FROM pos GROUP BY o_orderpriority, bkt)
+                |SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n_distinct
+                |FROM bm GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(DISTINCT o_custkey)::BIGINT AS n_distinct
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // map higher-order functions (transform_values / map_filter /
+    // map_zip_with / map_concat / element_at) exercised per row, gated
+    // through order-independent integer aggregates — the oracle
+    // computes the same arithmetic with the map algebra unfolded, so a
+    // semantic slip in any map op shifts a hashed sum.
+    "q205_map_hof_battery" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q205_lineitem")
+        s.sql("""WITH b AS (
+                |  SELECT l_returnflag AS rf,
+                |    CAST(l_quantity AS BIGINT) AS x,
+                |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+                |  FROM q205_lineitem),
+                |m AS (
+                |  SELECT rf,
+                |    element_at(transform_values(
+                |      map('q', x, 'p', y), (k, v) -> v * 2), 'q') AS dq,
+                |    element_at(map_filter(
+                |      map('q', x, 'p', y), (k, v) -> v > 5000), 'p') AS bigp,
+                |    element_at(map_zip_with(
+                |      map('k', x), map('k', y), (k, v1, v2) -> v1 + v2),
+                |      'k') AS xy,
+                |    size(map_concat(map('q', x), map('p', y))) AS sz
+                |  FROM b)
+                |SELECT rf,
+                |  sum(dq) AS sum_2x,
+                |  sum(coalesce(bigp, 0L)) AS sum_big_price,
+                |  sum(xy) AS sum_x_plus_y,
+                |  sum(CAST(sz AS BIGINT)) AS sum_map_sizes
+                |FROM m GROUP BY rf ORDER BY rf""".stripMargin)
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS rf,
+             |    CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+             |  FROM lineitem)
+             |SELECT rf,
+             |  sum(x * 2)::BIGINT AS sum_2x,
+             |  sum(CASE WHEN y > 5000 THEN y ELSE 0 END)::BIGINT
+             |    AS sum_big_price,
+             |  sum(x + y)::BIGINT AS sum_x_plus_y,
+             |  (count(*) * 2)::BIGINT AS sum_map_sizes
+             |FROM b GROUP BY rf ORDER BY rf""".stripMargin)),
+
+    // array set algebra (array_union / array_intersect / array_except
+    // over collect_set): per priority class, the 1995-vs-1996 active
+    // customer sets — cardinalities plus an order-independent checksum
+    // of the intersection. The oracle states the same set algebra
+    // relationally (UNION / join / anti join), so the two formulations
+    // must agree exactly.
+    "q206_array_setops" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q206_orders")
+        s.sql("""WITH ab AS (
+                |  SELECT o_orderpriority AS pri,
+                |    collect_set(CASE WHEN year(o_orderdate) = 1995
+                |      THEN o_custkey END) AS a,
+                |    collect_set(CASE WHEN year(o_orderdate) = 1996
+                |      THEN o_custkey END) AS b
+                |  FROM q206_orders
+                |  WHERE year(o_orderdate) IN (1995, 1996)
+                |  GROUP BY o_orderpriority)
+                |SELECT pri,
+                |  CAST(size(array_union(a, b)) AS BIGINT) AS n_union,
+                |  CAST(size(array_intersect(a, b)) AS BIGINT) AS n_both,
+                |  CAST(size(array_except(a, b)) AS BIGINT) AS n_only_1995,
+                |  aggregate(array_intersect(a, b), 0L,
+                |    (acc, v) -> acc + v) AS sum_both
+                |FROM ab ORDER BY pri""".stripMargin)
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT o_orderpriority AS pri, o_custkey AS k
+             |  FROM orders WHERE year(o_orderdate) = 1995),
+             |b AS (
+             |  SELECT DISTINCT o_orderpriority AS pri, o_custkey AS k
+             |  FROM orders WHERE year(o_orderdate) = 1996),
+             |u AS (SELECT pri, k FROM a UNION SELECT pri, k FROM b),
+             |i AS (SELECT a.pri, a.k FROM a JOIN b
+             |        ON a.pri = b.pri AND a.k = b.k),
+             |o AS (SELECT a.pri, a.k FROM a ANTI JOIN b
+             |        ON a.pri = b.pri AND a.k = b.k)
+             |SELECT pri,
+             |  (SELECT count(*) FROM u WHERE u.pri = p.pri)::BIGINT AS n_union,
+             |  (SELECT count(*) FROM i WHERE i.pri = p.pri)::BIGINT AS n_both,
+             |  (SELECT count(*) FROM o WHERE o.pri = p.pri)::BIGINT
+             |    AS n_only_1995,
+             |  (SELECT coalesce(sum(k), 0)::BIGINT FROM i
+             |    WHERE i.pri = p.pri) AS sum_both
+             |FROM (SELECT DISTINCT pri FROM u) p ORDER BY pri""".stripMargin)))
+
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
     * ==3 insert under a shifted key) through [[graft.operators.Cdc.scd2Apply]]. */
@@ -6178,5 +6458,5 @@ object Queries {
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
-      roundFiveSurface
+      roundFiveSurface ++ roundSixSurface
 }
