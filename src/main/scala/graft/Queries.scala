@@ -6405,7 +6405,419 @@ object Queries {
              |    AS n_only_1995,
              |  (SELECT coalesce(sum(k), 0)::BIGINT FROM i
              |    WHERE i.pri = p.pri) AS sum_both
-             |FROM (SELECT DISTINCT pri FROM u) p ORDER BY pri""".stripMargin)))
+             |FROM (SELECT DISTINCT pri FROM u) p ORDER BY pri""".stripMargin)),
+
+    // min_by / max_by (arg-extrema). Determinism: the ordering key is
+    // made UNIQUE (balance cents composed with custkey) so neither
+    // engine's tie-break policy is ever exercised. Cents via
+    // round(x*100): a 2dp double times 100 is within ~1e-9 of an
+    // integer, never near a .5 boundary, so HALF_UP (Spark) vs
+    // half-away (DuckDB) cannot disagree.
+    "q207_min_by_max_by" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q207_customer")
+        t(s, d, "nation").createOrReplaceTempView("q207_nation")
+        s.sql("""WITH c AS (
+                |  SELECT n_name, c_name,
+                |    CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                |      + c_custkey AS ord,
+                |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                |  FROM q207_customer
+                |  JOIN q207_nation ON c_nationkey = n_nationkey)
+                |SELECT n_name, count(*) AS n_cust,
+                |  max_by(c_name, ord) AS richest,
+                |  min_by(c_name, ord) AS poorest,
+                |  CAST(max(cents) AS BIGINT) AS max_cents,
+                |  CAST(min(cents) AS BIGINT) AS min_cents
+                |FROM c GROUP BY n_name ORDER BY n_name""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT n_name, c_name,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+             |      + c_custkey AS ord,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT n_name, count(*) AS n_cust,
+             |  max_by(c_name, ord) AS richest,
+             |  min_by(c_name, ord) AS poorest,
+             |  max(cents)::BIGINT AS max_cents,
+             |  min(cents)::BIGINT AS min_cents
+             |FROM c GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // width_bucket histogram (DataFrame API). Spark computes
+    // floor((v - lo) / ((hi - lo) / n)) + 1 in double; with integer
+    // cent inputs and a power-of-ten step the quotient can only cross
+    // an integer boundary when |v/step| > 2^52 — far beyond any SF —
+    // so the DuckDB restatement floor(v/step)+1 is bit-identical.
+    "q208_width_bucket" -> Q(
+      (s, d) => {
+        val cents = round(col("o_totalprice") * lit(100)).cast("bigint")
+        t(s, d, "orders")
+          .select(cents.as("cents"))
+          .select(
+            width_bucket(col("cents").cast("double"),
+              lit(0.0), lit(60000000.0), lit(12)).as("bucket"),
+            col("cents"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("cents").cast("bigint").as("cents_sum"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |b AS (
+             |  SELECT cents,
+             |    CASE WHEN CAST(cents AS DOUBLE) >= 60000000.0 THEN 13
+             |         WHEN CAST(cents AS DOUBLE) < 0.0 THEN 0
+             |         ELSE CAST(floor(CAST(cents AS DOUBLE) / 5000000.0)
+             |                AS BIGINT) + 1 END AS bucket
+             |  FROM c)
+             |SELECT bucket::BIGINT AS bucket, count(*) AS n,
+             |  sum(cents)::BIGINT AS cents_sum
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // scalar bit-manipulation battery: popcount, AND/OR/XOR, shifts,
+    // single-bit probe — all over BIGINT keys, summed exactly. Spark
+    // spells xor as ^ and shifts as shiftleft/shiftright/getbit;
+    // DuckDB as xor()/<</>> (its ^ is exponentiation).
+    "q209_bit_ops" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q209_orders")
+        s.sql("""SELECT o_orderpriority AS pri, count(*) AS n,
+                |  CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS pop_sum,
+                |  CAST(sum(o_orderkey & 255) AS BIGINT) AS and_sum,
+                |  CAST(sum(o_orderkey | 4096) AS BIGINT) AS or_sum,
+                |  CAST(sum(o_orderkey ^ o_custkey) AS BIGINT) AS xor_sum,
+                |  CAST(sum(shiftleft(o_orderkey & 15, 3)) AS BIGINT)
+                |    AS shl_sum,
+                |  CAST(sum(shiftright(o_orderkey, 4)) AS BIGINT) AS shr_sum,
+                |  CAST(sum(getbit(o_orderkey, 7)) AS BIGINT) AS bit7_sum
+                |FROM q209_orders GROUP BY o_orderpriority
+                |ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(bit_count(o_orderkey))::BIGINT AS pop_sum,
+             |  sum(o_orderkey & 255)::BIGINT AS and_sum,
+             |  sum(o_orderkey | 4096)::BIGINT AS or_sum,
+             |  sum(xor(o_orderkey, o_custkey))::BIGINT AS xor_sum,
+             |  sum((o_orderkey & 15) << 3)::BIGINT AS shl_sum,
+             |  sum(o_orderkey >> 4)::BIGINT AS shr_sum,
+             |  sum((o_orderkey >> 7) & 1)::BIGINT AS bit7_sum
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY pri""".stripMargin)),
+
+    // declarative SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN
+    // expr, Spark 4): the body is inlined by the analyzer, so the UDF
+    // costs nothing at runtime and stays inside codegen — the oracle
+    // simply states the inlined expression. Function names are
+    // q210_-prefixed; temp functions are session-scoped, so no
+    // cross-entry collision.
+    "q210_sql_udf" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q210_lineitem")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q210_disc(
+                |  p DOUBLE, d DOUBLE) RETURNS DOUBLE
+                |RETURN p * (1.0D - d)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q210_band(q DOUBLE)
+                |RETURNS STRING
+                |RETURN CASE WHEN q < 10.0D THEN 'low'
+                |            WHEN q < 30.0D THEN 'mid'
+                |            ELSE 'high' END""".stripMargin)
+        s.sql("""SELECT q210_band(l_quantity) AS band, count(*) AS n,
+                |  CAST(sum(floor(q210_disc(l_extendedprice, l_discount)
+                |    * 1e6)) AS BIGINT) AS disc_micros
+                |FROM q210_lineitem GROUP BY 1 ORDER BY band""".stripMargin)
+      },
+      Some("""SELECT CASE WHEN l_quantity < 10.0 THEN 'low'
+             |            WHEN l_quantity < 30.0 THEN 'mid'
+             |            ELSE 'high' END AS band,
+             |  count(*) AS n,
+             |  sum(floor(l_extendedprice * (1.0 - l_discount) * 1e6)
+             |    ::BIGINT)::BIGINT AS disc_micros
+             |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    // null-safe equality join: Spark's <=> vs ANSI IS NOT DISTINCT
+    // FROM. nullif() plants a NULL key group on both sides; the
+    // null-safe join matches it (a plain equi-join would drop it).
+    "q211_null_safe_join" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q211_customer")
+        t(s, d, "supplier").createOrReplaceTempView("q211_supplier")
+        s.sql("""WITH a AS (
+                |  SELECT nullif(c_nationkey % 5, 4) AS k, count(*) AS nc,
+                |    CAST(sum(c_custkey) AS BIGINT) AS ck_sum
+                |  FROM q211_customer GROUP BY 1),
+                |b AS (
+                |  SELECT nullif(s_nationkey % 5, 4) AS k, count(*) AS ns
+                |  FROM q211_supplier GROUP BY 1)
+                |SELECT a.k AS k, nc, ck_sum, ns
+                |FROM a JOIN b ON a.k <=> b.k
+                |ORDER BY k NULLS FIRST""".stripMargin)
+      },
+      Some("""WITH a AS (
+             |  SELECT nullif(c_nationkey % 5, 4) AS k, count(*) AS nc,
+             |    sum(c_custkey)::BIGINT AS ck_sum
+             |  FROM customer GROUP BY 1),
+             |b AS (
+             |  SELECT nullif(s_nationkey % 5, 4) AS k, count(*) AS ns
+             |  FROM supplier GROUP BY 1)
+             |SELECT a.k AS k, nc, ck_sum, ns
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |ORDER BY k NULLS FIRST""".stripMargin)),
+
+    // EXECUTE IMMEDIATE with named parameter markers (:lo/:hi bound via
+    // USING ... AS name) — dynamic SQL composed and executed inside the
+    // engine, not string-spliced. The oracle is the equivalent static
+    // statement.
+    "q212_execute_immediate" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q212_orders")
+        s.sql("""EXECUTE IMMEDIATE
+                |  'SELECT o_orderpriority AS pri, count(*) AS n,
+                |     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                |       AS BIGINT) AS cents
+                |   FROM q212_orders
+                |   WHERE o_orderdate >= :lo AND o_orderdate < :hi
+                |   GROUP BY o_orderpriority ORDER BY pri'
+                |  USING TIMESTAMP '1995-01-01' AS lo,
+                |        TIMESTAMP '1996-01-01' AS hi""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             |    AS cents
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-01-01'
+             |GROUP BY o_orderpriority ORDER BY pri""".stripMargin)),
+
+    // case-insensitive grouping via Spark 4 collations (GROUP BY expr
+    // COLLATE UTF8_LCASE) over deterministically case-mangled segment
+    // names; count(DISTINCT k) still sees the raw UTF8_BINARY strings,
+    // so it counts the case variants the collation folded together.
+    // DuckDB (no per-expression collation on 1.0) groups by lower(k) —
+    // equivalent for this ASCII domain. initcap is spelled out long-hand
+    // because DuckDB lacks it.
+    "q213_collation_group" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q213_customer")
+        s.sql("""WITH v AS (
+                |  SELECT CASE
+                |    WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                |    WHEN c_custkey % 3 = 1 THEN
+                |      upper(substring(lower(c_mktsegment), 1, 1))
+                |        || substring(lower(c_mktsegment), 2)
+                |    ELSE c_mktsegment END AS k
+                |  FROM q213_customer)
+                |SELECT min(lower(k)) AS segment, count(*) AS n,
+                |  CAST(count(DISTINCT k) AS BIGINT) AS n_forms
+                |FROM v GROUP BY k COLLATE UTF8_LCASE
+                |ORDER BY segment""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT CASE
+             |    WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+             |    WHEN c_custkey % 3 = 1 THEN
+             |      upper(substring(lower(c_mktsegment), 1, 1))
+             |        || substring(lower(c_mktsegment), 2)
+             |    ELSE c_mktsegment END AS k
+             |  FROM customer)
+             |SELECT min(lower(k)) AS segment, count(*) AS n,
+             |  count(DISTINCT k)::BIGINT AS n_forms
+             |FROM v GROUP BY lower(k) ORDER BY segment""".stripMargin)),
+
+    // EWMA over monthly revenue with dyadic weights 2^(10-j), j=0..10:
+    // every term is an exact BIGINT product (multiplying by a power of
+    // two only shifts the exponent) so the 11-term window sum is
+    // order-independent exact integer arithmetic in both engines — an
+    // exponentially-weighted rolling metric with a hash-stable gate.
+    "q214_ewma_dyadic" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q214_orders")
+        s.sql("""WITH m AS (
+                |  SELECT o_orderpriority AS pri,
+                |    date_format(o_orderdate, 'yyyy-MM') AS ym,
+                |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                |      AS BIGINT) AS cents
+                |  FROM q214_orders GROUP BY 1, 2)
+                |SELECT pri, ym, cents,
+                |  CAST(cents * 1024
+                |    + coalesce(lag(cents, 1) OVER w, 0) * 512
+                |    + coalesce(lag(cents, 2) OVER w, 0) * 256
+                |    + coalesce(lag(cents, 3) OVER w, 0) * 128
+                |    + coalesce(lag(cents, 4) OVER w, 0) * 64
+                |    + coalesce(lag(cents, 5) OVER w, 0) * 32
+                |    + coalesce(lag(cents, 6) OVER w, 0) * 16
+                |    + coalesce(lag(cents, 7) OVER w, 0) * 8
+                |    + coalesce(lag(cents, 8) OVER w, 0) * 4
+                |    + coalesce(lag(cents, 9) OVER w, 0) * 2
+                |    + coalesce(lag(cents, 10) OVER w, 0)
+                |    AS BIGINT) AS ewma_scaled
+                |FROM m
+                |WINDOW w AS (PARTITION BY pri ORDER BY ym)
+                |ORDER BY pri, ym""".stripMargin)
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority AS pri,
+             |    strftime(o_orderdate, '%Y-%m') AS ym,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             |      AS cents
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT pri, ym, cents,
+             |  (cents * 1024
+             |    + coalesce(lag(cents, 1) OVER w, 0) * 512
+             |    + coalesce(lag(cents, 2) OVER w, 0) * 256
+             |    + coalesce(lag(cents, 3) OVER w, 0) * 128
+             |    + coalesce(lag(cents, 4) OVER w, 0) * 64
+             |    + coalesce(lag(cents, 5) OVER w, 0) * 32
+             |    + coalesce(lag(cents, 6) OVER w, 0) * 16
+             |    + coalesce(lag(cents, 7) OVER w, 0) * 8
+             |    + coalesce(lag(cents, 8) OVER w, 0) * 4
+             |    + coalesce(lag(cents, 9) OVER w, 0) * 2
+             |    + coalesce(lag(cents, 10) OVER w, 0))::BIGINT
+             |    AS ewma_scaled
+             |FROM m
+             |WINDOW w AS (PARTITION BY pri ORDER BY ym)
+             |ORDER BY pri, ym""".stripMargin)),
+
+    // XPath battery: construct per-row XML, then extract scalars
+    // (xpath_string/xpath_long) and node lists (xpath → size) back out.
+    // The oracle states the pre-serialization values directly, so the
+    // gate proves construct→parse→extract is lossless. Each xpath_*
+    // call is a full DOM parse (~170 µs/row/expr — measured 25 s for
+    // 150 k rows × 3 exprs), so the battery runs on a deterministic
+    // 1/16 key sample; full-corpus XML shredding at scale belongs to
+    // the single-StAX-pass from_xml path benched as q218.
+    "q215_xpath_battery" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q215_orders")
+        s.sql("""WITH x AS (
+                |  SELECT concat('<o><k>', CAST(o_orderkey AS STRING),
+                |      '</k><p>', o_orderpriority, '</p><ls>',
+                |      repeat('<l/>', CAST(o_orderkey % 4 AS INT)),
+                |      '</ls></o>') AS xml
+                |  FROM q215_orders WHERE o_orderkey % 16 = 0)
+                |SELECT xpath_string(xml, '/o/p/text()') AS pri,
+                |  count(*) AS n,
+                |  CAST(sum(xpath_long(xml, '/o/k/text()')) AS BIGINT)
+                |    AS key_sum,
+                |  CAST(sum(size(xpath(xml, '/o/ls/l'))) AS BIGINT)
+                |    AS l_total
+                |FROM x GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(o_orderkey)::BIGINT AS key_sum,
+             |  sum(o_orderkey % 4)::BIGINT AS l_total
+             |FROM orders WHERE o_orderkey % 16 = 0
+             |GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // from_xml whole-document shredding: ONE streaming StAX parse per
+    // row into a typed struct (scalars + nested element list) — the
+    // production path for XML at corpus scale, vs q215's per-expression
+    // DOM re-parse. Runs over the FULL orders table; the oracle states
+    // the pre-serialization values. The empty <ls/> case parses to a
+    // null list and needs an explicit IS NULL branch: under this
+    // engine's ansi.enabled=false, size() takes the LEGACY path and
+    // returns -1 for null (coalesce never sees a NULL to replace).
+    // List elements carry text (<l>1</l>): a SINGLE fully-empty <l/>
+    // parses to a null scalar, not a 1-element array, and would vanish
+    // from the count.
+    "q218_from_xml" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q218_orders")
+        s.sql("""WITH x AS (
+                |  SELECT concat('<o><k>', CAST(o_orderkey AS STRING),
+                |      '</k><p>', o_orderpriority, '</p><ls>',
+                |      repeat('<l>1</l>', CAST(o_orderkey % 4 AS INT)),
+                |      '</ls></o>') AS xml
+                |  FROM q218_orders),
+                |p AS (
+                |  SELECT from_xml(xml,
+                |    'k BIGINT, p STRING, ls STRUCT<l: ARRAY<STRING>>')
+                |    AS o
+                |  FROM x)
+                |SELECT o.p AS pri, count(*) AS n,
+                |  CAST(sum(o.k) AS BIGINT) AS key_sum,
+                |  CAST(sum(CASE WHEN o.ls.l IS NULL THEN 0
+                |    ELSE size(o.ls.l) END) AS BIGINT) AS l_total
+                |FROM p GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(o_orderkey)::BIGINT AS key_sum,
+             |  sum(o_orderkey % 4)::BIGINT AS l_total
+             |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // binary-codec battery: base64/hex/url-encode round-trips plus
+    // encoded-length checksums. Both engines emit RFC 4648 standard
+    // base64 with padding, so min(base64) compares bytewise; DuckDB 1.0
+    // lacks url_encode, so the url round-trip is restated as the
+    // identity it proves (count(*)).
+    "q216_codec_battery" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q216_customer")
+        s.sql("""WITH c AS (
+                |  SELECT c_mktsegment AS seg, c_name AS nm
+                |  FROM q216_customer)
+                |SELECT seg, count(*) AS n,
+                |  CAST(sum(length(base64(CAST(nm AS BINARY))))
+                |    AS BIGINT) AS b64_len_sum,
+                |  CAST(sum(length(hex(CAST(nm AS BINARY)))) AS BIGINT)
+                |    AS hex_len_sum,
+                |  CAST(sum(CASE WHEN CAST(unbase64(base64(
+                |    CAST(nm AS BINARY))) AS STRING) = nm
+                |    THEN 1 ELSE 0 END) AS BIGINT) AS b64_rt,
+                |  CAST(sum(CASE WHEN url_decode(url_encode(nm)) = nm
+                |    THEN 1 ELSE 0 END) AS BIGINT) AS url_rt,
+                |  CAST(sum(CASE WHEN CAST(unhex(hex(CAST(nm AS BINARY)))
+                |    AS STRING) = nm THEN 1 ELSE 0 END) AS BIGINT)
+                |    AS hex_rt,
+                |  min(base64(CAST(nm AS BINARY))) AS b64_min
+                |FROM c GROUP BY seg ORDER BY seg""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT c_mktsegment AS seg, c_name AS nm FROM customer)
+             |SELECT seg, count(*) AS n,
+             |  sum(length(to_base64(encode(nm))))::BIGINT AS b64_len_sum,
+             |  sum(length(hex(nm)))::BIGINT AS hex_len_sum,
+             |  count(*)::BIGINT AS b64_rt,
+             |  count(*)::BIGINT AS url_rt,
+             |  count(*)::BIGINT AS hex_rt,
+             |  min(to_base64(encode(nm))) AS b64_min
+             |FROM c GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // unionByName(allowMissingColumns = true): schema-aligned union by
+    // column NAME with absent columns null-filled — the DataFrame-API
+    // dual of the oracle's explicit NULL-padded UNION ALL.
+    "q217_union_by_name" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(year(col("o_orderdate")) === 1995)
+          .groupBy(col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).as("n_1995"))
+        val b = o.filter(year(col("o_orderdate")) === 1996)
+          .groupBy(col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).as("n_1996"))
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy("pri")
+          .agg(
+            sum(coalesce(col("n_1995"), lit(0L))).cast("bigint")
+              .as("n_1995"),
+            sum(coalesce(col("n_1996"), lit(0L))).cast("bigint")
+              .as("n_1996"))
+          .orderBy("pri")
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderpriority AS pri, count(*) AS n_1995,
+             |    NULL::BIGINT AS n_1996
+             |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+             |  UNION ALL
+             |  SELECT o_orderpriority AS pri, NULL::BIGINT AS n_1995,
+             |    count(*) AS n_1996
+             |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+             |SELECT pri, sum(coalesce(n_1995, 0))::BIGINT AS n_1995,
+             |  sum(coalesce(n_1996, 0))::BIGINT AS n_1996
+             |FROM u GROUP BY pri ORDER BY pri""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

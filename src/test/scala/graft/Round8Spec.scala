@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 batch-2 additions (q207–q218): the traps each entry's
+  * hash-gate design depends on, locked as unit tests. */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ansi=false turns size(null) into legacy -1 (the q218 trap)") {
+    // The catalog session runs ansi off (Hive NULL-on-bad-cast parity,
+    // SURVEY S14). Under that flag size() takes the legacy path and
+    // returns -1 for a null array — coalesce(size(x), 0) never sees a
+    // NULL. q218 (and any future entry counting possibly-null lists)
+    // must branch on IS NULL explicitly.
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "false")
+    val got = spark.sql("SELECT size(CAST(NULL AS ARRAY<STRING>)) AS s")
+      .collect()(0).getInt(0)
+    assert(got == -1)
+  }
+
+  test("q218 from_xml list counting matches the relational statement") {
+    val df = Queries.all.toMap.apply("q218_from_xml").fn(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    val exp = graft.core.Engine.table(spark, sf, "orders")
+      .selectExpr("o_orderpriority AS pri", "o_orderkey % 4 AS m")
+      .groupBy("pri").sum("m").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
+  test("q208 width_bucket equals the floor(v/step)+1 restatement") {
+    // Spark computes floor((v-lo)/((hi-lo)/n))+1; the oracle restates
+    // floor(v/step)+1. Assert bit-identity over a range that includes
+    // exact step multiples (the only candidates for divergence).
+    val rows = spark.sql(
+      """SELECT v,
+        |  width_bucket(CAST(v AS DOUBLE), 0D, 60000000D, 12) AS wb,
+        |  CASE WHEN CAST(v AS DOUBLE) >= 60000000.0 THEN 13L
+        |       WHEN CAST(v AS DOUBLE) < 0.0 THEN 0L
+        |       ELSE CAST(floor(CAST(v AS DOUBLE) / 5000000.0)
+        |              AS BIGINT) + 1 END AS re
+        |FROM (SELECT explode(array(
+        |  0L, 1L, 4999999L, 5000000L, 5000001L, 25000000L, 42424242L,
+        |  55000000L, 59999999L, 60000000L, 60000001L, -1L)) AS v)
+        |""".stripMargin).collect()
+    rows.foreach { r => assert(r.getLong(1) == r.getLong(2), s"v=${r.getLong(0)}") }
+  }
+
+  test("q210 SQL UDFs are inlined by the analyzer (no UDF call at runtime)") {
+    val df = Queries.all.toMap.apply("q210_sql_udf").fn(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("q210_disc"),
+      "SQL UDF body should be inlined, not invoked by name")
+  }
+
+  test("q213 collation grouping folds exactly the 3 case variants per segment") {
+    val rows = Queries.all.toMap.apply("q213_collation_group").fn(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r => assert(r.getLong(2) == 3L, r.getString(0)) }
+  }
+
+  test("q214 dyadic EWMA: constant series converges to cents * 2047") {
+    import spark.implicits._
+    val df = (1 to 14).map(i => (f"2000-$i%02d", 100L)).toDF("ym", "cents")
+    df.createOrReplaceTempView("r8_const")
+    val got = spark.sql(
+      """SELECT ym, CAST(cents * 1024
+        |  + coalesce(lag(cents, 1) OVER w, 0) * 512
+        |  + coalesce(lag(cents, 2) OVER w, 0) * 256
+        |  + coalesce(lag(cents, 3) OVER w, 0) * 128
+        |  + coalesce(lag(cents, 4) OVER w, 0) * 64
+        |  + coalesce(lag(cents, 5) OVER w, 0) * 32
+        |  + coalesce(lag(cents, 6) OVER w, 0) * 16
+        |  + coalesce(lag(cents, 7) OVER w, 0) * 8
+        |  + coalesce(lag(cents, 8) OVER w, 0) * 4
+        |  + coalesce(lag(cents, 9) OVER w, 0) * 2
+        |  + coalesce(lag(cents, 10) OVER w, 0) AS BIGINT) AS e
+        |FROM r8_const WINDOW w AS (ORDER BY ym) ORDER BY ym
+        |""".stripMargin).collect()
+    // from the 11th row on, all 11 taps are populated: 100 * 2047
+    got.drop(10).foreach(r => assert(r.getLong(1) == 204700L))
+    // first row: only the j=0 tap
+    assert(got.head.getLong(1) == 102400L)
+  }
+
+  test("q217 unionByName null-fills the missing column by NAME, not position") {
+    import spark.implicits._
+    val a = Seq(("p1", 10L)).toDF("pri", "n_1995")
+    val b = Seq(("p1", 7L)).toDF("pri", "n_1996")
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.columns.toSeq == Seq("pri", "n_1995", "n_1996"))
+    val rows = u.collect()
+    assert(rows(0).getLong(1) == 10L && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getLong(2) == 7L)
+  }
+}
