@@ -6817,7 +6817,187 @@ object Queries {
              |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
              |SELECT pri, sum(coalesce(n_1995, 0))::BIGINT AS n_1995,
              |  sum(coalesce(n_1996, 0))::BIGINT AS n_1996
-             |FROM u GROUP BY pri ORDER BY pri""".stripMargin)))
+             |FROM u GROUP BY pri ORDER BY pri""".stripMargin)),
+
+    // stream-stream FULL OUTER join. Matched pairs are deterministic;
+    // unmatched-row emission is state eviction, so each side is gated
+    // to the region the final watermark provably evicted (the q191/q35
+    // final-watermark-filter pattern): unmatched clicks once wm passes
+    // click_ts (+30 min safety band), unmatched errors a full join
+    // interval later — a future click's backward-looking window can
+    // cover an error for interval minutes after it happens.
+    "q219_stream_full_outer" -> Q(
+      (s, d) => {
+        val name = "graft_stream_ssfull_q219"
+        s.catalog.dropTempView(name)
+        val es = graft.streaming.EventStreams
+        val src = es.readStream(s, s"$d/events.parquet")
+        val wmMs = t(s, d, "events")
+          .agg(max(unix_millis(col("ts"))).as("m")).collect()(0)
+          .getLong(0) - 600000L
+        es.drainToTable(s, es.clickErrorFullJoin(
+            src.filter(col("event_type") === "click"),
+            src.filter(col("event_type") === "error")), name)
+          .select(
+            col("click_id"),
+            coalesce(col("click_user"), col("err_user")).as("user_id"),
+            unix_millis(col("click_ts")).as("click_ms"),
+            col("err_id"),
+            unix_millis(col("err_ts")).as("err_ms"),
+            col("err_value"))
+          .filter(
+            (col("click_ms").isNotNull && col("err_ms").isNotNull) ||
+            (col("err_ms").isNull &&
+              col("click_ms") < lit(wmMs - 1800000L)) ||
+            (col("click_ms").isNull &&
+              col("err_ms") < lit(wmMs - 3600000L)))
+          .orderBy(col("click_id"), col("err_id"))
+      },
+      Some("""WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w
+             |  FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts AS cts,
+             |    epoch_ms(ts) AS click_ms
+             |  FROM events WHERE event_type = 'click'),
+             |e AS (SELECT event_id AS err_id, user_id, ts AS ets,
+             |    epoch_ms(ts) AS err_ms, value AS err_value
+             |  FROM events WHERE event_type = 'error'),
+             |m AS (SELECT c.click_id, c.user_id, c.click_ms, e.err_id,
+             |    e.err_ms, e.err_value
+             |  FROM c JOIN e ON c.user_id = e.user_id
+             |    AND e.ets <= c.cts
+             |    AND e.ets >= c.cts - INTERVAL 30 MINUTE),
+             |uc AS (SELECT c.click_id, c.user_id, c.click_ms,
+             |    NULL::BIGINT AS err_id, NULL::BIGINT AS err_ms,
+             |    NULL::DOUBLE AS err_value
+             |  FROM c, wm WHERE c.click_ms < wm.w - 1800000
+             |    AND NOT EXISTS (SELECT 1 FROM e
+             |      WHERE e.user_id = c.user_id AND e.ets <= c.cts
+             |        AND e.ets >= c.cts - INTERVAL 30 MINUTE)),
+             |ue AS (SELECT NULL::BIGINT AS click_id, e.user_id,
+             |    NULL::BIGINT AS click_ms, e.err_id, e.err_ms,
+             |    e.err_value
+             |  FROM e, wm WHERE e.err_ms < wm.w - 3600000
+             |    AND NOT EXISTS (SELECT 1 FROM c
+             |      WHERE c.user_id = e.user_id AND e.ets <= c.cts
+             |        AND e.ets >= c.cts - INTERVAL 30 MINUTE))
+             |SELECT click_id, user_id, click_ms, err_id, err_ms,
+             |  err_value FROM m
+             |UNION ALL SELECT * FROM uc
+             |UNION ALL SELECT * FROM ue
+             |ORDER BY click_id NULLS FIRST, err_id NULLS FIRST"""
+        .stripMargin)),
+
+    // number formatting/parsing battery: printf-style format_string
+    // (java.util.Formatter vs DuckDB's fmt — identical for %08d/%x on
+    // integers), lpad/rpad, chr/ascii, and a to_char→to_number
+    // round-trip surfaced as its count (DuckDB 1.0 has no numeric
+    // to_char; the gate proves parse(format(x)) = x, which the oracle
+    // restates as the identity it is). The zero-pad '0' format is the
+    // round-trippable one: a '9' format renders the VALUE ZERO as an
+    // all-spaces string that to_number rejects (spec-locked).
+    "q220_number_format" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q220_orders")
+        s.sql("""SELECT o_orderpriority AS pri, count(*) AS n,
+                |  min(format_string('%08d', CAST(o_orderkey % 100000
+                |    AS INT))) AS min_pad8,
+                |  max(format_string('%x', o_orderkey)) AS max_hex,
+                |  min(lpad(CAST(o_orderkey % 1000 AS STRING), 6, '0'))
+                |    AS min_lpad,
+                |  max(rpad(substring(o_orderpriority, 1, 1), 3, '.'))
+                |    AS max_rpad,
+                |  min(chr(65 + CAST(o_orderkey % 26 AS INT))) AS min_chr,
+                |  CAST(sum(ascii(substring(o_orderpriority, 1, 1)))
+                |    AS BIGINT) AS ascii_sum,
+                |  CAST(sum(CASE WHEN to_number(to_char(
+                |    CAST(o_orderkey AS DECIMAL(18, 0)),
+                |    '000000000000000000'),
+                |    '000000000000000000') = CAST(o_orderkey
+                |      AS DECIMAL(18, 0)) THEN 1 ELSE 0 END) AS BIGINT)
+                |    AS tochar_rt
+                |FROM q220_orders GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  min(printf('%08d', o_orderkey % 100000)) AS min_pad8,
+             |  max(printf('%x', o_orderkey)) AS max_hex,
+             |  min(lpad(CAST(o_orderkey % 1000 AS VARCHAR), 6, '0'))
+             |    AS min_lpad,
+             |  max(rpad(substring(o_orderpriority, 1, 1), 3, '.'))
+             |    AS max_rpad,
+             |  min(chr(CAST(65 + o_orderkey % 26 AS INT))) AS min_chr,
+             |  sum(ascii(substring(o_orderpriority, 1, 1)))::BIGINT
+             |    AS ascii_sum,
+             |  count(*)::BIGINT AS tochar_rt
+             |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // posexplode over a generated sequence, hash-gated against the
+    // CLOSED FORM of what the generator must produce: for m elements,
+    // positions sum to m(m-1)/2 and values 1..m to m(m+1)/2 — the
+    // oracle never runs a generator at all, so the gate proves
+    // sequence+posexplode semantics, not just engine agreement.
+    "q221_posexplode" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q221_orders")
+        s.sql("""WITH g AS (
+                |  SELECT o_orderpriority AS pri, pos, v
+                |  FROM q221_orders
+                |  LATERAL VIEW posexplode(
+                |    sequence(1, CAST(o_orderkey % 4 AS INT) + 1)) t
+                |    AS pos, v)
+                |SELECT pri, count(*) AS n_elems,
+                |  CAST(sum(pos) AS BIGINT) AS pos_sum,
+                |  CAST(sum(v) AS BIGINT) AS val_sum
+                |FROM g GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority AS pri, o_orderkey % 4 + 1 AS k
+             |  FROM orders)
+             |SELECT pri, sum(k)::BIGINT AS n_elems,
+             |  sum(k * (k - 1) // 2)::BIGINT AS pos_sum,
+             |  sum(k * (k + 1) // 2)::BIGINT AS val_sum
+             |FROM m GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // try_* error-safe arithmetic: division by zero, BIGINT overflow,
+    // and out-of-range array subscripts degrade to NULL instead of
+    // failing the job — the semantics a 100 TB pipeline wants for
+    // hostile data. Division results are dyadic (halves), so doubling
+    // them gives exact BIGINTs; the oracle restates each try_* as the
+    // explicit CASE it encodes. Two caveats found under test:
+    // try_element_at nulls OUT-OF-RANGE subscripts but still THROWS on
+    // subscript 0 (an invalid-argument error, not a runtime lookup
+    // failure), so the probe domain is 1..4, not 0..3; and each caught
+    // overflow costs a JVM exception throw (measured ~30 us/row when
+    // EVERY row overflows), so the add probe overflows for 1 key in
+    // 1000 at any SF — try_* is built for rare errors, and a predicate
+    // that errors on every row should be a filter instead.
+    "q222_try_arith" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q222_orders")
+        s.sql("""SELECT o_orderpriority AS pri, count(*) AS n,
+                |  CAST(sum(coalesce(try_divide(100, o_orderkey % 3)
+                |    * 2, -2)) AS BIGINT) AS div2_sum,
+                |  CAST(sum(CASE WHEN try_add(9223372036854775807L
+                |    - 998L, o_orderkey % 1000) IS NULL THEN 1 ELSE 0
+                |    END) AS BIGINT) AS n_add_overflow,
+                |  CAST(sum(CASE WHEN try_multiply(4611686018427387904L,
+                |    o_orderkey % 3) IS NULL THEN 1 ELSE 0 END)
+                |    AS BIGINT) AS n_mul_overflow,
+                |  CAST(sum(CASE WHEN try_element_at(array('a', 'b'),
+                |    CAST(o_orderkey % 4 AS INT) + 1) IS NULL
+                |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_subscript
+                |FROM q222_orders GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(CASE WHEN o_orderkey % 3 = 0 THEN -2
+             |    ELSE CAST(200.0 / (o_orderkey % 3) AS BIGINT) END)
+             |    ::BIGINT AS div2_sum,
+             |  sum(CASE WHEN o_orderkey % 1000 = 999 THEN 1 ELSE 0 END)
+             |    ::BIGINT AS n_add_overflow,
+             |  sum(CASE WHEN o_orderkey % 3 >= 2 THEN 1 ELSE 0 END)
+             |    ::BIGINT AS n_mul_overflow,
+             |  sum(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 0 ELSE 1 END)
+             |    ::BIGINT AS n_bad_subscript
+             |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

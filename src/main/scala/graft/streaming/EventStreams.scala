@@ -203,6 +203,35 @@ object EventStreams {
       intervalMinutes: Int = 30): DataFrame =
     clickErrorJoin(clicks, errors, intervalMinutes, joinType = "leftOuter")
 
+  /** Full-outer stream-stream join: matched pairs emit as they join;
+    * each side's unmatched rows emit on state eviction once the OTHER
+    * side's watermark proves no future match can arrive. Unlike
+    * [[clickErrorJoin]] this keeps the error event_id — both unmatched
+    * classes need their own unique key for a total output order. An
+    * unmatched click evicts when the watermark passes click_ts (errors
+    * only join looking backward); an unmatched error must wait a full
+    * `intervalMinutes` longer, until no future click's window can still
+    * cover it. */
+  def clickErrorFullJoin(
+      clicks: DataFrame,
+      errors: DataFrame,
+      intervalMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val e = errors
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"), col("value").as("err_value"))
+    c.join(
+      e,
+      col("click_user") === col("err_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"),
+      "fullOuter")
+  }
+
   /** State-store partition count for the local harness streams. A
     * streaming query's state is partitioned by `spark.sql.shuffle
     * .partitions` AT START and every micro-batch then touches every

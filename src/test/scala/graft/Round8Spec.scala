@@ -86,6 +86,42 @@ class Round8Spec extends AnyFunSuite {
     assert(got.head.getLong(1) == 102400L)
   }
 
+  test("q219 full outer: both unmatched classes survive the watermark gate") {
+    val rows = Queries.all.toMap.apply("q219_stream_full_outer")
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    val unmatchedClicks = rows.count(r => r.isNullAt(4)) // err_ms null
+    val unmatchedErrors = rows.count(r => r.isNullAt(2)) // click_ms null
+    val matched = rows.length - unmatchedClicks - unmatchedErrors
+    assert(matched > 0 && unmatchedClicks > 0 && unmatchedErrors > 0,
+      s"m=$matched uc=$unmatchedClicks ue=$unmatchedErrors")
+    // every row is exactly one class: no row with both sides null
+    assert(!rows.exists(r => r.isNullAt(2) && r.isNullAt(4)))
+  }
+
+  test("q222 trap: try_element_at throws on subscript 0 (not nulled)") {
+    intercept[Exception] {
+      spark.sql("SELECT try_element_at(array('a'), 0)").collect()
+    }
+  }
+
+  test("q220 trap: to_char '9' format renders ZERO as all spaces, breaking to_number") {
+    // leading '9' positions render as spaces; non-zero values still
+    // parse back, but the value 0 becomes an ALL-SPACES string that
+    // to_number rejects outright. The zero-pad '0' format is the
+    // round-trippable one q220 uses (orders has an o_orderkey = 0).
+    val blank = spark
+      .sql("SELECT to_char(CAST(0 AS DECIMAL(6,0)), '999999')")
+      .collect()(0).getString(0)
+    assert(blank.trim.isEmpty && blank.length == 6)
+    intercept[Exception] {
+      spark.sql("SELECT to_number('      ', '999999')").collect()
+    }
+    val ok = spark.sql(
+      "SELECT to_number(to_char(CAST(0 AS DECIMAL(6,0)), '000000'), '000000')")
+      .collect()(0).getDecimal(0)
+    assert(ok.longValue == 0L)
+  }
+
   test("q217 unionByName null-fills the missing column by NAME, not position") {
     import spark.implicits._
     val a = Seq(("p1", 10L)).toDF("pri", "n_1995")
