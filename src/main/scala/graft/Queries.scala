@@ -6997,7 +6997,154 @@ object Queries {
              |    ::BIGINT AS n_mul_overflow,
              |  sum(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 0 ELSE 1 END)
              |    ::BIGINT AS n_bad_subscript
-             |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin)))
+             |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // SQL session variables (DECLARE VARIABLE / SET VAR) + the
+    // IDENTIFIER() clause — parameterized SQL state held engine-side,
+    // the SQL-scripting building blocks. Variables are q223_-prefixed
+    // and session-scoped; the oracle is the statically-bound statement.
+    "q223_session_variables" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q223_orders")
+        t(s, d, "customer").createOrReplaceTempView("q223_customer")
+        s.sql("""DECLARE OR REPLACE VARIABLE q223_cut TIMESTAMP
+                |  DEFAULT TIMESTAMP '1995-01-01'""".stripMargin)
+        s.sql("SET VAR q223_cut = TIMESTAMP '1995-07-01'")
+        s.sql("""DECLARE OR REPLACE VARIABLE q223_seg STRING
+                |  DEFAULT 'BUILDING'""".stripMargin)
+        s.sql("""SELECT o_orderpriority AS pri, count(*) AS n,
+                |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                |    AS BIGINT) AS cents
+                |FROM IDENTIFIER('q223_' || 'orders')
+                |JOIN q223_customer ON o_custkey = c_custkey
+                |WHERE o_orderdate < q223_cut AND c_mktsegment = q223_seg
+                |GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             |    AS cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderdate < TIMESTAMP '1995-07-01'
+             |  AND c_mktsegment = 'BUILDING'
+             |GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // timestampdiff / timestampadd unit arithmetic. Order dates are
+    // midnight timestamps, so Spark's full-period counting and DuckDB
+    // date_diff's boundary-crossing counting agree for DAY/HOUR —
+    // calendar units (MONTH) deliberately excluded: the two semantics
+    // diverge on partial periods and would need a per-engine oracle.
+    "q224_timestamp_arith" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q224_orders")
+        s.sql("""SELECT o_orderpriority AS pri, count(*) AS n,
+                |  CAST(sum(timestampdiff(DAY, o_orderdate,
+                |    TIMESTAMP '1998-12-01')) AS BIGINT) AS day_sum,
+                |  CAST(sum(timestampdiff(HOUR, o_orderdate,
+                |    TIMESTAMP '1998-12-01')) AS BIGINT) AS hour_sum,
+                |  min(unix_millis(CAST(timestampadd(DAY, 30,
+                |    o_orderdate) AS TIMESTAMP))) AS min_plus30_ms,
+                |  CAST(sum(CASE WHEN timestampdiff(DAY, o_orderdate,
+                |    timestampadd(DAY, 30, o_orderdate)) = 30
+                |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+                |FROM q224_orders GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(date_diff('day', o_orderdate,
+             |    TIMESTAMP '1998-12-01'))::BIGINT AS day_sum,
+             |  sum(date_diff('hour', o_orderdate,
+             |    TIMESTAMP '1998-12-01'))::BIGINT AS hour_sum,
+             |  min(epoch_ms(o_orderdate + INTERVAL 30 DAY))
+             |    AS min_plus30_ms,
+             |  count(*)::BIGINT AS n_roundtrip
+             |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // character-vs-byte length battery over strings with 1-, 2- and
+    // 3-byte UTF-8 code points (é, €): length counts characters,
+    // octet_length bytes, bit_length bits; plus unicode-aware
+    // upper/reverse/instr. DuckDB spells byte length strlen() (its
+    // octet_length wants a BLOB) and has no bit_length for strings —
+    // restated as strlen*8. The € is a LITERAL: Spark's chr() wraps
+    // its argument mod 256 (chr(8364) is '¬'), DuckDB's is a full
+    // unicode codepoint constructor — chr() is only portable below
+    // 256 (the é).
+    "q225_strlen_unicode" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q225_customer")
+        s.sql("""WITH u AS (
+                |  SELECT c_mktsegment AS seg,
+                |    concat(right(c_name, 4), chr(233), '€') AS v
+                |  FROM q225_customer)
+                |SELECT seg, count(*) AS n,
+                |  CAST(sum(length(v)) AS BIGINT) AS chars_sum,
+                |  CAST(sum(octet_length(v)) AS BIGINT) AS bytes_sum,
+                |  CAST(sum(bit_length(v)) AS BIGINT) AS bits_sum,
+                |  min(upper(v)) AS min_upper,
+                |  min(reverse(v)) AS min_rev,
+                |  CAST(sum(instr(v, '€')) AS BIGINT) AS eur_pos_sum
+                |FROM u GROUP BY seg ORDER BY seg""".stripMargin)
+      },
+      Some("""WITH u AS (
+             |  SELECT c_mktsegment AS seg,
+             |    right(c_name, 4) || chr(233) || '€' AS v
+             |  FROM customer)
+             |SELECT seg, count(*) AS n,
+             |  sum(length(v))::BIGINT AS chars_sum,
+             |  sum(strlen(v))::BIGINT AS bytes_sum,
+             |  sum(strlen(v) * 8)::BIGINT AS bits_sum,
+             |  min(upper(v)) AS min_upper,
+             |  min(reverse(v)) AS min_rev,
+             |  sum(instr(v, '€'))::BIGINT AS eur_pos_sum
+             |FROM u GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // array_sort with a CUSTOM COMPARATOR lambda (length asc, then
+    // lexicographic DESC) — an ordering no plain sort_array expresses.
+    // The oracle derives the same order relationally via row_number.
+    // Duplicate derived strings are harmless: equal elements are
+    // interchangeable under any comparator, so the extracted values
+    // are deterministic even if the sort is unstable.
+    "q226_array_sort_comparator" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q226_customer")
+        t(s, d, "nation").createOrReplaceTempView("q226_nation")
+        s.sql("""WITH v AS (
+                |  SELECT n_name,
+                |    concat(repeat('x', CAST(c_custkey % 3 AS INT)),
+                |      right(c_name, 3)) AS v
+                |  FROM q226_customer
+                |  JOIN q226_nation ON c_nationkey = n_nationkey
+                |  WHERE c_custkey % 50 = 0),
+                |a AS (
+                |  SELECT n_name,
+                |    array_sort(collect_list(v), (l, r) ->
+                |      CASE WHEN length(l) < length(r) THEN -1
+                |           WHEN length(l) > length(r) THEN 1
+                |           WHEN l > r THEN -1
+                |           WHEN l < r THEN 1
+                |           ELSE 0 END) AS arr
+                |  FROM v GROUP BY n_name)
+                |SELECT n_name, CAST(size(arr) AS BIGINT) AS n_elems,
+                |  element_at(arr, 1) AS first_s,
+                |  element_at(arr, 2) AS second_s,
+                |  element_at(arr, size(arr)) AS last_s
+                |FROM a ORDER BY n_name""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT n_name,
+             |    repeat('x', c_custkey % 3) || right(c_name, 3) AS v
+             |  FROM customer
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE c_custkey % 50 = 0),
+             |r AS (
+             |  SELECT n_name, v,
+             |    row_number() OVER (PARTITION BY n_name
+             |      ORDER BY length(v), v DESC) AS rn,
+             |    count(*) OVER (PARTITION BY n_name) AS cnt
+             |  FROM v)
+             |SELECT n_name, max(cnt)::BIGINT AS n_elems,
+             |  min(CASE WHEN rn = 1 THEN v END) AS first_s,
+             |  min(CASE WHEN rn = 2 THEN v END) AS second_s,
+             |  min(CASE WHEN rn = cnt THEN v END) AS last_s
+             |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -122,6 +122,29 @@ class Round8Spec extends AnyFunSuite {
     assert(ok.longValue == 0L)
   }
 
+  test("q225 trap: Spark chr() wraps mod 256; only codepoints < 256 are portable") {
+    val r = spark
+      .sql("SELECT chr(8364), chr(8364 % 256), chr(233)").collect()(0)
+    assert(r.getString(0) == r.getString(1)) // 8364 -> '¬', not '€'
+    assert(r.getString(0) == "¬" && r.getString(2) == "é")
+  }
+
+  test("q224 trap: timestampadd on a parquet NTZ column yields TIMESTAMP_NTZ") {
+    // unix_millis requires TIMESTAMP(LTZ); q224 casts explicitly.
+    val dt = graft.core.Engine.table(spark, sf, "orders")
+      .selectExpr("timestampadd(DAY, 30, o_orderdate) AS t")
+      .schema("t").dataType
+    assert(dt == org.apache.spark.sql.types.TimestampNTZType)
+  }
+
+  test("q223 session variables: DECLARE default, SET VAR overrides, read-back") {
+    spark.sql(
+      "DECLARE OR REPLACE VARIABLE r8_v BIGINT DEFAULT 7")
+    assert(spark.sql("SELECT r8_v").collect()(0).getLong(0) == 7L)
+    spark.sql("SET VAR r8_v = 42")
+    assert(spark.sql("SELECT r8_v").collect()(0).getLong(0) == 42L)
+  }
+
   test("q217 unionByName null-fills the missing column by NAME, not position") {
     import spark.implicits._
     val a = Seq(("p1", 10L)).toDF("pri", "n_1995")
