@@ -7144,7 +7144,198 @@ object Queries {
              |  min(CASE WHEN rn = 1 THEN v END) AS first_s,
              |  min(CASE WHEN rn = 2 THEN v END) AS second_s,
              |  min(CASE WHEN rn = cnt THEN v END) AS last_s
-             |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin)))
+             |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // two-level sketch MERGE: per-nation HLL partials unioned to region
+    // level with hll_union_agg — the 100 TB cardinality architecture
+    // (fixed-size mergeable partials flowing up a rollup tree; no
+    // re-scan of the raw keys at the outer level). Exact distinct rides
+    // along hashed; the estimate is gated as the q203-style pinned
+    // tolerance boolean.
+    "q227_hll_union" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q227_customer")
+        t(s, d, "nation").createOrReplaceTempView("q227_nation")
+        s.sql("""WITH sk AS (
+                |  SELECT n_regionkey, n_nationkey,
+                |    hll_sketch_agg(c_custkey) AS sk
+                |  FROM q227_customer
+                |  JOIN q227_nation ON c_nationkey = n_nationkey
+                |  GROUP BY n_regionkey, n_nationkey),
+                |ex AS (
+                |  SELECT n_regionkey,
+                |    count(DISTINCT c_custkey) AS n_exact
+                |  FROM q227_customer
+                |  JOIN q227_nation ON c_nationkey = n_nationkey
+                |  GROUP BY n_regionkey),
+                |es AS (
+                |  SELECT n_regionkey,
+                |    hll_sketch_estimate(hll_union_agg(sk)) AS est,
+                |    count(*) AS n_partials
+                |  FROM sk GROUP BY n_regionkey)
+                |SELECT es.n_regionkey AS regionkey,
+                |  CAST(es.n_partials AS BIGINT) AS n_partials,
+                |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+                |  (abs(CAST(es.est AS DOUBLE)
+                |       - CAST(ex.n_exact AS DOUBLE))
+                |    <= 0.05 * CAST(ex.n_exact AS DOUBLE)) AS ok_union
+                |FROM es JOIN ex ON es.n_regionkey = ex.n_regionkey
+                |ORDER BY regionkey""".stripMargin)
+      },
+      Some("""SELECT n_regionkey AS regionkey,
+             |  count(DISTINCT n_nationkey)::BIGINT AS n_partials,
+             |  count(DISTINCT c_custkey)::BIGINT AS n_exact,
+             |  TRUE AS ok_union
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_regionkey ORDER BY regionkey""".stripMargin)),
+
+    // json_tuple generator: multi-field JSON extraction in ONE parse
+    // (LATERAL VIEW json_tuple) instead of one get_json_object walk per
+    // field — the row-construction dual of q218's from_xml. The JSON is
+    // built with to_json(named_struct(...)), so the oracle states the
+    // pre-serialization values.
+    "q228_json_tuple" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q228_orders")
+        s.sql("""WITH j AS (
+                |  SELECT to_json(named_struct(
+                |    'pri', o_orderpriority,
+                |    'key', o_orderkey,
+                |    'cents', CAST(round(o_totalprice * 100) AS BIGINT)))
+                |    AS js
+                |  FROM q228_orders)
+                |SELECT pri, count(*) AS n,
+                |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS key_sum,
+                |  CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS cents_sum
+                |FROM j
+                |LATERAL VIEW json_tuple(js, 'pri', 'key', 'cents') t
+                |  AS pri, k, c
+                |GROUP BY pri ORDER BY pri""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(o_orderkey)::BIGINT AS key_sum,
+             |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             |    AS cents_sum
+             |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // hidden _metadata file columns on the parquet scan — per-file
+    // lineage without a custom reader. Only file_name is surfaced
+    // (sizes/mtimes vary per testdata regeneration); the oracle states
+    // the layout fact the scan must discover.
+    "q229_file_metadata" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .select(col("_metadata.file_name").as("fname"))
+          .groupBy("fname")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("fname")
+      },
+      Some("""SELECT 'orders.parquet' AS fname, count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY fname""".stripMargin)),
+
+    // Observation metrics: aggregates piggyback on a real action
+    // instead of a second scan — the production pattern for pipeline
+    // telemetry (row counts, checksums) at 100 TB, where "run the job
+    // again to count" is not an option. DISTINCT aggregates are
+    // rejected in observed metrics (they must be mergeable
+    // accumulators — production uses approx_count_distinct there).
+    // The observed map is surfaced as a one-row DataFrame; the oracle
+    // computes the same aggregates declaratively.
+    "q230_observe_metrics" -> Q(
+      (s, d) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val filtered = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .observe(obs,
+            count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("bigint"))
+              .cast("bigint").as("cents"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+        // the action the metrics ride on (at scale: the pipeline's own
+        // write); collect count only
+        val kept = filtered.count()
+        val m = obs.get
+        import s.implicits._
+        Seq((kept, m("n").asInstanceOf[Long],
+          m("cents").asInstanceOf[Long], m("min_key").asInstanceOf[Long],
+          m("max_key").asInstanceOf[Long]))
+          .toDF("n_rows", "n_observed", "cents", "min_key", "max_key")
+      },
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             |  count(*)::BIGINT AS n_observed,
+             |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             |    AS cents,
+             |  min(o_orderkey)::BIGINT AS min_key,
+             |  max(o_orderkey)::BIGINT AS max_key
+             |FROM orders
+             |WHERE o_orderdate < TIMESTAMP '1996-01-01'""".stripMargin)),
+
+    // DataFrame-API groupingSets (new in Spark 4 — previously SQL-only,
+    // q37): explicit set list (pri, yr) / (pri) / () == the q10-style
+    // rollup, declared programmatically. Oracle is the equivalent SQL
+    // GROUPING SETS.
+    "q231_df_grouping_sets" -> Q(
+      (s, d) => {
+        t(s, d, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+          .groupingSets(
+            Seq(
+              Seq(col("o_orderpriority"), col("yr")),
+              Seq(col("o_orderpriority")),
+              Seq()),
+            col("o_orderpriority"), col("yr"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("bigint"))
+              .cast("bigint").as("cents"))
+          .select(
+            col("o_orderpriority").as("pri"), col("yr"),
+            col("n"), col("cents"))
+          .orderBy(asc_nulls_first("pri"), asc_nulls_first("yr"))
+      },
+      Some("""SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+             |  count(*) AS n,
+             |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             |    AS cents
+             |FROM orders
+             |GROUP BY GROUPING SETS (
+             |  (o_orderpriority, year(o_orderdate)),
+             |  (o_orderpriority), ())
+             |ORDER BY pri NULLS FIRST, yr NULLS FIRST""".stripMargin)),
+
+    // lateral column aliases: a SELECT item referencing an alias
+    // defined earlier in the SAME select list (cents -> tax -> band) —
+    // the expression chain is written once instead of re-inlined. The
+    // oracle re-inlines it, proving the chain resolves to the same
+    // tree.
+    "q232_lateral_alias" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q232_orders")
+        s.sql("""WITH b AS (
+                |  SELECT o_orderpriority,
+                |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                |    cents div 10 AS tax,
+                |    tax * 3 + 1 AS band
+                |  FROM q232_orders)
+                |SELECT o_orderpriority AS pri, count(*) AS n,
+                |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+                |  CAST(sum(tax) AS BIGINT) AS tax_sum,
+                |  CAST(sum(band) AS BIGINT) AS band_sum
+                |FROM b GROUP BY 1 ORDER BY pri""".stripMargin)
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) // 10 AS tax,
+             |    (CAST(round(o_totalprice * 100) AS BIGINT) // 10) * 3
+             |      + 1 AS band
+             |  FROM orders)
+             |SELECT o_orderpriority AS pri, count(*) AS n,
+             |  sum(cents)::BIGINT AS cents_sum,
+             |  sum(tax)::BIGINT AS tax_sum,
+             |  sum(band)::BIGINT AS band_sum
+             |FROM b GROUP BY 1 ORDER BY pri""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

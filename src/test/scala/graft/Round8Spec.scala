@@ -145,6 +145,48 @@ class Round8Spec extends AnyFunSuite {
     assert(spark.sql("SELECT r8_v").collect()(0).getLong(0) == 42L)
   }
 
+  test("q227 region-level sketch union stays within the pinned tolerance") {
+    val rows = Queries.all.toMap.apply("q227_hll_union").fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3), s"region ${r.get(0)}"))
+  }
+
+  test("q230 trap: observed metrics reject DISTINCT aggregates") {
+    import org.apache.spark.sql.functions.{countDistinct, col}
+    val obs = new org.apache.spark.sql.Observation()
+    intercept[Exception] {
+      graft.core.Engine.table(spark, sf, "orders")
+        .observe(obs, countDistinct(col("o_custkey")).as("d"))
+        .count()
+    }
+  }
+
+  test("q229 _metadata.file_name reflects the scanned parquet file") {
+    val rows = Queries.all.toMap.apply("q229_file_metadata").fn(spark, sf)
+      .collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "orders.parquet")
+  }
+
+  test("q231 DataFrame groupingSets equals the SQL GROUPING SETS result") {
+    val df = Queries.all.toMap.apply("q231_df_grouping_sets").fn(spark, sf)
+    graft.core.Engine.table(spark, sf, "orders")
+      .createOrReplaceTempView("r8_orders")
+    val sqlRows = spark.sql(
+      """SELECT o_orderpriority AS pri,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n
+        |FROM r8_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+        |  (o_orderpriority), ())
+        |ORDER BY pri NULLS FIRST, yr NULLS FIRST""".stripMargin).collect()
+    val apiRows = df.collect()
+    assert(apiRows.length == sqlRows.length)
+    apiRows.zip(sqlRows).foreach { case (a, b) =>
+      assert(a.get(0) == b.get(0) && a.get(1) == b.get(1) &&
+        a.getLong(2) == b.getLong(2))
+    }
+  }
+
   test("q217 unionByName null-fills the missing column by NAME, not position") {
     import spark.implicits._
     val a = Seq(("p1", 10L)).toDF("pri", "n_1995")
