@@ -7335,7 +7335,41 @@ object Queries {
              |  sum(cents)::BIGINT AS cents_sum,
              |  sum(tax)::BIGINT AS tax_sum,
              |  sum(band)::BIGINT AS band_sum
-             |FROM b GROUP BY 1 ORDER BY pri""".stripMargin)))
+             |FROM b GROUP BY 1 ORDER BY pri""".stripMargin)),
+
+    // string-surgery battery: mask() (the built-in PII shape-preserving
+    // redactor — upper→X, lower→x, digit→n; companion to q75's
+    // policy-driven redaction), split_part, substring_index, translate,
+    // overlay. DuckDB lacks mask/substring_index/overlay — the oracle
+    // restates them as regexp_replace chains / split_part / concat,
+    // which is exactly the portability contract the gate proves.
+    "q233_string_surgery" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q233_customer")
+        s.sql("""WITH v AS (
+                |  SELECT c_mktsegment AS seg, c_name AS nm
+                |  FROM q233_customer)
+                |SELECT seg, count(*) AS n,
+                |  min(mask(nm)) AS min_mask,
+                |  max(split_part(nm, '#', 2)) AS max_id,
+                |  min(substring_index(nm, '#', 1)) AS min_stem,
+                |  max(translate(nm, '0123456789', 'ABCDEFGHIJ'))
+                |    AS max_trans,
+                |  min(overlay(nm, '###', 1, 3)) AS min_overlay
+                |FROM v GROUP BY seg ORDER BY seg""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT c_mktsegment AS seg, c_name AS nm FROM customer)
+             |SELECT seg, count(*) AS n,
+             |  min(regexp_replace(regexp_replace(regexp_replace(nm,
+             |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             |    '[0-9]', 'n', 'g')) AS min_mask,
+             |  max(split_part(nm, '#', 2)) AS max_id,
+             |  min(split_part(nm, '#', 1)) AS min_stem,
+             |  max(translate(nm, '0123456789', 'ABCDEFGHIJ'))
+             |    AS max_trans,
+             |  min('###' || substring(nm, 4)) AS min_overlay
+             |FROM v GROUP BY seg ORDER BY seg""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
