@@ -7369,7 +7369,48 @@ object Queries {
              |  max(translate(nm, '0123456789', 'ABCDEFGHIJ'))
              |    AS max_trans,
              |  min('###' || substring(nm, 4)) AS min_overlay
-             |FROM v GROUP BY seg ORDER BY seg""".stripMargin)))
+             |FROM v GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // rolling distinct count: COUNT(DISTINCT) OVER a window is not
+    // supported in Spark — the production workaround is per-bucket
+    // collect_set partials merged across the frame
+    // (flatten → array_distinct → size), i.e. the same
+    // partial-then-merge shape a distributed distinct uses. State per
+    // row is one set per frame bucket, not the raw rows. DuckDB can't
+    // express it either; the oracle derives the same 3-month distinct
+    // via an index self-join + plain COUNT(DISTINCT) — independently
+    // constructed semantics, same numbers.
+    "q234_window_distinct" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q234_orders")
+        s.sql("""WITH base AS (
+                |  SELECT DISTINCT o_orderpriority AS pri,
+                |    date_format(o_orderdate, 'yyyy-MM') AS ym,
+                |    o_custkey AS ck
+                |  FROM q234_orders WHERE year(o_orderdate) = 1995),
+                |ms AS (
+                |  SELECT pri, ym, collect_set(ck) AS s
+                |  FROM base GROUP BY pri, ym)
+                |SELECT pri, ym,
+                |  CAST(size(array_distinct(flatten(collect_list(s)
+                |    OVER (PARTITION BY pri ORDER BY ym
+                |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))))
+                |    AS BIGINT) AS dist3m
+                |FROM ms ORDER BY pri, ym""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT DISTINCT o_orderpriority AS pri,
+             |    strftime(o_orderdate, '%Y-%m') AS ym, o_custkey AS ck
+             |  FROM orders WHERE year(o_orderdate) = 1995),
+             |idx AS (
+             |  SELECT pri, ym,
+             |    dense_rank() OVER (PARTITION BY pri ORDER BY ym) AS r
+             |  FROM (SELECT DISTINCT pri, ym FROM base) t)
+             |SELECT a.pri, a.ym, count(DISTINCT c.ck)::BIGINT AS dist3m
+             |FROM idx a
+             |JOIN idx b ON b.pri = a.pri AND b.r BETWEEN a.r - 2 AND a.r
+             |JOIN base c ON c.pri = b.pri AND c.ym = b.ym
+             |GROUP BY a.pri, a.ym ORDER BY a.pri, a.ym""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
