@@ -176,8 +176,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$actualRuns,"queries":$detail,"sf":"$sfDir"}"""
+    // a BENCH_ONLY dev-loop run must never clobber the committed
+    // full-catalog artifact with a few-entry map (an explicit
+    // SPARK_GRAFT_BENCH_DETAIL still wins)
+    val defaultDetail =
+      if (only.isDefined) "/tmp/BENCH_DETAIL_dev.json"
+      else "/root/repo/BENCH_DETAIL.json"
     val detailPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+      "SPARK_GRAFT_BENCH_DETAIL", defaultDetail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -6140,7 +6140,10 @@ object Queries {
     // regression statistics are DERIVED deterministically from exact
     // integer sums (n, Σx, Σy, Σxy, Σx², Σy² — order-independent BIGINT
     // arithmetic in any engine) through an IDENTICAL IEEE expression
-    // tree in Spark and DuckDB, and the built-in regr_* results — whose
+    // tree in Spark and DuckDB — each sum cast to DOUBLE BEFORE the
+    // co-moment products, since n·Σxy-style BIGINT products overflow
+    // 2^63 around SF 3-10 (Spark would wrap silently under ansi=false,
+    // DuckDB would raise) — and the built-in regr_* results — whose
     // one-pass co-moment accumulation is order-dependent in the last
     // bits — are gated as within-1e-9 booleans against those trees.
     // Inputs pre-quantized (qty as-is, price in hecto-dollars) so every
@@ -6164,11 +6167,20 @@ object Queries {
                 |  FROM b GROUP BY rf),
                 |tr AS (
                 |  SELECT rf, n, rn, rs, ri, rr, rax,
-                |    CAST(n*sxy - sx*sy AS DOUBLE)
-                |      / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
-                |    CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
-                |      / (CAST(n*sxx - sx*sx AS DOUBLE)
-                |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r2,
+                |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                |      AS slope,
+                |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                |     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                |      AS r2,
                 |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avgx,
                 |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avgy
                 |  FROM a)
@@ -6204,11 +6216,20 @@ object Queries {
              |  FROM b GROUP BY rf),
              |tr AS (
              |  SELECT rf, n, rn, rs, ri, rr, rax,
-             |    CAST(n*sxy - sx*sy AS DOUBLE)
-             |      / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
-             |    CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
-             |      / (CAST(n*sxx - sx*sx AS DOUBLE)
-             |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r2,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      AS slope,
+             |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |      AS r2,
              |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avgx,
              |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avgy
              |  FROM a)
@@ -6408,8 +6429,10 @@ object Queries {
              |FROM (SELECT DISTINCT pri FROM u) p ORDER BY pri""".stripMargin)),
 
     // min_by / max_by (arg-extrema). Determinism: the ordering key is
-    // made UNIQUE (balance cents composed with custkey) so neither
-    // engine's tie-break policy is ever exercised. Cents via
+    // made UNIQUE (balance cents in the high digits, custkey in the
+    // low) so neither engine's tie-break policy is ever exercised —
+    // injective while custkey < 1e9 (~SF 6000; max |cents|*1e9 ~ 1e15,
+    // far inside BIGINT). Cents via
     // round(x*100): a 2dp double times 100 is within ~1e-9 of an
     // integer, never near a .5 boundary, so HALF_UP (Spark) vs
     // half-away (DuckDB) cannot disagree.
@@ -6419,7 +6442,7 @@ object Queries {
         t(s, d, "nation").createOrReplaceTempView("q207_nation")
         s.sql("""WITH c AS (
                 |  SELECT n_name, c_name,
-                |    CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                |    CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000
                 |      + c_custkey AS ord,
                 |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
                 |  FROM q207_customer
@@ -6433,7 +6456,7 @@ object Queries {
       },
       Some("""WITH c AS (
              |  SELECT n_name, c_name,
-             |    CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+             |    CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000
              |      + c_custkey AS ord,
              |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
              |  FROM customer JOIN nation ON c_nationkey = n_nationkey)

@@ -41,14 +41,21 @@ object UpsertSink {
       // invisible to both readers and the writer's prior-state lookup
       fs.exists(new Path(path, "_SUCCESS"))
     }
-    // version dirs but NOT ONE with a marker is not a crash signature —
-    // it's a whole state dir written without success markers (or with a
-    // committer configured marksuccessfuljobs=false). Treating it as
-    // "no state" would silently restart state from empty and the next
-    // batch would bury the evidence under a fresh marked v=N — fail
-    // loudly instead. (Torn dirs ALONGSIDE good versions are the normal
-    // crash leftover: superseded by the retry's overwrite, warn only.)
-    if (ok.isEmpty && partial.nonEmpty) throw new IllegalStateException(
+    // MULTIPLE version dirs with no marker anywhere is not a crash
+    // signature — it's a whole state dir written without success
+    // markers (or with a committer configured
+    // marksuccessfuljobs=false). Treating it as "no state" would
+    // silently restart state from empty and the next batch would bury
+    // the evidence under a fresh marked v=N — fail loudly instead.
+    // A SINGLE marker-less dir with no good versions is different: a
+    // crash mid-FIRST-write leaves exactly that (v=0, no predecessor),
+    // and the replayed batch's Overwrite recovers it — throwing there
+    // would brick recovery on every restart. Only one torn dir can
+    // exist per crash (retries overwrite the same v=N; later ids only
+    // appear after a marker lands), so partial.size > 1 with ok.isEmpty
+    // cannot be a torn write. (Torn dirs ALONGSIDE good versions are
+    // the normal crash leftover: superseded by the retry, warn only.)
+    if (ok.isEmpty && partial.size > 1) throw new IllegalStateException(
       s"state dir $stateDir has version dirs " +
         s"(${partial.map("v=" + _._1).sorted.mkString(", ")}) but none " +
         s"has a _SUCCESS marker — pre-existing state written without " +

@@ -187,6 +187,31 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("upsert state: a SINGLE torn first write recovers instead of bricking") {
+    import spark.implicits._
+    // crash mid-FIRST-write leaves exactly one v=0 dir with no
+    // _SUCCESS and no prior good version. That must read as "no state"
+    // (warn) so the replayed batch's Overwrite can recover — throwing
+    // here would fail the query on every restart. Multiple marker-less
+    // dirs (the Round7Spec case) still fail loudly.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_torn0").toString + "/state"
+    assert(new java.io.File(s"$dir/v=0").mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v=0/part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // reads as "no usable state" (currentState's nonEmpty contract),
+    // NOT as the marker-corruption IllegalStateException
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.UpsertSink.currentState(spark, dir)
+    }
+    assert(e.getMessage.contains("no state versions"))
+    graft.streaming.UpsertSink.processBatch(
+      spark, Seq((1L, 1L, 1L, 1.0)).toDF("user_id", "ts", "event_id", "value"),
+      0L, dir, "user_id", "ts", "event_id", Seq("value"))
+    assert(graft.streaming.UpsertSink.currentState(spark, dir).count() == 1)
+  }
+
   test("q217 unionByName null-fills the missing column by NAME, not position") {
     import spark.implicits._
     val a = Seq(("p1", 10L)).toDF("pri", "n_1995")
