@@ -7433,7 +7433,48 @@ object Queries {
              |FROM idx a
              |JOIN idx b ON b.pri = a.pri AND b.r BETWEEN a.r - 2 AND a.r
              |JOIN base c ON c.pri = b.pri AND c.ym = b.ym
-             |GROUP BY a.pri, a.ym ORDER BY a.pri, a.ym""".stripMargin)))
+             |GROUP BY a.pri, a.ym ORDER BY a.pri, a.ym""".stripMargin)),
+
+    // array-overlap join, reformulated for scale: joining ON
+    // arrays_overlap(a.tags, b.tags) is a broadcast-nested-loop —
+    // O(n·m) comparisons — because no equi-key exists. The production
+    // shape EXPLODES both tag arrays and equi-joins on the tag (hash
+    // shuffle by tag, linear in input + true matches), then dedups
+    // pairs that share several tags. The oracle states the same
+    // relational algebra over unnested tags.
+    "q235_array_overlap_join" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q235_customer")
+        t(s, d, "supplier").createOrReplaceTempView("q235_supplier")
+        s.sql("""WITH a AS (
+                |  SELECT c_custkey AS ck, c_mktsegment AS seg,
+                |    explode(array(c_custkey % 11, c_custkey % 13 + 20))
+                |      AS tag
+                |  FROM q235_customer),
+                |b AS (
+                |  SELECT s_suppkey AS sk,
+                |    explode(array(s_suppkey % 11, s_suppkey % 13 + 20))
+                |      AS tag
+                |  FROM q235_supplier),
+                |p AS (SELECT DISTINCT seg, ck, sk
+                |      FROM a JOIN b ON a.tag = b.tag)
+                |SELECT seg, count(*) AS n_pairs,
+                |  CAST(sum(ck + sk) AS BIGINT) AS pair_checksum
+                |FROM p GROUP BY seg ORDER BY seg""".stripMargin)
+      },
+      Some("""WITH a AS (
+             |  SELECT c_custkey AS ck, c_mktsegment AS seg, t.tag
+             |  FROM customer,
+             |    unnest([c_custkey % 11, c_custkey % 13 + 20]) AS t(tag)),
+             |b AS (
+             |  SELECT s_suppkey AS sk, t.tag
+             |  FROM supplier,
+             |    unnest([s_suppkey % 11, s_suppkey % 13 + 20]) AS t(tag)),
+             |p AS (SELECT DISTINCT seg, ck, sk
+             |      FROM a JOIN b ON a.tag = b.tag)
+             |SELECT seg, count(*) AS n_pairs,
+             |  sum(ck + sk)::BIGINT AS pair_checksum
+             |FROM p GROUP BY seg ORDER BY seg""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
