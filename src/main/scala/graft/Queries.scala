@@ -7474,7 +7474,42 @@ object Queries {
              |      FROM a JOIN b ON a.tag = b.tag)
              |SELECT seg, count(*) AS n_pairs,
              |  sum(ck + sk)::BIGINT AS pair_checksum
-             |FROM p GROUP BY seg ORDER BY seg""".stripMargin)))
+             |FROM p GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // cryptographic-hash battery: md5 and sha2-256 are
+    // standard-defined, so both engines produce identical hex —
+    // compared directly (min) and as length sums. xxhash64 is Spark-
+    // internal (seed-42 XXH64, no DuckDB twin): gated on the property
+    // that matters — it stays collision-free on this domain, so
+    // distinct counts survive the hash — which the oracle states as
+    // the plain distinct count. sha1 exists in Spark but not DuckDB
+    // 1.0; round-tripped into the same count-style gate.
+    "q236_hash_battery" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q236_customer")
+        s.sql("""WITH v AS (
+                |  SELECT c_mktsegment AS seg, c_name AS nm
+                |  FROM q236_customer)
+                |SELECT seg, count(*) AS n,
+                |  min(md5(nm)) AS min_md5,
+                |  min(sha2(nm, 256)) AS min_sha256,
+                |  CAST(sum(length(sha2(nm, 512))) AS BIGINT)
+                |    AS sha512_len_sum,
+                |  CAST(count(DISTINCT xxhash64(nm)) AS BIGINT)
+                |    AS n_xx_distinct,
+                |  CAST(count(DISTINCT sha1(nm)) AS BIGINT)
+                |    AS n_sha1_distinct
+                |FROM v GROUP BY seg ORDER BY seg""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT c_mktsegment AS seg, c_name AS nm FROM customer)
+             |SELECT seg, count(*) AS n,
+             |  min(md5(nm)) AS min_md5,
+             |  min(sha256(nm)) AS min_sha256,
+             |  count(*)::BIGINT * 128 AS sha512_len_sum,
+             |  count(DISTINCT nm)::BIGINT AS n_xx_distinct,
+             |  count(DISTINCT nm)::BIGINT AS n_sha1_distinct
+             |FROM v GROUP BY seg ORDER BY seg""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

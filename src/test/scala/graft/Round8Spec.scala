@@ -212,6 +212,14 @@ class Round8Spec extends AnyFunSuite {
     assert(graft.streaming.UpsertSink.currentState(spark, dir).count() == 1)
   }
 
+  test("q235 explode reformulation stays an equi-join — no nested loop in the plan") {
+    val plan = Queries.all.toMap.apply("q235_array_overlap_join")
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(400))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("q217 unionByName null-fills the missing column by NAME, not position") {
     import spark.implicits._
     val a = Seq(("p1", 10L)).toDF("pri", "n_1995")
