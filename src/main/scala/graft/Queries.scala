@@ -7395,14 +7395,19 @@ object Queries {
              |FROM v GROUP BY seg ORDER BY seg""".stripMargin)),
 
     // rolling distinct count: COUNT(DISTINCT) OVER a window is not
-    // supported in Spark — the production workaround is per-bucket
-    // collect_set partials merged across the frame
-    // (flatten → array_distinct → size), i.e. the same
-    // partial-then-merge shape a distributed distinct uses. State per
-    // row is one set per frame bucket, not the raw rows. DuckDB can't
-    // express it either; the oracle derives the same 3-month distinct
-    // via an index self-join + plain COUNT(DISTINCT) — independently
-    // constructed semantics, same numbers.
+    // supported in Spark, and the obvious workaround (per-bucket
+    // collect_set partials merged across the frame) carries per-row
+    // set state that grows with corpus cardinality — at 100x a single
+    // 3-month cell is tens of millions of keys and the window operator
+    // materializes three of them per row. The scale-safe shape instead
+    // fans each (bucket, key) row out to the CONSTANT number of frames
+    // it contributes to (3 for a 2-PRECEDING frame) via a tiny
+    // dense_rank spine, then runs a plain distributed COUNT(DISTINCT):
+    // pure equi-joins + hash aggregate, no per-row collections, state
+    // bounded by Spark's spillable distinct-agg. The spine is
+    // #buckets-sized (months x priorities), never corpus-sized. DuckDB
+    // states the same semantics via a band self-join (r BETWEEN r-2
+    // AND r) — different algebra, same numbers.
     "q234_window_distinct" -> Q(
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("q234_orders")
@@ -7411,15 +7416,22 @@ object Queries {
                 |    date_format(o_orderdate, 'yyyy-MM') AS ym,
                 |    o_custkey AS ck
                 |  FROM q234_orders WHERE year(o_orderdate) = 1995),
-                |ms AS (
-                |  SELECT pri, ym, collect_set(ck) AS s
-                |  FROM base GROUP BY pri, ym)
-                |SELECT pri, ym,
-                |  CAST(size(array_distinct(flatten(collect_list(s)
-                |    OVER (PARTITION BY pri ORDER BY ym
-                |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))))
-                |    AS BIGINT) AS dist3m
-                |FROM ms ORDER BY pri, ym""".stripMargin)
+                |idx AS (
+                |  SELECT pri, ym,
+                |    dense_rank() OVER (PARTITION BY pri ORDER BY ym)
+                |      AS r
+                |  FROM (SELECT DISTINCT pri, ym FROM base) t),
+                |contrib AS (
+                |  SELECT b.pri, b.ck, tr.target_r
+                |  FROM base b
+                |  JOIN idx i ON i.pri = b.pri AND i.ym = b.ym
+                |  LATERAL VIEW explode(sequence(i.r, i.r + 2)) tr
+                |    AS target_r)
+                |SELECT c.pri, i2.ym,
+                |  CAST(count(DISTINCT c.ck) AS BIGINT) AS dist3m
+                |FROM contrib c
+                |JOIN idx i2 ON i2.pri = c.pri AND i2.r = c.target_r
+                |GROUP BY c.pri, i2.ym ORDER BY c.pri, i2.ym""".stripMargin)
       },
       Some("""WITH base AS (
              |  SELECT DISTINCT o_orderpriority AS pri,
@@ -7509,7 +7521,64 @@ object Queries {
              |  count(*)::BIGINT * 128 AS sha512_len_sum,
              |  count(DISTINCT nm)::BIGINT AS n_xx_distinct,
              |  count(DISTINCT nm)::BIGINT AS n_sha1_distinct
-             |FROM v GROUP BY seg ORDER BY seg""".stripMargin)))
+             |FROM v GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // right-outer stream-stream join: the last cell of the outer-join
+    // matrix (inner q46-family, left q191, full q219). Every error
+    // emits; one with no click in its forward window [err_ts,
+    // err_ts+30min] emits NULL click columns on state eviction. The
+    // deterministic gate keeps matched rows plus unmatched errors whose
+    // eviction the final watermark provably reached (same conservative
+    // interval+interval margin as q219's unmatched-error class). The
+    // oracle restates it as JOIN + NOT EXISTS under the same watermark
+    // cutoff.
+    "q237_stream_right_outer" -> Q(
+      (s, d) => {
+        val name = "graft_stream_ssright_q237"
+        s.catalog.dropTempView(name)
+        val es = graft.streaming.EventStreams
+        val src = es.readStream(s, s"$d/events.parquet")
+        val wmMs = t(s, d, "events")
+          .agg(max(unix_millis(col("ts"))).as("m")).collect()(0)
+          .getLong(0) - 600000L
+        es.drainToTable(s, es.clickErrorRightJoin(
+            src.filter(col("event_type") === "click"),
+            src.filter(col("event_type") === "error")), name)
+          .select(
+            col("click_id"),
+            unix_millis(col("click_ts")).as("click_ms"),
+            col("err_id"),
+            col("err_user").as("user_id"),
+            unix_millis(col("err_ts")).as("err_ms"),
+            col("err_value"))
+          .filter(col("click_ms").isNotNull ||
+            col("err_ms") < lit(wmMs - 3600000L))
+          .orderBy(col("err_id"), col("click_id"))
+      },
+      Some("""WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w
+             |  FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, ts AS cts,
+             |    epoch_ms(ts) AS click_ms
+             |  FROM events WHERE event_type = 'click'),
+             |e AS (SELECT event_id AS err_id, user_id, ts AS ets,
+             |    epoch_ms(ts) AS err_ms, value AS err_value
+             |  FROM events WHERE event_type = 'error'),
+             |m AS (SELECT c.click_id, c.click_ms, e.err_id,
+             |    e.user_id, e.err_ms, e.err_value
+             |  FROM c JOIN e ON c.user_id = e.user_id
+             |    AND e.ets <= c.cts
+             |    AND e.ets >= c.cts - INTERVAL 30 MINUTE),
+             |ue AS (SELECT NULL::BIGINT AS click_id,
+             |    NULL::BIGINT AS click_ms, e.err_id, e.user_id,
+             |    e.err_ms, e.err_value
+             |  FROM e, wm WHERE e.err_ms < wm.w - 3600000
+             |    AND NOT EXISTS (SELECT 1 FROM c
+             |      WHERE c.user_id = e.user_id AND e.ets <= c.cts
+             |        AND e.ets >= c.cts - INTERVAL 30 MINUTE))
+             |SELECT click_id, click_ms, err_id, user_id, err_ms,
+             |  err_value FROM m
+             |UNION ALL SELECT * FROM ue
+             |ORDER BY err_id, click_id NULLS FIRST""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

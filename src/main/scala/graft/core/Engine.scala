@@ -93,18 +93,32 @@ object Engine {
 
   /** Read one of the harness parquet tables (TESTDATA.md).
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for: read the raw int64 nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
-    * — the same ns->us floor ANSI engines apply on read. */
+    * `events.parquet` has shipped `ts` in two physical layouts across
+    * harness generations, and the reader must present ONE logical type
+    * (session-TZ `TIMESTAMP`, microsecond precision) for both so every
+    * downstream query and oracle sees identical semantics:
+    *   - TIMESTAMP(NANOS): no native Spark type — read the raw int64
+    *     nanos (`spark.sql.legacy.parquet.nanosAsLong`) and floor to
+    *     microseconds, the same ns->us truncation ANSI engines apply;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP, an identity relabel under
+    *     the engine's fixed UTC session zone ([[session]]/[[hiveSession]]).
+    * Dispatch is on the INFERRED schema, not a harness-version flag, so
+    * a mixed checkout (old sf0.01, new sf0.1) still reads correctly. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(path)
     }

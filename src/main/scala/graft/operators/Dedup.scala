@@ -440,6 +440,10 @@ object Dedup {
         obs.get("sv").asInstanceOf[Long], obs.get("sh").asInstanceOf[Long])
       converged = fp == prevFp
       prevFp = fp
+      // superseded round's edge blocks die with the new checkpoint
+      // (same targeted LogicalRDD unpersist as Graph.pagerank — never
+      // a context-global sweep)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(edges)
       edges = next
       iter += 1
     }
@@ -552,13 +556,17 @@ object Dedup {
     * contributes at most C(k,2) candidate pairs and rare grams dominate
     * prefixes), unlike natural-key blocking where one Zipf-hot block goes
     * quadratic. */
-  def prefixFilterCandidates(
+  /** The materialized prefix table feeding both sides of the candidate
+    * self-join: per doc, its grams rarest-first with rank and set size,
+    * truncated to the `n - ceil(t*n) + 1` prefix. Package-visible so
+    * the profiling/spec path can time the build separately from the
+    * join. */
+  private[graft] def prefixTable(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
     val docGram = df
       .repartition(col(idCol))
@@ -578,10 +586,20 @@ object Dedup {
     // self-join below, and its lineage (gram explode + df join + two
     // windows) would otherwise execute twice when exchange reuse doesn't
     // line up — same rationale as minhashLsh's signature checkpoint
-    val prefix = ordered
+    ordered
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("g"), col("rk"), col("n"))
       .localCheckpoint()
+  }
+
+  def prefixFilterCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val prefix = prefixTable(df, idCol, textCol, shingleN, threshold)
     val a = prefix.as("a")
     val b = prefix.as("b")
     // positional filter (the bound that makes this PPJoin, not just

@@ -69,6 +69,7 @@ object Graph {
     val teleport = (1000000L * (dampingDen - dampingNum)) / dampingDen
     var ranks = nodes.withColumn("p", lit(1000000L))
     for (_ <- 1 to iterations) {
+      val prev = ranks
       val contrib = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .groupBy(col("dst"))
@@ -81,6 +82,14 @@ object Graph {
           expr(s"$teleport + ($dampingNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampingDen")
             .as("p"))
         .localCheckpoint()
+      // the superseded round's rank blocks are dead the moment the new
+      // checkpoint materializes (localCheckpoint is eager) — drop them
+      // now, not at session teardown, so k rounds never pin k
+      // generations of rank RDDs in executor memory. Targeted through
+      // the frame's own LogicalRDD (round 1's prev is a plain Project
+      // over `nodes` → no-op, keeping the per-round-reused node list);
+      // a context-global sweep would corrupt concurrent queries.
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prev)
     }
     ranks.select(col("node"), col("p").as("rank_ppm"))
   }

@@ -54,13 +54,51 @@ object ZoneMap {
       .collect()
     require(all.length <= MaxIndexFiles,
       s"zone-map index over $dir exceeds the $MaxIndexFiles-file " +
-        s"driver-side collect bound; compact the layout or keep the " +
-        s"index distributed (join on file) instead")
+        s"driver-side collect bound; compact the layout or use " +
+        s"prunedReadJoin (keeps the index distributed, no collect)")
     val keep = all.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
     val df =
       if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
       else spark.read.parquet(keep.toIndexedSeq: _*)
         .filter(col(statCol).cast("long").between(lo, hi))
     PrunedScan(df, all.length.toLong, keep.length.toLong)
+  }
+
+  /** The range-overlap keep-set as a DataFrame — the shared pruning
+    * predicate of both read paths, so they cannot drift. */
+  private[graft] def keepFiles(stats: DataFrame, lo: Long, hi: Long): DataFrame =
+    stats.filter(col("min_v").cast("long") <= hi && col("max_v").cast("long") >= lo)
+      .select(col("file"))
+
+  /** Distributed fallback for indexes past [[MaxIndexFiles]]: the same
+    * exact semantics as [[prunedRead]] with the index never leaving the
+    * executors — scan rows are semi-joined against the overlap-filtered
+    * stats on `input_file_name()`, then the residual predicate applies.
+    * The trade: every file is still *opened* (Spark's file listing is
+    * driver-side by design, so true open-time pruning requires the
+    * collect path or a manifest-backed table format), but each file's
+    * rows are discarded at the first operator after the scan when its
+    * file misses the keep set — for a selective range the semi-join
+    * build side is survivor-sized and AQE broadcasts it, so the
+    * per-excluded-file cost is its footer + one hash probe per row
+    * batch, with zero driver memory proportional to file count. Use
+    * [[prunedRead]] below the cap (skips the open entirely);
+    * this above it (bounded driver, same keep set, same rows). */
+  def prunedReadJoin(
+      spark: SparkSession,
+      dir: String,
+      statCol: String,
+      stats: DataFrame,
+      lo: Long,
+      hi: Long): PrunedScan = {
+    val keep = keepFiles(stats, lo, hi)
+    val df = spark.read.parquet(dir)
+      .withColumn("__zm_file", input_file_name())
+      .join(keep, col("__zm_file") === col("file"), "left_semi")
+      .drop("__zm_file")
+      .filter(col(statCol).cast("long").between(lo, hi))
+    // counts are distributed aggregates over the stats table — never a
+    // row collect
+    PrunedScan(df, stats.count(), keep.count())
   }
 }

@@ -31,10 +31,16 @@ object EventStreams {
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
 
-  /** On-disk schema: ts is parquet TIMESTAMP(NANOS) = raw INT64 (see
-    * Engine.table for the batch-side handling). */
+  /** On-disk schema when ts is parquet TIMESTAMP(NANOS) = raw INT64
+    * (see Engine.table for the batch-side handling). */
   private val rawSchemaDDL: String =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  /** On-disk schema when ts is parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) — newer harness generations. */
+  private val ntzSchemaDDL: String =
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
 
   /** Open a file-based stream over events parquet. Spark's file stream
@@ -56,10 +62,23 @@ object EventStreams {
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val dir = sourceDir(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchemaDDL)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // a file stream needs a user-supplied schema, and `ts` has shipped
+    // in two physical layouts across harness generations (see
+    // Engine.table) — sniff the footer via a one-off batch schema
+    // inference and present the SAME logical type (session-TZ
+    // TIMESTAMP, us precision) for both
+    val nanosLayout = spark.read.parquet(path)
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    if (nanosLayout)
+      spark.readStream
+        .schema(rawSchemaDDL)
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(ntzSchemaDDL)
+        .parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermarked 5-minute tumbling window counts per event type — the
@@ -215,7 +234,27 @@ object EventStreams {
   def clickErrorFullJoin(
       clicks: DataFrame,
       errors: DataFrame,
-      intervalMinutes: Int = 30): DataFrame = {
+      intervalMinutes: Int = 30): DataFrame =
+    clickErrorKeyedJoin(clicks, errors, intervalMinutes, "fullOuter")
+
+  /** Right-outer stream-stream join — the remaining cell of the
+    * outer-join matrix (inner [[clickErrorJoin]], left
+    * [[clickErrorLeftJoin]], full [[clickErrorFullJoin]]): every error
+    * emits, with NULL click columns once the click watermark has passed
+    * `err_ts + intervalMinutes` (the last instant a future click's
+    * backward-looking window could still cover the error). Same state
+    * bound as the full join: both sides keyed, watermark-evicted. */
+  def clickErrorRightJoin(
+      clicks: DataFrame,
+      errors: DataFrame,
+      intervalMinutes: Int = 30): DataFrame =
+    clickErrorKeyedJoin(clicks, errors, intervalMinutes, "rightOuter")
+
+  private def clickErrorKeyedJoin(
+      clicks: DataFrame,
+      errors: DataFrame,
+      intervalMinutes: Int,
+      joinType: String): DataFrame = {
     val c = clicks
       .withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
@@ -229,7 +268,7 @@ object EventStreams {
       col("click_user") === col("err_user") &&
         col("err_ts") <= col("click_ts") &&
         col("err_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"),
-      "fullOuter")
+      joinType)
   }
 
   /** State-store partition count for the local harness streams. A

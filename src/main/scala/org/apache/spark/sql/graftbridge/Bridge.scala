@@ -25,6 +25,22 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Unpersist the block-manager blocks behind a `localCheckpoint`'d
+    * DataFrame: its analyzed plan is the `LogicalRDD` holding the
+    * persisted internal RDD. No-op for non-checkpointed frames.
+    * Deliberately targeted — iterative operators must NOT sweep the
+    * context-global persistent-RDD map to free superseded rounds,
+    * because concurrently running queries (Verify's thread pool shares
+    * one SparkContext) keep their own in-flight checkpoint blocks
+    * there, and a localCheckpoint whose blocks are dropped cannot
+    * recompute. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Install an extra planner strategy on a live session. */
   def addStrategy(spark: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

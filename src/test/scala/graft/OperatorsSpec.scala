@@ -510,4 +510,39 @@ class OperatorsSpec extends AnyFunSuite {
       .map { case (id, tm, s) => (id, tm) -> s }.toMap
     assert(rat((1L, "rare")) > rat((1L, "common")))
   }
+
+  test("zone map: join-path prune matches the collect path past the file cap") {
+    import graft.operators.ZoneMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zonemap_join").toString + "/t"
+    (0L until 400L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val real = ZoneMap.buildStats(spark, dir, "id")
+    // an index that is over-cap by construction: the 4 real files plus
+    // MaxIndexFiles synthetic entries whose ranges sit outside [lo,hi]
+    // — the collect path must refuse it, the join path must both
+    // handle it and produce the collect path's exact keep set / rows
+    val synthetic = spark.range(ZoneMap.MaxIndexFiles.toLong).selectExpr(
+      "concat('phantom_', id) AS file",
+      "10000 + id AS min_v", "10000 + id AS max_v",
+      "CAST(1 AS BIGINT) AS n_rows")
+    val over = real.unionByName(synthetic)
+    intercept[IllegalArgumentException] {
+      ZoneMap.prunedRead(spark, dir, "id", over, 150L, 249L)
+    }
+    val joined = ZoneMap.prunedReadJoin(spark, dir, "id", over, 150L, 249L)
+    val collected = ZoneMap.prunedRead(spark, dir, "id", real, 150L, 249L)
+    // identical keep set (the synthetic entries never intersect the range)
+    val keepJoin = ZoneMap.keepFiles(over, 150L, 249L)
+      .as[String].collect().sorted.toSeq
+    val keepReal = ZoneMap.keepFiles(real, 150L, 249L)
+      .as[String].collect().sorted.toSeq
+    assert(keepJoin == keepReal && joined.filesScanned == collected.filesScanned)
+    assert(joined.filesTotal == collected.filesTotal + ZoneMap.MaxIndexFiles)
+    // identical rows
+    val a = joined.df.orderBy("id").as[(Long, Long)].collect().toSeq
+    val b = collected.df.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(a == b && a.size == 100)
+  }
 }

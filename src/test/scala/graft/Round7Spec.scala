@@ -17,12 +17,14 @@ class Round7Spec extends AnyFunSuite {
       Seq(Seq(2.0, 5.0, -1.0, -1.0),
           Seq(3.0, 4.0, 7.0, -1.0)))
     // a: clean min + spread; b: min comes from pass 2
-    assert(got(0) == ("a", 2.0, 1.0))
-    assert(got(1) == ("b", 4.0, 1.0))
+    assert(got(0) == ("a", 2.0, 1.0, 2))
+    assert(got(1) == ("b", 4.0, 1.0, 2))
     // c crashed once, succeeded once: the success is recorded, spread 0
-    assert(got(2) == ("c", 7.0, 0.0))
+    // — the ok count (1 < 2 passes) is what distinguishes this from a
+    // clean entry in the artifact
+    assert(got(2) == ("c", 7.0, 0.0, 1))
     // d crashed in every pass: stays -1 (distinguishable from fast)
-    assert(got(3) == ("d", -1.0, 0.0))
+    assert(got(3) == ("d", -1.0, 0.0, 0))
   }
 
   test("upsert state: all-partial version dirs fail loudly, not as empty state") {
