@@ -560,7 +560,20 @@ object Dedup {
     * self-join: per doc, its grams rarest-first with rank and set size,
     * truncated to the `n - ceil(t*n) + 1` prefix. Package-visible so
     * the profiling/spec path can time the build separately from the
-    * join. */
+    * join.
+    *
+    * Cost attribution (sf0.1 documents, t=0.5, warm, local[32]): the
+    * full ppjoinJaccard splits ~45% this build (gram explode + df
+    * groupBy + df join + two doc windows + checkpoint), ~25% the
+    * candidate self-join with the positional bound (125k candidate
+    * pairs out), ~30% the gram-array verification (256 true pairs out)
+    * — inherent and output-sensitive, no single hot spot. The one
+    * tempting rewrite — computing df as `count(*) OVER (PARTITION BY
+    * g)` to fuse the groupBy and the join into one shuffle — is
+    * rejected for scale: a window partition is buffered whole, so one
+    * Zipf-hot gram (df in the millions at 100 TB) becomes a
+    * multi-million-row in-memory partition, whereas the groupBy+join
+    * pair is skew-splittable by AQE. */
   private[graft] def prefixTable(
       df: DataFrame,
       idCol: String,
