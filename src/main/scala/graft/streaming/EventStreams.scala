@@ -250,6 +250,20 @@ object EventStreams {
       intervalMinutes: Int = 30): DataFrame =
     clickErrorKeyedJoin(clicks, errors, intervalMinutes, "rightOuter")
 
+  /** Shared body of the outer-join matrix. Both inputs carry their own
+    * `withWatermark`; when a query has several watermarked sources the
+    * GLOBAL watermark that drives state eviction is, by default, the
+    * MINIMUM of the per-source watermarks
+    * (`spark.sql.streaming.multipleWatermarkPolicy=min`) — the safe
+    * policy: no row is evicted while the laggiest source could still
+    * produce a match, at the cost of state held to the slowest source's
+    * clock. `max` trades that for bounded state under a permanently
+    * lagging source, accepting dropped matches. The harness keeps the
+    * default; here both sides derive from ONE events stream, so min and
+    * max coincide and the deterministic gates in q191/q219/q237 are
+    * exact. On a production fan-in of independent topics, `min` is the
+    * correctness-preserving choice and a stuck source must be handled
+    * upstream (idle-timeout heartbeats), not by switching to `max`. */
   private def clickErrorKeyedJoin(
       clicks: DataFrame,
       errors: DataFrame,
