@@ -52,6 +52,18 @@ class Round9Spec extends AnyFunSuite {
     assert(fanned.toSeq == windowed.toSeq)
   }
 
+  test("q237 right outer: matched and unmatched-error classes both present, no click-only rows") {
+    // columns: click_id, click_ms, err_id, user_id, err_ms, err_value
+    val rows = Queries.all.toMap.apply("q237_stream_right_outer")
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    val unmatchedErrors = rows.count(r => r.isNullAt(1)) // click_ms null
+    val matched = rows.length - unmatchedErrors
+    assert(matched > 0 && unmatchedErrors > 0,
+      s"m=$matched ue=$unmatchedErrors")
+    // a right outer must never emit a click-only row: err side always set
+    assert(!rows.exists(r => r.isNullAt(4)))
+  }
+
   test("bench per-entry ceiling: a pathological entry records -1, the next runs clean") {
     // a run that would take minutes (driver-side sleep per partition
     // inside a task) must be cancelled at the ceiling and surface as a
