@@ -76,11 +76,27 @@ object Bench {
         timedOut = true
         sc.cancelJobGroupAndFutureJobs(group,
           s"bench entry ceiling ${ceilingSec}s exceeded")
+        // a streaming entry's micro-batch jobs run in the stream
+        // execution thread's OWN job group (runId), not this entry's —
+        // cancelling the group above would leave drainToTable blocked
+        // in processAllAvailable forever. Any active query belongs to
+        // the current entry (the bench is sequential and teardown-
+        // clean), so stopping them all is the targeted cancel here.
+        try spark.streams.active.foreach(_.stop())
+        catch { case _: Throwable => }
       }
     }, math.max(1L, (ceilingSec * 1000).toLong))
     val t0 = System.nanoTime()
-    try { run(); (System.nanoTime() - t0) / 1e9 }
-    catch {
+    try {
+      run()
+      // a streaming entry whose query the watchdog stopped can return
+      // "successfully" with partial output — that must record as the
+      // timeout it is, not as a slow success
+      if (timedOut) {
+        System.err.println(s"[bench] $name TIMED OUT past ${ceilingSec}s")
+        -1.0
+      } else (System.nanoTime() - t0) / 1e9
+    } catch {
       case e: Throwable =>
         System.err.println(
           if (timedOut) s"[bench] $name TIMED OUT past ${ceilingSec}s"
@@ -96,8 +112,10 @@ object Bench {
     * entry N+1 (or pass 2): SQL cache, localCheckpoint'd RDD blocks,
     * temp views. Persistent tables (q58's bucketed layout, q34's Hive
     * tables) are left alone — their one-time setup is warmup/untimed
-    * work and re-creating them per entry would re-time it. */
-  private def teardown(spark: SparkSession): Unit = {
+    * work and re-creating them per entry would re-time it.
+    * Package-visible: ScaleProbe's per-measurement reset is this same
+    * contract and must not drift from it. */
+  private[graft] def teardown(spark: SparkSession): Unit = {
     try {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -580,6 +580,12 @@ object Dedup {
       textCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
+    // the domain check lives with the prefix arithmetic it protects:
+    // t=0 would keep EVERY gram (the quadratic candidate space the
+    // prefix filter exists to avoid) and t>1 an empty table — callers
+    // reaching prefixTable directly get the same fail-fast as the
+    // public entry point
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
     val docGram = df
       .repartition(col(idCol))
@@ -611,7 +617,6 @@ object Dedup {
       textCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val prefix = prefixTable(df, idCol, textCol, shingleN, threshold)
     val a = prefix.as("a")
     val b = prefix.as("b")

@@ -64,11 +64,18 @@ object ZoneMap {
     PrunedScan(df, all.length.toLong, keep.length.toLong)
   }
 
-  /** The range-overlap keep-set as a DataFrame — the shared pruning
-    * predicate of both read paths, so they cannot drift. */
+  /** The range-overlap keep-set as a DataFrame: files with
+    * `[min_v, max_v] ∩ [lo, hi] ≠ ∅`. The collect path states the same
+    * overlap test driver-side on its collected rows (it already holds
+    * them for the cap check, and a DataFrame predicate can't run on
+    * driver rows) — OperatorsSpec pins the two keep sets equal so an
+    * edit to either statement of the predicate fails the build instead
+    * of drifting silently. */
+  private def overlaps(lo: Long, hi: Long): org.apache.spark.sql.Column =
+    col("min_v").cast("long") <= hi && col("max_v").cast("long") >= lo
+
   private[graft] def keepFiles(stats: DataFrame, lo: Long, hi: Long): DataFrame =
-    stats.filter(col("min_v").cast("long") <= hi && col("max_v").cast("long") >= lo)
-      .select(col("file"))
+    stats.filter(overlaps(lo, hi)).select(col("file"))
 
   /** Distributed fallback for indexes past [[MaxIndexFiles]]: the same
     * exact semantics as [[prunedRead]] with the index never leaving the
@@ -91,14 +98,26 @@ object ZoneMap {
       stats: DataFrame,
       lo: Long,
       hi: Long): PrunedScan = {
+    // the keep-set column gets a reserved name before the join: the
+    // scanned table may legally have its own `file` column, which the
+    // collect path tolerates and this path must too
     val keep = keepFiles(stats, lo, hi)
+      .withColumnRenamed("file", "__zm_keep_file")
     val df = spark.read.parquet(dir)
       .withColumn("__zm_file", input_file_name())
-      .join(keep, col("__zm_file") === col("file"), "left_semi")
+      .join(keep, col("__zm_file") === col("__zm_keep_file"), "left_semi")
       .drop("__zm_file")
       .filter(col(statCol).cast("long").between(lo, hi))
-    // counts are distributed aggregates over the stats table — never a
-    // row collect
-    PrunedScan(df, stats.count(), keep.count())
+    // both counts in ONE distributed job (never a row collect): this
+    // path exists precisely because stats is too big to collect, and
+    // its lineage may be a full buildStats scan — stats.count() +
+    // keep.count() would evaluate that lineage twice before the caller
+    // even runs df. (The semi-join build side re-evaluates keep when
+    // df executes — inherent to keeping the index distributed; callers
+    // with an expensive stats lineage should persist it.)
+    val counts = stats.agg(
+      count(lit(1)).as("total"),
+      count(when(overlaps(lo, hi), 1)).as("kept")).head()
+    PrunedScan(df, counts.getLong(0), counts.getLong(1))
   }
 }

@@ -64,32 +64,54 @@ object ScaleProbe {
     "m33_ctas_2800000_rows" ->
       "already benched at the reference's full 2.8M-row scale every run")
 
-  /** Per-table key columns to offset per replica (stride = max+1). */
-  private val keyCols: Map[String, Seq[String]] = Map(
-    "documents" -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"),
-    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-    "customer" -> Seq("c_custkey"),
-    "supplier" -> Seq("s_suppkey"),
-    "orders" -> Seq("o_orderkey", "o_custkey"))
+  /** Per-table key columns, each mapped to its key DOMAIN. The stride
+    * for a domain is computed as max+1 over EVERY column in that domain
+    * across tables, so a foreign key and its referenced key shift by
+    * the same amount and replica i's orders keep pointing at replica
+    * i's customers even when (as in standard TPC-H) some customers
+    * never place an order and the per-table maxima differ. `part` is
+    * not replicated at all — no probe entry reads it, and a future
+    * entry joining lineitem→part would crash on the missing table
+    * rather than silently measure broken FKs. */
+  private val keyCols: Map[String, Seq[(String, String)]] = Map(
+    "documents" -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec"),
+    "lineitem" -> Seq("l_orderkey" -> "order", "l_partkey" -> "part",
+      "l_suppkey" -> "supp"),
+    "customer" -> Seq("c_custkey" -> "cust"),
+    "supplier" -> Seq("s_suppkey" -> "supp"),
+    "orders" -> Seq("o_orderkey" -> "order", "o_custkey" -> "cust"))
 
   private[graft] def replicate(
       spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
-    for ((name, keys) <- keyCols) {
-      val base = graft.core.Engine.table(spark, baseDir, name)
-      val strides: Map[String, Long] = keys.map { k =>
-        k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
-      }.toMap
+    val tables = keyCols.map { case (name, keys) =>
+      (name, keys, graft.core.Engine.table(spark, baseDir, name))
+    }
+    // one stride per key domain (not per column): max over every
+    // column sharing the domain
+    val stride: Map[String, Long] = tables
+      .flatMap { case (_, keys, df) =>
+        keys.map { case (k, dom) =>
+          dom -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+        }
+      }
+      .groupBy(_._1).map { case (dom, ms) => dom -> ms.map(_._2).max }
+    for ((name, keys, base) <- tables) {
       val replicas = (0 until factor).map { i =>
-        val shifted = keys.foldLeft(base) { (df, k) =>
-          df.withColumn(k, col(k) + lit(strides(k) * i))
+        val shifted = keys.foldLeft(base) { case (df, (k, dom)) =>
+          df.withColumn(k, col(k) + lit(stride(dom) * i))
         }
         if (name == "documents" && i > 0)
           // per-replica token prefix: disjoint gram space across
-          // replicas, identical near-dup structure within each
+          // replicas, identical near-dup structure within each. Must
+          // tokenize EXACTLY as the dedup pipeline does — trim first,
+          // and leave empty tokens (from double spaces) empty — or
+          // replicas >0 gain phantom tokens and their intra-replica
+          // near-dup structure diverges from replica 0's.
           shifted.withColumn("text",
             array_join(
-              transform(split(col("text"), " "), x => concat(lit(s"r$i"), x)),
+              transform(split(trim(col("text")), " "),
+                x => when(x === "", x).otherwise(concat(lit(s"r$i"), x))),
               " "))
         else shifted
       }
@@ -109,15 +131,7 @@ object ScaleProbe {
       case e: Throwable =>
         System.err.println(s"[scale] $name FAILED at $dir: ${e.getMessage}")
         -1.0
-    } finally {
-      try {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        val cat = spark.sessionState.catalog
-        cat.getTempViewNames().foreach(spark.catalog.dropTempView)
-      } catch { case _: Throwable => }
-    }
+    } finally graft.Bench.teardown(spark)
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,7 +156,15 @@ object ScaleProbe {
     if (!marker.exists()) {
       System.err.println(s"[scale] generating ${factor}x of $baseDir at $outDir")
       replicate(spark, baseDir, outDir, factor)
-      marker.getParentFile.mkdirs(); marker.createNewFile()
+      marker.getParentFile.mkdirs()
+      // drop markers from other factors: the tables were just
+      // overwritten at THIS factor, and a stale _GENERATED_x<other>
+      // would let a later run at that factor skip generation and time
+      // the wrong corpus while labeling it t_x<other>
+      Option(marker.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("_GENERATED_x") && f.getName != marker.getName)
+        .foreach(_.delete())
+      marker.createNewFile()
     }
 
     // warmup (untimed): session + codegen + the probe families' shapes
