@@ -170,9 +170,18 @@ object ScaleProbe {
     // warmup (untimed): session + codegen + the probe families' shapes
     for (n <- Seq("q27_ann_brute_topk", "q22_minhash_lsh")) timeOne(spark, n, baseDir)
 
+    // min-of-N per (entry, scale), same rationale as Bench's two
+    // passes: a single ~1-5 s window is exposed to whatever the
+    // sandbox is doing right then, and a ratio of two one-shot numbers
+    // compounds the noise of both
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
+    def best(n: String, dir: String): Double = {
+      val ts = (1 to runs).map(_ => timeOne(spark, n, dir)).filter(_ >= 0)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
     val rows = probeEntries.map { n =>
-      val tb = timeOne(spark, n, baseDir)
-      val ts = timeOne(spark, n, outDir)
+      val tb = best(n, baseDir)
+      val ts = best(n, outDir)
       val ratio =
         if (tb > 0 && ts > 0) BigDecimal(ts / tb)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -182,7 +191,7 @@ object ScaleProbe {
     }
     val excl = excluded.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
     val json =
-      s"""{"factor":$factor,"base":"$baseDir","entries":${rows.mkString("{", ",", "}")},"excluded":{$excl}}"""
+      s"""{"factor":$factor,"base":"$baseDir","runs":$runs,"entries":${rows.mkString("{", ",", "}")},"excluded":{$excl}}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/BENCH_SCALE.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path),
