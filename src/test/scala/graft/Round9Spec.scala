@@ -52,6 +52,19 @@ class Round9Spec extends AnyFunSuite {
     assert(fanned.toSeq == windowed.toSeq)
   }
 
+  test("q187/q206 collect-free bench twins are bit-identical to the verified entries") {
+    // the verified paths exercise the HOF / array-set-algebra surface
+    // (which requires materialized arrays); the TIMED paths are the
+    // conditional-aggregate / relational restatements a 100 TB run
+    // uses. Identical rows or the bench is timing different semantics.
+    for (name <- Seq("q187_higher_order_fns", "q206_array_setops")) {
+      val q = Queries.all.toMap.apply(name)
+      val a = q.fn(spark, sf).collect().toSeq
+      val b = q.benchFn.get(spark, sf).collect().toSeq
+      assert(a == b, s"$name: verified=${a.take(3)} bench=${b.take(3)}")
+    }
+  }
+
   test("q237 right outer: matched and unmatched-error classes both present, no click-only rows") {
     // columns: click_id, click_ms, err_id, user_id, err_ms, err_value
     val rows = Queries.all.toMap.apply("q237_stream_right_outer")
