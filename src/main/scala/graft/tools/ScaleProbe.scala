@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   *     so the OUTPUT is quadratic in input by construction; the entry
   *     exists to lock the explode+equi-join plan (candidate-linear),
   *     not to model tag spaces that scale with data.
-  *   - q191/q219 streaming joins: dominated by fixed micro-batch +
+  *   - q191/q219/q237 streaming joins: dominated by fixed micro-batch +
   *     state-store overhead at any SF in this window; state is
   *     watermark-bounded by design (StreamingSpec covers semantics).
   *   - m33 CTAS: already measured at the reference's own full scale
@@ -59,7 +59,7 @@ object ScaleProbe {
   private val excluded = Seq(
     "q235_array_overlap_join" ->
       "output quadratic by construction (fixed 24-value tag domain); plan is candidate-linear",
-    "q191_stream_left_outer/q219_stream_full_outer" ->
+    "q191_stream_left_outer/q219_stream_full_outer/q237_stream_right_outer" ->
       "fixed micro-batch+state-store overhead dominates at any SF; state watermark-bounded",
     "m33_ctas_2800000_rows" ->
       "already benched at the reference's full 2.8M-row scale every run")
