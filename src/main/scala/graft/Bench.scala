@@ -89,13 +89,18 @@ object Bench {
     val t0 = System.nanoTime()
     try {
       run()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      watchdog.cancel() // before the flag check: a fire after this point can't mislabel us
       // a streaming entry whose query the watchdog stopped can return
       // "successfully" with partial output — that must record as the
-      // timeout it is, not as a slow success
-      if (timedOut) {
+      // timeout it is, not as a slow success. The elapsed guard closes
+      // the boundary race where the timer fires between run() returning
+      // just under the ceiling and the flag check: a completed entry
+      // only counts as timed out if it actually ran past the ceiling.
+      if (timedOut && elapsed >= ceilingSec) {
         System.err.println(s"[bench] $name TIMED OUT past ${ceilingSec}s")
         -1.0
-      } else (System.nanoTime() - t0) / 1e9
+      } else elapsed
     } catch {
       case e: Throwable =>
         System.err.println(

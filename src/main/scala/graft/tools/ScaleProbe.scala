@@ -90,9 +90,14 @@ object ScaleProbe {
     // one stride per key domain (not per column): max over every
     // column sharing the domain
     val stride: Map[String, Long] = tables
-      .flatMap { case (_, keys, df) =>
+      .flatMap { case (name, keys, df) =>
         keys.map { case (k, dom) =>
-          dom -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+          // cast → works for INT or BIGINT keys; require → an empty
+          // table fails as a named probe-setup error, not an NPE
+          val m = df.agg(max(col(k).cast("long"))).head()
+          require(!m.isNullAt(0),
+            s"scale probe: table '$name' is empty — cannot derive a stride for key '$k'")
+          dom -> (m.getLong(0) + 1L)
         }
       }
       .groupBy(_._1).map { case (dom, ms) => dom -> ms.map(_._2).max }

@@ -2,10 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-7 scale-proofing locks: the plan shapes and guards this round
-  * changed are pinned so a refactor can't silently reintroduce the
+/** Scale-proofing locks: the plan shapes and guards the q234-weak fix
+  * round pinned so a refactor can't silently reintroduce the
   * scale hazards the round removed. */
-class Round9Spec extends AnyFunSuite {
+class ScaleGuardSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
