@@ -7635,6 +7635,69 @@ object Queries {
              |UNION ALL SELECT * FROM ue
              |ORDER BY err_id, click_id NULLS FIRST""".stripMargin)))
 
+  /** Round-eight surface: HiveQL script transform — the one
+    * beeline-typable operator of the reference REPL
+    * (/root/reference/playground.py:672-677 exposes the full HiveQL
+    * grammar through beeline; `TRANSFORM ... USING 'script'` is part of
+    * that grammar) that the catalog never exercised before. */
+  private val roundEightSurface: Seq[(String, Q)] = Seq(
+
+    // TRANSFORM through BOTH script-transform wire formats Spark
+    // supports without a Hive serde on the classpath:
+    //   - explicit no-serde `ROW FORMAT DELIMITED FIELDS TERMINATED BY
+    //     '\t'` on the input AND output side, piping through
+    //     `sed s/-/_/` (first '-' on each line is the one inside
+    //     o_orderpriority — the key field is all digits);
+    //   - the default wire format (no ROW FORMAT clause: tab-delimited
+    //     fields, '\n' records, typed output cast from strings), piping
+    //     through `tr A-Z a-z`.
+    // Each path is a pure per-row mapper, so partition boundaries and
+    // row order can't affect the result; the catalog entry aggregates
+    // both paths and joins them on the recoverable original key, which
+    // also proves the two wire formats agree row-for-row (n_delim =
+    // n_default on every output row). The oracle states both scripts
+    // relationally (replace / lower). Scale: a script transform forks
+    // one process per task and streams rows through stdin/stdout — no
+    // shuffle beyond the final aggregate, no per-row driver work, and
+    // the child process count is bounded by the task slot count.
+    "q238_script_transform" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q238_orders")
+        s.sql("""WITH delim AS (
+                |  SELECT TRANSFORM(o_orderkey, o_orderpriority)
+                |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+                |    USING 'sed s/-/_/'
+                |    AS (k BIGINT, pri STRING)
+                |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+                |  FROM q238_orders),
+                |dflt AS (
+                |  SELECT TRANSFORM(o_orderkey, o_orderpriority)
+                |    USING 'tr A-Z a-z'
+                |    AS (k BIGINT, pri_lc STRING)
+                |  FROM q238_orders),
+                |da AS (SELECT pri, count(*) AS n_delim, sum(k) AS key_sum
+                |       FROM delim GROUP BY pri),
+                |fa AS (SELECT pri_lc, count(*) AS n_default
+                |       FROM dflt GROUP BY pri_lc)
+                |SELECT da.pri, fa.pri_lc,
+                |  CAST(da.n_delim AS BIGINT) AS n_delim,
+                |  CAST(fa.n_default AS BIGINT) AS n_default,
+                |  CAST(da.key_sum AS BIGINT) AS key_sum
+                |FROM da JOIN fa ON replace(da.pri, '_', '-') = upper(fa.pri_lc)
+                |ORDER BY pri""".stripMargin)
+      },
+      Some("""WITH da AS (SELECT replace(o_orderpriority, '-', '_') AS pri,
+             |    count(*) AS n_delim, sum(o_orderkey) AS key_sum
+             |  FROM orders GROUP BY 1),
+             |fa AS (SELECT lower(o_orderpriority) AS pri_lc,
+             |    count(*) AS n_default
+             |  FROM orders GROUP BY 1)
+             |SELECT da.pri, fa.pri_lc, da.n_delim::BIGINT AS n_delim,
+             |  fa.n_default::BIGINT AS n_default,
+             |  da.key_sum::BIGINT AS key_sum
+             |FROM da JOIN fa ON replace(da.pri, '_', '-') = upper(fa.pri_lc)
+             |ORDER BY pri""".stripMargin)))
+
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,
     * ==3 insert under a shifted key) through [[graft.operators.Cdc.scd2Apply]]. */
@@ -7686,5 +7749,5 @@ object Queries {
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
-      roundFiveSurface ++ roundSixSurface
+      roundFiveSurface ++ roundSixSurface ++ roundEightSurface
 }

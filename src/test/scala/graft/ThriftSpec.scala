@@ -50,6 +50,25 @@ class ThriftSpec extends AnyFunSuite {
         assert(rs.getInt("two") == 2)
         assert(rs.getInt("f") == 2)
         assert(!rs.next())
+        // REPL-surface parity for the q238 script-transform form: the
+        // same TRANSFORM ... USING text a beeline user types must run
+        // over the wire protocol (no-serde delimited wire format). The
+        // view is created through the connection too — the server runs
+        // its own SQL session, which does not see test-side temp views.
+        st.execute(
+          """CREATE OR REPLACE TEMPORARY VIEW thrift_tx AS
+            |SELECT * FROM VALUES (0L, 'P-0'), (1L, 'P-1'), (2L, 'P-2')
+            |AS t(id, tag)""".stripMargin)
+        val trs = st.executeQuery(
+          """SELECT TRANSFORM(id, tag)
+            |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+            |  USING 'sed s/-/_/'
+            |  AS (k BIGINT, tag STRING)
+            |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+            |FROM thrift_tx ORDER BY k""".stripMargin)
+        val got = Iterator.continually(trs)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toList
+        assert(got == List((0L, "P_0"), (1L, "P_1"), (2L, "P_2")), got)
       } finally conn.close()
     } finally server.stop()
   }
