@@ -35,14 +35,36 @@ object Graph {
     * sum-aggregate keyed on dst — the canonical two-shuffle PageRank
     * round. Lineage is truncated per round (`localCheckpoint`), the edge
     * list is computed once; no driver-side data beyond the loop counter.
+    *
+    * Durability: `localCheckpoint` blocks are executor-local and
+    * unreplicated — fine single-node, but on a large cluster losing one
+    * executor mid-iteration kills the query unrecoverably (lineage is
+    * truncated by design). `checkpointEvery = k > 0` swaps in RELIABLE
+    * `checkpoint()` for the static edge structures and for every k-th
+    * round's ranks (intermediate rounds keep the cheap local variant),
+    * bounding replay after an executor loss to < k rounds re-derived
+    * from durable storage. The caller must have set
+    * `sparkContext.setCheckpointDir` to a fault-tolerant path (HDFS/S3)
+    * first. Default 0 = all-local, the right choice on local[N] where
+    * executor loss means JVM loss anyway. Both checkpoint flavors
+    * preserve physical partitioning (`LogicalRDD` carries it), so the
+    * exchange-free join layout below survives the swap — spec-pinned
+    * bit-identical ranks either way.
     */
   def pagerank(
       edges: DataFrame,
       iterations: Int = 3,
       dampingNum: Long = 850,
       dampingDen: Long = 1000,
-      assumeDistinctEdges: Boolean = false): DataFrame = {
+      assumeDistinctEdges: Boolean = false,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1 && dampingNum >= 0 && dampingNum <= dampingDen)
+    require(checkpointEvery >= 0, "checkpointEvery: 0 = off, k > 0 = reliable every k rounds")
+    // static structures: durable once if the knob is on (they are read
+    // every round — losing them loses ALL rounds, so they always merit
+    // the reliable write when one is available)
+    def durable(df: DataFrame): DataFrame =
+      if (checkpointEvery > 0) df.checkpoint() else df.localCheckpoint()
     // a duplicated edge would double-count its contribution every round;
     // producers that already emit distinct pairs (coOccurrenceEdges) skip
     // the defensive dedup — it is a full shuffle of the edge list.
@@ -51,7 +73,7 @@ object Graph {
     // expensive upstream (a pair-generating self-join) would otherwise
     // re-execute for each.
     val e0 = edges.select(col("src"), col("dst"))
-    val e = (if (assumeDistinctEdges) e0 else e0.distinct()).localCheckpoint()
+    val e = durable(if (assumeDistinctEdges) e0 else e0.distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // localCheckpoint preserves output partitioning, so laying the edge
     // list out hashed-by-src ONCE makes every iteration's contribution
@@ -60,28 +82,31 @@ object Graph {
     // one exchange per iteration instead of three, the difference
     // between O(iters) and O(3·iters) network passes on a 100 TB edge
     // list.
-    val withDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val withDeg = durable(e.join(deg, "src").repartition(col("src")))
+    val nodes = durable(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .repartition(col("node"))
-      .localCheckpoint()
+      .repartition(col("node")))
     val teleport = (1000000L * (dampingDen - dampingNum)) / dampingDen
     var ranks = nodes.withColumn("p", lit(1000000L))
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       val prev = ranks
       val contrib = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("p div deg")).as("in_sum")) // integer division, stays long
-      ranks = nodes
+      val next = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(
           col("node"),
           // `div`, not `/`: Column./ on longs is double division in Spark
           expr(s"$teleport + ($dampingNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampingDen")
             .as("p"))
-        .localCheckpoint()
+      // every k-th round's ranks go to durable storage (restart point);
+      // in-between rounds keep the cheap executor-local truncation
+      ranks =
+        if (checkpointEvery > 0 && iter % checkpointEvery == 0) next.checkpoint()
+        else next.localCheckpoint()
       // the superseded round's rank blocks are dead the moment the new
       // checkpoint materializes (localCheckpoint is eager) — drop them
       // now, not at session teardown, so k rounds never pin k

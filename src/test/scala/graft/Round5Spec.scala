@@ -28,6 +28,28 @@ class Round5Spec extends AnyFunSuite {
     assert(r2 == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
   }
 
+  test("pagerank: reliable checkpointEvery knob yields bit-identical ranks") {
+    // the 100 TB durability path (Graph.pagerank scaladoc): reliable
+    // checkpoint() for the static edge structures and every k-th
+    // round's ranks must not move a single rank bit vs the all-local
+    // default — both checkpoint flavors preserve the partitioned layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L))
+        .toDF("src", "dst")
+      val local = Graph.pagerank(edges, iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val durable = Graph.pagerank(edges, iterations = 4, checkpointEvery = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(durable == local)
+      // the knob actually wrote durable state, not just local blocks
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint under $dir")
+    } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("co-occurrence edges: pairs within groups only, no self-pairs") {
     val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "b"), (2L, "c"), (3L, "z"))
       .toDF("g", "item")
