@@ -81,16 +81,16 @@ object ZoneMap {
     * exact semantics as [[prunedRead]] with the index never leaving the
     * executors — scan rows are semi-joined against the overlap-filtered
     * stats on `input_file_name()`, then the residual predicate applies.
-    * The trade: every file is still *opened* (Spark's file listing is
-    * driver-side by design, so true open-time pruning requires the
-    * collect path or a manifest-backed table format), but each file's
-    * rows are discarded at the first operator after the scan when its
-    * file misses the keep set — for a selective range the semi-join
-    * build side is survivor-sized and AQE broadcasts it, so the
+    * The trade: every file is still *opened* — each file's rows are
+    * discarded at the first operator after the scan when its file
+    * misses the keep set. For a selective range the semi-join build
+    * side is survivor-sized and AQE broadcasts it, so the
     * per-excluded-file cost is its footer + one hash probe per row
-    * batch, with zero driver memory proportional to file count. Use
-    * [[prunedRead]] below the cap (skips the open entirely);
-    * this above it (bounded driver, same keep set, same rows). */
+    * batch, with zero driver memory proportional to ANYTHING (neither
+    * total files nor keep set). Use [[prunedRead]] below the cap
+    * (skips the open entirely), [[prunedReadIndexed]] above it when
+    * the KEEP SET is driver-listable (skips the open too), and this
+    * when even the keep set is too big to plan driver-side. */
   def prunedReadJoin(
       spark: SparkSession,
       dir: String,
@@ -119,5 +119,55 @@ object ZoneMap {
       count(lit(1)).as("total"),
       count(when(overlaps(lo, hi), 1)).as("kept")).head()
     PrunedScan(df, counts.getLong(0), counts.getLong(1))
+  }
+
+  /** Open-time pruning for indexes past [[MaxIndexFiles]]: the overlap
+    * filter runs DISTRIBUTED (like [[prunedReadJoin]]) and only the
+    * surviving file names come back to the driver — streamed through
+    * `toLocalIterator`, never the full index — to seed the scan's file
+    * index with exactly the keep set. Excluded files are never listed,
+    * never footer-read, never opened: `df.inputFiles` is the keep set,
+    * which is what the join path cannot do (its scan still opens every
+    * file and discards rows post-scan).
+    *
+    * The driver bound moves from TOTAL file count ([[prunedRead]]'s
+    * cap) to KEEP-SET size (`maxKeepFiles`) — inherent, since Spark
+    * plans file splits driver-side; a range query whose survivor list
+    * exceeds driver memory is a full-scan-shaped query, and
+    * [[prunedReadJoin]] is the right tool. File statuses (sizes for
+    * split planning) are not in the stats index, so the reader fetches
+    * them for kept paths only; past
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` (default
+    * 32) that listing itself runs as a distributed job, so a 100k-file
+    * keep set costs a job over 100k paths, not 100k driver RPCs.
+    *
+    * `stats` lineage is evaluated twice (count + iterate) — same
+    * caveat as [[prunedReadJoin]]: persist an expensive index.
+    * Exactness contract is identical to both siblings: keep-set
+    * overlap test via [[keepFiles]], residual predicate on survivors. */
+  def prunedReadIndexed(
+      spark: SparkSession,
+      dir: String,
+      statCol: String,
+      stats: DataFrame,
+      lo: Long,
+      hi: Long,
+      maxKeepFiles: Int = MaxIndexFiles): PrunedScan = {
+    val counts = stats.agg(
+      count(lit(1)).as("total"),
+      count(when(overlaps(lo, hi), 1)).as("kept")).head()
+    val (total, kept) = (counts.getLong(0), counts.getLong(1))
+    require(kept <= maxKeepFiles,
+      s"zone-map keep set over $dir ($kept files) exceeds the " +
+        s"$maxKeepFiles-file driver-side split-planning bound; a range " +
+        s"this unselective should use prunedReadJoin (fully distributed)")
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = keepFiles(stats, lo, hi).toLocalIterator()
+    while (it.hasNext) paths += it.next().getString(0)
+    val df =
+      if (paths.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(paths.toIndexedSeq: _*)
+        .filter(col(statCol).cast("long").between(lo, hi))
+    PrunedScan(df, total, kept)
   }
 }

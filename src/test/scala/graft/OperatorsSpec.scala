@@ -544,5 +544,27 @@ class OperatorsSpec extends AnyFunSuite {
     val a = joined.df.orderBy("id").as[(Long, Long)].collect().toSeq
     val b = collected.df.orderBy("id").as[(Long, Long)].collect().toSeq
     assert(a == b && a.size == 100)
+
+    // indexed path: same over-cap index, but the scan must OPEN only
+    // the keep set — inputFiles (the scan's planned file list) equals
+    // the keep set exactly, where the join path's scan lists all 4
+    val indexed = ZoneMap.prunedReadIndexed(spark, dir, "id", over, 150L, 249L)
+    assert(indexed.filesTotal == joined.filesTotal &&
+      indexed.filesScanned == joined.filesScanned)
+    val planned = indexed.df.inputFiles.map(_.replaceFirst("^file:/+", "/")).sorted.toSeq
+    val keepNorm = keepReal.map(_.replaceFirst("^file:/+", "/")).sorted
+    assert(planned == keepNorm, s"planned=$planned keep=$keepNorm")
+    val c = indexed.df.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(c == b)
+    // a keep set past the split-planning bound is refused with the
+    // named error (maxKeepFiles tightened to force it synthetically)
+    val err = intercept[IllegalArgumentException] {
+      ZoneMap.prunedReadIndexed(spark, dir, "id", over, 150L, 249L,
+        maxKeepFiles = 1)
+    }
+    assert(err.getMessage.contains("prunedReadJoin"))
+    // empty keep set still yields an exact (empty) result
+    val none = ZoneMap.prunedReadIndexed(spark, dir, "id", real, 5000L, 6000L)
+    assert(none.filesScanned == 0L && none.df.count() == 0L)
   }
 }
