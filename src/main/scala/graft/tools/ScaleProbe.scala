@@ -56,6 +56,16 @@ object ScaleProbe {
     "q27_ann_brute_topk",
     "q234_window_distinct")
 
+  /** Entries probed at a SECOND, larger factor (default 30×): the two
+    * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
+    * least conclusive about sub-linear vs super-linear onset. A third
+    * point decides: ratio2/ratio ≈ factor2/factor means linear-in-data
+    * (the 10× ratio was fixed-overhead amortization, not onset);
+    * ratio2/ratio well past factor2/factor means super-linear growth. */
+  private val probeEntries2 = Seq(
+    "q117_pagerank_copurchase",
+    "q234_window_distinct")
+
   private val excluded = Seq(
     "q235_array_overlap_join" ->
       "output quadratic by construction (fixed 24-value tag domain); plan is candidate-linear",
@@ -184,15 +194,41 @@ object ScaleProbe {
       val ts = (1 to runs).map(_ => timeOne(spark, n, dir)).filter(_ >= 0)
       if (ts.isEmpty) -1.0 else ts.min
     }
+    // second factor (default 30x) for the least-conclusive entries —
+    // generated lazily, only if at least one probe2 entry is selected
+    val factor2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR2", "30").toInt
+    val outDir2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR2", "/tmp/graft_sf_f2")
+    lazy val dir2Ready: Boolean = {
+      val m2 = new java.io.File(outDir2, s"_GENERATED_x$factor2")
+      if (!m2.exists()) {
+        System.err.println(s"[scale] generating ${factor2}x of $baseDir at $outDir2")
+        replicate(spark, baseDir, outDir2, factor2)
+        m2.getParentFile.mkdirs()
+        Option(m2.getParentFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("_GENERATED_x") && f.getName != m2.getName)
+          .foreach(_.delete())
+        m2.createNewFile()
+      }
+      true
+    }
+
     val rows = probeEntries.map { n =>
       val tb = best(n, baseDir)
       val ts = best(n, outDir)
-      val ratio =
-        if (tb > 0 && ts > 0) BigDecimal(ts / tb)
+      def ratioOf(num: Double, den: Double): Double =
+        if (den > 0 && num > 0) BigDecimal(num / den)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
         else -1.0
+      val ratio = ratioOf(ts, tb)
       System.err.println(f"[scale] $n%-28s base=$tb%8.2fs x$factor=$ts%8.2fs ratio=$ratio")
-      s""""$n":{"t_base":${f"$tb%.3f"},"t_x$factor":${f"$ts%.3f"},"ratio":$ratio}"""
+      val second =
+        if (probeEntries2.contains(n) && dir2Ready) {
+          val ts2 = best(n, outDir2)
+          val ratio2 = ratioOf(ts2, tb)
+          System.err.println(f"[scale] $n%-28s x$factor2=$ts2%8.2fs ratio2=$ratio2")
+          s""","t_x$factor2":${f"$ts2%.3f"},"ratio$factor2":$ratio2"""
+        } else ""
+      s""""$n":{"t_base":${f"$tb%.3f"},"t_x$factor":${f"$ts%.3f"},"ratio":$ratio$second}"""
     }
     val excl = excluded.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
     val json =
