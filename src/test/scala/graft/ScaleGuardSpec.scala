@@ -77,6 +77,41 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(!rows.exists(r => r.isNullAt(4)))
   }
 
+  test("bench ceiling on a STREAMING entry: watchdog stops the query, entry records -1") {
+    // The watchdog can't cancel a stream's micro-batch jobs through the
+    // entry's job group (they run under the stream execution thread's
+    // own runId group) — it stops the active queries instead
+    // (Bench.timeEntry's streaming branch). Prove that end to end: an
+    // entry that would drain a rate source forever must be cut at the
+    // ceiling, record -1, and leave no active query behind.
+    val drainForever = () => {
+      val q = spark.readStream.format("rate")
+        .option("rowsPerSecond", "10").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_wd_stream").toString)
+        .start()
+      // blocks until something stops the query (processAllAvailable
+      // would be racy here: a just-started rate source can report zero
+      // available data and return instantly in a warm session)
+      q.awaitTermination()
+      // a query the watchdog stopped "completes" with partial output —
+      // timeEntry's elapsed >= ceiling guard must still record -1
+      ()
+    }
+    val t0 = System.nanoTime()
+    val t = Bench.timeEntry(spark, "stream_pathological", drainForever,
+      ceilingSec = 3.0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(t == -1.0, s"recorded $t")
+    assert(wall < 60.0, s"watchdog did not stop the stream: ${wall}s")
+    assert(spark.streams.active.isEmpty, "stream left running after the cut")
+    // the session must still run the next (batch) entry normally
+    val ok = Bench.timeEntry(spark, "healthy_after_stream",
+      () => assert(spark.range(1000).count() == 1000L), ceilingSec = 60.0)
+    assert(ok >= 0.0)
+  }
+
   test("bench per-entry ceiling: a pathological entry records -1, the next runs clean") {
     // a run that would take minutes (driver-side sleep per partition
     // inside a task) must be cancelled at the ceiling and surface as a
