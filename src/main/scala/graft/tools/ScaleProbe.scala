@@ -61,7 +61,17 @@ object ScaleProbe {
     * least conclusive about sub-linear vs super-linear onset. A third
     * point decides: ratio2/ratio ≈ factor2/factor means linear-in-data
     * (the 10× ratio was fixed-overhead amortization, not onset);
-    * ratio2/ratio well past factor2/factor means super-linear growth. */
+    * ratio2/ratio well past factor2/factor means super-linear growth.
+    *
+    * Memory sizing: the probe keeps `shuffle.partitions` at the
+    * session's 32 while the data grows, so per-task state grows with
+    * the factor — at 30× the PageRank contribution aggregate needs
+    * more execution memory per thread than the default 8g heap's
+    * 8g·0.6/32 ≈ 150 MB (observed UNABLE_TO_ACQUIRE_MEMORY). Run with
+    * `SPARK_DRIVER_MEM=48g` (≈1.5 GB/core — ordinary production
+    * sizing); on a real cluster the equivalent knob is scaling
+    * partition count with data, which the probe deliberately does NOT
+    * do so the timed plans stay identical across factors. */
   private val probeEntries2 = Seq(
     "q117_pagerank_copurchase",
     "q234_window_distinct")
