@@ -7696,7 +7696,47 @@ object Queries {
              |  fa.n_default::BIGINT AS n_default,
              |  da.key_sum::BIGINT AS key_sum
              |FROM da JOIN fa ON replace(da.pri, '_', '-') = upper(fa.pri_lc)
-             |ORDER BY pri""".stripMargin)))
+             |ORDER BY pri""".stripMargin)),
+
+    // substring-level exact dedup (Lee et al. ACL'22): maximal token
+    // spans whose every 8-token window also appears in another doc —
+    // what doc-level MinHash/SimHash verdicts can't localize and chunk
+    // dedup (q82) only catches when boundaries line up. Windows are
+    // O(corpus tokens) rows, sharing is a group-count on the window
+    // hash, islands merge per doc — nothing pairwise, nothing
+    // driver-side.
+    "q239_duplicate_spans" -> Q(
+      (s, d) => {
+        Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH t0 AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |g0 AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 8
+             |    THEN [${dHash64("array_to_string(t[i:i+7], ' ')")}
+             |      for i in range(1, len(t) - 6)]
+             |    ELSE [] END AS hs
+             |  FROM t0),
+             |w AS (SELECT doc_id, unnest(hs) AS h,
+             |    generate_subscripts(hs, 1) AS pos FROM g0),
+             |dup AS (SELECT h FROM w GROUP BY h
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |hits AS (SELECT doc_id, pos FROM w
+             |  WHERE h IN (SELECT h FROM dup)),
+             |isl AS (SELECT doc_id, pos,
+             |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             |      THEN 0 ELSE 1 END AS newi
+             |  FROM hits),
+             |isl2 AS (SELECT doc_id, pos,
+             |    sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM isl)
+             |SELECT doc_id, min(pos)::BIGINT AS span_start,
+             |  (max(pos) + 7)::BIGINT AS span_end,
+             |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens,
+             |  count(*)::BIGINT AS n_windows
+             |FROM isl2 GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -118,6 +118,13 @@ object Functions {
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
 
+  /** Ordered, duplicates-preserved window variant: element i is the
+    * n-token window starting at token position i (0-based), so
+    * `posexplode` yields (position, gram) — see [[WordShingles]]
+    * `distinct = false`. */
+  def wordShingleSeq(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n, distinct = false))
+
   /** Single-pass token-repetition stats array (see [[TokenRepetition]]). */
   def tokenRepetition(text: Column): Column =
     column(TokenRepetition(expression(text)))

@@ -18,13 +18,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * single expression. Spark runs higher-order-function lambdas
   * interpreted, and at millions of documents the per-shingle
   * slice/concat/lambda dispatch dominated the whole MinHash pipeline
-  * (measured ~10x this implementation). */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  * (measured ~10x this implementation).
+  *
+  * `distinct = false` keeps EVERY window in text order (one element per
+  * token position, duplicates preserved), so `posexplode` over the
+  * result yields (position, gram) pairs — the input to positional
+  * operators like duplicate-span extraction, where losing repeated
+  * windows would lose spans. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String =
+    if (distinct) "word_shingles" else "word_shingle_seq"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -38,7 +46,9 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     // keeping empties (matching split(text, " ") / string_split)
     val tokens = s.trim().toString.split(" ", -1)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = mutable.LinkedHashSet[String]()
+    val out =
+      if (distinct) mutable.LinkedHashSet[String]()
+      else mutable.ArrayBuffer[String]()
     var i = 0
     val sb = new java.lang.StringBuilder
     while (i <= tokens.length - n) {
@@ -49,10 +59,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
         sb.append(tokens(i + j))
         j += 1
       }
-      seen += sb.toString
+      out += sb.toString
       i += 1
     }
-    new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+    new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -736,4 +736,74 @@ object Dedup {
           (col("n_shared_chunks").cast("double") / col("n_chunks")))
           .cast("long").as("dup_ppm"))
   }
+
+  /** Maximal cross-document duplicated spans: for every document, the
+    * maximal token ranges whose every `k`-token window also appears in
+    * at least `minDocs - 1` OTHER documents — substring-level exact
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22, which removes shared >= 50-token spans
+    * found via suffix arrays). The suffix-array construction is
+    * replaced by the shuffle-native equivalent: hash every k-token
+    * window ([[graft.functions.Functions.hash64]] over the
+    * space-joined window, positions from `posexplode` of the ordered
+    * window list), count distinct documents per window hash, keep
+    * positions whose hash is shared, and merge overlapping/adjacent
+    * windows (gap <= k) into maximal spans with one gaps-and-islands
+    * pass per document. A shared run of m >= k tokens appears as
+    * m - k + 1 consecutive shared windows and merges back into the
+    * single [start, start + m - 1] span.
+    *
+    * Returns (doc_id, span_start, span_end, span_tokens, n_windows),
+    * positions 1-based token indexes, span_end inclusive.
+    *
+    * Scale shape: windows table is one row per token (O(corpus
+    * tokens), never pairs); the window-hash frequency is one
+    * map-side-partial groupBy; membership is a semi-join on the hash
+    * (AQE broadcasts it when the duplicated-hash set is small); island
+    * numbering is a per-document window over the doc-hashed layout —
+    * state bounded by document length, nothing driver-side. Self-
+    * repetition inside one document does NOT create a span
+    * (countDistinct >= minDocs is across documents); q76 covers
+    * within-doc repetition. */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"window must be >= 1 token, got $k")
+    require(minDocs >= 2, s"a span shared by < 2 docs is not a duplicate (got $minDocs)")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(wordShingleSeq(col(textCol), k)).as(Seq("pos", "gram")))
+      // 1-based positions: token index, aligned with SQL subscripting
+      .select(
+        col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        hash64(col("gram")).as("h"))
+    val dup = grams
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // windows [pos, pos+k-1] and [prev, prev+k-1] merge when
+    // pos - prev <= k (overlap or exact adjacency); first row per doc
+    // (lag null) starts an island via otherwise(1)
+    hits
+      .withColumn("newi",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("island", sum(col("newi")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(
+        col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
 }

@@ -567,4 +567,57 @@ class OperatorsSpec extends AnyFunSuite {
     val none = ZoneMap.prunedReadIndexed(spark, dir, "id", real, 5000L, 6000L)
     assert(none.filesScanned == 0L && none.df.count() == 0L)
   }
+
+  test("wordShingleSeq: every window in text order, duplicates preserved") {
+    import graft.functions.Functions
+    val df = Seq("a b a b a").toDF("text")
+    val got = df.select(Functions.wordShingleSeq($"text", 2)).as[Seq[String]]
+      .collect()(0)
+    assert(got == Seq("a b", "b a", "a b", "b a"))
+    // below-n rule matches WordShingles: empty array, not null
+    val short = Seq("only").toDF("text")
+      .select(Functions.wordShingleSeq($"text", 2)).as[Seq[String]]
+      .collect()(0)
+    assert(short == Seq.empty)
+    // composed-HOF restatement (the distinct variant's documented twin,
+    // minus array_distinct) — bit-identical
+    val composed = df.select(
+      transform(sequence(lit(0), size(Functions.tokens($"text")) - 2),
+        i => concat_ws(" ", slice(Functions.tokens($"text"), i + 1, lit(2))))
+    ).as[Seq[String]].collect()(0)
+    assert(got == composed)
+  }
+
+  test("duplicateSpans: shared runs merge to maximal spans; self-repeats excluded") {
+    // doc 1: a1..a20; doc 2 shares exactly a5..a14 (10 tokens) at a
+    // DIFFERENT offset; doc 3 repeats an 8-gram within itself only.
+    // k=8: the 10-token shared run is 3 consecutive shared windows in
+    // each doc, and must merge back into ONE maximal 10-token span at
+    // each doc's own positions.
+    val d1 = (1 to 20).map("a" + _).mkString(" ")
+    val d2 = ((1 to 3).map("b" + _) ++ (5 to 14).map("a" + _) ++
+      (1 to 7).map("c" + _)).mkString(" ")
+    val d3 = ((1 to 8).map("r" + _) ++ (1 to 8).map("r" + _)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 14L, 10L, 3L),   // a5..a14 at positions 5..14
+      (2L, 4L, 13L, 10L, 3L)),  // same run at doc 2's positions 4..13
+      s"got $got")
+    // doc 3's repeated 8-gram is within ONE doc: countDistinct(doc)=1,
+    // no span — within-doc repetition is q76's job, not dedup's
+    assert(!got.exists(_._1 == 3L))
+    // disjoint shared runs stay separate spans (gap > k)
+    val d4 = ((5 to 14).map("a" + _) ++ (1 to 9).map("z" + _) ++
+      (5 to 14).map("a" + _)).mkString(" ")
+    val spans4 = Dedup.duplicateSpans(
+        docs.union(Seq((4L, d4)).toDF("doc_id", "text")),
+        "doc_id", "text", k = 8)
+      .filter($"doc_id" === 4L).orderBy("span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans4 == Seq((4L, 1L, 10L, 10L, 3L), (4L, 20L, 29L, 10L, 3L)),
+      s"got $spans4")
+  }
 }
