@@ -7736,7 +7736,47 @@ object Queries {
              |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens,
              |  count(*)::BIGINT AS n_windows
              |FROM isl2 GROUP BY doc_id, island
-             |ORDER BY doc_id, span_start""".stripMargin)))
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // the ACTION q239 reports: corpus rewrite with every duplicated
+    // span removed except its one canonical (lowest-doc_id) occurrence
+    // — keep-one substring dedup. Ownership rides the same window-hash
+    // aggregate; the k-row blowup is on removable windows only; the
+    // rebuild is a per-doc sort-aggregate (state = one doc's tokens)
+    "q240_remove_dup_spans" -> Q(
+      (s, d) => {
+        Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |g0 AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 8
+             |    THEN [${dHash64("array_to_string(t[i:i+7], ' ')")}
+             |      for i in range(1, len(t) - 6)]
+             |    ELSE [] END AS hs
+             |  FROM t0),
+             |w AS (SELECT doc_id, unnest(hs) AS h,
+             |    generate_subscripts(hs, 1) AS pos FROM g0),
+             |own AS (SELECT h, min(doc_id) AS owner FROM w GROUP BY h
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |rem AS (SELECT w.doc_id, w.pos FROM w JOIN own USING (h)
+             |  WHERE w.doc_id <> own.owner),
+             |cov AS (SELECT DISTINCT doc_id, pos + i AS tpos
+             |  FROM rem, range(0, 8) r(i)),
+             |tk AS (SELECT doc_id, unnest(t) AS tok,
+             |    generate_subscripts(t, 1) AS tpos FROM t0),
+             |kept AS (SELECT tk.doc_id, count(*)::BIGINT AS n_kept,
+             |    array_to_string(list(tok ORDER BY tpos), ' ') AS text_clean
+             |  FROM tk ANTI JOIN cov
+             |    ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+             |  GROUP BY tk.doc_id),
+             |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM t0)
+             |SELECT base.doc_id, n_tokens,
+             |  (n_tokens - coalesce(n_kept, 0))::BIGINT AS n_removed,
+             |  coalesce(text_clean, '') AS text_clean
+             |FROM base LEFT JOIN kept USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -806,4 +806,81 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
   }
+
+  /** Apply substring-level dedup: rewrite the corpus with duplicated
+    * spans REMOVED everywhere except one canonical occurrence — the
+    * action [[duplicateSpans]] reports. Per shared window hash the
+    * owner is the minimum doc_id containing it (deterministic, no
+    * RNG); every other document drops the k tokens each non-owned
+    * shared window covers (overlapping windows union into exactly the
+    * maximal spans). The owner keeps its text for that window intact,
+    * so every duplicated passage survives in exactly the lowest-id
+    * document that carries it — Lee et al.'s keep-one-occurrence rule
+    * at document granularity.
+    *
+    * Returns one row per input document: (doc_id, n_tokens,
+    * n_removed, text_clean) — text_clean is the space-join of the
+    * kept tokens in order ('' when everything was removed).
+    *
+    * Scale shape: windows/tokens are O(corpus tokens) rows; ownership
+    * is one more column on the same window-hash aggregate
+    * [[duplicateSpans]] already pays; covered positions explode each
+    * removable window to k rows (bounded k× blowup on REMOVABLE
+    * windows only, not the corpus); the rebuild is a per-doc
+    * sort-aggregate whose state is one document's tokens — the same
+    * bound every per-doc operator here carries. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"window must be >= 1 token, got $k")
+    require(minDocs >= 2, s"a span shared by < 2 docs is not a duplicate (got $minDocs)")
+    val grams = df
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(wordShingleSeq(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(
+        col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        hash64(col("gram")).as("h"))
+    // one aggregate yields both the dup verdict and the owner
+    val owners = grams
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), col("owner"))
+    val removable = grams
+      .join(owners, "h")
+      .filter(col("doc_id") =!= col("owner"))
+    // every token position a removable window covers, deduplicated
+    val covered = removable
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val toks = df
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("tpos"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"))
+    // fully-removed docs vanish from `kept` — left join restores them
+    // with an empty rewrite. n_tokens is the token-STREAM length
+    // (split counts an empty text as one empty token, same as
+    // string_split) so n_removed = n_tokens - n_kept is exact by
+    // construction
+    df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

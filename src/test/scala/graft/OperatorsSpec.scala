@@ -620,4 +620,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spans4 == Seq((4L, 1L, 10L, 10L, 3L), (4L, 20L, 29L, 10L, 3L)),
       s"got $spans4")
   }
+
+  test("removeDuplicateSpans: lowest-id doc keeps the span, the rest lose exactly it") {
+    val d1 = (1 to 20).map("a" + _).mkString(" ")            // owner (min id)
+    val d2 = ((1 to 3).map("b" + _) ++ (5 to 14).map("a" + _) ++
+      (1 to 7).map("c" + _)).mkString(" ")                   // shares a5..a14
+    val d3 = (1 to 10).map("u" + _).mkString(" ")            // unique: untouched
+    val d5 = (5 to 14).map("a" + _).mkString(" ")            // IS the span: fully removed
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (5L, d5)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 20L, 0L, d1), // owner: intact
+      (2L, 20L, 10L, ((1 to 3).map("b" + _) ++ (1 to 7).map("c" + _)).mkString(" ")),
+      (3L, 10L, 0L, d3),
+      (5L, 10L, 10L, "")), // whole doc was the duplicated span
+      s"got $got")
+    // conservation: n_tokens - n_removed = tokens of the rewrite
+    got.foreach { case (_, n, r, txt) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ", -1).length
+      assert(n - r == kept)
+    }
+  }
 }
