@@ -7776,7 +7776,82 @@ object Queries {
              |  (n_tokens - coalesce(n_kept, 0))::BIGINT AS n_removed,
              |  coalesce(text_clean, '') AS text_clean
              |FROM base LEFT JOIN kept USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BPE tokenizer training (Sennrich et al. 2016): one corpus-sized
+    // word-count shuffle, then every merge round is a vocab-sized
+    // aggregate + 1-row argmax collect — per-round cost independent of
+    // corpus size. Merges are plain string replaces on a doubly-
+    // delimited symbol encoding (greedy left-to-right = BPE order, no
+    // UDFs). Oracle: the same k rounds unrolled as CTEs, each step's
+    // argmax a scalar subquery feeding a replace (bpeOracleSteps).
+    "q241_bpe_train" -> Q(
+      (s, d) => TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 8),
+      Some(bpeOracleSteps(8) + "\n" +
+        (1 to 8).map(i =>
+          s"SELECT $i AS step, lhs, rhs, lhs || rhs AS merged, freq FROM b$i")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY step"))),
+
+    // the trained tokenizer APPLIED: corpus token distribution after the
+    // same 8 merge rounds (top 30 by frequency, deterministic tie-break)
+    "q242_bpe_vocab" -> Q(
+      (s, d) => TextAnalysis.bpeVocab(t(s, d, "documents"), "text", merges = 8, topK = 30),
+      Some(bpeOracleSteps(8) + s""",
+             |v AS (SELECT unnest(string_split(trim(sym), '  ')) AS token, f FROM s8)
+             |SELECT token, sum(f)::BIGINT AS freq FROM v GROUP BY token
+             |ORDER BY freq DESC, token LIMIT 30""".stripMargin)),
+
+    // the step training exists for: per-doc token cost under the learned
+    // tokenizer. Tokenization is word-local, so the corpus is never
+    // re-segmented — the vocab-sized (word -> token count) table joins
+    // back to the word stream (broadcast at scale, one corpus pass)
+    "q243_bpe_encode" -> Q(
+      (s, d) => TextAnalysis
+        .bpeEncodeStats(t(s, d, "documents"), "doc_id", "text", merges = 8)
+        .orderBy(col("doc_id")),
+      Some(bpeOracleSteps(8) + s""",
+             |wt AS (SELECT w, len(string_split(trim(sym), '  '))::BIGINT AS w_tokens
+             |  FROM s8),
+             |dw AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+             |  FROM documents),
+             |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+             |    sum(len(w))::BIGINT AS n_chars,
+             |    sum(w_tokens)::BIGINT AS n_bpe_tokens
+             |  FROM dw JOIN wt USING (w) WHERE w <> '' GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+             |  coalesce(agg.n_chars, 0) AS n_chars, -- documents has its own n_chars
+             |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+             |FROM documents d LEFT JOIN agg USING (doc_id)
              |ORDER BY doc_id""".stripMargin)))
+
+  /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
+    * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-
+    * delimited, weighted by word frequency); each round i derives pair
+    * counts p_i/c_i, the argmax b_i (freq desc, pair lexicographic), and
+    * the merged corpus s_i via the same boundary-safe replace the Spark
+    * side applies. DuckDB zips parallel unnests positionally, which
+    * yields the adjacent-pair join without a posexplode self-join. */
+  private def bpeOracleSteps(merges: Int): String = {
+    val head = s"""WITH words AS MATERIALIZED (
+             |  SELECT w, count(*)::BIGINT AS f FROM (
+             |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+             |    FROM documents)
+             |  WHERE w <> '' GROUP BY w),
+             |s0 AS MATERIALIZED (SELECT w, ' ' ||
+             |    array_to_string([w[i] for i in range(1, len(w) + 1)], '  ')
+             |    || ' ' AS sym, f FROM words)""".stripMargin
+    val steps = (1 to merges).map { i =>
+      s"""t$i AS MATERIALIZED (SELECT string_split(trim(sym), '  ') AS t, f FROM s${i - 1}),
+         |p$i AS MATERIALIZED (SELECT unnest(t[1:len(t)-1]) AS lhs, unnest(t[2:len(t)]) AS rhs, f
+         |  FROM t$i WHERE len(t) >= 2),
+         |c$i AS MATERIALIZED (SELECT lhs, rhs, sum(f)::BIGINT AS freq FROM p$i GROUP BY lhs, rhs),
+         |b$i AS MATERIALIZED (SELECT lhs, rhs, freq FROM c$i ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT w, replace(sym,
+         |    ' ' || (SELECT lhs FROM b$i) || '  ' || (SELECT rhs FROM b$i) || ' ',
+         |    ' ' || (SELECT lhs || rhs FROM b$i) || ' ') AS sym, f FROM s${i - 1})""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** The deterministic SCD2 history q124/q132 share: customer snapshot +
     * a residue-keyed change batch (custkey%10==1 update, ==2 delete,

@@ -687,4 +687,142 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score_micros"), lit(0L)).as("score_micros"))
   }
+
+  // -------------------------------------------------------------------
+  // Byte-pair-encoding tokenizer training
+  // -------------------------------------------------------------------
+
+  /** Word-frequency table with each word's symbol sequence encoded as a
+    * doubly-space-delimited string: [a,b,c] is " a  b  c " (one space at
+    * the ends, two between symbols). Symbols never contain spaces (words
+    * come from a space split), so the encoding is unambiguous. */
+  private def bpeWordSyms(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(
+        col("w"),
+        concat(
+          lit(" "),
+          array_join(filter(split(col("w"), ""), c => length(c) > 0), "  "),
+          lit(" ")).as("sym"),
+        col("f"))
+
+  /** The merge loop shared by [[bpeTrain]] and [[bpeVocab]]: returns the
+    * cached base table (caller unpersists), the symbol table after
+    * `merges` rounds, and the merge history (step, lhs, rhs, merged,
+    * freq). See [[bpeTrain]] for the algorithm and scale notes. */
+  private def bpeLoop(df: DataFrame, textCol: String, merges: Int)
+      : (DataFrame, DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val base = bpeWordSyms(df, textCol).cache()
+    var cur = base
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val toks = cur
+        .select(split(trim(col("sym")), "  ").as("t"), col("f"))
+        .filter(size(col("t")) >= 2)
+      val best = toks
+        .select(
+          explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("b"))).as("p"),
+          col("f"))
+        .groupBy(col("p.a").as("lhs"), col("p.b").as("rhs"))
+        .agg(sum(col("f")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true // every word is one symbol already
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        hist += ((step, l, r, l + r, c))
+        // lit() carries the pair verbatim (no SQL-literal escaping issues)
+        cur = cur.withColumn("sym",
+          call_function("replace", col("sym"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+      }
+    }
+    (base, cur, hist.toSeq)
+  }
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    * tokenizer-building step of an LLM data pipeline. Returns the merge
+    * table (step, lhs, rhs, merged, freq), ordered by step.
+    *
+    * Runs entirely on the WORD-frequency table: the corpus is scanned
+    * once (a map-side-combined word count — the only corpus-sized
+    * shuffle); every merge round then aggregates the vocab-sized table,
+    * so per-round cost is independent of corpus size — the property that
+    * makes BPE training feasible at 100 TB (vocab grows roughly
+    * logarithmically with corpus, not linearly). Per round: one
+    * vocab-sized adjacent-pair aggregate weighted by word frequency,
+    * plus a 1-row argmax collect (count desc, then pair lexicographic —
+    * ties are deterministic). The driver holds only the merge table.
+    *
+    * Applying a merge (x,y)->xy on the doubly-delimited encoding (see
+    * [[bpeWordSyms]]) is a plain string `replace(" x  y ", " xy ")`:
+    * both Spark's and ANSI engines' replace scan left-to-right
+    * non-overlapping, which is exactly BPE's greedy merge order
+    * ("a a a a" becomes [aa, aa]; "a a a" becomes [aa, a]). The doubled
+    * interior delimiter keeps adjacent occurrences of the same pair from
+    * sharing a boundary character — with single spaces, " a a a a "
+    * contains " a a " at offsets 0 and 4 sharing one space, and the
+    * left-to-right scan would miss the second merge. No UDFs anywhere:
+    * the whole round is codegen'd split/zip/replace expressions. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (base, _, hist) = bpeLoop(df, textCol, merges)
+    base.unpersist()
+    import spark.implicits._
+    hist.toDF("step", "lhs", "rhs", "merged", "freq")
+  }
+
+  /** Token distribution after `merges` BPE rounds: top `topK` tokens by
+    * total corpus frequency (desc, then token asc — deterministic).
+    * The segmentation IS the trained tokenizer applied to the corpus —
+    * same replace chain, evaluated lazily over the word table. */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int, topK: Int): DataFrame = {
+    val (base, cur, _) = bpeLoop(df, textCol, merges)
+    val vocab = cur
+      .select(explode(split(trim(col("sym")), "  ")).as("token"), col("f"))
+      .groupBy(col("token"))
+      .agg(sum(col("f")).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topK)
+    base.unpersist() // evaluation below recomputes once; no leaked cache
+    vocab
+  }
+
+  /** Per-document encoding stats under the trained tokenizer — the
+    * pipeline step BPE training exists for: how many tokens each doc
+    * costs. Tokenization is word-local, so the corpus is never
+    * re-segmented: the vocab-sized word table (word -> token count after
+    * `merges` rounds) joins back to the word stream — at 100 TB that's a
+    * broadcast of the vocab against one corpus pass, not a second
+    * training run. Docs with no words surface with zero counts. */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    val (base, cur, _) = bpeLoop(df, textCol, merges)
+    val wordTok = cur.select(
+      col("w"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("w_tokens"))
+    val docWords = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val agg = docWords.join(wordTok, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("w_tokens")).as("n_bpe_tokens"))
+    val out = df.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+    base.unpersist()
+    out
+  }
 }

@@ -643,4 +643,53 @@ class OperatorsSpec extends AnyFunSuite {
       assert(n - r == kept)
     }
   }
+
+  test("bpeTrain: Sennrich worked example, ties lexicographic, early exhaustion") {
+    // words: low f=2, lower f=1. Round 1: (l,o)=3 ties (o,w)=3 → lex
+    // picks (l,o). Round 2: (lo,w)=3. Round 3: (e,r)=1 ties (low,e)=1 →
+    // "e" < "low". Round 4: (low,er)=1. Round 5: no pairs left — the
+    // merge table stops at 4 rows even though merges=6 was requested.
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "l", "o", "lo", 3L),
+      (2, "lo", "w", "low", 3L),
+      (3, "e", "r", "er", 1L),
+      (4, "low", "er", "lower", 1L)), s"got $got")
+    // the trained tokenizer applied: both words collapse to one token
+    val vocab = TextAnalysis.bpeVocab(docs, "text", merges = 6, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("low", 2L), ("lower", 1L)), s"got $vocab")
+  }
+
+  test("bpeTrain: adjacent same-pair runs merge greedily left-to-right") {
+    // "a a a a" must become [aa, aa] (freq counted 3 in round 1 — BPE
+    // counts overlapping pair OCCURRENCES when counting, merges greedily
+    // when applying), and "b b b" becomes [bb, b] — the case a singly-
+    // delimited replace encoding gets wrong by missing the second merge.
+    val docs = Seq((1L, "aaaa bbb aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got.head == ((1, "a", "a", "aa", 6L)), s"got $got")
+    // round 2: (aa,aa)=2 ties (b,b)=2 → lex "aa" < "b" wins
+    assert(got(1) == ((2, "aa", "aa", "aaaa", 2L)), s"got $got")
+    // bbb never merged: contributes token b three times (freq 3×f=1)
+    val vocab = TextAnalysis.bpeVocab(docs, "text", merges = 2, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("b", 3L), ("aaaa", 2L)), s"got $vocab")
+  }
+
+  test("bpeEncodeStats: per-doc token cost via the word table; empty docs zero") {
+    // 3 merges on {low:2, lower:1}: (l,o), (lo,w), (e,r) → low = 1 token,
+    // lower = [low, er] = 2 tokens
+    val docs = Seq((1L, "low low lower"), (2L, "lower"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", merges = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 11L, 4L), // low(1) + low(1) + lower(2)
+      (2L, 1L, 5L, 2L),
+      (3L, 0L, 0L, 0L)), s"got $got")
+  }
 }
