@@ -7822,7 +7822,139 @@ object Queries {
              |  coalesce(agg.n_chars, 0) AS n_chars, -- documents has its own n_chars
              |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
              |FROM documents d LEFT JOIN agg USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // WordPiece-style greedy longest-match tokenizer — the other
+    // mainstream subword scheme next to BPE (q241-q243). Vocab = all
+    // corpus chars + top-200 substrings of length 2-4; encoding is the
+    // greedy walk pos -> pos + longestMatch(pos), computed in
+    // ceil(log2(maxWordLen)) pointer-doubling rounds over the
+    // vocab-sized longest-match table — no per-word loop, no UDF.
+    // Oracle: the same walk as a recursive CTE over the same
+    // longest-match table.
+    "q244_wordpiece_encode" -> Q(
+      (s, d) => TextAnalysis
+        .wordpieceEncodeStats(t(s, d, "documents"), "doc_id", "text",
+          maxGram = 4, topK = 200)
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE words AS (
+             |  SELECT w, count(*)::BIGINT AS f FROM (
+             |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+             |    FROM documents)
+             |  WHERE w <> '' GROUP BY w),
+             |grams AS (
+             |  SELECT g, sum(f)::BIGINT AS freq FROM (
+             |    SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS g, f
+             |      FROM words WHERE len(w) >= 2
+             |    UNION ALL
+             |    SELECT unnest([w[i:i+2] for i in range(1, len(w)-1)]) AS g, f
+             |      FROM words WHERE len(w) >= 3
+             |    UNION ALL
+             |    SELECT unnest([w[i:i+3] for i in range(1, len(w)-2)]) AS g, f
+             |      FROM words WHERE len(w) >= 4)
+             |  GROUP BY g),
+             |vocab AS (
+             |  SELECT g FROM (SELECT g FROM grams ORDER BY freq DESC, g LIMIT 200)
+             |  UNION
+             |  SELECT DISTINCT unnest([w[i] for i in range(1, len(w)+1)]) AS g
+             |  FROM words),
+             |pos AS (SELECT w, unnest(range(1, len(w)+1)) AS pos FROM words),
+             |step AS (
+             |  SELECT p.w, p.pos, max(len(v.g))::BIGINT AS mlen
+             |  FROM pos p JOIN vocab v ON substr(p.w, p.pos, len(v.g)) = v.g
+             |  GROUP BY p.w, p.pos),
+             |walk AS (
+             |  SELECT w, len(w)::BIGINT AS wl, 1::BIGINT AS pos, 0::BIGINT AS ntok
+             |  FROM words
+             |  UNION ALL
+             |  SELECT k.w, k.wl, k.pos + s.mlen, k.ntok + 1
+             |  FROM walk k JOIN step s ON k.w = s.w AND k.pos = s.pos),
+             |wt AS (SELECT w, ntok AS w_tokens FROM walk WHERE pos > wl),
+             |dw AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+             |  FROM documents),
+             |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+             |    sum(len(w))::BIGINT AS n_chars,
+             |    sum(w_tokens)::BIGINT AS n_wp_tokens
+             |  FROM dw JOIN wt USING (w) WHERE w <> '' GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+             |  coalesce(agg.n_chars, 0) AS n_chars,
+             |  coalesce(agg.n_wp_tokens, 0) AS n_wp_tokens
+             |FROM documents d LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // per-source unigram drift vs the corpus (total variation distance)
+    // — the "did this source shift?" audit before weighting a training
+    // mix. All-integer arithmetic (the absent-word tail collapses to a
+    // closed form, so no source x vocab grid); the one division is a
+    // single exactly-rounded IEEE op, bit-identical cross-engine.
+    "q245_source_drift" -> Q(
+      (s, d) => TextAnalysis.sourceDrift(t(s, d, "documents"), "source", "text")
+        .orderBy(col("source")),
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(trim(lower(text)), ' ')) AS w
+             |  FROM documents),
+             |sw AS (SELECT source, w, count(*)::BIGINT AS fsw FROM tok
+             |  WHERE w <> '' GROUP BY source, w),
+             |wt AS (SELECT w, sum(fsw)::BIGINT AS fw FROM sw GROUP BY w),
+             |st AS (SELECT source, sum(fsw)::BIGINT AS ts FROM sw GROUP BY source),
+             |tt AS (SELECT sum(fw)::BIGINT AS t FROM wt),
+             |scored AS (
+             |  SELECT sw.source, sw.w, sw.fsw, wt.fw, st.ts, tt.t,
+             |    sw.fsw * tt.t - wt.fw * st.ts AS diff
+             |  FROM sw JOIN wt USING (w) JOIN st USING (source) CROSS JOIN tt),
+             |agg AS (
+             |  SELECT source, max(ts) AS total_tokens, max(t) AS t,
+             |    count(*)::BIGINT AS distinct_words,
+             |    sum(abs(diff))::BIGINT AS present_abs,
+             |    sum(fw)::BIGINT AS present_fw
+             |  FROM scored GROUP BY source),
+             |top AS (
+             |  SELECT source, w AS top_word, diff AS top_diff FROM (
+             |    SELECT source, w, diff, row_number() OVER (
+             |      PARTITION BY source ORDER BY diff DESC, w) AS rn FROM scored)
+             |  WHERE rn = 1)
+             |SELECT agg.source, total_tokens, distinct_words,
+             |  (present_abs + (t - present_fw) * total_tokens)::BIGINT AS tv_num,
+             |  ((present_abs + (t - present_fw) * total_tokens)::DOUBLE
+             |    / (2 * total_tokens * t)::DOUBLE) AS tv,
+             |  top_word, top_diff
+             |FROM agg JOIN top USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // hard-negative mining for contrastive training: per query, top-5
+    // most-cosine-similar OTHER-label vectors from the query's LSH
+    // bucket — q28's candidate machinery pointed at embedding-model
+    // training-pair prep. Never all-pairs: bucket join + label filter.
+    "q246_hard_negatives" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegatives(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            "label", k = 5, planes = 4, dims = 64)
+          .select(col("q_id"), col("q_label"),
+            col("rank").cast("bigint").as("rank"),
+            col("n_id"), col("n_label"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val planeSql = (0 until 4).map { p =>
+          val coefs = Similarity.hyperplane(p, 64).mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(e, $coefs::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END"
+        }.mkString(" +\n      ")
+        s"""WITH v AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           |    $planeSql AS bucket
+           |  FROM embeddings),
+           |sc AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+           |    c.vec_id AS n_id, c.label AS n_label,
+           |    round(list_cosine_similarity(q.e, c.e), 6) AS cos
+           |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.label <> c.label
+           |  WHERE q.vec_id < 10),
+           |r AS (SELECT q_id, q_label, n_id, n_label, cos, row_number() OVER (
+           |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
+           |SELECT q_id, q_label, rank, n_id, n_label, cos FROM r WHERE rank <= 5
+           |ORDER BY q_id, rank""".stripMargin
+      }))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

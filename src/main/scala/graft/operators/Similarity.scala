@@ -257,6 +257,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most-similar corpus vectors with a DIFFERENT label — the
+    * near-miss examples a retrieval/embedding model learns the most
+    * from. Candidates come from the query's LSH bucket (same
+    * hyperplane family as [[lshTopK]]), so the corpus is never scored
+    * all-pairs: at 100 TB the bucket join fans each query out to
+    * ~corpus/2^planes candidates, and the label filter rides the join.
+    * Ranking is (rounded cosine desc, n_id asc) — deterministic.
+    * Returns (q_id, q_label, rank, n_id, n_label, cos). */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      planes: Int = 4,
+      dims: Int = 64): DataFrame = {
+    def withBucket(df: DataFrame, prefix: String): DataFrame = {
+      val bucket = (0 until planes).map { p =>
+        val dot = graft.functions.Functions
+          .dotProduct(col(vecCol), lit(hyperplane(p, dims)))
+        when(dot > 0, 1 << p).otherwise(0)
+      }.reduce(_ + _)
+      df.select(
+        col(idCol).as(s"${prefix}_id"),
+        col(vecCol).as(s"${prefix}_vec"),
+        col(labelCol).as(s"${prefix}_label"),
+        bucket.as("bucket"))
+    }
+    val c = withBucket(corpus, "n")
+    val q = withBucket(queries, "q")
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(
+        col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        round(cosineSim(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"),
+        col("n_id"), col("n_label"), col("cos"))
+  }
+
   /** Symmetric int8 (maxabs) quantization of an embedding column — the
     * standard 4x memory/bandwidth reduction for serving a 100 TB-scale
     * vector corpus: each vector is scaled by its own max |component| to

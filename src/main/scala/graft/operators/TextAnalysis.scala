@@ -825,4 +825,216 @@ object TextAnalysis {
     base.unpersist()
     out
   }
+
+  // -------------------------------------------------------------------
+  // WordPiece-style greedy tokenizer (the other mainstream subword
+  // scheme next to BPE: vocab = frequent substrings, encode = greedy
+  // longest-match-first)
+  // -------------------------------------------------------------------
+
+  /** The word-frequency table WordPiece shares with BPE: lowercased
+    * space-split words, map-side-combined counts — the only corpus-sized
+    * shuffle any of the tokenizer operators pay. */
+  private def wpWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** WordPiece-style vocabulary: every single character seen in the
+    * corpus (guarantees total segmentability, as WordPiece's byte
+    * fallback does) plus the `topK` most frequent substrings of length
+    * 2..`maxGram`, occurrence-weighted by word frequency (overlapping
+    * occurrences count, ties freq-desc then gram-asc — deterministic).
+    * One column `g`. Vocab-sized output: safe to broadcast. */
+  private def wpVocab(words: DataFrame, maxGram: Int, topK: Int): DataFrame = {
+    val grams = (2 to maxGram).map { n =>
+      words.select(
+        explode(
+          when(length(col("w")) >= n,
+            transform(
+              sequence(lit(1), length(col("w")) - (n - 1)),
+              i => col("w").substr(i, lit(n))))
+            .otherwise(array())).as("g"),
+        col("f"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("g")).agg(sum(col("f")).as("freq"))
+      .orderBy(col("freq").desc, col("g"))
+      .limit(topK)
+      .select(col("g"))
+    val chars = words
+      .select(explode(filter(split(col("w"), ""), c => length(c) > 0)).as("g"))
+      .distinct()
+    grams.unionByName(chars).distinct()
+  }
+
+  /** Per-word token count under greedy longest-match-first segmentation
+    * against a WordPiece-style vocab — computed WITHOUT any per-word
+    * sequential loop, via pointer doubling:
+    *
+    *   1. longest-match table: for every (word, char position) the
+    *      longest vocab entry starting there (single chars are always in
+    *      vocab, so a match always exists). Built by exploding candidate
+    *      substrings of length 1..maxGram and broadcast-joining the
+    *      vocab — O(word-table chars × maxGram) rows, all vocab-sized
+    *      (words combine across the corpus), never corpus-sized.
+    *   2. greedy segmentation is the walk pos -> pos + matchLen(pos)
+    *      from 1 to beyond the word end; its step count is the token
+    *      count. The walk is a functional graph, so `jump` tables
+    *      compose with themselves: after r self-joins each row jumps
+    *      min(2^r, remaining) steps — ceil(log2(maxWordLen)) rounds
+    *      total, each one vocab-sized shuffle on (w, pos). The same
+    *      doubling trick that makes list-ranking distributed; a
+    *      sequential scan per word would be a UDF loop instead.
+    *
+    * Each round is `localCheckpoint`ed to keep the self-joining plan
+    * tree linear (the tables are vocab-sized — at 100 TB corpus this is
+    * the ~100M-distinct-words table, not the corpus; for multi-hour
+    * cluster runs swap in reliable checkpoints as PageRank's
+    * `checkpointEvery` knob does).
+    *
+    * Returns (w, w_tokens). */
+  private def wpWordTokens(words: DataFrame, maxGram: Int, topK: Int): DataFrame = {
+    val vocab = wpVocab(words, maxGram, topK)
+    val pos = words.select(
+      col("w"),
+      explode(sequence(lit(1), length(col("w")))).as("pos"))
+    val cand = pos.select(
+      col("w"), col("pos"),
+      explode(sequence(lit(1),
+        least(lit(maxGram), length(col("w")) - col("pos") + 1))).as("n"))
+      .withColumn("sub", col("w").substr(col("pos"), col("n")))
+    val step = cand
+      .join(broadcast(vocab), col("sub") === col("g"))
+      .groupBy(col("w"), col("pos"))
+      .agg(max(col("n")).as("mlen"))
+    val maxLenRow = words.agg(max(length(col("w"))).cast("long")).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 1L else maxLenRow.getLong(0)
+    // 2^rounds >= maxLen so one application of the folded jump walks any
+    // word end to end
+    val rounds = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, maxLen - 1)))
+    var jump = step.select(
+      col("w"), col("pos"),
+      (col("pos") + col("mlen")).as("next"),
+      lit(1L).as("steps")).localCheckpoint()
+    for (_ <- 1 until rounds.toInt + 1) {
+      val b = jump.select(
+        col("w").as("bw"), col("pos").as("bpos"),
+        col("next").as("bnext"), col("steps").as("bsteps"))
+      val folded = jump
+        .join(b, col("w") === col("bw") && col("next") === col("bpos"), "left")
+        .select(
+          col("w"), col("pos"),
+          coalesce(col("bnext"), col("next")).as("next"),
+          (col("steps") + coalesce(col("bsteps"), lit(0L))).as("steps"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(jump)
+      jump = folded
+    }
+    jump.filter(col("pos") === 1)
+      .select(col("w"), col("steps").as("w_tokens"))
+  }
+
+  /** Per-document token cost under a WordPiece-style greedy
+    * longest-match tokenizer with a corpus-derived vocab — the
+    * `bpeEncodeStats` twin for the other mainstream subword scheme.
+    * Segmentation is word-local, so the corpus-sized work is one word
+    * count + one join-back of the vocab-sized (word -> token count)
+    * table (broadcast at scale); docs with no words surface with zeros.
+    * Returns (doc_id, n_words, n_chars, n_wp_tokens). */
+  def wordpieceEncodeStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxGram: Int = 4,
+      topK: Int = 200): DataFrame = {
+    val words = wpWords(df, textCol).cache()
+    val wordTok = wpWordTokens(words, maxGram, topK)
+    val docWords = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val agg = docWords.join(wordTok, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("w_tokens")).as("n_wp_tokens"))
+    val out = df.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_wp_tokens"), lit(0L)).as("n_wp_tokens"))
+    words.unpersist()
+    out
+  }
+
+  // -------------------------------------------------------------------
+  // Source-distribution drift audit
+  // -------------------------------------------------------------------
+
+  /** Per-source unigram distribution drift vs the whole corpus, as total
+    * variation distance — the "did this source shift?" audit a training
+    * mix needs before weighting sources.
+    *
+    * TV(p_s, q) = 1/2 Σ_w |p_s(w) − q(w)| is computed ENTIRELY in exact
+    * integer arithmetic: with per-source counts f_sw (total t_s) and
+    * corpus counts f_w (total T),
+    *   Σ_w |f_sw·T − f_w·t_s|  =  Σ_{w∈s} |f_sw·T − f_w·t_s|
+    *                              + (T − Σ_{w∈s} f_w)·t_s
+    * — the absent-word tail collapses to one closed-form term, so no
+    * source×vocab grid is ever materialized; the only shuffles are the
+    * word count and one vocab-sized join on `w`. The final division
+    * (one exactly-rounded IEEE op) is the only floating-point step, so
+    * the result is bit-identical in any engine. At 100 TB move the
+    * products to DECIMAL(38,0): f_sw·T can pass 2^63 there (not at any
+    * bench SF).
+    *
+    * Also surfaces each source's most over-represented word (argmax of
+    * the same integer score, ties to the lexicographically first word).
+    * Returns (source, total_tokens, distinct_words, tv_num, tv,
+    * top_word, top_diff). */
+  def sourceDrift(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(lower(col(textCol))), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val sw = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("fsw"))
+    val wTot = sw.groupBy(col("w")).agg(sum(col("fsw")).as("fw"))
+    val sTot = sw.groupBy(col("source")).agg(sum(col("fsw")).as("ts"))
+    val tTot = wTot.agg(sum(col("fw")).as("T"))
+    val scored = sw
+      .join(wTot, "w")
+      .join(broadcast(sTot), "source")
+      .crossJoin(broadcast(tTot))
+      .withColumn("diff", col("fsw") * col("T") - col("fw") * col("ts"))
+    val agg = scored.groupBy(col("source"))
+      .agg(
+        max(col("ts")).as("total_tokens"),
+        max(col("T")).as("T"),
+        count(lit(1)).as("distinct_words"),
+        sum(abs(col("diff"))).as("present_abs"),
+        sum(col("fw")).as("present_fw"),
+        // argmax by (diff desc, w asc): min-struct on the negated score
+        min(struct((-col("diff")).as("negDiff"), col("w"))).as("top"))
+    agg.select(
+      col("source"),
+      col("total_tokens"),
+      col("distinct_words"),
+      (col("present_abs") +
+        (col("T") - col("present_fw")) * col("total_tokens")).as("tv_num"),
+      col("top"), col("T"))
+      .select(
+        col("source"),
+        col("total_tokens"),
+        col("distinct_words"),
+        col("tv_num"),
+        (col("tv_num").cast("double") /
+          (lit(2L) * col("total_tokens") * col("T")).cast("double")).as("tv"),
+        col("top.w").as("top_word"),
+        (-col("top.negDiff")).as("top_diff"))
+  }
 }

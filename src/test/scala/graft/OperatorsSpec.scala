@@ -692,4 +692,79 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 1L, 5L, 2L),
       (3L, 0L, 0L, 0L)), s"got $got")
   }
+
+  test("wordpieceEncodeStats: greedy longest match; doubling covers long words") {
+    // corpus: abab f=2, cd f=1, ab f=1, abcdabcdabcdabcd f=1.
+    // gram freqs (weighted, overlapping): ab = 4(abab) + 1(ab) + 4(long)
+    // = 9 is the clear top-1.
+    val docs = Seq(
+      (1L, "abab abab cd"),
+      (2L, "ab"),
+      (3L, ""),
+      (4L, "abcdabcdabcdabcd")).toDF("doc_id", "text")
+    // topK=1: vocab = chars {a,b,c,d} + {ab}. Greedy: abab -> [ab, ab],
+    // cd -> [c, d], ab -> [ab]; the 16-char word (4 doubling rounds)
+    // -> [ab, c, d] x 4 = 12
+    val small = TextAnalysis
+      .wordpieceEncodeStats(docs, "doc_id", "text", maxGram = 4, topK = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(small == Seq(
+      (1L, 3L, 10L, 6L),
+      (2L, 1L, 2L, 1L),
+      (3L, 0L, 0L, 0L),
+      (4L, 1L, 16L, 12L)), s"got $small")
+    // topK=200: every gram makes the vocab, so abab/cd/abcd match whole
+    // chunks: abab -> 1 token, cd -> 1, ab -> 1, long word -> [abcd] x 4
+    val full = TextAnalysis
+      .wordpieceEncodeStats(docs, "doc_id", "text", maxGram = 4, topK = 200)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full == Seq(
+      (1L, 3L, 10L, 3L),
+      (2L, 1L, 2L, 1L),
+      (3L, 0L, 0L, 0L),
+      (4L, 1L, 16L, 4L)), s"got $full")
+  }
+
+  test("sourceDrift: exact TV incl. absent-word tail; argmax ties lexicographic") {
+    // A: x x y (ts=3), B: y z (ts=2); corpus x:2 y:2 z:1, T=5.
+    // A diffs: x 2*5-2*3=4, y 1*5-2*3=-1; tail (5-4)*3=3 -> tv_num 8,
+    // tv = 8/30. B: y 1, z 3; tail (5-3)*2=4 -> tv_num 8, tv = 8/20.
+    val docs = Seq(("A", "x x y"), ("B", "y z")).toDF("source", "text")
+    val got = TextAnalysis.sourceDrift(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 2L, 8L, 8.0 / 30.0, "x", 4L),
+      ("B", 2L, 2L, 8L, 8.0 / 20.0, "z", 3L)), s"got $got")
+    // identical distributions: zero drift, tied argmax picks the
+    // lexicographically first word
+    val same = Seq(("C", "m n"), ("D", "m n")).toDF("source", "text")
+    val zeros = TextAnalysis.sourceDrift(same, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, String, Long)].collect().toSeq
+    assert(zeros == Seq(
+      ("C", 2L, 2L, 0L, 0.0, "m", 0L),
+      ("D", 2L, 2L, 0L, 0.0, "m", 0L)), s"got $zeros")
+  }
+
+  test("hardNegatives: same bucket + different label only, ranked by cosine") {
+    // Vectors built FROM the plane-0 normal so bucket membership is
+    // known without reading md5 internals: +h and 2h land in plane-0's
+    // positive half, -h in the negative half.
+    val h = Similarity.hyperplane(0, 2)
+    val plus = Array(h(0).toFloat, h(1).toFloat)
+    val twice = Array((2 * h(0)).toFloat, (2 * h(1)).toFloat)
+    val minus = Array((-h(0)).toFloat, (-h(1)).toFloat)
+    val corpus = Seq(
+      (10L, twice, 1), // same bucket, other label -> the hard negative
+      (11L, plus, 0),  // same bucket, SAME label -> excluded
+      (12L, minus, 1)  // other bucket -> excluded
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, plus, 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .hardNegatives(corpus, queries, "vec_id", "embedding", "label",
+        k = 5, planes = 1, dims = 2)
+      .as[(Long, Int, Int, Long, Int, Double)].collect().toSeq
+    assert(got == Seq((0L, 0, 1, 10L, 1, 1.0)), s"got $got")
+  }
 }

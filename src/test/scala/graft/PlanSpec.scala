@@ -295,4 +295,32 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("MERGE").contains("SortMergeJoin"))
     assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"))
   }
+
+  test("wordpiece: vocab joins broadcast; join-back is keyed, never nested-loop") {
+    // the final plan starts at the localCheckpoint'd walk, so the whole
+    // pipeline's invariant reduces to: the (word -> token count) join
+    // back to the corpus word stream is a keyed join, and nothing in
+    // the plan degenerates to a nested loop / cartesian
+    val p = plan("q244_wordpiece_encode")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"join-back not keyed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wordpiece plan degenerated to a nested loop:\n$p")
+  }
+
+  test("source drift: per-source totals broadcast; only the vocab join shuffles") {
+    val p = plan("q245_source_drift")
+    // sTot (few rows) and tTot (1 row) must broadcast; the corpus-total
+    // cross join is a 1-row broadcast, not a real cartesian
+    assert(p.contains("BroadcastHashJoin"), s"source totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"1-row total should broadcast, not cartesian:\n$p")
+  }
+
+  test("hard negatives: bucket join broadcasts the query side") {
+    val p = plan("q246_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hard-negative mining must never be all-pairs:\n$p")
+  }
 }
