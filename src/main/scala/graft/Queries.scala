@@ -7954,6 +7954,89 @@ object Queries {
            |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc)
            |SELECT q_id, q_label, rank, n_id, n_label, cos FROM r WHERE rank <= 5
            |ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // exact triangle counting on the co-purchase graph via degree
+    // orientation (Suri & Vassilvitskii): out-degrees bounded O(sqrt m)
+    // so the wedge table never goes hub-quadratic; all keyed joins.
+    // The %10 item filter keeps the probed subgraph SF-proportional.
+    "q247_triangle_count" -> Q(
+      (s, d) => operators.Graph.triangleCounts(
+        operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey"),
+        topK = 20),
+      Some("""WITH it AS (
+             |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+             |  WHERE l_partkey % 10 = 0),
+             |e0 AS (SELECT DISTINCT least(a.item, b.item) AS u,
+             |    greatest(a.item, b.item) AS v
+             |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+             |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+             |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+             |  GROUP BY node),
+             |o AS (SELECT
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |      THEN u ELSE v END AS a,
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |      THEN v ELSE u END AS b,
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |      THEN dv.deg ELSE du.deg END AS degb
+             |  FROM e0 JOIN deg du ON du.node = e0.u
+             |    JOIN deg dv ON dv.node = e0.v),
+             |w AS (SELECT e1.a, e1.b AS x, e2.b AS y FROM o e1 JOIN o e2
+             |  ON e1.a = e2.a AND (e1.degb < e2.degb
+             |    OR (e1.degb = e2.degb AND e1.b < e2.b))),
+             |tri AS (SELECT w.a, w.x, w.y FROM w
+             |  JOIN o ON o.a = w.x AND o.b = w.y),
+             |cnt AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+             |    SELECT a AS node FROM tri
+             |    UNION ALL SELECT x FROM tri
+             |    UNION ALL SELECT y FROM tri)
+             |  GROUP BY node)
+             |SELECT node, n_triangles FROM cnt
+             |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin)),
+
+    // deterministic DeepWalk corpus: fixed-length walks over the same
+    // subgraph, next hop = md5(walk, step) mod degree into the
+    // dst-sorted adjacency — reproducible "randomness", frontier-sized
+    // joins per step. Oracle: the 4 steps unrolled.
+    "q248_random_walks" -> Q(
+      (s, d) => {
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey")
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(col("node") % 50 === 0)
+        operators.Graph.randomWalks(edges, seeds, walkLength = 4)
+          .orderBy(col("walk_id"), col("step"))
+      },
+      Some {
+        val steps = (1 to 4).map { i =>
+          s"""s$i AS (SELECT p.walk_id, adj.dst AS node FROM s${i - 1} p
+             |  JOIN deg ON deg.src = p.node
+             |  JOIN adj ON adj.src = p.node AND adj.nidx =
+             |    ${dHash64(s"'walk:'||p.walk_id::VARCHAR||':step:$i'")} % deg.deg + 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH it AS (
+           |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+           |  WHERE l_partkey % 10 = 0),
+           |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+           |adj AS (SELECT src, dst, row_number() OVER (
+           |  PARTITION BY src ORDER BY dst) AS nidx FROM e),
+           |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+           |s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e
+           |  WHERE src % 50 = 0),
+           |$steps
+           |SELECT walk_id, step, node FROM (
+           |  SELECT walk_id, 0::BIGINT AS step, node FROM s0
+           |  UNION ALL SELECT walk_id, 1::BIGINT, node FROM s1
+           |  UNION ALL SELECT walk_id, 2::BIGINT, node FROM s2
+           |  UNION ALL SELECT walk_id, 3::BIGINT, node FROM s3
+           |  UNION ALL SELECT walk_id, 4::BIGINT, node FROM s4)
+           |ORDER BY walk_id, step""".stripMargin
       }))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s

@@ -142,4 +142,93 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
+
+  /** Per-node triangle counts via degree orientation (the MapReduce
+    * triangle algorithm of Suri & Vassilvitskii, WWW'11): orient every
+    * undirected edge from its lower endpoint to its higher endpoint
+    * under the total order (degree, id), enumerate wedges at each apex,
+    * and close them against the oriented edge set. Orientation bounds
+    * every out-degree by O(√m), so the wedge table — the only
+    * intermediate — is O(m^1.5) worst case and far smaller on real
+    * degree-skewed graphs, where the naive apex-side wedge count is
+    * quadratic in the hub degree. All three steps are keyed
+    * joins/aggregations (apex; then the (x, y) closing pair) — no
+    * nested loop anywhere, so the plan survives a 100× edge count by
+    * adding shuffle volume, not asymptotics.
+    *
+    * `edges` must be distinct (src, dst) pairs, symmetric (both
+    * directions present, as [[coOccurrenceEdges]] emits) or already
+    * canonical with src < dst. Each triangle is counted once per
+    * member node. Returns the `topK` (node, n_triangles), count desc
+    * then node asc — deterministic. */
+  def triangleCounts(edges: DataFrame, topK: Int): DataFrame = {
+    val und = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e.select(
+      when(uLower, col("u")).otherwise(col("v")).as("a"),
+      when(uLower, col("v")).otherwise(col("u")).as("b"),
+      when(uLower, col("dv")).otherwise(col("du")).as("degb"))
+    val e1 = oriented.select(col("a"), col("b").as("x"), col("degb").as("dx"))
+    val e2 = oriented.select(col("a"), col("b").as("y"), col("degb").as("dy"))
+    val wedge = e1.join(e2, "a")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedge
+      .join(oriented.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+      .select(col("a"), col("x"), col("y"))
+    tri.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** Deterministic fixed-length random walks — the DeepWalk/node2vec
+    * corpus-generation step (Perozzi et al., KDD'14) that turns a graph
+    * into training sequences for embedding models. One walk per seed
+    * node; at step i the walk at `walk_id` moves to neighbor number
+    * `hash64("walk:<id>:step:<i>") mod degree` in the dst-sorted
+    * adjacency — md5-derived, so the "randomness" is reproducible in
+    * any engine (and oracle-checkable) while mixing well across walks
+    * and steps. Walks at a node with no out-edges stop (inner join).
+    *
+    * Scale shape: the adjacency index is one per-src window (bounded by
+    * max degree per task), built once; each step is two keyed joins of
+    * the frontier (|seeds| rows) against degree and adjacency — walk
+    * length L costs L frontier-sized joins, never a corpus-sized
+    * shuffle. Returns (walk_id, step, node) for steps 0..walkLength. */
+  def randomWalks(
+      edges: DataFrame,
+      seeds: DataFrame,
+      walkLength: Int,
+      salt: String = "walk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("src"), col("dst"))
+    val indexed = adj.withColumn("nidx",
+      row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var cur = seeds.select(
+      col("node").cast("long").as("walk_id"),
+      lit(0L).as("step"),
+      col("node").cast("long").as("node"))
+    var out = cur
+    for (i <- 1 to walkLength) {
+      val pick = graft.functions.Functions.hash64(
+        concat(lit(s"$salt:"), col("walk_id").cast("string"), lit(s":step:$i")))
+      cur = cur
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .withColumn("nidx", pick % col("deg") + 1)
+        .join(indexed.withColumnRenamed("src", "node"), Seq("node", "nidx"))
+        .select(col("walk_id"), lit(i.toLong).as("step"), col("dst").as("node"))
+      out = out.unionAll(cur)
+    }
+    out
+  }
 }

@@ -43,7 +43,13 @@ object ScaleProbe {
 
   /** The probe set: every dedup/CC/ANN/graph family member in the
     * bench's top cost tier, plus q234's new fan-out shape (the round-6
-    * `weak` — included to show the replacement's distinct-agg scales). */
+    * `weak` — included to show the replacement's distinct-agg scales),
+    * plus the round-8 corpus-sized families: substring-span dedup
+    * (q239/q240 — window-hash volume is O(corpus tokens)), BPE training
+    * (q241 — the corpus-sized word count; merge rounds are vocab-sized
+    * but the vocab itself grows with replica-disjoint words), and the
+    * WordPiece pointer-doubling encode (q244 — gram/position tables
+    * grow with the word table). */
   private val probeEntries = Seq(
     "q117_pagerank_copurchase",
     "q67_prefix_filter_jaccard",
@@ -54,7 +60,11 @@ object ScaleProbe {
     "q156_dedup_cascade",
     "q171_dedup_keep_best",
     "q27_ann_brute_topk",
-    "q234_window_distinct")
+    "q234_window_distinct",
+    "q239_duplicate_spans",
+    "q240_remove_dup_spans",
+    "q241_bpe_train",
+    "q244_wordpiece_encode")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is

@@ -767,4 +767,29 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Long, Int, Double)].collect().toSeq
     assert(got == Seq((0L, 0, 1, 10L, 1, 1.0)), s"got $got")
   }
+
+  test("triangleCounts: K4 has 4 triangles x 3 nodes; edges and chains none") {
+    // K4 on 1..4 (4 triangles, every node in 3), isolated edge (5,6),
+    // chain 7-8-9 (a wedge, no closing edge)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (7L, 8L), (8L, 9L))
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = graft.operators.Graph.triangleCounts(sym, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"got $got")
+  }
+
+  test("randomWalks: degree-1 chains are forced; dead ends stop the walk") {
+    // 1 <-> 2: from seed 1 every hop is forced (deg 1), so the walk
+    // must alternate. 3 -> 4 with no out-edge at 4: walk stops at step 1.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("node")
+    val got = graft.operators.Graph.randomWalks(edges, seeds, walkLength = 4)
+      .orderBy("walk_id", "step")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 1L),
+      (3L, 0L, 3L), (3L, 1L, 4L)), s"got $got")
+  }
 }
