@@ -8037,6 +8037,65 @@ object Queries {
            |  UNION ALL SELECT walk_id, 3::BIGINT, node FROM s3
            |  UNION ALL SELECT walk_id, 4::BIGINT, node FROM s4)
            |ORDER BY walk_id, step""".stripMargin
+      }),
+
+    // stream-static broadcast enrich: the standard "join the dimension
+    // table into the stream" shape, previously unexercised — the static
+    // side broadcasts per micro-batch, only the windowed agg pays the
+    // state-store shuffle. Oracle: the batch restatement under the
+    // final-watermark emission filter (q35's convention).
+    "q249_stream_static_enrich" -> Q(
+      (s, d) => {
+        val name = "graft_stream_static_enrich"
+        s.catalog.dropTempView(name)
+        val dim = t(s, d, "customer")
+        graft.streaming.EventStreams
+          .runToMemory(s, s"$d/events.parquet",
+            graft.streaming.EventStreams
+              .enrichedWindowedCounts(dim, "c_custkey", "c_mktsegment"),
+            name)
+          .orderBy(col("bucket_start"), col("c_mktsegment"))
+      },
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+             |agg AS (
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+             |    c_mktsegment, count(*) AS n_events,
+             |    sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
+             |  FROM events JOIN customer ON user_id = c_custkey
+             |  GROUP BY 1, 2)
+             |SELECT bucket_start, c_mktsegment, n_events, total_value_micros
+             |FROM agg, wm
+             |WHERE bucket_start + INTERVAL 5 MINUTE <= wm.w
+             |ORDER BY bucket_start, c_mktsegment""".stripMargin)),
+
+    // k-core peeling (Seidman): 4 fixed rounds of "drop nodes with
+    // degree < 4" on the co-purchase subgraph — the dense-core filter
+    // link-graph pipelines run before ranking. One degree aggregate +
+    // two keyed semi-restrictions per round; oracle = rounds unrolled.
+    "q250_kcore" -> Q(
+      (s, d) => operators.Graph.kcorePeel(
+        operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey"),
+        k = 4, rounds = 4)
+        .orderBy(col("node")),
+      Some {
+        val steps = (1 to 4).map { i =>
+          s"""k$i AS (SELECT src FROM (
+             |    SELECT src, count(*)::BIGINT AS deg FROM e${i - 1} GROUP BY src)
+             |  WHERE deg >= 4),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH it AS (
+           |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+           |  WHERE l_partkey % 10 = 0),
+           |e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+           |$steps
+           |SELECT src AS node, count(*)::BIGINT AS deg FROM e4
+           |GROUP BY src ORDER BY node""".stripMargin
       }))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s

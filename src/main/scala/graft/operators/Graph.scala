@@ -204,6 +204,38 @@ object Graph {
     * the frontier (|seeds| rows) against degree and adjacency — walk
     * length L costs L frontier-sized joins, never a corpus-sized
     * shuffle. Returns (walk_id, step, node) for steps 0..walkLength. */
+  /** k-core peeling (fixed rounds): repeatedly drop nodes with degree
+    * < k and the edges touching them — the standard "keep the dense
+    * core" filter for web/link graphs (spam and long-tail fringe live
+    * outside the core; Seidman 1983). `edges` must be symmetric
+    * distinct pairs ([[coOccurrenceEdges]] shape), so degree = out-edge
+    * count and the peel is one groupBy + two semi-join restrictions per
+    * round — all keyed on node id, never pairwise. A FIXED round count
+    * keeps the result deterministic and oracle-checkable (each round is
+    * one unrollable aggregate); production fixpoint = loop until a
+    * round removes nothing, same per-round plan. Lineage is truncated
+    * per round (`localCheckpoint`) so the self-referencing plan stays
+    * linear. Returns the surviving (node, deg) after `rounds` rounds. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+    var prevCheckpointed: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      val next = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      if (prevCheckpointed != null)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevCheckpointed)
+      prevCheckpointed = next
+      e = next
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   def randomWalks(
       edges: DataFrame,
       seeds: DataFrame,

@@ -97,6 +97,28 @@ object EventStreams {
         col("window.start").as("bucket_start"),
         col("event_type"), col("n_events"), col("total_value_micros"))
 
+  /** Stream-static enrichment: broadcast-join a (static, small)
+    * dimension table into the stream before the windowed aggregate —
+    * the standard "enrich events with dimensions" shape. Spark re-reads
+    * the static side per micro-batch (so dimension updates are picked
+    * up) and the broadcast keeps the stream side from shuffling for the
+    * join; only the windowed aggregate pays its state-store shuffle.
+    * Inner join: events with no dimension row are dropped (the usual
+    * enrich contract; use the dedup/quality gates for quarantine). */
+  def enrichedWindowedCounts(dim: DataFrame, dimKey: String, dimAttr: String)(
+      events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), "5 minutes"), col(dimAttr))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6))).as("total_value_micros"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col(dimAttr), col("n_events"), col("total_value_micros"))
+
   /** Session-window aggregation (gap-based, built-in session_window). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -792,4 +792,23 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 1L),
       (3L, 0L, 3L), (3L, 1L, 4L)), s"got $got")
   }
+
+  test("kcorePeel: pendant chain peels away over rounds; the core survives intact") {
+    // K4 on 1..4 (every node degree 3) + pendant path 4-5-6. Round 1 of
+    // k=2 drops only 6 (degree 1); round 2 drops 5 (degree fell to 1);
+    // round 3 drops nothing — 4 rounds land on the K4 with degrees 3.
+    // One round alone must NOT have removed 5: fixed rounds are real
+    // iterations, not one degree filter.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = graft.operators.Graph.kcorePeel(sym, k = 2, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"got $got")
+    val oneRound = graft.operators.Graph.kcorePeel(sym, k = 2, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // after one round 5 is still in (its degree was 2 before 6 left)
+    assert(oneRound.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L), s"got $oneRound")
+  }
 }

@@ -323,4 +323,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"hard-negative mining must never be all-pairs:\n$p")
   }
+
+  test("triangle counting and random walks stay on keyed joins (no nested loops)") {
+    for (n <- Seq("q247_triangle_count", "q248_random_walks")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n degenerated to a nested loop:\n$p")
+    }
+  }
 }
