@@ -8096,7 +8096,72 @@ object Queries {
            |$steps
            |SELECT src AS node, count(*)::BIGINT AS deg FROM e4
            |GROUP BY src ORDER BY node""".stripMargin
-      }))
+      }),
+
+    // personalized PageRank: teleport mass lands only on the seed set
+    // (node % 50 == 0, q248's seed rule), ranking the subgraph by
+    // proximity to the seeds — the recommendation/endorsement form.
+    // Same integer-ppm arithmetic and per-round plan as q117; the seed
+    // flag gates initial mass + the teleport term. Oracle: 3 rounds
+    // unrolled with the seed-gated teleport.
+    "q251_personalized_pagerank" -> Q(
+      (s, d) => {
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey")
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(col("node") % 50 === 0)
+        operators.Graph.pagerank(edges, iterations = 3,
+          assumeDistinctEdges = true, personalizeTo = Some(seeds))
+          .orderBy(col("rank_ppm").desc, col("node"))
+          .limit(100)
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (SELECT dst, sum(p // deg)::BIGINT AS s FROM e
+             |  JOIN deg USING (src) JOIN p${i - 1} ON p${i - 1}.node = e.src GROUP BY dst),
+             |p$i AS (SELECT node, is_seed,
+             |    (150000 * is_seed + (850 * coalesce(s, 0)) // 1000)::BIGINT AS p
+             |  FROM nodes LEFT JOIN c$i ON node = dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH it AS (
+           |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+           |  WHERE l_partkey % 10 = 0),
+           |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+           |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+           |nodes AS (SELECT node,
+           |    CASE WHEN node % 50 = 0 THEN 1 ELSE 0 END::BIGINT AS is_seed
+           |  FROM (SELECT DISTINCT src AS node FROM e
+           |    UNION SELECT DISTINCT dst FROM e)),
+           |p0 AS (SELECT node, is_seed, (is_seed * 1000000)::BIGINT AS p FROM nodes),
+           |$rounds
+           |SELECT node, p AS rank_ppm FROM p3
+           |ORDER BY rank_ppm DESC, node LIMIT 100""".stripMargin
+      }),
+
+    // fixed-stride overlapping chunk windows — the standard RAG/
+    // retrieval-corpus chunking step (size 32, stride 24 = 8-token
+    // overlap). Pure per-row expressions, zero shuffle; the last window
+    // per doc may be short; empty docs emit no chunks.
+    "q252_chunk_windows" -> Q(
+      (s, d) => TextAnalysis
+        .chunkWindows(t(s, d, "documents"), "doc_id", "text",
+          size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |      ELSE len(string_split(trim(text), ' ')) END AS n
+             |  FROM documents),
+             |c AS (SELECT doc_id, t, n, unnest(range(1, n + 1, 24)) AS start_tok
+             |  FROM t0 WHERE n >= 1)
+             |SELECT doc_id, ((start_tok - 1) // 24)::BIGINT AS chunk_id,
+             |  start_tok::BIGINT AS start_tok,
+             |  least(32, n - start_tok + 1)::BIGINT AS n_tokens,
+             |  array_to_string(t[start_tok:least(start_tok + 31, n)], ' ') AS chunk_text
+             |FROM c
+             |ORDER BY doc_id, chunk_id""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

@@ -50,6 +50,12 @@ object Graph {
     * preserve physical partitioning (`LogicalRDD` carries it), so the
     * exchange-free join layout below survives the swap — spec-pinned
     * bit-identical ranks either way.
+    *
+    * `personalizeTo = Some(seeds)` (a one-column `node` frame) runs the
+    * personalized variant: teleport mass lands only on the seed set, so
+    * ranks measure proximity/endorsement relative to the seeds (the
+    * recommendation form). Same plan, same integer arithmetic — the
+    * seed flag rides the node list.
     */
   def pagerank(
       edges: DataFrame,
@@ -57,7 +63,8 @@ object Graph {
       dampingNum: Long = 850,
       dampingDen: Long = 1000,
       assumeDistinctEdges: Boolean = false,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      personalizeTo: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && dampingNum >= 0 && dampingNum <= dampingDen)
     require(checkpointEvery >= 0, "checkpointEvery: 0 = off, k > 0 = reliable every k rounds")
     // static structures: durable once if the knob is on (they are read
@@ -83,12 +90,28 @@ object Graph {
     // between O(iters) and O(3·iters) network passes on a 100 TB edge
     // list.
     val withDeg = durable(e.join(deg, "src").repartition(col("src")))
-    val nodes = durable(e.select(col("src").as("node"))
+    // personalized variant (teleport mass lands ONLY on the seed set —
+    // "rank relative to these nodes", the recommendation/endorsement
+    // form): the node list carries a 0/1 seed flag that gates both the
+    // initial mass and the per-round teleport term. The default is
+    // every node seeded (is_seed = 1), which reduces to standard
+    // PageRank term-for-term. Ranks are unnormalized ppm (each seed
+    // gets the full teleport constant) — proportional to the
+    // probability form, and exactly integer-reproducible.
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .repartition(col("node")))
+    val nodes = durable((personalizeTo match {
+      case Some(sd) =>
+        nodes0.join(
+            sd.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      case None => nodes0.withColumn("is_seed", lit(1L))
+    }).repartition(col("node")))
     val teleport = (1000000L * (dampingDen - dampingNum)) / dampingDen
-    var ranks = nodes.withColumn("p", lit(1000000L))
+    var ranks = nodes.select(
+      col("node"), (col("is_seed") * lit(1000000L)).as("p"))
     for (iter <- 1 to iterations) {
       val prev = ranks
       val contrib = withDeg
@@ -100,7 +123,7 @@ object Graph {
         .select(
           col("node"),
           // `div`, not `/`: Column./ on longs is double division in Spark
-          expr(s"$teleport + ($dampingNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampingDen")
+          expr(s"($teleport * is_seed) + ($dampingNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampingDen")
             .as("p"))
       // every k-th round's ranks go to durable storage (restart point);
       // in-between rounds keep the cheap executor-local truncation

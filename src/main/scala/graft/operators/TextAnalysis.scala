@@ -972,6 +972,41 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // Fixed-stride overlapping chunk windows (RAG prep)
+  // -------------------------------------------------------------------
+
+  /** Split each document into fixed-size overlapping token windows —
+    * the standard retrieval-corpus chunking step (chunk k starts at
+    * token 1 + k·stride; the last window may be short; stride < size
+    * gives the overlap that keeps answers from straddling a boundary).
+    * Pure per-row expressions (split / sequence / slice / array_join):
+    * rides the scan, zero shuffle, output linear at size/stride × corpus.
+    * Docs with no tokens emit no chunks. Returns (doc_id, chunk_id,
+    * start_tok, n_tokens, chunk_text). */
+  def chunkWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size (stride > size would drop tokens)")
+    val toks = split(trim(col(textCol)), " ")
+    val n = when(trim(col(textCol)) === "", lit(0)).otherwise(org.apache.spark.sql.functions.size(toks))
+    df.select(col(idCol).as("doc_id"), toks.as("t"), n.as("n"))
+      .filter(col("n") >= 1)
+      .select(
+        col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(size), col("n") - col("col") + 1).cast("long").as("n_tokens"),
+        array_join(slice(col("t"), col("col"), lit(size)), " ").as("chunk_text"))
+  }
+
+  // -------------------------------------------------------------------
   // Source-distribution drift audit
   // -------------------------------------------------------------------
 

@@ -811,4 +811,44 @@ class OperatorsSpec extends AnyFunSuite {
     // after one round 5 is still in (its degree was 2 before 6 left)
     assert(oneRound.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L), s"got $oneRound")
   }
+
+  test("personalized pagerank: all-nodes seed = standard; unreachable components zero") {
+    // two disjoint triangles {1,2,3} and {10,11,12}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val std = graft.operators.Graph.pagerank(sym, iterations = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val allSeeds = sym.select($"src".as("node")).distinct()
+    val seededAll = graft.operators.Graph
+      .pagerank(sym, iterations = 3, personalizeTo = Some(allSeeds))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(std == seededAll, "all-nodes personalization must equal standard PageRank")
+    // seeds only in the first triangle: the second component gets ZERO
+    // mass (no teleport, no inflow), the first keeps its standard ranks
+    val got = graft.operators.Graph
+      .pagerank(sym, iterations = 3,
+        personalizeTo = Some(Seq(1L, 2L, 3L).toDF("node")))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got.filter(_._1 >= 10L).forall(_._2 == 0L), s"got $got")
+    assert(got.filter(_._1 <= 3L) == std.filter(_._1 <= 3L), s"got $got")
+  }
+
+  test("chunkWindows: overlap, short tail, empty docs") {
+    val d1 = (1 to 40).map("t" + _).mkString(" ") // starts 1, 25
+    val d2 = (1 to 10).map("u" + _).mkString(" ") // one short chunk
+    val docs = Seq((1L, d1), (2L, d2), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", "text", size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      (1L, 0L, 1L, 32L), (1L, 1L, 25L, 16L), (2L, 0L, 1L, 10L)), s"got $got")
+    assert(got(0)._5 == (1 to 32).map("t" + _).mkString(" "))
+    assert(got(1)._5 == (25 to 40).map("t" + _).mkString(" "))
+    assert(got(2)._5 == d2)
+    // stride == size: exact partition, no overlap
+    val flat = TextAnalysis.chunkWindows(docs, "doc_id", "text", size = 20, stride = 20)
+      .filter($"doc_id" === 1L).orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(flat.map(r => (r._2, r._3, r._4)) == Seq((0L, 1L, 20L), (1L, 21L, 20L)), s"got $flat")
+  }
 }
