@@ -203,4 +203,104 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: wordpiece pointer-doubling == sequential greedy reference") {
+    // The distributed encode (vocab derivation + log-round walk) must
+    // equal a direct per-word sequential greedy scan with the same
+    // vocab rule — random small-alphabet corpora stress gram ties (the
+    // freq-desc, gram-asc cut) and the doubling depth
+    def refCounts(ws: Seq[String], maxGram: Int, topK: Int): Map[String, Long] = {
+      val freq = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val gramFreq = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- freq; n <- 2 to maxGram; i <- 0 to w.length - n) {
+        val g = w.substring(i, i + n)
+        gramFreq(g) = gramFreq.getOrElse(g, 0L) + f
+      }
+      val top = gramFreq.toSeq.sortBy { case (g, c) => (-c, g) }.take(topK).map(_._1)
+      val vocab = top.toSet ++ freq.keys.flatMap(_.map(_.toString))
+      freq.keys.map { w =>
+        var pos = 0; var tok = 0L
+        while (pos < w.length) {
+          val len = (math.min(maxGram, w.length - pos) to 1 by -1)
+            .find(n => vocab.contains(w.substring(pos, pos + n))).get
+          pos += len; tok += 1
+        }
+        w -> tok
+      }.toMap
+    }
+    val wordGen = for {
+      len <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val corpusGen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, wordGen)
+      topK <- Gen.oneOf(1, 3, 200)
+    } yield (ws, topK)
+    cases(corpusGen, 6).foreach { case (ws, topK) =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis
+        .wordpieceEncodeStats(docs, "doc_id", "text", maxGram = 4, topK = topK)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect()
+      val ref = refCounts(ws, 4, topK)
+      ws.zipWithIndex.foreach { case (w, i) =>
+        assert(got(i)._4 == ref(w),
+          s"word '$w' topK=$topK: got ${got(i)._4} want ${ref(w)} (corpus $ws)")
+      }
+    }
+  }
+
+  test("property: chunkWindows with stride == size partitions the token stream exactly") {
+    val docGen = for {
+      n <- Gen.choose(0, 90)
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "yy", "zzz"))
+    } yield toks
+    cases(Gen.listOfN(4, docGen), 6).foreach { docsToks =>
+      val docs = docsToks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val chunks = graft.operators.TextAnalysis
+        .chunkWindows(docs, "doc_id", "text", size = 32, stride = 32)
+        .orderBy("doc_id", "chunk_id")
+        .as[(Long, Long, Long, Long, String)].collect()
+      docsToks.zipWithIndex.foreach { case (toks, i) =>
+        val mine = chunks.filter(_._1 == i.toLong)
+        assert(mine.map(_._4).sum == toks.length, s"doc $i token count")
+        val rebuilt = mine.map(_._5).mkString(" ")
+        assert(rebuilt == toks.mkString(" "), s"doc $i reassembly")
+      }
+    }
+  }
+
+  test("property: sourceDrift tv_num equals the direct full-grid computation") {
+    val srcGen = for {
+      n <- Gen.choose(1, 15)
+      toks <- Gen.listOfN(n, Gen.oneOf("p", "q", "r", "s"))
+    } yield toks
+    cases(Gen.listOfN(3, srcGen), 6).foreach { perSource =>
+      val docs = perSource.zipWithIndex
+        .map { case (t, i) => (s"src$i", t.mkString(" ")) }
+        .toDF("source", "text")
+      val got = graft.operators.TextAnalysis.sourceDrift(docs, "source", "text")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Double, String, Long)].collect()
+      // reference: the literal Σ_w |f_sw·T − f_w·t_s| over ALL words
+      val corpus = perSource.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bigT = perSource.map(_.size.toLong).sum
+      perSource.zipWithIndex.foreach { case (toks, i) =>
+        val fs = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ts = toks.size.toLong
+        // .toSeq: mapping over the key SET would collapse equal scores
+        val num = corpus.keys.toSeq.map { w =>
+          math.abs(fs.getOrElse(w, 0L) * bigT - corpus(w) * ts)
+        }.sum
+        val row = got.find(_._1 == s"src$i").get
+        assert(row._4 == num,
+          s"src$i tv_num: got ${row._4} want $num (sources $perSource)")
+        assert(row._5 >= 0.0 && row._5 <= 1.0, s"src$i tv out of range: ${row._5}")
+      }
+    }
+  }
 }
