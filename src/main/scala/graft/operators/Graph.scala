@@ -235,8 +235,8 @@ object Graph {
     * count and the peel is one groupBy + two semi-join restrictions per
     * round — all keyed on node id, never pairwise. A FIXED round count
     * keeps the result deterministic and oracle-checkable (each round is
-    * one unrollable aggregate); production fixpoint = loop until a
-    * round removes nothing, same per-round plan. Lineage is truncated
+    * one unrollable aggregate); [[kcore]] is the fixpoint production
+    * form, spec-pinned equal on converged inputs. Lineage is truncated
     * per round (`localCheckpoint`) so the self-referencing plan stays
     * linear. Returns the surviving (node, deg) after `rounds` rounds. */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
@@ -254,6 +254,41 @@ object Graph {
         org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prevCheckpointed)
       prevCheckpointed = next
       e = next
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
+  /** Fixpoint k-core: [[kcorePeel]]'s production form — peel until a
+    * round removes nothing. A node in the edge list always has ≥ 1
+    * edge, so "no node removed" ⟺ "edge count unchanged", and the
+    * count rides each round's own materialization via `Observation` —
+    * no extra comparison job per round (the CC resolver's convergence
+    * pattern). Not oracle-unrollable (round count is data-dependent),
+    * which is why the catalog entry pins the fixed-round form; the spec
+    * pins this one equal to a deep fixed-round peel. */
+  def kcore(edges: DataFrame, k: Int, maxIterations: Int = 50): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var prevEdges = e.count()
+    var converged = prevEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"kcore_${k}_round_${iter}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val next = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("dst"))
+        .observe(obs, count(lit(1)).as("n_edges"))
+        .localCheckpoint()
+      val n = obs.get("n_edges").asInstanceOf[Long]
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(e)
+      e = next
+      converged = n == prevEdges
+      prevEdges = n
+      iter += 1
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

@@ -810,6 +810,15 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     // after one round 5 is still in (its degree was 2 before 6 left)
     assert(oneRound.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L), s"got $oneRound")
+    // fixpoint form: equals a deep fixed-round peel, converges on its own
+    val fix = graft.operators.Graph.kcore(sym, k = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(fix == got, s"fixpoint $fix != deep peel $got")
+    // a path's 2-core is EMPTY, and peeling must walk in from the ends
+    // (diameter-many rounds) to find that out
+    val pathPairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val path = (pathPairs ++ pathPairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    assert(graft.operators.Graph.kcore(path, k = 2).count() == 0L)
   }
 
   test("personalized pagerank: all-nodes seed = standard; unreachable components zero") {
