@@ -8161,7 +8161,119 @@ object Queries {
              |  least(32, n - start_tok + 1)::BIGINT AS n_tokens,
              |  array_to_string(t[start_tok:least(start_tok + 31, n)], ' ') AS chunk_text
              |FROM c
-             |ORDER BY doc_id, chunk_id""".stripMargin)))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // DSIR importance weighting (Xie et al. 2023): per-doc log-likelihood
+    // ratio of a target hashed-ngram model (lang='en' docs) vs the raw
+    // corpus model. The per-bucket log-ratio is floored to integer
+    // micro-nats ONCE on the 1024-row bucket table (a single ln of one
+    // exact-integer ratio), so each document's score is an exact integer
+    // sum — order-immune, hash-oracle-safe. Scale: the bucket model is
+    // 1024 rows (broadcast by construction); the corpus pays one explode
+    // + map-side combine and one natural per-doc aggregate.
+    "q253_dsir_importance" -> Q(
+      (s, d) => TextAnalysis.dsirWeights(
+          t(s, d, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", buckets = 1024)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             |    string_split(trim(text), ' ') AS t FROM documents),
+             |feats AS (SELECT doc_id, is_t,
+             |    ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS b
+             |  FROM (SELECT doc_id, is_t,
+             |      unnest(t || [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS f
+             |    FROM toks)),
+             |counts AS (SELECT b, sum(is_t)::BIGINT AS ct, count(*)::BIGINT AS cr
+             |  FROM feats GROUP BY b),
+             |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM counts),
+             |ratio AS (SELECT b, floor(1e6 * ln(
+             |    ((ct + 1) * (tr + 1024))::DOUBLE
+             |      / ((cr + 1) * (tt + 1024))::DOUBLE))::BIGINT AS lr_micro
+             |  FROM counts, tot)
+             |SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+             |  sum(r.lr_micro)::BIGINT AS score_micro
+             |FROM feats f JOIN ratio r USING (b)
+             |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // engine-portable HyperLogLog registers (p=6) over the corpus
+    // 3-token shingle stream (~16k distinct at sf0.01 — a cardinality
+    // the 64-register sketch actually has to estimate): bucket = top 6
+    // hash bits, rho from bin()-string length — integers only, so the
+    // REGISTER TABLE itself is hash-oracled (the float estimate is
+    // derived from it in PipelineOpsSpec and checked against exact
+    // distinct within the sketch's error bound). Scale: one scan,
+    // map-side max-combine into <=64 groups, mergeable across any
+    // partitioning of a 100 TB corpus.
+    "q254_hll_registers" -> Q(
+      (s, d) => TextAnalysis.hllRegisters(
+          t(s, d, "documents")
+            .select(explode(F.wordShingles(col("text"), 3)).as("tok")),
+          col("tok"), p = 6)
+        .orderBy(col("bucket")),
+      Some("""WITH h AS (SELECT ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM (
+             |    SELECT unnest(CASE WHEN len(t) >= 3
+             |        THEN list_distinct([array_to_string(t[i:i+2], ' ')
+             |               for i in range(1, len(t) - 1)])
+             |        ELSE []::VARCHAR[] END) AS tok
+             |    FROM (SELECT string_split(trim(text), ' ') AS t FROM documents))),
+             |r AS (SELECT h >> 54 AS bucket,
+             |    CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+             |      ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+             |  FROM h)
+             |SELECT bucket::BIGINT AS bucket, max(rho)::BIGINT AS max_rho,
+             |  count(*)::BIGINT AS n_hashed
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // mode-based label propagation (3 synchronous rounds, smallest-label
+    // tie-break) on the q250 co-occurrence graph: community detection —
+    // the label MOST FREQUENT among neighbors wins, vs CC's min-label
+    // flood. All-integer argmax via min-struct on (-count, label); two
+    // shuffles per round. Oracle: rounds unrolled with a row_number
+    // argmax over the same (count desc, label asc) order.
+    "q255_label_propagation" -> Q(
+      (s, d) => operators.Graph.labelPropagation(
+          operators.Graph.coOccurrenceEdges(
+            t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+            "l_orderkey", "l_partkey"),
+          rounds = 3)
+        .orderBy(col("node")),
+      Some {
+        val steps = (1 to 3).map { i =>
+          s"""l$i AS (SELECT node, label FROM (
+             |  SELECT node, label,
+             |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM (SELECT e.dst AS node, l.label AS label, count(*) AS c
+             |        FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2))
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH it AS (
+           |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+           |  WHERE l_partkey % 10 = 0),
+           |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |$steps
+           |SELECT node::BIGINT AS node, label::BIGINT AS label FROM l3
+           |ORDER BY node""".stripMargin
+      }),
+
+    // Efraimidis-Spirakis weighted sampling without replacement: the 50
+    // documents winning the deterministic exponential race keyed by
+    // -ln(u)/n_chars (u from hash64), i.e. a length-weighted subset
+    // draw. Key surfaces as integer nanos + id tie-break; Spark plans
+    // TakeOrderedAndProject (per-partition top-k, no corpus shuffle).
+    "q256_weighted_sample" -> Q(
+      (s, d) => Sampling.weightedSample(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 50)
+        .orderBy(col("es_key_nano"), col("doc_id")),
+      Some("""SELECT doc_id, n_chars,
+             |  floor(-ln((('0x'||substr(md5('es:'||doc_id::VARCHAR),1,15))::BIGINT + 1)::DOUBLE
+             |      / 1152921504606846976.0)
+             |    / n_chars::DOUBLE * 1e9)::BIGINT AS es_key_nano
+             |FROM documents
+             |ORDER BY es_key_nano, doc_id LIMIT 50""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

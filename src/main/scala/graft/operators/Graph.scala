@@ -321,4 +321,36 @@ object Graph {
     }
     out
   }
+
+  /** Synchronous label-propagation community detection (Raghavan/Albert/
+    * Kumara, Phys. Rev. E 2007), determinized: every node starts labeled
+    * with its own id; each round it adopts the label MOST FREQUENT among
+    * its neighbors, ties broken toward the smallest label. A fixed round
+    * count (not convergence) keeps the computation a straight-line plan
+    * an oracle can unroll; the mode update (vs min-label, which is just
+    * the naive connected-components step [[Dedup.resolveDuplicateGroups]]
+    * already owns) is what makes this COMMUNITY detection — dense
+    * regions lock onto one label while sparse bridges don't flood.
+    *
+    * `edges` must be distinct symmetric (src, dst) pairs. The argmax is
+    * a min-struct over (-count, label) — one expression, no window, so
+    * each round is exactly two shuffles: the rank-table join keyed on
+    * src and the (node, label) count keyed on dst. All-integer, so the
+    * result is engine-bit-identical. Rounds are O(1) count; lineage
+    * stays linear in `rounds` (callers running deep propagation should
+    * localCheckpoint between rounds as [[pagerank]] does). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("negc"), col("label").as("l"))).as("t"))
+        .select(col("node"), col("t.l").as("label"))
+    }
+    labels
+  }
 }

@@ -237,4 +237,35 @@ object Sampling {
       .withColumn("rk", row_number().over(wGlobal).cast("bigint"))
       .filter(col("rk") <= cap)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, IPL 2006 "exponential race"): each row gets the key
+    * `-ln(u)/w` with u uniform in (0,1] derived from hash64(salt:id) —
+    * the k smallest keys are a weight-proportional sample, the pipeline
+    * step that draws a token-budget subset biased toward high-quality /
+    * long documents. Hash-derived u keeps the draw reproducible across
+    * re-runs, retries and engines (and oracle-checkable, unlike rand()).
+    *
+    * The key surfaces as integer nanos (`floor(1e9·key)`) with the id as
+    * tie-break, so the selection order is integer-deterministic; u is an
+    * exact double (a 60-bit integer over 2^60) and ln is the single
+    * float op, making a flipped floor a ≲1e-10 coincidence per row.
+    *
+    * Scale shape: a pure per-row projection followed by sort-limit —
+    * Spark plans TakeOrderedAndProject (per-partition top-k, then a
+    * k-row merge on the driver), NOT a full sort: one scan, no shuffle
+    * of the corpus, k rows of driver memory. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "es"): DataFrame = {
+    val u = (hash64(concat(lit(salt + ":"), col(idCol).cast("string"))) + 1)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    df.withColumn("es_key_nano",
+        floor(-log(u) / col(weightCol).cast("double") * lit(1e9)))
+      .orderBy(col("es_key_nano"), col(idCol))
+      .limit(k)
+  }
 }

@@ -1072,4 +1072,110 @@ object TextAnalysis {
         col("top.w").as("top_word"),
         (-col("top.negDiff")).as("top_diff"))
   }
+
+  /** DSIR-style importance weights: score every document by how much its
+    * hashed n-gram distribution resembles a target subset of the corpus
+    * versus the raw corpus (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023 — the standard
+    * pretraining-mix curation step: fit two bag-of-hashed-ngrams models,
+    * weight each doc by its log-likelihood ratio, resample by weight).
+    *
+    * Features are unigrams + adjacent bigrams hashed into `buckets`
+    * buckets; both models are add-1-smoothed multinomials over buckets.
+    * The per-bucket log-ratio is computed ONCE on the bucket table as
+    * `floor(1e6 · ln((ct+1)(Tr+B) / ((cr+1)(Tt+B))))` — a single ln of
+    * one exact-integer ratio (all operands < 2^53, so the double quotient
+    * is identical in every engine), floored to integer micro-nats — and a
+    * document's score is then an exact integer sum of those micro-nats,
+    * immune to summation order. That is what keeps an information-
+    * theoretic score hash-oracle-checkable.
+    *
+    * Scale shape: one pass over the corpus explodes features (map-side,
+    * no shuffle), the bucket model is a `buckets`-group aggregate with
+    * map-side combine (output B rows — broadcastable by construction),
+    * and the per-doc score is a broadcast join + groupBy(doc_id). No
+    * corpus-sized shuffle beyond the natural per-doc aggregate; the two
+    * passes over the feature explode trade recompute for not
+    * materializing a corpus-sized intermediate. */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int = 1024): DataFrame = {
+    val b = buckets.toLong
+    val t = tokens(col(textCol))
+    // zip_with pads the shorter side with null and concat propagates it,
+    // so filtering nulls leaves exactly the len-1 adjacent bigrams
+    val bigrams = filter(
+      zip_with(t, slice(t, lit(2), size(t)), (x, y) => concat(x, lit(" "), y)),
+      x => x.isNotNull)
+    val feats = df.select(
+        col(idCol).as("doc_id"),
+        when(targetPred, 1L).otherwise(0L).as("is_t"),
+        explode(concat(t, bigrams)).as("f"))
+      .withColumn("b", pmod(hash64(col("f")), lit(b)))
+    val counts = feats.groupBy(col("b")).agg(
+      sum(col("is_t")).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val ratio = counts.crossJoin(broadcast(tot)).select(
+      col("b"),
+      floor(lit(1e6) * log(
+        ((col("ct") + 1) * (col("tr") + b)).cast("double") /
+          ((col("cr") + 1) * (col("tt") + b)).cast("double")))
+        .as("lr_micro"))
+    feats.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("lr_micro")).as("score_micro"))
+  }
+
+  /** Engine-portable HyperLogLog registers (Flajolet et al., AofA 2007):
+    * the mergeable distinct-count sketch, built from the md5-derived
+    * 60-bit [[graft.functions.Functions.hash64]] so every engine computes
+    * bit-identical registers. Bucket = top `p` hash bits; rho = leading-
+    * zero count of the remaining `60-p` bits + 1, derived from the BINARY
+    * STRING length (`bin()`, identical unpadded semantics in Spark and
+    * DuckDB) rather than float log2 — no float anywhere, so the register
+    * table itself sits under the hash gate. Buckets no value hashed into
+    * are absent (estimators treat them as 0).
+    *
+    * Scale shape: THE sketch for 100 TB distinct counts — a single scan,
+    * map-side max-combine into ≤2^p groups, a 2^p-row result that merges
+    * across partitions/days/tables by pairwise register max. Duplicate
+    * values hash identically, so the aggregate is insensitive to row
+    * count, only to distinct count. */
+  def hllRegisters(df: DataFrame, value: Column, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val width = 60 - p
+    val h = hash64(value)
+    val rest = h.bitwiseAND(lit((1L << width) - 1))
+    val rho = when(rest === 0, lit(width + 1).cast("long"))
+      .otherwise(lit(width + 1).cast("long") - length(bin(rest)).cast("long"))
+    df.select(shiftright(h, width).as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_hashed"))
+  }
+
+  /** Cardinality estimate from a [[hllRegisters]] table: harmonic-mean
+    * raw estimate with the standard small-range linear-counting
+    * correction. Driver-side by design — the input is ≤2^p rows (the
+    * whole point of the sketch); expected error ≈ 1.04/√(2^p). */
+  def hllEstimate(registers: DataFrame, p: Int): Double = {
+    val m = 1 << p
+    val regs = registers.select(col("bucket"), col("max_rho")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val sum = (0 until m).map(j => math.pow(2.0, -regs.getOrElse(j, 0))).sum
+    val raw = alpha * m * m / sum
+    val zeros = (0 until m).count(j => regs.getOrElse(j, 0) == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
 }
