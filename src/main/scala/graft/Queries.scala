@@ -8273,7 +8273,89 @@ object Queries {
              |      / 1152921504606846976.0)
              |    / n_chars::DOUBLE * 1e9)::BIGINT AS es_key_nano
              |FROM documents
-             |ORDER BY es_key_nano, doc_id LIMIT 50""".stripMargin)))
+             |ORDER BY es_key_nano, doc_id LIMIT 50""".stripMargin)),
+
+    // per-source HLL register tables (same p=6 sketch as q254, one per
+    // source): count distinct shingles where each shard lives, merge
+    // 64-row summaries anywhere — folding these by per-bucket max is
+    // bit-identical to q254's whole-corpus registers (PipelineOpsSpec).
+    "q257_hll_by_source" -> Q(
+      (s, d) => TextAnalysis.hllRegistersBy(
+          t(s, d, "documents")
+            .select(col("source"),
+              explode(F.wordShingles(col("text"), 3)).as("tok")),
+          "source", col("tok"), p = 6)
+        .orderBy(col("source"), col("bucket")),
+      Some("""WITH h AS (SELECT source,
+             |    ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM (
+             |    SELECT source, unnest(CASE WHEN len(t) >= 3
+             |        THEN list_distinct([array_to_string(t[i:i+2], ' ')
+             |               for i in range(1, len(t) - 1)])
+             |        ELSE []::VARCHAR[] END) AS tok
+             |    FROM (SELECT source, string_split(trim(text), ' ') AS t
+             |          FROM documents))),
+             |r AS (SELECT source, h >> 54 AS bucket,
+             |    CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+             |      ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+             |  FROM h)
+             |SELECT source, bucket::BIGINT AS bucket, max(rho)::BIGINT AS max_rho,
+             |  count(*)::BIGINT AS n_hashed
+             |FROM r GROUP BY source, bucket ORDER BY source, bucket""".stripMargin)),
+
+    // MMR diversified top-5 (λ=0.7) against vec 0's int8-quantized
+    // embedding: integer dot products and cross-multiplied λ keep every
+    // greedy round's score an exact BIGINT. Oracle: the 5 argmax rounds
+    // unrolled, each a LIMIT-1 CTE the next round's redundancy term
+    // cross-joins (1-row sides).
+    "q258_mmr_diversify" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qv = Similarity
+          .quantizeInt8(emb.filter(col("vec_id") === 0), "vec_id", "embedding")
+          .select(col("qvec")).head().getSeq[Long](0)
+        Similarity.mmrSelect(
+            emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            qv, k = 5)
+          .orderBy(col("rank"))
+      },
+      Some {
+        def dotTo(j: Int) =
+          s"list_sum([c.qv[i] * s$j.qv[i] for i in range(1, len(c.qv) + 1)])"
+        val steps = (2 to 5).map { r =>
+          val reds = (1 until r).map(dotTo)
+          val red = if (reds.size == 1) reds.head
+                    else s"greatest(${reds.mkString(", ")})"
+          val froms = (1 until r).map(j => s"s$j").mkString(", ")
+          val excls = (1 until r).map(j => s"c.vec_id <> s$j.vec_id")
+            .mkString(" AND ")
+          s"""c$r AS (SELECT c.vec_id, c.qv, c.rel,
+             |    7 * c.rel - 3 * ($red) AS score
+             |  FROM rel c, $froms WHERE $excls),
+             |s$r AS (SELECT vec_id, qv, rel, score FROM c$r
+             |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |m0 AS (SELECT vec_id, e,
+           |    list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+           |qz AS (SELECT vec_id,
+           |    CASE WHEN m = 0 THEN list_transform(e, x -> 0::BIGINT)
+           |    ELSE list_transform(e, x ->
+           |      floor(x * 127.0::DOUBLE / m + 0.5::DOUBLE)::BIGINT)
+           |    END AS qv
+           |  FROM m0),
+           |qarr AS (SELECT qv AS q FROM qz WHERE vec_id = 0),
+           |rel AS (SELECT c.vec_id, c.qv,
+           |    list_sum([c.qv[i] * qarr.q[i] for i in range(1, len(c.qv) + 1)]) AS rel
+           |  FROM qz c, qarr WHERE c.vec_id <> 0),
+           |c1 AS (SELECT vec_id, qv, rel, 7 * rel AS score FROM rel),
+           |s1 AS (SELECT vec_id, qv, rel, score FROM c1
+           |  ORDER BY score DESC, vec_id LIMIT 1),
+           |$steps
+           |${(1 to 5).map(r =>
+              s"SELECT $r::BIGINT AS rank, vec_id, rel::BIGINT AS rel_dot, score::BIGINT AS score FROM s$r")
+              .mkString("\n UNION ALL ")}
+           |ORDER BY rank""".stripMargin
+      }))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

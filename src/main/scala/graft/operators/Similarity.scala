@@ -686,4 +686,68 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick k results balancing relevance to the query
+    * against redundancy with what's already picked —
+    * `score = λ·rel(v) − (1−λ)·max_{s∈S} sim(v, s)` — the diversified
+    * retrieval step RAG pipelines run after ANN so the context window
+    * isn't k near-copies of the best hit.
+    *
+    * Determinized for the hash gate: vectors are [[quantizeInt8]]
+    * integers, similarity is the raw integer dot product, and λ is the
+    * rational lamNum/lamDen applied as cross-multiplied integers
+    * (`lamNum·rel − (lamDen−lamNum)·maxSim`) — every score is an exact
+    * BIGINT, ties broken by id.
+    *
+    * Scale shape: greedy MMR is inherently k sequential argmax rounds;
+    * each round here is ONE distributed scan-and-TakeOrdered over the
+    * corpus with the ≤k selected vectors inlined as literals (no join,
+    * no corpus shuffle, k·dim longs of driver state). That is the honest
+    * distributed cost of exact MMR — k passes — and the reason it runs
+    * AFTER a top-N ANN cut in practice, not instead of one. */
+  def mmrSelect(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Long],
+      k: Int,
+      lamNum: Int = 7,
+      lamDen: Int = 10): DataFrame = {
+    require(lamNum > 0 && lamNum < lamDen, s"need 0 < lamNum < lamDen")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val qLit = array(queryVec.map(lit): _*)
+    val scored = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id"), col("qvec"))
+      .withColumn("rel", dot(col("qvec"), qLit))
+      .persist()
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Long], Long, Long)]
+    for (_ <- 1 to k) {
+      val red = selected.toSeq.map { case (_, sv, _, _) =>
+        dot(col("qvec"), array(sv.map(lit): _*))
+      } match {
+        case Seq()  => lit(0L)
+        case Seq(d) => d
+        case ds     => greatest(ds: _*)
+      }
+      val pick = scored
+        .filter(!col("vec_id").isInCollection(selected.map(_._1) :+ -1L))
+        .withColumn("score",
+          lit(lamNum.toLong) * col("rel") - lit((lamDen - lamNum).toLong) * red)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("qvec"), col("rel"), col("score"))
+        .head()
+      selected += ((pick.getLong(0), pick.getSeq[Long](1),
+        pick.getLong(2), pick.getLong(3)))
+    }
+    scored.unpersist()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex.map { case ((id, _, rel, sc), i) =>
+      ((i + 1).toLong, id, rel, sc)
+    }.toDF("rank", "vec_id", "rel_dot", "score")
+  }
 }

@@ -1148,15 +1148,37 @@ object TextAnalysis {
     * values hash identically, so the aggregate is insensitive to row
     * count, only to distinct count. */
   def hllRegisters(df: DataFrame, value: Column, p: Int = 6): DataFrame = {
+    val (bucket, rho) = hllBucketRho(value, p)
+    df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_hashed"))
+  }
+
+  /** Per-group [[hllRegisters]]: one register table per `groupCol` value
+    * (distinct count per source/partition/day). The register tables
+    * merge by per-bucket max — folding this output over all groups is
+    * bit-identical to the whole-corpus [[hllRegisters]] (pinned in
+    * PipelineOpsSpec), which is the sketch's 100 TB contract: count each
+    * shard where it lives, combine 2^p-row summaries anywhere. */
+  def hllRegistersBy(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      p: Int = 6): DataFrame = {
+    val (bucket, rho) = hllBucketRho(value, p)
+    df.select(col(groupCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_hashed"))
+  }
+
+  private def hllBucketRho(value: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val width = 60 - p
     val h = hash64(value)
     val rest = h.bitwiseAND(lit((1L << width) - 1))
     val rho = when(rest === 0, lit(width + 1).cast("long"))
       .otherwise(lit(width + 1).cast("long") - length(bin(rest)).cast("long"))
-    df.select(shiftright(h, width).as("bucket"), rho.as("rho"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_hashed"))
+    (shiftright(h, width), rho)
   }
 
   /** Cardinality estimate from a [[hllRegisters]] table: harmonic-mean

@@ -137,6 +137,83 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("hllRegistersBy folded by per-bucket max == whole-corpus registers") {
+    val docs = core.Engine.table(spark, sf, "documents")
+      .select($"source", org.apache.spark.sql.functions.explode(
+        F.wordShingles(org.apache.spark.sql.functions.col("text"), 3)).as("g"))
+    val whole = TextAnalysis.hllRegisters(docs, $"g", p = 6)
+      .select($"bucket", $"max_rho").as[(Long, Long)].collect().toMap
+    val bySource = TextAnalysis.hllRegistersBy(docs, "source", $"g", p = 6)
+      .select($"bucket", $"max_rho").as[(Long, Long)].collect()
+    val folded = bySource.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(folded == whole)
+  }
+
+  // ----- MMR -----------------------------------------------------------
+
+  /** Sequential greedy MMR with the same integer arithmetic. */
+  private def refMmr(
+      vecs: Seq[(Long, Seq[Long])],
+      q: Seq[Long],
+      k: Int): Seq[(Long, Long, Long)] = {
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val rel = vecs.map { case (id, v) => (id, v, dot(v, q)) }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], Long, Long)]
+    for (_ <- 1 to k) {
+      val cand = rel.filterNot(c => sel.exists(_._1 == c._1)).map { case (id, v, r) =>
+        val red = if (sel.isEmpty) 0L else sel.map(s => dot(v, s._2)).max
+        (id, v, r, 7 * r - 3 * red)
+      }
+      sel += cand.minBy(c => (-c._4, c._1))
+    }
+    sel.toSeq.map(s => (s._1, s._3, s._4))
+  }
+
+  test("property: mmrSelect == sequential greedy MMR (pre-quantized ints)") {
+    // feed already-integer vectors: quantizeInt8 maps an int vector with
+    // maxAbs 127 to itself, so the distributed and sequential sides see
+    // identical integer inputs
+    val vecGen = Gen.listOfN(4, Gen.choose(-127L, 127L))
+      .map(v => if (v.exists(x => math.abs(x) == 127)) v else 127L +: v.tail)
+    val setGen = for {
+      n <- Gen.choose(4, 9)
+      vs <- Gen.listOfN(n, vecGen)
+      q <- vecGen
+    } yield (vs, q)
+    cases(setGen, 5).foreach { case (vs, q) =>
+      val ids = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toDouble.toFloat)) }
+      val df = ids.toDF("vec_id", "embedding")
+      val got = operators.Similarity
+        .mmrSelect(df, "vec_id", "embedding", q, k = 3)
+        .select($"vec_id", $"rel_dot", $"score").as[(Long, Long, Long)]
+        .collect().toSeq
+      val ref = refMmr(vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, q, 3)
+      assert(got == ref, s"vecs $vs query $q")
+    }
+  }
+
+  test("mmrSelect diversifies: the redundant clone loses round 2 to the complement") {
+    // query at 45° between axes e1 and e2; corpus: three e1 clones plus
+    // e2 and e3. All of {0,1,2,3} tie on relevance (16129), so pure
+    // top-3-by-(rel, id) would return the clones {0,1,2}. Hand trace of
+    // MMR at λ=0.7 (integer scores, 7·rel − 3·maxRed):
+    //   r1: all four tie at 7·16129 → smallest id, pick 0
+    //   r2: clones red=16129 → 4·16129=64516; id 3 red=0 → 7·16129 → pick 3
+    //   r3: clones 64516; id 4 rel=0 → 0 → pick clone 1
+    val q = Seq(127L, 127L, 0L, 0L)
+    val corpus = Seq(
+      (0L, Seq(127L, 0L, 0L, 0L)),
+      (1L, Seq(127L, 0L, 0L, 0L)),
+      (2L, Seq(127L, 0L, 0L, 0L)),
+      (3L, Seq(0L, 127L, 0L, 0L)),
+      (4L, Seq(0L, 0L, 127L, 0L)))
+    val df = corpus.map { case (id, v) => (id, v.map(_.toDouble.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val picked = operators.Similarity.mmrSelect(df, "vec_id", "embedding", q, k = 3)
+      .select($"rank", $"vec_id").as[(Long, Long)].collect().toSeq
+    assert(picked == Seq((1L, 0L), (2L, 3L), (3L, 1L)), picked.toString)
+  }
+
   // ----- label propagation ---------------------------------------------
 
   /** Sequential synchronous mode-LPA: every node adopts the most frequent
