@@ -8355,7 +8355,45 @@ object Queries {
               s"SELECT $r::BIGINT AS rank, vec_id, rel::BIGINT AS rel_dot, score::BIGINT AS score FROM s$r")
               .mkString("\n UNION ALL ")}
            |ORDER BY rank""".stripMargin
-      }))
+      }),
+
+    // streaming HLL: per-batch registers max-merged into a parquet
+    // store (q97's sketch-store pattern, but idempotent — a replayed
+    // batch cannot change max_rho, so the sketch is correct under
+    // at-least-once delivery, which the linear CMS add is not). The
+    // drained store must equal q254's whole-corpus registers exactly;
+    // the oracle is the same relational statement.
+    "q259_streaming_hll" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_q259_docs")
+        java.nio.file.Files.createDirectories(dir)
+        val link = dir.resolve("docs.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+        // fresh per-run store: n_hashed accumulates (the register maxima
+        // would survive a reuse, but the diagnostics would double)
+        val base = java.nio.file.Files.createTempDirectory("graft_q259").toString
+        val q = graft.streaming.DocStreams.startHll(
+          graft.streaming.DocStreams.readStream(s, dir.toString),
+          s"$base/store", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/store/current").orderBy(col("bucket"))
+      },
+      Some("""WITH h AS (SELECT ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM (
+             |    SELECT unnest(CASE WHEN len(t) >= 3
+             |        THEN list_distinct([array_to_string(t[i:i+2], ' ')
+             |               for i in range(1, len(t) - 1)])
+             |        ELSE []::VARCHAR[] END) AS tok
+             |    FROM (SELECT string_split(trim(text), ' ') AS t FROM documents))),
+             |r AS (SELECT h >> 54 AS bucket,
+             |    CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+             |      ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho
+             |  FROM h)
+             |SELECT bucket::BIGINT AS bucket, max(rho)::BIGINT AS max_rho,
+             |  count(*)::BIGINT AS n_hashed
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

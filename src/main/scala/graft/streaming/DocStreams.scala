@@ -89,4 +89,52 @@ object DocStreams {
     if (fs.exists(p)) fs.delete(p, true)
     fs.rename(next, p)
   }
+
+  /** Streaming HyperLogLog maintenance: each micro-batch's shingle
+    * registers ([[TextAnalysis.hllRegisters]]) are MAX-merged cell-wise
+    * into a parquet store — live distinct counting over an ingest feed
+    * with a ≤2^p-row running summary. Where the Count-Min store relies
+    * on linearity (adds — so a REPLAYED batch double-counts unless
+    * delivery is exactly-once), register max is idempotent and
+    * commutative: replaying or reordering batches cannot change
+    * `max_rho`, so the distinct estimate is exact-sketch-correct under
+    * at-least-once delivery too. (`n_hashed` is additive diagnostics
+    * only and does not share that guarantee.) */
+  def startHll(
+      docs: DataFrame,
+      sketchStoreDir: String,
+      checkpointDir: String,
+      p: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeHllBatch(batch, batchId, sketchStoreDir, p)
+      }
+      .start()
+
+  private[graft] def mergeHllBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sketchStoreDir: String,
+      p: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = TextAnalysis.hllRegisters(
+      batch.select(explode(
+        graft.functions.Functions.wordShingles(col("text"), 3)).as("g")),
+      col("g"), p)
+    val store = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/current")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(store))
+        spark.read.parquet(store.toString).unionByName(delta)
+          .groupBy(col("bucket"))
+          .agg(max(col("max_rho")).as("max_rho"),
+            sum(col("n_hashed")).as("n_hashed"))
+      else delta
+    val next = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/next_$batchId")
+    merged.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(store)) fs.delete(store, true)
+    fs.rename(next, store)
+  }
 }

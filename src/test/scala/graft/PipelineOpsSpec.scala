@@ -149,6 +149,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(folded == whole)
   }
 
+  test("streaming HLL store: split batches + a replay still equal the batch sketch") {
+    val docs = core.Engine.table(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_hll_merge").toString
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    streaming.DocStreams.mergeHllBatch(even, 0L, base, p = 6)
+    streaming.DocStreams.mergeHllBatch(odd, 1L, base, p = 6)
+    // at-least-once delivery: the replayed batch must be a no-op on the
+    // register maxima (the property the scaladoc promises over CMS)
+    streaming.DocStreams.mergeHllBatch(odd, 2L, base, p = 6)
+    val store = spark.read.parquet(s"$base/current")
+      .select($"bucket", $"max_rho").as[(Long, Long)].collect().toMap
+    val whole = TextAnalysis.hllRegisters(
+        docs.select(org.apache.spark.sql.functions.explode(
+          F.wordShingles(org.apache.spark.sql.functions.col("text"), 3)).as("g")),
+        $"g", p = 6)
+      .select($"bucket", $"max_rho").as[(Long, Long)].collect().toMap
+    assert(store == whole)
+  }
+
   // ----- MMR -----------------------------------------------------------
 
   /** Sequential greedy MMR with the same integer arithmetic. */
