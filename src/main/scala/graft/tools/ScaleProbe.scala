@@ -64,7 +64,13 @@ object ScaleProbe {
     "q239_duplicate_spans",
     "q240_remove_dup_spans",
     "q241_bpe_train",
-    "q244_wordpiece_encode")
+    "q244_wordpiece_encode",
+    // round-8 batch 2: DSIR explodes unigrams+bigrams twice (model pass
+    // + scoring pass — the documented recompute-over-materialize trade),
+    // and LPA runs 3 rounds of corpus-keyed join+argmax over the
+    // replica-disjoint co-occurrence graph
+    "q253_dsir_importance",
+    "q255_label_propagation")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -92,7 +98,11 @@ object ScaleProbe {
     "q191_stream_left_outer/q219_stream_full_outer/q237_stream_right_outer" ->
       "fixed micro-batch+state-store overhead dominates at any SF; state watermark-bounded",
     "m33_ctas_2800000_rows" ->
-      "already benched at the reference's full 2.8M-row scale every run")
+      "already benched at the reference's full 2.8M-row scale every run",
+    "q254_hll_registers/q257_hll_by_source/q259_streaming_hll" ->
+      "single scan + map-side max-combine into <=2^p groups; no shuffle or state grows with the corpus — the scan cost is what q253's probed explode already measures",
+    "q256_weighted_sample/q258_mmr_diversify" ->
+      "TakeOrderedAndProject shapes: per-partition top-k, k-row driver merge; no corpus shuffle at any SF")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain
