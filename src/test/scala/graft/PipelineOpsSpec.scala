@@ -60,7 +60,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
       isT <- Gen.oneOf(true, false)
     } yield (toks.mkString(" "), isT)
-    cases(Gen.listOfN(6, docGen), 5).foreach { ds =>
+    cases(Gen.listOfN(6, docGen), 5).foreach { rand =>
+      // adversarial tokenization pinned into every corpus: the empty doc
+      // (one empty token, no bigram) and a double space (empty middle
+      // token) — Spark split, DuckDB string_split, and the reference's
+      // java split(" ", -1) must all see the same token stream
+      val ds = rand ++ Seq(("", true), ("aa  bb", false))
       val docs = ds.zipWithIndex.map { case ((tx, isT), i) =>
         (i.toLong, tx, if (isT) "t" else "r")
       }
