@@ -8393,7 +8393,71 @@ object Queries {
              |  FROM h)
              |SELECT bucket::BIGINT AS bucket, max(rho)::BIGINT AS max_rho,
              |  count(*)::BIGINT AS n_hashed
-             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)))
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // nDCG@5 of the q78 int8-cosine ranking against graded label
+    // relevance (same label = 2, same coarse label group = 1): exact
+    // integer DCG via JVM-inlined micro-unit discounts (the LSH-plane
+    // literal pattern), ideal DCG from each query's own relevant set,
+    // final ratio by integer division — nothing floats between engines.
+    "q260_ndcg_eval" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val ranked = Similarity.quantizedTopK(
+            emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"))
+        val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+        val rel = lab.toDF("n_id", "n_label")
+          .crossJoin(broadcast(lab.toDF("q_id", "q_label").filter(col("q_id") < 10)))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("gain",
+            when(col("n_label") === col("q_label"), 2L)
+              .when(col("n_label") % 5 === col("q_label") % 5, 1L)
+              .otherwise(0L))
+          .filter(col("gain") > 0)
+          .select(col("q_id"), col("n_id"), col("gain"))
+        Similarity.ndcgAtK(ranked, rel, k = 5).orderBy(col("q_id"))
+      },
+      Some {
+        val disc = Similarity.ndcgDiscountsMicro(5).mkString("[", ",", "]")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |m0 AS (SELECT vec_id, e,
+           |    list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+           |qz AS (SELECT vec_id,
+           |    CASE WHEN m = 0 THEN list_transform(e, x -> 0.0::DOUBLE)
+           |    ELSE list_transform(e, x -> floor(x * 127.0::DOUBLE / m + 0.5::DOUBLE))
+           |    END AS qv
+           |  FROM m0),
+           |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |    round(list_cosine_similarity(q.qv, c.qv), 6) AS qcos
+           |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10),
+           |rk AS (SELECT q_id, n_id, rank FROM (
+           |    SELECT q_id, n_id, qcos, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rank FROM sc)
+           |  WHERE rank <= 5),
+           |lab AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+           |rel AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |    CASE WHEN c.label = q.label THEN 2
+           |      WHEN c.label % 5 = q.label % 5 THEN 1 ELSE 0 END::BIGINT AS gain
+           |  FROM lab c, lab q
+           |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+           |    AND (c.label = q.label OR c.label % 5 = q.label % 5)),
+           |dcg AS (SELECT rk.q_id,
+           |    sum(coalesce(rel.gain, 0) * $disc[rk.rank])::BIGINT AS dcg_micro,
+           |    sum(coalesce(rel.gain, 0))::BIGINT AS gain_at_k
+           |  FROM rk LEFT JOIN rel ON rk.q_id = rel.q_id AND rk.n_id = rel.n_id
+           |  GROUP BY rk.q_id),
+           |idcg AS (SELECT q_id,
+           |    sum(gain * $disc[irank])::BIGINT AS idcg_micro
+           |  FROM (SELECT q_id, gain, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY gain DESC, n_id) AS irank FROM rel)
+           |  WHERE irank <= 5 GROUP BY q_id)
+           |SELECT dcg.q_id, dcg.dcg_micro, idcg.idcg_micro, dcg.gain_at_k,
+           |  ((dcg.dcg_micro * 1000000) // idcg.idcg_micro)::BIGINT AS ndcg_ppm
+           |FROM dcg JOIN idcg USING (q_id)
+           |ORDER BY q_id""".stripMargin
+      }))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

@@ -750,4 +750,53 @@ object Similarity {
       ((i + 1).toLong, id, rel, sc)
     }.toDF("rank", "vec_id", "rel_dot", "score")
   }
+
+  /** Rank discounts for [[ndcgAtK]] as integer micro-units:
+    * `floor(1e6 / log2(i+1))` for i = 1..k. Derived once on the JVM and
+    * inlined as literals into both the Spark plan and the oracle SQL —
+    * the same deterministic-constants pattern as the LSH hyperplanes —
+    * so no engine evaluates a float log. */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** nDCG@k of a retrieval ranking against graded relevance (Järvelin &
+    * Kekäläinen, TOIS 2002) — the standard eval after [[recallAtK]]'s
+    * binary hit rate: position-discounted gains, normalized by the best
+    * achievable ordering of each query's relevant set.
+    *
+    * `ranked`: (q_id, rank, n_id) with rank 1..k. `rel`: (q_id, n_id,
+    * gain) — only positive-gain pairs need be present. All arithmetic is
+    * exact: gains are integers, discounts are the inlined micro-unit
+    * literals of [[ndcgDiscountsMicro]], so DCG and ideal-DCG are exact
+    * integer sums and the final ratio is the integer division
+    * `(dcg·1e6) div idcg` — engine-bit-identical. Queries with an empty
+    * relevant set have no defined nDCG and drop via the inner join.
+    *
+    * Scale shape: one keyed left-join of the k·|queries|-row ranking
+    * against the relevance pairs, one window top-k over each query's
+    * relevant set (partitioned by q_id — the only shuffle), two
+    * per-query aggregates. Nothing scales with the corpus beyond the
+    * relevance pair list itself. */
+  def ndcgAtK(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    val disc = ndcgDiscountsMicro(k)
+    def discAt(rank: org.apache.spark.sql.Column) =
+      element_at(array(disc.map(lit): _*), rank.cast("int"))
+    val dcg = ranked
+      .join(rel, Seq("q_id", "n_id"), "left")
+      .withColumn("gain", coalesce(col("gain"), lit(0L)))
+      .groupBy(col("q_id"))
+      .agg(
+        sum(col("gain") * discAt(col("rank"))).as("dcg_micro"),
+        sum(col("gain")).as("gain_at_k"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("gain").desc, col("n_id"))
+    val idcg = rel
+      .withColumn("irank", row_number().over(w))
+      .filter(col("irank") <= k)
+      .groupBy(col("q_id"))
+      .agg(sum(col("gain") * discAt(col("irank"))).as("idcg_micro"))
+    dcg.join(idcg, "q_id")
+      .select(
+        col("q_id"), col("dcg_micro"), col("idcg_micro"), col("gain_at_k"),
+        expr("dcg_micro * 1000000L div idcg_micro").as("ndcg_ppm"))
+  }
 }

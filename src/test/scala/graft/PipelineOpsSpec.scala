@@ -239,6 +239,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picked == Seq((1L, 0L), (2L, 3L), (3L, 1L)), picked.toString)
   }
 
+  // ----- nDCG ----------------------------------------------------------
+
+  test("ndcgAtK: perfect ranking scores exactly 1e6 ppm; known misplacement traced") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rel = Seq((1L, 10L, 2L), (1L, 11L, 1L), (1L, 12L, 1L))
+      .toDF("q_id", "n_id", "gain")
+    // ideal order: gains (2,1,1) at ranks 1..3 — ranking them exactly so
+    // must give ndcg_ppm = 1000000
+    val perfect = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("q_id", "rank", "n_id")
+    val p = operators.Similarity.ndcgAtK(perfect, rel, k = 3).head()
+    assert(p.getAs[Long]("ndcg_ppm") == 1000000L)
+    // put the gain-2 doc last and an irrelevant doc first:
+    // disc = floor(1e6/log2(i+1)) = (1000000, 630929, 500000)
+    // dcg  = 0*1000000 + 1*630929 + 2*500000 = 1630929
+    // idcg = 2*1000000 + 1*630929 + 1*500000 = 3130929
+    val flipped = Seq((1L, 1L, 99L), (1L, 2L, 11L), (1L, 3L, 10L))
+      .toDF("q_id", "rank", "n_id")
+    val f = operators.Similarity.ndcgAtK(flipped, rel, k = 3).head()
+    assert(f.getAs[Long]("dcg_micro") == 1630929L)
+    assert(f.getAs[Long]("idcg_micro") == 3130929L)
+    assert(f.getAs[Long]("ndcg_ppm") == 1630929L * 1000000L / 3130929L)
+    assert(operators.Similarity.ndcgDiscountsMicro(3) ==
+      Seq(1000000L, 630929L, 500000L))
+    // a query with no relevant set has no defined nDCG: dropped
+    val orphan = Seq((7L, 1L, 10L)).toDF("q_id", "rank", "n_id")
+    assert(operators.Similarity.ndcgAtK(orphan, rel.filter(c("q_id") =!= 7L), 3)
+      .count() == 0)
+  }
+
   // ----- label propagation ---------------------------------------------
 
   /** Sequential synchronous mode-LPA: every node adopts the most frequent
