@@ -8457,7 +8457,61 @@ object Queries {
            |  ((dcg.dcg_micro * 1000000) // idcg.idcg_micro)::BIGINT AS ndcg_ppm
            |FROM dcg JOIN idcg USING (q_id)
            |ORDER BY q_id""".stripMargin
-      }))
+      }),
+
+    // record linkage: every part name deterministically corrupted (the
+    // char at hash64(key) % len dropped) and fuzzy-joined back to the
+    // clean name list via the q-gram count filter + exact levenshtein —
+    // the VLDB'01 approximate-string-join blocking shape. The gram
+    // equi-join is the only corpus-sized shuffle; the cross product
+    // never materializes.
+    "q261_fuzzy_join" -> Q(
+      (s, d) => {
+        val parts = t(s, d, "part")
+        val pos = pmod(
+          F.hash64(col("p_partkey").cast("string")),
+          length(col("p_name")).cast("long"))
+        val dirty = parts.select(
+          col("p_partkey").as("d_id"),
+          concat(
+            col("p_name").substr(lit(1), pos.cast("int")),
+            col("p_name").substr((pos + lit(2)).cast("int"), length(col("p_name"))))
+            .as("d_name"))
+        val clean = parts.select(col("p_name")).distinct()
+        operators.FuzzyJoin.qgramEditJoin(
+            dirty, "d_id", "d_name", clean, "p_name", "p_name",
+            q = 3, maxDist = 1)
+          .orderBy(col("l_id"), col("r_id"))
+      },
+      // the oracle states the SEMANTICS — every pair within edit
+      // distance 1 (64 distinct names x 2000 dirty rows is nothing for
+      // DuckDB) with the same padded-distinct-gram overlap count; the
+      // Spark side must reach the identical set through its blocking
+      // plan (no-false-dismissal is property-pinned in PipelineOpsSpec)
+      Some("""WITH base AS (SELECT p_partkey, p_name,
+             |    ('0x'||substr(md5(p_partkey::VARCHAR),1,15))::BIGINT
+             |      % length(p_name) AS pos
+             |  FROM part),
+             |dirty AS (SELECT p_partkey AS d_id,
+             |    substr(p_name, 1, pos) || substr(p_name, pos + 2, length(p_name))
+             |      AS d_name
+             |  FROM base),
+             |clean AS (SELECT DISTINCT p_name FROM part),
+             |lg AS (SELECT d_id, d_name, list_distinct(
+             |    [substr(repeat(chr(1), 2) || d_name || repeat(chr(1), 2), i, 3)
+             |     for i in range(1, length(d_name) + 3)]) AS g
+             |  FROM dirty),
+             |rg AS (SELECT p_name, list_distinct(
+             |    [substr(repeat(chr(1), 2) || p_name || repeat(chr(1), 2), i, 3)
+             |     for i in range(1, length(p_name) + 3)]) AS g
+             |  FROM clean)
+             |SELECT l.d_id AS l_id, l.d_name AS l_str, r.p_name AS r_id,
+             |  r.p_name AS r_str,
+             |  len(list_intersect(l.g, r.g))::BIGINT AS shared,
+             |  levenshtein(l.d_name, r.p_name)::BIGINT AS dist
+             |FROM lg l, rg r
+             |WHERE levenshtein(l.d_name, r.p_name) <= 1
+             |ORDER BY l_id, r_id""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

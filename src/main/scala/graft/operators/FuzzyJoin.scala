@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching / record linkage: edit-distance join without
+  * the cross product (Gravano et al., "Approximate String Joins in a
+  * Database (Almost) for Free", VLDB 2001).
+  *
+  * Strings are padded with q-1 sentinel chars on each side, then cut
+  * into q-grams. One edit operation overlaps at most q padded-gram
+  * occurrences, so at most q distinct gram TYPES vanish per edit —
+  * hence a pair within distance d shares
+  * `|G(a) ∩ G(b)| ≥ max(|G(a)|, |G(b)|) − q·d` grams. Candidates come
+  * from an equi-join on gram + that count filter; only survivors pay the
+  * exact `levenshtein`. Join-based enumeration additionally needs ≥ 1
+  * shared gram; with padded grams |G(s)| = len + q − 1, so a true pair
+  * can share zero grams only when BOTH strings are shorter than
+  * q·d − q + 2 — those residual rows take a length-banded brute branch
+  * instead (still keyed, still no cross product). The union is
+  * property-pinned equal to the direct cross-join filter in
+  * PipelineOpsSpec — the count filter is a pure optimization, no false
+  * dismissals.
+  *
+  * Scale shape: explode grams on both sides, one equi-join keyed on the
+  * gram (the ONLY corpus-sized shuffle — output bounded by true gram
+  * collisions, not |L|·|R|), a pair-keyed count aggregate, the
+  * edit-distance check on filtered candidates. The classic
+  * record-linkage blocking pattern: at 100 TB the cross product is
+  * impossible; gram blocking is linear in input + candidate volume, and
+  * the brute branch only ever carries near-empty strings.
+  */
+object FuzzyJoin {
+
+  /** Sentinel outside normal data alphabets (U+0001). Compared as plain
+    * string content in both engines — no hashing involved. */
+  private val pad = "\u0001"
+
+  /** Distinct q-grams of the sentinel-padded string: len + q − 1 grams,
+    * never empty (an empty string still yields q − 1 boundary grams). */
+  def qgrams(c: Column, q: Int): Column = {
+    val padded = concat(lit(pad * (q - 1)), c, lit(pad * (q - 1)))
+    array_distinct(transform(
+      sequence(lit(1), length(c) + lit(q - 1)),
+      i => padded.substr(i, lit(q))))
+  }
+
+  /** Edit-distance join: all (left, right) pairs with
+    * `levenshtein ≤ maxDist`, via the q-gram count filter plus the
+    * short-string band branch. Output:
+    * (l_id, l_str, r_id, r_str, shared, dist). */
+  def qgramEditJoin(
+      left: DataFrame,
+      leftId: String,
+      leftStr: String,
+      right: DataFrame,
+      rightId: String,
+      rightStr: String,
+      q: Int = 3,
+      maxDist: Int = 1): DataFrame = {
+    require(q >= 2 && maxDist >= 0)
+    val l = left.select(
+      col(leftId).as("l_id"), col(leftStr).as("l_str"),
+      qgrams(col(leftStr), q).as("l_g"))
+      .withColumn("l_ng", size(col("l_g")).cast("long"))
+    val r = right.select(
+      col(rightId).as("r_id"), col(rightStr).as("r_str"),
+      qgrams(col(rightStr), q).as("r_g"))
+      .withColumn("r_ng", size(col("r_g")).cast("long"))
+    val grammed = l
+      .select(col("l_id"), col("l_str"), col("l_ng"), explode(col("l_g")).as("g"))
+      .join(
+        r.select(col("r_id"), col("r_str"), col("r_ng"), explode(col("r_g")).as("g")),
+        "g")
+      .groupBy(
+        col("l_id"), col("l_str"), col("l_ng"),
+        col("r_id"), col("r_str"), col("r_ng"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("l_ng"), col("r_ng")) - lit((q * maxDist).toLong))
+      .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"), col("shared"))
+    // zero-shared-gram escape hatch: both sides shorter than
+    // q·d − q + 2 (with padding, |G| = len + q − 1, and the pair
+    // threshold max(|G|) − q·d drops below 1 only then). Band-joined on
+    // the right length (|len diff| ≤ d for any true pair) — keyed, and
+    // only ever over near-empty strings.
+    val shortCap = q * maxDist - q + 1
+    val brute =
+      if (shortCap < 0) grammed.limit(0)
+      else {
+        val shortL = l.filter(length(col("l_str")) <= shortCap)
+          .select(col("l_id"), col("l_str"), col("l_g"),
+            explode(sequence(
+              greatest(length(col("l_str")) - maxDist, lit(0)),
+              length(col("l_str")) + maxDist)).as("r_len"))
+        shortL
+          .join(
+            r.filter(length(col("r_str")) <= shortCap + maxDist)
+              .withColumn("r_len", length(col("r_str"))),
+            Seq("r_len"))
+          .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"),
+            size(array_intersect(col("l_g"), col("r_g"))).cast("long").as("shared"))
+      }
+    grammed.unionByName(brute)
+      .dropDuplicates("l_id", "r_id")
+      .withColumn("dist", levenshtein(col("l_str"), col("r_str")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(
+        col("l_id"), col("l_str"), col("r_id"), col("r_str"),
+        col("shared"), col("dist"))
+  }
+}

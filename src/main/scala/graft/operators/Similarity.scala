@@ -794,7 +794,9 @@ object Similarity {
       .filter(col("irank") <= k)
       .groupBy(col("q_id"))
       .agg(sum(col("gain") * discAt(col("irank"))).as("idcg_micro"))
-    dcg.join(idcg, "q_id")
+    // both aggregates are |queries|-sized — the ranking side is small by
+    // the operator's contract, so the final join broadcasts, not sorts
+    dcg.join(broadcast(idcg), "q_id")
       .select(
         col("q_id"), col("dcg_micro"), col("idcg_micro"), col("gain_at_k"),
         expr("dcg_micro * 1000000L div idcg_micro").as("ndcg_ppm"))

@@ -239,6 +239,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picked == Seq((1L, 0L), (2L, 3L), (3L, 1L)), picked.toString)
   }
 
+  // ----- fuzzy join ----------------------------------------------------
+
+  test("property: qgramEditJoin == direct cross-join levenshtein (no false dismissals)") {
+    // the q-gram count filter must be a pure optimization: random
+    // small-alphabet strings (heavy gram repeats — the regime where a
+    // distinct-gram bound could in principle over-prune) joined both
+    // ways must produce identical pair sets
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = for {
+      n <- Gen.choose(1, 9)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val setGen = Gen.zip(Gen.listOfN(8, strGen), Gen.listOfN(8, strGen))
+    cases(setGen, 6).foreach { case (ls, rs) =>
+      val l = ls.distinct.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
+        .toDF("id", "s")
+      val r = rs.distinct.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
+        .toDF("id", "s")
+      val got = operators.FuzzyJoin
+        .qgramEditJoin(l, "id", "s", r, "id", "s", q = 3, maxDist = 1)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (a, i) <- ls.distinct.zipWithIndex
+        (b, j) <- rs.distinct.zipWithIndex
+        if lev(a, b) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want, s"left $ls right $rs missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("qgramEditJoin recovers every corrupted part name (sf0.001)") {
+    import org.apache.spark.sql.functions.{col => c, _}
+    val parts = core.Engine.table(spark, sf, "part")
+    val pos = pmod(F.hash64(c("p_partkey").cast("string")),
+      length(c("p_name")).cast("long"))
+    val dirty = parts.select(
+      c("p_partkey").as("d_id"), c("p_name").as("orig"),
+      concat(c("p_name").substr(lit(1), pos.cast("int")),
+        c("p_name").substr((pos + lit(2)).cast("int"), length(c("p_name"))))
+        .as("d_name"))
+    val matched = operators.FuzzyJoin.qgramEditJoin(
+        dirty, "d_id", "d_name",
+        parts.select(c("p_name")).distinct(), "p_name", "p_name",
+        q = 3, maxDist = 1)
+      .select($"l_id", $"r_id").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    dirty.select($"d_id", $"orig").as[(Long, String)].collect().foreach {
+      case (id, orig) =>
+        assert(matched.get(id).exists(_.contains(orig)),
+          s"part $id: corrupted form failed to link back to '$orig'")
+    }
+  }
+
   // ----- nDCG ----------------------------------------------------------
 
   test("ndcgAtK: perfect ranking scores exactly 1e6 ppm; known misplacement traced") {
