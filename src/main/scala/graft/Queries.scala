@@ -8511,7 +8511,42 @@ object Queries {
              |  levenshtein(l.d_name, r.p_name)::BIGINT AS dist
              |FROM lg l, rg r
              |WHERE levenshtein(l.d_name, r.p_name) <= 1
-             |ORDER BY l_id, r_id""".stripMargin)))
+             |ORDER BY l_id, r_id""".stripMargin)),
+
+    // MOSS winnowing (k=4, w=4): sparse local fingerprints with the
+    // detection floor (any shared run >= w+k-1 tokens yields a shared
+    // fingerprint at ~2/(w+1) density), then cross-doc candidate pairs
+    // from the winnowed table only — the principled cheap sibling of
+    // q239's exhaustive window hashing. Tie-break = (hash, pos)
+    // lexicographic struct min, identical in both engines.
+    "q262_winnow_fingerprints" -> Q(
+      (s, d) => {
+        val fp = TextAnalysis.winnowFingerprints(
+          t(s, d, "documents"), "doc_id", "text", k = 4, w = 4)
+        fp.toDF("doc_a", "pos_a", "gram_hash")
+          .join(fp.toDF("doc_b", "pos_b", "gram_hash"), "gram_hash")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(countDistinct(col("gram_hash")).as("n_shared"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |g AS (SELECT doc_id, len(t) - 3 AS ng, i::BIGINT AS pos,
+             |    ('0x'||substr(md5(array_to_string(t[i:i+3], ' ')),1,15))::BIGINT AS h
+             |  FROM toks, unnest(range(1, len(t) - 2)) AS r(i)
+             |  WHERE len(t) >= 4),
+             |wm AS (SELECT doc_id, ng, pos,
+             |    min({'h': h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+             |  FROM g),
+             |sel AS (SELECT DISTINCT doc_id, m.p AS gram_pos, m.h AS gram_hash
+             |  FROM wm WHERE pos <= greatest(ng - 3, 1))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  count(DISTINCT a.gram_hash)::BIGINT AS n_shared
+             |FROM sel a JOIN sel b
+             |  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

@@ -1171,6 +1171,56 @@ object TextAnalysis {
       .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_hashed"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every k-token gram, then from each window of
+    * w consecutive gram hashes keep the minimum (ties to the leftmost
+    * position — the (hash, pos) lexicographic min, identical struct
+    * comparison in both engines). Guarantee: any shared token run of at
+    * least w + k − 1 tokens between two documents produces at least one
+    * shared selected fingerprint, while the fingerprint density stays
+    * ~2/(w+1) — the principled sparse alternative to hashing EVERY
+    * window (duplicateSpans), with a detection floor instead of
+    * exhaustive coverage.
+    *
+    * Documents with fewer than w grams keep their single minimum (the
+    * first truncated window). Output: one row per selected (doc_id,
+    * gram_pos, gram_hash), distinct.
+    *
+    * Scale shape: one explode (positional grams ride the scan), one
+    * bounded ROWS window per doc (state = w rows), a distinct — no
+    * corpus-sized join; the later pair-matching self-join runs on the
+    * winnowed ~2/(w+1)-density table, not the full gram stream. */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1)
+    val t = tokens(col(textCol))
+    val grams = df.select(
+        col(idCol).as("doc_id"),
+        (size(t) - (k - 1)).cast("long").as("ng"),
+        posexplode(when(size(t) < k, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(t) - k),
+            i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), col("ng"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        hash64(col("gram")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("m", min(struct(col("h"), col("pos"))).over(win))
+      .filter(col("pos") <= greatest(col("ng") - (w - 1), lit(1L)))
+      .select(col("doc_id"),
+        col("m.pos").as("gram_pos"), col("m.h").as("gram_hash"))
+      .distinct()
+  }
+
   private def hllBucketRho(value: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val width = 60 - p

@@ -239,6 +239,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picked == Seq((1L, 0L), (2L, 3L), (3L, 1L)), picked.toString)
   }
 
+  // ----- winnowing -----------------------------------------------------
+
+  /** Sequential winnowing: k-gram (pos, hash) stream, (hash, pos)
+    * lexicographic min per w-window, windows clamped to at least one. */
+  private def refWinnow(toks: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+    val grams = toks.sliding(k).zipWithIndex.collect {
+      case (g, i) if g.size == k => ((i + 1).toLong, F.md5Hash64Jvm(g.mkString(" ")))
+    }.toVector
+    if (grams.isEmpty) Set.empty
+    else (1 to math.max(grams.size - w + 1, 1)).map { s =>
+      grams.slice(s - 1, s - 1 + w).map { case (p, h) => (h, p) }.min
+    }.toSet.map { hp: (Long, Long) => (hp._2, hp._1) }
+  }
+
+  test("property: winnowFingerprints == sequential winnow; shared-run floor holds") {
+    val docGen = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("u", "v", "w", "x", "y", "z"))
+    } yield toks
+    cases(Gen.listOfN(4, docGen), 6).foreach { docsToks =>
+      val df = docsToks.zipWithIndex
+        .map { case (tk, i) => (i.toLong, tk.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = operators.TextAnalysis
+        .winnowFingerprints(df, "doc_id", "text", k = 4, w = 4)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      docsToks.zipWithIndex.foreach { case (tk, i) =>
+        val ref = refWinnow(tk, 4, 4)
+        assert(got.getOrElse(i.toLong, Set.empty) == ref, s"doc $i toks $tk")
+      }
+    }
+    // the SIGMOD'03 guarantee: a shared run of w + k - 1 = 7 tokens
+    // between two docs yields at least one shared selected hash
+    val run = Seq("r1", "r2", "r3", "r4", "r5", "r6", "r7")
+    val a = Seq("a1", "a2", "a3") ++ run ++ Seq("a4", "a5")
+    val b = Seq("b1") ++ run ++ Seq("b2", "b3", "b4", "b5", "b6")
+    val fp = operators.TextAnalysis.winnowFingerprints(
+        Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long, Long)].collect()
+    val ha = fp.filter(_._1 == 1L).map(_._3).toSet
+    val hb = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert((ha & hb).nonEmpty, s"detection floor violated: $ha vs $hb")
+  }
+
   // ----- fuzzy join ----------------------------------------------------
 
   test("property: qgramEditJoin == direct cross-join levenshtein (no false dismissals)") {
