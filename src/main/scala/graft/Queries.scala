@@ -8546,7 +8546,32 @@ object Queries {
              |  count(DISTINCT a.gram_hash)::BIGINT AS n_shared
              |FROM sel a JOIN sel b
              |  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // skyline / Pareto frontier (ICDE'01): orders no other order beats
+    // on BOTH price and recency — aggregate + one ordered window over
+    // the per-price maxima instead of the O(n^2) dominance self-join
+    // the oracle states. Integer criteria (cents, epoch days) keep the
+    // strict-tie semantics and the hash gate exact.
+    "q263_skyline" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100).as("cents"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+        operators.Skyline.skyline2(o, "cents", "d")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+             |    floor(o_totalprice * 100)::BIGINT AS cents,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS d
+             |  FROM orders)
+             |SELECT o_orderkey, cents, d FROM o p
+             |WHERE NOT EXISTS (SELECT 1 FROM o q
+             |  WHERE q.cents >= p.cents AND q.d >= p.d
+             |    AND (q.cents > p.cents OR q.d > p.d))
+             |ORDER BY o_orderkey""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

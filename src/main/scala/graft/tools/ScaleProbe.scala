@@ -70,7 +70,10 @@ object ScaleProbe {
     // and LPA runs 3 rounds of corpus-keyed join+argmax over the
     // replica-disjoint co-occurrence graph
     "q253_dsir_importance",
-    "q255_label_propagation")
+    "q255_label_propagation",
+    // winnowing explodes every k-gram and runs a bounded ROWS window
+    // over the corpus — the gram stream grows linearly with data
+    "q262_winnow_fingerprints")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -102,7 +105,11 @@ object ScaleProbe {
     "q254_hll_registers/q257_hll_by_source/q259_streaming_hll" ->
       "single scan + map-side max-combine into <=2^p groups; no shuffle or state grows with the corpus — the scan cost is what q253's probed explode already measures",
     "q256_weighted_sample/q258_mmr_diversify" ->
-      "TakeOrderedAndProject shapes: per-partition top-k, k-row driver merge; no corpus shuffle at any SF")
+      "TakeOrderedAndProject shapes: per-partition top-k, k-row driver merge; no corpus shuffle at any SF",
+    "q260_ndcg_eval" ->
+      "work scales with the fixed 10-query eval set and its relevance pairs, not the corpus",
+    "q261_fuzzy_join" ->
+      "reads part, which the replica set deliberately omits; cost is name-domain-sized (64 distinct names) — the corpus-sized gram-explode shape is probed via q262")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

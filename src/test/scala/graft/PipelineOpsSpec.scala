@@ -239,6 +239,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picked == Seq((1L, 0L), (2L, 3L), (3L, 1L)), picked.toString)
   }
 
+  // ----- skyline -------------------------------------------------------
+
+  test("property: skyline2 == brute-force dominance filter (ties + duplicates)") {
+    // small value range forces coordinate collisions — the tie semantics
+    // (equal coords co-survive; same-x lower-y loses; equal-y larger-x
+    // dominates) are where a window formulation can silently diverge
+    val ptGen = Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L))
+    cases(Gen.listOfN(25, ptGen), 8).foreach { pts =>
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val got = operators.Skyline.skyline2(df, "x", "y")
+        .select($"id").as[Long].collect().toSet
+      val want = pts.zipWithIndex.collect {
+        case ((px, py), i) if !pts.exists { case (qx, qy) =>
+          qx >= px && qy >= py && (qx > px || qy > py) } => i.toLong
+      }.toSet
+      assert(got == want, s"points $pts")
+    }
+  }
+
   // ----- winnowing -----------------------------------------------------
 
   /** Sequential winnowing: k-gram (pos, hash) stream, (hash, pos)
