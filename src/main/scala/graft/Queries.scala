@@ -8571,7 +8571,62 @@ object Queries {
              |WHERE NOT EXISTS (SELECT 1 FROM o q
              |  WHERE q.cents >= p.cents AND q.d >= p.d
              |    AND (q.cents > p.cents OR q.d > p.d))
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // the Hive streaming-reducer idiom that makes DISTRIBUTE BY / SORT
+    // BY load-bearing SQL text (not just physical hints): an awk
+    // streaming aggregate over TRANSFORM input that is only correct
+    // because DISTRIBUTE BY user_id sends each user to exactly one
+    // task and SORT BY (user_id, ms) hands awk each user's events
+    // contiguous and time-ordered — the script keeps one user of state
+    // and emits (n_events, max inter-event gap) per user. Gap diffs
+    // between equal timestamps are tie-order-independent, so the
+    // result is deterministic. The program ships as a file (`awk -f`,
+    // the ADD FILE deployment shape) — a quoted inline program would
+    // have to survive Scala, Spark-SQL-literal, AND bash unquoting.
+    // Oracle restates via lag windows.
+    "q264_cluster_by_reducer" -> Q(
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("q264_events")
+        val progDir = new java.io.File(scratchDir("graft_q264"))
+        progDir.mkdirs()
+        val prog = new java.io.File(progDir, "reducer.awk")
+        // `started` flag, NOT `$1 != u` against uninitialized u: awk's
+        // uninitialized variable compares NUMERICALLY equal to user_id
+        // 0 (strnum "0" vs dual-null ""), which would silently merge
+        // user 0 into a phantom empty-keyed group. Printing u verbatim
+        // (assigned string, never computed) and keeping g a true gap
+        // also stays inside mawk's 2^31 integral-print range — beyond
+        // it, computed values print as %.6g scientific and the BIGINT
+        // read-back nulls out.
+        java.nio.file.Files.writeString(prog.toPath,
+          """{ if (!started || $1 != u) { if (n > 0) print u "\t" n "\t" g;
+            |    started = 1; u = $1; n = 0; g = 0; p = -1 }
+            |  n++; if (p >= 0 && $2 - p > g) g = $2 - p; p = $2 }
+            |END { if (n > 0) print u "\t" n "\t" g }
+            |""".stripMargin)
+        // explicit '\t' wire format on BOTH sides: the no-ROW-FORMAT
+        // default separator is U+0001 (the Hive serde default), which
+        // awk's default FS does not split on — q238's tr/sed mappers
+        // pass U+0001 through untouched and never notice
+        s.sql(s"""SELECT user_id, n, max_gap FROM (
+                 |  SELECT TRANSFORM(user_id, ms)
+                 |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+                 |    USING 'awk -f ${prog.getAbsolutePath}'
+                 |    AS (user_id BIGINT, n BIGINT, max_gap BIGINT)
+                 |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+                 |  FROM (SELECT user_id, unix_millis(ts) AS ms
+                 |        FROM q264_events
+                 |        DISTRIBUTE BY user_id SORT BY user_id, ms))
+                 |ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             |g AS (SELECT user_id,
+             |    ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+             |  FROM e)
+             |SELECT user_id, count(*)::BIGINT AS n,
+             |  coalesce(max(gap), 0)::BIGINT AS max_gap
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

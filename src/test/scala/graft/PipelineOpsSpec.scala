@@ -239,6 +239,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picked == Seq((1L, 0L), (2L, 3L), (3L, 1L)), picked.toString)
   }
 
+  // ----- cluster-by streaming reducer ----------------------------------
+
+  test("q264 awk reducer: user 0 groups correctly and no field nulls out (sf0.001)") {
+    // the two failure modes the entry's awk program guards against:
+    // uninitialized-u merging user 0 into a phantom group, and mawk's
+    // %.6g scientific output for computed values >= 2^31 nulling the
+    // BIGINT read-back
+    val rows = Queries.all.toMap.apply("q264_cluster_by_reducer")
+      .fn(spark, sf).as[(Long, Long, Long)].collect()
+    val exp = core.Engine.table(spark, sf, "events")
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    assert(rows.length == exp.size)
+    rows.foreach { case (u, n, g) =>
+      assert(exp(u) == n, s"user $u count")
+      assert(g >= 0)
+    }
+    exp.keys.find(_ == 0L).foreach { z =>
+      assert(rows.exists(_._1 == z), "user 0 must appear as its own group")
+    }
+  }
+
   // ----- skyline -------------------------------------------------------
 
   test("property: skyline2 == brute-force dominance filter (ties + duplicates)") {
