@@ -8626,7 +8626,54 @@ object Queries {
              |  FROM e)
              |SELECT user_id, count(*)::BIGINT AS n,
              |  coalesce(max(gap), 0)::BIGINT AS max_gap
-             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // dynamic-gap session windows: each event extends its session by
+    // its OWN inactivity allowance (clicks 10 min, everything else 30)
+    // — Spark's session_window(ts, gapExpr) form, q63's fixed-gap
+    // sibling. Oracle: interval-merge sweep — an event starts a new
+    // session iff its ts reaches the running max of prior (ts + gap)
+    // spans; session end = max(ts_i + gap_i); append mode emits
+    // sessions whose end the final watermark passed.
+    "q265_dynamic_gap_sessions" -> Q(
+      (s, d) => {
+        val name = "graft_stream_dynsessions_q265"
+        s.catalog.dropTempView(name)
+        graft.streaming.EventStreams
+          .runToMemory(s, s"$d/events.parquet",
+            df => graft.streaming.EventStreams.dynamicSessionWindows(df), name)
+          .select(
+            unix_millis(col("session_start")).as("start_ms"),
+            unix_millis(col("session_end")).as("end_ms"),
+            col("user_id"), col("n_events"), col("total_value_micros"))
+          .orderBy(col("user_id"), col("start_ms"))
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id, value,
+             |    CASE WHEN event_type = 'click' THEN 600000000
+             |      ELSE 1800000000 END AS gap_us
+             |  FROM events),
+             |m AS (SELECT user_id, ts, event_id, value, gap_us,
+             |    max(epoch_us(ts) + gap_us) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM g),
+             |f AS (SELECT user_id, ts, event_id, value, gap_us,
+             |    CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM m),
+             |s AS (SELECT user_id, ts, value, gap_us,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM f),
+             |agg AS (SELECT user_id, sid, count(*) AS n_events,
+             |    epoch_ms(min(ts)) AS start_ms,
+             |    max(epoch_us(ts) + gap_us) // 1000 AS end_ms,
+             |    sum(floor(value*1e6)::BIGINT)::BIGINT AS total_value_micros
+             |  FROM s GROUP BY user_id, sid),
+             |wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events)
+             |SELECT start_ms, end_ms, user_id, n_events, total_value_micros
+             |FROM agg, wm WHERE agg.end_ms <= wm.w
+             |ORDER BY user_id, start_ms""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

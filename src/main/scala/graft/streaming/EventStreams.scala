@@ -132,6 +132,31 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value_micros"))
 
+  /** Session windows with a PER-EVENT gap (Spark's dynamic-gap
+    * `session_window(ts, gapExpr)`): each event extends its session by
+    * its own inactivity allowance — clicks close fast (10 min), other
+    * event types hold the session open longer (30 min). Semantically
+    * each event spans [ts, ts + gap(event)); overlapping spans merge,
+    * so session end = max(ts_i + gap_i) — which is what the batch
+    * interval-merge oracle restates with a running max. Same state-store
+    * shape as the fixed-gap form: one shuffle on (user, session),
+    * watermark-bounded state. */
+  def dynamicSessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "click", lit("10 minutes"))
+            .otherwise(lit("30 minutes"))),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6))).as("total_value_micros"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value_micros"))
+
   /** Custom sessionization with explicit state. A session closes (and
     * its summary is emitted) when a later event arrives past the gap.
     *
