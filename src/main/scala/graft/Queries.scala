@@ -1537,8 +1537,9 @@ object Queries {
     // stream must equal the original table exactly
     "q46_streaming_dedup" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_q46_dup")
+        // per-JVM tagged dir: a fixed shared-tmp name would let a
+        // concurrent process re-point the symlinks mid-stream
+        val dir = java.nio.file.Paths.get(scratchDir("graft_q46_dup"))
         java.nio.file.Files.createDirectories(dir)
         val src = java.nio.file.Paths.get(s"$d/events.parquet")
         for (name <- Seq("a.parquet", "b.parquet")) {
@@ -2706,8 +2707,9 @@ object Queries {
     // the whole-corpus sketch exactly, so the oracle is q91's
     "q97_streaming_count_min" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_q97_docs")
+        // per-JVM tagged dir: a fixed shared-tmp name would let a
+        // concurrent process re-point the symlink mid-stream
+        val dir = java.nio.file.Paths.get(scratchDir("graft_q97_docs"))
         java.nio.file.Files.createDirectories(dir)
         val link = dir.resolve("docs.parquet")
         java.nio.file.Files.deleteIfExists(link)
@@ -8166,8 +8168,9 @@ object Queries {
     // DSIR importance weighting (Xie et al. 2023): per-doc log-likelihood
     // ratio of a target hashed-ngram model (lang='en' docs) vs the raw
     // corpus model. The per-bucket log-ratio is floored to integer
-    // micro-nats ONCE on the 1024-row bucket table (a single ln of one
-    // exact-integer ratio), so each document's score is an exact integer
+    // micro-nats ONCE on the 1024-row bucket table (counts cast to
+    // double BEFORE multiplying — exact below 2^53, wrap-proof at any
+    // corpus size), so each document's score is an exact integer
     // sum — order-immune, hash-oracle-safe. Scale: the bucket model is
     // 1024 rows (broadcast by construction); the corpus pays one explode
     // + map-side combine and one natural per-doc aggregate.
@@ -8188,8 +8191,8 @@ object Queries {
              |  FROM feats GROUP BY b),
              |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM counts),
              |ratio AS (SELECT b, floor(1e6 * ln(
-             |    ((ct + 1) * (tr + 1024))::DOUBLE
-             |      / ((cr + 1) * (tt + 1024))::DOUBLE))::BIGINT AS lr_micro
+             |    ((ct + 1)::DOUBLE * (tr + 1024)::DOUBLE)
+             |      / ((cr + 1)::DOUBLE * (tt + 1024)::DOUBLE)))::BIGINT AS lr_micro
              |  FROM counts, tot)
              |SELECT f.doc_id, count(*)::BIGINT AS n_feats,
              |  sum(r.lr_micro)::BIGINT AS score_micro
@@ -8272,7 +8275,7 @@ object Queries {
              |  floor(-ln((('0x'||substr(md5('es:'||doc_id::VARCHAR),1,15))::BIGINT + 1)::DOUBLE
              |      / 1152921504606846976.0)
              |    / n_chars::DOUBLE * 1e9)::BIGINT AS es_key_nano
-             |FROM documents
+             |FROM documents WHERE n_chars > 0
              |ORDER BY es_key_nano, doc_id LIMIT 50""".stripMargin)),
 
     // per-source HLL register tables (same p=6 sketch as q254, one per
@@ -8365,8 +8368,10 @@ object Queries {
     // the oracle is the same relational statement.
     "q259_streaming_hll" -> Q(
       (s, d) => {
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_q259_docs")
+        // per-JVM tagged dir (scratchDir): a fixed shared-tmp name would
+        // let a concurrent Bench/Verify process re-point the symlink
+        // under this stream's feet
+        val dir = java.nio.file.Paths.get(scratchDir("graft_q259_docs"))
         java.nio.file.Files.createDirectories(dir)
         val link = dir.resolve("docs.parquet")
         java.nio.file.Files.deleteIfExists(link)
@@ -8632,9 +8637,10 @@ object Queries {
     // its OWN inactivity allowance (clicks 10 min, everything else 30)
     // — Spark's session_window(ts, gapExpr) form, q63's fixed-gap
     // sibling. Oracle: interval-merge sweep — an event starts a new
-    // session iff its ts reaches the running max of prior (ts + gap)
-    // spans; session end = max(ts_i + gap_i); append mode emits
-    // sessions whose end the final watermark passed.
+    // session iff its ts STRICTLY exceeds the running max of prior
+    // (ts + gap) spans (Spark merges boundary-exact arrivals); session
+    // end = max(ts_i + gap_i); append mode emits sessions whose end the
+    // final watermark passed.
     "q265_dynamic_gap_sessions" -> Q(
       (s, d) => {
         val name = "graft_stream_dynsessions_q265"
@@ -8658,7 +8664,7 @@ object Queries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
              |  FROM g),
              |f AS (SELECT user_id, ts, event_id, value, gap_us,
-             |    CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+             |    CASE WHEN prev_end IS NULL OR epoch_us(ts) > prev_end
              |      THEN 1 ELSE 0 END AS is_new
              |  FROM m),
              |s AS (SELECT user_id, ts, value, gap_us,

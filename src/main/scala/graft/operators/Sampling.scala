@@ -263,7 +263,13 @@ object Sampling {
       salt: String = "es"): DataFrame = {
     val u = (hash64(concat(lit(salt + ":"), col(idCol).cast("string"))) + 1)
       .cast("double") / lit(1152921504606846976.0) // 2^60
-    df.withColumn("es_key_nano",
+    // non-positive weights are excluded up front: they carry zero
+    // selection mass (the w→0 limit of the race key is +∞), and left in
+    // they would otherwise produce Infinity/NaN keys that engines floor
+    // differently (Spark → Long.MaxValue under ansi=false, ANSI engines
+    // error) or, for w<0, always-winning negative keys
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key_nano",
         floor(-log(u) / col(weightCol).cast("double") * lit(1e9)))
       .orderBy(col("es_key_nano"), col(idCol))
       .limit(k)

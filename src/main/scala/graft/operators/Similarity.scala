@@ -724,7 +724,8 @@ object Similarity {
       .persist()
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Seq[Long], Long, Long)]
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
       val red = selected.toSeq.map { case (_, sv, _, _) =>
         dot(col("qvec"), array(sv.map(lit): _*))
       } match {
@@ -732,16 +733,27 @@ object Similarity {
         case Seq(d) => d
         case ds     => greatest(ds: _*)
       }
-      val pick = scored
-        .filter(!col("vec_id").isInCollection(selected.map(_._1) :+ -1L))
+      // no magic-id sentinel: ids are caller-supplied Longs, any value
+      // (including -1) is legal — the empty-selection round just skips
+      // the exclusion filter
+      val remaining =
+        if (selected.isEmpty) scored
+        else scored.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+      remaining
         .withColumn("score",
           lit(lamNum.toLong) * col("rel") - lit((lamDen - lamNum).toLong) * red)
         .orderBy(col("score").desc, col("vec_id"))
         .limit(1)
         .select(col("vec_id"), col("qvec"), col("rel"), col("score"))
-        .head()
-      selected += ((pick.getLong(0), pick.getSeq[Long](1),
-        pick.getLong(2), pick.getLong(3)))
+        .collect().headOption match {
+        case Some(pick) =>
+          selected += ((pick.getLong(0), pick.getSeq[Long](1),
+            pick.getLong(2), pick.getLong(3)))
+        case None =>
+          // k exceeded the corpus: return the exhausted selection
+          // rather than throwing from an empty round
+          exhausted = true
+      }
     }
     scored.unpersist()
     val spark = corpus.sparkSession

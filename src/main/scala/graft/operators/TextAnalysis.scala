@@ -1083,11 +1083,11 @@ object TextAnalysis {
     * Features are unigrams + adjacent bigrams hashed into `buckets`
     * buckets; both models are add-1-smoothed multinomials over buckets.
     * The per-bucket log-ratio is computed ONCE on the bucket table as
-    * `floor(1e6 · ln((ct+1)(Tr+B) / ((cr+1)(Tt+B))))` — a single ln of
-    * one exact-integer ratio (all operands < 2^53, so the double quotient
-    * is identical in every engine), floored to integer micro-nats — and a
-    * document's score is then an exact integer sum of those micro-nats,
-    * immune to summation order. That is what keeps an information-
+    * `floor(1e6 · ln((ct+1)(Tr+B) / ((cr+1)(Tt+B))))` — each count is
+    * cast to double (exact: < 2^53) and the products/quotient are
+    * single IEEE ops that round identically in every engine — floored
+    * to integer micro-nats — and a document's score is then an exact
+    * integer sum of those micro-nats, immune to summation order. That is what keeps an information-
     * theoretic score hash-oracle-checkable.
     *
     * Scale shape: one pass over the corpus explodes features (map-side,
@@ -1119,11 +1119,15 @@ object TextAnalysis {
       sum(col("is_t")).as("ct"),
       count(lit(1)).as("cr"))
     val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    // cast to double BEFORE multiplying: each operand is < 2^53 so the
+    // casts are exact, and the two double products round IDENTICALLY in
+    // every engine — long multiplication would silently wrap past 2^63
+    // (corpora beyond ~3e9 features) under ansi=false
     val ratio = counts.crossJoin(broadcast(tot)).select(
       col("b"),
       floor(lit(1e6) * log(
-        ((col("ct") + 1) * (col("tr") + b)).cast("double") /
-          ((col("cr") + 1) * (col("tt") + b)).cast("double")))
+        ((col("ct") + 1).cast("double") * (col("tr") + b).cast("double")) /
+          ((col("cr") + 1).cast("double") * (col("tt") + b).cast("double"))))
         .as("lr_micro"))
     feats.join(broadcast(ratio), "b")
       .groupBy(col("doc_id"))

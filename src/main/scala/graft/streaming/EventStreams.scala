@@ -136,9 +136,12 @@ object EventStreams {
     * `session_window(ts, gapExpr)`): each event extends its session by
     * its own inactivity allowance — clicks close fast (10 min), other
     * event types hold the session open longer (30 min). Semantically
-    * each event spans [ts, ts + gap(event)); overlapping spans merge,
-    * so session end = max(ts_i + gap_i) — which is what the batch
-    * interval-merge oracle restates with a running max. Same state-store
+    * each event spans [ts, ts + gap(event)]; overlapping OR adjacent
+    * spans merge (Spark closes a session only when the next start is
+    * STRICTLY past the current end — an event landing exactly on the
+    * boundary extends the session), so session end = max(ts_i + gap_i)
+    * — which is what the batch interval-merge oracle restates with a
+    * running max and a strict comparison. Same state-store
     * shape as the fixed-gap form: one shuffle on (user, session),
     * watermark-bounded state. */
   def dynamicSessionWindows(events: DataFrame): DataFrame =

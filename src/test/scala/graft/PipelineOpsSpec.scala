@@ -45,9 +45,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val tr = cr.values.sum
     val b = buckets.toLong
     val lr = cr.keys.map { k =>
-      val num = (ct.getOrElse(k, 0L) + 1) * (tr + b)
-      val den = (cr(k) + 1) * (tt + b)
-      k -> math.floor(1e6 * math.log(num.toDouble / den.toDouble)).toLong
+      val num = (ct.getOrElse(k, 0L) + 1).toDouble * (tr + b).toDouble
+      val den = (cr(k) + 1).toDouble * (tt + b).toDouble
+      k -> math.floor(1e6 * math.log(num / den)).toLong
     }.toMap
     rows.groupBy(_._1).view.mapValues { rs =>
       (rs.size.toLong, rs.map(r => lr(r._3)).sum)
