@@ -8679,7 +8679,49 @@ object Queries {
              |wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events)
              |SELECT start_ms, end_ms, user_id, n_events, total_value_micros
              |FROM agg, wm WHERE agg.end_ms <= wm.w
-             |ORDER BY user_id, start_ms""".stripMargin)))
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
+    // k-center greedy coreset (Gonzalez'85 2-approximation, the
+    // Sener-Savarese data-pruning selector): seed = smallest id, then
+    // 4 maximin rounds over exact integer squared-L2 on int8 vectors —
+    // q258's machinery with coverage (farthest-first) replacing the
+    // relevance-redundancy tradeoff. Oracle: rounds unrolled as
+    // LIMIT-1 CTEs with least() over the running center set.
+    "q266_kcenter_coreset" -> Q(
+      (s, d) => operators.Similarity.kCenterGreedy(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy(col("rank")),
+      Some {
+        def dTo(j: Int) =
+          s"list_sum([(c.qv[i] - s$j.qv[i]) * (c.qv[i] - s$j.qv[i]) for i in range(1, len(c.qv) + 1)])"
+        val steps = (2 to 5).map { r =>
+          val ds = (1 until r).map(dTo)
+          val minD = if (ds.size == 1) ds.head else s"least(${ds.mkString(", ")})"
+          val froms = (1 until r).map(j => s"s$j").mkString(", ")
+          val excls = (1 until r).map(j => s"c.vec_id <> s$j.vec_id")
+            .mkString(" AND ")
+          s"""c$r AS (SELECT c.vec_id, c.qv, $minD AS min_d2
+             |  FROM qz c, $froms WHERE $excls),
+             |s$r AS (SELECT vec_id, qv, min_d2 FROM c$r
+             |  ORDER BY min_d2 DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |m0 AS (SELECT vec_id, e,
+           |    list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+           |qz AS (SELECT vec_id,
+           |    CASE WHEN m = 0 THEN list_transform(e, x -> 0::BIGINT)
+           |    ELSE list_transform(e, x ->
+           |      floor(x * 127.0::DOUBLE / m + 0.5::DOUBLE)::BIGINT)
+           |    END AS qv
+           |  FROM m0),
+           |s1 AS (SELECT vec_id, qv, 0::BIGINT AS min_d2 FROM qz
+           |  ORDER BY vec_id LIMIT 1),
+           |$steps
+           |${(1 to 5).map(r =>
+              s"SELECT $r::BIGINT AS rank, vec_id, min_d2::BIGINT AS min_d2 FROM s$r")
+              .mkString("\n UNION ALL ")}
+           |ORDER BY rank""".stripMargin
+      }))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

@@ -763,6 +763,63 @@ object Similarity {
     }.toDF("rank", "vec_id", "rel_dot", "score")
   }
 
+  /** k-center greedy coreset selection (Gonzalez, "Clustering to
+    * minimize the maximum intercluster distance", TCS 1985; the
+    * standard diversity/coverage selector in data-pruning and
+    * active-learning pipelines, e.g. Sener & Savarese's core-set
+    * approach): seed with the smallest id, then greedily add the point
+    * FARTHEST from its nearest selected center (maximin), k times. The
+    * greedy set's covering radius is within 2x of the optimal k-center
+    * radius — the provable "spread" guarantee MMR lacks.
+    *
+    * Determinized like [[mmrSelect]]: int8-quantized vectors, exact
+    * integer squared-L2 distances, (distance desc, id asc) argmax.
+    * Output: (rank, vec_id, min_d2) with min_d2 = the point's squared
+    * distance to the nearest EARLIER center (the seed's is 0).
+    *
+    * Scale shape: k sequential rounds, each ONE scan + TakeOrdered with
+    * the ≤k selected centers inlined as literals — no join, no corpus
+    * shuffle, k·dim longs of driver state. */
+  def kCenterGreedy(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val qz = quantizeInt8(corpus, idCol, vecCol).select(col("vec_id"), col("qvec"))
+    val seed = qz.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("qvec")).collect().headOption
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Long], Long)]
+    seed.foreach(r => selected += ((r.getLong(0), r.getSeq[Long](1), 0L)))
+    var exhausted = selected.isEmpty
+    for (_ <- 2 to k if !exhausted) {
+      val minD = selected.toSeq.map { case (_, sv, _) =>
+        d2(col("qvec"), array(sv.map(lit): _*))
+      } match {
+        case Seq(d)  => d
+        case ds      => least(ds: _*)
+      }
+      qz.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .withColumn("min_d2", minD)
+        .orderBy(col("min_d2").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("qvec"), col("min_d2"))
+        .collect().headOption match {
+        case Some(pick) =>
+          selected += ((pick.getLong(0), pick.getSeq[Long](1), pick.getLong(2)))
+        case None => exhausted = true
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex.map { case ((id, _, d), i) =>
+      ((i + 1).toLong, id, d)
+    }.toDF("rank", "vec_id", "min_d2")
+  }
+
   /** Rank discounts for [[ndcgAtK]] as integer micro-units:
     * `floor(1e6 / log2(i+1))` for i = 1..k. Derived once on the JVM and
     * inlined as literals into both the Spark plan and the oracle SQL —

@@ -387,6 +387,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----- k-center coreset ----------------------------------------------
+
+  /** Sequential k-center greedy: seed = smallest id, then maximin
+    * (distance desc, id asc) over exact integer squared-L2. */
+  private def refKCenter(
+      vecs: Seq[(Long, Seq[Long])],
+      k: Int): Seq[(Long, Long)] = {
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long], Long)]
+    vecs.sortBy(_._1).headOption.foreach(v => sel += ((v._1, v._2, 0L)))
+    while (sel.size < k && sel.size < vecs.size) {
+      val cand = vecs.filterNot(v => sel.exists(_._1 == v._1)).map { case (id, v) =>
+        (id, v, sel.map(s => d2(v, s._2)).min)
+      }
+      sel += cand.minBy(c => (-c._3, c._1))
+    }
+    sel.toSeq.map(s => (s._1, s._3))
+  }
+
+  test("property: kCenterGreedy == sequential maximin reference") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-127L, 127L))
+      .map(v => if (v.exists(x => math.abs(x) == 127)) v else 127L +: v.tail)
+    val setGen = for {
+      n <- Gen.choose(3, 9)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield vs
+    cases(setGen, 5).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toDouble.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val got = operators.Similarity.kCenterGreedy(df, "vec_id", "embedding", k = 4)
+        .select($"vec_id", $"min_d2").as[(Long, Long)].collect().toSeq
+      val ref = refKCenter(vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, 4)
+      assert(got == ref, s"vecs $vs")
+      // maximin picks can only shrink: each added center's distance to
+      // the earlier set is <= the previous pick's (greedy invariant)
+      got.drop(1).map(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a, s"maximin not monotone: $got")
+        case _         =>
+      }
+    }
+  }
+
   // ----- nDCG ----------------------------------------------------------
 
   test("ndcgAtK: perfect ranking scores exactly 1e6 ppm; known misplacement traced") {
