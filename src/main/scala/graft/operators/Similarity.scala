@@ -788,7 +788,9 @@ object Similarity {
     require(k >= 1)
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    val qz = quantizeInt8(corpus, idCol, vecCol).select(col("vec_id"), col("qvec"))
+    // persist: k rounds each rescan this projection (same as mmrSelect)
+    val qz = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id"), col("qvec")).persist()
     val seed = qz.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("qvec")).collect().headOption
     val selected = scala.collection.mutable.ArrayBuffer
@@ -813,6 +815,7 @@ object Similarity {
         case None => exhausted = true
       }
     }
+    qz.unpersist()
     val spark = corpus.sparkSession
     import spark.implicits._
     selected.toSeq.zipWithIndex.map { case ((id, _, d), i) =>
