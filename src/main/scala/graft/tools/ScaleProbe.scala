@@ -109,7 +109,13 @@ object ScaleProbe {
     "q260_ndcg_eval" ->
       "work scales with the fixed 10-query eval set and its relevance pairs, not the corpus",
     "q261_fuzzy_join" ->
-      "reads part, which the replica set deliberately omits; cost is name-domain-sized (64 distinct names) — the corpus-sized gram-explode shape is probed via q262")
+      "reads part, which the replica set deliberately omits; cost is name-domain-sized (64 distinct names) — the corpus-sized gram-explode shape is probed via q262",
+    "q263_skyline" ->
+      "replicas duplicate the exact (cents, day) coordinate set, so a probe would measure duplicate collapse in the per-x aggregate, not frontier growth; the aggregate+window shape is scan-bound",
+    "q264_cluster_by_reducer/q265_dynamic_gap_sessions" ->
+      "read events, which the replica set omits; per-key script fold and session state are both watermark/partition-bounded, independent of corpus width",
+    "q266_kcenter_coreset" ->
+      "k scan+TakeOrdered rounds over a persisted projection — same no-corpus-shuffle class as q256/q258")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain
