@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   * `|G(a) ∩ G(b)| ≥ max(|G(a)|, |G(b)|) − q·d` grams. Candidates come
   * from an equi-join on gram + that count filter; only survivors pay the
   * exact `levenshtein`. Join-based enumeration additionally needs ≥ 1
-  * shared gram; with padded grams |G(s)| = len + q − 1, so a true pair
-  * can share zero grams only when BOTH strings are shorter than
-  * q·d − q + 2 — those residual rows take a length-banded brute branch
-  * instead (still keyed, still no cross product). The union is
-  * property-pinned equal to the direct cross-join filter in
-  * PipelineOpsSpec — the count filter is a pure optimization, no false
-  * dismissals.
+  * shared gram; the count bound guarantees that only when the threshold
+  * `max(|G(a)|, |G(b)|) − q·d` is ≥ 1, so a true pair can evade the
+  * equi-join exactly when BOTH distinct-gram counts are ≤ q·d. Those
+  * residual rows take a length-banded brute branch instead (still keyed,
+  * still no cross product). The brute gate is on the COUNTED |G|, not
+  * string length: repetitive strings have |G| well below the len + q − 1
+  * of all-distinct grams (`aaaaa…` has |G| = 5 at q = 3 regardless of
+  * length), so a length cutoff would under-cover them at maxDist ≥ 2.
+  * The union is property-pinned equal to the direct cross-join filter in
+  * PipelineOpsSpec (q = 3 at maxDist 1 AND 2 — the regime where the
+  * distinct-vs-bag distinction bites) — the count filter is a pure
+  * optimization, no false dismissals.
   *
   * Scale shape: explode grams on both sides, one equi-join keyed on the
   * gram (the ONLY corpus-sized shuffle — output bounded by true gram
@@ -79,28 +84,31 @@ object FuzzyJoin {
       .filter(col("shared") >=
         greatest(col("l_ng"), col("r_ng")) - lit((q * maxDist).toLong))
       .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"), col("shared"))
-    // zero-shared-gram escape hatch: both sides shorter than
-    // q·d − q + 2 (with padding, |G| = len + q − 1, and the pair
-    // threshold max(|G|) − q·d drops below 1 only then). Band-joined on
-    // the right length (|len diff| ≤ d for any true pair) — keyed, and
-    // only ever over near-empty strings.
-    val shortCap = q * maxDist - q + 1
-    val brute =
-      if (shortCap < 0) grammed.limit(0)
-      else {
-        val shortL = l.filter(length(col("l_str")) <= shortCap)
-          .select(col("l_id"), col("l_str"), col("l_g"),
-            explode(sequence(
-              greatest(length(col("l_str")) - maxDist, lit(0)),
-              length(col("l_str")) + maxDist)).as("r_len"))
-        shortL
-          .join(
-            r.filter(length(col("r_str")) <= shortCap + maxDist)
-              .withColumn("r_len", length(col("r_str"))),
-            Seq("r_len"))
-          .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"),
-            size(array_intersect(col("l_g"), col("r_g"))).cast("long").as("shared"))
-      }
+    // zero-shared-gram escape hatch: a true pair evades the gram
+    // equi-join only when the count threshold max(|G|) − q·d is < 1,
+    // i.e. BOTH distinct-gram counts are ≤ q·maxDist. Gated on the
+    // counted |G| (l_ng/r_ng), not string length — repetitive strings
+    // can be arbitrarily long with tiny |G|. Band-joined on the right
+    // length (|len diff| ≤ d for any true pair) — keyed, and only ever
+    // over strings that are tiny or near-degenerate (≤ q·d gram types).
+    // maxDist = 0 makes the gate unsatisfiable (|G| ≥ 1 always — even
+    // the empty string keeps one boundary gram) and the branch empties
+    // through its own filters.
+    val bruteCap = (q * maxDist).toLong
+    val brute = {
+      val shortL = l.filter(col("l_ng") <= bruteCap)
+        .select(col("l_id"), col("l_str"), col("l_g"),
+          explode(sequence(
+            greatest(length(col("l_str")) - maxDist, lit(0)),
+            length(col("l_str")) + maxDist)).as("r_len"))
+      shortL
+        .join(
+          r.filter(col("r_ng") <= bruteCap)
+            .withColumn("r_len", length(col("r_str"))),
+          Seq("r_len"))
+        .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"),
+          size(array_intersect(col("l_g"), col("r_g"))).cast("long").as("shared"))
+    }
     grammed.unionByName(brute)
       .dropDuplicates("l_id", "r_id")
       .withColumn("dist", levenshtein(col("l_str"), col("r_str")).cast("long"))

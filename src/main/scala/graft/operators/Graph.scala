@@ -226,7 +226,13 @@ object Graph {
     * max degree per task), built once; each step is two keyed joins of
     * the frontier (|seeds| rows) against degree and adjacency — walk
     * length L costs L frontier-sized joins, never a corpus-sized
-    * shuffle. Returns (walk_id, step, node) for steps 0..walkLength. */
+    * shuffle. Long walks accumulate an L-deep frontier lineage and an
+    * L-wide union: `checkpointEvery = k > 0` truncates both every k
+    * steps (the accumulated output first — capturing all prior steps —
+    * then the live frontier, superseded blocks dropped in-loop), using
+    * the same reliable-vs-local flavor switch as [[labelPropagation]];
+    * spec-pinned bit-identical to the knob-off plan. Returns
+    * (walk_id, step, node) for steps 0..walkLength. */
   /** k-core peeling (fixed rounds): repeatedly drop nodes with degree
     * < k and the edges touching them — the standard "keep the dense
     * core" filter for web/link graphs (spam and long-tail fringe live
@@ -298,7 +304,10 @@ object Graph {
       edges: DataFrame,
       seeds: DataFrame,
       walkLength: Int,
-      salt: String = "walk"): DataFrame = {
+      salt: String = "walk",
+      checkpointEvery: Int = 0): DataFrame = {
+    require(checkpointEvery >= 0,
+      "checkpointEvery: 0 = off, k > 0 = truncate lineage every k steps")
     import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("src"), col("dst"))
     val indexed = adj.withColumn("nidx",
@@ -309,6 +318,8 @@ object Graph {
       lit(0L).as("step"),
       col("node").cast("long").as("node"))
     var out = cur
+    var lastOutCp: DataFrame = null
+    var lastCurCp: DataFrame = null
     for (i <- 1 to walkLength) {
       val pick = graft.functions.Functions.hash64(
         concat(lit(s"$salt:"), col("walk_id").cast("string"), lit(s":step:$i")))
@@ -318,6 +329,20 @@ object Graph {
         .join(indexed.withColumnRenamed("src", "node"), Seq("node", "nidx"))
         .select(col("walk_id"), lit(i.toLong).as("step"), col("dst").as("node"))
       out = out.unionAll(cur)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < walkLength) {
+        // out first: its eager materialization captures every earlier
+        // frontier, after which the superseded checkpoints feed nothing
+        val outCp = checkpointDf(out)
+        val curCp = checkpointDf(cur)
+        if (lastOutCp != null)
+          org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(lastOutCp)
+        if (lastCurCp != null)
+          org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(lastCurCp)
+        lastOutCp = outCp
+        lastCurCp = curCp
+        out = outCp
+        cur = curCp
+      }
     }
     out
   }
@@ -336,21 +361,52 @@ object Graph {
     * a min-struct over (-count, label) — one expression, no window, so
     * each round is exactly two shuffles: the rank-table join keyed on
     * src and the (node, label) count keyed on dst. All-integer, so the
-    * result is engine-bit-identical. Rounds are O(1) count; lineage
-    * stays linear in `rounds` (callers running deep propagation should
-    * localCheckpoint between rounds as [[pagerank]] does). */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    * result is engine-bit-identical.
+    *
+    * Lineage: `checkpointEvery = 0` (default) keeps the plan purely
+    * declarative — the oracle-unrollable form, right for the shallow
+    * fixed-round catalog entry. Deep propagation on a big graph needs
+    * `checkpointEvery = k > 0`: every k-th round's label table is
+    * checkpointed (lineage truncated, superseded blocks dropped
+    * in-loop as [[pagerank]] does) — RELIABLE `checkpoint()` when the
+    * SparkContext has a checkpoint dir configured (pagerank's
+    * executor-loss durability semantics on a real cluster), the
+    * executor-local `localCheckpoint()` otherwise (the right choice on
+    * local[N], where executor loss means JVM loss anyway). Both
+    * flavors preserve results bit-for-bit — spec-pinned. */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(checkpointEvery >= 0,
+      "checkpointEvery: 0 = off, k > 0 = truncate lineage every k rounds")
     val e = edges.select(col("src"), col("dst"))
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
+    var lastCp: DataFrame = null
+    for (r <- 1 to rounds) {
       labels = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("negc"), col("label").as("l"))).as("t"))
         .select(col("node"), col("t.l").as("label"))
+      if (checkpointEvery > 0 && r % checkpointEvery == 0) {
+        val cp = checkpointDf(labels)
+        if (lastCp != null)
+          org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(lastCp)
+        lastCp = cp
+        labels = cp
+      }
     }
     labels
   }
+
+  /** Reliable `checkpoint()` when the context has a checkpoint dir
+    * (fault-tolerant truncation on a cluster), `localCheckpoint()`
+    * otherwise — the shared flavor switch for the iterative operators'
+    * `checkpointEvery` knobs. */
+  private def checkpointDf(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 }

@@ -247,9 +247,13 @@ object Sampling {
     * re-runs, retries and engines (and oracle-checkable, unlike rand()).
     *
     * The key surfaces as integer nanos (`floor(1e9·key)`) with the id as
-    * tie-break, so the selection order is integer-deterministic; u is an
-    * exact double (a 60-bit integer over 2^60) and ln is the single
-    * float op, making a flipped floor a ≲1e-10 coincidence per row.
+    * tie-break, so the selection order is integer-deterministic; u is
+    * deterministic across engines not because the long→double conversion
+    * is exact (above 2^53 it rounds) but because Spark, DuckDB, and the
+    * JVM all apply the identical IEEE round-to-nearest conversion to the
+    * identical hash-derived long — and ln/division/multiply are likewise
+    * exactly-specified IEEE ops, making a flipped floor a ≲1e-10
+    * coincidence per row rather than an engine disagreement.
     *
     * Scale shape: a pure per-row projection followed by sort-limit —
     * Spark plans TakeOrderedAndProject (per-partition top-k, then a

@@ -67,7 +67,7 @@ object DocStreams {
       }
       .start()
 
-  private[streaming] def mergeCountMinBatch(
+  private[graft] def mergeCountMinBatch(
       batch: DataFrame,
       batchId: Long,
       sketchStoreDir: String,
@@ -76,18 +76,73 @@ object DocStreams {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val delta = TextAnalysis.countMinSketch(batch, "doc_id", "text", depth, width)
-    val p = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/current")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, current) = recoverStore(spark, sketchStoreDir)
     val merged =
-      if (fs.exists(p))
-        spark.read.parquet(p.toString).unionByName(delta)
+      if (fs.exists(current))
+        spark.read.parquet(current.toString).unionByName(delta)
           .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as("cnt"))
       else delta
     // write-then-swap: a crash mid-write must not destroy the only copy
     val next = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/next_$batchId")
     merged.write.mode("overwrite").parquet(next.toString)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(next, p)
+    swapStore(fs, sketchStoreDir, next, batchId)
+  }
+
+  /** Crash-safe store read: the swap protocol below renames the live
+    * store ASIDE (`prev_<batchId>`) before promoting the new one, so at
+    * every instant a complete copy exists under exactly one of
+    * `current` / `prev_*`. If `current` is missing (a crash landed
+    * between the two renames), the newest `prev_` IS the pre-batch
+    * store — promote it back and proceed; the checkpointed batch then
+    * replays against it, which the callers' merge semantics absorb
+    * (HLL register max is idempotent; Count-Min re-adds a delta that
+    * never committed). Returns the filesystem and the `current` path
+    * (which may still not exist on the very first batch). */
+  private[streaming] def recoverStore(
+      spark: SparkSession,
+      storeDir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val current = new org.apache.hadoop.fs.Path(s"$storeDir/current")
+    val fs = current.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(current)) {
+      val prevs = listPrev(fs, storeDir)
+      if (prevs.nonEmpty) {
+        val newest = prevs.maxBy(p => p.getName.stripPrefix("prev_").toLong)
+        fs.rename(newest, current)
+      }
+    }
+    (fs, current)
+  }
+
+  /** Promote `next` to `<storeDir>/current` with no window in which no
+    * complete store exists: rename the old current aside
+    * (`prev_<batchId>`), rename next into place, THEN delete every
+    * superseded `prev_`. The former delete-then-rename swap had a crash
+    * window (after the delete, before the rename) that silently dropped
+    * all earlier registers on replay — [[recoverStore]] closes it from
+    * the read side. */
+  private def swapStore(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String,
+      next: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    val current = new org.apache.hadoop.fs.Path(s"$storeDir/current")
+    if (fs.exists(current)) {
+      val prev = new org.apache.hadoop.fs.Path(s"$storeDir/prev_$batchId")
+      if (fs.exists(prev)) fs.delete(prev, true) // a replayed batch's leftover
+      fs.rename(current, prev)
+    }
+    fs.rename(next, current)
+    listPrev(fs, storeDir).foreach(p => fs.delete(p, true))
+  }
+
+  private def listPrev(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("prev_") &&
+        p.getName.stripPrefix("prev_").forall(_.isDigit))
   }
 
   /** Streaming HyperLogLog maintenance: each micro-batch's shingle
@@ -99,7 +154,11 @@ object DocStreams {
     * commutative: replaying or reordering batches cannot change
     * `max_rho`, so the distinct estimate is exact-sketch-correct under
     * at-least-once delivery too. (`n_hashed` is additive diagnostics
-    * only and does not share that guarantee.) */
+    * only and does not share that guarantee.) The store swap itself is
+    * crash-safe: [[recoverStore]]/`swapStore` keep a complete copy under
+    * `current` or `prev_*` at every instant, so a crash anywhere in the
+    * merge replays the batch against the pre-batch registers rather
+    * than an empty store. */
   def startHll(
       docs: DataFrame,
       sketchStoreDir: String,
@@ -123,8 +182,7 @@ object DocStreams {
       batch.select(explode(
         graft.functions.Functions.wordShingles(col("text"), 3)).as("g")),
       col("g"), p)
-    val store = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/current")
-    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fs, store) = recoverStore(spark, sketchStoreDir)
     val merged =
       if (fs.exists(store))
         spark.read.parquet(store.toString).unionByName(delta)
@@ -134,7 +192,6 @@ object DocStreams {
       else delta
     val next = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/next_$batchId")
     merged.write.mode("overwrite").parquet(next.toString)
-    if (fs.exists(store)) fs.delete(store, true)
-    fs.rename(next, store)
+    swapStore(fs, sketchStoreDir, next, batchId)
   }
 }

@@ -342,25 +342,37 @@ class PipelineOpsSpec extends AnyFunSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val strGen = for {
-      n <- Gen.choose(1, 9)
-      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
-    } yield cs.mkString
+    // mixed generator: small-alphabet randoms (heavy gram repeats) plus
+    // single-char runs — LONG strings with tiny distinct-gram counts,
+    // the case where a length-based brute gate under-covers at d ≥ 2
+    // ('aaaaaaaaaa' has |G| = 5 at q = 3 no matter the length)
+    val strGen = Gen.frequency(
+      4 -> (for {
+        n <- Gen.choose(1, 9)
+        cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString),
+      1 -> (for {
+        n <- Gen.choose(4, 12)
+        ch <- Gen.oneOf('a', 'b')
+      } yield ch.toString * n))
     val setGen = Gen.zip(Gen.listOfN(8, strGen), Gen.listOfN(8, strGen))
-    cases(setGen, 6).foreach { case (ls, rs) =>
-      val l = ls.distinct.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
-        .toDF("id", "s")
-      val r = rs.distinct.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
-        .toDF("id", "s")
-      val got = operators.FuzzyJoin
-        .qgramEditJoin(l, "id", "s", r, "id", "s", q = 3, maxDist = 1)
-        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
-      val want = (for {
-        (a, i) <- ls.distinct.zipWithIndex
-        (b, j) <- rs.distinct.zipWithIndex
-        if lev(a, b) <= 1
-      } yield (i.toLong, j.toLong)).toSet
-      assert(got == want, s"left $ls right $rs missing=${want -- got} extra=${got -- want}")
+    for (maxDist <- Seq(1, 2)) {
+      cases(setGen, 4).foreach { case (ls, rs) =>
+        val l = ls.distinct.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
+          .toDF("id", "s")
+        val r = rs.distinct.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
+          .toDF("id", "s")
+        val got = operators.FuzzyJoin
+          .qgramEditJoin(l, "id", "s", r, "id", "s", q = 3, maxDist = maxDist)
+          .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (a, i) <- ls.distinct.zipWithIndex
+          (b, j) <- rs.distinct.zipWithIndex
+          if lev(a, b) <= maxDist
+        } yield (i.toLong, j.toLong)).toSet
+        assert(got == want,
+          s"d=$maxDist left $ls right $rs missing=${want -- got} extra=${got -- want}")
+      }
     }
   }
 

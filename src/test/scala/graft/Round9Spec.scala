@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+import graft.streaming.DocStreams
+
+/** Round-9 hardening: iterative-operator lineage knobs, the crash-safe
+  * sketch-store swap, and the new d-dimensional operators' locks. */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a triangle + pendant: communities and degrees are asymmetric enough
+  // that a wrong round boundary or lost lineage changes the answer
+  private def testEdges = Seq(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
+    (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L))
+    .toDF("src", "dst")
+
+  test("labelPropagation: checkpointEvery knob yields bit-identical labels") {
+    val off = Graph.labelPropagation(testEdges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = Graph.labelPropagation(testEdges, rounds = 5, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(on == off)
+  }
+
+  test("labelPropagation: reliable flavor (checkpoint dir set) bit-identical too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lp_ckpt").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val off = Graph.labelPropagation(testEdges, rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val on = Graph.labelPropagation(testEdges, rounds = 4, checkpointEvery = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(on == off)
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint under $dir")
+    } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("randomWalks: checkpointEvery knob yields bit-identical walks") {
+    val seeds = Seq(1L, 2L, 5L).toDF("node")
+    def walks(ck: Int) =
+      Graph.randomWalks(testEdges, seeds, walkLength = 6, checkpointEvery = ck)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(walks(2) == walks(0))
+    assert(walks(3) == walks(0))
+  }
+
+  // ----- crash-safe sketch-store swap -----------------------------------
+
+  test("mergeHllBatch: crash between the swap renames loses no registers") {
+    val store = java.nio.file.Files.createTempDirectory("graft_hll_crash").toString
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    DocStreams.mergeHllBatch(b1, 0L, store, p = 6)
+    val healthy = spark.read.parquet(s"$store/current")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // simulate the mid-swap crash: current was renamed aside to prev_1
+    // and the process died before next_1 moved into place
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$store/current"),
+      new org.apache.hadoop.fs.Path(s"$store/prev_1")))
+
+    // the replayed batch must merge against the RECOVERED registers —
+    // under the old delete-then-rename swap it saw an empty store and
+    // rebuilt from b2's delta alone
+    DocStreams.mergeHllBatch(b2, 1L, store, p = 6)
+    val merged = spark.read.parquet(s"$store/current")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    healthy.foreach { case (bucket, rho) =>
+      assert(merged.getOrElse(bucket, -1L) >= rho,
+        s"bucket $bucket lost its pre-crash register ($rho) after recovery")
+    }
+    // the swap cleaned up: exactly one complete store, no prev_ leftovers
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("current") && !names.exists(_.startsWith("prev_")),
+      s"unexpected store contents: $names")
+  }
+
+  test("mergeCountMinBatch: healthy swap leaves one store and re-adds exactly") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cms_crash").toString
+    val b1 = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    DocStreams.mergeCountMinBatch(b1, 0L, store, depth = 2, width = 16)
+    val total1 = spark.read.parquet(s"$store/current")
+      .agg(sum("cnt")).head().getLong(0)
+    DocStreams.mergeCountMinBatch(b1, 1L, store, depth = 2, width = 16)
+    val total2 = spark.read.parquet(s"$store/current")
+      .agg(sum("cnt")).head().getLong(0)
+    assert(total2 == 2 * total1, "second batch must add exactly one delta")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).toSet
+    assert(names == Set("current"), s"unexpected store contents: $names")
+  }
+}
