@@ -8721,7 +8721,37 @@ object Queries {
               s"SELECT $r::BIGINT AS rank, vec_id, min_d2::BIGINT AS min_d2 FROM s$r")
               .mkString("\n UNION ALL ")}
            |ORDER BY rank""".stripMargin
-      }))
+      }),
+
+    // d-dimensional skyline (d = 3: price × recency × urgency) via the
+    // grid partition-and-prune form — q263's aggregate+window trick is
+    // structurally 2-D. Cell summaries are a keyed aggregate (bounded
+    // by the grid, not the corpus); the exact dominance join runs on
+    // the pruned near-frontier band only. Urgency recodes '1-URGENT'…
+    // '5-LOW' so bigger = more urgent and all three criteria maximize.
+    // Oracle: the O(n²) NOT EXISTS statement of the same frontier.
+    "q267_skyline_3d" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100).as("cents"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+          (lit(6L) - substring(col("o_orderpriority"), 1, 1).cast("long"))
+            .as("urg"))
+        operators.Skyline.skylineN(o, Seq("cents", "d", "urg"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+             |    floor(o_totalprice * 100)::BIGINT AS cents,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS d,
+             |    (6 - CAST(o_orderpriority[1] AS BIGINT))::BIGINT AS urg
+             |  FROM orders)
+             |SELECT o_orderkey, cents, d, urg FROM o p
+             |WHERE NOT EXISTS (SELECT 1 FROM o q
+             |  WHERE q.cents >= p.cents AND q.d >= p.d AND q.urg >= p.urg
+             |    AND (q.cents > p.cents OR q.d > p.d OR q.urg > p.urg))
+             |ORDER BY o_orderkey""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{broadcast => bcast}
 
 /** The skyline operator (Börzsönyi/Kossmann/Stocker, "The Skyline
   * Operator", ICDE 2001): rows not dominated in a maximize-both
@@ -49,5 +50,116 @@ object Skyline {
         broadcast(frontier),
         df(xCol) === frontier("_sky_x") && df(yCol) === frontier("_sky_my"))
       .drop("_sky_x", "_sky_my")
+  }
+
+  /** d-dimensional maximize-all skyline (d ≥ 2) via grid partition-and-
+    * prune (the partitioned skyline of Börzsönyi et al. §5, in keyed-
+    * aggregate form). [[skyline2]]'s aggregate+window trick is
+    * structurally 2-D — "strictly better on the other axis" needs a
+    * single running max — so d ≥ 3 (price × recency × priority) takes a
+    * different shape:
+    *
+    *  1. distinct coordinate vectors (duplicates collapse — exact ties
+    *     never dominate each other, so they stand or fall together);
+    *  2. each vector lands in a grid cell (per-dim integer bucket from
+    *     the observed min/max, `gridBits` bits per dim); the per-cell
+    *     (componentwise min, componentwise max) summary is a keyed
+    *     aggregate — at most 2^(d·gridBits) rows no matter the corpus;
+    *  3. CELL prune (driver, on the bounded summary): cell b drops
+    *     entirely when some non-empty cell c has min(c) ≥ max(b) on all
+    *     dims, strict on one — every point of c then dominates every
+    *     point of b;
+    *  4. POINT prune: a point p is dominated outright when some cell's
+    *     min-corner ≥ p (strict somewhere) — every point of that cell
+    *     beats p. The Pareto-maximal min-corners (≤ `maxCornerTerms`,
+    *     best-spread first) are inlined as one codegen'd boolean — no
+    *     join. p's own cell can never satisfy it (its min ≤ p).
+    *  5. exact refinement: the surviving near-frontier band self-joins
+    *     (broadcast, LEFT ANTI on the dominance predicate). Dominance
+    *     is transitive, so testing against survivors only is exact —
+    *     every true skyline point survives the prunes and eliminates
+    *     whatever it dominates.
+    *
+    * The only corpus-sized ops are the distinct, the cell aggregate,
+    * and the pruning scan; the quadratic step runs on the pruned band
+    * only. Driver state is the cell summary (≤ 2^(d·gridBits) rows —
+    * `require`d ≤ 2^18) and its pairwise prune; anti-correlated data
+    * where the band stays huge makes ANY exact skyline output-bound —
+    * the contract is the standard one.
+    *
+    * Criteria must be integer-valued non-null columns (cast dates to
+    * days, money to cents), all maximized (negate to minimize). Returns
+    * the input rows (all columns) on the Pareto frontier. */
+  def skylineN(
+      df: DataFrame,
+      cols: Seq[String],
+      gridBits: Int = 3,
+      maxCornerTerms: Int = 64): DataFrame = {
+    val d = cols.size
+    require(d >= 2, s"skylineN needs >= 2 criteria, got $d")
+    require(gridBits >= 1 && d * gridBits <= 18,
+      s"d*gridBits must be <= 18 (cell summary stays driver-sized); got $d*$gridBits")
+    val coords = df.select(cols.map(c => col(c).cast("long").as(c)): _*).distinct()
+    val boundExprs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val bounds = coords.agg(boundExprs.head, boundExprs.tail: _*).head()
+    if (bounds.isNullAt(0)) return df.limit(0) // empty input: empty frontier
+    val g = 1L << gridBits
+    val (lo, w) = (0 until d).map { i =>
+      val (l, h) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+      (l, (h - l) / g + 1L) // (h-lo)/w <= g-1 by construction
+    }.unzip
+    // `div`, not `/`: Column./ on longs is double division
+    val keyExpr = (0 until d).map { i =>
+      expr(s"((`${cols(i)}` - ${lo(i)}L) div ${w(i)}L)") * lit(1L << (gridBits * i))
+    }.reduce(_ + _)
+    val cells = coords.withColumn("_sky_cell", keyExpr)
+    val summaryExprs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+    val summary = cells.groupBy(col("_sky_cell"))
+      .agg(summaryExprs.head, summaryExprs.tail: _*)
+      .collect()
+      .map { r =>
+        (r.getLong(0),
+          (0 until d).map(i => r.getLong(1 + 2 * i)).toArray,   // mn
+          (0 until d).map(i => r.getLong(2 + 2 * i)).toArray)   // mx
+      }
+    def dominates(a: Array[Long], b: Array[Long]): Boolean = {
+      var i = 0; var strict = false
+      while (i < d) {
+        if (a(i) < b(i)) return false
+        if (a(i) > b(i)) strict = true
+        i += 1
+      }
+      strict
+    }
+    val survivingCells = summary.collect {
+      case (key, _, mx) if !summary.exists { case (_, mn2, _) => dominates(mn2, mx) } => key
+    }.toSeq
+    // Pareto-maximal min-corners, best coordinate-sum first (the widest
+    // pruners); any subset is a sound pruner, so capping the inlined
+    // boolean at maxCornerTerms keeps codegen bounded
+    val corners = summary.map(_._2)
+      .filterNot(c => summary.exists { case (_, mn2, _) => dominates(mn2, c) })
+      .sortBy(c => -c.sum)
+      .take(maxCornerTerms)
+    val cornerDominated: Column =
+      if (corners.isEmpty) lit(false)
+      else corners.map { c =>
+        (0 until d).map(i => lit(c(i)) >= col(cols(i))).reduce(_ && _) &&
+          (0 until d).map(i => lit(c(i)) > col(cols(i))).reduce(_ || _)
+      }.reduce(_ || _)
+    val band = cells
+      .filter(col("_sky_cell").isInCollection(survivingCells))
+      .filter(!cornerDominated)
+      .drop("_sky_cell")
+    val q = band.select(cols.map(c => col(c).as(s"_q_$c")): _*)
+    val domPred =
+      cols.map(c => col(s"_q_$c") >= col(c)).reduce(_ && _) &&
+        cols.map(c => col(s"_q_$c") > col(c)).reduce(_ || _)
+    val frontier = band.join(bcast(q), domPred, "left_anti")
+    df.join(
+      bcast(frontier.select(cols.map(c => col(c).as(s"_f_$c")): _*)),
+      cols.map(c => df(c).cast("long") === col(s"_f_$c")).reduce(_ && _))
+      .drop(cols.map(c => s"_f_$c"): _*)
   }
 }

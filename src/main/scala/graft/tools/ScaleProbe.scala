@@ -110,8 +110,8 @@ object ScaleProbe {
       "work scales with the fixed 10-query eval set and its relevance pairs, not the corpus",
     "q261_fuzzy_join" ->
       "reads part, which the replica set deliberately omits; cost is name-domain-sized (64 distinct names) — the corpus-sized gram-explode shape is probed via q262",
-    "q263_skyline" ->
-      "replicas duplicate the exact (cents, day) coordinate set, so a probe would measure duplicate collapse in the per-x aggregate, not frontier growth; the aggregate+window shape is scan-bound",
+    "q263_skyline/q267_skyline_3d" ->
+      "replicas duplicate the exact coordinate set, so a probe would measure duplicate collapse in the first aggregate, not frontier growth; both shapes are scan-bound (q263 aggregate+window, q267 distinct + grid-bounded cell aggregate + band-only refinement)",
     "q264_cluster_by_reducer/q265_dynamic_gap_sessions" ->
       "read events, which the replica set omits; per-key script fold and session state are both watermark/partition-bounded, independent of corpus width",
     "q266_kcenter_coreset" ->

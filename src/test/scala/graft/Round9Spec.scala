@@ -86,6 +86,48 @@ class Round9Spec extends AnyFunSuite {
       s"unexpected store contents: $names")
   }
 
+  // ----- d-dimensional skyline -------------------------------------------
+
+  private def bruteSkyline(rows: Seq[(Long, Seq[Long])]): Set[Long] = {
+    def dom(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).forall { case (x, y) => x >= y } && a != b
+    rows.collect {
+      case (id, p) if !rows.exists { case (_, q) => dom(q, p) } => id
+    }.toSet
+  }
+
+  test("skylineN == brute-force dominance filter (d=3, d=4, duplicates, ties)") {
+    val rnd = new scala.util.Random(9)
+    for (d <- Seq(3, 4); trial <- 1 to 3) {
+      // small value range on purpose: dense ties and exact coordinate
+      // duplicates, the strictness edge cases
+      val pts = Seq.tabulate(250)(i =>
+        (i.toLong, Seq.fill(d)((rnd.nextInt(14) - 3).toLong)))
+      val names = (0 until d).map(i => s"c$i")
+      val df = pts.map { case (id, cs) => (id, cs) }
+        .toDF("id", "cs")
+        .select(col("id") +: names.zipWithIndex.map { case (n, i) =>
+          col("cs").getItem(i).as(n) }: _*)
+      val got = operators.Skyline.skylineN(df, names)
+        .select("id").as[Long].collect().toSet
+      val want = bruteSkyline(pts)
+      assert(got == want,
+        s"d=$d trial=$trial missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("skylineN(2) agrees with skyline2 on integer criteria") {
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val a = operators.Skyline.skyline2(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val b = operators.Skyline.skylineN(df, Seq("x", "y"))
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("mergeCountMinBatch: healthy swap leaves one store and re-adds exactly") {
     val store = java.nio.file.Files.createTempDirectory("graft_cms_crash").toString
     val b1 = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
