@@ -8358,7 +8358,20 @@ object Queries {
               s"SELECT $r::BIGINT AS rank, vec_id, rel::BIGINT AS rel_dot, score::BIGINT AS score FROM s$r")
               .mkString("\n UNION ALL ")}
            |ORDER BY rank""".stripMargin
-      }),
+      },
+      // production path at k in the hundreds: batch=4 pools the top-4
+      // per round and re-scores in-pool on the driver — 2 job rounds
+      // instead of 5 here, ceil(k/b) instead of k in general
+      benchFn = Some((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qv = Similarity
+          .quantizeInt8(emb.filter(col("vec_id") === 0), "vec_id", "embedding")
+          .select(col("qvec")).head().getSeq[Long](0)
+        Similarity.mmrSelect(
+            emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            qv, k = 5, batch = 4)
+          .orderBy(col("rank"))
+      })),
 
     // streaming HLL: per-batch registers max-merged into a parquet
     // store (q97's sketch-store pattern, but idempotent — a replayed
@@ -8691,7 +8704,10 @@ object Queries {
       (s, d) => operators.Similarity.kCenterGreedy(
           t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy(col("rank")),
-      Some {
+      benchFn = Some((s, d) => operators.Similarity.kCenterGreedy(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 5, batch = 4)
+        .orderBy(col("rank"))),
+      oracle = Some {
         def dTo(j: Int) =
           s"list_sum([(c.qv[i] - s$j.qv[i]) * (c.qv[i] - s$j.qv[i]) for i in range(1, len(c.qv) + 1)])"
         val steps = (2 to 5).map { r =>

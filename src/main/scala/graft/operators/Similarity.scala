@@ -700,12 +700,22 @@ object Similarity {
     * (`lamNum·rel − (lamDen−lamNum)·maxSim`) — every score is an exact
     * BIGINT, ties broken by id.
     *
-    * Scale shape: greedy MMR is inherently k sequential argmax rounds;
+    * Scale shape: greedy MMR is inherently sequential argmax rounds;
     * each round here is ONE distributed scan-and-TakeOrdered over the
     * corpus with the ≤k selected vectors inlined as literals (no join,
     * no corpus shuffle, k·dim longs of driver state). That is the honest
     * distributed cost of exact MMR — k passes — and the reason it runs
-    * AFTER a top-N ANN cut in practice, not instead of one. */
+    * AFTER a top-N ANN cut in practice, not instead of one. `batch = 1`
+    * (default) is exact greedy; `batch = b > 1` pools the per-round
+    * TOP-b by current score and greedily re-scores WITHIN the pool on
+    * the driver (each in-pool pick recomputes the redundancy penalty
+    * against everything selected so far, pool-earlier picks included) —
+    * ceil(k/b) job rounds instead of k. The first pick of every round
+    * is still the true global argmax; later in-pool picks are the
+    * standard batch-MMR heuristic (the true next argmax can fall
+    * outside the pool once the penalty moves). Spec-pinned: b = 1
+    * bit-equal to the sequential reference, every recorded score
+    * exact for its pick time, round-1 pick identical at any b. */
   def mmrSelect(
       corpus: DataFrame,
       idCol: String,
@@ -713,10 +723,17 @@ object Similarity {
       queryVec: Seq[Long],
       k: Int,
       lamNum: Int = 7,
-      lamDen: Int = 10): DataFrame = {
+      lamDen: Int = 10,
+      batch: Int = 1): DataFrame = {
     require(lamNum > 0 && lamNum < lamDen, s"need 0 < lamNum < lamDen")
+    require(batch >= 1)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def dotLocal(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
     val qLit = array(queryVec.map(lit): _*)
     val scored = quantizeInt8(corpus, idCol, vecCol)
       .select(col("vec_id"), col("qvec"))
@@ -725,7 +742,7 @@ object Similarity {
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Seq[Long], Long, Long)]
     var exhausted = false
-    for (_ <- 1 to k if !exhausted) {
+    while (selected.size < k && !exhausted) {
       val red = selected.toSeq.map { case (_, sv, _, _) =>
         dot(col("qvec"), array(sv.map(lit): _*))
       } match {
@@ -739,20 +756,42 @@ object Similarity {
       val remaining =
         if (selected.isEmpty) scored
         else scored.filter(!col("vec_id").isInCollection(selected.map(_._1)))
-      remaining
+      val want = math.min(batch, k - selected.size)
+      val pool = remaining
         .withColumn("score",
           lit(lamNum.toLong) * col("rel") - lit((lamDen - lamNum).toLong) * red)
         .orderBy(col("score").desc, col("vec_id"))
-        .limit(1)
-        .select(col("vec_id"), col("qvec"), col("rel"), col("score"))
-        .collect().headOption match {
-        case Some(pick) =>
-          selected += ((pick.getLong(0), pick.getSeq[Long](1),
-            pick.getLong(2), pick.getLong(3)))
-        case None =>
-          // k exceeded the corpus: return the exhausted selection
-          // rather than throwing from an empty round
-          exhausted = true
+        .limit(want)
+        .select(col("vec_id"), col("qvec"), col("rel"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+        .toBuffer
+      if (pool.isEmpty) {
+        // k exceeded the corpus: return the exhausted selection
+        // rather than throwing from an empty round
+        exhausted = true
+      } else {
+        // in-pool greedy with EXACT driver-side scores: each pick's
+        // redundancy penalty includes pool-earlier picks, so every
+        // recorded score is exact for its pick time. With batch = 1
+        // this is precisely the sequential reference.
+        var taken = 0
+        while (taken < want && pool.nonEmpty) {
+          val sc = pool.map { case (id, v, rel) =>
+            val redMax =
+              if (selected.isEmpty) 0L
+              else selected.map(s => dotLocal(v, s._2)).max
+            (id, v, rel,
+              lamNum.toLong * rel - (lamDen - lamNum).toLong * redMax)
+          }
+          val (pid, pv, prel, pscore) = sc.minBy { case (id, _, _, s) => (-s, id) }
+          selected += ((pid, pv, prel, pscore))
+          pool.indexWhere(_._1 == pid) match {
+            case -1 =>
+            case ix => pool.remove(ix)
+          }
+          taken += 1
+        }
       }
     }
     scored.unpersist()
@@ -777,18 +816,38 @@ object Similarity {
     * Output: (rank, vec_id, min_d2) with min_d2 = the point's squared
     * distance to the nearest EARLIER center (the seed's is 0).
     *
-    * Scale shape: k sequential rounds, each ONE scan + TakeOrdered with
-    * the ≤k selected centers inlined as literals — no join, no corpus
-    * shuffle, k·dim longs of driver state. */
+    * Scale shape: sequential rounds, each ONE scan + TakeOrdered with
+    * the selected centers inlined as literals — no join, no corpus
+    * shuffle, k·dim longs of driver state. `batch = 1` (default) is
+    * the exact Gonzalez greedy at k − 1 rounds; `batch = b > 1` takes
+    * the per-round TOP-b by current maximin distance as a candidate
+    * pool and greedily re-checks WITHIN the pool on the driver (each
+    * in-pool pick recomputes exact distances against everything
+    * selected so far, including pool-earlier picks) — ceil((k−1)/b)
+    * job rounds instead of k − 1, the difference between 500 and 8
+    * Spark jobs at k = 500. The first pick of every round is still the
+    * true global argmax (its pool score IS its exact score), so the
+    * batched selection satisfies the Gonzalez bound relative to the
+    * ROUND count: covering radius ≤ 2·OPT(#rounds) — the documented
+    * trade: b widens per-round data reuse at the cost of the guarantee
+    * referencing ceil((k−1)/b) centers instead of k. Spec-pinned:
+    * b = 1 bit-equal to the sequential reference, and the batched
+    * radius within 2× of exact greedy's on the property frame. */
   def kCenterGreedy(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
-    require(k >= 1)
+      k: Int,
+      batch: Int = 1): DataFrame = {
+    require(k >= 1 && batch >= 1)
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    // persist: k rounds each rescan this projection (same as mmrSelect)
+    def d2Local(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    // persist: every round rescans this projection (same as mmrSelect)
     val qz = quantizeInt8(corpus, idCol, vecCol)
       .select(col("vec_id"), col("qvec")).persist()
     val seed = qz.orderBy(col("vec_id")).limit(1)
@@ -797,22 +856,39 @@ object Similarity {
       .empty[(Long, Seq[Long], Long)]
     seed.foreach(r => selected += ((r.getLong(0), r.getSeq[Long](1), 0L)))
     var exhausted = selected.isEmpty
-    for (_ <- 2 to k if !exhausted) {
+    while (selected.size < k && !exhausted) {
       val minD = selected.toSeq.map { case (_, sv, _) =>
         d2(col("qvec"), array(sv.map(lit): _*))
       } match {
         case Seq(d)  => d
         case ds      => least(ds: _*)
       }
-      qz.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+      val want = math.min(batch, k - selected.size)
+      val pool = qz.filter(!col("vec_id").isInCollection(selected.map(_._1)))
         .withColumn("min_d2", minD)
         .orderBy(col("min_d2").desc, col("vec_id"))
-        .limit(1)
-        .select(col("vec_id"), col("qvec"), col("min_d2"))
-        .collect().headOption match {
-        case Some(pick) =>
-          selected += ((pick.getLong(0), pick.getSeq[Long](1), pick.getLong(2)))
-        case None => exhausted = true
+        .limit(want)
+        .select(col("vec_id"), col("qvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .toBuffer
+      if (pool.isEmpty) exhausted = true
+      else {
+        // in-pool greedy with EXACT driver-side distances: pool scores
+        // were computed against the round-start selection; each pick
+        // here re-checks against pool-earlier picks too, so no pick's
+        // recorded min_d2 is stale. With batch = 1 this is precisely
+        // the sequential reference (one candidate, exact distance).
+        var taken = 0
+        while (taken < want && pool.nonEmpty) {
+          val scored = pool.map { case (id, v) =>
+            (id, v, selected.map(s => d2Local(v, s._2)).min)
+          }
+          val (pid, pv, pd) = scored.minBy { case (id, _, d) => (-d, id) }
+          selected += ((pid, pv, pd))
+          pool -= ((pid, pv))
+          taken += 1
+        }
       }
     }
     qz.unpersist()

@@ -86,6 +86,83 @@ class Round9Spec extends AnyFunSuite {
       s"unexpected store contents: $names")
   }
 
+  // ----- batched k-center / MMR ------------------------------------------
+
+  private def d2(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  private def vecFrame(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val vs = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextInt(255) - 127).toDouble.toFloat)))
+    (vs, vs.toDF("vec_id", "embedding"))
+  }
+
+  test("kCenterGreedy batch mode: exact recorded distances, bounded radius") {
+    val (_, df) = vecFrame(60, 6, seed = 21)
+    def radius(sel: Seq[(Long, Seq[Long])]): Long = {
+      val qz = operators.Similarity.quantizeInt8(df, "vec_id", "embedding")
+        .select(col("vec_id"), col("qvec"))
+        .as[(Long, Seq[Long])].collect()
+      qz.map { case (_, v) => sel.map(s => d2(v, s._2)).min }.max
+    }
+    def run(b: Int) = {
+      val out = operators.Similarity
+        .kCenterGreedy(df, "vec_id", "embedding", k = 8, batch = b)
+        .orderBy(col("rank"))
+        .as[(Long, Long, Long)].collect().toSeq // (rank, vec_id, min_d2)
+      val qz = operators.Similarity.quantizeInt8(df, "vec_id", "embedding")
+        .select(col("vec_id"), col("qvec"))
+        .as[(Long, Seq[Long])].collect().toMap
+      (out, out.map { case (_, id, _) => (id, qz(id)) })
+    }
+    val (exact, exactSel) = run(1)
+    val (batched, batchedSel) = run(3)
+    assert(batched.size == 8 && batched.map(_._2).distinct.size == 8)
+    // seed + the first pick of round 1 are the true greedy picks at any b
+    assert(batched.take(2) == exact.take(2))
+    // every recorded min_d2 is exact w.r.t. the EARLIER batched centers
+    // (no stale pool score leaks into the output)
+    batched.zipWithIndex.drop(1).foreach { case ((_, id, d), i) =>
+      val earlier = batchedSel.take(i)
+      val v = batchedSel(i)._2
+      assert(d == earlier.map(s => d2(v, s._2)).min,
+        s"pick $id recorded stale min_d2")
+    }
+    // the documented trade: 2·OPT(#rounds) vs 2·OPT(k) — on this frame
+    // the batched radius stays within 2x of exact greedy's
+    assert(radius(batchedSel) <= 2 * radius(exactSel),
+      s"batched radius ${radius(batchedSel)} vs exact ${radius(exactSel)}")
+  }
+
+  test("mmrSelect batch mode: exact recorded scores, same first pick") {
+    val (_, df) = vecFrame(40, 6, seed = 33)
+    val qv = operators.Similarity
+      .quantizeInt8(df.filter(col("vec_id") === 0), "vec_id", "embedding")
+      .select(col("qvec")).head().getSeq[Long](0)
+    def run(b: Int) = operators.Similarity
+      .mmrSelect(df.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        qv, k = 6, batch = b)
+      .orderBy(col("rank"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val exact = run(1)
+    val batched = run(4)
+    assert(batched.size == 6 && batched.map(_._2).distinct.size == 6)
+    assert(batched.head == exact.head) // round-1 first pick is the true argmax
+    // recorded scores are exact for their pick time: recompute the
+    // penalty against the earlier batched picks with driver dot products
+    val qz = operators.Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("qvec"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    batched.zipWithIndex.foreach { case ((_, id, rel, score), i) =>
+      assert(rel == dot(qz(id), qv), s"pick $id relevance mismatch")
+      val red = if (i == 0) 0L
+        else batched.take(i).map { case (_, pid, _, _) => dot(qz(id), qz(pid)) }.max
+      assert(score == 7L * rel - 3L * red, s"pick $id recorded stale score")
+    }
+  }
+
   // ----- d-dimensional skyline -------------------------------------------
 
   private def bruteSkyline(rows: Seq[(Long, Seq[Long])]): Set[Long] = {
