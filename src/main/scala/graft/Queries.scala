@@ -8767,7 +8767,94 @@ object Queries {
              |WHERE NOT EXISTS (SELECT 1 FROM o q
              |  WHERE q.cents >= p.cents AND q.d >= p.d AND q.urg >= p.urg
              |    AND (q.cents > p.cents OR q.d > p.d OR q.urg > p.urg))
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // full-corpus Lloyd's k-means (k=4, 3 fixed rounds) over int8
+    // vectors: per round one scan with the centroid matrix inlined
+    // (sort_array argmin over k structs) + a k-row per-dim sum
+    // aggregate — corpus never shuffles. The +127 shift makes every
+    // dim-sum non-negative so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree; ties go to the smaller cid in both. Oracle:
+    // the 3 assignment/update rounds unrolled (parallel unnests zip
+    // positionally for the per-dim sums, as the BPE oracle does).
+    "q268_kmeans_lloyd" -> Q(
+      (s, d) => operators.Similarity.kmeansLloyd(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
+        .orderBy(col("cid"), col("dim_idx")),
+      Some {
+        val steps = (1 to 3).map { i =>
+          s"""d$i AS (SELECT p.vec_id, p.qv, c.cid,
+             |    list_sum([(p.qv[j] - c.qv[j]) * (p.qv[j] - c.qv[j])
+             |      for j in range(1, len(p.qv) + 1)]) AS d2
+             |  FROM qz p, c${i - 1} c),
+             |a$i AS (SELECT vec_id, qv, cid FROM (
+             |    SELECT vec_id, qv, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |    FROM d$i) WHERE rn = 1),
+             |n$i AS (SELECT cid, j, sum(v + 127)::BIGINT AS s,
+             |    count(*)::BIGINT AS n
+             |  FROM (SELECT cid, unnest(range(1, len(qv) + 1)) AS j,
+             |        unnest(qv) AS v FROM a$i)
+             |  GROUP BY cid, j),
+             |c$i AS (SELECT p.cid,
+             |    CASE WHEN max(n.cid) IS NULL THEN p.qv
+             |      ELSE list(n.s // n.n - 127 ORDER BY n.j) END AS qv
+             |  FROM c${i - 1} p LEFT JOIN n$i n ON p.cid = n.cid
+             |  GROUP BY p.cid, p.qv)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |m0 AS (SELECT vec_id, e,
+           |    list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+           |qz AS (SELECT vec_id,
+           |    CASE WHEN m = 0 THEN list_transform(e, x -> 0::BIGINT)
+           |    ELSE list_transform(e, x ->
+           |      floor(x * 127.0::DOUBLE / m + 0.5::DOUBLE)::BIGINT)
+           |    END AS qv
+           |  FROM m0),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, qv
+           |  FROM (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT 4)),
+           |$steps,
+           |cnt AS (SELECT cid, count(*)::BIGINT AS n FROM a3 GROUP BY cid),
+           |f AS (SELECT cid, unnest(range(1, len(qv) + 1)) - 1 AS dim_idx,
+           |    unnest(qv) AS c_val FROM c3)
+           |SELECT f.cid, f.dim_idx::BIGINT AS dim_idx, f.c_val::BIGINT AS c_val,
+           |  coalesce(cnt.n, 0)::BIGINT AS n_points
+           |FROM f LEFT JOIN cnt ON f.cid = cnt.cid
+           |ORDER BY f.cid, f.dim_idx""".stripMargin
+      }),
+
+    // 3-column z-order rewrite (q79's two-column sibling): interleave
+    // custkey × orderdate × totalprice at stride 3, one range-shuffle
+    // write, then read back through a 3-D box predicate — content must
+    // round-trip bit-exactly vs the same predicate on the original
+    // table; per-file span bounds on all three dims are Round9Spec's
+    // assertion, normalize exactness past 2^53 likewise
+    "q269_zorder3_layout" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_zorder3_query")
+        graft.operators.Layout.zorderWriteN(
+          t(s, d, "orders"),
+          Seq("o_custkey", "o_orderdate", "o_totalprice"),
+          s"$base/out", numFiles = 8)
+        s.read.parquet(s"$base/out")
+          .filter(col("o_custkey").between(100, 500) &&
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
+            col("o_totalprice") >= 50000.0)
+          .agg(
+            count(lit(1)).as("n_orders"),
+            usum(col("o_totalprice")).as("total_price_micros"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  sum(floor(o_totalprice*1e6)::BIGINT)::BIGINT AS total_price_micros,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 500
+             |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-01-01'
+             |  AND o_totalprice >= 50000.0""".stripMargin)))
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

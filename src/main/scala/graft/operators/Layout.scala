@@ -21,23 +21,38 @@ object Layout {
   /** Morton-interleave two already-normalized keys (each in
     * [0, 2^bits)): bit i of `a` lands at position 2i, bit i of `b` at
     * 2i+1. Pure integer column expressions — codegen'd, zero shuffle. */
-  def zorderKey2(a: Column, b: Column, bits: Int): Column = {
-    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  def zorderKey2(a: Column, b: Column, bits: Int): Column =
+    zorderKeyN(Seq(a, b), bits)
+
+  /** n-column Morton interleave: bit i of column j lands at position
+    * i·n + j, so every contiguous z-key range is a small hyper-
+    * rectangle in all n dimensions. `zorderKey2` is the n = 2 case
+    * bit-for-bit. Pure integer expressions — codegen'd, zero shuffle. */
+  def zorderKeyN(colsN: Seq[Column], bits: Int): Column = {
+    val n = colsN.size
+    require(n >= 2, s"z-order needs >= 2 columns, got $n")
+    require(bits > 0 && n * bits <= 62,
+      s"n*bits must fit a positive long: got $n*$bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      colsN.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
     }
   }
 
   /** Min-max normalize an integer column to [0, 2^bits) with pure Long
-    * arithmetic (no doubles — exact at any magnitude). `lo`/`hi` are the
-    * column's actual bounds, collected once driver-side (two longs). */
+    * arithmetic — `div` (IntegralDivide), NOT `Column./`, which widens
+    * to double and silently rounds once (v − lo)·(2^bits − 1) passes
+    * 2^53 (an epoch-micros span at bits = 16 is already there). Exact
+    * at any magnitude, matching the bucketize math the z-key spec
+    * assumes. `lo`/`hi` are the column's actual bounds, collected once
+    * driver-side (two longs). */
   def normalize(v: Column, lo: Long, hi: Long, bits: Int): Column = {
     val span = math.max(1L, hi - lo)
-    // (v - lo) * (2^bits - 1) / span, staged so the product can't
+    // (v - lo) * (2^bits - 1) div span, staged so the product can't
     // overflow for spans up to 2^(63 - bits)
-    ((v - lit(lo)) * lit((1L << bits) - 1) / lit(span)).cast("long")
+    org.apache.spark.sql.graftbridge.Bridge.integralDivide(
+      (v - lit(lo)) * lit((1L << bits) - 1), lit(span))
   }
 
   /** Rewrite `df` into `outDir` z-ordered on two integer-valued columns:
@@ -65,13 +80,27 @@ object Layout {
       colB: String,
       outDir: String,
       numFiles: Int,
+      bits: Int = 16): Unit =
+    zorderWriteN(df, Seq(colA, colB), outDir, numFiles, bits)
+
+  /** n-column z-ordered rewrite: same one-shuffle shape as the 2-column
+    * form — normalize each integer-valued column from its observed
+    * bounds, interleave all n, range-partition + sort-within by the
+    * z-key. Driver traffic is the 2n-long bounds row. Readers prune
+    * files/row-groups on ANY of the n columns' parquet stats. */
+  def zorderWriteN(
+      df: DataFrame,
+      colsN: Seq[String],
+      outDir: String,
+      numFiles: Int,
       bits: Int = 16): Unit = {
-    val (la, lb) = (asLong(df, colA), asLong(df, colB))
-    val r = df.agg(min(la), max(la), min(lb), max(lb)).head()
-    val z = zorderKey2(
-      normalize(la, r.getLong(0), r.getLong(1), bits),
-      normalize(lb, r.getLong(2), r.getLong(3), bits),
-      bits)
+    val longs = colsN.map(c => asLong(df, c))
+    val boundExprs = longs.flatMap(l => Seq(min(l), max(l)))
+    val r = df.agg(boundExprs.head, boundExprs.tail: _*).head()
+    val z = zorderKeyN(
+      longs.zipWithIndex.map { case (l, i) =>
+        normalize(l, r.getLong(2 * i), r.getLong(2 * i + 1), bits)
+      }, bits)
     df.withColumn("_zkey", z)
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))

@@ -899,6 +899,86 @@ object Similarity {
     }.toDF("rank", "vec_id", "min_d2")
   }
 
+  /** Fixed-round distributed Lloyd's k-means over int8-quantized
+    * vectors — the corpus-scale clustering step ([[ivfTrainCentroids]]
+    * trains a coarse quantizer from a bounded SAMPLE; this iterates
+    * assignment/update over the FULL corpus, the SemDeDup/IVF
+    * clustering shape at 100 TB).
+    *
+    * Determinized end-to-end: initial centroids are the k smallest ids'
+    * quantized vectors; assignment is exact integer squared-L2 argmin
+    * with ties to the smallest centroid id; the centroid update is the
+    * componentwise integer mean `floor(Σ(q_j + 127) / n) − 127` — the
+    * +127 shift keeps every sum non-negative so floor and truncating
+    * division agree in every engine (Spark `div` truncates toward zero,
+    * DuckDB `//` floors; they only disagree below zero). Empty clusters
+    * keep their previous centroid. A fixed round count keeps the
+    * computation a straight-line plan an oracle can unroll.
+    *
+    * Scale shape per round: ONE corpus scan with the k·dim centroid
+    * matrix inlined as literals (argmin is a codegen'd sort_array over
+    * k structs — no join), then a k-row map-side-combined aggregate of
+    * per-dimension sums (`groupBy(cid).agg(sum(qvec[j]))`, NOT a
+    * posexplode — the shuffle carries k × (dim+1) longs, not
+    * corpus × dim rows). Driver state is k·dim longs per round. Returns
+    * (cid, dim_idx, c_val, n_points): the round-`rounds` centroids
+    * exploded per dimension with each cluster's member count from the
+    * assignment that produced them. */
+  def kmeansLloyd(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qz = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id"), col("qvec")).persist()
+    var centroids: Seq[(Long, Seq[Long])] = qz.orderBy(col("vec_id")).limit(k)
+      .select(col("qvec")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }
+    if (centroids.isEmpty) {
+      qz.unpersist()
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cid", "dim_idx", "c_val", "n_points")
+    }
+    val dim = centroids.head._2.length
+    var counts: Map[Long, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val cidExpr = sort_array(array(centroids.map { case (cid, cv) =>
+        struct(
+          aggregate(
+            zip_with(col("qvec"), array(cv.map(lit): _*),
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(cid).as("c"))
+      }: _*))(0).getField("c")
+      val aggExprs = count(lit(1)).as("n") +: (0 until dim).map(j =>
+        sum(col("qvec").getItem(j) + lit(127L)).as(s"s$j"))
+      val upd = qz.withColumn("cid", cidExpr)
+        .groupBy(col("cid"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .collect()
+        .map(r => r.getAs[Long]("cid") -> r).toMap
+      counts = centroids.map { case (cid, _) =>
+        cid -> upd.get(cid).map(_.getAs[Long]("n")).getOrElse(0L)
+      }.toMap
+      centroids = centroids.map { case (cid, prev) =>
+        upd.get(cid) match {
+          case Some(r) =>
+            val n = r.getAs[Long]("n")
+            (cid, (0 until dim).map(j => r.getAs[Long](s"s$j") / n - 127L))
+          case None => (cid, prev) // empty cluster keeps its centroid
+        }
+      }
+    }
+    qz.unpersist()
+    centroids.flatMap { case (cid, cv) =>
+      cv.zipWithIndex.map { case (v, j) => (cid, j.toLong, v, counts(cid)) }
+    }.toDF("cid", "dim_idx", "c_val", "n_points")
+  }
+
   /** Rank discounts for [[ndcgAtK]] as integer micro-units:
     * `floor(1e6 / log2(i+1))` for i = 1..k. Derived once on the JVM and
     * inlined as literals into both the Spark plan and the oracle SQL —

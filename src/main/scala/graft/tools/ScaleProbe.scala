@@ -73,7 +73,11 @@ object ScaleProbe {
     "q255_label_propagation",
     // winnowing explodes every k-gram and runs a bounded ROWS window
     // over the corpus — the gram stream grows linearly with data
-    "q262_winnow_fingerprints")
+    "q262_winnow_fingerprints",
+    // round-9: full-corpus Lloyd's — per round one argmin scan with the
+    // centroid matrix inlined + a k-row per-dim-sum aggregate; growth
+    // should track the scan (the replicated embeddings corpus)
+    "q268_kmeans_lloyd")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -89,8 +93,19 @@ object ScaleProbe {
     * 8g·0.6/32 ≈ 150 MB (observed UNABLE_TO_ACQUIRE_MEMORY). Run with
     * `SPARK_DRIVER_MEM=48g` (≈1.5 GB/core — ordinary production
     * sizing); on a real cluster the equivalent knob is scaling
-    * partition count with data, which the probe deliberately does NOT
-    * do so the timed plans stay identical across factors. */
+    * partition count with data, which the fixed-partition timing
+    * deliberately does NOT do so the timed plans stay identical
+    * across factors.
+    *
+    * To SEPARATE that memory-pressure effect from genuine algorithmic
+    * onset, each second-factor entry is timed TWICE: once at the fixed
+    * 32 partitions (identical plans, growing per-task state) and once
+    * with `shuffle.partitions` scaled ∝ the factor (cpus × factor2 —
+    * per-task state held ~constant, AQE coalescing toward its byte
+    * target exactly as a production cluster would). If the fixed run's
+    * excess over linear disappears in the scaled run, the gap was
+    * memory pressure, not algorithmic growth; both numbers land in the
+    * artifact as `ratio<f>` / `ratio<f>_sp`. */
   private val probeEntries2 = Seq(
     "q117_pagerank_copurchase",
     "q234_window_distinct")
@@ -268,8 +283,17 @@ object ScaleProbe {
         if (probeEntries2.contains(n) && dir2Ready) {
           val ts2 = best(n, outDir2)
           val ratio2 = ratioOf(ts2, tb)
-          System.err.println(f"[scale] $n%-28s x$factor2=$ts2%8.2fs ratio2=$ratio2")
-          s""","t_x$factor2":${f"$ts2%.3f"},"ratio$factor2":$ratio2"""
+          // partition-scaled twin: per-task state held ~constant, the
+          // production response to 30x data (see scaladoc above)
+          spark.conf.set("spark.sql.shuffle.partitions",
+            (cpus.toInt * factor2).toString)
+          val ts2p = best(n, outDir2)
+          spark.conf.set("spark.sql.shuffle.partitions", cpus)
+          val ratio2p = ratioOf(ts2p, tb)
+          System.err.println(
+            f"[scale] $n%-28s x$factor2=$ts2%8.2fs ratio2=$ratio2 scaled-parts=$ts2p%8.2fs ratio2_sp=$ratio2p")
+          s""","t_x$factor2":${f"$ts2%.3f"},"ratio$factor2":$ratio2""" +
+            s""","t_x${factor2}_sp":${f"$ts2p%.3f"},"ratio${factor2}_sp":$ratio2p"""
         } else ""
       s""""$n":{"t_base":${f"$tb%.3f"},"t_x$factor":${f"$ts%.3f"},"ratio":$ratio$second}"""
     }

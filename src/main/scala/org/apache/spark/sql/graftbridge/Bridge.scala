@@ -13,6 +13,14 @@ object Bridge {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** SQL `div` as a Column op: exact 64-bit integral division. The
+    * public `Column./` always widens to double, whose 53-bit mantissa
+    * silently rounds products past 2^53 — this is the exact form for
+    * normalize/bucketize arithmetic on wide integer domains. */
+  def integralDivide(a: Column, b: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a), expression(b)))
+
   /** Logical plan of a DataFrame (classic API). */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

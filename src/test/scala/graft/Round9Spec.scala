@@ -163,6 +163,152 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ----- n-column z-order ------------------------------------------------
+
+  test("zorderKeyN: n=2 is zorderKey2 bit-for-bit; n=3 interleaves at stride 3") {
+    val df2 = Seq((5L, 3L)).toDF("a", "b")
+    val z2 = df2.select(operators.Layout.zorderKey2(col("a"), col("b"), 3).as("z"))
+      .head().getLong(0)
+    val zn = df2.select(operators.Layout.zorderKeyN(Seq(col("a"), col("b")), 3).as("z"))
+      .head().getLong(0)
+    assert(z2 == zn && zn == 27L)
+    // a=1 -> bit at position 0; b=1 -> position 1; c=1 -> position 2
+    val z3 = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(operators.Layout.zorderKeyN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .head().getLong(0)
+    assert(z3 == 7L)
+    // a=2 (bit 1) lands at position 1*3+0 = 3 for n=3
+    val z4 = Seq((2L, 0L, 0L)).toDF("a", "b", "c")
+      .select(operators.Layout.zorderKeyN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .head().getLong(0)
+    assert(z4 == 8L)
+  }
+
+  test("normalize is exact past 2^53 (div, not double division)") {
+    // (v - lo) * (2^16 - 1) ~ 6e17 > 2^53: double division here rounds,
+    // integral division must not
+    val lo = 0L
+    val hi = 10000000000000L // 1e13 span (epoch-micros scale)
+    val v = 9999999999999L
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(operators.Layout.normalize(col("v"), lo, hi, 16).as("n"))
+      .head().getLong(0)
+    val exact = (BigInt(v - lo) * BigInt((1L << 16) - 1) / BigInt(hi - lo)).toLong
+    assert(got == exact, s"normalize drifted: $got vs $exact")
+  }
+
+  test("zorderWriteN(3) bounds per-file spans on ALL THREE dimensions") {
+    // 32 files over 3 dims ≈ 1.7 bits of interleave resolution per dim
+    // ((1/32)^(1/3) ≈ 0.32 ideal span); real-data skew (totalprice is
+    // right-skewed, so its top z-bit splits unevenly) degrades that —
+    // the assertion is vs the single-sort baseline, where the sorted
+    // dim is razor-sharp and the others stay ~full-span
+    val sf = "/root/testdata/sf0.001"
+    val orders = core.Engine.table(spark, sf, "orders")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder3_spec").toString
+    operators.Layout.zorderWriteN(
+      orders, Seq("o_custkey", "o_orderdate", "o_totalprice"), s"$base/z",
+      numFiles = 32)
+    orders.repartitionByRange(32, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$base/lin")
+    def ratios(dir: String): Seq[Double] = {
+      val df = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("d"),
+          col("o_totalprice").cast("long").as("p"))
+      val g = df.agg(
+        (max(col("o_custkey")) - min(col("o_custkey"))).cast("double"),
+        (max(col("d")) - min(col("d"))).cast("double"),
+        (max(col("p")) - min(col("p"))).cast("double")).head()
+      val per = df.groupBy(col("f")).agg(
+        (max(col("o_custkey")) - min(col("o_custkey"))).cast("double").as("ck"),
+        (max(col("d")) - min(col("d"))).cast("double").as("dd"),
+        (max(col("p")) - min(col("p"))).cast("double").as("pp"))
+        .agg(avg(col("ck")), avg(col("dd")), avg(col("pp"))).head()
+      (0 until 3).map(i => per.getDouble(i) / g.getDouble(i))
+    }
+    val z = ratios(s"$base/z")
+    val lin = ratios(s"$base/lin")
+    // single-sort: sharp on custkey, near-full on the others
+    assert(lin(0) < 0.2 && lin(1) > 0.8 && lin(2) > 0.8,
+      s"baseline unexpected: $lin")
+    // z-order: ALL dims bounded well below full span
+    z.zipWithIndex.foreach { case (r, i) =>
+      assert(r < 0.7, s"dim $i span ratio too wide: $z")
+    }
+  }
+
+  // ----- Lloyd's k-means -------------------------------------------------
+
+  /** Sequential Lloyd's reference over already-quantized ints: argmin by
+    * (d2, cid), integer mean via the same +127-shift truncating
+    * division, empty clusters keep their centroid. */
+  private def refKmeans(
+      vecs: Seq[(Long, Seq[Long])], k: Int, rounds: Int): (Seq[Seq[Long]], Map[Long, Long]) = {
+    var cents = vecs.sortBy(_._1).take(k).map(_._2)
+    var counts = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val assign = vecs.map { case (_, v) =>
+        val cid = cents.zipWithIndex
+          .map { case (c, i) => (d2(v, c), i) }.min._2
+        (cid, v)
+      }
+      counts = (0 until k).map(c =>
+        c.toLong -> assign.count(_._1 == c).toLong).toMap
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        val members = assign.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) prev
+        else prev.indices.map(j =>
+          members.map(_(j) + 127L).sum / members.size - 127L)
+      }
+    }
+    (cents, counts)
+  }
+
+  test("kmeansLloyd == sequential Lloyd's reference (incl. empty cluster)") {
+    // vec 0 and vec 1 identical: initial centroids 0 and 1 coincide, so
+    // in ROUND 1 every tie resolves to cid 0 and cluster 1 is empty —
+    // its centroid must hold at the initial value (later rounds may
+    // re-attract members once centroid 0 moves off the shared point)
+    val rnd = new scala.util.Random(41)
+    val base = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(4)((rnd.nextInt(255) - 127).toDouble.toFloat)))
+    val dup = base.updated(1, (1L, base.head._2))
+    val df = dup.toDF("vec_id", "embedding")
+    val qvecs = operators.Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("qvec"))
+      .as[(Long, Seq[Long])].collect().toSeq
+    val (refCents, refCounts) = refKmeans(qvecs, k = 3, rounds = 3)
+    val got = operators.Similarity
+      .kmeansLloyd(df, "vec_id", "embedding", k = 3, rounds = 3)
+      .orderBy(col("cid"), col("dim_idx"))
+      .as[(Long, Long, Long, Long)].collect()
+    val gotCents = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val gotCounts = got.map(r => r._1 -> r._4).toMap
+    refCents.zipWithIndex.foreach { case (c, i) =>
+      assert(gotCents(i.toLong) == c, s"centroid $i diverged")
+    }
+    assert(gotCounts == refCounts)
+    // the empty-cluster hold, observed at rounds = 1: cluster 1 gets no
+    // members (all ties go to the identical centroid 0) and must keep
+    // its initial centroid
+    val (r1Cents, r1Counts) = refKmeans(qvecs, k = 3, rounds = 1)
+    assert(r1Counts(1L) == 0L, "test setup: cluster 1 should be empty in round 1")
+    val got1 = operators.Similarity
+      .kmeansLloyd(df, "vec_id", "embedding", k = 3, rounds = 1)
+      .orderBy(col("cid"), col("dim_idx"))
+      .as[(Long, Long, Long, Long)].collect()
+    val got1Cents = got1.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got1Cents(1L) == qvecs.sortBy(_._1).apply(1)._2)
+    assert(got1.filter(_._1 == 1L).forall(_._4 == 0L))
+    r1Cents.zipWithIndex.foreach { case (c, i) =>
+      assert(got1Cents(i.toLong) == c, s"round-1 centroid $i diverged")
+    }
+  }
+
   // ----- d-dimensional skyline -------------------------------------------
 
   private def bruteSkyline(rows: Seq[(Long, Seq[Long])]): Set[Long] = {
