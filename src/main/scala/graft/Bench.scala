@@ -179,6 +179,23 @@ object Bench {
         "size(xpath(concat('<a><b>', id, '</b></a>'), '/a/b')) AS n")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // q218 cold-pass attribution (BENCH_r08's largest spread, 8.08 s on
+    // a ~1 s entry — q215's disease on the OTHER XML path): the first
+    // from_xml use pays StAX/Woodstox factory init + StaxXmlParser JIT.
+    // Fresh-JVM measurement of the entry alone: pass-1-vs-warm delta
+    // 0.62 s (the 8 s outlier was this delta amplified by a busy
+    // sandbox window, exactly like q215's r07 9.5 s). A 256-row touch
+    // removed nothing measurable (the parse loop never reached C2);
+    // this 32k-row touch through the SAME schema brings the isolated
+    // spread to ~0.48 s. The residual is the ENTRY's own plan-specific
+    // generated-class compile on first run — unavoidable per distinct
+    // plan, and min-of-2 records the warm pass.
+    try spark.range(0, 32768, 1, cpus.toInt).selectExpr(
+        "from_xml(concat('<o><k>', CAST(id AS STRING), '</k><p>x</p><ls>', " +
+          "repeat('<l>1</l>', CAST(id % 4 AS INT)), '</ls></o>'), " +
+          "'k BIGINT, p STRING, ls STRUCT<l: ARRAY<STRING>>') AS o")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     teardown(spark)
 
     // a failed query reports -1 (not its elapsed time): a crash must be
