@@ -679,6 +679,52 @@ object Queries {
               |JOIN g gb ON cand.doc_b = gb.doc_id
               |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
 
+    // exact n-gram containment on the same LSH candidates as q25: the
+    // doc-in-doc metric (Broder's containment) — a short doc quoted
+    // whole inside a long one scores cont_a ≈ 1e6 while its Jaccard
+    // stays near |a|/|b|, exactly the redundancy a Jaccard threshold
+    // keeps. Integer ppm both directions; empty gram sides score 0.
+    "q270_ngram_containment" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Dedup
+          .minhashLsh(docs, "doc_id", "text",
+            shingleN = 3, numHashes = minhashSeeds, bands = minhashBands)
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.containmentOnCandidates(docs, "doc_id", "text", cands, shingleN = 2)
+          .orderBy(col("cont_a_ppm").desc, col("cont_b_ppm").desc,
+            col("doc_a"), col("doc_b"))
+          .limit(50)
+      },
+      Some(s"""$duckMinhashCtes,
+              |cand AS (
+              |  SELECT DISTINCT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+              |    FROM bands a JOIN bands b2
+              |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)),
+              |t0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |g0 AS (
+              |  SELECT doc_id,
+              |    list_distinct([array_to_string(t[i:i+1], ' ')
+              |      for i in range(1, len(t))]) AS grams
+              |  FROM t0),
+              |g AS (
+              |  SELECT doc_id, [${dHash64("x")} for x in grams] AS h
+              |  FROM g0)
+              |SELECT doc_a, doc_b,
+              |  CASE WHEN len(ga.h) = 0 THEN 0
+              |    ELSE len(list_intersect(ga.h, gb.h))::BIGINT * 1000000 // len(ga.h)
+              |  END::BIGINT AS cont_a_ppm,
+              |  CASE WHEN len(gb.h) = 0 THEN 0
+              |    ELSE len(list_intersect(ga.h, gb.h))::BIGINT * 1000000 // len(gb.h)
+              |  END::BIGINT AS cont_b_ppm
+              |FROM cand
+              |JOIN g ga ON cand.doc_a = ga.doc_id
+              |JOIN g gb ON cand.doc_b = gb.doc_id
+              |ORDER BY cont_a_ppm DESC, cont_b_ppm DESC, doc_a, doc_b
+              |LIMIT 50""".stripMargin)),
+
     // exact-threshold guarantee path: prefix-filter + positional-filter
     // candidates (SSJoin/PPJoin family) + exact verification. Oracle is
     // the full quadratic threshold join — matching it exactly is the

@@ -540,6 +540,51 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exact n-gram CONTAINMENT on an externally-supplied candidate pair
+    * set: C(a→b) = |G(a) ∩ G(b)| / |G(a)| — the doc-in-doc / quotation
+    * metric resemblance misses (Broder's resemblance-vs-containment
+    * split, SEQUENCES'97): a short document embedded whole in a long
+    * one scores containment ≈ 1 while its Jaccard stays near
+    * |G(a)|/|G(b)| — exactly the pairs a Jaccard-thresholded dedup
+    * keeps as "different" although one adds no new content. Both
+    * directions surface per pair as integer ppm
+    * (`floor(1e6 · |∩| / |G|)`, exact under the hash gate); an empty
+    * gram side scores 0 (nothing to contain).
+    *
+    * Scale shape: identical to [[ngramJaccardOnCandidates]] — grams
+    * hashed once per doc, the candidate set hash-joins that table
+    * twice, per-pair work bounded by candidate volume (LSH-bounded,
+    * not corpus-quadratic). */
+  def containmentOnCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      shingleN: Int = 2): DataFrame = {
+    def ppm(li: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(n === 0L, 0L).otherwise(
+        org.apache.spark.sql.graftbridge.Bridge.integralDivide(
+          li * lit(1000000L), n))
+    val docs = df
+      .repartition(col(idCol)) // distribute gram hashing
+      .select(
+        col(idCol).as("doc_id"),
+        transform(wordShingles(col(textCol), shingleN), g => hash64(g)).as("grams"))
+    candidates
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("li"),
+        size(col("ga")).cast("long").as("na"),
+        size(col("gb")).cast("long").as("nb"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        ppm(col("li"), col("na")).as("cont_a_ppm"),
+        ppm(col("li"), col("nb")).as("cont_b_ppm"))
+  }
+
   /** Prefix-filter candidate generation for threshold-Jaccard self-join
     * (the SSJoin/PPJoin family: Chaudhuri/Ganti/Kaushik ICDE'06,
     * Bayardo/Ma/Srikant WWW'07, Xiao/Wang/Lin/Yu WWW'08). Orders every

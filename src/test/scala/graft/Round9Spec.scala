@@ -163,6 +163,28 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ----- containment scoring ---------------------------------------------
+
+  test("containmentOnCandidates: doc-in-doc asymmetry, exact ppm, empty guard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                          // 2 bigrams
+      (2L, "alpha beta gamma delta epsilon zeta eta"),   // 6 bigrams, contains doc 1
+      (3L, "solo"),                                      // 0 bigrams
+      (4L, "unrelated words entirely different text"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup
+      .containmentOnCandidates(docs, "doc_id", "text", cands, shingleN = 2)
+      .orderBy(col("doc_b"))
+      .as[(Long, Long, Long, Long)].collect()
+    // doc 1 ⊂ doc 2: containment a→b = 2/2 = 1e6; b→a = 2/6
+    assert(got(0) == ((1L, 2L, 1000000L, 2L * 1000000L / 6L)))
+    // doc 3 has no bigrams: its side scores 0, not a division error
+    assert(got(1) == ((1L, 3L, 0L, 0L)))
+    // disjoint grams: 0 both ways
+    assert(got(2) == ((1L, 4L, 0L, 0L)))
+  }
+
   // ----- n-column z-order ------------------------------------------------
 
   test("zorderKeyN: n=2 is zorderKey2 bit-for-bit; n=3 interleaves at stride 3") {
