@@ -518,6 +518,30 @@ object Dedup {
       candidates: DataFrame,
       shingleN: Int = 2,
       minJaccard: Double = 0.0): DataFrame = {
+    gramPairStats(df, idCol, textCol, candidates, shingleN)
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("li"), (col("na") + col("nb")).as("stot"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          when(col("stot") === col("li"), when(col("li") === 0, 0.0).otherwise(1.0))
+            .otherwise(col("li").cast("double") / (col("stot") - col("li"))),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Shared per-candidate-pair gram statistics for the exact scorers
+    * ([[ngramJaccardOnCandidates]], [[containmentOnCandidates]]): grams
+    * hashed to longs once per doc, the candidate set hash-joined
+    * against that table twice, emitting (doc_a, doc_b,
+    * li = |G(a) ∩ G(b)|, na = |G(a)|, nb = |G(b)|). */
+  private def gramPairStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      shingleN: Int): DataFrame = {
     val docs = df
       .repartition(col(idCol)) // distribute gram hashing
       .select(
@@ -529,15 +553,9 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).as("li"),
-        (size(col("ga")) + size(col("gb"))).as("stot"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        round(
-          when(col("stot") === col("li"), when(col("li") === 0, 0.0).otherwise(1.0))
-            .otherwise(col("li").cast("double") / (col("stot") - col("li"))),
-          6).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("li"),
+        size(col("ga")).cast("long").as("na"),
+        size(col("gb")).cast("long").as("nb"))
   }
 
   /** Exact n-gram CONTAINMENT on an externally-supplied candidate pair
@@ -565,20 +583,7 @@ object Dedup {
       when(n === 0L, 0L).otherwise(
         org.apache.spark.sql.graftbridge.Bridge.integralDivide(
           li * lit(1000000L), n))
-    val docs = df
-      .repartition(col(idCol)) // distribute gram hashing
-      .select(
-        col(idCol).as("doc_id"),
-        transform(wordShingles(col(textCol), shingleN), g => hash64(g)).as("grams"))
-    candidates
-      .select(col("doc_a"), col("doc_b"))
-      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).cast("long").as("li"),
-        size(col("ga")).cast("long").as("na"),
-        size(col("gb")).cast("long").as("nb"))
+    gramPairStats(df, idCol, textCol, candidates, shingleN)
       .select(
         col("doc_a"), col("doc_b"),
         ppm(col("li"), col("na")).as("cont_a_ppm"),

@@ -92,10 +92,11 @@ object FuzzyJoin {
     // length (|len diff| ≤ d for any true pair) — keyed, and only ever
     // over strings that are tiny or near-degenerate (≤ q·d gram types).
     // maxDist = 0 makes the gate unsatisfiable (|G| ≥ 1 always — even
-    // the empty string keeps one boundary gram) and the branch empties
-    // through its own filters.
+    // the empty string keeps one boundary gram): short-circuit to a
+    // statically-empty frame rather than paying two scans + a planned
+    // join Spark can't prove empty.
     val bruteCap = (q * maxDist).toLong
-    val brute = {
+    val brute = if (bruteCap == 0) grammed.limit(0) else {
       val shortL = l.filter(col("l_ng") <= bruteCap)
         .select(col("l_id"), col("l_str"), col("l_g"),
           explode(sequence(

@@ -391,7 +391,11 @@ object Graph {
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("negc"), col("label").as("l"))).as("t"))
         .select(col("node"), col("t.l").as("label"))
-      if (checkpointEvery > 0 && r % checkpointEvery == 0) {
+      // r < rounds: a final-round checkpoint would pay an extra eager
+      // materialization (and, reliable-flavor, leave never-superseded
+      // files) that truncates lineage nothing will ever extend —
+      // randomWalks' i < walkLength guard, same rationale
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
         val cp = checkpointDf(labels)
         if (lastCp != null)
           org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(lastCp)

@@ -40,19 +40,24 @@ object Layout {
     }
   }
 
-  /** Min-max normalize an integer column to [0, 2^bits) with pure Long
-    * arithmetic — `div` (IntegralDivide), NOT `Column./`, which widens
-    * to double and silently rounds once (v − lo)·(2^bits − 1) passes
-    * 2^53 (an epoch-micros span at bits = 16 is already there). Exact
-    * at any magnitude, matching the bucketize math the z-key spec
-    * assumes. `lo`/`hi` are the column's actual bounds, collected once
+  /** Min-max normalize an integer column to [0, 2^bits) with exact
+    * arithmetic at any magnitude: the product (v − lo)·(2^bits − 1) is
+    * staged through DECIMAL(38,0) and floored with IntegralDivide.
+    * Neither of the two obvious stagings survives real data — Long
+    * math overflows 2^63 once span > 2^(63−bits) (an epoch-micros
+    * DATE RANGE at bits = 16 already does: TPC-H o_orderdate spans
+    * 2.08e14 µs > 2^63/65535 ≈ 1.41e14, silently wrapping ~31% of
+    * rows negative under ansi=false), and `Column./` widens to double
+    * whose 53-bit mantissa rounds the same product. Decimal
+    * multiply/divide is exact to 38 digits (a 20-digit span times a
+    * 5-digit multiplier is well inside), and IntegralDivide floors —
+    * non-negative here — back to a LONG in [0, 2^bits).
+    * `lo`/`hi` are the column's actual bounds, collected once
     * driver-side (two longs). */
   def normalize(v: Column, lo: Long, hi: Long, bits: Int): Column = {
     val span = math.max(1L, hi - lo)
-    // (v - lo) * (2^bits - 1) div span, staged so the product can't
-    // overflow for spans up to 2^(63 - bits)
     org.apache.spark.sql.graftbridge.Bridge.integralDivide(
-      (v - lit(lo)) * lit((1L << bits) - 1), lit(span))
+      (v - lit(lo)).cast("decimal(38,0)") * lit((1L << bits) - 1), lit(span))
   }
 
   /** Rewrite `df` into `outDir` z-ordered on two integer-valued columns:

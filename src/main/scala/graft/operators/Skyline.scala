@@ -66,14 +66,17 @@ object Skyline {
     *     (componentwise min, componentwise max) summary is a keyed
     *     aggregate — at most 2^(d·gridBits) rows no matter the corpus;
     *  3. CELL prune (driver, on the bounded summary): cell b drops
-    *     entirely when some non-empty cell c has min(c) ≥ max(b) on all
+    *     entirely when some pruner cell c has min(c) ≥ max(b) on all
     *     dims, strict on one — every point of c then dominates every
-    *     point of b;
-    *  4. POINT prune: a point p is dominated outright when some cell's
+    *     point of b. Pruners are the ≤ `maxCornerTerms` Pareto-maximal
+    *     min-corners with the largest coordinate sums — a sound subset
+    *     (pruning only certifies dominance) that keeps the driver pass
+    *     O(|cells|·|pruners|), not |cells|²;
+    *  4. POINT prune: a point p is dominated outright when some pruner
     *     min-corner ≥ p (strict somewhere) — every point of that cell
-    *     beats p. The Pareto-maximal min-corners (≤ `maxCornerTerms`,
-    *     best-spread first) are inlined as one codegen'd boolean — no
-    *     join. p's own cell can never satisfy it (its min ≤ p).
+    *     beats p. The pruner corners are inlined as one codegen'd
+    *     boolean — no join. p's own cell can never satisfy it (its
+    *     min ≤ p).
     *  5. exact refinement: the surviving near-frontier band self-joins
     *     (broadcast, LEFT ANTI on the dominance predicate). Dominance
     *     is transitive, so testing against survivors only is exact —
@@ -132,16 +135,21 @@ object Skyline {
       }
       strict
     }
+    // bounded pruner set: the maxCornerTerms min-corners with the
+    // largest coordinate sums (the widest pruners), reduced to their
+    // own Pareto-maximal subset. Any SUBSET of pruners is sound — they
+    // only ever certify dominance — so both driver passes below run at
+    // O(|cells|·|P|·d) instead of the naive O(|cells|²·d), which at the
+    // require-sanctioned 2^18 cells would be ~10^11 comparisons of
+    // driver stall; the cap also bounds the inlined codegen boolean.
+    val pruners = {
+      val top = summary.map(_._2).sortBy(c => -c.sum).take(maxCornerTerms)
+      top.filterNot(c => top.exists(c2 => dominates(c2, c)))
+    }
     val survivingCells = summary.collect {
-      case (key, _, mx) if !summary.exists { case (_, mn2, _) => dominates(mn2, mx) } => key
+      case (key, _, mx) if !pruners.exists(p => dominates(p, mx)) => key
     }.toSeq
-    // Pareto-maximal min-corners, best coordinate-sum first (the widest
-    // pruners); any subset is a sound pruner, so capping the inlined
-    // boolean at maxCornerTerms keeps codegen bounded
-    val corners = summary.map(_._2)
-      .filterNot(c => summary.exists { case (_, mn2, _) => dominates(mn2, c) })
-      .sortBy(c => -c.sum)
-      .take(maxCornerTerms)
+    val corners = pruners
     val cornerDominated: Column =
       if (corners.isEmpty) lit(false)
       else corners.map { c =>

@@ -21,6 +21,16 @@ object Bridge {
     column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       expression(a), expression(b)))
 
+  /** Unset the context's checkpoint dir (`setCheckpointDir` has no
+    * public inverse). Tests that exercise the reliable-checkpoint
+    * flavor need this in their finally: the SparkContext is shared
+    * across suites, and a leaked checkpoint dir silently flips every
+    * later `checkpointEvery > 0` path from localCheckpoint to reliable
+    * checkpoint() — order-dependent coverage. `checkpointDir` is
+    * `private[spark]`; this bridge object lives inside that scope. */
+  def clearCheckpointDir(spark: SparkSession): Unit =
+    spark.sparkContext.checkpointDir = None
+
   /** Logical plan of a DataFrame (classic API). */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

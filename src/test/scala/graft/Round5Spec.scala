@@ -47,7 +47,13 @@ class Round5Spec extends AnyFunSuite {
       // the knob actually wrote durable state, not just local blocks
       val wrote = new java.io.File(dir).listFiles()
       assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint under $dir")
-    } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+    } finally hadCkpt match {
+      // restore EXACTLY (same rationale as Round9Spec): a leaked dir
+      // flips later checkpointEvery>0 paths to the reliable flavor
+      case Some(d) => spark.sparkContext.setCheckpointDir(d)
+      case None =>
+        org.apache.spark.sql.graftbridge.Bridge.clearCheckpointDir(spark)
+    }
   }
 
   test("co-occurrence edges: pairs within groups only, no self-pairs") {

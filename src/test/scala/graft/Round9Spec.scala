@@ -39,7 +39,13 @@ class Round9Spec extends AnyFunSuite {
       assert(on == off)
       val wrote = new java.io.File(dir).listFiles()
       assert(wrote != null && wrote.nonEmpty, s"no reliable checkpoint under $dir")
-    } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+    } finally hadCkpt match {
+      // restore EXACTLY: a leaked dir would flip every later
+      // checkpointEvery>0 test in this shared JVM to the reliable flavor
+      case Some(d) => spark.sparkContext.setCheckpointDir(d)
+      case None =>
+        org.apache.spark.sql.graftbridge.Bridge.clearCheckpointDir(spark)
+    }
   }
 
   test("randomWalks: checkpointEvery knob yields bit-identical walks") {
@@ -206,17 +212,25 @@ class Round9Spec extends AnyFunSuite {
     assert(z4 == 8L)
   }
 
-  test("normalize is exact past 2^53 (div, not double division)") {
-    // (v - lo) * (2^16 - 1) ~ 6e17 > 2^53: double division here rounds,
-    // integral division must not
-    val lo = 0L
-    val hi = 10000000000000L // 1e13 span (epoch-micros scale)
-    val v = 9999999999999L
-    val got = Seq(Tuple1(v)).toDF("v")
-      .select(operators.Layout.normalize(col("v"), lo, hi, 16).as("n"))
-      .head().getLong(0)
-    val exact = (BigInt(v - lo) * BigInt((1L << 16) - 1) / BigInt(hi - lo)).toLong
-    assert(got == exact, s"normalize drifted: $got vs $exact")
+  test("normalize is exact past 2^53 AND past the 2^63 product overflow") {
+    // two regimes, both from real column magnitudes:
+    //  - span 1e13: (v-lo)*(2^16-1) ~ 6.5e17 > 2^53 — double division
+    //    rounds here, decimal must not;
+    //  - span 2.1e14 (the actual o_orderdate epoch-micros span): the
+    //    product passes 2^63 ≈ 9.2e18 — LONG staging wraps negative
+    //    here (the round-9 review finding), decimal must not, and the
+    //    result must stay inside [0, 2^bits)
+    for ((hi, v) <- Seq(
+        (10000000000000L, 9999999999999L),
+        (210000000000000L, 209999999999999L),
+        (210000000000000L, 150000000000000L))) {
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(operators.Layout.normalize(col("v"), 0L, hi, 16).as("n"))
+        .head().getLong(0)
+      val exact = (BigInt(v) * BigInt((1L << 16) - 1) / BigInt(hi)).toLong
+      assert(got == exact, s"normalize drifted at span $hi: $got vs $exact")
+      assert(got >= 0L && got < (1L << 16), s"normalize out of range: $got")
+    }
   }
 
   test("zorderWriteN(3) bounds per-file spans on ALL THREE dimensions") {
