@@ -108,7 +108,13 @@ object ScaleProbe {
     * artifact as `ratio<f>` / `ratio<f>_sp`. */
   private val probeEntries2 = Seq(
     "q117_pagerank_copurchase",
-    "q234_window_distinct")
+    "q234_window_distinct",
+    // round-9: the two highest remaining 10x ratios after q117 (2.59 /
+    // 2.14 in the round-9 window) — the tokenizer-training family's
+    // corpus-sized tables are the newest scale claim without a third
+    // point
+    "q241_bpe_train",
+    "q244_wordpiece_encode")
 
   private val excluded = Seq(
     "q235_array_overlap_join" ->
