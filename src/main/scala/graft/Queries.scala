@@ -8833,38 +8833,7 @@ object Queries {
           t(s, d, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
         .orderBy(col("cid"), col("dim_idx")),
       Some {
-        val steps = (1 to 3).map { i =>
-          s"""d$i AS (SELECT p.vec_id, p.qv, c.cid,
-             |    list_sum([(p.qv[j] - c.qv[j]) * (p.qv[j] - c.qv[j])
-             |      for j in range(1, len(p.qv) + 1)]) AS d2
-             |  FROM qz p, c${i - 1} c),
-             |a$i AS (SELECT vec_id, qv, cid FROM (
-             |    SELECT vec_id, qv, cid,
-             |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             |    FROM d$i) WHERE rn = 1),
-             |n$i AS (SELECT cid, j, sum(v + 127)::BIGINT AS s,
-             |    count(*)::BIGINT AS n
-             |  FROM (SELECT cid, unnest(range(1, len(qv) + 1)) AS j,
-             |        unnest(qv) AS v FROM a$i)
-             |  GROUP BY cid, j),
-             |c$i AS (SELECT p.cid,
-             |    CASE WHEN max(n.cid) IS NULL THEN p.qv
-             |      ELSE list(n.s // n.n - 127 ORDER BY n.j) END AS qv
-             |  FROM c${i - 1} p LEFT JOIN n$i n ON p.cid = n.cid
-             |  GROUP BY p.cid, p.qv)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-           |m0 AS (SELECT vec_id, e,
-           |    list_max(list_transform(e, x -> abs(x))) AS m FROM v),
-           |qz AS (SELECT vec_id,
-           |    CASE WHEN m = 0 THEN list_transform(e, x -> 0::BIGINT)
-           |    ELSE list_transform(e, x ->
-           |      floor(x * 127.0::DOUBLE / m + 0.5::DOUBLE)::BIGINT)
-           |    END AS qv
-           |  FROM m0),
-           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, qv
-           |  FROM (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT 4)),
-           |$steps,
+        s"""WITH ${kmeansOracleCtes(k = 4, rounds = 3)},
            |cnt AS (SELECT cid, count(*)::BIGINT AS n FROM a3 GROUP BY cid),
            |f AS (SELECT cid, unnest(range(1, len(qv) + 1)) - 1 AS dim_idx,
            |    unnest(qv) AS c_val FROM c3)
@@ -8872,6 +8841,62 @@ object Queries {
            |  coalesce(cnt.n, 0)::BIGINT AS n_points
            |FROM f LEFT JOIN cnt ON f.cid = cnt.cid
            |ORDER BY f.cid, f.dim_idx""".stripMargin
+      }),
+
+    // online cluster routing: the q268 centroids (batch-trained) route
+    // a LIVE embedding stream — the model-inference deployment shape:
+    // the assignment is a pure per-row projection (the same codegen'd
+    // sort_array argmin the training rounds use), so it runs on the
+    // stream unchanged with NO state store; per-cluster volumes and
+    // exact integer inertia are aggregated from the drained routing
+    // table. Oracle: the unrolled training rounds + one assignment
+    // pass over every vector against the final centroids.
+    "q271_streaming_kmeans_route" -> Q(
+      (s, d) => {
+        val cm = operators.Similarity.kmeansLloyd(
+            t(s, d, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
+          .collect()
+          .groupBy(_.getLong(0))
+          .toSeq.sortBy(_._1)
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq) }
+        val name = "graft_stream_kmeans_q271"
+        s.catalog.dropTempView(name)
+        val stream = s.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+          .parquet(graft.streaming.EventStreams.sourceDir(s"$d/embeddings.parquet"))
+        val qz = operators.Similarity.quantizeInt8(stream, "vec_id", "embedding")
+          .select(col("vec_id"), col("qvec"))
+        val best = sort_array(array(cm.map { case (cid, cv) =>
+          struct(
+            aggregate(
+              zip_with(col("qvec"), array(cv.map(lit): _*),
+                (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, x) => acc + x).as("d"),
+            lit(cid).as("c"))
+        }: _*))(0)
+        val routed = qz.select(
+          col("vec_id"),
+          best.getField("c").as("cid"),
+          best.getField("d").as("d2"))
+        graft.streaming.EventStreams.drainToTable(s, routed, name)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_assigned"), sum(col("d2")).as("inertia"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        s"""WITH ${kmeansOracleCtes(k = 4, rounds = 3)},
+           |d4 AS (SELECT p.vec_id, c.cid,
+           |    list_sum([(p.qv[j] - c.qv[j]) * (p.qv[j] - c.qv[j])
+           |      for j in range(1, len(p.qv) + 1)]) AS d2
+           |  FROM qz p, c3 c),
+           |a4 AS (SELECT vec_id, cid, d2 FROM (
+           |    SELECT vec_id, cid, d2,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM d4) WHERE rn = 1)
+           |SELECT cid, count(*)::BIGINT AS n_assigned,
+           |  sum(d2)::BIGINT AS inertia
+           |FROM a4 GROUP BY cid ORDER BY cid""".stripMargin
       }),
 
     // 3-column z-order rewrite (q79's two-column sibling): interleave
@@ -8906,6 +8931,49 @@ object Queries {
              |  AND o_orderdate >= TIMESTAMP '1995-01-01'
              |  AND o_orderdate < TIMESTAMP '1996-01-01'
              |  AND o_totalprice >= 50000.0""".stripMargin)))
+
+  /** DuckDB rendering of [[graft.operators.Similarity.kmeansLloyd]]'s
+    * training rounds, unrolled (shared by q268's centroid dump and
+    * q271's streaming-routing oracle): qz = the int8 quantization, c0 =
+    * the k-smallest-id seeds, each round i an assignment (argmin by
+    * (d2, cid) via row_number), per-(cid, dim) +127-shifted sums
+    * (parallel unnests zip positionally), and the floor-mean rebuild
+    * with the empty-cluster hold. Yields CTEs up to `c<rounds>` and the
+    * final round's assignment `a<rounds>`. */
+  private def kmeansOracleCtes(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT p.vec_id, p.qv, c.cid,
+         |    list_sum([(p.qv[j] - c.qv[j]) * (p.qv[j] - c.qv[j])
+         |      for j in range(1, len(p.qv) + 1)]) AS d2
+         |  FROM qz p, c${i - 1} c),
+         |a$i AS (SELECT vec_id, qv, cid FROM (
+         |    SELECT vec_id, qv, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |n$i AS (SELECT cid, j, sum(v + 127)::BIGINT AS s,
+         |    count(*)::BIGINT AS n
+         |  FROM (SELECT cid, unnest(range(1, len(qv) + 1)) AS j,
+         |        unnest(qv) AS v FROM a$i)
+         |  GROUP BY cid, j),
+         |c$i AS (SELECT p.cid,
+         |    CASE WHEN max(n.cid) IS NULL THEN p.qv
+         |      ELSE list(n.s // n.n - 127 ORDER BY n.j) END AS qv
+         |  FROM c${i - 1} p LEFT JOIN n$i n ON p.cid = n.cid
+         |  GROUP BY p.cid, p.qv)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |m0 AS (SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+       |qz AS (SELECT vec_id,
+       |    CASE WHEN m = 0 THEN list_transform(e, x -> 0::BIGINT)
+       |    ELSE list_transform(e, x ->
+       |      floor(x * 127.0::DOUBLE / m + 0.5::DOUBLE)::BIGINT)
+       |    END AS qv
+       |  FROM m0),
+       |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, qv
+       |  FROM (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT $k)),
+       |$steps""".stripMargin
+  }
 
   /** DuckDB rendering of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * merge loop, unrolled: s0 = per-word symbol strings (doubly-space-

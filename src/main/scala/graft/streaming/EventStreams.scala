@@ -50,7 +50,7 @@ object EventStreams {
   /** File-stream sources require a directory; expose a single file (the
     * harness tables are one parquet file each) through a symlinked temp
     * directory. */
-  private[streaming] def sourceDir(path: String): String = {
+  private[graft] def sourceDir(path: String): String = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isRegularFile(p)) {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src")

@@ -136,7 +136,9 @@ object ScaleProbe {
     "q264_cluster_by_reducer/q265_dynamic_gap_sessions" ->
       "read events, which the replica set omits; per-key script fold and session state are both watermark/partition-bounded, independent of corpus width",
     "q266_kcenter_coreset" ->
-      "k scan+TakeOrdered rounds over a persisted projection — same no-corpus-shuffle class as q256/q258")
+      "k scan+TakeOrdered rounds over a persisted projection — same no-corpus-shuffle class as q256/q258",
+    "q271_streaming_kmeans_route" ->
+      "training is q268's probed shape; the stream side is a stateless per-row projection dominated by fixed micro-batch overhead (same class as the excluded stream entries)")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
 import graft.operators.Graph
 import graft.streaming.DocStreams
 
@@ -372,6 +375,33 @@ class Round9Spec extends AnyFunSuite {
       val want = bruteSkyline(pts)
       assert(got == want,
         s"d=$d trial=$trial missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("property: skylineN == brute force over random d / gridBits / distributions") {
+    def cases[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(909L + i)))
+    val frameGen = for {
+      d <- Gen.choose(2, 5)
+      gridBits <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 120)
+      // mixed ranges: tight (dense duplicate/tie space), wide, and
+      // negative-offset — exercises bucket-width and bounds math
+      span <- Gen.oneOf(3, 40, 100000)
+      off <- Gen.oneOf(-50000, 0, 7)
+      pts <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(0, span).map(x => (x + off).toLong)))
+    } yield (d, gridBits, pts)
+    cases(frameGen, 8).foreach { case (d, gridBits, pts) =>
+      val rows = pts.zipWithIndex.map { case (cs, i) => (i.toLong, cs) }
+      val names = (0 until d).map(i => s"c$i")
+      val df = rows.toDF("id", "cs")
+        .select(col("id") +: names.zipWithIndex.map { case (nm, i) =>
+          col("cs").getItem(i).as(nm) }: _*)
+      val got = operators.Skyline.skylineN(df, names, gridBits = gridBits)
+        .select("id").as[Long].collect().toSet
+      val want = bruteSkyline(rows.map { case (id, cs) => (id, cs) })
+      assert(got == want,
+        s"d=$d gridBits=$gridBits n=${pts.size} missing=${want -- got} extra=${got -- want}")
     }
   }
 
