@@ -8853,13 +8853,8 @@ object Queries {
     // pass over every vector against the final centroids.
     "q271_streaming_kmeans_route" -> Q(
       (s, d) => {
-        val cm = operators.Similarity.kmeansLloyd(
-            t(s, d, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
-          .collect()
-          .groupBy(_.getLong(0))
-          .toSeq.sortBy(_._1)
-          .map { case (cid, rows) =>
-            (cid, rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq) }
+        val (cm, _) = operators.Similarity.kmeansLloydRun(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
         val name = "graft_stream_kmeans_q271"
         s.catalog.dropTempView(name)
         val stream = s.readStream
@@ -8867,14 +8862,9 @@ object Queries {
           .parquet(graft.streaming.EventStreams.sourceDir(s"$d/embeddings.parquet"))
         val qz = operators.Similarity.quantizeInt8(stream, "vec_id", "embedding")
           .select(col("vec_id"), col("qvec"))
-        val best = sort_array(array(cm.map { case (cid, cv) =>
-          struct(
-            aggregate(
-              zip_with(col("qvec"), array(cv.map(lit): _*),
-                (x, y) => (x - y) * (x - y)),
-              lit(0L), (acc, x) => acc + x).as("d"),
-            lit(cid).as("c"))
-        }: _*))(0)
+        // the SAME router expression the training rounds used — one
+        // definition, so the tie-break can never diverge
+        val best = operators.Similarity.nearestCentroid(cm, col("qvec"))
         val routed = qz.select(
           col("vec_id"),
           best.getField("c").as("cid"),

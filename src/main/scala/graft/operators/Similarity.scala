@@ -930,9 +930,26 @@ object Similarity {
       vecCol: String,
       k: Int,
       rounds: Int): DataFrame = {
-    require(k >= 1 && rounds >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (centroids, counts) = kmeansLloydRun(corpus, idCol, vecCol, k, rounds)
+    centroids.flatMap { case (cid, cv) =>
+      cv.zipWithIndex.map { case (v, j) => (cid, j.toLong, v, counts(cid)) }
+    }.toDF("cid", "dim_idx", "c_val", "n_points")
+  }
+
+  /** The [[kmeansLloyd]] training loop, returning the raw trained
+    * state — (cid → quantized centroid vector) in cid order, plus the
+    * final-assignment member counts. The streaming router (q271) calls
+    * this directly so the centroid vectors never round-trip through
+    * the exploded output frame. */
+  private[graft] def kmeansLloydRun(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int): (Seq[(Long, Seq[Long])], Map[Long, Long]) = {
+    require(k >= 1 && rounds >= 1)
     val qz = quantizeInt8(corpus, idCol, vecCol)
       .select(col("vec_id"), col("qvec")).persist()
     var centroids: Seq[(Long, Seq[Long])] = qz.orderBy(col("vec_id")).limit(k)
@@ -940,20 +957,12 @@ object Similarity {
       .map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }
     if (centroids.isEmpty) {
       qz.unpersist()
-      return Seq.empty[(Long, Long, Long, Long)]
-        .toDF("cid", "dim_idx", "c_val", "n_points")
+      return (Seq.empty, Map.empty)
     }
     val dim = centroids.head._2.length
     var counts: Map[Long, Long] = Map.empty
     for (_ <- 1 to rounds) {
-      val cidExpr = sort_array(array(centroids.map { case (cid, cv) =>
-        struct(
-          aggregate(
-            zip_with(col("qvec"), array(cv.map(lit): _*),
-              (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, x) => acc + x).as("d"),
-          lit(cid).as("c"))
-      }: _*))(0).getField("c")
+      val cidExpr = nearestCentroid(centroids, col("qvec")).getField("c")
       val aggExprs = count(lit(1)).as("n") +: (0 until dim).map(j =>
         sum(col("qvec").getItem(j) + lit(127L)).as(s"s$j"))
       val upd = qz.withColumn("cid", cidExpr)
@@ -974,10 +983,27 @@ object Similarity {
       }
     }
     qz.unpersist()
-    centroids.flatMap { case (cid, cv) =>
-      cv.zipWithIndex.map { case (v, j) => (cid, j.toLong, v, counts(cid)) }
-    }.toDF("cid", "dim_idx", "c_val", "n_points")
+    (centroids, counts)
   }
+
+  /** The single-expression centroid router shared by the training
+    * rounds and the q271 streaming assignment: a codegen'd sort_array
+    * argmin over the inlined centroid matrix, yielding a struct with
+    * `d` = exact integer squared-L2 to the nearest centroid and `c` =
+    * its cid (ties to the smallest cid — the struct's lexicographic
+    * order). ONE definition so the tie-break and arithmetic can never
+    * diverge between training and routing. */
+  def nearestCentroid(
+      centroids: Seq[(Long, Seq[Long])],
+      qvec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sort_array(array(centroids.map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(qvec, array(cv.map(lit): _*),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(cid).as("c"))
+    }: _*))(0)
 
   /** Rank discounts for [[ndcgAtK]] as integer micro-units:
     * `floor(1e6 / log2(i+1))` for i = 1..k. Derived once on the JVM and

@@ -109,10 +109,12 @@ object ScaleProbe {
   private val probeEntries2 = Seq(
     "q117_pagerank_copurchase",
     "q234_window_distinct",
-    // round-9: the two highest remaining 10x ratios after q117 (2.59 /
-    // 2.14 in the round-9 window) — the tokenizer-training family's
-    // corpus-sized tables are the newest scale claim without a third
-    // point
+    // round-9: the tokenizer family — the newest corpus-sized scale
+    // claim without a third point. q244 was the highest non-q117 10x
+    // ratio of the committed window (3.03); q241 rides along as the
+    // family's training half (its own 10x ratio is mid-pack — the
+    // point is a 30x read on BOTH halves of the BPE/WordPiece story,
+    // whose token/gram tables grow linearly with the corpus).
     "q241_bpe_train",
     "q244_wordpiece_encode")
 

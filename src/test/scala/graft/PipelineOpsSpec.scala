@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Functions => F}
@@ -20,8 +19,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def cases[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(4242L + i)))
+  private def cases[A](g: Gen[A], n: Int): Seq[A] = GenCases(g, n, 4242)
 
   // ----- DSIR ----------------------------------------------------------
 

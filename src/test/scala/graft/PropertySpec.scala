@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sql.Statements
@@ -12,8 +11,7 @@ class PropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def cases[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+  private def cases[A](g: Gen[A], n: Int): Seq[A] = GenCases(g, n, 42)
 
   test("property: m33 row parse is total on whitespace-padded numeric rows") {
     val rowGen = for {

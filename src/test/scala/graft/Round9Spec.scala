@@ -4,7 +4,6 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.operators.Graph
 import graft.streaming.DocStreams
@@ -348,6 +347,31 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ----- streaming k-means routing ----------------------------------------
+
+  test("q271 streaming routing == batch assignment against the same centroids") {
+    // the streaming path (file-stream source + stateless argmin
+    // projection + drain) must agree with the plain batch statement of
+    // the same routing — catches stream-schema drift and any
+    // quantize/argmin behavior specific to the streaming plan
+    val sf = "/root/testdata/sf0.001"
+    val got = Queries.all.toMap.apply("q271_streaming_kmeans_route")
+      .fn(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq // (cid, n_assigned, inertia)
+    val emb = core.Engine.table(spark, sf, "embeddings")
+    val (cm, _) = operators.Similarity.kmeansLloydRun(
+      emb, "vec_id", "embedding", k = 4, rounds = 3)
+    val best = operators.Similarity.nearestCentroid(cm, col("qvec"))
+    val want = operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(best.getField("c").as("cid"), best.getField("d").as("d2"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cid"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == emb.count(), "every vector routed exactly once")
+  }
+
   // ----- d-dimensional skyline -------------------------------------------
 
   private def bruteSkyline(rows: Seq[(Long, Seq[Long])]): Set[Long] = {
@@ -379,8 +403,7 @@ class Round9Spec extends AnyFunSuite {
   }
 
   test("property: skylineN == brute force over random d / gridBits / distributions") {
-    def cases[A](g: Gen[A], n: Int): Seq[A] =
-      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(909L + i)))
+    def cases[A](g: Gen[A], n: Int): Seq[A] = GenCases(g, n, 909)
     val frameGen = for {
       d <- Gen.choose(2, 5)
       gridBits <- Gen.choose(1, 3)
