@@ -227,6 +227,40 @@ class PlanSpec extends AnyFunSuite {
       s"stats build reads more than the stat column:\n$p")
   }
 
+  test("kmeans assignment round: literal-inlined argmin, no join of any kind") {
+    // the 100 TB contract: each training round is ONE corpus scan with
+    // the centroid matrix inlined — if a join ever sneaks into the
+    // assignment, the round cost changes class
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+    val (cm, _) = graft.operators.Similarity.kmeansLloydRun(
+      emb, "vec_id", "embedding", k = 3, rounds = 1)
+    val best = graft.operators.Similarity.nearestCentroid(cm, col("qvec"))
+    val p = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(best.getField("c").as("cid"), best.getField("d").as("d2"))
+      .groupBy(col("cid")).agg(count(lit(1)), sum(col("d2")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(p.contains("HashAggregate"), s"expected partial hash aggregate:\n$p")
+  }
+
+  test("containment scoring: candidate joins are keyed, never nested-loop") {
+    val p = plan("q270_ngram_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay on keyed joins:\n$p")
+  }
+
+  test("skylineN: the band refinement is the ONLY nested-loop; join-back broadcasts") {
+    val p = plan("q267_skyline_3d")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl == 1,
+      s"exactly the deliberate band-only LEFT ANTI refinement, found $bnl:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier join-back must broadcast:\n$p")
+  }
+
   test("pagerank round: rank-x-edges join is keyed; one agg per round") {
     val s = spark; import s.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
