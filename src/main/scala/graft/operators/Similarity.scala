@@ -920,7 +920,18 @@ object Similarity {
     * k structs — no join), then a k-row map-side-combined aggregate of
     * per-dimension sums (`groupBy(cid).agg(sum(qvec[j]))`, NOT a
     * posexplode — the shuffle carries k × (dim+1) longs, not
-    * corpus × dim rows). Driver state is k·dim longs per round. Returns
+    * corpus × dim rows). Driver state is k·dim longs per round.
+    *
+    * k-regime: the inlined-literal argmin is the COARSE-QUANTIZER
+    * shape (k up to the low hundreds — the [[ivfAssign]] contract;
+    * the generated expression grows with k·dim and codegen pays it
+    * once per round). Fine-grained clustering at k in the thousands
+    * wants the other assignment shape — explode the corpus against a
+    * broadcast centroid TABLE and take `min_by((d2, cid))` per vector,
+    * trading a corpus×k intermediate for a bounded expression — at
+    * which point the per-round cost is k-fold scan work either way
+    * and a hierarchical (coarse-then-fine) decomposition built from
+    * TWO of these operators is the standard answer. Returns
     * (cid, dim_idx, c_val, n_points): the round-`rounds` centroids
     * exploded per dimension with each cluster's member count from the
     * assignment that produced them. */

@@ -43,10 +43,6 @@ object EventStreams {
     "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
 
-  /** Open a file-based stream over events parquet. Spark's file stream
-    * source requires a directory; when handed a single file (the harness
-    * tables are one parquet file each) it is exposed through a symlinked
-    * temp directory. */
   /** File-stream sources require a directory; expose a single file (the
     * harness tables are one parquet file each) through a symlinked temp
     * directory. */

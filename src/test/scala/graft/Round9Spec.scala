@@ -440,6 +440,55 @@ class Round9Spec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mergeCountMinBatch: crash between the swap renames loses no counts") {
+    // the CMS twin of the HLL crash case: the pre-batch store must be
+    // recovered and the uncommitted batch's delta re-added ONCE — under
+    // the old delete-then-rename swap the totals restarted from the
+    // replayed batch alone
+    val store = java.nio.file.Files.createTempDirectory("graft_cms_crash2").toString
+    val b1 = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "delta epsilon")).toDF("doc_id", "text")
+    DocStreams.mergeCountMinBatch(b1, 0L, store, depth = 2, width = 16)
+    val total1 = spark.read.parquet(s"$store/current")
+      .agg(sum("cnt")).head().getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$store/current"),
+      new org.apache.hadoop.fs.Path(s"$store/prev_1")))
+    DocStreams.mergeCountMinBatch(b2, 1L, store, depth = 2, width = 16)
+    val total2 = spark.read.parquet(s"$store/current")
+      .agg(sum("cnt")).head().getLong(0)
+    val b2Only = {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_cms_b2").toString
+      DocStreams.mergeCountMinBatch(b2, 0L, d2, depth = 2, width = 16)
+      spark.read.parquet(s"$d2/current").agg(sum("cnt")).head().getLong(0)
+    }
+    assert(total2 == total1 + b2Only,
+      s"recovered store must hold batch1 + batch2 ($total1 + $b2Only), got $total2")
+  }
+
+  test("skylineN/zorderKeyN/kmeans reject out-of-contract arguments") {
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    intercept[IllegalArgumentException] {
+      operators.Skyline.skylineN(df, Seq("a")) // d < 2
+    }
+    intercept[IllegalArgumentException] {
+      operators.Skyline.skylineN(df, Seq("a", "b", "c"), gridBits = 7) // 21 > 18
+    }
+    intercept[IllegalArgumentException] {
+      operators.Layout.zorderKeyN(Seq(col("a")), 8) // n < 2
+    }
+    intercept[IllegalArgumentException] {
+      operators.Layout.zorderKeyN(Seq(col("a"), col("b"), col("c")), 21) // 63 > 62
+    }
+    intercept[IllegalArgumentException] {
+      operators.Similarity.kmeansLloyd(
+        Seq((1L, Seq(1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 0, rounds = 1)
+    }
+  }
+
   test("mergeCountMinBatch: healthy swap leaves one store and re-adds exactly") {
     val store = java.nio.file.Files.createTempDirectory("graft_cms_crash").toString
     val b1 = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
