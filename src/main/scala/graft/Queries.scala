@@ -5353,7 +5353,57 @@ object Queries {
              |    row_number() OVER (ORDER BY n DESC, tok)::BIGINT AS rank
              |  FROM e)
              |SELECT rank, term, n, true AS in_sketch, true AS est_within_bounds
-             |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin)))
+             |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin)),
+
+    // q173's Misra–Gries through the GROUPED aggregation path: one
+    // 64-counter sketch per source (hash-aggregate partial buffers +
+    // merges per group — the execution path the global form never
+    // exercises). Hash-gated exactly like q173: only the
+    // order-independent guarantees are pinned, and they are pinned per
+    // source — the exact per-source top-3 must be in that source's
+    // sketch with estimates inside the N_s/65 undercount band. Both
+    // fixture SFs were checked: the worst top-3 token sits 2.27x above
+    // the N_s/(k+1) presence threshold, so in_sketch is deterministic
+    // despite MG's processing-order-dependent candidate set.
+    "q272_mg_by_source" -> Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(F.tokens(col("text"))).as("tok"))
+        val sketches = toks.groupBy(col("source"))
+          .agg(F.misraGries(col("tok"), 64).as("sk"))
+        val totals = toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("tok"))
+        val exact = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+        val est = element_at(
+          filter(col("sk"), e => e.getField("term") === col("tok")), 1)
+          .getField("est")
+        exact
+          .join(broadcast(sketches), "source")
+          .join(broadcast(totals), "source")
+          .select(col("source"), col("rank"), col("tok").as("term"), col("n"),
+            exists(col("sk"), e => e.getField("term") === col("tok"))
+              .as("in_sketch"),
+            (est <= col("n") &&
+              est >= col("n") - expr("(n_total div 65)") - 1)
+              .as("est_within_bounds"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |e AS (SELECT source, tok, count(*)::BIGINT AS n
+             |  FROM t GROUP BY source, tok),
+             |r AS (SELECT source, tok AS term, n,
+             |    row_number() OVER (PARTITION BY source ORDER BY n DESC, tok)::BIGINT AS rank
+             |  FROM e)
+             |SELECT source, rank, term, n, true AS in_sketch,
+             |  true AS est_within_bounds
+             |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin)))
 
   /** Round-5 surface: the SQL-dialect features Spark 4 added or that the
     * catalog exercised only through the DataFrame API — PIVOT/UNPIVOT

@@ -140,7 +140,9 @@ object ScaleProbe {
     "q266_kcenter_coreset" ->
       "k scan+TakeOrdered rounds over a persisted projection — same no-corpus-shuffle class as q256/q258",
     "q271_streaming_kmeans_route" ->
-      "training is q268's probed shape; the stream side is a stateless per-row projection dominated by fixed micro-batch overhead (same class as the excluded stream entries)")
+      "training is q268's probed shape; the stream side is a stateless per-row projection dominated by fixed micro-batch overhead (same class as the excluded stream entries)",
+    "q272_mg_by_source" ->
+      "per-source 64-counter sketches: state is sources x k regardless of corpus; the token-explode scan cost is what q253's probed explode already measures")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

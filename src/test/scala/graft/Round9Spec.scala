@@ -347,6 +347,25 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ----- grouped Misra-Gries ----------------------------------------------
+
+  test("misraGries under groupBy: per-group sketches exact when distinct <= k") {
+    // the grouped hash-aggregate path (per-group partial buffers +
+    // merges) must behave like the global form does per slice: with
+    // distinct items <= k the sketch IS the exact per-group counts
+    val rows =
+      Seq.fill(30)(("a", "x")) ++ Seq.fill(7)(("a", "y")) ++
+      Seq.fill(12)(("b", "y")) ++ Seq.fill(3)(("b", "z")) ++ Seq.fill(1)(("b", "w"))
+    val df = rows.toDF("g", "tok")
+      .repartition(4) // force multi-partition partials per group
+    val sk = df.groupBy(col("g"))
+      .agg(graft.functions.Functions.misraGries(col("tok"), 8).as("sk"))
+      .as[(String, Seq[(String, Long)])].collect().toMap
+      .view.mapValues(_.toMap).toMap
+    assert(sk("a") == Map("x" -> 30L, "y" -> 7L))
+    assert(sk("b") == Map("y" -> 12L, "z" -> 3L, "w" -> 1L))
+  }
+
   // ----- streaming k-means routing ----------------------------------------
 
   test("q271 streaming routing == batch assignment against the same centroids") {
