@@ -5371,12 +5371,16 @@ object Queries {
           .select(col("source"), explode(F.tokens(col("text"))).as("tok"))
         val sketches = toks.groupBy(col("source"))
           .agg(F.misraGries(col("tok"), 64).as("sk"))
-        val totals = toks.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_total"))
+        // totals ride the same (source, tok) aggregate the exact top-3
+        // needs (its shuffle is reused) — two token-explode scans total
+        // (sketch + counts), not three
+        val counts = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy(col("source"))
+          .agg(sum(col("n")).as("n_total"))
         val w = Window.partitionBy(col("source"))
           .orderBy(col("n").desc, col("tok"))
-        val exact = toks.groupBy(col("source"), col("tok"))
-          .agg(count(lit(1)).as("n"))
+        val exact = counts
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 3)
         val est = element_at(
