@@ -5407,7 +5407,48 @@ object Queries {
              |  FROM e)
              |SELECT source, rank, term, n, true AS in_sketch,
              |  true AS est_within_bounds
-             |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin)))
+             |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
+
+    // Hive multi-insert — `FROM src INSERT … INSERT …` — the one-scan
+    // fan-out idiom (route rows into quality/price tiers in a single
+    // statement) and a beeline-typable construct in its own right;
+    // Spark SQL parses the Hive form directly. Tables are managed
+    // parquet in the per-JVM warehouse (the q58 pattern — no
+    // cross-process collisions); integer cents keep the read-back
+    // hash-exact. Oracle restates each branch against the source.
+    "q273_multi_insert" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q273_orders")
+        for (tier <- Seq("hi", "lo")) {
+          s.sql(s"DROP TABLE IF EXISTS q273_$tier")
+          s.sql(s"CREATE TABLE q273_$tier (o_orderkey BIGINT, cents BIGINT) USING parquet")
+        }
+        s.sql("""FROM q273_orders
+                |INSERT OVERWRITE TABLE q273_hi
+                |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+                |  WHERE o_totalprice >= 150000
+                |INSERT OVERWRITE TABLE q273_lo
+                |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+                |  WHERE o_totalprice < 150000""".stripMargin)
+        s.sql("""SELECT 'hi' AS tier, count(*) AS n,
+                |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+                |  min(o_orderkey) AS min_key FROM q273_hi
+                |UNION ALL
+                |SELECT 'lo' AS tier, count(*) AS n,
+                |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+                |  min(o_orderkey) AS min_key FROM q273_lo
+                |ORDER BY tier""".stripMargin)
+      },
+      Some("""SELECT 'hi' AS tier, count(*) AS n,
+             |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+             |  min(o_orderkey) AS min_key
+             |FROM orders WHERE o_totalprice >= 150000
+             |UNION ALL
+             |SELECT 'lo' AS tier, count(*) AS n,
+             |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+             |  min(o_orderkey) AS min_key
+             |FROM orders WHERE o_totalprice < 150000
+             |ORDER BY tier""".stripMargin)))
 
   /** Round-5 surface: the SQL-dialect features Spark 4 added or that the
     * catalog exercised only through the DataFrame API — PIVOT/UNPIVOT

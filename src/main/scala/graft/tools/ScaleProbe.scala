@@ -142,7 +142,9 @@ object ScaleProbe {
     "q271_streaming_kmeans_route" ->
       "training is q268's probed shape; the stream side is a stateless per-row projection dominated by fixed micro-batch overhead (same class as the excluded stream entries)",
     "q272_mg_by_source" ->
-      "per-source 64-counter sketches: state is sources x k regardless of corpus; the token-explode scan cost is what q253's probed explode already measures")
+      "per-source 64-counter sketches: state is sources x k regardless of corpus; the token-explode scan cost is what q253's probed explode already measures",
+    "q273_multi_insert" ->
+      "two filtered scans + parquet writes of the routed tiers; write volume equals input rows at any SF — the scan/write shape the CTAS baseline already measures at full scale")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

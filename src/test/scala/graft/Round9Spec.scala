@@ -347,6 +347,29 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // ----- Hive multi-insert --------------------------------------------------
+
+  test("multi-insert: one FROM fans out to disjoint, complete tables") {
+    Seq((1L, 10.0), (2L, 200.0), (3L, 5.0), (4L, 300.0))
+      .toDF("id", "v").createOrReplaceTempView("r9_mi_src")
+    for (t <- Seq("r9_mi_a", "r9_mi_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE) USING parquet")
+    }
+    spark.sql("""FROM r9_mi_src
+                |INSERT OVERWRITE TABLE r9_mi_a SELECT id, v WHERE v >= 100
+                |INSERT OVERWRITE TABLE r9_mi_b SELECT id, v WHERE v < 100""".stripMargin)
+    val a = spark.table("r9_mi_a").select("id").as[Long].collect().toSet
+    val b = spark.table("r9_mi_b").select("id").as[Long].collect().toSet
+    assert(a == Set(2L, 4L) && b == Set(1L, 3L))
+    assert((a & b).isEmpty && (a | b).size == 4)
+    // OVERWRITE semantics: re-running replaces, never appends
+    spark.sql("""FROM r9_mi_src
+                |INSERT OVERWRITE TABLE r9_mi_a SELECT id, v WHERE v >= 100
+                |INSERT OVERWRITE TABLE r9_mi_b SELECT id, v WHERE v < 100""".stripMargin)
+    assert(spark.table("r9_mi_a").count() == 2 && spark.table("r9_mi_b").count() == 2)
+  }
+
   // ----- grouped Misra-Gries ----------------------------------------------
 
   test("misraGries under groupBy: per-group sketches exact when distinct <= k") {
