@@ -133,11 +133,13 @@ object Graph {
       // the superseded round's rank blocks are dead the moment the new
       // checkpoint materializes (localCheckpoint is eager) — drop them
       // now, not at session teardown, so k rounds never pin k
-      // generations of rank RDDs in executor memory. Targeted through
-      // the frame's own LogicalRDD (round 1's prev is a plain Project
-      // over `nodes` → no-op, keeping the per-round-reused node list);
-      // a context-global sweep would corrupt concurrent queries.
-      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(prev)
+      // generations of rank RDDs in executor memory (and, reliable
+      // flavor, k generations of checkpoint dirs on durable storage).
+      // Targeted through the frame's own LogicalRDD (round 1's prev is
+      // a plain Project over `nodes` → no-op, keeping the per-round-
+      // reused node list); a context-global sweep would corrupt
+      // concurrent queries.
+      org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(prev)
     }
     ranks.select(col("node"), col("p").as("rank_ppm"))
   }
@@ -319,7 +321,6 @@ object Graph {
       col("node").cast("long").as("node"))
     var out = cur
     var lastOutCp: DataFrame = null
-    var lastCurCp: DataFrame = null
     for (i <- 1 to walkLength) {
       val pick = graft.functions.Functions.hash64(
         concat(lit(s"$salt:"), col("walk_id").cast("string"), lit(s":step:$i")))
@@ -330,18 +331,18 @@ object Graph {
         .select(col("walk_id"), lit(i.toLong).as("step"), col("dst").as("node"))
       out = out.unionAll(cur)
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < walkLength) {
-        // out first: its eager materialization captures every earlier
-        // frontier, after which the superseded checkpoints feed nothing
+        // one checkpoint, not two: out's eager materialization already
+        // contains the step-i frontier (cur is its tail), so the live
+        // frontier is re-derived as a filter OVER the materialized
+        // blocks — checkpointing cur separately would recompute the
+        // same frontier join a second time from pre-checkpoint lineage
         val outCp = checkpointDf(out)
-        val curCp = checkpointDf(cur)
         if (lastOutCp != null)
-          org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(lastOutCp)
-        if (lastCurCp != null)
-          org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(lastCurCp)
+          org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(lastOutCp)
         lastOutCp = outCp
-        lastCurCp = curCp
         out = outCp
-        cur = curCp
+        cur = outCp.filter(col("step") === i.toLong)
+          .select(col("walk_id"), col("step"), col("node"))
       }
     }
     out
@@ -398,7 +399,7 @@ object Graph {
       if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
         val cp = checkpointDf(labels)
         if (lastCp != null)
-          org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(lastCp)
+          org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(lastCp)
         lastCp = cp
         labels = cp
       }
@@ -409,7 +410,11 @@ object Graph {
   /** Reliable `checkpoint()` when the context has a checkpoint dir
     * (fault-tolerant truncation on a cluster), `localCheckpoint()`
     * otherwise — the shared flavor switch for the iterative operators'
-    * `checkpointEvery` knobs. */
+    * `checkpointEvery` knobs. Superseded state is dropped in-loop via
+    * [[org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint]] — both
+    * the block-manager blocks and, reliable flavor, the checkpoint
+    * FILES on durable storage, so deep runs hold at most one live
+    * checkpoint generation per truncated frame. */
   private def checkpointDf(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()

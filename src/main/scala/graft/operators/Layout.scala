@@ -53,11 +53,18 @@ object Layout {
     * 5-digit multiplier is well inside), and IntegralDivide floors —
     * non-negative here — back to a LONG in [0, 2^bits).
     * `lo`/`hi` are the column's actual bounds, collected once
-    * driver-side (two longs). */
+    * driver-side (two longs). The subtraction and the span are both
+    * staged OUTSIDE Long arithmetic — `v` is cast to decimal before
+    * `lo` is subtracted and the span is computed in BigInt — because a
+    * column whose observed span exceeds 2^63 (bounds near both Long
+    * extremes) would wrap a Long `v - lo` pre-cast, and `hi - lo`
+    * itself would wrap driver-side (masked by the max(1, _) clamp). */
   def normalize(v: Column, lo: Long, hi: Long, bits: Int): Column = {
-    val span = math.max(1L, hi - lo)
+    val span = (BigInt(hi) - BigInt(lo)).max(BigInt(1))
     org.apache.spark.sql.graftbridge.Bridge.integralDivide(
-      (v - lit(lo)).cast("decimal(38,0)") * lit((1L << bits) - 1), lit(span))
+      (v.cast("decimal(38,0)") - lit(java.math.BigDecimal.valueOf(lo)))
+        * lit((1L << bits) - 1),
+      lit(new java.math.BigDecimal(span.bigInteger)))
   }
 
   /** Rewrite `df` into `outDir` z-ordered on two integer-valued columns:

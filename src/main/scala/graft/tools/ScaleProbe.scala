@@ -298,11 +298,15 @@ object ScaleProbe {
           val ts2 = best(n, outDir2)
           val ratio2 = ratioOf(ts2, tb)
           // partition-scaled twin: per-task state held ~constant, the
-          // production response to 30x data (see scaladoc above)
+          // production response to 30x data (see scaladoc above).
+          // try/finally: an exception inside the scaled run must not
+          // leak cpus*factor2 partitions into every later probe entry
+          // (the recorded ratios would silently skew)
           spark.conf.set("spark.sql.shuffle.partitions",
             (cpus.toInt * factor2).toString)
-          val ts2p = best(n, outDir2)
-          spark.conf.set("spark.sql.shuffle.partitions", cpus)
+          val ts2p =
+            try best(n, outDir2)
+            finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
           val ratio2p = ratioOf(ts2p, tb)
           System.err.println(
             f"[scale] $n%-28s x$factor2=$ts2%8.2fs ratio2=$ratio2 scaled-parts=$ts2p%8.2fs ratio2_sp=$ratio2p")

@@ -59,6 +59,28 @@ object Bridge {
       case _ => ()
     }
 
+  /** [[unpersistCheckpoint]] plus durable-file cleanup: for a RELIABLE
+    * `checkpoint()`d frame (context checkpoint dir set), also delete the
+    * `<ckptDir>/<uuid>/rdd-<id>` directory its internal RDD wrote —
+    * `unpersist` only drops block-manager blocks, so a deep iterative
+    * run would otherwise accumulate O(rounds/k) superseded checkpoint
+    * dirs on durable storage. Only safe once a NEWER checkpoint (or the
+    * final result) has been eagerly materialized, exactly like the
+    * unpersist contract. No-op for localCheckpoint (no files) and
+    * non-checkpointed frames. */
+  def dropCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: java.io.IOException => () } // cleanup is best-effort
+        }
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Install an extra planner strategy on a live session. */
   def addStrategy(spark: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
