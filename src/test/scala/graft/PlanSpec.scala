@@ -365,4 +365,19 @@ class PlanSpec extends AnyFunSuite {
         s"$n degenerated to a nested loop:\n$p")
     }
   }
+
+  test("q272: per-source totals ride the exact branch's (source, tok) exchange") {
+    // the entry's comment claims `totals` reuses the same (source, tok)
+    // aggregate exchange as `exact` (two token-explode scans total, not
+    // three) — AQE resolves exchange reuse at RUNTIME via its stage
+    // cache, so the lock executes the query and reads the final plan
+    val df = Queries.all.find(_._1 == "q272_mg_by_source").get._2
+      .fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"expected a final adaptive plan:\n$p")
+    val reused = "ReusedExchange \\[[^\\]]*\\], Exchange hashpartitioning\\(source[^,]*, tok".r
+    assert(reused.findFirstIn(p).isDefined,
+      s"totals no longer reuses the (source, tok) aggregate exchange:\n$p")
+  }
 }
