@@ -9135,10 +9135,70 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Round-10 surface: the portable quantile sketch completing the
+    * fixed-memory sketch family, the last beeline-typable Hive write
+    * idiom (dynamic-partition overwrite), IVF-PQ residual composition,
+    * the streaming quantile store, and deterministic Louvain. */
+  private val roundTenSurface: Seq[(String, Q)] = Seq(
+    // KLL-style mergeable quantile sketch (functions/KllSketch.scala):
+    // the dataset-card latency/length-quantile path at 100 TB — one
+    // pass, k·log(N/k) longs per partial, mergeable across shards.
+    // Like every compaction sketch, WHICH items survive depends on
+    // processing/merge order, so the entry pins only the
+    // order-independent guarantees (the q173/q272 Misra–Gries
+    // discipline): n is the exact row count, and for each target rank
+    // the TRUE rank of the sketch's estimate provably lies within
+    // [target − eb, target + est_wv − 1 + eb] where eb is the sketch's
+    // self-accounted worst-case rank-error bound (sum of compacted
+    // weights — a theorem for any order, so within_bound is
+    // deterministically TRUE, not an empirical margin). The exact
+    // quantile value restated by both engines keeps the hashed payload
+    // meaningful; the verification-side global sort and rank pass are
+    // NOT the production path (benchFn times sketch + extraction only).
+    "q274_kll_quantiles" -> Q(
+      (s, d) => {
+        val v = t(s, d, "events").select(floor(col("value") * lit(1e6)).as("v"))
+        val sk = v.agg(F.kllSketch(col("v"), lit(1L), 256).as("sk"))
+        val est = TextAnalysis.kllQuantileEstimates(sk, Seq(10, 250, 500, 750, 990))
+        val ranks = v.crossJoin(broadcast(est))
+          .groupBy(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
+            col("est_v"), col("est_wv"))
+          .agg(sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("true_rank"))
+        val sorted = v.withColumn("rn",
+          row_number().over(Window.orderBy(col("v"))).cast("long"))
+        sorted.join(broadcast(ranks), col("rn") === col("target_rank"))
+          .select(col("phi_pm"), col("n"), col("target_rank"),
+            col("v").as("exact_q"),
+            (col("true_rank") >= col("target_rank") - col("eb") &&
+              col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
+              .as("within_bound"))
+          .orderBy(col("phi_pm"))
+      },
+      Some("""WITH v AS (SELECT floor(value * 1e6)::BIGINT AS v FROM events),
+             |c AS (SELECT count(*)::BIGINT AS n FROM v),
+             |p(phi_pm) AS (VALUES (10), (250), (500), (750), (990)),
+             |t AS (SELECT phi_pm::BIGINT AS phi_pm, n,
+             |    greatest(1, (phi_pm * n) // 1000)::BIGINT AS target_rank
+             |  FROM p, c),
+             |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+             |SELECT phi_pm, n, target_rank, s.v AS exact_q,
+             |  true AS within_bound
+             |FROM t JOIN s ON s.rn = t.target_rank
+             |ORDER BY phi_pm""".stripMargin),
+      // production path: sketch + ≤k·levels-row extraction, no global
+      // sort, no second corpus pass
+      benchFn = Some((s, d) => {
+        val v = t(s, d, "events").select(floor(col("value") * lit(1e6)).as("v"))
+        TextAnalysis.kllQuantileEstimates(
+          v.agg(F.kllSketch(col("v"), lit(1L), 256).as("sk")),
+          Seq(10, 250, 500, 750, 990))
+      })))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
-      roundFiveSurface ++ roundSixSurface ++ roundEightSurface
+      roundFiveSurface ++ roundSixSurface ++ roundEightSurface ++
+      roundTenSurface
 }

@@ -37,6 +37,13 @@ object Functions {
         MisraGries(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
           .toAggregateExpression()
       })
+    org.apache.spark.sql.graftbridge.Bridge
+      .registerFunction(spark, "kll_sketch", { exprs =>
+        require(exprs(2).foldable, "kll_sketch(col, weight, k): k must be a literal")
+        KllSketch(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      })
     // Spark's runtime-filter bloom expressions, surfaced as SQL
     // functions: the engine only injects them via InjectRuntimeFilter;
     // registering them lets a pipeline build the semi-join pre-filter
@@ -57,6 +64,12 @@ object Functions {
   /** Misra–Gries heavy-hitters sketch aggregate (see [[MisraGries]]). */
   def misraGries(c: Column, k: Int): Column =
     column(MisraGries(expression(c), k).toAggregateExpression())
+
+  /** KLL-style mergeable quantile sketch aggregate (see [[KllSketch]]).
+    * `w` is a positive BIGINT weight — `lit(1L)` for raw streams;
+    * a sketch's own (v, w) items re-ingest as an exact merge. */
+  def kllSketch(c: Column, w: Column, k: Int): Column =
+    column(KllSketch(expression(c), expression(w), k).toAggregateExpression())
 
   /** Hive `field(v, v1, v2, ...)` as a Column (see [[FieldIndex]]). */
   def field(cols: Column*): Column = column(FieldIndex(cols.map(expression)))

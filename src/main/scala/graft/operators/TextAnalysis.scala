@@ -1254,4 +1254,48 @@ object TextAnalysis {
     val zeros = (0 until m).count(j => regs.getOrElse(j, 0) == 0)
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
+
+  /** Quantile estimates from a one-row [[graft.functions.KllSketch]]
+    * frame (column `sk`): for each target permille φ, the smallest
+    * sketch value whose per-value cumulative weight reaches
+    * `target_rank = max(1, φ·n div 1000)`.
+    *
+    * Returns (phi_pm, n, eb, target_rank, est_v, est_wv) where `est_wv`
+    * is the sketch's aggregated weight AT `est_v`. The order-independent
+    * guarantee callers may pin (q173/q272 discipline): the sketch rank
+    * of `est_v` lies in [target_rank, target_rank + est_wv − 1] by
+    * construction, and the TRUE rank of `est_v` is within `eb` of the
+    * sketch rank — so true_rank(est_v) ∈
+    * [target_rank − eb, target_rank + est_wv − 1 + eb] holds for every
+    * processing/merge order, while `est_v` itself is order-dependent
+    * and must never be hashed.
+    *
+    * Cost shape: the sketch is ≤ k·levels items, so the per-value
+    * aggregate, the single-partition cumulative window, and the
+    * phi cross join all run on a few hundred rows — query-time work is
+    * independent of the corpus the sketch summarizes. */
+  def kllQuantileEstimates(sk: DataFrame, phisPermille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phisPermille.nonEmpty && phisPermille.forall(p => p >= 1 && p <= 999))
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val meta = sk.select(
+      col("sk.n").as("n"), col("sk.err_bound").as("eb"), col("sk.items").as("items"))
+    val byValue = meta
+      .select(col("n"), col("eb"), explode(col("items")).as("it"))
+      .groupBy(col("n"), col("eb"), col("it.v").as("v"))
+      .agg(sum(col("it.w")).as("wv"))
+    val cum = byValue.withColumn("cumw",
+      sum(col("wv")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val targets = phisPermille.toDF("phi_pm")
+      .crossJoin(meta.select(col("n")))
+      .select(col("phi_pm").cast("long").as("phi_pm"),
+        greatest(lit(1L), expr("phi_pm * n div 1000")).as("target_rank"))
+    targets.join(cum, col("cumw") >= col("target_rank"))
+      .groupBy(col("phi_pm"), col("n"), col("eb"), col("target_rank"))
+      .agg(min(struct(col("v"), col("wv"))).as("e"))
+      .select(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
+        col("e.v").as("est_v"), col("e.wv").as("est_wv"))
+  }
 }

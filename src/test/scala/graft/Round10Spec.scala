@@ -59,6 +59,94 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  // ----- KLL quantile sketch ---------------------------------------------
+
+  private def sketchOf(vals: Seq[Long], k: Int): graft.functions.KllState = {
+    val s = new graft.functions.KllState(k)
+    vals.foreach(v => s.insert(v, 1L))
+    s
+  }
+
+  private def sketchRank(s: graft.functions.KllState, x: Long): Long =
+    s.items.iterator.filter(_._1 <= x).map(_._2).sum
+
+  test("kll sketch: rank-error guarantee holds under every split/merge order") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(5000)(rnd.nextLong() % 100000L)
+    def trueRank(x: Long): Long = data.count(_ <= x).toLong
+    val probes = data.sorted.grouped(250).map(_.head).toSeq :+ data.max
+    val parts = data.grouped(613).map(_.toSeq).toSeq
+    for (order <- Seq(parts, parts.reverse, rnd.shuffle(parts))) {
+      val whole = new graft.functions.KllState(64)
+      order.foreach(chunk => whole.mergeIn(sketchOf(chunk, 64)))
+      assert(whole.n == data.length.toLong) // compaction preserves weight exactly
+      probes.foreach { x =>
+        val d = math.abs(sketchRank(whole, x) - trueRank(x))
+        assert(d <= whole.err, s"rank error $d at $x exceeds bound ${whole.err}")
+      }
+      // the bound is useful, not vacuous: well under N (levels·N/k shape)
+      assert(whole.err < data.length / 8,
+        s"err_bound ${whole.err} too loose for n=${data.length}")
+    }
+  }
+
+  test("kll sketch: merge is associative in its guarantees") {
+    val rnd = new scala.util.Random(13)
+    val chunks = Seq.fill(3)(Seq.fill(2000)(rnd.nextLong() % 50000L))
+    val all = chunks.flatten
+    def trueRank(x: Long): Long = all.count(_ <= x).toLong
+    val Seq(a1, b1, c1) = chunks.map(sketchOf(_, 32))
+    val Seq(a2, b2, c2) = chunks.map(sketchOf(_, 32))
+    val left = { a1.mergeIn(b1); a1.mergeIn(c1); a1 }    // (a ⊔ b) ⊔ c
+    val right = { b2.mergeIn(c2); a2.mergeIn(b2); a2 }   // a ⊔ (b ⊔ c)
+    for (s <- Seq(left, right)) {
+      assert(s.n == all.length.toLong)
+      all.sorted.grouped(500).map(_.head).foreach { x =>
+        assert(math.abs(sketchRank(s, x) - trueRank(x)) <= s.err)
+      }
+    }
+  }
+
+  test("kll sketch: weighted re-ingest of a sketch's items IS merge") {
+    val rnd = new scala.util.Random(29)
+    val chunk1 = Seq.fill(3000)(rnd.nextLong() % 20000L)
+    val chunk2 = Seq.fill(3000)(rnd.nextLong() % 20000L)
+    val all = chunk1 ++ chunk2
+    val s1 = sketchOf(chunk1, 64)
+    // the streaming-store path: re-insert s1's (v, w) items as weighted
+    // values next to chunk2's raw stream, carrying s1's err separately
+    val s2 = new graft.functions.KllState(64)
+    s1.items.foreach { case (v, w) => s2.insert(v, w) }
+    chunk2.foreach(v => s2.insert(v, 1L))
+    val errTotal = s1.err + s2.err
+    assert(s2.n == all.length.toLong)
+    all.sorted.grouped(500).map(_.head).foreach { x =>
+      val d = math.abs(sketchRank(s2, x) - all.count(_ <= x))
+      assert(d <= errTotal, s"re-ingest rank error $d exceeds $errTotal")
+    }
+  }
+
+  test("kll sketch: identical input order reproduces the identical sketch") {
+    val rnd = new scala.util.Random(41)
+    val data = Seq.fill(4000)(rnd.nextLong() % 9999L)
+    val a = sketchOf(data, 64)
+    val b = sketchOf(data, 64)
+    assert(a.items.toSeq == b.items.toSeq && a.err == b.err && a.n == b.n)
+  }
+
+  test("kll_sketch is SQL-callable and rejects non-BIGINT input at analysis") {
+    val df = spark.range(0, 1000).selectExpr("id AS v")
+    df.createOrReplaceTempView("kll_sql_probe")
+    val r = spark.sql(
+      "SELECT kll_sketch(v, 1L, 64).n AS n FROM kll_sql_probe").head()
+    assert(r.getLong(0) == 1000L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT kll_sketch(CAST(v AS STRING), 1L, 64) FROM kll_sql_probe")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("Layout.normalize: span past 2^63 neither wraps nor collapses") {
     // bounds near both Long extremes: span = hi - lo ≈ 1.8e19 > 2^63,
     // which wrapped BOTH the per-row Long subtraction and the driver-side
