@@ -9192,7 +9192,63 @@ object Queries {
         TextAnalysis.kllQuantileEstimates(
           v.agg(F.kllSketch(col("v"), lit(1L), 256).as("sk")),
           Seq(10, 250, 500, 750, 990))
-      })))
+      })),
+
+    // Hive dynamic-partition INSERT OVERWRITE … PARTITION (col) — the
+    // last beeline-typable Hive write idiom on the reference's S21
+    // surface (/root/reference/playground.py:672-677 exposes the full
+    // HiveQL prompt) after q273's static multi-insert: the partition
+    // value comes from the DATA (trailing select column), and in
+    // dynamic overwrite mode a second insert replaces ONLY the
+    // partitions it produces rows for. The entry proves exactly that:
+    // insert all five priority partitions, then overwrite just
+    // '1-URGENT' with its even-keyed half — the readback must show the
+    // other four partitions at full content (a static-mode overwrite
+    // would have dropped them; semantics locked in Round10Spec).
+    // Managed parquet in the per-JVM warehouse (the q273 pattern);
+    // integer cents keep the readback hash-exact. Scale: a dynamic
+    // overwrite shuffles only the rows being written and touches only
+    // the produced partitions' files — exactly how a daily partition
+    // refresh behaves on a 100 TB table.
+    "q275_dynamic_partition_insert" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q275_orders")
+        s.sql("DROP TABLE IF EXISTS q275_part")
+        s.sql("""CREATE TABLE q275_part (o_orderkey BIGINT, cents BIGINT)
+                |USING parquet PARTITIONED BY (prio STRING)""".stripMargin)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.get(key, "static")
+        s.conf.set(key, "dynamic")
+        try {
+          s.sql("""INSERT OVERWRITE TABLE q275_part PARTITION (prio)
+                  |SELECT o_orderkey,
+                  |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                  |  o_orderpriority AS prio
+                  |FROM q275_orders""".stripMargin)
+          s.sql("""INSERT OVERWRITE TABLE q275_part PARTITION (prio)
+                  |SELECT o_orderkey,
+                  |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                  |  o_orderpriority AS prio
+                  |FROM q275_orders
+                  |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0""".stripMargin)
+        } finally s.conf.set(key, prev)
+        s.sql("""SELECT prio, count(*) AS n,
+                |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+                |  min(o_orderkey) AS min_key
+                |FROM q275_part GROUP BY prio ORDER BY prio""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+             |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+             |  min(o_orderkey) AS min_key
+             |FROM orders WHERE o_orderpriority <> '1-URGENT'
+             |GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT '1-URGENT' AS prio, count(*) AS n,
+             |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+             |  min(o_orderkey) AS min_key
+             |FROM orders
+             |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+             |ORDER BY prio""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -147,6 +147,39 @@ class Round10Spec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("bigint"))
   }
 
+  test("dynamic partition overwrite replaces ONLY the produced partitions") {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.sql("DROP TABLE IF EXISTS r10_dynpart")
+    spark.sql("""CREATE TABLE r10_dynpart (v BIGINT)
+                |USING parquet PARTITIONED BY (p STRING)""".stripMargin)
+    try {
+      spark.conf.set(key, "dynamic")
+      spark.sql("""INSERT OVERWRITE TABLE r10_dynpart PARTITION (p)
+                  |SELECT id AS v, CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS p
+                  |FROM range(10)""".stripMargin)
+      // dynamic: rewriting only 'a' must leave 'b' untouched
+      spark.sql("""INSERT OVERWRITE TABLE r10_dynpart PARTITION (p)
+                  |SELECT 100L AS v, 'a' AS p""".stripMargin)
+      val afterDynamic = spark.table("r10_dynpart")
+        .groupBy("p").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterDynamic == Map("a" -> 1L, "b" -> 5L), afterDynamic.toString)
+      // static (the default): the same statement drops EVERY partition —
+      // the contrast that makes the q275 entry's claim meaningful
+      spark.conf.set(key, "static")
+      spark.sql("""INSERT OVERWRITE TABLE r10_dynpart PARTITION (p)
+                  |SELECT 200L AS v, 'a' AS p""".stripMargin)
+      val afterStatic = spark.table("r10_dynpart")
+        .groupBy("p").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterStatic == Map("a" -> 1L), afterStatic.toString)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS r10_dynpart")
+    }
+  }
+
   test("Layout.normalize: span past 2^63 neither wraps nor collapses") {
     // bounds near both Long extremes: span = hi - lo ≈ 1.8e19 > 2^63,
     // which wrapped BOTH the per-row Long subtraction and the driver-side
