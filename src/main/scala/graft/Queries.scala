@@ -9248,7 +9248,90 @@ object Queries {
              |  min(o_orderkey) AS min_key
              |FROM orders
              |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
-             |ORDER BY prio""".stripMargin)))
+             |ORDER BY prio""".stripMargin)),
+
+    // IVF-PQ residual composition (Similarity.ivfPqTopK): coarse cells
+    // from 4 designated centroids, residual PQ with m=8 × 16 codes,
+    // nprobe=2 — recall@5-gated against the exact integer-L2 ground
+    // truth with the same harness as q96 (the report an IVF-PQ's
+    // m/codes/nprobe budget is tuned from). Everything is exact BIGINT
+    // (milli-quantized vectors, integer residuals/tables/ranks), so the
+    // recall table is engine-deterministic, not an empirical margin.
+    "q276_ivfpq_recall" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+            Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+              centroidIds = 0L until 4L, trainIds = 0L until 16L,
+              m = 8, k = 5, nprobe = 2),
+            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5),
+            k = 5)
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, iv AS civ FROM v WHERE vec_id < 4),
+             |ad AS (SELECT v.vec_id, cent.cid, cent.civ,
+             |    list_sum([(v.iv[j]-cent.civ[j])*(v.iv[j]-cent.civ[j])
+             |      for j in range(1,65)])::BIGINT AS dd
+             |  FROM v, cent),
+             |asg AS (SELECT vec_id, cid AS cell, civ FROM (
+             |  SELECT vec_id, cid, civ, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM ad)
+             |  WHERE rn = 1),
+             |rv AS (SELECT a.vec_id, a.cell,
+             |    [v.iv[j]-a.civ[j] for j in range(1,65)] AS riv
+             |  FROM asg a JOIN v ON v.vec_id = a.vec_id),
+             |cb AS (SELECT s, vec_id AS c, riv[s*8+1 : s*8+8] AS cvec
+             |  FROM rv, range(8) t(s) WHERE vec_id < 16),
+             |subs AS (SELECT vec_id, cell, s, riv[s*8+1 : s*8+8] AS sv
+             |  FROM rv, range(8) t(s)),
+             |d2r AS (SELECT vec_id, cell, s, c,
+             |    list_sum([(sv[j]-cvec[j])*(sv[j]-cvec[j])
+             |      for j in range(1,9)])::BIGINT AS d2
+             |  FROM subs JOIN cb USING (s)),
+             |enc AS (SELECT vec_id, cell, s, c AS code FROM (
+             |  SELECT vec_id, cell, s, c, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY d2, c) AS rn FROM d2r)
+             |  WHERE rn = 1),
+             |qp AS (SELECT vec_id AS q_id, cid AS cell, civ FROM (
+             |  SELECT vec_id, cid, civ, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY dd, cid) AS rn
+             |  FROM ad WHERE vec_id < 10) WHERE rn <= 2),
+             |qrv AS (SELECT q.q_id, q.cell,
+             |    [v.iv[j]-q.civ[j] for j in range(1,65)] AS qriv
+             |  FROM qp q JOIN v ON v.vec_id = q.q_id),
+             |qsubs AS (SELECT q_id, cell, s, qriv[s*8+1 : s*8+8] AS sv
+             |  FROM qrv, range(8) t(s)),
+             |dt AS (SELECT q_id, cell, s, c AS code,
+             |    list_sum([(sv[j]-cvec[j])*(sv[j]-cvec[j])
+             |      for j in range(1,9)])::BIGINT AS d2
+             |  FROM qsubs JOIN cb USING (s)),
+             |sc AS (SELECT dt.q_id, e.vec_id AS n_id, sum(dt.d2)::BIGINT AS adc
+             |  FROM enc e JOIN dt ON e.cell = dt.cell AND e.s = dt.s
+             |    AND e.code = dt.code AND dt.q_id <> e.vec_id
+             |  GROUP BY dt.q_id, e.vec_id),
+             |pq AS (SELECT q_id, n_id FROM (
+             |  SELECT q_id, n_id, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY adc, n_id) AS rank FROM sc)
+             |  WHERE rank <= 5),
+             |ed AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+             |      for j in range(1,65)])::BIGINT AS d2
+             |  FROM v q JOIN v c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+             |ex AS (SELECT q_id, n_id FROM (
+             |  SELECT q_id, n_id, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+             |  WHERE rank <= 5),
+             |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+             |  FROM ex JOIN pq ON ex.q_id = pq.q_id AND ex.n_id = pq.n_id
+             |  GROUP BY ex.q_id)
+             |SELECT q.q_id, 5::BIGINT AS k, coalesce(n_hit, 0)::BIGINT AS n_hit,
+             |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
+             |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+             |ORDER BY q_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

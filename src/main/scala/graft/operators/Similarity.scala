@@ -537,6 +537,93 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-PQ with residual encoding — the realistic billion-vector ANN
+    * recipe (Jégou/Douze/Schmid, "Product quantization for nearest
+    * neighbor search", TPAMI 2011 §V; FAISS `IndexIVFPQ`): coarse-
+    * quantize every vector to its nearest centroid by exact integer L2,
+    * then product-quantize the RESIDUAL (vector − centroid) against a
+    * shared residual codebook — residuals concentrate near zero, so the
+    * same code budget quantizes them far more finely than raw vectors,
+    * and the coarse cell restricts each query to `nprobe` cells' worth
+    * of candidates. Asymmetric distance: per probed cell the query
+    * builds its m × |codes| residual distance table, and a candidate's
+    * score is m table lookups on its stored codes.
+    *
+    * Determinism: milli-quantized integer arithmetic end to end (the
+    * [[pqTopK]] discipline) — assignments, codes, tables, and ranking
+    * are all exact BIGINT with (distance, id) tie-breaks, so the whole
+    * index is oracle-checkable. Centroids are designated corpus vectors
+    * (`centroidIds`), the residual codebook trains on designated
+    * vectors' residuals (`trainIds`) — no RNG state anywhere.
+    *
+    * Scale shape: the centroid set is broadcast (that is what makes it
+    * a COARSE quantizer); assignment is a per-row argmin + one windowed
+    * rank keyed on the vector id; codes are (corpus × m) rows through
+    * keyed joins against the broadcast codebook; the scoring join is
+    * keyed on (cell, s, code) with the query-side table broadcast — no
+    * pairwise corpus work anywhere, so the plan survives a 100× corpus
+    * by shuffle volume alone. Returns (q_id, n_id, adc, rank ≤ k). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidIds: Seq[Long],
+      trainIds: Seq[Long],
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val iv = transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    def ivView(df: DataFrame) = df.select(col(idCol).as("vid"), iv.as("iv"))
+    val cents = ivView(corpus)
+      .filter(col("vid").isInCollection(centroidIds))
+      .select(col("vid").as("cid"), col("iv").as("civ"))
+    def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    // n best cells per vector + the residual against EACH probed cell's
+    // centroid (corpus uses n = 1: a vector lives in exactly one cell)
+    def assign(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vid")).orderBy(col("dd"), col("cid"))
+      ivView(df).crossJoin(broadcast(cents))
+        .withColumn("dd", dist2(col("iv"), col("civ")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .select(col("vid"), col("cid").as("cell"),
+          zip_with(col("iv"), col("civ"), (a, b) => a - b).as("riv"))
+    }
+    def subspaces(df: DataFrame, id: String): DataFrame =
+      df.select(col("vid").as(id), col("cell"),
+          explode(array((0 until m).map { s =>
+            struct(lit(s).as("s"), slice(col("riv"), lit(s * sub + 1), lit(sub)).as("sv"))
+          }: _*)).as("p"))
+        .select(col(id), col("cell"), col("p.s").as("s"), col("p.sv").as("sv"))
+    val asg = assign(corpus, 1)
+    // shared residual codebook: designated train vectors' residual
+    // subvectors, code = train id (the q95 convention)
+    val cb = subspaces(asg.filter(col("vid").isInCollection(trainIds)), "c_id")
+      .select(col("s"), col("c_id").as("c"), col("sv").as("cvec"))
+    val codes = {
+      val w = Window.partitionBy(col("n_id"), col("s")).orderBy(col("d2"), col("c"))
+      subspaces(asg, "n_id").join(broadcast(cb), "s")
+        .withColumn("d2", dist2(col("sv"), col("cvec")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("n_id"), col("cell"), col("s"), col("c").as("code"))
+    }
+    val dtable = subspaces(assign(queries, nprobe), "q_id")
+      .join(broadcast(cb), "s")
+      .select(col("q_id"), col("cell"), col("s"), col("c").as("code"),
+        dist2(col("sv"), col("cvec")).as("d2"))
+    val scored = codes.join(broadcast(dtable), Seq("cell", "s", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-label prototype centroids: the mean embedding of every label's
     * vectors — class prototypes for nearest-prototype classification and
     * semantic-search seeds. Vectors quantize to milli-units first, so

@@ -147,6 +147,48 @@ class Round10Spec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("bigint"))
   }
 
+  // ----- IVF-PQ ----------------------------------------------------------
+
+  test("ivfPqTopK degenerates to exact L2 with all cells probed + full codebook") {
+    // nprobe = #cells makes coverage total; a codebook containing every
+    // corpus residual makes each vector its own code, so ADC equals the
+    // exact residual L2 — which equals the exact vector L2 within a
+    // shared cell. The composed index must then reproduce l2TopK
+    // exactly (recall@5 = 1.0 for every query).
+    val rnd = new scala.util.Random(17)
+    val df = Seq.tabulate(60)(i =>
+        (i.toLong, Seq.fill(64)((rnd.nextInt(255) - 127).toDouble.toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 6)
+    val approx = graft.operators.Similarity.ivfPqTopK(
+      df, queries, "vec_id", "embedding",
+      centroidIds = 0L until 4L, trainIds = 0L until 60L,
+      m = 8, k = 5, nprobe = 4)
+    val exact = graft.operators.Similarity.l2TopK(df, queries, "vec_id", "embedding", k = 5)
+    val recall = graft.operators.Similarity.recallAtK(approx, exact, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(recall.size == 6 && recall.values.forall(_ == 1000000L), recall.toString)
+  }
+
+  test("ivfPqTopK plan: keyed scoring join, nested loops only at the centroid fans") {
+    val emb = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val p = graft.operators.Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        centroidIds = 0L until 4L, trainIds = 0L until 16L,
+        m = 8, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"ivfpq fell back to cartesian:\n$p")
+    // the only nested loops are the deliberate 4-row centroid broadcast
+    // fans — the assignment subtree appears in 4 plan branches (corpus
+    // codes, codebook, query probe, distance table; AQE stage reuse
+    // dedupes the shared ones at runtime), so the static count is ≤ 4.
+    // Codebook joins and the (cell, s, code) scoring join must all be
+    // hash joins.
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 4, s"unexpected nested-loop joins ($bnl):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"scoring join not keyed:\n$p")
+  }
+
   test("dynamic partition overwrite replaces ONLY the produced partitions") {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key, "static")
