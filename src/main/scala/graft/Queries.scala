@@ -9331,7 +9331,68 @@ object Queries {
              |SELECT q.q_id, 5::BIGINT AS k, coalesce(n_hit, 0)::BIGINT AS n_hit,
              |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
              |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
-             |ORDER BY q_id""".stripMargin)))
+             |ORDER BY q_id""".stripMargin)),
+
+    // streaming KLL (DocStreams.startKll): per-micro-batch document-
+    // length values folded into a crash-safe parquet sketch store —
+    // completing the streaming sketch triad (CMS q97, HLL q259). The
+    // store's (v, w) items re-ingest as an exact merge and the meta row
+    // accumulates the additive rank-error bound, so the drained store
+    // is a valid sketch of the whole corpus whatever the batch split —
+    // the entry pins the same order-independent guarantees as q274
+    // (exact n and target ranks, theorem-true within_bound), never the
+    // order-dependent item multiset. k=64 so multi-level compaction is
+    // actually exercised at this corpus size.
+    "q277_streaming_kll" -> Q(
+      (s, d) => {
+        // per-JVM tagged dir + fresh per-run store: the q259 pattern
+        // (concurrent Bench/Verify must not share the symlink, and a
+        // reused store would re-add rows — KLL replays like CMS, not HLL)
+        val dir = java.nio.file.Paths.get(scratchDir("graft_q277_docs"))
+        java.nio.file.Files.createDirectories(dir)
+        val link = dir.resolve("docs.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+        val base = java.nio.file.Files.createTempDirectory("graft_q277").toString
+        val q = graft.streaming.DocStreams.startKll(
+          graft.streaming.DocStreams.readStream(s, dir.toString),
+          s"$base/store", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        val store = s.read.parquet(s"$base/store/current")
+        val skDf = store.agg(
+            sum(when(col("w") > 0, col("w")).otherwise(0L)).as("n"),
+            sum(col("err")).as("err_bound"),
+            collect_list(when(col("w") > 0, struct(col("v"), col("w"))))
+              .as("items"))
+          .select(struct(col("n"), col("err_bound"), col("items")).as("sk"))
+        val est = TextAnalysis.kllQuantileEstimates(skDf, Seq(100, 500, 900))
+        val v = t(s, d, "documents").select(col("n_chars").as("v"))
+        val ranks = v.crossJoin(broadcast(est))
+          .groupBy(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
+            col("est_v"), col("est_wv"))
+          .agg(sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("true_rank"))
+        val sorted = v.withColumn("rn",
+          row_number().over(Window.orderBy(col("v"))).cast("long"))
+        sorted.join(broadcast(ranks), col("rn") === col("target_rank"))
+          .select(col("phi_pm"), col("n"), col("target_rank"),
+            col("v").as("exact_q"),
+            (col("true_rank") >= col("target_rank") - col("eb") &&
+              col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
+              .as("within_bound"))
+          .orderBy(col("phi_pm"))
+      },
+      Some("""WITH v AS (SELECT n_chars AS v FROM documents),
+             |c AS (SELECT count(*)::BIGINT AS n FROM v),
+             |p(phi_pm) AS (VALUES (100), (500), (900)),
+             |t AS (SELECT phi_pm::BIGINT AS phi_pm, n,
+             |    greatest(1, (phi_pm * n) // 1000)::BIGINT AS target_rank
+             |  FROM p, c),
+             |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+             |SELECT phi_pm, n, target_rank, s.v AS exact_q,
+             |  true AS within_bound
+             |FROM t JOIN s ON s.rn = t.target_rank
+             |ORDER BY phi_pm""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

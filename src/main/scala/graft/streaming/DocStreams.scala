@@ -171,6 +171,61 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming KLL quantile maintenance — the third member of the
+    * sketch-store triad (CMS: linear adds; HLL: idempotent max; KLL:
+    * weighted re-ingest merge): each micro-batch's `n_chars` values are
+    * folded into a parquet store holding the running sketch's (v, w)
+    * items plus one meta row carrying the accumulated rank-error bound.
+    * A KLL item re-ingests as an exact merge (weight decomposes into
+    * set bits — see [[graft.functions.KllSketch]]), so after any number
+    * of batches the store IS a valid sketch of everything seen, with
+    * `err = Σ` per-merge compaction errors (the guarantee is additive —
+    * Round10Spec pins the re-ingest equivalence). Replay semantics
+    * match CMS, not HLL: an at-least-once REPLAYED batch re-adds its
+    * rows and inflates `n`; the store itself stays crash-atomic via the
+    * shared [[recoverStore]]/`swapStore` protocol. Store size is
+    * k·levels items however much data has flowed. */
+  def startKll(
+      docs: DataFrame,
+      sketchStoreDir: String,
+      checkpointDir: String,
+      k: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeKllBatch(batch, batchId, sketchStoreDir, k)
+      }
+      .start()
+
+  private[graft] def mergeKllBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sketchStoreDir: String,
+      k: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val raw = batch.select(col("n_chars").cast("long").as("v"), lit(1L).as("w"))
+    val (fs, current) = recoverStore(spark, sketchStoreDir)
+    // prior err rides the meta row (w = 0, excluded from re-ingest);
+    // the agg is one head() over a sketch-sized store — bounded
+    val (input, priorErr) =
+      if (fs.exists(current)) {
+        val st = spark.read.parquet(current.toString)
+        val pe = st.agg(coalesce(sum(col("err")), lit(0L))).head().getLong(0)
+        (raw.unionByName(st.filter(col("w") > 0).select(col("v"), col("w"))), pe)
+      } else (raw, 0L)
+    val sk = input.agg(
+      graft.functions.Functions.kllSketch(col("v"), col("w"), k).as("sk"))
+    val merged = sk
+      .select(explode(col("sk.items")).as("it"))
+      .select(col("it.v").as("v"), col("it.w").as("w"), lit(0L).as("err"))
+      .unionByName(sk.select(lit(0L).as("v"), lit(0L).as("w"),
+        (col("sk.err_bound") + lit(priorErr)).as("err")))
+    val next = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/next_$batchId")
+    merged.write.mode("overwrite").parquet(next.toString)
+    swapStore(fs, sketchStoreDir, next, batchId)
+  }
+
   private[graft] def mergeHllBatch(
       batch: DataFrame,
       batchId: Long,

@@ -147,6 +147,44 @@ class Round10Spec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("bigint"))
   }
 
+  test("mergeKllBatch: crash between the swap renames loses no sketch state") {
+    val store = java.nio.file.Files.createTempDirectory("graft_kll_crash").toString
+    def docs(ids: Range) = ids.map(i =>
+        (i.toLong, s"doc $i", "en", "s", 40L + i)).toDF(
+        "doc_id", "text", "lang", "source", "n_chars")
+    val b1 = docs(0 until 300)
+    val b2 = docs(300 until 500)
+    graft.streaming.DocStreams.mergeKllBatch(b1, 0L, store, k = 16)
+    // simulate the mid-swap crash: current renamed aside, process died
+    // before next_1 moved into place
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$store/current"),
+      new org.apache.hadoop.fs.Path(s"$store/prev_1")))
+    graft.streaming.DocStreams.mergeKllBatch(b2, 1L, store, k = 16)
+    val st = spark.read.parquet(s"$store/current")
+    val n = st.agg(sum(when(col("w") > 0, col("w")).otherwise(0L))).head().getLong(0)
+    val eb = st.agg(sum(col("err"))).head().getLong(0)
+    // recovery merged b2 against the RECOVERED b1 sketch: exact count,
+    // and the accumulated bound still covers every rank query over the
+    // full 500-value stream
+    assert(n == 500L, s"n=$n")
+    val items = st.filter(col("w") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val all = (0 until 500).map(i => 40L + i)
+    Seq(89L, 289L, 439L, 539L).foreach { x =>
+      val skRank = items.filter(_._1 <= x).map(_._2).sum
+      val trueRank = all.count(_ <= x).toLong
+      assert(math.abs(skRank - trueRank) <= eb,
+        s"rank error at $x: |$skRank - $trueRank| > $eb")
+    }
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("current") && !names.exists(_.startsWith("prev_")),
+      s"unexpected store contents: $names")
+  }
+
   // ----- IVF-PQ ----------------------------------------------------------
 
   test("ivfPqTopK degenerates to exact L2 with all cells probed + full codebook") {
