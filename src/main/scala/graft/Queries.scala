@@ -9392,7 +9392,58 @@ object Queries {
              |SELECT phi_pm, n, target_rank, s.v AS exact_q,
              |  true AS within_bound
              |FROM t JOIN s ON s.rn = t.target_rank
-             |ORDER BY phi_pm""".stripMargin)))
+             |ORDER BY phi_pm""".stripMargin)),
+
+    // deterministic fixed-round Louvain phase-1 (Graph.louvainRounds)
+    // on the q255 co-purchase graph: all-integer modularity gain
+    // (2m·w_iC − deg_i·Σtot(C∖{i})) with smallest-label ties, so every
+    // round is an unrollable relational statement — the
+    // degree-penalized upgrade over plain label propagation, which
+    // floods across sparse bridges. Two rounds keep the oracle's
+    // unrolled CTE chain readable; the operator takes the same
+    // checkpointEvery lineage knob as LPA for deep production runs.
+    "q278_louvain_communities" -> Q(
+      (s, d) => operators.Graph.louvainRounds(
+          operators.Graph.coOccurrenceEdges(
+            t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+            "l_orderkey", "l_partkey"),
+          rounds = 2)
+        .orderBy(col("node")),
+      Some {
+        val steps = (1 to 2).map { r =>
+          s"""st$r AS (SELECT label, sum(deg)::BIGINT AS stot
+             |  FROM l${r - 1} JOIN deg USING (node) GROUP BY label),
+             |wic$r AS (SELECT e.dst AS node, l.label AS label,
+             |    count(*)::BIGINT AS wic
+             |  FROM e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+             |cd$r AS (SELECT node, label, max(wic)::BIGINT AS wic FROM (
+             |    SELECT node, label, wic FROM wic$r
+             |    UNION ALL SELECT node, label, 0 FROM l${r - 1})
+             |  GROUP BY node, label),
+             |sc$r AS (SELECT c.node, c.label,
+             |    m.w2m * c.wic - d.deg *
+             |      (s.stot - CASE WHEN c.label = l.label
+             |                     THEN d.deg ELSE 0 END) AS f
+             |  FROM cd$r c JOIN st$r s USING (label)
+             |    JOIN deg d ON c.node = d.node
+             |    JOIN l${r - 1} l ON c.node = l.node, m),
+             |l$r AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (
+             |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM sc$r)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH it AS (
+           |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+           |  WHERE l_partkey % 10 = 0),
+           |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+           |deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+           |m AS (SELECT sum(deg)::BIGINT AS w2m FROM deg),
+           |l0 AS (SELECT node, node AS label FROM deg),
+           |$steps
+           |SELECT node::BIGINT AS node, label::BIGINT AS community FROM l2
+           |ORDER BY node""".stripMargin
+      }))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -407,6 +407,88 @@ object Graph {
     labels
   }
 
+  /** Synchronous fixed-round Louvain phase-1 (Blondel/Guillaume/
+    * Lambiotte/Lefebvre, "Fast unfolding of communities in large
+    * networks", J. Stat. Mech. 2008): every node starts in its own
+    * community; each round it moves to the candidate community C
+    * (neighbor communities ∪ its current one) maximizing the modularity
+    * gain. The classic gain of moving i into C is
+    * `ΔQ ∝ w_iC − deg_i·Σtot(C∖{i})/(2m)`; multiplying through by
+    * `2m` gives the all-integer objective
+    * `f(C) = 2m·w_iC − deg_i·Σtot(C∖{i})`
+    * which preserves the argmax exactly, so the per-node choice — ties
+    * toward the smallest community label — is engine-bit-identical and
+    * the oracle can unroll each round relationally. This is what
+    * completes the graph family past label propagation (q255): LPA's
+    * plain neighbor-majority vote has known degeneracies (it floods
+    * across sparse bridges and can collapse everything to one label);
+    * the degree-penalty term is exactly what stops hub-adjacent flood.
+    *
+    * Synchronous update (all nodes move simultaneously per round) is
+    * the standard distributed formulation; a FIXED round count — not
+    * convergence — keeps the computation a straight-line plan (the
+    * q255 discipline).
+    *
+    * `edges` must be distinct symmetric (src, dst) pairs with no
+    * self-loops ([[coOccurrenceEdges]] shape); edge weights are 1, so
+    * `deg` is the out-row count and `2m = Σ deg`. Overflow headroom:
+    * `2m·w_iC` needs `2m · max_deg < 2^63` — fine to ~10^12 directed
+    * edges with 10^6-degree hubs; past that, scale weights down first.
+    *
+    * Scale shape per round: one (label, deg) aggregate for Σtot (≤
+    * #communities rows), one (dst, label) count keyed on the corpus
+    * edges, a keyed join against the broadcast-or-shuffled Σtot table,
+    * and one per-node min-struct argmax — three keyed shuffles, no
+    * pairwise work, same cost class as a PageRank round. Deep runs take
+    * the same `checkpointEvery` lineage knob as [[labelPropagation]].
+    * Returns (node, community). */
+  def louvainRounds(
+      edges: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(checkpointEvery >= 0,
+      "checkpointEvery: 0 = off, k > 0 = truncate lineage every k rounds")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // 2m — the one tiny driver collect, inlined as a literal
+    val w2m = deg.agg(sum(col("deg"))).head().getLong(0)
+    var labels = deg.select(col("node"), col("node").as("label"))
+    var lastCp: DataFrame = null
+    for (r <- 1 to rounds) {
+      val sumtot = labels.join(deg, "node")
+        .groupBy(col("label")).agg(sum(col("deg")).as("stot"))
+      val wic = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("wic"))
+      val cur = labels.select(col("node"), col("label").as("cur"))
+      // candidates: neighbor communities plus the node's own (with
+      // w_iC = 0 when no neighbor shares it — staying must always be
+      // on the menu or an isolated-in-community node has no row)
+      val cand = wic.join(cur, "node")
+        .unionByName(cur.select(col("node"), col("cur").as("label"),
+          lit(0L).as("wic"), col("cur")))
+        .groupBy(col("node"), col("label"), col("cur"))
+        .agg(max(col("wic")).as("wic"))
+      val scored = cand.join(sumtot, "label").join(deg, "node")
+        // Σtot(C∖{i}): subtract own degree only when already in C
+        .withColumn("f",
+          lit(w2m) * col("wic") - col("deg") *
+            (col("stot") -
+              when(col("label") === col("cur"), col("deg")).otherwise(lit(0L))))
+      labels = scored.groupBy(col("node"))
+        .agg(min(struct((-col("f")).as("negf"), col("label").as("l"))).as("t"))
+        .select(col("node"), col("t.l").as("label"))
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
+        val cp = checkpointDf(labels)
+        if (lastCp != null)
+          org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(lastCp)
+        lastCp = cp
+        labels = cp
+      }
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Reliable `checkpoint()` when the context has a checkpoint dir
     * (fault-tolerant truncation on a cluster), `localCheckpoint()`
     * otherwise — the shared flavor switch for the iterative operators'

@@ -147,6 +147,74 @@ class Round10Spec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("bigint"))
   }
 
+  // ----- Louvain ---------------------------------------------------------
+
+  /** Driver-side reference of the synchronous integer Louvain round:
+    * same objective 2m·w_iC − deg_i·Σtot(C∖{i}), same smallest-label
+    * tie-break. */
+  private def louvainRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val w2m = deg.values.sum
+    var labels = deg.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val stot = labels.toSeq.groupBy(_._2)
+        .map { case (l, ns) => l -> ns.map(n => deg(n._1)).sum }
+      labels = labels.map { case (i, cur) =>
+        val wic = adj(i).groupBy(labels).map { case (l, ns) => l -> ns.size.toLong }
+        val cands = wic.keySet + cur
+        val best = cands.minBy { c =>
+          val st = stot(c) - (if (c == cur) deg(i) else 0L)
+          (-(w2m * wic.getOrElse(c, 0L) - deg(i) * st), c)
+        }
+        i -> best
+      }
+    }
+    labels
+  }
+
+  test("louvainRounds == driver reference on random graphs") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      // random symmetric graph, no self-loops, no isolated nodes
+      val n = 20 + trial * 7
+      val undirected = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (a, b)) ++ (0L until n.toLong - 1).map(i => (i, i + 1))
+      val sym = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val expected = louvainRef(sym, rounds = 3)
+      val got = Graph.louvainRounds(sym.toDF("src", "dst"), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
+  test("louvainRounds: degree penalty keeps communities inside their triangle") {
+    // two triangles joined by one bridge edge: no node may ever adopt a
+    // label from the far triangle — the flood LPA's plain majority vote
+    // is prone to is exactly what the Σtot penalty blocks
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    for (r <- 1 to 4) {
+      val labels = Graph.louvainRounds(tri.toDF("src", "dst"), rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L).forall(n => labels(n) <= 3L), s"r=$r: $labels")
+      assert(Seq(4L, 5L, 6L).forall(n => labels(n) >= 4L), s"r=$r: $labels")
+    }
+  }
+
+  test("louvainRounds: checkpointEvery knob yields bit-identical communities") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val off = Graph.louvainRounds(edges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = Graph.louvainRounds(edges, rounds = 5, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(on == off)
+  }
+
   test("mergeKllBatch: crash between the swap renames loses no sketch state") {
     val store = java.nio.file.Files.createTempDirectory("graft_kll_crash").toString
     def docs(ids: Range) = ids.map(i =>
