@@ -77,7 +77,16 @@ object ScaleProbe {
     // round-9: full-corpus Lloyd's — per round one argmin scan with the
     // centroid matrix inlined + a k-row per-dim-sum aggregate; growth
     // should track the scan (the replicated embeddings corpus)
-    "q268_kmeans_lloyd")
+    "q268_kmeans_lloyd",
+    // round-10: IVF-PQ — corpus-side cost is the residual encode
+    // (corpus × m subspace rows through keyed joins + a windowed
+    // argmin); query/table sides are fixed-size broadcasts, so growth
+    // should track the replicated embeddings corpus
+    "q276_ivfpq_recall",
+    // round-10: Louvain — per round three keyed shuffles over the
+    // replica-disjoint co-occurrence graph (same cost class as the
+    // probed q255 LPA, plus the Σtot community aggregate)
+    "q278_louvain_communities")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -144,7 +153,13 @@ object ScaleProbe {
     "q272_mg_by_source" ->
       "per-source 64-counter sketches: state is sources x k regardless of corpus; the token-explode scan cost is what q253's probed explode already measures",
     "q273_multi_insert" ->
-      "two filtered scans + parquet writes of the routed tiers; write volume equals input rows at any SF — the scan/write shape the CTAS baseline already measures at full scale")
+      "two filtered scans + parquet writes of the routed tiers; write volume equals input rows at any SF — the scan/write shape the CTAS baseline already measures at full scale",
+    "q274_kll_quantiles" ->
+      "reads events, which the replica set omits; sketch state is k*levels regardless of corpus and the one-pass scan + map-side-partial shape is the same class as the excluded HLL entries (the benchFn path never sorts the corpus)",
+    "q275_dynamic_partition_insert" ->
+      "partitioned parquet writes routed by the data; write volume equals input rows at any SF — q273's class, measured at full scale by the CTAS/export baselines",
+    "q277_streaming_kll" ->
+      "per-batch sketch merge over a k*levels-row store; fixed micro-batch overhead dominates at any SF — the excluded streaming-store class (q259), with the batch KLL scan shape covered by q274's exclusion rationale")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain
