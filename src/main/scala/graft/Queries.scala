@@ -9135,6 +9135,43 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Shared Louvain oracle prefix (q278/q280): the co-purchase graph,
+    * degree/2m tables, and `rounds` unrolled synchronous integer-gain
+    * rounds ending at `l<rounds>`. */
+  private def louvainOracleCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""st$r AS (SELECT label, sum(deg)::BIGINT AS stot
+         |  FROM l${r - 1} JOIN deg USING (node) GROUP BY label),
+         |wic$r AS (SELECT e.dst AS node, l.label AS label,
+         |    count(*)::BIGINT AS wic
+         |  FROM e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |cd$r AS (SELECT node, label, max(wic)::BIGINT AS wic FROM (
+         |    SELECT node, label, wic FROM wic$r
+         |    UNION ALL SELECT node, label, 0 FROM l${r - 1})
+         |  GROUP BY node, label),
+         |sc$r AS (SELECT c.node, c.label,
+         |    m.w2m * c.wic - d.deg *
+         |      (s.stot - CASE WHEN c.label = l.label
+         |                     THEN d.deg ELSE 0 END) AS f
+         |  FROM cd$r c JOIN st$r s USING (label)
+         |    JOIN deg d ON c.node = d.node
+         |    JOIN l${r - 1} l ON c.node = l.node, m),
+         |l$r AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (
+         |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM sc$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+       |  WHERE l_partkey % 10 = 0),
+       |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+       |m AS (SELECT sum(deg)::BIGINT AS w2m FROM deg),
+       |l0 AS (SELECT node, node AS label FROM deg),
+       |$steps""".stripMargin
+  }
+
   /** Round-10 surface: the portable quantile sketch completing the
     * fixed-memory sketch family, the last beeline-typable Hive write
     * idiom (dynamic-partition overwrite), IVF-PQ residual composition,
@@ -9409,41 +9446,96 @@ object Queries {
             "l_orderkey", "l_partkey"),
           rounds = 2)
         .orderBy(col("node")),
-      Some {
-        val steps = (1 to 2).map { r =>
-          s"""st$r AS (SELECT label, sum(deg)::BIGINT AS stot
-             |  FROM l${r - 1} JOIN deg USING (node) GROUP BY label),
-             |wic$r AS (SELECT e.dst AS node, l.label AS label,
-             |    count(*)::BIGINT AS wic
-             |  FROM e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
-             |cd$r AS (SELECT node, label, max(wic)::BIGINT AS wic FROM (
-             |    SELECT node, label, wic FROM wic$r
-             |    UNION ALL SELECT node, label, 0 FROM l${r - 1})
-             |  GROUP BY node, label),
-             |sc$r AS (SELECT c.node, c.label,
-             |    m.w2m * c.wic - d.deg *
-             |      (s.stot - CASE WHEN c.label = l.label
-             |                     THEN d.deg ELSE 0 END) AS f
-             |  FROM cd$r c JOIN st$r s USING (label)
-             |    JOIN deg d ON c.node = d.node
-             |    JOIN l${r - 1} l ON c.node = l.node, m),
-             |l$r AS (SELECT node, label FROM (
-             |  SELECT node, label, row_number() OVER (
-             |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM sc$r)
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH it AS (
-           |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
-           |  WHERE l_partkey % 10 = 0),
-           |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
-           |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
-           |deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
-           |m AS (SELECT sum(deg)::BIGINT AS w2m FROM deg),
-           |l0 AS (SELECT node, node AS label FROM deg),
-           |$steps
-           |SELECT node::BIGINT AS node, label::BIGINT AS community FROM l2
-           |ORDER BY node""".stripMargin
-      }))
+      Some(s"""${louvainOracleCtes(2)}
+              |SELECT node::BIGINT AS node, label::BIGINT AS community FROM l2
+              |ORDER BY node""".stripMargin)),
+
+    // per-source KLL sketches: kll_sketch under groupBy(source) — the
+    // grouped ObjectHashAggregate path (per-group partial buffers +
+    // per-group merges) the global q274 form never exercises, exactly
+    // q272's rationale for per-source Misra–Gries. Per source the entry
+    // pins the same order-independent guarantees: exact n_s, exact
+    // per-source median target and value, theorem-true within_bound.
+    // The 100 TB story: one pass computes every source's length
+    // quantile summary as sources × (k·levels) bounded state — the
+    // per-source dataset-card stat without a per-source sort.
+    "q279_kll_by_source" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sks = docs.groupBy(col("source"))
+          .agg(F.kllSketch(col("n_chars"), lit(1L), 64).as("sk"))
+        val byValue = sks
+          .select(col("source"), col("sk.n").as("n"),
+            col("sk.err_bound").as("eb"), explode(col("sk.items")).as("it"))
+          .groupBy(col("source"), col("n"), col("eb"), col("it.v").as("v"))
+          .agg(sum(col("it.w")).as("wv"))
+        val cum = byValue.withColumn("cumw",
+          sum(col("wv")).over(Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("target_rank", greatest(lit(1L), expr("n div 2")))
+        val est = cum.filter(col("cumw") >= col("target_rank"))
+          .groupBy(col("source"), col("n"), col("eb"), col("target_rank"))
+          .agg(min(struct(col("v"), col("wv"))).as("e"))
+          .select(col("source"), col("n"), col("eb"), col("target_rank"),
+            col("e.v").as("est_v"), col("e.wv").as("est_wv"))
+        val ranks = docs.select(col("source"), col("n_chars"))
+          .join(broadcast(est), "source")
+          .groupBy(col("source"), col("n"), col("eb"), col("target_rank"),
+            col("est_v"), col("est_wv"))
+          .agg(sum(when(col("n_chars") <= col("est_v"), 1L).otherwise(0L))
+            .as("true_rank"))
+        val sorted = docs.select(col("source").as("src_s"), col("n_chars").as("v"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("src_s")).orderBy(col("v"))).cast("long"))
+        sorted.join(broadcast(ranks),
+            col("src_s") === col("source") && col("rn") === col("target_rank"))
+          .select(col("source"), col("n"), col("target_rank"),
+            col("v").as("exact_q"),
+            (col("true_rank") >= col("target_rank") - col("eb") &&
+              col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
+              .as("within_bound"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH v AS (SELECT source, n_chars AS v FROM documents),
+             |c AS (SELECT source, count(*)::BIGINT AS n FROM v GROUP BY source),
+             |t AS (SELECT source, n, greatest(1, n // 2)::BIGINT AS target_rank
+             |  FROM c),
+             |s AS (SELECT source, v, row_number() OVER (
+             |    PARTITION BY source ORDER BY v) AS rn FROM v)
+             |SELECT t.source, n, target_rank, s.v AS exact_q,
+             |  true AS within_bound
+             |FROM t JOIN s ON s.source = t.source AND s.rn = t.target_rank
+             |ORDER BY t.source""".stripMargin)),
+
+    // exact integer modularity of the q278 Louvain partition
+    // (Graph.modularityByCommunity): Newman's Q scaled by (2m)² so each
+    // community's contribution 2m·w_in_dir − Σtot² is a BIGINT — the
+    // score a community detection's round count / algorithm choice is
+    // tuned by, with no float anywhere. Communities of size 1 keep
+    // w_in_dir = 0 via the left join. Oracle extends the shared
+    // unrolled-Louvain CTEs with the two community aggregates.
+    "q280_modularity" -> Q(
+      (s, d) => {
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey")
+        operators.Graph.modularityByCommunity(
+            edges, operators.Graph.louvainRounds(edges, rounds = 2))
+          .orderBy(col("community"))
+      },
+      Some(s"""${louvainOracleCtes(2)},
+              |bc AS (SELECT l.label AS community, count(*)::BIGINT AS csize,
+              |    sum(deg.deg)::BIGINT AS stot
+              |  FROM l2 l JOIN deg ON l.node = deg.node GROUP BY 1),
+              |wi AS (SELECT a.label AS community, count(*)::BIGINT AS w_in_dir
+              |  FROM e JOIN l2 a ON e.src = a.node
+              |    JOIN l2 b ON e.dst = b.node AND a.label = b.label
+              |  GROUP BY 1)
+              |SELECT bc.community::BIGINT AS community, csize,
+              |  coalesce(w_in_dir, 0)::BIGINT AS w_in_dir, stot,
+              |  (m.w2m * coalesce(w_in_dir, 0) - stot * stot)::BIGINT AS contrib
+              |FROM bc LEFT JOIN wi USING (community), m
+              |ORDER BY community""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -489,6 +489,46 @@ object Graph {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Exact integer modularity per community — the quality score a
+    * community detection (q255 LPA, q278 Louvain) is tuned by. Newman's
+    * Q = Σ_C [w_in(C)/2m − (Σtot(C)/2m)²] multiplied through by (2m)²
+    * gives the per-community BIGINT contribution
+    * `contrib(C) = 2m·w_in_dir(C) − Σtot(C)²`
+    * (w_in_dir = DIRECTED intra-community edge count = 2·undirected, so
+    * the /2m and the doubled count cancel exactly), with
+    * Q = Σ contrib / (2m)² — numerator and denominator both exact, so
+    * the score is engine-bit-identical and needs no float anywhere.
+    * Overflow headroom: Σtot(C)² < 2^63 needs Σtot < 3·10^9 directed
+    * edge-ends per community — past that, scale weights down first.
+    *
+    * Scale shape: two keyed joins of the edge list against the label
+    * table (src side, dst side) + one count per community, and one
+    * (label, deg) aggregate — community-sized output, no pairwise work.
+    * `edges` must be distinct symmetric pairs ([[coOccurrenceEdges]]
+    * shape); `labels` is (node, community)-shaped with every edge
+    * endpoint labeled. Returns one row per community:
+    * (community, csize, w_in_dir, stot, contrib). */
+  def modularityByCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val l = labels.select(col("node"), col("community"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val w2m = deg.agg(sum(col("deg"))).head().getLong(0)
+    val byC = l.join(deg, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("csize"), sum(col("deg")).as("stot"))
+    val win = e
+      .join(l.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(l.select(col("node").as("dst"), col("community").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("w_in_dir"))
+    byC.join(win, Seq("community"), "left")
+      .select(col("community"), col("csize"),
+        coalesce(col("w_in_dir"), lit(0L)).as("w_in_dir"), col("stot"),
+        (lit(w2m) * coalesce(col("w_in_dir"), lit(0L)) -
+          col("stot") * col("stot")).as("contrib"))
+  }
+
   /** Reliable `checkpoint()` when the context has a checkpoint dir
     * (fault-tolerant truncation on a cluster), `localCheckpoint()`
     * otherwise — the shared flavor switch for the iterative operators'

@@ -159,7 +159,11 @@ object ScaleProbe {
     "q275_dynamic_partition_insert" ->
       "partitioned parquet writes routed by the data; write volume equals input rows at any SF — q273's class, measured at full scale by the CTAS/export baselines",
     "q277_streaming_kll" ->
-      "per-batch sketch merge over a k*levels-row store; fixed micro-batch overhead dominates at any SF — the excluded streaming-store class (q259), with the batch KLL scan shape covered by q274's exclusion rationale")
+      "per-batch sketch merge over a k*levels-row store; fixed micro-batch overhead dominates at any SF — the excluded streaming-store class (q259), with the batch KLL scan shape covered by q274's exclusion rationale",
+    "q279_kll_by_source" ->
+      "per-source sketches: state is sources x k*levels regardless of corpus (the q272/q257 grouped-sketch class); the one-pass scan shape is what the probed corpus scans already measure",
+    "q280_modularity" ->
+      "dominated by the q278 Louvain labeling it scores, which IS probed; the modularity epilogue adds two keyed label joins with community-sized output")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

@@ -215,6 +215,59 @@ class Round10Spec extends AnyFunSuite {
     assert(on == off)
   }
 
+  test("grouped kll_sketch: per-group guarantees over forced multi-partition partials") {
+    // the q272 discipline for the grouped ObjectHashAggregate path:
+    // partial buffers and merges happen PER GROUP — force many input
+    // partitions so each group's sketch really is merged from pieces,
+    // then check the order-independent guarantees per group
+    val rnd = new scala.util.Random(61)
+    val rows = for (g <- 0 until 4; _ <- 0 until 1500)
+      yield (s"g$g", rnd.nextInt(100000).toLong)
+    val df = rows.toDF("grp", "v").repartition(13)
+    val sks = df.groupBy(col("grp"))
+      .agg(graft.functions.Functions.kllSketch(col("v"), lit(1L), 32).as("sk"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1),
+          r.getStruct(1).getSeq[org.apache.spark.sql.Row](2)
+            .map(it => (it.getLong(0), it.getLong(1))))).toMap
+    val byGroup = rows.groupBy(_._1)
+    assert(sks.keySet == byGroup.keySet)
+    byGroup.foreach { case (g, rs) =>
+      val vals = rs.map(_._2)
+      val (n, eb, items) = sks(g)
+      assert(n == vals.size.toLong, s"$g: n=$n")
+      vals.sorted.grouped(300).map(_.head).foreach { x =>
+        val skRank = items.filter(_._1 <= x).map(_._2).sum
+        val trueRank = vals.count(_ <= x).toLong
+        assert(math.abs(skRank - trueRank) <= eb,
+          s"$g: rank error at $x: |$skRank - $trueRank| > $eb")
+      }
+    }
+  }
+
+  test("modularityByCommunity: exact contributions discriminate partitions") {
+    // two triangles + bridge, 2m = 14. Ideal partition: per community
+    // w_in_dir = 6, Σtot = 7 → contrib = 14·6 − 49 = 35 (Q = 70/196).
+    // The trivial partitions must score strictly worse: all-in-one
+    // contrib = 14·14 − 14² = 0; singletons Σ −deg² = −34.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    def total(labels: Seq[(Long, Long)]): Long =
+      Graph.modularityByCommunity(tri, labels.toDF("node", "community"))
+        .agg(sum(col("contrib"))).head().getLong(0)
+    val ideal = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val idealRows = Graph.modularityByCommunity(tri, ideal.toDF("node", "community"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(idealRows(1L) == ((3L, 6L, 7L, 35L)), idealRows.toString)
+    assert(idealRows(4L) == ((3L, 6L, 7L, 35L)), idealRows.toString)
+    val allOne = (1L to 6L).map(_ -> 1L)
+    val singletons = (1L to 6L).map(n => n -> n)
+    assert(total(ideal) == 70L)
+    assert(total(allOne) == 0L)
+    assert(total(singletons) == -34L)
+  }
+
   test("mergeKllBatch: crash between the swap renames loses no sketch state") {
     val store = java.nio.file.Files.createTempDirectory("graft_kll_crash").toString
     def docs(ids: Range) = ids.map(i =>
