@@ -249,7 +249,9 @@ object Bench {
     // the export reads the materialized warehouse CSV exactly as Sqoop
     // does — and each timed pass recreates the sink table, then runs
     // the repartition(4) batched append. Short key "m33x" (the "m33"
-    // key belongs to the CTAS entry).
+    // key belongs to the CTAS entry) — note BENCH_ONLY matching is
+    // prefix-based, so `=m33` selects BOTH entries; use `=m33_` /
+    // `=m33x` to isolate one.
     val exportEntry: Seq[(String, () => Unit)] =
       if (only.exists(!_.exists("m33x_export_2800000_rows".startsWith(_)))) Seq.empty
       else try {

@@ -9196,19 +9196,8 @@ object Queries {
       (s, d) => {
         val v = t(s, d, "events").select(floor(col("value") * lit(1e6)).as("v"))
         val sk = v.agg(F.kllSketch(col("v"), lit(1L), 256).as("sk"))
-        val est = TextAnalysis.kllQuantileEstimates(sk, Seq(10, 250, 500, 750, 990))
-        val ranks = v.crossJoin(broadcast(est))
-          .groupBy(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
-            col("est_v"), col("est_wv"))
-          .agg(sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("true_rank"))
-        val sorted = v.withColumn("rn",
-          row_number().over(Window.orderBy(col("v"))).cast("long"))
-        sorted.join(broadcast(ranks), col("rn") === col("target_rank"))
-          .select(col("phi_pm"), col("n"), col("target_rank"),
-            col("v").as("exact_q"),
-            (col("true_rank") >= col("target_rank") - col("eb") &&
-              col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
-              .as("within_bound"))
+        TextAnalysis.kllVerifyAgainstExact(v,
+            TextAnalysis.kllQuantileEstimates(sk, Seq(10, 250, 500, 750, 990)))
           .orderBy(col("phi_pm"))
       },
       Some("""WITH v AS (SELECT floor(value * 1e6)::BIGINT AS v FROM events),
@@ -9274,17 +9263,26 @@ object Queries {
                 |  min(o_orderkey) AS min_key
                 |FROM q275_part GROUP BY prio ORDER BY prio""".stripMargin)
       },
+      // second branch: GROUP BY so an empty input yields NO row (an
+      // empty partition has no readback row), and a fallback to insert
+      // #1's full 1-URGENT content when the even-keyed subset is empty
+      // — a dynamic overwrite that produces zero rows replaces NOTHING,
+      // so an unconditional filtered branch would diverge on a fixture
+      // with no even-keyed urgent orders
       Some("""SELECT o_orderpriority AS prio, count(*) AS n,
              |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
              |  min(o_orderkey) AS min_key
              |FROM orders WHERE o_orderpriority <> '1-URGENT'
              |GROUP BY o_orderpriority
              |UNION ALL
-             |SELECT '1-URGENT' AS prio, count(*) AS n,
+             |SELECT o_orderpriority AS prio, count(*) AS n,
              |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
              |  min(o_orderkey) AS min_key
              |FROM orders
-             |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+             |WHERE o_orderpriority = '1-URGENT' AND (o_orderkey % 2 = 0
+             |  OR NOT EXISTS (SELECT 1 FROM orders
+             |       WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0))
+             |GROUP BY o_orderpriority
              |ORDER BY prio""".stripMargin)),
 
     // IVF-PQ residual composition (Similarity.ivfPqTopK): coarse cells
@@ -9403,20 +9401,9 @@ object Queries {
             collect_list(when(col("w") > 0, struct(col("v"), col("w"))))
               .as("items"))
           .select(struct(col("n"), col("err_bound"), col("items")).as("sk"))
-        val est = TextAnalysis.kllQuantileEstimates(skDf, Seq(100, 500, 900))
-        val v = t(s, d, "documents").select(col("n_chars").as("v"))
-        val ranks = v.crossJoin(broadcast(est))
-          .groupBy(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
-            col("est_v"), col("est_wv"))
-          .agg(sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("true_rank"))
-        val sorted = v.withColumn("rn",
-          row_number().over(Window.orderBy(col("v"))).cast("long"))
-        sorted.join(broadcast(ranks), col("rn") === col("target_rank"))
-          .select(col("phi_pm"), col("n"), col("target_rank"),
-            col("v").as("exact_q"),
-            (col("true_rank") >= col("target_rank") - col("eb") &&
-              col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
-              .as("within_bound"))
+        TextAnalysis.kllVerifyAgainstExact(
+            t(s, d, "documents").select(col("n_chars").as("v")),
+            TextAnalysis.kllQuantileEstimates(skDf, Seq(100, 500, 900)))
           .orderBy(col("phi_pm"))
       },
       Some("""WITH v AS (SELECT n_chars AS v FROM documents),
@@ -9464,46 +9451,20 @@ object Queries {
         val docs = t(s, d, "documents")
         val sks = docs.groupBy(col("source"))
           .agg(F.kllSketch(col("n_chars"), lit(1L), 64).as("sk"))
-        val byValue = sks
-          .select(col("source"), col("sk.n").as("n"),
-            col("sk.err_bound").as("eb"), explode(col("sk.items")).as("it"))
-          .groupBy(col("source"), col("n"), col("eb"), col("it.v").as("v"))
-          .agg(sum(col("it.w")).as("wv"))
-        val cum = byValue.withColumn("cumw",
-          sum(col("wv")).over(Window.partitionBy(col("source")).orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("target_rank", greatest(lit(1L), expr("n div 2")))
-        val est = cum.filter(col("cumw") >= col("target_rank"))
-          .groupBy(col("source"), col("n"), col("eb"), col("target_rank"))
-          .agg(min(struct(col("v"), col("wv"))).as("e"))
-          .select(col("source"), col("n"), col("eb"), col("target_rank"),
-            col("e.v").as("est_v"), col("e.wv").as("est_wv"))
-        val ranks = docs.select(col("source"), col("n_chars"))
-          .join(broadcast(est), "source")
-          .groupBy(col("source"), col("n"), col("eb"), col("target_rank"),
-            col("est_v"), col("est_wv"))
-          .agg(sum(when(col("n_chars") <= col("est_v"), 1L).otherwise(0L))
-            .as("true_rank"))
-        val sorted = docs.select(col("source").as("src_s"), col("n_chars").as("v"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("src_s")).orderBy(col("v"))).cast("long"))
-        sorted.join(broadcast(ranks),
-            col("src_s") === col("source") && col("rn") === col("target_rank"))
-          .select(col("source"), col("n"), col("target_rank"),
-            col("v").as("exact_q"),
-            (col("true_rank") >= col("target_rank") - col("eb") &&
-              col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
-              .as("within_bound"))
+        TextAnalysis.kllVerifyAgainstExact(
+            docs.select(col("source"), col("n_chars").as("v")),
+            TextAnalysis.kllQuantileEstimatesBy(sks, Seq("source"), Seq(500)),
+            groupCols = Seq("source"))
           .orderBy(col("source"))
       },
       Some("""WITH v AS (SELECT source, n_chars AS v FROM documents),
              |c AS (SELECT source, count(*)::BIGINT AS n FROM v GROUP BY source),
-             |t AS (SELECT source, n, greatest(1, n // 2)::BIGINT AS target_rank
-             |  FROM c),
+             |t AS (SELECT source, n,
+             |    greatest(1, (500 * n) // 1000)::BIGINT AS target_rank FROM c),
              |s AS (SELECT source, v, row_number() OVER (
              |    PARTITION BY source ORDER BY v) AS rn FROM v)
-             |SELECT t.source, n, target_rank, s.v AS exact_q,
-             |  true AS within_bound
+             |SELECT t.source, 500::BIGINT AS phi_pm, n, target_rank,
+             |  s.v AS exact_q, true AS within_bound
              |FROM t JOIN s ON s.source = t.source AND s.rn = t.target_rank
              |ORDER BY t.source""".stripMargin)),
 
@@ -9516,9 +9477,13 @@ object Queries {
     // unrolled-Louvain CTEs with the two community aggregates.
     "q280_modularity" -> Q(
       (s, d) => {
+        // localCheckpoint: the co-occurrence self-join feeds the Louvain
+        // rounds, the modularity aggregates, AND their eager w2m
+        // collects — materialize it once instead of recomputing the
+        // group-explode per consumer
         val edges = operators.Graph.coOccurrenceEdges(
           t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
-          "l_orderkey", "l_partkey")
+          "l_orderkey", "l_partkey").localCheckpoint()
         operators.Graph.modularityByCommunity(
             edges, operators.Graph.louvainRounds(edges, rounds = 2))
           .orderBy(col("community"))

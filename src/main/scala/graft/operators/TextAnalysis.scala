@@ -1274,28 +1274,88 @@ object TextAnalysis {
     * aggregate, the single-partition cumulative window, and the
     * phi cross join all run on a few hundred rows — query-time work is
     * independent of the corpus the sketch summarizes. */
-  def kllQuantileEstimates(sk: DataFrame, phisPermille: Seq[Int]): DataFrame = {
+  def kllQuantileEstimates(sk: DataFrame, phisPermille: Seq[Int]): DataFrame =
+    kllQuantileEstimatesBy(sk, Seq.empty, phisPermille)
+
+  /** Per-group [[kllQuantileEstimates]]: `sks` holds one `sk` sketch
+    * struct per `groupCols` combination (a `groupBy(...).agg(kllSketch)`
+    * result); `groupCols = Seq.empty` is the one-row global form.
+    * Output: groupCols ++ (phi_pm, n, eb, target_rank, est_v, est_wv),
+    * one row per (group, φ). */
+  def kllQuantileEstimatesBy(
+      sks: DataFrame,
+      groupCols: Seq[String],
+      phisPermille: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phisPermille.nonEmpty && phisPermille.forall(p => p >= 1 && p <= 999))
-    val spark = sk.sparkSession
+    val spark = sks.sparkSession
     import spark.implicits._
-    val meta = sk.select(
-      col("sk.n").as("n"), col("sk.err_bound").as("eb"), col("sk.items").as("items"))
+    val g = groupCols.map(col)
+    val meta = sks.select(g ++ Seq(
+      col("sk.n").as("n"), col("sk.err_bound").as("eb"),
+      col("sk.items").as("items")): _*)
     val byValue = meta
-      .select(col("n"), col("eb"), explode(col("items")).as("it"))
-      .groupBy(col("n"), col("eb"), col("it.v").as("v"))
+      .select(g ++ Seq(col("n"), col("eb"), explode(col("items")).as("it")): _*)
+      .groupBy(g ++ Seq(col("n"), col("eb"), col("it.v").as("v")): _*)
       .agg(sum(col("it.w")).as("wv"))
     val cum = byValue.withColumn("cumw",
-      sum(col("wv")).over(
-        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
-    val targets = phisPermille.toDF("phi_pm")
-      .crossJoin(meta.select(col("n")))
-      .select(col("phi_pm").cast("long").as("phi_pm"),
-        greatest(lit(1L), expr("phi_pm * n div 1000")).as("target_rank"))
-    targets.join(cum, col("cumw") >= col("target_rank"))
-      .groupBy(col("phi_pm"), col("n"), col("eb"), col("target_rank"))
+      sum(col("wv")).over(Window.partitionBy(g: _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val phis = phisPermille.toDF("phi_pm")
+    val targets = meta.select(g :+ col("n"): _*).distinct()
+      .crossJoin(phis)
+      .select(g ++ Seq(col("phi_pm").cast("long").as("phi_pm"),
+        greatest(lit(1L), expr("phi_pm * n div 1000")).as("target_rank")): _*)
+    val joined =
+      if (groupCols.isEmpty) targets.crossJoin(cum)
+      else targets.join(cum, groupCols)
+    joined.filter(col("cumw") >= col("target_rank"))
+      .groupBy(g ++ Seq(col("phi_pm"), col("n"), col("eb"), col("target_rank")): _*)
       .agg(min(struct(col("v"), col("wv"))).as("e"))
-      .select(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
-        col("e.v").as("est_v"), col("e.wv").as("est_wv"))
+      .select(g ++ Seq(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
+        col("e.v").as("est_v"), col("e.wv").as("est_wv")): _*)
+  }
+
+  /** The shared verification epilogue of the q274/q277/q279 family:
+    * join a [[kllQuantileEstimatesBy]] table back against the raw
+    * values, compute each estimate's TRUE rank and the exact
+    * target-rank quantile (one broadcast pass + one per-group sort —
+    * verification-side only, never the production path), and emit the
+    * pinned guarantee rows. `within_bound` asserts
+    * true_rank(est_v) ∈ [target − eb, target + est_wv − 1 + eb] — a
+    * theorem for any processing/merge order (see
+    * [[graft.functions.KllSketch]]), so the hashed payload stays
+    * order-independent while est_v itself never surfaces. `values`
+    * must be groupCols :+ "v"-shaped. Output: groupCols ++
+    * (phi_pm, n, target_rank, exact_q, within_bound). */
+  def kllVerifyAgainstExact(
+      values: DataFrame,
+      est: DataFrame,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val joined =
+      if (groupCols.isEmpty) values.crossJoin(broadcast(est))
+      else values.join(broadcast(est), groupCols)
+    val ranks = joined
+      .groupBy(g ++ Seq(col("phi_pm"), col("n"), col("eb"), col("target_rank"),
+        col("est_v"), col("est_wv")): _*)
+      .agg(sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("true_rank"))
+    // rename the raw side's group cols so the rank join is never an
+    // ambiguous self-reference (both sides descend from `values`)
+    val sorted = values
+      .select(groupCols.map(c => col(c).as(s"kv_$c")) :+ col("v"): _*)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCols.map(c => col(s"kv_$c")): _*)
+          .orderBy(col("v"))).cast("long"))
+    val cond = groupCols
+      .map(c => col(s"kv_$c") === col(c))
+      .foldLeft(col("rn") === col("target_rank"))(_ && _)
+    sorted.join(broadcast(ranks), cond)
+      .select(g ++ Seq(col("phi_pm"), col("n"), col("target_rank"),
+        col("v").as("exact_q"),
+        (col("true_rank") >= col("target_rank") - col("eb") &&
+          col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
+          .as("within_bound")): _*)
   }
 }

@@ -204,6 +204,7 @@ object DocStreams {
       k: Int): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    import spark.implicits._
     val raw = batch.select(col("n_chars").cast("long").as("v"), lit(1L).as("w"))
     val (fs, current) = recoverStore(spark, sketchStoreDir)
     // prior err rides the meta row (w = 0, excluded from re-ingest);
@@ -214,13 +215,19 @@ object DocStreams {
         val pe = st.agg(coalesce(sum(col("err")), lit(0L))).head().getLong(0)
         (raw.unionByName(st.filter(col("w") > 0).select(col("v"), col("w"))), pe)
       } else (raw, 0L)
-    val sk = input.agg(
-      graft.functions.Functions.kllSketch(col("v"), col("w"), k).as("sk"))
-    val merged = sk
-      .select(explode(col("sk.items")).as("it"))
-      .select(col("it.v").as("v"), col("it.w").as("w"), lit(0L).as("err"))
-      .unionByName(sk.select(lit(0L).as("v"), lit(0L).as("w"),
-        (col("sk.err_bound") + lit(priorErr)).as("err")))
+    // collect the one-row sketch ONCE (bounded: k·levels items). A
+    // union referencing the uncached aggregate twice would execute the
+    // nondeterministic-merge-order aggregation twice — the items rows
+    // and the err meta row could then come from two different
+    // compaction histories, and the stored err would no longer bound
+    // the stored items' rank error.
+    val skRow = input.agg(
+        graft.functions.Functions.kllSketch(col("v"), col("w"), k).as("sk"))
+      .select(col("sk.err_bound"), col("sk.items")).head()
+    val items = skRow.getSeq[org.apache.spark.sql.Row](1)
+      .map(it => (it.getLong(0), it.getLong(1), 0L))
+    val merged = (items :+ ((0L, 0L, skRow.getLong(0) + priorErr)))
+      .toDF("v", "w", "err")
     val next = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/next_$batchId")
     merged.write.mode("overwrite").parquet(next.toString)
     swapStore(fs, sketchStoreDir, next, batchId)
