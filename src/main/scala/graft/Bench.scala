@@ -287,8 +287,17 @@ object Bench {
     // the cancel); the entry records -1 like any other failure, and the
     // pass moves on. interruptOnCancel reaches into running tasks.
     val ceiling = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTRY_SEC", "60").toDouble
+    // the two full-baseline-scale entries get the baseline's OWN time
+    // as their floor ceiling: the export nominally runs ~50 s, and the
+    // documented ambient-load band (~1.45-1.8x) would push it past a
+    // 60 s cap — recording the Sqoop-comparison headline as a flaky -1
+    // in exactly the windows min-of-2 exists to absorb. 160 s covers
+    // Sqoop's 147.8 s; an export slower than the baseline itself is a
+    // real failure worth surfacing.
+    def ceilingFor(name: String): Double =
+      if (name.startsWith("m33")) math.max(ceiling, 160.0) else ceiling
     def onePass(): Seq[Double] = entries.map { case (name, run) =>
-      val t = timeEntry(spark, name, run, ceiling)
+      val t = timeEntry(spark, name, run, ceilingFor(name))
       teardown(spark)
       t
     }

@@ -9478,14 +9478,18 @@ object Queries {
     "q280_modularity" -> Q(
       (s, d) => {
         // localCheckpoint: the co-occurrence self-join feeds the Louvain
-        // rounds, the modularity aggregates, AND their eager w2m
-        // collects — materialize it once instead of recomputing the
-        // group-explode per consumer
+        // rounds and the modularity aggregates — materialize it once
+        // instead of recomputing the group-explode per consumer. 2m is
+        // one count() over the materialized edges, shared by both
+        // operators instead of each running its own eager collect.
         val edges = operators.Graph.coOccurrenceEdges(
           t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
           "l_orderkey", "l_partkey").localCheckpoint()
+        val w2m = Some(edges.count())
         operators.Graph.modularityByCommunity(
-            edges, operators.Graph.louvainRounds(edges, rounds = 2))
+            edges,
+            operators.Graph.louvainRounds(edges, rounds = 2, w2mKnown = w2m),
+            w2mKnown = w2m)
           .orderBy(col("community"))
       },
       Some(s"""${louvainOracleCtes(2)},

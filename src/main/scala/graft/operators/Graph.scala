@@ -445,13 +445,16 @@ object Graph {
   def louvainRounds(
       edges: DataFrame,
       rounds: Int,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      w2mKnown: Option[Long] = None): DataFrame = {
     require(checkpointEvery >= 0,
       "checkpointEvery: 0 = off, k > 0 = truncate lineage every k rounds")
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // 2m — the one tiny driver collect, inlined as a literal
-    val w2m = deg.agg(sum(col("deg"))).head().getLong(0)
+    // 2m — the one tiny driver collect, inlined as a literal; a caller
+    // that already knows the directed edge count (edges.count() — q280
+    // shares it with modularityByCommunity) passes it to skip the job
+    val w2m = w2mKnown.getOrElse(deg.agg(sum(col("deg"))).head().getLong(0))
     var labels = deg.select(col("node"), col("node").as("label"))
     var lastCp: DataFrame = null
     for (r <- 1 to rounds) {
@@ -508,11 +511,14 @@ object Graph {
     * shape); `labels` is (node, community)-shaped with every edge
     * endpoint labeled. Returns one row per community:
     * (community, csize, w_in_dir, stot, contrib). */
-  def modularityByCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def modularityByCommunity(
+      edges: DataFrame,
+      labels: DataFrame,
+      w2mKnown: Option[Long] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val l = labels.select(col("node"), col("community"))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val w2m = deg.agg(sum(col("deg"))).head().getLong(0)
+    val w2m = w2mKnown.getOrElse(deg.agg(sum(col("deg"))).head().getLong(0))
     val byC = l.join(deg, "node")
       .groupBy(col("community"))
       .agg(count(lit(1)).as("csize"), sum(col("deg")).as("stot"))
