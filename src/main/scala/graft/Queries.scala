@@ -9156,19 +9156,23 @@ object Queries {
          |  FROM cd$r c JOIN st$r s USING (label)
          |    JOIN deg d ON c.node = d.node
          |    JOIN l${r - 1} l ON c.node = l.node, m),
-         |l$r AS (SELECT node, label FROM (
+         |l$r AS MATERIALIZED (SELECT node, label FROM (
          |  SELECT node, label, row_number() OVER (
          |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM sc$r)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH it AS (
+    // AS MATERIALIZED on every multiply-referenced CTE: DuckDB inlines
+    // plain CTEs per reference, so the unrolled rounds would otherwise
+    // recompute the co-occurrence self-join a combinatorially growing
+    // number of times (the two-LEVEL oracle made this visible)
+    s"""WITH it AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
        |  WHERE l_partkey % 10 = 0),
-       |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       |e AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
        |  FROM it a JOIN it b ON a.g = b.g AND a.item <> b.item),
-       |deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+       |deg AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
        |m AS (SELECT sum(deg)::BIGINT AS w2m FROM deg),
-       |l0 AS (SELECT node, node AS label FROM deg),
+       |l0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
        |$steps""".stripMargin
   }
 
@@ -9504,7 +9508,73 @@ object Queries {
               |  coalesce(w_in_dir, 0)::BIGINT AS w_in_dir, stot,
               |  (m.w2m * coalesce(w_in_dir, 0) - stot * stot)::BIGINT AS contrib
               |FROM bc LEFT JOIN wi USING (community), m
-              |ORDER BY community""".stripMargin)))
+              |ORDER BY community""".stripMargin)),
+
+    // full two-level Louvain (Graph.contractCommunities +
+    // louvainRoundsWeighted): level-1 communities contract into a
+    // weighted super-graph — self-loops carry each community's internal
+    // mass, so strengths and 2m are preserved EXACTLY and the level-2
+    // rounds continue the SAME modularity objective — then every node
+    // maps to its super-community. This is the actual multi-level
+    // production algorithm (phase 1 + phase 2 + phase 1), not just the
+    // single-level pass; each level's edge list SHRINKS, so deep
+    // hierarchies cost less per level, not more. All-integer weighted
+    // gains keep every round relationally unrollable.
+    "q281_louvain_two_level" -> Q(
+      (s, d) => {
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint()
+        val w2m = Some(edges.count())
+        // l1 feeds both the contraction and the final mapping —
+        // materialize once (its 2x3-shuffle lineage would recompute)
+        val l1 = operators.Graph.louvainRounds(edges, rounds = 2, w2mKnown = w2m)
+          .localCheckpoint()
+        val lv2 = operators.Graph.louvainRoundsWeighted(
+          operators.Graph.contractCommunities(edges, l1),
+          rounds = 2, w2mKnown = w2m)
+        l1.select(col("node"), col("community").as("c1"))
+          .join(lv2.select(col("node").as("c1"), col("community")), "c1")
+          .select(col("node"), col("community"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val wsteps = (1 to 2).map { r =>
+          s"""yst$r AS (SELECT label, sum(deg)::BIGINT AS stot
+             |  FROM y${r - 1} JOIN sdeg USING (node) GROUP BY label),
+             |ywc$r AS (SELECT se.dst AS node, l.label AS label,
+             |    sum(se.w)::BIGINT AS wic
+             |  FROM se JOIN y${r - 1} l ON se.src = l.node
+             |  WHERE se.src <> se.dst GROUP BY 1, 2),
+             |ycd$r AS (SELECT node, label, max(wic)::BIGINT AS wic FROM (
+             |    SELECT node, label, wic FROM ywc$r
+             |    UNION ALL SELECT node, label, 0 FROM y${r - 1})
+             |  GROUP BY node, label),
+             |ysc$r AS (SELECT c.node, c.label,
+             |    sm.w2m * c.wic - d.deg *
+             |      (s.stot - CASE WHEN c.label = l.label
+             |                     THEN d.deg ELSE 0 END) AS f
+             |  FROM ycd$r c JOIN yst$r s USING (label)
+             |    JOIN sdeg d ON c.node = d.node
+             |    JOIN y${r - 1} l ON c.node = l.node, sm),
+             |y$r AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (
+             |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM ysc$r)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""${louvainOracleCtes(2)},
+           |se AS MATERIALIZED (SELECT a.label AS src, b.label AS dst, count(*)::BIGINT AS w
+           |  FROM e JOIN l2 a ON e.src = a.node
+           |    JOIN l2 b ON e.dst = b.node
+           |  GROUP BY 1, 2),
+           |sdeg AS MATERIALIZED (SELECT src AS node, sum(w)::BIGINT AS deg FROM se GROUP BY 1),
+           |sm AS (SELECT sum(w)::BIGINT AS w2m FROM se),
+           |y0 AS MATERIALIZED (SELECT node, node AS label FROM sdeg),
+           |$wsteps
+           |SELECT l2.node::BIGINT AS node, y2.label::BIGINT AS community
+           |FROM l2 JOIN y2 ON l2.label = y2.node
+           |ORDER BY node""".stripMargin
+      }))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -446,23 +446,54 @@ object Graph {
       edges: DataFrame,
       rounds: Int,
       checkpointEvery: Int = 0,
-      w2mKnown: Option[Long] = None): DataFrame = {
+      w2mKnown: Option[Long] = None): DataFrame =
+    louvainWeightedImpl(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")),
+      rounds, checkpointEvery, w2mKnown)
+
+  /** Weighted [[louvainRounds]] — the form phase-2 contraction needs:
+    * `edges` is (src, dst, w) symmetric rows with positive integer
+    * weights, and MAY carry (node, node, w) self-loop rows as
+    * [[contractCommunities]] emits them (a super-node's internal
+    * weight). Self-loops count toward strength and Σtot (they are the
+    * community's own mass) but never toward the w_iC move scores —
+    * exactly the standard Louvain treatment, so running this on a
+    * contracted graph continues the SAME modularity objective the
+    * level-1 rounds optimized. */
+  def louvainRoundsWeighted(
+      edges: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int = 0,
+      w2mKnown: Option[Long] = None): DataFrame =
+    louvainWeightedImpl(
+      edges.select(col("src"), col("dst"), col("w")),
+      rounds, checkpointEvery, w2mKnown)
+
+  private def louvainWeightedImpl(
+      e: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int,
+      w2mKnown: Option[Long]): DataFrame = {
     require(checkpointEvery >= 0,
       "checkpointEvery: 0 = off, k > 0 = truncate lineage every k rounds")
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // 2m — the one tiny driver collect, inlined as a literal; a caller
-    // that already knows the directed edge count (edges.count() — q280
-    // shares it with modularityByCommunity) passes it to skip the job
+    // strength includes self-loop weight (a contracted community's
+    // internal mass); 2m = total weight. A caller that already knows
+    // the total (edges.count() for weight-1 graphs — q280 shares it
+    // with modularityByCommunity) passes it to skip the job.
+    val deg = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("deg"))
     val w2m = w2mKnown.getOrElse(deg.agg(sum(col("deg"))).head().getLong(0))
     var labels = deg.select(col("node"), col("node").as("label"))
     var lastCp: DataFrame = null
     for (r <- 1 to rounds) {
       val sumtot = labels.join(deg, "node")
         .groupBy(col("label")).agg(sum(col("deg")).as("stot"))
-      val wic = e.join(labels.withColumnRenamed("node", "src"), "src")
+      // self-loops never generate move candidates: w_iC sums edges to
+      // OTHER nodes in C (for C = cur, the node's own self-mass is
+      // already counted by deg/Σtot, not by w_i,cur)
+      val wic = e.filter(col("src") =!= col("dst"))
+        .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("wic"))
+        .agg(sum(col("w")).as("wic"))
       val cur = labels.select(col("node"), col("label").as("cur"))
       // candidates: neighbor communities plus the node's own (with
       // w_iC = 0 when no neighbor shares it — staying must always be
@@ -490,6 +521,30 @@ object Graph {
       }
     }
     labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** Louvain phase-2 graph contraction (Blondel et al. 2008 §2): each
+    * community becomes one super-node; inter-community weights sum into
+    * one (cA, cB, w) row per direction and intra-community weight
+    * becomes the (c, c, w) self-loop — so total weight 2m and every
+    * super-node strength are preserved EXACTLY (strength(c) =
+    * Σ_{i∈c} strength(i)), which is what makes running
+    * [[louvainRoundsWeighted]] on the contracted graph a continuation
+    * of the same modularity objective. `edges` may itself be weighted
+    * ((src, dst, w), e.g. an earlier contraction) or plain (src, dst);
+    * `labels` is (node, community) covering every endpoint.
+    *
+    * Scale shape: two keyed joins against the label table + one
+    * (community, community) aggregate — output is super-graph-sized,
+    * and each further level shrinks it again; the whole multi-level
+    * pipeline never shuffles more than the current level's edge list. */
+  def contractCommunities(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val w = if (edges.columns.contains("w")) col("w") else lit(1L)
+    edges.select(col("src"), col("dst"), w.as("w"))
+      .join(labels.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("cd")), "dst")
+      .groupBy(col("cs").as("src"), col("cd").as("dst"))
+      .agg(sum(col("w")).as("w"))
   }
 
   /** Exact integer modularity per community — the quality score a

@@ -163,7 +163,9 @@ object ScaleProbe {
     "q279_kll_by_source" ->
       "per-source sketches: state is sources x k*levels regardless of corpus (the q272/q257 grouped-sketch class); the one-pass scan shape is what the probed corpus scans already measure",
     "q280_modularity" ->
-      "dominated by the q278 Louvain labeling it scores, which IS probed; the modularity epilogue adds two keyed label joins with community-sized output")
+      "dominated by the q278 Louvain labeling it scores, which IS probed; the modularity epilogue adds two keyed label joins with community-sized output",
+    "q281_louvain_two_level" ->
+      "level-1 rounds are q278's probed shape on the identical graph; the contraction and level-2 rounds run on the SHRUNKEN super-graph (~758 communities at sf0.1) — each further level costs less than the probed level, not more")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

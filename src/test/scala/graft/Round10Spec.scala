@@ -204,6 +204,68 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  /** Weighted driver reference with Louvain self-loop semantics:
+    * strength/Σtot include self-loop weight; move scores never do. */
+  private def louvainRefW(
+      edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
+    val bySrc = edges.groupBy(_._1)
+    val deg = bySrc.map { case (n, es) => n -> es.map(_._3).sum }
+    val w2m = deg.values.sum
+    var labels = deg.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val stot = labels.toSeq.groupBy(_._2)
+        .map { case (l, ns) => l -> ns.map(n => deg(n._1)).sum }
+      labels = labels.map { case (i, cur) =>
+        val wic = bySrc(i).filter(e => e._2 != i)
+          .groupBy(e => labels(e._2)).map { case (l, es) => l -> es.map(_._3).sum }
+        val cands = wic.keySet + cur
+        val best = cands.minBy { c =>
+          val st = stot(c) - (if (c == cur) deg(i) else 0L)
+          (-(w2m * wic.getOrElse(c, 0L) - deg(i) * st), c)
+        }
+        i -> best
+      }
+    }
+    labels
+  }
+
+  test("louvainRoundsWeighted == weighted driver reference (incl. self-loops)") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 2) {
+      val n = 15 + trial * 5
+      val und = ((for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.2
+      } yield (a, b, 1L + rnd.nextInt(5).toLong)) ++
+        (0L until n.toLong - 1).map(i => (i, i + 1, 1L + rnd.nextInt(5).toLong)))
+      val sym = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) } ++
+        // self-loops on a few nodes — the contracted-graph shape
+        (0L until n.toLong by 4).map(i => (i, i, 2L + 2L * rnd.nextInt(3)))
+      val dedup = sym.groupBy(e => (e._1, e._2))
+        .map { case ((a, b), es) => (a, b, es.map(_._3).max) }.toSeq
+      val expected = louvainRefW(dedup, rounds = 3)
+      val got = Graph.louvainRoundsWeighted(
+          dedup.toDF("src", "dst", "w"), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("contractCommunities preserves 2m and aggregates member strengths") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+      .toDF("node", "community")
+    val sup = Graph.contractCommunities(tri, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // intra mass as self-loops (6 directed each), one symmetric bridge pair
+    assert(sup == Map((1L, 1L) -> 6L, (4L, 4L) -> 6L,
+      (1L, 4L) -> 1L, (4L, 1L) -> 1L), sup.toString)
+    assert(sup.values.sum == 14L) // total weight == original 2m
+    // strength(super-node) == Σ member strengths: 6+1 = 7 = 2+2+3
+    assert(sup.collect { case ((s, _), w) if s == 1L => w }.sum == 7L)
+  }
+
   test("louvainRounds: checkpointEvery knob yields bit-identical communities") {
     val edges = Seq(
       (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
