@@ -9138,29 +9138,52 @@ object Queries {
   /** Shared Louvain oracle prefix (q278/q280): the co-purchase graph,
     * degree/2m tables, and `rounds` unrolled synchronous integer-gain
     * rounds ending at `l<rounds>`. */
+  /** One unrolled synchronous integer-gain Louvain round — the SINGLE
+    * source of the gain formula and the smallest-label tie-break for
+    * both oracle generators: the level-1 (weight-1) chain and q281's
+    * contracted weighted level. `p` prefixes the scratch CTE names so
+    * two levels coexist in one WITH chain; `lbl(i)` names round i's
+    * label CTE; `wAgg` is the edge-weight aggregate; `skipSelfLoops`
+    * excludes (node, node) rows from move scores — the contracted
+    * graph's self-mass counts toward strength/Σtot only. */
+  private def louvainRoundSql(
+      r: Int,
+      p: String,
+      lbl: Int => String,
+      eTbl: String,
+      degTbl: String,
+      mTbl: String,
+      wAgg: String,
+      skipSelfLoops: Boolean): String = {
+    val guard = if (skipSelfLoops) s"\n  WHERE $eTbl.src <> $eTbl.dst" else ""
+    s"""${p}st$r AS (SELECT label, sum(deg)::BIGINT AS stot
+       |  FROM ${lbl(r - 1)} JOIN $degTbl USING (node) GROUP BY label),
+       |${p}wic$r AS (SELECT $eTbl.dst AS node, l.label AS label,
+       |    $wAgg AS wic
+       |  FROM $eTbl JOIN ${lbl(r - 1)} l ON $eTbl.src = l.node$guard
+       |  GROUP BY 1, 2),
+       |${p}cd$r AS (SELECT node, label, max(wic)::BIGINT AS wic FROM (
+       |    SELECT node, label, wic FROM ${p}wic$r
+       |    UNION ALL SELECT node, label, 0 FROM ${lbl(r - 1)})
+       |  GROUP BY node, label),
+       |${p}sc$r AS (SELECT c.node, c.label,
+       |    $mTbl.w2m * c.wic - d.deg *
+       |      (s.stot - CASE WHEN c.label = l.label
+       |                     THEN d.deg ELSE 0 END) AS f
+       |  FROM ${p}cd$r c JOIN ${p}st$r s USING (label)
+       |    JOIN $degTbl d ON c.node = d.node
+       |    JOIN ${lbl(r - 1)} l ON c.node = l.node, $mTbl),
+       |${lbl(r)} AS MATERIALIZED (SELECT node, label FROM (
+       |  SELECT node, label, row_number() OVER (
+       |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM ${p}sc$r)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   private def louvainOracleCtes(rounds: Int): String = {
-    val steps = (1 to rounds).map { r =>
-      s"""st$r AS (SELECT label, sum(deg)::BIGINT AS stot
-         |  FROM l${r - 1} JOIN deg USING (node) GROUP BY label),
-         |wic$r AS (SELECT e.dst AS node, l.label AS label,
-         |    count(*)::BIGINT AS wic
-         |  FROM e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
-         |cd$r AS (SELECT node, label, max(wic)::BIGINT AS wic FROM (
-         |    SELECT node, label, wic FROM wic$r
-         |    UNION ALL SELECT node, label, 0 FROM l${r - 1})
-         |  GROUP BY node, label),
-         |sc$r AS (SELECT c.node, c.label,
-         |    m.w2m * c.wic - d.deg *
-         |      (s.stot - CASE WHEN c.label = l.label
-         |                     THEN d.deg ELSE 0 END) AS f
-         |  FROM cd$r c JOIN st$r s USING (label)
-         |    JOIN deg d ON c.node = d.node
-         |    JOIN l${r - 1} l ON c.node = l.node, m),
-         |l$r AS MATERIALIZED (SELECT node, label FROM (
-         |  SELECT node, label, row_number() OVER (
-         |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM sc$r)
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+    val steps = (1 to rounds).map(r =>
+      louvainRoundSql(r, p = "", lbl = i => s"l$i",
+        eTbl = "e", degTbl = "deg", mTbl = "m",
+        wAgg = "count(*)::BIGINT", skipSelfLoops = false)).mkString(",\n")
     // AS MATERIALIZED on every multiply-referenced CTE: DuckDB inlines
     // plain CTEs per reference, so the unrolled rounds would otherwise
     // recompute the co-occurrence self-join a combinatorially growing
@@ -9539,29 +9562,12 @@ object Queries {
           .orderBy(col("node"))
       },
       Some {
-        val wsteps = (1 to 2).map { r =>
-          s"""yst$r AS (SELECT label, sum(deg)::BIGINT AS stot
-             |  FROM y${r - 1} JOIN sdeg USING (node) GROUP BY label),
-             |ywc$r AS (SELECT se.dst AS node, l.label AS label,
-             |    sum(se.w)::BIGINT AS wic
-             |  FROM se JOIN y${r - 1} l ON se.src = l.node
-             |  WHERE se.src <> se.dst GROUP BY 1, 2),
-             |ycd$r AS (SELECT node, label, max(wic)::BIGINT AS wic FROM (
-             |    SELECT node, label, wic FROM ywc$r
-             |    UNION ALL SELECT node, label, 0 FROM y${r - 1})
-             |  GROUP BY node, label),
-             |ysc$r AS (SELECT c.node, c.label,
-             |    sm.w2m * c.wic - d.deg *
-             |      (s.stot - CASE WHEN c.label = l.label
-             |                     THEN d.deg ELSE 0 END) AS f
-             |  FROM ycd$r c JOIN yst$r s USING (label)
-             |    JOIN sdeg d ON c.node = d.node
-             |    JOIN y${r - 1} l ON c.node = l.node, sm),
-             |y$r AS MATERIALIZED (SELECT node, label FROM (
-             |  SELECT node, label, row_number() OVER (
-             |    PARTITION BY node ORDER BY f DESC, label) AS rn FROM ysc$r)
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
+        // level-2 rounds from the SAME template as level 1 — weighted
+        // aggregate, self-loops excluded from move scores
+        val wsteps = (1 to 2).map(r =>
+          louvainRoundSql(r, p = "y", lbl = i => s"y$i",
+            eTbl = "se", degTbl = "sdeg", mTbl = "sm",
+            wAgg = "sum(se.w)::BIGINT", skipSelfLoops = true)).mkString(",\n")
         s"""${louvainOracleCtes(2)},
            |se AS MATERIALIZED (SELECT a.label AS src, b.label AS dst, count(*)::BIGINT AS w
            |  FROM e JOIN l2 a ON e.src = a.node

@@ -149,29 +149,11 @@ class Round10Spec extends AnyFunSuite {
 
   // ----- Louvain ---------------------------------------------------------
 
-  /** Driver-side reference of the synchronous integer Louvain round:
-    * same objective 2m·w_iC − deg_i·Σtot(C∖{i}), same smallest-label
-    * tie-break. */
-  private def louvainRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
-    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
-    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
-    val w2m = deg.values.sum
-    var labels = deg.keys.map(n => n -> n).toMap
-    for (_ <- 1 to rounds) {
-      val stot = labels.toSeq.groupBy(_._2)
-        .map { case (l, ns) => l -> ns.map(n => deg(n._1)).sum }
-      labels = labels.map { case (i, cur) =>
-        val wic = adj(i).groupBy(labels).map { case (l, ns) => l -> ns.size.toLong }
-        val cands = wic.keySet + cur
-        val best = cands.minBy { c =>
-          val st = stot(c) - (if (c == cur) deg(i) else 0L)
-          (-(w2m * wic.getOrElse(c, 0L) - deg(i) * st), c)
-        }
-        i -> best
-      }
-    }
-    labels
-  }
+  /** Driver-side reference of the synchronous integer Louvain round —
+    * the weight-1 view of [[louvainRefW]], mirroring the production
+    * delegation (louvainRounds → the shared weighted core). */
+  private def louvainRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    louvainRefW(edges.map { case (a, b) => (a, b, 1L) }, rounds)
 
   test("louvainRounds == driver reference on random graphs") {
     val rnd = new scala.util.Random(53)
