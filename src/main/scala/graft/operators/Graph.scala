@@ -570,9 +570,16 @@ object Graph {
       edges: DataFrame,
       labels: DataFrame,
       w2mKnown: Option[Long] = None): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // weighted when edges carry a `w` column (the contracted-graph
+    // shape, self-loops included) — weight-1 otherwise. Because
+    // contraction preserves strengths and total weight exactly, the
+    // modularity of a partition P on G EQUALS the modularity of the
+    // singleton partition on the contracted graph G/P (spec-pinned):
+    // multi-level quality is scored consistently at every level.
+    val wc = if (edges.columns.contains("w")) col("w") else lit(1L)
+    val e = edges.select(col("src"), col("dst"), wc.as("w"))
     val l = labels.select(col("node"), col("community"))
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("deg"))
     val w2m = w2mKnown.getOrElse(deg.agg(sum(col("deg"))).head().getLong(0))
     val byC = l.join(deg, "node")
       .groupBy(col("community"))
@@ -582,7 +589,7 @@ object Graph {
       .join(l.select(col("node").as("dst"), col("community").as("cd")), "dst")
       .filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community"))
-      .agg(count(lit(1)).as("w_in_dir"))
+      .agg(sum(col("w")).as("w_in_dir"))
     byC.join(win, Seq("community"), "left")
       .select(col("community"), col("csize"),
         coalesce(col("w_in_dir"), lit(0L)).as("w_in_dir"), col("stot"),

@@ -312,6 +312,68 @@ class Round10Spec extends AnyFunSuite {
     assert(total(singletons) == -34L)
   }
 
+  test("property: kll guarantee over random k / weights / merge shapes") {
+    // scalacheck-generator-driven (the PropertySpec discipline, fixed
+    // seeds): random capacity, weighted inserts, random split points and
+    // merge arity — the theorem |sketchRank - trueRank| <= err and exact
+    // n must survive every shape
+    import org.scalacheck.Gen
+    val seed = org.scalacheck.rng.Seed(20260815L)
+    val gen = for {
+      k <- Gen.oneOf(8, 16, 32, 64)
+      n <- Gen.chooseNum(50, 3000)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50000L, 50000L))
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 9L))
+      parts <- Gen.chooseNum(1, 7)
+    } yield (k, vals.zip(ws), parts)
+    var s = seed
+    for (_ <- 1 to 12) {
+      val (k, weighted, parts) = gen.pureApply(Gen.Parameters.default, s)
+      s = s.next
+      val chunks = weighted.grouped(math.max(1, weighted.size / parts)).toSeq
+      val whole = new graft.functions.KllState(k)
+      chunks.foreach { ch =>
+        val piece = new graft.functions.KllState(k)
+        ch.foreach { case (v, w) => piece.insert(v, w) }
+        whole.mergeIn(piece)
+      }
+      val totalW = weighted.map(_._2).sum
+      assert(whole.n == totalW, s"k=$k: n=${whole.n} != $totalW")
+      val items = whole.items
+      weighted.map(_._1).distinct.sorted.grouped(
+          math.max(1, weighted.size / 10)).map(_.head).foreach { x =>
+        val skRank = items.iterator.filter(_._1 <= x).map(_._2).sum
+        val trueRank = weighted.iterator.filter(_._1 <= x).map(_._2).sum
+        assert(math.abs(skRank - trueRank) <= whole.err,
+          s"k=$k parts=$parts: |$skRank - $trueRank| > ${whole.err} at $x")
+      }
+    }
+  }
+
+  test("modularity is contraction-invariant (P on G == singletons on G/P)") {
+    // the exact theorem multi-level Louvain rests on: contraction
+    // preserves strengths and 2m, so a partition's modularity on the
+    // original graph equals the singleton partition's on the contracted
+    // graph — weighted modularityByCommunity must reproduce it exactly
+    val rnd = new scala.util.Random(83)
+    val n = 14L
+    val und = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.3
+    } yield (a, b)) ++ (0L until n - 1).map(i => (i, i + 1))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct.toDF("src", "dst")
+    val labels = (0L until n).map(i => i -> (i % 4L)).toDF("node", "community")
+    val onG = Graph.modularityByCommunity(edges, labels)
+      .agg(sum(col("contrib"))).head().getLong(0)
+    val contracted = Graph.contractCommunities(edges, labels)
+    val singletons = contracted.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    val onGP = Graph.modularityByCommunity(contracted, singletons)
+      .agg(sum(col("contrib"))).head().getLong(0)
+    assert(onG == onGP, s"modularity not contraction-invariant: $onG vs $onGP")
+  }
+
   test("mergeKllBatch: crash between the swap renames loses no sketch state") {
     val store = java.nio.file.Files.createTempDirectory("graft_kll_crash").toString
     def docs(ids: Range) = ids.map(i =>
