@@ -9454,12 +9454,18 @@ object Queries {
     // unrolled CTE chain readable; the operator takes the same
     // checkpointEvery lineage knob as LPA for deep production runs.
     "q278_louvain_communities" -> Q(
-      (s, d) => operators.Graph.louvainRounds(
-          operators.Graph.coOccurrenceEdges(
-            t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
-            "l_orderkey", "l_partkey"),
-          rounds = 2)
-        .orderBy(col("node")),
+      (s, d) => {
+        // localCheckpoint + shared count: the co-occurrence self-join
+        // feeds w2m and every round's deg/Σtot/w_iC subtrees —
+        // materialize it once (the q280/q281 pattern) instead of
+        // re-running the group-explode per consumer
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint()
+        operators.Graph.louvainRounds(edges, rounds = 2,
+            w2mKnown = Some(edges.count()))
+          .orderBy(col("node"))
+      },
       Some(s"""${louvainOracleCtes(2)}
               |SELECT node::BIGINT AS node, label::BIGINT AS community FROM l2
               |ORDER BY node""".stripMargin)),

@@ -556,8 +556,11 @@ object Graph {
     * the /2m and the doubled count cancel exactly), with
     * Q = Σ contrib / (2m)² — numerator and denominator both exact, so
     * the score is engine-bit-identical and needs no float anywhere.
-    * Overflow headroom: Σtot(C)² < 2^63 needs Σtot < 3·10^9 directed
-    * edge-ends per community — past that, scale weights down first.
+    * Overflow headroom: the BINDING product is 2m·w_in_dir (w_in_dir ≤
+    * Σtot ≤ 2m, so it dominates Σtot² whenever communities are smaller
+    * than the graph) — exactness needs 2m·max_C Σtot(C) < 2^63, e.g.
+    * 2m ≤ 10^11 with communities holding ≤ 10^7 edge-ends. Past that,
+    * scale weights down first.
     *
     * Scale shape: two keyed joins of the edge list against the label
     * table (src side, dst side) + one count per community, and one

@@ -249,12 +249,9 @@ class Round10Spec extends AnyFunSuite {
   }
 
   test("louvainRounds: checkpointEvery knob yields bit-identical communities") {
-    val edges = Seq(
-      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
-      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
-    val off = Graph.louvainRounds(edges, rounds = 5)
+    val off = Graph.louvainRounds(testEdges, rounds = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val on = Graph.louvainRounds(edges, rounds = 5, checkpointEvery = 2)
+    val on = Graph.louvainRounds(testEdges, rounds = 5, checkpointEvery = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(on == off)
   }
