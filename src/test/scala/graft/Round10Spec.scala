@@ -126,6 +126,26 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("kll sketch: serde round-trip preserves state exactly mid-stream") {
+    // the serialize/deserialize pair carries partial buffers across the
+    // shuffle; a lossy round-trip would corrupt silently (the grouped
+    // test exercises it only implicitly). Serialize mid-stream, resume
+    // inserting into the deserialized copy, and require bit-identical
+    // state versus the uninterrupted sketch.
+    val rnd = new scala.util.Random(97)
+    val first = Seq.fill(2500)(rnd.nextLong() % 7777L)
+    val second = Seq.fill(2500)(rnd.nextLong() % 7777L)
+    val agg = graft.functions.KllSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 32)
+    val direct = sketchOf(first ++ second, 32)
+    val resumed = agg.deserialize(agg.serialize(sketchOf(first, 32)))
+    second.foreach(v => resumed.insert(v, 1L))
+    assert(resumed.n == direct.n && resumed.err == direct.err)
+    assert(resumed.items.toSeq == direct.items.toSeq)
+    assert(resumed.toggles.toSeq == direct.toggles.toSeq)
+  }
+
   test("kll sketch: identical input order reproduces the identical sketch") {
     val rnd = new scala.util.Random(41)
     val data = Seq.fill(4000)(rnd.nextLong() % 9999L)
