@@ -263,6 +263,16 @@ object Bench {
           graft.pipeline.M33Pipeline.schemView(
             graft.pipeline.M33Pipeline.rawTable(spark, root)), s"$base/exportwh")
         val url = s"jdbc:derby:$base/benchdb;create=true"
+        // untimed Derby warm-up: boot the database and touch the insert
+        // path once during setup so pass 1 doesn't pay the engine boot —
+        // it was the only cross-pass spread above 2 s in the committed
+        // artifact (the timed passes should measure the export, not
+        // Derby's first-open recovery/boot cost)
+        try graft.sinks.JdbcSink.execStatements(url, Seq(
+          "CREATE TABLE m33x_warmup (x INT)",
+          "INSERT INTO m33x_warmup VALUES (1)",
+          "DROP TABLE m33x_warmup"))
+        catch { case _: Throwable => () }
         Seq("m33x_export_2800000_rows" -> (() => {
           try graft.sinks.JdbcSink.execStatements(url, Seq("DROP TABLE m33x"))
           catch { case _: Throwable => () } // first pass: no table to drop
@@ -294,8 +304,12 @@ object Bench {
     // in exactly the windows min-of-2 exists to absorb. 160 s covers
     // Sqoop's 147.8 s; an export slower than the baseline itself is a
     // real failure worth surfacing.
+    // exact names, not an "m33" prefix: a future ordinary m33-prefixed
+    // entry must not silently inherit the baseline-scale ceiling
+    val baselineScaleEntries =
+      Set("m33_ctas_2800000_rows", "m33x_export_2800000_rows")
     def ceilingFor(name: String): Double =
-      if (name.startsWith("m33")) math.max(ceiling, 160.0) else ceiling
+      if (baselineScaleEntries(name)) math.max(ceiling, 160.0) else ceiling
     def onePass(): Seq[Double] = entries.map { case (name, run) =>
       val t = timeEntry(spark, name, run, ceilingFor(name))
       teardown(spark)

@@ -9458,7 +9458,13 @@ object Queries {
         // localCheckpoint + shared count: the co-occurrence self-join
         // feeds w2m and every round's deg/Σtot/w_iC subtrees —
         // materialize it once (the q280/q281 pattern) instead of
-        // re-running the group-explode per consumer
+        // re-running the group-explode per consumer.
+        // NOTE (applies to q278/q280/q281): localCheckpoint pins the
+        // ~1.8 M-row edge list in the block manager — right at sf0.1,
+        // wrong at 100x where it would pin a corpus-scale artifact in
+        // executor memory. Production runs should set a reliable
+        // checkpoint dir (sparkContext.setCheckpointDir) and use
+        // df.checkpoint() here plus the operators' checkpointEvery knob.
         val edges = operators.Graph.coOccurrenceEdges(
           t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
           "l_orderkey", "l_partkey").localCheckpoint()

@@ -52,6 +52,10 @@ private[graft] final class KllState(val k: Int) {
 
   /** Insert with arbitrary positive weight: one copy per set bit. */
   def insert(v: Long, w: Long): Unit = {
+    // every entry point enforces the invariant, not just the Catalyst
+    // update() path — a w <= 0 would decompose across bit 63 and wrap
+    // n/err instead of failing
+    require(w > 0, s"kll insert weight must be positive, got $w")
     var b = 0
     var rem = w
     while (rem != 0L) {

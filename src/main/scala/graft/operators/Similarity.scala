@@ -628,8 +628,13 @@ object Similarity {
     * vectors — class prototypes for nearest-prototype classification and
     * semantic-search seeds. Vectors quantize to milli-units first, so
     * the per-dimension SUM is an exact integer (order-free across any
-    * partitioning) and the mean surfaces as exact micro-units
-    * (`floor(1e3 * sum / n)` — milli-sum × 1e3 = micro scale).
+    * partitioning) and the mean surfaces as micro-units
+    * (`floor(1e3 * sum / n)` — milli-sum × 1e3 = micro scale). The mean
+    * routes `sum / n` through a DOUBLE divide before the floor, so the
+    * result is exactly rounded only while per-dimension |sum| < 2^53
+    * (milli-quantized dims × corpus size ≈ 9e12 rows of unit-normalized
+    * 64-dim vectors — far past any curation corpus); beyond that, stage
+    * the divide through decimal like `Layout.normalize` does.
     *
     * Scale shape: explode to (label, dim, value) rows, one hash
     * aggregate on (label, dim) with map-side partials, re-assemble with

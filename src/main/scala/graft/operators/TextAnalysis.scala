@@ -1305,7 +1305,14 @@ object TextAnalysis {
     val targets = meta.select(g :+ col("n"): _*).distinct()
       .crossJoin(phis)
       .select(g ++ Seq(col("phi_pm").cast("long").as("phi_pm"),
-        greatest(lit(1L), expr("phi_pm * n div 1000")).as("target_rank")): _*)
+        // staged so φ·n never materializes: n = 1000q + r gives
+        // floor(φ·n/1000) = φ·q + floor(φ·r/1000) exactly, and both
+        // products stay < 999·n — no Long overflow even when n is an
+        // accumulated re-ingest weight near 2^63 (the direct φ·n form
+        // would wrap past n ≈ 9.2e15)
+        greatest(lit(1L),
+          expr("phi_pm * (n div 1000) + (phi_pm * (n % 1000)) div 1000"))
+          .as("target_rank")): _*)
     val joined =
       if (groupCols.isEmpty) targets.crossJoin(cum)
       else targets.join(cum, groupCols)

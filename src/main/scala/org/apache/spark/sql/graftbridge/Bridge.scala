@@ -75,7 +75,15 @@ object Bridge {
           val p = new org.apache.hadoop.fs.Path(dir)
           try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
             .delete(p, true)
-          catch { case _: java.io.IOException => () } // cleanup is best-effort
+          catch {
+            // cleanup stays best-effort, but a persistently failing
+            // filesystem must leave a signal — silent swallowing would
+            // reintroduce the O(rounds/k) checkpoint-dir accumulation
+            // this method exists to prevent
+            case e: java.io.IOException =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"best-effort checkpoint cleanup failed for $dir: $e")
+          }
         }
         lr.rdd.unpersist(blocking = false)
       case _ => ()
