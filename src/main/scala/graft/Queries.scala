@@ -9594,11 +9594,105 @@ object Queries {
            |ORDER BY node""".stripMargin
       }))
 
+  /** One unrolled NN-Descent round for the q282 oracle: reverse edges
+    * capped at k per node by (d2, id), general graph g = nn ∪ rev, the
+    * local join proposing neighbor-of-neighbor pairs, exact integer-L2
+    * rescoring against the vector CTE `v`, then per-node top-k over
+    * old ∪ new — the exact relational statement
+    * [[graft.operators.Similarity.nnDescent]] executes. */
+  private def nnDescentRoundSql(r: Int, k: Int): String =
+    s"""rev$r AS (SELECT nbr AS id, id AS nbr FROM (
+       |    SELECT id, nbr, row_number() OVER (
+       |      PARTITION BY nbr ORDER BY d2, id) AS rr FROM nn${r - 1})
+       |  WHERE rr <= $k),
+       |g$r AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
+       |    SELECT id, nbr FROM nn${r - 1} UNION ALL SELECT id, nbr FROM rev$r)),
+       |cd$r AS (SELECT DISTINCT a.nbr AS id, b.nbr AS nbr
+       |  FROM g$r a JOIN g$r b ON a.id = b.id AND a.nbr <> b.nbr),
+       |sc$r AS (SELECT c.id, c.nbr,
+       |    list_sum([(x.iv[j]-y.iv[j])*(x.iv[j]-y.iv[j])
+       |      for j in range(1,65)])::BIGINT AS d2
+       |  FROM cd$r c JOIN v x ON x.id = c.id JOIN v y ON y.id = c.nbr),
+       |nn$r AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn
+       |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
+       |      SELECT id, nbr, d2 FROM nn${r - 1}
+       |      UNION ALL SELECT id, nbr, d2 FROM sc$r)))
+       |  WHERE rn <= $k)""".stripMargin
+
+  /** Round-11 surface: the graph-based ANN shape (NN-Descent k-NN-graph
+    * construction) completing the similarity pillar. */
+  private val roundElevenSurface: Seq[(String, Q)] = Seq(
+    // deterministic NN-Descent k-NN graph (Similarity.nnDescent): two-
+    // hash-table bucketed init + 4 neighbor-of-neighbor rounds at k=15,
+    // recall@15-gated against the exact integer-L2 ground truth for
+    // EVERY node with the q96/q276 harness — the report a k-NN-graph
+    // build's round count is tuned from (the measured curve on this
+    // corpus: 0.12 init → 0.66 @2 → 0.90 @4 rounds; genuinely uniform
+    // 64-dim data is graph-ANN's worst case, so the curve itself is the
+    // honest artifact). All-integer d2 with (d2, id) ties makes both
+    // engines replay the rounds bit-identically. The 100 TB story: init
+    // is bucket-keyed (never global all-pairs), candidate generation is
+    // one keyed self-join bounded by n·(2k)² rows/round, rescoring is
+    // two corpus-keyed joins — no cartesian anywhere on the production
+    // path (the exact ground-truth pass is verification-only; benchFn
+    // times the graph build alone).
+    "q282_nn_descent_recall" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.recallAtK(
+            Similarity.nnDescent(emb, "vec_id", "embedding",
+              k = 15, rounds = 4, initBuckets = 16, checkpointEvery = 1),
+            Similarity.l2TopK(emb, emb, "vec_id", "embedding", k = 15),
+            k = 15)
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+              |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+              |  FROM embeddings),
+              |ib AS (SELECT DISTINCT a.id, b.id AS nbr,
+              |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
+              |      for j in range(1,65)])::BIGINT AS d2
+              |  FROM v a JOIN v b ON a.id <> b.id AND (
+              |    ((a.id * 2654435761) >> 16) % 16 = ((b.id * 2654435761) >> 16) % 16
+              |    OR ((a.id * 2246822519) >> 16) % 16 = ((b.id * 2246822519) >> 16) % 16)),
+              |nn0 AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+              |    SELECT id, nbr, d2, row_number() OVER (
+              |      PARTITION BY id ORDER BY d2, nbr) AS rn FROM ib)
+              |  WHERE rn <= 15),
+              |${nnDescentRoundSql(1, 15)},
+              |${nnDescentRoundSql(2, 15)},
+              |${nnDescentRoundSql(3, 15)},
+              |${nnDescentRoundSql(4, 15)},
+              |ed AS (SELECT a.id AS q_id, b.id AS n_id,
+              |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
+              |      for j in range(1,65)])::BIGINT AS d2
+              |  FROM v a JOIN v b ON a.id <> b.id),
+              |ex AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+              |  WHERE rank <= 15),
+              |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+              |  FROM ex JOIN nn4 ON ex.q_id = nn4.id AND ex.n_id = nn4.nbr
+              |  GROUP BY ex.q_id)
+              |SELECT q.q_id, 15::BIGINT AS k,
+              |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+              |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 15))::BIGINT AS recall_ppm
+              |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+              |ORDER BY q_id""".stripMargin),
+      // production path: the graph build alone — recall evaluation (the
+      // exact all-pairs ground truth) is a tuning-time artifact, never
+      // the 100 TB path
+      benchFn = Some((s, d) =>
+        Similarity.nnDescent(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, checkpointEvery = 1))))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
       roundFiveSurface ++ roundSixSurface ++ roundEightSurface ++
-      roundTenSurface
+      roundTenSurface ++ roundElevenSurface
 }

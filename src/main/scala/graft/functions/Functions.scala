@@ -82,6 +82,11 @@ object Functions {
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  /** Exact squared L2 distance of two BIGINT-array columns, as BIGINT
+    * (codegen'd single loop — see [[L2Dist2]] for the overflow contract). */
+  def l2Dist2(a: Column, b: Column): Column =
+    column(L2Dist2(expression(a), expression(b)))
+
   /** Deterministic 60-bit non-negative hash of a string: first 15 hex chars
     * of md5, as a BIGINT. Portable across engines (md5 is standard), which
     * makes MinHash/SimHash signatures oracle-checkable. Evaluated by the

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Functions.{cosineSim, dotProduct}
+import graft.functions.Functions.{cosineSim, dotProduct, l2Dist2}
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
   *
@@ -728,8 +728,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"), iv.as("q_iv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        aggregate(zip_with(col("q_iv"), col("n_iv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        l2Dist2(col("q_iv"), col("n_iv")).as("d2"))
     val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -1157,5 +1156,121 @@ object Similarity {
       .select(
         col("q_id"), col("dcg_micro"), col("idcg_micro"), col("gain_at_k"),
         expr("dcg_micro * 1000000L div idcg_micro").as("ndcg_ppm"))
+  }
+
+  /** Deterministic distributed NN-Descent (Dong, Moses & Li, WWW'11):
+    * k-NN-GRAPH construction — the graph-based ANN family next to
+    * brute/LSH/IVF/IVF-PQ/PQ, and the index shape production vector
+    * search (HNSW-style) is built from. Everything is exact BIGINT on
+    * milli-quantized vectors with (d2, id) tie-breaks, so every round is
+    * a pure relational statement both engines replay identically — the
+    * q278 Louvain discipline applied to ANN.
+    *
+    *  - init: all-pairs top-k inside deterministic hash buckets from TWO
+    *    independent bucket systems (`(id·m_t) >> 16 mod initBuckets`,
+    *    Knuth multiplicative hashes taking HIGH bits — `mod` of an
+    *    odd-multiplier product is the identity on the low bits, which
+    *    would make buckets closed under id-stride; and a SINGLE bucket
+    *    system would make the init graph a disjoint union of cliques
+    *    that neighbor-of-neighbor closure can never escape — two
+    *    overlapping systems make the union connected, the role random
+    *    init plays in the paper). Plain integer arithmetic, portable to
+    *    any SQL oracle; never a global all-pairs. Ids must stay below
+    *    2^47 so id·m_t cannot wrap (any larger id space should pre-hash
+    *    ids down first);
+    *  - round: reverse edges capped at k per node by (d2, id) (the
+    *    paper's reverse sampling, made deterministic), the general graph
+    *    g = nn ∪ rev, the LOCAL JOIN g ⋈_mid g proposing every
+    *    neighbor-of-neighbor pair, exact rescoring through two keyed
+    *    joins against the vector table, then per-node top-k over
+    *    old ∪ new. Each node's neighbor multiset can only improve
+    *    (the current list is always in the union), so per-node Σd2 is
+    *    monotonically non-increasing — the convergence invariant the
+    *    spec locks.
+    *
+    * Scale shape: no cartesian anywhere — init is bucket-keyed
+    * (bucket size ~n/initBuckets; pick initBuckets ~ n/64), candidate
+    * generation is one self-join keyed on the shared middle node
+    * (Σ_b |g(b)|² ≤ n·(2k)² rows/round), rescoring is two corpus-keyed
+    * joins, top-k one window per round. `checkpointEvery` defaults ON
+    * (1), unlike the Graph operators: each round references the previous
+    * round's list and its general graph several times, so an untruncated
+    * logical plan grows ~5^rounds and rounds ≥ 3 spend minutes in the
+    * analyzer before the first task — 0 is for single-round plan
+    * inspection only. Returns
+    * (q_id, n_id, d2, rank ≤ k) — the [[recallAtK]] `approx` shape. */
+  def nnDescent(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      initBuckets: Int,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(k >= 1 && rounds >= 0 && initBuckets >= 1 && checkpointEvery >= 0)
+    val iv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val v = emb.select(col(idCol).as("id"), iv.as("iv"))
+    // the hot kernel: one codegen'd loop per pair (see L2Dist2) — a
+    // zip_with/aggregate lambda pair costs ~4x in interpreted closures
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      l2Dist2(a, b)
+    val wTop = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("nbr"))
+    def topK(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    // top-k per bucket system FIRST (top-k over a union = top-k over the
+    // union of per-set top-ks), so the cross-system dedup distinct runs
+    // over 2·n·k rows, never the n·bucketSize scored-pair volume
+    val init = Seq(2654435761L, 2246822519L).map { m =>
+        val bucketed = v.withColumn("bkt",
+          pmod(shiftright(col("id") * lit(m), 16), lit(initBuckets.toLong)))
+        topK(bucketed.select(col("bkt"), col("id"), col("iv"))
+          .join(bucketed.select(
+            col("bkt"), col("id").as("nbr"), col("iv").as("niv")), "bkt")
+          .filter(col("id") =!= col("nbr"))
+          .select(col("id"), col("nbr"), d2(col("iv"), col("niv")).as("d2")))
+          .drop("rank")
+      }.reduce(_ unionByName _).distinct() // pairs co-bucketed in both systems
+    var nn = topK(init).drop("rank")
+    // incremental search (the paper's §2.3 rule, made exact): a pair
+    // whose BOTH general-graph edges already existed last round was
+    // proposed and scored last round with the same middle node, and each
+    // node's kth distance is monotone non-increasing, so a pair that
+    // lost then still loses now — skipping old×old pairs is provably
+    // result-preserving, not an approximation. Round volumes collapse
+    // as the graph settles (round 1 is full, later rounds score only
+    // neighborhoods touched by fresh edges).
+    var prevG: DataFrame = null
+    for (r <- 1 to rounds) {
+      val wRev = Window.partitionBy(col("nbr")).orderBy(col("d2").asc, col("id"))
+      val rev = nn.withColumn("rr", row_number().over(wRev)).filter(col("rr") <= k)
+        .select(col("nbr").as("id"), col("id").as("nbr"))
+      var g = nn.select(col("id"), col("nbr")).unionByName(rev).distinct()
+      if (checkpointEvery > 0) g = g.localCheckpoint() // reused next round
+      val flagged =
+        if (prevG == null) g.withColumn("fresh", lit(true))
+        else g.join(prevG.withColumn("seen", lit(1)), Seq("id", "nbr"), "left")
+          .withColumn("fresh", col("seen").isNull).drop("seen")
+      // the local-join fan-out repeats a pair once per shared middle
+      // node — dedup BEFORE the scoring joins (measured 2x end-to-end:
+      // without it the duplicated volume rides through scoring and the
+      // final dedup)
+      val cand = flagged
+        .select(col("id").as("mid"), col("nbr").as("u"), col("fresh").as("fu"))
+        .join(flagged.select(
+          col("id").as("mid"), col("nbr").as("w"), col("fresh").as("fw")), "mid")
+        .filter(col("u") =!= col("w") && (col("fu") || col("fw")))
+        .select(col("u").as("id"), col("w").as("nbr")).distinct()
+      val scored = cand
+        .join(v.select(col("id"), col("iv").as("qiv")), "id")
+        .join(v.select(col("id").as("nbr"), col("iv").as("niv")), "nbr")
+        .select(col("id"), col("nbr"), d2(col("qiv"), col("niv")).as("d2"))
+      nn = topK(nn.unionByName(scored).distinct()).drop("rank")
+      prevG = g
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
+        nn = nn.localCheckpoint()
+    }
+    topK(nn).select(
+      col("id").as("q_id"), col("nbr").as("n_id"), col("d2"), col("rank"))
   }
 }
