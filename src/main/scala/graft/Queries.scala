@@ -9686,7 +9686,51 @@ object Queries {
       // the 100 TB path
       benchFn = Some((s, d) =>
         Similarity.nnDescent(t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 15, rounds = 4, initBuckets = 16, checkpointEvery = 1))))
+          k = 15, rounds = 4, initBuckets = 16, checkpointEvery = 1))),
+
+    // Leiden refinement (Graph.leidenRefine) on the q278 Louvain
+    // partition: each community re-partitions FROM SINGLETONS with moves
+    // proposed only across intra-community edges (degrees/Σtot/2m stay
+    // global) — the phase that fixes Louvain's published badly-connected-
+    // communities defect before contraction freezes it. The oracle
+    // REUSES the exact louvainRoundSql template with the intra-edge
+    // table substituted, so both refinement rounds are the same
+    // relational statement the level-1 rounds are — bit-identical in
+    // both engines. Refined labels provably never cross a phase-1
+    // boundary (spec-locked); the bridge-community split and the
+    // modularity comparison live in Round11Spec. Scale: the intra-edge
+    // subset is built by two keyed joins once and only shrinks; each
+    // round costs a Louvain round on that subset.
+    "q283_leiden_refine" -> Q(
+      (s, d) => {
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint()
+        val w2m = Some(edges.count())
+        val l1 = operators.Graph.louvainRounds(edges, rounds = 2, w2mKnown = w2m)
+          .localCheckpoint()
+        val refined = operators.Graph.leidenRefine(edges, l1, rounds = 2,
+          w2mKnown = w2m)
+        l1.select(col("node"), col("community"))
+          .join(refined.select(col("node"), col("community").as("refined")), "node")
+          .orderBy(col("node"))
+      },
+      Some {
+        val zsteps = (1 to 2).map(r =>
+          louvainRoundSql(r, p = "z", lbl = i => s"z$i",
+            eTbl = "ei", degTbl = "deg", mTbl = "m",
+            wAgg = "count(*)::BIGINT", skipSelfLoops = false)).mkString(",\n")
+        s"""${louvainOracleCtes(2)},
+           |ei AS MATERIALIZED (SELECT e.src, e.dst FROM e
+           |  JOIN l2 a ON e.src = a.node
+           |  JOIN l2 b ON e.dst = b.node AND a.label = b.label),
+           |z0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
+           |$zsteps
+           |SELECT l2.node::BIGINT AS node, l2.label::BIGINT AS community,
+           |  z2.label::BIGINT AS refined
+           |FROM l2 JOIN z2 ON l2.node = z2.node
+           |ORDER BY node""".stripMargin
+      }))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -469,11 +469,57 @@ object Graph {
       edges.select(col("src"), col("dst"), col("w")),
       rounds, checkpointEvery, w2mKnown)
 
+  /** Leiden refinement phase (Traag, Waltman & van Eck 2019 §A2, as
+    * deterministic fixed-round local moves): re-partition each
+    * [[louvainRounds]] community FROM SINGLETONS, with moves proposed
+    * only across intra-community edges while degrees, Σtot and 2m — the
+    * modularity bookkeeping — stay those of the FULL graph. A community
+    * that is internally well-connected re-merges; a badly-connected one
+    * (two dense parts joined by a thin bridge — the published defect
+    * Louvain's greedy phase 1 creates and contraction then freezes)
+    * cannot re-merge across the bridge, because the singleton restart
+    * only accumulates sub-communities reachable through positive-gain
+    * intra-edges. Contracting on the REFINED partition
+    * ([[contractCommunities]] takes it as-is) is exactly what prevents
+    * Leiden's guarantee-breaking super-nodes.
+    *
+    * Deterministic variant: same integer gain
+    * `2m·w_iC − deg_i·Σtot(C∖{i})` and smallest-label tie-breaks as
+    * [[louvainRounds]], iterated `rounds` times — every round is the
+    * same unrollable relational statement, restricted to the
+    * intra-community edge subset.
+    *
+    * `edges` is (src, dst[, w]) symmetric; `labels` is (node, community)
+    * covering every node. Returns (node, community) — the REFINED
+    * partition, which never crosses a phase-1 boundary.
+    *
+    * Scale shape: one two-sided keyed join builds the intra-edge subset
+    * once; each round then costs exactly a [[louvainRounds]] round on
+    * that subset (keyed joins + community-sized aggregates), and the
+    * subset only shrinks relative to the input graph. */
+  def leidenRefine(
+      edges: DataFrame,
+      labels: DataFrame,
+      rounds: Int,
+      checkpointEvery: Int = 0,
+      w2mKnown: Option[Long] = None): DataFrame = {
+    val w = if (edges.columns.contains("w")) col("w") else lit(1L)
+    val e = edges.select(col("src"), col("dst"), w.as("w"))
+    val intra = e
+      .join(labels.select(col("node").as("src"), col("community").as("csrc")), "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("cdst")), "dst")
+      .filter(col("csrc") === col("cdst"))
+      .select(col("src"), col("dst"), col("w"))
+    louvainWeightedImpl(e, rounds, checkpointEvery, w2mKnown,
+      moveEdges = Some(intra))
+  }
+
   private def louvainWeightedImpl(
       e: DataFrame,
       rounds: Int,
       checkpointEvery: Int,
-      w2mKnown: Option[Long]): DataFrame = {
+      w2mKnown: Option[Long],
+      moveEdges: Option[DataFrame] = None): DataFrame = {
     require(checkpointEvery >= 0,
       "checkpointEvery: 0 = off, k > 0 = truncate lineage every k rounds")
     // strength includes self-loop weight (a contracted community's
@@ -484,13 +530,17 @@ object Graph {
     val w2m = w2mKnown.getOrElse(deg.agg(sum(col("deg"))).head().getLong(0))
     var labels = deg.select(col("node"), col("node").as("label"))
     var lastCp: DataFrame = null
+    // move candidates may be a SUBSET of the graph (Leiden refinement
+    // restricts proposals to intra-community edges) while deg/Σtot/2m —
+    // the modularity bookkeeping — always come from the full graph
+    val me = moveEdges.getOrElse(e)
     for (r <- 1 to rounds) {
       val sumtot = labels.join(deg, "node")
         .groupBy(col("label")).agg(sum(col("deg")).as("stot"))
       // self-loops never generate move candidates: w_iC sums edges to
       // OTHER nodes in C (for C = cur, the node's own self-mass is
       // already counted by deg/Σtot, not by w_i,cur)
-      val wic = e.filter(col("src") =!= col("dst"))
+      val wic = me.filter(col("src") =!= col("dst"))
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("w")).as("wic"))

@@ -51,6 +51,55 @@ class Round11Spec extends AnyFunSuite {
     assert(r5 >= 0.95, s"expected near-exact recall after 5 rounds, got $r5")
   }
 
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  private def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for (a <- ids; b <- ids if a < b) yield (a, b)
+
+  test("leidenRefine splits a bridge-connected community Louvain froze") {
+    // two 5-cliques joined by ONE bridge edge, all forced into a single
+    // community — the published badly-connected shape. Refinement from
+    // singletons rebuilds each clique but the bridge alone can't merge
+    // them: the refined partition is exactly the two cliques, and its
+    // exact integer modularity beats the frozen single community.
+    val edges = sym(clique(0L to 4L) ++ clique(5L to 9L) :+ (0L, 5L))
+    val one = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(0L).as("community"))
+    val refined = graft.operators.Graph.leidenRefine(edges, one, rounds = 3)
+    val groups = refined.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(groups == Set((0L to 4L).toSet, (5L to 9L).toSet), groups.toString)
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Graph.modularityByCommunity(edges, labels)
+        .agg(sum(col("contrib"))).head().getLong(0)
+    assert(q(refined) > q(one),
+      s"refinement did not improve modularity: ${q(refined)} <= ${q(one)}")
+  }
+
+  test("leidenRefine never crosses a phase-1 community boundary") {
+    // a fully-connected 6-clique artificially split 3/3: refinement must
+    // keep the cut — moves are proposed only across intra-community
+    // edges, so no refined community may span both sides (a singleton
+    // restart WITHOUT the restriction would re-merge the clique)
+    val edges = sym(clique(0L to 5L))
+    val split = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("node", "community")
+    val refined = graft.operators.Graph.leidenRefine(edges, split, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sides = refined.groupBy(_._2).values.map(_.keys.map(_ / 3).toSet)
+    assert(sides.forall(_.size == 1),
+      s"a refined community crossed the phase-1 cut: $refined")
+  }
+
+  test("leidenRefine re-merges a well-connected community") {
+    val edges = sym(clique(0L to 5L))
+    val one = (0L to 5L).map(i => (i, 0L)).toDF("node", "community")
+    val refined = graft.operators.Graph.leidenRefine(edges, one, rounds = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(refined.size == 1, s"well-connected clique split: $refined")
+  }
+
   test("nnDescent plan: keyed joins only — no cartesian, no nested loops") {
     val emb = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
     // checkpointEvery = 0 keeps init + the round in ONE inspectable plan
