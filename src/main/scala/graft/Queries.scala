@@ -9621,6 +9621,65 @@ object Queries {
        |      UNION ALL SELECT id, nbr, d2 FROM sc$r)))
        |  WHERE rn <= $k)""".stripMargin
 
+  /** One unigram-LM EM round (or the final encode pass when `next` is
+    * empty) for the q284 oracle: price the current vocab `v${r - 1}` in
+    * integer micro-nats, build each word's position-lattice edge table,
+    * run `squarings` min-plus self-squarings over identity-seeded edges
+    * (all-pairs min segmentation cost), mark on-path positions by
+    * cs + ce = total, choose the deterministic (longest, lexicographic)
+    * optimal edge per on-path position — exactly the statements
+    * [[graft.operators.TextAnalysis.unigramChosenEdges]] executes. When
+    * `next`, re-count pieces from chosen edges and PRUNE to the
+    * `vocabTarget` best non-chars (chars never pruned). */
+  private def unigramRoundSql(
+      r: Int, squarings: Int, vocabTarget: Int, next: Boolean): String = {
+    val sq = (1 to squarings).map { s =>
+      val prev = s"d$r${s - 1}"
+      s"""d$r$s AS MATERIALIZED (SELECT w, i, j, min(cost)::BIGINT AS cost FROM (
+         |    SELECT w, i, j, cost FROM $prev
+         |    UNION ALL
+         |    SELECT a.w, a.i, b.j, a.cost + b.cost
+         |    FROM $prev a JOIN $prev b ON a.w = b.w AND a.j = b.i)
+         |  GROUP BY w, i, j)""".stripMargin
+    }.mkString(",\n")
+    val m = if (!next) "" else s""",
+       |cn$r AS (SELECT piece, sum(f)::BIGINT AS cnt
+       |  FROM ch$r JOIN words USING (w) GROUP BY piece),
+       |v$r AS MATERIALIZED (
+       |  SELECT c.piece, coalesce(cn.cnt, 0)::BIGINT AS cnt, true AS is_char
+       |  FROM chars c LEFT JOIN cn$r cn USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt, false AS is_char FROM (
+       |    SELECT cn.piece, cn.cnt FROM cn$r cn
+       |    ANTI JOIN chars c ON cn.piece = c.piece
+       |    ORDER BY cn.cnt DESC, cn.piece LIMIT $vocabTarget))""".stripMargin
+    s"""p$r AS (SELECT piece,
+       |    floor(1e6 * ln((t.t + t.v)::DOUBLE / (cnt + 1)::DOUBLE))::BIGINT AS cost
+       |  FROM v${r - 1}, (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v
+       |                   FROM v${r - 1}) t),
+       |e$r AS MATERIALIZED (SELECT c.w, c.i, c.j, c.piece, p.cost
+       |  FROM cand c JOIN p$r p USING (piece)),
+       |d${r}0 AS (SELECT w, i, j, cost FROM e$r
+       |  UNION ALL SELECT w, i, i AS j, 0::BIGINT AS cost FROM idr),
+       |$sq,
+       |de$r AS MATERIALIZED (SELECT w, i AS pos, cost AS ce
+       |  FROM d$r$squarings WHERE j = len(w) + 1),
+       |op$r AS (SELECT ds.w, ds.pos
+       |  FROM (SELECT w, j AS pos, cost AS cs FROM d$r$squarings WHERE i = 1) ds
+       |  JOIN de$r de ON ds.w = de.w AND ds.pos = de.pos
+       |  JOIN (SELECT w, ce AS tc FROM de$r WHERE pos = 1) t ON ds.w = t.w
+       |  WHERE ds.cs + de.ce = t.tc),
+       |ch$r AS MATERIALIZED (SELECT w, i, j, piece, cost FROM (
+       |    SELECT e.w, e.i, e.j, e.piece, e.cost, row_number() OVER (
+       |      PARTITION BY e.w, e.i ORDER BY e.j DESC, e.piece) AS rn
+       |    FROM e$r e
+       |      JOIN de$r a ON e.w = a.w AND e.j = a.pos
+       |      JOIN de$r b ON e.w = b.w AND e.i = b.pos
+       |      JOIN op$r o ON e.w = o.w AND e.i = o.pos
+       |    WHERE e.cost + a.ce = b.ce)
+       |  WHERE rn = 1)$m""".stripMargin
+  }
+
   /** Round-11 surface: the graph-based ANN shape (NN-Descent k-NN-graph
     * construction) completing the similarity pillar. */
   private val roundElevenSurface: Seq[(String, Q)] = Seq(
@@ -9730,7 +9789,83 @@ object Queries {
            |  z2.label::BIGINT AS refined
            |FROM l2 JOIN z2 ON l2.node = z2.node
            |ORDER BY node""".stripMargin
-      }))
+      }),
+
+    // Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training —
+    // the third production tokenizer family next to BPE (q241) and
+    // WordPiece (q244) — applied as per-doc encode stats (the q243
+    // shape). Seed vocab = corpus chars + top-60 substrings; two hard-EM
+    // rounds: Viterbi E-step as a min-plus matrix-squaring DP over each
+    // word's position lattice (3 squarings cover this corpus's <= 8-char
+    // words), count M-step pruning to the 40 best non-char pieces. All
+    // costs are integer micro-nats priced by the q253 DSIR double-cast
+    // discipline, so training and encoding replay bit-identically in
+    // both engines; the oracle restates every round including the
+    // pruning. Scale: ONE corpus scan builds the word-frequency table;
+    // every EM round runs on distinct-words x positions^2 tables, so
+    // per-round cost is corpus-size-independent exactly like BPE.
+    "q284_unigram_lm_encode" -> Q(
+      (s, d) => TextAnalysis
+        .unigramEncodeStats(t(s, d, "documents"), "doc_id", "text",
+          maxGram = 4, seedTopK = 60, vocabTarget = 40, emRounds = 2,
+          squarings = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH words AS MATERIALIZED (
+              |  SELECT w, count(*)::BIGINT AS f FROM (
+              |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+              |    FROM documents)
+              |  WHERE w <> '' GROUP BY w),
+              |chars AS MATERIALIZED (
+              |  SELECT piece, sum(f)::BIGINT AS cnt FROM (
+              |    SELECT unnest([w[i] for i in range(1, len(w)+1)]) AS piece, f
+              |    FROM words)
+              |  GROUP BY piece),
+              |seedg AS (
+              |  SELECT piece, cnt FROM (
+              |    SELECT piece, sum(f)::BIGINT AS cnt FROM (
+              |      SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS piece, f
+              |      FROM words WHERE len(w) >= 2
+              |      UNION ALL
+              |      SELECT unnest([w[i:i+2] for i in range(1, len(w)-1)]), f
+              |      FROM words WHERE len(w) >= 3
+              |      UNION ALL
+              |      SELECT unnest([w[i:i+3] for i in range(1, len(w)-2)]), f
+              |      FROM words WHERE len(w) >= 4)
+              |    GROUP BY piece)
+              |  ORDER BY cnt DESC, piece LIMIT 60),
+              |v0 AS MATERIALIZED (
+              |  SELECT piece, cnt, true AS is_char FROM chars
+              |  UNION ALL SELECT piece, cnt, false AS is_char FROM seedg),
+              |pos AS MATERIALIZED (
+              |  SELECT w, unnest(range(1, len(w)+1))::BIGINT AS i FROM words),
+              |cand AS MATERIALIZED (
+              |  SELECT w, i, i+1 AS j, substr(w, i, 1) AS piece FROM pos
+              |  UNION ALL SELECT w, i, i+2, substr(w, i, 2) FROM pos
+              |    WHERE i+1 <= len(w)
+              |  UNION ALL SELECT w, i, i+3, substr(w, i, 3) FROM pos
+              |    WHERE i+2 <= len(w)
+              |  UNION ALL SELECT w, i, i+4, substr(w, i, 4) FROM pos
+              |    WHERE i+3 <= len(w)),
+              |idr AS MATERIALIZED (
+              |  SELECT w, unnest(range(1, len(w)+2))::BIGINT AS i FROM words),
+              |${unigramRoundSql(1, 3, 40, next = true)},
+              |${unigramRoundSql(2, 3, 40, next = true)},
+              |${unigramRoundSql(3, 3, 40, next = false)},
+              |wt AS (SELECT w, count(*)::BIGINT AS w_tokens,
+              |    sum(cost)::BIGINT AS w_cost
+              |  FROM ch3 GROUP BY w),
+              |dw AS (SELECT doc_id,
+              |    unnest(string_split(trim(lower(text)), ' ')) AS w
+              |  FROM documents),
+              |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+              |    sum(w_tokens)::BIGINT AS n_unigram_tokens,
+              |    sum(w_cost)::BIGINT AS cost_micro
+              |  FROM dw JOIN wt USING (w) WHERE w <> '' GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(agg.n_words, 0)::BIGINT AS n_words,
+              |  coalesce(n_unigram_tokens, 0)::BIGINT AS n_unigram_tokens,
+              |  coalesce(cost_micro, 0)::BIGINT AS cost_micro
+              |FROM documents d LEFT JOIN agg USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -972,6 +972,221 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer training: the third
+  // production tokenizer family next to BPE (merge-based) and WordPiece
+  // (greedy longest-match). Seed a bounded candidate vocab, then run
+  // fixed-round hard EM — Viterbi E-step as a min-plus matrix-squaring
+  // DP over each word's position lattice, count M-step with per-round
+  // pruning — all in integer micro-nats (the q253 DSIR pricing
+  // discipline), so both engines replay training bit-identically.
+  // -------------------------------------------------------------------
+
+  /** Add-1-smoothed piece costs in integer micro-nats:
+    * `cost(x) = floor(1e6 · ln((T + |V|) / (cnt(x) + 1)))` — each operand
+    * is an exact small integer, the double casts are exact, and the one
+    * divide + ln + floor round identically in every engine (the
+    * [[dsirWeights]] discipline). Higher cost = rarer piece. */
+  private def unigramPrice(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(tot)).select(
+      col("piece"), col("is_char"), col("cnt"),
+      floor(lit(1e6) * log(
+        (col("t") + col("v")).cast("double") / (col("cnt") + 1).cast("double")))
+        .as("cost"))
+  }
+
+  /** Viterbi E-step, fully relational: each word is a position DAG
+    * (edge (i → i+|x|) per vocab piece x matching at i, cost = the
+    * piece's micro-nats) and the optimal segmentation is its min-cost
+    * 1 → len+1 path. The all-pairs min-cost table is built by
+    * `squarings` min-plus self-squarings over identity-seeded edges
+    * (covers paths of ≤ 2^squarings edges — single chars are always in
+    * vocab, so a path always exists for words ≤ 2^squarings chars; the
+    * same doubling discipline as [[wpWordTokens]], localCheckpoint'd per
+    * squaring). A position is ON the optimal path iff
+    * cost(1→i) + cost(i→end) = cost(1→end), and the edge chosen there is
+    * the deterministic (longest, then lexicographic) one among edges
+    * with cost + cost(j→end) = cost(i→end) — no sequential traceback
+    * walk anywhere. On exact integer cost ties every optimal position
+    * contributes (union-of-optimal-paths accounting, deterministic in
+    * both engines). Returns (w, i, j, piece, cost), one row per chosen
+    * edge. */
+  private def unigramChosenEdges(
+      words: DataFrame,
+      priced: DataFrame,
+      maxGram: Int,
+      squarings: Int): DataFrame = {
+    val posLen = words.select(
+      col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+    val cand = (1 to maxGram).map { n =>
+      posLen.filter(col("i") + lit(n - 1) <= length(col("w")))
+        .select(col("w"), col("i"), (col("i") + lit(n)).as("j"),
+          col("w").substr(col("i"), lit(n)).as("piece"))
+    }.reduce(_ unionByName _)
+    val edges = cand
+      .join(broadcast(priced.select(col("piece"), col("cost"))), "piece")
+      .select(col("w"), col("i"), col("j"), col("piece"), col("cost"))
+      .localCheckpoint() // feeds the squarings AND the chooser below
+    var dmat = edges.select(col("w"), col("i"), col("j"), col("cost"))
+      .unionByName(words
+        .select(col("w"),
+          explode(sequence(lit(1), length(col("w")) + 1)).as("i"))
+        .select(col("w"), col("i"), col("i").as("j"), lit(0L).as("cost")))
+    for (s <- 1 to squarings) {
+      val comp = dmat
+        .select(col("w"), col("i"), col("j").as("k"), col("cost").as("c1"))
+        .join(dmat.select(
+          col("w"), col("i").as("k"), col("j"), col("cost").as("c2")),
+          Seq("w", "k"))
+        .select(col("w"), col("i"), col("j"), (col("c1") + col("c2")).as("cost"))
+      dmat = dmat.unionByName(comp)
+        .groupBy(col("w"), col("i"), col("j")).agg(min(col("cost")).as("cost"))
+      // one truncation AFTER the loop: the un-truncated squaring tree has
+      // only 2^squarings refs to the checkpointed edge table (bounded
+      // small), while a per-squaring eager checkpoint costs a full Spark
+      // job each — measured ~2x end-to-end on the q284 path
+      if (s == squarings) dmat = dmat.localCheckpoint()
+    }
+    val dEnd = dmat.filter(col("j") === length(col("w")) + 1)
+      .select(col("w"), col("i").as("pos"), col("cost").as("ce"))
+    val dStart = dmat.filter(col("i") === 1)
+      .select(col("w"), col("j").as("pos"), col("cost").as("cs"))
+    val total = dEnd.filter(col("pos") === 1)
+      .select(col("w"), col("ce").as("tc"))
+    val onpath = dStart.join(dEnd, Seq("w", "pos")).join(total, "w")
+      .filter(col("cs") + col("ce") === col("tc"))
+      .select(col("w"), col("pos"))
+    val opt = edges
+      .join(dEnd.select(col("w"), col("pos").as("j"), col("ce").as("cej")),
+        Seq("w", "j"))
+      .join(dEnd.select(col("w"), col("pos").as("i"), col("ce").as("cei")),
+        Seq("w", "i"))
+      .filter(col("cost") + col("cej") === col("cei"))
+      .join(onpath.select(col("w"), col("pos").as("i")), Seq("w", "i"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w"), col("i"))
+      .orderBy(col("j").desc, col("piece"))
+    opt.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("w"), col("i"), col("j"), col("piece"), col("cost"))
+  }
+
+  /** Seeding + `emRounds` of hard EM. Seed = every corpus char
+    * (occurrence-weighted counts; chars are never pruned — they are the
+    * segmentability fallback, as in SentencePiece) plus the `seedTopK`
+    * most frequent substrings of length 2..`maxGram`. Each round prices
+    * the vocab, Viterbi-segments every distinct word, re-counts pieces
+    * from the chosen edges weighted by word frequency, and PRUNES to the
+    * `vocabTarget` best non-char pieces by (count desc, piece asc).
+    * Returns (words, final priced vocab). */
+  private def unigramLoop(
+      df: DataFrame,
+      textCol: String,
+      maxGram: Int,
+      seedTopK: Int,
+      vocabTarget: Int,
+      emRounds: Int,
+      squarings: Int): (DataFrame, DataFrame) = {
+    val words = wpWords(df, textCol).localCheckpoint()
+    def gramsOfLen(n: Int) = words.select(
+      explode(when(length(col("w")) >= n,
+        transform(
+          sequence(lit(1), length(col("w")) - (n - 1)),
+          i => col("w").substr(i, lit(n))))
+        .otherwise(array())).as("piece"),
+      col("f"))
+    val charCounts = gramsOfLen(1)
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .withColumn("is_char", lit(true))
+      .localCheckpoint() // the never-pruned base, reused every round
+    val seedGrams = (2 to maxGram).map(gramsOfLen).reduce(_ unionByName _)
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(seedTopK)
+      .withColumn("is_char", lit(false))
+    var vocab = charCounts.unionByName(seedGrams).localCheckpoint()
+    for (_ <- 1 to emRounds) {
+      val chosen = unigramChosenEdges(
+        words, unigramPrice(vocab), maxGram, squarings)
+      val counts = chosen.join(words, "w")
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      val newChars = charCounts.select(col("piece"))
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          lit(true).as("is_char"))
+      val newGrams = counts
+        .join(charCounts.select(col("piece")), Seq("piece"), "left_anti")
+        .orderBy(col("cnt").desc, col("piece")).limit(vocabTarget)
+        .withColumn("is_char", lit(false))
+      vocab = newChars.unionByName(newGrams).localCheckpoint()
+    }
+    (words, unigramPrice(vocab))
+  }
+
+  /** The trained unigram-LM vocab: (piece, is_char, cnt, cost_micro)
+    * after `emRounds` of hard EM — the SentencePiece-style tokenizer
+    * model next to [[bpeTrain]] (q241) and the WordPiece vocab (q244).
+    *
+    * Scale shape: the corpus is scanned ONCE (the shared word-frequency
+    * aggregate); everything after runs on the distinct-word table —
+    * candidate tables are words × positions × maxGram and the DP tables
+    * words × positions², all vocab-sized, so per-round cost is
+    * independent of corpus size exactly like BPE/WordPiece training.
+    * `squarings` must satisfy 2^squarings ≥ max word length (chars only
+    * path); words longer than that would surface with no segmentation
+    * row and must be pre-clipped by the caller. */
+  def unigramTrain(
+      df: DataFrame,
+      textCol: String,
+      maxGram: Int = 4,
+      seedTopK: Int = 60,
+      vocabTarget: Int = 40,
+      emRounds: Int = 2,
+      squarings: Int = 4): DataFrame =
+    unigramLoop(df, textCol, maxGram, seedTopK, vocabTarget, emRounds,
+      squarings)._2
+      .select(col("piece"), col("is_char"), col("cnt"), col("cost").as("cost_micro"))
+
+  /** Per-document encode stats under the trained unigram-LM tokenizer —
+    * the [[bpeEncodeStats]] twin: (doc_id, n_words, n_unigram_tokens,
+    * cost_micro), where each word's token count is its Viterbi-chosen
+    * edge count and cost its chosen-edge micro-nat sum (equal to the
+    * optimal path cost except on exact integer ties, where the
+    * deterministic union accounting may add positions). Word-local, so
+    * the corpus is never re-segmented: the vocab-sized (word → stats)
+    * table joins back to one corpus pass. */
+  def unigramEncodeStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxGram: Int = 4,
+      seedTopK: Int = 60,
+      vocabTarget: Int = 40,
+      emRounds: Int = 2,
+      squarings: Int = 4): DataFrame = {
+    val (words, priced) = unigramLoop(
+      df, textCol, maxGram, seedTopK, vocabTarget, emRounds, squarings)
+    val wt = unigramChosenEdges(words, priced, maxGram, squarings)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("w_tokens"), sum(col("cost")).as("w_cost"))
+    val docWords = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val agg = docWords.join(wt, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("w_tokens")).as("n_unigram_tokens"),
+        sum(col("w_cost")).as("cost_micro"))
+    df.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
+        coalesce(col("cost_micro"), lit(0L)).as("cost_micro"))
+  }
+
+  // -------------------------------------------------------------------
   // Fixed-stride overlapping chunk windows (RAG prep)
   // -------------------------------------------------------------------
 

@@ -100,6 +100,44 @@ class Round11Spec extends AnyFunSuite {
     assert(refined.size == 1, s"well-connected clique split: $refined")
   }
 
+  test("unigram-LM: min-plus DP matches brute-force Viterbi segmentation") {
+    val docs = Seq(
+      (1L, "abab abab cdcd abcd aa bb"),
+      (2L, "abab cdcd cdcd abc ab cd"),
+      (3L, "aabb ccdd abab cdab baba bcd")).toDF("doc_id", "text")
+    val vocab = graft.operators.TextAnalysis.unigramTrain(docs, "text",
+        maxGram = 3, seedTopK = 20, vocabTarget = 10, emRounds = 2,
+        squarings = 3)
+      .collect()
+    // chars are never pruned (the segmentability fallback) and the
+    // non-char vocab respects the prune budget
+    assert(vocab.filter(_.getBoolean(1)).map(_.getString(0)).toSet ==
+      Set("a", "b", "c", "d"), vocab.mkString(", "))
+    assert(vocab.count(!_.getBoolean(1)) <= 10)
+    val cost = vocab.map(r => r.getString(0) -> r.getLong(3)).toMap
+    def minCost(w: String): Long =
+      if (w.isEmpty) 0L
+      else (1 to math.min(3, w.length)).flatMap(n =>
+        cost.get(w.take(n)).map(_ + minCost(w.drop(n)))).min
+    val expected = Seq(
+      "abab abab cdcd abcd aa bb",
+      "abab cdcd cdcd abc ab cd",
+      "aabb ccdd abab cdab baba bcd")
+      .map(_.split(" ").map(minCost).sum)
+    val got = graft.operators.TextAnalysis.unigramEncodeStats(docs,
+        "doc_id", "text", maxGram = 3, seedTopK = 20, vocabTarget = 10,
+        emRounds = 2, squarings = 3)
+      .orderBy(col("doc_id")).collect()
+    for ((row, exp) <- got.zip(expected))
+      assert(row.getLong(3) == exp,
+        s"doc ${row.getLong(0)}: DP cost ${row.getLong(3)} != brute $exp")
+    // token counts bounded by chars (all-singles) and chars/maxGram
+    for (row <- got) {
+      val chars = row.getLong(1) // n_words lower bound proxy
+      assert(row.getLong(2) >= chars, row.toString) // >= one token per word
+    }
+  }
+
   test("nnDescent plan: keyed joins only — no cartesian, no nested loops") {
     val emb = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
     // checkpointEvery = 0 keeps init + the round in ONE inspectable plan
