@@ -9865,7 +9865,129 @@ object Queries {
               |  coalesce(n_unigram_tokens, 0)::BIGINT AS n_unigram_tokens,
               |  coalesce(cost_micro, 0)::BIGINT AS cost_micro
               |FROM documents d LEFT JOIN agg USING (doc_id)
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Theta/KMV set-operation sketches (ThetaSketch): union / intersect /
+    // difference distinct-shingle estimates ACROSS datasets (eval split
+    // vs train split) at sketch cost — the set-algebra member completing
+    // the MG/CMS/HLL/KLL family; today this overlap question is answered
+    // exact-only (q74 semi-join, q93 Bloom). The k-smallest-hash sample
+    // is a deterministic function of the DISTINCT SET — order- and
+    // merge-shape-independent under the fixed md5 hash64 — so the oracle
+    // restates the sample sets bit-identically, not just bounds. Output
+    // pins per op: sample size, theta cut, the KMV estimate (one exact
+    // double product + divide + floor — IEEE-identical cross-engine),
+    // the exact count (verification side), and the standard theta error
+    // predicate |est − exact| ≤ 3·RSE(k)·|A∪B| with 3/sqrt(62) floored
+    // to 380980 ppm. benchFn times the sketch path alone. Scale: one
+    // distinct-aggregate + global top-k per dataset (k rows per
+    // partition cross the wire); every set op then runs on ≤ k-row
+    // samples, and union is EXACT KMV composition — mergeable across
+    // shards/days/tables.
+    "q285_theta_set_sketches" -> Q(
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("doc_id"), explode(F.wordShingles(col("text"), 3)).as("g"))
+        val ga = g.filter(col("doc_id") % 5 === 0)
+        val gb = g.filter(col("doc_id") % 5 =!= 0)
+        val ska = operators.ThetaSketch.sketch(ga, col("g"), 64).localCheckpoint()
+        val skb = operators.ThetaSketch.sketch(gb, col("g"), 64).localCheckpoint()
+        val ests = operators.ThetaSketch.estimateRow(ska, 64, "a")
+          .unionByName(operators.ThetaSketch.estimateRow(skb, 64, "b"))
+          .unionByName(operators.ThetaSketch.estimateRow(
+            operators.ThetaSketch.union(ska, skb, 64), 64, "union"))
+          .unionByName(operators.ThetaSketch.setOpRows(ska, skb, 64))
+        // verification side: exact distinct counts per op (corpus-cost,
+        // never the production path) + the 3RSE-of-union predicate
+        val va = ga.select(F.hash64(col("g")).as("h")).distinct().localCheckpoint()
+        val vb = gb.select(F.hash64(col("g")).as("h")).distinct().localCheckpoint()
+        def en(df: DataFrame, op: String) =
+          df.agg(count(lit(1)).as("exact_n")).select(lit(op).as("op"), col("exact_n"))
+        val exact = en(va, "a")
+          .unionByName(en(vb, "b"))
+          .unionByName(en(va.unionByName(vb).distinct(), "union"))
+          .unionByName(en(va.join(vb, "h"), "intersect"))
+          .unionByName(en(va.join(vb, Seq("h"), "left_anti"), "diff_a_b"))
+        val eu = va.unionByName(vb).distinct().agg(count(lit(1)).as("eu"))
+        ests.join(exact, "op").crossJoin(eu)
+          .select(col("op"), col("n_sample"), col("theta"), col("est"),
+            col("exact_n"),
+            (abs(col("est") - col("exact_n")) * lit(1000000L) <=
+              lit(380980L) * col("eu")).as("within_3rse"))
+          .orderBy(col("op"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |shg AS (SELECT doc_id, CASE WHEN len(t) >= 3
+              |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+              |    ELSE []::VARCHAR[] END AS sg FROM toks),
+              |g AS (SELECT doc_id, unnest(sg) AS g FROM shg),
+              |va AS MATERIALIZED (SELECT DISTINCT ${dHash64("g")} AS h
+              |  FROM g WHERE doc_id % 5 = 0),
+              |vb AS MATERIALIZED (SELECT DISTINCT ${dHash64("g")} AS h
+              |  FROM g WHERE doc_id % 5 <> 0),
+              |ska AS MATERIALIZED (SELECT h FROM va ORDER BY h LIMIT 64),
+              |skb AS MATERIALIZED (SELECT h FROM vb ORDER BY h LIMIT 64),
+              |sku AS (SELECT DISTINCT h FROM (
+              |    SELECT h FROM ska UNION ALL SELECT h FROM skb)
+              |  ORDER BY h LIMIT 64),
+              |ta AS (SELECT count(*)::BIGINT AS n, CASE WHEN count(*) >= 64
+              |    THEN max(h) ELSE 1152921504606846976 END AS th FROM ska),
+              |tb AS (SELECT count(*)::BIGINT AS n, CASE WHEN count(*) >= 64
+              |    THEN max(h) ELSE 1152921504606846976 END AS th FROM skb),
+              |tu AS (SELECT count(*)::BIGINT AS n, CASE WHEN count(*) >= 64
+              |    THEN max(h) ELSE 1152921504606846976 END AS th FROM sku),
+              |tmin AS (SELECT least(ta.th, tb.th) AS th FROM ta, tb),
+              |ni AS (SELECT count(*)::BIGINT AS n FROM ska JOIN skb USING (h),
+              |  tmin WHERE h < tmin.th),
+              |nd AS (SELECT count(*)::BIGINT AS n
+              |  FROM (SELECT ska.h FROM ska ANTI JOIN skb USING (h)) dd,
+              |  tmin WHERE dd.h < tmin.th),
+              |ests AS (
+              |  SELECT 'a' AS op, n AS n_sample, th AS theta,
+              |    CASE WHEN n < 64 THEN n ELSE floor(63::DOUBLE *
+              |      1152921504606846976::DOUBLE / th::DOUBLE)::BIGINT END AS est
+              |  FROM ta
+              |  UNION ALL SELECT 'b', n, th,
+              |    CASE WHEN n < 64 THEN n ELSE floor(63::DOUBLE *
+              |      1152921504606846976::DOUBLE / th::DOUBLE)::BIGINT END FROM tb
+              |  UNION ALL SELECT 'union', n, th,
+              |    CASE WHEN n < 64 THEN n ELSE floor(63::DOUBLE *
+              |      1152921504606846976::DOUBLE / th::DOUBLE)::BIGINT END FROM tu
+              |  UNION ALL SELECT 'intersect', ni.n, tmin.th,
+              |    floor(ni.n::DOUBLE * 1152921504606846976::DOUBLE
+              |      / tmin.th::DOUBLE)::BIGINT FROM ni, tmin
+              |  UNION ALL SELECT 'diff_a_b', nd.n, tmin.th,
+              |    floor(nd.n::DOUBLE * 1152921504606846976::DOUBLE
+              |      / tmin.th::DOUBLE)::BIGINT FROM nd, tmin),
+              |ex AS (
+              |  SELECT 'a' AS op, count(*)::BIGINT AS exact_n FROM va
+              |  UNION ALL SELECT 'b', count(*)::BIGINT FROM vb
+              |  UNION ALL SELECT 'union', count(DISTINCT h)::BIGINT FROM (
+              |    SELECT h FROM va UNION ALL SELECT h FROM vb)
+              |  UNION ALL SELECT 'intersect', count(*)::BIGINT
+              |    FROM va JOIN vb USING (h)
+              |  UNION ALL SELECT 'diff_a_b', count(*)::BIGINT
+              |    FROM va ANTI JOIN vb USING (h)),
+              |eu AS (SELECT count(DISTINCT h)::BIGINT AS n FROM (
+              |  SELECT h FROM va UNION ALL SELECT h FROM vb))
+              |SELECT e.op, e.n_sample, e.theta, e.est, x.exact_n,
+              |  (abs(e.est - x.exact_n) * 1000000 <= 380980 * eu.n) AS within_3rse
+              |FROM ests e JOIN ex x USING (op), eu
+              |ORDER BY op""".stripMargin),
+      benchFn = Some((s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("doc_id"), explode(F.wordShingles(col("text"), 3)).as("g"))
+        val ska = operators.ThetaSketch.sketch(
+          g.filter(col("doc_id") % 5 === 0), col("g"), 64).localCheckpoint()
+        val skb = operators.ThetaSketch.sketch(
+          g.filter(col("doc_id") % 5 =!= 0), col("g"), 64).localCheckpoint()
+        operators.ThetaSketch.estimateRow(ska, 64, "a")
+          .unionByName(operators.ThetaSketch.estimateRow(skb, 64, "b"))
+          .unionByName(operators.ThetaSketch.estimateRow(
+            operators.ThetaSketch.union(ska, skb, 64), 64, "union"))
+          .unionByName(operators.ThetaSketch.setOpRows(ska, skb, 64))
+      })))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

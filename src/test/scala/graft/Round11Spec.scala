@@ -138,6 +138,43 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("theta sketch: union is exact KMV composition — associative, bit-identical") {
+    import graft.operators.ThetaSketch
+    val k = 16
+    val chunks = Seq(0, 1, 2).map(c =>
+      Seq.tabulate(200)(i => s"item_${c * 137 + i * 3}").toDF("v"))
+    val whole = ThetaSketch.sketch(chunks.reduce(_ unionByName _), col("v"), k)
+      .collect().map(_.getLong(0)).toSeq
+    val sks = chunks.map(c => ThetaSketch.sketch(c, col("v"), k))
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val leftAssoc = hs(ThetaSketch.union(
+      ThetaSketch.union(sks(0), sks(1), k), sks(2), k))
+    val rightAssoc = hs(ThetaSketch.union(
+      sks(0), ThetaSketch.union(sks(1), sks(2), k), k))
+    assert(leftAssoc == whole && rightAssoc == whole,
+      s"KMV union not exact: whole=$whole left=$leftAssoc right=$rightAssoc")
+  }
+
+  test("theta sketch: exhaustive mode is exact; set-op estimates are sane") {
+    import graft.operators.ThetaSketch
+    val k = 64
+    // |A| = 40 < k, |B| = 30 < k, overlap 20: everything exhaustive, so
+    // est == exact for a, b, union; intersect/diff at theta = 2^60 are
+    // exact sample counts scaled by 1 — also exact
+    val a = (0 until 40).map(i => s"x$i").toDF("v")
+    val b = (20 until 50).map(i => s"x$i").toDF("v")
+    val ska = ThetaSketch.sketch(a, col("v"), k)
+    val skb = ThetaSketch.sketch(b, col("v"), k)
+    val rows = ThetaSketch.estimateRow(ska, k, "a")
+      .unionByName(ThetaSketch.estimateRow(skb, k, "b"))
+      .unionByName(ThetaSketch.estimateRow(ThetaSketch.union(ska, skb, k), k, "union"))
+      .unionByName(ThetaSketch.setOpRows(ska, skb, k))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows == Map("a" -> 40L, "b" -> 30L, "union" -> 50L,
+      "intersect" -> 20L, "diff_a_b" -> 20L), rows.toString)
+  }
+
   test("nnDescent plan: keyed joins only — no cartesian, no nested loops") {
     val emb = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
     // checkpointEvery = 0 keeps init + the round in ONE inspectable plan
