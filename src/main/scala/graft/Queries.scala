@@ -9987,7 +9987,43 @@ object Queries {
           .unionByName(operators.ThetaSketch.estimateRow(
             operators.ThetaSketch.union(ska, skb, 64), 64, "union"))
           .unionByName(operators.ThetaSketch.setOpRows(ska, skb, 64))
-      })))
+      })),
+
+    // baseline JPEG decode (multimodal/Jpeg.scala): the most common
+    // real-world image container, completing the BMP/PNG/WAV/AVI codec
+    // set (q65). Unlike q65's header-predicted oracle, this one predicts
+    // the FULL DECODED PIXEL SUM from doc_id arithmetic: assets are
+    // synthesized with per-block constant pixels (DC-only blocks round-
+    // trip pixel-exactly through DCT/quant/IDCT — Round11Spec locks the
+    // per-pixel round trip), so a wrong Huffman table, zigzag order,
+    // dequantize step, IDCT scale, level shift OR edge-block clipping
+    // fails the hash — the whole decode path is under the gate, not just
+    // the SOF0 header. n_bytes is entropy-coded (not SQL-predictable)
+    // and excluded, the q65 PNG treatment. Scale: encode and decode are
+    // partition-preserving mapPartitions; payloads never touch the
+    // driver; decode reduces to fixed-width stats immediately.
+    "q286_jpeg_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeJpegAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeJpegStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+             |    (doc_id % 31 + 1)::BIGINT AS w, (doc_id % 17 + 1)::BIGINT AS h
+             |  FROM documents),
+             |blocks AS (SELECT doc_id, w, h, bx.x AS bx, by.y AS by
+             |  FROM dims, range(0, 4) bx(x), range(0, 3) by(y)
+             |  WHERE bx.x <= (w - 1) // 8 AND by.y <= (h - 1) // 8),
+             |ps AS (SELECT doc_id,
+             |    sum(((doc_id * 7 + bx * 13 + by * 29) % 256) *
+             |        least(8, w - bx * 8) * least(8, h - by * 8))::BIGINT
+             |      AS pixel_sum
+             |  FROM blocks GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'jpeg' AS codec, w AS width,
+             |  h AS height, 1::BIGINT AS n_components, ps.pixel_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -409,9 +409,13 @@ object Codecs {
   // sniffing — dispatch a payload to the right parser by magic bytes
   // ------------------------------------------------------------------
 
-  /** Identify the container by magic: "bmp", "png", "wav", or None. */
+  /** Identify the container by magic: "bmp", "png", "wav", "avi",
+    * "jpeg", or None. */
   def sniff(b: Array[Byte]): Option[String] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff)
+      Some("jpeg")
     else if (b.length >= 8 && pngSignature.indices.forall(i => b(i) == pngSignature(i)))
       Some("png")
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&

@@ -1,0 +1,407 @@
+package graft.multimodal
+
+/** Pure-JVM baseline JPEG (ITU-T T.81 sequential DCT, Huffman): the most
+  * common real-world image container, next to the BMP/PNG/WAV/AVI codecs
+  * in [[Codecs]]. No AWT/ImageIO — executor-safe byte-level code.
+  *
+  * Decoder: general baseline — marker parse (APPn/COM skipped), 8-bit
+  * DQT tables, SOF0, DHT canonical Huffman table build (the spec's
+  * mincode/maxcode/valptr algorithm), SOS entropy decode with 0xFF00
+  * byte-unstuffing, DC prediction + AC run-length (EOB/ZRL), dequantize
+  * in zigzag order, double-precision reference IDCT with round + clamp +
+  * level shift, and JFIF YCbCr→RGB for 3-component scans. Supported:
+  * 1 or 3 components at 1x1 sampling (4:4:4); subsampled chroma returns
+  * None (skip, not fail — the corrupt-asset discipline of
+  * [[Multimodal.decodeMedia]]).
+  *
+  * Encoder: DC-only blocks (each 8×8 block a constant value) with
+  * all-ones quantization and the Annex K standard Huffman tables — a
+  * valid baseline interchange stream any decoder accepts, chosen because
+  * constant blocks ROUND-TRIP PIXEL-EXACTLY: the DCT of a constant block
+  * is a lone DC coefficient 8·(v−128), and the reference IDCT of a lone
+  * DC is DC/8 — an exact multiple of 0.125, exact in IEEE double — so
+  * decode(encode(img)) == img, which is what makes a header-AND-pixel
+  * oracle possible (q286 predicts the full decoded pixel sum from id
+  * arithmetic, not just the header fields). */
+object Jpeg {
+
+  /** Decoded image: `pixels` row-major; gray values for 1 component,
+    * 0xRRGGBB for 3 components. */
+  final case class JpegImage(
+      width: Int, height: Int, nComponents: Int, pixels: Array[Int])
+
+  // ----------------------------------------------------------------
+  // Annex K standard Huffman tables (luminance)
+  // ----------------------------------------------------------------
+  private val dcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val dcVals: Array[Int] = (0 to 11).toArray
+  private val acBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val acVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Zigzag order: zigzag(i) = natural (row-major) index of scan pos i. */
+  private val zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var (x, y, up) = (0, 0, true)
+    for (i <- 0 until 64) {
+      z(i) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+    }
+    z
+  }
+
+  // canonical code assignment: (code, length) per symbol, in table order
+  private def buildEncodeTable(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var vi = 0
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len - 1)) {
+        out += vals(vi) -> ((code, len))
+        code += 1
+        vi += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------------
+  // Encoder (DC-only constant blocks)
+  // ----------------------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nbits = 0
+    def put(bitsValue: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bitsValue >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = { // pad the final byte with 1s (spec F.1.2.3)
+      while (nbits != 0) put(1, 1)
+    }
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Per-block constant pixel value of the synthesized fixture — shared
+    * with the q286 oracle's arithmetic: v = (id·7 + bx·13 + by·29) mod 256. */
+  def blockValue(id: Long, bx: Int, by: Int): Int =
+    ((id * 7 + bx * 13L + by * 29L) % 256).toInt
+
+  /** Encode a grayscale baseline JPEG whose 8×8 block (bx, by) is the
+    * constant [[blockValue]](seed, bx, by); edge blocks are padded with
+    * the same constant, so clipped pixels keep the block's value. */
+  def encodeJpegGray(width: Int, height: Int, seed: Long): Array[Byte] =
+    encodeDcOnly(width, height,
+      Seq((bx: Int, by: Int) => blockValue(seed, bx, by)))
+
+  /** 3-component (YCbCr 4:4:4) DC-only encode: one value function per
+    * component. All components share the luminance tables (legal —
+    * table ids are per-scan-component assignments). */
+  def encodeJpegColor(
+      width: Int, height: Int,
+      yF: (Int, Int) => Int, cbF: (Int, Int) => Int, crF: (Int, Int) => Int): Array[Byte] =
+    encodeDcOnly(width, height, Seq(yF, cbF, crF))
+
+  private def encodeDcOnly(
+      width: Int, height: Int, comps: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && (comps.size == 1 || comps.size == 3))
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int*): Unit = b.foreach(v => out.write(v & 0xff))
+    m(0xff, 0xd8) // SOI
+    // DQT: table 0, 8-bit, all ones (lossless for DC-only blocks)
+    m(0xff, 0xdb, 0x00, 0x43, 0x00)
+    for (_ <- 0 until 64) out.write(1)
+    // SOF0
+    val nc = comps.size
+    m(0xff, 0xc0, 0x00, 8 + 3 * nc, 8,
+      (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff, nc)
+    for (c <- 1 to nc) m(c, 0x11, 0x00) // id, 1x1 sampling, quant table 0
+    // DHT: DC table 0 + AC table 0 (Annex K luminance)
+    m(0xff, 0xc4, 0x00, 19 + dcVals.length, 0x00)
+    dcBits.foreach(out.write); dcVals.foreach(out.write)
+    m(0xff, 0xc4, 0x00, 19 + acVals.length, 0x10)
+    acBits.foreach(out.write); acVals.foreach(out.write)
+    // SOS
+    m(0xff, 0xda, 0x00, 6 + 2 * nc, nc)
+    for (c <- 1 to nc) m(c, 0x00) // DC table 0, AC table 0
+    m(0x00, 0x3f, 0x00) // Ss, Se, Ah/Al
+    // entropy: raster MCUs, per component a DC-only block + EOB
+    val dcTab = buildEncodeTable(dcBits, dcVals)
+    val acTab = buildEncodeTable(acBits, acVals)
+    val bw = new BitWriter
+    val (bxn, byn) = ((width + 7) / 8, (height + 7) / 8)
+    val prev = new Array[Int](nc)
+    for (by <- 0 until byn; bx <- 0 until bxn; c <- 0 until nc) {
+      val dc = 8 * (comps(c)(bx, by) - 128) // DCT DC of a constant block
+      var diff = dc - prev(c)
+      prev(c) = dc
+      var s = 0
+      var mag = math.abs(diff)
+      while (mag != 0) { s += 1; mag >>= 1 }
+      val (code, len) = dcTab(s)
+      bw.put(code, len)
+      if (s > 0) {
+        if (diff < 0) diff += (1 << s) - 1
+        bw.put(diff, s)
+      }
+      val (eob, eobLen) = acTab(0x00)
+      bw.put(eob, eobLen)
+    }
+    bw.flushOnes()
+    out.write(bw.toBytes, 0, bw.toBytes.length)
+    m(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------
+  // Decoder (general baseline, 4:4:4)
+  // ----------------------------------------------------------------
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // spec C.2/F.2.2.3: mincode/maxcode/valptr per code length
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var vi = 0
+      for (len <- 1 to 16) {
+        if (bits(len - 1) == 0) maxCode(len) = -1
+        else {
+          valPtr(len) = vi
+          minCode(len) = code
+          code += bits(len - 1); vi += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      var len = 1
+      while (len < 16 && (maxCode(len) < 0 || code > maxCode(len))) {
+        code = (code << 1) | br.bit()
+        len += 1
+      }
+      if (maxCode(len) < 0 || code > maxCode(len))
+        throw new java.io.IOException("bad huffman code")
+      vals(valPtr(len) + code - minCode(len))
+    }
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw new java.io.IOException("eof in entropy data")
+        val v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length || (b(pos) & 0xff) != 0x00)
+            throw new java.io.IOException("marker in entropy data")
+          pos += 1 // unstuff
+        }
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      for (_ <- 0 until n) v = (v << 1) | bit()
+      v
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private val idctCos: Array[Double] =
+    Array.tabulate(8 * 8)(i => math.cos((2 * (i / 8) + 1) * (i % 8) * math.Pi / 16))
+  private val c0 = 1.0 / math.sqrt(2.0)
+
+  private def idct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) c0 else 1.0
+            val cv = if (v == 0) c0 else 1.0
+            sum += cu * cv * coef(v * 8 + u) * idctCos(x * 8 + u) * idctCos(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        val p = math.round(sum / 4.0).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def clamp8(v: Double): Int =
+    math.max(0, math.min(255, math.round(v).toInt))
+
+  /** Decode a baseline JPEG. None for anything unsupported or corrupt
+    * (progressive, subsampled chroma, arithmetic coding, truncation). */
+  def decodeJpeg(b: Array[Byte]): Option[JpegImage] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    var nc = 0
+    var compQ: Array[Int] = null
+    def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before SOS
+      val len = u16(pos + 2)
+      val seg = pos + 4
+      marker match {
+        case 0xdb => // DQT, possibly several tables
+          var o = seg
+          while (o < seg + len - 2) {
+            val pq = (b(o) & 0xff) >> 4
+            val tq = b(o) & 0x0f
+            if (pq != 0) return None // 16-bit tables unsupported
+            quant(tq) = Array.tabulate(64)(i => b(o + 1 + i) & 0xff)
+            o += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          height = u16(seg + 1); width = u16(seg + 3)
+          nc = b(seg + 5) & 0xff
+          if ((b(seg) & 0xff) != 8 || (nc != 1 && nc != 3)) return None
+          compQ = new Array[Int](nc)
+          for (c <- 0 until nc) {
+            if ((b(seg + 7 + 3 * c) & 0xff) != 0x11) return None // 4:4:4 only
+            compQ(c) = b(seg + 8 + 3 * c) & 0xff
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc9 | 0xca | 0xcb =>
+          return None // non-baseline SOF
+        case 0xc4 => // DHT, possibly several tables
+          var o = seg
+          while (o < seg + len - 2) {
+            val tc = (b(o) & 0xff) >> 4
+            val th = b(o) & 0x0f
+            val bits = Array.tabulate(16)(i => b(o + 1 + i) & 0xff)
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(i => b(o + 17 + i) & 0xff)
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            o += 17 + nv
+          }
+        case 0xda => // SOS: decode and return
+          val ns = b(seg) & 0xff
+          if (ns != nc || width <= 0 || height <= 0) return None
+          val compDc = new Array[Int](nc)
+          val compAc = new Array[Int](nc)
+          for (c <- 0 until nc) {
+            compDc(c) = (b(seg + 2 + 2 * c) & 0xff) >> 4
+            compAc(c) = b(seg + 2 + 2 * c) & 0x0f
+          }
+          // (seg + len - 2) is one past the SOS header: entropy data start
+          val br = new BitReader(b, seg + len - 2)
+          val (bxn, byn) = ((width + 7) / 8, (height + 7) / 8)
+          val planes = Array.fill(nc)(new Array[Int](bxn * byn * 64))
+          val pred = new Array[Int](nc)
+          val coef = new Array[Int](64)
+          for (by <- 0 until byn; bx <- 0 until bxn; c <- 0 until nc) {
+            java.util.Arrays.fill(coef, 0)
+            val q = quant(compQ(c))
+            if (q == null || dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
+              return None
+            val t = dcTabs(compDc(c)).decode(br)
+            val diff = extend(br.receive(t), t)
+            pred(c) += diff
+            coef(zigzag(0)) = pred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acTabs(compAc(c)).decode(br)
+              val (r, s) = (rs >> 4, rs & 0x0f)
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                if (k > 63) throw new java.io.IOException("ac overflow")
+                coef(zigzag(k)) = extend(br.receive(s), s) * q(k)
+                k += 1
+              }
+            }
+            val px = idct(coef)
+            System.arraycopy(px, 0, planes(c), (by * bxn + bx) * 64, 64)
+          }
+          val pixels = new Array[Int](width * height)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val bo = ((y / 8) * bxn + (x / 8)) * 64 + (y % 8) * 8 + (x % 8)
+              pixels(y * width + x) =
+                if (nc == 1) planes(0)(bo)
+                else {
+                  val (yy, cb, cr) =
+                    (planes(0)(bo).toDouble, planes(1)(bo) - 128.0, planes(2)(bo) - 128.0)
+                  (clamp8(yy + 1.402 * cr) << 16) |
+                    (clamp8(yy - 0.344136 * cb - 0.714136 * cr) << 8) |
+                    clamp8(yy + 1.772 * cb)
+                }
+              x += 1
+            }
+            y += 1
+          }
+          return Some(JpegImage(width, height, nc, pixels))
+        case _ => () // APPn, COM, others: skip
+      }
+      pos = seg + len - 2
+    }
+    None
+  } catch { case _: Exception => None } // corrupt assets skip, never fail
+}

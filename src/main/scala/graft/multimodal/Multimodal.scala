@@ -202,6 +202,57 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize grayscale baseline-JPEG assets from an id column
+    * (id-derived dims, per-block constant pixels — see
+    * [[Jpeg.encodeJpegGray]]): the [[synthesizeMediaAssets]] shape for
+    * the one container that set omits. Executor-side mapPartitions,
+    * payloads never touch the driver. */
+  def synthesizeJpegAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        Row(i, Jpeg.encodeJpegGray((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** FULL JPEG decode over a binary column — not just the header parse
+    * of [[decodeMedia]]: Huffman entropy decode + dequantize + IDCT +
+    * level shift run per asset, and the decoded payload is reduced to
+    * fixed-width stats (dims, component count, exact pixel sum) so
+    * downstream stages never carry pixel buffers. Undecodable payloads
+    * surface with codec NULL (skip, not fail). Partition-preserving,
+    * driver-free. */
+  def decodeJpegStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_components", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Jpeg.decodeJpeg(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
+            Row(id, "jpeg", img.width.toLong, img.height.toLong,
+              img.nComponents.toLong, s)
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Image resize stage: every parseable 24bpp BMP payload is
     * nearest-neighbor downscaled by `scaleDen` (min dimension 1) via
     * [[Codecs.resizeBmp]]; everything else is dropped (corrupt or

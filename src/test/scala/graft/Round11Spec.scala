@@ -175,6 +175,54 @@ class Round11Spec extends AnyFunSuite {
       "intersect" -> 20L, "diff_a_b" -> 20L), rows.toString)
   }
 
+  test("JPEG: DC-only blocks round-trip pixel-exactly, including clipped edges") {
+    import graft.multimodal.Jpeg
+    for ((w, h, seed) <- Seq((13, 9, 42L), (8, 8, 7L), (1, 1, 3L), (31, 17, 499L))) {
+      val img = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(w, h, seed))
+        .getOrElse(fail(s"decode failed for ${w}x$h"))
+      assert(img.width == w && img.height == h && img.nComponents == 1)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = Jpeg.blockValue(seed, x / 8, y / 8)
+        assert(img.pixels(y * w + x) == expect,
+          s"(${w}x$h seed=$seed) pixel ($x,$y): ${img.pixels(y * w + x)} != $expect")
+      }
+    }
+  }
+
+  test("JPEG: 3-component 4:4:4 decode applies the JFIF YCbCr->RGB conversion") {
+    import graft.multimodal.Jpeg
+    // neutral chroma (128) must decode to pure gray = Y in all channels
+    val gray = Jpeg.decodeJpeg(Jpeg.encodeJpegColor(10, 6,
+      (bx, by) => 40 + 16 * bx + 8 * by, (_, _) => 128, (_, _) => 128)).get
+    assert(gray.nComponents == 3)
+    for (y <- 0 until 6; x <- 0 until 10) {
+      val v = 40 + 16 * (x / 8) + 8 * (y / 8)
+      assert(gray.pixels(y * 10 + x) == ((v << 16) | (v << 8) | v),
+        s"($x,$y): ${gray.pixels(y * 10 + x).toHexString}")
+    }
+    // a non-neutral chroma block: verify against the reference formula
+    val c = Jpeg.decodeJpeg(Jpeg.encodeJpegColor(4, 4,
+      (_, _) => 100, (_, _) => 90, (_, _) => 170)).get
+    def clamp(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+    val expect = (clamp(100 + 1.402 * 42) << 16) |
+      (clamp(100 - 0.344136 * -38 - 0.714136 * 42) << 8) | clamp(100 + 1.772 * -38)
+    assert(c.pixels.forall(_ == expect),
+      s"${c.pixels(0).toHexString} != ${expect.toHexString}")
+  }
+
+  test("JPEG: corrupt and unsupported payloads decode to None, never throw") {
+    import graft.multimodal.Jpeg
+    val good = Jpeg.encodeJpegGray(16, 16, 5L)
+    assert(Jpeg.decodeJpeg(good.take(good.length / 2)).isEmpty) // truncated
+    assert(Jpeg.decodeJpeg(Array[Byte](1, 2, 3)).isEmpty)       // not a JPEG
+    val progressive = good.clone() // flip SOF0 -> SOF2 marker
+    val sofAt = (0 until progressive.length - 1).find(i =>
+      (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeJpeg(progressive).isEmpty)
+    assert(graft.multimodal.Codecs.sniff(good).contains("jpeg"))
+  }
+
   test("nnDescent plan: keyed joins only — no cartesian, no nested loops") {
     val emb = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
     // checkpointEvery = 0 keeps init + the round in ONE inspectable plan
