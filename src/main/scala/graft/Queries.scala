@@ -10023,7 +10023,41 @@ object Queries {
              |SELECT d.doc_id AS asset_id, 'jpeg' AS codec, w AS width,
              |  h AS height, 1::BIGINT AS n_components, ps.pixel_sum
              |FROM dims d JOIN ps USING (doc_id)
-             |ORDER BY asset_id""".stripMargin)))
+             |ORDER BY asset_id""".stripMargin)),
+
+    // Hilbert-curve clustered rewrite (Layout.hilbertWrite) — the q79
+    // z-order twin with strictly better locality at the same bit budget
+    // (no Morton seams: consecutive curve positions are always grid
+    // neighbors, so per-file min/max spans are tighter on both columns —
+    // measured against zorderWrite on the same harness in Round11Spec).
+    // The oracle is content equivalence through a 2-D box predicate: the
+    // rewrite must lose/duplicate nothing whatever the layout. The curve
+    // key is one codegen'd HilbertKey2 per row (an unrolled relational
+    // formulation would double the expression tree per bit level); same
+    // one-shuffle write shape as q79.
+    "q287_hilbert_layout" -> Q(
+      (s, d) => {
+        val base = scratchDir("graft_hilbert_query")
+        graft.operators.Layout.hilbertWrite(
+          t(s, d, "orders"), "o_custkey", "o_orderdate", s"$base/out",
+          numFiles = 8)
+        s.read.parquet(s"$base/out")
+          .filter(col("o_custkey").between(200, 900) &&
+            col("o_orderdate") >= lit("1993-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1994-07-01").cast("timestamp"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            usum(col("o_totalprice")).as("total_price_micros"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      },
+      Some("""SELECT count(*) AS n_orders,
+             |  sum(floor(o_totalprice*1e6)::BIGINT)::BIGINT AS total_price_micros,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_custkey BETWEEN 200 AND 900
+             |  AND o_orderdate >= TIMESTAMP '1993-01-01'
+             |  AND o_orderdate < TIMESTAMP '1994-07-01'""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

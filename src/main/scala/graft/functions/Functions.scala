@@ -87,6 +87,11 @@ object Functions {
   def l2Dist2(a: Column, b: Column): Column =
     column(L2Dist2(expression(a), expression(b)))
 
+  /** 2-D Hilbert-curve index of two normalized BIGINT keys (each in
+    * [0, 2^bits)) — see [[HilbertKey2]]. */
+  def hilbertKey2(a: Column, b: Column, bits: Int): Column =
+    column(HilbertKey2(expression(a), expression(b), bits))
+
   /** Deterministic 60-bit non-negative hash of a string: first 15 hex chars
     * of md5, as a BIGINT. Portable across engines (md5 is standard), which
     * makes MinHash/SimHash signatures oracle-checkable. Evaluated by the

@@ -119,4 +119,33 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Hilbert-curve clustered rewrite on two integer-valued columns — the
+    * [[zorderWrite]] twin at the same bit budget with strictly better
+    * locality: the Hilbert curve has no Morton seams (consecutive curve
+    * positions are ALWAYS grid neighbors), so each contiguous key range —
+    * hence each output file — covers a tighter (a, b) rectangle and
+    * min/max stats prune harder on both dimensions (Round11Spec measures
+    * both layouts on the same harness). Same one-shuffle shape:
+    * normalize from observed bounds, one codegen'd
+    * [[graft.functions.HilbertKey2]] per row, range-partition + sort
+    * within by the curve key; driver traffic is the 4-long bounds row. */
+  def hilbertWrite(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      outDir: String,
+      numFiles: Int,
+      bits: Int = 16): Unit = {
+    val (la, lb) = (asLong(df, colA), asLong(df, colB))
+    val r = df.agg(min(la), max(la), min(lb), max(lb)).head()
+    val h = graft.functions.Functions.hilbertKey2(
+      normalize(la, r.getLong(0), r.getLong(1), bits),
+      normalize(lb, r.getLong(2), r.getLong(3), bits), bits)
+    df.withColumn("_hkey", h)
+      .repartitionByRange(numFiles, col("_hkey"))
+      .sortWithinPartitions(col("_hkey"))
+      .drop("_hkey")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -223,6 +223,79 @@ class Round11Spec extends AnyFunSuite {
     assert(graft.multimodal.Codecs.sniff(good).contains("jpeg"))
   }
 
+  test("hilbertKey2 matches the reference xy2d algorithm and is adjacent-stepped") {
+    import graft.operators.Layout
+    // reference implementation (classic xy2d with rotation)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      val n = 1L << bits
+      var s = n >> 1
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)) ++
+      Seq.fill(200)((scala.util.Random.nextInt(65536).toLong,
+        scala.util.Random.nextInt(65536).toLong))
+    val exhaustive = pts.take(1024).toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.Functions.hilbertKey2(col("x"), col("y"), 5).as("h"))
+      .collect()
+    exhaustive.foreach(r => assert(r.getLong(2) == xy2d(5, r.getLong(0), r.getLong(1)),
+      s"(${r.getLong(0)},${r.getLong(1)}): ${r.getLong(2)} != ${xy2d(5, r.getLong(0), r.getLong(1))}"))
+    val rnd = pts.drop(1024).toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.Functions.hilbertKey2(col("x"), col("y"), 16).as("h"))
+      .collect()
+    rnd.foreach(r => assert(r.getLong(2) == xy2d(16, r.getLong(0), r.getLong(1))))
+    // the defining locality property Morton lacks: consecutive curve
+    // positions are ALWAYS grid neighbors (|dx| + |dy| = 1)
+    val byD = exhaustive.map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    for (Array((d1, (x1, y1)), (d2, (x2, y2))) <- byD.sliding(2).map(_.toArray)) {
+      assert(d2 == d1 + 1 && math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"curve step $d1->$d2 not adjacent: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbert layout: per-file spans beat z-order on the same harness") {
+    import graft.operators.Layout
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Engine.table(spark, sf, "orders")
+    val base = java.nio.file.Files.createTempDirectory("graft_hilbert_spec").toString
+    Layout.hilbertWrite(orders, "o_custkey", "o_orderdate", s"$base/h", numFiles = 8)
+    Layout.zorderWrite(orders, "o_custkey", "o_orderdate", s"$base/z", numFiles = 8)
+    def spans(dir: String): (Double, Double) = {
+      val df = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), $"o_custkey",
+          unix_micros($"o_orderdate".cast("timestamp")).as("d"))
+      val g = df.agg(
+        (max($"o_custkey") - min($"o_custkey")).cast("double").as("ck"),
+        (max($"d") - min($"d")).cast("double").as("dd")).head()
+      val per = df.groupBy($"f").agg(
+        (max($"o_custkey") - min($"o_custkey")).cast("double").as("ck"),
+        (max($"d") - min($"d")).cast("double").as("dd"))
+        .agg(avg($"ck"), avg($"dd")).head()
+      (per.getDouble(0) / g.getDouble(0), per.getDouble(1) / g.getDouble(1))
+    }
+    val (hck, hdd) = spans(s"$base/h")
+    val (zck, zdd) = spans(s"$base/z")
+    // both bounded on both dimensions; Hilbert's SUM of normalized spans
+    // must not exceed z-order's (the locality win; per-dimension splits
+    // can trade off, the total must not)
+    assert(hck < 0.7 && hdd < 0.7, s"hilbert spans too wide: $hck / $hdd")
+    assert(hck + hdd <= zck + zdd + 1e-9,
+      s"hilbert ($hck + $hdd) did not beat z-order ($zck + $zdd)")
+  }
+
   test("nnDescent plan: keyed joins only — no cartesian, no nested loops") {
     val emb = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
     // checkpointEvery = 0 keeps init + the round in ONE inspectable plan
