@@ -9680,6 +9680,46 @@ object Queries {
        |  WHERE rn = 1)$m""".stripMargin
   }
 
+  /** Shared oracle prefix of q282/q288: milli-quantized vectors, the
+    * two-hash-system bucketed init, and `rounds` unrolled NN-Descent
+    * rounds ending at `nn<rounds>` — the k-NN GRAPH both entries build. */
+  private def nnGraphOracleCtes(k: Int, rounds: Int): String =
+    s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+       |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+       |  FROM embeddings),
+       |ib AS (SELECT DISTINCT a.id, b.id AS nbr,
+       |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
+       |      for j in range(1,65)])::BIGINT AS d2
+       |  FROM v a JOIN v b ON a.id <> b.id AND (
+       |    ((a.id * 2654435761) >> 16) % 16 = ((b.id * 2654435761) >> 16) % 16
+       |    OR ((a.id * 2246822519) >> 16) % 16 = ((b.id * 2246822519) >> 16) % 16)),
+       |nn0 AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn FROM ib)
+       |  WHERE rn <= $k),
+       |${(1 to rounds).map(nnDescentRoundSql(_, k)).mkString(",\n")}""".stripMargin
+
+  /** One unrolled beam-search round for the q288 oracle: expand the
+    * beam's undirected graph neighbors (`gse`), rescore exactly against
+    * the query vector, keep the best `beam` per query over old ∪ new —
+    * the statements [[graft.operators.Similarity.graphSearchTopK]]
+    * executes. */
+  private def graphSearchRoundSql(r: Int, beam: Int): String =
+    s"""gcd$r AS (SELECT DISTINCT b.q_id, g.nbr AS n_id
+       |  FROM gb${r - 1} b JOIN gse g ON b.n_id = g.id),
+       |gsc$r AS (SELECT c.q_id, c.n_id,
+       |    list_sum([(x.iv[j]-y.iv[j])*(x.iv[j]-y.iv[j])
+       |      for j in range(1,65)])::BIGINT AS d2
+       |  FROM gcd$r c JOIN v x ON x.id = c.q_id JOIN v y ON y.id = c.n_id
+       |  WHERE c.q_id <> c.n_id),
+       |gb$r AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |    FROM (SELECT DISTINCT q_id, n_id, d2 FROM (
+       |      SELECT q_id, n_id, d2 FROM gb${r - 1}
+       |      UNION ALL SELECT q_id, n_id, d2 FROM gsc$r)))
+       |  WHERE rn <= $beam)""".stripMargin
+
   /** Round-11 surface: the graph-based ANN shape (NN-Descent k-NN-graph
     * construction) completing the similarity pillar. */
   private val roundElevenSurface: Seq[(String, Q)] = Seq(
@@ -9707,23 +9747,7 @@ object Queries {
             k = 15)
           .orderBy(col("q_id"))
       },
-      Some(s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
-              |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
-              |  FROM embeddings),
-              |ib AS (SELECT DISTINCT a.id, b.id AS nbr,
-              |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
-              |      for j in range(1,65)])::BIGINT AS d2
-              |  FROM v a JOIN v b ON a.id <> b.id AND (
-              |    ((a.id * 2654435761) >> 16) % 16 = ((b.id * 2654435761) >> 16) % 16
-              |    OR ((a.id * 2246822519) >> 16) % 16 = ((b.id * 2246822519) >> 16) % 16)),
-              |nn0 AS MATERIALIZED (SELECT id, nbr, d2 FROM (
-              |    SELECT id, nbr, d2, row_number() OVER (
-              |      PARTITION BY id ORDER BY d2, nbr) AS rn FROM ib)
-              |  WHERE rn <= 15),
-              |${nnDescentRoundSql(1, 15)},
-              |${nnDescentRoundSql(2, 15)},
-              |${nnDescentRoundSql(3, 15)},
-              |${nnDescentRoundSql(4, 15)},
+      Some(s"""${nnGraphOracleCtes(15, 4)},
               |ed AS (SELECT a.id AS q_id, b.id AS n_id,
               |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
               |      for j in range(1,65)])::BIGINT AS d2
@@ -10024,6 +10048,80 @@ object Queries {
              |  h AS height, 1::BIGINT AS n_components, ps.pixel_sum
              |FROM dims d JOIN ps USING (doc_id)
              |ORDER BY asset_id""".stripMargin)),
+
+    // graph-ANN QUERY path (Similarity.graphSearchTopK): deterministic
+    // beam search over the q282 NN-Descent graph — the greedy search
+    // HNSW/NSG run, flattened to fixed synchronous rounds. Start at 4
+    // designated entry points (the q276 designated-centroid
+    // discipline), expand undirected neighbors each round, rescore with
+    // exact integer d2, keep beam=12 per query; recall@5-gated against
+    // exact L2 with the q96 harness — build (q282) + search (q288)
+    // complete the production vector-search story. The oracle shares
+    // the unrolled NN-Descent chain and unrolls the 3 search rounds.
+    // Scale: the beam table is |queries|·beam rows; per round one keyed
+    // edge join + one keyed vector join + one per-query window —
+    // nothing corpus-sized, which is what the graph build buys. Bench
+    // cost note: the entry is self-contained, so its timing is
+    // dominated by REBUILDING the q282 graph (~3/4 of the wall); the
+    // search rounds themselves are the small remainder, and in
+    // production the graph is built once and amortized over queries.
+    "q288_graph_ann_search" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val g = Similarity.nnDescent(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, checkpointEvery = 1)
+        Similarity.recallAtK(
+            Similarity.graphSearchTopK(g, emb, queries, "vec_id", "embedding",
+              entryIds = 0L until 4L, beam = 12, rounds = 3, k = 5),
+            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5),
+            k = 5)
+          .orderBy(col("q_id"))
+      },
+      Some(s"""${nnGraphOracleCtes(15, 4)},
+              |gse AS MATERIALIZED (SELECT id, nbr FROM nn4
+              |  UNION SELECT nbr AS id, id AS nbr FROM nn4),
+              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |          for j in range(1,65)])::BIGINT AS d2
+              |      FROM v q JOIN v c ON c.id IN (0, 1, 2, 3) AND c.id <> q.id
+              |      WHERE q.id < 10))
+              |  WHERE rn <= 12),
+              |${graphSearchRoundSql(1, 12)},
+              |${graphSearchRoundSql(2, 12)},
+              |${graphSearchRoundSql(3, 12)},
+              |res AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM gb3)
+              |  WHERE rank <= 5),
+              |ed AS (SELECT a.id AS q_id, b.id AS n_id,
+              |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
+              |      for j in range(1,65)])::BIGINT AS d2
+              |  FROM v a JOIN v b ON a.id < 10 AND a.id <> b.id),
+              |ex AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+              |  WHERE rank <= 5),
+              |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+              |  FROM ex JOIN res ON ex.q_id = res.q_id AND ex.n_id = res.n_id
+              |  GROUP BY ex.q_id)
+              |SELECT q.q_id, 5::BIGINT AS k,
+              |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+              |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
+              |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+              |ORDER BY q_id""".stripMargin),
+      // production path: graph build + beam search, no exact ground truth
+      benchFn = Some((s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.graphSearchTopK(
+          Similarity.nnDescent(emb, "vec_id", "embedding",
+            k = 15, rounds = 4, initBuckets = 16, checkpointEvery = 1),
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          entryIds = 0L until 4L, beam = 12, rounds = 3, k = 5)
+      })),
 
     // Hilbert-curve clustered rewrite (Layout.hilbertWrite) — the q79
     // z-order twin with strictly better locality at the same bit budget

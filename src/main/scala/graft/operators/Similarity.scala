@@ -1273,4 +1273,61 @@ object Similarity {
     topK(nn).select(
       col("id").as("q_id"), col("nbr").as("n_id"), col("d2"), col("rank"))
   }
+
+  /** Deterministic beam search over a k-NN graph — the QUERY path of
+    * graph-based ANN (the greedy search HNSW/NSG run, flattened to
+    * fixed synchronous rounds so it is relationally unrollable): start
+    * every query at the designated `entryIds`, then each round expands
+    * the beam's UNDIRECTED graph neighbors, rescores exactly (integer
+    * d2 via [[graft.functions.L2Dist2]]), and keeps the best `beam`
+    * per query by (d2, id). The beam's d2 multiset weakly improves per
+    * round (the current beam is always in the union — the
+    * [[nnDescent]] invariant, spec-locked). Returns the final beam's
+    * top-k in the [[recallAtK]] `approx` shape.
+    *
+    * Scale shape: the beam table is |queries|·beam rows; each round is
+    * one keyed join against the (broadcast-or-shuffled) edge list, one
+    * keyed join against the corpus vectors, one per-query window —
+    * nothing corpus-sized beyond the keyed vector lookups, which is
+    * exactly why production vector search pays for a graph build. */
+  def graphSearchTopK(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      entryIds: Seq[Long],
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && beam >= k && rounds >= 0 && entryIds.nonEmpty)
+    val iv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val v = corpus.select(col(idCol).as("n_id"), iv.as("niv"))
+    val q = queries.select(col(idCol).as("q_id"), iv.as("qiv"))
+    // undirected closure: k-NN edges are directed; search wants both
+    val g = graph.select(col("q_id").as("node"), col("n_id").as("nbr"))
+      .unionByName(graph.select(col("n_id").as("node"), col("q_id").as("nbr")))
+      .distinct().localCheckpoint()
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, "n_id").join(broadcast(q), "q_id")
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), l2Dist2(col("qiv"), col("niv")).as("d2"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
+    def keep(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= n)
+    var b = keep(score(
+      q.select(col("q_id"))
+        .withColumn("n_id", explode(array(entryIds.map(lit): _*)))), beam)
+      .drop("rank")
+    for (r <- 1 to rounds) {
+      val cand = b.select(col("q_id"), col("n_id").as("node"))
+        .join(g, "node")
+        .select(col("q_id"), col("nbr").as("n_id")).distinct()
+      b = keep(score(cand).unionByName(b).distinct(), beam).drop("rank")
+      if (r < rounds) b = b.localCheckpoint() // beam-sized; truncates the
+      // per-round window/join lineage exactly like nnDescent's rounds
+    }
+    keep(b, k)
+  }
 }

@@ -86,7 +86,18 @@ object ScaleProbe {
     // round-10: Louvain — per round three keyed shuffles over the
     // replica-disjoint co-occurrence graph (same cost class as the
     // probed q255 LPA, plus the Σtot community aggregate)
-    "q278_louvain_communities")
+    "q278_louvain_communities",
+    // round-11: Leiden = the probed Louvain shape twice (phase-1 rounds
+    // + the intra-edge-restricted refinement rounds) plus one two-sided
+    // keyed join building the intra subset — growth should track q278
+    "q283_leiden_refine",
+    // round-11: theta set sketches — one distinct-aggregate + global
+    // top-k per dataset over the replica-disjoint shingle space; set
+    // ops are k-row; growth should track the shingle scan
+    "q285_theta_set_sketches",
+    // round-11: JPEG encode+decode — embarrassingly parallel
+    // mapPartitions per asset, no shuffle; growth should track rows
+    "q286_jpeg_decode")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -165,7 +176,15 @@ object ScaleProbe {
     "q280_modularity" ->
       "dominated by the q278 Louvain labeling it scores, which IS probed; the modularity epilogue adds two keyed label joins with community-sized output",
     "q281_louvain_two_level" ->
-      "level-1 rounds are q278's probed shape on the identical graph; the contraction and level-2 rounds run on the SHRUNKEN super-graph (~758 communities at sf0.1) — each further level costs less than the probed level, not more")
+      "level-1 rounds are q278's probed shape on the identical graph; the contraction and level-2 rounds run on the SHRUNKEN super-graph (~758 communities at sf0.1) — each further level costs less than the probed level, not more",
+    "q282_nn_descent_recall" ->
+      "initBuckets is a data-proportional knob (operator contract: ~n/64) fixed at 16 in the entry for oracle determinism, so a 10x corpus grows each init bucket 10x and the init all-pairs volume ~10x^2 — a knob artifact, not operator growth; the knob-scaled probe q282_nn_descent_knob_scaled times the operator as production would run it (initBuckets prop n), and the per-round candidate volume n*(2k)^2 is corpus-linear by construction",
+    "q284_unigram_lm_encode" ->
+      "the replica token prefix lengthens words past the entry's squarings=3 position-lattice bound (<= 8 chars), silently changing the measured workload; the knob-scaled probe q284_unigram_squarings4 times the operator with squarings=4 (<= 16 chars) at BOTH scales so the workloads match — EM rounds are distinct-words-sized, the corpus-sized piece is the shared word-frequency scan (q241's probed shape)",
+    "q287_hilbert_layout" ->
+      "a layout REWRITE: write volume equals input rows at any SF (q273/q275's class, measured at full scale by the CTAS baseline); the curve key is one codegen'd expression per row riding the scan",
+    "q288_graph_ann_search" ->
+      "dominated by rebuilding the q282 graph, whose scale behavior IS probed (q282_nn_descent_knob_scaled); the search rounds themselves are |queries|*beam-row joins + per-query windows — independent of corpus size beyond keyed vector lookups by construction")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain
@@ -228,12 +247,38 @@ object ScaleProbe {
     }
   }
 
+  /** Knob-scaled probes: operators whose CATALOG entries fix a
+    * data-proportional knob for oracle determinism are additionally
+    * timed here with the knob scaled the way production would scale it
+    * — the probe fn receives the replication factor (1 at base). Their
+    * fixed-knob entries are `excluded` with per-entry rationale. */
+  private val customProbes: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
+    // NN-Descent with initBuckets ∝ n (contract: ~n/64): init stays
+    // bucket-size-bounded, rounds are n·(2k)² keyed volume — linear
+    ("q282_nn_descent_knob_scaled", (s, dir, f) =>
+      graft.operators.Similarity.nnDescent(
+        graft.core.Engine.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 15, rounds = 4, initBuckets = 16 * f, checkpointEvery = 1)),
+    // unigram-LM with squarings=4 so base and replica-prefixed words
+    // (<= 16 chars) run the SAME lattice workload at both scales
+    ("q284_unigram_squarings4", (s, dir, _) =>
+      graft.operators.TextAnalysis.unigramEncodeStats(
+        graft.core.Engine.table(s, dir, "documents"), "doc_id", "text",
+        maxGram = 4, seedTopK = 60, vocabTarget = 40, emRounds = 2,
+        squarings = 4)))
+
   private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
     val q = graft.Queries.all.toMap.apply(name)
+    timeFn(spark, name, dir,
+      (s, d) => q.benchFn.getOrElse(q.fn)(s, d))
+  }
+
+  private def timeFn(
+      spark: SparkSession, name: String, dir: String,
+      fn: (SparkSession, String) => DataFrame): Double = {
     val t0 = System.nanoTime()
     try {
-      q.benchFn.getOrElse(q.fn)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     } catch {
       case e: Throwable =>
@@ -305,13 +350,13 @@ object ScaleProbe {
       true
     }
 
+    def ratioOf(num: Double, den: Double): Double =
+      if (den > 0 && num > 0) BigDecimal(num / den)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else -1.0
     val rows = probeEntries.map { n =>
       val tb = best(n, baseDir)
       val ts = best(n, outDir)
-      def ratioOf(num: Double, den: Double): Double =
-        if (den > 0 && num > 0) BigDecimal(num / den)
-          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-        else -1.0
       val ratio = ratioOf(ts, tb)
       System.err.println(f"[scale] $n%-28s base=$tb%8.2fs x$factor=$ts%8.2fs ratio=$ratio")
       val second =
@@ -336,9 +381,24 @@ object ScaleProbe {
         } else ""
       s""""$n":{"t_base":${f"$tb%.3f"},"t_x$factor":${f"$ts%.3f"},"ratio":$ratio$second}"""
     }
+    val customRows = customProbes.map { case (n, fn) =>
+      def bestC(dir: String, f: Int): Double = {
+        val ts = (1 to runs)
+          .map(_ => timeFn(spark, n, dir, (s, d) => fn(s, d, f)))
+          .filter(_ >= 0)
+        if (ts.isEmpty) -1.0 else ts.min
+      }
+      val tb = bestC(baseDir, 1)
+      val ts = bestC(outDir, factor)
+      val ratio = ratioOf(ts, tb)
+      System.err.println(
+        f"[scale] $n%-28s base=$tb%8.2fs x$factor=$ts%8.2fs ratio=$ratio (knob-scaled)")
+      s""""$n":{"t_base":${f"$tb%.3f"},"t_x$factor":${f"$ts%.3f"},"ratio":$ratio,"knob_scaled":true}"""
+    }
+    val allRows = rows ++ customRows
     val excl = excluded.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
     val json =
-      s"""{"factor":$factor,"base":"$baseDir","runs":$runs,"entries":${rows.mkString("{", ",", "}")},"excluded":{$excl}}"""
+      s"""{"factor":$factor,"base":"$baseDir","runs":$runs,"entries":${allRows.mkString("{", ",", "}")},"excluded":{$excl}}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/BENCH_SCALE.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path),

@@ -296,6 +296,35 @@ class Round11Spec extends AnyFunSuite {
       s"hilbert ($hck + $hdd) did not beat z-order ($zck + $zdd)")
   }
 
+  test("graphSearchTopK: beam Σd2 monotone per round; wide beam on a good graph is exact") {
+    val df = randomVecs(60, 4, seed = 23)
+    val queries = df.filter(col("vec_id") < 6)
+    val g = Similarity.nnDescent(df, "vec_id", "embedding",
+      k = 8, rounds = 5, initBuckets = 6, checkpointEvery = 1)
+    // per-RANK monotonicity (the beam FILLS UP in early rounds — a
+    // larger beam's d2 SUM can grow while every rank strictly improves)
+    def beamRanks(rounds: Int, beam: Int): Map[(Long, Int), Long] =
+      Similarity.graphSearchTopK(g, df, queries, "vec_id", "embedding",
+          entryIds = Seq(0L, 1L), beam = beam, rounds = rounds, k = beam)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(2)).toMap
+    val byRound = (0 to 3).map(beamRanks(_, 6))
+    for (r <- 1 to 3; (key, d2prev) <- byRound(r - 1)) {
+      val d2now = byRound(r).getOrElse(key,
+        fail(s"round $r lost rank $key"))
+      assert(d2now <= d2prev,
+        s"round $r worsened $key: $d2prev -> $d2now")
+    }
+    // a wide beam over a near-exact graph converges to the exact top-k
+    val got = Similarity.graphSearchTopK(g, df, queries, "vec_id", "embedding",
+        entryIds = Seq(0L, 1L), beam = 20, rounds = 6, k = 5)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.l2TopK(df, queries, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+  }
+
   test("nnDescent plan: keyed joins only — no cartesian, no nested loops") {
     val emb = graft.core.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
     // checkpointEvery = 0 keeps init + the round in ONE inspectable plan
