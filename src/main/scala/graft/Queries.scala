@@ -10123,6 +10123,67 @@ object Queries {
           entryIds = 0L until 4L, beam = 12, rounds = 3, k = 5)
       })),
 
+    // FULL multi-level Leiden (Traag et al. 2019): phase-1 Louvain →
+    // refinement from singletons (q283) → contraction on the REFINED
+    // partition → weighted rounds on the super-graph → map back. The
+    // difference from q281's Louvain pipeline is exactly Leiden's key
+    // move: contracting on the refined partition keeps a badly-connected
+    // community's parts as SEPARATE super-nodes, so later levels can
+    // keep them apart (q281 contracts on the coarse partition and
+    // freezes the defect — Round11Spec contrasts the two pipelines on a
+    // bridge graph end-to-end). Same all-integer gains and unrolled
+    // oracle CTEs; contraction preserves strengths/2m exactly, so the
+    // level-2 rounds continue the same modularity objective. Scale:
+    // each stage is a probed shape (q278 rounds, q283 refinement), and
+    // the contracted level shrinks — deeper levels cost less.
+    "q289_leiden_two_level" -> Q(
+      (s, d) => {
+        val edges = operators.Graph.coOccurrenceEdges(
+          t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0),
+          "l_orderkey", "l_partkey").localCheckpoint()
+        val w2m = Some(edges.count())
+        val l1 = operators.Graph.louvainRounds(edges, rounds = 2, w2mKnown = w2m)
+          .localCheckpoint()
+        val refined = operators.Graph.leidenRefine(edges, l1, rounds = 2,
+          w2mKnown = w2m).localCheckpoint()
+        val lv2 = operators.Graph.louvainRoundsWeighted(
+          operators.Graph.contractCommunities(edges, refined),
+          rounds = 2, w2mKnown = w2m)
+        refined.select(col("node"), col("community").as("c1"))
+          .join(lv2.select(col("node").as("c1"), col("community")), "c1")
+          .select(col("node"), col("community"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val zsteps = (1 to 2).map(r =>
+          louvainRoundSql(r, p = "z", lbl = i => s"z$i",
+            eTbl = "ei", degTbl = "deg", mTbl = "m",
+            wAgg = "count(*)::BIGINT", skipSelfLoops = false)).mkString(",\n")
+        val wsteps = (1 to 2).map(r =>
+          louvainRoundSql(r, p = "y", lbl = i => s"y$i",
+            eTbl = "se", degTbl = "sdeg", mTbl = "sm",
+            wAgg = "sum(se.w)::BIGINT", skipSelfLoops = true)).mkString(",\n")
+        s"""${louvainOracleCtes(2)},
+           |ei AS MATERIALIZED (SELECT e.src, e.dst FROM e
+           |  JOIN l2 a ON e.src = a.node
+           |  JOIN l2 b ON e.dst = b.node AND a.label = b.label),
+           |z0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
+           |$zsteps,
+           |se AS MATERIALIZED (SELECT a.label AS src, b.label AS dst,
+           |    count(*)::BIGINT AS w
+           |  FROM e JOIN z2 a ON e.src = a.node
+           |    JOIN z2 b ON e.dst = b.node
+           |  GROUP BY 1, 2),
+           |sdeg AS MATERIALIZED (SELECT src AS node, sum(w)::BIGINT AS deg
+           |  FROM se GROUP BY 1),
+           |sm AS (SELECT sum(w)::BIGINT AS w2m FROM se),
+           |y0 AS MATERIALIZED (SELECT node, node AS label FROM sdeg),
+           |$wsteps
+           |SELECT z2.node::BIGINT AS node, y2.label::BIGINT AS community
+           |FROM z2 JOIN y2 ON z2.label = y2.node
+           |ORDER BY node""".stripMargin
+      }),
+
     // Hilbert-curve clustered rewrite (Layout.hilbertWrite) — the q79
     // z-order twin with strictly better locality at the same bit budget
     // (no Morton seams: consecutive curve positions are always grid

@@ -92,6 +92,36 @@ class Round11Spec extends AnyFunSuite {
       s"a refined community crossed the phase-1 cut: $refined")
   }
 
+  test("multi-level Leiden separates what coarse-contraction Louvain froze") {
+    import graft.operators.Graph
+    // bridge graph with a frozen phase-1 (everything one community).
+    // Louvain's pipeline contracts on the COARSE partition: one
+    // super-node, nothing can ever split again. Leiden's contracts on
+    // the REFINED partition: two super-nodes joined by the 1-weight
+    // bridge, and the weighted rounds KEEP them apart (joining loses
+    // modularity: 2m·w_AB − deg_A·Σtot(B) = 42 − 441 < 0).
+    val edges = sym(clique(0L to 4L) ++ clique(5L to 9L) :+ (0L, 5L))
+    val one = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(0L).as("community"))
+    def finalCommunities(partitionIn: org.apache.spark.sql.DataFrame): Set[Set[Long]] = {
+      // truncate the composed lineage: refine -> contract -> rounds
+      // multiplies plan references across stages (the q282/q284 lesson)
+      val partition = partitionIn.localCheckpoint()
+      val lv2 = Graph.louvainRoundsWeighted(
+        Graph.contractCommunities(edges, partition).localCheckpoint(), rounds = 2)
+      partition.select(col("node"), col("community").as("c1"))
+        .join(lv2.select(col("node").as("c1"), col("community")), "c1")
+        .select(col("node"), col("community"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    }
+    val louvainStyle = finalCommunities(one)
+    val leidenStyle = finalCommunities(Graph.leidenRefine(edges, one, rounds = 3))
+    assert(louvainStyle == Set((0L to 9L).toSet), louvainStyle.toString)
+    assert(leidenStyle == Set((0L to 4L).toSet, (5L to 9L).toSet),
+      leidenStyle.toString)
+  }
+
   test("leidenRefine re-merges a well-connected community") {
     val edges = sym(clique(0L to 5L))
     val one = (0L to 5L).map(i => (i, 0L)).toDF("node", "community")
