@@ -1176,8 +1176,9 @@ object Similarity {
     *    overlapping systems make the union connected, the role random
     *    init plays in the paper). Plain integer arithmetic, portable to
     *    any SQL oracle; never a global all-pairs. Ids must stay below
-    *    2^47 so id·m_t cannot wrap (any larger id space should pre-hash
-    *    ids down first);
+    *    2^63 / 2654435761 ≈ 3.4·10^9 so id·m_t cannot overflow — Spark
+    *    would wrap silently under ansi=false while an ANSI oracle engine
+    *    ERRORS, so a larger id space must pre-hash ids down first;
     *  - round: reverse edges capped at k per node by (d2, id) (the
     *    paper's reverse sampling, made deterministic), the general graph
     *    g = nn ∪ rev, the LOCAL JOIN g ⋈_mid g proposing every
