@@ -9902,8 +9902,11 @@ object Queries {
     // pins per op: sample size, theta cut, the KMV estimate (one exact
     // double product + divide + floor — IEEE-identical cross-engine),
     // the exact count (verification side), and the standard theta error
-    // predicate |est − exact| ≤ 3·RSE(k)·|A∪B| with 3/sqrt(62) floored
-    // to 380980 ppm. benchFn times the sketch path alone. Scale: one
+    // predicate |est − exact| ≤ 3·RSE(k)·|A∪B| at 380980 ppm — the
+    // pinned literal both engines share (3/sqrt(62) = 0.381000…, so
+    // the bound is ~20 ppm STRICTER than the exact 3-RSE constant;
+    // parity is unaffected because the predicate is evaluated from the
+    // same literal on both sides). benchFn times the sketch path. One
     // distinct-aggregate + global top-k per dataset (k rows per
     // partition cross the wire); every set op then runs on ≤ k-row
     // samples, and union is EXACT KMV composition — mergeable across
@@ -10218,11 +10221,88 @@ object Queries {
              |  AND o_orderdate >= TIMESTAMP '1993-01-01'
              |  AND o_orderdate < TIMESTAMP '1994-07-01'""".stripMargin)))
 
+  /** Round-12 surface: the persisted/served graph-ANN index story, the
+    * Theta family's grouped + streaming forms, 4:2:0 JPEG, soft-EM
+    * unigram training. */
+  private val roundTwelveSurface: Seq[(String, Q)] = Seq(
+    // grouped Theta/KMV sketches (ThetaSketch.sketchBy): per-source
+    // k-smallest distinct-hash samples + KMV estimates — the grouped
+    // form completing the family matrix (MG q272, HLL q257, KLL q279;
+    // Theta was batch-only q285). The per-source samples are
+    // deterministic functions of each source's distinct shingle set, so
+    // the oracle restates them exactly. Scale: one distinct-aggregate +
+    // one per-group window — k rows per group cross the wire; any two
+    // sources' overlap question then costs ≤ k-row set algebra.
+    "q293_theta_by_source" -> Q(
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("source"), explode(F.wordShingles(col("text"), 3)).as("g"))
+        operators.ThetaSketch.estimateRowsBy(
+            operators.ThetaSketch.sketchBy(g, col("source"), col("g"), 64), 64)
+          .select(col("g").as("source"), col("n_sample"), col("theta"), col("est"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+             |shg AS (SELECT source, CASE WHEN len(t) >= 3
+             |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+             |    ELSE []::VARCHAR[] END AS sg FROM toks),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x'||substr(md5(g),1,15))::BIGINT AS h
+             |  FROM (SELECT source, unnest(sg) AS g FROM shg)),
+             |sk AS (SELECT source, h FROM (
+             |    SELECT source, h, row_number() OVER (
+             |      PARTITION BY source ORDER BY h) AS rn FROM h)
+             |  WHERE rn <= 64),
+             |agg AS (SELECT source, count(*)::BIGINT AS n_sample,
+             |    max(h) AS hmax FROM sk GROUP BY source)
+             |SELECT source, n_sample,
+             |  CASE WHEN n_sample >= 64 THEN hmax
+             |    ELSE 1152921504606846976 END AS theta,
+             |  CASE WHEN n_sample < 64 THEN n_sample
+             |    ELSE floor(63::DOUBLE * 1152921504606846976::DOUBLE
+             |      / hmax::DOUBLE)::BIGINT END AS est
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // streaming Theta/KMV store (DocStreams.startTheta): per-batch KMV
+    // samples union-merged into a parquet store by EXACT KMV composition
+    // — the drained store must equal the batch sketch of the whole
+    // corpus bit-identically (union exactness is the family's own
+    // tested property), and min-k over a distinct union is idempotent,
+    // so the sketch is correct under at-least-once delivery like the
+    // HLL store (q259) and unlike the linear CMS add (q97). The oracle
+    // is the batch KMV statement itself.
+    "q294_streaming_theta" -> Q(
+      (s, d) => {
+        val dir = java.nio.file.Paths.get(scratchDir("graft_q294_docs"))
+        java.nio.file.Files.createDirectories(dir)
+        val link = dir.resolve("docs.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$d/documents.parquet"))
+        // fresh per-run store (the sample itself would survive a reuse —
+        // min-k is idempotent — but a fresh dir keeps runs independent)
+        val base = java.nio.file.Files.createTempDirectory("graft_q294").toString
+        val q = graft.streaming.DocStreams.startTheta(
+          graft.streaming.DocStreams.readStream(s, dir.toString),
+          s"$base/store", s"$base/ckpt", k = 64)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/store/current").orderBy(col("h"))
+      },
+      Some("""WITH toks AS (SELECT string_split(trim(text), ' ') AS t
+             |  FROM documents),
+             |shg AS (SELECT CASE WHEN len(t) >= 3
+             |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+             |    ELSE []::VARCHAR[] END AS sg FROM toks),
+             |h AS (SELECT DISTINCT ('0x'||substr(md5(g),1,15))::BIGINT AS h
+             |  FROM (SELECT unnest(sg) AS g FROM shg))
+             |SELECT h FROM h ORDER BY h LIMIT 64""".stripMargin)))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
       roundFiveSurface ++ roundSixSurface ++ roundEightSurface ++
-      roundTenSurface ++ roundElevenSurface
+      roundTenSurface ++ roundElevenSurface ++ roundTwelveSurface
 }

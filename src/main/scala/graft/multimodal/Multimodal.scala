@@ -215,6 +215,10 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).mapPartitions { rows =>
       rows.map { r =>
         val i = r.getLong(0)
+        // sign-preserving % on a negative id would yield nonpositive dims
+        // (encode require) or negative pixel values (breaking the exact
+        // round-trip + oracle) — fail loudly at the entry point instead
+        require(i >= 0, s"synthesizeJpegAssets needs non-negative ids, got $i")
         Row(i, Jpeg.encodeJpegGray((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i))
       }
     }(enc)

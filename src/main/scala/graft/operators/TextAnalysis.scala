@@ -1087,6 +1087,16 @@ object TextAnalysis {
       emRounds: Int,
       squarings: Int): (DataFrame, DataFrame) = {
     val words = wpWords(df, textCol).localCheckpoint()
+    // the DP covers paths of <= 2^squarings edges; a longer word would
+    // get NO segmentation row and silently vanish from every downstream
+    // inner join (encode stats would undercount) — fail loudly instead.
+    // One tiny agg over the already-materialized distinct-word table.
+    val maxLen = words.agg(coalesce(max(length(col("w"))), lit(0)))
+      .head().getInt(0)
+    require(maxLen <= (1 << squarings),
+      s"unigram DP covers words <= ${1 << squarings} chars " +
+        s"(squarings=$squarings) but the corpus has a $maxLen-char word; " +
+        "raise squarings or pre-clip the corpus")
     def gramsOfLen(n: Int) = words.select(
       explode(when(length(col("w")) >= n,
         transform(

@@ -45,6 +45,36 @@ object ThetaSketch {
   def sketch(df: DataFrame, value: Column, k: Int): DataFrame =
     df.select(hash64(value).as("h")).distinct().orderBy(col("h")).limit(k)
 
+  /** Per-group KMV samples — the family's grouped form (MG q272, HLL
+    * q257, KLL q279): the k smallest distinct hashes of `value` WITHIN
+    * each group, as (g, h). One distinct-aggregate + one per-group
+    * window; k rows per group survive, so downstream set algebra between
+    * any two groups runs on ≤ k-row samples exactly like the global
+    * sketches. */
+  def sketchBy(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    df.select(group.as("g"), hash64(value).as("h")).distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("g"), col("h"))
+  }
+
+  /** One row per group (g, n_sample, theta, est) — [[estimateRow]]
+    * grouped: θ = h_k when the group's sample is full (estimation cut),
+    * else 2^60 (exhaustive — est is the exact distinct count). */
+  def estimateRowsBy(sk: DataFrame, k: Int): DataFrame =
+    sk.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sample"), max(col("h")).as("hmax"))
+      .select(col("g"), col("n_sample"),
+        when(col("n_sample") >= k, col("hmax"))
+          .otherwise(lit(HashSpace)).as("theta"))
+      .select(col("g"), col("n_sample"), col("theta"),
+        when(col("n_sample") < k, col("n_sample"))
+          .otherwise(floor(
+            lit((k - 1).toDouble) * lit(HashSpace.toDouble) /
+              col("theta").cast("double")).cast("long"))
+          .as("est"))
+
   /** Exact KMV union: merge the samples, keep the k smallest. */
   def union(a: DataFrame, b: DataFrame, k: Int): DataFrame =
     a.unionByName(b).distinct().orderBy(col("h")).limit(k)

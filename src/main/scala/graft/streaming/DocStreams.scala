@@ -233,6 +233,53 @@ object DocStreams {
     swapStore(fs, sketchStoreDir, next, batchId)
   }
 
+  /** Streaming Theta/KMV maintenance — the fourth sketch-store member
+    * (CMS: linear adds; HLL: idempotent max; KLL: weighted re-ingest;
+    * Theta: idempotent k-smallest): each micro-batch's shingle KMV
+    * sample is union-merged into a parquet store by EXACT KMV
+    * composition (any of the k smallest of A∪B is in some side's k
+    * smallest — [[graft.operators.ThetaSketch.union]]), so after any
+    * number of batches the store IS the batch sketch of everything
+    * seen, bit-identically. Like HLL register max — and unlike the
+    * linear CMS add — min-k over a distinct union is idempotent and
+    * commutative, so replayed or reordered batches cannot change the
+    * sample: correct under at-least-once delivery. Store size is ≤ k
+    * rows however much data has flowed; the swap is the shared
+    * crash-safe [[recoverStore]]/`swapStore` protocol. */
+  def startTheta(
+      docs: DataFrame,
+      sketchStoreDir: String,
+      checkpointDir: String,
+      k: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeThetaBatch(batch, batchId, sketchStoreDir, k)
+      }
+      .start()
+
+  private[graft] def mergeThetaBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sketchStoreDir: String,
+      k: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = graft.operators.ThetaSketch.sketch(
+      batch.select(explode(
+        graft.functions.Functions.wordShingles(col("text"), 3)).as("g")),
+      col("g"), k)
+    val (fs, current) = recoverStore(spark, sketchStoreDir)
+    val merged =
+      if (fs.exists(current))
+        graft.operators.ThetaSketch.union(
+          spark.read.parquet(current.toString), delta, k)
+      else delta
+    val next = new org.apache.hadoop.fs.Path(s"$sketchStoreDir/next_$batchId")
+    merged.write.mode("overwrite").parquet(next.toString)
+    swapStore(fs, sketchStoreDir, next, batchId)
+  }
+
   private[graft] def mergeHllBatch(
       batch: DataFrame,
       batchId: Long,

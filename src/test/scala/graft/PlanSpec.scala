@@ -168,6 +168,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pmod"), s"local rank lost its salt bucket:\n$p")
   }
 
+  test("theta KMV cut compiles to TakeOrderedAndProject, not a global sort") {
+    // ThetaSketch.sketch spells orderBy().limit(k) and relies on the
+    // optimizer planning the adjacency as TakeOrderedAndProject (k rows
+    // per partition cross the wire) — this lock keeps a refactor from
+    // silently degrading it to a global Sort (the q256 vocab-cut lock)
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Engine.table(spark, sf, "documents")
+    val p = graft.operators.ThetaSketch.sketch(docs, col("text"), 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"KMV cut is a global sort:\n$p")
+    assert(!p.contains("Sort ["), s"KMV cut plans a Sort node:\n$p")
+    val a = graft.operators.ThetaSketch.sketch(docs, col("text"), 64)
+    val b = graft.operators.ThetaSketch.sketch(docs, col("source"), 64)
+    val pu = graft.operators.ThetaSketch.union(a, b, 64)
+      .queryExecution.executedPlan.toString
+    assert(pu.contains("TakeOrderedAndProject"), s"KMV union cut is a global sort:\n$pu")
+  }
+
   test("vocabulary is top-k (no global sort); oov join broadcasts the vocab") {
     val docs = graft.core.Engine.table(spark, sf, "documents")
     val pv = graft.operators.TextAnalysis.vocabulary(docs, "doc_id", "text", 100)
