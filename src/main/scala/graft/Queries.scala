@@ -10296,7 +10296,53 @@ object Queries {
              |    ELSE []::VARCHAR[] END AS sg FROM toks),
              |h AS (SELECT DISTINCT ('0x'||substr(md5(g),1,15))::BIGINT AS h
              |  FROM (SELECT unnest(sg) AS g FROM shg))
-             |SELECT h FROM h ORDER BY h LIMIT 64""".stripMargin)))
+             |SELECT h FROM h ORDER BY h LIMIT 64""".stripMargin)),
+
+    // 4:2:0 baseline JPEG decode (multimodal/Jpeg.scala): the dominant
+    // real-world chroma layout — q286 covered only 4:4:4, i.e. skipped
+    // most JPEGs a real corpus contains. Assets are synthesized COLOR
+    // 4:2:0 streams (luma 2×2 per-block constants, per-MCU constant
+    // chroma — both round-trip pixel-exactly; every third asset adds a
+    // DRI/RSTn restart interval, which must decode identically), and
+    // the oracle predicts the FULL decoded RGB pixel sum per pixel:
+    // chroma replication upsample, the JFIF YCbCr→RGB doubles
+    // (floor(x+0.5) == Math.round, exactly-rounded IEEE ops shared by
+    // both engines), clamp, and pack — a wrong sampling-factor parse,
+    // MCU interleave order, upsample, restart handling, or conversion
+    // constant fails the hash. Scale: same partition-preserving
+    // mapPartitions shape as q286; decode reduces to fixed-width stats.
+    "q296_jpeg_420_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeJpeg420Assets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeJpegStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 31 + 1)::BIGINT AS w,
+             |    (doc_id % 17 + 1)::BIGINT AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+             |  FROM dims, range(0, 31) xs(x), range(0, 17) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |ycc AS (SELECT doc_id,
+             |    ((doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256)::DOUBLE AS yy,
+             |    (((doc_id * 11 + (x // 16) * 17 + (y // 16) * 23) % 256) - 128)::DOUBLE AS cb,
+             |    (((doc_id * 5 + (x // 16) * 19 + (y // 16) * 31) % 256) - 128)::DOUBLE AS cr
+             |  FROM px),
+             |rgb AS (SELECT doc_id,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.402::DOUBLE * cr + 0.5)))::BIGINT AS r,
+             |    least(255, greatest(0,
+             |      floor(yy - 0.344136::DOUBLE * cb - 0.714136::DOUBLE * cr + 0.5)))::BIGINT AS g,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.772::DOUBLE * cb + 0.5)))::BIGINT AS bl
+             |  FROM ycc),
+             |ps AS (SELECT doc_id,
+             |    sum(65536 * r + 256 * g + bl)::BIGINT AS pixel_sum
+             |  FROM rgb GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'jpeg' AS codec, d.w AS width,
+             |  d.h AS height, 3::BIGINT AS n_components, ps.pixel_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

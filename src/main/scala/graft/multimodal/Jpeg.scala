@@ -4,15 +4,20 @@ package graft.multimodal
   * common real-world image container, next to the BMP/PNG/WAV/AVI codecs
   * in [[Codecs]]. No AWT/ImageIO — executor-safe byte-level code.
   *
-  * Decoder: general baseline — marker parse (APPn/COM skipped), 8-bit
-  * DQT tables, SOF0, DHT canonical Huffman table build (the spec's
-  * mincode/maxcode/valptr algorithm), SOS entropy decode with 0xFF00
-  * byte-unstuffing, DC prediction + AC run-length (EOB/ZRL), dequantize
-  * in zigzag order, double-precision reference IDCT with round + clamp +
-  * level shift, and JFIF YCbCr→RGB for 3-component scans. Supported:
-  * 1 or 3 components at 1x1 sampling (4:4:4); subsampled chroma returns
-  * None (skip, not fail — the corrupt-asset discipline of
-  * [[Multimodal.decodeMedia]]).
+  * Decoder: general baseline — marker parse (APPn/COM skipped; 0xFF
+  * fill bytes and the length-less standalone markers TEM/RST0-7 handled
+  * in the scan loop), 8-bit DQT tables, SOF0 with per-component
+  * sampling factors (4:4:4, 4:2:0, 4:2:2 — any h×v in 1..4 dividing
+  * the frame maxima; chroma upsampled by sample replication), DRI +
+  * restart-interval entropy segments (byte-align, consume RSTn, reset
+  * DC predictors), DHT canonical Huffman table build (the spec's
+  * mincode/maxcode/valptr algorithm), interleaved-MCU SOS entropy
+  * decode with 0xFF00 byte-unstuffing, DC prediction + AC run-length
+  * (EOB/ZRL), dequantize in zigzag order, double-precision reference
+  * IDCT with round + clamp + level shift, and JFIF YCbCr→RGB for
+  * 3-component scans. Progressive/arithmetic/12-bit and non-dividing
+  * sampling return None (skip, not fail — the corrupt-asset discipline
+  * of [[Multimodal.decodeMedia]]).
   *
   * Encoder: DC-only blocks (each 8×8 block a constant value) with
   * all-ones quantization and the Annex K standard Huffman tables — a
@@ -21,8 +26,10 @@ package graft.multimodal
   * is a lone DC coefficient 8·(v−128), and the reference IDCT of a lone
   * DC is DC/8 — an exact multiple of 0.125, exact in IEEE double — so
   * decode(encode(img)) == img, which is what makes a header-AND-pixel
-  * oracle possible (q286 predicts the full decoded pixel sum from id
-  * arithmetic, not just the header fields). */
+  * oracle possible (q286/q296 predict the full decoded pixel sum from
+  * id arithmetic, not just the header fields). Emits 4:4:4 or 4:2:0
+  * (luma 2×2, per-MCU constant chroma — still pixel-exact), optionally
+  * with DRI/RSTn restart intervals. */
 object Jpeg {
 
   /** Decoded image: `pixels` row-major; gray values for 1 component,
@@ -113,6 +120,13 @@ object Jpeg {
     def flushOnes(): Unit = { // pad the final byte with 1s (spec F.1.2.3)
       while (nbits != 0) put(1, 1)
     }
+    /** Byte-align (1-padding gets stuffed if it lands on 0xFF) and emit
+      * a marker. Marker 0xFF bytes are written raw — the stuffing rule
+      * applies to entropy-coded bytes only (spec B.1.1.5). */
+    def putMarker(m: Int): Unit = {
+      flushOnes()
+      out.write(0xff); out.write(m & 0xff)
+    }
     def toBytes: Array[Byte] = out.toByteArray
   }
 
@@ -121,12 +135,21 @@ object Jpeg {
   def blockValue(id: Long, bx: Int, by: Int): Int =
     ((id * 7 + bx * 13L + by * 29L) % 256).toInt
 
+  /** Per-MCU constant chroma of the 4:2:0 fixture — shared with the
+    * q296 oracle: cb = (id·11 + mx·17 + my·23) mod 256. */
+  def chromaCb(id: Long, mx: Int, my: Int): Int =
+    ((id * 11 + mx * 17L + my * 23L) % 256).toInt
+
+  /** cr = (id·5 + mx·19 + my·31) mod 256 — see [[chromaCb]]. */
+  def chromaCr(id: Long, mx: Int, my: Int): Int =
+    ((id * 5 + mx * 19L + my * 31L) % 256).toInt
+
   /** Encode a grayscale baseline JPEG whose 8×8 block (bx, by) is the
     * constant [[blockValue]](seed, bx, by); edge blocks are padded with
     * the same constant, so clipped pixels keep the block's value. */
   def encodeJpegGray(width: Int, height: Int, seed: Long): Array[Byte] =
     encodeDcOnly(width, height,
-      Seq((bx: Int, by: Int) => blockValue(seed, bx, by)))
+      Seq((bx: Int, by: Int) => blockValue(seed, bx, by)), Seq((1, 1)))
 
   /** 3-component (YCbCr 4:4:4) DC-only encode: one value function per
     * component. All components share the luminance tables (legal —
@@ -134,11 +157,46 @@ object Jpeg {
   def encodeJpegColor(
       width: Int, height: Int,
       yF: (Int, Int) => Int, cbF: (Int, Int) => Int, crF: (Int, Int) => Int): Array[Byte] =
-    encodeDcOnly(width, height, Seq(yF, cbF, crF))
+    encodeDcOnly(width, height, Seq(yF, cbF, crF), Seq((1, 1), (1, 1), (1, 1)))
 
+  /** 4:2:0 DC-only encode — the dominant real-world chroma layout: luma
+    * sampled 2×2 (each MCU is 4 Y blocks covering 16×16 pixels), chroma
+    * 1×1 (one Cb + one Cr block per MCU, upsampled 2×2 at decode).
+    * `yF(bx, by)` prices each 8×8 LUMA block; `cbF`/`crF`(mx, my) price
+    * each MCU's constant chroma — constant-per-MCU chroma replicates
+    * exactly through the 2×2 upsample, so the full color round-trip
+    * stays pixel-exact. `restartInterval` > 0 emits a DRI segment and
+    * RSTn markers every that many MCUs (DC predictors reset — the
+    * stream decodes to the identical image). */
+  def encodeJpeg420(
+      width: Int, height: Int,
+      yF: (Int, Int) => Int, cbF: (Int, Int) => Int, crF: (Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] =
+    encodeDcOnly(width, height, Seq(yF, cbF, crF),
+      Seq((2, 2), (1, 1), (1, 1)), restartInterval)
+
+  /** 4:2:2 DC-only encode (luma 2×1): the other common subsampled form;
+    * `cbF`/`crF` price each MCU column-pair's constant chroma. */
+  def encodeJpeg422(
+      width: Int, height: Int,
+      yF: (Int, Int) => Int, cbF: (Int, Int) => Int, crF: (Int, Int) => Int): Array[Byte] =
+    encodeDcOnly(width, height, Seq(yF, cbF, crF),
+      Seq((2, 1), (1, 1), (1, 1)))
+
+  /** General interleaved DC-only encode: per-component (h, v) sampling
+    * factors; each component c's block (bx, by) — in ITS OWN block grid,
+    * mcusX·h(c) × mcusY·v(c) — is the constant `comps(c)(bx, by)`.
+    * For chroma at 1×1 under luma 2×2 the grid IS the MCU grid, which
+    * is how [[encodeJpeg420]] prices per-MCU chroma. */
   private def encodeDcOnly(
-      width: Int, height: Int, comps: Seq[(Int, Int) => Int]): Array[Byte] = {
+      width: Int, height: Int,
+      comps: Seq[(Int, Int) => Int],
+      sampling: Seq[(Int, Int)],
+      restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && (comps.size == 1 || comps.size == 3))
+    require(sampling.size == comps.size &&
+      sampling.forall { case (h, v) => h >= 1 && h <= 4 && v >= 1 && v <= 4 })
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
     def m(b: Int*): Unit = b.foreach(v => out.write(v & 0xff))
     m(0xff, 0xd8) // SOI
@@ -149,37 +207,55 @@ object Jpeg {
     val nc = comps.size
     m(0xff, 0xc0, 0x00, 8 + 3 * nc, 8,
       (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff, nc)
-    for (c <- 1 to nc) m(c, 0x11, 0x00) // id, 1x1 sampling, quant table 0
+    for (c <- 0 until nc)
+      m(c + 1, (sampling(c)._1 << 4) | sampling(c)._2, 0x00) // id, HxV, quant 0
     // DHT: DC table 0 + AC table 0 (Annex K luminance)
     m(0xff, 0xc4, 0x00, 19 + dcVals.length, 0x00)
     dcBits.foreach(out.write); dcVals.foreach(out.write)
     m(0xff, 0xc4, 0x00, 19 + acVals.length, 0x10)
     acBits.foreach(out.write); acVals.foreach(out.write)
+    if (restartInterval > 0) // DRI (B.2.4.4)
+      m(0xff, 0xdd, 0x00, 0x04, (restartInterval >> 8) & 0xff, restartInterval & 0xff)
     // SOS
     m(0xff, 0xda, 0x00, 6 + 2 * nc, nc)
     for (c <- 1 to nc) m(c, 0x00) // DC table 0, AC table 0
     m(0x00, 0x3f, 0x00) // Ss, Se, Ah/Al
-    // entropy: raster MCUs, per component a DC-only block + EOB
+    // entropy: raster MCUs; per MCU each component contributes its
+    // v(c)×h(c) DC-only blocks (+ EOB) in the spec's interleave order
     val dcTab = buildEncodeTable(dcBits, dcVals)
     val acTab = buildEncodeTable(acBits, acVals)
     val bw = new BitWriter
-    val (bxn, byn) = ((width + 7) / 8, (height + 7) / 8)
+    val hMax = sampling.map(_._1).max
+    val vMax = sampling.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val prev = new Array[Int](nc)
-    for (by <- 0 until byn; bx <- 0 until bxn; c <- 0 until nc) {
-      val dc = 8 * (comps(c)(bx, by) - 128) // DCT DC of a constant block
-      var diff = dc - prev(c)
-      prev(c) = dc
-      var s = 0
-      var mag = math.abs(diff)
-      while (mag != 0) { s += 1; mag >>= 1 }
-      val (code, len) = dcTab(s)
-      bw.put(code, len)
-      if (s > 0) {
-        if (diff < 0) diff += (1 << s) - 1
-        bw.put(diff, s)
+    var mcu = 0
+    var rst = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.putMarker(0xd0 + (rst % 8)) // RSTn: byte-align + reset DC pred
+        rst += 1
+        java.util.Arrays.fill(prev, 0)
       }
-      val (eob, eobLen) = acTab(0x00)
-      bw.put(eob, eobLen)
+      mcu += 1
+      for (c <- 0 until nc; v <- 0 until sampling(c)._2; h <- 0 until sampling(c)._1) {
+        val (bx, by) = (mx * sampling(c)._1 + h, my * sampling(c)._2 + v)
+        val dc = 8 * (comps(c)(bx, by) - 128) // DCT DC of a constant block
+        var diff = dc - prev(c)
+        prev(c) = dc
+        var s = 0
+        var mag = math.abs(diff)
+        while (mag != 0) { s += 1; mag >>= 1 }
+        val (code, len) = dcTab(s)
+        bw.put(code, len)
+        if (s > 0) {
+          if (diff < 0) diff += (1 << s) - 1
+          bw.put(diff, s)
+        }
+        val (eob, eobLen) = acTab(0x00)
+        bw.put(eob, eobLen)
+      }
     }
     bw.flushOnes()
     out.write(bw.toBytes, 0, bw.toBytes.length)
@@ -246,6 +322,16 @@ object Jpeg {
       for (_ <- 0 until n) v = (v << 1) | bit()
       v
     }
+    /** Restart boundary (spec E.2.4): discard the pad bits of the
+      * current byte, consume the expected RSTn marker. The caller resets
+      * the DC predictors. */
+    def expectRst(n: Int): Unit = {
+      nbits = 0 // byte-align: the encoder 1-padded to the boundary
+      if (pos + 2 > b.length) throw new java.io.IOException("eof at restart")
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + n))
+        throw new java.io.IOException("expected RST marker")
+      pos += 2
+    }
   }
 
   private def extend(v: Int, t: Int): Int =
@@ -286,7 +372,8 @@ object Jpeg {
     math.max(0, math.min(255, math.round(v).toInt))
 
   /** Decode a baseline JPEG. None for anything unsupported or corrupt
-    * (progressive, subsampled chroma, arithmetic coding, truncation). */
+    * (progressive, arithmetic coding, 12-bit, non-dividing sampling
+    * factors, truncation). */
   def decodeJpeg(b: Array[Byte]): Option[JpegImage] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var pos = 2
@@ -296,111 +383,160 @@ object Jpeg {
     var width = 0; var height = 0
     var nc = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var dri = 0 // restart interval in MCUs (0 = none)
     def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-    while (pos + 4 <= b.length) {
+    while (pos + 2 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
-      val marker = b(pos + 1) & 0xff
+      // 0xFF fill bytes: any number of 0xFF may pad before the marker
+      // byte (spec B.1.1.2) — skip to the last one
+      var mp = pos + 1
+      while (mp + 1 < b.length && (b(mp) & 0xff) == 0xff) mp += 1
+      val marker = b(mp) & 0xff
       if (marker == 0xd9) return None // EOI before SOS
-      val len = u16(pos + 2)
-      val seg = pos + 4
-      marker match {
-        case 0xdb => // DQT, possibly several tables
-          var o = seg
-          while (o < seg + len - 2) {
-            val pq = (b(o) & 0xff) >> 4
-            val tq = b(o) & 0x0f
-            if (pq != 0) return None // 16-bit tables unsupported
-            quant(tq) = Array.tabulate(64)(i => b(o + 1 + i) & 0xff)
-            o += 65
-          }
-        case 0xc0 => // SOF0 baseline
-          height = u16(seg + 1); width = u16(seg + 3)
-          nc = b(seg + 5) & 0xff
-          if ((b(seg) & 0xff) != 8 || (nc != 1 && nc != 3)) return None
-          compQ = new Array[Int](nc)
-          for (c <- 0 until nc) {
-            if ((b(seg + 7 + 3 * c) & 0xff) != 0x11) return None // 4:4:4 only
-            compQ(c) = b(seg + 8 + 3 * c) & 0xff
-          }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc9 | 0xca | 0xcb =>
-          return None // non-baseline SOF
-        case 0xc4 => // DHT, possibly several tables
-          var o = seg
-          while (o < seg + len - 2) {
-            val tc = (b(o) & 0xff) >> 4
-            val th = b(o) & 0x0f
-            val bits = Array.tabulate(16)(i => b(o + 1 + i) & 0xff)
-            val nv = bits.sum
-            val vals = Array.tabulate(nv)(i => b(o + 17 + i) & 0xff)
-            val t = new HuffTable(bits, vals)
-            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
-            o += 17 + nv
-          }
-        case 0xda => // SOS: decode and return
-          val ns = b(seg) & 0xff
-          if (ns != nc || width <= 0 || height <= 0) return None
-          val compDc = new Array[Int](nc)
-          val compAc = new Array[Int](nc)
-          for (c <- 0 until nc) {
-            compDc(c) = (b(seg + 2 + 2 * c) & 0xff) >> 4
-            compAc(c) = b(seg + 2 + 2 * c) & 0x0f
-          }
-          // (seg + len - 2) is one past the SOS header: entropy data start
-          val br = new BitReader(b, seg + len - 2)
-          val (bxn, byn) = ((width + 7) / 8, (height + 7) / 8)
-          val planes = Array.fill(nc)(new Array[Int](bxn * byn * 64))
-          val pred = new Array[Int](nc)
-          val coef = new Array[Int](64)
-          for (by <- 0 until byn; bx <- 0 until bxn; c <- 0 until nc) {
-            java.util.Arrays.fill(coef, 0)
-            val q = quant(compQ(c))
-            if (q == null || dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        // standalone markers (TEM, stray RSTn): length-less — skip
+        pos = mp + 1
+      } else {
+        if (mp + 3 > b.length) return None
+        val len = u16(mp + 1)
+        if (len < 2) return None
+        val seg = mp + 3
+        marker match {
+          case 0xdb => // DQT, possibly several tables
+            var o = seg
+            while (o < seg + len - 2) {
+              val pq = (b(o) & 0xff) >> 4
+              val tq = b(o) & 0x0f
+              if (pq != 0) return None // 16-bit tables unsupported
+              quant(tq) = Array.tabulate(64)(i => b(o + 1 + i) & 0xff)
+              o += 65
+            }
+          case 0xc0 => // SOF0 baseline
+            height = u16(seg + 1); width = u16(seg + 3)
+            nc = b(seg + 5) & 0xff
+            if ((b(seg) & 0xff) != 8 || (nc != 1 && nc != 3)) return None
+            compQ = new Array[Int](nc)
+            compH = new Array[Int](nc)
+            compV = new Array[Int](nc)
+            for (c <- 0 until nc) {
+              val hv = b(seg + 7 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4)
+                return None
+              compQ(c) = b(seg + 8 + 3 * c) & 0xff
+            }
+            if (nc == 1) { compH(0) = 1; compV(0) = 1 } // non-interleaved
+            // replication upsampling needs each factor to divide the max
+            if ((0 until nc).exists(c =>
+                compH.max % compH(c) != 0 || compV.max % compV(c) != 0))
               return None
-            val t = dcTabs(compDc(c)).decode(br)
-            val diff = extend(br.receive(t), t)
-            pred(c) += diff
-            coef(zigzag(0)) = pred(c) * q(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = acTabs(compAc(c)).decode(br)
-              val (r, s) = (rs >> 4, rs & 0x0f)
-              if (s == 0) {
-                if (r == 15) k += 16 // ZRL
-                else eob = true
-              } else {
-                k += r
-                if (k > 63) throw new java.io.IOException("ac overflow")
-                coef(zigzag(k)) = extend(br.receive(s), s) * q(k)
-                k += 1
+          case 0xc1 | 0xc2 | 0xc3 | 0xc9 | 0xca | 0xcb =>
+            return None // non-baseline SOF
+          case 0xc4 => // DHT, possibly several tables
+            var o = seg
+            while (o < seg + len - 2) {
+              val tc = (b(o) & 0xff) >> 4
+              val th = b(o) & 0x0f
+              val bits = Array.tabulate(16)(i => b(o + 1 + i) & 0xff)
+              val nv = bits.sum
+              val vals = Array.tabulate(nv)(i => b(o + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              o += 17 + nv
+            }
+          case 0xdd => // DRI (B.2.4.4)
+            if (len != 4) return None
+            dri = u16(seg)
+          case 0xda => // SOS: decode and return
+            val ns = b(seg) & 0xff
+            if (ns != nc || width <= 0 || height <= 0) return None
+            val compDc = new Array[Int](nc)
+            val compAc = new Array[Int](nc)
+            for (c <- 0 until nc) {
+              compDc(c) = (b(seg + 2 + 2 * c) & 0xff) >> 4
+              compAc(c) = b(seg + 2 + 2 * c) & 0x0f
+            }
+            // (seg + len - 2) is one past the SOS header: entropy start
+            val br = new BitReader(b, seg + len - 2)
+            val hMax = compH.max; val vMax = compV.max
+            val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            // per-component block grids (c's grid is mcusX·h × mcusY·v)
+            val bxn = Array.tabulate(nc)(c => mcusX * compH(c))
+            val planes = Array.tabulate(nc)(c =>
+              new Array[Int](bxn(c) * mcusY * compV(c) * 64))
+            val pred = new Array[Int](nc)
+            val coef = new Array[Int](64)
+            var mcu = 0
+            var rst = 0
+            for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+              if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                br.expectRst(rst % 8) // byte-align + consume RSTn
+                rst += 1
+                java.util.Arrays.fill(pred, 0) // E.2.4: reset DC predictors
+              }
+              mcu += 1
+              for (c <- 0 until nc; v <- 0 until compV(c); h <- 0 until compH(c)) {
+                java.util.Arrays.fill(coef, 0)
+                val q = quant(compQ(c))
+                if (q == null || dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
+                  return None
+                val t = dcTabs(compDc(c)).decode(br)
+                val diff = extend(br.receive(t), t)
+                pred(c) += diff
+                coef(zigzag(0)) = pred(c) * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = acTabs(compAc(c)).decode(br)
+                  val (r, s) = (rs >> 4, rs & 0x0f)
+                  if (s == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else eob = true
+                  } else {
+                    k += r
+                    if (k > 63) throw new java.io.IOException("ac overflow")
+                    coef(zigzag(k)) = extend(br.receive(s), s) * q(k)
+                    k += 1
+                  }
+                }
+                val px = idct(coef)
+                val (bx, by) = (mx * compH(c) + h, my * compV(c) + v)
+                System.arraycopy(px, 0, planes(c), (by * bxn(c) + bx) * 64, 64)
               }
             }
-            val px = idct(coef)
-            System.arraycopy(px, 0, planes(c), (by * bxn + bx) * 64, 64)
-          }
-          val pixels = new Array[Int](width * height)
-          var y = 0
-          while (y < height) {
-            var x = 0
-            while (x < width) {
-              val bo = ((y / 8) * bxn + (x / 8)) * 64 + (y % 8) * 8 + (x % 8)
-              pixels(y * width + x) =
-                if (nc == 1) planes(0)(bo)
-                else {
-                  val (yy, cb, cr) =
-                    (planes(0)(bo).toDouble, planes(1)(bo) - 128.0, planes(2)(bo) - 128.0)
-                  (clamp8(yy + 1.402 * cr) << 16) |
-                    (clamp8(yy - 0.344136 * cb - 0.714136 * cr) << 8) |
-                    clamp8(yy + 1.772 * cb)
-                }
-              x += 1
+            // sample component c at pixel (x, y): replication upsample
+            def sample(c: Int, x: Int, y: Int): Int = {
+              val px = x * compH(c) / hMax
+              val py = y * compV(c) / vMax
+              planes(c)(((py / 8) * bxn(c) + px / 8) * 64 + (py % 8) * 8 + (px % 8))
             }
-            y += 1
-          }
-          return Some(JpegImage(width, height, nc, pixels))
-        case _ => () // APPn, COM, others: skip
+            val pixels = new Array[Int](width * height)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                pixels(y * width + x) =
+                  if (nc == 1) sample(0, x, y)
+                  else {
+                    val yy = sample(0, x, y).toDouble
+                    val cb = sample(1, x, y) - 128.0
+                    val cr = sample(2, x, y) - 128.0
+                    (clamp8(yy + 1.402 * cr) << 16) |
+                      (clamp8(yy - 0.344136 * cb - 0.714136 * cr) << 8) |
+                      clamp8(yy + 1.772 * cb)
+                  }
+                x += 1
+              }
+              y += 1
+            }
+            return Some(JpegImage(width, height, nc, pixels))
+          case _ => () // APPn, COM, others: skip
+        }
+        pos = seg + len - 2
       }
-      pos = seg + len - 2
     }
     None
   } catch { case _: Exception => None } // corrupt assets skip, never fail

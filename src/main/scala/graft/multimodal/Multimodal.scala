@@ -224,6 +224,36 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize 4:2:0 color baseline-JPEG assets — the dominant
+    * real-world chroma layout ([[Jpeg.encodeJpeg420]]): id-derived dims,
+    * per-8×8-luma-block constant Y ([[Jpeg.blockValue]]) and per-MCU
+    * constant chroma ([[Jpeg.chromaCb]]/[[Jpeg.chromaCr]]), so the full
+    * color round-trip is pixel-exact and the q296 oracle predicts the
+    * decoded RGB pixel sum from id arithmetic. Every third asset is
+    * encoded with a DRI/RSTn restart interval — the decoded image is
+    * identical by spec, so the restart path sits under the same hash
+    * gate for free. Executor-side mapPartitions; payloads never touch
+    * the driver. */
+  def synthesizeJpeg420Assets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeJpeg420Assets needs non-negative ids, got $i")
+        val bytes = Jpeg.encodeJpeg420(
+          (i % 31 + 1).toInt, (i % 17 + 1).toInt,
+          (bx, by) => Jpeg.blockValue(i, bx, by),
+          (mx, my) => Jpeg.chromaCb(i, mx, my),
+          (mx, my) => Jpeg.chromaCr(i, mx, my),
+          restartInterval = if (i % 3 == 0) 2 else 0)
+        Row(i, bytes)
+      }
+    }(enc)
+  }
+
   /** FULL JPEG decode over a binary column — not just the header parse
     * of [[decodeMedia]]: Huffman entropy decode + dequantize + IDCT +
     * level shift run per asset, and the decoded payload is reduced to
