@@ -9680,13 +9680,14 @@ object Queries {
        |  WHERE rn = 1)$m""".stripMargin
   }
 
-  /** Shared oracle prefix of q282/q288: milli-quantized vectors, the
+  /** Shared oracle prefix of q282/q288/q290/q291/q292: milli-quantized
+    * vectors (optionally `where`-filtered — the q291 base corpus), the
     * two-hash-system bucketed init, and `rounds` unrolled NN-Descent
-    * rounds ending at `nn<rounds>` — the k-NN GRAPH both entries build. */
-  private def nnGraphOracleCtes(k: Int, rounds: Int): String =
+    * rounds ending at `nn<rounds>` — the k-NN GRAPH the entries build. */
+  private def nnGraphOracleCtes(k: Int, rounds: Int, where: String = ""): String =
     s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
        |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
-       |  FROM embeddings),
+       |  FROM embeddings$where),
        |ib AS (SELECT DISTINCT a.id, b.id AS nbr,
        |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
        |      for j in range(1,65)])::BIGINT AS d2
@@ -9699,18 +9700,20 @@ object Queries {
        |  WHERE rn <= $k),
        |${(1 to rounds).map(nnDescentRoundSql(_, k)).mkString(",\n")}""".stripMargin
 
-  /** One unrolled beam-search round for the q288 oracle: expand the
-    * beam's undirected graph neighbors (`gse`), rescore exactly against
-    * the query vector, keep the best `beam` per query over old ∪ new —
+  /** One unrolled beam-search round for the q288/q290/q291 oracles:
+    * expand the beam's undirected graph neighbors (`gse`), rescore
+    * exactly against the query vector (looked up in `qv` — the full
+    * corpus when the queries are outside the graph's own vector CTE, as
+    * in q291's insert), keep the best `beam` per query over old ∪ new —
     * the statements [[graft.operators.Similarity.graphSearchTopK]]
     * executes. */
-  private def graphSearchRoundSql(r: Int, beam: Int): String =
+  private def graphSearchRoundSql(r: Int, beam: Int, qv: String = "v"): String =
     s"""gcd$r AS (SELECT DISTINCT b.q_id, g.nbr AS n_id
        |  FROM gb${r - 1} b JOIN gse g ON b.n_id = g.id),
        |gsc$r AS (SELECT c.q_id, c.n_id,
        |    list_sum([(x.iv[j]-y.iv[j])*(x.iv[j]-y.iv[j])
        |      for j in range(1,65)])::BIGINT AS d2
-       |  FROM gcd$r c JOIN v x ON x.id = c.q_id JOIN v y ON y.id = c.n_id
+       |  FROM gcd$r c JOIN $qv x ON x.id = c.q_id JOIN v y ON y.id = c.n_id
        |  WHERE c.q_id <> c.n_id),
        |gb$r AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
        |    SELECT q_id, n_id, d2, row_number() OVER (
@@ -9719,6 +9722,49 @@ object Queries {
        |      SELECT q_id, n_id, d2 FROM gb${r - 1}
        |      UNION ALL SELECT q_id, n_id, d2 FROM gsc$r)))
        |  WHERE rn <= $beam)""".stripMargin
+
+  /** The full q288-shape serve oracle — NN-Descent chain, beam search
+    * (beam 12, 3 rounds) from entries 0..3, recall@5 vs exact — with the
+    * query-set predicate injected (`pred` renders it for a given table
+    * alias): q288 serves q.id < 10 against its self-contained rebuild,
+    * q290 serves a DIFFERENT query set against the PERSISTED graph — the
+    * stored artifact must restate to the same relational chain. */
+  private def graphAnnServeOracleSql(pred: String => String): String =
+    s"""${nnGraphOracleCtes(15, 4)},
+       |gse AS MATERIALIZED (SELECT id, nbr FROM nn4
+       |  UNION SELECT nbr AS id, id AS nbr FROM nn4),
+       |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+       |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+       |          for j in range(1,65)])::BIGINT AS d2
+       |      FROM v q JOIN v c ON c.id IN (0, 1, 2, 3) AND c.id <> q.id
+       |      WHERE ${pred("q")}))
+       |  WHERE rn <= 12),
+       |${graphSearchRoundSql(1, 12)},
+       |${graphSearchRoundSql(2, 12)},
+       |${graphSearchRoundSql(3, 12)},
+       |res AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM gb3)
+       |  WHERE rank <= 5),
+       |ed AS (SELECT a.id AS q_id, b.id AS n_id,
+       |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
+       |      for j in range(1,65)])::BIGINT AS d2
+       |  FROM v a JOIN v b ON ${pred("a")} AND a.id <> b.id),
+       |ex AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+       |  WHERE rank <= 5),
+       |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+       |  FROM ex JOIN res ON ex.q_id = res.q_id AND ex.n_id = res.n_id
+       |  GROUP BY ex.q_id)
+       |SELECT q.q_id, 5::BIGINT AS k,
+       |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+       |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+       |ORDER BY q_id""".stripMargin
 
   /** Round-11 surface: the graph-based ANN shape (NN-Descent k-NN-graph
     * construction) completing the similarity pillar. */
@@ -10081,41 +10127,7 @@ object Queries {
             k = 5)
           .orderBy(col("q_id"))
       },
-      Some(s"""${nnGraphOracleCtes(15, 4)},
-              |gse AS MATERIALIZED (SELECT id, nbr FROM nn4
-              |  UNION SELECT nbr AS id, id AS nbr FROM nn4),
-              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
-              |    SELECT q_id, n_id, d2, row_number() OVER (
-              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
-              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
-              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
-              |          for j in range(1,65)])::BIGINT AS d2
-              |      FROM v q JOIN v c ON c.id IN (0, 1, 2, 3) AND c.id <> q.id
-              |      WHERE q.id < 10))
-              |  WHERE rn <= 12),
-              |${graphSearchRoundSql(1, 12)},
-              |${graphSearchRoundSql(2, 12)},
-              |${graphSearchRoundSql(3, 12)},
-              |res AS (SELECT q_id, n_id FROM (
-              |    SELECT q_id, n_id, row_number() OVER (
-              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM gb3)
-              |  WHERE rank <= 5),
-              |ed AS (SELECT a.id AS q_id, b.id AS n_id,
-              |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
-              |      for j in range(1,65)])::BIGINT AS d2
-              |  FROM v a JOIN v b ON a.id < 10 AND a.id <> b.id),
-              |ex AS (SELECT q_id, n_id FROM (
-              |    SELECT q_id, n_id, row_number() OVER (
-              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
-              |  WHERE rank <= 5),
-              |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
-              |  FROM ex JOIN res ON ex.q_id = res.q_id AND ex.n_id = res.n_id
-              |  GROUP BY ex.q_id)
-              |SELECT q.q_id, 5::BIGINT AS k,
-              |  coalesce(n_hit, 0)::BIGINT AS n_hit,
-              |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
-              |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
-              |ORDER BY q_id""".stripMargin),
+      Some(graphAnnServeOracleSql(t => s"$t.id < 10")),
       // production path: graph build + beam search, no exact ground truth
       benchFn = Some((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -10221,10 +10233,172 @@ object Queries {
              |  AND o_orderdate >= TIMESTAMP '1993-01-01'
              |  AND o_orderdate < TIMESTAMP '1994-07-01'""".stripMargin)))
 
+  /** Per-JVM parquet dir for a persisted ANN index over the `d` corpus:
+    * tagged by sf-dir so a JVM that verifies one scale and tests another
+    * can never serve a stale graph. */
+  private def annIndexDir(d: String, tag: String): String =
+    scratchDir(s"graft_ann_index_${tag}_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+
   /** Round-12 surface: the persisted/served graph-ANN index story, the
     * Theta family's grouped + streaming forms, 4:2:0 JPEG, soft-EM
     * unigram training. */
   private val roundTwelveSurface: Seq[(String, Q)] = Seq(
+    // SERVING from a persisted graph-ANN index (AnnIndex.buildOrLoad):
+    // the q282 NN-Descent graph becomes a maintained parquet artifact —
+    // built once (committed atomically behind _SUCCESS), READ BACK, and
+    // beam-searched for a fresh query set (ids 10..19, disjoint from
+    // q288's) with recall@5 gated against exact L2. This is the
+    // production vector-search deployment shape q288's self-contained
+    // entry deliberately is not: there the graph rebuild dominates the
+    // wall (~3/4, documented); here the build is warmup/maintenance and
+    // the TIMED body is pure serving — Bench warms the store, so the
+    // recorded number is the amortized query cost. The oracle is the
+    // same relational chain as q288 (the stored graph must equal the
+    // rebuilt one content-wise — persistence is content-preserving).
+    // Scale: serving is beam-sized keyed joins + per-query windows over
+    // a parquet read; nothing corpus-sized beyond keyed vector lookups.
+    "q290_ann_index_serve" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val stored = operators.AnnIndex.buildOrLoad(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "full"))
+        val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        Similarity.recallAtK(
+            Similarity.graphSearchTopK(stored, emb, queries, "vec_id", "embedding",
+              entryIds = 0L until 4L, beam = 12, rounds = 3, k = 5),
+            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5),
+            k = 5)
+          .orderBy(col("q_id"))
+      },
+      Some(graphAnnServeOracleSql(t => s"$t.id >= 10 AND $t.id < 20"))),
+
+    // INCREMENTAL INSERT into the persisted index (AnnIndex.insertBatch):
+    // fold a new-vector batch (vec_id % 10 = 9, ~10% of the corpus) into
+    // the stored base graph without a rebuild — each new vector
+    // beam-searches the stored graph for its neighborhood (the HNSW
+    // insert pattern: search first, link second), takes its top-15 as
+    // its adjacency, and PATCHES reverse edges (each touched base node
+    // re-cut to top-15 over old ∪ new by the graph's own (d2, id)
+    // order; base lists can only improve — the nnDescent invariant).
+    // Output pins the ENTIRE patched graph (per-node degree + Σd2 —
+    // both directions of the patch are under the hash) plus recall@15
+    // of every new node against exact L2 over base∪batch. The oracle
+    // unrolls the base build (filtered corpus), the 3 search rounds
+    // (query vectors looked up in the full-corpus CTE), and the patch.
+    // Scale: one beam search (|batch|·beam tables) + one per-node top-k
+    // window — never corpus×corpus, and the stored graph is read.
+    "q291_ann_index_insert" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val batch = emb.filter(col("vec_id") % 10 === 9)
+        val stored = operators.AnnIndex.buildOrLoad(base, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "base"))
+        val patched = operators.AnnIndex.insertBatch(stored, base, batch,
+          "vec_id", "embedding", k = 15, entryIds = 0L until 4L,
+          beam = 24, searchRounds = 3).localCheckpoint()
+        val summary = patched.groupBy(col("q_id").as("id"))
+          .agg(count(lit(1)).as("n_nbrs"), sum(col("d2")).as("sum_d2"))
+        val hits = patched.select(col("q_id"), col("n_id"))
+          .join(Similarity.l2TopK(emb, batch, "vec_id", "embedding", k = 15)
+            .select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+          .groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n_hit"))
+        summary.join(hits, Seq("id"), "left")
+          .select(col("id"), (col("id") % 10 === 9).as("is_new"),
+            col("n_nbrs"), col("sum_d2"),
+            when(col("id") % 10 === 9, coalesce(col("n_hit"), lit(0L)))
+              .otherwise(lit(null)).as("n_hit"))
+          .orderBy(col("id"))
+      },
+      Some(s"""${nnGraphOracleCtes(15, 4, " WHERE vec_id % 10 <> 9")},
+              |vq AS MATERIALIZED (SELECT vec_id AS id,
+              |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+              |  FROM embeddings),
+              |gse AS MATERIALIZED (SELECT id, nbr FROM nn4
+              |  UNION SELECT nbr AS id, id AS nbr FROM nn4),
+              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |          for j in range(1,65)])::BIGINT AS d2
+              |      FROM vq q JOIN v c ON c.id IN (0, 1, 2, 3) AND c.id <> q.id
+              |      WHERE q.id % 10 = 9))
+              |  WHERE rn <= 24),
+              |${graphSearchRoundSql(1, 24, qv = "vq")},
+              |${graphSearchRoundSql(2, 24, qv = "vq")},
+              |${graphSearchRoundSql(3, 24, qv = "vq")},
+              |ne AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM gb3)
+              |  WHERE rn <= 15),
+              |pg AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+              |    SELECT id, nbr, d2, row_number() OVER (
+              |      PARTITION BY id ORDER BY d2, nbr) AS rn
+              |    FROM (SELECT id, nbr, d2 FROM nn4
+              |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM ne
+              |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ne))
+              |  WHERE rn <= 15),
+              |ed AS (SELECT a.id AS q_id, b.id AS n_id,
+              |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
+              |      for j in range(1,65)])::BIGINT AS d2
+              |  FROM vq a JOIN vq b ON a.id % 10 = 9 AND a.id <> b.id),
+              |ex AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+              |  WHERE rank <= 15),
+              |hits AS (SELECT ex.q_id AS id, count(*)::BIGINT AS n_hit
+              |  FROM ex JOIN pg ON ex.q_id = pg.id AND ex.n_id = pg.nbr
+              |  GROUP BY ex.q_id)
+              |SELECT s.id, (s.id % 10 = 9) AS is_new, s.n_nbrs, s.sum_d2,
+              |  CASE WHEN s.id % 10 = 9 THEN coalesce(h.n_hit, 0) END AS n_hit
+              |FROM (SELECT id, count(*)::BIGINT AS n_nbrs,
+              |    sum(d2)::BIGINT AS sum_d2 FROM pg GROUP BY id) s
+              |  LEFT JOIN hits h USING (id)
+              |ORDER BY s.id""".stripMargin)),
+
+    // index-health audit over the persisted graph (AnnIndex.healthAudit):
+    // cumulative reachability from the serving entry points within R
+    // undirected hops — the connectivity check a production ANN service
+    // runs (a node outside the reachable set can never be returned, no
+    // matter the beam width; q282's two-hash-system init exists
+    // precisely to make this set the whole corpus). Reads the SAME
+    // stored artifact as q290. Oracle: the BFS rounds unrolled over the
+    // NN-Descent chain's undirected closure. Scale: O(hops) keyed
+    // frontier joins + distincts, each checkpointed — the Graph-family
+    // BFS shape; per-hop counts are aggregates over checkpointed sets.
+    "q292_ann_index_health" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val stored = operators.AnnIndex.buildOrLoad(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "full"))
+        operators.AnnIndex.healthAudit(stored, entryIds = 0L until 4L, hops = 4)
+          .orderBy(col("hop"))
+      },
+      Some {
+        val hopRounds = (1 to 4).map { r =>
+          s"""r$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+             |    SELECT g.nbr AS node FROM r${r - 1} b JOIN gse g ON b.node = g.id
+             |    UNION ALL SELECT node FROM r${r - 1}))""".stripMargin
+        }.mkString(",\n")
+        s"""${nnGraphOracleCtes(15, 4)},
+           |gse AS MATERIALIZED (SELECT id, nbr FROM nn4
+           |  UNION SELECT nbr AS id, id AS nbr FROM nn4),
+           |nodes AS (SELECT DISTINCT id FROM gse),
+           |tot AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+           |r0 AS (SELECT id AS node FROM nodes WHERE id IN (0, 1, 2, 3)),
+           |$hopRounds
+           |SELECT hop, n_reached, n_nodes,
+           |  n_reached * 1000000 // n_nodes AS reached_ppm
+           |FROM (
+           |  SELECT 0::BIGINT AS hop, count(*)::BIGINT AS n_reached FROM r0
+           |  UNION ALL SELECT 1::BIGINT, count(*)::BIGINT FROM r1
+           |  UNION ALL SELECT 2::BIGINT, count(*)::BIGINT FROM r2
+           |  UNION ALL SELECT 3::BIGINT, count(*)::BIGINT FROM r3
+           |  UNION ALL SELECT 4::BIGINT, count(*)::BIGINT FROM r4), tot
+           |ORDER BY hop""".stripMargin
+      }),
+
     // grouped Theta/KMV sketches (ThetaSketch.sketchBy): per-source
     // k-smallest distinct-hash samples + KMV estimates — the grouped
     // form completing the family matrix (MG q272, HLL q257, KLL q279;

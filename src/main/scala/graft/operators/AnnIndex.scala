@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The k-NN graph as a MAINTAINED INDEX ARTIFACT — built once, persisted
+  * as parquet, served by beam search, extended by incremental batch
+  * insert, audited for connectivity — instead of the per-run rebuild the
+  * self-contained q282/q288 entries pay (documented there as ~3/4 of
+  * their wall time). This is how production vector search actually
+  * deploys a graph index: the build is an offline/maintenance job, the
+  * serving path reads the stored edges, and new vectors are folded in by
+  * searching the existing graph (the HNSW insert pattern), never by
+  * rebuilding.
+  *
+  * Persistence follows the engine's artifact discipline
+  * ([[Bucketing.writeBucketed]], the streaming sketch stores): the graph
+  * is plain parquet any engine can read, committed atomically by the
+  * Spark write protocol (`_SUCCESS` gates reuse — a crashed half-write
+  * is rebuilt, never served). All serving/insert/audit stages are keyed
+  * joins + per-key windows on beam- or k-sized tables — nothing
+  * corpus-sized beyond keyed vector lookups, which is what the stored
+  * graph buys at 100 TB. */
+object AnnIndex {
+
+  /** Build the deterministic NN-Descent k-NN graph
+    * ([[Similarity.nnDescent]]) if `indexDir` holds no committed copy,
+    * else reuse the store untouched; returns the STORED graph
+    * (q_id, n_id, d2, rank) read back from parquet either way, so every
+    * downstream consumer provably serves from the artifact, not the
+    * build lineage. */
+  // per-dir build locks: concurrent consumers of the SAME index (the
+  // serve and health entries share one store, and Verify runs entries on
+  // a thread pool) must not race check-then-build — one builds, the rest
+  // read the committed copy. Cross-process races can't happen: index
+  // dirs are per-JVM-tagged (the scratchDir discipline).
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def buildOrLoad(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      initBuckets: Int,
+      indexDir: String): DataFrame = {
+    val spark = emb.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buildLocks.computeIfAbsent(indexDir, _ => new Object).synchronized {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_SUCCESS")))
+        Similarity.nnDescent(emb, idCol, vecCol, k, rounds, initBuckets)
+          .write.mode("overwrite").parquet(indexDir)
+    }
+    spark.read.parquet(indexDir)
+  }
+
+  /** Incremental batch insert — fold `batch` (new vectors, ids disjoint
+    * from the base corpus) into a stored k-NN graph WITHOUT a rebuild:
+    *
+    *  1. each new vector beam-searches the stored graph for its
+    *     neighborhood ([[Similarity.graphSearchTopK]] — the HNSW insert
+    *     pattern: search first, link second) and takes the best `k`
+    *     results as its own adjacency;
+    *  2. reverse edges are PATCHED: every base node found by a new
+    *     vector gains the candidate edge (base → new), and its list is
+    *     re-cut to top-k over (old list ∪ new reverse edges) by the
+    *     graph's own (d2, id) order — a base node's neighbor multiset
+    *     can only improve (its old list is always in the union), the
+    *     [[Similarity.nnDescent]] monotonicity invariant.
+    *
+    * Batch-blind by design (new vectors link only to base nodes — the
+    * standard bulk-insert approximation; a batch small enough to matter
+    * is folded into the next offline rebuild anyway). Returns the
+    * patched graph in the stored shape (q_id, n_id, d2, rank ≤ k).
+    *
+    * Scale shape: one beam search (|batch|·beam-row tables, keyed edge +
+    * vector joins, per-query windows) + one union + one per-node top-k
+    * window over (k·|base| + 2k·|batch|) rows — never a corpus×corpus
+    * stage, and the stored graph is read, not rebuilt. */
+  def insertBatch(
+      graph: DataFrame,
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      entryIds: Seq[Long],
+      beam: Int,
+      searchRounds: Int): DataFrame = {
+    require(k >= 1 && beam >= k)
+    val found = Similarity.graphSearchTopK(
+      graph, base, batch, idCol, vecCol, entryIds, beam, searchRounds, k)
+    val newEdges = found
+      .select(col("q_id").as("id"), col("n_id").as("nbr"), col("d2"))
+      .localCheckpoint() // feeds both directions below
+    val rev = newEdges.select(col("nbr").as("id"), col("id").as("nbr"), col("d2"))
+    val old = graph.select(col("q_id").as("id"), col("n_id").as("nbr"), col("d2"))
+    val wTop = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("nbr"))
+    old.unionByName(rev).unionByName(newEdges)
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+      .select(col("id").as("q_id"), col("nbr").as("n_id"), col("d2"), col("rank"))
+  }
+
+  /** Index-health audit — the check a production ANN service runs
+    * against its stored graph: how much of the corpus can beam search
+    * REACH from the designated entry points within `hops` undirected
+    * hops? (A node outside the reachable set can never be returned, no
+    * matter the beam width.) Returns one row per hop
+    * (hop, n_reached, n_nodes, reached_ppm), hop 0 = the entry points
+    * themselves, cumulative.
+    *
+    * Scale shape: `hops` rounds of one keyed join (frontier ⋈ edges) +
+    * distinct, each localCheckpoint'd — the O(diameter) BFS every
+    * [[Graph]] operator uses; per-hop counts are one aggregate over the
+    * checkpointed reached set. */
+  def healthAudit(graph: DataFrame, entryIds: Seq[Long], hops: Int): DataFrame = {
+    require(entryIds.nonEmpty && hops >= 0)
+    val spark = graph.sparkSession
+    val und = graph.select(col("q_id").as("node"), col("n_id").as("nbr"))
+      .unionByName(graph.select(col("n_id").as("node"), col("q_id").as("nbr")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("node")).distinct().localCheckpoint()
+    // entry points that are actual graph nodes (a stale entry list must
+    // surface as lower reach, not as phantom reached rows)
+    var reached = spark.range(1)
+      .select(explode(array(entryIds.map(lit(_)): _*)).as("node"))
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    def hopRow(h: Int) = reached
+      .agg(count(lit(1)).as("n_reached"))
+      .select(lit(h.toLong).as("hop"), col("n_reached"))
+    val rows = scala.collection.mutable.ArrayBuffer(hopRow(0))
+    for (h <- 1 to hops) {
+      reached = reached.join(und, "node").select(col("nbr").as("node"))
+        .unionByName(reached).distinct().localCheckpoint()
+      rows += hopRow(h)
+    }
+    rows.reduce(_ unionByName _)
+      .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+      .select(col("hop"), col("n_reached"), col("n_nodes"),
+        expr("n_reached * 1000000L div n_nodes").as("reached_ppm"))
+  }
+}

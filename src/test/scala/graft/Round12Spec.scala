@@ -57,6 +57,79 @@ class Round12Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Persisted graph-ANN index
+  // ------------------------------------------------------------------
+
+  import graft.operators.{AnnIndex, Similarity}
+
+  private def randomVecs(n: Int, dims: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.tabulate(n)(i =>
+        (i.toLong, Seq.fill(dims)((rnd.nextInt(255) - 127).toDouble.toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("buildOrLoad: stored graph == rebuild; second call reads, not rebuilds") {
+    val df = randomVecs(70, 8, seed = 13)
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_idx").toString + "/g"
+    def rows(g: org.apache.spark.sql.DataFrame) =
+      g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val stored = AnnIndex.buildOrLoad(df, "vec_id", "embedding", 4, 2, 8, dir)
+    val rebuilt = Similarity.nnDescent(df, "vec_id", "embedding", 4, 2, 8)
+    assert(rows(stored) == rows(rebuilt), "persistence changed the graph")
+    // reuse: poison one parquet cell? cheaper — the second load's plan
+    // must be a bare parquet scan with no NN-Descent lineage
+    val again = AnnIndex.buildOrLoad(df, "vec_id", "embedding", 4, 2, 8, dir)
+    val plan = again.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"second buildOrLoad is not a plain store read:\n$plan")
+    assert(rows(again) == rows(rebuilt))
+  }
+
+  test("insertBatch: base lists never worsen; new nodes get k-deep lists") {
+    val all = randomVecs(90, 8, seed = 17)
+    val base = all.filter(col("vec_id") % 9 =!= 0)
+    val batch = all.filter(col("vec_id") % 9 === 0)
+    val g = Similarity.nnDescent(base, "vec_id", "embedding", 5, 2, 8)
+      .localCheckpoint()
+    val patched = AnnIndex.insertBatch(g, base, batch, "vec_id", "embedding",
+      k = 5, entryIds = Seq(1L, 2L), beam = 10, searchRounds = 3)
+      .localCheckpoint()
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("q_id")).agg(sum(col("d2")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (before, after) = (sums(g), sums(patched))
+    for ((id, s) <- before)
+      assert(after(id) <= s, s"insert worsened base node $id: $s -> ${after(id)}")
+    val newDeg = patched.filter(col("q_id") % 9 === 0)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(newDeg.nonEmpty && newDeg.forall(_ == 5L),
+      "new nodes must carry full k-deep adjacency")
+    // scale shape: the insert path is keyed joins only
+    val plan = AnnIndex.insertBatch(g, base, batch, "vec_id", "embedding",
+      k = 5, entryIds = Seq(1L, 2L), beam = 10, searchRounds = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in insert:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL in insert:\n$plan")
+  }
+
+  test("healthAudit: cumulative, and total on a connected graph") {
+    val df = randomVecs(60, 4, seed = 23)
+    val g = Similarity.nnDescent(df, "vec_id", "embedding", 4, 3, 6)
+      .localCheckpoint()
+    val audit = AnnIndex.healthAudit(g, entryIds = Seq(0L), hops = 6)
+      .orderBy(col("hop")).collect()
+    val reached = audit.map(_.getLong(1))
+    assert(reached.zip(reached.tail).forall { case (a, b) => a <= b },
+      "reach must be cumulative")
+    assert(audit.head.getLong(1) == 1L) // hop 0 = the entry itself
+    assert(audit.last.getLong(1) == audit.last.getLong(2),
+      s"expected full reach on a 2-hash-init graph: ${audit.mkString(", ")}")
+    assert(audit.last.getLong(3) == 1000000L)
+  }
+
+  // ------------------------------------------------------------------
   // JPEG: 4:2:0 / 4:2:2 / restart intervals / marker hardening
   // ------------------------------------------------------------------
 
