@@ -9631,9 +9631,55 @@ object Queries {
     * [[graft.operators.TextAnalysis.unigramChosenEdges]] executes. When
     * `next`, re-count pieces from chosen edges and PRUNE to the
     * `vocabTarget` best non-chars (chars never pruned). */
-  private def unigramRoundSql(
-      r: Int, squarings: Int, vocabTarget: Int, next: Boolean): String = {
-    val sq = (1 to squarings).map { s =>
+  /** The shared unigram-training seed CTEs (q284 hard EM, q295 soft EM):
+    * word frequencies from ONE corpus scan, char counts (never pruned),
+    * the top-60 2..4-gram seed, the seed vocab `v0`, and the per-word
+    * position/candidate-edge/identity tables the lattice DP runs on. */
+  private val unigramSeedOracleCtes: String =
+    """WITH words AS MATERIALIZED (
+      |  SELECT w, count(*)::BIGINT AS f FROM (
+      |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |chars AS MATERIALIZED (
+      |  SELECT piece, sum(f)::BIGINT AS cnt FROM (
+      |    SELECT unnest([w[i] for i in range(1, len(w)+1)]) AS piece, f
+      |    FROM words)
+      |  GROUP BY piece),
+      |seedg AS (
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, sum(f)::BIGINT AS cnt FROM (
+      |      SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS piece, f
+      |      FROM words WHERE len(w) >= 2
+      |      UNION ALL
+      |      SELECT unnest([w[i:i+2] for i in range(1, len(w)-1)]), f
+      |      FROM words WHERE len(w) >= 3
+      |      UNION ALL
+      |      SELECT unnest([w[i:i+3] for i in range(1, len(w)-2)]), f
+      |      FROM words WHERE len(w) >= 4)
+      |    GROUP BY piece)
+      |  ORDER BY cnt DESC, piece LIMIT 60),
+      |v0 AS MATERIALIZED (
+      |  SELECT piece, cnt, true AS is_char FROM chars
+      |  UNION ALL SELECT piece, cnt, false AS is_char FROM seedg),
+      |pos AS MATERIALIZED (
+      |  SELECT w, unnest(range(1, len(w)+1))::BIGINT AS i FROM words),
+      |cand AS MATERIALIZED (
+      |  SELECT w, i, i+1 AS j, substr(w, i, 1) AS piece FROM pos
+      |  UNION ALL SELECT w, i, i+2, substr(w, i, 2) FROM pos
+      |    WHERE i+1 <= len(w)
+      |  UNION ALL SELECT w, i, i+3, substr(w, i, 3) FROM pos
+      |    WHERE i+2 <= len(w)
+      |  UNION ALL SELECT w, i, i+4, substr(w, i, 4) FROM pos
+      |    WHERE i+3 <= len(w)),
+      |idr AS MATERIALIZED (
+      |  SELECT w, unnest(range(1, len(w)+2))::BIGINT AS i FROM words)""".stripMargin
+
+  /** The min-plus self-squaring chain `d${r}1..d$r$squarings` over the
+    * identity-seeded edge table `d${r}0` — shared by the hard (q284) and
+    * soft (q295) unigram oracles. */
+  private def unigramSquaringSql(r: Int, squarings: Int): String =
+    (1 to squarings).map { s =>
       val prev = s"d$r${s - 1}"
       s"""d$r$s AS MATERIALIZED (SELECT w, i, j, min(cost)::BIGINT AS cost FROM (
          |    SELECT w, i, j, cost FROM $prev
@@ -9642,6 +9688,10 @@ object Queries {
          |    FROM $prev a JOIN $prev b ON a.w = b.w AND a.j = b.i)
          |  GROUP BY w, i, j)""".stripMargin
     }.mkString(",\n")
+
+  private def unigramRoundSql(
+      r: Int, squarings: Int, vocabTarget: Int, next: Boolean): String = {
+    val sq = unigramSquaringSql(r, squarings)
     val m = if (!next) "" else s""",
        |cn$r AS (SELECT piece, sum(f)::BIGINT AS cnt
        |  FROM ch$r JOIN words USING (w) GROUP BY piece),
@@ -9880,44 +9930,7 @@ object Queries {
           maxGram = 4, seedTopK = 60, vocabTarget = 40, emRounds = 2,
           squarings = 3)
         .orderBy(col("doc_id")),
-      Some(s"""WITH words AS MATERIALIZED (
-              |  SELECT w, count(*)::BIGINT AS f FROM (
-              |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
-              |    FROM documents)
-              |  WHERE w <> '' GROUP BY w),
-              |chars AS MATERIALIZED (
-              |  SELECT piece, sum(f)::BIGINT AS cnt FROM (
-              |    SELECT unnest([w[i] for i in range(1, len(w)+1)]) AS piece, f
-              |    FROM words)
-              |  GROUP BY piece),
-              |seedg AS (
-              |  SELECT piece, cnt FROM (
-              |    SELECT piece, sum(f)::BIGINT AS cnt FROM (
-              |      SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS piece, f
-              |      FROM words WHERE len(w) >= 2
-              |      UNION ALL
-              |      SELECT unnest([w[i:i+2] for i in range(1, len(w)-1)]), f
-              |      FROM words WHERE len(w) >= 3
-              |      UNION ALL
-              |      SELECT unnest([w[i:i+3] for i in range(1, len(w)-2)]), f
-              |      FROM words WHERE len(w) >= 4)
-              |    GROUP BY piece)
-              |  ORDER BY cnt DESC, piece LIMIT 60),
-              |v0 AS MATERIALIZED (
-              |  SELECT piece, cnt, true AS is_char FROM chars
-              |  UNION ALL SELECT piece, cnt, false AS is_char FROM seedg),
-              |pos AS MATERIALIZED (
-              |  SELECT w, unnest(range(1, len(w)+1))::BIGINT AS i FROM words),
-              |cand AS MATERIALIZED (
-              |  SELECT w, i, i+1 AS j, substr(w, i, 1) AS piece FROM pos
-              |  UNION ALL SELECT w, i, i+2, substr(w, i, 2) FROM pos
-              |    WHERE i+1 <= len(w)
-              |  UNION ALL SELECT w, i, i+3, substr(w, i, 3) FROM pos
-              |    WHERE i+2 <= len(w)
-              |  UNION ALL SELECT w, i, i+4, substr(w, i, 4) FROM pos
-              |    WHERE i+3 <= len(w)),
-              |idr AS MATERIALIZED (
-              |  SELECT w, unnest(range(1, len(w)+2))::BIGINT AS i FROM words),
+      Some(s"""$unigramSeedOracleCtes,
               |${unigramRoundSql(1, 3, 40, next = true)},
               |${unigramRoundSql(2, 3, 40, next = true)},
               |${unigramRoundSql(3, 3, 40, next = false)},
@@ -10471,6 +10484,92 @@ object Queries {
              |h AS (SELECT DISTINCT ('0x'||substr(md5(g),1,15))::BIGINT AS h
              |  FROM (SELECT unnest(sg) AS g FROM shg))
              |SELECT h FROM h ORDER BY h LIMIT 64""".stripMargin)),
+
+    // unigram-LM training with the SOFT E-step (TextAnalysis
+    // .unigramTrainSoft): expected counts over ALL minimum-cost
+    // segmentations — the zero-temperature forward-backward posterior,
+    // computed by exact-integer min-cost path counting (nF/nB position
+    // recurrences; an edge is on some optimal path iff cs+cost+ce =
+    // total, and nF(i)·nB(j) of the N(w) optimal segmentations use it),
+    // with per-(word,piece) micro-counts staged as (f·Σthrough·1e6) div
+    // N — every step integer or one floor division, so both engines
+    // replay training bit-identically where Kudo 2018's float α/β sums
+    // could never be hash-pinned (order-dependent summation; the
+    // zero-temperature limit is the engine-exact E-step, hard EM q284
+    // stays the fallback knob). The oracle restates the full round:
+    // seed, price, lattice DP, BOTH count recurrences unrolled by
+    // position, posterior counts, prune, re-price. Scale: everything
+    // after the one corpus scan runs on the distinct-word table;
+    // the recurrences are 2^squarings word-sized keyed rounds.
+    "q295_unigram_soft_em" -> Q(
+      (s, d) => TextAnalysis.unigramTrainSoft(t(s, d, "documents"), "text",
+          maxGram = 4, seedTopK = 60, vocabTarget = 40, emRounds = 1,
+          squarings = 3)
+        .orderBy(col("piece")),
+      Some {
+        val nfSteps = (2 to 9).map { p =>
+          s"""nf$p AS MATERIALIZED (SELECT w, pos, n FROM nf${p - 1}
+             |  UNION ALL
+             |  SELECT o.w, $p AS pos, sum(f.n)::BIGINT AS n
+             |  FROM opt1 o JOIN nf${p - 1} f ON o.w = f.w AND o.i = f.pos
+             |  WHERE o.j = $p GROUP BY o.w)""".stripMargin
+        }.mkString(",\n")
+        val nbSteps = (8 to 1 by -1).map { p =>
+          s"""nb$p AS MATERIALIZED (SELECT w, pos, n FROM nb${p + 1}
+             |  UNION ALL
+             |  SELECT o.w, $p AS pos, sum(x.n)::BIGINT AS n
+             |  FROM opt1 o JOIN nb${p + 1} x ON o.w = x.w AND o.j = x.pos
+             |  WHERE o.i = $p GROUP BY o.w)""".stripMargin
+        }.mkString(",\n")
+        s"""$unigramSeedOracleCtes,
+           |p1 AS (SELECT piece,
+           |    floor(1e6 * ln((t.t + t.v)::DOUBLE / (cnt + 1)::DOUBLE))::BIGINT AS cost
+           |  FROM v0, (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v
+           |            FROM v0) t),
+           |e1 AS MATERIALIZED (SELECT c.w, c.i, c.j, c.piece, p.cost
+           |  FROM cand c JOIN p1 p USING (piece)),
+           |d10 AS (SELECT w, i, j, cost FROM e1
+           |  UNION ALL SELECT w, i, i AS j, 0::BIGINT AS cost FROM idr),
+           |${unigramSquaringSql(1, 3)},
+           |de1 AS MATERIALIZED (SELECT w, i AS pos, cost AS ce
+           |  FROM d13 WHERE j = len(w) + 1),
+           |ds1 AS MATERIALIZED (SELECT w, j AS pos, cost AS cs
+           |  FROM d13 WHERE i = 1),
+           |tc1 AS (SELECT w, ce AS tc FROM de1 WHERE pos = 1),
+           |opt1 AS MATERIALIZED (SELECT e.w, e.i, e.j, e.piece
+           |  FROM e1 e
+           |  JOIN ds1 s ON e.w = s.w AND e.i = s.pos
+           |  JOIN de1 d ON e.w = d.w AND e.j = d.pos
+           |  JOIN tc1 t ON e.w = t.w
+           |  WHERE s.cs + e.cost + d.ce = t.tc),
+           |nf1 AS (SELECT w, 1 AS pos, 1::BIGINT AS n FROM words),
+           |$nfSteps,
+           |nb9 AS (SELECT w, len(w) + 1 AS pos, 1::BIGINT AS n FROM words),
+           |$nbSteps,
+           |np AS (SELECT w, n AS npaths FROM nb1 WHERE pos = 1),
+           |thr AS (SELECT o.w, o.piece, sum(f.n * b.n)::BIGINT AS thr
+           |  FROM opt1 o JOIN nf9 f ON o.w = f.w AND o.i = f.pos
+           |    JOIN nb1 b ON o.w = b.w AND o.j = b.pos
+           |  GROUP BY o.w, o.piece),
+           |sc AS (SELECT piece,
+           |    sum((w2.f * thr.thr * 1000000) // np.npaths)::BIGINT AS cnt
+           |  FROM thr JOIN words w2 USING (w) JOIN np USING (w)
+           |  GROUP BY piece),
+           |v1 AS MATERIALIZED (
+           |  SELECT c.piece, coalesce(sc.cnt, 0)::BIGINT AS cnt, true AS is_char
+           |  FROM chars c LEFT JOIN sc USING (piece)
+           |  UNION ALL
+           |  SELECT piece, cnt, false AS is_char FROM (
+           |    SELECT sc.piece, sc.cnt FROM sc
+           |    ANTI JOIN chars c ON sc.piece = c.piece
+           |    ORDER BY sc.cnt DESC, sc.piece LIMIT 40))
+           |SELECT piece, is_char, cnt AS cnt_micro,
+           |  floor(1e6 * ln((t.t + t.v)::DOUBLE / (cnt + 1)::DOUBLE))::BIGINT
+           |    AS cost_micro
+           |FROM v1, (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v
+           |          FROM v1) t
+           |ORDER BY piece""".stripMargin
+      }),
 
     // 4:2:0 baseline JPEG decode (multimodal/Jpeg.scala): the dominant
     // real-world chroma layout — q286 covered only 4:4:4, i.e. skipped

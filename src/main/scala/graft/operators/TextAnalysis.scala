@@ -986,7 +986,7 @@ object TextAnalysis {
     * is an exact small integer, the double casts are exact, and the one
     * divide + ln + floor round identically in every engine (the
     * [[dsirWeights]] discipline). Higher cost = rarer piece. */
-  private def unigramPrice(vocab: DataFrame): DataFrame = {
+  private[graft] def unigramPrice(vocab: DataFrame): DataFrame = {
     val tot = vocab.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
     vocab.crossJoin(broadcast(tot)).select(
       col("piece"), col("is_char"), col("cnt"),
@@ -1011,11 +1011,15 @@ object TextAnalysis {
     * contributes (union-of-optimal-paths accounting, deterministic in
     * both engines). Returns (w, i, j, piece, cost), one row per chosen
     * edge. */
-  private def unigramChosenEdges(
+  /** The shared lattice DP of hard- and soft-EM E-steps: the priced
+    * edge table (checkpointed — it feeds the squarings AND the
+    * chooser/posterior stages) and the all-pairs min-cost table after
+    * `squarings` min-plus self-squarings over identity-seeded edges. */
+  private def unigramDpTables(
       words: DataFrame,
       priced: DataFrame,
       maxGram: Int,
-      squarings: Int): DataFrame = {
+      squarings: Int): (DataFrame, DataFrame) = {
     val posLen = words.select(
       col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
     val cand = (1 to maxGram).map { n =>
@@ -1026,7 +1030,7 @@ object TextAnalysis {
     val edges = cand
       .join(broadcast(priced.select(col("piece"), col("cost"))), "piece")
       .select(col("w"), col("i"), col("j"), col("piece"), col("cost"))
-      .localCheckpoint() // feeds the squarings AND the chooser below
+      .localCheckpoint()
     var dmat = edges.select(col("w"), col("i"), col("j"), col("cost"))
       .unionByName(words
         .select(col("w"),
@@ -1047,6 +1051,15 @@ object TextAnalysis {
       // job each — measured ~2x end-to-end on the q284 path
       if (s == squarings) dmat = dmat.localCheckpoint()
     }
+    (edges, dmat)
+  }
+
+  private def unigramChosenEdges(
+      words: DataFrame,
+      priced: DataFrame,
+      maxGram: Int,
+      squarings: Int): DataFrame = {
+    val (edges, dmat) = unigramDpTables(words, priced, maxGram, squarings)
     val dEnd = dmat.filter(col("j") === length(col("w")) + 1)
       .select(col("w"), col("i").as("pos"), col("cost").as("ce"))
     val dStart = dmat.filter(col("i") === 1)
@@ -1078,14 +1091,16 @@ object TextAnalysis {
     * from the chosen edges weighted by word frequency, and PRUNES to the
     * `vocabTarget` best non-char pieces by (count desc, piece asc).
     * Returns (words, final priced vocab). */
-  private def unigramLoop(
+  /** Shared seeding of hard- and soft-EM training: the distinct-word
+    * table (guarded: every word must fit the DP's 2^squarings-edge
+    * budget), the never-pruned char base, and the seed vocab
+    * (chars + `seedTopK` most frequent 2..maxGram substrings). */
+  private[graft] def unigramSeedTables(
       df: DataFrame,
       textCol: String,
       maxGram: Int,
       seedTopK: Int,
-      vocabTarget: Int,
-      emRounds: Int,
-      squarings: Int): (DataFrame, DataFrame) = {
+      squarings: Int): (DataFrame, DataFrame, DataFrame) = {
     val words = wpWords(df, textCol).localCheckpoint()
     // the DP covers paths of <= 2^squarings edges; a longer word would
     // get NO segmentation row and silently vanish from every downstream
@@ -1112,7 +1127,20 @@ object TextAnalysis {
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
       .orderBy(col("cnt").desc, col("piece")).limit(seedTopK)
       .withColumn("is_char", lit(false))
-    var vocab = charCounts.unionByName(seedGrams).localCheckpoint()
+    (words, charCounts, charCounts.unionByName(seedGrams).localCheckpoint())
+  }
+
+  private def unigramLoop(
+      df: DataFrame,
+      textCol: String,
+      maxGram: Int,
+      seedTopK: Int,
+      vocabTarget: Int,
+      emRounds: Int,
+      squarings: Int): (DataFrame, DataFrame) = {
+    val (words, charCounts, vocab0) =
+      unigramSeedTables(df, textCol, maxGram, seedTopK, squarings)
+    var vocab = vocab0
     for (_ <- 1 to emRounds) {
       val chosen = unigramChosenEdges(
         words, unigramPrice(vocab), maxGram, squarings)
@@ -1194,6 +1222,146 @@ object TextAnalysis {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
         coalesce(col("cost_micro"), lit(0L)).as("cost_micro"))
+  }
+
+  /** Soft-EM posterior over the segmentation lattice, at ZERO
+    * TEMPERATURE and engine-exact: the posterior restricted to the set
+    * of ALL minimum-cost segmentations (uniform over them), computed by
+    * forward/backward PATH COUNTING on the optimal-edge DAG — exact
+    * integers, so both engines replay it bit-identically.
+    *
+    * Kudo 2018's finite-temperature forward-backward needs α/β
+    * probability sums, and floating sums are order-dependent — Spark's
+    * partial aggregation and any oracle engine would disagree in ulps
+    * that no rounding discipline can pin (and fixed-point α underflows:
+    * an 8-edge lattice at piece probability ~1e-4 is ~1e-32). The
+    * zero-temperature limit keeps the E-step's soul — every optimal
+    * segmentation contributes, not just one arbitrary winner — in
+    * arithmetic an oracle can restate: an edge is on SOME min-cost path
+    * iff cs(i) + cost + ce(j) = total, and with nF/nB = min-cost path
+    * counts from/to the word ends, exactly nF(i)·nB(j) of the N(w)
+    * optimal segmentations use it.
+    *
+    * Returns one row per optimal edge:
+    * (w, i, j, piece, through = nF(i)·nB(j), npaths = N(w)).
+    *
+    * Scale shape: everything runs on the distinct-word table — the DP
+    * is [[unigramDpTables]]; the count recurrences are 2^squarings
+    * sequential position rounds, each one keyed join + one word-keyed
+    * aggregate on word-sized tables (checkpointed — the accumulator is
+    * referenced twice per round). Corpus-size-independent like the
+    * hard E-step. */
+  private[graft] def unigramPosterior(
+      words: DataFrame,
+      priced: DataFrame,
+      maxGram: Int,
+      squarings: Int): DataFrame = {
+    val (edges, dmat) = unigramDpTables(words, priced, maxGram, squarings)
+    val dEnd = dmat.filter(col("j") === length(col("w")) + 1)
+      .select(col("w"), col("i").as("pos"), col("cost").as("ce"))
+    val dStart = dmat.filter(col("i") === 1)
+      .select(col("w"), col("j").as("pos"), col("cost").as("cs"))
+    val total = dEnd.filter(col("pos") === 1)
+      .select(col("w"), col("ce").as("tc"))
+    // an edge is on some min-cost path iff cs(i) + cost + ce(j) = total
+    // (cs(i)+ce(i) >= tc and cost+ce(j) >= ce(i) always, so equality
+    // forces both tight — the same certificate unigramChosenEdges picks
+    // its deterministic winner from)
+    val opt = edges
+      .join(dStart.select(col("w"), col("pos").as("i"), col("cs")), Seq("w", "i"))
+      .join(dEnd.select(col("w"), col("pos").as("j"), col("ce")), Seq("w", "j"))
+      .join(total, "w")
+      .filter(col("cs") + col("cost") + col("ce") === col("tc"))
+      .select(col("w"), col("i"), col("j"), col("piece"))
+      .localCheckpoint() // feeds both count recurrences + the join below
+    val maxLen = 1 << squarings
+    // forward: nF(1) = 1; nF(p) = Σ_{opt (i,p)} nF(i) — positions are
+    // topological (edges only go forward), so ascending-p rounds suffice
+    var nf = words.select(col("w"), lit(1).as("pos"), lit(1L).as("n"))
+    for (p <- 2 to maxLen + 1) {
+      val step = opt.filter(col("j") === p)
+        .join(nf.select(col("w"), col("pos").as("i"), col("n")), Seq("w", "i"))
+        .groupBy(col("w")).agg(sum(col("n")).as("n"))
+        .select(col("w"), lit(p).as("pos"), col("n"))
+      nf = nf.unionByName(step).localCheckpoint()
+    }
+    // backward: nB(len+1) = 1; nB(p) = Σ_{opt (p,j)} nB(j), descending p
+    var nb = words.select(
+      col("w"), (length(col("w")) + 1).as("pos"), lit(1L).as("n"))
+    for (p <- maxLen to 1 by -1) {
+      val step = opt.filter(col("i") === p)
+        .join(nb.select(col("w"), col("pos").as("j"), col("n")), Seq("w", "j"))
+        .groupBy(col("w")).agg(sum(col("n")).as("n"))
+        .select(col("w"), lit(p).as("pos"), col("n"))
+      nb = nb.unionByName(step).localCheckpoint()
+    }
+    val npaths = nb.filter(col("pos") === 1)
+      .select(col("w"), col("n").as("npaths"))
+    opt
+      .join(nf.select(col("w"), col("pos").as("i"), col("n").as("nfi")),
+        Seq("w", "i"))
+      .join(nb.select(col("w"), col("pos").as("j"), col("n").as("nbj")),
+        Seq("w", "j"))
+      .join(npaths, "w")
+      .select(col("w"), col("i"), col("j"), col("piece"),
+        (col("nfi") * col("nbj")).as("through"), col("npaths"))
+  }
+
+  /** Soft M-step counts in integer micro-units: piece x's expected count
+    * is Σ_w f(w) · (paths through x's edges) / N(w), staged per (w, x)
+    * as `(f · Σthrough · 1e6) div N` — exact integer products and one
+    * floor division, order-independent under any aggregation. (f·thr·1e6
+    * needs BIGINT headroom: fine to f ~ 1e7 at any bench SF; a 100 TB
+    * corpus moves the product to DECIMAL(38,0), the labelCentroids
+    * staging note.) */
+  private def unigramSoftCounts(
+      words: DataFrame,
+      priced: DataFrame,
+      maxGram: Int,
+      squarings: Int): DataFrame =
+    unigramPosterior(words, priced, maxGram, squarings)
+      .groupBy(col("w"), col("piece"))
+      .agg(sum(col("through")).as("thr"), max(col("npaths")).as("npaths"))
+      .join(words, "w")
+      .select(col("piece"), expr("(f * thr * 1000000L) div npaths").as("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+
+  /** Unigram-LM training with the SOFT E-step ([[unigramPosterior]]):
+    * per round, price the vocab, compute expected micro-counts over all
+    * minimum-cost segmentations, and prune to the `vocabTarget` best
+    * non-char pieces (chars never pruned — the segmentability fallback,
+    * as in hard EM). Returns (piece, is_char, cnt_micro, cost_micro) —
+    * the [[unigramTrain]] twin with hard Viterbi counts replaced by the
+    * posterior's expected counts; hard EM remains the oracle-checked
+    * fallback knob (q284). Rounds after the first price micro-counts —
+    * the cost ratios are scale-invariant up to the +1 smoothing grain,
+    * which is the point of pricing by ratio. */
+  def unigramTrainSoft(
+      df: DataFrame,
+      textCol: String,
+      maxGram: Int = 4,
+      seedTopK: Int = 60,
+      vocabTarget: Int = 40,
+      emRounds: Int = 1,
+      squarings: Int = 4): DataFrame = {
+    val (words, charCounts, vocab0) =
+      unigramSeedTables(df, textCol, maxGram, seedTopK, squarings)
+    var vocab = vocab0
+    for (_ <- 1 to emRounds) {
+      val counts = unigramSoftCounts(
+        words, unigramPrice(vocab), maxGram, squarings)
+      val newChars = charCounts.select(col("piece"))
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          lit(true).as("is_char"))
+      val newGrams = counts
+        .join(charCounts.select(col("piece")), Seq("piece"), "left_anti")
+        .orderBy(col("cnt").desc, col("piece")).limit(vocabTarget)
+        .withColumn("is_char", lit(false))
+      vocab = newChars.unionByName(newGrams).localCheckpoint()
+    }
+    unigramPrice(vocab).select(col("piece"), col("is_char"),
+      col("cnt").as("cnt_micro"), col("cost").as("cost_micro"))
   }
 
   // -------------------------------------------------------------------

@@ -130,6 +130,91 @@ class Round12Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Unigram soft E-step: zero-temperature forward-backward posterior
+  // ------------------------------------------------------------------
+
+  test("unigram soft posterior matches brute-force enumeration; flow conserves") {
+    // tie-rich fixture: in "abab" every 1/2-gram segmentation costs 400
+    // (5 optimal paths); "aab" has exactly 2 (aa is overpriced); "bb" 1
+    val words = Seq(("abab", 5L), ("aab", 3L), ("bb", 2L)).toDF("w", "f")
+    val priced = Seq(
+        ("a", 100L), ("b", 100L), ("ab", 200L), ("ba", 200L), ("aa", 250L))
+      .toDF("piece", "cost")
+    val cost = priced.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force: enumerate every segmentation, keep the min-cost set,
+    // count per-edge usage across it
+    def segs(w: String): Seq[Seq[(Int, Int, String)]] = {
+      def go(i: Int): Seq[Seq[(Int, Int, String)]] =
+        if (i > w.length) Seq(Seq.empty)
+        else (1 to 2).filter(n => i + n - 1 <= w.length)
+          .map(n => (i, i + n, w.substring(i - 1, i + n - 1)))
+          .filter(e => cost.contains(e._3))
+          .flatMap(e => go(e._2).map(e +: _))
+      go(1)
+    }
+    val post = graft.operators.TextAnalysis
+      .unigramPosterior(words, priced, maxGram = 2, squarings = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)) ->
+        (r.getLong(4), r.getLong(5)))
+      .toMap
+    for (w <- Seq("abab", "aab", "bb")) {
+      val all = segs(w)
+      val best = all.map(s => s.map(e => cost(e._3)).sum).min
+      val opt = all.filter(s => s.map(e => cost(e._3)).sum == best)
+      val expectThrough = opt.flatten.groupBy(identity).map {
+        case (e, uses) => e -> uses.size.toLong
+      }
+      val mine = post.filter(_._1._1 == w)
+      assert(mine.values.map(_._2).toSet == Set(opt.size.toLong),
+        s"$w: npaths ${mine.values.map(_._2).toSet} != ${opt.size}")
+      assert(
+        mine.map { case ((_, i, j, p), (thr, _)) => ((i, j, p), thr) } ==
+          expectThrough.map { case ((i, j, p), t) => ((i, j, p), t) },
+        s"$w: per-edge through diverged from brute force")
+      // posterior flow conservation: edges leaving position 1 carry all
+      // N(w) optimal segmentations exactly once
+      val outflow = mine.collect { case ((_, 1, _, _), (thr, _)) => thr }.sum
+      assert(outflow == opt.size.toLong, s"$w: outflow $outflow != ${opt.size}")
+    }
+    // "abab" is genuinely tie-rich — the zero-temperature posterior must
+    // spread mass across MORE than one segmentation (else this is hard EM)
+    assert(post(("abab", 1, 3, "ab"))._2 == 5L)
+    assert(post.filter(_._1._1 == "abab").values.exists(_._1 > 1L))
+  }
+
+  test("unigramTrainSoft: soft counts equal 1e6x hard counts when paths are unique") {
+    // asymmetric frequencies so every word's optimal segmentation is
+    // unique — and SELF-CHECKED below via npaths == 1, so a fixture that
+    // ever grows a tie fails loudly rather than comparing garbage. (A
+    // symmetric corpus ties maximally: cost(w2)+cost(x) == cost(w)+
+    // cost(2x) whenever the gram counts mirror — the first version of
+    // this test proved that the hard way.)
+    import graft.operators.TextAnalysis
+    val docs = (Seq.fill(7)("ab") ++ Seq.fill(3)("cd") ++ Seq.fill(5)("ad") ++
+        Seq.fill(2)("b"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (words, _, vocab0) = TextAnalysis.unigramSeedTables(
+      docs, "text", maxGram = 2, seedTopK = 10, squarings = 1)
+    val np = TextAnalysis.unigramPosterior(
+        words, TextAnalysis.unigramPrice(vocab0), maxGram = 2, squarings = 1)
+      .select(col("w"), col("npaths")).distinct().collect()
+    assert(np.forall(_.getLong(1) == 1L),
+      s"fixture is not single-path: ${np.mkString(", ")}")
+    val soft = TextAnalysis.unigramTrainSoft(docs, "text", maxGram = 2,
+        seedTopK = 10, vocabTarget = 8, emRounds = 1, squarings = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val hard = TextAnalysis.unigramTrain(docs, "text", maxGram = 2,
+        seedTopK = 10, vocabTarget = 8, emRounds = 1, squarings = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(soft.keySet == hard.keySet,
+      s"vocabs diverged: ${soft.keySet} vs ${hard.keySet}")
+    val diverged = soft.filter { case (p, c) => hard(p) * 1000000L != c }
+    assert(diverged.isEmpty,
+      s"soft != 1e6*hard on a single-path corpus: $diverged")
+  }
+
+  // ------------------------------------------------------------------
   // JPEG: 4:2:0 / 4:2:2 / restart intervals / marker hardening
   // ------------------------------------------------------------------
 
