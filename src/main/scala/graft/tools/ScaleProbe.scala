@@ -97,7 +97,11 @@ object ScaleProbe {
     "q285_theta_set_sketches",
     // round-11: JPEG encode+decode — embarrassingly parallel
     // mapPartitions per asset, no shuffle; growth should track rows
-    "q286_jpeg_decode")
+    "q286_jpeg_decode",
+    // round-12: 4:2:0 color JPEG — q286's mapPartitions class with ~6x
+    // the per-asset block work (4 luma + 2 chroma per MCU + RGB
+    // conversion); growth should track rows like q286
+    "q296_jpeg_420_decode")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -184,7 +188,17 @@ object ScaleProbe {
     "q287_hilbert_layout" ->
       "a layout REWRITE: write volume equals input rows at any SF (q273/q275's class, measured at full scale by the CTAS baseline); the curve key is one codegen'd expression per row riding the scan",
     "q288_graph_ann_search" ->
-      "dominated by rebuilding the q282 graph, whose scale behavior IS probed (q282_nn_descent_knob_scaled); the search rounds themselves are |queries|*beam-row joins + per-query windows — independent of corpus size beyond keyed vector lookups by construction")
+      "dominated by rebuilding the q282 graph, whose scale behavior IS probed (q282_nn_descent_knob_scaled); the search rounds themselves are |queries|*beam-row joins + per-query windows — independent of corpus size beyond keyed vector lookups by construction",
+    "q290_ann_index_serve/q292_ann_index_health" ->
+      "a probe replica dir gets a FRESH index store (dirs are corpus-tagged by design), so the entry would measure the one-time q282-class build — the knob artifact q282_nn_descent_knob_scaled already probes — not the serving/audit it exists to time; serving is |queries|*beam keyed joins and the audit is O(hops) keyed frontier joins (the probed q117/q255 BFS class) over the stored k*n-row graph",
+    "q291_ann_index_insert" ->
+      "same fresh-store effect: the base-graph build dominates any probe (q282's knob-scaled probe covers it); the insert path itself is one beam search over |batch|*beam-row tables plus a per-node top-k window over k*n rows — linear keyed volume by construction, locked shape-wise by Round12Spec's no-cartesian plan assertion",
+    "q293_theta_by_source" ->
+      "per-source KMV samples: state is sources x k regardless of corpus (the q272/q257/q279 grouped-sketch class); the shingle-scan cost is what the probed q285 already measures on the identical explode",
+    "q294_streaming_theta" ->
+      "per-batch KMV merge over a <= k-row store; fixed micro-batch overhead dominates at any SF — the excluded streaming-store class (q259/q277), with the batch sketch shape probed via q285",
+    "q295_unigram_soft_em" ->
+      "q284's exclusion verbatim: the replica token prefix lengthens words past the squarings=3 lattice bound, silently changing the workload (q284_unigram_squarings4 is the matched-workload probe of the shared DP); the soft additions — two path-count recurrences and the posterior join — are distinct-words-sized rounds, corpus-independent like every EM stage")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

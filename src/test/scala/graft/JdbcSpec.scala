@@ -36,4 +36,29 @@ class JdbcSpec extends AnyFunSuite {
     assert(full.schema.fieldNames.map(_.toLowerCase).toSet ==
       Set("age_mil", "wavelength", "flam", "is_peculiar"))
   }
+
+  test("SQL Server dialect shim generates the reference's exact T-SQL") {
+    import graft.sinks.SqlServerDialect
+    import org.apache.spark.sql.types.StructType
+    // the m33 export schema, as the pipeline reads it back
+    val schema = StructType.fromDDL(M33Pipeline.m33Schema)
+    // create_m33_tbl.sql:2 — byte-for-byte the reference's DDL body
+    assert(SqlServerDialect.createTableDdl("m33", schema) ==
+      "CREATE TABLE m33 (age_mil BIGINT, wavelength FLOAT, flam FLOAT, is_peculiar INT)")
+    // create_astro_database.sql
+    assert(SqlServerDialect.createDatabaseDdl("astroDB") ==
+      "CREATE DATABASE astroDB")
+    // playground.py:715 — the URL Sqoop's export is invoked with
+    assert(SqlServerDialect.jdbcUrl("sql", "astroDB") ==
+      "jdbc:sqlserver://sql;databaseName=astroDB")
+    // runall.py:73 — the verification read-back
+    assert(SqlServerDialect.topNSql("m33", 100) == "SELECT TOP 100 * FROM m33")
+    // the prepared statement the batched export executes per row
+    assert(SqlServerDialect.insertSql("m33", schema) ==
+      "INSERT INTO m33 (age_mil, wavelength, flam, is_peculiar) VALUES (?, ?, ?, ?)")
+    // unmappable types fail loudly, never emit guessed DDL
+    intercept[IllegalArgumentException] {
+      SqlServerDialect.sqlType(org.apache.spark.sql.types.CalendarIntervalType)
+    }
+  }
 }
