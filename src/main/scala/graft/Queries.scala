@@ -10617,7 +10617,106 @@ object Queries {
              |SELECT d.doc_id AS asset_id, 'jpeg' AS codec, d.w AS width,
              |  d.h AS height, 3::BIGINT AS n_components, ps.pixel_sum
              |FROM dims d JOIN ps USING (doc_id)
-             |ORDER BY asset_id""".stripMargin)))
+             |ORDER BY asset_id""".stripMargin)),
+
+    // source-overlap matrix at sketch cost (ThetaSketch.overlapMatrix):
+    // every unordered source pair's intersection-cardinality estimate
+    // from the q293 per-source KMV samples at the shared θ = min cut —
+    // "which sources duplicate each other", the audit a training-mix
+    // owner runs before weighting sources (today answerable only at
+    // exact corpus cost), and exactly what the grouped samples exist
+    // for. All sample-sized: the common-hash join runs on ≤ k rows per
+    // source and the pair frame on the |sources|-row theta table (the
+    // one crossJoin is group-count scalars, the q285 discipline).
+    "q297_source_overlap_matrix" -> Q(
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("source"), explode(F.wordShingles(col("text"), 3)).as("g"))
+        operators.ThetaSketch.overlapMatrix(
+            operators.ThetaSketch.sketchBy(g, col("source"), col("g"), 64), 64)
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+             |shg AS (SELECT source, CASE WHEN len(t) >= 3
+             |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+             |    ELSE []::VARCHAR[] END AS sg FROM toks),
+             |h AS (SELECT DISTINCT source,
+             |    ('0x'||substr(md5(g),1,15))::BIGINT AS h
+             |  FROM (SELECT source, unnest(sg) AS g FROM shg)),
+             |sk AS (SELECT source, h FROM (
+             |    SELECT source, h, row_number() OVER (
+             |      PARTITION BY source ORDER BY h) AS rn FROM h)
+             |  WHERE rn <= 64),
+             |th AS (SELECT source, count(*)::BIGINT AS n,
+             |    CASE WHEN count(*) >= 64 THEN max(h)
+             |      ELSE 1152921504606846976 END AS theta
+             |  FROM sk GROUP BY source),
+             |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    a.n AS na, b.n AS nb, least(a.theta, b.theta) AS theta
+             |  FROM th a JOIN th b ON a.source < b.source),
+             |cm AS (SELECT x.source AS src_a, y.source AS src_b,
+             |    count(*)::BIGINT AS n_common
+             |  FROM sk x JOIN sk y ON x.h = y.h AND x.source < y.source
+             |    JOIN pr ON pr.src_a = x.source AND pr.src_b = y.source
+             |  WHERE x.h < pr.theta
+             |  GROUP BY 1, 2)
+             |SELECT pr.src_a, pr.src_b, pr.na, pr.nb,
+             |  coalesce(cm.n_common, 0)::BIGINT AS n_common, pr.theta,
+             |  floor(coalesce(cm.n_common, 0)::DOUBLE *
+             |    1152921504606846976::DOUBLE / pr.theta::DOUBLE)::BIGINT
+             |    AS est_intersect
+             |FROM pr LEFT JOIN cm
+             |  ON pr.src_a = cm.src_a AND pr.src_b = cm.src_b
+             |ORDER BY pr.src_a, pr.src_b""".stripMargin)),
+
+    // STREAMING serving over the persisted graph-ANN index
+    // (AnnServing.serveGraphTopK): query embeddings arrive as a stream
+    // and each micro-batch beam-searches the STORED q290 artifact — the
+    // deployed online form completing the vector-search story (build
+    // q282 → persist/serve q290 → insert q291 → audit q292 → online
+    // q298), and the graph-index answer to q80's brute-force serving.
+    // Beam search is stateless per query, so the drained append table
+    // equals the batch statement exactly whatever the micro-batching —
+    // the oracle is the batch search chain over a third query set.
+    // Scale: the undirected closure is pinned once before the stream;
+    // per batch beam-sized keyed joins + per-query windows only.
+    "q298_streaming_graph_ann" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val stored = operators.AnnIndex.buildOrLoad(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "full"))
+        graft.streaming.AnnServing.serveGraphTopK(
+            s, stored, emb,
+            queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") >= 20 && col("vec_id") < 30,
+            idCol = "vec_id", vecCol = "embedding",
+            entryIds = 0L until 4L, beam = 12, rounds = 3, k = 5)
+          .select(col("q_id"), col("n_id"), col("d2"),
+            col("rank").cast("bigint").as("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""${nnGraphOracleCtes(15, 4)},
+              |gse AS MATERIALIZED (SELECT id, nbr FROM nn4
+              |  UNION SELECT nbr AS id, id AS nbr FROM nn4),
+              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |          for j in range(1,65)])::BIGINT AS d2
+              |      FROM v q JOIN v c ON c.id IN (0, 1, 2, 3) AND c.id <> q.id
+              |      WHERE q.id >= 20 AND q.id < 30))
+              |  WHERE rn <= 12),
+              |${graphSearchRoundSql(1, 12)},
+              |${graphSearchRoundSql(2, 12)},
+              |${graphSearchRoundSql(3, 12)}
+              |SELECT q_id, n_id, d2, rn AS rank FROM (
+              |  SELECT q_id, n_id, d2, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM gb3)
+              |WHERE rn <= 5
+              |ORDER BY q_id, rank""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -79,6 +79,43 @@ object ThetaSketch {
   def union(a: DataFrame, b: DataFrame, k: Int): DataFrame =
     a.unionByName(b).distinct().orderBy(col("h")).limit(k)
 
+  /** Pairwise source-overlap matrix from [[sketchBy]] samples: for every
+    * unordered group pair, the intersection-cardinality estimate at the
+    * shared cut θ = min(θ_A, θ_B) — "which sources duplicate each
+    * other", the audit a training-mix owner runs before weighting
+    * sources, at sketch cost instead of |corpus|² (this is exactly what
+    * the per-source samples exist for). Everything is sample-sized: the
+    * common-hash join runs on ≤ k rows per group and the pair frame on
+    * the |groups|-row theta table (the one crossJoin is group-count ×
+    * group-count scalars, the q285 1-row-θ discipline, never data). */
+  def overlapMatrix(sk: DataFrame, k: Int): DataFrame = {
+    val th = sk.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hmax"))
+      .select(col("g"), col("n"),
+        when(col("n") >= k, col("hmax")).otherwise(lit(HashSpace)).as("theta"))
+    val pairs = th.select(col("g").as("src_a"), col("n").as("na"),
+        col("theta").as("ta"))
+      .crossJoin(th.select(col("g").as("src_b"), col("n").as("nb"),
+        col("theta").as("tb")))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        least(col("ta"), col("tb")).as("theta"))
+    val common = sk.select(col("g").as("src_a"), col("h"))
+      .join(sk.select(col("g").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .join(pairs.select(col("src_a"), col("src_b"), col("theta")),
+        Seq("src_a", "src_b"))
+      .filter(col("h") < col("theta"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"), col("theta"),
+        floor(coalesce(col("n_common"), lit(0L)).cast("double") *
+          lit(HashSpace.toDouble) / col("theta").cast("double"))
+          .cast("long").as("est_intersect"))
+  }
+
   /** One-row (op, n_sample, theta, est) for a plain KMV sketch: θ = h_k
     * when full (estimation cut) else 2^60 (exhaustive — est is exact). */
   def estimateRow(sk: DataFrame, k: Int, op: String): DataFrame =

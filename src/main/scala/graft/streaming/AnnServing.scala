@@ -64,4 +64,65 @@ object AnnServing {
     }
     spark.table(tbl)
   }
+
+  /** Streaming serving against the PERSISTED graph-ANN index: each query
+    * micro-batch beam-searches the stored k-NN graph
+    * ([[graft.operators.AnnIndex.buildOrLoad]]'s artifact) instead of
+    * scanning the corpus — the deployed online form of the
+    * q282 build → q290 serve story, and the 100 TB answer to this file's
+    * own "at scale the corpus side would be an index" note. The graph's
+    * undirected closure is computed ONCE and pinned before the stream
+    * starts (closure is idempotent on a symmetric edge set, so
+    * [[Similarity.graphSearchTopK]]'s internal closure is a no-op
+    * distinct per batch rather than a rebuild); per batch the work is
+    * beam-sized keyed joins + per-query windows, the corpus touched only
+    * through keyed vector lookups. Results append to a per-JVM-tagged
+    * managed table, returned after the drain. */
+  def serveGraphTopK(
+      spark: SparkSession,
+      graph: DataFrame,
+      corpus: DataFrame,
+      queriesPath: String,
+      querySchemaDDL: String,
+      queryFilter: Column,
+      idCol: String,
+      vecCol: String,
+      entryIds: Seq[Long],
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = EventStreams.synchronized {
+    val tbl = "ann_graph_serve_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, EventStreams.statePartitions.toString)
+    val ckpt = EventStreams.newCheckpointDir()
+    import org.apache.spark.sql.functions.col
+    val closed = graph.select(col("q_id").as("q_id"), col("n_id").as("n_id"))
+      .unionByName(graph.select(col("n_id").as("q_id"), col("q_id").as("n_id")))
+      .distinct().localCheckpoint()
+    try {
+      val stream = spark.readStream.schema(querySchemaDDL)
+        .parquet(EventStreams.sourceDir(queriesPath))
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val queries = batch.filter(queryFilter)
+          Similarity.graphSearchTopK(closed, corpus, queries, idCol, vecCol,
+              entryIds, beam, rounds, k)
+            .write.mode("append").saveAsTable(tbl)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () }
+    }
+    spark.table(tbl)
+  }
 }

@@ -198,7 +198,11 @@ object ScaleProbe {
     "q294_streaming_theta" ->
       "per-batch KMV merge over a <= k-row store; fixed micro-batch overhead dominates at any SF — the excluded streaming-store class (q259/q277), with the batch sketch shape probed via q285",
     "q295_unigram_soft_em" ->
-      "q284's exclusion verbatim: the replica token prefix lengthens words past the squarings=3 lattice bound, silently changing the workload (q284_unigram_squarings4 is the matched-workload probe of the shared DP); the soft additions — two path-count recurrences and the posterior join — are distinct-words-sized rounds, corpus-independent like every EM stage")
+      "q284's exclusion verbatim: the replica token prefix lengthens words past the squarings=3 lattice bound, silently changing the workload (q284_unigram_squarings4 is the matched-workload probe of the shared DP); the soft additions — two path-count recurrences and the posterior join — are distinct-words-sized rounds, corpus-independent like every EM stage",
+    "q297_source_overlap_matrix" ->
+      "per-source samples + pairwise set ops on <= k rows per source and a |sources|-row pair frame (the q272/q293 grouped-sketch class); the shingle-scan cost is what the probed q285 measures on the identical explode",
+    "q298_streaming_graph_ann" ->
+      "a probe replica dir gets a FRESH index store, so the entry would measure the q282-class build (q290/q292's rationale); the per-batch serving work is |queries|*beam keyed joins — corpus-independent beyond keyed vector lookups — under fixed micro-batch overhead (the excluded streaming class)")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

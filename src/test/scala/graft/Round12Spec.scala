@@ -129,6 +129,60 @@ class Round12Spec extends AnyFunSuite {
     assert(audit.last.getLong(3) == 1000000L)
   }
 
+  test("overlapMatrix: exhaustive-mode pairs estimate exactly; cut math holds") {
+    // three sources with engineered overlap, all below k ⇒ θ = 2^60 and
+    // every pair's estimate must equal the EXACT distinct-intersection
+    val rows =
+      (0 until 30).map(i => ("s0", s"v$i")) ++
+      (10 until 40).map(i => ("s1", s"v$i")) ++          // |s0 ∩ s1| = 20
+      (0 until 5).map(i => ("s2", s"v$i"))               // |s0 ∩ s2| = 5, |s1 ∩ s2| = 0
+    val sk = ThetaSketch.sketchBy(rows.toDF("src", "v"), col("src"), col("v"), 64)
+    val m = ThetaSketch.overlapMatrix(sk, 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap
+    assert(m(("s0", "s1")) == ((30L, 30L, 20L, 20L)))
+    assert(m(("s0", "s2")) == ((30L, 5L, 5L, 5L)))
+    assert(m(("s1", "s2")) == ((30L, 5L, 0L, 0L)))
+    // full sketches: n_common counts only hashes below the shared cut
+    // and est scales by 2^60/θ — spot-check the formula on a big pair
+    val big = (0 until 500).map(i => ("a", s"x$i")) ++
+      (0 until 500).map(i => ("b", s"x$i"))
+    val bm = ThetaSketch.overlapMatrix(
+        ThetaSketch.sketchBy(big.toDF("src", "v"), col("src"), col("v"), 64), 64)
+      .collect().head
+    val (nc, theta, est) = (bm.getLong(4), bm.getLong(5), bm.getLong(6))
+    // identical sets share the whole sample, but the θ-cut is STRICT
+    // (h < θ with θ = h_k), so exactly k-1 entries sit below it — the
+    // standard theta-sketch convention the estimator's k-1 numerator
+    // mirrors
+    assert(nc == 63L, "identical full sketches must share k-1 entries below the cut")
+    assert(est == math.floor(
+      nc.toDouble * ThetaSketch.HashSpace.toDouble / theta.toDouble).toLong)
+  }
+
+  test("serveGraphTopK: streamed serving equals the batch beam search") {
+    val emb = randomVecs(50, 8, seed = 31)
+    val g = Similarity.nnDescent(emb, "vec_id", "embedding", 5, 2, 8)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_serve").toString
+    emb.filter(col("vec_id") < 6).repartition(2).write.parquet(s"$dir/q")
+    val served = graft.streaming.AnnServing.serveGraphTopK(
+        spark, g, emb, s"$dir/q", "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        queryFilter = col("vec_id") >= 0, idCol = "vec_id",
+        vecCol = "embedding", entryIds = Seq(0L, 1L), beam = 8, rounds = 2, k = 3)
+      .select(col("q_id"), col("n_id"), col("d2"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    val batch = Similarity.graphSearchTopK(
+        g, emb, emb.filter(col("vec_id") < 6), "vec_id", "embedding",
+        Seq(0L, 1L), beam = 8, rounds = 2, k = 3)
+      .select(col("q_id"), col("n_id"), col("d2"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(served == batch, "streamed serving diverged from the batch search")
+  }
+
   // ------------------------------------------------------------------
   // Unigram soft E-step: zero-temperature forward-backward posterior
   // ------------------------------------------------------------------
