@@ -10716,6 +10716,55 @@ object Queries {
               |  SELECT q_id, n_id, d2, row_number() OVER (
               |    PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM gb3)
               |WHERE rn <= 5
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // metadata-FILTERED vector search over the persisted index
+    // (AnnIndex.filteredSearchTopK): top-k among vectors satisfying a
+    // label predicate — the constrained-retrieval form every deployed
+    // vector store offers (tenant/date/label filters). Pre-filtering
+    // the graph would break its connectivity (edges through
+    // non-matching nodes are how search crosses the corpus), so the
+    // production pattern is oversample-then-filter: beam 24 on the full
+    // stored graph, one semi-join against the predicate's id set,
+    // re-rank to top-5 among survivors. The oracle unrolls the
+    // oversampled search and applies the same filter; Round12Spec gates
+    // recall vs exact FILTERED L2 at this selectivity (~1/3). Scale:
+    // beam-sized keyed joins + one keyed semi-join + one ≤ beam-row
+    // window per query.
+    "q299_ann_filtered_search" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val stored = operators.AnnIndex.buildOrLoad(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "full"))
+        operators.AnnIndex.filteredSearchTopK(
+            stored, emb, emb.filter(col("vec_id") >= 30 && col("vec_id") < 40),
+            "vec_id", "embedding", pred = col("label") % 3 === 1,
+            entryIds = 0L until 4L, beam = 24, rounds = 3, k = 5)
+          .select(col("q_id"), col("n_id"), col("d2"),
+            col("rank").cast("bigint").as("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""${nnGraphOracleCtes(15, 4)},
+              |gse AS MATERIALIZED (SELECT id, nbr FROM nn4
+              |  UNION SELECT nbr AS id, id AS nbr FROM nn4),
+              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |          for j in range(1,65)])::BIGINT AS d2
+              |      FROM v q JOIN v c ON c.id IN (0, 1, 2, 3) AND c.id <> q.id
+              |      WHERE q.id >= 30 AND q.id < 40))
+              |  WHERE rn <= 24),
+              |${graphSearchRoundSql(1, 24)},
+              |${graphSearchRoundSql(2, 24)},
+              |${graphSearchRoundSql(3, 24)},
+              |ok AS (SELECT vec_id AS n_id FROM embeddings WHERE label % 3 = 1)
+              |SELECT q_id, n_id, d2, rn AS rank FROM (
+              |  SELECT b.q_id, b.n_id, b.d2, row_number() OVER (
+              |    PARTITION BY b.q_id ORDER BY b.d2, b.n_id) AS rn
+              |  FROM gb3 b JOIN ok USING (n_id))
+              |WHERE rn <= 5
               |ORDER BY q_id, rank""".stripMargin)))
 
   /** All queries in catalog order. */

@@ -104,6 +104,43 @@ object AnnIndex {
       .select(col("id").as("q_id"), col("nbr").as("n_id"), col("d2"), col("rank"))
   }
 
+  /** Metadata-FILTERED serving over the stored graph: beam-search with
+    * an OVERSAMPLED beam, post-filter the surviving candidates on the
+    * metadata predicate, keep the best `k` among survivors — production
+    * "filtered vector search" (every deployed vector store offers it:
+    * top-k among vectors WITH label/tenant/date constraints).
+    * Pre-filtering the graph would break its connectivity — edges
+    * through non-matching nodes are exactly how search crosses the
+    * corpus — so the standard mitigation is oversample-then-filter: the
+    * beam stays on the FULL graph and the filter applies to results,
+    * trading beam width for filter selectivity (beam ≥ k / selectivity
+    * keeps recall; the q299 entry gates it against exact filtered L2).
+    * Scale shape: the search is [[Similarity.graphSearchTopK]]'s
+    * beam-sized keyed joins; the filter is one keyed semi-join against
+    * the predicate's id set; the re-rank one per-query window over
+    * ≤ beam rows. */
+  def filteredSearchTopK(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pred: org.apache.spark.sql.Column,
+      entryIds: Seq[Long],
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    require(beam >= k)
+    val hits = Similarity.graphSearchTopK(
+      graph, corpus, queries, idCol, vecCol, entryIds, beam, rounds, beam)
+    val allowed = corpus.filter(pred).select(col(idCol).as("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
+    hits.drop("rank")
+      .join(allowed, Seq("n_id"), "left_semi")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("d2"), col("rank"))
+  }
+
   /** Index-health audit — the check a production ANN service runs
     * against its stored graph: how much of the corpus can beam search
     * REACH from the designated entry points within `hops` undirected

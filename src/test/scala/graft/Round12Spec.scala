@@ -339,6 +339,68 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("JPEG AC coefficients decode through run-length + extend + IDCT") {
+    // the fixtures are DC-only by design (pixel-exact round trips), so
+    // the AC branch needs its own positive lock: craft a stream whose
+    // single block carries DC diff 0 and ONE AC coefficient — value 1
+    // at scan position 1 (natural u=1, v=0) — and check every decoded
+    // pixel against the IDCT formula computed independently here.
+    val base = Jpeg.encodeJpegGray(8, 8, seed = 0L)
+    def u16(b: Array[Byte], o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    var pos = 2
+    var sosEnd = -1
+    while (sosEnd < 0) {
+      assert((base(pos) & 0xff) == 0xff, "fixture marker walk broke")
+      val len = u16(base, pos + 2)
+      if ((base(pos + 1) & 0xff) == 0xda) sosEnd = pos + 4 + len - 2
+      pos = pos + 4 + len - 2
+    }
+    // Annex K canonical codes: DC size-0 = 00; AC (0,1) = 00 + 1 value
+    // bit; EOB (0x00, 4th AC val) = 1010; pad the last byte with 1s
+    val bits = "00" + "00" + "1" + "1010"
+    val padded = bits + "1" * ((8 - bits.length % 8) % 8)
+    val entropy = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val stream = base.take(sosEnd) ++ entropy ++ Array(0xff.toByte, 0xd9.toByte)
+    val img = Jpeg.decodeJpeg(stream).getOrElse(fail("AC stream decoded to None"))
+    assert((img.width, img.height, img.nComponents) == (8, 8, 1))
+    val c0 = 1.0 / math.sqrt(2.0)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p = math.round(c0 * math.cos((2 * x + 1) * math.Pi / 16) / 4.0).toInt + 128
+      val expect = math.max(0, math.min(255, p))
+      assert(img.pixels(y * 8 + x) == expect,
+        s"AC pixel ($x,$y): got ${img.pixels(y * 8 + x)} want $expect")
+    }
+  }
+
+  test("filteredSearchTopK: predicate honored; recall holds at ~2/5 selectivity") {
+    val emb = randomVecs(60, 8, seed = 41)
+      .withColumn("label", col("vec_id") % 5)
+    val g = Similarity.nnDescent(emb, "vec_id", "embedding", 6, 3, 6)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = graft.operators.AnnIndex.filteredSearchTopK(
+        g, emb, queries, "vec_id", "embedding",
+        pred = col("label") < 2, entryIds = Seq(0L, 1L),
+        beam = 20, rounds = 3, k = 3)
+      .localCheckpoint()
+    // every result satisfies the predicate, ranks are 1..<=k per query
+    val allowed = emb.filter(col("label") < 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.forall { case (_, n, _) => allowed(n) },
+      "filtered search returned a non-matching vector")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"ranks broken for $q")
+    }
+    // oversample-then-filter recall vs exact FILTERED L2
+    val recall = Similarity.recallAtK(got,
+        Similarity.l2TopK(emb.filter(col("label") < 2), queries,
+          "vec_id", "embedding", k = 3), k = 3)
+      .agg(avg(col("recall_ppm"))).head().getDouble(0)
+    assert(recall >= 500000.0, s"filtered recall collapsed: $recall ppm")
+  }
+
   test("JPEG marker hardening: fill bytes + standalone TEM parse; junk is None") {
     val base = Jpeg.encodeJpegGray(12, 9, seed = 4L)
     val want = Jpeg.decodeJpeg(base).get.pixels.toSeq
