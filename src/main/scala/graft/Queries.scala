@@ -10765,7 +10765,42 @@ object Queries {
               |    PARTITION BY b.q_id ORDER BY b.d2, b.n_id) AS rn
               |  FROM gb3 b JOIN ok USING (n_id))
               |WHERE rn <= 5
-              |ORDER BY q_id, rank""".stripMargin)))
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // tombstone DELETE + repair queue (AnnIndex.tombstoneDelete): drop a
+    // deleted batch (vec_id % 7 = 3, ~14%) from the stored index by two
+    // keyed semi-joins and report each surviving node's degraded degree
+    // and repair verdict (n_nbrs < k) — the maintenance path completing
+    // the index lifecycle (build q282 → persist/serve q290 → insert
+    // q291 → DELETE q300 → audit q292 → online q298 → filtered q299).
+    // Deletes degrade lists rather than re-link (the tombstone pattern;
+    // re-linking costs a search per affected node, so production
+    // batches repair into the next maintenance window seeded from
+    // exactly this queue), and fully-orphaned nodes surface with
+    // n_nbrs = 0 rather than vanishing — the row a repair job must not
+    // miss. Oracle: the NN-Descent chain + the same two restrictions +
+    // a survivor left join. Scale: two keyed semi-joins over the k·n
+    // edge table + one count + one left join; the store is read.
+    "q300_ann_index_delete" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val stored = operators.AnnIndex.buildOrLoad(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "full"))
+        operators.AnnIndex.tombstoneDelete(
+            stored, emb.filter(col("vec_id") % 7 =!= 3), "vec_id", k = 15)
+          .orderBy(col("id"))
+      },
+      Some(s"""${nnGraphOracleCtes(15, 4)},
+              |rem AS (SELECT id FROM v WHERE id % 7 <> 3),
+              |kept AS (SELECT g.id, g.nbr FROM nn4 g
+              |  JOIN rem a ON g.id = a.id
+              |  JOIN rem b ON g.nbr = b.id),
+              |deg AS (SELECT id, count(*)::BIGINT AS n_nbrs
+              |  FROM kept GROUP BY id)
+              |SELECT rem.id, coalesce(deg.n_nbrs, 0)::BIGINT AS n_nbrs,
+              |  (coalesce(deg.n_nbrs, 0) < 15) AS needs_repair
+              |FROM rem LEFT JOIN deg USING (id)
+              |ORDER BY rem.id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

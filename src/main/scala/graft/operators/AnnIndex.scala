@@ -141,6 +141,40 @@ object AnnIndex {
       .select(col("q_id"), col("n_id"), col("d2"), col("rank"))
   }
 
+  /** Tombstone DELETE from the stored index, plus the repair queue —
+    * the maintenance path completing the index's lifecycle
+    * (build/serve/insert/DELETE/audit): drop every edge that touches a
+    * deleted vector (two keyed semi-joins against the surviving id
+    * set), then report each surviving node's degree and whether it
+    * needs repair (n_nbrs < k). Deletes DEGRADE lists rather than
+    * rebuild them — the standard tombstone pattern (HNSW et al.):
+    * re-linking at delete time would cost a search per affected node,
+    * so production batches the repair into the next maintenance window
+    * (an [[insertBatch]]-style re-search seeded from this queue, or the
+    * periodic offline rebuild). Fully-orphaned nodes — every neighbor
+    * deleted — surface with n_nbrs = 0 rather than silently vanishing
+    * from the edge table, which is exactly the row a repair job must
+    * not miss. Returns (id, n_nbrs, needs_repair) per surviving node.
+    *
+    * Scale shape: two keyed semi-joins over the k·n-row edge table +
+    * one per-node count + one left join against the survivor ids —
+    * nothing corpus×corpus, and the stored graph is read, not
+    * rebuilt. */
+  def tombstoneDelete(
+      graph: DataFrame,
+      remaining: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
+    val ids = remaining.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val kept = graph
+      .join(ids.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
+      .join(ids.select(col("id").as("n_id")), Seq("n_id"), "left_semi")
+    val deg = kept.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n_nbrs"))
+    ids.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        (coalesce(col("n_nbrs"), lit(0L)) < k).as("needs_repair"))
+  }
+
   /** Index-health audit — the check a production ANN service runs
     * against its stored graph: how much of the corpus can beam search
     * REACH from the designated entry points within `hops` undirected

@@ -204,7 +204,9 @@ object ScaleProbe {
     "q298_streaming_graph_ann" ->
       "a probe replica dir gets a FRESH index store, so the entry would measure the q282-class build (q290/q292's rationale); the per-batch serving work is |queries|*beam keyed joins — corpus-independent beyond keyed vector lookups — under fixed micro-batch overhead (the excluded streaming class)",
     "q299_ann_filtered_search" ->
-      "q290's fresh-store rationale; the filtered-search increment over plain serving is one keyed semi-join against the predicate id set plus a <= beam-row window per query — both corpus-independent by construction")
+      "q290's fresh-store rationale; the filtered-search increment over plain serving is one keyed semi-join against the predicate id set plus a <= beam-row window per query — both corpus-independent by construction",
+    "q300_ann_index_delete" ->
+      "q290's fresh-store rationale; the delete itself is two keyed semi-joins over the k*n edge table + one count + one left join — linear keyed volume, the same class as the probed dedup restrictions")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

@@ -114,6 +114,28 @@ class Round12Spec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL in insert:\n$plan")
   }
 
+  test("tombstoneDelete: edges dropped both ways; orphans and repair queue surface") {
+    import graft.operators.AnnIndex
+    // hand-built graph so the orphan case is certain: node 5's entire
+    // list is tombstoned, node 1's list survives intact
+    val graph = Seq(
+        (1L, 2L, 10L, 1), (1L, 3L, 20L, 2),
+        (2L, 1L, 10L, 1), (2L, 9L, 30L, 2),
+        (3L, 9L, 5L, 1), (3L, 8L, 6L, 2),
+        (5L, 8L, 7L, 1), (5L, 9L, 9L, 2),
+        (9L, 5L, 9L, 1), (9L, 8L, 11L, 2))
+      .toDF("q_id", "n_id", "d2", "rank")
+    // corpus ids 1,2,3,5,9 survive; 8 and 9 tombstoned? keep 8 out, 9 out
+    val remaining = Seq(1L, 2L, 3L, 5L).toDF("vec_id")
+    val out = AnnIndex.tombstoneDelete(graph, remaining, "vec_id", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L), "survivor rows must be exactly the remaining ids")
+    assert(out(1L) == ((2L, false)), "untouched full list must not queue for repair")
+    assert(out(2L) == ((1L, true)), "half-degraded list must queue")
+    assert(out(3L) == ((0L, true)), "list of only tombstones must orphan to 0")
+    assert(out(5L) == ((0L, true)), "fully-orphaned node must surface, not vanish")
+  }
+
   test("healthAudit: cumulative, and total on a connected graph") {
     val df = randomVecs(60, 4, seed = 23)
     val g = Similarity.nnDescent(df, "vec_id", "embedding", 4, 3, 6)
