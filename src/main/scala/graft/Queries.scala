@@ -10800,7 +10800,70 @@ object Queries {
               |SELECT rem.id, coalesce(deg.n_nbrs, 0)::BIGINT AS n_nbrs,
               |  (coalesce(deg.n_nbrs, 0) < 15) AS needs_repair
               |FROM rem LEFT JOIN deg USING (id)
-              |ORDER BY rem.id""".stripMargin)))
+              |ORDER BY rem.id""".stripMargin)),
+
+    // REPAIR the post-delete queue (AnnIndex.repairLists) — the
+    // maintenance window consuming q300's output, closing the index
+    // lifecycle loop: every survivor degraded below k beam-searches the
+    // DEGRADED graph for replacement neighbors (entry points re-seeded
+    // on survivors — 3 is tombstoned, so 0,1,2,4), and its list is
+    // re-cut to top-15 over (kept ∪ found) by the graph's own (d2, id)
+    // order — a repaired node's Σd2 can only improve on its degraded
+    // state, and a fully-orphaned node recovers through the entry
+    // points like a fresh insert. The oracle unrolls delete + the
+    // search rounds over the degraded closure + the merge. Scale: one
+    // degree aggregate, one |queue|·beam search, one per-node window.
+    "q301_ann_index_repair" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+        val stored = operators.AnnIndex.buildOrLoad(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "full"))
+        operators.AnnIndex.repairLists(
+            operators.AnnIndex.survivingEdges(stored, remaining, "vec_id"),
+            remaining, "vec_id", "embedding", k = 15,
+            entryIds = Seq(0L, 1L, 2L, 4L), beam = 24, searchRounds = 3)
+          .orderBy(col("id"))
+      },
+      Some(s"""${nnGraphOracleCtes(15, 4)},
+              |rem AS (SELECT id FROM v WHERE id % 7 <> 3),
+              |keptd AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM nn4 g
+              |  JOIN rem a ON g.id = a.id
+              |  JOIN rem b ON g.nbr = b.id),
+              |deg AS (SELECT id, count(*)::BIGINT AS n_nbrs
+              |  FROM keptd GROUP BY id),
+              |qd AS MATERIALIZED (SELECT rem.id,
+              |    coalesce(deg.n_nbrs, 0)::BIGINT AS n_before
+              |  FROM rem LEFT JOIN deg USING (id)
+              |  WHERE coalesce(deg.n_nbrs, 0) < 15),
+              |gse AS MATERIALIZED (SELECT id, nbr FROM keptd
+              |  UNION SELECT nbr AS id, id AS nbr FROM keptd),
+              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |          for j in range(1,65)])::BIGINT AS d2
+              |      FROM v q JOIN qd ON q.id = qd.id
+              |        JOIN v c ON c.id IN (0, 1, 2, 4) AND c.id <> q.id))
+              |  WHERE rn <= 24),
+              |${graphSearchRoundSql(1, 24)},
+              |${graphSearchRoundSql(2, 24)},
+              |${graphSearchRoundSql(3, 24)},
+              |rp AS (SELECT id, nbr, d2 FROM (
+              |    SELECT id, nbr, d2, row_number() OVER (
+              |      PARTITION BY id ORDER BY d2, nbr) AS rn
+              |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
+              |      SELECT k.id, k.nbr, k.d2 FROM keptd k JOIN qd ON k.id = qd.id
+              |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM gb3)))
+              |  WHERE rn <= 15),
+              |ag AS (SELECT id, count(*)::BIGINT AS n_after,
+              |    sum(d2)::BIGINT AS sum_d2 FROM rp GROUP BY id)
+              |SELECT qd.id, qd.n_before,
+              |  coalesce(ag.n_after, 0)::BIGINT AS n_after,
+              |  coalesce(ag.sum_d2, 0)::BIGINT AS sum_d2
+              |FROM qd LEFT JOIN ag USING (id)
+              |ORDER BY qd.id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

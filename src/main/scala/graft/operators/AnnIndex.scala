@@ -160,19 +160,82 @@ object AnnIndex {
     * one per-node count + one left join against the survivor ids —
     * nothing corpus×corpus, and the stored graph is read, not
     * rebuilt. */
+  /** The stored graph restricted to edges whose BOTH endpoints survive —
+    * the shared restriction of [[tombstoneDelete]] (which reports on it)
+    * and [[repairLists]] (which searches it). */
+  def survivingEdges(graph: DataFrame, remaining: DataFrame, idCol: String): DataFrame = {
+    val ids = remaining.select(col(idCol).as("id")).distinct()
+    graph
+      .join(ids.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
+      .join(ids.select(col("id").as("n_id")), Seq("n_id"), "left_semi")
+  }
+
   def tombstoneDelete(
       graph: DataFrame,
       remaining: DataFrame,
       idCol: String,
       k: Int): DataFrame = {
     val ids = remaining.select(col(idCol).as("id")).distinct().localCheckpoint()
-    val kept = graph
-      .join(ids.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
-      .join(ids.select(col("id").as("n_id")), Seq("n_id"), "left_semi")
+    val kept = survivingEdges(graph, remaining, idCol)
     val deg = kept.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n_nbrs"))
     ids.join(deg, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
         (coalesce(col("n_nbrs"), lit(0L)) < k).as("needs_repair"))
+  }
+
+  /** REPAIR the post-delete queue — the maintenance window that
+    * consumes [[tombstoneDelete]]'s output and closes the index's
+    * lifecycle loop: every surviving node whose list was degraded below
+    * `k` beam-searches the DEGRADED graph for replacement neighbors
+    * (the [[insertBatch]] pattern pointed at existing nodes), and its
+    * list is re-cut to top-k over (kept list ∪ search results) by the
+    * graph's own (d2, id) order — so a repaired node's Σd2 can only
+    * improve on its degraded state (the kept list is always in the
+    * union), and a node that lost every neighbor recovers through the
+    * entry points like any fresh insert. Nodes still under `k` after
+    * repair (worse connectivity than the beam reaches) stay visible via
+    * n_after < k. Returns per-queue-node
+    * (id, n_before, n_after, sum_d2) ordered by the caller.
+    *
+    * Scale shape: one degree aggregate to find the queue, one beam
+    * search (|queue|·beam tables over the degraded graph's keyed
+    * closure), one per-node top-k window — linear keyed volume, the
+    * stored graph read, never rebuilt. */
+  def repairLists(
+      keptGraph: DataFrame,
+      remaining: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      entryIds: Seq[Long],
+      beam: Int,
+      searchRounds: Int): DataFrame = {
+    require(beam >= k)
+    val g = keptGraph.localCheckpoint() // degrees, search and merge below
+    val deg = g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n_before"))
+    val queue = remaining.select(col(idCol).as("id")).distinct()
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_before"), lit(0L)).as("n_before"))
+      .filter(col("n_before") < k)
+      .localCheckpoint()
+    val queries = queue.select(col("id").as(idCol))
+      .join(remaining, idCol)
+    val found = Similarity.graphSearchTopK(
+      g, remaining, queries, idCol, vecCol, entryIds, beam, searchRounds, beam)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
+    val repaired = g.join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("n_id"), col("d2"))
+      .unionByName(found.select(col("q_id"), col("n_id"), col("d2")))
+      .distinct()
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    val agg = repaired.groupBy(col("q_id").as("id"))
+      .agg(count(lit(1)).as("n_after"), sum(col("d2")).as("sum_d2"))
+    // left join: a node the beam cannot reach at all (no kept edges, no
+    // results) must still report n_after = 0, not vanish from the audit
+    queue.join(agg, Seq("id"), "left")
+      .select(col("id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("sum_d2"), lit(0L)).as("sum_d2"))
   }
 
   /** Index-health audit — the check a production ANN service runs

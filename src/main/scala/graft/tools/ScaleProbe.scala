@@ -206,7 +206,9 @@ object ScaleProbe {
     "q299_ann_filtered_search" ->
       "q290's fresh-store rationale; the filtered-search increment over plain serving is one keyed semi-join against the predicate id set plus a <= beam-row window per query — both corpus-independent by construction",
     "q300_ann_index_delete" ->
-      "q290's fresh-store rationale; the delete itself is two keyed semi-joins over the k*n edge table + one count + one left join — linear keyed volume, the same class as the probed dedup restrictions")
+      "q290's fresh-store rationale; the delete itself is two keyed semi-joins over the k*n edge table + one count + one left join — linear keyed volume, the same class as the probed dedup restrictions",
+    "q301_ann_index_repair" ->
+      "q290's fresh-store rationale; the repair is one degree aggregate + a |queue|*beam search over the degraded keyed closure + one per-node window — the q291 insert shape with the queue as the batch, linear keyed volume by construction")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

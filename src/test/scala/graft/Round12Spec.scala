@@ -136,6 +136,29 @@ class Round12Spec extends AnyFunSuite {
     assert(out(5L) == ((0L, true)), "fully-orphaned node must surface, not vanish")
   }
 
+  test("repairLists: the delete queue refills to k on a connected graph") {
+    import graft.operators.AnnIndex
+    val all = randomVecs(80, 8, seed = 43)
+    val remaining = all.filter(col("vec_id") % 8 =!= 5)
+    val g = Similarity.nnDescent(all, "vec_id", "embedding", 6, 3, 8)
+      .localCheckpoint()
+    val kept = AnnIndex.survivingEdges(g, remaining, "vec_id").localCheckpoint()
+    val queueBefore = AnnIndex.tombstoneDelete(g, remaining, "vec_id", k = 6)
+      .filter(col("needs_repair")).count()
+    assert(queueBefore > 0, "fixture must actually degrade some lists")
+    val rep = AnnIndex.repairLists(kept, remaining, "vec_id", "embedding",
+        k = 6, entryIds = Seq(0L, 1L), beam = 12, searchRounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.length == queueBefore, "repair must process exactly the queue")
+    assert(rep.forall(_._2 < 6), "queue rows must all have been degraded")
+    assert(rep.forall(_._3 == 6L),
+      s"connected-graph repair must refill to k: ${rep.filter(_._3 != 6L).mkString(", ")}")
+    // repaired nodes' neighbors are all survivors by construction: the
+    // search runs on the kept closure and the merge unions kept edges
+    val tomb = (0L until 80L).filter(_ % 8 == 5).toSet
+    assert(!rep.exists(r => tomb(r._1)), "a tombstoned node entered the queue")
+  }
+
   test("healthAudit: cumulative, and total on a connected graph") {
     val df = randomVecs(60, 4, seed = 23)
     val g = Similarity.nnDescent(df, "vec_id", "embedding", 4, 3, 6)
