@@ -10863,7 +10863,41 @@ object Queries {
               |  coalesce(ag.n_after, 0)::BIGINT AS n_after,
               |  coalesce(ag.sum_d2, 0)::BIGINT AS sum_d2
               |FROM qd LEFT JOIN ag USING (id)
-              |ORDER BY qd.id""".stripMargin)))
+              |ORDER BY qd.id""".stripMargin)),
+
+    // FULL PNG pixel decode (Codecs.decodePng): real zlib inflate +
+    // per-scanline unfiltering through ALL FIVE spec filters — q65's
+    // PNG coverage was header-only (IHDR), leaving DEFLATE and the
+    // None/Sub/Up/Average/Paeth reconstruction ungated. Assets are
+    // synthesized with a deterministic RGB ramp and filter (id + y)
+    // mod 5 per row, so every unfilter branch sits under the hash and
+    // the filters are provably content-invariant: the oracle predicts
+    // the packed-RGB pixel sum from id arithmetic ALONE — a wrong
+    // predictor, byte order, or inflate boundary fails it. Completes
+    // the full-pixel codec pair with JPEG (q286/q296). Scale: the q286
+    // shape — partition-preserving mapPartitions, fixed-width stats
+    // out, payloads never on the driver.
+    "q302_png_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizePngAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodePngStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 29 + 1)::BIGINT AS w,
+             |    (doc_id % 13 + 1)::BIGINT AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+             |  FROM dims, range(0, 29) xs(x), range(0, 13) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |pv AS (SELECT doc_id, (doc_id + y * w + x)::BIGINT AS v FROM px),
+             |ps AS (SELECT doc_id, sum(
+             |    (v % 256) * 65536 + ((v // 256) % 256) * 256 +
+             |    ((v // 65536) % 256))::BIGINT AS pixel_sum
+             |  FROM pv GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'png' AS codec, d.w AS width,
+             |  d.h AS height, 3::BIGINT AS n_components, ps.pixel_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

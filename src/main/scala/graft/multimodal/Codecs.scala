@@ -190,8 +190,22 @@ object Codecs {
     out
   }
 
-  /** Encode an 8-bit RGB (color type 2) PNG with deterministic pixels. */
-  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  /** The spec's Paeth predictor (PNG 9.4): nearest of a/b/c to a+b−c,
+    * ties a → b → c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit RGB (color type 2) PNG with deterministic pixels.
+    * `varyFilters` applies scanline filter (seed + y) mod 5 per row —
+    * all five spec filters (None/Sub/Up/Average/Paeth) under one
+    * deterministic stream, so a decoder's every unfilter branch sits
+    * under the q302 pixel-sum gate; false keeps the original filter-0
+    * stream byte-identical (the q65 fixture). */
+  def encodePng(width: Int, height: Int, seed: Long,
+      varyFilters: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0)
     val ihdr = new Array[Byte](13)
     putU32be(ihdr, 0, width.toLong)
@@ -199,10 +213,11 @@ object Codecs {
     ihdr(8) = 8 // bit depth per channel
     ihdr(9) = 2 // color type: truecolor RGB
     // compression 0, filter 0, interlace 0
-    val raw = new Array[Byte](height * (1 + 3 * width)) // filter byte + RGB row
+    val stride = 1 + 3 * width
+    val raw = new Array[Byte](height * stride) // filter byte + RGB row
     var y = 0
     while (y < height) {
-      val rowOff = y * (1 + 3 * width)
+      val rowOff = y * stride
       var x = 0
       while (x < width) {
         val v = seed + y.toLong * width + x
@@ -211,6 +226,34 @@ object Codecs {
         x += 1
       }
       y += 1
+    }
+    if (varyFilters) {
+      // forward-filter in place, bottom row first (each row's filter
+      // reads the RECONSTRUCTED row above, which in-place top-down
+      // editing would have already overwritten)
+      var fy = height - 1
+      while (fy >= 0) {
+        val rowOff = fy * stride
+        val ft = (math.floorMod(seed, 5) + fy) % 5
+        raw(rowOff) = ft.toByte
+        var i = 3 * width - 1
+        while (i >= 0) {
+          val cur = raw(rowOff + 1 + i) & 0xff
+          val a = if (i >= 3) raw(rowOff + 1 + i - 3) & 0xff else 0
+          val b = if (fy > 0) raw(rowOff - stride + 1 + i) & 0xff else 0
+          val c = if (fy > 0 && i >= 3) raw(rowOff - stride + 1 + i - 3) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          raw(rowOff + 1 + i) = ((cur - pred) & 0xff).toByte
+          i -= 1
+        }
+        fy -= 1
+      }
     }
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(raw); deflater.finish()
@@ -238,6 +281,66 @@ object Codecs {
       if (w == 0 || h == 0 || w > Int.MaxValue || h > Int.MaxValue) None
       else Some(ImageInfo(w.toInt, h.toInt, b(24) & 0xff))
     }
+
+  /** Decoded PNG: pixels row-major as 0xRRGGBB. */
+  final case class PngImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** FULL PNG pixel decode — not just the header parse of [[parsePng]]:
+    * signature + IHDR validation, IDAT concatenation, real zlib inflate
+    * (`java.util.zip.Inflater` — the actual DEFLATE stream, not a
+    * shortcut), and per-scanline unfiltering through ALL FIVE spec
+    * filters (None/Sub/Up/Average/Paeth, PNG 9.2) with the byte-left /
+    * byte-above / byte-above-left reconstruction order the spec
+    * defines. Supported: 8-bit truecolor RGB (color type 2),
+    * non-interlaced — the shape the engine's fixtures and most ML-corpus
+    * thumbnails use; palette/alpha/16-bit/interlaced return None (skip,
+    * not fail — the [[graft.multimodal.Multimodal.decodeMedia]]
+    * corrupt-asset discipline), as do truncated or non-inflatable
+    * streams. */
+  def decodePng(b: Array[Byte]): Option[PngImage] = try {
+    val info = parsePng(b).getOrElse(return None)
+    // IHDR layout: bitDepth(24) colorType(25) compression(26)
+    // filterMethod(27) interlace(28)
+    if ((b(24) & 0xff) != 8 || (b(25) & 0xff) != 2 ||
+      (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 || (b(28) & 0xff) != 0)
+      return None
+    val (w, h) = (info.width, info.height)
+    val stride = 1 + 3 * w
+    if (w.toLong * h > (1L << 26)) return None // corrupt-dims guard
+    val raw = inflateIdat(b)
+    if (raw.length != h * stride) return None
+    val pixels = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * stride
+      val ft = raw(rowOff) & 0xff
+      if (ft > 4) return None
+      var i = 0
+      while (i < 3 * w) {
+        val a = if (i >= 3) raw(rowOff + 1 + i - 3) & 0xff else 0
+        val up = if (y > 0) raw(rowOff - stride + 1 + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) raw(rowOff - stride + 1 + i - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 => paeth(a, up, c)
+        }
+        raw(rowOff + 1 + i) = (((raw(rowOff + 1 + i) & 0xff) + pred) & 0xff).toByte
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        val o = rowOff + 1 + 3 * x
+        pixels(y * w + x) = ((raw(o) & 0xff) << 16) |
+          ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w, h, pixels))
+  } catch { case _: Exception => None } // corrupt assets skip, never fail
 
   /** Decode the IDAT scanlines of a filter-0 PNG (used by specs to prove
     * the encoder writes real, inflatable image data). */

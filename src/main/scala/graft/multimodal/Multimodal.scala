@@ -254,6 +254,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize filter-cycling PNG assets from an id column: id-derived
+    * dims, the deterministic v = id + y·w + x RGB ramp, and scanline
+    * filter (id + y) mod 5 per row — every one of PNG's five filters
+    * under the q302 pixel-sum gate ([[Codecs.encodePng]] with
+    * `varyFilters`). Executor-side mapPartitions; payloads never touch
+    * the driver. */
+  def synthesizePngAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizePngAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodePng(
+          (i % 29 + 1).toInt, (i % 13 + 1).toInt, seed = i, varyFilters = true))
+      }
+    }(enc)
+  }
+
+  /** FULL PNG decode over a binary column — inflate + all-five-filters
+    * unfiltering ([[Codecs.decodePng]]), reduced immediately to
+    * fixed-width stats (dims, component count, exact packed-RGB pixel
+    * sum) so downstream stages never carry pixel buffers. Undecodable
+    * payloads surface with codec NULL. Partition-preserving,
+    * driver-free — the q286/q296 JPEG shape for the PNG container. */
+  def decodePngStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_components", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Codecs.decodePng(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
+            Row(id, "png", img.width.toLong, img.height.toLong, 3L, s)
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** FULL JPEG decode over a binary column — not just the header parse
     * of [[decodeMedia]]: Huffman entropy decode + dequantize + IDCT +
     * level shift run per asset, and the decoded payload is reduced to

@@ -101,7 +101,10 @@ object ScaleProbe {
     // round-12: 4:2:0 color JPEG — q286's mapPartitions class with ~6x
     // the per-asset block work (4 luma + 2 chroma per MCU + RGB
     // conversion); growth should track rows like q286
-    "q296_jpeg_420_decode")
+    "q296_jpeg_420_decode",
+    // round-12: full PNG decode — inflate + unfilter per asset, the
+    // same shuffle-free mapPartitions class; growth should track rows
+    "q302_png_decode")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is

@@ -446,6 +446,39 @@ class Round12Spec extends AnyFunSuite {
     assert(recall >= 500000.0, s"filtered recall collapsed: $recall ppm")
   }
 
+  test("PNG full decode: all five filters reconstruct the exact ramp; junk is None") {
+    import graft.multimodal.Codecs
+    for (seed <- Seq(0L, 7L, 123L); (w, h) <- Seq((9, 7), (1, 6), (5, 1))) {
+      // h >= 5 cases cycle through every filter type; w = 1 exercises
+      // the no-left-neighbor branches of Sub/Average/Paeth
+      val bytes = Codecs.encodePng(w, h, seed, varyFilters = true)
+      val img = Codecs.decodePng(bytes)
+        .getOrElse(fail(s"seed=$seed ${w}x$h: decode None"))
+      assert((img.width, img.height) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = seed + y.toLong * w + x
+        val expect = (((v & 255) << 16) | (((v >> 8) & 255) << 8) |
+          ((v >> 16) & 255)).toInt
+        assert(img.pixels(y * w + x) == expect, s"seed=$seed pixel ($x,$y)")
+      }
+      // filters are content-invariant: the plain filter-0 stream decodes
+      // to the identical image
+      val plain = Codecs.decodePng(Codecs.encodePng(w, h, seed)).get
+      assert(plain.pixels.toSeq == img.pixels.toSeq)
+    }
+    // skip-not-fail: truncation, 16-bit, interlaced, corrupt IDAT
+    val ok = Codecs.encodePng(6, 5, 3L, varyFilters = true)
+    assert(Codecs.decodePng(ok.take(ok.length / 2)).isEmpty)
+    val deep = ok.clone(); deep(24) = 16.toByte
+    assert(Codecs.decodePng(deep).isEmpty, "16-bit must be None")
+    val il = ok.clone(); il(28) = 1.toByte
+    assert(Codecs.decodePng(il).isEmpty, "interlaced must be None")
+    // a flipped IDAT byte may break the inflate, the length check, or
+    // decode to garbage — the contract is only that it NEVER throws
+    val corrupt = ok.clone(); corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    Codecs.decodePng(corrupt)
+  }
+
   test("JPEG marker hardening: fill bytes + standalone TEM parse; junk is None") {
     val base = Jpeg.encodeJpegGray(12, 9, seed = 4L)
     val want = Jpeg.decodeJpeg(base).get.pixels.toSeq
