@@ -10897,6 +10897,42 @@ object Queries {
              |SELECT d.doc_id AS asset_id, 'png' AS codec, d.w AS width,
              |  d.h AS height, 3::BIGINT AS n_components, ps.pixel_sum
              |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // FULL WAV PCM decode (Codecs.decodeWavSamples): every interleaved
+    // 16-bit little-endian SIGNED sample decoded and reduced to the
+    // amplitude stats an audio-corpus pipeline's first pass runs
+    // (loudness/clipping screens) — q65's WAV coverage was header-only,
+    // leaving the sample decode ungated. The oracle predicts signed
+    // sum / absolute sum / peak from id arithmetic alone ((id + i) mod
+    // 2^16 reinterpreted as int16 — a wrong endianness, sign extension,
+    // or data-chunk offset fails the hash). With q286/q296 (JPEG),
+    // q302 (PNG) and this, every synthesized modality's PAYLOAD — not
+    // just its header — sits under the oracle. Scale: the q286 shape —
+    // partition-preserving mapPartitions, fixed-width stats out.
+    "q303_wav_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWavStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (8000 + (doc_id % 8) * 1000)::BIGINT AS rate,
+             |    (doc_id % 2 + 1)::BIGINT AS ch,
+             |    (doc_id % 100 + 1)::BIGINT AS ns
+             |  FROM documents),
+             |sm AS (SELECT doc_id, CASE
+             |    WHEN (doc_id + i.i) % 65536 < 32768 THEN (doc_id + i.i) % 65536
+             |    ELSE (doc_id + i.i) % 65536 - 65536 END AS s
+             |  FROM p, range(0, 200) i(i) WHERE i.i < ns * ch),
+             |agg AS (SELECT doc_id, sum(s)::BIGINT AS sum_pcm,
+             |    sum(abs(s))::BIGINT AS sum_abs, max(abs(s))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'wav' AS codec, p.rate AS sample_rate,
+             |  p.ch AS n_channels, p.ns AS n_frames,
+             |  agg.sum_pcm, agg.sum_abs, agg.peak_abs
+             |FROM p JOIN agg USING (doc_id)
              |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */

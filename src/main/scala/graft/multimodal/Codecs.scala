@@ -432,6 +432,38 @@ object Codecs {
     else Some(AudioInfo(sampleRate, channels, bits, dataSize / blockAlign))
   }
 
+  /** FULL 16-bit PCM payload decode — not just [[parseWav]]'s header
+    * walk: locate the data chunk with the same RIFF traversal, bounds-
+    * check it against the actual byte length (a header may promise more
+    * data than the file carries — truncated uploads are routine at
+    * corpus scale), and decode every little-endian signed 16-bit sample.
+    * Non-PCM/non-16-bit formats return None (skip, not fail). Returns
+    * the header info plus the interleaved samples. */
+  def decodeWavSamples(b: Array[Byte]): Option[(AudioInfo, Array[Int])] = {
+    val info = parseWav(b).getOrElse(return None)
+    if (info.bitsPerSample != 16) return None
+    var o = 12
+    var dataOff = -1
+    var dataLen = -1L
+    while (o + 8 <= b.length && dataOff < 0) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = u32le(b, o + 4)
+      if (len > b.length.toLong) return None
+      if (id == "data") { dataOff = o + 8; dataLen = len }
+      else o += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (dataOff < 0 || dataOff + dataLen > b.length) return None
+    val n = (dataLen / 2).toInt
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((b(dataOff + 2 * i + 1) & 0xff) << 8) |
+        (b(dataOff + 2 * i) & 0xff)).toShort.toInt
+      i += 1
+    }
+    Some((info, out))
+  }
+
   // ------------------------------------------------------------------
   // AVI — RIFF/'AVI ' container, LIST('hdrl') holding the 'avih'
   // MainAVIHeader (dwTotalFrames at data offset 16, dwWidth at 32,

@@ -306,6 +306,67 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize 16-bit PCM WAV assets from an id column (id-derived
+    * rate/channels/length and the deterministic sawtooth payload —
+    * [[Codecs.encodeWav]]), the q302-shape fixture for the audio
+    * modality. Executor-side mapPartitions. */
+  def synthesizeWavAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWavAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeWav(
+          sampleRate = (8000 + (i % 8) * 1000).toInt,
+          channels = (i % 2 + 1).toInt,
+          nSamples = (i % 100 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** FULL WAV PCM decode over a binary column
+    * ([[Codecs.decodeWavSamples]]) reduced to the amplitude stats an
+    * audio-corpus pipeline's first pass computes (loudness/clipping
+    * screens before any expensive feature extraction): signed sample
+    * sum, absolute sum, and peak — all exact integers. Undecodable or
+    * non-16-bit-PCM payloads surface with codec NULL. Partition-
+    * preserving, driver-free. */
+  def decodeWavStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = true),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("n_channels", LongType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("sum_pcm", LongType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("peak_abs", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Codecs.decodeWavSamples(r.getAs[Array[Byte]](1)) match {
+          case Some((info, samples)) =>
+            var (s, sa, pk) = (0L, 0L, 0L)
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i)
+              s += v; sa += math.abs(v)
+              if (math.abs(v) > pk) pk = math.abs(v)
+              i += 1
+            }
+            Row(id, "wav", info.sampleRate.toLong, info.channels.toLong,
+              info.nSamples, s, sa, pk)
+          case None => Row(id, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** FULL JPEG decode over a binary column — not just the header parse
     * of [[decodeMedia]]: Huffman entropy decode + dequantize + IDCT +
     * level shift run per asset, and the decoded payload is reduced to

@@ -104,7 +104,9 @@ object ScaleProbe {
     "q296_jpeg_420_decode",
     // round-12: full PNG decode — inflate + unfilter per asset, the
     // same shuffle-free mapPartitions class; growth should track rows
-    "q302_png_decode")
+    "q302_png_decode",
+    // round-12: WAV PCM decode — per-asset sample loop, same class
+    "q303_wav_decode")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is

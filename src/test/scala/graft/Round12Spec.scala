@@ -479,6 +479,30 @@ class Round12Spec extends AnyFunSuite {
     Codecs.decodePng(corrupt)
   }
 
+  test("WAV PCM decode: signed LE samples match the sawtooth; truncation is None") {
+    import graft.multimodal.Codecs
+    // seed near the int16 wrap so sign reinterpretation is exercised
+    val bytes = Codecs.encodeWav(sampleRate = 9000, channels = 2,
+      nSamples = 40, seed = 32760L)
+    val (info, samples) = Codecs.decodeWavSamples(bytes)
+      .getOrElse(fail("decode None"))
+    assert((info.sampleRate, info.channels, info.nSamples) == ((9000, 2, 40L)))
+    assert(samples.length == 80)
+    for (i <- samples.indices) {
+      val u = (32760L + i) % 65536
+      val expect = (if (u < 32768) u else u - 65536).toInt
+      assert(samples(i) == expect, s"sample $i: ${samples(i)} != $expect")
+    }
+    // zero-length payload decodes to an empty sample array, not None
+    val empty = Codecs.encodeWav(8000, 1, 0, seed = 1L)
+    assert(Codecs.decodeWavSamples(empty).exists(_._2.isEmpty))
+    // truncation: the data chunk promises more bytes than the file has
+    assert(Codecs.decodeWavSamples(bytes.take(bytes.length - 10)).isEmpty)
+    // non-16-bit PCM skips
+    val odd = bytes.clone(); odd(34) = 8.toByte
+    assert(Codecs.decodeWavSamples(odd).isEmpty, "8-bit must be None")
+  }
+
   test("JPEG marker hardening: fill bytes + standalone TEM parse; junk is None") {
     val base = Jpeg.encodeJpegGray(12, 9, seed = 4L)
     val want = Jpeg.decodeJpeg(base).get.pixels.toSeq
