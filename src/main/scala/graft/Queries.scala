@@ -10933,7 +10933,70 @@ object Queries {
              |  p.ch AS n_channels, p.ns AS n_frames,
              |  agg.sum_pcm, agg.sum_abs, agg.peak_abs
              |FROM p JOIN agg USING (doc_id)
-             |ORDER BY asset_id""".stripMargin)))
+             |ORDER BY asset_id""".stripMargin)),
+
+    // FULL BMP pixel decode (Codecs.decodeBmp): the header's own
+    // pixel-data offset, 4-byte row padding, bottom-up flip, and BGR
+    // byte order all under the hash — q65's BMP coverage was
+    // header-only, and q196's resize gated a re-encode, not the decoded
+    // values. Same partition-preserving shape as the JPEG/PNG gates.
+    "q304_bmp_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeBmpAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeBmpStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 31 + 1)::BIGINT AS w,
+             |    (doc_id % 17 + 1)::BIGINT AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+             |  FROM dims, range(0, 31) xs(x), range(0, 17) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |pv AS (SELECT doc_id, (doc_id + y * w + x)::BIGINT AS v FROM px),
+             |ps AS (SELECT doc_id, sum(
+             |    ((v // 65536) % 256) * 65536 + ((v // 256) % 256) * 256 +
+             |    (v % 256))::BIGINT AS pixel_sum
+             |  FROM pv GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'bmp' AS codec, d.w AS width,
+             |  d.h AS height, 3::BIGINT AS n_components, ps.pixel_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // REAL video frame extraction (Codecs.encodeAviFrames +
+    // Multimodal.sampleFrameStats): AVI assets now carry actual raw
+    // BGR24 '00db' frame payloads, and the sampling stage decodes the
+    // movi LIST and emits every 2nd frame's packed-RGB pixel sum — the
+    // frame-extraction step of a video-corpus pipeline, where q36/q196
+    // demonstrated only offset plumbing over an empty movi. One row per
+    // sampled frame, each sum predicted by the oracle from (id, frame,
+    // pixel) arithmetic alone — a wrong chunk walk, frame boundary, or
+    // byte order fails the hash. With q286/q296/q302/q303/q304, every
+    // modality's payload decode is now oracle-gated. Scale: the q286
+    // mapPartitions shape; output is sampled-frames-sized.
+    "q305_avi_frame_extract" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeAviAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.sampleFrameStats(assets, stride = 2)
+          .orderBy(col("asset_id"), col("frame_idx"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 15 + 1)::BIGINT AS w,
+             |    (doc_id % 9 + 1)::BIGINT AS h,
+             |    (doc_id % 6 + 1)::BIGINT AS nf
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, f.f AS f
+             |  FROM p, range(0, 6) f(f) WHERE f.f < nf AND f.f % 2 = 0),
+             |pv AS (SELECT doc_id, w, h, f,
+             |    (doc_id + f * w * h + i.i)::BIGINT AS v
+             |  FROM fr, range(0, 135) i(i) WHERE i.i < w * h),
+             |fs AS (SELECT doc_id, w, h, f, sum(
+             |    ((v // 65536) % 256) * 65536 + ((v // 256) % 256) * 256 +
+             |    (v % 256))::BIGINT AS frame_sum
+             |  FROM pv GROUP BY doc_id, w, h, f)
+             |SELECT doc_id AS asset_id, f AS frame_idx, w AS width,
+             |  h AS height, frame_sum
+             |FROM fs
+             |ORDER BY asset_id, frame_idx""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

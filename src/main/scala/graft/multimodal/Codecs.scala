@@ -285,6 +285,37 @@ object Codecs {
   /** Decoded PNG: pixels row-major as 0xRRGGBB. */
   final case class PngImage(width: Int, height: Int, pixels: Array[Int])
 
+  /** FULL BMP pixel decode — the payload behind [[parseBmp]]'s header:
+    * 24bpp BITMAPINFOHEADER only (None otherwise), honoring the
+    * header's own pixel-data offset and the 4-byte row padding, with
+    * the bottom-up storage order flipped to row-major top-down pixels
+    * packed 0xRRGGBB (BMP stores BGR byte order). Truncated payloads
+    * return None. */
+  def decodeBmp(b: Array[Byte]): Option[PngImage] = try {
+    val info = parseBmp(b).getOrElse(return None)
+    if (info.bitDepth != 24) return None
+    val (w, h) = (info.width, info.height)
+    if (w.toLong * h > (1L << 26)) return None // corrupt-dims guard
+    val off = u32le(b, 10)
+    val rowSize = bmpRowSize(w)
+    if (off < 54 || off + rowSize.toLong * h > b.length) return None
+    val pixels = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // storage row y is image row h-1-y (bottom-up)
+      val rowOff = off.toInt + y * rowSize
+      var x = 0
+      while (x < w) {
+        val o = rowOff + 3 * x
+        pixels((h - 1 - y) * w + x) = ((b(o + 2) & 0xff) << 16) |
+          ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w, h, pixels))
+  } catch { case _: Exception => None }
+
   /** FULL PNG pixel decode — not just the header parse of [[parsePng]]:
     * signature + IHDR validation, IDAT concatenation, real zlib inflate
     * (`java.util.zip.Inflater` — the actual DEFLATE stream, not a
@@ -505,6 +536,105 @@ object Codecs {
     b(96) = 'm'; b(97) = 'o'; b(98) = 'v'; b(99) = 'i'
     b
   }
+
+  /** [[encodeAvi]] with a REAL movi payload: `nFrames` uncompressed
+    * '00db' frame chunks of raw BGR24 (w·h·3 bytes, the DIB frame
+    * layout), frame f's pixel p carrying the deterministic ramp
+    * v = seed + f·w·h + p in BGR byte order — so a frame-extraction
+    * stage's output is predictable from (seed, dims, frame) arithmetic
+    * alone (the q286/q302/q303 payload-gate discipline, for video). */
+  def encodeAviFrames(
+      width: Int, height: Int, nFrames: Int, seed: Long,
+      microSecPerFrame: Int = 33333): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0)
+    val frameSize = width * height * 3
+    val framePadded = frameSize + (frameSize & 1)
+    val moviData = 4 + nFrames * (8 + framePadded)
+    val total = 88 + 8 + moviData
+    val b = new Array[Byte](total)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putU32le(b, 4, (total - 8).toLong)
+    b(8) = 'A'; b(9) = 'V'; b(10) = 'I'; b(11) = ' '
+    b(12) = 'L'; b(13) = 'I'; b(14) = 'S'; b(15) = 'T'
+    putU32le(b, 16, (4 + 8 + 56).toLong)
+    b(20) = 'h'; b(21) = 'd'; b(22) = 'r'; b(23) = 'l'
+    b(24) = 'a'; b(25) = 'v'; b(26) = 'i'; b(27) = 'h'
+    putU32le(b, 28, 56L)
+    val d = 32
+    putU32le(b, d, microSecPerFrame.toLong)
+    putU32le(b, d + 16, nFrames.toLong)
+    putU32le(b, d + 24, 1L)
+    putU32le(b, d + 32, width.toLong)
+    putU32le(b, d + 36, height.toLong)
+    b(88) = 'L'; b(89) = 'I'; b(90) = 'S'; b(91) = 'T'
+    putU32le(b, 92, moviData.toLong)
+    b(96) = 'm'; b(97) = 'o'; b(98) = 'v'; b(99) = 'i'
+    var o = 100
+    var f = 0
+    while (f < nFrames) {
+      b(o) = '0'; b(o + 1) = '0'; b(o + 2) = 'd'; b(o + 3) = 'b'
+      putU32le(b, o + 4, frameSize.toLong)
+      var p = 0
+      while (p < width * height) {
+        val v = seed + f.toLong * width * height + p
+        val po = o + 8 + 3 * p
+        b(po) = v.toByte; b(po + 1) = (v >> 8).toByte; b(po + 2) = (v >> 16).toByte
+        p += 1
+      }
+      o += 8 + framePadded
+      f += 1
+    }
+    b
+  }
+
+  /** FULL AVI frame decode — walk to the movi LIST and reduce every
+    * uncompressed '00db'/'00dc' frame chunk to its packed-RGB pixel sum
+    * (frames whose length is not w·h·3 are not raw BGR24 — None, skip
+    * not fail; same for a missing movi or truncation). Returns the
+    * header info plus one sum per frame in stream order — the
+    * frame-extraction stage of a video-corpus pipeline, reduced to
+    * fixed-width stats before anything downstream. */
+  def decodeAviFrames(b: Array[Byte]): Option[(VideoInfo, Array[Long])] = try {
+    val info = parseAvi(b).getOrElse(return None)
+    val (w, h) = (info.width, info.height)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    val frameSize = w * h * 3
+    var o = 12
+    var moviOff = -1
+    var moviEnd = -1
+    while (o + 8 <= b.length && moviOff < 0) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = u32le(b, o + 4)
+      if (len > b.length.toLong) return None
+      if (id == "LIST" && o + 12 <= b.length &&
+        new String(b, o + 8, 4, "US-ASCII") == "movi") {
+        moviOff = o + 12
+        moviEnd = o + 8 + len.toInt
+      } else o += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (moviOff < 0 || moviEnd > b.length) return None
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var c = moviOff
+    while (c + 8 <= moviEnd) {
+      val id = new String(b, c, 4, "US-ASCII")
+      val len = u32le(b, c + 4).toInt
+      if (c + 8 + len > moviEnd) return None
+      if (id == "00db" || id == "00dc") {
+        if (len != frameSize) return None // not raw BGR24: skip the asset
+        var s = 0L
+        var p = 0
+        while (p < w * h) {
+          val po = c + 8 + 3 * p
+          s += ((b(po + 2) & 0xff) << 16) | ((b(po + 1) & 0xff) << 8) |
+            (b(po) & 0xff)
+          p += 1
+        }
+        sums += s
+      }
+      c += 8 + len + (len & 1)
+    }
+    Some((info, sums.toArray))
+  } catch { case _: Exception => None }
 
   /** Parse an AVI MainAVIHeader by walking RIFF chunks into the hdrl
     * LIST (real files put strl LISTs and JUNK padding around it). */

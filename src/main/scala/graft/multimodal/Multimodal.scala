@@ -367,6 +367,102 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize 24bpp BMP assets (id-derived dims, the deterministic
+    * v-ramp — [[Codecs.encodeBmp]]), the dedicated fixture for the q304
+    * pixel gate (the mixed [[synthesizeMediaAssets]] set assigns BMP to
+    * only every fourth id). */
+  def synthesizeBmpAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeBmpAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeBmp((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** FULL BMP pixel decode ([[Codecs.decodeBmp]]: header offset, row
+    * padding, bottom-up flip, BGR order) reduced to fixed-width stats —
+    * the q302 PNG shape for the BMP container. */
+  def decodeBmpStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_components", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Codecs.decodeBmp(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
+            Row(id, "bmp", img.width.toLong, img.height.toLong, 3L, s)
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthesize AVI assets with REAL frame payloads
+    * ([[Codecs.encodeAviFrames]]: id-derived dims and frame count, raw
+    * BGR24 '00db' chunks carrying the deterministic per-frame ramp). */
+  def synthesizeAviAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeAviAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeAviFrames(
+          (i % 15 + 1).toInt, (i % 9 + 1).toInt,
+          nFrames = (i % 6 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling over a video column: decode the movi payload
+    * ([[Codecs.decodeAviFrames]]) and emit every `stride`-th frame's
+    * packed-RGB pixel sum — the frame-extraction stage of a video
+    * pipeline, where [[sampleFrames]] demonstrated only the offset
+    * plumbing. One row per SAMPLED frame; undecodable assets drop (the
+    * [[resizeImages]] skip discipline). Partition-preserving,
+    * driver-free, payloads reduced before anything downstream. */
+  def sampleFrameStats(assets: DataFrame, stride: Int,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    require(stride >= 1)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("frame_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Codecs.decodeAviFrames(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          case (info, sums) =>
+            sums.indices.collect {
+              case f if f % stride == 0 =>
+                Row(id, f.toLong, info.width.toLong, info.height.toLong, sums(f))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** FULL JPEG decode over a binary column — not just the header parse
     * of [[decodeMedia]]: Huffman entropy decode + dequantize + IDCT +
     * level shift run per asset, and the decoded payload is reduced to

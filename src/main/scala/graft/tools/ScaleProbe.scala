@@ -106,7 +106,12 @@ object ScaleProbe {
     // same shuffle-free mapPartitions class; growth should track rows
     "q302_png_decode",
     // round-12: WAV PCM decode — per-asset sample loop, same class
-    "q303_wav_decode")
+    "q303_wav_decode",
+    // round-12: AVI frame extraction — per-asset movi walk + per-frame
+    // sums, the same shuffle-free mapPartitions class (BMP q304 shares
+    // it and is strictly simpler — one probe covers the family's
+    // new members alongside q286/q296/q302)
+    "q305_avi_frame_extract")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -212,6 +217,8 @@ object ScaleProbe {
       "q290's fresh-store rationale; the filtered-search increment over plain serving is one keyed semi-join against the predicate id set plus a <= beam-row window per query — both corpus-independent by construction",
     "q300_ann_index_delete" ->
       "q290's fresh-store rationale; the delete itself is two keyed semi-joins over the k*n edge table + one count + one left join — linear keyed volume, the same class as the probed dedup restrictions",
+    "q303_wav_decode/q304_bmp_decode" ->
+      "per-asset payload loops in the shuffle-free mapPartitions class the probed q286/q296/q302/q305 codec entries time directly — growth tracks rows by construction, and these two are strictly simpler per-asset work than the probed members",
     "q301_ann_index_repair" ->
       "q290's fresh-store rationale; the repair is one degree aggregate + a |queue|*beam search over the degraded keyed closure + one per-node window — the q291 insert shape with the queue as the batch, linear keyed volume by construction")
 

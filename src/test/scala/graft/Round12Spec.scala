@@ -503,6 +503,49 @@ class Round12Spec extends AnyFunSuite {
     assert(Codecs.decodeWavSamples(odd).isEmpty, "8-bit must be None")
   }
 
+  test("BMP pixel decode: offset/padding/bottom-up/BGR all reconstruct the ramp") {
+    import graft.multimodal.Codecs
+    for ((w, h) <- Seq((5, 4), (1, 3), (4, 1))) { // w=5,1: padded rows
+      val img = Codecs.decodeBmp(Codecs.encodeBmp(w, h, seed = 11L))
+        .getOrElse(fail(s"${w}x$h decode None"))
+      for (y <- 0 until h; x <- 0 until w) {
+        // encodeBmp writes storage row y bottom-up: image row h-1-y
+        val v = 11L + (h - 1 - y).toLong * w + x
+        val expect = ((((v >> 16) & 255) << 16) | (((v >> 8) & 255) << 8) |
+          (v & 255)).toInt
+        assert(img.pixels(y * w + x) == expect, s"pixel ($x,$y)")
+      }
+    }
+    val ok = Codecs.encodeBmp(5, 4, 11L)
+    assert(Codecs.decodeBmp(ok.take(ok.length - 4)).isEmpty, "truncation must skip")
+  }
+
+  test("AVI frame decode: per-frame sums match the ramp; malformed movi skips") {
+    import graft.multimodal.Codecs
+    val (w, h, nf) = (6, 3, 4)
+    val bytes = Codecs.encodeAviFrames(w, h, nf, seed = 9L)
+    val (info, sums) = Codecs.decodeAviFrames(bytes)
+      .getOrElse(fail("frame decode None"))
+    assert((info.width, info.height, info.nFrames) == ((w, h, nf.toLong)))
+    assert(sums.length == nf)
+    for (f <- 0 until nf) {
+      val expect = (0 until w * h).map { p =>
+        val v = 9L + f.toLong * w * h + p
+        (((v >> 16) & 255) << 16) | (((v >> 8) & 255) << 8) | (v & 255)
+      }.sum
+      assert(sums(f) == expect, s"frame $f: ${sums(f)} != $expect")
+    }
+    // the header-only encoder's EMPTY movi decodes to zero frames, not None
+    val empty = Codecs.decodeAviFrames(Codecs.encodeAvi(6, 3, nFrames = 4))
+    assert(empty.exists(_._2.isEmpty))
+    // a frame chunk whose length isn't w*h*3 is not raw BGR24: skip
+    val bad = bytes.clone()
+    // first frame chunk length field sits at movi data start + 4
+    bad(104) = (bad(104) ^ 0x01).toByte
+    assert(Codecs.decodeAviFrames(bad).isEmpty)
+    assert(Codecs.decodeAviFrames(bytes.take(bytes.length / 2)).isEmpty)
+  }
+
   test("JPEG marker hardening: fill bytes + standalone TEM parse; junk is None") {
     val base = Jpeg.encodeJpegGray(12, 9, seed = 4L)
     val want = Jpeg.decodeJpeg(base).get.pixels.toSeq
