@@ -10996,7 +10996,45 @@ object Queries {
              |SELECT doc_id AS asset_id, f AS frame_idx, w AS width,
              |  h AS height, frame_sum
              |FROM fs
-             |ORDER BY asset_id, frame_idx""".stripMargin)))
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // audio downsample stage (Codecs.resampleWav via
+    // Multimodal.resampleAudio): decimate-by-2 nearest-frame PCM
+    // resampling — the 44.1/48 kHz → 16 kHz-class prep step every ASR
+    // corpus runs — verified END TO END: synthesize → resample →
+    // re-decode, with the q303 amplitude stats of the RESAMPLED stream
+    // predicted by the oracle from id arithmetic over exactly the kept
+    // frames ((i div ch) even) and the halved rate — a wrong frame
+    // stride, channel interleave, or header rewrite fails the hash.
+    // The q196 image-resize story for the audio modality. Scale: two
+    // chained partition-preserving mapPartitions, no shuffle.
+    "q306_wav_resample" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWavStats(
+            graft.multimodal.Multimodal.resampleAudio(assets, den = 2))
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (8000 + (doc_id % 8) * 1000)::BIGINT AS rate,
+             |    (doc_id % 2 + 1)::BIGINT AS ch,
+             |    (doc_id % 100 + 1)::BIGINT AS ns
+             |  FROM documents),
+             |sm AS (SELECT doc_id, CASE
+             |    WHEN (doc_id + i.i) % 65536 < 32768 THEN (doc_id + i.i) % 65536
+             |    ELSE (doc_id + i.i) % 65536 - 65536 END AS s
+             |  FROM p, range(0, 200) i(i)
+             |  WHERE i.i < ns * ch AND (i.i // ch) % 2 = 0),
+             |agg AS (SELECT doc_id, sum(s)::BIGINT AS sum_pcm,
+             |    sum(abs(s))::BIGINT AS sum_abs, max(abs(s))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'wav' AS codec,
+             |  (p.rate // 2)::BIGINT AS sample_rate,
+             |  p.ch AS n_channels, ((p.ns + 1) // 2)::BIGINT AS n_frames,
+             |  agg.sum_pcm, agg.sum_abs, agg.peak_abs
+             |FROM p JOIN agg USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -495,6 +495,46 @@ object Codecs {
     Some((info, out))
   }
 
+  /** Encode 16-bit PCM from EXPLICIT interleaved samples (the
+    * [[encodeWav]] container with caller-supplied payload — what any
+    * audio TRANSFORM stage re-encodes through). Sample ints are taken
+    * mod 2^16 (callers pass decoded int16 values). */
+  def encodeWavSamples(
+      sampleRate: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val b = encodeWav(sampleRate, channels, samples.length / channels, seed = 0L)
+    var i = 0
+    while (i < samples.length) {
+      putU16le(b, 44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** Decimate-by-`den` PCM downsample — the standard audio-corpus prep
+    * step (44.1/48 kHz source → the 16 kHz most ASR models train on),
+    * as nearest-frame decimation (keep every den-th FRAME across all
+    * channels, rate divided by den — the [[resizeBmp]] nearest-neighbor
+    * analog; production would put a low-pass ahead of the pick, exactly
+    * as NN-resize trades quality for determinism). None for anything
+    * [[decodeWavSamples]] rejects. */
+  def resampleWav(src: Array[Byte], den: Int): Option[Array[Byte]] = {
+    require(den >= 1)
+    decodeWavSamples(src).map { case (info, samples) =>
+      val ch = info.channels
+      val frames = samples.length / ch
+      val kept = new Array[Int](((frames + den - 1) / den) * ch)
+      var f = 0
+      var o = 0
+      while (f < frames) {
+        var c = 0
+        while (c < ch) { kept(o) = samples(f * ch + c); o += 1; c += 1 }
+        f += den
+      }
+      encodeWavSamples(math.max(info.sampleRate / den, 1), ch, kept)
+    }
+  }
+
   // ------------------------------------------------------------------
   // AVI — RIFF/'AVI ' container, LIST('hdrl') holding the 'avih'
   // MainAVIHeader (dwTotalFrames at data offset 16, dwWidth at 32,

@@ -520,6 +520,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio resample stage: every parseable 16-bit PCM payload is
+    * decimated by `den` ([[Codecs.resampleWav]] — the 44.1/48 kHz →
+    * 16 kHz-class prep step of an ASR corpus); everything else drops
+    * (the [[resizeImages]] skip discipline). Partition-preserving
+    * mapPartitions, payloads never touch the driver. */
+  def resampleAudio(assets: DataFrame,
+      den: Int = 2,
+      idCol: String = "asset_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    require(den >= 1)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Codecs.resampleWav(r.getAs[Array[Byte]](1), den)
+          .map(resampled => Row(id, resampled))
+      }
+    }(enc)
+  }
+
   /** Frame sampling: every `stride`-th frame offset (video only). */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
     features

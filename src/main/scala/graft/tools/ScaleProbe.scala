@@ -217,8 +217,8 @@ object ScaleProbe {
       "q290's fresh-store rationale; the filtered-search increment over plain serving is one keyed semi-join against the predicate id set plus a <= beam-row window per query — both corpus-independent by construction",
     "q300_ann_index_delete" ->
       "q290's fresh-store rationale; the delete itself is two keyed semi-joins over the k*n edge table + one count + one left join — linear keyed volume, the same class as the probed dedup restrictions",
-    "q303_wav_decode/q304_bmp_decode" ->
-      "per-asset payload loops in the shuffle-free mapPartitions class the probed q286/q296/q302/q305 codec entries time directly — growth tracks rows by construction, and these two are strictly simpler per-asset work than the probed members",
+    "q303_wav_decode/q304_bmp_decode/q306_wav_resample" ->
+      "per-asset payload loops in the shuffle-free mapPartitions class the probed q286/q296/q302/q305 codec entries time directly — growth tracks rows by construction, and these are strictly simpler per-asset work than the probed members",
     "q301_ann_index_repair" ->
       "q290's fresh-store rationale; the repair is one degree aggregate + a |queue|*beam search over the degraded keyed closure + one per-node window — the q291 insert shape with the queue as the batch, linear keyed volume by construction")
 

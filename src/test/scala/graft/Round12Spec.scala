@@ -546,6 +546,26 @@ class Round12Spec extends AnyFunSuite {
     assert(Codecs.decodeAviFrames(bytes.take(bytes.length / 2)).isEmpty)
   }
 
+  test("resampleWav: decimation keeps exactly every den-th frame, all channels") {
+    import graft.multimodal.Codecs
+    val src = Codecs.encodeWav(sampleRate = 16000, channels = 2,
+      nSamples = 11, seed = 100L)
+    val out = Codecs.resampleWav(src, den = 3).getOrElse(fail("resample None"))
+    val (info, samples) = Codecs.decodeWavSamples(out).get
+    assert(info.sampleRate == 5333 && info.channels == 2)
+    assert(info.nSamples == 4L) // frames 0, 3, 6, 9
+    val expect = Seq(0, 3, 6, 9).flatMap(f => Seq(0, 1).map { c =>
+      val u = (100L + f * 2 + c) % 65536
+      (if (u < 32768) u else u - 65536).toInt
+    })
+    assert(samples.toSeq == expect, "decimation picked the wrong frames")
+    // den = 1 is the identity on samples
+    val id1 = Codecs.resampleWav(src, den = 1).get
+    assert(Codecs.decodeWavSamples(id1).get._2.toSeq ==
+      Codecs.decodeWavSamples(src).get._2.toSeq)
+    assert(Codecs.resampleWav(src.take(20), den = 2).isEmpty)
+  }
+
   test("JPEG marker hardening: fill bytes + standalone TEM parse; junk is None") {
     val base = Jpeg.encodeJpegGray(12, 9, seed = 4L)
     val want = Jpeg.decodeJpeg(base).get.pixels.toSeq
