@@ -159,6 +159,32 @@ class Round12Spec extends AnyFunSuite {
     assert(!rep.exists(r => tomb(r._1)), "a tombstoned node entered the queue")
   }
 
+  test("index serving/repair/filter plans stay on keyed joins — no cartesian, no BNL") {
+    import graft.operators.AnnIndex
+    val emb = randomVecs(60, 8, seed = 47).withColumn("label", col("vec_id") % 5)
+    val g = Similarity.nnDescent(emb, "vec_id", "embedding", 5, 1, 8)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 5)
+    def assertKeyed(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNL:\n$p")
+    }
+    assertKeyed("filteredSearchTopK", AnnIndex.filteredSearchTopK(
+      g, emb, queries, "vec_id", "embedding", pred = col("label") < 2,
+      entryIds = Seq(0L, 1L), beam = 10, rounds = 1, k = 3))
+    val remaining = emb.filter(col("vec_id") % 9 =!= 0)
+    assertKeyed("tombstoneDelete",
+      AnnIndex.tombstoneDelete(g, remaining, "vec_id", k = 5))
+    assertKeyed("repairLists", AnnIndex.repairLists(
+      AnnIndex.survivingEdges(g, remaining, "vec_id"), remaining,
+      "vec_id", "embedding", k = 5, entryIds = Seq(1L, 2L),
+      beam = 10, searchRounds = 1))
+    // the serve path too: stored-graph search is the q288 shape
+    assertKeyed("graphSearchTopK", Similarity.graphSearchTopK(
+      g, emb, queries, "vec_id", "embedding", Seq(0L, 1L), 10, 1, 3))
+  }
+
   test("healthAudit: cumulative, and total on a connected graph") {
     val df = randomVecs(60, 4, seed = 23)
     val g = Similarity.nnDescent(df, "vec_id", "embedding", 4, 3, 6)
