@@ -254,6 +254,52 @@ class Round12Spec extends AnyFunSuite {
     assert(served == batch, "streamed serving diverged from the batch search")
   }
 
+  test("round-12 operators are partition-invariant (the engine's determinism discipline)") {
+    // every result must be a pure function of the DATA — never of how
+    // Spark happened to partition it (that is what makes the DuckDB
+    // oracle a fair judge, and what keeps 1000-executor runs
+    // reproducible). Re-run each new operator on a deliberately
+    // re-partitioned input and require bit-identical rows.
+    import graft.operators.{AnnIndex, ThetaSketch}
+    val docs = Seq.tabulate(120)(i =>
+        (i.toLong, s"s${i % 4}", s"w${i % 23} w${(i * 7) % 23} w${(i * 11) % 23}"))
+      .toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def sk(d: org.apache.spark.sql.DataFrame) = ThetaSketch.sketchBy(
+      d.select(col("source"),
+        explode(graft.functions.Functions.wordShingles(col("text"), 2)).as("g")),
+      col("source"), col("g"), 8)
+    assert(rows(ThetaSketch.overlapMatrix(sk(docs), 8)) ==
+      rows(ThetaSketch.overlapMatrix(sk(docs.repartition(13)), 8)),
+      "overlapMatrix depends on partitioning")
+    val emb = randomVecs(50, 8, seed = 53)
+    val g = Similarity.nnDescent(emb, "vec_id", "embedding", 4, 2, 8)
+      .localCheckpoint()
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val gb = Similarity.nnDescent(base, "vec_id", "embedding", 4, 2, 8)
+      .localCheckpoint()
+    assert(
+      rows(AnnIndex.insertBatch(gb, base, batch, "vec_id", "embedding",
+        k = 4, entryIds = Seq(1L, 2L), beam = 8, searchRounds = 2)) ==
+      rows(AnnIndex.insertBatch(gb, base.repartition(7),
+        batch.repartition(3), "vec_id", "embedding",
+        k = 4, entryIds = Seq(1L, 2L), beam = 8, searchRounds = 2)),
+      "insertBatch depends on partitioning")
+    assert(
+      rows(AnnIndex.healthAudit(g, Seq(0L), hops = 3)) ==
+      rows(AnnIndex.healthAudit(g.repartition(5), Seq(0L), hops = 3)),
+      "healthAudit depends on partitioning")
+    val softA = graft.operators.TextAnalysis.unigramTrainSoft(
+      docs, "text", maxGram = 2, seedTopK = 8, vocabTarget = 6,
+      emRounds = 1, squarings = 2)
+    val softB = graft.operators.TextAnalysis.unigramTrainSoft(
+      docs.repartition(11), "text", maxGram = 2, seedTopK = 8, vocabTarget = 6,
+      emRounds = 1, squarings = 2)
+    assert(rows(softA) == rows(softB), "unigramTrainSoft depends on partitioning")
+  }
+
   // ------------------------------------------------------------------
   // Unigram soft E-step: zero-temperature forward-backward posterior
   // ------------------------------------------------------------------
