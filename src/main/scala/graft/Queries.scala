@@ -10469,9 +10469,17 @@ object Queries {
         java.nio.file.Files.deleteIfExists(link)
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$d/documents.parquet"))
-        // fresh per-run store (the sample itself would survive a reuse —
-        // min-k is idempotent — but a fresh dir keeps runs independent)
-        val base = java.nio.file.Files.createTempDirectory("graft_q294").toString
+        // run-tagged scratch store (the same discipline as the other
+        // stores), wiped before use so each invocation starts fresh —
+        // min-k is idempotent so a stale store would still be correct,
+        // but fresh keeps runs independent and /tmp bounded
+        val basePath = java.nio.file.Paths.get(scratchDir("graft_q294_store"))
+        if (java.nio.file.Files.exists(basePath)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(basePath).iterator().asScala
+            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        val base = basePath.toString
         val q = graft.streaming.DocStreams.startTheta(
           graft.streaming.DocStreams.readStream(s, dir.toString),
           s"$base/store", s"$base/ckpt", k = 64)
@@ -11036,11 +11044,129 @@ object Queries {
              |FROM p JOIN agg USING (doc_id)
              |ORDER BY asset_id""".stripMargin)))
 
+  // --------------------------------------------------------------------
+  // Round-13 surface: progressive JPEG, MJPEG-in-AVI, PNG palette/RGBA,
+  // FIR audio resampling, container census, scale-safe quantiles,
+  // sharded ANN serving, streaming index maintenance.
+  // --------------------------------------------------------------------
+  private val roundThirteenSurface: Seq[(String, Q)] = Seq(
+
+    // PROGRESSIVE JPEG decode (SOF2 — spectral selection + successive
+    // approximation, multimodal/Jpeg.scala): the dominant real-world
+    // JPEG class, which q286/q296's baseline decoder silently skipped.
+    // Assets are synthesized progressive streams — DC-first scan at
+    // Al=1, a DC refinement pass carrying REAL appended bits (the DC
+    // quant step is 8, so the coded DC is v−128 and odd values
+    // genuinely refine), then per-component non-interleaved AC scans
+    // (EOBn band runs) plus an AC refinement pass — even ids grayscale,
+    // odd ids 4:2:0 color, whose subsampled luma forces the
+    // component-own-dims AC geometry (ceil(cw/8) ≠ the padded MCU
+    // grid). The oracle predicts the full decoded pixel sum per id from
+    // the same q286/q296 arithmetic — a wrong scan-script dispatch,
+    // point transform, EOBn run decode, refinement bit order, or
+    // non-interleaved block count fails the hash. Scale: the q286
+    // partition-preserving mapPartitions shape; fixed-width stats out.
+    "q307_jpeg_progressive_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeJpegProgressiveAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeJpegStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+             |    (doc_id % 31 + 1)::BIGINT AS w, (doc_id % 17 + 1)::BIGINT AS h
+             |  FROM documents),
+             |gblocks AS (SELECT doc_id, w, h, bx.x AS bx, by.y AS by
+             |  FROM dims, range(0, 4) bx(x), range(0, 3) by(y)
+             |  WHERE doc_id % 2 = 0
+             |    AND bx.x <= (w - 1) // 8 AND by.y <= (h - 1) // 8),
+             |gps AS (SELECT doc_id,
+             |    sum(((doc_id * 7 + bx * 13 + by * 29) % 256) *
+             |        least(8, w - bx * 8) * least(8, h - by * 8))::BIGINT
+             |      AS pixel_sum
+             |  FROM gblocks GROUP BY doc_id),
+             |cpx AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+             |  FROM dims, range(0, 31) xs(x), range(0, 17) ys(y)
+             |  WHERE doc_id % 2 = 1 AND xs.x < w AND ys.y < h),
+             |ycc AS (SELECT doc_id,
+             |    ((doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256)::DOUBLE AS yy,
+             |    (((doc_id * 11 + (x // 16) * 17 + (y // 16) * 23) % 256) - 128)::DOUBLE AS cb,
+             |    (((doc_id * 5 + (x // 16) * 19 + (y // 16) * 31) % 256) - 128)::DOUBLE AS cr
+             |  FROM cpx),
+             |rgb AS (SELECT doc_id,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.402::DOUBLE * cr + 0.5)))::BIGINT AS r,
+             |    least(255, greatest(0,
+             |      floor(yy - 0.344136::DOUBLE * cb - 0.714136::DOUBLE * cr + 0.5)))::BIGINT AS g,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.772::DOUBLE * cb + 0.5)))::BIGINT AS bl
+             |  FROM ycc),
+             |cps AS (SELECT doc_id,
+             |    sum(65536 * r + 256 * g + bl)::BIGINT AS pixel_sum
+             |  FROM rgb GROUP BY doc_id),
+             |ps AS (SELECT doc_id, pixel_sum FROM gps
+             |  UNION ALL SELECT doc_id, pixel_sum FROM cps)
+             |SELECT d.doc_id AS asset_id, 'jpeg' AS codec, d.w AS width,
+             |  d.h AS height,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END::BIGINT
+             |    AS n_components, ps.pixel_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // Motion-JPEG frame extraction (Codecs.encodeAviMjpegFrames +
+    // decodeAviFrames + Multimodal.sampleFrameStats): q305's AVI frames
+    // were raw BGR24 only — real video corpora carry COMPRESSED
+    // payloads, and AVI's dominant one is MJPEG. Assets interleave raw
+    // '00db' frames (even) with '00dc' chunks each holding a complete
+    // baseline grayscale JPEG (odd, seed id+f), so the movi walk, the
+    // per-chunk JPEG decode (full Huffman/IDCT via the repo's own
+    // decoder), and the mixed-type frame ordering all sit under one
+    // hash: the oracle predicts raw frames' packed-RGB sums and MJPEG
+    // frames' decoded gray sums from id arithmetic. A '00dc' frame that
+    // fails to decode skips the frame, not the asset (spec-locked).
+    // Scale: the q305 shape — partition-preserving mapPartitions,
+    // payloads reduced to per-frame sums immediately.
+    "q308_avi_mjpeg_frames" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMjpegAviAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.sampleFrameStats(assets, stride = 1)
+          .orderBy(col("asset_id"), col("frame_idx"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 15 + 1)::BIGINT AS w,
+             |    (doc_id % 9 + 1)::BIGINT AS h,
+             |    (doc_id % 6 + 1)::BIGINT AS nf
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, f.f AS f
+             |  FROM p, range(0, 6) f(f) WHERE f.f < nf),
+             |rawpv AS (SELECT doc_id, w, h, f,
+             |    (doc_id + f * w * h + i.i)::BIGINT AS v
+             |  FROM fr, range(0, 135) i(i) WHERE f % 2 = 0 AND i.i < w * h),
+             |rawfs AS (SELECT doc_id, w, h, f, sum(
+             |    ((v // 65536) % 256) * 65536 + ((v // 256) % 256) * 256 +
+             |    (v % 256))::BIGINT AS frame_sum
+             |  FROM rawpv GROUP BY doc_id, w, h, f),
+             |jblk AS (SELECT doc_id, w, h, f, bx.x AS bx, by.y AS by
+             |  FROM fr, range(0, 2) bx(x), range(0, 2) by(y)
+             |  WHERE f % 2 = 1
+             |    AND bx.x <= (w - 1) // 8 AND by.y <= (h - 1) // 8),
+             |jfs AS (SELECT doc_id, w, h, f, sum(
+             |    (((doc_id + f) * 7 + bx * 13 + by * 29) % 256) *
+             |    least(8, w - bx * 8) * least(8, h - by * 8))::BIGINT
+             |      AS frame_sum
+             |  FROM jblk GROUP BY doc_id, w, h, f),
+             |fs AS (SELECT * FROM rawfs UNION ALL SELECT * FROM jfs)
+             |SELECT doc_id AS asset_id, f AS frame_idx, w AS width,
+             |  h AS height, frame_sum
+             |FROM fs
+             |ORDER BY asset_id, frame_idx""".stripMargin)))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
       ivf ++ textAnalysis ++ parityPipeline ++ streamingAndMultimodal ++
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
       roundFiveSurface ++ roundSixSurface ++ roundEightSurface ++
-      roundTenSurface ++ roundElevenSurface ++ roundTwelveSurface
+      roundTenSurface ++ roundElevenSurface ++ roundTwelveSurface ++
+      roundThirteenSurface
 }

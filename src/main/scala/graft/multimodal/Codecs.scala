@@ -627,13 +627,77 @@ object Codecs {
     b
   }
 
+  /** [[encodeAviFrames]] with MIXED raw + MJPEG frames — what a real
+    * video corpus contains (AVI's dominant in-the-wild payload is
+    * Motion-JPEG, not raw DIBs): even frames are uncompressed '00db'
+    * BGR24 ramps (the [[encodeAviFrames]] model), odd frames are '00dc'
+    * chunks each carrying a COMPLETE baseline grayscale JPEG
+    * ([[Jpeg.encodeJpegGray]] at the frame's own dims, seed = seed + f
+    * — per-block constants, so the decoded gray sum is id-predictable).
+    * Chunks keep RIFF 2-byte alignment (JPEG streams can be odd-length). */
+  def encodeAviMjpegFrames(
+      width: Int, height: Int, nFrames: Int, seed: Long,
+      microSecPerFrame: Int = 33333): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0)
+    val frameSize = width * height * 3
+    val chunks: IndexedSeq[(String, Array[Byte])] = (0 until nFrames).map { f =>
+      if (f % 2 == 0) {
+        val raw = new Array[Byte](frameSize)
+        var p = 0
+        while (p < width * height) {
+          val v = seed + f.toLong * width * height + p
+          raw(3 * p) = v.toByte
+          raw(3 * p + 1) = (v >> 8).toByte
+          raw(3 * p + 2) = (v >> 16).toByte
+          p += 1
+        }
+        ("00db", raw)
+      } else ("00dc", Jpeg.encodeJpegGray(width, height, seed = seed + f))
+    }
+    val moviData = 4 + chunks.map(c => 8 + c._2.length + (c._2.length & 1)).sum
+    val total = 88 + 8 + moviData
+    val b = new Array[Byte](total)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putU32le(b, 4, (total - 8).toLong)
+    b(8) = 'A'; b(9) = 'V'; b(10) = 'I'; b(11) = ' '
+    b(12) = 'L'; b(13) = 'I'; b(14) = 'S'; b(15) = 'T'
+    putU32le(b, 16, (4 + 8 + 56).toLong)
+    b(20) = 'h'; b(21) = 'd'; b(22) = 'r'; b(23) = 'l'
+    b(24) = 'a'; b(25) = 'v'; b(26) = 'i'; b(27) = 'h'
+    putU32le(b, 28, 56L)
+    val d = 32
+    putU32le(b, d, microSecPerFrame.toLong)
+    putU32le(b, d + 16, nFrames.toLong)
+    putU32le(b, d + 24, 1L)
+    putU32le(b, d + 32, width.toLong)
+    putU32le(b, d + 36, height.toLong)
+    b(88) = 'L'; b(89) = 'I'; b(90) = 'S'; b(91) = 'T'
+    putU32le(b, 92, moviData.toLong)
+    b(96) = 'm'; b(97) = 'o'; b(98) = 'v'; b(99) = 'i'
+    var o = 100
+    for ((id, payload) <- chunks) {
+      b(o) = id(0).toByte; b(o + 1) = id(1).toByte
+      b(o + 2) = id(2).toByte; b(o + 3) = id(3).toByte
+      putU32le(b, o + 4, payload.length.toLong)
+      System.arraycopy(payload, 0, b, o + 8, payload.length)
+      o += 8 + payload.length + (payload.length & 1)
+    }
+    b
+  }
+
   /** FULL AVI frame decode — walk to the movi LIST and reduce every
-    * uncompressed '00db'/'00dc' frame chunk to its packed-RGB pixel sum
-    * (frames whose length is not w·h·3 are not raw BGR24 — None, skip
-    * not fail; same for a missing movi or truncation). Returns the
-    * header info plus one sum per frame in stream order — the
-    * frame-extraction stage of a video-corpus pipeline, reduced to
-    * fixed-width stats before anything downstream. */
+    * frame chunk to its pixel sum: '00db' chunks must be raw BGR24
+    * (w·h·3 bytes, packed-RGB sum; any other length is a corrupt raw
+    * frame — None, skip not fail, same for a missing movi or
+    * truncation); '00dc' chunks of raw size decode as BGR24, any other
+    * length is tried as an embedded JPEG (Motion-JPEG — AVI's dominant
+    * compressed payload), summing the decoded gray/packed-RGB pixels
+    * when the frame decodes at the header's own dims and SKIPPING the
+    * frame otherwise (one bad compressed frame must not drop the whole
+    * asset). Returns the header info plus one sum per decoded frame in
+    * stream order — the frame-extraction stage of a video-corpus
+    * pipeline, reduced to fixed-width stats before anything
+    * downstream. */
   def decodeAviFrames(b: Array[Byte]): Option[(VideoInfo, Array[Long])] = try {
     val info = parseAvi(b).getOrElse(return None)
     val (w, h) = (info.width, info.height)
@@ -657,10 +721,14 @@ object Codecs {
     var c = moviOff
     while (c + 8 <= moviEnd) {
       val id = new String(b, c, 4, "US-ASCII")
-      val len = u32le(b, c + 4).toInt
-      if (c + 8 + len > moviEnd) return None
-      if (id == "00db" || id == "00dc") {
-        if (len != frameSize) return None // not raw BGR24: skip the asset
+      // keep the u32 length as Long until it is bounds-checked: a value
+      // >= 2^31 would wrap negative as Int, pass the check, and leave
+      // the cursor advance non-positive — an infinite loop on corrupt
+      // input (the outer RIFF walks already guard on the Long)
+      val lenL = u32le(b, c + 4)
+      if (lenL > (moviEnd - c - 8).toLong) return None
+      val len = lenL.toInt
+      def rawSum(): Long = {
         var s = 0L
         var p = 0
         while (p < w * h) {
@@ -669,7 +737,21 @@ object Codecs {
             (b(po) & 0xff)
           p += 1
         }
-        sums += s
+        s
+      }
+      if (id == "00db") {
+        if (len != frameSize) return None // not raw BGR24: skip the asset
+        sums += rawSum()
+      } else if (id == "00dc") {
+        if (len == frameSize) sums += rawSum()
+        else Jpeg.decodeJpeg(java.util.Arrays.copyOfRange(b, c + 8, c + 8 + len)) match {
+          case Some(img) if img.width == w && img.height == h =>
+            var s = 0L
+            var p = 0
+            while (p < img.pixels.length) { s += img.pixels(p); p += 1 }
+            sums += s
+          case _ => () // undecodable compressed frame: skip it, not the asset
+        }
       }
       c += 8 + len + (len & 1)
     }

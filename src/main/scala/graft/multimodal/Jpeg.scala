@@ -61,6 +61,14 @@ object Jpeg {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
+  // canonical progressive AC table: only the EOBn run symbols r<<4
+  // (r = 0..14) — Annex K's AC table lacks 0x10..0xE0, and an all-zero-AC
+  // progressive scan codes nothing else. 15 codes of length 4 fit the
+  // canonical space (16 at length 4) with room to spare.
+  private val acBitsProg: Array[Int] =
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val acValsProg: Array[Int] = (0 to 14).map(_ << 4).toArray
+
   /** Zigzag order: zigzag(i) = natural (row-major) index of scan pos i. */
   private val zigzag: Array[Int] = {
     val z = new Array[Int](64)
@@ -263,6 +271,146 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Grayscale PROGRESSIVE (SOF2) DC-only encode — see
+    * [[encodeJpegProgressive]]. */
+  def encodeJpegProgressiveGray(width: Int, height: Int, seed: Long): Array[Byte] =
+    encodeJpegProgressive(width, height,
+      Seq((bx: Int, by: Int) => blockValue(seed, bx, by)), Seq((1, 1)))
+
+  /** 4:2:0 color PROGRESSIVE (SOF2) DC-only encode — the dominant
+    * real-world JPEG shape (progressive + subsampled); per-8×8-luma-block
+    * constant Y, per-MCU constant chroma, as [[encodeJpeg420]]. */
+  def encodeJpegProgressive420(
+      width: Int, height: Int,
+      yF: (Int, Int) => Int, cbF: (Int, Int) => Int, crF: (Int, Int) => Int): Array[Byte] =
+    encodeJpegProgressive(width, height, Seq(yF, cbF, crF),
+      Seq((2, 2), (1, 1), (1, 1)))
+
+  /** PROGRESSIVE (SOF2) DC-only encode with spectral selection AND
+    * successive approximation — the scan script most web encoders emit,
+    * reduced to the DC-only payload that round-trips pixel-exactly:
+    *
+    *  1. DC first scan, interleaved, Al=1 (point-transformed diffs);
+    *  2. DC refinement scan, Ah=1→Al=0 (one raw appended bit per block —
+    *     genuinely nonzero bits: the DC quant step is 8, so the coded DC
+    *     is v−128, odd for odd v);
+    *  3. per component, AC first scan Ss=1..63 at Al=1 — every AC is
+    *     zero, so the scan is pure EOBn run-length coding (the
+    *     progressive-only band-skip machinery, spec G.1.2.2);
+    *  4. per component, AC refinement scan Ah=1→Al=0 — zero history, so
+    *     EOBn runs with no correction bits (spec G.1.2.3's parse path).
+    *
+    * AC scans are single-component NON-interleaved (mandatory in
+    * progressive), so a subsampled luma plane's scan covers its own
+    * ceil(cw/8)×ceil(ch/8) block count, NOT the padded MCU grid — the
+    * dims mismatch every progressive decoder must get right. Quant table:
+    * q(DC)=8 (exact: dequantized DC is 8·(v−128), the same lone-DC IDCT
+    * as baseline), q(AC)=1. Uses the Annex K DC table and a minimal
+    * EOBn-only AC table (Annex K's AC table has no 0x10..0xE0 symbols). */
+  def encodeJpegProgressive(
+      width: Int, height: Int,
+      comps: Seq[(Int, Int) => Int],
+      sampling: Seq[(Int, Int)]): Array[Byte] = {
+    require(width > 0 && height > 0 && (comps.size == 1 || comps.size == 3))
+    require(sampling.size == comps.size &&
+      sampling.forall { case (h, v) => h >= 1 && h <= 4 && v >= 1 && v <= 4 })
+    val nc = comps.size
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int*): Unit = b.foreach(v => out.write(v & 0xff))
+    m(0xff, 0xd8) // SOI
+    // DQT: q(DC)=8 (scan pos 0), q(AC)=1
+    m(0xff, 0xdb, 0x00, 0x43, 0x00)
+    out.write(8)
+    for (_ <- 1 until 64) out.write(1)
+    // SOF2 (progressive DCT, Huffman)
+    m(0xff, 0xc2, 0x00, 8 + 3 * nc, 8,
+      (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff, nc)
+    for (c <- 0 until nc)
+      m(c + 1, (sampling(c)._1 << 4) | sampling(c)._2, 0x00)
+    // DHT: Annex K DC table 0 + EOBn-only AC table 0
+    m(0xff, 0xc4, 0x00, 19 + dcVals.length, 0x00)
+    dcBits.foreach(out.write); dcVals.foreach(out.write)
+    m(0xff, 0xc4, 0x00, 19 + acValsProg.length, 0x10)
+    acBitsProg.foreach(out.write); acValsProg.foreach(out.write)
+    val dcTab = buildEncodeTable(dcBits, dcVals)
+    val acTab = buildEncodeTable(acBitsProg, acValsProg)
+    val hMax = sampling.map(_._1).max
+    val vMax = sampling.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // quantized DC of component c's block (bx, by): (v − 128), q step 8
+    def dcQ(c: Int)(bx: Int, by: Int): Int = comps(c)(bx, by) - 128
+    def sosHeader(scanComps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      m(0xff, 0xda, 0x00, 6 + 2 * scanComps.size, scanComps.size)
+      for (c <- scanComps) m(c + 1, 0x00) // DC table 0, AC table 0
+      m(ss, se, (ah << 4) | al)
+    }
+    def writeDiff(bw: BitWriter, diff0: Int): Unit = {
+      var diff = diff0
+      var s = 0
+      var mag = math.abs(diff)
+      while (mag != 0) { s += 1; mag >>= 1 }
+      val (code, len) = dcTab(s)
+      bw.put(code, len)
+      if (s > 0) {
+        if (diff < 0) diff += (1 << s) - 1
+        bw.put(diff, s)
+      }
+    }
+    // scan 1: DC first, interleaved, Al=1
+    sosHeader(0 until nc, 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter
+      val prev = new Array[Int](nc)
+      for (my <- 0 until mcusY; mx <- 0 until mcusX;
+           c <- 0 until nc; v <- 0 until sampling(c)._2; h <- 0 until sampling(c)._1) {
+        val pt = dcQ(c)(mx * sampling(c)._1 + h, my * sampling(c)._2 + v) >> 1
+        writeDiff(bw, pt - prev(c))
+        prev(c) = pt
+      }
+      bw.flushOnes()
+      out.write(bw.toBytes, 0, bw.toBytes.length)
+    }
+    // scan 2: DC refinement, Ah=1 → Al=0: one appended bit per block
+    sosHeader(0 until nc, 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter
+      for (my <- 0 until mcusY; mx <- 0 until mcusX;
+           c <- 0 until nc; v <- 0 until sampling(c)._2; h <- 0 until sampling(c)._1)
+        bw.put(dcQ(c)(mx * sampling(c)._1 + h, my * sampling(c)._2 + v) & 1, 1)
+      bw.flushOnes()
+      out.write(bw.toBytes, 0, bw.toBytes.length)
+    }
+    // EOBn runs covering n all-zero-AC blocks (G.1.2.2: run length
+    // L = 2^r + ext(r bits), max 32767)
+    def writeEobRuns(bw: BitWriter, n0: Int): Unit = {
+      var n = n0
+      while (n > 0) {
+        val l = math.min(n, 32767)
+        var r = 0
+        while ((1 << (r + 1)) <= l) r += 1
+        val (code, len) = acTab(r << 4)
+        bw.put(code, len)
+        if (r > 0) bw.put(l - (1 << r), r)
+        n -= l
+      }
+    }
+    // scans 3..: per component, AC first (Al=1) then AC refine (Ah=1)
+    for (pass <- 0 to 1; c <- 0 until nc) {
+      val cw = (width * sampling(c)._1 + hMax - 1) / hMax
+      val ch = (height * sampling(c)._2 + vMax - 1) / vMax
+      val nBlocks = ((cw + 7) / 8) * ((ch + 7) / 8)
+      if (pass == 0) sosHeader(Seq(c), 1, 63, 0, 1)
+      else sosHeader(Seq(c), 1, 63, 1, 0)
+      val bw = new BitWriter
+      writeEobRuns(bw, nBlocks)
+      bw.flushOnes()
+      out.write(bw.toBytes, 0, bw.toBytes.length)
+    }
+    m(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   // ----------------------------------------------------------------
   // Decoder (general baseline, 4:4:4)
   // ----------------------------------------------------------------
@@ -371,9 +519,23 @@ object Jpeg {
   private def clamp8(v: Double): Int =
     math.max(0, math.min(255, math.round(v).toInt))
 
-  /** Decode a baseline JPEG. None for anything unsupported or corrupt
-    * (progressive, arithmetic coding, 12-bit, non-dividing sampling
-    * factors, truncation). */
+  /** Decode a JPEG — baseline sequential (SOF0) or progressive Huffman
+    * (SOF2, spectral selection + successive approximation). None for
+    * anything unsupported or corrupt (arithmetic coding, 12-bit,
+    * non-dividing sampling factors, truncation).
+    *
+    * The decoder is the standard two-stage shape every multi-scan
+    * decoder uses (spec G.2): scans accumulate QUANTIZED coefficients
+    * into per-component buffers — DC first/refine (F.2.4.1 + point
+    * transform), AC first with EOBn band-run skipping (G.1.2.2), AC
+    * refinement with correction bits (G.1.2.3) — and reconstruction
+    * (dequantize + IDCT + upsample + YCbCr) runs once at EOI. Baseline
+    * is the degenerate single full-band scan through the same machinery
+    * and reconstructs immediately after its SOS (no EOI required, as
+    * before). Progressive AC scans are single-component NON-interleaved:
+    * they cover the component's own ceil(cw/8)×ceil(ch/8) blocks, not
+    * the padded interleaved MCU grid. DRI/RSTn restart intervals reset
+    * DC predictors AND the EOB run in every scan kind. */
   def decodeJpeg(b: Array[Byte]): Option[JpegImage] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var pos = 2
@@ -382,11 +544,232 @@ object Jpeg {
     val acTabs = new Array[HuffTable](4)
     var width = 0; var height = 0
     var nc = 0
+    var progressive = false
+    var compId: Array[Int] = null
     var compQ: Array[Int] = null
     var compH: Array[Int] = null
     var compV: Array[Int] = null
     var dri = 0 // restart interval in MCUs (0 = none)
+    var mcusX = 0; var mcusY = 0
+    var bxn: Array[Int] = null // per-component block-grid width
+    var byn: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // QUANTIZED coefs, natural order
+    var anyScan = false
     def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    /** Dequantize + IDCT every block, then upsample + color-convert. */
+    def reconstruct(): JpegImage = {
+      val hMax = compH.max; val vMax = compV.max
+      val planes = Array.tabulate(nc)(c => new Array[Int](bxn(c) * byn(c) * 64))
+      val dq = new Array[Int](64)
+      var c = 0
+      while (c < nc) {
+        val q = quant(compQ(c))
+        if (q == null) throw new java.io.IOException("missing quant table")
+        val arr = coefs(c)
+        var bi = 0
+        val nBlocks = bxn(c) * byn(c)
+        while (bi < nBlocks) {
+          val base = bi * 64
+          var k = 0
+          while (k < 64) { val nat = zigzag(k); dq(nat) = arr(base + nat) * q(k); k += 1 }
+          System.arraycopy(idct(dq), 0, planes(c), base, 64)
+          bi += 1
+        }
+        c += 1
+      }
+      // sample component c at pixel (x, y): replication upsample
+      def sample(ci: Int, x: Int, y: Int): Int = {
+        val px = x * compH(ci) / hMax
+        val py = y * compV(ci) / vMax
+        planes(ci)(((py / 8) * bxn(ci) + px / 8) * 64 + (py % 8) * 8 + (px % 8))
+      }
+      val pixels = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          pixels(y * width + x) =
+            if (nc == 1) sample(0, x, y)
+            else {
+              val yy = sample(0, x, y).toDouble
+              val cb = sample(1, x, y) - 128.0
+              val cr = sample(2, x, y) - 128.0
+              (clamp8(yy + 1.402 * cr) << 16) |
+                (clamp8(yy - 0.344136 * cb - 0.714136 * cr) << 8) |
+                clamp8(yy + 1.772 * cb)
+            }
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, nc, pixels)
+    }
+
+    /** Decode one scan's entropy data into the coefficient buffers;
+      * returns the position of the next marker's 0xFF. */
+    def decodeScan(start: Int, scanC: Array[Int], scanDc: Array[Int],
+        scanAc: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val ns = scanC.length
+      val br = new BitReader(b, start)
+      val pred = new Array[Int](ns)
+      var eobrun = 0
+      for (si <- 0 until ns) {
+        // sequential needs both tables; progressive DC-first needs DC
+        // only; DC refinement is raw bits (no table); AC scans need AC
+        val needDc = !progressive || (ss == 0 && ah == 0)
+        val needAc = !progressive || ss > 0
+        if (needDc && dcTabs(scanDc(si)) == null)
+          throw new java.io.IOException("missing DC table")
+        if (needAc && acTabs(scanAc(si)) == null)
+          throw new java.io.IOException("missing AC table")
+      }
+
+      // decode one block of scan component si at natural-order offset off
+      def block(si: Int, off: Int): Unit = {
+        val arr = coefs(scanC(si))
+        if (!progressive) { // sequential: full-band DC+AC
+          val t = dcTabs(scanDc(si)).decode(br)
+          pred(si) += extend(br.receive(t), t)
+          arr(off) = pred(si)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acTabs(scanAc(si)).decode(br)
+            val (r, s) = (rs >> 4, rs & 0x0f)
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += r
+              if (k > 63) throw new java.io.IOException("ac overflow")
+              arr(off + zigzag(k)) = extend(br.receive(s), s)
+              k += 1
+            }
+          }
+        } else if (ss == 0 && ah == 0) { // DC first (F.2.4.1 + Al shift)
+          val t = dcTabs(scanDc(si)).decode(br)
+          pred(si) += extend(br.receive(t), t)
+          arr(off) = pred(si) << al
+        } else if (ss == 0) { // DC refinement: one appended bit
+          if (br.bit() == 1) arr(off) |= (1 << al)
+        } else if (ah == 0) { // AC first with EOBn runs (G.1.2.2)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (k <= se && !done) {
+              val rs = acTabs(scanAc(si)).decode(br)
+              val (r, s) = (rs >> 4, rs & 0x0f)
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += br.receive(r)
+                  done = true
+                }
+              } else {
+                k += r
+                if (k > se) throw new java.io.IOException("ac overflow")
+                arr(off + zigzag(k)) = extend(br.receive(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else { // AC refinement (G.1.2.3, the jdphuff structure)
+          val p1 = 1 << al
+          val m1 = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = acTabs(scanAc(si)).decode(br)
+              var r = rs >> 4
+              val s = rs & 0x0f
+              var sVal = 0
+              if (s != 0) {
+                if (s != 1) throw new java.io.IOException("bad refine magnitude")
+                sVal = if (br.bit() == 1) p1 else m1
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.receive(r)
+                brk = true
+              }
+              if (!brk) {
+                // advance over r zero-HISTORY coefficients, emitting a
+                // correction bit at every nonzero one passed
+                var placed = false
+                while (k <= se && !placed) {
+                  val o2 = off + zigzag(k)
+                  if (arr(o2) != 0) {
+                    if (br.bit() == 1 && (arr(o2) & p1) == 0)
+                      arr(o2) += (if (arr(o2) >= 0) p1 else m1)
+                    k += 1
+                  } else if (r == 0) {
+                    if (sVal != 0) arr(o2) = sVal
+                    k += 1
+                    placed = true
+                  } else { r -= 1; k += 1 }
+                }
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB tail: correction bits on nonzero history
+            while (k <= se) {
+              val o2 = off + zigzag(k)
+              if (arr(o2) != 0) {
+                if (br.bit() == 1 && (arr(o2) & p1) == 0)
+                  arr(o2) += (if (arr(o2) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+
+      var mcu = 0
+      var rst = 0
+      def restartBoundary(): Unit =
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          br.expectRst(rst % 8)
+          rst += 1
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0 // E.2.4 applies to the EOB run too (G.1.2.2 note)
+        }
+      if (ns > 1) { // interleaved: MCU loop over the padded grid
+        for (_my <- 0 until mcusY; _mx <- 0 until mcusX) {
+          restartBoundary()
+          mcu += 1
+          for (si <- 0 until ns) {
+            val c = scanC(si)
+            for (v <- 0 until compV(c); h <- 0 until compH(c)) {
+              val bx = _mx * compH(c) + h
+              val by = _my * compV(c) + v
+              block(si, (by * bxn(c) + bx) * 64)
+            }
+          }
+        }
+      } else { // non-interleaved: the component's OWN block count
+        val c = scanC(0)
+        val hMax = compH.max; val vMax = compV.max
+        val cw = (width * compH(c) + hMax - 1) / hMax
+        val ch = (height * compV(c) + vMax - 1) / vMax
+        val nbx = (cw + 7) / 8
+        val nby = (ch + 7) / 8
+        for (by <- 0 until nby; bx <- 0 until nbx) {
+          restartBoundary() // MCU = one block in a non-interleaved scan
+          mcu += 1
+          block(0, (by * bxn(c) + bx) * 64)
+        }
+      }
+      // scan ends at the next marker: first 0xFF not followed by 0x00
+      var p = br.pos
+      while (p + 1 < b.length &&
+        !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0x00)) p += 1
+      p
+    }
+
     while (pos + 2 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
       // 0xFF fill bytes: any number of 0xFF may pad before the marker
@@ -394,7 +777,8 @@ object Jpeg {
       var mp = pos + 1
       while (mp + 1 < b.length && (b(mp) & 0xff) == 0xff) mp += 1
       val marker = b(mp) & 0xff
-      if (marker == 0xd9) return None // EOI before SOS
+      if (marker == 0xd9) // EOI: reconstruct if any scan landed
+        return if (anyScan && nc > 0) Some(reconstruct()) else None
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         // standalone markers (TEM, stray RSTn): length-less — skip
         pos = mp + 1
@@ -413,14 +797,20 @@ object Jpeg {
               quant(tq) = Array.tabulate(64)(i => b(o + 1 + i) & 0xff)
               o += 65
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive Huffman
+            if (nc > 0) return None // second frame
+            progressive = marker == 0xc2
             height = u16(seg + 1); width = u16(seg + 3)
             nc = b(seg + 5) & 0xff
             if ((b(seg) & 0xff) != 8 || (nc != 1 && nc != 3)) return None
+            if (width <= 0 || height <= 0 ||
+              width.toLong * height > (1L << 26)) return None
+            compId = new Array[Int](nc)
             compQ = new Array[Int](nc)
             compH = new Array[Int](nc)
             compV = new Array[Int](nc)
             for (c <- 0 until nc) {
+              compId(c) = b(seg + 6 + 3 * c) & 0xff
               val hv = b(seg + 7 + 3 * c) & 0xff
               compH(c) = hv >> 4; compV(c) = hv & 0x0f
               if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4)
@@ -432,8 +822,14 @@ object Jpeg {
             if ((0 until nc).exists(c =>
                 compH.max % compH(c) != 0 || compV.max % compV(c) != 0))
               return None
-          case 0xc1 | 0xc2 | 0xc3 | 0xc9 | 0xca | 0xcb =>
-            return None // non-baseline SOF
+            val hMax = compH.max; val vMax = compV.max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            bxn = Array.tabulate(nc)(c => mcusX * compH(c))
+            byn = Array.tabulate(nc)(c => mcusY * compV(c))
+            coefs = Array.tabulate(nc)(c => new Array[Int](bxn(c) * byn(c) * 64))
+          case 0xc1 | 0xc3 | 0xc9 | 0xca | 0xcb =>
+            return None // non-baseline/non-progressive-Huffman SOF
           case 0xc4 => // DHT, possibly several tables
             var o = seg
             while (o < seg + len - 2) {
@@ -449,93 +845,40 @@ object Jpeg {
           case 0xdd => // DRI (B.2.4.4)
             if (len != 4) return None
             dri = u16(seg)
-          case 0xda => // SOS: decode and return
+          case 0xda => // SOS
             val ns = b(seg) & 0xff
-            if (ns != nc || width <= 0 || height <= 0) return None
-            val compDc = new Array[Int](nc)
-            val compAc = new Array[Int](nc)
-            for (c <- 0 until nc) {
-              compDc(c) = (b(seg + 2 + 2 * c) & 0xff) >> 4
-              compAc(c) = b(seg + 2 + 2 * c) & 0x0f
+            if (nc == 0 || ns < 1 || ns > nc) return None
+            val scanC = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            for (si <- 0 until ns) {
+              val cid = b(seg + 1 + 2 * si) & 0xff
+              val ci = compId.indexOf(cid)
+              if (ci < 0) return None
+              scanC(si) = ci
+              scanDc(si) = (b(seg + 2 + 2 * si) & 0xff) >> 4
+              scanAc(si) = b(seg + 2 + 2 * si) & 0x0f
             }
-            // (seg + len - 2) is one past the SOS header: entropy start
-            val br = new BitReader(b, seg + len - 2)
-            val hMax = compH.max; val vMax = compV.max
-            val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-            val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-            // per-component block grids (c's grid is mcusX·h × mcusY·v)
-            val bxn = Array.tabulate(nc)(c => mcusX * compH(c))
-            val planes = Array.tabulate(nc)(c =>
-              new Array[Int](bxn(c) * mcusY * compV(c) * 64))
-            val pred = new Array[Int](nc)
-            val coef = new Array[Int](64)
-            var mcu = 0
-            var rst = 0
-            for (my <- 0 until mcusY; mx <- 0 until mcusX) {
-              if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-                br.expectRst(rst % 8) // byte-align + consume RSTn
-                rst += 1
-                java.util.Arrays.fill(pred, 0) // E.2.4: reset DC predictors
-              }
-              mcu += 1
-              for (c <- 0 until nc; v <- 0 until compV(c); h <- 0 until compH(c)) {
-                java.util.Arrays.fill(coef, 0)
-                val q = quant(compQ(c))
-                if (q == null || dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
-                  return None
-                val t = dcTabs(compDc(c)).decode(br)
-                val diff = extend(br.receive(t), t)
-                pred(c) += diff
-                coef(zigzag(0)) = pred(c) * q(0)
-                var k = 1
-                var eob = false
-                while (k < 64 && !eob) {
-                  val rs = acTabs(compAc(c)).decode(br)
-                  val (r, s) = (rs >> 4, rs & 0x0f)
-                  if (s == 0) {
-                    if (r == 15) k += 16 // ZRL
-                    else eob = true
-                  } else {
-                    k += r
-                    if (k > 63) throw new java.io.IOException("ac overflow")
-                    coef(zigzag(k)) = extend(br.receive(s), s) * q(k)
-                    k += 1
-                  }
-                }
-                val px = idct(coef)
-                val (bx, by) = (mx * compH(c) + h, my * compV(c) + v)
-                System.arraycopy(px, 0, planes(c), (by * bxn(c) + bx) * 64, 64)
-              }
-            }
-            // sample component c at pixel (x, y): replication upsample
-            def sample(c: Int, x: Int, y: Int): Int = {
-              val px = x * compH(c) / hMax
-              val py = y * compV(c) / vMax
-              planes(c)(((py / 8) * bxn(c) + px / 8) * 64 + (py % 8) * 8 + (px % 8))
-            }
-            val pixels = new Array[Int](width * height)
-            var y = 0
-            while (y < height) {
-              var x = 0
-              while (x < width) {
-                pixels(y * width + x) =
-                  if (nc == 1) sample(0, x, y)
-                  else {
-                    val yy = sample(0, x, y).toDouble
-                    val cb = sample(1, x, y) - 128.0
-                    val cr = sample(2, x, y) - 128.0
-                    (clamp8(yy + 1.402 * cr) << 16) |
-                      (clamp8(yy - 0.344136 * cb - 0.714136 * cr) << 8) |
-                      clamp8(yy + 1.772 * cb)
-                  }
-                x += 1
-              }
-              y += 1
-            }
-            return Some(JpegImage(width, height, nc, pixels))
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val (ah, al) = (ahal >> 4, ahal & 0x0f)
+            if (progressive) {
+              // G.1.1.1.1: DC scans are Ss=Se=0 (interleave allowed);
+              // AC scans are a single component with 1 <= Ss <= Se <= 63
+              if (ss == 0 && se != 0) return None
+              if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+              if (al > 13 || ah > 13) return None
+            } else if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
+            val next = decodeScan(seg + len - 2, scanC, scanDc, scanAc, ss, se, ah, al)
+            anyScan = true
+            // baseline with every component in the scan is complete here
+            // (no EOI required — the pre-progressive contract)
+            if (!progressive && ns == nc) return Some(reconstruct())
+            pos = next
           case _ => () // APPn, COM, others: skip
         }
-        pos = seg + len - 2
+        if (marker != 0xda) pos = seg + len - 2
       }
     }
     None

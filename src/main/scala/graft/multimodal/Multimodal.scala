@@ -254,6 +254,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize PROGRESSIVE (SOF2) JPEG assets — the dominant
+    * real-world JPEG shape ([[Jpeg.encodeJpegProgressive]]: DC-first +
+    * DC-refinement + per-component AC scans with EOBn runs and a
+    * successive-approximation refinement pass): even ids grayscale
+    * 4:4:4, odd ids COLOR 4:2:0 — the subsampled case forces the
+    * non-interleaved AC-scan geometry (component-own block dims, not
+    * the padded MCU grid). Same id-derived dims and per-block/per-MCU
+    * constants as the q286/q296 baseline fixtures, so the decoded
+    * pixel sums stay oracle-predictable. Executor-side mapPartitions;
+    * payloads never touch the driver. */
+  def synthesizeJpegProgressiveAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeJpegProgressiveAssets needs non-negative ids, got $i")
+        val (w, h) = ((i % 31 + 1).toInt, (i % 17 + 1).toInt)
+        val bytes =
+          if (i % 2 == 0) Jpeg.encodeJpegProgressiveGray(w, h, seed = i)
+          else Jpeg.encodeJpegProgressive420(w, h,
+            (bx, by) => Jpeg.blockValue(i, bx, by),
+            (mx, my) => Jpeg.chromaCb(i, mx, my),
+            (mx, my) => Jpeg.chromaCr(i, mx, my))
+        Row(i, bytes)
+      }
+    }(enc)
+  }
+
   /** Synthesize filter-cycling PNG assets from an id column: id-derived
     * dims, the deterministic v = id + y·w + x RGB ramp, and scanline
     * filter (id + y) mod 5 per row — every one of PNG's five filters
@@ -426,6 +457,27 @@ object Multimodal {
         val i = r.getLong(0)
         require(i >= 0, s"synthesizeAviAssets needs non-negative ids, got $i")
         Row(i, Codecs.encodeAviFrames(
+          (i % 15 + 1).toInt, (i % 9 + 1).toInt,
+          nFrames = (i % 6 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** Synthesize AVI assets with MIXED raw + Motion-JPEG frames
+    * ([[Codecs.encodeAviMjpegFrames]]: even frames raw '00db' BGR24
+    * ramps, odd frames '00dc' chunks each a complete baseline grayscale
+    * JPEG at seed = id + f) — the compressed-video shape a real corpus
+    * contains, with every frame's pixel sum still id-predictable. */
+  def synthesizeMjpegAviAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMjpegAviAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeAviMjpegFrames(
           (i % 15 + 1).toInt, (i % 9 + 1).toInt,
           nFrames = (i % 6 + 1).toInt, seed = i))
       }

@@ -60,7 +60,13 @@ object AnnServing {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
           .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Exception => () }
+      } catch {
+        // cleanup stays best-effort, but a persistently failing delete
+        // must leave a signal (house discipline per graftbridge.Bridge)
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
+      }
     }
     spark.table(tbl)
   }
@@ -121,7 +127,13 @@ object AnnServing {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
           .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Exception => () }
+      } catch {
+        // cleanup stays best-effort, but a persistently failing delete
+        // must leave a signal (house discipline per graftbridge.Bridge)
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
+      }
     }
     spark.table(tbl)
   }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Codecs, Jpeg}
+
+/** Round-13 locks: progressive JPEG, MJPEG-in-AVI, PNG palette/RGBA,
+  * FIR audio resampling, sharded ANN serving, streaming index CDC. */
+class Round13Spec extends AnyFunSuite {
+
+  // ------------------------------------------------------------------
+  // Progressive JPEG (SOF2)
+  // ------------------------------------------------------------------
+
+  test("progressive gray round-trips pixel-exactly, incl. odd dims") {
+    for ((w, h, seed) <- Seq((8, 8, 0L), (17, 9, 3L), (1, 1, 7L), (31, 17, 123L),
+        (24, 16, 55L), (9, 25, 999L))) {
+      val bytes = Jpeg.encodeJpegProgressiveGray(w, h, seed)
+      val img = Jpeg.decodeJpeg(bytes)
+        .getOrElse(fail(s"progressive gray $w x $h seed=$seed did not decode"))
+      assert(img.width == w && img.height == h && img.nComponents == 1)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = Jpeg.blockValue(seed, x / 8, y / 8)
+        assert(img.pixels(y * w + x) == want,
+          s"pixel ($x,$y) of $w x $h seed=$seed: got ${img.pixels(y * w + x)}, want $want")
+      }
+    }
+  }
+
+  test("progressive gray equals the baseline decode of the same image") {
+    for ((w, h, seed) <- Seq((16, 16, 11L), (19, 7, 42L))) {
+      val prog = Jpeg.decodeJpeg(Jpeg.encodeJpegProgressiveGray(w, h, seed)).get
+      val base = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(w, h, seed)).get
+      assert(prog.pixels.toSeq == base.pixels.toSeq)
+    }
+  }
+
+  test("progressive 4:2:0 color round-trips pixel-exactly (non-interleaved AC dims)") {
+    // widths where ceil(w/8) < mcusX*2 force the component-own-dims AC
+    // scan geometry (e.g. w=17: luma grid 4 wide, AC scan covers 3)
+    for ((w, h, seed) <- Seq((17, 9, 5L), (16, 16, 2L), (31, 17, 77L), (5, 3, 13L))) {
+      val bytes = Jpeg.encodeJpegProgressive420(w, h,
+        (bx, by) => Jpeg.blockValue(seed, bx, by),
+        (mx, my) => Jpeg.chromaCb(seed, mx, my),
+        (mx, my) => Jpeg.chromaCr(seed, mx, my))
+      val prog = Jpeg.decodeJpeg(bytes)
+        .getOrElse(fail(s"progressive 420 $w x $h seed=$seed did not decode"))
+      val base = Jpeg.decodeJpeg(Jpeg.encodeJpeg420(w, h,
+        (bx, by) => Jpeg.blockValue(seed, bx, by),
+        (mx, my) => Jpeg.chromaCb(seed, mx, my),
+        (mx, my) => Jpeg.chromaCr(seed, mx, my))).get
+      assert(prog.nComponents == 3)
+      assert(prog.pixels.toSeq == base.pixels.toSeq,
+        s"progressive 420 $w x $h seed=$seed diverged from baseline 420")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // MJPEG-in-AVI
+  // ------------------------------------------------------------------
+
+  test("MJPEG AVI: mixed raw + compressed frames decode to the ramp sums") {
+    val (w, h, nf, seed) = (6, 3, 5, 9L)
+    val bytes = Codecs.encodeAviMjpegFrames(w, h, nf, seed)
+    val (info, sums) = Codecs.decodeAviFrames(bytes)
+      .getOrElse(fail("mixed frame decode None"))
+    assert((info.width, info.height) == ((w, h)) && sums.length == nf)
+    for (f <- 0 until nf) {
+      val expect =
+        if (f % 2 == 0) (0 until w * h).map { p =>
+          val v = seed + f.toLong * w * h + p
+          (((v >> 16) & 255) << 16) | (((v >> 8) & 255) << 8) | (v & 255)
+        }.sum
+        else (0 until w * h).map(p =>
+          Jpeg.blockValue(seed + f, (p % w) / 8, (p / w) / 8).toLong).sum
+      assert(sums(f) == expect, s"frame $f: ${sums(f)} != $expect")
+    }
+  }
+
+  test("MJPEG AVI: an undecodable compressed frame skips the frame, not the asset") {
+    val bytes = Codecs.encodeAviMjpegFrames(6, 3, 2, seed = 4L)
+    // frame 1 is the '00dc' JPEG: corrupt its SOI so the decode fails
+    val frame0Len = 6 * 3 * 3
+    val dcOff = 100 + 8 + frame0Len + (frame0Len & 1) // second chunk header
+    assert(new String(bytes, dcOff, 4, "US-ASCII") == "00dc")
+    val bad = bytes.clone()
+    bad(dcOff + 8) = 0x00 // SOI 0xFFD8 -> 0x00D8
+    val (_, sums) = Codecs.decodeAviFrames(bad).getOrElse(fail("asset dropped"))
+    assert(sums.length == 1, "bad compressed frame must skip, not fail the asset")
+  }
+
+  test("truncated / corrupt progressive streams return None, baseline unaffected") {
+    val good = Jpeg.encodeJpegProgressiveGray(17, 9, 3L)
+    assert(Jpeg.decodeJpeg(good.take(good.length / 2)).isEmpty)
+    assert(Jpeg.decodeJpeg(good.take(4)).isEmpty)
+    // EOI stripped: a progressive stream without EOI must not reconstruct
+    assert(Jpeg.decodeJpeg(good.dropRight(2)).isEmpty)
+    // baseline paths still green after the decoder restructure
+    assert(Jpeg.decodeJpeg(Jpeg.encodeJpegGray(12, 12, 9L)).nonEmpty)
+    assert(Jpeg.decodeJpeg(Jpeg.encodeJpeg420(17, 9, (_, _) => 100,
+      (_, _) => 120, (_, _) => 130, restartInterval = 2)).nonEmpty)
+  }
+}
