@@ -11159,7 +11159,129 @@ object Queries {
              |SELECT doc_id AS asset_id, f AS frame_idx, w AS width,
              |  h AS height, frame_sum
              |FROM fs
-             |ORDER BY asset_id, frame_idx""".stripMargin)))
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // PNG palette + RGBA decode (Codecs.decodePngFull): q302 gated only
+    // 8-bit truecolor (type 2) — real corpora are full of palette icons
+    // (type 3) and RGBA screenshots (type 6). Even ids are PLTE images
+    // (index = v mod 256 through the deterministic 256-entry palette),
+    // odd ids RGBA with alpha (v·13+7) mod 256; both cycle all five
+    // scanline filters at their OWN byte-per-pixel offsets (bpp 1 and 4
+    // — a bpp-blind Sub/Paeth fails the hash), and the oracle predicts
+    // the packed-RGB pixel sum plus the exact alpha sum from id
+    // arithmetic. Scale: the q302 shape — partition-preserving
+    // mapPartitions, fixed-width stats out.
+    "q309_png_palette_rgba" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizePngExtAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodePngFullStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 29 + 1)::BIGINT AS w,
+             |    (doc_id % 13 + 1)::BIGINT AS h FROM documents),
+             |pv AS (SELECT doc_id, (doc_id + ys.y * w + xs.x)::BIGINT AS v
+             |  FROM dims, range(0, 29) xs(x), range(0, 13) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |pal AS (SELECT doc_id,
+             |    sum(((v % 256) * 7 + 1) % 256 * 65536 +
+             |        ((v % 256) * 5 + 3) % 256 * 256 +
+             |        ((v % 256) * 3 + 11) % 256)::BIGINT AS pixel_sum,
+             |    NULL::BIGINT AS alpha_sum
+             |  FROM pv WHERE doc_id % 2 = 0 GROUP BY doc_id),
+             |rgba AS (SELECT doc_id,
+             |    sum((v % 256) * 65536 + ((v // 256) % 256) * 256 +
+             |        (v // 65536) % 256)::BIGINT AS pixel_sum,
+             |    sum((v * 13 + 7) % 256)::BIGINT AS alpha_sum
+             |  FROM pv WHERE doc_id % 2 = 1 GROUP BY doc_id),
+             |ps AS (SELECT * FROM pal UNION ALL SELECT * FROM rgba)
+             |SELECT d.doc_id AS asset_id, 'png' AS codec, d.w AS width,
+             |  d.h AS height,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 6 END::BIGINT
+             |    AS color_type,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 4 END::BIGINT
+             |    AS n_components,
+             |  ps.pixel_sum, ps.alpha_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // anti-aliased audio downsample (Codecs.resampleWavFir via
+    // Multimodal.resampleAudioFir): q306's decimator picks frames with
+    // no low-pass — production resamplers filter first or alias. This
+    // stage convolves each channel with the integer half-band
+    // windowed-sinc ([−1,0,9,16,9,0,−1]/32, unity DC gain) before the
+    // 2:1 pick, and stays hash-pinnable because the taps are
+    // fixed-point and the dyadic divisor makes floor(N/32) exact in
+    // both engines: the oracle replays the exact convolution (zero-
+    // padded edges, per-channel frame stride, int16 clamp) from id
+    // arithmetic and predicts the re-decoded amplitude stats. q306
+    // stays as the cheap-decimation fallback knob. Scale: two chained
+    // partition-preserving mapPartitions, no shuffle.
+    "q310_wav_resample_fir" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWavStats(
+            graft.multimodal.Multimodal.resampleAudioFir(assets))
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (8000 + (doc_id % 8) * 1000)::BIGINT AS rate,
+             |    (doc_id % 2 + 1)::BIGINT AS ch,
+             |    (doc_id % 100 + 1)::BIGINT AS ns
+             |  FROM documents),
+             |fr AS (SELECT doc_id, ch, ns, j.j AS j, c.c AS c
+             |  FROM p, range(0, 50) j(j), range(0, 2) c(c)
+             |  WHERE j.j < (ns + 1) // 2 AND c.c < ch),
+             |conv AS (SELECT doc_id, j, c, sum(
+             |    (CASE t.t WHEN 0 THEN -1 WHEN 2 THEN 9 WHEN 3 THEN 16
+             |      WHEN 4 THEN 9 WHEN 6 THEN -1 ELSE 0 END) *
+             |    (CASE WHEN 2 * j + t.t - 3 BETWEEN 0 AND ns - 1 THEN
+             |      (CASE WHEN (doc_id + (2 * j + t.t - 3) * ch + c) % 65536 < 32768
+             |        THEN (doc_id + (2 * j + t.t - 3) * ch + c) % 65536
+             |        ELSE (doc_id + (2 * j + t.t - 3) * ch + c) % 65536 - 65536 END)
+             |      ELSE 0 END))::BIGINT AS n
+             |  FROM fr, range(0, 7) t(t)
+             |  GROUP BY doc_id, j, c),
+             |sm AS (SELECT doc_id,
+             |    greatest(-32768, least(32767, floor(n / 32.0)::BIGINT)) AS s
+             |  FROM conv),
+             |agg AS (SELECT doc_id, sum(s)::BIGINT AS sum_pcm,
+             |    sum(abs(s))::BIGINT AS sum_abs, max(abs(s))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'wav' AS codec,
+             |  (p.rate // 2)::BIGINT AS sample_rate,
+             |  p.ch AS n_channels, ((p.ns + 1) // 2)::BIGINT AS n_frames,
+             |  agg.sum_pcm, agg.sum_abs, agg.peak_abs
+             |FROM p JOIN agg USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // container census (Codecs.sniff + Multimodal.sniffContainers):
+    // sniff now recognizes WebP (RIFF/WEBP) and HEIC (ISO-BMFF ftyp
+    // with a HEIF brand) — the two other dominant web image containers
+    // — so a corpus audit COUNTS them instead of lumping them into
+    // "unknown" (decode is explicitly not claimed; their codec payloads
+    // are VP8/HEVC). The entry is the audit itself: per-container asset
+    // counts over a seven-format mixed corpus, each count predicted by
+    // id arithmetic. Scale: one mapPartitions sniff (O(header) bytes
+    // per asset) + one tiny groupBy — the first pass any 100 TB
+    // mixed-modality ingest runs.
+    "q311_container_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeCensusAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.sniffContainers(assets)
+          .groupBy(col("container")).agg(count(lit(1)).as("n_assets"))
+          .orderBy(col("container"))
+      },
+      Some("""SELECT CASE doc_id % 7
+             |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+             |    WHEN 3 THEN 'avi' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'webp'
+             |    ELSE 'heic' END AS container,
+             |  count(*)::BIGINT AS n_assets
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY container""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -227,44 +227,131 @@ object Codecs {
       }
       y += 1
     }
-    if (varyFilters) {
-      // forward-filter in place, bottom row first (each row's filter
-      // reads the RECONSTRUCTED row above, which in-place top-down
-      // editing would have already overwritten)
-      var fy = height - 1
-      while (fy >= 0) {
-        val rowOff = fy * stride
-        val ft = (math.floorMod(seed, 5) + fy) % 5
-        raw(rowOff) = ft.toByte
-        var i = 3 * width - 1
-        while (i >= 0) {
-          val cur = raw(rowOff + 1 + i) & 0xff
-          val a = if (i >= 3) raw(rowOff + 1 + i - 3) & 0xff else 0
-          val b = if (fy > 0) raw(rowOff - stride + 1 + i) & 0xff else 0
-          val c = if (fy > 0 && i >= 3) raw(rowOff - stride + 1 + i - 3) & 0xff else 0
-          val pred = ft match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) / 2
-            case 4 => paeth(a, b, c)
-          }
-          raw(rowOff + 1 + i) = ((cur - pred) & 0xff).toByte
-          i -= 1
+    if (varyFilters) forwardFilter(raw, width, height, bpp = 3, seed)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSignature)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", deflateRaw(raw)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Forward-filter scanlines in place, bottom row first (each row's
+    * filter reads the RECONSTRUCTED row above, which in-place top-down
+    * editing would have already overwritten); row y gets filter
+    * (seed + y) mod 5 — all five spec filters under one stream. */
+  private def forwardFilter(
+      raw: Array[Byte], width: Int, height: Int, bpp: Int, seed: Long): Unit = {
+    val stride = 1 + bpp * width
+    var fy = height - 1
+    while (fy >= 0) {
+      val rowOff = fy * stride
+      val ft = (math.floorMod(seed, 5) + fy) % 5
+      raw(rowOff) = ft.toByte
+      var i = bpp * width - 1
+      while (i >= 0) {
+        val cur = raw(rowOff + 1 + i) & 0xff
+        val a = if (i >= bpp) raw(rowOff + 1 + i - bpp) & 0xff else 0
+        val b = if (fy > 0) raw(rowOff - stride + 1 + i) & 0xff else 0
+        val c = if (fy > 0 && i >= bpp) raw(rowOff - stride + 1 + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
         }
-        fy -= 1
+        raw(rowOff + 1 + i) = ((cur - pred) & 0xff).toByte
+        i -= 1
       }
+      fy -= 1
     }
+  }
+
+  private def deflateRaw(raw: Array[Byte]): Array[Byte] = {
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 64)
     val bos = new java.io.ByteArrayOutputStream()
     while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
     deflater.end()
+    bos.toByteArray
+  }
+
+  /** The deterministic 256-entry palette of the type-3 fixture — shared
+    * with the q309 oracle: entry j is ((j·7+1)%256, (j·5+3)%256,
+    * (j·3+11)%256). */
+  def paletteEntry(j: Int): (Int, Int, Int) =
+    ((j * 7 + 1) % 256, (j * 5 + 3) % 256, (j * 3 + 11) % 256)
+
+  /** Encode an 8-bit PALETTE (color type 3) PNG: 256-entry PLTE
+    * ([[paletteEntry]]), pixel index (seed + y·w + x) mod 256, scanline
+    * filter (seed + y) mod 5 — the 1-byte-per-pixel filter offsets
+    * under the same five-filter cycling as [[encodePng]]. */
+  def encodePngPalette(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && seed >= 0)
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, width.toLong)
+    putU32be(ihdr, 4, height.toLong)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 3 // color type: palette
+    val plte = new Array[Byte](768)
+    for (j <- 0 until 256) {
+      val (r, g, bl) = paletteEntry(j)
+      plte(3 * j) = r.toByte; plte(3 * j + 1) = g.toByte; plte(3 * j + 2) = bl.toByte
+    }
+    val stride = 1 + width
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raw(y * stride + 1 + x) = ((seed + y.toLong * width + x) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    forwardFilter(raw, width, height, bpp = 1, seed)
     val out = new java.io.ByteArrayOutputStream()
     out.write(pngSignature)
     out.write(pngChunk("IHDR", ihdr))
-    out.write(pngChunk("IDAT", bos.toByteArray))
+    out.write(pngChunk("PLTE", plte))
+    out.write(pngChunk("IDAT", deflateRaw(raw)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit RGBA (color type 6) PNG: RGB from the same v-ramp
+    * as [[encodePng]] (R=v, G=v>>8, B=v>>16 with v = seed + y·w + x),
+    * alpha (v·13+7) mod 256, filters cycling over the 4-byte-per-pixel
+    * offsets. */
+  def encodePngRgba(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && seed >= 0)
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, width.toLong)
+    putU32be(ihdr, 4, height.toLong)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 6 // color type: RGBA
+    val stride = 1 + 4 * width
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed + y.toLong * width + x
+        val o = y * stride + 1 + 4 * x
+        raw(o) = v.toByte; raw(o + 1) = (v >> 8).toByte
+        raw(o + 2) = (v >> 16).toByte
+        raw(o + 3) = ((v * 13 + 7) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    forwardFilter(raw, width, height, bpp = 4, seed)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSignature)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", deflateRaw(raw)))
     out.write(pngChunk("IEND", Array.emptyByteArray))
     out.toByteArray
   }
@@ -322,35 +409,74 @@ object Codecs {
     * shortcut), and per-scanline unfiltering through ALL FIVE spec
     * filters (None/Sub/Up/Average/Paeth, PNG 9.2) with the byte-left /
     * byte-above / byte-above-left reconstruction order the spec
-    * defines. Supported: 8-bit truecolor RGB (color type 2),
-    * non-interlaced — the shape the engine's fixtures and most ML-corpus
-    * thumbnails use; palette/alpha/16-bit/interlaced return None (skip,
-    * not fail — the [[graft.multimodal.Multimodal.decodeMedia]]
-    * corrupt-asset discipline), as do truncated or non-inflatable
-    * streams. */
-  def decodePng(b: Array[Byte]): Option[PngImage] = try {
+    * defines. Supported: 8-bit truecolor RGB (color type 2), PALETTE
+    * (type 3, PLTE lookup — icons/screenshots) and RGBA (type 6,
+    * 4-byte stride with bpp-aware Sub/Paeth offsets), non-interlaced;
+    * grayscale/16-bit/interlaced return None (skip, not fail — the
+    * [[graft.multimodal.Multimodal.decodeMedia]] corrupt-asset
+    * discipline), as do truncated or non-inflatable streams, filter
+    * bytes > 4, and palette indices past the PLTE table. Alpha is
+    * dropped here; [[decodePngFull]] surfaces it. */
+  def decodePng(b: Array[Byte]): Option[PngImage] =
+    decodePngFull(b).map(_._1)
+
+  /** [[decodePng]] plus the color-type and the exact alpha-channel sum
+    * (0 for the alpha-less types) — the typed-metadata form an
+    * image-corpus audit keeps. */
+  def decodePngFull(b: Array[Byte]): Option[(PngImage, Int, Long)] = try {
     val info = parsePng(b).getOrElse(return None)
     // IHDR layout: bitDepth(24) colorType(25) compression(26)
     // filterMethod(27) interlace(28)
-    if ((b(24) & 0xff) != 8 || (b(25) & 0xff) != 2 ||
+    val colorType = b(25) & 0xff
+    if ((b(24) & 0xff) != 8 ||
       (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 || (b(28) & 0xff) != 0)
       return None
+    // filter offsets work on BYTES-per-pixel: 3 (RGB), 1 (palette index),
+    // 4 (RGBA) — the spec's bpp, floor(1) for sub-byte depths (not here)
+    val bpp = colorType match {
+      case 2 => 3
+      case 3 => 1
+      case 6 => 4
+      case _ => return None
+    }
     val (w, h) = (info.width, info.height)
-    val stride = 1 + 3 * w
     if (w.toLong * h > (1L << 26)) return None // corrupt-dims guard
+    val palette: Array[Int] =
+      if (colorType != 3) null
+      else {
+        // PLTE must precede IDAT (spec 5.6); walk the chunks for it
+        var pal: Array[Int] = null
+        var o = 8
+        while (o + 8 <= b.length && pal == null) {
+          val len = u32be(b, o)
+          if (len > (b.length - o - 12).toLong) return None
+          if (new String(b, o + 4, 4, "US-ASCII") == "PLTE") {
+            val n = len.toInt
+            if (n == 0 || n % 3 != 0 || n > 768) return None
+            pal = Array.tabulate(n / 3)(j =>
+              ((b(o + 8 + 3 * j) & 0xff) << 16) |
+                ((b(o + 9 + 3 * j) & 0xff) << 8) | (b(o + 10 + 3 * j) & 0xff))
+          }
+          o += 12 + len.toInt
+        }
+        if (pal == null) return None // palette image with no PLTE
+        pal
+      }
+    val stride = 1 + bpp * w
     val raw = inflateIdat(b)
     if (raw.length != h * stride) return None
     val pixels = new Array[Int](w * h)
+    var alphaSum = 0L
     var y = 0
     while (y < h) {
       val rowOff = y * stride
       val ft = raw(rowOff) & 0xff
       if (ft > 4) return None
       var i = 0
-      while (i < 3 * w) {
-        val a = if (i >= 3) raw(rowOff + 1 + i - 3) & 0xff else 0
+      while (i < bpp * w) {
+        val a = if (i >= bpp) raw(rowOff + 1 + i - bpp) & 0xff else 0
         val up = if (y > 0) raw(rowOff - stride + 1 + i) & 0xff else 0
-        val c = if (y > 0 && i >= 3) raw(rowOff - stride + 1 + i - 3) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) raw(rowOff - stride + 1 + i - bpp) & 0xff else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
@@ -363,14 +489,24 @@ object Codecs {
       }
       var x = 0
       while (x < w) {
-        val o = rowOff + 1 + 3 * x
-        pixels(y * w + x) = ((raw(o) & 0xff) << 16) |
-          ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+        val o = rowOff + 1 + bpp * x
+        pixels(y * w + x) = colorType match {
+          case 2 => ((raw(o) & 0xff) << 16) |
+            ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+          case 3 =>
+            val idx = raw(o) & 0xff
+            if (idx >= palette.length) return None // index past PLTE
+            palette(idx)
+          case _ => // 6: RGBA
+            alphaSum += raw(o + 3) & 0xff
+            ((raw(o) & 0xff) << 16) |
+              ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+        }
         x += 1
       }
       y += 1
     }
-    Some(PngImage(w, h, pixels))
+    Some((PngImage(w, h, pixels), colorType, alphaSum))
   } catch { case _: Exception => None } // corrupt assets skip, never fail
 
   /** Decode the IDAT scanlines of a filter-0 PNG (used by specs to prove
@@ -534,6 +670,51 @@ object Codecs {
       encodeWavSamples(math.max(info.sampleRate / den, 1), ch, kept)
     }
   }
+
+  /** Integer half-band FIR taps for decimate-by-2: the windowed-sinc
+    * low-pass [[resampleWavFir]] applies before picking frames —
+    * sinc(n/2) at n = −3..3 scaled to dyadic 32nds ([−1, 0, 9, 16, 9,
+    * 0, −1]/32, the classic half-band form whose odd taps vanish).
+    * Dyadic divisor → floor(N/32) is exact in both integer and IEEE
+    * double arithmetic, which is what keeps the stage hash-pinnable. */
+  val firHalfbandTaps: Array[Int] = Array(-1, 0, 9, 16, 9, 0, -1)
+
+  /** Decimate-by-2 PCM downsample WITH the low-pass a production
+    * resampler runs ahead of the pick ([[resampleWav]] is the
+    * nearest-frame fallback knob): per channel, output frame j is
+    * clamp(floor(Σ taps(t)·x(2j+t−3) / 32)) over the zero-padded input
+    * frames — an exact integer convolution with [[firHalfbandTaps]]
+    * (fixed-point windowed sinc, unity DC gain), so anti-aliasing and
+    * determinism coexist: the filtered stream is reproducible
+    * bit-identically by any engine, unlike float FIR taps whose
+    * summation order drifts. None for anything [[decodeWavSamples]]
+    * rejects. */
+  def resampleWavFir(src: Array[Byte]): Option[Array[Byte]] =
+    decodeWavSamples(src).map { case (info, samples) =>
+      val ch = info.channels
+      val frames = samples.length / ch
+      val outFrames = (frames + 1) / 2
+      val out = new Array[Int](outFrames * ch)
+      var j = 0
+      while (j < outFrames) {
+        var c = 0
+        while (c < ch) {
+          var acc = 0L
+          var t = 0
+          while (t < 7) {
+            val f = 2 * j + t - 3
+            if (f >= 0 && f < frames)
+              acc += firHalfbandTaps(t).toLong * samples(f * ch + c)
+            t += 1
+          }
+          val v = Math.floorDiv(acc, 32L).toInt
+          out(j * ch + c) = math.max(-32768, math.min(32767, v))
+          c += 1
+        }
+        j += 1
+      }
+      encodeWavSamples(math.max(info.sampleRate / 2, 1), ch, out)
+    }
 
   // ------------------------------------------------------------------
   // AVI — RIFF/'AVI ' container, LIST('hdrl') holding the 'avih'
@@ -796,8 +977,18 @@ object Codecs {
   // sniffing — dispatch a payload to the right parser by magic bytes
   // ------------------------------------------------------------------
 
+  /** The ISO-BMFF 'ftyp' major brands this sniffer maps to "heic" —
+    * the HEIF image family (single image, sequence, HEVC-coded, and the
+    * codec-agnostic MIAF/mif1 brand real iPhone files carry). */
+  private val heicBrands = Set("heic", "heix", "hevc", "mif1")
+
   /** Identify the container by magic: "bmp", "png", "wav", "avi",
-    * "jpeg", or None. */
+    * "jpeg", "webp" (RIFF/WEBP), "heic" (ISO-BMFF ftyp with a HEIF
+    * brand), or None. WebP and HEIC are sniff-ONLY — recognized so a
+    * corpus census can COUNT them instead of lumping them into
+    * "unknown"; their payload decode (VP8/HEVC entropy coding) is out
+    * of scope and [[graft.multimodal.Multimodal.decodeMedia]] surfaces
+    * them with NULL metadata. */
   def sniff(b: Array[Byte]): Option[String] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
@@ -811,5 +1002,11 @@ object Codecs {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
       Some("avi")
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')
+      Some("webp")
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p' && heicBrands.contains(new String(b, 8, 4, "US-ASCII")))
+      Some("heic")
     else None
 }

@@ -202,6 +202,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a mixed-container corpus for the census entry: id mod 7
+    * cycles bmp / png / wav / avi / jpeg / WebP / HEIC. The WebP and
+    * HEIC payloads are real container shells (RIFF/WEBP with a VP8
+    * chunk header; an ISO-BMFF ftyp box with the heic brand) whose
+    * codec payload is junk — exactly what a sniff-and-count pass sees;
+    * decode is not claimed for them. */
+  def synthesizeCensusAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeCensusAssets needs non-negative ids, got $i")
+        val bytes = (i % 7) match {
+          case 0 => Codecs.encodeBmp((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i)
+          case 1 => Codecs.encodePng((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i)
+          case 2 => Codecs.encodeWav(8000, 1, (i % 50 + 1).toInt, seed = i)
+          case 3 => Codecs.encodeAvi((i % 31 + 1).toInt, (i % 17 + 1).toInt,
+            nFrames = (i % 6 + 1).toInt)
+          case 4 => Jpeg.encodeJpegGray((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i)
+          case 5 => // RIFF/WEBP shell: 'VP8 ' chunk of opaque payload
+            val b = new Array[Byte](28)
+            "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+            b(4) = 20; "WEBPVP8 ".getBytes("US-ASCII").copyToArray(b, 8)
+            b(16) = 8
+            (0 until 8).foreach(j => b(20 + j) = ((i + j) % 256).toByte)
+            b
+          case _ => // ISO-BMFF ftyp box, heic major brand + mif1 compat
+            val b = new Array[Byte](24)
+            b(3) = 24; "ftypheic".getBytes("US-ASCII").copyToArray(b, 4)
+            "    mif1".getBytes("US-ASCII").copyToArray(b, 12)
+            (20 until 24).foreach(j => b(j) = ((i + j) % 256).toByte)
+            b
+        }
+        Row(i, bytes)
+      }
+    }(enc)
+  }
+
+  /** Per-asset container identification ([[Codecs.sniff]]): the first
+    * pass of any mixed-corpus audit — which formats are even present,
+    * and how much of the corpus each covers. NULL container for
+    * unrecognized payloads. */
+  def sniffContainers(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), Codecs.sniff(r.getAs[Array[Byte]](1)).orNull)
+      }
+    }(enc)
+  }
+
   /** Synthesize grayscale baseline-JPEG assets from an id column
     * (id-derived dims, per-block constant pixels — see
     * [[Jpeg.encodeJpegGray]]): the [[synthesizeMediaAssets]] shape for
@@ -332,6 +390,62 @@ object Multimodal {
             while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
             Row(id, "png", img.width.toLong, img.height.toLong, 3L, s)
           case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthesize palette + RGBA PNG assets — the two common real-corpus
+    * forms (icons/screenshots, transparency) the type-2 fixture set
+    * omits: even ids 8-bit PALETTE (color type 3, the deterministic
+    * 256-entry PLTE, index = v mod 256), odd ids RGBA (color type 6,
+    * alpha (v·13+7) mod 256), both with the five-filter scanline
+    * cycling. Executor-side mapPartitions. */
+  def synthesizePngExtAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizePngExtAssets needs non-negative ids, got $i")
+        val (w, h) = ((i % 29 + 1).toInt, (i % 13 + 1).toInt)
+        Row(i,
+          if (i % 2 == 0) Codecs.encodePngPalette(w, h, seed = i)
+          else Codecs.encodePngRgba(w, h, seed = i))
+      }
+    }(enc)
+  }
+
+  /** FULL PNG decode surfacing the color TYPE and the exact alpha sum
+    * ([[Codecs.decodePngFull]]) — the [[decodePngStats]] shape extended
+    * to palette (PLTE lookup) and RGBA (4-byte filter offsets) forms;
+    * alpha_sum is NULL for the alpha-less types. */
+  def decodePngFullStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("color_type", LongType, nullable = true),
+      StructField("n_components", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true),
+      StructField("alpha_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Codecs.decodePngFull(r.getAs[Array[Byte]](1)) match {
+          case Some((img, colorType, alphaSum)) =>
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
+            Row(id, "png", img.width.toLong, img.height.toLong,
+              colorType.toLong, if (colorType == 6) 4L else 3L, s,
+              if (colorType == 6) alphaSum else null)
+          case None => Row(id, null, null, null, null, null, null, null)
         }
       }
     }(enc)
@@ -590,6 +704,27 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         Codecs.resampleWav(r.getAs[Array[Byte]](1), den)
+          .map(resampled => Row(id, resampled))
+      }
+    }(enc)
+  }
+
+  /** Audio resample stage with the production low-pass: decimate-by-2
+    * behind the integer half-band FIR ([[Codecs.resampleWavFir]]) —
+    * anti-aliased, still bit-deterministic. Unparseable payloads drop
+    * (the [[resizeImages]] skip discipline). Partition-preserving
+    * mapPartitions, payloads never touch the driver. */
+  def resampleAudioFir(assets: DataFrame,
+      idCol: String = "asset_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Codecs.resampleWavFir(r.getAs[Array[Byte]](1))
           .map(resampled => Row(id, resampled))
       }
     }(enc)

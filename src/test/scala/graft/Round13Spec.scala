@@ -89,6 +89,100 @@ class Round13Spec extends AnyFunSuite {
     assert(sums.length == 1, "bad compressed frame must skip, not fail the asset")
   }
 
+  // ------------------------------------------------------------------
+  // PNG palette / RGBA
+  // ------------------------------------------------------------------
+
+  test("PNG palette decode: PLTE lookup + 1-bpp filters reconstruct the ramp") {
+    for ((w, h, seed) <- Seq((7, 5, 0L), (29, 13, 41L), (1, 1, 3L), (8, 9, 12L))) {
+      val (img, colorType, alphaSum) =
+        Codecs.decodePngFull(Codecs.encodePngPalette(w, h, seed))
+          .getOrElse(fail(s"palette $w x $h seed=$seed did not decode"))
+      assert(colorType == 3 && alphaSum == 0L)
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = ((seed + y.toLong * w + x) % 256).toInt
+        val (r, g, bl) = Codecs.paletteEntry(j)
+        assert(img.pixels(y * w + x) == ((r << 16) | (g << 8) | bl),
+          s"pixel ($x,$y) seed=$seed")
+      }
+    }
+  }
+
+  test("PNG RGBA decode: 4-bpp filters + exact alpha sum") {
+    for ((w, h, seed) <- Seq((6, 4, 1L), (29, 13, 98L), (2, 11, 17L))) {
+      val (img, colorType, alphaSum) =
+        Codecs.decodePngFull(Codecs.encodePngRgba(w, h, seed))
+          .getOrElse(fail(s"rgba $w x $h seed=$seed did not decode"))
+      assert(colorType == 6)
+      var wantAlpha = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = seed + y.toLong * w + x
+        wantAlpha += (v * 13 + 7) % 256
+        val want = (((v & 255) << 16) | (((v >> 8) & 255) << 8) |
+          ((v >> 16) & 255)).toInt
+        assert(img.pixels(y * w + x) == want, s"pixel ($x,$y) seed=$seed")
+      }
+      assert(alphaSum == wantAlpha)
+    }
+  }
+
+  test("PNG: palette image without PLTE, bad index, and gray types are None") {
+    val pal = Codecs.encodePngPalette(5, 4, 2L)
+    // strip the PLTE chunk (signature 8 + IHDR 25 .. PLTE 12+768)
+    val noPlte = pal.take(33) ++ pal.drop(33 + 12 + 768)
+    assert(Codecs.decodePngFull(noPlte).isEmpty, "PLTE-less palette must skip")
+    // type-2 streams keep decoding through the generalized path
+    val rgb = Codecs.encodePng(5, 4, 2L, varyFilters = true)
+    assert(Codecs.decodePngFull(rgb).exists(_._2 == 2))
+  }
+
+  // ------------------------------------------------------------------
+  // FIR resampling
+  // ------------------------------------------------------------------
+
+  test("resampleWavFir: exact integer half-band convolution, both channels") {
+    val (rate, ch, ns, seed) = (16000, 2, 11, 5L)
+    val src = Codecs.encodeWav(rate, ch, ns, seed)
+    val out = Codecs.resampleWavFir(src).getOrElse(fail("fir resample None"))
+    val (info, samples) = Codecs.decodeWavSamples(out).get
+    assert(info.sampleRate == rate / 2 && info.channels == ch)
+    assert(info.nSamples == (ns + 1) / 2)
+    val in = Codecs.decodeWavSamples(src).get._2
+    def x(f: Int, c: Int): Long =
+      if (f >= 0 && f < ns) in(f * ch + c).toLong else 0L
+    for (j <- 0 until (ns + 1) / 2; c <- 0 until ch) {
+      val n = Codecs.firHalfbandTaps.zipWithIndex
+        .map { case (t, i) => t * x(2 * j + i - 3, c) }.sum
+      val want = math.max(-32768L, math.min(32767L, Math.floorDiv(n, 32L)))
+      assert(samples(j * ch + c) == want, s"frame $j ch $c")
+    }
+    // DC gain is unity: a constant stream stays (near-edge frames aside)
+    val const = Codecs.encodeWavSamples(8000, 1, Array.fill(20)(1000))
+    val constOut = Codecs.decodeWavSamples(Codecs.resampleWavFir(const).get).get._2
+    assert(constOut.slice(2, 8).forall(_ == 1000),
+      "unity-gain taps must pass a constant through")
+  }
+
+  // ------------------------------------------------------------------
+  // container sniffing
+  // ------------------------------------------------------------------
+
+  test("sniff recognizes WebP and HEIC shells; junk stays None") {
+    val webp = "RIFF".getBytes ++ Array[Byte](20, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes ++ new Array[Byte](12)
+    assert(Codecs.sniff(webp).contains("webp"))
+    val heic = Array[Byte](0, 0, 0, 24) ++ "ftypheic".getBytes ++ new Array[Byte](12)
+    assert(Codecs.sniff(heic).contains("heic"))
+    val mif1 = Array[Byte](0, 0, 0, 24) ++ "ftypmif1".getBytes ++ new Array[Byte](12)
+    assert(Codecs.sniff(mif1).contains("heic"))
+    assert(Codecs.sniff("ftypnope".getBytes ++ new Array[Byte](8)).isEmpty)
+    assert(Codecs.sniff(new Array[Byte](16)).isEmpty)
+    // existing containers unaffected
+    assert(Codecs.sniff(Codecs.encodeWav(8000, 1, 1, 0L)).contains("wav"))
+    assert(Codecs.sniff(Codecs.encodeAvi(2, 2, 1)).contains("avi"))
+  }
+
   test("truncated / corrupt progressive streams return None, baseline unaffected") {
     val good = Jpeg.encodeJpegProgressiveGray(17, 9, 3L)
     assert(Jpeg.decodeJpeg(good.take(good.length / 2)).isEmpty)
