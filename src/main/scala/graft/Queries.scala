@@ -3062,19 +3062,25 @@ object Queries {
             (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
               .as("duration_ms"))
         val total = sessions.agg(count(lit(1)).as("n_sessions"))
-        def quantile(metric: String, num: Int, den: Int, name: String) = {
-          val wq = Window.orderBy(col(metric))
-          sessions.groupBy(col(metric)).agg(count(lit(1)).as("c"))
-            .withColumn("cum", sum(col("c")).over(wq))
+        // exact histogram-walk quantiles with the cumulative count
+        // computed scale-safe (operators/Ranks.scala: per-range-bucket
+        // running sums + broadcast bucket bases) — the distinct-value
+        // table is metric-cardinality-sized, which at 100 TB is exactly
+        // the table a single-partition window would bottleneck on.
+        // Results are bit-identical; PlanSpec locks the window out.
+        def quantile(metric: String, span: Long, num: Int, den: Int, name: String) = {
+          val hist = sessions.groupBy(col(metric)).agg(count(lit(1)).as("c"))
+          operators.Ranks.globalRunningSum(hist,
+              expr(s"$metric div ${span}L"), Seq(col(metric)), col("c"), "cum")
             .crossJoin(broadcast(total))
             .filter(col("cum") * den >= col("n_sessions") * num)
             .agg(min(col(metric)).as(name))
         }
         total
-          .crossJoin(quantile("n_events", 1, 2, "median_events"))
-          .crossJoin(quantile("n_events", 9, 10, "p90_events"))
-          .crossJoin(quantile("duration_ms", 1, 2, "median_duration_ms"))
-          .crossJoin(quantile("duration_ms", 9, 10, "p90_duration_ms"))
+          .crossJoin(quantile("n_events", 4L, 1, 2, "median_events"))
+          .crossJoin(quantile("n_events", 4L, 9, 10, "p90_events"))
+          .crossJoin(quantile("duration_ms", 1L << 16, 1, 2, "median_duration_ms"))
+          .crossJoin(quantile("duration_ms", 1L << 16, 9, 10, "p90_duration_ms"))
       },
       Some("""WITH flagged AS (
              |  SELECT user_id, ts, event_id,
@@ -4443,19 +4449,33 @@ object Queries {
 
     // revenue-concentration report: customers bucketed into spend
     // deciles, each decile's share of total revenue in ppm — the Lorenz/
-    // Pareto concentration readout
+    // Pareto concentration readout. The deciles are EXACT ntile(10)
+    // values but computed scale-safe (operators/Ranks.scala): global
+    // rank = per-range-bucket local rank + broadcast bucket bases, then
+    // Spark's own NTile arithmetic applied to the rank — bit-identical
+    // to the single-partition window this entry used to run (which put
+    // the whole per-customer table through one task at 100 TB;
+    // PlanSpec-locked gone). The 10-row decile table's total likewise
+    // comes from a broadcast cross join, not a global window.
     "q151_revenue_deciles" -> Q(
       (s, d) => {
         val perCust = t(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg(usum(col("o_totalprice")).as("rev_micros"))
-        val w = Window.orderBy(col("rev_micros").desc, col("o_custkey"))
-        perCust
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        // bucket = −(rev div $4.3k-in-micros): coarsens (rev desc, …)
+        val ranked = operators.Ranks.globalRowNumber(perCust,
+          expr("-(rev_micros div 4294967296L)"),
+          Seq(col("rev_micros").desc, col("o_custkey")), "_r")
+        val byDecile = ranked
+          .crossJoin(broadcast(perCust.agg(count(lit(1)).as("_n"))))
+          .withColumn("decile",
+            operators.Ranks.ntileOfRank(col("_r"), col("_n"), 10).cast("long"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_customers"),
             sum(col("rev_micros")).as("decile_micros"))
-          .withColumn("_tot", sum(col("decile_micros")).over(Window.partitionBy()))
+        byDecile
+          .crossJoin(broadcast(
+            byDecile.agg(sum(col("decile_micros")).as("_tot"))))
           // divide the TOTAL down rather than scaling the numerator up:
           // decile_micros * 1e6 overflows int64 at sf0.1 revenue volumes
           .select(col("decile"), col("n_customers"), col("decile_micros"),
@@ -4477,26 +4497,10 @@ object Queries {
              |t AS (SELECT sum(decile_micros)::BIGINT AS tot FROM g)
              |SELECT decile, n_customers, decile_micros,
              |  (decile_micros // (tot // 1000000))::BIGINT AS share_ppm
-             |FROM g, t ORDER BY decile""".stripMargin),
-      // production path: exact global ntile is a single-partition sort of
-      // the per-customer table — fine at 15k customers, a straggler at
-      // billions. The scale variant assigns deciles from approxQuantile
-      // boundaries (driver receives 9 doubles), then aggregates as usual.
-      benchFn = Some((s, d) => {
-        val perCust = t(s, d, "orders")
-          .groupBy(col("o_custkey"))
-          .agg(usum(col("o_totalprice")).as("rev_micros"))
-        val bounds = perCust.stat.approxQuantile(
-          "rev_micros", (1 to 9).map(_ / 10.0).toArray, 0.001)
-        val decile = bounds.zipWithIndex
-          .foldLeft(lit(10L): org.apache.spark.sql.Column) { case (acc, (b, i)) =>
-            when(col("rev_micros") >= lit(b), lit(9L - i)).otherwise(acc)
-          }
-        perCust.groupBy(decile.as("decile"))
-          .agg(count(lit(1)).as("n_customers"),
-            sum(col("rev_micros")).as("decile_micros"))
-          .orderBy(col("decile"))
-      })),
+             |FROM g, t ORDER BY decile""".stripMargin)),
+      // (the former approxQuantile benchFn knob is retired: the exact
+      // path above is now itself the scale shape — EXACT deciles with
+      // no single-partition sort — so the bench times the real thing)
 
     // label-noise suspects (confident-learning-lite): vectors whose
     // nearest class prototype disagrees with their own label — the

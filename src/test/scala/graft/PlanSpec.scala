@@ -423,4 +423,24 @@ class PlanSpec extends AnyFunSuite {
     assert(reused.findFirstIn(p).isDefined,
       s"totals no longer reuses the (source, tok) aggregate exchange:\n$p")
   }
+
+  test("q151/q109 exact quantiles run with NO single-partition window") {
+    // the Ranks restatement (bucketed local ranks + broadcast bases)
+    // must leave every Window in the plan PARTITIONED: a global window
+    // prints its spec with an ordered first argument
+    // (windowspecdefinition(col ASC ..., ...)) instead of a partition
+    // column — exactly the single-task shape this rewrite removes
+    for (n <- Seq("q151_revenue_deciles", "q109_session_stats")) {
+      val p = plan(n)
+      val global = p.split("\n")
+        .filter(_.contains("windowspecdefinition(")).filter { l =>
+          val arg = l.substring(
+            l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+          val first = arg.takeWhile(_ != ',')
+          first.contains(" ASC") || first.contains(" DESC")
+        }
+      assert(global.isEmpty,
+        s"$n still has a single-partition window:\n${global.mkString("\n")}")
+    }
+  }
 }

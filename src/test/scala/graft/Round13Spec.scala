@@ -165,6 +165,45 @@ class Round13Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // distributed exact ranks (Ranks.scala)
+  // ------------------------------------------------------------------
+
+  test("Ranks: bucketed rank/running-sum/ntile equal the global window exactly") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // keyed values with heavy ties across bucket boundaries
+    val df = (0 until 500)
+      .map(i => (i.toLong, ((i * 37) % 83).toLong)).toDF("id", "v")
+    val want = df
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .withColumn("nt", ntile(7).over(
+        Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("v").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "r", "nt", "cum").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ranked = graft.operators.Ranks.globalRowNumber(df,
+      expr("-(v div 16L)"), Seq(col("v").desc, col("id")), "r")
+    val got = graft.operators.Ranks.globalRunningSum(ranked,
+        expr("-(v div 16L)"), Seq(col("v").desc, col("id")), col("v"), "cum")
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .withColumn("nt",
+        graft.operators.Ranks.ntileOfRank(col("r"), col("n"), 7).cast("long"))
+      .select("id", "r", "nt", "cum").collect()
+    assert(got.length == 500)
+    for (r <- got) {
+      val (wr, wnt, wcum) = want(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((wr, wnt, wcum)),
+        s"id ${r.getLong(0)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // container sniffing
   // ------------------------------------------------------------------
 
