@@ -9761,20 +9761,21 @@ object Queries {
     * in q291's insert), keep the best `beam` per query over old ∪ new —
     * the statements [[graft.operators.Similarity.graphSearchTopK]]
     * executes. */
-  private def graphSearchRoundSql(r: Int, beam: Int, qv: String = "v"): String =
-    s"""gcd$r AS (SELECT DISTINCT b.q_id, g.nbr AS n_id
-       |  FROM gb${r - 1} b JOIN gse g ON b.n_id = g.id),
-       |gsc$r AS (SELECT c.q_id, c.n_id,
+  private def graphSearchRoundSql(
+      r: Int, beam: Int, qv: String = "v", p: String = "g"): String =
+    s"""${p}cd$r AS (SELECT DISTINCT b.q_id, g.nbr AS n_id
+       |  FROM ${p}b${r - 1} b JOIN ${p}se g ON b.n_id = g.id),
+       |${p}sc$r AS (SELECT c.q_id, c.n_id,
        |    list_sum([(x.iv[j]-y.iv[j])*(x.iv[j]-y.iv[j])
        |      for j in range(1,65)])::BIGINT AS d2
-       |  FROM gcd$r c JOIN $qv x ON x.id = c.q_id JOIN v y ON y.id = c.n_id
+       |  FROM ${p}cd$r c JOIN $qv x ON x.id = c.q_id JOIN v y ON y.id = c.n_id
        |  WHERE c.q_id <> c.n_id),
-       |gb$r AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |${p}b$r AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
        |    SELECT q_id, n_id, d2, row_number() OVER (
        |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
        |    FROM (SELECT DISTINCT q_id, n_id, d2 FROM (
-       |      SELECT q_id, n_id, d2 FROM gb${r - 1}
-       |      UNION ALL SELECT q_id, n_id, d2 FROM gsc$r)))
+       |      SELECT q_id, n_id, d2 FROM ${p}b${r - 1}
+       |      UNION ALL SELECT q_id, n_id, d2 FROM ${p}sc$r)))
        |  WHERE rn <= $beam)""".stripMargin
 
   /** The full q288-shape serve oracle — NN-Descent chain, beam search
@@ -11285,7 +11286,144 @@ object Queries {
              |  count(*)::BIGINT AS n_assets
              |FROM documents
              |GROUP BY 1
-             |ORDER BY container""".stripMargin)))
+             |ORDER BY container""".stripMargin)),
+
+    // STREAMING index maintenance — index CDC (streaming/IndexCdc.scala):
+    // the one lifecycle stage that was batch-only, and the artifact a
+    // production vector service actually runs. A CDC feed arrives as
+    // two deterministic micro-batches against the persisted base index
+    // (built on vec_id % 10 ≠ 9, the q291 store, reused): batch 0
+    // DELETES the id % 7 = 3 survivors (tombstone semi-joins; the
+    // post-delete queue crosses the repair threshold, so the repair
+    // window runs — beam search over the degraded closure, per-node
+    // top-15 re-cut); batch 1 UPSERTS the % 10 = 9 vectors
+    // (AnnIndex.insertBatch — search the stored graph, link, patch
+    // reverse edges). Each batch commits (graph, vecs) through the
+    // sketch stores' crash-safe write-aside swap; Round13Spec locks
+    // replay determinism (re-running a batch against the recovered
+    // pre-batch store reproduces the identical post-batch store). The
+    // oracle unrolls the whole composition — base NN-Descent chain,
+    // delete restriction, repair search + re-cut, insert search +
+    // reverse patch — and pins the final stored graph's per-node
+    // degree and Σd2. Scale: every stage is keyed semi-joins +
+    // beam-sized search tables + per-node windows; the store is read
+    // and swapped, never rebuilt.
+    "q312_streaming_index_cdc" -> Q(
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val stored = operators.AnnIndex.buildOrLoad(base, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "base"))
+        def wipe(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        // CDC feed: two ordered files (mtime-ordered, one per trigger)
+        val cdcDir = java.nio.file.Paths.get(scratchDir("graft_q312_cdc"))
+        wipe(cdcDir)
+        java.nio.file.Files.createDirectories(cdcDir)
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = cdcDir.resolve(s"${name}_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, cdcDir.resolve(name))
+          wipe(tmp)
+          cdcDir.resolve(name).toFile.setLastModified(mtime)
+        }
+        writeBatchFile(base.filter(col("vec_id") % 7 === 3)
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding")),
+          "b0.parquet", 1000000L)
+        writeBatchFile(emb.filter(col("vec_id") % 10 === 9)
+          .select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
+          "b1.parquet", 2000000L)
+        val store = scratchDir("graft_q312_store")
+        wipe(java.nio.file.Paths.get(store))
+        graft.streaming.IndexCdc.initStore(s, store, stored,
+          base.select(col("vec_id"), col("embedding")))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q312_ckpt")
+        val cdc = s.readStream
+          .schema("op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(cdcDir.toString)
+        val q = graft.streaming.IndexCdc.start(cdc, store, ckpt.toString,
+          "vec_id", "embedding", k = 15, entryIds = Seq(0L, 1L, 2L, 4L),
+          beam = 24, searchRounds = 3, repairThreshold = 10L)
+        try q.processAllAvailable() finally { q.stop(); wipe(ckpt) }
+        s.read.parquet(s"$store/current/graph")
+          .groupBy(col("q_id").as("id"))
+          .agg(count(lit(1)).as("n_nbrs"), sum(col("d2")).as("sum_d2"))
+          .select(col("id"), (col("id") % 10 === 9).as("is_new"),
+            col("n_nbrs"), col("sum_d2"))
+          .orderBy(col("id"))
+      },
+      Some(s"""${nnGraphOracleCtes(15, 4, " WHERE vec_id % 10 <> 9")},
+              |rem AS (SELECT id FROM v WHERE id % 7 <> 3),
+              |keptd AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM nn4 g
+              |  JOIN rem a ON g.id = a.id
+              |  JOIN rem b ON g.nbr = b.id),
+              |deg AS (SELECT id, count(*)::BIGINT AS n_nbrs
+              |  FROM keptd GROUP BY id),
+              |qd AS MATERIALIZED (SELECT rem.id
+              |  FROM rem LEFT JOIN deg USING (id)
+              |  WHERE coalesce(deg.n_nbrs, 0) < 15),
+              |gse AS MATERIALIZED (SELECT id, nbr FROM keptd
+              |  UNION SELECT nbr AS id, id AS nbr FROM keptd),
+              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |          for j in range(1,65)])::BIGINT AS d2
+              |      FROM v q JOIN qd ON q.id = qd.id
+              |        JOIN v c ON c.id IN (0, 1, 2, 4) AND c.id <> q.id))
+              |  WHERE rn <= 24),
+              |${graphSearchRoundSql(1, 24)},
+              |${graphSearchRoundSql(2, 24)},
+              |${graphSearchRoundSql(3, 24)},
+              |rp AS (SELECT id, nbr, d2 FROM (
+              |    SELECT id, nbr, d2, row_number() OVER (
+              |      PARTITION BY id ORDER BY d2, nbr) AS rn
+              |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
+              |      SELECT k.id, k.nbr, k.d2 FROM keptd k JOIN qd ON k.id = qd.id
+              |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM gb3)))
+              |  WHERE rn <= 15),
+              |rg AS MATERIALIZED (
+              |  SELECT k.id, k.nbr, k.d2 FROM keptd k
+              |  ANTI JOIN qd ON k.id = qd.id
+              |  UNION ALL SELECT id, nbr, d2 FROM rp),
+              |vq AS MATERIALIZED (SELECT vec_id AS id,
+              |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+              |  FROM embeddings),
+              |xse AS MATERIALIZED (SELECT id, nbr FROM rg
+              |  UNION SELECT nbr AS id, id AS nbr FROM rg),
+              |xb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |          for j in range(1,65)])::BIGINT AS d2
+              |      FROM vq q JOIN v c ON c.id IN (0, 1, 2, 4) AND c.id <> q.id
+              |      WHERE q.id % 10 = 9))
+              |  WHERE rn <= 24),
+              |${graphSearchRoundSql(1, 24, qv = "vq", p = "x")},
+              |${graphSearchRoundSql(2, 24, qv = "vq", p = "x")},
+              |${graphSearchRoundSql(3, 24, qv = "vq", p = "x")},
+              |ne AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM xb3)
+              |  WHERE rn <= 15),
+              |pg AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+              |    SELECT id, nbr, d2, row_number() OVER (
+              |      PARTITION BY id ORDER BY d2, nbr) AS rn
+              |    FROM (SELECT id, nbr, d2 FROM rg
+              |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM ne
+              |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ne))
+              |  WHERE rn <= 15)
+              |SELECT id, (id % 10 = 9) AS is_new,
+              |  count(*)::BIGINT AS n_nbrs, sum(d2)::BIGINT AS sum_d2
+              |FROM pg GROUP BY id
+              |ORDER BY id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -201,7 +201,11 @@ object AnnIndex {
     * search (|queue|·beam tables over the degraded graph's keyed
     * closure), one per-node top-k window — linear keyed volume, the
     * stored graph read, never rebuilt. */
-  def repairLists(
+  /** Shared repair core: find the degraded queue (degree < k among the
+    * survivors) and re-cut each queue node's list to top-k over
+    * (kept list ∪ beam-search results). Returns (checkpointed graph,
+    * queue(id, n_before), repaired lists (q_id, n_id, d2, rank)). */
+  private def repairSearch(
       keptGraph: DataFrame,
       remaining: DataFrame,
       idCol: String,
@@ -209,7 +213,7 @@ object AnnIndex {
       k: Int,
       entryIds: Seq[Long],
       beam: Int,
-      searchRounds: Int): DataFrame = {
+      searchRounds: Int): (DataFrame, DataFrame, DataFrame) = {
     require(beam >= k)
     val g = keptGraph.localCheckpoint() // degrees, search and merge below
     val deg = g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n_before"))
@@ -228,6 +232,20 @@ object AnnIndex {
       .unionByName(found.select(col("q_id"), col("n_id"), col("d2")))
       .distinct()
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    (g, queue, repaired)
+  }
+
+  def repairLists(
+      keptGraph: DataFrame,
+      remaining: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      entryIds: Seq[Long],
+      beam: Int,
+      searchRounds: Int): DataFrame = {
+    val (_, queue, repaired) = repairSearch(
+      keptGraph, remaining, idCol, vecCol, k, entryIds, beam, searchRounds)
     val agg = repaired.groupBy(col("q_id").as("id"))
       .agg(count(lit(1)).as("n_after"), sum(col("d2")).as("sum_d2"))
     // left join: a node the beam cannot reach at all (no kept edges, no
@@ -236,6 +254,31 @@ object AnnIndex {
       .select(col("id"), col("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("sum_d2"), lit(0L)).as("sum_d2"))
+  }
+
+  /** The repaired GRAPH itself (what a maintenance job writes back to
+    * the store, where [[repairLists]] is its audit readout): non-queue
+    * nodes keep their kept lists verbatim — their original top-k order
+    * survived the deletes intact — and each queue node's list is the
+    * [[repairSearch]] re-cut. Stored shape (q_id, n_id, d2, rank). */
+  def repairGraph(
+      keptGraph: DataFrame,
+      remaining: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      entryIds: Seq[Long],
+      beam: Int,
+      searchRounds: Int): DataFrame = {
+    val (g, queue, repaired) = repairSearch(
+      keptGraph, remaining, idCol, vecCol, k, entryIds, beam, searchRounds)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
+    val untouched = g
+      .join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
+      .select(col("q_id"), col("n_id"), col("d2"))
+      .withColumn("rank", row_number().over(wTop))
+    untouched.unionByName(
+      repaired.select(col("q_id"), col("n_id"), col("d2"), col("rank")))
   }
 
   /** Index-health audit — the check a production ANN service runs

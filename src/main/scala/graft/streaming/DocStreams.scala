@@ -120,7 +120,7 @@ object DocStreams {
     * window (after the delete, before the rename) that silently dropped
     * all earlier registers on replay — [[recoverStore]] closes it from
     * the read side. */
-  private def swapStore(
+  private[streaming] def swapStore(
       fs: org.apache.hadoop.fs.FileSystem,
       storeDir: String,
       next: org.apache.hadoop.fs.Path,

@@ -165,6 +165,134 @@ class Round13Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // streaming index CDC (IndexCdc.scala)
+  // ------------------------------------------------------------------
+
+  import graft.operators.{AnnIndex, Similarity}
+  import graft.streaming.IndexCdc
+  import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+  private def randomVecs(n: Int, dims: Int, seed: Int) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    Seq.tabulate(n)(i =>
+        (i.toLong, Seq.fill(dims)((rnd.nextInt(255) - 127).toDouble.toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def graphRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "n_id", "d2", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+
+  test("IndexCdc: drained store equals the batch delete+repair+insert composition") {
+    val spark = TestSpark.spark
+    val all = randomVecs(80, 6, seed = 23).localCheckpoint()
+    val base = all.filter(col("vec_id") % 8 =!= 0)
+    val g = Similarity.nnDescent(base, "vec_id", "embedding", 4, 2, 8)
+      .localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_store").toString
+    IndexCdc.initStore(spark, store, g, base.select("vec_id", "embedding"))
+    // batch 0: delete vec_id % 5 == 1 survivors; batch 1: insert % 8 == 0
+    val dels = base.filter(col("vec_id") % 5 === 1)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    val ups = all.filter(col("vec_id") % 8 === 0)
+      .select(lit("upsert").as("op"), col("vec_id"), col("embedding"))
+    IndexCdc.mergeCdcBatch(dels, 0L, store, "vec_id", "embedding",
+      k = 4, entryIds = Seq(2L, 3L), beam = 8, searchRounds = 2,
+      repairThreshold = 1L)
+    IndexCdc.mergeCdcBatch(ups, 1L, store, "vec_id", "embedding",
+      k = 4, entryIds = Seq(2L, 3L), beam = 8, searchRounds = 2,
+      repairThreshold = 1L)
+    val drained = spark.read.parquet(s"$store/current/graph")
+    // the batch composition on the same data
+    val remaining = base.filter(col("vec_id") % 5 =!= 1)
+    val repaired = AnnIndex.repairGraph(
+      AnnIndex.survivingEdges(g, remaining, "vec_id"), remaining,
+      "vec_id", "embedding", k = 4, entryIds = Seq(2L, 3L),
+      beam = 8, searchRounds = 2)
+    val composed = AnnIndex.insertBatch(repaired, remaining,
+      all.filter(col("vec_id") % 8 === 0).select("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, entryIds = Seq(2L, 3L),
+      beam = 8, searchRounds = 2)
+    assert(graphRows(drained) == graphRows(composed),
+      "drained store diverged from the batch composition")
+    // vecs table tracks the surviving id -> vector map
+    val vecIds = spark.read.parquet(s"$store/current/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val wantIds = all.filter(col("vec_id") % 8 === 0 ||
+        (col("vec_id") % 8 =!= 0 && col("vec_id") % 5 =!= 1))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vecIds == wantIds)
+  }
+
+  test("IndexCdc: replaying a batch against the recovered pre-batch store is exact") {
+    val spark = TestSpark.spark
+    val all = randomVecs(60, 6, seed = 31).localCheckpoint()
+    val g = Similarity.nnDescent(all, "vec_id", "embedding", 4, 2, 8)
+      .localCheckpoint()
+    val batch = all.filter(col("vec_id") % 6 === 2)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    def merge(store: String): Seq[(Long, Long, Long, Int)] = {
+      IndexCdc.mergeCdcBatch(batch, 0L, store, "vec_id", "embedding",
+        k = 4, entryIds = Seq(0L, 1L), beam = 8, searchRounds = 2,
+        repairThreshold = 1L)
+      graphRows(spark.read.parquet(s"$store/current/graph"))
+    }
+    // the clean run
+    val storeA = java.nio.file.Files.createTempDirectory("graft_cdc_a").toString
+    IndexCdc.initStore(spark, storeA, g, all.select("vec_id", "embedding"))
+    val first = merge(storeA)
+    // the crashed run: swapStore renamed the pre-batch store aside
+    // (prev_0) and died before promoting next_0 — on restart the
+    // checkpoint replays the batch; recoverStore must promote prev_0
+    // back and the replay must land on the IDENTICAL post-batch store
+    val storeB = java.nio.file.Files.createTempDirectory("graft_cdc_b").toString
+    IndexCdc.initStore(spark, storeB, g, all.select("vec_id", "embedding"))
+    val fs = new org.apache.hadoop.fs.Path(storeB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$storeB/current"),
+      new org.apache.hadoop.fs.Path(s"$storeB/prev_0")))
+    // a half-written next_0 from the crashed attempt must not confuse it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$storeB/next_0/graph"))
+    val replayed = merge(storeB)
+    assert(replayed == first,
+      "replay against the recovered pre-batch store diverged")
+  }
+
+  test("IndexCdc: upsert REPLACES an existing vector (old edges dropped, relinked)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val all = randomVecs(50, 6, seed = 41).localCheckpoint()
+    val g = Similarity.nnDescent(all, "vec_id", "embedding", 4, 2, 8)
+      .localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_upsert").toString
+    IndexCdc.initStore(spark, store, g, all.select("vec_id", "embedding"))
+    // replace vector 5 with vector 7's embedding (an extreme move)
+    val newVec = all.filter(col("vec_id") === 7L)
+      .select(lit("upsert").as("op"), lit(5L).as("vec_id"), col("embedding"))
+    IndexCdc.mergeCdcBatch(newVec, 0L, store, "vec_id", "embedding",
+      k = 4, entryIds = Seq(0L, 1L), beam = 16, searchRounds = 5,
+      repairThreshold = 1000000L)
+    val after = spark.read.parquet(s"$store/current/graph")
+    // node 5's new list must be built against the REPLACED vector: its
+    // nearest neighbor is now 7 at distance 0
+    val top = after.filter(col("q_id") === 5L).orderBy(col("rank"))
+      .select("n_id", "d2").collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 7L && top.head.getLong(1) == 0L,
+      s"replaced vector did not relink: ${top.mkString(",")}")
+    // and the vecs table holds exactly one row for id 5, the new vector
+    val v5 = spark.read.parquet(s"$store/current/vecs")
+      .filter(col("vec_id") === 5L).collect()
+    assert(v5.length == 1)
+    val v7 = all.filter(col("vec_id") === 7L).select("embedding")
+      .as[Seq[Float]].head()
+    assert(v5.head.getAs[scala.collection.Seq[Float]]("embedding").toSeq == v7)
+  }
+
+  // ------------------------------------------------------------------
   // distributed exact ranks (Ranks.scala)
   // ------------------------------------------------------------------
 
