@@ -9604,25 +9604,25 @@ object Queries {
     * rescoring against the vector CTE `v`, then per-node top-k over
     * old ∪ new — the exact relational statement
     * [[graft.operators.Similarity.nnDescent]] executes. */
-  private def nnDescentRoundSql(r: Int, k: Int): String =
-    s"""rev$r AS (SELECT nbr AS id, id AS nbr FROM (
+  private def nnDescentRoundSql(r: Int, k: Int, p: String = ""): String =
+    s"""${p}rev$r AS (SELECT nbr AS id, id AS nbr FROM (
        |    SELECT id, nbr, row_number() OVER (
-       |      PARTITION BY nbr ORDER BY d2, id) AS rr FROM nn${r - 1})
+       |      PARTITION BY nbr ORDER BY d2, id) AS rr FROM ${p}nn${r - 1})
        |  WHERE rr <= $k),
-       |g$r AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
-       |    SELECT id, nbr FROM nn${r - 1} UNION ALL SELECT id, nbr FROM rev$r)),
-       |cd$r AS (SELECT DISTINCT a.nbr AS id, b.nbr AS nbr
-       |  FROM g$r a JOIN g$r b ON a.id = b.id AND a.nbr <> b.nbr),
-       |sc$r AS (SELECT c.id, c.nbr,
+       |${p}g$r AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
+       |    SELECT id, nbr FROM ${p}nn${r - 1} UNION ALL SELECT id, nbr FROM ${p}rev$r)),
+       |${p}cd$r AS (SELECT DISTINCT a.nbr AS id, b.nbr AS nbr
+       |  FROM ${p}g$r a JOIN ${p}g$r b ON a.id = b.id AND a.nbr <> b.nbr),
+       |${p}sc$r AS (SELECT c.id, c.nbr,
        |    list_sum([(x.iv[j]-y.iv[j])*(x.iv[j]-y.iv[j])
        |      for j in range(1,65)])::BIGINT AS d2
-       |  FROM cd$r c JOIN v x ON x.id = c.id JOIN v y ON y.id = c.nbr),
-       |nn$r AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+       |  FROM ${p}cd$r c JOIN ${p}v x ON x.id = c.id JOIN ${p}v y ON y.id = c.nbr),
+       |${p}nn$r AS MATERIALIZED (SELECT id, nbr, d2 FROM (
        |    SELECT id, nbr, d2, row_number() OVER (
        |      PARTITION BY id ORDER BY d2, nbr) AS rn
        |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
-       |      SELECT id, nbr, d2 FROM nn${r - 1}
-       |      UNION ALL SELECT id, nbr, d2 FROM sc$r)))
+       |      SELECT id, nbr, d2 FROM ${p}nn${r - 1}
+       |      UNION ALL SELECT id, nbr, d2 FROM ${p}sc$r)))
        |  WHERE rn <= $k)""".stripMargin
 
   /** One unigram-LM EM round (or the final encode pass when `next` is
@@ -9738,21 +9738,23 @@ object Queries {
     * vectors (optionally `where`-filtered — the q291 base corpus), the
     * two-hash-system bucketed init, and `rounds` unrolled NN-Descent
     * rounds ending at `nn<rounds>` — the k-NN GRAPH the entries build. */
-  private def nnGraphOracleCtes(k: Int, rounds: Int, where: String = ""): String =
-    s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+  private def nnGraphOracleCtes(
+      k: Int, rounds: Int, where: String = "",
+      p: String = "", lead: String = "WITH "): String =
+    s"""$lead${p}v AS MATERIALIZED (SELECT vec_id AS id,
        |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
        |  FROM embeddings$where),
-       |ib AS (SELECT DISTINCT a.id, b.id AS nbr,
+       |${p}ib AS (SELECT DISTINCT a.id, b.id AS nbr,
        |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
        |      for j in range(1,65)])::BIGINT AS d2
-       |  FROM v a JOIN v b ON a.id <> b.id AND (
+       |  FROM ${p}v a JOIN ${p}v b ON a.id <> b.id AND (
        |    ((a.id * 2654435761) >> 16) % 16 = ((b.id * 2654435761) >> 16) % 16
        |    OR ((a.id * 2246822519) >> 16) % 16 = ((b.id * 2246822519) >> 16) % 16)),
-       |nn0 AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+       |${p}nn0 AS MATERIALIZED (SELECT id, nbr, d2 FROM (
        |    SELECT id, nbr, d2, row_number() OVER (
-       |      PARTITION BY id ORDER BY d2, nbr) AS rn FROM ib)
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn FROM ${p}ib)
        |  WHERE rn <= $k),
-       |${(1 to rounds).map(nnDescentRoundSql(_, k)).mkString(",\n")}""".stripMargin
+       |${(1 to rounds).map(nnDescentRoundSql(_, k, p)).mkString(",\n")}""".stripMargin
 
   /** One unrolled beam-search round for the q288/q290/q291 oracles:
     * expand the beam's undirected graph neighbors (`gse`), rescore
@@ -11049,6 +11051,78 @@ object Queries {
              |FROM p JOIN agg USING (doc_id)
              |ORDER BY asset_id""".stripMargin)))
 
+  /** The q312 CDC lifecycle's FINAL stored graph, fully unrolled for
+    * DuckDB — base NN-Descent chain over vec_id % 10 ≠ 9, the
+    * id % 7 = 3 delete restriction, the repair search + per-node
+    * re-cut, and the % 10 = 9 insert search + reverse patch — ending
+    * at `pg`, the final per-node top-15 edge table. Shared by q312
+    * (per-node degree/Σd2 of the drained store) and q313 (the
+    * maintenance-policy report over the same graph). */
+  private def cdcLifecycleGraphCtes: String =
+    s"""${nnGraphOracleCtes(15, 4, " WHERE vec_id % 10 <> 9")},
+       |rem AS (SELECT id FROM v WHERE id % 7 <> 3),
+       |keptd AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM nn4 g
+       |  JOIN rem a ON g.id = a.id
+       |  JOIN rem b ON g.nbr = b.id),
+       |deg AS (SELECT id, count(*)::BIGINT AS n_nbrs
+       |  FROM keptd GROUP BY id),
+       |qd AS MATERIALIZED (SELECT rem.id
+       |  FROM rem LEFT JOIN deg USING (id)
+       |  WHERE coalesce(deg.n_nbrs, 0) < 15),
+       |gse AS MATERIALIZED (SELECT id, nbr FROM keptd
+       |  UNION SELECT nbr AS id, id AS nbr FROM keptd),
+       |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+       |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+       |          for j in range(1,65)])::BIGINT AS d2
+       |      FROM v q JOIN qd ON q.id = qd.id
+       |        JOIN v c ON c.id IN (0, 1, 2, 4) AND c.id <> q.id))
+       |  WHERE rn <= 24),
+       |${graphSearchRoundSql(1, 24)},
+       |${graphSearchRoundSql(2, 24)},
+       |${graphSearchRoundSql(3, 24)},
+       |rp AS (SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn
+       |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
+       |      SELECT k.id, k.nbr, k.d2 FROM keptd k JOIN qd ON k.id = qd.id
+       |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM gb3)))
+       |  WHERE rn <= 15),
+       |rg AS MATERIALIZED (
+       |  SELECT k.id, k.nbr, k.d2 FROM keptd k
+       |  ANTI JOIN qd ON k.id = qd.id
+       |  UNION ALL SELECT id, nbr, d2 FROM rp),
+       |vq AS MATERIALIZED (SELECT vec_id AS id,
+       |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+       |  FROM embeddings),
+       |xse AS MATERIALIZED (SELECT id, nbr FROM rg
+       |  UNION SELECT nbr AS id, id AS nbr FROM rg),
+       |xb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+       |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+       |          for j in range(1,65)])::BIGINT AS d2
+       |      FROM vq q JOIN v c ON c.id IN (0, 1, 2, 4) AND c.id <> q.id
+       |      WHERE q.id % 10 = 9))
+       |  WHERE rn <= 24),
+       |${graphSearchRoundSql(1, 24, qv = "vq", p = "x")},
+       |${graphSearchRoundSql(2, 24, qv = "vq", p = "x")},
+       |${graphSearchRoundSql(3, 24, qv = "vq", p = "x")},
+       |ne AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM xb3)
+       |  WHERE rn <= 15),
+       |pg AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn
+       |    FROM (SELECT id, nbr, d2 FROM rg
+       |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM ne
+       |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ne))
+       |  WHERE rn <= 15)""".stripMargin
+
   // --------------------------------------------------------------------
   // Round-13 surface: progressive JPEG, MJPEG-in-AVI, PNG palette/RGBA,
   // FIR audio resampling, container census, scale-safe quantiles,
@@ -11357,73 +11431,176 @@ object Queries {
             col("n_nbrs"), col("sum_d2"))
           .orderBy(col("id"))
       },
-      Some(s"""${nnGraphOracleCtes(15, 4, " WHERE vec_id % 10 <> 9")},
-              |rem AS (SELECT id FROM v WHERE id % 7 <> 3),
-              |keptd AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM nn4 g
-              |  JOIN rem a ON g.id = a.id
-              |  JOIN rem b ON g.nbr = b.id),
-              |deg AS (SELECT id, count(*)::BIGINT AS n_nbrs
-              |  FROM keptd GROUP BY id),
-              |qd AS MATERIALIZED (SELECT rem.id
-              |  FROM rem LEFT JOIN deg USING (id)
-              |  WHERE coalesce(deg.n_nbrs, 0) < 15),
-              |gse AS MATERIALIZED (SELECT id, nbr FROM keptd
-              |  UNION SELECT nbr AS id, id AS nbr FROM keptd),
-              |gb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
-              |    SELECT q_id, n_id, d2, row_number() OVER (
-              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
-              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
-              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
-              |          for j in range(1,65)])::BIGINT AS d2
-              |      FROM v q JOIN qd ON q.id = qd.id
-              |        JOIN v c ON c.id IN (0, 1, 2, 4) AND c.id <> q.id))
-              |  WHERE rn <= 24),
-              |${graphSearchRoundSql(1, 24)},
-              |${graphSearchRoundSql(2, 24)},
-              |${graphSearchRoundSql(3, 24)},
-              |rp AS (SELECT id, nbr, d2 FROM (
-              |    SELECT id, nbr, d2, row_number() OVER (
-              |      PARTITION BY id ORDER BY d2, nbr) AS rn
-              |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
-              |      SELECT k.id, k.nbr, k.d2 FROM keptd k JOIN qd ON k.id = qd.id
-              |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM gb3)))
-              |  WHERE rn <= 15),
-              |rg AS MATERIALIZED (
-              |  SELECT k.id, k.nbr, k.d2 FROM keptd k
-              |  ANTI JOIN qd ON k.id = qd.id
-              |  UNION ALL SELECT id, nbr, d2 FROM rp),
-              |vq AS MATERIALIZED (SELECT vec_id AS id,
-              |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
-              |  FROM embeddings),
-              |xse AS MATERIALIZED (SELECT id, nbr FROM rg
-              |  UNION SELECT nbr AS id, id AS nbr FROM rg),
-              |xb0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
-              |    SELECT q_id, n_id, d2, row_number() OVER (
-              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
-              |    FROM (SELECT q.id AS q_id, c.id AS n_id,
-              |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
-              |          for j in range(1,65)])::BIGINT AS d2
-              |      FROM vq q JOIN v c ON c.id IN (0, 1, 2, 4) AND c.id <> q.id
-              |      WHERE q.id % 10 = 9))
-              |  WHERE rn <= 24),
-              |${graphSearchRoundSql(1, 24, qv = "vq", p = "x")},
-              |${graphSearchRoundSql(2, 24, qv = "vq", p = "x")},
-              |${graphSearchRoundSql(3, 24, qv = "vq", p = "x")},
-              |ne AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
-              |    SELECT q_id, n_id, d2, row_number() OVER (
-              |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM xb3)
-              |  WHERE rn <= 15),
-              |pg AS MATERIALIZED (SELECT id, nbr, d2 FROM (
-              |    SELECT id, nbr, d2, row_number() OVER (
-              |      PARTITION BY id ORDER BY d2, nbr) AS rn
-              |    FROM (SELECT id, nbr, d2 FROM rg
-              |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM ne
-              |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ne))
-              |  WHERE rn <= 15)
+      Some(s"""$cdcLifecycleGraphCtes
               |SELECT id, (id % 10 = 9) AS is_new,
               |  count(*)::BIGINT AS n_nbrs, sum(d2)::BIGINT AS sum_d2
               |FROM pg GROUP BY id
-              |ORDER BY id""".stripMargin)))
+              |ORDER BY id""".stripMargin)),
+
+    // maintenance-policy report (AnnIndex.maintenanceReport): the
+    // one-row operational readout the owner of the q312 CDC pipeline
+    // watches after a maintenance window — edge volume, degraded-list
+    // count, entry-point reachability within 4 hops — and the
+    // rebuild-vs-repair-vs-healthy verdict those numbers imply
+    // (unreachable nodes can never be served whatever their lists, so
+    // low reach means repair can't help → rebuild; otherwise any
+    // degraded list → repair). Runs over the SAME post-lifecycle graph
+    // as q312 (delete → repair → insert composition on the stored base
+    // artifact), so the oracle reuses q312's unrolled chain and adds
+    // the q292-shape BFS. Scale: three bounded aggregates over the k·n
+    // edge table + the O(hops) keyed BFS with per-hop checkpoints.
+    "q313_index_maintenance_report" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val stored = operators.AnnIndex.buildOrLoad(base, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "base"))
+        val remaining = base.filter(col("vec_id") % 7 =!= 3)
+        val repaired = operators.AnnIndex.repairGraph(
+          operators.AnnIndex.survivingEdges(stored, remaining, "vec_id"),
+          remaining, "vec_id", "embedding", k = 15,
+          entryIds = Seq(0L, 1L, 2L, 4L), beam = 24, searchRounds = 3)
+        val finalGraph = operators.AnnIndex.insertBatch(repaired, remaining,
+          emb.filter(col("vec_id") % 10 === 9).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 15,
+          entryIds = Seq(0L, 1L, 2L, 4L), beam = 24, searchRounds = 3)
+        operators.AnnIndex.maintenanceReport(finalGraph, k = 15,
+          entryIds = Seq(0L, 1L, 2L, 4L), hops = 4)
+      },
+      Some {
+        val hopRounds = (1 to 4).map { h =>
+          s"""r$h AS MATERIALIZED (SELECT DISTINCT node FROM (
+             |  SELECT p.nbr AS node FROM r${h - 1} r JOIN pse p ON r.node = p.id
+             |  UNION ALL SELECT node FROM r${h - 1}))""".stripMargin
+        }.mkString(",\n")
+        s"""$cdcLifecycleGraphCtes,
+           |pse AS MATERIALIZED (SELECT id, nbr FROM pg
+           |  UNION SELECT nbr AS id, id AS nbr FROM pg),
+           |pnodes AS (SELECT DISTINCT id AS node FROM pse),
+           |r0 AS (SELECT node FROM pnodes WHERE node IN (0, 1, 2, 4)),
+           |$hopRounds,
+           |stats AS (SELECT
+           |    (SELECT count(*) FROM pnodes)::BIGINT AS n_nodes,
+           |    (SELECT count(*) FROM pg)::BIGINT AS n_edges,
+           |    (SELECT count(*) FROM (
+           |      SELECT id FROM pg GROUP BY id HAVING count(*) < 15))::BIGINT
+           |      AS n_degraded,
+           |    (SELECT count(*) FROM r4)::BIGINT AS n_reached)
+           |SELECT n_nodes, n_edges, n_degraded, n_reached,
+           |  (n_reached * 1000000 // n_nodes)::BIGINT AS reached_ppm,
+           |  CASE WHEN n_reached * 1000000 // n_nodes < 900000 THEN 'rebuild'
+           |    WHEN n_degraded > 0 THEN 'repair'
+           |    ELSE 'healthy' END AS recommendation
+           |FROM stats""".stripMargin
+      }),
+
+    // SHARDED ANN serving — IVF-routed stored subgraphs
+    // (AnnIndex.buildOrLoadSharded/shardedSearchTopK): the 100 TB
+    // composition the single-artifact q290 store cannot be, and the one
+    // AnnServing.scala's own scale note promises. The corpus is
+    // partitioned by coarse-quantizer cell (designated centroids 0..3 —
+    // the q57/q81 oracle-exact IVF discipline; ivfTrainCentroids is the
+    // float production knob), one NN-Descent subgraph per cell persists
+    // inside ONE parquet artifact PARTITIONED BY cell, each query
+    // routes to its nprobe=2 best cells and beam-searches only those
+    // cells' subgraphs from per-cell entry points, and per-cell top-5s
+    // merge to the global answer — recall-gated against exact L2 over
+    // the FULL corpus, so the routing loss is measured, not assumed.
+    // PlanSpec locks that the serving read is partition-PRUNED to the
+    // probed cells. The oracle unrolls all four per-cell NN-Descent
+    // chains, the cosine routing, the four per-cell searches, and the
+    // merge. Scale: builds shard-local, serving beam-sized keyed joins
+    // over pruned partitions; driver sees only cell ids + entry points.
+    "q314_sharded_ann_serve" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val index = operators.AnnIndex.buildOrLoadSharded(assigned,
+          "vec_id", "embedding", nCells = 4, graphK = 10, graphRounds = 3,
+          initBuckets = 16, indexDir = annIndexDir(d, "sharded"))
+        val queries = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+        val routed = Similarity.ivfProbeCells(queries, "vec_id", "embedding",
+          cents, nprobe = 2)
+        val merged = operators.AnnIndex.shardedSearchTopK(index, assigned,
+          routed, "vec_id", "embedding", entriesPerCell = 2,
+          beam = 12, rounds = 3, k = 5)
+        Similarity.recallAtK(merged,
+            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5), k = 5)
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val cellChains = (0 to 3).map(c => nnGraphOracleCtes(10, 3,
+          s" WHERE vec_id IN (SELECT vec_id FROM assign WHERE cell = $c)",
+          p = s"s${c}_", lead = "")).mkString(",\n")
+        val searchChains = (0 to 3).map { c =>
+          s"""e$c AS (SELECT vec_id AS id FROM assign WHERE cell = $c
+             |  ORDER BY vec_id LIMIT 2),
+             |t${c}_se AS MATERIALIZED (SELECT id, nbr FROM s${c}_nn3
+             |  UNION SELECT nbr AS id, id AS nbr FROM s${c}_nn3),
+             |t${c}_b0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+             |    SELECT q_id, n_id, d2, row_number() OVER (
+             |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+             |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+             |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+             |          for j in range(1,65)])::BIGINT AS d2
+             |      FROM v q JOIN route r ON q.id = r.q_id AND r.cell = $c
+             |        JOIN v c ON c.id IN (SELECT id FROM e$c) AND c.id <> q.id))
+             |  WHERE rn <= 12),
+             |${graphSearchRoundSql(1, 12, qv = "v", p = s"t${c}_")},
+             |${graphSearchRoundSql(2, 12, qv = "v", p = s"t${c}_")},
+             |${graphSearchRoundSql(3, 12, qv = "v", p = s"t${c}_")},
+             |t${c}_res AS (SELECT q_id, n_id, d2 FROM (
+             |    SELECT q_id, n_id, d2, row_number() OVER (
+             |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM t${c}_b3)
+             |  WHERE rn <= 5)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+           |    embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+           |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c) WHERE rn = 1),
+           |v AS MATERIALIZED (SELECT vec_id AS id,
+           |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+           |  FROM embeddings),
+           |$cellChains,
+           |route AS MATERIALIZED (SELECT vec_id AS q_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id >= 40 AND ve.vec_id < 50) WHERE rn <= 2),
+           |$searchChains,
+           |res AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY d2, n_id) AS rank
+           |    FROM (SELECT * FROM t0_res UNION ALL SELECT * FROM t1_res
+           |      UNION ALL SELECT * FROM t2_res UNION ALL SELECT * FROM t3_res))
+           |  WHERE rank <= 5),
+           |ed AS (SELECT q.id AS q_id, c.id AS n_id,
+           |    list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+           |      for j in range(1,65)])::BIGINT AS d2
+           |  FROM v q JOIN v c ON c.id <> q.id
+           |  WHERE q.id >= 40 AND q.id < 50),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+           |  WHERE rank <= 5),
+           |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+           |  FROM ex JOIN res ON ex.q_id = res.q_id AND ex.n_id = res.n_id
+           |  GROUP BY ex.q_id)
+           |SELECT q.q_id, 5::BIGINT AS k,
+           |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+           |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
+           |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+           |ORDER BY q_id""".stripMargin
+      }))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -57,6 +57,85 @@ object AnnIndex {
     spark.read.parquet(indexDir)
   }
 
+  /** Build-or-load the cell-SHARDED graph index — the 100 TB composition
+    * the single-artifact store cannot be: the corpus is partitioned by
+    * its coarse-quantizer cell (an [[Similarity.ivfAssign]] assignment —
+    * designated centroids for oracle exactness, [[Similarity
+    * .ivfTrainCentroids]] in the float production form), one NN-Descent
+    * subgraph is built per cell, and all subgraphs persist as ONE
+    * parquet artifact PARTITIONED BY cell. Serving then reads only the
+    * probed cells' subdirectories — partition pruning visible in the
+    * plan (PlanSpec-locked) — which is what makes a graph index usable
+    * when the whole edge table no longer fits a single read: at 1000
+    * executors each query touches nprobe cells, not the corpus.
+    * `assigned` is (idCol, vecCol, cell). Same atomic-commit + per-dir
+    * build-lock discipline as [[buildOrLoad]]. */
+  def buildOrLoadSharded(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      graphK: Int,
+      graphRounds: Int,
+      initBuckets: Int,
+      indexDir: String): DataFrame = {
+    require(nCells >= 1)
+    val spark = assigned.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buildLocks.computeIfAbsent(indexDir, _ => new Object).synchronized {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_SUCCESS"))) {
+        val full = (0 until nCells).map { c =>
+          Similarity.nnDescent(
+              assigned.filter(col("cell") === c).select(col(idCol), col(vecCol)),
+              idCol, vecCol, graphK, graphRounds, initBuckets)
+            .withColumn("cell", lit(c.toLong))
+        }.reduce(_ unionByName _)
+        full.write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+      }
+    }
+    spark.read.parquet(indexDir)
+  }
+
+  /** Serve top-k from the sharded index: each query was routed to its
+    * `nprobe` best cells ([[Similarity.ivfProbeCells]] — `routed` is
+    * (idCol, vecCol, cell)); per probed cell, beam-search that cell's
+    * stored subgraph from the cell's own entry points (its
+    * `entriesPerCell` lowest ids — every cell contains at least its
+    * centroid) against the cell's member vectors, then merge to a
+    * global per-query top-k. Only the probed cells' partitions of the
+    * store are ever scanned. The per-cell loop is driver-side over ≤
+    * nCells values and the entry-point collects are `entriesPerCell`
+    * ids each — bounded artifacts, not data. */
+  def shardedSearchTopK(
+      index: DataFrame,
+      assigned: DataFrame,
+      routed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      entriesPerCell: Int,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    require(entriesPerCell >= 1)
+    val cells = routed.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val perCell = cells.map { c =>
+      val shard = assigned.filter(col("cell") === c)
+        .select(col(idCol), col(vecCol))
+      val entries = shard.select(col(idCol).cast("long")).orderBy(col(idCol))
+        .limit(entriesPerCell).collect().map(_.getLong(0)).toSeq
+      val qs = routed.filter(col("cell") === c).select(col(idCol), col(vecCol))
+      Similarity.graphSearchTopK(
+          index.filter(col("cell") === c).drop("cell"),
+          shard, qs, idCol, vecCol, entries, beam, rounds, k)
+        .select(col("q_id"), col("n_id"), col("d2"))
+    }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
+    perCell.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Incremental batch insert — fold `batch` (new vectors, ids disjoint
     * from the base corpus) into a stored k-NN graph WITHOUT a rebuild:
     *
@@ -279,6 +358,39 @@ object AnnIndex {
       .withColumn("rank", row_number().over(wTop))
     untouched.unionByName(
       repaired.select(col("q_id"), col("n_id"), col("d2"), col("rank")))
+  }
+
+  /** Maintenance-policy report — the one-row operational readout the
+    * owner of the CDC pipeline ([[graft.streaming.IndexCdc]]) watches
+    * to decide rebuild-vs-repair-vs-leave-alone: edge volume, degraded
+    * count (lists under k among nodes that still have a list — a node
+    * with NO edges is by construction absent from the edge table and
+    * from the reachable set, so it depresses reached_ppm instead), and
+    * entry-point reachability within `hops` ([[healthAudit]]'s last
+    * row). Policy: reachability below `minReachPpm` means repair can't
+    * help (unreachable nodes can never be returned, whatever their
+    * lists) → "rebuild"; otherwise any degraded list → "repair";
+    * otherwise "healthy". Scale: three bounded aggregates over the k·n
+    * edge table + the O(hops) keyed BFS. */
+  def maintenanceReport(
+      graph: DataFrame,
+      k: Int,
+      entryIds: Seq[Long],
+      hops: Int,
+      minReachPpm: Long = 900000L): DataFrame = {
+    val g = graph.localCheckpoint()
+    val edges = g.agg(count(lit(1)).as("n_edges"))
+    val degraded = g.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") < k).agg(count(lit(1)).as("n_degraded"))
+    val reach = healthAudit(g, entryIds, hops)
+      .filter(col("hop") === hops)
+      .select(col("n_nodes"), col("n_reached"), col("reached_ppm"))
+    reach.crossJoin(edges).crossJoin(degraded)
+      .select(col("n_nodes"), col("n_edges"), col("n_degraded"),
+        col("n_reached"), col("reached_ppm"),
+        when(col("reached_ppm") < minReachPpm, lit("rebuild"))
+          .when(col("n_degraded") > 0, lit("repair"))
+          .otherwise(lit("healthy")).as("recommendation"))
   }
 
   /** Index-health audit — the check a production ANN service runs

@@ -424,6 +424,28 @@ class PlanSpec extends AnyFunSuite {
       s"totals no longer reuses the (source, tok) aggregate exchange:\n$p")
   }
 
+  test("sharded ANN index reads are partition-PRUNED to the probed cell") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+    val cents = graft.operators.Similarity
+      .ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+    val assigned = graft.operators.Similarity
+      .ivfAssign(emb, "vec_id", "embedding", cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shard_plan").toString + "/idx"
+    val index = graft.operators.AnnIndex.buildOrLoadSharded(assigned,
+      "vec_id", "embedding", nCells = 4, graphK = 5, graphRounds = 2,
+      initBuckets = 8, indexDir = dir)
+    val p = index.filter(col("cell") === 2).drop("cell")
+      .queryExecution.executedPlan.toString
+    // the cell predicate must land in PartitionFilters (directory
+    // pruning), NOT as a post-scan data filter over the whole store
+    val pf = p.split("\n").find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in the shard read:\n$p"))
+    assert(pf.contains("cell") && pf.contains("= 2"),
+      s"cell predicate did not prune partitions:\n$pf")
+  }
+
   test("q151/q109 exact quantiles run with NO single-partition window") {
     // the Ranks restatement (bucketed local ranks + broadcast bases)
     // must leave every Window in the plan PARTITIONED: a global window
