@@ -111,7 +111,17 @@ object ScaleProbe {
     // sums, the same shuffle-free mapPartitions class (BMP q304 shares
     // it and is strictly simpler — one probe covers the family's
     // new members alongside q286/q296/q302)
-    "q305_avi_frame_extract")
+    "q305_avi_frame_extract",
+    // round-13: progressive JPEG — the restructured multi-scan decoder
+    // (coefficient buffers + EOBn runs + refinement bits) on the same
+    // shuffle-free mapPartitions class; a direct probe shows the new
+    // scan machinery stays row-linear like the baseline members
+    "q307_jpeg_progressive_decode",
+    // round-13: the restated exact deciles — the whole point of the
+    // Ranks rewrite is scale, so the probe measures it: bucketed local
+    // ranks + broadcast bases should track the per-customer aggregate's
+    // growth with no single-partition window to bottleneck
+    "q151_revenue_deciles")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -220,7 +230,19 @@ object ScaleProbe {
     "q303_wav_decode/q304_bmp_decode/q306_wav_resample" ->
       "per-asset payload loops in the shuffle-free mapPartitions class the probed q286/q296/q302/q305 codec entries time directly — growth tracks rows by construction, and these are strictly simpler per-asset work than the probed members",
     "q301_ann_index_repair" ->
-      "q290's fresh-store rationale; the repair is one degree aggregate + a |queue|*beam search over the degraded keyed closure + one per-node window — the q291 insert shape with the queue as the batch, linear keyed volume by construction")
+      "q290's fresh-store rationale; the repair is one degree aggregate + a |queue|*beam search over the degraded keyed closure + one per-node window — the q291 insert shape with the queue as the batch, linear keyed volume by construction",
+    "q308_avi_mjpeg_frames/q309_png_palette_rgba" ->
+      "per-asset payload loops in the shuffle-free mapPartitions codec class the probed q286/q296/q302/q305/q307 members time directly — the MJPEG walk is q305's chunk walk plus the probed JPEG decode per frame, and the palette/RGBA unfilter is q302's loop at a different bpp",
+    "q310_wav_resample_fir" ->
+      "per-asset 7-tap integer convolution in the q303/q306 excluded class — strictly less work per byte than the probed codec members' entropy decode",
+    "q311_container_census" ->
+      "one O(header-bytes) sniff per asset + a 7-row aggregate; scan-bound by construction (the q273-class single-pass shape, without even the write)",
+    "q312_streaming_index_cdc" ->
+      "q290's fresh-store rationale (the base-graph build dominates any probe; q282's knob-scaled probe covers it) + the excluded streaming-store class (fixed micro-batch overhead); the per-batch work is the probed/locked delete+repair+insert shapes — keyed semi-joins and |batch|*beam searches, linear keyed volume",
+    "q313_index_maintenance_report" ->
+      "dominated by the same delete+repair+insert composition as q312 (fresh-store rationale); the report epilogue is three bounded aggregates + the O(hops) keyed BFS of the q292 class",
+    "q314_sharded_ann_serve" ->
+      "q290's fresh-store rationale per cell (four q282-class builds dominate any probe); serving is |queries|*beam keyed joins over partition-PRUNED shards — per-query cost is nprobe cells' subgraphs regardless of corpus width, which is the operator's scale claim and is plan-locked (PlanSpec PartitionFilters)")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

@@ -446,6 +446,30 @@ class PlanSpec extends AnyFunSuite {
       s"cell predicate did not prune partitions:\n$pf")
   }
 
+  test("round-13 index paths stay on keyed joins (no cartesian/BNL)") {
+    // the CDC composition (delete -> repair -> insert) and the sharded
+    // search must never degenerate to CartesianProduct or
+    // BroadcastNestedLoopJoin — the 100 TB contract of every index path
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+    val remaining = emb.filter(col("vec_id") % 5 =!= 1)
+    val g = graft.operators.Similarity
+      .nnDescent(emb, "vec_id", "embedding", 5, 1, 8).localCheckpoint()
+    val repaired = graft.operators.AnnIndex.repairGraph(
+      graft.operators.AnnIndex.survivingEdges(g, remaining, "vec_id"),
+      remaining, "vec_id", "embedding", k = 5, entryIds = Seq(0L, 2L),
+      beam = 10, searchRounds = 2)
+    val composed = graft.operators.AnnIndex.insertBatch(repaired, remaining,
+      emb.filter(col("vec_id") % 5 === 1).select("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, entryIds = Seq(0L, 2L),
+      beam = 10, searchRounds = 2)
+    val p1 = composed.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"CDC composition degenerated to a nested loop:\n$p1")
+    // (maintenanceReport's 1-row aggregate crossJoins are the accepted
+    // q285 scalar-frame discipline and are exempt from this lock)
+  }
+
   test("q151/q109 exact quantiles run with NO single-partition window") {
     // the Ranks restatement (bucketed local ranks + broadcast bases)
     // must leave every Window in the plan PARTITIONED: a global window

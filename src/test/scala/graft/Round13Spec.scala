@@ -331,6 +331,66 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("round-13 operators are partition-invariant (the engine's determinism discipline)") {
+    // every result must be a pure function of the DATA — never of how
+    // Spark happened to partition it. Re-run each new operator on a
+    // deliberately re-partitioned input and require bit-identical rows.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // Ranks: rank / running sum / ntile
+    val df = (0 until 300).map(i => (i.toLong, ((i * 31) % 59).toLong)).toDF("id", "v")
+    def ranked(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ranks.globalRunningSum(
+        graft.operators.Ranks.globalRowNumber(d,
+          expr("v div 8L"), Seq(col("v"), col("id")), "r"),
+        expr("v div 8L"), Seq(col("v"), col("id")), col("v"), "cum")
+    assert(rows(ranked(df)) == rows(ranked(df.repartition(17))),
+      "Ranks depends on partitioning")
+    // repairGraph + maintenanceReport
+    val emb = randomVecs(60, 6, seed = 61).localCheckpoint()
+    val g = Similarity.nnDescent(emb, "vec_id", "embedding", 4, 2, 8)
+      .localCheckpoint()
+    val remaining = emb.filter(col("vec_id") % 4 =!= 1)
+    def repair(r: org.apache.spark.sql.DataFrame) =
+      AnnIndex.repairGraph(AnnIndex.survivingEdges(g, r, "vec_id"), r,
+        "vec_id", "embedding", k = 4, entryIds = Seq(0L, 2L),
+        beam = 8, searchRounds = 2)
+    assert(rows(repair(remaining)) == rows(repair(remaining.repartition(9))),
+      "repairGraph depends on partitioning")
+    assert(
+      rows(AnnIndex.maintenanceReport(g, 4, Seq(0L, 2L), hops = 3)) ==
+      rows(AnnIndex.maintenanceReport(g.repartition(5), 4, Seq(0L, 2L), hops = 3)),
+      "maintenanceReport depends on partitioning")
+    // shardedSearchTopK over a hand-sharded index (no store involved)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 2L)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .localCheckpoint()
+    val index = (0 until 2).map(c =>
+        Similarity.nnDescent(
+            assigned.filter(col("cell") === c).select("vec_id", "embedding"),
+            "vec_id", "embedding", 4, 2, 8)
+          .withColumn("cell", lit(c.toLong)))
+      .reduce(_ unionByName _).localCheckpoint()
+    val routed = Similarity.ivfProbeCells(
+      emb.filter(col("vec_id") >= 50), "vec_id", "embedding", cents, nprobe = 2)
+    def sharded(a: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      AnnIndex.shardedSearchTopK(index, a, r, "vec_id", "embedding",
+        entriesPerCell = 2, beam = 8, rounds = 2, k = 3)
+    assert(rows(sharded(assigned, routed)) ==
+      rows(sharded(assigned.repartition(7), routed.repartition(3))),
+      "shardedSearchTopK depends on partitioning")
+    // codec stages: stats of repartitioned asset tables are identical
+    val ids = (0L until 40L).toDF("doc_id")
+    def progStats(d: org.apache.spark.sql.DataFrame) =
+      graft.multimodal.Multimodal.decodeJpegStats(
+        graft.multimodal.Multimodal.synthesizeJpegProgressiveAssets(d))
+    assert(rows(progStats(ids)) == rows(progStats(ids.repartition(11))),
+      "progressive JPEG stats depend on partitioning")
+  }
+
   // ------------------------------------------------------------------
   // container sniffing
   // ------------------------------------------------------------------
