@@ -11123,6 +11123,67 @@ object Queries {
        |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ne))
        |  WHERE rn <= 15)""".stripMargin
 
+  /** Shared sharded-ANN oracle chain (q314 batch serve, q316 streaming
+    * serve): designated-centroid assignment, all four per-cell
+    * NN-Descent builds (prefixed CTE chains), nprobe-2 cosine routing
+    * for the query predicate (`pred` renders it for a given id
+    * expression), per-cell beam searches from each cell's two lowest
+    * ids, ending at `resr` — the merged global top-5 with rank. */
+  private def shardedAnnOracleCtes(pred: String => String): String = {
+    val cellChains = (0 to 3).map(c => nnGraphOracleCtes(10, 3,
+      s" WHERE vec_id IN (SELECT vec_id FROM assign WHERE cell = $c)",
+      p = s"s${c}_", lead = "")).mkString(",\n")
+    val searchChains = (0 to 3).map { c =>
+      s"""e$c AS (SELECT vec_id AS id FROM assign WHERE cell = $c
+         |  ORDER BY vec_id LIMIT 2),
+         |t${c}_se AS MATERIALIZED (SELECT id, nbr FROM s${c}_nn3
+         |  UNION SELECT nbr AS id, id AS nbr FROM s${c}_nn3),
+         |t${c}_b0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+         |    SELECT q_id, n_id, d2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+         |    FROM (SELECT q.id AS q_id, c.id AS n_id,
+         |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+         |          for j in range(1,65)])::BIGINT AS d2
+         |      FROM v q JOIN route r ON q.id = r.q_id AND r.cell = $c
+         |        JOIN v c ON c.id IN (SELECT id FROM e$c) AND c.id <> q.id))
+         |  WHERE rn <= 12),
+         |${graphSearchRoundSql(1, 12, qv = "v", p = s"t${c}_")},
+         |${graphSearchRoundSql(2, 12, qv = "v", p = s"t${c}_")},
+         |${graphSearchRoundSql(3, 12, qv = "v", p = s"t${c}_")},
+         |t${c}_res AS (SELECT q_id, n_id, d2 FROM (
+         |    SELECT q_id, n_id, d2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM t${c}_b3)
+         |  WHERE rn <= 5)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+       |    embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+       |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+       |      PARTITION BY ve.vec_id
+       |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+       |        c.cent_id) AS rn
+       |    FROM ve CROSS JOIN cents c) WHERE rn = 1),
+       |v AS MATERIALIZED (SELECT vec_id AS id,
+       |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+       |  FROM embeddings),
+       |$cellChains,
+       |route AS MATERIALIZED (SELECT vec_id AS q_id, cell FROM (
+       |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+       |      PARTITION BY ve.vec_id
+       |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+       |        c.cent_id) AS rn
+       |    FROM ve CROSS JOIN cents c
+       |    WHERE ${pred("ve.vec_id")}) WHERE rn <= 2),
+       |$searchChains,
+       |resr AS (SELECT q_id, n_id, d2, rank FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rank
+       |    FROM (SELECT * FROM t0_res UNION ALL SELECT * FROM t1_res
+       |      UNION ALL SELECT * FROM t2_res UNION ALL SELECT * FROM t3_res))
+       |  WHERE rank <= 5)""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // Round-13 surface: progressive JPEG, MJPEG-in-AVI, PNG palette/RGBA,
   // FIR audio resampling, container census, scale-safe quantiles,
@@ -11530,77 +11591,99 @@ object Queries {
             Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5), k = 5)
           .orderBy(col("q_id"))
       },
-      Some {
-        val cellChains = (0 to 3).map(c => nnGraphOracleCtes(10, 3,
-          s" WHERE vec_id IN (SELECT vec_id FROM assign WHERE cell = $c)",
-          p = s"s${c}_", lead = "")).mkString(",\n")
-        val searchChains = (0 to 3).map { c =>
-          s"""e$c AS (SELECT vec_id AS id FROM assign WHERE cell = $c
-             |  ORDER BY vec_id LIMIT 2),
-             |t${c}_se AS MATERIALIZED (SELECT id, nbr FROM s${c}_nn3
-             |  UNION SELECT nbr AS id, id AS nbr FROM s${c}_nn3),
-             |t${c}_b0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
-             |    SELECT q_id, n_id, d2, row_number() OVER (
-             |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
-             |    FROM (SELECT q.id AS q_id, c.id AS n_id,
-             |        list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
-             |          for j in range(1,65)])::BIGINT AS d2
-             |      FROM v q JOIN route r ON q.id = r.q_id AND r.cell = $c
-             |        JOIN v c ON c.id IN (SELECT id FROM e$c) AND c.id <> q.id))
-             |  WHERE rn <= 12),
-             |${graphSearchRoundSql(1, 12, qv = "v", p = s"t${c}_")},
-             |${graphSearchRoundSql(2, 12, qv = "v", p = s"t${c}_")},
-             |${graphSearchRoundSql(3, 12, qv = "v", p = s"t${c}_")},
-             |t${c}_res AS (SELECT q_id, n_id, d2 FROM (
-             |    SELECT q_id, n_id, d2, row_number() OVER (
-             |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM t${c}_b3)
-             |  WHERE rn <= 5)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH ve AS MATERIALIZED (SELECT vec_id,
-           |    embedding::DOUBLE[] AS e FROM embeddings),
-           |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
-           |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
-           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
-           |      PARTITION BY ve.vec_id
-           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
-           |        c.cent_id) AS rn
-           |    FROM ve CROSS JOIN cents c) WHERE rn = 1),
-           |v AS MATERIALIZED (SELECT vec_id AS id,
-           |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
-           |  FROM embeddings),
-           |$cellChains,
-           |route AS MATERIALIZED (SELECT vec_id AS q_id, cell FROM (
-           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
-           |      PARTITION BY ve.vec_id
-           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
-           |        c.cent_id) AS rn
-           |    FROM ve CROSS JOIN cents c
-           |    WHERE ve.vec_id >= 40 AND ve.vec_id < 50) WHERE rn <= 2),
-           |$searchChains,
-           |res AS (SELECT q_id, n_id FROM (
-           |    SELECT q_id, n_id, row_number() OVER (
-           |      PARTITION BY q_id ORDER BY d2, n_id) AS rank
-           |    FROM (SELECT * FROM t0_res UNION ALL SELECT * FROM t1_res
-           |      UNION ALL SELECT * FROM t2_res UNION ALL SELECT * FROM t3_res))
-           |  WHERE rank <= 5),
-           |ed AS (SELECT q.id AS q_id, c.id AS n_id,
-           |    list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
-           |      for j in range(1,65)])::BIGINT AS d2
-           |  FROM v q JOIN v c ON c.id <> q.id
-           |  WHERE q.id >= 40 AND q.id < 50),
-           |ex AS (SELECT q_id, n_id FROM (
-           |    SELECT q_id, n_id, row_number() OVER (
-           |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
-           |  WHERE rank <= 5),
-           |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
-           |  FROM ex JOIN res ON ex.q_id = res.q_id AND ex.n_id = res.n_id
-           |  GROUP BY ex.q_id)
-           |SELECT q.q_id, 5::BIGINT AS k,
-           |  coalesce(n_hit, 0)::BIGINT AS n_hit,
-           |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
-           |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
-           |ORDER BY q_id""".stripMargin
-      }))
+      Some(s"""${shardedAnnOracleCtes(c => s"$c >= 40 AND $c < 50")},
+              |ed AS (SELECT q.id AS q_id, c.id AS n_id,
+              |    list_sum([(q.iv[j]-c.iv[j])*(q.iv[j]-c.iv[j])
+              |      for j in range(1,65)])::BIGINT AS d2
+              |  FROM v q JOIN v c ON c.id <> q.id
+              |  WHERE q.id >= 40 AND q.id < 50),
+              |ex AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+              |  WHERE rank <= 5),
+              |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+              |  FROM ex JOIN resr res ON ex.q_id = res.q_id AND ex.n_id = res.n_id
+              |  GROUP BY ex.q_id)
+              |SELECT q.q_id, 5::BIGINT AS k,
+              |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+              |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
+              |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
+
+    // Adam7 INTERLACED PNG decode (Codecs.decodePngFull, interlace
+    // method 1): the progressive-rendering form web encoders emit —
+    // q302/q309 covered sequential storage only. Seven passes, each a
+    // filter-SCOPED sub-image (filters reference the previous row
+    // within the pass, never across passes) scattered onto the final
+    // grid; dims are chosen small (≤ 23×11) so many assets have EMPTY
+    // late passes — the geometry corner every Adam7 decoder must get
+    // right. Even ids truecolor, odd ids RGBA (alpha pinned too). The
+    // oracle predicts the same v-ramp sums as the sequential entries:
+    // interlacing must reorder storage, never pixels — a wrong pass
+    // origin/stride, filter scope, or scatter fails the hash. Scale:
+    // the q302 partition-preserving mapPartitions shape.
+    "q315_png_interlaced" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizePngInterlacedAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodePngFullStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 23 + 1)::BIGINT AS w,
+             |    (doc_id % 11 + 1)::BIGINT AS h FROM documents),
+             |pv AS (SELECT doc_id, (doc_id + ys.y * w + xs.x)::BIGINT AS v
+             |  FROM dims, range(0, 23) xs(x), range(0, 11) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |ps AS (SELECT doc_id,
+             |    sum((v % 256) * 65536 + ((v // 256) % 256) * 256 +
+             |        (v // 65536) % 256)::BIGINT AS pixel_sum,
+             |    CASE WHEN doc_id % 2 = 1
+             |      THEN sum((v * 13 + 7) % 256)::BIGINT
+             |      ELSE NULL END AS alpha_sum
+             |  FROM pv GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'png' AS codec, d.w AS width,
+             |  d.h AS height,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 6 END::BIGINT
+             |    AS color_type,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 4 END::BIGINT
+             |    AS n_components,
+             |  ps.pixel_sum, ps.alpha_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // STREAMING serving over the SHARDED index
+    // (AnnServing.serveShardedTopK): query embeddings arrive as a
+    // stream; each micro-batch routes to its nprobe=2 best cells
+    // (ivfProbeCells) and beam-searches ONLY those cells' stored
+    // subgraphs via partition-pruned reads — the complete 100 TB online
+    // form (coarse routing + pruned shard search per batch), composing
+    // q298's streaming serving with q314's sharding. Beam search is
+    // stateless per query, so the drained append table equals the batch
+    // statement exactly whatever the micro-batching; the oracle is the
+    // shared sharded chain over a fourth query set, emitting raw
+    // (q_id, n_id, d2, rank) rows — stronger than a recall gate.
+    "q316_streaming_sharded_ann" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val index = operators.AnnIndex.buildOrLoadSharded(assigned,
+          "vec_id", "embedding", nCells = 4, graphK = 10, graphRounds = 3,
+          initBuckets = 16, indexDir = annIndexDir(d, "sharded"))
+        graft.streaming.AnnServing.serveShardedTopK(s, index, assigned, cents,
+            queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") >= 50 && col("vec_id") < 60,
+            idCol = "vec_id", vecCol = "embedding", nprobe = 2,
+            entriesPerCell = 2, beam = 12, rounds = 3, k = 5)
+          .select(col("q_id"), col("n_id"), col("d2"),
+            col("rank").cast("bigint").as("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""${shardedAnnOracleCtes(c => s"$c >= 50 AND $c < 60")}
+              |SELECT q_id, n_id, d2, rank::BIGINT AS rank FROM resr
+              |ORDER BY q_id, rank""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -241,11 +241,12 @@ object Codecs {
     * editing would have already overwritten); row y gets filter
     * (seed + y) mod 5 — all five spec filters under one stream. */
   private def forwardFilter(
-      raw: Array[Byte], width: Int, height: Int, bpp: Int, seed: Long): Unit = {
+      raw: Array[Byte], width: Int, height: Int, bpp: Int, seed: Long,
+      off: Int = 0): Unit = {
     val stride = 1 + bpp * width
     var fy = height - 1
     while (fy >= 0) {
-      val rowOff = fy * stride
+      val rowOff = off + fy * stride
       val ft = (math.floorMod(seed, 5) + fy) % 5
       raw(rowOff) = ft.toByte
       var i = bpp * width - 1
@@ -316,6 +317,50 @@ object Codecs {
     out.write(pngSignature)
     out.write(pngChunk("IHDR", ihdr))
     out.write(pngChunk("PLTE", plte))
+    out.write(pngChunk("IDAT", deflateRaw(raw)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Encode an Adam7-INTERLACED PNG (interlace method 1 — what
+    * progressive-rendering web encoders emit): seven passes, each its
+    * own filter-scoped sub-image of the same v-ramp pixels (and the
+    * same (v·13+7) mod 256 alpha when `rgba`), filters cycling per
+    * pass at the pass's own row indices. The decoded image must equal
+    * the sequential encoding of the same ramp — interlacing reorders
+    * storage, never pixels. */
+  def encodePngInterlaced(
+      width: Int, height: Int, seed: Long, rgba: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && seed >= 0)
+    val bpp = if (rgba) 4 else 3
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, width.toLong)
+    putU32be(ihdr, 4, height.toLong)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = if (rgba) 6 else 2
+    ihdr(12) = 1 // interlace: Adam7
+    val raw = new Array[Byte](adam7Length(width, height, bpp).toInt)
+    var off = 0
+    for (p <- 0 until 7) {
+      val (x0, y0, dx, dy) = adam7(p)
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val stride = 1 + bpp * pw
+        for (j <- 0 until ph; i <- 0 until pw) {
+          val v = seed + (y0 + j.toLong * dy) * width + (x0 + i * dx)
+          val o = off + j * stride + 1 + bpp * i
+          raw(o) = v.toByte; raw(o + 1) = (v >> 8).toByte
+          raw(o + 2) = (v >> 16).toByte
+          if (rgba) raw(o + 3) = ((v * 13 + 7) % 256).toByte
+        }
+        forwardFilter(raw, pw, ph, bpp, seed + p, off)
+        off += ph * stride
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSignature)
+    out.write(pngChunk("IHDR", ihdr))
     out.write(pngChunk("IDAT", deflateRaw(raw)))
     out.write(pngChunk("IEND", Array.emptyByteArray))
     out.toByteArray
@@ -428,8 +473,9 @@ object Codecs {
     // IHDR layout: bitDepth(24) colorType(25) compression(26)
     // filterMethod(27) interlace(28)
     val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
     if ((b(24) & 0xff) != 8 ||
-      (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 || (b(28) & 0xff) != 0)
+      (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 || interlace > 1)
       return None
     // filter offsets work on BYTES-per-pixel: 3 (RGB), 1 (palette index),
     // 4 (RGBA) — the spec's bpp, floor(1) for sub-byte depths (not here)
@@ -462,52 +508,94 @@ object Codecs {
         if (pal == null) return None // palette image with no PLTE
         pal
       }
-    val stride = 1 + bpp * w
     val raw = inflateIdat(b)
-    if (raw.length != h * stride) return None
     val pixels = new Array[Int](w * h)
     var alphaSum = 0L
-    var y = 0
-    while (y < h) {
-      val rowOff = y * stride
-      val ft = raw(rowOff) & 0xff
-      if (ft > 4) return None
-      var i = 0
-      while (i < bpp * w) {
-        val a = if (i >= bpp) raw(rowOff + 1 + i - bpp) & 0xff else 0
-        val up = if (y > 0) raw(rowOff - stride + 1 + i) & 0xff else 0
-        val c = if (y > 0 && i >= bpp) raw(rowOff - stride + 1 + i - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => up
-          case 3 => (a + up) / 2
-          case 4 => paeth(a, up, c)
+    // unfilter `ph` scanlines of `pw` pixels starting at raw[off],
+    // in place (filters reference the previous row WITHIN the block —
+    // for Adam7 each pass is its own filter scope, spec 8.2), then
+    // scatter pixel (i, j) of the block to final coords via `place`.
+    // Returns false on a bad filter byte or palette index.
+    def decodeBlock(off: Int, pw: Int, ph: Int,
+        place: (Int, Int) => Int): Boolean = {
+      val stride = 1 + bpp * pw
+      var j = 0
+      while (j < ph) {
+        val rowOff = off + j * stride
+        val ft = raw(rowOff) & 0xff
+        if (ft > 4) return false
+        var i = 0
+        while (i < bpp * pw) {
+          val a = if (i >= bpp) raw(rowOff + 1 + i - bpp) & 0xff else 0
+          val up = if (j > 0) raw(rowOff - stride + 1 + i) & 0xff else 0
+          val c = if (j > 0 && i >= bpp) raw(rowOff - stride + 1 + i - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case 4 => paeth(a, up, c)
+          }
+          raw(rowOff + 1 + i) = (((raw(rowOff + 1 + i) & 0xff) + pred) & 0xff).toByte
+          i += 1
         }
-        raw(rowOff + 1 + i) = (((raw(rowOff + 1 + i) & 0xff) + pred) & 0xff).toByte
-        i += 1
-      }
-      var x = 0
-      while (x < w) {
-        val o = rowOff + 1 + bpp * x
-        pixels(y * w + x) = colorType match {
-          case 2 => ((raw(o) & 0xff) << 16) |
-            ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
-          case 3 =>
-            val idx = raw(o) & 0xff
-            if (idx >= palette.length) return None // index past PLTE
-            palette(idx)
-          case _ => // 6: RGBA
-            alphaSum += raw(o + 3) & 0xff
-            ((raw(o) & 0xff) << 16) |
+        var x = 0
+        while (x < pw) {
+          val o = rowOff + 1 + bpp * x
+          val px = colorType match {
+            case 2 => ((raw(o) & 0xff) << 16) |
               ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+            case 3 =>
+              val idx = raw(o) & 0xff
+              if (idx >= palette.length) return false // index past PLTE
+              palette(idx)
+            case _ => // 6: RGBA
+              alphaSum += raw(o + 3) & 0xff
+              ((raw(o) & 0xff) << 16) |
+                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+          }
+          pixels(place(x, j)) = px
+          x += 1
         }
-        x += 1
+        j += 1
       }
-      y += 1
+      true
+    }
+    if (interlace == 0) {
+      if (raw.length != h * (1 + bpp * w)) return None
+      if (!decodeBlock(0, w, h, (x, y) => y * w + x)) return None
+    } else {
+      // Adam7 (spec 8.2): seven passes, each a filter-scoped sub-image
+      // scattered onto the final grid; empty passes contribute no bytes
+      if (adam7Length(w, h, bpp) != raw.length.toLong) return None
+      var off = 0
+      for (p <- 0 until 7) {
+        val (x0, y0, dx, dy) = adam7(p)
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          if (!decodeBlock(off, pw, ph,
+            (x, j) => (y0 + j * dy) * w + (x0 + x * dx))) return None
+          off += ph * (1 + bpp * pw)
+        }
+      }
     }
     Some((PngImage(w, h, pixels), colorType, alphaSum))
   } catch { case _: Exception => None } // corrupt assets skip, never fail
+
+  /** Adam7 pass geometry (spec 8.2): (x0, y0, dx, dy) per pass. */
+  private val adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Total raw (filtered) byte length of an Adam7 stream. */
+  private def adam7Length(w: Int, h: Int, bpp: Int): Long =
+    (0 until 7).map { p =>
+      val (x0, y0, dx, dy) = adam7(p)
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) ph.toLong * (1 + bpp * pw) else 0L
+    }.sum
 
   /** Decode the IDAT scanlines of a filter-0 PNG (used by specs to prove
     * the encoder writes real, inflatable image data). */

@@ -418,6 +418,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize Adam7-INTERLACED PNG assets — the progressive-rendering
+    * form web encoders emit, which the sequential fixtures omit: even
+    * ids interlaced truecolor (type 2), odd ids interlaced RGBA
+    * (type 6), dims small enough that several assets have EMPTY late
+    * passes (the geometry corner every Adam7 decoder must get right).
+    * Same v-ramp pixels as the sequential fixtures, so the decoded
+    * sums stay id-predictable. */
+  def synthesizePngInterlacedAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizePngInterlacedAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodePngInterlaced(
+          (i % 23 + 1).toInt, (i % 11 + 1).toInt, seed = i, rgba = i % 2 == 1))
+      }
+    }(enc)
+  }
+
   /** FULL PNG decode surfacing the color TYPE and the exact alpha sum
     * ([[Codecs.decodePngFull]]) — the [[decodePngStats]] shape extended
     * to palette (PLTE lookup) and RGBA (4-byte filter offsets) forms;

@@ -137,4 +137,64 @@ object AnnServing {
     }
     spark.table(tbl)
   }
+
+  /** Streaming serving against the SHARDED index
+    * ([[graft.operators.AnnIndex.buildOrLoadSharded]]): each query
+    * micro-batch routes to its nprobe best cells
+    * ([[Similarity.ivfProbeCells]]) and beam-searches ONLY those cells'
+    * stored subgraphs ([[graft.operators.AnnIndex.shardedSearchTopK]] —
+    * partition-pruned reads) — the full 100 TB online form: coarse
+    * routing + pruned shard search per batch, nothing corpus-wide.
+    * Search is stateless per query, so the drained append table equals
+    * the batch statement regardless of micro-batching. */
+  def serveShardedTopK(
+      spark: SparkSession,
+      index: DataFrame,
+      assigned: DataFrame,
+      cents: DataFrame,
+      queriesPath: String,
+      querySchemaDDL: String,
+      queryFilter: Column,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      entriesPerCell: Int,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = EventStreams.synchronized {
+    val tbl = "ann_sharded_serve_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, EventStreams.statePartitions.toString)
+    val ckpt = EventStreams.newCheckpointDir()
+    try {
+      val stream = spark.readStream.schema(querySchemaDDL)
+        .parquet(EventStreams.sourceDir(queriesPath))
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val routed = Similarity.ivfProbeCells(
+            batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
+          graft.operators.AnnIndex.shardedSearchTopK(index, assigned,
+              routed, idCol, vecCol, entriesPerCell, beam, rounds, k)
+            .write.mode("append").saveAsTable(tbl)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
+      }
+    }
+    spark.table(tbl)
+  }
 }

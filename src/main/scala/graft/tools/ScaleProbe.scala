@@ -241,8 +241,10 @@ object ScaleProbe {
       "q290's fresh-store rationale (the base-graph build dominates any probe; q282's knob-scaled probe covers it) + the excluded streaming-store class (fixed micro-batch overhead); the per-batch work is the probed/locked delete+repair+insert shapes — keyed semi-joins and |batch|*beam searches, linear keyed volume",
     "q313_index_maintenance_report" ->
       "dominated by the same delete+repair+insert composition as q312 (fresh-store rationale); the report epilogue is three bounded aggregates + the O(hops) keyed BFS of the q292 class",
-    "q314_sharded_ann_serve" ->
-      "q290's fresh-store rationale per cell (four q282-class builds dominate any probe); serving is |queries|*beam keyed joins over partition-PRUNED shards — per-query cost is nprobe cells' subgraphs regardless of corpus width, which is the operator's scale claim and is plan-locked (PlanSpec PartitionFilters)")
+    "q314_sharded_ann_serve/q316_streaming_sharded_ann" ->
+      "q290's fresh-store rationale per cell (four q282-class builds dominate any probe); serving is |queries|*beam keyed joins over partition-PRUNED shards — per-query cost is nprobe cells' subgraphs regardless of corpus width, which is the operator's scale claim and is plan-locked (PlanSpec PartitionFilters); the streaming twin adds only the excluded fixed micro-batch overhead",
+    "q315_png_interlaced" ->
+      "per-asset inflate+unfilter in the shuffle-free mapPartitions codec class the probed q302/q307 members time directly — Adam7 reorders the same bytes into seven passes, identical per-byte work")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

@@ -127,6 +127,28 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlaced PNG decodes to the sequential image, both color types") {
+    // dims chosen so several cases have EMPTY late passes (w or h < 8)
+    for ((w, h, seed) <- Seq((23, 11, 4L), (8, 8, 9L), (7, 3, 2L), (1, 1, 5L),
+        (16, 2, 31L), (2, 16, 8L), (9, 9, 77L))) {
+      val seqImg = Codecs.decodePngFull(
+        Codecs.encodePng(w, h, seed, varyFilters = true)).get._1
+      val (lace, ct, _) = Codecs.decodePngFull(
+          Codecs.encodePngInterlaced(w, h, seed))
+        .getOrElse(fail(s"interlaced $w x $h seed=$seed did not decode"))
+      assert(ct == 2 && lace.pixels.toSeq == seqImg.pixels.toSeq,
+        s"interlaced truecolor $w x $h seed=$seed diverged from sequential")
+      val (si, _, sa) = Codecs.decodePngFull(Codecs.encodePngRgba(w, h, seed)).get
+      val (li, ct6, la) = Codecs.decodePngFull(
+        Codecs.encodePngInterlaced(w, h, seed, rgba = true)).get
+      assert(ct6 == 6 && li.pixels.toSeq == si.pixels.toSeq && la == sa,
+        s"interlaced RGBA $w x $h seed=$seed diverged from sequential")
+    }
+    val good = Codecs.encodePngInterlaced(23, 11, 3L)
+    assert(Codecs.decodePngFull(good.dropRight(20)).isEmpty,
+      "truncated interlaced stream must skip")
+  }
+
   test("PNG: palette image without PLTE, bad index, and gray types are None") {
     val pal = Codecs.encodePngPalette(5, 4, 2L)
     // strip the PLTE chunk (signature 8 + IHDR 25 .. PLTE 12+768)
