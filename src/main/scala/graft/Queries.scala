@@ -11683,7 +11683,62 @@ object Queries {
       },
       Some(s"""${shardedAnnOracleCtes(c => s"$c >= 50 AND $c < 60")}
               |SELECT q_id, n_id, d2, rank::BIGINT AS rank FROM resr
-              |ORDER BY q_id, rank""".stripMargin)))
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // COLOR Motion-JPEG frame extraction: q308's MJPEG frames were
+    // grayscale — real video is color, and AVI MJPEG is 4:2:0. Odd
+    // frames are '00dc' chunks each a complete 4:2:0 baseline JPEG
+    // (per-luma-block constant Y, per-MCU constant chroma, seed id+f),
+    // so the per-frame decode runs the FULL color path — subsampled
+    // chroma replication upsample + the JFIF YCbCr→RGB doubles — inside
+    // the movi walk, and the oracle predicts each frame's packed-RGB
+    // sum through the q296 color arithmetic. Even frames stay raw
+    // BGR24, so mixed-type ordering is under the hash too. Scale: the
+    // q305/q308 partition-preserving mapPartitions shape.
+    "q317_avi_mjpeg_color" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMjpegColorAviAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.sampleFrameStats(assets, stride = 1)
+          .orderBy(col("asset_id"), col("frame_idx"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 15 + 1)::BIGINT AS w,
+             |    (doc_id % 9 + 1)::BIGINT AS h,
+             |    (doc_id % 6 + 1)::BIGINT AS nf
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, f.f AS f
+             |  FROM p, range(0, 6) f(f) WHERE f.f < nf),
+             |rawpv AS (SELECT doc_id, w, h, f,
+             |    (doc_id + f * w * h + i.i)::BIGINT AS v
+             |  FROM fr, range(0, 135) i(i) WHERE f % 2 = 0 AND i.i < w * h),
+             |rawfs AS (SELECT doc_id, w, h, f, sum(
+             |    ((v // 65536) % 256) * 65536 + ((v // 256) % 256) * 256 +
+             |    (v % 256))::BIGINT AS frame_sum
+             |  FROM rawpv GROUP BY doc_id, w, h, f),
+             |cpx AS (SELECT doc_id, w, h, f, xs.x AS x, ys.y AS y
+             |  FROM fr, range(0, 15) xs(x), range(0, 9) ys(y)
+             |  WHERE f % 2 = 1 AND xs.x < w AND ys.y < h),
+             |ycc AS (SELECT doc_id, w, h, f,
+             |    (((doc_id + f) * 7 + (x // 8) * 13 + (y // 8) * 29) % 256)::DOUBLE AS yy,
+             |    ((((doc_id + f) * 11 + (x // 16) * 17 + (y // 16) * 23) % 256) - 128)::DOUBLE AS cb,
+             |    ((((doc_id + f) * 5 + (x // 16) * 19 + (y // 16) * 31) % 256) - 128)::DOUBLE AS cr
+             |  FROM cpx),
+             |rgb AS (SELECT doc_id, w, h, f,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.402::DOUBLE * cr + 0.5)))::BIGINT AS r,
+             |    least(255, greatest(0,
+             |      floor(yy - 0.344136::DOUBLE * cb - 0.714136::DOUBLE * cr + 0.5)))::BIGINT AS g,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.772::DOUBLE * cb + 0.5)))::BIGINT AS bl
+             |  FROM ycc),
+             |jfs AS (SELECT doc_id, w, h, f,
+             |    sum(65536 * r + 256 * g + bl)::BIGINT AS frame_sum
+             |  FROM rgb GROUP BY doc_id, w, h, f),
+             |fs AS (SELECT * FROM rawfs UNION ALL SELECT * FROM jfs)
+             |SELECT doc_id AS asset_id, f AS frame_idx, w AS width,
+             |  h AS height, frame_sum
+             |FROM fs
+             |ORDER BY asset_id, frame_idx""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -906,7 +906,8 @@ object Codecs {
     * Chunks keep RIFF 2-byte alignment (JPEG streams can be odd-length). */
   def encodeAviMjpegFrames(
       width: Int, height: Int, nFrames: Int, seed: Long,
-      microSecPerFrame: Int = 33333): Array[Byte] = {
+      microSecPerFrame: Int = 33333,
+      color: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0)
     val frameSize = width * height * 3
     val chunks: IndexedSeq[(String, Array[Byte])] = (0 until nFrames).map { f =>
@@ -921,7 +922,12 @@ object Codecs {
           p += 1
         }
         ("00db", raw)
-      } else ("00dc", Jpeg.encodeJpegGray(width, height, seed = seed + f))
+      } else if (color) // COLOR MJPEG: 4:2:0 per frame, seed id+f
+        ("00dc", Jpeg.encodeJpeg420(width, height,
+          (bx, by) => Jpeg.blockValue(seed + f, bx, by),
+          (mx, my) => Jpeg.chromaCb(seed + f, mx, my),
+          (mx, my) => Jpeg.chromaCr(seed + f, mx, my)))
+      else ("00dc", Jpeg.encodeJpegGray(width, height, seed = seed + f))
     }
     val moviData = 4 + chunks.map(c => 8 + c._2.length + (c._2.length & 1)).sum
     val total = 88 + 8 + moviData
@@ -1012,14 +1018,19 @@ object Codecs {
         if (len != frameSize) return None // not raw BGR24: skip the asset
         sums += rawSum()
       } else if (id == "00dc") {
-        if (len == frameSize) sums += rawSum()
-        else Jpeg.decodeJpeg(java.util.Arrays.copyOfRange(b, c + 8, c + 8 + len)) match {
+        // 'dc' means COMPRESSED by the VFW convention — try JPEG first
+        // (a length test would misread JPEG streams that happen to be
+        // exactly w·h·3 bytes); raw-size chunks that don't decode are
+        // treated as mislabeled DIBs, anything else skips the frame
+        Jpeg.decodeJpeg(java.util.Arrays.copyOfRange(b, c + 8, c + 8 + len)) match {
           case Some(img) if img.width == w && img.height == h =>
             var s = 0L
             var p = 0
             while (p < img.pixels.length) { s += img.pixels(p); p += 1 }
             sums += s
-          case _ => () // undecodable compressed frame: skip it, not the asset
+          case _ =>
+            if (len == frameSize) sums += rawSum()
+            // else: undecodable compressed frame — skip it, not the asset
         }
       }
       c += 8 + len + (len & 1)

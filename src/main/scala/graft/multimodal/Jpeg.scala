@@ -273,18 +273,21 @@ object Jpeg {
 
   /** Grayscale PROGRESSIVE (SOF2) DC-only encode — see
     * [[encodeJpegProgressive]]. */
-  def encodeJpegProgressiveGray(width: Int, height: Int, seed: Long): Array[Byte] =
+  def encodeJpegProgressiveGray(width: Int, height: Int, seed: Long,
+      restartInterval: Int = 0): Array[Byte] =
     encodeJpegProgressive(width, height,
-      Seq((bx: Int, by: Int) => blockValue(seed, bx, by)), Seq((1, 1)))
+      Seq((bx: Int, by: Int) => blockValue(seed, bx, by)), Seq((1, 1)),
+      restartInterval)
 
   /** 4:2:0 color PROGRESSIVE (SOF2) DC-only encode — the dominant
     * real-world JPEG shape (progressive + subsampled); per-8×8-luma-block
     * constant Y, per-MCU constant chroma, as [[encodeJpeg420]]. */
   def encodeJpegProgressive420(
       width: Int, height: Int,
-      yF: (Int, Int) => Int, cbF: (Int, Int) => Int, crF: (Int, Int) => Int): Array[Byte] =
+      yF: (Int, Int) => Int, cbF: (Int, Int) => Int, crF: (Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] =
     encodeJpegProgressive(width, height, Seq(yF, cbF, crF),
-      Seq((2, 2), (1, 1), (1, 1)))
+      Seq((2, 2), (1, 1), (1, 1)), restartInterval)
 
   /** PROGRESSIVE (SOF2) DC-only encode with spectral selection AND
     * successive approximation — the scan script most web encoders emit,
@@ -310,10 +313,12 @@ object Jpeg {
   def encodeJpegProgressive(
       width: Int, height: Int,
       comps: Seq[(Int, Int) => Int],
-      sampling: Seq[(Int, Int)]): Array[Byte] = {
+      sampling: Seq[(Int, Int)],
+      restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && (comps.size == 1 || comps.size == 3))
     require(sampling.size == comps.size &&
       sampling.forall { case (h, v) => h >= 1 && h <= 4 && v >= 1 && v <= 4 })
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
     val nc = comps.size
     val out = new java.io.ByteArrayOutputStream()
     def m(b: Int*): Unit = b.foreach(v => out.write(v & 0xff))
@@ -332,6 +337,8 @@ object Jpeg {
     dcBits.foreach(out.write); dcVals.foreach(out.write)
     m(0xff, 0xc4, 0x00, 19 + acValsProg.length, 0x10)
     acBitsProg.foreach(out.write); acValsProg.foreach(out.write)
+    if (restartInterval > 0) // DRI (B.2.4.4) — applies to EVERY scan
+      m(0xff, 0xdd, 0x00, 0x04, (restartInterval >> 8) & 0xff, restartInterval & 0xff)
     val dcTab = buildEncodeTable(dcBits, dcVals)
     val acTab = buildEncodeTable(acBitsProg, acValsProg)
     val hMax = sampling.map(_._1).max
@@ -357,27 +364,44 @@ object Jpeg {
         bw.put(diff, s)
       }
     }
-    // scan 1: DC first, interleaved, Al=1
+    // scan 1: DC first, interleaved, Al=1 (RSTn every restartInterval
+    // MCUs: byte-align, marker, reset DC predictors — E.2.4)
     sosHeader(0 until nc, 0, 0, 0, 1)
     locally {
       val bw = new BitWriter
       val prev = new Array[Int](nc)
-      for (my <- 0 until mcusY; mx <- 0 until mcusX;
-           c <- 0 until nc; v <- 0 until sampling(c)._2; h <- 0 until sampling(c)._1) {
-        val pt = dcQ(c)(mx * sampling(c)._1 + h, my * sampling(c)._2 + v) >> 1
-        writeDiff(bw, pt - prev(c))
-        prev(c) = pt
+      var mcu = 0
+      var rst = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.putMarker(0xd0 + (rst % 8)); rst += 1
+          java.util.Arrays.fill(prev, 0)
+        }
+        mcu += 1
+        for (c <- 0 until nc; v <- 0 until sampling(c)._2; h <- 0 until sampling(c)._1) {
+          val pt = dcQ(c)(mx * sampling(c)._1 + h, my * sampling(c)._2 + v) >> 1
+          writeDiff(bw, pt - prev(c))
+          prev(c) = pt
+        }
       }
       bw.flushOnes()
       out.write(bw.toBytes, 0, bw.toBytes.length)
     }
-    // scan 2: DC refinement, Ah=1 → Al=0: one appended bit per block
+    // scan 2: DC refinement, Ah=1 -> Al=0: one appended bit per block
+    // (restart markers still punctuate the scan; nothing to reset)
     sosHeader(0 until nc, 0, 0, 1, 0)
     locally {
       val bw = new BitWriter
-      for (my <- 0 until mcusY; mx <- 0 until mcusX;
-           c <- 0 until nc; v <- 0 until sampling(c)._2; h <- 0 until sampling(c)._1)
-        bw.put(dcQ(c)(mx * sampling(c)._1 + h, my * sampling(c)._2 + v) & 1, 1)
+      var mcu = 0
+      var rst = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.putMarker(0xd0 + (rst % 8)); rst += 1
+        }
+        mcu += 1
+        for (c <- 0 until nc; v <- 0 until sampling(c)._2; h <- 0 until sampling(c)._1)
+          bw.put(dcQ(c)(mx * sampling(c)._1 + h, my * sampling(c)._2 + v) & 1, 1)
+      }
       bw.flushOnes()
       out.write(bw.toBytes, 0, bw.toBytes.length)
     }
@@ -395,7 +419,11 @@ object Jpeg {
         n -= l
       }
     }
-    // scans 3..: per component, AC first (Al=1) then AC refine (Ah=1)
+    // scans 3..: per component, AC first (Al=1) then AC refine (Ah=1).
+    // In a non-interleaved scan the MCU is ONE block, so RSTn falls
+    // every restartInterval blocks — and an EOBn run may never span a
+    // restart boundary (E.2.4 resets the EOB run), so runs are emitted
+    // per restart segment.
     for (pass <- 0 to 1; c <- 0 until nc) {
       val cw = (width * sampling(c)._1 + hMax - 1) / hMax
       val ch = (height * sampling(c)._2 + vMax - 1) / vMax
@@ -403,7 +431,17 @@ object Jpeg {
       if (pass == 0) sosHeader(Seq(c), 1, 63, 0, 1)
       else sosHeader(Seq(c), 1, 63, 1, 0)
       val bw = new BitWriter
-      writeEobRuns(bw, nBlocks)
+      if (restartInterval <= 0) writeEobRuns(bw, nBlocks)
+      else {
+        var done = 0
+        var rst = 0
+        while (done < nBlocks) {
+          if (done > 0) { bw.putMarker(0xd0 + (rst % 8)); rst += 1 }
+          val seg = math.min(restartInterval, nBlocks - done)
+          writeEobRuns(bw, seg)
+          done += seg
+        }
+      }
       bw.flushOnes()
       out.write(bw.toBytes, 0, bw.toBytes.length)
     }

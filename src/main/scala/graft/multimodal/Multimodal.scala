@@ -332,12 +332,19 @@ object Multimodal {
         val i = r.getLong(0)
         require(i >= 0, s"synthesizeJpegProgressiveAssets needs non-negative ids, got $i")
         val (w, h) = ((i % 31 + 1).toInt, (i % 17 + 1).toInt)
+        // every third asset carries a DRI/RSTn restart interval — the
+        // decoded image is identical by spec (E.2.4), so progressive
+        // restart handling (DC predictor AND EOB-run resets in every
+        // scan kind) sits under the same hash gate for free
+        val ri = if (i % 3 == 0) 2 else 0
         val bytes =
-          if (i % 2 == 0) Jpeg.encodeJpegProgressiveGray(w, h, seed = i)
+          if (i % 2 == 0) Jpeg.encodeJpegProgressiveGray(w, h, seed = i,
+            restartInterval = ri)
           else Jpeg.encodeJpegProgressive420(w, h,
             (bx, by) => Jpeg.blockValue(i, bx, by),
             (mx, my) => Jpeg.chromaCb(i, mx, my),
-            (mx, my) => Jpeg.chromaCr(i, mx, my))
+            (mx, my) => Jpeg.chromaCr(i, mx, my),
+            restartInterval = ri)
         Row(i, bytes)
       }
     }(enc)
@@ -616,6 +623,28 @@ object Multimodal {
         Row(i, Codecs.encodeAviMjpegFrames(
           (i % 15 + 1).toInt, (i % 9 + 1).toInt,
           nFrames = (i % 6 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** [[synthesizeMjpegAviAssets]] with COLOR Motion-JPEG frames: odd
+    * frames are '00dc' chunks each a complete 4:2:0 baseline JPEG
+    * (per-luma-block constant Y, per-MCU constant chroma at seed
+    * id + f) — the actually-dominant compressed-video payload shape,
+    * whose decoded RGB frame sums stay id-predictable through the
+    * q296 color arithmetic. */
+  def synthesizeMjpegColorAviAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMjpegColorAviAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeAviMjpegFrames(
+          (i % 15 + 1).toInt, (i % 9 + 1).toInt,
+          nFrames = (i % 6 + 1).toInt, seed = i, color = true))
       }
     }(enc)
   }

@@ -231,7 +231,7 @@ object ScaleProbe {
       "per-asset payload loops in the shuffle-free mapPartitions class the probed q286/q296/q302/q305 codec entries time directly — growth tracks rows by construction, and these are strictly simpler per-asset work than the probed members",
     "q301_ann_index_repair" ->
       "q290's fresh-store rationale; the repair is one degree aggregate + a |queue|*beam search over the degraded keyed closure + one per-node window — the q291 insert shape with the queue as the batch, linear keyed volume by construction",
-    "q308_avi_mjpeg_frames/q309_png_palette_rgba" ->
+    "q308_avi_mjpeg_frames/q317_avi_mjpeg_color/q309_png_palette_rgba" ->
       "per-asset payload loops in the shuffle-free mapPartitions codec class the probed q286/q296/q302/q305/q307 members time directly — the MJPEG walk is q305's chunk walk plus the probed JPEG decode per frame, and the palette/RGBA unfilter is q302's loop at a different bpp",
     "q310_wav_resample_fir" ->
       "per-asset 7-tap integer convolution in the q303/q306 excluded class — strictly less work per byte than the probed codec members' entropy decode",

@@ -432,6 +432,45 @@ class Round13Spec extends AnyFunSuite {
     assert(Codecs.sniff(Codecs.encodeAvi(2, 2, 1)).contains("avi"))
   }
 
+  test("progressive restart intervals decode to the identical image (every scan kind)") {
+    // DRI applies to EVERY scan of a progressive stream: DC-first resets
+    // predictors, DC-refine just re-aligns, AC scans reset the EOB run —
+    // the decoded image must be bit-identical to the restart-free stream
+    for ((w, h, seed, ri) <- Seq((17, 9, 3L, 2), (31, 17, 8L, 1), (24, 16, 5L, 3))) {
+      val plain = Jpeg.decodeJpeg(Jpeg.encodeJpegProgressiveGray(w, h, seed)).get
+      val rst = Jpeg.decodeJpeg(
+          Jpeg.encodeJpegProgressiveGray(w, h, seed, restartInterval = ri))
+        .getOrElse(fail(s"progressive+DRI gray $w x $h ri=$ri did not decode"))
+      assert(rst.pixels.toSeq == plain.pixels.toSeq, s"gray ri=$ri diverged")
+      val plain420 = Jpeg.decodeJpeg(Jpeg.encodeJpegProgressive420(w, h,
+        (bx, by) => Jpeg.blockValue(seed, bx, by),
+        (mx, my) => Jpeg.chromaCb(seed, mx, my),
+        (mx, my) => Jpeg.chromaCr(seed, mx, my))).get
+      val rst420 = Jpeg.decodeJpeg(Jpeg.encodeJpegProgressive420(w, h,
+          (bx, by) => Jpeg.blockValue(seed, bx, by),
+          (mx, my) => Jpeg.chromaCb(seed, mx, my),
+          (mx, my) => Jpeg.chromaCr(seed, mx, my), restartInterval = ri))
+        .getOrElse(fail(s"progressive+DRI 420 $w x $h ri=$ri did not decode"))
+      assert(rst420.pixels.toSeq == plain420.pixels.toSeq, s"420 ri=$ri diverged")
+    }
+  }
+
+  test("color MJPEG frames decode through the full 4:2:0 path in the movi walk") {
+    val (w, h, nf, seed) = (15, 9, 4, 7L)
+    val bytes = Codecs.encodeAviMjpegFrames(w, h, nf, seed, color = true)
+    val (info, sums) = Codecs.decodeAviFrames(bytes)
+      .getOrElse(fail("color mixed frame decode None"))
+    assert((info.width, info.height) == ((w, h)) && sums.length == nf)
+    for (f <- 1 until nf by 2) {
+      val want = Jpeg.decodeJpeg(Jpeg.encodeJpeg420(w, h,
+        (bx, by) => Jpeg.blockValue(seed + f, bx, by),
+        (mx, my) => Jpeg.chromaCb(seed + f, mx, my),
+        (mx, my) => Jpeg.chromaCr(seed + f, mx, my))).get
+        .pixels.map(_.toLong).sum
+      assert(sums(f) == want, s"color frame $f: ${sums(f)} != $want")
+    }
+  }
+
   test("truncated / corrupt progressive streams return None, baseline unaffected") {
     val good = Jpeg.encodeJpegProgressiveGray(17, 9, 3L)
     assert(Jpeg.decodeJpeg(good.take(good.length / 2)).isEmpty)
