@@ -47,15 +47,13 @@ object Packing {
       // ids past 2^53 across bucket boundaries
       .withColumn("_bucket", expr(s"CAST(`$idCol` AS BIGINT) div ${bucketSpan}L"))
       .withColumn("_local_off", coalesce(sum(n).over(inBucket), lit(0L)))
-    // bucket totals: one row per bucket — the single-partition window
-    // below runs over ~(max id / span) rows, never over the data
-    val overBuckets = Window.orderBy(col("_bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = local
-      .groupBy(col("_bucket"))
-      .agg(sum(n).as("_total"))
-      .withColumn("_base", coalesce(sum(col("_total")).over(overBuckets), lit(0L)))
-      .select(col("_bucket"), col("_base"))
+    // bucket totals: one row per bucket; the cumulative bases come from
+    // [[Ranks.cumulativeBases]]'s broadcast triangular join — bucket
+    // totals are ~(max id / span) rows, and with the join there is no
+    // single-partition WindowExec anywhere in the plan
+    val bases = Ranks.cumulativeBases(
+      local.groupBy(col("_bucket")).agg(sum(n).as("_total")),
+      "_bucket", "_total", "_base")
     local
       .join(broadcast(bases), "_bucket")
       .withColumn("start_offset", col("_base") + col("_local_off"))
@@ -102,13 +100,9 @@ object Packing {
           raise_error(lit(s"idStride $idStride exceeded — raise it")).cast("long"))
           .otherwise(col(levelCol).cast("long") * lit(idStride) + idBucket))
       .withColumn("_local_off", coalesce(sum(n).over(inBucket), lit(0L)))
-    val overBuckets = Window.orderBy(col("_bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = local
-      .groupBy(col("_bucket"))
-      .agg(sum(n).as("_total"))
-      .withColumn("_base", coalesce(sum(col("_total")).over(overBuckets), lit(0L)))
-      .select(col("_bucket"), col("_base"))
+    val bases = Ranks.cumulativeBases(
+      local.groupBy(col("_bucket")).agg(sum(n).as("_total")),
+      "_bucket", "_total", "_base")
     local
       .join(broadcast(bases), "_bucket")
       .withColumn("start_offset", col("_base") + col("_local_off"))

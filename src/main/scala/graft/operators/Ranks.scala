@@ -22,17 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** EXCLUSIVE cumulative base per bucket over an arbitrary
+    * (bucket, total) table: for each bucket, the summed total of all
+    * STRICTLY SMALLER buckets — the broadcast triangular join that
+    * replaces `sum(total) over (order by bucket rows between unbounded
+    * preceding and -1)` with no WindowExec at all. `totals` must be one
+    * row per bucket. */
+  def cumulativeBases(
+      totals: DataFrame,
+      bucketCol: String,
+      totalCol: String,
+      out: String): DataFrame =
+    totals.select(col(bucketCol))
+      .join(
+        broadcast(totals.select(
+          col(bucketCol).as("_rk_b2"), col(totalCol).as("_rk_n2"))),
+        col("_rk_b2") < col(bucketCol), "left")
+      .groupBy(col(bucketCol))
+      .agg(coalesce(sum(col("_rk_n2")), lit(0L)).as(out))
+
   /** Cumulative base offset per bucket: for each bucket, the total
     * weight of all STRICTLY SMALLER buckets. `totals` must be one row
     * per bucket with columns (_rk_bucket, _rk_n). */
   private def bucketBases(totals: DataFrame): DataFrame =
-    totals.select(col("_rk_bucket"))
-      .join(
-        broadcast(totals.select(
-          col("_rk_bucket").as("_rk_b2"), col("_rk_n").as("_rk_n2"))),
-        col("_rk_b2") < col("_rk_bucket"), "left")
-      .groupBy(col("_rk_bucket"))
-      .agg(coalesce(sum(col("_rk_n2")), lit(0L)).as("_rk_base"))
+    cumulativeBases(totals, "_rk_bucket", "_rk_n", "_rk_base")
 
   /** Exact global `row_number() over (order by orderCols)` as column
     * `out`. `bucket` must coarsen the order: rows in a smaller bucket

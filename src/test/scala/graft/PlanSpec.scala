@@ -102,13 +102,18 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // the per-bucket base offsets join back as a broadcast (tiny side)
     assert(p.contains("BroadcastHashJoin"), s"bases not broadcast:\n$p")
-    // the only empty-partition-spec window runs over bucket TOTALS (sum
-    // of _total), never over the data rows — the data window is
-    // partitioned by _bucket
-    val globalWindows = p.split("\n").filter(w =>
-      w.contains("Window [") && !w.contains("windowspecdefinition(_bucket"))
-    assert(globalWindows.forall(_.contains("_total")),
-      s"a global window touches data rows:\n${globalWindows.mkString("\n")}")
+    // since the Ranks.cumulativeBases rewrite there is NO global window
+    // at all — the bucket-total cumsum is a broadcast triangular join,
+    // and the only windows left are partitioned by _bucket
+    val globalWindows = p.split("\n")
+      .filter(_.contains("windowspecdefinition(")).filter { l =>
+        val arg = l.substring(
+          l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+        val first = arg.takeWhile(_ != ',')
+        first.contains(" ASC") || first.contains(" DESC")
+      }
+    assert(globalWindows.isEmpty,
+      s"a single-partition window remains:\n${globalWindows.mkString("\n")}")
   }
 
   test("media decode is partition-preserving (no exchange)") {
