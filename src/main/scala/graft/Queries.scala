@@ -11738,7 +11738,81 @@ object Queries {
              |SELECT doc_id AS asset_id, f AS frame_idx, w AS width,
              |  h AS height, frame_sum
              |FROM fs
-             |ORDER BY asset_id, frame_idx""".stripMargin)))
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // GRAYSCALE PNG decode (color types 0 and 4): the photographic and
+    // scan forms the color fixtures omit — q302/q309/q315 covered
+    // truecolor, palette, RGBA. Even ids type 0 (1 byte/pixel — the
+    // filter offsets at bpp 1 without a PLTE), odd ids type 4
+    // (gray+alpha, bpp 2), both under the five-filter cycling; gray
+    // replicates into the packed channels (sum = 65793·g) and type 4's
+    // exact alpha sum is pinned. Scale: the q302 shape.
+    "q318_png_grayscale" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizePngGrayAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodePngFullStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 19 + 1)::BIGINT AS w,
+             |    (doc_id % 7 + 1)::BIGINT AS h FROM documents),
+             |pv AS (SELECT doc_id, (doc_id + ys.y * w + xs.x)::BIGINT AS v
+             |  FROM dims, range(0, 19) xs(x), range(0, 7) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |ps AS (SELECT doc_id,
+             |    sum(65793 * (v % 256))::BIGINT AS pixel_sum,
+             |    CASE WHEN doc_id % 2 = 1
+             |      THEN sum((v * 13 + 7) % 256)::BIGINT
+             |      ELSE NULL END AS alpha_sum
+             |  FROM pv GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'png' AS codec, d.w AS width,
+             |  d.h AS height,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 0 ELSE 4 END::BIGINT
+             |    AS color_type,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END::BIGINT
+             |    AS n_components,
+             |  ps.pixel_sum, ps.alpha_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // 4:2:2 baseline JPEG decode: the remaining common subsampled
+    // layout — q296 oracle-gated 4:2:0 (two-axis chroma replication),
+    // this gates the HORIZONTAL-only case (luma 2×1, one chroma block
+    // per 16×8 MCU, indices (x/16, y/8)) through the identical color
+    // conversion. A wrong sampling-factor parse or upsample axis fails
+    // the hash. Scale: the q286 mapPartitions shape.
+    "q319_jpeg_422_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeJpeg422Assets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeJpegStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 31 + 1)::BIGINT AS w,
+             |    (doc_id % 17 + 1)::BIGINT AS h FROM documents),
+             |px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+             |  FROM dims, range(0, 31) xs(x), range(0, 17) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |ycc AS (SELECT doc_id,
+             |    ((doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256)::DOUBLE AS yy,
+             |    (((doc_id * 11 + (x // 16) * 17 + (y // 8) * 23) % 256) - 128)::DOUBLE AS cb,
+             |    (((doc_id * 5 + (x // 16) * 19 + (y // 8) * 31) % 256) - 128)::DOUBLE AS cr
+             |  FROM px),
+             |rgb AS (SELECT doc_id,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.402::DOUBLE * cr + 0.5)))::BIGINT AS r,
+             |    least(255, greatest(0,
+             |      floor(yy - 0.344136::DOUBLE * cb - 0.714136::DOUBLE * cr + 0.5)))::BIGINT AS g,
+             |    least(255, greatest(0,
+             |      floor(yy + 1.772::DOUBLE * cb + 0.5)))::BIGINT AS bl
+             |  FROM ycc),
+             |ps AS (SELECT doc_id,
+             |    sum(65536 * r + 256 * g + bl)::BIGINT AS pixel_sum
+             |  FROM rgb GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'jpeg' AS codec, d.w AS width,
+             |  d.h AS height, 3::BIGINT AS n_components, ps.pixel_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -401,6 +401,41 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Encode an 8-bit GRAYSCALE PNG (color type 0, or 4 with an alpha
+    * channel): gray byte v mod 256 from the same v-ramp, alpha
+    * (v·13+7) mod 256 when present, filters cycling at bpp 1 (or 2). */
+  def encodePngGray(
+      width: Int, height: Int, seed: Long, alpha: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && seed >= 0)
+    val bpp = if (alpha) 2 else 1
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, width.toLong)
+    putU32be(ihdr, 4, height.toLong)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = if (alpha) 4 else 0
+    val stride = 1 + bpp * width
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed + y.toLong * width + x
+        val o = y * stride + 1 + bpp * x
+        raw(o) = (v % 256).toByte
+        if (alpha) raw(o + 1) = ((v * 13 + 7) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    forwardFilter(raw, width, height, bpp, seed)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSignature)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", deflateRaw(raw)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
   /** Parse a PNG: signature + IHDR width/height/bit depth. */
   def parsePng(b: Array[Byte]): Option[ImageInfo] =
     if (b.length < 33 || !pngSignature.indices.forall(i => b(i) == pngSignature(i)))
@@ -477,11 +512,14 @@ object Codecs {
     if ((b(24) & 0xff) != 8 ||
       (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 || interlace > 1)
       return None
-    // filter offsets work on BYTES-per-pixel: 3 (RGB), 1 (palette index),
-    // 4 (RGBA) — the spec's bpp, floor(1) for sub-byte depths (not here)
+    // filter offsets work on BYTES-per-pixel: 1 (gray / palette index),
+    // 2 (gray+alpha), 3 (RGB), 4 (RGBA) — the spec's bpp, floor(1) for
+    // sub-byte depths (not here)
     val bpp = colorType match {
+      case 0 => 1
       case 2 => 3
       case 3 => 1
+      case 4 => 2
       case 6 => 4
       case _ => return None
     }
@@ -543,12 +581,19 @@ object Codecs {
         while (x < pw) {
           val o = rowOff + 1 + bpp * x
           val px = colorType match {
+            case 0 => // grayscale: replicate into the packed channels
+              val g2 = raw(o) & 0xff
+              (g2 << 16) | (g2 << 8) | g2
             case 2 => ((raw(o) & 0xff) << 16) |
               ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
             case 3 =>
               val idx = raw(o) & 0xff
               if (idx >= palette.length) return false // index past PLTE
               palette(idx)
+            case 4 => // grayscale + alpha
+              alphaSum += raw(o + 1) & 0xff
+              val g2 = raw(o) & 0xff
+              (g2 << 16) | (g2 << 8) | g2
             case _ => // 6: RGBA
               alphaSum += raw(o + 3) & 0xff
               ((raw(o) & 0xff) << 16) |

@@ -350,6 +350,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize 4:2:2 color baseline-JPEG assets — the other common
+    * subsampled layout ([[Jpeg.encodeJpeg422]]: luma 2×1, one chroma
+    * block per 16×8 MCU): per-8×8-luma-block constant Y, per-MCU
+    * constant chroma at indices (x/16, y/8), so the horizontal-only
+    * replication upsample sits under its own oracle (q296 covered
+    * 4:2:0's two-axis case). */
+  def synthesizeJpeg422Assets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeJpeg422Assets needs non-negative ids, got $i")
+        Row(i, Jpeg.encodeJpeg422(
+          (i % 31 + 1).toInt, (i % 17 + 1).toInt,
+          (bx, by) => Jpeg.blockValue(i, bx, by),
+          (mx, my) => Jpeg.chromaCb(i, mx, my),
+          (mx, my) => Jpeg.chromaCr(i, mx, my)))
+      }
+    }(enc)
+  }
+
   /** Synthesize filter-cycling PNG assets from an id column: id-derived
     * dims, the deterministic v = id + y·w + x RGB ramp, and scanline
     * filter (id + y) mod 5 per row — every one of PNG's five filters
@@ -471,11 +495,36 @@ object Multimodal {
             var s = 0L
             var i = 0
             while (i < img.pixels.length) { s += img.pixels(i); i += 1 }
+            val nComp = colorType match {
+              case 0 => 1L // grayscale
+              case 4 => 2L // grayscale + alpha
+              case 6 => 4L // RGBA
+              case _ => 3L // truecolor / palette (expands to RGB)
+            }
             Row(id, "png", img.width.toLong, img.height.toLong,
-              colorType.toLong, if (colorType == 6) 4L else 3L, s,
-              if (colorType == 6) alphaSum else null)
+              colorType.toLong, nComp, s,
+              if (colorType == 4 || colorType == 6) alphaSum else null)
           case None => Row(id, null, null, null, null, null, null, null)
         }
+      }
+    }(enc)
+  }
+
+  /** Synthesize GRAYSCALE PNG assets — color types 0 (even ids) and 4
+    * (gray+alpha, odd ids): the photographic/scan forms the color
+    * fixtures omit. Gray byte v mod 256 from the same v-ramp, alpha
+    * (v·13+7) mod 256, five-filter cycling at bpp 1 and 2. */
+  def synthesizePngGrayAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizePngGrayAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodePngGray(
+          (i % 19 + 1).toInt, (i % 7 + 1).toInt, seed = i, alpha = i % 2 == 1))
       }
     }(enc)
   }

@@ -66,7 +66,17 @@ object IndexCdc {
   }
 
   /** Drain a CDC stream (`op` STRING ∈ upsert|delete, `idCol`,
-    * `vecCol`) into the store. */
+    * `vecCol`) into the store.
+    *
+    * `rebuildFraction` guards [[AnnIndex.insertBatch]]'s deliberate
+    * batch-blindness (new vectors link only to EXISTING nodes — the
+    * standard bulk-insert approximation, recall-gated at ~10% batches):
+    * for a batch of upserts larger than this fraction of the surviving
+    * corpus the approximation stops being one (a big batch's vectors
+    * are mostly each other's true neighbors, and none of those edges
+    * can exist), so the merge REBUILDS the graph over survivors ∪ batch
+    * instead — the fold-into-the-next-rebuild policy made explicit and
+    * automatic, spec-locked equal to a fresh build. */
   def start(
       cdc: DataFrame,
       storeDir: String,
@@ -77,12 +87,16 @@ object IndexCdc {
       entryIds: Seq[Long],
       beam: Int,
       searchRounds: Int,
-      repairThreshold: Long): org.apache.spark.sql.streaming.StreamingQuery =
+      repairThreshold: Long,
+      rebuildFraction: Double = 0.25,
+      rebuildRounds: Int = 4,
+      rebuildBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeCdcBatch(batch, batchId, storeDir, idCol, vecCol,
-          k, entryIds, beam, searchRounds, repairThreshold)
+          k, entryIds, beam, searchRounds, repairThreshold,
+          rebuildFraction, rebuildRounds, rebuildBuckets)
       }
       .start()
 
@@ -96,7 +110,10 @@ object IndexCdc {
       entryIds: Seq[Long],
       beam: Int,
       searchRounds: Int,
-      repairThreshold: Long): Unit = {
+      repairThreshold: Long,
+      rebuildFraction: Double = 0.25,
+      rebuildRounds: Int = 4,
+      rebuildBuckets: Int = 16): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val (fs, current) = DocStreams.recoverStore(spark, storeDir)
@@ -111,20 +128,30 @@ object IndexCdc {
     val removed = dels.unionByName(ups.select(col(idCol))).distinct()
     val remaining = vecs.join(removed, Seq(idCol), "left_anti").localCheckpoint()
     val nRemoved = vecs.count() - remaining.count()
+    val nUpserts = ups.count()
+    val nRemaining = remaining.count()
     var g = AnnIndex.survivingEdges(graph, remaining, idCol)
-    if (nRemoved > 0) {
-      val queueDepth = remaining.select(col(idCol).as("id"))
-        .join(g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n")),
-          Seq("id"), "left")
-        .filter(coalesce(col("n"), lit(0L)) < k).count()
-      if (queueDepth >= repairThreshold)
-        g = AnnIndex.repairGraph(g, remaining, idCol, vecCol,
+    if (nUpserts > 0 && nUpserts.toDouble > rebuildFraction * math.max(nRemaining, 1L)) {
+      // batch too large for the insert approximation (its vectors are
+      // mostly each other's true neighbors and insertBatch can never
+      // link new→new): rebuild over survivors ∪ batch
+      g = graft.operators.Similarity.nnDescent(
+        remaining.unionByName(ups), idCol, vecCol,
+        k, rebuildRounds, rebuildBuckets)
+    } else {
+      if (nRemoved > 0) {
+        val queueDepth = remaining.select(col(idCol).as("id"))
+          .join(g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n")),
+            Seq("id"), "left")
+          .filter(coalesce(col("n"), lit(0L)) < k).count()
+        if (queueDepth >= repairThreshold)
+          g = AnnIndex.repairGraph(g, remaining, idCol, vecCol,
+            k, entryIds, beam, searchRounds)
+      }
+      if (nUpserts > 0)
+        g = AnnIndex.insertBatch(g, remaining, ups, idCol, vecCol,
           k, entryIds, beam, searchRounds)
     }
-    val hasUpserts = !ups.isEmpty
-    if (hasUpserts)
-      g = AnnIndex.insertBatch(g, remaining, ups, idCol, vecCol,
-        k, entryIds, beam, searchRounds)
     // canonical stored shape: rank = position in the node's list (kept
     // lists have gaps after a delete-only batch; re-rank is one keyed
     // window over the k·n edge table)

@@ -149,7 +149,7 @@ class Round13Spec extends AnyFunSuite {
       "truncated interlaced stream must skip")
   }
 
-  test("PNG: palette image without PLTE, bad index, and gray types are None") {
+  test("PNG: palette image without PLTE and truncation are None") {
     val pal = Codecs.encodePngPalette(5, 4, 2L)
     // strip the PLTE chunk (signature 8 + IHDR 25 .. PLTE 12+768)
     val noPlte = pal.take(33) ++ pal.drop(33 + 12 + 768)
@@ -157,6 +157,27 @@ class Round13Spec extends AnyFunSuite {
     // type-2 streams keep decoding through the generalized path
     val rgb = Codecs.encodePng(5, 4, 2L, varyFilters = true)
     assert(Codecs.decodePngFull(rgb).exists(_._2 == 2))
+  }
+
+  test("PNG grayscale (types 0 and 4): bpp-1/2 filters + exact alpha sum") {
+    for ((w, h, seed) <- Seq((19, 7, 0L), (1, 1, 3L), (9, 6, 44L))) {
+      val (g0, ct0, a0) = Codecs.decodePngFull(Codecs.encodePngGray(w, h, seed))
+        .getOrElse(fail(s"gray $w x $h seed=$seed did not decode"))
+      assert(ct0 == 0 && a0 == 0L)
+      var wantAlpha = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = seed + y.toLong * w + x
+        wantAlpha += (v * 13 + 7) % 256
+        val g = (v % 256).toInt
+        assert(g0.pixels(y * w + x) == ((g << 16) | (g << 8) | g),
+          s"gray pixel ($x,$y) seed=$seed")
+      }
+      val (g4, ct4, a4) = Codecs.decodePngFull(
+        Codecs.encodePngGray(w, h, seed, alpha = true)).get
+      assert(ct4 == 4 && a4 == wantAlpha)
+      assert(g4.pixels.toSeq == g0.pixels.toSeq,
+        "gray+alpha pixels must equal the alpha-less ramp")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -282,6 +303,39 @@ class Round13Spec extends AnyFunSuite {
     val replayed = merge(storeB)
     assert(replayed == first,
       "replay against the recovered pre-batch store diverged")
+  }
+
+  test("IndexCdc: a batch past the rebuild fraction triggers a FULL rebuild") {
+    // insertBatch is deliberately batch-blind (new vectors link only to
+    // existing nodes) — fine at ~10% batches, wrong for bulk loads whose
+    // vectors are mostly each other's true neighbors. Past the fraction
+    // the merge must rebuild over survivors ∪ batch instead.
+    val spark = TestSpark.spark
+    val all = randomVecs(80, 6, seed = 71).localCheckpoint()
+    val base = all.filter(col("vec_id") < 40)
+    val big = all.filter(col("vec_id") >= 40) // 100% of the survivors
+    val g = Similarity.nnDescent(base, "vec_id", "embedding", 4, 2, 8)
+      .localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc_rebuild").toString
+    IndexCdc.initStore(spark, store, g, base.select("vec_id", "embedding"))
+    IndexCdc.mergeCdcBatch(
+      big.select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
+      0L, store, "vec_id", "embedding", k = 4, entryIds = Seq(0L, 1L),
+      beam = 8, searchRounds = 2, repairThreshold = 1L,
+      rebuildFraction = 0.25, rebuildRounds = 2, rebuildBuckets = 8)
+    val drained = graphRows(spark.read.parquet(s"$store/current/graph"))
+    val rebuilt = graphRows(
+      Similarity.nnDescent(all, "vec_id", "embedding", 4, 2, 8))
+    assert(drained == rebuilt,
+      "oversized batch must rebuild, not approximate through insertBatch")
+    // and a SMALL batch on the same store still takes the insert path
+    // (its new node links only to existing ones — no rebuild signature)
+    val small = all.filter(col("vec_id") === 40L)
+      .select(lit("upsert").as("op"), col("vec_id"), col("embedding"))
+    IndexCdc.mergeCdcBatch(small, 1L, store, "vec_id", "embedding",
+      k = 4, entryIds = Seq(0L, 1L), beam = 8, searchRounds = 2,
+      repairThreshold = 1L, rebuildFraction = 0.25)
+    assert(spark.read.parquet(s"$store/current/graph").count() > 0)
   }
 
   test("IndexCdc: upsert REPLACES an existing vector (old edges dropped, relinked)") {
