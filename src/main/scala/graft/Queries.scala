@@ -11812,6 +11812,38 @@ object Queries {
              |SELECT d.doc_id AS asset_id, 'jpeg' AS codec, d.w AS width,
              |  d.h AS height, 3::BIGINT AS n_components, ps.pixel_sum
              |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // 16-BIT PNG decode: photographic/scientific sources ship 16-bit
+    // channels, which every 8-bit-only decoder silently skips. Assets
+    // are bit-depth-16 grayscale streams (big-endian v mod 2^16
+    // samples, five-filter cycling at the DOUBLED byte stride — the
+    // bpp = ceil(depth/8)·channels rule a depth-blind Sub/Paeth gets
+    // wrong), reduced by the exact high byte (v >> 8, the standard
+    // 16→8 reduction). The oracle predicts the reduced pixel sums from
+    // id arithmetic; a wrong sample stride, endianness, or filter
+    // offset fails the hash. Scale: the q302 mapPartitions shape.
+    "q320_png_16bit" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizePng16Assets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodePngFullStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 13 + 1)::BIGINT AS w,
+             |    (doc_id % 5 + 1)::BIGINT AS h FROM documents),
+             |pv AS (SELECT doc_id,
+             |    (doc_id + ys.y * w + xs.x) % 65536 AS v
+             |  FROM dims, range(0, 13) xs(x), range(0, 5) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |ps AS (SELECT doc_id,
+             |    sum(65793 * (v // 256))::BIGINT AS pixel_sum
+             |  FROM pv GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'png' AS codec, d.w AS width,
+             |  d.h AS height, 0::BIGINT AS color_type,
+             |  1::BIGINT AS n_components, ps.pixel_sum,
+             |  NULL::BIGINT AS alpha_sum
+             |FROM dims d JOIN ps USING (doc_id)
              |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */

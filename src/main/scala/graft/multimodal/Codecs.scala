@@ -436,6 +436,39 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Encode a 16-BIT grayscale PNG (color type 0, bit depth 16):
+    * big-endian sample v mod 2^16 from the v-ramp, five-filter cycling
+    * at the 2-byte stride — the photographic/scientific depth the 8-bit
+    * fixtures omit. */
+  def encodePngGray16(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && seed >= 0)
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, width.toLong)
+    putU32be(ihdr, 4, height.toLong)
+    ihdr(8) = 16 // bit depth
+    ihdr(9) = 0 // color type: grayscale
+    val stride = 1 + 2 * width
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = ((seed + y.toLong * width + x) % 65536).toInt
+        val o = y * stride + 1 + 2 * x
+        raw(o) = (v >> 8).toByte; raw(o + 1) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    forwardFilter(raw, width, height, bpp = 2, seed)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSignature)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", deflateRaw(raw)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
   /** Parse a PNG: signature + IHDR width/height/bit depth. */
   def parsePng(b: Array[Byte]): Option[ImageInfo] =
     if (b.length < 33 || !pngSignature.indices.forall(i => b(i) == pngSignature(i)))
@@ -489,11 +522,13 @@ object Codecs {
     * shortcut), and per-scanline unfiltering through ALL FIVE spec
     * filters (None/Sub/Up/Average/Paeth, PNG 9.2) with the byte-left /
     * byte-above / byte-above-left reconstruction order the spec
-    * defines. Supported: 8-bit truecolor RGB (color type 2), PALETTE
-    * (type 3, PLTE lookup — icons/screenshots) and RGBA (type 6,
-    * 4-byte stride with bpp-aware Sub/Paeth offsets), non-interlaced;
-    * grayscale/16-bit/interlaced return None (skip, not fail — the
-    * [[graft.multimodal.Multimodal.decodeMedia]] corrupt-asset
+    * defines. Supported: every 8-bit color type — truecolor RGB (2),
+    * PALETTE (3, PLTE lookup — icons/screenshots), grayscale (0),
+    * gray+alpha (4) and RGBA (6), each at its own bpp-aware
+    * Sub/Paeth offsets — plus 16-bit depths for the non-palette types
+    * (big-endian samples, reduced by the exact high-byte >> 8) and
+    * Adam7 interlacing. Anything else returns None (skip, not fail —
+    * the [[graft.multimodal.Multimodal.decodeMedia]] corrupt-asset
     * discipline), as do truncated or non-inflatable streams, filter
     * bytes > 4, and palette indices past the PLTE table. Alpha is
     * dropped here; [[decodePngFull]] surfaces it. */
@@ -508,21 +543,26 @@ object Codecs {
     // IHDR layout: bitDepth(24) colorType(25) compression(26)
     // filterMethod(27) interlace(28)
     val colorType = b(25) & 0xff
+    val depth = b(24) & 0xff
     val interlace = b(28) & 0xff
-    if ((b(24) & 0xff) != 8 ||
+    if ((depth != 8 && depth != 16) ||
       (b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 || interlace > 1)
       return None
-    // filter offsets work on BYTES-per-pixel: 1 (gray / palette index),
-    // 2 (gray+alpha), 3 (RGB), 4 (RGBA) — the spec's bpp, floor(1) for
-    // sub-byte depths (not here)
-    val bpp = colorType match {
+    if (depth == 16 && colorType == 3) return None // no 16-bit palette
+    val channels = colorType match {
       case 0 => 1
       case 2 => 3
-      case 3 => 1
+      case 3 => 1 // palette index
       case 4 => 2
       case 6 => 4
       case _ => return None
     }
+    // bytes per SAMPLE (16-bit samples are big-endian pairs; the high
+    // byte is the standard 16→8 reduction, exact: v >> 8)
+    val ss = depth / 8
+    // filter offsets work on BYTES-per-pixel (spec 9: bpp = ceil(depth/8)
+    // × channels) — 16-bit streams filter at twice the 8-bit stride
+    val bpp = channels * ss
     val (w, h) = (info.width, info.height)
     if (w.toLong * h > (1L << 26)) return None // corrupt-dims guard
     val palette: Array[Int] =
@@ -580,24 +620,26 @@ object Codecs {
         var x = 0
         while (x < pw) {
           val o = rowOff + 1 + bpp * x
+          // channel i's (high) byte sits at o + i·ss — identical code
+          // for 8-bit (ss = 1) and 16-bit (ss = 2, big-endian hi byte)
           val px = colorType match {
             case 0 => // grayscale: replicate into the packed channels
               val g2 = raw(o) & 0xff
               (g2 << 16) | (g2 << 8) | g2
             case 2 => ((raw(o) & 0xff) << 16) |
-              ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+              ((raw(o + ss) & 0xff) << 8) | (raw(o + 2 * ss) & 0xff)
             case 3 =>
               val idx = raw(o) & 0xff
               if (idx >= palette.length) return false // index past PLTE
               palette(idx)
             case 4 => // grayscale + alpha
-              alphaSum += raw(o + 1) & 0xff
+              alphaSum += raw(o + ss) & 0xff
               val g2 = raw(o) & 0xff
               (g2 << 16) | (g2 << 8) | g2
             case _ => // 6: RGBA
-              alphaSum += raw(o + 3) & 0xff
+              alphaSum += raw(o + 3 * ss) & 0xff
               ((raw(o) & 0xff) << 16) |
-                ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+                ((raw(o + ss) & 0xff) << 8) | (raw(o + 2 * ss) & 0xff)
           }
           pixels(place(x, j)) = px
           x += 1

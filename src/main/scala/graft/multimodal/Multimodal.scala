@@ -529,6 +529,24 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize 16-BIT grayscale PNG assets ([[Codecs.encodePngGray16]]:
+    * big-endian v mod 2^16 samples, filters at the 2-byte stride) — the
+    * photographic/scientific depth the 8-bit fixtures omit; the decode
+    * reduces by the exact high byte. */
+  def synthesizePng16Assets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizePng16Assets needs non-negative ids, got $i")
+        Row(i, Codecs.encodePngGray16((i % 13 + 1).toInt, (i % 5 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
   /** Synthesize 16-bit PCM WAV assets from an id column (id-derived
     * rate/channels/length and the deterministic sawtooth payload —
     * [[Codecs.encodeWav]]), the q302-shape fixture for the audio

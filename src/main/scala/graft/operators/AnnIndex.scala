@@ -120,6 +120,17 @@ object AnnIndex {
     require(entriesPerCell >= 1)
     val cells = routed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
+    if (cells.isEmpty) {
+      // an empty query batch (a streaming micro-batch whose rows all
+      // failed the filter) must serve an empty result, not crash the
+      // stream on an empty per-cell reduce
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      val spark = routed.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q_id", LongType), StructField("n_id", LongType),
+          StructField("d2", LongType), StructField("rank", IntegerType))))
+    }
     val perCell = cells.map { c =>
       val shard = assigned.filter(col("cell") === c)
         .select(col(idCol), col(vecCol))

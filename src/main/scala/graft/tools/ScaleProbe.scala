@@ -243,7 +243,7 @@ object ScaleProbe {
       "dominated by the same delete+repair+insert composition as q312 (fresh-store rationale); the report epilogue is three bounded aggregates + the O(hops) keyed BFS of the q292 class",
     "q314_sharded_ann_serve/q316_streaming_sharded_ann" ->
       "q290's fresh-store rationale per cell (four q282-class builds dominate any probe); serving is |queries|*beam keyed joins over partition-PRUNED shards — per-query cost is nprobe cells' subgraphs regardless of corpus width, which is the operator's scale claim and is plan-locked (PlanSpec PartitionFilters); the streaming twin adds only the excluded fixed micro-batch overhead",
-    "q315_png_interlaced/q318_png_grayscale/q319_jpeg_422_decode" ->
+    "q315_png_interlaced/q318_png_grayscale/q319_jpeg_422_decode/q320_png_16bit" ->
       "per-asset inflate+unfilter / entropy-decode work in the shuffle-free mapPartitions codec class the probed q302/q307/q296 members time directly — Adam7 reorders the same bytes, grayscale is the same filters at bpp 1-2, and 4:2:2 is q296's decode with a different chroma axis")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride

@@ -180,6 +180,23 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("PNG 16-bit grayscale: doubled filter stride + exact high-byte reduction") {
+    for ((w, h, seed) <- Seq((13, 5, 0L), (1, 1, 9L), (8, 3, 300L))) {
+      val (img, ct, a) = Codecs.decodePngFull(Codecs.encodePngGray16(w, h, seed))
+        .getOrElse(fail(s"gray16 $w x $h seed=$seed did not decode"))
+      assert(ct == 0 && a == 0L && img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (((seed + y.toLong * w + x) % 65536) >> 8).toInt
+        assert(img.pixels(y * w + x) == ((g << 16) | (g << 8) | g),
+          s"16-bit pixel ($x,$y) seed=$seed")
+      }
+    }
+    // 16-bit palette is illegal and must skip, not mis-decode
+    val pal16 = Codecs.encodePngPalette(4, 3, 1L).clone()
+    pal16(24) = 16 // IHDR bit depth
+    assert(Codecs.decodePngFull(pal16).isEmpty)
+  }
+
   // ------------------------------------------------------------------
   // FIR resampling
   // ------------------------------------------------------------------
@@ -465,6 +482,25 @@ class Round13Spec extends AnyFunSuite {
         graft.multimodal.Multimodal.synthesizeJpegProgressiveAssets(d))
     assert(rows(progStats(ids)) == rows(progStats(ids.repartition(11))),
       "progressive JPEG stats depend on partitioning")
+  }
+
+  test("shardedSearchTopK: an empty query batch serves an empty result, not a crash") {
+    // a streaming micro-batch whose rows all fail the query filter must
+    // not kill the serving stream on an empty per-cell reduce
+    val emb = randomVecs(30, 6, seed = 83).localCheckpoint()
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 2L)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .localCheckpoint()
+    val index = Similarity.nnDescent(
+        assigned.filter(col("cell") === 0).select("vec_id", "embedding"),
+        "vec_id", "embedding", 3, 1, 4)
+      .withColumn("cell", lit(0L))
+    val emptyRouted = Similarity.ivfProbeCells(
+      emb.filter(col("vec_id") < 0), "vec_id", "embedding", cents, nprobe = 2)
+    val out = AnnIndex.shardedSearchTopK(index, assigned, emptyRouted,
+      "vec_id", "embedding", entriesPerCell = 1, beam = 4, rounds = 1, k = 2)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("q_id", "n_id", "d2", "rank"))
   }
 
   // ------------------------------------------------------------------
