@@ -11844,6 +11844,55 @@ object Queries {
              |  1::BIGINT AS n_components, ps.pixel_sum,
              |  NULL::BIGINT AS alpha_sum
              |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // decimate-by-3 FIR resample — the 48 kHz → 16 kHz ASR rate pair
+    // stated by name everywhere the audio stages are motivated, now
+    // under its own hash: q310's anti-aliased shape at den=3 with the
+    // 6th-binomial-row low-pass ([1,6,15,20,15,6,1]/64 — dyadic sum so
+    // floor(N/64) stays engine-exact, all-positive taps so int16 can
+    // never overshoot). The oracle replays the exact convolution at
+    // the 3-frame stride (zero-padded edges, per-channel interleave)
+    // and predicts the re-decoded amplitude stats, third rate, and
+    // ceil(ns/3) frames. Scale: two chained partition-preserving
+    // mapPartitions, no shuffle.
+    "q321_wav_resample_fir3" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWavStats(
+            graft.multimodal.Multimodal.resampleAudioFir(assets, den = 3))
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (8000 + (doc_id % 8) * 1000)::BIGINT AS rate,
+             |    (doc_id % 2 + 1)::BIGINT AS ch,
+             |    (doc_id % 100 + 1)::BIGINT AS ns
+             |  FROM documents),
+             |fr AS (SELECT doc_id, ch, ns, j.j AS j, c.c AS c
+             |  FROM p, range(0, 34) j(j), range(0, 2) c(c)
+             |  WHERE j.j < (ns + 2) // 3 AND c.c < ch),
+             |conv AS (SELECT doc_id, j, c, sum(
+             |    (CASE t.t WHEN 0 THEN 1 WHEN 1 THEN 6 WHEN 2 THEN 15
+             |      WHEN 3 THEN 20 WHEN 4 THEN 15 WHEN 5 THEN 6 ELSE 1 END) *
+             |    (CASE WHEN 3 * j + t.t - 3 BETWEEN 0 AND ns - 1 THEN
+             |      (CASE WHEN (doc_id + (3 * j + t.t - 3) * ch + c) % 65536 < 32768
+             |        THEN (doc_id + (3 * j + t.t - 3) * ch + c) % 65536
+             |        ELSE (doc_id + (3 * j + t.t - 3) * ch + c) % 65536 - 65536 END)
+             |      ELSE 0 END))::BIGINT AS n
+             |  FROM fr, range(0, 7) t(t)
+             |  GROUP BY doc_id, j, c),
+             |sm AS (SELECT doc_id,
+             |    greatest(-32768, least(32767, floor(n / 64.0)::BIGINT)) AS s
+             |  FROM conv),
+             |agg AS (SELECT doc_id, sum(s)::BIGINT AS sum_pcm,
+             |    sum(abs(s))::BIGINT AS sum_abs, max(abs(s))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'wav' AS codec,
+             |  (p.rate // 3)::BIGINT AS sample_rate,
+             |  p.ch AS n_channels, ((p.ns + 2) // 3)::BIGINT AS n_frames,
+             |  agg.sum_pcm, agg.sum_abs, agg.peak_abs
+             |FROM p JOIN agg USING (doc_id)
              |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */

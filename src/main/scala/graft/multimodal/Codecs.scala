@@ -854,6 +854,22 @@ object Codecs {
     * double arithmetic, which is what keeps the stage hash-pinnable. */
   val firHalfbandTaps: Array[Int] = Array(-1, 0, 9, 16, 9, 0, -1)
 
+  /** Integer low-pass taps for decimate-by-3 (the 48 kHz → 16 kHz ASR
+    * rate pair): the 6th binomial row [1, 6, 15, 20, 15, 6, 1]/64 — a
+    * classic dyadic smoothing low-pass (cascaded 2-tap boxcars, −36
+    * dB/oct) with unity DC gain, chosen over a sharper sinc design
+    * because its sum is a power of two (the exactness requirement) and
+    * its all-positive taps can never overshoot int16. */
+  val firThirdbandTaps: Array[Int] = Array(1, 6, 15, 20, 15, 6, 1)
+
+  /** (taps, dyadic divisor) per supported decimation factor. */
+  def firTaps(den: Int): (Array[Int], Int) = den match {
+    case 2 => (firHalfbandTaps, 32)
+    case 3 => (firThirdbandTaps, 64)
+    case _ => throw new IllegalArgumentException(
+      s"no FIR design for den=$den (2 and 3 supported)")
+  }
+
   /** Decimate-by-2 PCM downsample WITH the low-pass a production
     * resampler runs ahead of the pick ([[resampleWav]] is the
     * nearest-frame fallback knob): per channel, output frame j is
@@ -864,11 +880,12 @@ object Codecs {
     * bit-identically by any engine, unlike float FIR taps whose
     * summation order drifts. None for anything [[decodeWavSamples]]
     * rejects. */
-  def resampleWavFir(src: Array[Byte]): Option[Array[Byte]] =
+  def resampleWavFir(src: Array[Byte], den: Int = 2): Option[Array[Byte]] = {
+    val (taps, divisor) = firTaps(den)
     decodeWavSamples(src).map { case (info, samples) =>
       val ch = info.channels
       val frames = samples.length / ch
-      val outFrames = (frames + 1) / 2
+      val outFrames = (frames + den - 1) / den
       val out = new Array[Int](outFrames * ch)
       var j = 0
       while (j < outFrames) {
@@ -877,19 +894,20 @@ object Codecs {
           var acc = 0L
           var t = 0
           while (t < 7) {
-            val f = 2 * j + t - 3
+            val f = den * j + t - 3
             if (f >= 0 && f < frames)
-              acc += firHalfbandTaps(t).toLong * samples(f * ch + c)
+              acc += taps(t).toLong * samples(f * ch + c)
             t += 1
           }
-          val v = Math.floorDiv(acc, 32L).toInt
+          val v = Math.floorDiv(acc, divisor.toLong).toInt
           out(j * ch + c) = math.max(-32768, math.min(32767, v))
           c += 1
         }
         j += 1
       }
-      encodeWavSamples(math.max(info.sampleRate / 2, 1), ch, out)
+      encodeWavSamples(math.max(info.sampleRate / den, 1), ch, out)
     }
+  }
 
   // ------------------------------------------------------------------
   // AVI — RIFF/'AVI ' container, LIST('hdrl') holding the 'avih'

@@ -833,8 +833,10 @@ object Multimodal {
     * (the [[resizeImages]] skip discipline). Partition-preserving
     * mapPartitions, payloads never touch the driver. */
   def resampleAudioFir(assets: DataFrame,
+      den: Int = 2,
       idCol: String = "asset_id",
       bytesCol: String = "bytes"): DataFrame = {
+    Codecs.firTaps(den) // fail fast on an unsupported factor
     val schema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("bytes", BinaryType, nullable = false)))
@@ -842,7 +844,7 @@ object Multimodal {
     assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        Codecs.resampleWavFir(r.getAs[Array[Byte]](1))
+        Codecs.resampleWavFir(r.getAs[Array[Byte]](1), den)
           .map(resampled => Row(id, resampled))
       }
     }(enc)

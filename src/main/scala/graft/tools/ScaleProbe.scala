@@ -233,7 +233,7 @@ object ScaleProbe {
       "q290's fresh-store rationale; the repair is one degree aggregate + a |queue|*beam search over the degraded keyed closure + one per-node window — the q291 insert shape with the queue as the batch, linear keyed volume by construction",
     "q308_avi_mjpeg_frames/q317_avi_mjpeg_color/q309_png_palette_rgba" ->
       "per-asset payload loops in the shuffle-free mapPartitions codec class the probed q286/q296/q302/q305/q307 members time directly — the MJPEG walk is q305's chunk walk plus the probed JPEG decode per frame, and the palette/RGBA unfilter is q302's loop at a different bpp",
-    "q310_wav_resample_fir" ->
+    "q310_wav_resample_fir/q321_wav_resample_fir3" ->
       "per-asset 7-tap integer convolution in the q303/q306 excluded class — strictly less work per byte than the probed codec members' entropy decode",
     "q311_container_census" ->
       "one O(header-bytes) sniff per asset + a 7-row aggregate; scan-bound by construction (the q273-class single-pass shape, without even the write)",

@@ -222,6 +222,21 @@ class Round13Spec extends AnyFunSuite {
     val constOut = Codecs.decodeWavSamples(Codecs.resampleWavFir(const).get).get._2
     assert(constOut.slice(2, 8).forall(_ == 1000),
       "unity-gain taps must pass a constant through")
+    // den=3 (the 48k->16k pair): exact binomial convolution at stride 3
+    val out3 = Codecs.resampleWavFir(src, den = 3).getOrElse(fail("fir3 None"))
+    val (i3, s3) = Codecs.decodeWavSamples(out3).get
+    assert(i3.sampleRate == rate / 3 && i3.nSamples == (ns + 2) / 3)
+    for (j <- 0 until (ns + 2) / 3; c <- 0 until ch) {
+      val n = Codecs.firThirdbandTaps.zipWithIndex
+        .map { case (t, i) => t * x(3 * j + i - 3, c) }.sum
+      val want = math.max(-32768L, math.min(32767L, Math.floorDiv(n, 64L)))
+      assert(s3(j * ch + c) == want, s"den3 frame $j ch $c")
+    }
+    val const3 = Codecs.decodeWavSamples(
+      Codecs.resampleWavFir(const, den = 3).get).get._2
+    assert(const3.slice(1, 5).forall(_ == 1000),
+      "den-3 unity-gain taps must pass a constant through")
+    intercept[IllegalArgumentException](Codecs.resampleWavFir(src, den = 5))
   }
 
   // ------------------------------------------------------------------
