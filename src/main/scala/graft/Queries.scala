@@ -85,6 +85,22 @@ object Queries {
   private def scratchDir(name: String): String = new java.io.File(
     System.getProperty("java.io.tmpdir"), s"${name}_$bucketRunTag").getAbsolutePath
 
+  /** [[scratchDir]] wiped before use — the store discipline for entries
+    * whose state ACCUMULATES across invocations (additive sketches, CDC
+    * stores): run-tagged so concurrent JVMs never collide, wiped so a
+    * same-JVM re-run (Bench's min-of-2) starts fresh, and — unlike a
+    * `createTempDirectory` per call — bounded: re-runs reuse one path
+    * instead of leaving an orphan dir each. */
+  private def freshScratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(scratchDir(name))
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p.toString
+  }
+
   /** DuckDB rendering of [[graft.functions.Functions.hash64]]. */
   private def dHash64(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
@@ -2763,7 +2779,7 @@ object Queries {
           link, java.nio.file.Paths.get(s"$d/documents.parquet"))
         // fresh per-run store: the sketch accumulates, so a reused dir
         // would double-count across Verify/Bench runs
-        val base = java.nio.file.Files.createTempDirectory("graft_q97").toString
+        val base = freshScratchDir("graft_q97_store")
         val q = graft.streaming.DocStreams.startCountMin(
           graft.streaming.DocStreams.readStream(s, dir.toString),
           s"$base/store", s"$base/ckpt")
@@ -8542,7 +8558,7 @@ object Queries {
           link, java.nio.file.Paths.get(s"$d/documents.parquet"))
         // fresh per-run store: n_hashed accumulates (the register maxima
         // would survive a reuse, but the diagnostics would double)
-        val base = java.nio.file.Files.createTempDirectory("graft_q259").toString
+        val base = freshScratchDir("graft_q259_store")
         val q = graft.streaming.DocStreams.startHll(
           graft.streaming.DocStreams.readStream(s, dir.toString),
           s"$base/store", s"$base/ckpt")
@@ -9420,7 +9436,7 @@ object Queries {
         java.nio.file.Files.deleteIfExists(link)
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$d/documents.parquet"))
-        val base = java.nio.file.Files.createTempDirectory("graft_q277").toString
+        val base = freshScratchDir("graft_q277_store")
         val q = graft.streaming.DocStreams.startKll(
           graft.streaming.DocStreams.readStream(s, dir.toString),
           s"$base/store", s"$base/ckpt")

@@ -97,16 +97,38 @@ object AnnIndex {
     spark.read.parquet(indexDir)
   }
 
+  /** Per-cell entry points as a TABLE — each cell's `entriesPerCell`
+    * lowest member ids (every cell contains at least its centroid): one
+    * windowed rank over the assignment, NOT a driver collect per cell.
+    * A pure function of the stored assignment, so a serving loop
+    * computes it once (and checkpoints it) rather than re-deriving it
+    * per micro-batch. An empty cell simply has no row — queries routed
+    * there by centroid distance contribute no candidates instead of
+    * crashing the search on an empty entry list. */
+  def cellEntryPoints(
+      assigned: DataFrame,
+      idCol: String,
+      entriesPerCell: Int): DataFrame = {
+    require(entriesPerCell >= 1)
+    val w = Window.partitionBy(col("cell")).orderBy(col("n_id"))
+    assigned
+      .select(col("cell").cast("long").as("cell"), col(idCol).cast("long").as("n_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= entriesPerCell).drop("rn")
+  }
+
   /** Serve top-k from the sharded index: each query was routed to its
     * `nprobe` best cells ([[Similarity.ivfProbeCells]] — `routed` is
-    * (idCol, vecCol, cell)); per probed cell, beam-search that cell's
-    * stored subgraph from the cell's own entry points (its
-    * `entriesPerCell` lowest ids — every cell contains at least its
-    * centroid) against the cell's member vectors, then merge to a
-    * global per-query top-k. Only the probed cells' partitions of the
-    * store are ever scanned. The per-cell loop is driver-side over ≤
-    * nCells values and the entry-point collects are `entriesPerCell`
-    * ids each — bounded artifacts, not data. */
+    * (idCol, vecCol, cell)); beam-search the probed cells' stored
+    * subgraphs from each cell's own entry points, then merge to a
+    * global per-query top-k — as ONE cell-keyed pipeline
+    * ([[Similarity.keyedGraphSearchTopK]]), not a per-cell driver loop:
+    * `cell` rides every join as a key, so a batch probing a thousand
+    * cells plans the same fixed statement as one probing four. The only
+    * driver artifact is the probed-cell id set (bounded by nCells),
+    * collected ONCE so the store scan keeps a LITERAL partition
+    * predicate — partition pruning must stay visible in the plan
+    * (PlanSpec-locked), and a join-shaped filter would not prune. */
   def shardedSearchTopK(
       index: DataFrame,
       assigned: DataFrame,
@@ -116,14 +138,32 @@ object AnnIndex {
       entriesPerCell: Int,
       beam: Int,
       rounds: Int,
+      k: Int): DataFrame =
+    shardedSearchWithEntries(index, assigned, routed,
+      cellEntryPoints(assigned, idCol, entriesPerCell), idCol, vecCol,
+      beam, rounds, k)
+
+  /** [[shardedSearchTopK]] with the per-cell entry points supplied —
+    * the serving-loop form: entry points are a pure function of the
+    * stored assignment, so a stream computes them once at start
+    * ([[cellEntryPoints]]) and each micro-batch only plans the routed
+    * beam search. */
+  def shardedSearchWithEntries(
+      index: DataFrame,
+      assigned: DataFrame,
+      routed: DataFrame,
+      entries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      beam: Int,
+      rounds: Int,
       k: Int): DataFrame = {
-    require(entriesPerCell >= 1)
     val cells = routed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     if (cells.isEmpty) {
       // an empty query batch (a streaming micro-batch whose rows all
       // failed the filter) must serve an empty result, not crash the
-      // stream on an empty per-cell reduce
+      // stream planning jobs over an empty pipeline
       import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
       val spark = routed.sparkSession
       return spark.createDataFrame(
@@ -131,20 +171,13 @@ object AnnIndex {
         StructType(Seq(StructField("q_id", LongType), StructField("n_id", LongType),
           StructField("d2", LongType), StructField("rank", IntegerType))))
     }
-    val perCell = cells.map { c =>
-      val shard = assigned.filter(col("cell") === c)
-        .select(col(idCol), col(vecCol))
-      val entries = shard.select(col(idCol).cast("long")).orderBy(col(idCol))
-        .limit(entriesPerCell).collect().map(_.getLong(0)).toSeq
-      val qs = routed.filter(col("cell") === c).select(col(idCol), col(vecCol))
-      Similarity.graphSearchTopK(
-          index.filter(col("cell") === c).drop("cell"),
-          shard, qs, idCol, vecCol, entries, beam, rounds, k)
-        .select(col("q_id"), col("n_id"), col("d2"))
-    }
-    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
-    perCell.reduce(_ unionByName _)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val probed = col("cell").isin(cells.map(java.lang.Long.valueOf): _*)
+    Similarity.keyedGraphSearchTopK(
+      index.filter(probed),
+      assigned.select(col(idCol), col(vecCol)),
+      routed,
+      entries.filter(probed),
+      idCol, vecCol, beam, rounds, k)
   }
 
   /** Incremental batch insert — fold `batch` (new vectors, ids disjoint

@@ -1331,4 +1331,77 @@ object Similarity {
     }
     keep(b, k)
   }
+
+  /** CELL-KEYED beam search — [[graphSearchTopK]] run simultaneously
+    * over every probed shard of a cell-partitioned index
+    * ([[graft.operators.AnnIndex.buildOrLoadSharded]]), as ONE
+    * pipeline: `cell` rides every join and window as an extra key, so
+    * the statement a thousand-cell batch plans is the same fixed shape
+    * a four-cell batch plans — no per-cell driver loop, no per-cell
+    * jobs, no plan growing with the probed-cell count. Per (query,
+    * cell) the computation is bit-identical to the per-cell
+    * [[graphSearchTopK]] (same entry candidates, same undirected
+    * closure, same (d2, id) keeps — edges are intra-cell by
+    * construction, so the globally-keyed vector lookup joins the same
+    * rows the per-shard one did), and the final merge is the same
+    * per-query rank over the per-cell top-ks.
+    *
+    * `index` is the (probed) edge table carrying `cell`; `corpus` the
+    * id → vector map; `routed` the (idCol, vecCol, cell) query routing
+    * ([[ivfProbeCells]]); `entries` the (cell, n_id) per-cell entry
+    * table ([[graft.operators.AnnIndex.cellEntryPoints]]) — a cell
+    * with no entry row (a trained quantizer can leave cells empty)
+    * contributes no candidates instead of crashing the batch.
+    *
+    * Scale shape: the beam table is |routed|·beam rows; each round is
+    * one (cell, node)-keyed join against the pruned edge closure, one
+    * keyed vector lookup, one per-(query, cell) window. */
+  def keyedGraphSearchTopK(
+      index: DataFrame,
+      corpus: DataFrame,
+      routed: DataFrame,
+      entries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && beam >= k && rounds >= 0)
+    val iv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val v = corpus.select(col(idCol).as("n_id"), iv.as("niv"))
+    val q = routed.select(col(idCol).as("q_id"), col("cell").cast("long").as("cell"),
+      iv.as("qiv"))
+    // undirected closure, cell-keyed: edges are intra-cell, so the
+    // reversal never crosses a shard boundary
+    val g = index.select(col("cell").cast("long").as("cell"),
+        col("q_id").as("node"), col("n_id").as("nbr"))
+      .unionByName(index.select(col("cell").cast("long").as("cell"),
+        col("n_id").as("node"), col("q_id").as("nbr")))
+      .distinct().localCheckpoint()
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, "n_id").join(broadcast(q), Seq("q_id", "cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("cell"), col("n_id"),
+          l2Dist2(col("qiv"), col("niv")).as("d2"))
+    val wTop = Window.partitionBy(col("q_id"), col("cell"))
+      .orderBy(col("d2").asc, col("n_id"))
+    def keep(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= n)
+    var b = keep(score(
+      q.select(col("q_id"), col("cell")).join(entries, "cell")), beam)
+      .drop("rank")
+    for (r <- 1 to rounds) {
+      val cand = b.select(col("q_id"), col("cell"), col("n_id").as("node"))
+        .join(g, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("nbr").as("n_id")).distinct()
+      b = keep(score(cand).unionByName(b).distinct(), beam).drop("rank")
+      if (r < rounds) b = b.localCheckpoint()
+    }
+    val perCell = keep(b, k).select(col("q_id"), col("n_id"), col("d2"))
+    val wMerge = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id"))
+    perCell.withColumn("rank", row_number().over(wMerge))
+      .filter(col("rank") <= k)
+  }
 }

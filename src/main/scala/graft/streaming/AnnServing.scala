@@ -169,6 +169,13 @@ object AnnServing {
     spark.conf.set(key, EventStreams.statePartitions.toString)
     val ckpt = EventStreams.newCheckpointDir()
     try {
+      // per-cell entry points are a pure function of the stored
+      // assignment: compute ONCE before the stream starts (one windowed
+      // rank, checkpointed to a bounded nCells·entriesPerCell table) so
+      // each micro-batch only plans the routed beam search — not a
+      // re-derivation, and not a driver job per probed cell
+      val entries = graft.operators.AnnIndex
+        .cellEntryPoints(assigned, idCol, entriesPerCell).localCheckpoint()
       val stream = spark.readStream.schema(querySchemaDDL)
         .parquet(EventStreams.sourceDir(queriesPath))
       val q = stream.writeStream
@@ -176,8 +183,8 @@ object AnnServing {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val routed = Similarity.ivfProbeCells(
             batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
-          graft.operators.AnnIndex.shardedSearchTopK(index, assigned,
-              routed, idCol, vecCol, entriesPerCell, beam, rounds, k)
+          graft.operators.AnnIndex.shardedSearchWithEntries(index, assigned,
+              routed, entries, idCol, vecCol, beam, rounds, k)
             .write.mode("append").saveAsTable(tbl)
         }
         .start()

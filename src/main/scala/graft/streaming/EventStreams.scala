@@ -388,7 +388,14 @@ object EventStreams {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
           .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Exception => () }
+      } catch {
+        // cleanup stays best-effort, but a persistently failing
+        // filesystem must leave a signal — silent swallowing would
+        // reintroduce the dir-per-run accumulation this block prevents
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
+      }
     }
     spark.table(queryName)
   }

@@ -449,6 +449,15 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse(fail(s"no PartitionFilters in the shard read:\n$p"))
     assert(pf.contains("cell") && pf.contains("= 2"),
       s"cell predicate did not prune partitions:\n$pf")
+    // the KEYED serving form prunes with a literal IN-set (one scan for
+    // all probed cells) — the round-14 loop-free restatement must keep
+    // directory pruning visible, not regress to a post-scan data filter
+    val probed = col("cell").isin(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(2L))
+    val p2 = index.filter(probed).queryExecution.executedPlan.toString
+    val pf2 = p2.split("\n").find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in the keyed shard read:\n$p2"))
+    assert(pf2.contains("cell") && (pf2.contains("IN") || pf2.contains("in(")),
+      s"probed-cell IN-set did not prune partitions:\n$pf2")
   }
 
   test("round-13 index paths stay on keyed joins (no cartesian/BNL)") {
