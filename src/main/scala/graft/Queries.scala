@@ -11911,6 +11911,246 @@ object Queries {
              |FROM p JOIN agg USING (doc_id)
              |ORDER BY asset_id""".stripMargin)))
 
+  /** One cell's full CDC lifecycle for the q322 oracle, unrolled: the
+    * cell's base NN-Descent subgraph (k=10, 3 rounds — q314's per-cell
+    * shape), the id%7=3 delete restriction, the repair search + re-cut
+    * from the cell's two lowest surviving ids, and the insert of the
+    * cell's routed upserts (search + reverse patch) — ending at
+    * `c${c}_pg`, the cell's final per-node top-10 edge table. Requires
+    * sibling CTEs `assign` (base routing), `ups` (upsert routing), `v`
+    * (global int vectors) in scope. */
+  private def shardedCdcCellCtes(c: Int): String =
+    s"""${nnGraphOracleCtes(10, 3,
+         s" WHERE vec_id % 10 <> 9 AND vec_id IN (SELECT vec_id FROM assign WHERE cell = $c)",
+         p = s"c${c}_", lead = "")},
+       |c${c}_rem AS (SELECT id FROM c${c}_v WHERE id % 7 <> 3),
+       |c${c}_keptd AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM c${c}_nn3 g
+       |  JOIN c${c}_rem a ON g.id = a.id
+       |  JOIN c${c}_rem b ON g.nbr = b.id),
+       |c${c}_deg AS (SELECT id, count(*)::BIGINT AS n_nbrs
+       |  FROM c${c}_keptd GROUP BY id),
+       |c${c}_qd AS MATERIALIZED (SELECT rem.id
+       |  FROM c${c}_rem rem LEFT JOIN c${c}_deg deg USING (id)
+       |  WHERE coalesce(deg.n_nbrs, 0) < 10),
+       |c${c}_ent AS (SELECT id FROM c${c}_rem ORDER BY id LIMIT 2),
+       |r${c}_se AS MATERIALIZED (SELECT id, nbr FROM c${c}_keptd
+       |  UNION SELECT nbr AS id, id AS nbr FROM c${c}_keptd),
+       |r${c}_b0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |    FROM (SELECT q.id AS q_id, cc.id AS n_id,
+       |        list_sum([(q.iv[j]-cc.iv[j])*(q.iv[j]-cc.iv[j])
+       |          for j in range(1,65)])::BIGINT AS d2
+       |      FROM v q JOIN c${c}_qd qd ON q.id = qd.id
+       |        JOIN v cc ON cc.id IN (SELECT id FROM c${c}_ent)
+       |          AND cc.id <> q.id))
+       |  WHERE rn <= 12),
+       |${graphSearchRoundSql(1, 12, p = s"r${c}_")},
+       |${graphSearchRoundSql(2, 12, p = s"r${c}_")},
+       |${graphSearchRoundSql(3, 12, p = s"r${c}_")},
+       |c${c}_rp AS (SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn
+       |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
+       |      SELECT k.id, k.nbr, k.d2 FROM c${c}_keptd k
+       |        JOIN c${c}_qd qd ON k.id = qd.id
+       |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM r${c}_b3)))
+       |  WHERE rn <= 10),
+       |c${c}_rg AS MATERIALIZED (
+       |  SELECT k.id, k.nbr, k.d2 FROM c${c}_keptd k
+       |  ANTI JOIN c${c}_qd qd ON k.id = qd.id
+       |  UNION ALL SELECT id, nbr, d2 FROM c${c}_rp),
+       |x${c}_se AS MATERIALIZED (SELECT id, nbr FROM c${c}_rg
+       |  UNION SELECT nbr AS id, id AS nbr FROM c${c}_rg),
+       |x${c}_b0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |    FROM (SELECT q.id AS q_id, cc.id AS n_id,
+       |        list_sum([(q.iv[j]-cc.iv[j])*(q.iv[j]-cc.iv[j])
+       |          for j in range(1,65)])::BIGINT AS d2
+       |      FROM v q JOIN ups u ON q.id = u.vec_id AND u.cell = $c
+       |        JOIN v cc ON cc.id IN (SELECT id FROM c${c}_ent)
+       |          AND cc.id <> q.id))
+       |  WHERE rn <= 12),
+       |${graphSearchRoundSql(1, 12, p = s"x${c}_")},
+       |${graphSearchRoundSql(2, 12, p = s"x${c}_")},
+       |${graphSearchRoundSql(3, 12, p = s"x${c}_")},
+       |x${c}_ne AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM x${c}_b3)
+       |  WHERE rn <= 10),
+       |c${c}_pg AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn
+       |    FROM (SELECT id, nbr, d2 FROM c${c}_rg
+       |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM x${c}_ne
+       |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM x${c}_ne))
+       |  WHERE rn <= 10)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Round-14 surface: sharded-store CDC (the q312 lifecycle composed
+  // with q314's cell partitioning), rational polyphase resampling, MP4
+  // container walk, VP8L, layered entry points.
+  // --------------------------------------------------------------------
+  private val roundFourteenSurface: Seq[(String, Q)] = Seq(
+
+    // SHARDED-store CDC (IndexCdc.startSharded): round 13's two marquee
+    // pieces COMPOSED — the streaming delete → threshold-repair →
+    // insert lifecycle (q312) applied to the cell-partitioned index
+    // (q314). Every CDC row routes to its coarse-quantizer cell by its
+    // carried image (Debezium discipline: upserts the after-image,
+    // deletes the before-image — a cell-moving update arrives as
+    // delete+upsert), and the merge applies PER TOUCHED CELL only:
+    // tombstone, repair from the cell's two lowest surviving ids when
+    // the degraded queue passes the threshold, HNSW-pattern insert,
+    // with the rebuild-fraction guard evaluated on the CELL-local
+    // ratio. Each cell is its own crash-safe write-aside store carrying
+    // an applied-batch marker, so a crash between two cells' swaps
+    // replays the batch with committed cells skipped (spec-locked);
+    // untouched cells are never opened, read, or rewritten
+    // (spec-locked on file metadata). The oracle unrolls all four
+    // cells' full lifecycles — base subgraph, delete restriction,
+    // repair search + re-cut, insert search + reverse patch — and pins
+    // the drained store's per-(cell, node) degree and Σd2. Scale:
+    // per-batch cost is the batch's cell footprint — keyed semi-joins
+    // and beam-sized searches inside touched cells only.
+    "q322_sharded_index_cdc" -> Q(
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        def wipe(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        val cdcDir = java.nio.file.Paths.get(freshScratchDir("graft_q322_cdc"))
+        java.nio.file.Files.createDirectories(cdcDir)
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = cdcDir.resolve(s"${name}_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, cdcDir.resolve(name))
+          wipe(tmp)
+          cdcDir.resolve(name).toFile.setLastModified(mtime)
+        }
+        // b0: deletes carrying their BEFORE images (the stored vectors);
+        // b1: upserts carrying their AFTER images
+        writeBatchFile(base.filter(col("vec_id") % 7 === 3)
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding")),
+          "b0.parquet", 1000000L)
+        writeBatchFile(emb.filter(col("vec_id") % 10 === 9)
+          .select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
+          "b1.parquet", 2000000L)
+        // fresh per-run store: CDC mutates it, so a drained store must
+        // not leak into the next invocation
+        val store = freshScratchDir("graft_q322_store")
+        graft.streaming.IndexCdc.initShardedStore(s, store, assigned,
+          "vec_id", "embedding", nCells = 4, graphK = 10, graphRounds = 3,
+          initBuckets = 16)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q322_ckpt")
+        val cdc = s.readStream
+          .schema("op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(cdcDir.toString)
+        val q = graft.streaming.IndexCdc.startSharded(cdc, store,
+          ckpt.toString, cents, "vec_id", "embedding", k = 10,
+          entriesPerCell = 2, beam = 12, searchRounds = 3,
+          repairThreshold = 1L)
+        try q.processAllAvailable() finally { q.stop(); wipe(ckpt) }
+        graft.streaming.IndexCdc.shardedStoreGraph(s, store, 0L until 4L)
+          .groupBy(col("cell"), col("q_id").as("id"))
+          .agg(count(lit(1)).as("n_nbrs"), sum(col("d2")).as("sum_d2"))
+          .select(col("cell"), col("id"), (col("id") % 10 === 9).as("is_new"),
+            col("n_nbrs"), col("sum_d2"))
+          .orderBy(col("cell"), col("id"))
+      },
+      Some(s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+              |    embedding::DOUBLE[] AS e FROM embeddings),
+              |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+              |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+              |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+              |      PARTITION BY ve.vec_id
+              |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+              |        c.cent_id) AS rn
+              |    FROM ve CROSS JOIN cents c
+              |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+              |ups AS MATERIALIZED (SELECT vec_id, cell FROM (
+              |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+              |      PARTITION BY ve.vec_id
+              |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+              |        c.cent_id) AS rn
+              |    FROM ve CROSS JOIN cents c
+              |    WHERE ve.vec_id % 10 = 9) WHERE rn = 1),
+              |v AS MATERIALIZED (SELECT vec_id AS id,
+              |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+              |  FROM embeddings),
+              |${(0 to 3).map(shardedCdcCellCtes).mkString(",\n")}
+              |SELECT cell, id, (id % 10 = 9) AS is_new,
+              |  count(*)::BIGINT AS n_nbrs, sum(d2)::BIGINT AS sum_d2
+              |FROM (SELECT 0::BIGINT AS cell, id, nbr, d2 FROM c0_pg
+              |  UNION ALL SELECT 1::BIGINT, id, nbr, d2 FROM c1_pg
+              |  UNION ALL SELECT 2::BIGINT, id, nbr, d2 FROM c2_pg
+              |  UNION ALL SELECT 3::BIGINT, id, nbr, d2 FROM c3_pg)
+              |GROUP BY cell, id
+              |ORDER BY cell, id""".stripMargin)),
+
+    // RATIONAL L/M polyphase resample (Codecs.resampleWavRational via
+    // Multimodal.resampleAudioRational): q310/q321's den ∈ {2,3}
+    // decimators cover 48k→24k/16k — the other dominant ASR pair,
+    // 44.1k→16k, is the true rational 160/441 no integer decimator can
+    // express. The polyphase form reads input frames under a triangular
+    // (Bartlett) FIR of half-width max(L,M) at position j·M on the
+    // L-upsampled grid — closed-form integer taps (tap = T − |offset|),
+    // exact per-output tap-sum normalization (floorDiv → per-phase
+    // unity DC gain), so the oracle replays the entire convolution from
+    // id arithmetic: a wrong phase origin, support bound, edge
+    // normalization, or output-length ceil fails the hash. Pins the
+    // exact 44.1k→16k frame count ceil(ns·160/441) and rate 16000.
+    // Scale: two chained partition-preserving mapPartitions, no
+    // shuffle, bytes never on the driver.
+    "q323_wav_resample_rational" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWav441Assets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWavStats(
+            graft.multimodal.Multimodal.resampleAudioRational(assets, 160, 441))
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    (doc_id % 2 + 1)::BIGINT AS ch,
+             |    (doc_id % 120 + 1)::BIGINT AS ns
+             |  FROM documents),
+             |nf AS (SELECT doc_id, ch, ns,
+             |    ((ns * 160 + 440) // 441)::BIGINT AS nout FROM p),
+             |fr AS (SELECT doc_id, ch, ns, nout, j.j AS j, c.c AS c
+             |  FROM nf, range(0, 45) j(j), range(0, 2) c(c)
+             |  WHERE j.j < nout AND c.c < ch),
+             |conv AS (SELECT doc_id, j, c,
+             |    sum((441 - abs(j * 441 - k.k * 160)) *
+             |      (CASE WHEN (doc_id + k.k * ch + c) % 65536 < 32768
+             |        THEN (doc_id + k.k * ch + c) % 65536
+             |        ELSE (doc_id + k.k * ch + c) % 65536 - 65536 END))::BIGINT AS acc,
+             |    sum(441 - abs(j * 441 - k.k * 160))::BIGINT AS ws
+             |  FROM fr, range(0, 120) k(k)
+             |  WHERE k.k < ns AND abs(j * 441 - k.k * 160) < 441
+             |  GROUP BY doc_id, j, c),
+             |sm AS (SELECT doc_id,
+             |    greatest(-32768, least(32767,
+             |      floor(acc::DOUBLE / ws)::BIGINT)) AS s
+             |  FROM conv),
+             |agg AS (SELECT doc_id, sum(s)::BIGINT AS sum_pcm,
+             |    sum(abs(s))::BIGINT AS sum_abs, max(abs(s))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'wav' AS codec,
+             |  16000::BIGINT AS sample_rate,
+             |  p.ch AS n_channels, n.nout AS n_frames,
+             |  agg.sum_pcm, agg.sum_abs, agg.peak_abs
+             |FROM p JOIN nf n USING (doc_id) JOIN agg USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
@@ -11918,5 +12158,5 @@ object Queries {
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
       roundFiveSurface ++ roundSixSurface ++ roundEightSurface ++
       roundTenSurface ++ roundElevenSurface ++ roundTwelveSurface ++
-      roundThirteenSurface
+      roundThirteenSurface ++ roundFourteenSurface
 }

@@ -909,6 +909,67 @@ object Codecs {
     }
   }
 
+  /** RATIONAL L/M polyphase resample — the general rate pair
+    * [[resampleWavFir]]'s den ∈ {2, 3} designs cannot express (the most
+    * common ASR pair after 48k→16k is 44.1k→16k = 160/441): conceptually
+    * upsample by L (zero-stuff), FIR low-pass, take every M-th sample —
+    * executed in the standard polyphase form (output j reads input
+    * frames under the filter's support at position j·M on the
+    * L-upsampled grid; the zero-stuffed samples are never materialized).
+    *
+    * The filter is the integer TRIANGULAR (Bartlett) FIR of half-width
+    * T = max(L, M): tap(i) = T − |i|, a boxcar-squared low-pass whose
+    * first spectral null sits at 2π/T — i.e. cutoff ≈ min(π/L, π/M),
+    * the anti-aliasing/anti-imaging bound a rational resampler needs —
+    * and whose taps are a CLOSED FORM, so the convolution is exact
+    * integer arithmetic any engine restates (the q310 hash-pinnable
+    * discipline, generalized past table-able tap counts: a windowed
+    * sinc at T = 441 would need thousands of float-rounded taps).
+    * Per-output normalization divides by the EXACT in-range tap sum
+    * (floorDiv — per-phase unity DC gain, so a constant signal
+    * resamples to itself at every phase and edges don't fade).
+    * L/M reduces by gcd first; output length ceil(frames·L/M), output
+    * rate floor(rate·L/M). None for anything [[decodeWavSamples]]
+    * rejects. */
+  def resampleWavRational(src: Array[Byte], l: Int, m: Int): Option[Array[Byte]] = {
+    require(l >= 1 && m >= 1, s"resampleWavRational needs L,M >= 1, got $l/$m")
+    @annotation.tailrec def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val g = gcd(l, m)
+    val L = l / g
+    val M = m / g
+    decodeWavSamples(src).map { case (info, samples) =>
+      val ch = info.channels
+      val frames = samples.length / ch
+      val T = math.max(L, M).toLong
+      val outFrames = ((frames.toLong * L + M - 1) / M).toInt
+      val out = new Array[Int](outFrames * ch)
+      var j = 0
+      while (j < outFrames) {
+        val nj = j.toLong * M
+        val kLo = math.max(0L, Math.floorDiv(nj - (T - 1) + L - 1, L.toLong))
+        val kHi = math.min(frames - 1L, Math.floorDiv(nj + (T - 1), L.toLong))
+        var c = 0
+        while (c < ch) {
+          var acc = 0L
+          var wsum = 0L
+          var k = kLo
+          while (k <= kHi) {
+            val w = T - math.abs(nj - k * L)
+            acc += w * samples((k * ch + c).toInt)
+            wsum += w
+            k += 1
+          }
+          val v = if (wsum == 0) 0 else Math.floorDiv(acc, wsum).toInt
+          out(j * ch + c) = math.max(-32768, math.min(32767, v))
+          c += 1
+        }
+        j += 1
+      }
+      encodeWavSamples(
+        math.max((info.sampleRate.toLong * L / M).toInt, 1), ch, out)
+    }
+  }
+
   // ------------------------------------------------------------------
   // AVI — RIFF/'AVI ' container, LIST('hdrl') holding the 'avih'
   // MainAVIHeader (dwTotalFrames at data offset 16, dwWidth at 32,

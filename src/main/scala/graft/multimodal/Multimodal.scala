@@ -568,6 +568,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** CD-rate WAV corpus (44 100 Hz) — the input side of the 44.1k→16k
+    * rational resample pair ([[resampleAudioRational]] at 160/441).
+    * Same deterministic ramp payload as [[synthesizeWavAssets]]. */
+  def synthesizeWav441Assets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWav441Assets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeWav(
+          sampleRate = 44100,
+          channels = (i % 2 + 1).toInt,
+          nSamples = (i % 120 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** Rational L/M resample over a binary audio column
+    * ([[Codecs.resampleWavRational]]) — partition-preserving, payloads
+    * never touch the driver; undecodable inputs drop (skip-not-fail). */
+  def resampleAudioRational(assets: DataFrame,
+      l: Int,
+      m: Int,
+      idCol: String = "asset_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    require(l >= 1 && m >= 1)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Codecs.resampleWavRational(r.getAs[Array[Byte]](1), l, m)
+          .map(resampled => Row(id, resampled))
+      }
+    }(enc)
+  }
+
   /** FULL WAV PCM decode over a binary column
     * ([[Codecs.decodeWavSamples]]) reduced to the amplitude stats an
     * audio-corpus pipeline's first pass computes (loudness/clipping

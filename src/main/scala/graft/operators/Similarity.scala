@@ -93,21 +93,31 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame): DataFrame =
+    df.select(
+      col(idCol), col(vecCol),
+      ivfCellColumn(col(vecCol), centroids).as("cell"))
+
+  /** The [[ivfAssign]] cell assignment as a bare COLUMN — the same
+    * zero-shuffle greatest-over-literal-structs expression, usable on
+    * any frame that must keep its other columns (a CDC batch routing
+    * (op, id, vec) rows keeps `op`). Same 6dp rounding and
+    * ties-to-lowest-centroid rule. */
+  def ivfCellColumn(
+      vec: org.apache.spark.sql.Column,
+      centroids: DataFrame): org.apache.spark.sql.Column = {
     val cents: Array[(Long, Array[Float])] = centroids
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign requires at least one centroid")
-    val scored = cents.map { case (cid, vec) =>
+    val scored = cents.map { case (cid, cvec) =>
       struct(
-        round(cosineSim(col(vecCol), lit(vec)), 6).as("c"),
+        round(cosineSim(vec, lit(cvec)), 6).as("c"),
         lit(-cid).as("negId"))
     }
     val best = if (scored.length == 1) scored.head else greatest(scored: _*)
-    df.select(
-      col(idCol), col(vecCol),
-      (best.getField("negId") * -1).as("cell"))
+    best.getField("negId") * -1
   }
 
   /** Train IVF centroids with Lloyd's k-means over cosine similarity:

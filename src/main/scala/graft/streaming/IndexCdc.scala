@@ -165,4 +165,259 @@ object IndexCdc {
     outVecs.write.mode("overwrite").parquet(s"$next/vecs")
     DocStreams.swapStore(fs, storeDir, next, batchId)
   }
+
+  // --------------------------------------------------------------------
+  // SHARDED-store CDC — the [[mergeCdcBatch]] lifecycle composed with
+  // the cell-partitioned index ([[graft.operators.AnnIndex
+  // .buildOrLoadSharded]]'s shape, held as one swappable store PER CELL):
+  // a batch's upserts and deletes route to their coarse-quantizer cells
+  // and the delete → threshold-repair → insert merge applies per TOUCHED
+  // cell only. Untouched cells' partitions are never read or rewritten —
+  // the partition-level analog of "read and swapped, never rebuilt" —
+  // which is what keeps per-batch maintenance cost proportional to the
+  // batch's cell footprint, not the corpus, at 100 TB.
+  //
+  // Routing contract (the Debezium-style CDC image discipline): every
+  // row carries the vector it routes by — an upsert its AFTER image, a
+  // delete its BEFORE image (the stored copy's vector, which is what a
+  // CDC producer's before-image field holds). An update that MOVES a
+  // vector across cells must therefore arrive as delete(before) +
+  // upsert(after) — exactly how a Debezium update event splits — so the
+  // old copy is tombstoned in its old cell and the new one links in its
+  // new cell; a same-cell update may arrive as a bare upsert (replace).
+  //
+  // Crash safety is per cell: each cell store commits through the
+  // sketch stores' write-aside swap, and carries an `applied_batch`
+  // marker INSIDE the swapped dir, so a crash between two cells' swaps
+  // replays the checkpointed batch with already-committed cells SKIPPED
+  // (the graph update is not idempotent — re-applying a batch to a
+  // post-batch cell would degrade reverse-patched lists) and unapplied
+  // cells re-derived deterministically from their pre-batch stores.
+  // --------------------------------------------------------------------
+
+  private def cellDir(storeDir: String, cell: Long): String =
+    s"$storeDir/cell_$cell"
+
+  private val markerFile = "applied_batch"
+
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, markerFile), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The batch id committed in this cell's live store, or Long.MinValue
+    * if the marker is absent (a pre-CDC seed without one). */
+  private[graft] def appliedBatch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      current: org.apache.hadoop.fs.Path): Long = {
+    val p = new org.apache.hadoop.fs.Path(current, markerFile)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def emptyGraph(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("q_id", LongType), StructField("n_id", LongType),
+        StructField("d2", LongType), StructField("rank", IntegerType))))
+  }
+
+  /** Seed the sharded store: one NN-Descent subgraph + member-vector map
+    * per cell, each committed as its own swappable (graph, vecs) pair
+    * with marker batch −1. `assigned` is (idCol, vecCol, cell) — the
+    * [[graft.operators.Similarity.ivfAssign]] assignment of the base
+    * corpus. No-op per cell if a committed store exists. */
+  def initShardedStore(
+      spark: SparkSession,
+      storeDir: String,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      graphK: Int,
+      graphRounds: Int,
+      initBuckets: Int): Unit = {
+    require(nCells >= 1)
+    val a = assigned.localCheckpoint()
+    for (c <- 0L until nCells.toLong) {
+      val dir = cellDir(storeDir, c)
+      val (fs, current) = DocStreams.recoverStore(spark, dir)
+      if (!fs.exists(current)) {
+        val members = a.filter(col("cell") === c).select(col(idCol), col(vecCol))
+        val g =
+          if (members.isEmpty) emptyGraph(spark)
+          else graft.operators.Similarity.nnDescent(
+            members, idCol, vecCol, graphK, graphRounds, initBuckets)
+        val next = new org.apache.hadoop.fs.Path(s"$dir/next_init")
+        g.write.mode("overwrite").parquet(s"$next/graph")
+        members.write.mode("overwrite").parquet(s"$next/vecs")
+        writeMarker(fs, next, -1L)
+        DocStreams.swapStore(fs, dir, next, batchId = -1L)
+      }
+    }
+  }
+
+  /** Read the live sharded store restricted to `cells` — the graphs of
+    * exactly those cells' stores, `cell` re-attached as a column.
+    * Reads are PATH-scoped: only the named cells' directories are ever
+    * opened (stronger than partition pruning — untouched cells don't
+    * even reach the file index). */
+  def shardedStoreGraph(
+      spark: SparkSession,
+      storeDir: String,
+      cells: Seq[Long]): DataFrame =
+    cells.map { c =>
+      spark.read.parquet(s"${cellDir(storeDir, c)}/current/graph")
+        .withColumn("cell", lit(c))
+    }.reduce(_ unionByName _)
+
+  /** Member vectors of `cells`' live stores, `cell` attached. */
+  def shardedStoreVecs(
+      spark: SparkSession,
+      storeDir: String,
+      cells: Seq[Long]): DataFrame =
+    cells.map { c =>
+      spark.read.parquet(s"${cellDir(storeDir, c)}/current/vecs")
+        .withColumn("cell", lit(c))
+    }.reduce(_ unionByName _)
+
+  /** Drain a CDC stream (`op` STRING ∈ upsert|delete, `idCol`, `vecCol`)
+    * into the SHARDED store. Per micro-batch, per TOUCHED cell:
+    * delete/replace tombstoning, threshold-gated repair, HNSW-pattern
+    * insert, with the [[start]] rebuild-fraction guard applied PER CELL
+    * (a batch can swamp one small cell while being a rounding error for
+    * the rest — the guard must see the cell-local ratio). Entry points
+    * for the per-cell searches are the cell's `entriesPerCell` lowest
+    * surviving ids — the [[graft.operators.AnnIndex.cellEntryPoints]]
+    * serving discipline, so maintenance and serving walk in from the
+    * same nodes. */
+  def startSharded(
+      cdc: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      entriesPerCell: Int,
+      beam: Int,
+      searchRounds: Int,
+      repairThreshold: Long,
+      rebuildFraction: Double = 0.25,
+      rebuildRounds: Int = 4,
+      rebuildBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeShardedCdcBatch(batch, batchId, storeDir, cents, idCol, vecCol,
+          k, entriesPerCell, beam, searchRounds, repairThreshold,
+          rebuildFraction, rebuildRounds, rebuildBuckets)
+      }
+      .start()
+
+  private[graft] def mergeShardedCdcBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storeDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      entriesPerCell: Int,
+      beam: Int,
+      searchRounds: Int,
+      repairThreshold: Long,
+      rebuildFraction: Double = 0.25,
+      rebuildRounds: Int = 4,
+      rebuildBuckets: Int = 16): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // route every op by its carried image (after for upserts, before for
+    // deletes) — one zero-shuffle expression, no store read
+    val routed = batch
+      .select(col("op"), col(idCol), col(vecCol),
+        graft.operators.Similarity.ivfCellColumn(col(vecCol), cents).as("cell"))
+      .localCheckpoint()
+    // the batch's cell footprint: the ONLY driver-side artifact, bounded
+    // by nCells — and the bound on everything below (untouched cells are
+    // never opened)
+    val touched = routed.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    for (c <- touched) {
+      val dir = cellDir(storeDir, c)
+      val (fs, current) = DocStreams.recoverStore(spark, dir)
+      require(fs.exists(current),
+        s"sharded index store $storeDir has no committed cell $c " +
+          "(initShardedStore must seed every quantizer cell before CDC)")
+      // replay skip: a crash between two cells' swaps re-runs the batch;
+      // cells that already committed it must not apply it twice (the
+      // reverse-patch re-cut is not idempotent)
+      if (appliedBatch(fs, current) < batchId) {
+        val graph = spark.read.parquet(s"$current/graph")
+        val vecs = spark.read.parquet(s"$current/vecs")
+        val b = routed.filter(col("cell") === c)
+        val dels = b.filter(col("op") === "delete").select(col(idCol))
+        val ups = b.filter(col("op") === "upsert")
+          .select(col(idCol), col(vecCol)).localCheckpoint()
+        val removed = dels.unionByName(ups.select(col(idCol))).distinct()
+        val remaining = vecs.join(removed, Seq(idCol), "left_anti").localCheckpoint()
+        val nRemoved = vecs.count() - remaining.count()
+        val nUpserts = ups.count()
+        val nRemaining = remaining.count()
+        var g = graft.operators.AnnIndex.survivingEdges(graph, remaining, idCol)
+        if (nRemaining == 0L) {
+          // the cell was fully drained: nothing to repair or link against
+          g = if (nUpserts == 0L) emptyGraph(spark)
+            else graft.operators.Similarity.nnDescent(
+              ups, idCol, vecCol, k, rebuildRounds, rebuildBuckets)
+        } else if (nUpserts > 0 &&
+            nUpserts.toDouble > rebuildFraction * nRemaining) {
+          // cell-local rebuild guard: this batch swamps THIS cell, so the
+          // insert approximation's blind spot (new→new edges can never
+          // exist) is closed by a full rebuild over survivors ∪ batch
+          g = graft.operators.Similarity.nnDescent(
+            remaining.unionByName(ups), idCol, vecCol,
+            k, rebuildRounds, rebuildBuckets)
+        } else {
+          // per-cell entry points: the cell's lowest surviving ids — a
+          // bounded collect (entriesPerCell ids) on the maintenance path
+          val entryIds = remaining.select(col(idCol).cast("long"))
+            .orderBy(col(idCol)).limit(entriesPerCell)
+            .collect().map(_.getLong(0)).toSeq
+          if (nRemoved > 0) {
+            val queueDepth = remaining.select(col(idCol).as("id"))
+              .join(g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n")),
+                Seq("id"), "left")
+              .filter(coalesce(col("n"), lit(0L)) < k).count()
+            if (queueDepth >= repairThreshold)
+              g = graft.operators.AnnIndex.repairGraph(g, remaining,
+                idCol, vecCol, k, entryIds, beam, searchRounds)
+          }
+          if (nUpserts > 0)
+            g = graft.operators.AnnIndex.insertBatch(g, remaining, ups,
+              idCol, vecCol, k, entryIds, beam, searchRounds)
+        }
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("d2").asc, col("n_id"))
+        val outGraph = g.select(col("q_id"), col("n_id"), col("d2"))
+          .withColumn("rank", row_number().over(wTop))
+        val outVecs = remaining.unionByName(ups)
+        val next = new org.apache.hadoop.fs.Path(s"$dir/next_$batchId")
+        outGraph.write.mode("overwrite").parquet(s"$next/graph")
+        outVecs.write.mode("overwrite").parquet(s"$next/vecs")
+        writeMarker(fs, next, batchId)
+        DocStreams.swapStore(fs, dir, next, batchId)
+      }
+    }
+  }
 }

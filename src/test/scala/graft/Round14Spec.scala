@@ -58,6 +58,232 @@ class Round14Spec extends AnyFunSuite {
     assert(plus.toSeq == base.toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // Sharded-store CDC (q322): per-cell commit, replay, rebuild guard
+  // ------------------------------------------------------------------
+
+  private def cdcFixture(tag: String): (String,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val spark = TestSpark.spark
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).localCheckpoint()
+    val cents = graft.operators.Similarity
+      .ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+    val assigned = graft.operators.Similarity
+      .ivfAssign(emb, "vec_id", "embedding", cents).localCheckpoint()
+    val store = java.nio.file.Files
+      .createTempDirectory(s"graft_r14_cdc_$tag").toString
+    graft.streaming.IndexCdc.initShardedStore(spark, store, assigned,
+      "vec_id", "embedding", nCells = 4, graphK = 5, graphRounds = 2,
+      initBuckets = 8)
+    (store, assigned, cents)
+  }
+
+  /** (relative path → (length, mtime)) for every file under dir. */
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+  }
+
+  private def cellOf(assigned: org.apache.spark.sql.DataFrame, id: Long): Long =
+    assigned.filter(col("vec_id") === id).select(col("cell").cast("long"))
+      .head().getLong(0)
+
+  private def graphRows(spark: org.apache.spark.sql.SparkSession,
+      store: String, c: Long): Set[(Long, Long, Long)] =
+    spark.read.parquet(s"$store/cell_$c/current/graph")
+      .select(col("q_id"), col("n_id"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("sharded CDC: untouched cells are never opened, read, or rewritten") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (store, assigned, cents) = cdcFixture("untouched")
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200)
+    // a batch confined to ONE cell: delete a member, upsert a new id
+    // carrying a member's embedding (routes to the same cell)
+    val anchor = 7L
+    val cA = cellOf(assigned, anchor)
+    val av = emb.filter(col("vec_id") === anchor).select("embedding").head()
+      .getSeq[Float](0)
+    val victim = assigned.filter(col("cell") === cA && col("vec_id") =!= anchor)
+      .select(col("vec_id")).orderBy(col("vec_id")).head().getLong(0)
+    val vv = emb.filter(col("vec_id") === victim).select("embedding").head()
+      .getSeq[Float](0)
+    val batch = Seq(("delete", victim, vv), ("upsert", 100001L, av))
+      .toDF("op", "vec_id", "embedding")
+    val untouched = (0L until 4L).filter(_ != cA)
+    // vandalize one untouched cell's graph: replace the parquet dir with
+    // a garbage FILE — if maintenance so much as opens it, it crashes
+    val sacrificial = untouched.head
+    val gdir = java.nio.file.Paths.get(s"$store/cell_$sacrificial/current/graph")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(gdir).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    java.nio.file.Files.write(gdir, "not parquet".getBytes)
+    val before = untouched.map(c => c -> fileState(s"$store/cell_$c")).toMap
+    graft.streaming.IndexCdc.mergeShardedCdcBatch(batch, 0L, store, cents,
+      "vec_id", "embedding", k = 5, entriesPerCell = 2, beam = 10,
+      searchRounds = 2, repairThreshold = 1L)
+    for (c <- untouched)
+      assert(fileState(s"$store/cell_$c") == before(c),
+        s"untouched cell $c was rewritten")
+    // the touched cell committed the batch; the others still carry the seed
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.streaming.IndexCdc.appliedBatch(fs,
+      new org.apache.hadoop.fs.Path(s"$store/cell_$cA/current")) == 0L)
+    assert(graft.streaming.IndexCdc.appliedBatch(fs,
+      new org.apache.hadoop.fs.Path(s"$store/cell_${untouched.last}/current")) == -1L)
+    // and the touched cell's store reflects the batch: victim gone, new id in
+    val g = graphRows(spark, store, cA)
+    assert(!g.exists(e => e._1 == victim || e._2 == victim))
+    assert(g.exists(e => e._1 == 100001L || e._2 == 100001L))
+  }
+
+  test("sharded CDC: replay after a partial (crashed) commit reproduces " +
+      "the exact post-batch store") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (store, assigned, cents) = cdcFixture("replay")
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200)
+    // a batch touching TWO cells: one delete in each of the first two
+    // distinct cells
+    val ids = assigned.select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cA = ids.head._2
+    val cB = ids.find(_._2 != cA).get._2
+    val delA = ids.filter(_._2 == cA).map(_._1).sorted.head
+    val delB = ids.filter(_._2 == cB).map(_._1).sorted.head
+    val vecOf = (id: Long) => emb.filter(col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0)
+    val batch = Seq(("delete", delA, vecOf(delA)), ("delete", delB, vecOf(delB)))
+      .toDF("op", "vec_id", "embedding")
+    def copyDir(from: String, to: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Paths.get(from)
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+    val preB = java.nio.file.Files
+      .createTempDirectory("graft_r14_preB").toString + "/cell"
+    copyDir(s"$store/cell_$cB", preB)
+    def merge(): Unit = graft.streaming.IndexCdc.mergeShardedCdcBatch(
+      batch, 0L, store, cents, "vec_id", "embedding", k = 5,
+      entriesPerCell = 2, beam = 10, searchRounds = 2, repairThreshold = 1L)
+    merge()
+    val wantA = graphRows(spark, store, cA)
+    val wantB = graphRows(spark, store, cB)
+    // simulate the crash: cell A committed, cell B rolled back to its
+    // pre-batch store (marker -1)
+    import scala.jdk.CollectionConverters._
+    val bDir = java.nio.file.Paths.get(s"$store/cell_$cB")
+    java.nio.file.Files.walk(bDir).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    copyDir(preB, s"$store/cell_$cB")
+    val aState = fileState(s"$store/cell_$cA")
+    merge() // the checkpointed replay
+    // committed cell untouched by the replay; rolled-back cell re-derived
+    assert(fileState(s"$store/cell_$cA") == aState,
+      "replay re-applied the batch to an already-committed cell")
+    assert(graphRows(spark, store, cA) == wantA)
+    assert(graphRows(spark, store, cB) == wantB,
+      "replay did not reproduce the exact post-batch store")
+  }
+
+  test("sharded CDC: the rebuild-fraction guard is CELL-local and equals " +
+      "a fresh build over survivors ∪ batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (store, assigned, cents) = cdcFixture("rebuild")
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200)
+    val anchor = 3L
+    val cA = cellOf(assigned, anchor)
+    val av = emb.filter(col("vec_id") === anchor).select("embedding").head()
+      .getSeq[Float](0)
+    val members = assigned.filter(col("cell") === cA).count()
+    // upserts > 0.25 × remaining for THIS cell (all carry the anchor's
+    // embedding, so they all route to cA)
+    val nUps = (members / 2 + 2).toInt
+    val ups = (0 until nUps).map(i => ("upsert", 200000L + i, av))
+    val batch = ups.toDF("op", "vec_id", "embedding")
+    graft.streaming.IndexCdc.mergeShardedCdcBatch(batch, 0L, store, cents,
+      "vec_id", "embedding", k = 5, entriesPerCell = 2, beam = 10,
+      searchRounds = 2, repairThreshold = 1L, rebuildFraction = 0.25,
+      rebuildRounds = 2, rebuildBuckets = 8)
+    val got = graphRows(spark, store, cA)
+    val fresh = graft.operators.Similarity.nnDescent(
+      assigned.filter(col("cell") === cA).select("vec_id", "embedding")
+        .unionByName(batch.select(col("vec_id"), col("embedding"))),
+      "vec_id", "embedding", 5, 2, 8)
+      .select(col("q_id"), col("n_id"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == fresh,
+      "swamped cell did not rebuild to the fresh-build graph")
+  }
+
+  // ------------------------------------------------------------------
+  // Rational L/M polyphase resample
+  // ------------------------------------------------------------------
+
+  test("rational resample: 44.1k→16k pins rate, frame count, and gcd reduction") {
+    import graft.multimodal.Codecs
+    for (ns <- Seq(1, 7, 100, 441)) {
+      val src = Codecs.encodeWav(44100, 1, ns, seed = 5L)
+      val out = Codecs.resampleWavRational(src, 160, 441).get
+      val (info, samples) = Codecs.decodeWavSamples(out).get
+      assert(info.sampleRate == 16000)
+      assert(samples.length == (ns * 160 + 440) / 441,
+        s"ns=$ns: got ${samples.length} frames")
+      // unreduced L/M is the same resampler (gcd reduction)
+      assert(Codecs.resampleWavRational(src, 320, 882).get.toSeq == out.toSeq)
+    }
+  }
+
+  test("rational resample: per-phase unity DC gain (constant in → constant out)") {
+    import graft.multimodal.Codecs
+    // a constant signal must survive EVERY phase of the polyphase
+    // filter exactly — the per-output tap-sum normalization contract —
+    // including at the edges (no fade-in/out) and when upsampling
+    val const = Array.fill(200)(1234)
+    val src = Codecs.encodeWavSamples(44100, 1, const)
+    for ((l, m) <- Seq((160, 441), (441, 160), (3, 2), (2, 3), (7, 5))) {
+      val (_, samples) = Codecs.decodeWavSamples(
+        Codecs.resampleWavRational(src, l, m).get).get
+      assert(samples.forall(_ == 1234),
+        s"L/M=$l/$m: constant not preserved: ${samples.distinct.take(5).toSeq}")
+    }
+  }
+
+  test("rational resample: L == M is the identity on samples") {
+    import graft.multimodal.Codecs
+    val src = Codecs.encodeWav(22050, 2, 50, seed = 9L)
+    val in = Codecs.decodeWavSamples(src).get._2.toSeq
+    val out = Codecs.decodeWavSamples(
+      Codecs.resampleWavRational(src, 7, 7).get).get._2.toSeq
+    assert(out == in)
+  }
+
+  test("rational resample: corrupt input skips (None), never throws") {
+    import graft.multimodal.Codecs
+    assert(Codecs.resampleWavRational("junk".getBytes, 160, 441).isEmpty)
+    val truncated = Codecs.encodeWav(44100, 1, 40, seed = 1L).take(30)
+    assert(Codecs.resampleWavRational(truncated, 160, 441).isEmpty)
+  }
+
   test("sharded serving of an empty query batch returns typed-empty") {
     val spark = TestSpark.spark
     val emb = graft.core.Engine.table(spark, sf, "embeddings")
