@@ -11413,15 +11413,16 @@ object Queries {
              |ORDER BY asset_id""".stripMargin)),
 
     // container census (Codecs.sniff + Multimodal.sniffContainers):
-    // sniff now recognizes WebP (RIFF/WEBP) and HEIC (ISO-BMFF ftyp
-    // with a HEIF brand) — the two other dominant web image containers
-    // — so a corpus audit COUNTS them instead of lumping them into
-    // "unknown" (decode is explicitly not claimed; their codec payloads
-    // are VP8/HEVC). The entry is the audit itself: per-container asset
-    // counts over a seven-format mixed corpus, each count predicted by
-    // id arithmetic. Scale: one mapPartitions sniff (O(header) bytes
-    // per asset) + one tiny groupBy — the first pass any 100 TB
-    // mixed-modality ingest runs.
+    // sniff now recognizes WebP (RIFF/WEBP), HEIC (ISO-BMFF ftyp with
+    // a HEIF brand), and — round 14 — video MP4 (ftyp with
+    // isom/mp42/avc1, DISTINCT from HEIC's brands), so a corpus audit
+    // COUNTS each instead of lumping them into "unknown" (VP8/HEVC
+    // payload decode is explicitly not claimed; MP4 structure IS
+    // walkable — q324). The entry is the audit itself: per-container
+    // asset counts over an eight-format mixed corpus, each count
+    // predicted by id arithmetic. Scale: one mapPartitions sniff
+    // (O(header) bytes per asset) + one tiny groupBy — the first pass
+    // any 100 TB mixed-modality ingest runs.
     "q311_container_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
@@ -11430,10 +11431,10 @@ object Queries {
           .groupBy(col("container")).agg(count(lit(1)).as("n_assets"))
           .orderBy(col("container"))
       },
-      Some("""SELECT CASE doc_id % 7
+      Some("""SELECT CASE doc_id % 8
              |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
              |    WHEN 3 THEN 'avi' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'webp'
-             |    ELSE 'heic' END AS container,
+             |    WHEN 6 THEN 'heic' ELSE 'mp4' END AS container,
              |  count(*)::BIGINT AS n_assets
              |FROM documents
              |GROUP BY 1
@@ -12149,7 +12150,38 @@ object Queries {
              |  p.ch AS n_channels, n.nout AS n_frames,
              |  agg.sum_pcm, agg.sum_abs, agg.peak_abs
              |FROM p JOIN nf n USING (doc_id) JOIN agg USING (doc_id)
-             |ORDER BY asset_id""".stripMargin)))
+             |ORDER BY asset_id""".stripMargin)),
+
+    // ISO-BMFF/MP4 container walk (Codecs.walkMp4 via
+    // Multimodal.walkMp4Tracks): a video corpus is mostly MP4, and the
+    // feasible pure-JVM census step is the moov/trak/stbl STRUCTURE
+    // walk — per file the major brand, per track the mdia/hdlr handler
+    // 4cc and the stbl/stsz sample count — no codec payload decoded.
+    // Assets carry 1–3 tracks (alternating video/audio handlers),
+    // id-predicted sample counts, and rotating video brands
+    // (isom/mp42/avc1 — q311's census now counts these as "mp4",
+    // distinct from HEIC's ftyp brands). Every u32 box size is kept as
+    // Long and bounds-checked before the cursor advances (the AVI
+    // movi-walk discipline); truncated boxes drop the asset
+    // (spec-locked). A wrong box nesting, hdlr offset, stsz field
+    // offset, or track order fails the hash. Scale: one
+    // partition-preserving mapPartitions reading O(header) bytes.
+    "q324_mp4_track_walk" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMp4Assets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkMp4Tracks(assets)
+          .orderBy(col("asset_id"), col("track_idx"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+             |    ELSE 'avc1' END AS brand,
+             |  t.t::BIGINT AS track_idx,
+             |  CASE WHEN t.t % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+             |  ((doc_id + 7 * t.t) % 50 + 1)::BIGINT AS n_samples
+             |FROM documents, range(0, 3) t(t)
+             |WHERE t.t < doc_id % 3 + 1
+             |ORDER BY asset_id, track_idx""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

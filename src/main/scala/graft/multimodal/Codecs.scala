@@ -1245,15 +1245,152 @@ object Codecs {
   /** The ISO-BMFF 'ftyp' major brands this sniffer maps to "heic" —
     * the HEIF image family (single image, sequence, HEVC-coded, and the
     * codec-agnostic MIAF/mif1 brand real iPhone files carry). */
+  // ------------------------------------------------------------------
+  // ISO-BMFF / MP4 — the length-prefixed box grammar (ISO/IEC 14496-12):
+  // [u32be size][4cc type][payload], container boxes nesting child
+  // boxes verbatim. The walk COUNTS structure (tracks, samples) without
+  // decoding any codec payload — the feasible pure-JVM census step for
+  // a video corpus (AVC/HEVC entropy decode is out of scope).
+  // ------------------------------------------------------------------
+
+  final case class Mp4Track(handler: String, nSamples: Long)
+  final case class Mp4Info(brand: String, tracks: Vector[Mp4Track])
+
+  /** Encode a minimal but well-formed MP4: ftyp (major `brand`), moov
+    * holding mvhd + one trak per entry — tkhd, mdia(mdhd, hdlr with the
+    * track's handler 4cc, minf(stbl(stsd, stts, stsz, stco))) — and a
+    * small mdat. stsz uses the constant-sample-size form (sample_size
+    * != 0, table omitted) carrying the track's sample count; stts
+    * mirrors it in one run. */
+  def encodeMp4(brand: String, tracks: Seq[(String, Int)]): Array[Byte] = {
+    require(brand.length == 4 && tracks.nonEmpty)
+    require(tracks.forall { case (h, n) => h.length == 4 && n >= 0 })
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](8 + payload.length)
+      putU32be(b, 0, (8 + payload.length).toLong)
+      typ.getBytes("US-ASCII").copyToArray(b, 4)
+      payload.copyToArray(b, 8)
+      b
+    }
+    def full(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, new Array[Byte](4) ++ body) // version 0, flags 0
+    def u32(v: Long): Array[Byte] = {
+      val b = new Array[Byte](4); putU32be(b, 0, v); b
+    }
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ u32(0L) ++ "isom".getBytes("US-ASCII"))
+    val mvhd = full("mvhd",
+      u32(0L) ++ u32(0L) ++ u32(1000L) ++ u32(0L) ++ new Array[Byte](80))
+    val traks = tracks.zipWithIndex.map { case ((handler, n), i) =>
+      val tkhd = full("tkhd",
+        u32(0L) ++ u32(0L) ++ u32(i + 1L) ++ new Array[Byte](68))
+      val mdhd = full("mdhd",
+        u32(0L) ++ u32(0L) ++ u32(1000L) ++ u32(0L) ++ u32(0x55c40000L >> 16))
+      val hdlr = full("hdlr",
+        u32(0L) ++ handler.getBytes("US-ASCII") ++ new Array[Byte](13))
+      val stsd = full("stsd", u32(0L))
+      val stts = full("stts", u32(1L) ++ u32(n.toLong) ++ u32(1L))
+      val stsz = full("stsz", u32(16L) ++ u32(n.toLong)) // constant-size form
+      val stco = full("stco", u32(0L))
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++ traks.reduce(_ ++ _))
+    val mdat = box("mdat", Array[Byte](0, 1, 2, 3))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Walk an ISO-BMFF file: major brand from ftyp, then per trak (in
+    * file order) the mdia/hdlr handler 4cc and the stbl/stsz sample
+    * count (both the constant-size form, whose count is the field at
+    * payload offset 8, and the tabled form — same offset). Every u32
+    * size is kept as Long and bounds-checked BEFORE the cursor advances
+    * (the AVI movi-walk discipline: corrupt input must return None,
+    * never loop or overrun); 64-bit (size = 1) and to-end (size = 0)
+    * boxes are out of scope → None. */
+  def walkMp4(b: Array[Byte]): Option[Mp4Info] = {
+    def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    // iterate the child boxes of [start, end), calling f(type, payloadStart, payloadEnd)
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Boolean): Boolean = {
+      var at = start
+      while (at < end) {
+        if (at + 8 > end) return false
+        val size = u32(at.toInt)
+        if (size < 8 || at + size > end) return false
+        if (!f(fourcc(at.toInt + 4), at + 8, at + size)) return false
+        at += size
+      }
+      true
+    }
+    if (b.length < 12 || fourcc(4) != "ftyp") return None
+    var brand: String = null
+    var sawMoov = false
+    val tracks = Vector.newBuilder[Mp4Track]
+    var malformed = false
+    val ok = walk(0L, b.length.toLong) { (typ, ps, pe) =>
+      typ match {
+        case "ftyp" =>
+          if (pe - ps < 4) false else { brand = fourcc(ps.toInt); true }
+        case "moov" =>
+          sawMoov = true
+          walk(ps, pe) { (t2, ts, te) =>
+            if (t2 != "trak") true
+            else {
+              var handler: String = null
+              var nSamples = -1L
+              val tOk = walk(ts, te) { (t3, ms, me) =>
+                if (t3 != "mdia") true
+                else walk(ms, me) { (t4, xs, xe) =>
+                  t4 match {
+                    case "hdlr" =>
+                      // payload: verflags(4) predefined(4) handler(4)
+                      if (xe - xs < 12) false
+                      else { handler = fourcc(xs.toInt + 8); true }
+                    case "minf" =>
+                      walk(xs, xe) { (t5, ss, se) =>
+                        if (t5 != "stbl") true
+                        else walk(ss, se) { (t6, zs, ze) =>
+                          if (t6 != "stsz") true
+                          // verflags(4) sample_size(4) sample_count(4)
+                          else if (ze - zs < 12) false
+                          else { nSamples = u32(zs.toInt + 8); true }
+                        }
+                      }
+                    case _ => true
+                  }
+                }
+              }
+              if (!tOk || handler == null || nSamples < 0) {
+                malformed = true; false
+              } else { tracks += Mp4Track(handler, nSamples); true }
+            }
+          }
+        case _ => true // mdat, free, etc. — skipped, never decoded
+      }
+    }
+    // a file with no moov at all is not a walkable movie (an ftyp-only
+    // truncation would otherwise "decode" to zero tracks)
+    if (!ok || malformed || brand == null || !sawMoov) None
+    else Some(Mp4Info(brand, tracks.result()))
+  }
+
   private val heicBrands = Set("heic", "heix", "hevc", "mif1")
+  private val mp4Brands = Set("isom", "iso2", "mp42", "avc1")
 
   /** Identify the container by magic: "bmp", "png", "wav", "avi",
     * "jpeg", "webp" (RIFF/WEBP), "heic" (ISO-BMFF ftyp with a HEIF
-    * brand), or None. WebP and HEIC are sniff-ONLY — recognized so a
-    * corpus census can COUNT them instead of lumping them into
-    * "unknown"; their payload decode (VP8/HEVC entropy coding) is out
-    * of scope and [[graft.multimodal.Multimodal.decodeMedia]] surfaces
-    * them with NULL metadata. */
+    * brand), "mp4" (ISO-BMFF ftyp with a video brand —
+    * isom/iso2/mp42/avc1, walkable via [[walkMp4]]), or None. WebP and
+    * HEIC are sniff-ONLY — recognized so a corpus census can COUNT
+    * them instead of lumping them into "unknown"; their payload decode
+    * (VP8/HEVC entropy coding) is out of scope and
+    * [[graft.multimodal.Multimodal.decodeMedia]] surfaces them with
+    * NULL metadata. */
   def sniff(b: Array[Byte]): Option[String] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
@@ -1273,5 +1410,8 @@ object Codecs {
     else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p' && heicBrands.contains(new String(b, 8, 4, "US-ASCII")))
       Some("heic")
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p' && mp4Brands.contains(new String(b, 8, 4, "US-ASCII")))
+      Some("mp4")
     else None
 }

@@ -217,7 +217,7 @@ object Multimodal {
       rows.map { r =>
         val i = r.getLong(0)
         require(i >= 0, s"synthesizeCensusAssets needs non-negative ids, got $i")
-        val bytes = (i % 7) match {
+        val bytes = (i % 8) match {
           case 0 => Codecs.encodeBmp((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i)
           case 1 => Codecs.encodePng((i % 31 + 1).toInt, (i % 17 + 1).toInt, seed = i)
           case 2 => Codecs.encodeWav(8000, 1, (i % 50 + 1).toInt, seed = i)
@@ -231,14 +231,67 @@ object Multimodal {
             b(16) = 8
             (0 until 8).foreach(j => b(20 + j) = ((i + j) % 256).toByte)
             b
-          case _ => // ISO-BMFF ftyp box, heic major brand + mif1 compat
+          case 6 => // ISO-BMFF ftyp box, heic major brand + mif1 compat
             val b = new Array[Byte](24)
             b(3) = 24; "ftypheic".getBytes("US-ASCII").copyToArray(b, 4)
             "    mif1".getBytes("US-ASCII").copyToArray(b, 12)
             (20 until 24).foreach(j => b(j) = ((i + j) % 256).toByte)
             b
+          case _ => // video MP4: walkable moov/trak/stbl structure
+            Codecs.encodeMp4(
+              Seq("isom", "mp42", "avc1")((i % 3).toInt),
+              (0 until (i % 3 + 1).toInt).map(t =>
+                (if (t % 2 == 0) "vide" else "soun",
+                  ((i + 7 * t) % 50 + 1).toInt)))
         }
         Row(i, bytes)
+      }
+    }(enc)
+  }
+
+  /** Walkable MP4 corpus — one asset per id with 1–3 tracks
+    * (alternating video/audio handlers) and id-predicted per-track
+    * sample counts, major brand rotating over the video brand set. */
+  def synthesizeMp4Assets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMp4Assets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeMp4(
+          Seq("isom", "mp42", "avc1")((i % 3).toInt),
+          (0 until (i % 3 + 1).toInt).map(t =>
+            (if (t % 2 == 0) "vide" else "soun",
+              ((i + 7 * t) % 50 + 1).toInt))))
+      }
+    }(enc)
+  }
+
+  /** ISO-BMFF structure walk over a binary column ([[Codecs.walkMp4]]):
+    * one row per track — (asset_id, brand, track_idx, handler,
+    * n_samples) in file order, no codec payload ever decoded. Corrupt
+    * or truncated boxes drop the asset (skip-not-fail). Partition-
+    * preserving, driver-free. */
+  def walkMp4Tracks(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = false),
+      StructField("track_idx", LongType, nullable = false),
+      StructField("handler", StringType, nullable = false),
+      StructField("n_samples", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Codecs.walkMp4(r.getAs[Array[Byte]](1)).toSeq.flatMap { info =>
+          info.tracks.zipWithIndex.map { case (t, ix) =>
+            Row(id, info.brand, ix.toLong, t.handler, t.nSamples)
+          }
+        }
       }
     }(enc)
   }

@@ -284,6 +284,48 @@ class Round14Spec extends AnyFunSuite {
     assert(Codecs.resampleWavRational(truncated, 160, 441).isEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // ISO-BMFF / MP4 container walk
+  // ------------------------------------------------------------------
+
+  test("mp4 walk: brand, track order, handlers, sample counts round-trip") {
+    import graft.multimodal.Codecs
+    val b = Codecs.encodeMp4("mp42",
+      Seq(("vide", 30), ("soun", 44100), ("vide", 0)))
+    val info = Codecs.walkMp4(b).getOrElse(fail("walk failed"))
+    assert(info.brand == "mp42")
+    assert(info.tracks.map(t => (t.handler, t.nSamples)) ==
+      Vector(("vide", 30L), ("soun", 44100L), ("vide", 0L)))
+  }
+
+  test("mp4 walk: truncated and corrupt boxes return None, never loop") {
+    import graft.multimodal.Codecs
+    val good = Codecs.encodeMp4("isom", Seq(("vide", 7)))
+    for (cut <- Seq(4, 11, 20, good.length / 2, good.length - 1))
+      assert(Codecs.walkMp4(good.take(cut)).isEmpty, s"cut=$cut decoded")
+    // a box claiming a size past EOF must fail the bounds check
+    val oversize = good.clone()
+    oversize(24) = 0x7f // moov size high byte → far past EOF
+    assert(Codecs.walkMp4(oversize).isEmpty)
+    // size < 8 would spin the cursor — must return None instead
+    val tiny = good.clone()
+    tiny(24) = 0; tiny(25) = 0; tiny(26) = 0; tiny(27) = 3
+    assert(Codecs.walkMp4(tiny).isEmpty)
+    assert(Codecs.walkMp4("junk".getBytes).isEmpty)
+  }
+
+  test("sniff: video MP4 brands are distinct from HEIC's ftyp brands") {
+    import graft.multimodal.Codecs
+    for (brand <- Seq("isom", "mp42", "avc1"))
+      assert(Codecs.sniff(Codecs.encodeMp4(brand, Seq(("vide", 1))))
+        .contains("mp4"), brand)
+    // the HEIC shell from the census corpus still sniffs as heic
+    val heic = new Array[Byte](24)
+    heic(3) = 24
+    "ftypheic".getBytes("US-ASCII").copyToArray(heic, 4)
+    assert(Codecs.sniff(heic).contains("heic"))
+  }
+
   test("sharded serving of an empty query batch returns typed-empty") {
     val spark = TestSpark.spark
     val emb = graft.core.Engine.table(spark, sf, "embeddings")
