@@ -12181,7 +12181,57 @@ object Queries {
              |  ((doc_id + 7 * t.t) % 50 + 1)::BIGINT AS n_samples
              |FROM documents, range(0, 3) t(t)
              |WHERE t.t < doc_id % 3 + 1
-             |ORDER BY asset_id, track_idx""".stripMargin)))
+             |ORDER BY asset_id, track_idx""".stripMargin)),
+
+    // WebP LOSSLESS decode (Vp8l.decode via Multimodal.decodeWebpStats):
+    // the largest web-image class that previously only counted (q311)
+    // now DECODES — a full VP8L bitstream implementation: LSB-first
+    // packing, canonical prefix codes in both header forms (simple and
+    // code-length-coded with 16/18 repeats over the reordered 19-symbol
+    // alphabet), meta prefix groups via an entropy image, LZ77 row
+    // copies with direct distances, and all four inverse transforms.
+    // The corpus cycles the classes: cross-COLOR deltas (4×4 blocks),
+    // SUBTRACT_GREEN with whole-row LZ77 refs, COLOR_INDEXING palettes
+    // of 2–7 entries (1/2/4-bit pixel bundling), PREDICTOR (all 14
+    // modes across the corpus) with two meta groups. The oracle
+    // predicts the decoded packed-RGB sum, alpha sum, and the declared
+    // transform tag from id arithmetic — a wrong inverse transform,
+    // palette delta, bundling shift, prediction mode, or group routing
+    // fails the hash. Color cache and the 120 2D distance codes are
+    // documented out of scope (lossy VP8 stays sniff-only). Scale: two
+    // chained partition-preserving mapPartitions, bytes never on the
+    // driver.
+    "q325_webp_lossless_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWebpAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWebpStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 21 + 1)::BIGINT AS w,
+             |    (doc_id % 13 + 1)::BIGINT AS h, (doc_id % 4)::BIGINT AS cls,
+             |    (doc_id % 6 + 2)::BIGINT AS K
+             |  FROM documents),
+             |px AS (SELECT doc_id, cls, K, w, h, xs.x AS x, ys.y AS y
+             |  FROM dims, range(0, 21) xs(x), range(0, 13) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |qv AS (SELECT doc_id,
+             |    CASE cls WHEN 1 THEN (y - y % 2) * w + x
+             |      WHEN 2 THEN (y * w + x) % K
+             |      ELSE y * w + x END AS q
+             |  FROM px),
+             |ps AS (SELECT doc_id,
+             |    sum(((doc_id + 3 * q) % 256) * 65536 +
+             |        ((doc_id + 5 * q) % 256) * 256 +
+             |        (doc_id + 7 * q) % 256)::BIGINT AS pixel_sum
+             |  FROM qv GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'vp8l' AS codec, d.w AS width,
+             |  d.h AS height,
+             |  CASE d.cls WHEN 0 THEN 'color' WHEN 1 THEN 'subtract_green'
+             |    WHEN 2 THEN 'palette' ELSE 'predictor' END AS transform,
+             |  ps.pixel_sum, (255 * d.w * d.h)::BIGINT AS alpha_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

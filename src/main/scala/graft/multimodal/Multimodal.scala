@@ -270,6 +270,60 @@ object Multimodal {
     }(enc)
   }
 
+  /** WebP-lossless corpus — one VP8L asset per id cycling the four
+    * transform classes ([[Vp8l.encodeAsset]]): color, subtract-green
+    * (with LZ77 row copies), palette (with pixel bundling), predictor
+    * (with meta prefix groups). */
+  def synthesizeWebpAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWebpAssets needs non-negative ids, got $i")
+        Row(i, Vp8l.encodeAsset(i, (i % 21 + 1).toInt, (i % 13 + 1).toInt))
+      }
+    }(enc)
+  }
+
+  /** Full VP8L decode over a binary column reduced to the exact pixel
+    * stats the image entries pin ([[Vp8l.decode]]): packed-RGB sum,
+    * alpha sum, and the transform tag the stream declared — so a wrong
+    * transform dispatch fails the hash even when pixels happen to
+    * agree. Undecodable payloads drop (skip-not-fail). Partition-
+    * preserving, driver-free. */
+  def decodeWebpStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("transform", StringType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false),
+      StructField("alpha_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Vp8l.decode(r.getAs[Array[Byte]](1)).map { case (w, h, pix, tags) =>
+          var ps = 0L
+          var as = 0L
+          var i = 0
+          while (i < pix.length) {
+            val p = pix(i)
+            ps += ((p >> 16) & 0xff) * 65536L + ((p >> 8) & 0xff) * 256L + (p & 0xff)
+            as += (p >>> 24) & 0xff
+            i += 1
+          }
+          Row(id, "vp8l", w.toLong, h.toLong, tags.mkString("+"), ps, as)
+        }
+      }
+    }(enc)
+  }
+
   /** ISO-BMFF structure walk over a binary column ([[Codecs.walkMp4]]):
     * one row per track — (asset_id, brand, track_idx, handler,
     * n_samples) in file order, no codec payload ever decoded. Corrupt

@@ -326,6 +326,68 @@ class Round14Spec extends AnyFunSuite {
     assert(Codecs.sniff(heic).contains("heic"))
   }
 
+  // ------------------------------------------------------------------
+  // WebP lossless (VP8L)
+  // ------------------------------------------------------------------
+
+  private def vp8lOriginal(id: Long, cls: Int, w: Int, h: Int)(x: Int, y: Int): Int = {
+    import graft.multimodal.Vp8l
+    val K = (id % 6 + 2).toInt
+    cls match {
+      case 1 => Vp8l.rampPixel(id, (y - y % 2).toLong * w + x)
+      case 2 => Vp8l.rampPixel(id, (y.toLong * w + x) % K)
+      case _ => Vp8l.rampPixel(id, y.toLong * w + x)
+    }
+  }
+
+  test("vp8l: all four transform classes round-trip pixel-exactly") {
+    import graft.multimodal.Vp8l
+    for {
+      (w, h) <- Seq((1, 1), (3, 2), (8, 8), (13, 7), (21, 13), (16, 4), (5, 11))
+      cls <- 0 to 3
+    } {
+      val id = cls.toLong + 4 * (w + h) // id % 4 == cls
+      assert(id % 4 == cls)
+      val bytes = Vp8l.encodeAsset(id, w, h)
+      val (dw, dh, pix, tags) = Vp8l.decode(bytes)
+        .getOrElse(fail(s"cls=$cls ${w}x$h id=$id did not decode"))
+      assert(dw == w && dh == h)
+      val want = Seq("color", "subtract_green", "palette", "predictor")(cls)
+      assert(tags == Seq(want), s"cls=$cls tags=$tags")
+      for (y <- 0 until h; x <- 0 until w) {
+        val exp = vp8lOriginal(id, cls, w, h)(x, y)
+        assert(pix(y * w + x) == exp,
+          s"cls=$cls ${w}x$h id=$id pixel ($x,$y): " +
+            f"got 0x${pix(y * w + x)}%08x want 0x$exp%08x")
+      }
+    }
+  }
+
+  test("vp8l: predictor modes all exercised across the corpus") {
+    // the mode grid (id + bx + by) % 14 must hit every mode somewhere
+    val modes = (0L until 56L).flatMap { id =>
+      val w = 21; val h = 13
+      for (bx <- 0 until 6; by <- 0 until 4) yield ((id + bx + by) % 14).toInt
+    }.toSet
+    assert(modes == (0 until 14).toSet)
+  }
+
+  test("vp8l: corrupt, truncated, and out-of-scope streams return None") {
+    import graft.multimodal.Vp8l
+    val good = Vp8l.encodeAsset(3L, 13, 7)
+    for (cut <- Seq(4, 12, 19, 25, good.length / 2, good.length - 2))
+      assert(Vp8l.decode(good.take(cut)).isEmpty, s"cut=$cut decoded")
+    assert(Vp8l.decode("garbage".getBytes).isEmpty)
+    // a non-VP8L webp (the census VP8 shell) must skip, not crash
+    val lossyShell = {
+      val b = new Array[Byte](28)
+      "RIFF".getBytes.copyToArray(b, 0); b(4) = 20
+      "WEBPVP8 ".getBytes.copyToArray(b, 8); b(16) = 8
+      b
+    }
+    assert(Vp8l.decode(lossyShell).isEmpty)
+  }
+
   test("sharded serving of an empty query batch returns typed-empty") {
     val spark = TestSpark.spark
     val emb = graft.core.Engine.table(spark, sf, "embeddings")
