@@ -11988,6 +11988,33 @@ object Queries {
        |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM x${c}_ne))
        |  WHERE rn <= 10)""".stripMargin
 
+  /** One seeded beam-search stage for the q326 layered-descent oracle:
+    * undirected closure of `graphNn`, initial beam = the (q_id, n_id)
+    * rows of `seeds` scored exactly, then `rounds` expand/rescore/keep
+    * rounds — the statements [[graft.operators.Similarity
+    * .graphSearchTopKSeeded]] executes. */
+  private def seededSearchCtes(
+      p: String, seeds: String, graphNn: String, beam: Int, rounds: Int): String =
+    s"""${p}se AS MATERIALIZED (SELECT id, nbr FROM $graphNn
+       |  UNION SELECT nbr AS id, id AS nbr FROM $graphNn),
+       |${p}b0 AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn
+       |    FROM (SELECT s.q_id, s.n_id,
+       |        list_sum([(x.iv[j]-y.iv[j])*(x.iv[j]-y.iv[j])
+       |          for j in range(1,65)])::BIGINT AS d2
+       |      FROM $seeds s JOIN v x ON x.id = s.q_id JOIN v y ON y.id = s.n_id
+       |      WHERE s.q_id <> s.n_id))
+       |  WHERE rn <= $beam),
+       |${(1 to rounds).map(graphSearchRoundSql(_, beam, qv = "v", p = p)).mkString(",\n")}""".stripMargin
+
+  /** Top-`m` per query of a beam CTE — the between-layer seed cut. */
+  private def topMSeedsCte(name: String, from: String, m: Int): String =
+    s"""$name AS MATERIALIZED (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM $from)
+       |  WHERE rn <= $m)""".stripMargin
+
   // --------------------------------------------------------------------
   // Round-14 surface: sharded-store CDC (the q312 lifecycle composed
   // with q314's cell partitioning), rational polyphase resampling, MP4
@@ -12231,7 +12258,90 @@ object Queries {
              |    WHEN 2 THEN 'palette' ELSE 'predictor' END AS transform,
              |  ps.pixel_sum, (255 * d.w * d.h)::BIGINT AS alpha_sum
              |FROM dims d JOIN ps USING (doc_id)
-             |ORDER BY asset_id""".stripMargin)))
+             |ORDER BY asset_id""".stripMargin)),
+
+    // LAYERED entry points (LayeredAnn): the HNSW structure that keeps
+    // routing hops logarithmic at 100× — beam search previously walked
+    // in from a FIXED global id list at every scale (the one structural
+    // scale lever round 13 left). Levels are hash-deterministic
+    // geometric (trailing base-4 zeros of hash64('lvl:'||id), p = 1/4
+    // per layer, cap 3); each upper layer persists its members' own
+    // NN-Descent subgraph beside the level-0 store; search descends
+    // from the single top entry (lowest id at the max populated
+    // level), beam-searching each layer seeded by the one above, and
+    // the level-0 search starts from the PER-QUERY descent seeds
+    // (graphSearchTopKSeeded — insert/repair consume the same descent
+    // via insertBatchSeeded/repairGraphSeeded, spec-locked). The
+    // oracle unrolls the level assignment, all three layer subgraph
+    // builds, the three-stage descent, and the seeded level-0 search,
+    // and gates recall against exact L2 — the q290 discipline with the
+    // fixed entry list replaced by the layered walk. Scale: layer l
+    // holds ~n/4^l nodes (the whole stack costs ~n/3 extra build), and
+    // every descent stage is beam-sized keyed joins.
+    "q326_layered_ann_serve" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val stored = operators.AnnIndex.buildOrLoad(emb, "vec_id", "embedding",
+          k = 15, rounds = 4, initBuckets = 16, indexDir = annIndexDir(d, "full"))
+        operators.LayeredAnn.buildOrLoad(emb, "vec_id", "embedding",
+          cap = 3, layerK = 5, layerRounds = 2, initBuckets = 16,
+          indexDir = annIndexDir(d, "layered"))
+        val queries = emb.filter(col("vec_id") >= 60 && col("vec_id") < 70)
+        val served = operators.LayeredAnn.searchTopK(s, annIndexDir(d, "layered"),
+          stored, emb, queries, "vec_id", "embedding",
+          cap = 3, m = 2, descBeam = 6, descRounds = 2,
+          beam = 12, rounds = 3, k = 5)
+        Similarity.recallAtK(served,
+            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5), k = 5)
+          .orderBy(col("q_id"))
+      },
+      Some {
+        def lvlCase: String =
+          """CASE
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 4 <> 0 THEN 0
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 16 <> 0 THEN 1
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 64 <> 0 THEN 2
+            |      ELSE 3 END""".stripMargin
+        val layerChains = (1 to 3).map(l => nnGraphOracleCtes(5, 2,
+          s" WHERE vec_id IN (SELECT vec_id FROM lvt WHERE level >= $l)",
+          p = s"L${l}_", lead = "")).mkString(",\n")
+        s"""WITH lvt AS MATERIALIZED (SELECT vec_id, $lvlCase AS level
+           |  FROM embeddings),
+           |${nnGraphOracleCtes(15, 4, "", "", lead = "")},
+           |$layerChains,
+           |qset AS (SELECT vec_id AS id FROM embeddings
+           |  WHERE vec_id >= 60 AND vec_id < 70),
+           |ent AS (SELECT min(vec_id) AS id FROM lvt
+           |  WHERE level = (SELECT max(level) FROM lvt)),
+           |s3 AS (SELECT q.id AS q_id, e.id AS n_id FROM qset q, ent e),
+           |${seededSearchCtes("D3_", "s3", "L3_nn2", 6, 2)},
+           |${topMSeedsCte("s2", "D3_b2", 2)},
+           |${seededSearchCtes("D2_", "s2", "L2_nn2", 6, 2)},
+           |${topMSeedsCte("s1", "D2_b2", 2)},
+           |${seededSearchCtes("D1_", "s1", "L1_nn2", 6, 2)},
+           |${topMSeedsCte("sF", "D1_b2", 2)},
+           |${seededSearchCtes("F0_", "sF", "nn4", 12, 3)},
+           |res AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM F0_b3)
+           |  WHERE rank <= 5),
+           |ed AS (SELECT a.id AS q_id, b.id AS n_id,
+           |    list_sum([(a.iv[j]-b.iv[j])*(a.iv[j]-b.iv[j])
+           |      for j in range(1,65)])::BIGINT AS d2
+           |  FROM v a JOIN v b ON a.id >= 60 AND a.id < 70 AND a.id <> b.id),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY d2, n_id) AS rank FROM ed)
+           |  WHERE rank <= 5),
+           |hits AS (SELECT ex.q_id, count(*)::BIGINT AS n_hit
+           |  FROM ex JOIN res ON ex.q_id = res.q_id AND ex.n_id = res.n_id
+           |  GROUP BY ex.q_id)
+           |SELECT q.q_id, 5::BIGINT AS k,
+           |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+           |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
+           |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
+           |ORDER BY q_id""".stripMargin
+      }))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -214,8 +214,31 @@ object AnnIndex {
       beam: Int,
       searchRounds: Int): DataFrame = {
     require(k >= 1 && beam >= k)
-    val found = Similarity.graphSearchTopK(
-      graph, base, batch, idCol, vecCol, entryIds, beam, searchRounds, k)
+    insertFound(graph, k, Similarity.graphSearchTopK(
+      graph, base, batch, idCol, vecCol, entryIds, beam, searchRounds, k))
+  }
+
+  /** [[insertBatch]] with PER-QUERY entry seeds — the layered-index
+    * insert path ([[LayeredAnn.descendSeeds]] hands each new vector its
+    * own level-0 entry), everything after the search unchanged. */
+  def insertBatchSeeded(
+      graph: DataFrame,
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seeds: DataFrame,
+      beam: Int,
+      searchRounds: Int): DataFrame = {
+    require(k >= 1 && beam >= k)
+    insertFound(graph, k, Similarity.graphSearchTopKSeeded(
+      graph, base, batch, seeds, idCol, vecCol, beam, searchRounds, k))
+  }
+
+  /** Shared link-and-patch step: the new vectors' adjacencies plus the
+    * reverse-edge re-cut over (old lists ∪ reverse candidates). */
+  private def insertFound(graph: DataFrame, k: Int, found: DataFrame): DataFrame = {
     val newEdges = found
       .select(col("q_id").as("id"), col("n_id").as("nbr"), col("d2"))
       .localCheckpoint() // feeds both directions below
@@ -336,8 +359,20 @@ object AnnIndex {
       k: Int,
       entryIds: Seq[Long],
       beam: Int,
-      searchRounds: Int): (DataFrame, DataFrame, DataFrame) = {
-    require(beam >= k)
+      searchRounds: Int): (DataFrame, DataFrame, DataFrame) =
+    repairSearchWith(keptGraph, remaining, idCol, k,
+      (g, queries) => Similarity.graphSearchTopK(
+        g, remaining, queries, idCol, vecCol, entryIds, beam, searchRounds, beam))
+
+  /** [[repairSearch]] with the search step injected — the layered form
+    * passes a [[Similarity.graphSearchTopKSeeded]] closure whose seeds
+    * come from the queue's own layer descent. */
+  private def repairSearchWith(
+      keptGraph: DataFrame,
+      remaining: DataFrame,
+      idCol: String,
+      k: Int,
+      search: (DataFrame, DataFrame) => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val g = keptGraph.localCheckpoint() // degrees, search and merge below
     val deg = g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n_before"))
     val queue = remaining.select(col(idCol).as("id")).distinct()
@@ -347,8 +382,7 @@ object AnnIndex {
       .localCheckpoint()
     val queries = queue.select(col("id").as(idCol))
       .join(remaining, idCol)
-    val found = Similarity.graphSearchTopK(
-      g, remaining, queries, idCol, vecCol, entryIds, beam, searchRounds, beam)
+    val found = search(g, queries)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
     val repaired = g.join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
       .select(col("q_id"), col("n_id"), col("d2"))
@@ -356,6 +390,33 @@ object AnnIndex {
       .distinct()
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
     (g, queue, repaired)
+  }
+
+  /** [[repairGraph]] with per-query entry seeds from `seedsFor` (queue
+    * queries → (q_id, n_id) seed table) — the layered-index repair
+    * path: each degraded node walks in from its own descent seed
+    * instead of the fixed global entry list. */
+  def repairGraphSeeded(
+      keptGraph: DataFrame,
+      remaining: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seedsFor: DataFrame => DataFrame,
+      beam: Int,
+      searchRounds: Int): DataFrame = {
+    require(beam >= k)
+    val (g, queue, repaired) = repairSearchWith(keptGraph, remaining, idCol, k,
+      (gg, queries) => Similarity.graphSearchTopKSeeded(
+        gg, remaining, queries, seedsFor(queries), idCol, vecCol,
+        beam, searchRounds, beam))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
+    val untouched = g
+      .join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
+      .select(col("q_id"), col("n_id"), col("d2"))
+      .withColumn("rank", row_number().over(wTop))
+    untouched.unionByName(
+      repaired.select(col("q_id"), col("n_id"), col("d2"), col("rank")))
   }
 
   def repairLists(

@@ -1311,7 +1311,33 @@ object Similarity {
       beam: Int,
       rounds: Int,
       k: Int): DataFrame = {
-    require(k >= 1 && beam >= k && rounds >= 0 && entryIds.nonEmpty)
+    require(entryIds.nonEmpty)
+    val q = queries.select(col(idCol).as("q_id"))
+      .withColumn("n_id", explode(array(entryIds.map(lit): _*)))
+    graphSearchTopKSeeded(graph, corpus, queries, q, idCol, vecCol,
+      beam, rounds, k)
+  }
+
+  /** [[graphSearchTopK]] with PER-QUERY entry points — `seeds` is a
+    * (q_id, n_id) table seeding each query's initial beam. This is the
+    * primitive a LAYERED index needs: HNSW's upper layers exist to
+    * hand each query its own good entry point, so the level-0 search
+    * starts from the descent's output rather than a fixed global id
+    * list ([[graft.operators.LayeredAnn]]). Semantics are exactly the
+    * fixed-entry form's when `seeds` = queries × entryIds (the
+    * [[graphSearchTopK]] delegation — q288/q290-et-al hashes
+    * unchanged). */
+  def graphSearchTopKSeeded(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && beam >= k && rounds >= 0)
     val iv = transform(col(vecCol),
       x => floor(x.cast("double") * lit(1000.0)).cast("long"))
     val v = corpus.select(col(idCol).as("n_id"), iv.as("niv"))
@@ -1327,9 +1353,7 @@ object Similarity {
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
     def keep(df: DataFrame, n: Int): DataFrame =
       df.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= n)
-    var b = keep(score(
-      q.select(col("q_id"))
-        .withColumn("n_id", explode(array(entryIds.map(lit): _*)))), beam)
+    var b = keep(score(seeds.select(col("q_id"), col("n_id"))), beam)
       .drop("rank")
     for (r <- 1 to rounds) {
       val cand = b.select(col("q_id"), col("n_id").as("node"))

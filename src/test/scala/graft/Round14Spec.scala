@@ -388,6 +388,91 @@ class Round14Spec extends AnyFunSuite {
     assert(Vp8l.decode(lossyShell).isEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // Layered (HNSW-style) entry points
+  // ------------------------------------------------------------------
+
+  test("levelColumn matches the JVM hash's trailing base-4 zeros, capped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("id")
+    val got = ids.select(col("id"),
+        graft.operators.LayeredAnn.levelColumn(col("id"), 3).as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (id <- 0L until 200L) {
+      val h = graft.functions.Functions.md5Hash64Jvm(s"lvl:$id")
+      val want =
+        if (h % 4 != 0) 0 else if (h % 16 != 0) 1 else if (h % 64 != 0) 2 else 3
+      assert(got(id) == want, s"id=$id h=$h")
+    }
+    // geometric-ish: level 0 dominates, upper layers shrink
+    val dist = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(dist(0) > dist.getOrElse(1, 0))
+    assert(dist.getOrElse(1, 0) > dist.getOrElse(2, 0))
+  }
+
+  test("layered serve: recall gated against the flat-entry form") {
+    val spark = TestSpark.spark
+    val emb = graft.core.Engine.table(spark, sf, "embeddings").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r14_layered").toString
+    val graph = graft.operators.Similarity
+      .nnDescent(emb, "vec_id", "embedding", 10, 3, 16).localCheckpoint()
+    graft.operators.LayeredAnn.buildOrLoad(emb, "vec_id", "embedding",
+      cap = 3, layerK = 5, layerRounds = 2, initBuckets = 16, indexDir = dir)
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    val layered = graft.operators.LayeredAnn.searchTopK(spark, dir, graph,
+      emb, queries, "vec_id", "embedding", cap = 3, m = 2, descBeam = 6,
+      descRounds = 2, beam = 10, rounds = 3, k = 5)
+    val flat = graft.operators.Similarity.graphSearchTopK(graph, emb,
+      queries, "vec_id", "embedding", entryIds = 0L until 4L,
+      beam = 10, rounds = 3, k = 5)
+    val exact = graft.operators.Similarity
+      .l2TopK(emb, queries, "vec_id", "embedding", k = 5)
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Similarity.recallAtK(approx, exact, 5)
+        .agg(sum(col("n_hit"))).head().getLong(0)
+    val hl = hits(layered)
+    val hf = hits(flat)
+    // the layered walk must be competitive with the fixed entry list —
+    // that is its entire reason to exist
+    assert(hl * 10 >= hf * 8, s"layered hits $hl vs flat $hf")
+  }
+
+  test("seeded insert/repair equal the fixed-entry forms when seeded " +
+      "with the same entries") {
+    val spark = TestSpark.spark
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 150).localCheckpoint()
+    val base = emb.filter(col("vec_id") % 5 =!= 1)
+    val batch = emb.filter(col("vec_id") % 5 === 1)
+    val g = graft.operators.Similarity
+      .nnDescent(base, "vec_id", "embedding", 5, 2, 8).localCheckpoint()
+    val entries = Seq(0L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "d2", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+    val fixedIns = graft.operators.AnnIndex.insertBatch(g, base, batch,
+      "vec_id", "embedding", k = 5, entries, beam = 10, searchRounds = 2)
+    val seeds = batch.select(col("vec_id").as("q_id"))
+      .withColumn("n_id", explode(array(entries.map(lit): _*)))
+    val seededIns = graft.operators.AnnIndex.insertBatchSeeded(g, base, batch,
+      "vec_id", "embedding", k = 5, seeds, beam = 10, searchRounds = 2)
+    assert(rows(seededIns) == rows(fixedIns))
+    val remaining = base.filter(col("vec_id") % 7 =!= 3)
+    val kept = graft.operators.AnnIndex.survivingEdges(g, remaining, "vec_id")
+      .localCheckpoint()
+    val fixedRep = graft.operators.AnnIndex.repairGraph(kept, remaining,
+      "vec_id", "embedding", k = 5, entries, beam = 10, searchRounds = 2)
+    val seededRep = graft.operators.AnnIndex.repairGraphSeeded(kept, remaining,
+      "vec_id", "embedding", k = 5,
+      qs => qs.select(col("vec_id").as("q_id"))
+        .withColumn("n_id", explode(array(entries.map(lit): _*))),
+      beam = 10, searchRounds = 2)
+    assert(rows(seededRep) == rows(fixedRep))
+  }
+
   test("sharded serving of an empty query batch returns typed-empty") {
     val spark = TestSpark.spark
     val emb = graft.core.Engine.table(spark, sf, "embeddings")
