@@ -806,6 +806,215 @@ object Codecs {
     Some((info, out))
   }
 
+  /** Encode a G.711 companded WAV — audio format 7 (μ-law) or 6
+    * (A-law), 8 bits per sample, one byte per sample: the telephony /
+    * call-center corpus class every ASR pipeline ingests. The payload
+    * is the deterministic byte ramp (seed + i) mod 256 so decoded
+    * linear sums are id-predictable. */
+  def encodeWavG711(
+      sampleRate: Int,
+      channels: Int,
+      nSamples: Int,
+      seed: Long,
+      format: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    require(format == 6 || format == 7, s"G.711 format must be 6|7, got $format")
+    val blockAlign = channels
+    val dataSize = nSamples * blockAlign
+    val b = new Array[Byte](44 + dataSize)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putU32le(b, 4, (36 + dataSize).toLong)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putU32le(b, 16, 16L)
+    putU16le(b, 20, format)
+    putU16le(b, 22, channels)
+    putU32le(b, 24, sampleRate.toLong)
+    putU32le(b, 28, (sampleRate * blockAlign).toLong)
+    putU16le(b, 32, blockAlign)
+    putU16le(b, 34, 8)
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putU32le(b, 40, dataSize.toLong)
+    var i = 0
+    while (i < dataSize) {
+      b(44 + i) = ((seed + i) & 0xff).toByte
+      i += 1
+    }
+    b
+  }
+
+  /** ITU-T G.711 μ-law expansion (the CCITT reference arithmetic):
+    * complement, bias-shift by segment, sign from the complemented
+    * MSB. Exact integers end to end. */
+  def ulawToLinear(v: Int): Int = {
+    val u = (~v) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion: XOR 0x55, segment-scaled mantissa,
+    * sign from the toggled MSB (set = positive). */
+  def alawToLinear(v: Int): Int = {
+    val a = v ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= (seg - 1) }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** FULL G.711 payload decode: same RIFF walk as [[decodeWavSamples]]
+    * but for the 8-bit companded formats — reads the fmt chunk's audio
+    * format code itself (6 = A-law, 7 = μ-law; anything else None) and
+    * expands every byte to 16-bit linear. Returns (info, format,
+    * linear samples). */
+  def decodeWavG711(b: Array[Byte]): Option[(AudioInfo, Int, Array[Int])] = {
+    val info = parseWav(b).getOrElse(return None)
+    if (info.bitsPerSample != 8) return None
+    var o = 12
+    var fmt = -1
+    var dataOff = -1
+    var dataLen = -1L
+    while (o + 8 <= b.length && (dataOff < 0 || fmt < 0)) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = u32le(b, o + 4)
+      if (len > b.length.toLong) return None
+      if (id == "fmt " && len >= 16 && o + 8 + 16 <= b.length)
+        fmt = u16le(b, o + 8)
+      if (id == "data") { dataOff = o + 8; dataLen = len }
+      if (dataOff < 0 || fmt < 0) o += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (fmt != 6 && fmt != 7) return None
+    if (dataOff < 0 || dataOff + dataLen > b.length) return None
+    val n = dataLen.toInt
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val v = b(dataOff + i) & 0xff
+      out(i) = if (fmt == 7) ulawToLinear(v) else alawToLinear(v)
+      i += 1
+    }
+    Some((info, fmt, out))
+  }
+
+  // IMA/DVI ADPCM tables (public IMA ADPCM specification)
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexTable = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM decode step: (predictor, step index) × nibble →
+    * next (predictor, step index). Exact integers end to end. */
+  def imaAdpcmStep(pred: Int, sidx: Int, nibble: Int): (Int, Int) = {
+    val step = imaStepTable(sidx)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p = if ((nibble & 8) != 0) pred - diff else pred + diff
+    (math.max(-32768, math.min(32767, p)),
+      math.max(0, math.min(88, sidx + imaIndexTable(nibble & 7))))
+  }
+
+  /** Encode a mono IMA-ADPCM WAV (format 0x11, 4 bits/sample) as one
+    * block: 4-byte block header (initial predictor 0, step index 0),
+    * then `nNibbles` id-derived nibbles (seed + k) mod 16 packed two
+    * per byte low-first, plus the fact chunk real encoders emit (the
+    * decoder reads the authoritative sample count from it). The
+    * decoded stream is the header sample followed by the nibble
+    * chain — nNibbles + 1 frames. */
+  def encodeWavAdpcm(sampleRate: Int, nNibbles: Int, seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && nNibbles >= 0)
+    val nibbleBytes = (nNibbles + 1) / 2
+    val dataSize = 4 + nibbleBytes
+    val blockAlign = dataSize // single block
+    val b = new Array[Byte](44 + 12 + dataSize) // 44 std + 12 fact
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putU32le(b, 4, (48 + dataSize).toLong)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putU32le(b, 16, 16L)
+    putU16le(b, 20, 0x11) // IMA ADPCM
+    putU16le(b, 22, 1)
+    putU32le(b, 24, sampleRate.toLong)
+    putU32le(b, 28, (sampleRate.toLong * dataSize / math.max(nNibbles + 1, 1)))
+    putU16le(b, 32, blockAlign)
+    putU16le(b, 34, 4)
+    b(36) = 'f'; b(37) = 'a'; b(38) = 'c'; b(39) = 't'
+    putU32le(b, 40, 4L)
+    putU32le(b, 44, (nNibbles + 1).toLong) // total decoded frames
+    b(48) = 'd'; b(49) = 'a'; b(50) = 't'; b(51) = 'a'
+    putU32le(b, 52, dataSize.toLong)
+    // block header: predictor 0 (le16), step index 0, reserved 0
+    var i = 0
+    while (i < nNibbles) {
+      val n = ((seed + i) % 16).toInt
+      val at = 60 + i / 2
+      if (i % 2 == 0) b(at) = (b(at) | n).toByte
+      else b(at) = (b(at) | (n << 4)).toByte
+      i += 1
+    }
+    b
+  }
+
+  /** FULL IMA-ADPCM payload decode: fmt must read 0x11/mono/4-bit, the
+    * fact chunk supplies the authoritative frame count, the block
+    * header seeds (predictor, step index), and every nibble steps the
+    * predictor through [[imaAdpcmStep]] — low nibble first. Returns
+    * (sampleRate, decoded samples incl. the header sample). None for
+    * anything malformed (the skip-not-fail codec discipline). */
+  def decodeWavAdpcm(b: Array[Byte]): Option[(Int, Array[Int])] = try {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var o = 12
+    var fmt = -1; var channels = -1; var bits = -1; var rate = -1
+    var factFrames = -1L
+    var dataOff = -1; var dataLen = -1L
+    while (o + 8 <= b.length && (dataOff < 0 || fmt < 0 || factFrames < 0)) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = u32le(b, o + 4)
+      if (len > b.length.toLong) return None
+      if (id == "fmt " && len >= 16 && o + 8 + 16 <= b.length) {
+        fmt = u16le(b, o + 8)
+        channels = u16le(b, o + 10)
+        rate = i32le(b, o + 12)
+        bits = u16le(b, o + 22)
+      } else if (id == "fact" && len >= 4 && o + 12 <= b.length) {
+        factFrames = u32le(b, o + 8)
+      } else if (id == "data") {
+        dataOff = o + 8; dataLen = len
+      }
+      if (dataOff < 0 || fmt < 0 || factFrames < 0)
+        o += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (fmt != 0x11 || channels != 1 || bits != 4 || rate <= 0) return None
+    if (factFrames < 1 || dataOff < 0 || dataLen < 4 ||
+      dataOff + dataLen > b.length) return None
+    val nNibbles = factFrames - 1
+    if (nNibbles > (dataLen - 4) * 2) return None
+    var pred = ((b(dataOff + 1) & 0xff) << 8 | (b(dataOff) & 0xff)).toShort.toInt
+    var sidx = b(dataOff + 2) & 0xff
+    if (sidx > 88) return None
+    val out = new Array[Int](factFrames.toInt)
+    out(0) = pred
+    var k = 0
+    while (k < nNibbles) {
+      val byte = b(dataOff + 4 + k.toInt / 2) & 0xff
+      val nib = if (k % 2 == 0) byte & 0x0f else (byte >> 4) & 0x0f
+      val (p, s) = imaAdpcmStep(pred, sidx, nib)
+      pred = p; sidx = s
+      out(k.toInt + 1) = pred
+      k += 1
+    }
+    Some((rate, out))
+  } catch { case _: Exception => None }
+
   /** Encode 16-bit PCM from EXPLICIT interleaved samples (the
     * [[encodeWav]] container with caller-supplied payload — what any
     * audio TRANSFORM stage re-encodes through). Sample ints are taken
@@ -1393,6 +1602,12 @@ object Codecs {
     * NULL metadata. */
   def sniff(b: Array[Byte]): Option[String] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some("gif")
+    else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C')
+      Some("flac")
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff)
       Some("jpeg")

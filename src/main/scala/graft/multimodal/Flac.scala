@@ -1,0 +1,307 @@
+package graft.multimodal
+
+/** FLAC subset codec — the lossless audio format real speech/music
+  * corpora actually ship in, implemented against the public FLAC
+  * format specification (RFC 9639): fLaC marker + STREAMINFO, frames
+  * with the 14-bit sync code, UTF-8-coded frame numbers, CRC-8
+  * header and CRC-16 frame checksums (both VALIDATED on decode — a
+  * corrupted frame must drop the asset, not emit garbage), and the
+  * subframe types a fixed-predictor encoder emits: CONSTANT,
+  * VERBATIM, and FIXED orders 0–2 with genuine Rice-coded residuals
+  * (zigzag fold, unary quotient = q zero bits then a one, 4-bit
+  * parameter, partition order 0). LPC subframes and stereo
+  * decorrelation are documented out of scope — the subset is exactly
+  * what `flac --fast` class encoders produce for mono 16-bit.
+  *
+  * Everything is integer-exact both directions, so decoded sample
+  * sums are id-predictable: a wrong Rice fold, unary sense, warmup
+  * width, fixed-predictor recursion, or CRC rule fails the oracle
+  * hash on every asset. */
+object Flac {
+
+  // ------------------------------------------------------------------
+  // bit I/O (MSB-first, the FLAC convention)
+  // ------------------------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nAcc = 0
+    def put(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1L)
+        nAcc += 1
+        if (nAcc == 8) { out.write(acc.toInt & 0xff); acc = 0L; nAcc = 0 }
+        i -= 1
+      }
+    }
+    def alignZero(): Unit = if (nAcc > 0) put(0L, 8 - nAcc)
+    def toBytes: Array[Byte] = { require(nAcc == 0); out.toByteArray }
+  }
+
+  private final class BitReader(b: Array[Byte], var at: Int) {
+    private var bit = 0
+    def bytePos: Int = at
+    def aligned: Boolean = bit == 0
+    def skipToByte(): Unit = if (bit != 0) { bit = 0; at += 1 }
+    def read(bits: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bits) {
+        if (at >= b.length) throw new IllegalArgumentException("eof")
+        v = (v << 1) | ((b(at) >> (7 - bit)) & 1L)
+        bit += 1
+        if (bit == 8) { bit = 0; at += 1 }
+        i += 1
+      }
+      v
+    }
+    /** Unary: count zero bits up to the terminating one. */
+    def readUnary(): Int = {
+      var q = 0
+      while (read(1) == 0L) {
+        q += 1
+        if (q > (1 << 20)) throw new IllegalArgumentException("runaway unary")
+      }
+      q
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CRCs (FLAC: CRC-8 poly 0x07 init 0; CRC-16 poly 0x8005 init 0)
+  // ------------------------------------------------------------------
+
+  private[multimodal] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[multimodal] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc =
+          if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------------------------
+  // encode (subset: mono, 16-bit, rate 8000, blocksize-code 0110)
+  // ------------------------------------------------------------------
+
+  /** One frame's samples as a subframe of the given class:
+    * 0 = CONSTANT (samples must all equal), 1 = VERBATIM,
+    * 2 = FIXED order 1, 3 = FIXED order 2. */
+  def encodeFlac(frames: Seq[(Int, Array[Int])]): Array[Byte] = {
+    val total = frames.map(_._2.length.toLong).sum
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO: last-metadata flag + type 0, length 34
+    head.write(0x80); head.write(0); head.write(0); head.write(34)
+    val si = new BitWriter
+    val maxBs = frames.map(_._2.length).max
+    val minBs = frames.map(_._2.length).min
+    si.put(minBs.toLong, 16); si.put(maxBs.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24) // frame sizes unknown
+    si.put(8000L, 20)
+    si.put(0L, 3) // channels - 1 (mono)
+    si.put(15L, 5) // bps - 1
+    si.put(total, 36)
+    si.put(0L, 64); si.put(0L, 64) // md5 zeroed (unset)
+    head.write(si.toBytes)
+    frames.zipWithIndex.foreach { case ((cls, xs), fIdx) =>
+      head.write(encodeFrame(cls, xs, fIdx))
+    }
+    head.toByteArray
+  }
+
+  private def zigzag(r: Int): Long = ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
+
+  private def encodeFrame(cls: Int, xs: Array[Int], fIdx: Int): Array[Byte] = {
+    require(xs.nonEmpty && fIdx < 128)
+    val w = new BitWriter
+    w.put(0x3ffe, 14) // sync
+    w.put(0L, 1) // reserved
+    w.put(0L, 1) // fixed blocksize stream
+    w.put(6L, 4) // blocksize: 8-bit value at end of header
+    w.put(4L, 4) // rate: 8 kHz
+    w.put(0L, 4) // channels: mono
+    w.put(4L, 3) // bps: 16
+    w.put(0L, 1) // reserved
+    w.put(fIdx.toLong, 8) // UTF-8 frame number (< 128: one byte)
+    w.put((xs.length - 1).toLong, 8)
+    val headNoCrc = { w.alignZero(); w.toBytes }
+    val w2 = new BitWriter
+    headNoCrc.foreach(b => w2.put(b.toLong & 0xff, 8))
+    w2.put(crc8(headNoCrc, 0, headNoCrc.length).toLong, 8)
+    // subframe
+    cls match {
+      case 0 => // CONSTANT
+        w2.put(0L, 1); w2.put(0L, 6); w2.put(0L, 1)
+        w2.put(xs(0).toLong & 0xffff, 16)
+      case 1 => // VERBATIM
+        w2.put(0L, 1); w2.put(1L, 6); w2.put(0L, 1)
+        xs.foreach(x => w2.put(x.toLong & 0xffff, 16))
+      case o if o == 2 || o == 3 => // FIXED order 1 / 2
+        val order = o - 1
+        w2.put(0L, 1); w2.put((8 + order).toLong, 6); w2.put(0L, 1)
+        (0 until order).foreach(i => w2.put(xs(i).toLong & 0xffff, 16))
+        // residual: method 0 (4-bit Rice), partition order 0
+        w2.put(0L, 2); w2.put(0L, 4)
+        val param = 4
+        w2.put(param.toLong, 4)
+        var i = order
+        while (i < xs.length) {
+          val r =
+            if (order == 1) xs(i) - xs(i - 1)
+            else xs(i) - 2 * xs(i - 1) + xs(i - 2)
+          val u = zigzag(r)
+          val q = (u >> param).toInt
+          var j = 0
+          while (j < q) { w2.put(0L, 1); j += 1 }
+          w2.put(1L, 1)
+          w2.put(u & ((1L << param) - 1), param)
+          i += 1
+        }
+      case other => throw new IllegalArgumentException(s"class $other")
+    }
+    w2.alignZero()
+    val body = w2.toBytes
+    val w3 = new BitWriter
+    body.foreach(b => w3.put(b.toLong & 0xff, 8))
+    w3.put(crc16(body, 0, body.length).toLong, 16)
+    w3.toBytes
+  }
+
+  // ------------------------------------------------------------------
+  // decode
+  // ------------------------------------------------------------------
+
+  final case class FlacAudio(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      samples: Array[Int],
+      subframeTypes: Seq[String])
+
+  def decodeFlac(b: Array[Byte]): Option[FlacAudio] = try {
+    if (b.length < 42 || new String(b, 0, 4, "US-ASCII") != "fLaC") return None
+    // metadata blocks: find STREAMINFO (must be first), skip the rest
+    var at = 4
+    var last = false
+    var rate = -1; var channels = -1; var bps = -1; var total = -1L
+    var first = true
+    while (!last) {
+      if (at + 4 > b.length) return None
+      last = (b(at) & 0x80) != 0
+      val typ = b(at) & 0x7f
+      val len = ((b(at + 1) & 0xff) << 16) | ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+      if (at + 4 + len > b.length) return None
+      if (first) {
+        if (typ != 0 || len != 34) return None // STREAMINFO must lead
+        val r = new BitReader(b, at + 4)
+        r.read(16); r.read(16); r.read(24); r.read(24)
+        rate = r.read(20).toInt
+        channels = r.read(3).toInt + 1
+        bps = r.read(5).toInt + 1
+        total = r.read(36)
+        first = false
+      }
+      at += 4 + len
+    }
+    if (rate <= 0 || channels != 1 || bps != 16 || total < 0) return None
+    val out = new Array[Int](total.toInt)
+    var got = 0
+    val types = Vector.newBuilder[String]
+    while (got < total) {
+      val frameStart = at
+      val r = new BitReader(b, at)
+      if (r.read(14) != 0x3ffe) return None
+      r.read(1)
+      r.read(1)
+      val bsCode = r.read(4).toInt
+      val rateCode = r.read(4).toInt
+      val chCode = r.read(4).toInt
+      val bpsCode = r.read(3).toInt
+      r.read(1)
+      // UTF-8 frame number: subset writes < 128 (one byte); reject others
+      val fn = r.read(8)
+      if ((fn & 0x80L) != 0) return None
+      if (chCode != 0 || bpsCode != 4 || rateCode != 4) return None
+      val blockSize = bsCode match {
+        case 6 => r.read(8).toInt + 1
+        case 7 => r.read(16).toInt + 1
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => return None
+      }
+      if (!r.aligned) return None
+      val headEnd = r.bytePos
+      val storedCrc8 = r.read(8).toInt
+      if (storedCrc8 != crc8(b, frameStart, headEnd)) return None
+      // subframe
+      if (r.read(1) != 0L) return None
+      val typ = r.read(6).toInt
+      if (r.read(1) != 0L) return None // wasted bits unsupported in subset
+      val xs = new Array[Int](blockSize)
+      if (typ == 0) {
+        val v = r.read(16).toShort.toInt
+        java.util.Arrays.fill(xs, v)
+        types += "constant"
+      } else if (typ == 1) {
+        var i = 0
+        while (i < blockSize) { xs(i) = r.read(16).toShort.toInt; i += 1 }
+        types += "verbatim"
+      } else if (typ >= 8 && typ <= 12) {
+        val order = typ - 8
+        if (order > 2 || order >= blockSize) return None
+        var i = 0
+        while (i < order) { xs(i) = r.read(16).toShort.toInt; i += 1 }
+        if (r.read(2) != 0L) return None // only 4-bit Rice in subset
+        if (r.read(4) != 0L) return None // partition order 0
+        val param = r.read(4).toInt
+        if (param == 15) return None // escape unsupported in subset
+        i = order
+        while (i < blockSize) {
+          val q = r.readUnary()
+          val u = (q.toLong << param) | r.read(param)
+          val res = ((u >> 1) ^ -(u & 1L)).toInt // zigzag unfold
+          xs(i) =
+            if (order == 0) res
+            else if (order == 1) xs(i - 1) + res
+            else 2 * xs(i - 1) - xs(i - 2) + res
+          i += 1
+        }
+        types += s"fixed$order"
+      } else return None
+      r.skipToByte()
+      val bodyEnd = r.bytePos
+      val storedCrc16 = r.read(16).toInt
+      if (storedCrc16 != crc16(b, frameStart, bodyEnd)) return None
+      if (got + blockSize > total) return None
+      xs.copyToArray(out, got)
+      got += blockSize
+      at = r.bytePos
+    }
+    Some(FlacAudio(rate, 1, 16, out, types.result()))
+  } catch { case _: Exception => None }
+}

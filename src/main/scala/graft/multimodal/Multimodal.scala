@@ -367,6 +367,425 @@ object Multimodal {
     }(enc)
   }
 
+  /** Corpus-wide codec COVERAGE audit — the operational "how much of my
+    * 100 TB actually decodes" readout: for every asset, sniff the
+    * container and then genuinely ATTEMPT the deepest pass this engine
+    * has for it — full pixel/sample decode for BMP/PNG/WAV/AVI/JPEG,
+    * VP8L decode for WebP, the moov/trak/stbl structure walk for
+    * ISO-BMFF — and report what actually happened:
+    *
+    *  - `decoded`   — the payload decoded end-to-end;
+    *  - `structure` — the container structure walked (tracks counted),
+    *                  payload deliberately untouched (video MP4);
+    *  - `sniffed`   — the container was recognized but its payload did
+    *                  not decode (lossy WebP/HEIC out-of-scope codecs,
+    *                  or a corrupt/truncated stream);
+    *  - `unrecognized` — no magic matched (container "unknown").
+    *
+    * Every decoder is called through its own skip-not-fail path and
+    * additionally fenced (a corrupt payload must downgrade the asset's
+    * status, never fail the stage), so this entry doubles as a canary
+    * over the whole decode surface: any decoder regression flips rows
+    * from `decoded` to `sniffed`. Partition-preserving mapPartitions,
+    * bytes never on the driver; the caller aggregates the fixed-width
+    * (asset_id, container, status) rows. */
+  def codecCoverageAudit(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("status", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        def fenced[A](body: => Option[A]): Boolean =
+          scala.util.Try(body).toOption.flatten.isDefined
+        val (container, status) = Codecs.sniff(bytes) match {
+          case Some(c @ "bmp") =>
+            (c, if (fenced(Codecs.decodeBmp(bytes))) "decoded" else "sniffed")
+          case Some(c @ "png") =>
+            (c, if (fenced(Codecs.decodePngFull(bytes))) "decoded" else "sniffed")
+          case Some(c @ "wav") =>
+            (c, if (fenced(Codecs.decodeWavSamples(bytes))) "decoded" else "sniffed")
+          case Some(c @ "avi") =>
+            (c, if (fenced(Codecs.decodeAviFrames(bytes))) "decoded" else "sniffed")
+          case Some(c @ "jpeg") =>
+            (c, if (fenced(Jpeg.decodeJpeg(bytes))) "decoded" else "sniffed")
+          case Some(c @ "gif") =>
+            (c, if (fenced(Gif.decodeGif(bytes))) "decoded" else "sniffed")
+          case Some(c @ "flac") =>
+            (c, if (fenced(Flac.decodeFlac(bytes))) "decoded" else "sniffed")
+          case Some(c @ "webp") =>
+            (c, if (fenced(Vp8l.decode(bytes))) "decoded" else "sniffed")
+          case Some(c) => // heic | mp4 — ISO-BMFF: structure walk only
+            (c, if (fenced(Codecs.walkMp4(bytes))) "structure" else "sniffed")
+          case None => ("unknown", "unrecognized")
+        }
+        Row(id, container, status)
+      }
+    }(enc)
+  }
+
+  /** GIF corpus — one asset per id, id-derived dims, palette width
+    * cycling 4/8/16 entries, odd ids INTERLACED (the four-pass row
+    * schedule), every asset carrying a Graphic Control Extension so
+    * the extension-skip path always runs ([[Gif.encodeGif]]). */
+  def synthesizeGifAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeGifAssets needs non-negative ids, got $i")
+        Row(i, Gif.encodeGif((i % 19 + 1).toInt, (i % 11 + 1).toInt, seed = i,
+          paletteBits = (i % 3 + 2).toInt, interlaced = i % 2 == 1))
+      }
+    }(enc)
+  }
+
+  /** Full GIF decode reduced to the pinned image stats: dims, palette
+    * width, interlace flag, and the palette-resolved packed-RGB pixel
+    * sum ([[Gif.decodeGif]] — real LZW, sub-block reassembly,
+    * deinterlace). Undecodable payloads drop (skip-not-fail).
+    * Partition-preserving, driver-free. */
+  def decodeGifStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("palette_bits", LongType, nullable = false),
+      StructField("interlaced", BooleanType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Gif.decodeGif(r.getAs[Array[Byte]](1)).map { img =>
+          var s = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val p = img.pixels(i)
+            s += ((p >> 16) & 0xff) * 65536L + ((p >> 8) & 0xff) * 256L + (p & 0xff)
+            i += 1
+          }
+          Row(id, "gif", img.width.toLong, img.height.toLong,
+            img.paletteBits.toLong, img.interlaced, s)
+        }
+      }
+    }(enc)
+  }
+
+  /** G.711 telephony corpus — μ-law WAVs on even ids, A-law on odd,
+    * 8 kHz, 1–2 channels, id-predicted byte ramps
+    * ([[Codecs.encodeWavG711]]). */
+  def synthesizeWavG711Assets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWavG711Assets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeWavG711(8000, (i % 2 + 1).toInt, (i % 120 + 1).toInt,
+          seed = i, format = if (i % 2 == 0) 7 else 6))
+      }
+    }(enc)
+  }
+
+  /** G.711 decode reduced to the pinned audio stats: law, rate,
+    * channels, frames, and the expanded 16-bit linear sum/abs/peak
+    * ([[Codecs.decodeWavG711]] — exact ITU-T expansion arithmetic).
+    * Undecodable payloads drop. Partition-preserving, driver-free. */
+  def decodeWavG711Stats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_channels", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sum_pcm", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Codecs.decodeWavG711(r.getAs[Array[Byte]](1)).map { case (info, fmt, xs) =>
+          var sum = 0L; var sa = 0L; var pk = 0L
+          var i = 0
+          while (i < xs.length) {
+            sum += xs(i)
+            val a = math.abs(xs(i).toLong)
+            sa += a
+            if (a > pk) pk = a
+            i += 1
+          }
+          Row(id, if (fmt == 7) "ulaw" else "alaw", info.sampleRate.toLong,
+            info.channels.toLong, info.nSamples, sum, sa, pk)
+        }
+      }
+    }(enc)
+  }
+
+  /** WARC-over-gzip crawl corpus — one *.warc.gz object per id holding
+    * 1–3 records (warcinfo/request/response), each record its OWN gzip
+    * member ([[graft.sources.Warc.encodeWarcGz]] — the record-splittable
+    * crawl layout), payloads as fixed-width token text so every stat is
+    * id-predictable. */
+  def synthesizeWarcGzAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWarcGzAssets needs non-negative ids, got $i")
+        val recs = (0 until (i % 3 + 1).toInt).map { rec =>
+          val recType = Seq("warcinfo", "request", "response")(rec % 3)
+          val n = ((i + rec) % 40 + 1).toInt
+          val payload = (0 until n)
+            .map(j => f"${(i + 7L * j + 13L * rec) % 100}%02d")
+            .mkString(" ").getBytes("US-ASCII")
+          (recType, s"http://example.com/$i/$rec", payload)
+        }
+        Row(i, graft.sources.Warc.encodeWarcGz(recs))
+      }
+    }(enc)
+  }
+
+  /** WARC ingestion stats — the first real pass of a crawl-scale text
+    * pipeline: walk the gzip members ([[graft.sources.Warc.gzipMembers]]
+    * — RFC 1952 headers, per-member CRC32/ISIZE validation), parse each
+    * WARC record, and reduce its payload to (tokens, token sum). One
+    * row per record, in member order; undecodable objects drop
+    * (skip-not-fail). Partition-preserving, driver-free. */
+  def parseWarcGzStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("rec_idx", LongType, nullable = false),
+      StructField("rec_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("content_length", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("sum_tokens", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        graft.sources.Warc.gzipMembers(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          members =>
+            members.zipWithIndex.flatMap { case (m, ix) =>
+              graft.sources.Warc.parseRecord(m).map { rec =>
+                val toks = new String(rec.payload, "US-ASCII")
+                  .split(" ").filter(_.nonEmpty)
+                Row(id, ix.toLong, rec.recType, rec.targetUri,
+                  rec.contentLength, toks.length.toLong,
+                  toks.map(_.toLong).sum)
+              }
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** ustar tarball corpus — one archive per id with 1–3 document
+    * members (the layout datasets actually ship in), fixed-width token
+    * payloads so every stat is id-predictable
+    * ([[graft.sources.Tar.encodeTar]]). */
+  def synthesizeTarAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeTarAssets needs non-negative ids, got $i")
+        val members = (0 until (i % 3 + 1).toInt).map { m =>
+          val n = ((i + 2 * m) % 30 + 1).toInt
+          val payload = (0 until n)
+            .map(j => f"${(i + 5L * j + 11L * m) % 100}%02d")
+            .mkString(" ").getBytes("US-ASCII")
+          (s"doc_${i}_$m.txt", payload)
+        }
+        Row(i, graft.sources.Tar.encodeTar(members))
+      }
+    }(enc)
+  }
+
+  /** Tarball ingestion stats — walk the ustar members
+    * ([[graft.sources.Tar.parseTar]] — checksum-validated headers,
+    * Long-safe octal sizes) and reduce each document payload to token
+    * stats. One row per member in archive order; unwalkable archives
+    * drop (skip-not-fail). Partition-preserving, driver-free. */
+  def parseTarStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("member_idx", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("typeflag", StringType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("sum_tokens", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        graft.sources.Tar.parseTar(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          members =>
+            members.zipWithIndex.map { case (m, ix) =>
+              val toks = new String(m.payload, "US-ASCII")
+                .split(" ").filter(_.nonEmpty)
+              Row(id, ix.toLong, m.name, m.size, m.typeflag.toString,
+                toks.length.toLong, toks.map(_.toLong).sum)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** IMA-ADPCM telephony corpus — mono 8 kHz single-block format-0x11
+    * WAVs, id-derived nibble streams ([[Codecs.encodeWavAdpcm]]). */
+  def synthesizeWavAdpcmAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWavAdpcmAssets needs non-negative ids, got $i")
+        Row(i, Codecs.encodeWavAdpcm(8000, (i % 100 + 1).toInt, seed = i))
+      }
+    }(enc)
+  }
+
+  /** IMA-ADPCM decode reduced to the pinned audio stats — the full
+    * predictor/step-index state chain runs per nibble
+    * ([[Codecs.decodeWavAdpcm]]). Undecodable payloads drop.
+    * Partition-preserving, driver-free. */
+  def decodeWavAdpcmStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sum_pcm", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Codecs.decodeWavAdpcm(r.getAs[Array[Byte]](1)).map { case (rate, xs) =>
+          var sum = 0L; var sa = 0L; var pk = 0L
+          var i = 0
+          while (i < xs.length) {
+            sum += xs(i)
+            val a = math.abs(xs(i).toLong)
+            sa += a
+            if (a > pk) pk = a
+            i += 1
+          }
+          Row(id, "ima_adpcm", rate.toLong, xs.length.toLong, sum, sa, pk)
+        }
+      }
+    }(enc)
+  }
+
+  /** FLAC corpus — mono 16-bit 8 kHz subset streams, 1–3 frames per
+    * asset, the subframe class cycling by id: CONSTANT, VERBATIM,
+    * FIXED order 1, FIXED order 2 (Rice-coded residuals)
+    * ([[Flac.encodeFlac]]). Sample streams are closed-form in
+    * (id, frame, ordinal) so decoded sums are oracle-predictable. */
+  def synthesizeFlacAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeFlacAssets needs non-negative ids, got $i")
+        val cls = (i % 4).toInt
+        val frames = (0 until (i % 3 + 1).toInt).map { f =>
+          val ns = ((i + f) % 40 + 3).toInt
+          val xs = new Array[Int](ns)
+          cls match {
+            case 0 =>
+              java.util.Arrays.fill(xs, (((i + 7 * f) % 200) - 100).toInt)
+            case 1 =>
+              for (k <- 0 until ns) xs(k) = (((i + 3L * k + f) % 200) - 100).toInt
+            case 2 =>
+              xs(0) = (((i + f) % 200) - 100).toInt
+              for (k <- 1 until ns)
+                xs(k) = xs(k - 1) + (((i + 5L * k + f) % 21) - 10).toInt
+            case _ =>
+              xs(0) = (((i + f) % 200) - 100).toInt
+              xs(1) = xs(0) + (((i + f) % 11) - 5).toInt
+              for (k <- 2 until ns)
+                xs(k) = 2 * xs(k - 1) - xs(k - 2) +
+                  (((i + 5L * k + f) % 21) - 10).toInt
+          }
+          (cls, xs)
+        }
+        Row(i, Flac.encodeFlac(frames))
+      }
+    }(enc)
+  }
+
+  /** FLAC decode reduced to the pinned audio stats — full bitstream
+    * parse with CRC-8/CRC-16 validation, Rice residual decode, and the
+    * fixed-predictor reconstruction ([[Flac.decodeFlac]]); the
+    * subframe type the stream DECLARED is surfaced so a wrong type
+    * dispatch fails the hash even when samples agree. Undecodable
+    * payloads drop. Partition-preserving, driver-free. */
+  def decodeFlacStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("subframe_type", StringType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_pcm", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Flac.decodeFlac(r.getAs[Array[Byte]](1)).map { a =>
+          var sum = 0L; var sa = 0L; var pk = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            sum += a.samples(i)
+            val x = math.abs(a.samples(i).toLong)
+            sa += x
+            if (x > pk) pk = x
+            i += 1
+          }
+          Row(id, "flac", a.subframeTypes.distinct.mkString("+"),
+            a.sampleRate.toLong, a.subframeTypes.length.toLong,
+            a.samples.length.toLong, sum, sa, pk)
+        }
+      }
+    }(enc)
+  }
+
   /** Synthesize grayscale baseline-JPEG assets from an id column
     * (id-derived dims, per-block constant pixels — see
     * [[Jpeg.encodeJpegGray]]): the [[synthesizeMediaAssets]] shape for

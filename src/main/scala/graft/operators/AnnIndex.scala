@@ -498,6 +498,52 @@ object AnnIndex {
           .otherwise(lit("healthy")).as("recommendation"))
   }
 
+  /** Per-CELL growth report for the sharded index — the [[maintenanceReport]]
+    * analog the owner of the sharded CDC pipeline
+    * ([[graft.streaming.IndexCdc.startSharded]]) watches: CDC drift makes
+    * cells grow apart (hot tenants upsert, cold ones drain), and a cell
+    * that swells past its build bound stops being the "nprobe subgraphs
+    * per query" cost unit sharding exists for, while a near-empty cell
+    * wastes a routing slot. Per cell: member count, corpus share in ppm,
+    * stored-edge volume, degraded-list count (lists under `k` among
+    * nodes that still have a list), and the action the shares imply —
+    * share above `splitPpm` → "split" (re-quantize THIS cell into two),
+    * below `mergePpm` → "merge" (fold into the nearest sibling),
+    * otherwise "healthy". The rebalance operator
+    * ([[graft.streaming.IndexCdc.rebalanceShardedStore]]) consumes
+    * exactly these verdicts. Cells live in `assigned` even when their
+    * graph is empty (a one-member cell has no edges), so a drained cell
+    * still surfaces as a merge candidate instead of vanishing.
+    *
+    * Scale shape: two aggregates over the assignment and the k·n edge
+    * table plus one broadcastable 1-row total — nothing corpus×corpus,
+    * nothing driver-side. */
+  def shardGrowthReport(
+      index: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      k: Int,
+      splitPpm: Long,
+      mergePpm: Long): DataFrame = {
+    require(splitPpm > mergePpm && mergePpm >= 0)
+    val mem = assigned.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    val deg = index.groupBy(col("cell").cast("long").as("cell"), col("q_id"))
+      .agg(count(lit(1)).as("n"))
+    val eg = deg.groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_edges"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_degraded"))
+    mem.join(eg, Seq("cell"), "left").crossJoin(tot)
+      .withColumn("share_ppm", expr("n_members * 1000000L div n_total"))
+      .select(col("cell"), col("n_members"), col("share_ppm"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_degraded"), lit(0L)).as("n_degraded"),
+        when(col("share_ppm") > splitPpm, lit("split"))
+          .when(col("share_ppm") < mergePpm, lit("merge"))
+          .otherwise(lit("healthy")).as("recommendation"))
+  }
+
   /** Index-health audit — the check a production ANN service runs
     * against its stored graph: how much of the corpus can beam search
     * REACH from the designated entry points within `hops` undirected

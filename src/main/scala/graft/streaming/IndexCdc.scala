@@ -325,6 +325,243 @@ object IndexCdc {
       }
       .start()
 
+  /** REBALANCE the sharded store — the operation the per-cell growth
+    * report ([[graft.operators.AnnIndex.shardGrowthReport]]) recommends,
+    * closing the sharded lifecycle loop (seed → CDC → report →
+    * rebalance): CDC drift makes cells grow apart, and this maintenance
+    * job re-quantizes exactly the cells whose share left the
+    * [mergePpm, splitPpm] band, touching nothing else.
+    *
+    *  - SPLIT (share > splitPpm, ≥ 2 members): the cell re-quantizes
+    *    into two — sub-centroid A is its lowest member id's vector,
+    *    sub-centroid B the member LEAST cosine-similar to A (the
+    *    2-point k-center seed; ties to the lower id), members reassigned
+    *    by the [[graft.operators.Similarity.ivfAssign]] rule (rounded
+    *    cosine, ties to the lower cell id). The lo half keeps the cell
+    *    id; the hi half gets the next unused id (max cent_id + 1, in
+    *    split-cell order).
+    *  - MERGE (share < mergePpm): the cell folds into its most
+    *    cosine-similar sibling among the cells doing neither (ties to
+    *    the lower id); its own store is emptied (tombstoned) and its
+    *    centroid dropped from the returned quantizer, so routing never
+    *    probes it again.
+    *  - Every cell whose membership changed gets a fresh cell-local
+    *    NN-Descent subgraph (membership changes invalidate a subgraph
+    *    the way the rebuild-fraction guard says batch inserts do);
+    *    every other cell's store is neither read nor rewritten beyond
+    *    its parquet footer (the member count).
+    *
+    * Commit is TWO-PHASE over the write-aside swap: every affected
+    * cell's `next_` pair is fully written before the first swap (a
+    * merge target's union must read its source's pre-rebalance vecs
+    * even when the source empties in the same rebalance, and a crash
+    * in phase 1 leaves every live store untouched), then each cell
+    * swaps atomically — at every instant a complete store exists under
+    * `current`/`prev_*`, with superseded prevs pruned once the swap
+    * commits (the sketch stores' protocol). CDC markers are
+    * preserved — split halves inherit the split cell's applied-batch
+    * marker, a merge target the max of its own and its source's.
+    * Returns (report, newCents): the report is
+    * one row per post-rebalance cell — (cell, n_members, action ∈
+    * kept | split_lo | split_hi | merge_target | merged_away) — and
+    * `newCents` is the updated (cent_id, cent_vec) quantizer serving
+    * and CDC route by from now on.
+    *
+    * Scale shape: decisions derive from per-cell footer counts and the
+    * bounded centroid matrix (both ≤ nCells driver rows); data moves
+    * only through the affected cells' keyed reassignment and their
+    * cell-local rebuilds. */
+  def rebalanceShardedStore(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      graphRounds: Int,
+      initBuckets: Int,
+      splitPpm: Long,
+      mergePpm: Long,
+      rebalanceId: Long): (DataFrame, DataFrame) = {
+    require(splitPpm > mergePpm && mergePpm >= 0)
+    import graft.functions.Functions.cosineSim
+    val centArr: Array[(Long, Seq[Float])] = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(centArr.nonEmpty, "rebalance requires a non-empty quantizer")
+    val cells = centArr.map(_._1)
+    def current(c: Long): org.apache.hadoop.fs.Path = {
+      val (fs, cur) = DocStreams.recoverStore(spark, cellDir(storeDir, c))
+      require(fs.exists(cur),
+        s"sharded index store $storeDir has no committed cell $c")
+      cur
+    }
+    val curPaths = cells.map(c => c -> current(c)).toMap
+    // per-cell member counts: parquet-footer reads only — untouched
+    // cells' DATA is never opened by this job
+    val counts: Map[Long, Long] =
+      cells.map(c => c -> spark.read.parquet(s"${curPaths(c)}/vecs").count()).toMap
+    val total = math.max(counts.values.sum, 1L)
+    def share(c: Long): Long = counts(c) * 1000000L / total
+    val splits = cells.filter(c => share(c) > splitPpm && counts(c) >= 2)
+    val merges = cells.filter(c => share(c) < mergePpm)
+    val pool = cells.filterNot(c => splits.contains(c) || merges.contains(c))
+    require(merges.isEmpty || pool.nonEmpty,
+      "every cell is splitting or merging — no merge target exists; " +
+        "widen the [mergePpm, splitPpm] band")
+    // merge targets: most-similar pool centroid, rounded cosine, tie to
+    // the lower id — a bounded (|merges| × |pool|) driver artifact
+    val centDf = cents.localCheckpoint()
+    val targetOf: Map[Long, Long] = if (merges.isEmpty) Map.empty else
+      centDf.filter(col("cent_id").isInCollection(merges))
+        .select(col("cent_id").as("m_id"), col("cent_vec").as("m_vec"))
+        .crossJoin(centDf.filter(col("cent_id").isInCollection(pool))
+          .select(col("cent_id").as("t_id"), col("cent_vec").as("t_vec")))
+        .select(col("m_id"), col("t_id"),
+          round(cosineSim(col("m_vec"), col("t_vec")), 6).as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (m, rs) =>
+          m -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+            .minBy { case (t, c) => (-c, t) }._1
+        }
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def buildGraph(members: DataFrame): DataFrame =
+      if (members.isEmpty) emptyGraph(spark)
+      else graft.operators.Similarity.nnDescent(
+        members, idCol, vecCol, k, graphRounds, initBuckets)
+    // two-phase commit: ALL next_ dirs are fully written (phase 1)
+    // before the first swap (phase 2) — a merge target's union must
+    // read its source's pre-rebalance vecs even when the source's own
+    // store swaps in the same rebalance (lazy reads + an eager swap
+    // would otherwise see the emptied source), and a crash in phase 1
+    // leaves every live store untouched
+    val pendingSwaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, org.apache.hadoop.fs.Path)]
+    def stageCell(c: Long, graph: DataFrame, vecs: DataFrame, marker: Long): Unit = {
+      val next = new org.apache.hadoop.fs.Path(
+        s"${cellDir(storeDir, c)}/next_rebalance_$rebalanceId")
+      graph.write.mode("overwrite").parquet(s"$next/graph")
+      vecs.write.mode("overwrite").parquet(s"$next/vecs")
+      writeMarker(fs, next, marker)
+      pendingSwaps += ((c, next))
+    }
+    val report = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val newCents = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    var nextId = cells.max + 1
+    val mergedInto: Map[Long, Seq[Long]] =
+      targetOf.toSeq.groupBy(_._2).map { case (t, ms) => t -> ms.map(_._1).sorted }
+    for ((c, cvec) <- centArr) {
+      if (splits.contains(c)) {
+        val hiId = nextId
+        nextId += 1
+        val members = spark.read.parquet(s"${curPaths(c)}/vecs").localCheckpoint()
+        val a = members.orderBy(col(idCol)).limit(1)
+          .select(col(vecCol)).collect()(0).getSeq[Float](0)
+        val b = members
+          .select(col(idCol), col(vecCol),
+            round(cosineSim(col(vecCol), lit(a.toArray)), 6).as("c"))
+          .orderBy(col("c").asc, col(idCol).asc).limit(1)
+          .select(col(vecCol)).collect()(0).getSeq[Float](0)
+        val subCents = graft.operators.Similarity.ivfCentroids(
+          spark.createDataFrame(java.util.List.of(
+              org.apache.spark.sql.Row(c, a), org.apache.spark.sql.Row(hiId, b)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("cent_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cent_vec",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType))))),
+          "cent_id", "cent_vec", Seq(c, hiId))
+        val reassigned = graft.operators.Similarity
+          .ivfAssign(members, idCol, vecCol, subCents).localCheckpoint()
+        val lo = reassigned.filter(col("cell") === c).select(col(idCol), col(vecCol))
+        val hiM = reassigned.filter(col("cell") === hiId).select(col(idCol), col(vecCol))
+        val marker = appliedBatch(fs, curPaths(c))
+        val loN = lo.count()
+        stageCell(c, buildGraph(lo), lo, marker)
+        stageCell(hiId, buildGraph(hiM), hiM, marker)
+        report += ((c, loN, "split_lo"))
+        report += ((hiId, counts(c) - loN, "split_hi"))
+        newCents += ((c, a))
+        newCents += ((hiId, b))
+      } else if (merges.contains(c)) {
+        val marker = appliedBatch(fs, curPaths(c))
+        stageCell(c, emptyGraph(spark),
+          spark.read.parquet(s"${curPaths(c)}/vecs").limit(0), marker)
+        report += ((c, 0L, "merged_away"))
+      } else if (mergedInto.contains(c)) {
+        val sources = mergedInto(c)
+        val union = (c +: sources)
+          .map(x => spark.read.parquet(s"${curPaths(x)}/vecs"))
+          .reduce(_ unionByName _)
+        val marker = (c +: sources).map(x => appliedBatch(fs, curPaths(x))).max
+        stageCell(c, buildGraph(union), union, marker)
+        report += ((c, counts(c) + sources.map(counts).sum, "merge_target"))
+        newCents += ((c, cvec))
+      } else {
+        // untouched: neither read (beyond the footer count) nor rewritten
+        report += ((c, counts(c), "kept"))
+        newCents += ((c, cvec))
+      }
+    }
+    // phase 2: every next_ dir is complete — swap them in
+    for ((c, next) <- pendingSwaps)
+      DocStreams.swapStore(fs, cellDir(storeDir, c), next, rebalanceId)
+    import spark.implicits._
+    val reportDf = report.toSeq.toDF("cell", "n_members", "action")
+    val centsDf = newCents.toSeq.toDF("cent_id", "cent_vec")
+      .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
+    (reportDf.orderBy(col("cell")), centsDf.orderBy(col("cent_id")))
+  }
+
+  /** Post-CDC MAINTENANCE WINDOW for the sharded store — the composition
+    * of [[startSharded]] (drift in) and [[rebalanceShardedStore]] (drift
+    * out), run the way production actually sequences them: the CDC
+    * stream drains continuously, and a periodic maintenance job reads
+    * the drifted per-cell footprints ([[graft.operators.AnnIndex
+    * .shardGrowthReport]]'s share rule over the LIVE stores' footer
+    * counts) and rebalances only if some cell left the
+    * [mergePpm, splitPpm] band — otherwise it touches nothing and
+    * reports every cell "kept". Returns the [[rebalanceShardedStore]]
+    * report either way (the no-op case synthesized from the footer
+    * counts alone), so the operator's readout is identical whether or
+    * not the window fired. */
+  def maintenanceWindow(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      graphRounds: Int,
+      initBuckets: Int,
+      splitPpm: Long,
+      mergePpm: Long,
+      rebalanceId: Long): (DataFrame, DataFrame) = {
+    val cells = cents.select(col("cent_id")).collect().map(_.getLong(0)).sorted
+    val counts = cells.map { c =>
+      val (fs, cur) = DocStreams.recoverStore(spark, cellDir(storeDir, c))
+      require(fs.exists(cur),
+        s"sharded index store $storeDir has no committed cell $c")
+      c -> spark.read.parquet(s"$cur/vecs").count()
+    }.toMap
+    val total = math.max(counts.values.sum, 1L)
+    val out = cells.exists { c =>
+      val share = counts(c) * 1000000L / total
+      share > splitPpm && counts(c) >= 2 || share < mergePpm
+    }
+    if (out)
+      rebalanceShardedStore(spark, storeDir, cents, idCol, vecCol,
+        k, graphRounds, initBuckets, splitPpm, mergePpm, rebalanceId)
+    else {
+      import spark.implicits._
+      (cells.map(c => (c, counts(c), "kept")).toSeq
+        .toDF("cell", "n_members", "action").orderBy(col("cell")),
+        cents.orderBy(col("cent_id")))
+    }
+  }
+
   private[graft] def mergeShardedCdcBatch(
       batch: DataFrame,
       batchId: Long,

@@ -123,6 +123,20 @@ class PlanSpec extends AnyFunSuite {
       .decodeMedia(graft.multimodal.Multimodal.synthesizeMediaAssets(ids))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"codec pipeline shuffles:\n$p")
+    // the round-14 ingestion/codec stages ride the same shuffle-free
+    // synthesize→decode mapPartitions chain: WARC-over-gzip, GIF, G.711
+    val pw = graft.multimodal.Multimodal
+      .parseWarcGzStats(graft.multimodal.Multimodal.synthesizeWarcGzAssets(ids))
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Exchange"), s"warc pipeline shuffles:\n$pw")
+    val pg = graft.multimodal.Multimodal
+      .decodeGifStats(graft.multimodal.Multimodal.synthesizeGifAssets(ids))
+      .queryExecution.executedPlan.toString
+    assert(!pg.contains("Exchange"), s"gif pipeline shuffles:\n$pg")
+    val pu = graft.multimodal.Multimodal
+      .decodeWavG711Stats(graft.multimodal.Multimodal.synthesizeWavG711Assets(ids))
+      .queryExecution.executedPlan.toString
+    assert(!pu.contains("Exchange"), s"g711 pipeline shuffles:\n$pu")
   }
 
   test("partitioned layout: the filter prunes to one partition directory") {

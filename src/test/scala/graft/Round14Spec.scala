@@ -493,4 +493,455 @@ class Round14Spec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("q_id", "n_id", "d2", "rank"))
     assert(out.count() == 0)
   }
+
+  // ------------------------------------------------------------------
+  // Shard growth report + rebalance (the q327/q329 lifecycle close)
+  // ------------------------------------------------------------------
+
+  test("shardGrowthReport: share boundaries, edge/degraded counts, " +
+      "and a drained cell still surfaces") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // cells: 0 holds 6/10 (60% -> split), 1 holds 3/10 (30% -> healthy),
+    // 2 holds 1/10 (10% -> merge)
+    val assigned = ((0L until 6L).map(i => (i, 0L)) ++
+      (10L until 13L).map(i => (i, 1L)) ++ Seq((20L, 2L)))
+      .toDF("vec_id", "cell")
+    // k = 2: node 101's 1-edge list is degraded, 100's 3-edge one is not;
+    // cell 2 has NO edges at all (one-member cell) and must still report
+    val index = Seq(
+      (0L, 100L, 1L, 1L, 1), (0L, 100L, 2L, 2L, 2), (0L, 100L, 3L, 3L, 3),
+      (0L, 101L, 1L, 1L, 1),
+      (1L, 200L, 5L, 1L, 1), (1L, 200L, 6L, 2L, 2))
+      .toDF("cell", "q_id", "n_id", "d2", "rank")
+    val rep = graft.operators.AnnIndex.shardGrowthReport(
+        index, assigned, "vec_id", k = 2,
+        splitPpm = 400000L, mergePpm = 200000L)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rep.toSeq == Seq(
+      (0L, 6L, 600000L, 4L, 1L, "split"),
+      (1L, 3L, 300000L, 2L, 0L, "healthy"),
+      (2L, 1L, 100000L, 0L, 0L, "merge")))
+  }
+
+  test("codecCoverageAudit: decoded/structure/sniffed/unrecognized all " +
+      "from genuine decode attempts; corrupt payloads downgrade, never fail") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bmp = graft.multimodal.Codecs.encodeBmp(3, 2, seed = 5L)
+    val heicShell = {
+      val b = new Array[Byte](24)
+      b(3) = 24; "ftypheic".getBytes("US-ASCII").copyToArray(b, 4)
+      "    mif1".getBytes("US-ASCII").copyToArray(b, 12)
+      b
+    }
+    val assets = Seq(
+      (0L, bmp),                                              // decodes
+      (1L, bmp.take(10)),                                     // magic survives, decode fails
+      (2L, graft.multimodal.Codecs.encodeMp4("isom", Seq(("vide", 4)))),
+      (3L, heicShell),                                        // ftyp, no moov
+      (4L, Array[Byte](1, 2, 3, 4, 5)))                       // no magic
+      .toDF("asset_id", "bytes")
+    val out = graft.multimodal.Multimodal.codecCoverageAudit(assets)
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0L, "bmp", "decoded"),
+      (1L, "bmp", "sniffed"),
+      (2L, "mp4", "structure"),
+      (3L, "heic", "sniffed"),
+      (4L, "unknown", "unrecognized")))
+  }
+
+  test("rebalanceShardedStore: split + merge verdicts applied, rebuilt " +
+      "graphs equal fresh builds, untouched cells never rewritten") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def v(x: Double, y: Double): Seq[Float] = Seq(x.toFloat, y.toFloat)
+    // cell 0: 8/20 = 40% -> split (A-group near [1,0], B-group near [0,-1]);
+    // cell 1: 5/20 = 25% -> kept, then receives cell 2's merge;
+    // cell 2: 1/20 = 5%  -> merged away (nearest pool centroid: 1);
+    // cell 3: 6/20 = 30% -> kept, UNTOUCHED (its store must not move)
+    val members = Seq(
+      (0L, v(1.0, 0.0), 0L), (1L, v(0.995, 0.1), 0L), (2L, v(0.99, 0.14), 0L),
+      (4L, v(0.98, 0.2), 0L),
+      (3L, v(-0.1, -0.995), 0L), (5L, v(0.05, -0.999), 0L),
+      (6L, v(0.0, -1.0), 0L), (7L, v(0.1, -0.995), 0L),
+      (10L, v(0.0, 1.0), 1L), (11L, v(0.05, 0.999), 1L), (12L, v(-0.05, 0.999), 1L),
+      (13L, v(0.1, 0.995), 1L), (14L, v(-0.1, 0.995), 1L),
+      (20L, v(0.6, 0.8), 2L),
+      (30L, v(-1.0, 0.0), 3L), (31L, v(-0.995, 0.1), 3L), (32L, v(-0.99, -0.14), 3L),
+      (33L, v(-0.98, 0.2), 3L), (34L, v(-0.995, -0.1), 3L), (35L, v(-0.98, -0.2), 3L))
+      .toDF("vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("cell"))
+      .localCheckpoint()
+    val cents = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.0, 1.0)), (2L, v(0.6, 0.8)), (3L, v(-1.0, 0.0)))
+      .toDF("cent_id", "cent_vec")
+      .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_r14_rebal").toString + "/store"
+    graft.streaming.IndexCdc.initShardedStore(spark, store, members,
+      "vec_id", "embedding", nCells = 4, graphK = 3, graphRounds = 2,
+      initBuckets = 4)
+    def dirState(c: Long): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$store/cell_$c/current")
+      d.listFiles().toSeq.map(f => (f.getName, f.lastModified())).sorted
+    }
+    val untouchedBefore = dirState(3L)
+    val (report, newCents) = graft.streaming.IndexCdc.rebalanceShardedStore(
+      spark, store, cents, "vec_id", "embedding", k = 3, graphRounds = 2,
+      initBuckets = 4, splitPpm = 350000L, mergePpm = 100000L, rebalanceId = 7L)
+    val rep = report.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rep.toSeq == Seq(
+      (0L, 4L, "split_lo"), (1L, 6L, "merge_target"), (2L, 0L, "merged_away"),
+      (3L, 6L, "kept"), (4L, 4L, "split_hi")))
+    // quantizer: merged centroid dropped; split lo = A (id 0's vector),
+    // split hi = B (the member least cosine-similar to A: id 3)
+    val nc = newCents.orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(nc.map(_._1).toSeq == Seq(0L, 1L, 3L, 4L))
+    assert(nc(0)._2 == v(1.0, 0.0) && nc(3)._2 == v(-0.1, -0.995))
+    // membership landed where the report says
+    val loIds = spark.read.parquet(s"$store/cell_0/current/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val hiIds = spark.read.parquet(s"$store/cell_4/current/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val tgtIds = spark.read.parquet(s"$store/cell_1/current/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(loIds == Seq(0L, 1L, 2L, 4L))
+    assert(hiIds == Seq(3L, 5L, 6L, 7L))
+    assert(tgtIds == Seq(10L, 11L, 12L, 13L, 14L, 20L))
+    assert(spark.read.parquet(s"$store/cell_2/current/vecs").count() == 0)
+    // rebuilt graphs equal fresh cell-local builds over the new membership
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "d2", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sorted.toSeq
+    val loFresh = graft.operators.Similarity.nnDescent(
+      members.filter(col("vec_id").isin(0L, 1L, 2L, 4L))
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", 3, 2, 4)
+    assert(rows(spark.read.parquet(s"$store/cell_0/current/graph")) == rows(loFresh))
+    val tgtFresh = graft.operators.Similarity.nnDescent(
+      members.filter(col("vec_id").isin(10L, 11L, 12L, 13L, 14L, 20L))
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", 3, 2, 4)
+    assert(rows(spark.read.parquet(s"$store/cell_1/current/graph")) == rows(tgtFresh))
+    // the untouched cell's store was neither rewritten nor swapped
+    assert(dirState(3L) == untouchedBefore)
+    // touched cells committed through the swap protocol: no staged
+    // next_ dirs linger, and superseded prevs are pruned post-commit
+    for (c <- Seq(0L, 1L, 2L, 4L)) {
+      assert(new java.io.File(s"$store/cell_$c/current").exists())
+      assert(!new java.io.File(s"$store/cell_$c/next_rebalance_7").exists())
+      assert(!new java.io.File(s"$store/cell_$c/prev_7").exists())
+    }
+  }
+
+  test("rebalance merge works when the target's id is HIGHER than the " +
+      "source's (two-phase commit: the union must read pre-swap vecs)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def v(x: Double, y: Double): Seq[Float] = Seq(x.toFloat, y.toFloat)
+    // cell 0: 1/20 = 5% -> merges; its nearest sibling is cell 2 — a
+    // LATER cell in the sweep, so the target's union is staged after
+    // the source's own store would have been emptied under an eager
+    // per-cell swap
+    val members = (Seq((0L, v(0.6, 0.8), 0L)) ++
+      (10L until 20L).map(i => (i, v(1.0, 0.001 * i), 1L)) ++
+      (30L until 39L).map(i => (i, v(0.001 * i, 1.0), 2L)))
+      .toDF("vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("cell"))
+      .localCheckpoint()
+    val cents = Seq((0L, v(0.6, 0.8)), (1L, v(1.0, 0.0)), (2L, v(0.0, 1.0)))
+      .toDF("cent_id", "cent_vec")
+      .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_r14_rebal_hi").toString + "/store"
+    graft.streaming.IndexCdc.initShardedStore(spark, store, members,
+      "vec_id", "embedding", nCells = 3, graphK = 3, graphRounds = 2,
+      initBuckets = 4)
+    val (report, _) = graft.streaming.IndexCdc.rebalanceShardedStore(
+      spark, store, cents, "vec_id", "embedding", k = 3, graphRounds = 2,
+      initBuckets = 4, splitPpm = 600000L, mergePpm = 100000L, rebalanceId = 2L)
+    val rep = report.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rep.toSeq == Seq(
+      (0L, 0L, "merged_away"), (1L, 10L, "kept"), (2L, 10L, "merge_target")))
+    val tgtIds = spark.read.parquet(s"$store/cell_2/current/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tgtIds == (0L +: (30L until 39L)).sorted)
+  }
+
+  test("maintenanceWindow: a no-op window (every share in band) " +
+      "touches no store and reports every cell kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def v(x: Double, y: Double): Seq[Float] = Seq(x.toFloat, y.toFloat)
+    val members = ((0L until 4L).map(i => (i, v(1.0, 0.001 * i), 0L)) ++
+      (10L until 13L).map(i => (i, v(0.001 * i, 1.0), 1L)) ++
+      (20L until 23L).map(i => (i, v(-1.0, 0.001 * i), 2L)))
+      .toDF("vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("cell"))
+      .localCheckpoint()
+    val cents = Seq((0L, v(1.0, 0.0)), (1L, v(0.0, 1.0)), (2L, v(-1.0, 0.0)))
+      .toDF("cent_id", "cent_vec")
+      .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_r14_window").toString + "/store"
+    graft.streaming.IndexCdc.initShardedStore(spark, store, members,
+      "vec_id", "embedding", nCells = 3, graphK = 3, graphRounds = 2,
+      initBuckets = 4)
+    def dirState(c: Long): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$store/cell_$c/current")
+      d.listFiles().toSeq.map(f => (f.getName, f.lastModified())).sorted
+    }
+    val before = (0L until 3L).map(dirState)
+    // shares are 40/30/30% — inside a [10%, 60%] band, so nothing fires
+    val (report, outCents) = graft.streaming.IndexCdc.maintenanceWindow(
+      spark, store, cents, "vec_id", "embedding", k = 3, graphRounds = 2,
+      initBuckets = 4, splitPpm = 600000L, mergePpm = 100000L,
+      rebalanceId = 5L)
+    val rep = report.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rep.toSeq == Seq((0L, 4L, "kept"), (1L, 3L, "kept"), (2L, 3L, "kept")))
+    assert(outCents.count() == 3)
+    assert((0L until 3L).map(dirState) == before)
+    // and a window whose band the big cell leaves DOES fire
+    val (report2, _) = graft.streaming.IndexCdc.maintenanceWindow(
+      spark, store, cents, "vec_id", "embedding", k = 3, graphRounds = 2,
+      initBuckets = 4, splitPpm = 350000L, mergePpm = 100000L,
+      rebalanceId = 6L)
+    val acts = report2.orderBy("cell").collect().map(_.getString(2)).toSeq
+    assert(acts.count(_ == "split_lo") == 1 && acts.count(_ == "split_hi") == 1)
+  }
+
+  // ------------------------------------------------------------------
+  // WARC-over-gzip ingestion (sources/Warc.scala)
+  // ------------------------------------------------------------------
+
+  test("gzip members: multi-member roundtrip, CRC/ISIZE validation, " +
+      "optional header fields skipped") {
+    import graft.sources.Warc
+    val a = "hello corpus".getBytes("US-ASCII")
+    val b = (0 until 3000).map(i => ('a' + i % 26).toChar).mkString.getBytes("US-ASCII")
+    val stream = Warc.gzipMember(a) ++ Warc.gzipMember(b)
+    val got = Warc.gzipMembers(stream).get
+    assert(got.length == 2)
+    assert(got(0).toSeq == a.toSeq && got(1).toSeq == b.toSeq)
+    // a member with FNAME set: header flag + zero-terminated name spliced in
+    val m = Warc.gzipMember(a)
+    val withName = m.take(3) ++ Array[Byte](0x08) ++ m.slice(4, 10) ++
+      "x.txt".getBytes("US-ASCII") ++ Array[Byte](0) ++ m.drop(10)
+    assert(Warc.gzipMembers(withName).get.head.toSeq == a.toSeq)
+    // corrupt CRC fails the whole object (nothing after it is trusted)
+    val bad = stream.clone()
+    bad(bad.length - 6) = (bad(bad.length - 6) ^ 0x01).toByte
+    assert(Warc.gzipMembers(bad).isEmpty)
+    // truncated trailer fails
+    assert(Warc.gzipMembers(stream.dropRight(3)).isEmpty)
+    assert(Warc.gzipMembers(Array.emptyByteArray).isEmpty)
+  }
+
+  test("WARC records: roundtrip, header names case-insensitive, " +
+      "length/terminator violations rejected") {
+    import graft.sources.Warc
+    val payload = "00 17 34".getBytes("US-ASCII")
+    val rec = Warc.formatRecord("response", "http://example.com/1/2", payload)
+    val parsed = Warc.parseRecord(rec).get
+    assert(parsed.recType == "response")
+    assert(parsed.targetUri == "http://example.com/1/2")
+    assert(parsed.contentLength == payload.length)
+    assert(parsed.payload.toSeq == payload.toSeq)
+    // case-insensitive header names
+    val mixed = new String(rec, "US-ASCII")
+      .replace("WARC-Type:", "warc-type:").getBytes("US-ASCII")
+    assert(Warc.parseRecord(mixed).get.recType == "response")
+    // a record whose Content-Length disagrees with the body is corrupt
+    val lied = new String(rec, "US-ASCII")
+      .replace(s"Content-Length: ${payload.length}", "Content-Length: 2")
+      .getBytes("US-ASCII")
+    assert(Warc.parseRecord(lied).isEmpty)
+    // missing closing CRLF CRLF
+    assert(Warc.parseRecord(rec.dropRight(2)).isEmpty)
+    assert(Warc.parseRecord("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // GIF (multimodal/Gif.scala) and G.711 (Codecs)
+  // ------------------------------------------------------------------
+
+  test("GIF: LZW roundtrip across code-width growth, interlace " +
+      "reorders storage but never pixels, corrupt streams drop") {
+    import graft.multimodal.Gif
+    for (id <- 0L until 40L) {
+      val w = (id % 19 + 1).toInt
+      val h = (id % 11 + 1).toInt
+      val bits = (id % 3 + 2).toInt
+      val img = Gif.decodeGif(
+        Gif.encodeGif(w, h, seed = id, paletteBits = bits,
+          interlaced = id % 2 == 1)).get
+      assert(img.width == w && img.height == h && img.paletteBits == bits)
+      assert(img.interlaced == (id % 2 == 1))
+      val k = 1 << bits
+      for (q <- 0 until w * h) {
+        val ix = Gif.pixelIndex(id, q, k)
+        val (r, g, b) = Gif.paletteEntry(ix)
+        assert(img.pixels(q) == ((r << 16) | (g << 8) | b),
+          s"id=$id q=$q")
+      }
+      // interlacing must be storage-only: same pixels either way
+      val seq = Gif.decodeGif(Gif.encodeGif(w, h, seed = id,
+        paletteBits = bits, interlaced = false)).get
+      assert(seq.pixels.toSeq == img.pixels.toSeq)
+    }
+    // a big enough frame to force several code-width growths
+    val big = Gif.decodeGif(Gif.encodeGif(60, 40, seed = 9L,
+      paletteBits = 4, interlaced = false)).get
+    assert(big.pixels.length == 2400)
+    // corruption: truncated payload and a clipped sub-block both drop
+    val bytes = Gif.encodeGif(10, 8, seed = 3L, paletteBits = 3,
+      interlaced = false)
+    assert(Gif.decodeGif(bytes.dropRight(6)).isEmpty)
+    assert(Gif.decodeGif(bytes.take(20)).isEmpty)
+    assert(graft.multimodal.Codecs.sniff(bytes).contains("gif"))
+  }
+
+  test("ustar: roundtrip with checksum validation; corrupt headers, " +
+      "bogus sizes, and missing terminators all stop the walk") {
+    import graft.sources.Tar
+    val members = Seq(
+      ("docs/a.txt", "00 17 34".getBytes("US-ASCII")),
+      ("docs/b.txt", Array.fill[Byte](600)('x')), // spans two data blocks
+      ("docs/empty.txt", Array.emptyByteArray))
+    val tar = Tar.encodeTar(members)
+    assert(tar.length % 512 == 0)
+    val got = Tar.parseTar(tar).get
+    assert(got.map(_.name) == members.map(_._1))
+    assert(got.map(_.size) == members.map(_._2.length.toLong))
+    assert(got.forall(_.typeflag == '0'))
+    assert(got(1).payload.toSeq == members(1)._2.toSeq)
+    // flip one header byte: the checksum must catch it
+    val bad = tar.clone()
+    bad(1) = (bad(1) ^ 0x01).toByte
+    assert(Tar.parseTar(bad).isEmpty)
+    // non-octal size field
+    val badSize = tar.clone()
+    badSize(124) = 'z'
+    assert(Tar.parseTar(badSize).isEmpty)
+    // truncate before the terminator blocks
+    assert(Tar.parseTar(tar.dropRight(1024)).isEmpty)
+    assert(Tar.parseTar(tar.dropRight(1)).isEmpty)
+  }
+
+  test("IMA ADPCM: state chain matches the reference step rules, " +
+      "fact chunk is authoritative, corrupt payloads drop") {
+    import graft.multimodal.Codecs
+    // single known chain from (pred 0, idx 0): nibble 7 (bits 0-2) ->
+    // diff = 7>>3 + 7>>2 + 7>>1 + 7 = 0+1+3+7 = 11, pred 11, idx 0+8=8
+    assert(Codecs.imaAdpcmStep(0, 0, 7) == ((11, 8)))
+    // nibble 15 from there: step(8)=16, diff = 2+4+8+16 = 30,
+    // sign bit -> 11-30 = -19, idx 8+8 = 16
+    assert(Codecs.imaAdpcmStep(11, 8, 15) == ((-19, 16)))
+    // clamps: predictor at the rails, index at 0 and 88
+    assert(Codecs.imaAdpcmStep(32767, 88, 7)._1 == 32767)
+    assert(Codecs.imaAdpcmStep(-32768, 88, 15)._1 == -32768)
+    assert(Codecs.imaAdpcmStep(0, 0, 0)._2 == 0)   // index floor
+    assert(Codecs.imaAdpcmStep(0, 88, 7)._2 == 88) // index ceiling
+    val wav = Codecs.encodeWavAdpcm(8000, nNibbles = 9, seed = 3L)
+    val (rate, xs) = Codecs.decodeWavAdpcm(wav).get
+    assert(rate == 8000 && xs.length == 10 && xs(0) == 0)
+    // replay the chain directly
+    var pred = 0; var sidx = 0
+    for (k <- 0 until 9) {
+      val st = Codecs.imaAdpcmStep(pred, sidx, ((3 + k) % 16))
+      pred = st._1; sidx = st._2
+      assert(xs(k + 1) == pred, s"k=$k")
+    }
+    // PCM and G.711 payloads are not ADPCM
+    assert(Codecs.decodeWavAdpcm(Codecs.encodeWav(8000, 1, 5, 1L)).isEmpty)
+    assert(Codecs.decodeWavAdpcm(
+      Codecs.encodeWavG711(8000, 1, 5, 1L, format = 7)).isEmpty)
+    // truncated data drops
+    assert(Codecs.decodeWavAdpcm(wav.dropRight(3)).isEmpty)
+  }
+
+  test("FLAC: per-class roundtrips, CRC validation, truncation drops") {
+    import graft.multimodal.Flac
+    def ramp(n: Int, f: Int => Int): Array[Int] = Array.tabulate(n)(f)
+    // constant / verbatim / fixed1 / fixed2, multiple frames
+    val constant = Seq((0, ramp(5, _ => 42)), (0, ramp(7, _ => -3)))
+    val dc = Flac.decodeFlac(Flac.encodeFlac(constant)).get
+    assert(dc.samples.toSeq == Seq.fill(5)(42) ++ Seq.fill(7)(-3))
+    assert(dc.subframeTypes == Seq("constant", "constant"))
+    assert(dc.sampleRate == 8000 && dc.bitsPerSample == 16)
+    val verb = Seq((1, ramp(9, k => k * 37 - 111)))
+    assert(Flac.decodeFlac(Flac.encodeFlac(verb)).get.samples.toSeq ==
+      verb.head._2.toSeq)
+    // fixed-1: a drifting ramp with varied residuals
+    val f1src = {
+      val xs = new Array[Int](20)
+      xs(0) = -50
+      for (k <- 1 until 20) xs(k) = xs(k - 1) + (k * 7 % 21) - 10
+      xs
+    }
+    val d1 = Flac.decodeFlac(Flac.encodeFlac(Seq((2, f1src)))).get
+    assert(d1.samples.toSeq == f1src.toSeq && d1.subframeTypes == Seq("fixed1"))
+    // fixed-2: curvature
+    val f2src = {
+      val xs = new Array[Int](20)
+      xs(0) = 10; xs(1) = 14
+      for (k <- 2 until 20) xs(k) = 2 * xs(k - 1) - xs(k - 2) + (k * 5 % 21) - 10
+      xs
+    }
+    val d2 = Flac.decodeFlac(Flac.encodeFlac(Seq((3, f2src)))).get
+    assert(d2.samples.toSeq == f2src.toSeq && d2.subframeTypes == Seq("fixed2"))
+    // corruption: a flipped FRAME bit must fail a CRC, not emit garbage
+    // (frames start at byte 42 — marker 4 + block header 4 + STREAMINFO
+    // 34; STREAMINFO itself is not CRC-protected)
+    val bytes = Flac.encodeFlac(Seq((1, ramp(9, k => k * 37 - 111))))
+    for (off <- Seq(bytes.length - 3, (42 + bytes.length) / 2, 43)) {
+      val bad = bytes.clone()
+      bad(off) = (bad(off) ^ 0x04).toByte
+      assert(Flac.decodeFlac(bad).isEmpty, s"flip at $off decoded")
+    }
+    assert(Flac.decodeFlac(bytes.dropRight(2)).isEmpty)
+    assert(graft.multimodal.Codecs.sniff(bytes).contains("flac"))
+  }
+
+  test("G.711: expansion matches the ITU-T reference points, " +
+      "encode/decode roundtrip, PCM entries untouched") {
+    import graft.multimodal.Codecs
+    // canonical table anchors: 0xFF/0x7F are +/-zero in mu-law; 0x80 is
+    // the positive max 32124; A-law 0x55 = -8, 0xD5 = +8, 0xAA = +/-...
+    assert(Codecs.ulawToLinear(0xff) == 0)
+    assert(Codecs.ulawToLinear(0x7f) == 0)
+    assert(Codecs.ulawToLinear(0x80) == 32124)
+    assert(Codecs.ulawToLinear(0x00) == -32124)
+    assert(Codecs.alawToLinear(0x55) == -8)
+    assert(Codecs.alawToLinear(0xd5) == 8)
+    assert(Codecs.alawToLinear(0x2a) == -32256)
+    assert(Codecs.alawToLinear(0xaa) == 32256)
+    val mu = Codecs.encodeWavG711(8000, 2, 30, seed = 5L, format = 7)
+    val (infoMu, fmtMu, xsMu) = Codecs.decodeWavG711(mu).get
+    assert(fmtMu == 7 && infoMu.sampleRate == 8000 &&
+      infoMu.channels == 2 && infoMu.nSamples == 30)
+    assert(xsMu.length == 60)
+    assert(xsMu(0) == Codecs.ulawToLinear(5))
+    val al = Codecs.encodeWavG711(8000, 1, 10, seed = 200L, format = 6)
+    val (_, fmtAl, xsAl) = Codecs.decodeWavG711(al).get
+    assert(fmtAl == 6 && xsAl(0) == Codecs.alawToLinear(200))
+    // a PCM16 wav is not a G.711 payload, and vice versa
+    assert(Codecs.decodeWavG711(Codecs.encodeWav(8000, 1, 5, seed = 1L)).isEmpty)
+    assert(Codecs.decodeWavSamples(mu).isEmpty)
+    // truncated payload drops
+    assert(Codecs.decodeWavG711(mu.dropRight(4)).isEmpty)
+  }
 }
