@@ -12341,7 +12341,646 @@ object Queries {
            |  floor(1e6 * (coalesce(n_hit, 0)::DOUBLE / 5))::BIGINT AS recall_ppm
            |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits USING (q_id)
            |ORDER BY q_id""".stripMargin
-      }))
+      }),
+
+    // Per-cell GROWTH report for the sharded index
+    // (AnnIndex.shardGrowthReport): the q313 maintenance-report analog
+    // the owner of the q322 sharded-CDC pipeline watches. CDC drift
+    // makes cells grow apart (hot tenants upsert, cold ones drain);
+    // per cell the report reads member count, corpus share in ppm,
+    // stored-edge volume and degraded-list count off the q314 artifact,
+    // and derives the action the shares imply — share above 30% →
+    // split, below 20% → merge, else healthy (4 cells, mean share
+    // 25%). The oracle replays the cosine assignment, all four
+    // per-cell NN-Descent chains, and the integer share arithmetic —
+    // a wrong share divisor, degraded threshold, or verdict boundary
+    // fails the hash. Scale: two aggregates over the assignment and
+    // the k·n edge table plus one broadcast 1-row total.
+    "q327_shard_growth_report" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val index = operators.AnnIndex.buildOrLoadSharded(assigned,
+          "vec_id", "embedding", nCells = 4, graphK = 10, graphRounds = 3,
+          initBuckets = 16, indexDir = annIndexDir(d, "sharded"))
+        operators.AnnIndex.shardGrowthReport(index, assigned, "vec_id",
+            k = 10, splitPpm = 300000L, mergePpm = 200000L)
+          .orderBy(col("cell"))
+      },
+      Some {
+        val cellChains = (0 to 3).map(c => nnGraphOracleCtes(10, 3,
+          s" WHERE vec_id IN (SELECT vec_id FROM assign WHERE cell = $c)",
+          p = s"s${c}_", lead = "")).mkString(",\n")
+        val stats = (0 to 3).map { c =>
+          s"""SELECT $c::BIGINT AS cell,
+             |    (SELECT count(*) FROM s${c}_nn3)::BIGINT AS n_edges,
+             |    (SELECT count(*) FROM (SELECT id FROM s${c}_nn3
+             |      GROUP BY id HAVING count(*) < 10))::BIGINT AS n_degraded"""
+            .stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+           |    embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+           |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c) WHERE rn = 1),
+           |$cellChains,
+           |stats AS ($stats),
+           |mem AS (SELECT cell, count(*)::BIGINT AS n_members
+           |  FROM assign GROUP BY cell),
+           |tot AS (SELECT count(*)::BIGINT AS n_total FROM assign)
+           |SELECT m.cell, m.n_members,
+           |  (m.n_members * 1000000 // t.n_total)::BIGINT AS share_ppm,
+           |  s.n_edges, s.n_degraded,
+           |  CASE WHEN m.n_members * 1000000 // t.n_total > 300000 THEN 'split'
+           |    WHEN m.n_members * 1000000 // t.n_total < 200000 THEN 'merge'
+           |    ELSE 'healthy' END AS recommendation
+           |FROM mem m JOIN stats s USING (cell) CROSS JOIN tot t
+           |ORDER BY cell""".stripMargin
+      }),
+
+    // Corpus-wide codec COVERAGE audit (Multimodal.codecCoverageAudit):
+    // the operational "how much of my 100 TB actually decodes" readout
+    // over the full 8-container census corpus, WEATHERED the way a real
+    // corpus is — every id % 17 = 5 payload is truncated to its first
+    // 10 bytes. Each asset's deepest pass genuinely RUNS (full decode
+    // for bmp/png/wav/avi/jpeg, VP8L for webp, the moov walk for
+    // ISO-BMFF) and the row reports what happened: decoded / structure
+    // (walked, payload untouched) / sniffed (recognized, payload
+    // undecodable — out-of-scope codec or corrupt stream) /
+    // unrecognized. Truncation splits by magic length: bmp/png/jpeg
+    // keep their short magics and downgrade to sniffed, while
+    // RIFF/ISO-BMFF magics need 12 bytes so wav/avi/webp/heic/mp4
+    // truncations fall to unknown — the oracle pins that split, so a
+    // decoder that starts throwing instead of skipping, or a sniff
+    // that misreads a truncated magic, fails the hash. Doubles as a
+    // canary over the whole decode surface: any decoder regression
+    // flips its class from decoded to sniffed. Scale: one
+    // partition-preserving mapPartitions + a fixed-width aggregate.
+    "q328_codec_coverage_audit" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeCensusAssets(t(s, d, "documents").select(col("doc_id")))
+        val weathered = assets.withColumn("bytes",
+          when(col("asset_id") % 17 === 5, substring(col("bytes"), 1, 10))
+            .otherwise(col("bytes")))
+        graft.multimodal.Multimodal.codecCoverageAudit(weathered)
+          .groupBy(col("container"), col("status"))
+          .agg(count(lit(1)).as("n_assets"))
+          .orderBy(col("container"), col("status"))
+      },
+      Some("""WITH cls AS (SELECT doc_id % 8 AS c,
+             |    (doc_id % 17 = 5) AS corrupt FROM documents),
+             |st AS (SELECT
+             |    CASE WHEN corrupt AND c IN (2, 3, 5, 6, 7) THEN 'unknown'
+             |      WHEN c = 0 THEN 'bmp' WHEN c = 1 THEN 'png'
+             |      WHEN c = 2 THEN 'wav' WHEN c = 3 THEN 'avi'
+             |      WHEN c = 4 THEN 'jpeg' WHEN c = 5 THEN 'webp'
+             |      WHEN c = 6 THEN 'heic' ELSE 'mp4' END AS container,
+             |    CASE WHEN corrupt AND c IN (2, 3, 5, 6, 7) THEN 'unrecognized'
+             |      WHEN corrupt THEN 'sniffed'
+             |      WHEN c IN (5, 6) THEN 'sniffed'
+             |      WHEN c = 7 THEN 'structure'
+             |      ELSE 'decoded' END AS status
+             |  FROM cls)
+             |SELECT container, status, count(*)::BIGINT AS n_assets
+             |FROM st GROUP BY 1, 2
+             |ORDER BY container, status""".stripMargin)),
+
+    // Shard REBALANCE (IndexCdc.rebalanceShardedStore): the operation
+    // q327's report recommends, closing the sharded lifecycle loop
+    // (seed → CDC → report → rebalance). Cells whose corpus share
+    // leaves the [15%, 25%] band are re-quantized — a heavy cell
+    // splits into two (sub-centroid A = its lowest member's vector,
+    // B = the member least cosine-similar to A, members reassigned by
+    // the ivfAssign rule; lo half keeps the id, hi half takes the next
+    // unused one), a light cell folds into its most-similar sibling
+    // and its centroid leaves the quantizer. Affected cells get fresh
+    // cell-local NN-Descent subgraphs committed through the write-aside
+    // swap, TWO-PHASE (all next_ pairs written before the first swap;
+    // CDC markers inherited); untouched cells are read only through their parquet
+    // footers. Round14Spec locks the rebuilt graphs equal to fresh
+    // builds and untouched stores byte-identical; the oracle replays
+    // the integer share arithmetic, both sub-centroid selections, the
+    // member reassignment, and the merge-target argmax — a wrong
+    // share boundary, tie-break, or reassignment rule fails the hash.
+    // Scale: decisions from nCells footer counts; data moves only
+    // through affected cells' keyed reassignment + local rebuilds.
+    "q329_shard_rebalance" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        // fresh per-run store: rebalance mutates it
+        val store = freshScratchDir("graft_q329_store")
+        graft.streaming.IndexCdc.initShardedStore(s, store, assigned,
+          "vec_id", "embedding", nCells = 4, graphK = 10, graphRounds = 3,
+          initBuckets = 16)
+        val (report, _) = graft.streaming.IndexCdc.rebalanceShardedStore(
+          s, store, cents, "vec_id", "embedding", k = 10, graphRounds = 3,
+          initBuckets = 16, splitPpm = 250000L, mergePpm = 150000L,
+          rebalanceId = 1L)
+        report.orderBy(col("cell"))
+      },
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id,
+             |    embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+             |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+             |      PARTITION BY ve.vec_id
+             |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+             |        c.cent_id) AS rn
+             |    FROM ve CROSS JOIN cents c) WHERE rn = 1),
+             |mem AS (SELECT c.cent_id AS cell, count(a.vec_id)::BIGINT AS n
+             |  FROM cents c LEFT JOIN assign a ON a.cell = c.cent_id
+             |  GROUP BY c.cent_id),
+             |tot AS (SELECT greatest(sum(n), 1)::BIGINT AS t FROM mem),
+             |shares AS (SELECT cell, n, (n * 1000000 // t.t)::BIGINT AS sp
+             |  FROM mem, tot t),
+             |spl AS (SELECT cell FROM shares WHERE sp > 250000 AND n >= 2),
+             |mrg AS (SELECT cell FROM shares WHERE sp < 150000),
+             |pool AS (SELECT cell FROM shares
+             |  WHERE cell NOT IN (SELECT cell FROM spl)
+             |    AND cell NOT IN (SELECT cell FROM mrg)),
+             |hi AS (SELECT cell,
+             |    (3 + row_number() OVER (ORDER BY cell))::BIGINT AS hi_cell
+             |  FROM spl),
+             |suba AS (SELECT a.cell, min(a.vec_id) AS a_id
+             |  FROM assign a JOIN spl s ON a.cell = s.cell GROUP BY a.cell),
+             |subb AS (SELECT cell, vec_id AS b_id FROM (
+             |    SELECT sa.cell, m.vec_id, row_number() OVER (PARTITION BY sa.cell
+             |      ORDER BY round(list_cosine_similarity(mv.e, av.e), 6) ASC,
+             |        m.vec_id) AS rn
+             |    FROM suba sa JOIN assign m ON m.cell = sa.cell
+             |      JOIN ve mv ON mv.vec_id = m.vec_id
+             |      JOIN ve av ON av.vec_id = sa.a_id) WHERE rn = 1),
+             |resplit AS (SELECT m.vec_id,
+             |    CASE WHEN round(list_cosine_similarity(mv.e, av.e), 6)
+             |        >= round(list_cosine_similarity(mv.e, bv.e), 6)
+             |      THEN m.cell ELSE h.hi_cell END AS cell
+             |  FROM assign m JOIN suba sa ON m.cell = sa.cell
+             |    JOIN subb sb ON m.cell = sb.cell JOIN hi h ON m.cell = h.cell
+             |    JOIN ve mv ON mv.vec_id = m.vec_id
+             |    JOIN ve av ON av.vec_id = sa.a_id
+             |    JOIN ve bv ON bv.vec_id = sb.b_id),
+             |mt AS (SELECT cell AS m_cell, tcell AS t_cell FROM (
+             |    SELECT mg.cell, p.cell AS tcell, row_number() OVER (
+             |      PARTITION BY mg.cell
+             |      ORDER BY round(list_cosine_similarity(mc.ce, pc.ce), 6) DESC,
+             |        p.cell) AS rn
+             |    FROM mrg mg JOIN pool p ON true
+             |      JOIN cents mc ON mc.cent_id = mg.cell
+             |      JOIN cents pc ON pc.cent_id = p.cell) WHERE rn = 1),
+             |finalm AS (SELECT vec_id, cell FROM resplit
+             |  UNION ALL SELECT a.vec_id, mt.t_cell AS cell
+             |    FROM assign a JOIN mt ON a.cell = mt.m_cell
+             |  UNION ALL SELECT a.vec_id, a.cell FROM assign a
+             |    WHERE a.cell NOT IN (SELECT cell FROM spl)
+             |      AND a.cell NOT IN (SELECT cell FROM mrg)),
+             |cnt AS (SELECT cell, count(*)::BIGINT AS n_members
+             |  FROM finalm GROUP BY cell),
+             |allc AS (SELECT cell FROM shares
+             |  UNION ALL SELECT hi_cell AS cell FROM hi),
+             |act AS (SELECT cell,
+             |    CASE WHEN cell IN (SELECT hi_cell FROM hi) THEN 'split_hi'
+             |      WHEN cell IN (SELECT cell FROM spl) THEN 'split_lo'
+             |      WHEN cell IN (SELECT cell FROM mrg) THEN 'merged_away'
+             |      WHEN cell IN (SELECT t_cell FROM mt) THEN 'merge_target'
+             |      ELSE 'kept' END AS action
+             |  FROM allc)
+             |SELECT a.cell, coalesce(c.n_members, 0)::BIGINT AS n_members,
+             |  a.action
+             |FROM act a LEFT JOIN cnt c USING (cell)
+             |ORDER BY cell""".stripMargin)),
+
+    // WARC-over-gzip crawl ingestion (sources/Warc.scala via
+    // Multimodal.parseWarcGzStats): the container the big public web
+    // crawls ship as, and the first real pass of a 100 TB text
+    // pipeline. Each asset is a *.warc.gz object whose records are
+    // INDIVIDUAL gzip members (the record-splittable crawl layout);
+    // the reader walks RFC 1952 members by hand — header flag fields,
+    // raw-DEFLATE inflate, per-member CRC32 + ISIZE validation — so a
+    // corrupt record drops one record, not the file tail, then parses
+    // each ISO 28500 WARC record (version line, named headers,
+    // Content-Length-delimited payload, CRLF CRLF close) and reduces
+    // its payload to token stats. The oracle predicts every field from
+    // id arithmetic — a wrong member boundary, header skip, length
+    // check, or terminator test fails the hash. Scale: one
+    // partition-preserving mapPartitions, bytes never on the driver.
+    "q330_warc_gz_ingest" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWarcGzAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.parseWarcGzStats(assets)
+          .orderBy(col("asset_id"), col("rec_idx"))
+      },
+      Some("""WITH recs AS (SELECT d.doc_id, r.r AS rec,
+             |    ((d.doc_id + r.r) % 40 + 1)::BIGINT AS n
+             |  FROM documents d, range(0, 3) r(r) WHERE r.r < d.doc_id % 3 + 1),
+             |sums AS (SELECT doc_id, rec,
+             |    sum((doc_id + 7 * j.j + 13 * rec) % 100)::BIGINT AS s
+             |  FROM recs, range(0, 40) j(j) WHERE j.j < n GROUP BY doc_id, rec)
+             |SELECT r.doc_id AS asset_id, r.rec::BIGINT AS rec_idx,
+             |  CASE r.rec % 3 WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'request'
+             |    ELSE 'response' END AS rec_type,
+             |  'http://example.com/' || r.doc_id || '/' || r.rec AS target_uri,
+             |  (3 * r.n - 1)::BIGINT AS content_length,
+             |  r.n AS n_tokens, s.s AS sum_tokens
+             |FROM recs r JOIN sums s ON r.doc_id = s.doc_id AND r.rec = s.rec
+             |ORDER BY asset_id, rec_idx""".stripMargin)),
+
+    // GIF decode (multimodal/Gif.scala): the remaining classic
+    // web-image class, with the REAL LZW stream — variable code width
+    // growing at each table-fill boundary, clear/EOI codes, the KwKwK
+    // case, LSB-first packing, 255-byte sub-block reassembly — plus
+    // extension-block skipping (every asset carries a Graphic Control
+    // Extension) and the four-pass row interlace on odd ids. Palette
+    // and index streams are closed-form in (id, pixel ordinal), so the
+    // oracle predicts the palette-resolved packed-RGB sum — a wrong
+    // growth boundary, KwKwK expansion, sub-block seam, deinterlace
+    // pass, or palette entry fails the hash. Interlace must reorder
+    // STORAGE, never pixels: odd and even ids pin the same sums.
+    // Scale: the q302 partition-preserving mapPartitions shape.
+    "q331_gif_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeGifAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeGifStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 19 + 1)::BIGINT AS w,
+             |    (doc_id % 11 + 1)::BIGINT AS h, (doc_id % 3 + 2)::BIGINT AS bits
+             |  FROM documents),
+             |px AS (SELECT doc_id,
+             |    ((doc_id + 3 * q.q) % (1 << bits))::BIGINT AS ix
+             |  FROM dims, range(0, 209) q(q) WHERE q.q < w * h),
+             |ps AS (SELECT doc_id, sum(((7 * ix + 1) % 256) * 65536 +
+             |    ((11 * ix + 2) % 256) * 256 + (13 * ix + 3) % 256)::BIGINT
+             |    AS pixel_sum
+             |  FROM px GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'gif' AS codec, d.w AS width,
+             |  d.h AS height, d.bits AS palette_bits,
+             |  (d.doc_id % 2 = 1) AS interlaced, ps.pixel_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // G.711 μ-law/A-law decode (Codecs.encodeWavG711/decodeWavG711):
+    // the telephony/call-center audio class every ASR corpus carries —
+    // 8-bit companded WAV (audio format 7/6) expanded to 16-bit linear
+    // by the exact ITU-T arithmetic (μ-law: complement, bias-shift by
+    // segment, sign from the complemented MSB; A-law: XOR 0x55,
+    // segment-scaled mantissa). Even ids μ-law, odd A-law. The oracle
+    // replays both expansions bit-for-bit over the id-predicted byte
+    // ramps — a wrong bias, segment shift, or sign convention fails
+    // the hash. Scale: one partition-preserving mapPartitions,
+    // fixed-width stats out, bytes never on the driver.
+    "q332_g711_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWavG711Assets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWavG711Stats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 2 + 1)::BIGINT AS ch,
+             |    (doc_id % 120 + 1)::BIGINT AS ns, (doc_id % 2 = 0) AS mu
+             |  FROM documents),
+             |bytes AS (SELECT doc_id, mu, ((doc_id + k.k) % 256)::BIGINT AS v
+             |  FROM p, range(0, 240) k(k) WHERE k.k < ns * ch),
+             |sm AS (SELECT doc_id,
+             |    CASE WHEN mu THEN (
+             |      CASE WHEN (255 - v) >= 128
+             |        THEN 132 - ((((255 - v) % 16) * 8 + 132)
+             |          * (1 << (((255 - v) // 16) % 8)))
+             |        ELSE ((((255 - v) % 16) * 8 + 132)
+             |          * (1 << (((255 - v) // 16) % 8))) - 132 END)
+             |    ELSE (
+             |      (CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END) *
+             |      (CASE WHEN (xor(v, 85) // 16) % 8 = 0
+             |          THEN (xor(v, 85) % 16) * 16 + 8
+             |        WHEN (xor(v, 85) // 16) % 8 = 1
+             |          THEN (xor(v, 85) % 16) * 16 + 264
+             |        ELSE ((xor(v, 85) % 16) * 16 + 264)
+             |          * (1 << (((xor(v, 85) // 16) % 8) - 1)) END))
+             |    END AS s
+             |  FROM bytes),
+             |agg AS (SELECT doc_id, sum(s)::BIGINT AS sum_pcm,
+             |    sum(abs(s))::BIGINT AS sum_abs, max(abs(s))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id,
+             |  CASE WHEN p.mu THEN 'ulaw' ELSE 'alaw' END AS codec,
+             |  8000::BIGINT AS sample_rate, p.ch AS n_channels,
+             |  p.ns AS n_frames, agg.sum_pcm, agg.sum_abs, agg.peak_abs
+             |FROM p JOIN agg USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // ustar tarball ingestion (sources/Tar.scala via
+    // Multimodal.parseTarStats): the other container text corpora
+    // actually ship in. Each archive's 512-byte headers are
+    // checksum-VALIDATED (checksum recomputed with the field blanked
+    // to spaces — a corrupt or misaligned header stops the walk;
+    // guessing past it would mis-slice every later member), sizes
+    // octal-parsed as Long and bounds-checked before the cursor
+    // advances, payloads reduced to token stats, the archive required
+    // to close with two zero blocks. The oracle predicts every member
+    // field from id arithmetic — a wrong octal parse, checksum rule,
+    // 512-padding, or terminator test fails the hash. Scale: one
+    // partition-preserving mapPartitions, bytes never on the driver.
+    "q333_tar_ingest" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeTarAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.parseTarStats(assets)
+          .orderBy(col("asset_id"), col("member_idx"))
+      },
+      Some("""WITH mem AS (SELECT d.doc_id, m.m AS m,
+             |    ((d.doc_id + 2 * m.m) % 30 + 1)::BIGINT AS n
+             |  FROM documents d, range(0, 3) m(m) WHERE m.m < d.doc_id % 3 + 1),
+             |sums AS (SELECT doc_id, m,
+             |    sum((doc_id + 5 * j.j + 11 * m) % 100)::BIGINT AS s
+             |  FROM mem, range(0, 30) j(j) WHERE j.j < n GROUP BY doc_id, m)
+             |SELECT r.doc_id AS asset_id, r.m::BIGINT AS member_idx,
+             |  'doc_' || r.doc_id || '_' || r.m || '.txt' AS name,
+             |  (3 * r.n - 1)::BIGINT AS size, '0' AS typeflag,
+             |  r.n AS n_tokens, s.s AS sum_tokens
+             |FROM mem r JOIN sums s ON r.doc_id = s.doc_id AND r.m = s.m
+             |ORDER BY asset_id, member_idx""".stripMargin)),
+
+    // IMA/DVI ADPCM decode (Codecs.encodeWavAdpcm/decodeWavAdpcm): the
+    // 4-bit telephony compression class (WAV format 0x11) — unlike
+    // G.711's memoryless table expansion, ADPCM is a STATE CHAIN: each
+    // nibble steps a (predictor, step-index) pair through the public
+    // step/index tables with clamps at both ends, the fact chunk
+    // carries the authoritative frame count, and the block header
+    // seeds the chain. The oracle replays the entire recursion in SQL
+    // (DuckDB WITH RECURSIVE over the 89-entry step table) — a wrong
+    // diff term, clamp bound, index delta, nibble order, or header
+    // seed diverges the chain and fails the hash on every asset.
+    // Scale: one partition-preserving mapPartitions; the state chain
+    // is per-asset-local, so parallelism is by asset exactly as at
+    // 100 TB.
+    "q334_adpcm_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWavAdpcmAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWavAdpcmStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some {
+        val steps = Seq(
+          7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+          34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+          143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+          494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+          1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+          4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+          10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+          24623, 27086, 29794, 32767)
+        val values = steps.zipWithIndex
+          .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+        s"""WITH RECURSIVE p AS (SELECT doc_id,
+           |    (doc_id % 100 + 1)::BIGINT AS ns FROM documents),
+           |steps(i, s) AS (VALUES $values),
+           |dec AS (
+           |  SELECT doc_id, -1::BIGINT AS k, 0::BIGINT AS pred,
+           |    0::BIGINT AS sidx, 0::BIGINT AS sum_pcm, 0::BIGINT AS sum_abs,
+           |    0::BIGINT AS peak
+           |  FROM p
+           |  UNION ALL
+           |  SELECT doc_id, k, np, nsi, sum_pcm + np, sum_abs + abs(np),
+           |    greatest(peak, abs(np))
+           |  FROM (
+           |    SELECT x.doc_id, x.k, x.sum_pcm, x.sum_abs, x.peak,
+           |      greatest(-32768, least(32767,
+           |        x.pred + (CASE WHEN x.n >= 8 THEN -x.diff ELSE x.diff END)))
+           |        AS np,
+           |      least(88, greatest(0, x.sidx + (CASE x.n % 8
+           |        WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+           |        ELSE -1 END))) AS nsi
+           |    FROM (
+           |      SELECT d.doc_id, d.k + 1 AS k, d.pred, d.sidx, d.sum_pcm,
+           |        d.sum_abs, d.peak,
+           |        ((d.doc_id + d.k + 1) % 16)::BIGINT AS n,
+           |        ((st.s // 8)
+           |          + (CASE WHEN (d.doc_id + d.k + 1) % 2 = 1
+           |              THEN st.s // 4 ELSE 0 END)
+           |          + (CASE WHEN ((d.doc_id + d.k + 1) % 16 // 2) % 2 = 1
+           |              THEN st.s // 2 ELSE 0 END)
+           |          + (CASE WHEN ((d.doc_id + d.k + 1) % 16 // 4) % 2 = 1
+           |              THEN st.s ELSE 0 END))::BIGINT AS diff
+           |      FROM dec d JOIN p USING (doc_id) JOIN steps st ON st.i = d.sidx
+           |      WHERE d.k + 1 < p.ns) x) y)
+           |SELECT d.doc_id AS asset_id, 'ima_adpcm' AS codec,
+           |  8000::BIGINT AS sample_rate, (p.ns + 1)::BIGINT AS n_frames,
+           |  d.sum_pcm, d.sum_abs, d.peak AS peak_abs
+           |FROM dec d JOIN p USING (doc_id)
+           |WHERE d.k = p.ns - 1
+           |ORDER BY asset_id""".stripMargin
+      }),
+
+    // Sharded-store MAINTENANCE WINDOW (IndexCdc.maintenanceWindow):
+    // the full online lifecycle composed end to end — the q322 CDC
+    // stream drains (deletes then upserts, per-cell tombstone/repair/
+    // insert), then the periodic maintenance job reads the DRIFTED
+    // per-cell footprints off the live stores' parquet footers and
+    // rebalances only if some cell left the [15%, 25%] share band
+    // (q329's split/merge policy over q327's share rule), reporting
+    // every cell either way. The oracle replays the post-CDC per-cell
+    // MEMBERSHIP (survivors ∪ routed upserts — the q322 routing
+    // without the graph chains) and then the full rebalance decision
+    // arithmetic over those drifted counts — a wrong footprint,
+    // share boundary, sub-centroid pick, reassignment, or merge
+    // target fails the hash. Scale: decisions from nCells footer
+    // counts; data moves only through the touched cells' batch merges
+    // and any rebalanced cells' keyed reassignment + local rebuilds.
+    "q335_shard_maintenance_window" -> Q(
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        def wipe(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        val cdcDir = java.nio.file.Paths.get(freshScratchDir("graft_q335_cdc"))
+        java.nio.file.Files.createDirectories(cdcDir)
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = cdcDir.resolve(s"${name}_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, cdcDir.resolve(name))
+          wipe(tmp)
+          cdcDir.resolve(name).toFile.setLastModified(mtime)
+        }
+        writeBatchFile(base.filter(col("vec_id") % 7 === 3)
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding")),
+          "b0.parquet", 1000000L)
+        writeBatchFile(emb.filter(col("vec_id") % 10 === 9)
+          .select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
+          "b1.parquet", 2000000L)
+        val store = freshScratchDir("graft_q335_store")
+        graft.streaming.IndexCdc.initShardedStore(s, store, assigned,
+          "vec_id", "embedding", nCells = 4, graphK = 10, graphRounds = 3,
+          initBuckets = 16)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q335_ckpt")
+        val cdc = s.readStream
+          .schema("op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(cdcDir.toString)
+        val q = graft.streaming.IndexCdc.startSharded(cdc, store,
+          ckpt.toString, cents, "vec_id", "embedding", k = 10,
+          entriesPerCell = 2, beam = 12, searchRounds = 3,
+          repairThreshold = 1L)
+        try q.processAllAvailable() finally { q.stop(); wipe(ckpt) }
+        val (report, _) = graft.streaming.IndexCdc.maintenanceWindow(
+          s, store, cents, "vec_id", "embedding", k = 10, graphRounds = 3,
+          initBuckets = 16, splitPpm = 250000L, mergePpm = 150000L,
+          rebalanceId = 100L)
+        report.orderBy(col("cell"))
+      },
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id,
+             |    embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+             |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+             |      PARTITION BY ve.vec_id
+             |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+             |        c.cent_id) AS rn
+             |    FROM ve CROSS JOIN cents c
+             |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+             |ups AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+             |      PARTITION BY ve.vec_id
+             |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+             |        c.cent_id) AS rn
+             |    FROM ve CROSS JOIN cents c
+             |    WHERE ve.vec_id % 10 = 9) WHERE rn = 1),
+             |fm0 AS MATERIALIZED (
+             |  SELECT vec_id, cell FROM assign WHERE vec_id % 7 <> 3
+             |  UNION ALL SELECT vec_id, cell FROM ups),
+             |mem AS (SELECT c.cent_id AS cell, count(f.vec_id)::BIGINT AS n
+             |  FROM cents c LEFT JOIN fm0 f ON f.cell = c.cent_id
+             |  GROUP BY c.cent_id),
+             |tot AS (SELECT greatest(sum(n), 1)::BIGINT AS t FROM mem),
+             |shares AS (SELECT cell, n, (n * 1000000 // t.t)::BIGINT AS sp
+             |  FROM mem, tot t),
+             |spl AS (SELECT cell FROM shares WHERE sp > 250000 AND n >= 2),
+             |mrg AS (SELECT cell FROM shares WHERE sp < 150000),
+             |pool AS (SELECT cell FROM shares
+             |  WHERE cell NOT IN (SELECT cell FROM spl)
+             |    AND cell NOT IN (SELECT cell FROM mrg)),
+             |fired AS (SELECT (EXISTS (SELECT 1 FROM spl)
+             |    OR EXISTS (SELECT 1 FROM mrg)) AS f),
+             |hi AS (SELECT cell,
+             |    (3 + row_number() OVER (ORDER BY cell))::BIGINT AS hi_cell
+             |  FROM spl),
+             |suba AS (SELECT f.cell, min(f.vec_id) AS a_id
+             |  FROM fm0 f JOIN spl s ON f.cell = s.cell GROUP BY f.cell),
+             |subb AS (SELECT cell, vec_id AS b_id FROM (
+             |    SELECT sa.cell, m.vec_id, row_number() OVER (PARTITION BY sa.cell
+             |      ORDER BY round(list_cosine_similarity(mv.e, av.e), 6) ASC,
+             |        m.vec_id) AS rn
+             |    FROM suba sa JOIN fm0 m ON m.cell = sa.cell
+             |      JOIN ve mv ON mv.vec_id = m.vec_id
+             |      JOIN ve av ON av.vec_id = sa.a_id) WHERE rn = 1),
+             |resplit AS (SELECT m.vec_id,
+             |    CASE WHEN round(list_cosine_similarity(mv.e, av.e), 6)
+             |        >= round(list_cosine_similarity(mv.e, bv.e), 6)
+             |      THEN m.cell ELSE h.hi_cell END AS cell
+             |  FROM fm0 m JOIN suba sa ON m.cell = sa.cell
+             |    JOIN subb sb ON m.cell = sb.cell JOIN hi h ON m.cell = h.cell
+             |    JOIN ve mv ON mv.vec_id = m.vec_id
+             |    JOIN ve av ON av.vec_id = sa.a_id
+             |    JOIN ve bv ON bv.vec_id = sb.b_id),
+             |mt AS (SELECT cell AS m_cell, tcell AS t_cell FROM (
+             |    SELECT mg.cell, p.cell AS tcell, row_number() OVER (
+             |      PARTITION BY mg.cell
+             |      ORDER BY round(list_cosine_similarity(mc.ce, pc.ce), 6) DESC,
+             |        p.cell) AS rn
+             |    FROM mrg mg JOIN pool p ON true
+             |      JOIN cents mc ON mc.cent_id = mg.cell
+             |      JOIN cents pc ON pc.cent_id = p.cell) WHERE rn = 1),
+             |finalm AS (SELECT vec_id, cell FROM resplit
+             |  UNION ALL SELECT f.vec_id, mt.t_cell AS cell
+             |    FROM fm0 f JOIN mt ON f.cell = mt.m_cell
+             |  UNION ALL SELECT f.vec_id, f.cell FROM fm0 f
+             |    WHERE f.cell NOT IN (SELECT cell FROM spl)
+             |      AND f.cell NOT IN (SELECT cell FROM mrg)),
+             |cnt AS (SELECT cell, count(*)::BIGINT AS n_members
+             |  FROM finalm GROUP BY cell),
+             |allc AS (SELECT cell FROM shares
+             |  UNION ALL SELECT hi_cell AS cell FROM hi),
+             |act AS (SELECT cell,
+             |    CASE WHEN NOT (SELECT f FROM fired) THEN 'kept'
+             |      WHEN cell IN (SELECT hi_cell FROM hi) THEN 'split_hi'
+             |      WHEN cell IN (SELECT cell FROM spl) THEN 'split_lo'
+             |      WHEN cell IN (SELECT cell FROM mrg) THEN 'merged_away'
+             |      WHEN cell IN (SELECT t_cell FROM mt) THEN 'merge_target'
+             |      ELSE 'kept' END AS action
+             |  FROM allc)
+             |SELECT a.cell, coalesce(c.n_members, 0)::BIGINT AS n_members,
+             |  a.action
+             |FROM act a LEFT JOIN cnt c USING (cell)
+             |ORDER BY cell""".stripMargin)),
+
+    // FLAC subset decode (multimodal/Flac.scala): the lossless audio
+    // format speech/music corpora actually ship in. Full bitstream
+    // parse — fLaC marker + STREAMINFO, 14-bit frame sync, UTF-8 frame
+    // numbers, CRC-8 header and CRC-16 frame checksums both VALIDATED
+    // — and the fixed-predictor subframe family: CONSTANT, VERBATIM,
+    // FIXED orders 1–2 with genuine Rice-coded residuals (zigzag fold,
+    // zeros-then-one unary quotient, 4-bit parameter). The oracle
+    // reconstructs every sample in closed form (order-1 = prefix sum
+    // of residuals, order-2 = x0 + n·d + Σ(n−k+1)·r_k) and pins the
+    // DECLARED subframe type — a wrong Rice fold, unary sense, warmup
+    // width, predictor recursion, or CRC rule fails the hash on every
+    // asset. LPC subframes / stereo decorrelation documented out of
+    // scope. Scale: the q302 partition-preserving mapPartitions shape.
+    "q336_flac_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeFlacAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeFlacStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 4 AS cls,
+             |    (doc_id % 3 + 1)::BIGINT AS nf FROM documents),
+             |fr AS (SELECT doc_id, cls, f.f AS f,
+             |    ((doc_id + f.f) % 40 + 3)::BIGINT AS ns
+             |  FROM p, range(0, 3) f(f) WHERE f.f < nf),
+             |sm AS (SELECT doc_id, f, n.n AS n,
+             |    CASE cls
+             |      WHEN 0 THEN (doc_id + 7 * f) % 200 - 100
+             |      WHEN 1 THEN (doc_id + 3 * n.n + f) % 200 - 100
+             |      WHEN 2 THEN (doc_id + f) % 200 - 100 +
+             |        (SELECT coalesce(sum((doc_id + 5 * k.k + f) % 21 - 10), 0)
+             |         FROM range(1, 43) k(k) WHERE k.k <= n.n)
+             |      ELSE (doc_id + f) % 200 - 100
+             |        + n.n * ((doc_id + f) % 11 - 5) +
+             |        (SELECT coalesce(sum(
+             |            (n.n - k.k + 1) * ((doc_id + 5 * k.k + f) % 21 - 10)), 0)
+             |         FROM range(2, 43) k(k) WHERE k.k <= n.n)
+             |    END AS s
+             |  FROM fr, range(0, 43) n(n) WHERE n.n < ns),
+             |agg AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+             |    sum(s)::BIGINT AS sum_pcm, sum(abs(s))::BIGINT AS sum_abs,
+             |    max(abs(s))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'flac' AS codec,
+             |  CASE p.cls WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
+             |    WHEN 2 THEN 'fixed1' ELSE 'fixed2' END AS subframe_type,
+             |  8000::BIGINT AS sample_rate, p.nf AS n_frames,
+             |  agg.n_samples, agg.sum_pcm, agg.sum_abs, agg.peak_abs
+             |FROM p JOIN agg USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -121,7 +121,21 @@ object ScaleProbe {
     // Ranks rewrite is scale, so the probe measures it: bucketed local
     // ranks + broadcast bases should track the per-customer aggregate's
     // growth with no single-partition window to bottleneck
-    "q151_revenue_deciles")
+    "q151_revenue_deciles",
+    // round-14: VP8L — brand-new entropy-decode machinery (canonical
+    // prefix groups + four inverse transforms) on the shuffle-free
+    // mapPartitions class; a direct probe shows it stays row-linear
+    "q325_webp_lossless_decode",
+    // round-14: WARC-over-gzip ingestion — per-asset member walk +
+    // Inflater + record parse, the text-corpus analog of the codec
+    // probes; growth should track rows
+    "q330_warc_gz_ingest",
+    // round-14: GIF — new LZW machinery (variable-width codes,
+    // sub-block reassembly, deinterlace) on the same class
+    "q331_gif_decode",
+    // round-14: FLAC — new Rice/fixed-predictor machinery with per-frame
+    // CRC validation on the same class
+    "q336_flac_decode")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -244,7 +258,29 @@ object ScaleProbe {
     "q314_sharded_ann_serve/q316_streaming_sharded_ann" ->
       "q290's fresh-store rationale per cell (four q282-class builds dominate any probe); serving is |queries|*beam keyed joins over partition-PRUNED shards — per-query cost is nprobe cells' subgraphs regardless of corpus width, which is the operator's scale claim and is plan-locked (PlanSpec PartitionFilters); the streaming twin adds only the excluded fixed micro-batch overhead",
     "q315_png_interlaced/q318_png_grayscale/q319_jpeg_422_decode/q320_png_16bit" ->
-      "per-asset inflate+unfilter / entropy-decode work in the shuffle-free mapPartitions codec class the probed q302/q307/q296 members time directly — Adam7 reorders the same bytes, grayscale is the same filters at bpp 1-2, and 4:2:2 is q296's decode with a different chroma axis")
+      "per-asset inflate+unfilter / entropy-decode work in the shuffle-free mapPartitions codec class the probed q302/q307/q296 members time directly — Adam7 reorders the same bytes, grayscale is the same filters at bpp 1-2, and 4:2:2 is q296's decode with a different chroma axis",
+    "q322_sharded_index_cdc" ->
+      "q312's rationale per cell: a probe replica dir gets FRESH cell stores, so the entry would measure the four q282-class seed builds (covered by q282's knob-scaled probe), not the per-batch maintenance it times; the per-cell batch work is the probed/locked delete+repair+insert shapes over ONLY the touched cells' stores — per-batch cost proportional to the batch's cell footprint by construction, with untouched cells never opened (path-scoped reads)",
+    "q323_wav_resample_rational" ->
+      "per-asset integer polyphase convolution in the q310/q321 excluded class — bounded taps per output frame (half-width max(L,M) on the upsampled grid), strictly row-linear like the decimating FIRs",
+    "q324_mp4_track_walk" ->
+      "one O(header-bytes) box walk per asset + fixed-width rows out — q311's census class, scan-bound by construction, no payload ever decoded",
+    "q326_layered_ann_serve" ->
+      "q290's fresh-store rationale twice over: a probe replica dir rebuilds BOTH the level-0 graph (q282's knob-scaled probe covers it) and the layer stack (~n/3 extra build by the geometric level sizes); the descent itself is three beam-sized seeded searches over layers holding ~n/4^l nodes — each stage the probed q288-class keyed-join shape",
+    "q327_shard_growth_report" ->
+      "reads the q314 artifact, so a probe replica dir pays the four q282-class cell builds (q314's rationale); the report itself is two aggregates over the assignment and the k*n edge table plus a broadcast 1-row total — the bounded-aggregate class every probed scan already measures",
+    "q328_codec_coverage_audit" ->
+      "per-asset decode attempts in the shuffle-free mapPartitions codec class — the audit runs exactly the decoders the probed members (q286/q296/q302/q305/q307/q325/q331) time directly, plus a fixed-width aggregate",
+    "q329_shard_rebalance" ->
+      "a rebalance run is dominated by the fresh per-cell NN-Descent seeds (initShardedStore) plus the changed cells' rebuilds — all q282-class builds whose scale behavior the knob-scaled probe covers; the decision inputs are nCells parquet-footer counts and the reassignment is one keyed ivfAssign pass over only the split cells' members",
+    "q332_g711_decode" ->
+      "per-byte table-free integer expansion — strictly less work per byte than any probed codec member (the q303/q310 excluded class)",
+    "q333_tar_ingest" ->
+      "header-walk + token split per member — strictly simpler per byte than the probed q330 (same token stats WITHOUT the Inflater); the 512-block walk is q311/q324's O(header) class",
+    "q334_adpcm_decode" ->
+      "per-nibble constant-work state chain — less work per byte than any probed entropy decoder; asset-local state, so parallelism is by asset (the q303/q332 excluded class)",
+    "q335_shard_maintenance_window" ->
+      "q322's rationale (fresh cell stores per probe dir — the seed builds dominate) plus the rebalance decision inputs being nCells parquet-footer counts; any fired rebalance is q329's excluded build class, and the CDC drain is the probed/locked per-cell batch shapes")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain
