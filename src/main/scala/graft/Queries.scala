@@ -12980,7 +12980,227 @@ object Queries {
              |  8000::BIGINT AS sample_rate, p.nf AS n_frames,
              |  agg.n_samples, agg.sum_pcm, agg.sum_abs, agg.peak_abs
              |FROM p JOIN agg USING (doc_id)
-             |ORDER BY asset_id""".stripMargin)))
+             |ORDER BY asset_id""".stripMargin)),
+
+    // ZIP archive ingestion (sources/Zip.scala via
+    // Multimodal.parseZipStats): the third container document corpora
+    // ship in. The walk goes through the CENTRAL DIRECTORY — the EOCD
+    // record located by scanning back from the tail, which is the only
+    // correct entry point (appended garbage, data descriptors and
+    // self-extractor stubs all break local-header streaming) — then
+    // each member reads through its local header: method 0 copied,
+    // method 8 inflated (real DEFLATE via Inflater), every payload
+    // CRC32-validated against the directory. Members alternate
+    // stored/DEFLATE by id so both paths sit under the hash. A wrong
+    // EOCD scan, directory stride, local-header skip, or CRC rule
+    // fails it. Scale: one partition-preserving mapPartitions.
+    "q337_zip_ingest" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeZipAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.parseZipStats(assets)
+          .orderBy(col("asset_id"), col("member_idx"))
+      },
+      Some("""WITH mem AS (SELECT d.doc_id, m.m AS m,
+             |    ((d.doc_id + 2 * m.m) % 30 + 1)::BIGINT AS n
+             |  FROM documents d, range(0, 3) m(m) WHERE m.m < d.doc_id % 3 + 1),
+             |sums AS (SELECT doc_id, m,
+             |    sum((doc_id + 5 * j.j + 11 * m) % 100)::BIGINT AS s
+             |  FROM mem, range(0, 30) j(j) WHERE j.j < n GROUP BY doc_id, m)
+             |SELECT r.doc_id AS asset_id, r.m::BIGINT AS member_idx,
+             |  'doc_' || r.doc_id || '_' || r.m || '.txt' AS name,
+             |  (CASE WHEN (r.doc_id + r.m) % 2 = 1 THEN 8 ELSE 0 END)::BIGINT
+             |    AS method,
+             |  (3 * r.n - 1)::BIGINT AS size, r.n AS n_tokens, s.s AS sum_tokens
+             |FROM mem r JOIN sums s ON r.doc_id = s.doc_id AND r.m = s.m
+             |ORDER BY asset_id, member_idx""".stripMargin)),
+
+    // MP3 frame census (multimodal/Mpeg.walkMp3): the structural walk
+    // an audio-corpus audit needs — ID3v2 tags skipped by their
+    // syncsafe 28-bit size, every ISO/IEC 11172-3 frame header parsed
+    // with the PER-FRAME padding bit honored in the stride (a wrong
+    // stride desyncs at the very next frame and fails the whole
+    // asset), bitrate/rate from the public index tables, duration from
+    // the 1152-samples-per-frame Layer III constant. Layer III entropy
+    // decode documented out of scope — the census is frames/rate/
+    // duration, which is what corpus triage reads. Scale: one
+    // partition-preserving mapPartitions over O(frames) header bytes.
+    "q338_mp3_frame_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMp3Assets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkMp3Stats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |      ELSE 32000 END AS rate,
+             |    CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+             |      ELSE 64 END AS kbps,
+             |    (doc_id % 25 + 1) AS nf
+             |  FROM documents)
+             |SELECT doc_id AS asset_id, 'mp3' AS codec,
+             |  rate::BIGINT AS sample_rate, kbps::BIGINT AS bitrate_kbps,
+             |  nf::BIGINT AS n_frames,
+             |  (nf * 1152 * 1000 // rate)::BIGINT AS duration_ms
+             |FROM p ORDER BY asset_id""".stripMargin)),
+
+    // Ogg page census (multimodal/Mpeg.walkOgg): the Xiph container
+    // walk — OggS capture pattern, lacing-value packet termination
+    // (a value < 255 completes a packet), per-stream page/packet
+    // counts and final granule, and EVERY page's CRC-32
+    // (poly 0x04c11db7, CRC field zeroed during computation)
+    // VALIDATED — a corrupt page drops the asset. Interleaved logical
+    // streams accumulate independently by serial. Codec payload decode
+    // (Vorbis/Opus) documented out of scope. Scale: one
+    // partition-preserving mapPartitions.
+    "q339_ogg_page_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeOggAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkOggStats(assets)
+          .orderBy(col("asset_id"), col("serial"))
+      },
+      Some("""WITH st AS (SELECT d.doc_id, s.s AS s,
+             |    ((d.doc_id + s.s) % 3 + 1)::BIGINT AS np
+             |  FROM documents d, range(0, 2) s(s) WHERE s.s < d.doc_id % 2 + 1),
+             |pk AS (SELECT doc_id, s,
+             |    sum((doc_id + s + p.p) % 3 + 1)::BIGINT AS n_packets
+             |  FROM st, range(0, 3) p(p) WHERE p.p < np GROUP BY doc_id, s)
+             |SELECT st.doc_id AS asset_id, (st.s + 7)::BIGINT AS serial,
+             |  st.np AS n_pages, pk.n_packets,
+             |  (st.doc_id + 100 * st.s + 10 * (st.np - 1))::BIGINT AS last_granule
+             |FROM st JOIN pk ON st.doc_id = pk.doc_id AND st.s = pk.s
+             |ORDER BY asset_id, serial""".stripMargin)),
+
+    // Mixed-container ingest FUNNEL (Multimodal.extractCorpusDocs):
+    // the one operator a 100 TB text pipeline actually starts with —
+    // nobody ships a single container format, so ONE pass sniffs each
+    // asset and extracts every document through the right walker:
+    // ustar members, WARC records out of per-record gzip members, ZIP
+    // members (stored + DEFLATE), all reduced to the same
+    // (document, token stats) contract downstream stages consume. The
+    // corpus cycles the three containers by id; the oracle predicts
+    // every document's stats per container class — a wrong sniff
+    // dispatch, member boundary, or extraction path fails the hash.
+    // Scale: one partition-preserving mapPartitions, bytes never on
+    // the driver; downstream is ordinary keyed relational flow.
+    "q340_mixed_corpus_funnel" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMixedCorpusAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.extractCorpusDocs(assets)
+          .orderBy(col("asset_id"), col("member_idx"))
+      },
+      Some("""WITH cls AS (SELECT doc_id, doc_id % 3 AS c,
+             |    (doc_id % 3 + 1)::BIGINT AS nm FROM documents),
+             |mem AS (SELECT doc_id, c, m.m AS m,
+             |    (CASE WHEN c = 1 THEN (doc_id + m.m) % 40 + 1
+             |      ELSE (doc_id + 2 * m.m) % 30 + 1 END)::BIGINT AS n
+             |  FROM cls, range(0, 3) m(m) WHERE m.m < nm),
+             |sums AS (SELECT doc_id, c, m,
+             |    sum(CASE WHEN c = 1 THEN (doc_id + 7 * j.j + 13 * m) % 100
+             |      ELSE (doc_id + 5 * j.j + 11 * m) % 100 END)::BIGINT AS st
+             |  FROM mem, range(0, 40) j(j) WHERE j.j < n GROUP BY doc_id, c, m)
+             |SELECT r.doc_id AS asset_id,
+             |  CASE r.c WHEN 0 THEN 'tar' WHEN 1 THEN 'warc' ELSE 'zip' END
+             |    AS container,
+             |  r.m::BIGINT AS member_idx, r.n AS n_tokens, s.st AS sum_tokens
+             |FROM mem r JOIN sums s ON r.doc_id = s.doc_id AND r.m = s.m
+             |ORDER BY asset_id, member_idx""".stripMargin)),
+
+    // HTML → visible text (TextAnalysis.extractHtmlText): the
+    // WET-generation step between the WARC fetch and tokenization,
+    // expressed entirely as CODEGEN'D column expressions (regexp +
+    // replace built-ins riding the scan — no UDF, no mapPartitions):
+    // script/style elements dropped WITH contents, comments dropped,
+    // tags stripped, the five predefined entities decoded with amp
+    // LAST (single-pass — "&amp;lt;" must yield literal "&lt;"),
+    // whitespace collapsed. Each document is wrapped in a fixture page
+    // carrying every hazard (a script whose body contains "<", a
+    // style block, a comment, attributes, entities) and the oracle
+    // applies the same chain in DuckDB — the regex subset is the
+    // Java-regex/RE2 agreement zone (the q127 discipline), so an
+    // engine-divergent pattern fails the hash. Scale: zero-shuffle
+    // scan-stage expressions.
+    "q341_html_text_extract" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val html = concat(
+          lit("<html><head><script type=\"t\">if (1<2) hidden</script>" +
+            "<style>p { }</style></head><body><!-- note -->\n<p id=\"a\">"),
+          col("text"),
+          lit("</p>\n<p>tail &amp; &lt;end&gt;</p></body></html>"))
+        docs.select(col("doc_id"),
+            TextAnalysis.extractHtmlText(html).as("extracted"))
+          .select(col("doc_id"),
+            size(split(col("extracted"), " ")).cast("long").as("n_tokens"),
+            col("extracted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    '<html><head><script type="t">if (1<2) hidden</script>' ||
+             |    '<style>p { }</style></head><body><!-- note -->' || chr(10) ||
+             |    '<p id="a">' || text || '</p>' || chr(10) ||
+             |    '<p>tail &amp; &lt;end&gt;</p></body></html>' AS html
+             |  FROM documents),
+             |e AS (SELECT doc_id,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(replace(replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(html,
+             |                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             |              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             |            '(?s)<!--.*?-->', ' ', 'g'),
+             |          '<[^>]*>', ' ', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |        '&apos;', ''''), '&amp;', '&'),
+             |      '\s+', ' ', 'g')) AS extracted
+             |  FROM h)
+             |SELECT doc_id,
+             |  length(string_split(extracted, ' '))::BIGINT AS n_tokens,
+             |  extracted
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + dedup (TextAnalysis.canonicalizeUrl): the
+    // normalize-before-dedup step a crawl frontier and a document-dedup
+    // pass both need — the same page arrives under mixed-case
+    // scheme/host, explicit default ports, fragments, and permuted
+    // query order. Five surface variants per logical URL collapse to
+    // two canonical groups (plain and with-query); the oracle predicts
+    // the CANONICAL STRINGS from id arithmetic — ground truth, not a
+    // replication of the regex chain — so a wrong port rule, fragment
+    // cut, query sort, or case fold fails the hash. Scale: zero-shuffle
+    // scan-stage normalization + one keyed aggregate.
+    "q342_url_canonical_dedup" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        val urls = docs.withColumn("url", expr(
+          """CASE CAST(doc_id % 5 AS INT)
+            |  WHEN 0 THEN concat('http://example.com/p', CAST(doc_id DIV 5 AS STRING))
+            |  WHEN 1 THEN concat('HTTP://EXAMPLE.COM:80/p', CAST(doc_id DIV 5 AS STRING))
+            |  WHEN 2 THEN concat('http://example.com/p', CAST(doc_id DIV 5 AS STRING), '#frag')
+            |  WHEN 3 THEN concat('http://example.com/p', CAST(doc_id DIV 5 AS STRING), '?b=2&a=1')
+            |  ELSE concat('http://example.com:80/p', CAST(doc_id DIV 5 AS STRING), '?a=1&b=2#x')
+            |END""".stripMargin))
+        urls
+          .withColumn("canonical_url",
+            TextAnalysis.canonicalizeUrl(col("url")))
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""WITH u AS (SELECT doc_id, doc_id // 5 AS k,
+             |    (doc_id % 5 >= 3) AS q FROM documents),
+             |g AS (SELECT k, q, count(*)::BIGINT AS n_variants,
+             |    min(doc_id) AS min_doc
+             |  FROM u GROUP BY k, q)
+             |SELECT 'http://example.com/p' || k ||
+             |    CASE WHEN q THEN '?a=1&b=2' ELSE '' END AS canonical_url,
+             |  n_variants, min_doc
+             |FROM g ORDER BY canonical_url""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

@@ -1608,6 +1608,20 @@ object Codecs {
     else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
       b(3) == 'C')
       Some("flac")
+    else if (b.length >= 4 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+      b(3) == 'S')
+      Some("ogg")
+    else if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      Some("mp3") // ID3v2-tagged MPEG audio
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+      Some("mp3") // bare MPEG audio frame sync
+    else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)
+      Some("zip")
+    else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      Some("gzip")
+    else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
+      b(259) == 't' && b(260) == 'a' && b(261) == 'r')
+      Some("tar")
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff)
       Some("jpeg")

@@ -1,0 +1,221 @@
+package graft.multimodal
+
+/** MPEG-audio (MP3) frame walk and Ogg page walk — the two remaining
+  * audio CONTAINER classes a mixed corpus census meets (per-frame
+  * entropy decode of Layer III / Vorbis is out of scope; what the
+  * census needs is the structural walk: how many frames/pages, what
+  * rate, how long). Both implemented against the public layouts:
+  * ISO/IEC 11172-3 frame headers (11-bit sync, version/layer bits,
+  * bitrate and sample-rate index tables, per-frame padding bit in the
+  * length arithmetic) with ID3v2 skip (syncsafe 28-bit size), and the
+  * Xiph Ogg page format (OggS capture, lacing-value packet
+  * termination, page CRC-32 poly 0x04c11db7 computed with the CRC
+  * field zeroed — VALIDATED, a corrupt page drops the asset). */
+object Mpeg {
+
+  // MPEG-1 Layer III tables (ISO/IEC 11172-3)
+  private val bitrateKbps = Array(
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val sampleRates = Array(44100, 48000, 32000, 0)
+
+  /** Frame byte length for MPEG-1 Layer III. */
+  def mp3FrameLen(kbps: Int, rate: Int, padding: Int): Int =
+    144 * kbps * 1000 / rate + padding
+
+  /** Synthesize: optional ID3v2 shell + `nFrames` valid MPEG-1 Layer
+    * III headers with zero audio payloads, per-frame padding bits from
+    * `padBit` (frame index → 0|1). */
+  def encodeMp3(
+      nFrames: Int,
+      bitrateIdx: Int,
+      rateIdx: Int,
+      id3Size: Int,
+      padBit: Int => Int): Array[Byte] = {
+    require(nFrames >= 1 && bitrateIdx >= 1 && bitrateIdx <= 14 &&
+      rateIdx >= 0 && rateIdx <= 2 && id3Size >= 0 && id3Size < (1 << 28))
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(3); out.write(0); out.write(0) // version 2.3, no flags
+      // syncsafe size: 4 x 7 bits
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      out.write(new Array[Byte](id3Size))
+    }
+    val rate = sampleRates(rateIdx)
+    val kbps = bitrateKbps(bitrateIdx)
+    for (f <- 0 until nFrames) {
+      val pad = padBit(f) & 1
+      val len = mp3FrameLen(kbps, rate, pad)
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+      frame(2) = ((bitrateIdx << 4) | (rateIdx << 2) | (pad << 1)).toByte
+      frame(3) = 0 // stereo, no extras
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  final case class Mp3Info(
+      sampleRate: Int,
+      bitrateKbps: Int,
+      nFrames: Long,
+      durationMs: Long)
+
+  /** Walk: skip one ID3v2 tag if present, then parse every frame
+    * header, honoring the per-frame padding bit in the stride — a
+    * wrong stride desyncs at the very next frame. Constant-bitrate
+    * streams only (rate/bitrate must not change mid-stream); anything
+    * malformed or truncated returns None. */
+  def walkMp3(b: Array[Byte]): Option[Mp3Info] = try {
+    var at = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      at = 10 + size
+    }
+    if (at >= b.length) return None
+    var rate = -1
+    var kbps = -1
+    var frames = 0L
+    while (at < b.length) {
+      if (at + 4 > b.length) return None
+      if ((b(at) & 0xff) != 0xff || (b(at + 1) & 0xfe) != 0xfa) return None
+      val hasCrc = (b(at + 1) & 0x01) == 0
+      if (hasCrc) return None // protected frames out of scope
+      val bIdx = (b(at + 2) >> 4) & 0x0f
+      val rIdx = (b(at + 2) >> 2) & 0x03
+      val pad = (b(at + 2) >> 1) & 0x01
+      if (bIdx == 0 || bIdx == 15 || rIdx == 3) return None
+      val r = sampleRates(rIdx)
+      val k = bitrateKbps(bIdx)
+      if (rate < 0) { rate = r; kbps = k }
+      else if (rate != r || kbps != k) return None // VBR out of scope
+      val len = mp3FrameLen(k, r, pad)
+      if (at + len > b.length) return None
+      at += len
+      frames += 1
+    }
+    if (frames == 0) None
+    else Some(Mp3Info(rate, kbps, frames, frames * 1152L * 1000L / rate))
+  } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------------
+  // Ogg
+  // ------------------------------------------------------------------
+
+  // Ogg page CRC: poly 0x04c11db7, not reflected, init 0, no final xor
+  private val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private def oggCrc(b: Array[Byte], from: Int, until: Int, zeroFrom: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      val v = if (i >= zeroFrom && i < zeroFrom + 4) 0 else b(i) & 0xff
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ v) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** One Ogg page: packets as lacing runs (a packet of n bytes emits
+    * n/255 lacing values of 255 then one of n mod 255 — a multiple of
+    * 255 is continued by a 0 lacing value, per the spec). */
+  def encodeOggPage(
+      serial: Int,
+      pageSeq: Int,
+      granule: Long,
+      headerType: Int,
+      packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacing = packets.flatMap { p =>
+      val full = p.length / 255
+      Seq.fill(full)(255) :+ (p.length % 255)
+    }
+    require(lacing.length <= 255, "too many lacing values for one page")
+    val body = packets.flatMap(_.toSeq).toArray
+    val page = new Array[Byte](27 + lacing.length + body.length)
+    "OggS".getBytes("US-ASCII").copyToArray(page, 0)
+    page(4) = 0
+    page(5) = headerType.toByte
+    var i = 0
+    while (i < 8) { page(6 + i) = ((granule >> (8 * i)) & 0xff).toByte; i += 1 }
+    i = 0
+    while (i < 4) {
+      page(14 + i) = ((serial >> (8 * i)) & 0xff).toByte
+      page(18 + i) = ((pageSeq >> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    page(26) = lacing.length.toByte
+    lacing.zipWithIndex.foreach { case (v, ix) => page(27 + ix) = v.toByte }
+    body.copyToArray(page, 27 + lacing.length)
+    val crc = oggCrc(page, 0, page.length, 22)
+    i = 0
+    while (i < 4) { page(22 + i) = ((crc >> (8 * i)) & 0xff).toByte; i += 1 }
+    page
+  }
+
+  final case class OggStream(
+      serial: Long,
+      nPages: Long,
+      nPackets: Long,
+      lastGranule: Long)
+
+  /** Walk every page, VALIDATING each CRC; count pages and COMPLETED
+    * packets (a lacing value < 255 terminates a packet) per stream
+    * serial and keep the last granule position. None on bad capture,
+    * truncation, or any CRC mismatch. */
+  def walkOgg(b: Array[Byte]): Option[Seq[OggStream]] = try {
+    var at = 0
+    val pages = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long, Long)] // serial -> (pages, packets, granule)
+    if (b.length == 0) return None
+    while (at < b.length) {
+      if (at + 27 > b.length) return None
+      if (b(at) != 'O' || b(at + 1) != 'g' || b(at + 2) != 'g' || b(at + 3) != 'S')
+        return None
+      if (b(at + 4) != 0) return None
+      var granule = 0L
+      var i = 0
+      while (i < 8) { granule |= (b(at + 6 + i) & 0xffL) << (8 * i); i += 1 }
+      var serial = 0L
+      i = 0
+      while (i < 4) { serial |= (b(at + 14 + i) & 0xffL) << (8 * i); i += 1 }
+      var stored = 0L
+      i = 0
+      while (i < 4) { stored |= (b(at + 22 + i) & 0xffL) << (8 * i); i += 1 }
+      val nSeg = b(at + 26) & 0xff
+      if (at + 27 + nSeg > b.length) return None
+      var bodyLen = 0
+      var packets = 0L
+      i = 0
+      while (i < nSeg) {
+        val v = b(at + 27 + i) & 0xff
+        bodyLen += v
+        if (v < 255) packets += 1
+        i += 1
+      }
+      val end = at + 27 + nSeg + bodyLen
+      if (end > b.length) return None
+      if ((oggCrc(b, at, end, at + 22).toLong & 0xffffffffL) != stored) return None
+      val (p0, k0, _) = pages.getOrElse(serial, (0L, 0L, 0L))
+      pages.update(serial, (p0 + 1, k0 + packets, granule))
+      at = end
+    }
+    Some(pages.toSeq.map { case (s, (p, k, g)) => OggStream(s, p, k, g) })
+  } catch { case _: Exception => None }
+}

@@ -419,6 +419,17 @@ object Multimodal {
             (c, if (fenced(Flac.decodeFlac(bytes))) "decoded" else "sniffed")
           case Some(c @ "webp") =>
             (c, if (fenced(Vp8l.decode(bytes))) "decoded" else "sniffed")
+          case Some(c @ "zip") =>
+            (c, if (fenced(graft.sources.Zip.parseZip(bytes))) "decoded" else "sniffed")
+          case Some(c @ "tar") =>
+            (c, if (fenced(graft.sources.Tar.parseTar(bytes))) "decoded" else "sniffed")
+          case Some(c @ "gzip") =>
+            (c, if (fenced(graft.sources.Warc.gzipMembers(bytes))) "decoded"
+            else "sniffed")
+          case Some(c @ "mp3") => // structural frame walk, no audio decode
+            (c, if (fenced(Mpeg.walkMp3(bytes))) "structure" else "sniffed")
+          case Some(c @ "ogg") => // page walk, no codec decode
+            (c, if (fenced(Mpeg.walkOgg(bytes))) "structure" else "sniffed")
           case Some(c) => // heic | mp4 — ISO-BMFF: structure walk only
             (c, if (fenced(Codecs.walkMp4(bytes))) "structure" else "sniffed")
           case None => ("unknown", "unrecognized")
@@ -781,6 +792,249 @@ object Multimodal {
           Row(id, "flac", a.subframeTypes.distinct.mkString("+"),
             a.sampleRate.toLong, a.subframeTypes.length.toLong,
             a.samples.length.toLong, sum, sa, pk)
+        }
+      }
+    }(enc)
+  }
+
+  /** ZIP document corpus — one archive per id with 1–3 members, the
+    * compression method alternating stored/DEFLATE per member, fixed-
+    * width token payloads ([[graft.sources.Zip.encodeZip]]). */
+  def synthesizeZipAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeZipAssets needs non-negative ids, got $i")
+        val members = (0 until (i % 3 + 1).toInt).map { m =>
+          val n = ((i + 2 * m) % 30 + 1).toInt
+          val payload = (0 until n)
+            .map(j => f"${(i + 5L * j + 11L * m) % 100}%02d")
+            .mkString(" ").getBytes("US-ASCII")
+          (s"doc_${i}_$m.txt", payload, (i + m) % 2 == 1)
+        }
+        Row(i, graft.sources.Zip.encodeZip(members))
+      }
+    }(enc)
+  }
+
+  /** ZIP ingestion stats — central-directory walk, stored + DEFLATE
+    * members extracted and CRC32-validated
+    * ([[graft.sources.Zip.parseZip]]), payloads reduced to token
+    * stats. One row per member in directory order; unwalkable archives
+    * drop. Partition-preserving, driver-free. */
+  def parseZipStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("member_idx", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("method", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("sum_tokens", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        graft.sources.Zip.parseZip(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          members =>
+            members.zipWithIndex.map { case (m, ix) =>
+              val toks = new String(m.payload, "US-ASCII")
+                .split(" ").filter(_.nonEmpty)
+              Row(id, ix.toLong, m.name, m.method.toLong, m.size,
+                toks.length.toLong, toks.map(_.toLong).sum)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** MP3 corpus — MPEG-1 Layer III streams with id-derived frame
+    * counts, bitrate/rate indices, per-frame padding bits, and an
+    * ID3v2 tag on every third asset ([[Mpeg.encodeMp3]]). */
+  def synthesizeMp3Assets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMp3Assets needs non-negative ids, got $i")
+        Row(i, Mpeg.encodeMp3(
+          nFrames = (i % 25 + 1).toInt,
+          bitrateIdx = Seq(9, 11, 5)((i % 3).toInt),
+          rateIdx = ((i / 3) % 3).toInt,
+          id3Size = if (i % 3 == 0) (i % 200 + 10).toInt else 0,
+          padBit = f => ((i + f) % 2).toInt))
+      }
+    }(enc)
+  }
+
+  /** MP3 frame census ([[Mpeg.walkMp3]] — ID3v2 skip, per-frame
+    * padding honored in the stride): rate, bitrate, frame count,
+    * duration. Unwalkable streams drop. Partition-preserving. */
+  def walkMp3Stats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("bitrate_kbps", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Mpeg.walkMp3(r.getAs[Array[Byte]](1)).map { info =>
+          Row(id, "mp3", info.sampleRate.toLong, info.bitrateKbps.toLong,
+            info.nFrames, info.durationMs)
+        }
+      }
+    }(enc)
+  }
+
+  /** Ogg corpus — 1–2 logical streams per asset, id-derived page and
+    * packet counts and granule positions, every page carrying its real
+    * CRC ([[Mpeg.encodeOggPage]]). */
+  def synthesizeOggAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeOggAssets needs non-negative ids, got $i")
+        val out = new java.io.ByteArrayOutputStream()
+        for (s <- 0 until (i % 2 + 1).toInt) {
+          val nPages = ((i + s) % 3 + 1).toInt
+          for (pg <- 0 until nPages) {
+            val packets = (0 until ((i + s + pg) % 3 + 1).toInt).map { k =>
+              Array.tabulate(((i + 7 * pg + s + k) % 40 + 1).toInt)(
+                j => ((i + j + k) % 256).toByte)
+            }
+            out.write(Mpeg.encodeOggPage(
+              serial = (s + 7).toInt, pageSeq = pg,
+              granule = i + 100L * s + 10L * pg,
+              headerType = if (pg == 0) 2 else if (pg == nPages - 1) 4 else 0,
+              packets = packets))
+          }
+        }
+        Row(i, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Ogg page census ([[Mpeg.walkOgg]] — every page CRC-validated):
+    * per logical stream (serial), page count, completed-packet count,
+    * final granule. Unwalkable streams drop. Partition-preserving. */
+  def walkOggStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("serial", LongType, nullable = false),
+      StructField("n_pages", LongType, nullable = false),
+      StructField("n_packets", LongType, nullable = false),
+      StructField("last_granule", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Mpeg.walkOgg(r.getAs[Array[Byte]](1)).toSeq.flatMap { streams =>
+          streams.map(s => Row(id, s.serial, s.nPages, s.nPackets, s.lastGranule))
+        }
+      }
+    }(enc)
+  }
+
+  /** Mixed-container document corpus for the ingest FUNNEL: id mod 3
+    * cycles ustar / *.warc.gz / ZIP, each holding its id-predicted
+    * fixed-width-token documents — the realistic shape of a 100 TB
+    * text drop (nobody ships one container format). */
+  def synthesizeMixedCorpusAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMixedCorpusAssets needs non-negative ids, got $i")
+        def toks(n: Int, f: Int => Long): Array[Byte] =
+          (0 until n).map(j => f"${f(j)}%02d").mkString(" ").getBytes("US-ASCII")
+        val bytes = (i % 3) match {
+          case 0 =>
+            graft.sources.Tar.encodeTar((0 until (i % 3 + 1).toInt).map { m =>
+              (s"doc_${i}_$m.txt",
+                toks(((i + 2 * m) % 30 + 1).toInt, j => (i + 5L * j + 11L * m) % 100))
+            })
+          case 1 =>
+            graft.sources.Warc.encodeWarcGz((0 until (i % 3 + 1).toInt).map { rec =>
+              (Seq("warcinfo", "request", "response")(rec % 3),
+                s"http://example.com/$i/$rec",
+                toks(((i + rec) % 40 + 1).toInt, j => (i + 7L * j + 13L * rec) % 100))
+            })
+          case _ =>
+            graft.sources.Zip.encodeZip((0 until (i % 3 + 1).toInt).map { m =>
+              (s"doc_${i}_$m.txt",
+                toks(((i + 2 * m) % 30 + 1).toInt, j => (i + 5L * j + 11L * m) % 100),
+                (i + m) % 2 == 1)
+            })
+        }
+        Row(i, bytes)
+      }
+    }(enc)
+  }
+
+  /** The ingest FUNNEL: one pass over a mixed-container corpus that
+    * sniffs each asset and extracts EVERY document through the right
+    * walker — ustar members, WARC records out of per-record gzip
+    * members, ZIP members (stored + DEFLATE) — reducing each document
+    * to token stats. The one operator a text pipeline actually starts
+    * with at 100 TB: containers vary, the downstream contract
+    * (documents + stats) does not. Unrecognized or corrupt assets drop
+    * whole (skip-not-fail); a corrupt member inside a walkable
+    * container drops per the container's own validation rules.
+    * Partition-preserving, bytes never on the driver. */
+  def extractCorpusDocs(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("member_idx", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("sum_tokens", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        def stats(payloads: Seq[Array[Byte]], container: String): Seq[Row] =
+          payloads.zipWithIndex.map { case (p, ix) =>
+            val toks = new String(p, "US-ASCII").split(" ").filter(_.nonEmpty)
+            Row(id, container, ix.toLong, toks.length.toLong,
+              toks.map(_.toLong).sum)
+          }
+        Codecs.sniff(bytes) match {
+          case Some("tar") =>
+            graft.sources.Tar.parseTar(bytes).toSeq
+              .flatMap(ms => stats(ms.map(_.payload), "tar"))
+          case Some("gzip") =>
+            graft.sources.Warc.gzipMembers(bytes).toSeq.flatMap { members =>
+              val recs = members.flatMap(graft.sources.Warc.parseRecord)
+              if (recs.length != members.length) Seq.empty // corrupt record set
+              else stats(recs.map(_.payload), "warc")
+            }
+          case Some("zip") =>
+            graft.sources.Zip.parseZip(bytes).toSeq
+              .flatMap(ms => stats(ms.map(_.payload), "zip"))
+          case _ => Seq.empty
         }
       }
     }(enc)

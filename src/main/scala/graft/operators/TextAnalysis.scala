@@ -1758,4 +1758,60 @@ object TextAnalysis {
           col("true_rank") <= col("target_rank") + col("est_wv") - 1 + col("eb"))
           .as("within_bound")): _*)
   }
+
+  /** HTML → visible text — the WET-generation step every web-crawl
+    * text pipeline runs between the WARC fetch and tokenization,
+    * expressed as a chain of CODEGEN'D column expressions (regexp and
+    * replace built-ins — no UDF, so the whole stage rides the scan):
+    * script and style elements dropped WITH their contents (visible
+    * text never includes them), comments dropped, remaining tags
+    * stripped, the five predefined entities decoded (amp LAST — the
+    * single-pass rule, so "&amp;lt;" yields the literal "&lt;" and is
+    * not double-decoded), whitespace collapsed. The regex subset is
+    * the Java-regex/RE2 agreement zone (the q127 discipline):
+    * non-greedy dotall element bodies, a plain tag class — no
+    * backrefs, no lookaround. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&apos;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** URL canonicalization — the normalize-before-dedup step a crawl
+    * frontier and a document-dedup pass both need (the same page
+    * arrives as HTTP://Host:80/a?b=2&a=1#frag and http://host/a?a=1&b=2):
+    * scheme and host lowercased, default ports stripped (:80 for http,
+    * :443 for https), the fragment dropped, query parameters SORTED
+    * (order never changes server semantics for idempotent GETs — the
+    * standard canonicalizer assumption), and a bare authority given
+    * the "/" path. Pure column expressions — regexp_extract +
+    * sort_array over the split query — in the Java-regex/RE2
+    * agreement subset, so the whole normalization rides the scan. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]*)", 1))
+    val stripped = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]*([^?]*)", 1)
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val queryNorm = when(query === "", lit(""))
+      .otherwise(concat(lit("?"),
+        concat_ws("&", sort_array(split(query, "&")))))
+    concat(scheme, lit("://"), stripped, pathNorm, queryNorm)
+  }
 }

@@ -135,7 +135,10 @@ object ScaleProbe {
     "q331_gif_decode",
     // round-14: FLAC — new Rice/fixed-predictor machinery with per-frame
     // CRC validation on the same class
-    "q336_flac_decode")
+    "q336_flac_decode",
+    // round-14: the mixed-container ingest funnel — the operator a text
+    // pipeline starts with; sniff dispatch + three walkers per asset
+    "q340_mixed_corpus_funnel")
 
   /** Entries probed at a SECOND, larger factor (default 30×): the two
     * highest 10× ratios (q117 4.69, q234 2.82), where one factor is
@@ -280,7 +283,13 @@ object ScaleProbe {
     "q334_adpcm_decode" ->
       "per-nibble constant-work state chain — less work per byte than any probed entropy decoder; asset-local state, so parallelism is by asset (the q303/q332 excluded class)",
     "q335_shard_maintenance_window" ->
-      "q322's rationale (fresh cell stores per probe dir — the seed builds dominate) plus the rebalance decision inputs being nCells parquet-footer counts; any fired rebalance is q329's excluded build class, and the CDC drain is the probed/locked per-cell batch shapes")
+      "q322's rationale (fresh cell stores per probe dir — the seed builds dominate) plus the rebalance decision inputs being nCells parquet-footer counts; any fired rebalance is q329's excluded build class, and the CDC drain is the probed/locked per-cell batch shapes",
+    "q337_zip_ingest" ->
+      "per-member Inflater + token split — the q330 probed gzip-inflate class with a directory walk instead of member headers; strictly the same work per byte",
+    "q338_mp3_frame_census/q339_ogg_page_census" ->
+      "O(header-bytes) walks per asset (frame headers / page headers + CRC over page bytes) — q311/q324's census class, scan-bound by construction, no payload decoded",
+    "q341_html_text_extract/q342_url_canonical_dedup" ->
+      "zero-shuffle scan-stage codegen'd expression chains (regexp/replace/sort_array) — the probed corpus scans already measure the scan; q342's epilogue is one keyed aggregate of the probed groupBy class")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

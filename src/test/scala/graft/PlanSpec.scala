@@ -137,6 +137,14 @@ class PlanSpec extends AnyFunSuite {
       .decodeWavG711Stats(graft.multimodal.Multimodal.synthesizeWavG711Assets(ids))
       .queryExecution.executedPlan.toString
     assert(!pu.contains("Exchange"), s"g711 pipeline shuffles:\n$pu")
+    val pz = graft.multimodal.Multimodal
+      .parseZipStats(graft.multimodal.Multimodal.synthesizeZipAssets(ids))
+      .queryExecution.executedPlan.toString
+    assert(!pz.contains("Exchange"), s"zip pipeline shuffles:\n$pz")
+    val pf = graft.multimodal.Multimodal
+      .extractCorpusDocs(graft.multimodal.Multimodal.synthesizeMixedCorpusAssets(ids))
+      .queryExecution.executedPlan.toString
+    assert(!pf.contains("Exchange"), s"funnel pipeline shuffles:\n$pf")
   }
 
   test("partitioned layout: the filter prunes to one partition directory") {

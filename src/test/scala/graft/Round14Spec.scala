@@ -873,6 +873,140 @@ class Round14Spec extends AnyFunSuite {
     assert(Codecs.decodeWavAdpcm(wav.dropRight(3)).isEmpty)
   }
 
+  test("ZIP: central-directory walk, stored+DEFLATE members, CRC and " +
+      "EOCD discipline; garbage tails tolerated, corrupt data rejected") {
+    import graft.sources.Zip
+    val members = Seq(
+      ("a.txt", "00 17 34".getBytes("US-ASCII"), false),
+      ("b.txt", Array.fill[Byte](3000)('y'), true),
+      ("c.txt", Array.emptyByteArray, false))
+    val zip = Zip.encodeZip(members)
+    val got = Zip.parseZip(zip).get
+    assert(got.map(_.name) == members.map(_._1))
+    assert(got.map(_.method) == Seq(0, 8, 0))
+    assert(got(1).payload.toSeq == members(1)._2.toSeq)
+    assert(got(1).compressedSize < 3000) // deflate actually compressed
+    // a trailing comment-sized garbage tail must NOT break the EOCD scan
+    // when it is declared as the archive comment... an UNDECLARED tail
+    // must (the EOCD length check is what rejects it)
+    assert(Zip.parseZip(zip ++ Array[Byte](1, 2, 3)).isEmpty)
+    // flip a payload byte: the member CRC must catch it (a.txt's stored
+    // data starts at 30-byte local header + 5-byte name = offset 35)
+    val bad = zip.clone()
+    bad(36) = (bad(36) ^ 0x01).toByte
+    assert(Zip.parseZip(bad).isEmpty)
+    assert(Zip.parseZip(zip.dropRight(5)).isEmpty)
+    assert(graft.multimodal.Codecs.sniff(zip).contains("zip"))
+  }
+
+  test("MP3 walk: ID3v2 skip, per-frame padding stride, CBR gate") {
+    import graft.multimodal.Mpeg
+    val mp3 = Mpeg.encodeMp3(nFrames = 7, bitrateIdx = 9, rateIdx = 0,
+      id3Size = 57, padBit = f => f % 2)
+    val info = Mpeg.walkMp3(mp3).get
+    assert(info.sampleRate == 44100 && info.bitrateKbps == 128)
+    assert(info.nFrames == 7)
+    assert(info.durationMs == 7L * 1152 * 1000 / 44100)
+    // no tag variant
+    val bare = Mpeg.encodeMp3(3, 11, 1, 0, _ => 0)
+    val bi = Mpeg.walkMp3(bare).get
+    assert(bi.sampleRate == 48000 && bi.bitrateKbps == 192 && bi.nFrames == 3)
+    // ignoring the padding bit would desync: flipping one padding bit
+    // shifts the next frame boundary and the walk must reject
+    val broken = mp3.clone()
+    val firstFrame = 67 // 10-byte ID3 header + 57 tag bytes
+    broken(firstFrame + 2) = (broken(firstFrame + 2) ^ 0x02).toByte
+    assert(Mpeg.walkMp3(broken).isEmpty)
+    assert(Mpeg.walkMp3(mp3.dropRight(10)).isEmpty)
+    assert(graft.multimodal.Codecs.sniff(mp3).contains("mp3"))
+    assert(graft.multimodal.Codecs.sniff(bare).contains("mp3"))
+  }
+
+  test("Ogg walk: per-stream page/packet accounting, CRC validation, " +
+      "multi-lacing packets") {
+    import graft.multimodal.Mpeg
+    val big = Array.tabulate(600)(i => (i % 251).toByte) // 3 lacing values
+    val p1 = Mpeg.encodeOggPage(7, 0, 100L, 2, Seq(big, "ab".getBytes))
+    val p2 = Mpeg.encodeOggPage(9, 0, 50L, 2, Seq("xyz".getBytes))
+    val p3 = Mpeg.encodeOggPage(7, 1, 200L, 4, Seq("q".getBytes))
+    val stream = p1 ++ p2 ++ p3 // interleaved serials
+    val got = Mpeg.walkOgg(stream).get.sortBy(_.serial)
+    assert(got.map(s => (s.serial, s.nPages, s.nPackets, s.lastGranule)) ==
+      Seq((7L, 2L, 3L, 200L), (9L, 1L, 1L, 50L)))
+    // one flipped body byte must fail that page's CRC
+    val bad = stream.clone()
+    bad(p1.length - 2) = (bad(p1.length - 2) ^ 0x10).toByte
+    assert(Mpeg.walkOgg(bad).isEmpty)
+    assert(Mpeg.walkOgg(stream.dropRight(1)).isEmpty)
+    assert(graft.multimodal.Codecs.sniff(stream).contains("ogg"))
+  }
+
+  test("ingest funnel: container dispatch extracts the same documents " +
+      "each container carries; corrupt assets drop whole") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = spark.range(0, 30).toDF("doc_id")
+    val assets = graft.multimodal.Multimodal.synthesizeMixedCorpusAssets(ids)
+    val docs = graft.multimodal.Multimodal.extractCorpusDocs(assets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every asset yields exactly id%3+1 documents through its container
+    val byAsset = docs.groupBy(_._1)
+    for (i <- 0L until 30L) {
+      val expect = (i % 3 + 1).toInt
+      assert(byAsset(i).length == expect, s"asset $i")
+      val c = Seq("tar", "warc", "zip")((i % 3).toInt)
+      assert(byAsset(i).forall(_._2 == c), s"asset $i container")
+    }
+    // a corrupt asset drops whole, others unaffected
+    val weathered = assets.withColumn("bytes",
+      when(col("asset_id") === 4L, substring(col("bytes"), 1, 9))
+        .otherwise(col("bytes")))
+    val docs2 = graft.multimodal.Multimodal.extractCorpusDocs(weathered)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(!docs2.contains(4L) && docs2.contains(5L) && docs2.contains(3L))
+  }
+
+  test("extractHtmlText: script/style bodies dropped, tags stripped, " +
+      "single-pass entities, whitespace collapsed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cases = Seq(
+      ("<p>a  b</p>", "a b"),
+      ("<script>ignore < this</script>keep", "keep"),
+      ("<style a=\"b\">x{}</style>text", "text"),
+      ("<!-- a <b> c -->after", "after"),
+      ("<a href=\"u\">link</a>!", "link !"),
+      ("&amp;lt; stays", "&lt; stays"), // single-pass: no double decode
+      ("&lt;tag&gt; &quot;q&quot; &apos;a&apos; &amp;", "<tag> \"q\" 'a' &"),
+      ("  lots   of\n\nspace  ", "lots of space"))
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.operators.TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"case $i: got '$g' expected '$e'")
+    }
+  }
+
+  test("canonicalizeUrl: case fold, default ports, fragment cut, " +
+      "query sort, bare-authority path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM:80/A?z=1&a=2#f", "http://example.com/A?a=2&z=1"),
+      ("https://h.io:443/", "https://h.io/"),
+      ("https://h.io:8443/x", "https://h.io:8443/x"), // non-default kept
+      ("http://h.io:443/x", "http://h.io:443/x"), // 443 is not http's default
+      ("http://h.io", "http://h.io/"),
+      ("http://h.io?b=2&a=1", "http://h.io/?a=1&b=2"),
+      ("ftp://H.IO/f", "ftp://h.io/f"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.operators.TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"case $i: got '$g' expected '$e'")
+    }
+  }
+
   test("FLAC: per-class roundtrips, CRC validation, truncation drops") {
     import graft.multimodal.Flac
     def ramp(n: Int, f: Int => Int): Array[Int] = Array.tabulate(n)(f)
