@@ -13200,7 +13200,45 @@ object Queries {
              |SELECT 'http://example.com/p' || k ||
              |    CASE WHEN q THEN '?a=1&b=2' ELSE '' END AS canonical_url,
              |  n_variants, min_doc
-             |FROM g ORDER BY canonical_url""".stripMargin)))
+             |FROM g ORDER BY canonical_url""".stripMargin)),
+
+    // The WET pipeline END TO END (Multimodal.warcHtmlDocs +
+    // TextAnalysis.extractHtmlText): the true Common Crawl shape —
+    // *.warc.gz objects whose response records carry HTML PAGES — run
+    // through both halves composed exactly as they deploy at 100 TB:
+    // the binary walk (gzip members → WARC records → html string) in
+    // one partition-preserving mapPartitions, the visible-text
+    // extraction as codegen'd scan-stage regex on top. The oracle is
+    // GROUND TRUTH, not chain replication: each page's visible text is
+    // id-predicted, so the expected strings are constructed directly —
+    // a wrong member boundary, record filter, entity pass, or
+    // whitespace rule fails the hash. Scale: mapPartitions + scan
+    // expressions, zero shuffle end to end (PlanSpec-locked).
+    "q343_wet_pipeline" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWarcHtmlAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.warcHtmlDocs(assets)
+          .select(col("asset_id"), col("rec_idx"), col("target_uri"),
+            TextAnalysis.extractHtmlText(col("html")).as("extracted"))
+          .select(col("asset_id"), col("rec_idx"), col("target_uri"),
+            size(split(col("extracted"), " ")).cast("long").as("n_tokens"),
+            col("extracted"))
+          .orderBy(col("asset_id"), col("rec_idx"))
+      },
+      Some("""WITH recs AS (SELECT d.doc_id, r.r AS rec,
+             |    ((d.doc_id + 3 * r.r) % 30 + 1)::BIGINT AS n
+             |  FROM documents d, range(0, 2) r(r) WHERE r.r < d.doc_id % 2 + 1),
+             |tok AS (SELECT doc_id, rec,
+             |    string_agg(lpad(((doc_id + 9 * j.j + 5 * rec) % 100)::VARCHAR,
+             |      2, '0'), ' ' ORDER BY j.j) AS ts
+             |  FROM recs, range(0, 30) j(j) WHERE j.j < n GROUP BY doc_id, rec)
+             |SELECT r.doc_id AS asset_id, r.rec::BIGINT AS rec_idx,
+             |  'http://example.com/' || r.doc_id || '/' || r.rec AS target_uri,
+             |  (r.n + 3)::BIGINT AS n_tokens,
+             |  t.ts || ' tail & <end>' AS extracted
+             |FROM recs r JOIN tok t ON r.doc_id = t.doc_id AND r.rec = t.rec
+             |ORDER BY asset_id, rec_idx""".stripMargin)))
 
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =

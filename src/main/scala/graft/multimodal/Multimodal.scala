@@ -1040,6 +1040,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** WARC-of-HTML crawl corpus — the true Common Crawl shape: each
+    * *.warc.gz response record carries an HTML PAGE (script, style,
+    * comment, attributes, entities — every extraction hazard) whose
+    * visible text is id-predicted fixed-width tokens. */
+  def synthesizeWarcHtmlAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWarcHtmlAssets needs non-negative ids, got $i")
+        val recs = (0 until (i % 2 + 1).toInt).map { rec =>
+          val n = ((i + 3 * rec) % 30 + 1).toInt
+          val toks = (0 until n)
+            .map(j => f"${(i + 9L * j + 5L * rec) % 100}%02d").mkString(" ")
+          val html = "<html><head><script>if (1<2) hidden</script>" +
+            "<style>p { }</style></head><body><!-- note -->" +
+            "<p class=\"d\">" + toks + "</p>" +
+            "<p>tail &amp; &lt;end&gt;</p></body></html>"
+          ("response", s"http://example.com/$i/$rec", html.getBytes("US-ASCII"))
+        }
+        Row(i, graft.sources.Warc.encodeWarcGz(recs))
+      }
+    }(enc)
+  }
+
+  /** The WARC→HTML half of the WET pipeline: walk the gzip members,
+    * parse each WARC record, keep responses, surface the HTML as a
+    * STRING column — so the visible-text extraction
+    * ([[graft.operators.TextAnalysis.extractHtmlText]]) runs as
+    * codegen'd scan-stage expressions on top, exactly how the two
+    * stages compose at 100 TB (binary walk in mapPartitions, string
+    * surgery in the scan). Corrupt objects drop whole. */
+  def warcHtmlDocs(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("rec_idx", LongType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("html", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        graft.sources.Warc.gzipMembers(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          members =>
+            members.flatMap(graft.sources.Warc.parseRecord).zipWithIndex.collect {
+              case (rec, ix) if rec.recType == "response" =>
+                Row(id, ix.toLong, rec.targetUri,
+                  new String(rec.payload, "US-ASCII"))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Synthesize grayscale baseline-JPEG assets from an id column
     * (id-derived dims, per-block constant pixels — see
     * [[Jpeg.encodeJpegGray]]): the [[synthesizeMediaAssets]] shape for

@@ -289,7 +289,9 @@ object ScaleProbe {
     "q338_mp3_frame_census/q339_ogg_page_census" ->
       "O(header-bytes) walks per asset (frame headers / page headers + CRC over page bytes) — q311/q324's census class, scan-bound by construction, no payload decoded",
     "q341_html_text_extract/q342_url_canonical_dedup" ->
-      "zero-shuffle scan-stage codegen'd expression chains (regexp/replace/sort_array) — the probed corpus scans already measure the scan; q342's epilogue is one keyed aggregate of the probed groupBy class")
+      "zero-shuffle scan-stage codegen'd expression chains (regexp/replace/sort_array) — the probed corpus scans already measure the scan; q342's epilogue is one keyed aggregate of the probed groupBy class",
+    "q343_wet_pipeline" ->
+      "the probed q330 gzip/WARC walk composed with q341's excluded scan-stage regex chain — both halves' scale behavior is carried by those entries; the composition adds no new shape (zero shuffle end to end, PlanSpec-locked)")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

@@ -145,6 +145,14 @@ class PlanSpec extends AnyFunSuite {
       .extractCorpusDocs(graft.multimodal.Multimodal.synthesizeMixedCorpusAssets(ids))
       .queryExecution.executedPlan.toString
     assert(!pf.contains("Exchange"), s"funnel pipeline shuffles:\n$pf")
+    // the full WET pipeline — binary walk + codegen'd text extraction —
+    // must compose with zero shuffle end to end
+    val pwet = graft.multimodal.Multimodal
+      .warcHtmlDocs(graft.multimodal.Multimodal.synthesizeWarcHtmlAssets(ids))
+      .select(graft.operators.TextAnalysis
+        .extractHtmlText(col("html")).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!pwet.contains("Exchange"), s"wet pipeline shuffles:\n$pwet")
   }
 
   test("partitioned layout: the filter prunes to one partition directory") {

@@ -1007,6 +1007,34 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("WET pipeline: responses only, corrupt objects drop whole, " +
+      "extraction yields the predicted visible text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = spark.range(0, 20).toDF("doc_id")
+    val assets = graft.multimodal.Multimodal.synthesizeWarcHtmlAssets(ids)
+    val out = graft.multimodal.Multimodal.warcHtmlDocs(assets)
+      .select(col("asset_id"), col("rec_idx"),
+        graft.operators.TextAnalysis.extractHtmlText(col("html")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    for (i <- 0L until 20L; rec <- 0 until (i % 2 + 1).toInt) {
+      val n = ((i + 3 * rec) % 30 + 1).toInt
+      val toks = (0 until n)
+        .map(j => f"${(i + 9L * j + 5L * rec) % 100}%02d").mkString(" ")
+      val expect = s"$toks tail & <end>"
+      val got = out.find(x => x._1 == i && x._2 == rec).map(_._3)
+      assert(got.contains(expect), s"asset $i rec $rec")
+    }
+    // a mixed record set: non-response records are filtered, not errors
+    val mixed = graft.sources.Warc.encodeWarcGz(Seq(
+      ("warcinfo", "", "meta".getBytes("US-ASCII")),
+      ("response", "http://x/1", "<p>hi</p>".getBytes("US-ASCII"))))
+    val m = graft.multimodal.Multimodal.warcHtmlDocs(
+        Seq((0L, mixed)).toDF("asset_id", "bytes"))
+      .collect()
+    assert(m.length == 1 && m(0).getLong(1) == 1L) // original record index kept
+  }
+
   test("FLAC: per-class roundtrips, CRC validation, truncation drops") {
     import graft.multimodal.Flac
     def ramp(n: Int, f: Int => Int): Array[Int] = Array.tabulate(n)(f)
