@@ -1078,6 +1078,48 @@ class Round14Spec extends AnyFunSuite {
     assert(graft.multimodal.Codecs.sniff(bytes).contains("flac"))
   }
 
+  test("hardening: deep-table GIF, mixed-class FLAC, flagged gzip " +
+      "headers, boundary tar names, empty zip") {
+    // GIF with a 256-entry palette and 4000 pixels: the LZW table
+    // crosses the 512 and 1024 code-width boundaries at minCode 8
+    import graft.multimodal.{Flac, Gif}
+    import graft.sources.{Tar, Warc, Zip}
+    val deep = Gif.decodeGif(Gif.encodeGif(80, 50, seed = 123L,
+      paletteBits = 8, interlaced = true)).get
+    assert(deep.pixels.length == 4000)
+    for (q <- Seq(0, 1999, 3999)) {
+      val (r, g, b) = Gif.paletteEntry(Gif.pixelIndex(123L, q, 256))
+      assert(deep.pixels(q) == ((r << 16) | (g << 8) | b), s"q=$q")
+    }
+    // one FLAC stream mixing all four subframe classes across frames
+    val mixed = Flac.encodeFlac(Seq(
+      (0, Array.fill(6)(17)),
+      (1, Array.tabulate(8)(k => k * 31 - 99)),
+      (2, { val xs = new Array[Int](9); xs(0) = 5
+        for (k <- 1 until 9) xs(k) = xs(k - 1) + (k % 21) - 10; xs }),
+      (3, { val xs = new Array[Int](9); xs(0) = 1; xs(1) = 3
+        for (k <- 2 until 9) xs(k) = 2 * xs(k - 1) - xs(k - 2) + (k % 7) - 3
+        xs })))
+    val md = Flac.decodeFlac(mixed).get
+    assert(md.subframeTypes == Seq("constant", "verbatim", "fixed1", "fixed2"))
+    assert(md.samples.length == 32)
+    // gzip member with FEXTRA + FHCRC flags: both skipped per RFC 1952
+    val raw = "flagged member".getBytes("US-ASCII")
+    val m = Warc.gzipMember(raw)
+    val flagged = m.take(3) ++ Array[Byte](0x06) ++ m.slice(4, 10) ++
+      Array[Byte](3, 0, 9, 9, 9) ++ // XLEN=3 LE + 3 extra bytes
+      Array[Byte](0, 0) ++ // FHCRC (value unchecked per the RFC's MAY)
+      m.drop(10)
+    assert(Warc.gzipMembers(flagged).get.head.toSeq == raw.toSeq)
+    // ustar name at the exact 100-char field width (no NUL terminator)
+    val longName = "d/" + ("x" * 94) + ".txt"
+    assert(longName.length == 100)
+    val t = Tar.parseTar(Tar.encodeTar(Seq((longName, "7".getBytes)))).get
+    assert(t.head.name == longName && t.head.size == 1)
+    // an empty zip is a valid archive with zero members
+    assert(Zip.parseZip(Zip.encodeZip(Seq.empty)).get.isEmpty)
+  }
+
   test("G.711: expansion matches the ITU-T reference points, " +
       "encode/decode roundtrip, PCM entries untouched") {
     import graft.multimodal.Codecs
