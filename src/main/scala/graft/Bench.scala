@@ -35,22 +35,24 @@ object Bench {
     if (p.startsWith("q")) "q" + p.drop(1).dropWhile(_ == '0') else p.take(4)
   }
 
-  /** Merge N timing passes into per-entry (name, best, spread, ok):
-    * best = min over successful runs (an entry that crashed once but
-    * succeeded once records the success); -1 only when every run
-    * failed. spread = max-min over the successful runs: ~0 means a
-    * trustworthy number, large means the sandbox was busy during one of
-    * the windows. ok = how many passes succeeded — without it a
-    * crash-then-success entry records spread 0.0 and masquerades as
-    * clean in the artifact while the 50% crash rate is visible only in
-    * stderr; `ok < runs` is the flaky flag. Package-visible for the
-    * spec. */
+  /** Merge N timing passes into per-entry (name, best, spread, ok,
+    * attempts): best = min over successful runs (an entry that crashed
+    * once but succeeded once records the success); -1 only when every
+    * ATTEMPTED run failed. spread = max-min over the successful runs:
+    * ~0 means a trustworthy number, large means the sandbox was busy
+    * during one of the windows. NaN marks an entry a later pass SKIPPED
+    * under the wall-clock budget (the adaptive pass-2 protocol below) —
+    * skips are excluded from both the min and the attempt count, so a
+    * budget skip never masquerades as a crash. ok = successful attempts;
+    * `ok < attempts` is the flaky flag. Package-visible for the spec. */
   private[graft] def mergePasses(
-      names: Seq[String], passes: Seq[Seq[Double]]): Seq[(String, Double, Double, Int)] =
+      names: Seq[String],
+      passes: Seq[Seq[Double]]): Seq[(String, Double, Double, Int, Int)] =
     names.zipWithIndex.map { case (name, i) =>
-      val ts = passes.map(_(i)).filter(_ >= 0)
-      if (ts.isEmpty) (name, -1.0, 0.0, 0)
-      else (name, ts.min, ts.max - ts.min, ts.size)
+      val attempted = passes.map(_(i)).filterNot(_.isNaN)
+      val ts = attempted.filter(_ >= 0)
+      if (ts.isEmpty) (name, -1.0, 0.0, 0, attempted.size)
+      else (name, ts.min, ts.max - ts.min, ts.size, attempted.size)
     }
 
   private val groupSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -163,13 +165,21 @@ object Bench {
     // timed passes then measure pure serving / insert / audit against
     // the warm artifact — the production amortization those entries
     // exist to demonstrate — instead of re-paying the one-time build.
+    // q326's warmup builds its persisted level-0 + layer-stack artifacts
+    // (buildOrLoad discipline) so the timed passes measure the descent +
+    // serve, not the one-time builds
     for (name <- Seq(
         "q01_pricing_summary", "q15_doc_parse", "q27_ann_brute_topk",
         "q58_bucketed_join", "q35_streaming_windows",
-        "q290_ann_index_serve", "q291_ann_index_insert")) {
+        "q290_ann_index_serve", "q291_ann_index_insert",
+        "q326_layered_ann_serve")) {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
+    // the mutating lifecycle entries' immutable seed stores
+    // (q322/q329/q335/q344 clone per run): built once per JVM, untimed
+    try Queries.warmSeedStores(spark, sfDir)
+    catch { case _: Throwable => }
     // q215 cold-pass attribution (BENCH_r07's largest spread, 9.5 s):
     // the battery's first run costs ~1.7 s over warm (fresh-JVM
     // measurement: 3.6 / 1.9 / 1.7 s). This 256-row touch removes the
@@ -321,37 +331,54 @@ object Bench {
       teardown(spark)
       t
     }
-    // wall-clock guard: a second pass only starts if it can plausibly
-    // finish inside the budget (projected from the previous pass's
-    // wall time) — on a healthy sandbox two passes take ~7 min, but the
-    // recording harness shouldn't see a 2x-longer run just because the
-    // machine was busy; one pass of real numbers beats a timeout.
+    // wall-clock budget, enforced PER ENTRY on the later passes: pass 1
+    // always runs in full (it is the projection baseline), and each
+    // later pass reruns an entry only if that entry's best-so-far time
+    // (plus a slack band) still fits the remaining budget — skipping
+    // the rest as NaN. The former all-or-nothing pass guard projected
+    // pass 2 at pass 1's FULL wall, which over-counts by exactly the
+    // one-time costs pass 1 amortizes (seed/index builds, codegen),
+    // and a single overflow estimate silently cost the artifact its
+    // entire min-of-2 discipline (BENCH_r14, runs: 1). Per-entry
+    // skipping keeps two samples for everything the budget reaches —
+    // in catalog order, so the skipped suffix (if any) is explicit in
+    // the recorded attempt counts.
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
-    var lastWall = 0.0
-    for (r <- 1 to runs) {
-      val elapsed = (System.nanoTime() - benchStart) / 1e9
-      if (r == 1 || elapsed + lastWall <= budget) {
-        val t0 = System.nanoTime()
-        passes += onePass()
-        lastWall = (System.nanoTime() - t0) / 1e9
-      } else System.err.println(
-        s"[bench] skipping pass $r: ${elapsed.toInt}s elapsed + " +
-          s"~${lastWall.toInt}s projected exceeds ${budget.toInt}s budget")
+    passes += onePass()
+    for (r <- 2 to runs) {
+      val bestSoFar = mergePasses(entries.map(_._1), passes.toSeq)
+      var skipped = 0
+      passes += entries.zipWithIndex.map { case ((name, run), i) =>
+        // a crashed entry's rerun cost is unknown: budget its ceiling
+        val est =
+          if (bestSoFar(i)._2 >= 0) bestSoFar(i)._2 * 1.1 + 0.5
+          else ceilingFor(name)
+        if (elapsedSec + est <= budget) {
+          val t = timeEntry(spark, name, run, ceilingFor(name))
+          teardown(spark)
+          t
+        } else { skipped += 1; Double.NaN }
+      }
+      if (skipped > 0) System.err.println(
+        s"[bench] pass $r skipped $skipped entries at the " +
+          s"${budget.toInt}s budget")
     }
     val actualRuns = passes.size
     val merged = mergePasses(entries.map(_._1), passes.toSeq)
-    val all = merged.map { case (n, t, _, _) => n -> t }
+    val all = merged.map { case (n, t, _, _, _) => n -> t }
     val total = all.map(_._2).filter(_ >= 0).sum
 
     // Full-precision, full-name per-query numbers for human/judge
     // reading, with the cross-pass spread alongside each timing. "ok"
-    // is emitted only when some pass failed (ok < actualRuns): the
-    // common clean case stays compact, and its absence is the
-    // machine-checkable "not flaky" signal.
-    val detail = merged.map { case (k, t, s, ok) =>
-      val flaky = if (ok < actualRuns) ",\"ok\":" + ok else ""
+    // is emitted only when some ATTEMPTED pass failed (ok < attempts):
+    // the common clean case stays compact, and its absence is the
+    // machine-checkable "not flaky" signal; a budget skip reduces
+    // attempts, not ok, so it never reads as flakiness.
+    val detail = merged.map { case (k, t, s, ok, attempts) =>
+      val flaky = if (ok < attempts) ",\"ok\":" + ok else ""
       "\"" + k + "\":{\"t\":" + t + ",\"spread\":" + s + flaky + "}"
     }.mkString("{", ",", "}")
     val detailJson =

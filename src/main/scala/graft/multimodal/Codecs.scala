@@ -1619,9 +1619,6 @@ object Codecs {
       Some("zip")
     else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
       Some("gzip")
-    else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
-      b(259) == 't' && b(260) == 'a' && b(261) == 'r')
-      Some("tar")
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff)
       Some("jpeg")
@@ -1642,5 +1639,16 @@ object Codecs {
     else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p' && mp4Brands.contains(new String(b, 8, 4, "US-ASCII")))
       Some("mp4")
+    // tar LAST, and only with a checksum-valid first header: the
+    // "ustar"-at-257 magic alone is the weakest test here (it sits in
+    // PAYLOAD territory for every other format — a real-corpus image
+    // whose byte-257 region coincidentally spells "ustar" must not
+    // be misclassified), so every offset-0 magic gets first claim and
+    // the tar claim additionally requires the 512-byte header
+    // checksum to validate ([[graft.sources.Tar.validFirstHeader]])
+    else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
+      b(259) == 't' && b(260) == 'a' && b(261) == 'r' &&
+      graft.sources.Tar.validFirstHeader(b))
+      Some("tar")
     else None
 }

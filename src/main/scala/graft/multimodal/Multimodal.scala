@@ -1088,10 +1088,16 @@ object Multimodal {
         val id = r.getLong(0)
         graft.sources.Warc.gzipMembers(r.getAs[Array[Byte]](1)).toSeq.flatMap {
           members =>
-            members.flatMap(graft.sources.Warc.parseRecord).zipWithIndex.collect {
-              case (rec, ix) if rec.recType == "response" =>
-                Row(id, ix.toLong, rec.targetUri,
-                  new String(rec.payload, "US-ASCII"))
+            // rec_idx is the gzip-MEMBER ordinal (indexed before parsing,
+            // as parseWarcGzStats does), so a corrupt earlier record
+            // shifts nothing: both surfaces report the same index for
+            // the same record
+            members.zipWithIndex.flatMap { case (m, ix) =>
+              graft.sources.Warc.parseRecord(m).collect {
+                case rec if rec.recType == "response" =>
+                  Row(id, ix.toLong, rec.targetUri,
+                    new String(rec.payload, "US-ASCII"))
+              }
             }
         }
       }

@@ -180,6 +180,164 @@ object AnnIndex {
       idCol, vecCol, beam, rounds, k)
   }
 
+  private def emptyGraphDf(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("q_id", LongType), StructField("n_id", LongType),
+        StructField("d2", LongType), StructField("rank", IntegerType))))
+  }
+
+  /** Per-cell LAYER stacks for the sharded index — the
+    * [[LayeredAnn.buildOrLoad]] structure built PER CELL, persisted as
+    * one `layer_l` parquet artifact per level PARTITIONED BY cell (the
+    * [[buildOrLoadSharded]] layout), so serving reads only the probed
+    * cells' layer partitions. At production cell sizes each cell is
+    * itself large enough that fixed lowest-id entries cost the
+    * intra-cell diameter; a per-cell descent hands each (query, cell)
+    * pair its own good level-0 entry, composing the layered and sharded
+    * stories. Levels are the same hash-deterministic geometric
+    * assignment ([[LayeredAnn.levelColumn]] — a node's level does not
+    * depend on its cell); a layer a cell populates with fewer than two
+    * members persists as the typed empty subgraph (descent keeps its
+    * seed there). Same atomic-commit + build-lock discipline as
+    * [[buildOrLoadSharded]]: layers are written in order and gated by
+    * the LAST layer's `_SUCCESS`. */
+  def buildOrLoadShardedLayers(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      cap: Int,
+      layerK: Int,
+      layerRounds: Int,
+      initBuckets: Int,
+      layersDir: String): Unit = {
+    require(nCells >= 1 && cap >= 1)
+    val spark = assigned.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$layersDir/layer_$cap/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buildLocks.computeIfAbsent(layersDir, _ => new Object).synchronized {
+      if (!fs.exists(marker)) {
+        val lv = assigned.select(col("cell").cast("long").as("cell"),
+            col(idCol), col(vecCol),
+            LayeredAnn.levelColumn(col(idCol), cap).as("level"))
+          .localCheckpoint()
+        for (l <- 1 to cap) {
+          val full = (0 until nCells).map { c =>
+            val members = lv.filter(col("cell") === c && col("level") >= l)
+              .select(col(idCol), col(vecCol))
+            val g =
+              if (members.limit(2).count() < 2) emptyGraphDf(spark)
+              else Similarity.nnDescent(members, idCol, vecCol,
+                layerK, layerRounds, initBuckets)
+            g.withColumn("cell", lit(c.toLong))
+          }.reduce(_ unionByName _)
+          full.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$layersDir/layer_$l")
+        }
+      }
+    }
+  }
+
+  /** Per-(query, cell) DESCENT seeds over the per-cell layer stacks:
+    * every routed (query, cell) pair starts at ITS cell's top entry
+    * (the cell's lowest id at the cell's max populated level — one
+    * windowed table over the assignment, not a collect per cell), then
+    * beam-searches each stored layer the cell's stack reaches, carrying
+    * the best `m` per (query, cell) down; pairs routed to cells whose
+    * stack is shorter than the current layer carry their seeds
+    * unchanged. Returns the (q_id, cell, n_id) level-0 seed table
+    * [[graft.operators.Similarity.keyedGraphSearchTopKSeeded]] consumes.
+    * `probedCells` is the batch's collected cell id set — the layer
+    * scans keep a LITERAL pruning predicate, the serving discipline. */
+  def cellDescentSeeds(
+      spark: org.apache.spark.sql.SparkSession,
+      layersDir: String,
+      assigned: DataFrame,
+      routed: DataFrame,
+      probedCells: Seq[Long],
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      m: Int,
+      descBeam: Int,
+      descRounds: Int): DataFrame = {
+    require(cap >= 1 && m >= 1 && descBeam >= m)
+    val probed = col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*)
+    val lv = assigned.select(col("cell").cast("long").as("cell"),
+      col(idCol), LayeredAnn.levelColumn(col(idCol), cap).as("level"))
+    // per-cell stack height + top entry: one grouped table, ≤ nCells rows
+    val entry = lv.groupBy(col("cell")).agg(max(col("level")).as("ml"))
+      .join(lv, Seq("cell"))
+      .filter(col("level") === col("ml"))
+      .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("n_id"))
+      .localCheckpoint()
+    val corpus = assigned.select(col(idCol), col(vecCol))
+    var seeds = routed
+      .select(col(idCol).as("q_id"), col("cell").cast("long").as("cell"))
+      .join(entry.select(col("cell"), col("n_id")), Seq("cell"))
+      .select(col("q_id"), col("cell"), col("n_id")).localCheckpoint()
+    for (l <- cap to 1 by -1) {
+      // cells whose stack reaches this layer search it; the rest pass
+      // their seeds through unchanged
+      val act = entry.filter(col("ml") >= l).select(col("cell"))
+      val sAct = seeds.join(act, Seq("cell"), "left_semi")
+      val sPass = seeds.join(act, Seq("cell"), "left_anti")
+      // explicit schema: a layer every cell populates with < 2 members
+      // is a legitimately EMPTY partitioned artifact (zero data files),
+      // which schema inference cannot read
+      val layerG = spark.read
+        .schema("q_id BIGINT, n_id BIGINT, d2 BIGINT, rank INT, cell BIGINT")
+        .parquet(s"$layersDir/layer_$l").filter(probed)
+      val found = Similarity.keyedGraphSearchPerCell(layerG, corpus, routed,
+        sAct, idCol, vecCol, descBeam, descRounds, m)
+      seeds = found.select(col("q_id"), col("cell"), col("n_id"))
+        .unionByName(sPass).localCheckpoint()
+    }
+    seeds
+  }
+
+  /** [[shardedSearchTopK]] with per-cell LAYERED entry points: the
+    * descent output seeds the level-0 keyed search instead of the
+    * cell's fixed lowest-id entries — the two structural levers
+    * (sharding bounds what a query READS, layering bounds how far the
+    * beam WALKS inside each probed cell) composed. Same output shape
+    * and pruning discipline as [[shardedSearchTopK]]. */
+  def shardedLayeredSearchTopK(
+      index: DataFrame,
+      assigned: DataFrame,
+      routed: DataFrame,
+      layersDir: String,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      m: Int,
+      descBeam: Int,
+      descRounds: Int,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    val spark = routed.sparkSession
+    val cells = routed.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (cells.isEmpty) {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q_id", LongType), StructField("n_id", LongType),
+          StructField("d2", LongType), StructField("rank", IntegerType))))
+    }
+    val probed = col("cell").isin(cells.map(java.lang.Long.valueOf): _*)
+    val seeds = cellDescentSeeds(spark, layersDir, assigned, routed, cells,
+      idCol, vecCol, cap, m, descBeam, descRounds)
+    Similarity.keyedGraphSearchTopKSeeded(
+      index.filter(probed),
+      assigned.select(col(idCol), col(vecCol)),
+      routed, seeds, idCol, vecCol, beam, rounds, k)
+  }
+
   /** Incremental batch insert — fold `batch` (new vectors, ids disjoint
     * from the base corpus) into a stored k-NN graph WITHOUT a rebuild:
     *
@@ -511,23 +669,35 @@ object AnnIndex {
     * below `mergePpm` → "merge" (fold into the nearest sibling),
     * otherwise "healthy". The rebalance operator
     * ([[graft.streaming.IndexCdc.rebalanceShardedStore]]) consumes
-    * exactly these verdicts. Cells live in `assigned` even when their
-    * graph is empty (a one-member cell has no edges), so a drained cell
-    * still surfaces as a merge candidate instead of vanishing.
+    * exactly these verdicts. Pass `cents` (the quantizer) so a FULLY
+    * drained cell — zero members, hence zero rows in `assigned` — still
+    * surfaces as an n_members = 0 "merge" row instead of vanishing: the
+    * cell list is the quantizer's, membership left-joined onto it
+    * (matching [[graft.streaming.IndexCdc.rebalanceShardedStore]],
+    * which does merge count-0 cells). Without `cents` the report covers
+    * exactly the cells `assigned` mentions (a one-member cell still
+    * surfaces — it has a row, just no edges).
     *
     * Scale shape: two aggregates over the assignment and the k·n edge
-    * table plus one broadcastable 1-row total — nothing corpus×corpus,
-    * nothing driver-side. */
+    * table plus one broadcastable 1-row total and the ≤ nCells-row
+    * quantizer — nothing corpus×corpus, nothing driver-side. */
   def shardGrowthReport(
       index: DataFrame,
       assigned: DataFrame,
       idCol: String,
       k: Int,
       splitPpm: Long,
-      mergePpm: Long): DataFrame = {
+      mergePpm: Long,
+      cents: Option[DataFrame] = None): DataFrame = {
     require(splitPpm > mergePpm && mergePpm >= 0)
-    val mem = assigned.groupBy(col("cell").cast("long").as("cell"))
+    val memOf = assigned.groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_members"))
+    val mem = cents match {
+      case None => memOf
+      case Some(q) => q.select(col("cent_id").cast("long").as("cell"))
+        .join(memOf, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"))
+    }
     val tot = assigned.agg(count(lit(1)).as("n_total"))
     val deg = index.groupBy(col("cell").cast("long").as("cell"), col("q_id"))
       .agg(count(lit(1)).as("n"))

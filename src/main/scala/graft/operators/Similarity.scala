@@ -1400,6 +1400,57 @@ object Similarity {
       beam: Int,
       rounds: Int,
       k: Int): DataFrame = {
+    // fixed per-cell entries are the seeded form's degenerate case:
+    // seed set = routed × the cell's entry table (the delegation mirror
+    // of graphSearchTopK → graphSearchTopKSeeded)
+    val seeds = routed
+      .select(col(idCol).as("q_id"), col("cell").cast("long").as("cell"))
+      .join(entries.select(col("cell").cast("long").as("cell"), col("n_id")),
+        Seq("cell"))
+      .select(col("q_id"), col("cell"), col("n_id"))
+    keyedGraphSearchTopKSeeded(index, corpus, routed, seeds, idCol, vecCol,
+      beam, rounds, k)
+  }
+
+  /** [[keyedGraphSearchTopK]] with PER-(query, cell) entry seeds —
+    * `seeds` is a (q_id, cell, n_id) table: the sharded analog of
+    * [[graphSearchTopKSeeded]], and the primitive the per-cell LAYERED
+    * descent needs ([[graft.operators.AnnIndex.cellDescentSeeds]] hands
+    * each routed (query, cell) pair its own level-0 entry instead of
+    * the cell's fixed lowest ids). The final cross-cell merge keeps the
+    * best k per query over its probed cells' per-cell top-ks. */
+  def keyedGraphSearchTopKSeeded(
+      index: DataFrame,
+      corpus: DataFrame,
+      routed: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    val perCell = keyedGraphSearchPerCell(index, corpus, routed, seeds,
+      idCol, vecCol, beam, rounds, k).select(col("q_id"), col("n_id"), col("d2"))
+    val wMerge = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id"))
+    perCell.withColumn("rank", row_number().over(wMerge))
+      .filter(col("rank") <= k)
+  }
+
+  /** The shared cell-keyed beam core: per (query, cell) top-k WITH the
+    * cell retained and no cross-cell merge — what a layer-descent stage
+    * consumes (each layer's per-cell result seeds the next layer down,
+    * so the cell key must survive the stage). */
+  private[graft] def keyedGraphSearchPerCell(
+      index: DataFrame,
+      corpus: DataFrame,
+      routed: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
     require(k >= 1 && beam >= k && rounds >= 0)
     val iv = transform(col(vecCol),
       x => floor(x.cast("double") * lit(1000.0)).cast("long"))
@@ -1423,7 +1474,8 @@ object Similarity {
     def keep(df: DataFrame, n: Int): DataFrame =
       df.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= n)
     var b = keep(score(
-      q.select(col("q_id"), col("cell")).join(entries, "cell")), beam)
+      seeds.select(col("q_id"), col("cell").cast("long").as("cell"),
+        col("n_id"))), beam)
       .drop("rank")
     for (r <- 1 to rounds) {
       val cand = b.select(col("q_id"), col("cell"), col("n_id").as("node"))
@@ -1432,10 +1484,6 @@ object Similarity {
       b = keep(score(cand).unionByName(b).distinct(), beam).drop("rank")
       if (r < rounds) b = b.localCheckpoint()
     }
-    val perCell = keep(b, k).select(col("q_id"), col("n_id"), col("d2"))
-    val wMerge = Window.partitionBy(col("q_id"))
-      .orderBy(col("d2").asc, col("n_id"))
-    perCell.withColumn("rank", row_number().over(wMerge))
-      .filter(col("rank") <= k)
+    keep(b, k)
   }
 }

@@ -55,6 +55,18 @@ object Tar {
     s
   }
 
+  /** Whether the buffer OPENS with a checksum-valid ustar header — the
+    * sniff gate: the "ustar" magic at offset 257 is weak (any 512-byte
+    * payload region can spell it), but a matching header checksum over
+    * the full 512-byte block is essentially unforgeable by accident, so
+    * content sniffing requires both before claiming tar. */
+  def validFirstHeader(b: Array[Byte]): Boolean =
+    b.length >= 512 && {
+      val h = java.util.Arrays.copyOfRange(b, 0, 512)
+      val stored = octal(h, 148, 8)
+      stored >= 0 && stored == headerChecksum(h)
+    }
+
   /** One ustar member header + padded payload. */
   def encodeMember(name: String, payload: Array[Byte], typeflag: Char = '0'): Array[Byte] = {
     require(name.getBytes("US-ASCII").length <= 100, "name over ustar limit")

@@ -95,13 +95,18 @@ object Zip {
     * bad local-header signature, unsupported method, CRC mismatch,
     * or a size field pointing outside the file. */
   def parseZip(b: Array[Byte]): Option[Seq[ZipMember]] = try {
-    // EOCD: scan back over a possible trailing comment (<= 64 KiB)
+    // EOCD: scan back over a possible trailing comment (<= 64 KiB).
+    // The declared comment must FIT the remaining tail but need not
+    // land exactly at EOF — self-extractor stubs and append-happy
+    // writers leave trailing bytes after the comment, and the
+    // central-directory walk never reads them; the backward scan takes
+    // the LAST signature whose record is self-consistent.
     var eocd = -1
     var i = b.length - 22
     val floor = math.max(0, b.length - 22 - 0xffff)
     while (i >= floor && eocd < 0) {
       if (u32(b, i) == 0x06054b50L &&
-        i + 22 + u16(b, i + 20) == b.length) eocd = i
+        i + 22 + u16(b, i + 20) <= b.length) eocd = i
       i -= 1
     }
     if (eocd < 0) return None

@@ -200,13 +200,60 @@ object IndexCdc {
 
   private val markerFile = "applied_batch"
 
+  /** Per-cell member-count manifest, written at swap time beside the
+    * applied-batch marker: the maintenance jobs (growth shares,
+    * rebalance decisions, the window's fire test) need only each cell's
+    * FOOTPRINT, and a manifest written by the job that already knows
+    * the count turns "one Spark job per cell per window" into "nCells
+    * driver-side file reads" — zero jobs, the shape that holds when a
+    * window watches thousands of cells. */
+  private val footprintFile = "n_vecs"
+
+  private def writeLongFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      name: String,
+      v: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLongFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      name: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toLong)
+      finally in.close()
+    }
+  }
+
   private def writeMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
-      batchId: Long): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, markerFile), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-  }
+      batchId: Long): Unit =
+    writeLongFile(fs, dir, markerFile, batchId)
+
+  private def writeFootprint(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      n: Long): Unit =
+    writeLongFile(fs, dir, footprintFile, n)
+
+  /** The live cell's member count: the manifest if present (no Spark
+    * job), else one parquet count over the cell's vecs (a store written
+    * before the manifest existed). */
+  private[graft] def cellFootprint(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      current: org.apache.hadoop.fs.Path): Long =
+    readLongFile(fs, current, footprintFile)
+      .getOrElse(spark.read.parquet(s"$current/vecs").count())
 
   /** The batch id committed in this cell's live store, or Long.MinValue
     * if the marker is absent (a pre-CDC seed without one). */
@@ -224,7 +271,7 @@ object IndexCdc {
     }
   }
 
-  private def emptyGraph(spark: SparkSession): DataFrame = {
+  private[streaming] def emptyGraph(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -254,14 +301,16 @@ object IndexCdc {
       val (fs, current) = DocStreams.recoverStore(spark, dir)
       if (!fs.exists(current)) {
         val members = a.filter(col("cell") === c).select(col(idCol), col(vecCol))
+        val n = members.count()
         val g =
-          if (members.isEmpty) emptyGraph(spark)
+          if (n == 0L) emptyGraph(spark)
           else graft.operators.Similarity.nnDescent(
             members, idCol, vecCol, graphK, graphRounds, initBuckets)
         val next = new org.apache.hadoop.fs.Path(s"$dir/next_init")
         g.write.mode("overwrite").parquet(s"$next/graph")
         members.write.mode("overwrite").parquet(s"$next/vecs")
         writeMarker(fs, next, -1L)
+        writeFootprint(fs, next, n)
         DocStreams.swapStore(fs, dir, next, batchId = -1L)
       }
     }
@@ -349,7 +398,7 @@ object IndexCdc {
     *    NN-Descent subgraph (membership changes invalidate a subgraph
     *    the way the rebuild-fraction guard says batch inserts do);
     *    every other cell's store is neither read nor rewritten beyond
-    *    its parquet footer (the member count).
+    *    its swap-time footprint manifest (the member count).
     *
     * Commit is TWO-PHASE over the write-aside swap: every affected
     * cell's `next_` pair is fully written before the first swap (a
@@ -367,7 +416,8 @@ object IndexCdc {
     * `newCents` is the updated (cent_id, cent_vec) quantizer serving
     * and CDC route by from now on.
     *
-    * Scale shape: decisions derive from per-cell footer counts and the
+    * Scale shape: decisions derive from the per-cell footprint
+    * manifests (driver file reads, zero jobs) and the
     * bounded centroid matrix (both ≤ nCells driver rows); data moves
     * only through the affected cells' keyed reassignment and their
     * cell-local rebuilds. */
@@ -396,10 +446,14 @@ object IndexCdc {
       cur
     }
     val curPaths = cells.map(c => c -> current(c)).toMap
-    // per-cell member counts: parquet-footer reads only — untouched
-    // cells' DATA is never opened by this job
+    val manifestFs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-cell member counts: the swap-time manifest — nCells driver
+    // file reads, ZERO Spark jobs (parquet fallback only for stores
+    // written before the manifest existed); untouched cells' DATA is
+    // never opened by this job
     val counts: Map[Long, Long] =
-      cells.map(c => c -> spark.read.parquet(s"${curPaths(c)}/vecs").count()).toMap
+      cells.map(c => c -> cellFootprint(spark, manifestFs, curPaths(c))).toMap
     val total = math.max(counts.values.sum, 1L)
     def share(c: Long): Long = counts(c) * 1000000L / total
     val splits = cells.filter(c => share(c) > splitPpm && counts(c) >= 2)
@@ -438,12 +492,14 @@ object IndexCdc {
     // leaves every live store untouched
     val pendingSwaps = scala.collection.mutable.ArrayBuffer
       .empty[(Long, org.apache.hadoop.fs.Path)]
-    def stageCell(c: Long, graph: DataFrame, vecs: DataFrame, marker: Long): Unit = {
+    def stageCell(c: Long, graph: DataFrame, vecs: DataFrame, marker: Long,
+        nVecs: Long): Unit = {
       val next = new org.apache.hadoop.fs.Path(
         s"${cellDir(storeDir, c)}/next_rebalance_$rebalanceId")
       graph.write.mode("overwrite").parquet(s"$next/graph")
       vecs.write.mode("overwrite").parquet(s"$next/vecs")
       writeMarker(fs, next, marker)
+      writeFootprint(fs, next, nVecs)
       pendingSwaps += ((c, next))
     }
     val report = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
@@ -479,8 +535,8 @@ object IndexCdc {
         val hiM = reassigned.filter(col("cell") === hiId).select(col(idCol), col(vecCol))
         val marker = appliedBatch(fs, curPaths(c))
         val loN = lo.count()
-        stageCell(c, buildGraph(lo), lo, marker)
-        stageCell(hiId, buildGraph(hiM), hiM, marker)
+        stageCell(c, buildGraph(lo), lo, marker, loN)
+        stageCell(hiId, buildGraph(hiM), hiM, marker, counts(c) - loN)
         report += ((c, loN, "split_lo"))
         report += ((hiId, counts(c) - loN, "split_hi"))
         newCents += ((c, a))
@@ -488,7 +544,7 @@ object IndexCdc {
       } else if (merges.contains(c)) {
         val marker = appliedBatch(fs, curPaths(c))
         stageCell(c, emptyGraph(spark),
-          spark.read.parquet(s"${curPaths(c)}/vecs").limit(0), marker)
+          spark.read.parquet(s"${curPaths(c)}/vecs").limit(0), marker, 0L)
         report += ((c, 0L, "merged_away"))
       } else if (mergedInto.contains(c)) {
         val sources = mergedInto(c)
@@ -496,11 +552,13 @@ object IndexCdc {
           .map(x => spark.read.parquet(s"${curPaths(x)}/vecs"))
           .reduce(_ unionByName _)
         val marker = (c +: sources).map(x => appliedBatch(fs, curPaths(x))).max
-        stageCell(c, buildGraph(union), union, marker)
+        stageCell(c, buildGraph(union), union, marker,
+          counts(c) + sources.map(counts).sum)
         report += ((c, counts(c) + sources.map(counts).sum, "merge_target"))
         newCents += ((c, cvec))
       } else {
-        // untouched: neither read (beyond the footer count) nor rewritten
+        // untouched: neither read (beyond the footprint manifest) nor
+        // rewritten
         report += ((c, counts(c), "kept"))
         newCents += ((c, cvec))
       }
@@ -520,11 +578,11 @@ object IndexCdc {
     * out), run the way production actually sequences them: the CDC
     * stream drains continuously, and a periodic maintenance job reads
     * the drifted per-cell footprints ([[graft.operators.AnnIndex
-    * .shardGrowthReport]]'s share rule over the LIVE stores' footer
-    * counts) and rebalances only if some cell left the
+    * .shardGrowthReport]]'s share rule over the LIVE stores' swap-time
+    * footprint manifests — driver file reads, zero Spark jobs) and rebalances only if some cell left the
     * [mergePpm, splitPpm] band — otherwise it touches nothing and
     * reports every cell "kept". Returns the [[rebalanceShardedStore]]
-    * report either way (the no-op case synthesized from the footer
+    * report either way (the no-op case synthesized from the manifest
     * counts alone), so the operator's readout is identical whether or
     * not the window fired. */
   def maintenanceWindow(
@@ -540,11 +598,14 @@ object IndexCdc {
       mergePpm: Long,
       rebalanceId: Long): (DataFrame, DataFrame) = {
     val cells = cents.select(col("cent_id")).collect().map(_.getLong(0)).sorted
+    // drifted footprints off the swap-time manifests: nCells driver file
+    // reads, ZERO Spark jobs per window (parquet-count fallback only for
+    // pre-manifest stores)
     val counts = cells.map { c =>
       val (fs, cur) = DocStreams.recoverStore(spark, cellDir(storeDir, c))
       require(fs.exists(cur),
         s"sharded index store $storeDir has no committed cell $c")
-      c -> spark.read.parquet(s"$cur/vecs").count()
+      c -> cellFootprint(spark, fs, cur)
     }.toMap
     val total = math.max(counts.values.sum, 1L)
     val out = cells.exists { c =>
@@ -562,6 +623,28 @@ object IndexCdc {
     }
   }
 
+  /** Apply one CDC batch to the sharded store — CELL-KEYED: the
+    * delete → threshold-repair → insert compute for EVERY touched cell
+    * runs as one keyed plan (`cell` rides the tombstone semi-joins, the
+    * entry-point window, the queue-depth aggregate, and the beam
+    * searches — the [[graft.operators.AnnIndex.shardedSearchWithEntries]]
+    * serving precedent), so Spark jobs per batch no longer grow with
+    * the touched-cell count: a batch touching five hundred cells plans
+    * the same fixed statement as one touching four. Per-cell work
+    * survives only where it is inherently per-cell — the replay-skip
+    * marker reads, the guard-EXCEPTION rebuilds (a cell the batch
+    * drains or swamps gets its own NN-Descent, bounded by the guard),
+    * and the crash-safe swap+marker loop, whose Spark side is one
+    * partitioned stage write (two jobs total) that each cell's
+    * `next_` dir is then assembled from by pure file renames.
+    *
+    * Semantics are bit-identical to applying the single-store
+    * [[mergeCdcBatch]] lifecycle per cell in ascending cell order:
+    * ids are unique across cells and edges intra-cell, so the keyed
+    * joins and windows decompose exactly into the per-cell ones, and
+    * a beam search seeded inside a cell can only walk that cell's
+    * subgraph (connectivity confines it — the same argument
+    * [[graft.operators.Similarity.keyedGraphSearchTopK]] makes). */
   private[graft] def mergeShardedCdcBatch(
       batch: DataFrame,
       batchId: Long,
@@ -583,78 +666,193 @@ object IndexCdc {
     // deletes) — one zero-shuffle expression, no store read
     val routed = batch
       .select(col("op"), col(idCol), col(vecCol),
-        graft.operators.Similarity.ivfCellColumn(col(vecCol), cents).as("cell"))
+        graft.operators.Similarity.ivfCellColumn(col(vecCol), cents)
+          .cast("long").as("cell"))
       .localCheckpoint()
-    // the batch's cell footprint: the ONLY driver-side artifact, bounded
-    // by nCells — and the bound on everything below (untouched cells are
-    // never opened)
-    val touched = routed.select(col("cell").cast("long")).distinct()
+    // the batch's cell footprint: the ONLY corpus-derived driver
+    // artifact, bounded by nCells — and the bound on everything below
+    // (untouched cells are never opened)
+    val touched = routed.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    for (c <- touched) {
-      val dir = cellDir(storeDir, c)
-      val (fs, current) = DocStreams.recoverStore(spark, dir)
+    // replay skip: a crash between two cells' swaps re-runs the batch;
+    // cells that already committed it must not apply it twice (the
+    // reverse-patch re-cut is not idempotent). Marker + footprint reads
+    // are driver-side file reads — no jobs.
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curByCell: Map[Long, org.apache.hadoop.fs.Path] = touched.map { c =>
+      val (_, current) = DocStreams.recoverStore(spark, cellDir(storeDir, c))
       require(fs.exists(current),
         s"sharded index store $storeDir has no committed cell $c " +
           "(initShardedStore must seed every quantizer cell before CDC)")
-      // replay skip: a crash between two cells' swaps re-runs the batch;
-      // cells that already committed it must not apply it twice (the
-      // reverse-patch re-cut is not idempotent)
-      if (appliedBatch(fs, current) < batchId) {
-        val graph = spark.read.parquet(s"$current/graph")
-        val vecs = spark.read.parquet(s"$current/vecs")
-        val b = routed.filter(col("cell") === c)
-        val dels = b.filter(col("op") === "delete").select(col(idCol))
-        val ups = b.filter(col("op") === "upsert")
-          .select(col(idCol), col(vecCol)).localCheckpoint()
-        val removed = dels.unionByName(ups.select(col(idCol))).distinct()
-        val remaining = vecs.join(removed, Seq(idCol), "left_anti").localCheckpoint()
-        val nRemoved = vecs.count() - remaining.count()
-        val nUpserts = ups.count()
-        val nRemaining = remaining.count()
-        var g = graft.operators.AnnIndex.survivingEdges(graph, remaining, idCol)
-        if (nRemaining == 0L) {
-          // the cell was fully drained: nothing to repair or link against
-          g = if (nUpserts == 0L) emptyGraph(spark)
-            else graft.operators.Similarity.nnDescent(
-              ups, idCol, vecCol, k, rebuildRounds, rebuildBuckets)
-        } else if (nUpserts > 0 &&
-            nUpserts.toDouble > rebuildFraction * nRemaining) {
-          // cell-local rebuild guard: this batch swamps THIS cell, so the
-          // insert approximation's blind spot (new→new edges can never
-          // exist) is closed by a full rebuild over survivors ∪ batch
-          g = graft.operators.Similarity.nnDescent(
-            remaining.unionByName(ups), idCol, vecCol,
-            k, rebuildRounds, rebuildBuckets)
-        } else {
-          // per-cell entry points: the cell's lowest surviving ids — a
-          // bounded collect (entriesPerCell ids) on the maintenance path
-          val entryIds = remaining.select(col(idCol).cast("long"))
-            .orderBy(col(idCol)).limit(entriesPerCell)
-            .collect().map(_.getLong(0)).toSeq
-          if (nRemoved > 0) {
-            val queueDepth = remaining.select(col(idCol).as("id"))
-              .join(g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n")),
-                Seq("id"), "left")
-              .filter(coalesce(col("n"), lit(0L)) < k).count()
-            if (queueDepth >= repairThreshold)
-              g = graft.operators.AnnIndex.repairGraph(g, remaining,
-                idCol, vecCol, k, entryIds, beam, searchRounds)
-          }
-          if (nUpserts > 0)
-            g = graft.operators.AnnIndex.insertBatch(g, remaining, ups,
-              idCol, vecCol, k, entryIds, beam, searchRounds)
+      c -> current
+    }.toMap
+    val applySet = touched.filter(c => appliedBatch(fs, curByCell(c)) < batchId)
+    if (applySet.isEmpty) return
+    val inCells = (cs: Seq[Long]) => col("cell")
+      .isInCollection(cs.map(java.lang.Long.valueOf))
+    // ONE keyed read of the apply-set cells' stores — committed and
+    // untouched cells' files are never opened
+    val vecs = shardedStoreVecs(spark, storeDir, applySet)
+    val b = routed.filter(inCells(applySet))
+    val ups = b.filter(col("op") === "upsert")
+      .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint()
+    // upsert replaces: drop existing state for upserted ids too (keyed
+    // by the cell each op ROUTED to — the Debezium image discipline)
+    val removed = b.select(col("cell"), col(idCol)).distinct()
+    val remaining = vecs
+      .join(removed, Seq("cell", idCol), "left_anti")
+      .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint()
+    // per-cell stats: TWO grouped aggregates (not 3 counts × cells);
+    // pre-batch footprints come from the swap-time manifests (no jobs)
+    def cellCounts(df: DataFrame): Map[Long, Long] = df.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nRem = cellCounts(remaining).withDefaultValue(0L)
+    val nUps = cellCounts(ups).withDefaultValue(0L)
+    val nPrev = applySet.map(c =>
+      c -> cellFootprint(spark, fs, curByCell(c))).toMap
+    // guard classification, per cell (the cell-LOCAL ratio — a batch
+    // can swamp one small cell while being a rounding error elsewhere)
+    val drained = applySet.filter(c => nRem(c) == 0L)
+    val rebuilds = applySet.filter(c => nRem(c) > 0L && nUps(c) > 0L &&
+      nUps(c).toDouble > rebuildFraction * nRem(c))
+    val incr = applySet.filterNot(c =>
+      drained.contains(c) || rebuilds.contains(c))
+    // ---- incremental cells: one cell-keyed pipeline ----------------
+    val incrOut: Option[DataFrame] = if (incr.isEmpty) None else {
+      val rem = remaining.filter(inCells(incr))
+      val remIds = rem.select(col("cell"), col(idCol).as("id"))
+      // keyed tombstone: both endpoints survive, cell-keyed semi-joins
+      var g = shardedStoreGraph(spark, storeDir, incr)
+        .join(remIds.select(col("cell"), col("id").as("q_id")),
+          Seq("cell", "q_id"), "left_semi")
+        .join(remIds.select(col("cell"), col("id").as("n_id")),
+          Seq("cell", "n_id"), "left_semi")
+        .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
+        .localCheckpoint()
+      // per-cell entry points: ONE windowed table over the survivors
+      // (the cellEntryPoints discipline), not a collect per cell
+      val entries = graft.operators.AnnIndex.cellEntryPoints(
+        rem.select(col("cell"), col(idCol)), idCol, entriesPerCell)
+        .localCheckpoint()
+      // id → cell map (each id lives in exactly one cell — the routing
+      // invariant): re-attaches cell to the AnnIndex helpers' output
+      val cellOf = remIds.unionByName(
+        ups.filter(inCells(incr)).select(col("cell"), col(idCol).as("id")))
+      def attachCell(df: DataFrame): DataFrame = df
+        .select(col("q_id"), col("n_id"), col("d2"))
+        .join(cellOf.select(col("cell"), col("id").as("q_id")), Seq("q_id"))
+        .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
+      // entry seeds for a (cell-tagged) query set: each query walks in
+      // from ITS cell's entry points — seeded search over the union
+      // graph equals the per-cell fixed-entry search because edges are
+      // intra-cell (connectivity confines each query to its own cell)
+      def entrySeeds(queries: DataFrame): DataFrame = queries
+        .join(entries, Seq("cell"))
+        .select(col("id").as("q_id"), col("n_id"))
+      // repair gate: ONE grouped queue-depth aggregate over the
+      // tombstoned graph, gated per cell — only cells the batch
+      // actually deleted from can have repair debt
+      val delCells = incr.filter(c => nPrev(c) - nRem(c) > 0L)
+      val repairCells: Seq[Long] =
+        if (delCells.isEmpty) Seq.empty
+        else {
+          val deg = g.groupBy(col("cell"), col("q_id").as("id"))
+            .agg(count(lit(1)).as("n"))
+          val qd = remIds.join(deg, Seq("cell", "id"), "left")
+            .filter(coalesce(col("n"), lit(0L)) < k)
+            .groupBy(col("cell")).agg(count(lit(1)).as("qd")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          delCells.filter(c => qd.getOrElse(c, 0L) >= repairThreshold)
         }
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("d2").asc, col("n_id"))
-        val outGraph = g.select(col("q_id"), col("n_id"), col("d2"))
-          .withColumn("rank", row_number().over(wTop))
-        val outVecs = remaining.unionByName(ups)
-        val next = new org.apache.hadoop.fs.Path(s"$dir/next_$batchId")
-        outGraph.write.mode("overwrite").parquet(s"$next/graph")
-        outVecs.write.mode("overwrite").parquet(s"$next/vecs")
-        writeMarker(fs, next, batchId)
-        DocStreams.swapStore(fs, dir, next, batchId)
+      if (repairCells.nonEmpty) {
+        val gRep = g.filter(inCells(repairCells))
+        val remRep = rem.filter(inCells(repairCells))
+        val repaired = graft.operators.AnnIndex.repairGraphSeeded(
+          gRep.select(col("q_id"), col("n_id"), col("d2")),
+          remRep.select(col(idCol), col(vecCol)), idCol, vecCol, k,
+          queries => entrySeeds(queries.select(col(idCol))
+            .join(cellOf.withColumnRenamed("id", idCol), Seq(idCol))
+            .select(col("cell"), col(idCol).as("id"))),
+          beam, searchRounds)
+        g = g.filter(!inCells(repairCells)).unionByName(attachCell(repaired))
       }
+      val insCells = incr.filter(c => nUps(c) > 0L)
+      if (insCells.nonEmpty) {
+        val gIns = g.filter(inCells(insCells))
+        val upsIns = ups.filter(inCells(insCells))
+        val inserted = graft.operators.AnnIndex.insertBatchSeeded(
+          gIns.select(col("q_id"), col("n_id"), col("d2")),
+          rem.filter(inCells(insCells)).select(col(idCol), col(vecCol)),
+          upsIns.select(col(idCol), col(vecCol)), idCol, vecCol, k,
+          entrySeeds(upsIns.select(col("cell"), col(idCol).as("id"))),
+          beam, searchRounds)
+        g = g.filter(!inCells(insCells)).unionByName(attachCell(inserted))
+      }
+      Some(g)
     }
+    // ---- guard-exception cells: per-cell NN-Descent (bounded by the
+    // cells the batch drains or swamps, not the touched-cell count) ----
+    val built: Seq[DataFrame] = (drained ++ rebuilds).map { c =>
+      val upsC = ups.filter(col("cell") === c).select(col(idCol), col(vecCol))
+      val remC = remaining.filter(col("cell") === c)
+        .select(col(idCol), col(vecCol))
+      val g =
+        if (nRem(c) == 0L && nUps(c) == 0L) emptyGraph(spark)
+        else if (nRem(c) == 0L)
+          // fully drained: nothing to repair or link against
+          graft.operators.Similarity.nnDescent(
+            upsC, idCol, vecCol, k, rebuildRounds, rebuildBuckets)
+        else
+          // swamped: the insert approximation's blind spot (new→new
+          // edges can never exist) is closed by a full rebuild
+          graft.operators.Similarity.nnDescent(
+            remC.unionByName(upsC), idCol, vecCol,
+            k, rebuildRounds, rebuildBuckets)
+      g.select(col("q_id"), col("n_id"), col("d2")).withColumn("cell", lit(c))
+    }
+    // canonical stored shape: rank = position in the node's list; the
+    // (cell, q_id) window decomposes into the per-cell per-node windows
+    val wTop = Window.partitionBy(col("cell"), col("q_id"))
+      .orderBy(col("d2").asc, col("n_id"))
+    val outGraph = (incrOut.toSeq ++ built)
+      .map(_.select(col("cell"), col("q_id"), col("n_id"), col("d2")))
+      .reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(wTop))
+    val outVecs = remaining.unionByName(ups)
+    // ONE partitioned stage write per table (two jobs, not two × cells),
+    // then each cell's next_ dir is assembled by pure file renames and
+    // committed through the crash-safe write-aside swap
+    val stage = new org.apache.hadoop.fs.Path(s"$storeDir/stage_$batchId")
+    if (fs.exists(stage)) fs.delete(stage, true) // a replayed batch's leftover
+    outGraph.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$stage/graph")
+    outVecs.select(col("cell"), col(idCol), col(vecCol))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/vecs")
+    for (c <- applySet) {
+      val next = new org.apache.hadoop.fs.Path(
+        s"${cellDir(storeDir, c)}/next_$batchId")
+      if (fs.exists(next)) fs.delete(next, true)
+      fs.mkdirs(next)
+      for (part <- Seq("graph", "vecs")) {
+        val src = new org.apache.hadoop.fs.Path(s"$stage/$part/cell=$c")
+        val dst = new org.apache.hadoop.fs.Path(next, part)
+        if (fs.exists(src)) fs.rename(src, dst)
+        else {
+          // a partition with zero rows writes no stage subdir (a cell
+          // drained to nothing, or a lone survivor with no edges):
+          // materialize the typed empty table
+          val empty =
+            if (part == "graph") emptyGraph(spark)
+            else vecs.limit(0).select(col(idCol), col(vecCol))
+          empty.write.mode("overwrite").parquet(dst.toString)
+        }
+      }
+      writeMarker(fs, next, batchId)
+      writeFootprint(fs, next, nRem(c) + nUps(c))
+      DocStreams.swapStore(fs, cellDir(storeDir, c), next, batchId)
+    }
+    fs.delete(stage, true)
   }
 }

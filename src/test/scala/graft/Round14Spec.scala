@@ -886,10 +886,11 @@ class Round14Spec extends AnyFunSuite {
     assert(got.map(_.method) == Seq(0, 8, 0))
     assert(got(1).payload.toSeq == members(1)._2.toSeq)
     assert(got(1).compressedSize < 3000) // deflate actually compressed
-    // a trailing comment-sized garbage tail must NOT break the EOCD scan
-    // when it is declared as the archive comment... an UNDECLARED tail
-    // must (the EOCD length check is what rejects it)
-    assert(Zip.parseZip(zip ++ Array[Byte](1, 2, 3)).isEmpty)
+    // an appended garbage tail is IGNORED by the central-directory walk
+    // (self-extractor stubs and append-happy writers leave bytes after
+    // the EOCD; the backward scan finds the last self-consistent record)
+    assert(Zip.parseZip(zip ++ Array[Byte](1, 2, 3)).get
+      .map(_.name) == members.map(_._1))
     // flip a payload byte: the member CRC must catch it (a.txt's stored
     // data starts at 30-byte local header + 5-byte name = offset 35)
     val bad = zip.clone()

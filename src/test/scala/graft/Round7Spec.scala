@@ -11,20 +11,23 @@ class Round7Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("bench mergePasses: min, spread, and crash semantics") {
+  test("bench mergePasses: min, spread, crash, and budget-skip semantics") {
     val got = Bench.mergePasses(
-      Seq("a", "b", "c", "d"),
-      Seq(Seq(2.0, 5.0, -1.0, -1.0),
-          Seq(3.0, 4.0, 7.0, -1.0)))
+      Seq("a", "b", "c", "d", "e"),
+      Seq(Seq(2.0, 5.0, -1.0, -1.0, 6.0),
+          Seq(3.0, 4.0, 7.0, -1.0, Double.NaN)))
     // a: clean min + spread; b: min comes from pass 2
-    assert(got(0) == ("a", 2.0, 1.0, 2))
-    assert(got(1) == ("b", 4.0, 1.0, 2))
+    assert(got(0) == ("a", 2.0, 1.0, 2, 2))
+    assert(got(1) == ("b", 4.0, 1.0, 2, 2))
     // c crashed once, succeeded once: the success is recorded, spread 0
-    // — the ok count (1 < 2 passes) is what distinguishes this from a
-    // clean entry in the artifact
-    assert(got(2) == ("c", 7.0, 0.0, 1))
+    // — ok (1) < attempts (2) is what distinguishes this from a clean
+    // entry in the artifact
+    assert(got(2) == ("c", 7.0, 0.0, 1, 2))
     // d crashed in every pass: stays -1 (distinguishable from fast)
-    assert(got(3) == ("d", -1.0, 0.0, 0))
+    assert(got(3) == ("d", -1.0, 0.0, 0, 2))
+    // e was SKIPPED by pass 2's budget (NaN): one clean attempt, spread
+    // 0, and ok == attempts — a skip must never read as flakiness
+    assert(got(4) == ("e", 6.0, 0.0, 1, 1))
   }
 
   test("upsert state: all-partial version dirs fail loudly, not as empty state") {
