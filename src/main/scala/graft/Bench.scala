@@ -167,12 +167,15 @@ object Bench {
     // exist to demonstrate — instead of re-paying the one-time build.
     // q326's warmup builds its persisted level-0 + layer-stack artifacts
     // (buildOrLoad discipline) so the timed passes measure the descent +
-    // serve, not the one-time builds
+    // serve, not the one-time builds; q345's builds the sharded index +
+    // per-cell layer stacks — the same store q314 serves from, so both
+    // entries then time warm serving in both passes (r15 pass-1 cold
+    // builds read as 24.3s/11.5s spreads before this)
     for (name <- Seq(
         "q01_pricing_summary", "q15_doc_parse", "q27_ann_brute_topk",
         "q58_bucketed_join", "q35_streaming_windows",
         "q290_ann_index_serve", "q291_ann_index_insert",
-        "q326_layered_ann_serve")) {
+        "q326_layered_ann_serve", "q345_sharded_layered_serve")) {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
     }

@@ -10365,6 +10365,13 @@ object Queries {
         "vec_id", "embedding", cap = 3, k = 15, rounds = 4,
         layerK = 5, layerRounds = 2, initBuckets = 16)
     }
+    ensureSeed("slay4", d) { seedDir =>
+      graft.streaming.ShardedLayeredCdc.initShardedLayeredStore(s, seedDir,
+        Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint(),
+        "vec_id", "embedding", nCells = 4, cap = 2, graphK = 10,
+        graphRounds = 3, layerK = 5, layerRounds = 2, initBuckets = 16)
+    }
   }
 
   /** Round-12 surface: the persisted/served graph-ANN index story, the
@@ -13381,6 +13388,119 @@ object Queries {
        |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM na$l))
        |  WHERE rn <= 5)""".stripMargin
 
+  /** One CELL's full layered-CDC lifecycle for the q349 oracle — the
+    * q344 composition at cap 2 over cell `c`'s membership: base level-0
+    * and two layer chains, both tombstones, gated layer repairs seeded
+    * from the cell's top entry, the level-0 queue's two-stage descent +
+    * repair, and the upserts' insert walk (descent + per-layer links +
+    * seeded level-0 fold-in). Ends at w{c}pg / w{c}NG1 / w{c}NG2 —
+    * the cell's post-batch level-0 and layer graphs. Assumes the
+    * shared CTEs assign / upsr / lvt / v / vq. */
+  private def shardedLayeredCellCtes(c: Int): String = {
+    val p = s"w$c"
+    def layerRepair(l: Int): String =
+      s"""${p}mem$l AS (SELECT r.id FROM ${p}rem r
+         |  JOIN lvt ON lvt.vec_id = r.id AND lvt.level >= $l),
+         |${p}qd$l AS MATERIALIZED (SELECT m.id FROM ${p}mem$l m
+         |  LEFT JOIN (SELECT id, count(*) AS n FROM ${p}K$l GROUP BY id) d
+         |    USING (id)
+         |  WHERE coalesce(d.n, 0) < 5),
+         |${p}sd$l AS (SELECT q.id AS q_id, e.id AS n_id
+         |  FROM ${p}qd$l q, ${p}ent e),
+         |${seededSearchCtes(s"${p}R${l}_", s"${p}sd$l", s"${p}K$l", 6, 2)},
+         |${p}LG$l AS MATERIALIZED (
+         |  SELECT k.id, k.nbr, k.d2 FROM ${p}K$l k
+         |    ANTI JOIN ${p}qd$l q ON k.id = q.id
+         |  UNION ALL SELECT id, nbr, d2 FROM (
+         |    SELECT id, nbr, d2, row_number() OVER (
+         |      PARTITION BY id ORDER BY d2, nbr) AS rn
+         |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
+         |      SELECT k.id, k.nbr, k.d2 FROM ${p}K$l k
+         |        JOIN ${p}qd$l q ON k.id = q.id
+         |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ${p}R${l}_b2)))
+         |  WHERE rn <= 5)""".stripMargin
+    def layerLink(l: Int, seedsCte: String): String =
+      s"""${seededSearchCtes(s"${p}U${l}_", seedsCte, s"${p}LG$l", 6, 2,
+            qv = "vq")},
+         |${p}na$l AS (SELECT q_id, n_id, d2 FROM (
+         |    SELECT u.q_id, u.n_id, u.d2, row_number() OVER (
+         |      PARTITION BY u.q_id ORDER BY u.d2, u.n_id) AS rn
+         |    FROM ${p}U${l}_b2 u JOIN lvt ON lvt.vec_id = u.q_id
+         |      AND lvt.level >= $l)
+         |  WHERE rn <= 5),
+         |${p}NG$l AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+         |    SELECT id, nbr, d2, row_number() OVER (
+         |      PARTITION BY id ORDER BY d2, nbr) AS rn
+         |    FROM (SELECT id, nbr, d2 FROM ${p}LG$l
+         |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ${p}na$l
+         |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM ${p}na$l))
+         |  WHERE rn <= 5)""".stripMargin
+    val layerChains = (1 to 2).map(l => nnGraphOracleCtes(5, 2,
+      s" WHERE vec_id IN (SELECT a.vec_id FROM assign a" +
+        s" JOIN lvt lv ON lv.vec_id = a.vec_id" +
+        s" WHERE a.cell = $c AND lv.level >= $l)",
+      p = s"${p}L${l}_", lead = "")).mkString(",\n")
+    s"""${nnGraphOracleCtes(10, 3,
+        s" WHERE vec_id IN (SELECT vec_id FROM assign WHERE cell = $c)",
+        p = s"${p}_", lead = "")},
+       |$layerChains,
+       |${p}rem AS (SELECT a.vec_id AS id FROM assign a
+       |  WHERE a.cell = $c AND a.vec_id % 7 <> 3),
+       |${p}k0 AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM ${p}_nn3 g
+       |  JOIN ${p}rem a ON g.id = a.id JOIN ${p}rem b ON g.nbr = b.id),
+       |${p}K1 AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM ${p}L1_nn2 g
+       |  JOIN ${p}rem a ON g.id = a.id JOIN ${p}rem b ON g.nbr = b.id),
+       |${p}K2 AS MATERIALIZED (SELECT g.id, g.nbr, g.d2 FROM ${p}L2_nn2 g
+       |  JOIN ${p}rem a ON g.id = a.id JOIN ${p}rem b ON g.nbr = b.id),
+       |${p}ent AS (SELECT min(r.id) AS id FROM ${p}rem r
+       |  JOIN lvt l ON l.vec_id = r.id
+       |  WHERE l.level = (SELECT max(l2.level) FROM ${p}rem r2
+       |    JOIN lvt l2 ON l2.vec_id = r2.id)),
+       |${layerRepair(1)},
+       |${layerRepair(2)},
+       |${p}qd0 AS MATERIALIZED (SELECT r.id FROM ${p}rem r
+       |  LEFT JOIN (SELECT id, count(*) AS n FROM ${p}k0 GROUP BY id) d
+       |    USING (id)
+       |  WHERE coalesce(d.n, 0) < 10),
+       |${p}ds2 AS (SELECT q.id AS q_id, e.id AS n_id
+       |  FROM ${p}qd0 q, ${p}ent e),
+       |${seededSearchCtes(s"${p}Q2_", s"${p}ds2", s"${p}LG2", 6, 2)},
+       |${topMSeedsCte(s"${p}ds1", s"${p}Q2_b2", 2)},
+       |${seededSearchCtes(s"${p}Q1_", s"${p}ds1", s"${p}LG1", 6, 2)},
+       |${topMSeedsCte(s"${p}ds0", s"${p}Q1_b2", 2)},
+       |${seededSearchCtes(s"${p}Q0_", s"${p}ds0", s"${p}k0", 12, 3)},
+       |${p}rg AS MATERIALIZED (
+       |  SELECT k.id, k.nbr, k.d2 FROM ${p}k0 k
+       |    ANTI JOIN ${p}qd0 q ON k.id = q.id
+       |  UNION ALL SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn
+       |    FROM (SELECT DISTINCT id, nbr, d2 FROM (
+       |      SELECT k.id, k.nbr, k.d2 FROM ${p}k0 k
+       |        JOIN ${p}qd0 q ON k.id = q.id
+       |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ${p}Q0_b3)))
+       |  WHERE rn <= 10),
+       |${p}u AS (SELECT vec_id AS id FROM upsr WHERE cell = $c),
+       |${p}us2 AS (SELECT q.id AS q_id, e.id AS n_id FROM ${p}u q, ${p}ent e),
+       |${layerLink(2, s"${p}us2")},
+       |${topMSeedsCte(s"${p}us1", s"${p}U2_b2", 2)},
+       |${layerLink(1, s"${p}us1")},
+       |${topMSeedsCte(s"${p}us0", s"${p}U1_b2", 2)},
+       |${seededSearchCtes(s"${p}F0_", s"${p}us0", s"${p}rg", 12, 3,
+          qv = "vq")},
+       |${p}ne AS MATERIALIZED (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM ${p}F0_b3)
+       |  WHERE rn <= 10),
+       |${p}pg AS MATERIALIZED (SELECT id, nbr, d2 FROM (
+       |    SELECT id, nbr, d2, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, nbr) AS rn
+       |    FROM (SELECT id, nbr, d2 FROM ${p}rg
+       |      UNION ALL SELECT n_id AS id, q_id AS nbr, d2 FROM ${p}ne
+       |      UNION ALL SELECT q_id AS id, n_id AS nbr, d2 FROM ${p}ne))
+       |  WHERE rn <= 10)""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // Round-15 surface: layered-store CDC (the q312 lifecycle composed
   // with q326's layer stack).
@@ -13679,6 +13799,277 @@ object Queries {
            |LEFT JOIN lhits lh USING (q_id)
            |LEFT JOIN fhits fh USING (q_id)
            |ORDER BY q_id""".stripMargin
+      }),
+
+    // STEREO FLAC with LPC subframes (Flac.encodeFlacStereo /
+    // decodeFlac, Multimodal.decodeFlacStereoStats): closes q336's
+    // documented scope-out — real `flac` default encodes emit LPC
+    // subframes and stereo decorrelation, so a corpus decode that
+    // stops at fixed predictors downgrades most real assets. Channel
+    // assignment cycles by id over all four published modes
+    // (independent, left/side, right/side, mid/side — the side channel
+    // carrying bps+1 = 17 bits), each channel's subframe class cycles
+    // per frame over VERBATIM / FIXED 1 / FIXED 2 / LPC order 2 (QLP
+    // precision 5, shift 2, warmup + coefficient reads + the
+    // 64-bit-accumulated dot product), and the inter-channel inversion
+    // is libFLAC's exact integer form incl. mid/side's parity-bit
+    // reconstruction. Every class is lossless, so the oracle states
+    // the INPUT channel signals from id arithmetic — a wrong side
+    // width, channel dispatch, QLP field offset, shift sense, or
+    // mid/side parity rule fails the hash; the declared mode and the
+    // LPC subframe COUNT are pinned so a silent fixed-predictor
+    // fallback fails even where samples agree. Both CRCs validated.
+    // Scale: one partition-preserving mapPartitions, bytes never on
+    // the driver — the q336 shape.
+    "q346_flac_stereo_lpc_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeFlacStereoAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeFlacStereoStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 4)::BIGINT AS mode,
+             |    (doc_id % 3 + 1)::BIGINT AS nf FROM documents),
+             |fr AS (SELECT doc_id, mode, f.f AS f,
+             |    ((doc_id + f.f) % 40 + 3)::BIGINT AS ns
+             |  FROM p, range(0, 3) f(f) WHERE f.f < nf),
+             |sm AS (SELECT doc_id, f, k.k AS k,
+             |    ((doc_id + 3 * k.k + f) % 200 - 100)::BIGINT AS l,
+             |    ((2 * doc_id + 5 * k.k + 7 * f) % 180 - 90)::BIGINT AS r
+             |  FROM fr, range(0, 43) k(k) WHERE k.k < ns),
+             |agg AS (SELECT doc_id,
+             |    (2 * count(*))::BIGINT AS n_samples,
+             |    sum(l + r)::BIGINT AS sum_pcm,
+             |    sum(abs(l) + abs(r))::BIGINT AS sum_abs,
+             |    greatest(max(abs(l)), max(abs(r)))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id),
+             |lpc AS (SELECT doc_id,
+             |    sum((CASE WHEN (doc_id + f) % 4 = 3 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN (doc_id + 2 + f) % 4 = 3 THEN 1 ELSE 0 END)
+             |      )::BIGINT AS n_lpc
+             |  FROM fr GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'flac' AS codec,
+             |  CASE p.mode WHEN 0 THEN 'independent' WHEN 1 THEN 'left_side'
+             |    WHEN 2 THEN 'right_side' ELSE 'mid_side' END AS channel_mode,
+             |  2::BIGINT AS n_channels, p.nf AS n_frames,
+             |  a.n_samples, l.n_lpc AS n_lpc_subframes,
+             |  a.sum_pcm, a.sum_abs, a.peak_abs
+             |FROM p JOIN agg a USING (doc_id) JOIN lpc l USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // VP8L COLOR CACHE (Vp8l.encodeCachedAsset / decodeImage): closes
+    // q325's documented scope-out — real cwebp output uses the cache
+    // routinely, so a decoder without it downgrades most real WebP
+    // assets to sniffed in the q328-class coverage audit. Streams carry
+    // cache_bits = 5 (32 zero-initialized slots, the 0x1e35a7bd
+    // multiplicative key), a green alphabet widened to 312 symbols
+    // (its code-length header exercises the repeat-16-after-repeat-18
+    // prevLen rule), and pixels cycling over id%6+2 colors so every
+    // asset genuinely alternates literal inserts and cache references
+    // — including slot evictions where two colors collide. Decode is
+    // exact or the asset DROPS (a decoder that ignores symbols ≥ 280
+    // cannot parse the stream), so the oracle states the pixel ramp
+    // from id arithmetic: a wrong hash constant, shift, slot init,
+    // insert rule, or alphabet width fails the hash on every asset.
+    // Scale: the q325 partition-preserving mapPartitions shape.
+    "q347_webp_color_cache_decode" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWebpCachedAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWebpStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 21 + 1)::BIGINT AS w,
+             |    (doc_id % 13 + 1)::BIGINT AS h, (doc_id % 6 + 2)::BIGINT AS K
+             |  FROM documents),
+             |px AS (SELECT doc_id, K, w, h, xs.x AS x, ys.y AS y
+             |  FROM dims, range(0, 21) xs(x), range(0, 13) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |qv AS (SELECT doc_id, (y * w + x) % K AS q FROM px),
+             |ps AS (SELECT doc_id,
+             |    sum(((doc_id + 3 * q) % 256) * 65536 +
+             |        ((doc_id + 5 * q) % 256) * 256 +
+             |        (doc_id + 7 * q) % 256)::BIGINT AS pixel_sum
+             |  FROM qv GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'vp8l' AS codec, d.w AS width,
+             |  d.h AS height, 'none' AS transform,
+             |  ps.pixel_sum, (255 * d.w * d.h)::BIGINT AS alpha_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // MP4 SAMPLE-TABLE depth (Codecs.walkMp4 stts/stco via
+    // Multimodal.walkMp4Census): q324's structure walk extended with
+    // the census fields a video-corpus inventory actually needs — the
+    // stts run table reduced to each track's media DURATION
+    // (Σ count·delta over 1–3 id-derived runs) and the stco
+    // chunk-offset table reduced to its entry count and offset sum.
+    // Every table length is bounds-checked against the box before the
+    // entries are read (the walk discipline: corrupt tables drop the
+    // asset). The oracle replays the run/offset arithmetic per
+    // (asset, track) — a wrong entry stride, duration product, table
+    // offset, or zero-chunk handling fails the hash. Scale: one
+    // partition-preserving mapPartitions reading O(moov) bytes.
+    "q348_mp4_sample_table_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMp4DeepAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkMp4Census(assets)
+          .orderBy(col("asset_id"), col("track_idx"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 3)::BIGINT AS bc,
+             |    (doc_id % 3 + 1)::BIGINT AS nt FROM documents),
+             |tr AS (SELECT doc_id, bc, t.t AS t
+             |  FROM p, range(0, 3) t(t) WHERE t.t < nt),
+             |runs AS (SELECT doc_id, t, j.j AS j,
+             |    ((doc_id + 3 * j.j + t) % 7 + 1)::BIGINT AS cnt,
+             |    ((doc_id + 5 * j.j) % 9 + 1)::BIGINT AS dlt
+             |  FROM tr, range(0, 3) j(j) WHERE j.j < (doc_id + t) % 3 + 1),
+             |ragg AS (SELECT doc_id, t, sum(cnt)::BIGINT AS n_samples,
+             |    sum(cnt * dlt)::BIGINT AS duration
+             |  FROM runs GROUP BY doc_id, t),
+             |offs AS (SELECT doc_id, t, count(*)::BIGINT AS n_chunks,
+             |    sum(48 + (doc_id * 7 + t * 13 + j.j * 29) % 1000)::BIGINT
+             |      AS sum_off
+             |  FROM tr, range(0, 4) j(j) WHERE j.j < (doc_id + t) % 4
+             |  GROUP BY doc_id, t)
+             |SELECT tr.doc_id AS asset_id,
+             |  CASE tr.bc WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+             |    ELSE 'avc1' END AS brand,
+             |  tr.t AS track_idx,
+             |  CASE WHEN (tr.doc_id + tr.t) % 2 = 0 THEN 'vide'
+             |    ELSE 'soun' END AS handler,
+             |  r.n_samples, r.duration,
+             |  coalesce(o.n_chunks, 0)::BIGINT AS n_chunks,
+             |  coalesce(o.sum_off, 0)::BIGINT AS sum_chunk_off
+             |FROM tr JOIN ragg r USING (doc_id, t)
+             |  LEFT JOIN offs o USING (doc_id, t)
+             |ORDER BY asset_id, track_idx""".stripMargin)),
+
+    // SHARDED-AND-LAYERED store CDC (ShardedLayeredCdc): the last cell
+    // of the lifecycle matrix — q322 maintains flat per-cell stores,
+    // q344 one layered store, and the per-cell layer STACKS q345
+    // serves from had no maintenance (they would go stale under churn
+    // exactly like the pre-q344 single store). Every quantizer cell is
+    // a complete layered store with its own crash-safe swap +
+    // applied-batch marker + footprint manifest; a batch routes by the
+    // carried Debezium image and applies the FULL q344 composition per
+    // touched cell — tombstone every level, repair layers then
+    // level-0 (the queue descending the repaired stack), one HNSW
+    // insert walk — with the COMPUTE cell-keyed end to end (keyed
+    // tombstones, per-cell entry TABLE, grouped queue-depth
+    // aggregates, shared descent loops with short-stack pass-through,
+    // one partitioned stage write): Spark jobs per batch are
+    // independent of the touched-cell count from day one, the q322
+    // restatement discipline. The oracle unrolls ALL FOUR cells' full
+    // layered lifecycles — 12 graph chains, 8 gated layer repairs, 4
+    // two-stage queue descents + level-0 repairs, 4 insert walks —
+    // and pins every cell's every level's per-node degree and Σd2.
+    // Round15Spec locks the keyed merge equal to applying the q344
+    // single-store merge per cell in isolation, untouched cells
+    // byte-identical, and replay-after-partial-commit. Scale:
+    // per-batch cost is the batch's cell footprint times the layered
+    // maintenance shapes; untouched/committed cells never opened.
+    "q349_sharded_layered_cdc" -> Q(
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        def wipe(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        val cdcDir = java.nio.file.Paths.get(freshScratchDir("graft_q349_cdc"))
+        java.nio.file.Files.createDirectories(cdcDir)
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = cdcDir.resolve(s"${name}_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, cdcDir.resolve(name))
+          wipe(tmp)
+          cdcDir.resolve(name).toFile.setLastModified(mtime)
+        }
+        writeBatchFile(base.filter(col("vec_id") % 7 === 3)
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding")),
+          "b0.parquet", 1000000L)
+        writeBatchFile(emb.filter(col("vec_id") % 10 === 9)
+          .select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
+          "b1.parquet", 2000000L)
+        // fresh per-run store cloned from the immutable per-cell layered
+        // seed (the q322/q344 clone discipline)
+        val store = clonedSeedStore("slay4", d, "graft_q349_store") {
+          seedDir =>
+            graft.streaming.ShardedLayeredCdc.initShardedLayeredStore(s,
+              seedDir, assigned, "vec_id", "embedding", nCells = 4,
+              cap = 2, graphK = 10, graphRounds = 3, layerK = 5,
+              layerRounds = 2, initBuckets = 16)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q349_ckpt")
+        val cdc = s.readStream
+          .schema("op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(cdcDir.toString)
+        val q = graft.streaming.ShardedLayeredCdc.startShardedLayered(cdc,
+          store, ckpt.toString, cents, "vec_id", "embedding", cap = 2,
+          k = 10, layerK = 5, m = 2, descBeam = 6, descRounds = 2,
+          beam = 12, searchRounds = 3, repairThreshold = 1L)
+        try q.processAllAvailable() finally { q.stop(); wipe(ckpt) }
+        (0 to 2).map { l =>
+          graft.streaming.ShardedLayeredCdc.shardedLayeredStorePart(s, store,
+              0L until 4L, if (l == 0) "graph" else s"layer_$l")
+            .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
+            .withColumn("layer", lit(l.toLong))
+        }.reduce(_ unionByName _)
+          .groupBy(col("cell"), col("layer"), col("q_id").as("id"))
+          .agg(count(lit(1)).as("n_nbrs"), sum(col("d2")).as("sum_d2"))
+          .select(col("cell"), col("layer"), col("id"),
+            (col("id") % 10 === 9).as("is_new"), col("n_nbrs"), col("sum_d2"))
+          .orderBy(col("cell"), col("layer"), col("id"))
+      },
+      Some {
+        def lvlCase: String =
+          """CASE
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 4 <> 0 THEN 0
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 16 <> 0 THEN 1
+            |      ELSE 2 END""".stripMargin
+        val perCell = (0 to 3).map(shardedLayeredCellCtes).mkString(",\n")
+        val unions = (0 to 3).flatMap { c =>
+          Seq(
+            s"SELECT $c::BIGINT AS cell, 0::BIGINT AS layer, id, nbr, d2 FROM w${c}pg",
+            s"SELECT $c::BIGINT, 1::BIGINT, id, nbr, d2 FROM w${c}NG1",
+            s"SELECT $c::BIGINT, 2::BIGINT, id, nbr, d2 FROM w${c}NG2")
+        }.mkString("\n  UNION ALL ")
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+           |    embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+           |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+           |upsr AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id % 10 = 9) WHERE rn = 1),
+           |lvt AS MATERIALIZED (SELECT vec_id, $lvlCase AS level
+           |  FROM embeddings),
+           |v AS MATERIALIZED (SELECT vec_id AS id,
+           |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+           |  FROM embeddings),
+           |vq AS (SELECT id, iv FROM v),
+           |$perCell
+           |SELECT cell, layer, id, (id % 10 = 9) AS is_new,
+           |  count(*)::BIGINT AS n_nbrs, sum(d2)::BIGINT AS sum_d2
+           |FROM ($unions)
+           |GROUP BY cell, layer, id
+           |ORDER BY cell, layer, id""".stripMargin
       }))
 
   /** All queries in catalog order. */

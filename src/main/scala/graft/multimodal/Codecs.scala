@@ -1462,7 +1462,12 @@ object Codecs {
   // a video corpus (AVC/HEVC entropy decode is out of scope).
   // ------------------------------------------------------------------
 
-  final case class Mp4Track(handler: String, nSamples: Long)
+  final case class Mp4Track(
+      handler: String,
+      nSamples: Long,
+      duration: Long = -1L,
+      nChunks: Long = -1L,
+      sumChunkOff: Long = -1L)
   final case class Mp4Info(brand: String, tracks: Vector[Mp4Track])
 
   /** Encode a minimal but well-formed MP4: ftyp (major `brand`), moov
@@ -1511,14 +1516,70 @@ object Codecs {
     ftyp ++ moov ++ mdat
   }
 
+  /** [[encodeMp4]] with explicit SAMPLE-TABLE depth per track: stts as
+    * the given (sample_count, sample_delta) runs and stco as the given
+    * chunk-offset list — the fields the q348 census walk reads.
+    * nSamples = Σ counts rides the constant-size stsz as before. */
+  def encodeMp4Deep(
+      brand: String,
+      tracks: Seq[(String, Seq[(Long, Long)], Seq[Long])]): Array[Byte] = {
+    require(brand.length == 4 && tracks.nonEmpty)
+    require(tracks.forall { case (h, runs, offs) =>
+      h.length == 4 && runs.nonEmpty &&
+        runs.forall { case (c, d) => c >= 0 && d >= 0 } &&
+        offs.forall(_ >= 0)
+    })
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](8 + payload.length)
+      putU32be(b, 0, (8 + payload.length).toLong)
+      typ.getBytes("US-ASCII").copyToArray(b, 4)
+      payload.copyToArray(b, 8)
+      b
+    }
+    def full(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, new Array[Byte](4) ++ body)
+    def u32(v: Long): Array[Byte] = {
+      val b = new Array[Byte](4); putU32be(b, 0, v); b
+    }
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ u32(0L) ++ "isom".getBytes("US-ASCII"))
+    val mvhd = full("mvhd",
+      u32(0L) ++ u32(0L) ++ u32(1000L) ++ u32(0L) ++ new Array[Byte](80))
+    val traks = tracks.zipWithIndex.map { case ((handler, runs, offs), i) =>
+      val n = runs.map(_._1).sum
+      val tkhd = full("tkhd",
+        u32(0L) ++ u32(0L) ++ u32(i + 1L) ++ new Array[Byte](68))
+      val mdhd = full("mdhd",
+        u32(0L) ++ u32(0L) ++ u32(1000L) ++ u32(0L) ++ u32(0x55c40000L >> 16))
+      val hdlr = full("hdlr",
+        u32(0L) ++ handler.getBytes("US-ASCII") ++ new Array[Byte](13))
+      val stsd = full("stsd", u32(0L))
+      val stts = full("stts", u32(runs.length.toLong) ++
+        runs.flatMap { case (c, d) => u32(c) ++ u32(d) }.toArray)
+      val stsz = full("stsz", u32(16L) ++ u32(n))
+      val stco = full("stco", u32(offs.length.toLong) ++
+        offs.flatMap(u32).toArray)
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++ traks.reduce(_ ++ _))
+    val mdat = box("mdat", Array[Byte](0, 1, 2, 3))
+    ftyp ++ moov ++ mdat
+  }
+
   /** Walk an ISO-BMFF file: major brand from ftyp, then per trak (in
-    * file order) the mdia/hdlr handler 4cc and the stbl/stsz sample
+    * file order) the mdia/hdlr handler 4cc, the stbl/stsz sample
     * count (both the constant-size form, whose count is the field at
-    * payload offset 8, and the tabled form — same offset). Every u32
-    * size is kept as Long and bounds-checked BEFORE the cursor advances
-    * (the AVI movi-walk discipline: corrupt input must return None,
-    * never loop or overrun); 64-bit (size = 1) and to-end (size = 0)
-    * boxes are out of scope → None. */
+    * payload offset 8, and the tabled form — same offset), the stts
+    * run table reduced to the track's media DURATION (Σ count·delta —
+    * the census field a corpus inventory reports), and the stco
+    * chunk-offset table reduced to its entry count and offset sum.
+    * Every u32 size is kept as Long and bounds-checked BEFORE the
+    * cursor advances (the AVI movi-walk discipline: corrupt input must
+    * return None, never loop or overrun); 64-bit (size = 1) and to-end
+    * (size = 0) boxes are out of scope → None. */
   def walkMp4(b: Array[Byte]): Option[Mp4Info] = {
     def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
     def u32(o: Int): Long =
@@ -1552,6 +1613,9 @@ object Codecs {
             else {
               var handler: String = null
               var nSamples = -1L
+              var duration = -1L
+              var nChunks = -1L
+              var sumOff = -1L
               val tOk = walk(ts, te) { (t3, ms, me) =>
                 if (t3 != "mdia") true
                 else walk(ms, me) { (t4, xs, xe) =>
@@ -1564,19 +1628,64 @@ object Codecs {
                       walk(xs, xe) { (t5, ss, se) =>
                         if (t5 != "stbl") true
                         else walk(ss, se) { (t6, zs, ze) =>
-                          if (t6 != "stsz") true
-                          // verflags(4) sample_size(4) sample_count(4)
-                          else if (ze - zs < 12) false
-                          else { nSamples = u32(zs.toInt + 8); true }
+                          t6 match {
+                            case "stsz" =>
+                              // verflags(4) sample_size(4) sample_count(4)
+                              if (ze - zs < 12) false
+                              else { nSamples = u32(zs.toInt + 8); true }
+                            case "stts" =>
+                              // verflags(4) entry_count(4) then
+                              // (sample_count, sample_delta) pairs
+                              if (ze - zs < 8) false
+                              else {
+                                val nRuns = u32(zs.toInt + 4)
+                                if (ze - zs < 8 + 8 * nRuns) false
+                                else {
+                                  var d = 0L
+                                  var j = 0L
+                                  while (j < nRuns) {
+                                    d += u32((zs + 8 + 8 * j).toInt) *
+                                      u32((zs + 12 + 8 * j).toInt)
+                                    j += 1
+                                  }
+                                  duration = d
+                                  true
+                                }
+                              }
+                            case "stco" =>
+                              // verflags(4) entry_count(4) then u32 offsets
+                              if (ze - zs < 8) false
+                              else {
+                                val nOff = u32(zs.toInt + 4)
+                                if (ze - zs < 8 + 4 * nOff) false
+                                else {
+                                  var t = 0L
+                                  var j = 0L
+                                  while (j < nOff) {
+                                    t += u32((zs + 8 + 4 * j).toInt)
+                                    j += 1
+                                  }
+                                  nChunks = nOff
+                                  sumOff = t
+                                  true
+                                }
+                              }
+                            case _ => true
+                          }
                         }
                       }
                     case _ => true
                   }
                 }
               }
-              if (!tOk || handler == null || nSamples < 0) {
+              if (!tOk || handler == null || nSamples < 0 ||
+                  duration < 0 || nChunks < 0) {
                 malformed = true; false
-              } else { tracks += Mp4Track(handler, nSamples); true }
+              } else {
+                tracks += Mp4Track(handler, nSamples, duration, nChunks,
+                  math.max(sumOff, 0L))
+                true
+              }
             }
           }
         case _ => true // mdat, free, etc. — skipped, never decoded

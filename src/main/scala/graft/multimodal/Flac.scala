@@ -182,6 +182,7 @@ object Flac {
           w2.put(u & ((1L << param) - 1), param)
           i += 1
         }
+      case 4 => encodeLpc2(w2, xs, 16)
       case other => throw new IllegalArgumentException(s"class $other")
     }
     w2.alignZero()
@@ -193,15 +194,237 @@ object Flac {
   }
 
   // ------------------------------------------------------------------
+  // stereo + LPC extension (round 15 — closes the documented scope-out)
+  // ------------------------------------------------------------------
+
+  /** Deterministic order-2 LPC subframe: QLP precision 5, shift 2,
+    * coefficients (5, -2) — prediction (5·x[i-1] − 2·x[i-2]) >> 2. The
+    * round-trip is lossless whatever the coefficients (the residual
+    * absorbs the prediction error), so fixed deterministic ones
+    * exercise the decoder's published warmup/precision/shift/dot-
+    * product path while keeping the oracle an id-arithmetic statement
+    * of the INPUT samples. Residual Rice parameter 6 (LPC residuals
+    * run larger than the fixed predictors'). */
+  private def encodeLpc2(w2: BitWriter, xs: Array[Int], bits: Int): Unit = {
+    require(xs.length > 2)
+    w2.put(0L, 1); w2.put(33L, 6); w2.put(0L, 1) // LPC order 2
+    w2.put(xs(0).toLong & ((1L << bits) - 1), bits)
+    w2.put(xs(1).toLong & ((1L << bits) - 1), bits)
+    w2.put(4L, 4) // precision - 1 (5-bit coefficients)
+    w2.put(2L, 5) // shift
+    w2.put(5L, 5) // coef 0 = 5
+    w2.put((-2L) & 31L, 5) // coef 1 = -2
+    w2.put(0L, 2); w2.put(0L, 4) // Rice method 0, partition order 0
+    val param = 6
+    w2.put(param.toLong, 4)
+    var i = 2
+    while (i < xs.length) {
+      val pred = ((5L * xs(i - 1) - 2L * xs(i - 2)) >> 2).toInt
+      val u = zigzag(xs(i) - pred)
+      val q = (u >> param).toInt
+      var j = 0
+      while (j < q) { w2.put(0L, 1); j += 1 }
+      w2.put(1L, 1)
+      w2.put(u & ((1L << param) - 1), param)
+      i += 1
+    }
+  }
+
+  /** One subframe of the given class at the channel's effective bit
+    * depth (`bits` = 17 on a side channel): the [[encodeFrame]] classes
+    * generalized, plus 4 = LPC order 2. */
+  private def encodeSubframe(
+      w2: BitWriter, cls: Int, xs: Array[Int], bits: Int): Unit = cls match {
+    case 0 =>
+      require(xs.forall(_ == xs(0)))
+      w2.put(0L, 1); w2.put(0L, 6); w2.put(0L, 1)
+      w2.put(xs(0).toLong & ((1L << bits) - 1), bits)
+    case 1 =>
+      w2.put(0L, 1); w2.put(1L, 6); w2.put(0L, 1)
+      xs.foreach(x => w2.put(x.toLong & ((1L << bits) - 1), bits))
+    case o if o == 2 || o == 3 =>
+      val order = o - 1
+      w2.put(0L, 1); w2.put((8 + order).toLong, 6); w2.put(0L, 1)
+      (0 until order).foreach(i =>
+        w2.put(xs(i).toLong & ((1L << bits) - 1), bits))
+      w2.put(0L, 2); w2.put(0L, 4)
+      val param = 4
+      w2.put(param.toLong, 4)
+      var i = order
+      while (i < xs.length) {
+        val r =
+          if (order == 1) xs(i) - xs(i - 1)
+          else xs(i) - 2 * xs(i - 1) + xs(i - 2)
+        val u = zigzag(r)
+        val q = (u >> param).toInt
+        var j = 0
+        while (j < q) { w2.put(0L, 1); j += 1 }
+        w2.put(1L, 1)
+        w2.put(u & ((1L << param) - 1), param)
+        i += 1
+      }
+    case 4 => encodeLpc2(w2, xs, bits)
+    case other => throw new IllegalArgumentException(s"class $other")
+  }
+
+  /** A STEREO stream: each frame is (mode, (clsL, L), (clsR, R)) over
+    * the channel SIGNALS — mode 0 = independent, 1 = left/side,
+    * 2 = right/side, 3 = mid/side (side = L − R, mid = (L + R) >> 1,
+    * the side subframe carrying 17 bits). Subframe classes as in
+    * [[encodeFlac]] plus 4 = LPC order 2. */
+  def encodeFlacStereo(
+      frames: Seq[(Int, (Int, Array[Int]), (Int, Array[Int]))]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val total = frames.map(_._2._2.length.toLong).sum
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("fLaC".getBytes("US-ASCII"))
+    head.write(0x80); head.write(0); head.write(0); head.write(34)
+    val si = new BitWriter
+    val sizes = frames.map(_._2._2.length)
+    si.put(sizes.min.toLong, 16); si.put(sizes.max.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)
+    si.put(8000L, 20)
+    si.put(1L, 3) // channels - 1 (stereo)
+    si.put(15L, 5) // bps - 1
+    si.put(total, 36)
+    si.put(0L, 64); si.put(0L, 64)
+    head.write(si.toBytes)
+    frames.zipWithIndex.foreach { case ((mode, (clsL, ls), (clsR, rs)), fIdx) =>
+      require(ls.length == rs.length && fIdx < 128)
+      val n = ls.length
+      val side = Array.tabulate(n)(k => ls(k) - rs(k))
+      val (chCode, a, b, bitsA, bitsB) = mode match {
+        case 0 => (1L, ls, rs, 16, 16)
+        case 1 => (8L, ls, side, 16, 17)
+        case 2 => (9L, side, rs, 17, 16)
+        case 3 => (10L, Array.tabulate(n)(k => (ls(k) + rs(k)) >> 1),
+          side, 16, 17)
+        case other => throw new IllegalArgumentException(s"mode $other")
+      }
+      val w = new BitWriter
+      w.put(0x3ffe, 14)
+      w.put(0L, 1); w.put(0L, 1)
+      w.put(6L, 4) // blocksize: 8-bit at end of header
+      w.put(4L, 4) // 8 kHz
+      w.put(chCode, 4)
+      w.put(4L, 3) // bps 16
+      w.put(0L, 1)
+      w.put(fIdx.toLong, 8)
+      w.put((n - 1).toLong, 8)
+      val headNoCrc = { w.alignZero(); w.toBytes }
+      val w2 = new BitWriter
+      headNoCrc.foreach(x => w2.put(x.toLong & 0xff, 8))
+      w2.put(crc8(headNoCrc, 0, headNoCrc.length).toLong, 8)
+      encodeSubframe(w2, clsL, a, bitsA)
+      encodeSubframe(w2, clsR, b, bitsB)
+      w2.alignZero()
+      val body = w2.toBytes
+      val w3 = new BitWriter
+      body.foreach(x => w3.put(x.toLong & 0xff, 8))
+      w3.put(crc16(body, 0, body.length).toLong, 16)
+      head.write(w3.toBytes)
+    }
+    head.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // decode
   // ------------------------------------------------------------------
 
+  /** `samples` is channel-interleaved; `subframeTypes` carries one
+    * entry per decoded SUBFRAME (frames × channels — a mono stream's
+    * list length equals its frame count); `channelModes` one entry per
+    * frame. */
   final case class FlacAudio(
       sampleRate: Int,
       channels: Int,
       bitsPerSample: Int,
       samples: Array[Int],
-      subframeTypes: Seq[String])
+      subframeTypes: Seq[String],
+      channelModes: Seq[String] = Nil)
+
+  /** `bits`-bit sign-extended read (warmup/verbatim samples — a side
+    * channel carries bps + 1 bits, RFC 9639 §6.3). */
+  private def readSigned(r: BitReader, bits: Int): Int = {
+    val v = r.read(bits)
+    ((v << (64 - bits)) >> (64 - bits)).toInt
+  }
+
+  /** One subframe at the channel's effective bit depth. Returns the
+    * reconstructed samples and the declared type, or None on any
+    * out-of-subset or malformed shape. Supports CONSTANT, VERBATIM,
+    * FIXED orders 0-2, and LPC (any order, precision 2-15, non-negative
+    * shift, 4-bit Rice partition order 0 — what the q346 fixtures and
+    * real default encodes of short mono/stereo material emit). */
+  private def readSubframe(
+      r: BitReader, blockSize: Int, bits: Int): Option[(Array[Int], String)] = {
+    if (r.read(1) != 0L) return None
+    val typ = r.read(6).toInt
+    if (r.read(1) != 0L) return None // wasted bits unsupported in subset
+    val xs = new Array[Int](blockSize)
+    def riceResiduals(order: Int): Boolean = {
+      if (r.read(2) != 0L) return false // only 4-bit Rice in subset
+      if (r.read(4) != 0L) return false // partition order 0
+      val param = r.read(4).toInt
+      if (param == 15) return false // escape unsupported in subset
+      var i = order
+      while (i < blockSize) {
+        val q = r.readUnary()
+        val u = (q.toLong << param) | r.read(param)
+        xs(i) = ((u >> 1) ^ -(u & 1L)).toInt // zigzag unfold; residual only
+        i += 1
+      }
+      true
+    }
+    if (typ == 0) {
+      java.util.Arrays.fill(xs, readSigned(r, bits))
+      Some((xs, "constant"))
+    } else if (typ == 1) {
+      var i = 0
+      while (i < blockSize) { xs(i) = readSigned(r, bits); i += 1 }
+      Some((xs, "verbatim"))
+    } else if (typ >= 8 && typ <= 12) {
+      val order = typ - 8
+      if (order > 2 || order >= blockSize) return None
+      var i = 0
+      while (i < order) { xs(i) = readSigned(r, bits); i += 1 }
+      if (!riceResiduals(order)) return None
+      i = order
+      while (i < blockSize) {
+        xs(i) +=
+          (if (order == 0) 0
+           else if (order == 1) xs(i - 1)
+           else 2 * xs(i - 1) - xs(i - 2))
+        i += 1
+      }
+      Some((xs, s"fixed$order"))
+    } else if (typ >= 32) {
+      // LPC, order = (typ & 31) + 1: warmup, QLP precision/shift/coefs,
+      // then the same Rice residual machinery; prediction is the
+      // 64-bit-accumulated dot product arithmetic-shifted down
+      val order = typ - 31
+      if (order >= blockSize) return None
+      var i = 0
+      while (i < order) { xs(i) = readSigned(r, bits); i += 1 }
+      val precision = r.read(4).toInt + 1
+      if (precision == 16) return None // 0b1111 is invalid per spec
+      val shift = readSigned(r, 5)
+      if (shift < 0) return None // negative shift is reserved
+      val coefs = new Array[Int](order)
+      i = 0
+      while (i < order) { coefs(i) = readSigned(r, precision); i += 1 }
+      if (!riceResiduals(order)) return None
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * xs(i - 1 - j); j += 1 }
+        xs(i) += (acc >> shift).toInt
+        i += 1
+      }
+      Some((xs, s"lpc$order"))
+    } else None
+  }
 
   def decodeFlac(b: Array[Byte]): Option[FlacAudio] = try {
     if (b.length < 42 || new String(b, 0, 4, "US-ASCII") != "fLaC") return None
@@ -228,10 +451,12 @@ object Flac {
       }
       at += 4 + len
     }
-    if (rate <= 0 || channels != 1 || bps != 16 || total < 0) return None
-    val out = new Array[Int](total.toInt)
-    var got = 0
+    if (rate <= 0 || channels < 1 || channels > 2 || bps != 16 || total < 0)
+      return None
+    val out = new Array[Int](total.toInt * channels)
+    var got = 0L
     val types = Vector.newBuilder[String]
+    val modes = Vector.newBuilder[String]
     while (got < total) {
       val frameStart = at
       val r = new BitReader(b, at)
@@ -246,7 +471,19 @@ object Flac {
       // UTF-8 frame number: subset writes < 128 (one byte); reject others
       val fn = r.read(8)
       if ((fn & 0x80L) != 0) return None
-      if (chCode != 0 || bpsCode != 4 || rateCode != 4) return None
+      if (bpsCode != 4 || rateCode != 4) return None
+      // channel assignment: 0 = mono, 1 = independent stereo, 8/9/10 =
+      // left/side, right/side, mid/side (the side channel carries one
+      // extra bit — RFC 9639 §6.3)
+      val (nCh, mode) = chCode match {
+        case 0 => (1, "mono")
+        case 1 => (2, "independent")
+        case 8 => (2, "left_side")
+        case 9 => (2, "right_side")
+        case 10 => (2, "mid_side")
+        case _ => return None
+      }
+      if (nCh != channels) return None
       val blockSize = bsCode match {
         case 6 => r.read(8).toInt + 1
         case 7 => r.read(16).toInt + 1
@@ -258,50 +495,51 @@ object Flac {
       val headEnd = r.bytePos
       val storedCrc8 = r.read(8).toInt
       if (storedCrc8 != crc8(b, frameStart, headEnd)) return None
-      // subframe
-      if (r.read(1) != 0L) return None
-      val typ = r.read(6).toInt
-      if (r.read(1) != 0L) return None // wasted bits unsupported in subset
-      val xs = new Array[Int](blockSize)
-      if (typ == 0) {
-        val v = r.read(16).toShort.toInt
-        java.util.Arrays.fill(xs, v)
-        types += "constant"
-      } else if (typ == 1) {
-        var i = 0
-        while (i < blockSize) { xs(i) = r.read(16).toShort.toInt; i += 1 }
-        types += "verbatim"
-      } else if (typ >= 8 && typ <= 12) {
-        val order = typ - 8
-        if (order > 2 || order >= blockSize) return None
-        var i = 0
-        while (i < order) { xs(i) = r.read(16).toShort.toInt; i += 1 }
-        if (r.read(2) != 0L) return None // only 4-bit Rice in subset
-        if (r.read(4) != 0L) return None // partition order 0
-        val param = r.read(4).toInt
-        if (param == 15) return None // escape unsupported in subset
-        i = order
-        while (i < blockSize) {
-          val q = r.readUnary()
-          val u = (q.toLong << param) | r.read(param)
-          val res = ((u >> 1) ^ -(u & 1L)).toInt // zigzag unfold
-          xs(i) =
-            if (order == 0) res
-            else if (order == 1) xs(i - 1) + res
-            else 2 * xs(i - 1) - xs(i - 2) + res
-          i += 1
+      modes += mode
+      // subframes (bit-continuous; the side channel reads bps + 1)
+      val chans = new Array[Array[Int]](nCh)
+      var c = 0
+      while (c < nCh) {
+        val extra = mode match {
+          case "left_side" if c == 1 => 1
+          case "right_side" if c == 0 => 1
+          case "mid_side" if c == 1 => 1
+          case _ => 0
         }
-        types += s"fixed$order"
-      } else return None
+        readSubframe(r, blockSize, bps + extra) match {
+          case Some((xs, t)) => chans(c) = xs; types += t
+          case None => return None
+        }
+        c += 1
+      }
       r.skipToByte()
       val bodyEnd = r.bytePos
       val storedCrc16 = r.read(16).toInt
       if (storedCrc16 != crc16(b, frameStart, bodyEnd)) return None
       if (got + blockSize > total) return None
-      xs.copyToArray(out, got)
+      // inter-channel reconstruction (libFLAC's exact integer forms)
+      var k = 0
+      while (k < blockSize) {
+        val base = ((got + k) * channels).toInt
+        mode match {
+          case "mono" => out(base) = chans(0)(k)
+          case "independent" =>
+            out(base) = chans(0)(k); out(base + 1) = chans(1)(k)
+          case "left_side" =>
+            out(base) = chans(0)(k); out(base + 1) = chans(0)(k) - chans(1)(k)
+          case "right_side" =>
+            out(base) = chans(1)(k) + chans(0)(k); out(base + 1) = chans(1)(k)
+          case "mid_side" =>
+            val side = chans(1)(k)
+            val mid = (chans(0)(k) << 1) | (side & 1)
+            out(base) = (mid + side) >> 1
+            out(base + 1) = (mid - side) >> 1
+        }
+        k += 1
+      }
       got += blockSize
       at = r.bytePos
     }
-    Some(FlacAudio(rate, 1, 16, out, types.result()))
+    Some(FlacAudio(rate, channels, 16, out, types.result(), modes.result()))
   } catch { case _: Exception => None }
 }

@@ -288,6 +288,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** Color-CACHE VP8L corpus ([[Vp8l.encodeCachedAsset]]): id-derived
+    * dims, pixels cycling over id%6+2 ramp colors so every stream
+    * alternates literal inserts and cache references (with slot
+    * evictions where two colors collide in the multiplicative hash) —
+    * the stream class real cwebp output emits routinely. */
+  def synthesizeWebpCachedAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWebpCachedAssets needs non-negative ids, got $i")
+        Row(i, Vp8l.encodeCachedAsset(i,
+          (i % 21 + 1).toInt, (i % 13 + 1).toInt, (i % 6 + 2).toInt))
+      }
+    }(enc)
+  }
+
   /** Full VP8L decode over a binary column reduced to the exact pixel
     * stats the image entries pin ([[Vp8l.decode]]): packed-RGB sum,
     * alpha sum, and the transform tag the stream declared — so a wrong
@@ -319,6 +339,70 @@ object Multimodal {
             i += 1
           }
           Row(id, "vp8l", w.toLong, h.toLong, tags.mkString("+"), ps, as)
+        }
+      }
+    }(enc)
+  }
+
+  /** DEEP-sample-table MP4 corpus ([[Codecs.encodeMp4Deep]]): 1-3
+    * tracks per asset (alternating vide/soun handlers, brands rotating
+    * isom/mp42/avc1), each track carrying an id-derived stts RUN TABLE
+    * (1-3 runs of (count, delta)) and an id-derived stco chunk-offset
+    * list — the census fields a video-corpus inventory needs beyond
+    * q324's counts. */
+  def synthesizeMp4DeepAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMp4DeepAssets needs non-negative ids, got $i")
+        val brand = Seq("isom", "mp42", "avc1")((i % 3).toInt)
+        val tracks = (0 until (i % 3 + 1).toInt).map { t =>
+          val handler = if ((i + t) % 2 == 0) "vide" else "soun"
+          val runs = (0 until ((i + t) % 3 + 1).toInt).map { j =>
+            ((i + 3 * j + t) % 7 + 1, (i + 5 * j) % 9 + 1)
+          }
+          val offs = (0 until ((i + t) % 4).toInt).map { j =>
+            48L + (i * 7 + t * 13 + j * 29) % 1000
+          }
+          (handler, runs, offs)
+        }
+        Row(i, Codecs.encodeMp4Deep(brand, tracks))
+      }
+    }(enc)
+  }
+
+  /** Per-track CENSUS over the deep walk ([[Codecs.walkMp4]]): one row
+    * per track — (asset_id, brand, track_idx, handler, n_samples,
+    * duration, n_chunks, sum_chunk_off) in file order, the stts run
+    * table reduced to its duration sum and the stco table to its
+    * count/offset sum; no codec payload ever decoded. Corrupt or
+    * truncated boxes drop the asset. Partition-preserving,
+    * driver-free. */
+  def walkMp4Census(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = false),
+      StructField("track_idx", LongType, nullable = false),
+      StructField("handler", StringType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration", LongType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("sum_chunk_off", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        graft.multimodal.Codecs.walkMp4(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          info =>
+            info.tracks.zipWithIndex.map { case (t, ix) =>
+              Row(id, info.brand, ix.toLong, t.handler, t.nSamples,
+                t.duration, t.nChunks, t.sumChunkOff)
+            }
         }
       }
     }(enc)
@@ -792,6 +876,84 @@ object Multimodal {
           Row(id, "flac", a.subframeTypes.distinct.mkString("+"),
             a.sampleRate.toLong, a.subframeTypes.length.toLong,
             a.samples.length.toLong, sum, sa, pk)
+        }
+      }
+    }(enc)
+  }
+
+  /** STEREO FLAC corpus with LPC subframes — the round-15 closure of
+    * Flac.scala's documented scope-out: 2-channel 16-bit 8 kHz streams,
+    * 1-3 frames per asset, the CHANNEL-ASSIGNMENT mode cycling by id
+    * (independent, left/side, right/side, mid/side) and each channel's
+    * subframe class cycling per frame over VERBATIM, FIXED 1, FIXED 2,
+    * and LPC order 2 ([[Flac.encodeFlacStereo]]). Every class encodes
+    * any signal losslessly (the residual absorbs the prediction error),
+    * so the channel signals are free id-closed-forms and the oracle
+    * states the INPUT samples directly. */
+  def synthesizeFlacStereoAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeFlacStereoAssets needs non-negative ids, got $i")
+        val mode = (i % 4).toInt
+        val frames = (0 until (i % 3 + 1).toInt).map { f =>
+          val ns = ((i + f) % 40 + 3).toInt
+          val ls = Array.tabulate(ns)(k => (((i + 3L * k + f) % 200) - 100).toInt)
+          val rs = Array.tabulate(ns)(k => (((2L * i + 5L * k + 7L * f) % 180) - 90).toInt)
+          val clsL = ((i + f) % 4 + 1).toInt
+          val clsR = ((i + 2 + f) % 4 + 1).toInt
+          (mode, (clsL, ls), (clsR, rs))
+        }
+        Row(i, Flac.encodeFlacStereo(frames))
+      }
+    }(enc)
+  }
+
+  /** Stereo-FLAC decode reduced to pinned stats: full bitstream parse
+    * with both CRCs validated, per-channel subframe decode at the
+    * side channel's widened bit depth, LPC reconstruction, and the
+    * exact integer inter-channel inversion ([[Flac.decodeFlac]]). The
+    * DECLARED channel mode and the LPC subframe count are surfaced so
+    * a wrong channel-assignment dispatch or a fixed-predictor fallback
+    * fails the hash even where samples agree. Undecodable payloads
+    * drop. Partition-preserving, driver-free. */
+  def decodeFlacStereoStats(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("channel_mode", StringType, nullable = false),
+      StructField("n_channels", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_lpc_subframes", LongType, nullable = false),
+      StructField("sum_pcm", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Flac.decodeFlac(r.getAs[Array[Byte]](1)).map { a =>
+          var sum = 0L; var sa = 0L; var pk = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            sum += a.samples(i)
+            val x = math.abs(a.samples(i).toLong)
+            sa += x
+            if (x > pk) pk = x
+            i += 1
+          }
+          Row(id, "flac", a.channelModes.distinct.mkString("+"),
+            a.channels.toLong,
+            (a.subframeTypes.length / a.channels).toLong,
+            a.samples.length.toLong,
+            a.subframeTypes.count(_.startsWith("lpc")).toLong,
+            sum, sa, pk)
         }
       }
     }(enc)

@@ -16,11 +16,17 @@ package graft.multimodal
   * (cross-color delta elements), SUBTRACT_GREEN, and COLOR_INDEXING
   * (delta-coded palette incl. sub-byte pixel bundling at palette ≤ 16).
   *
-  * Scoped out, explicitly: the color cache (cache_bits > 0 → None —
-  * the synthesized corpus never emits one) and the 120 two-dimensional
-  * short-distance codes (the encoder always emits the direct
-  * `distance + 120` form; a 2D code → None rather than a guessed
-  * offset table). Lossy VP8 stays sniff-only ([[Codecs.sniff]]).
+  * Round 15 closed the color-cache scope-out: cache_bits ∈ 1..11
+  * decode (zero-initialized 1 << cache_bits slots, the 0x1e35a7bd
+  * multiplicative key, every written pixel inserted, green symbols
+  * ≥ 280 reading slots) plus a cache-emitting encoder class
+  * ([[encodeCachedAsset]]) — real cwebp output uses the cache
+  * routinely, so without it a real corpus partially downgrades to
+  * sniffed in the coverage audit. Still scoped out: the 120
+  * two-dimensional short-distance codes (the encoder always emits the
+  * direct `distance + 120` form; a 2D code → None rather than a
+  * guessed offset table). Lossy VP8 stays sniff-only
+  * ([[Codecs.sniff]]).
   *
   * Everything is exact integer arithmetic — mod-256 channel math,
   * arithmetic-shift color deltas — so decoded pixels restate from id
@@ -237,8 +243,18 @@ object Vp8l {
       w: Int,
       h: Int,
       allowMeta: Boolean): Option[Array[Int]] = {
-    // color cache (documented out of scope — corpus never emits one)
-    if (r.readBit() == 1) return None
+    // color cache (spec §5.2.2): cache_bits ∈ 1..11, 1 << cache_bits
+    // zero-initialized slots; EVERY pixel written to the image inserts
+    // at slot (0x1e35a7bd·argb) >>> (32 − cache_bits), and green
+    // symbols ≥ 280 read a slot. One cache per spatially-coded image,
+    // shared across meta groups.
+    var cacheBits = 0
+    var cache: Array[Int] = null
+    if (r.readBit() == 1) {
+      cacheBits = r.readBits(4)
+      if (cacheBits < 1 || cacheBits > 11) return None
+      cache = new Array[Int](1 << cacheBits)
+    }
     var metaBits = 0
     var metaImage: Array[Int] = null
     var nGroups = 1
@@ -249,8 +265,9 @@ object Vp8l {
       metaImage = decodeImage(r, mw, mh, allowMeta = false).getOrElse(return None)
       nGroups = metaImage.map(p => ((p >> 8) & 0xffff) + 1).foldLeft(1)(math.max)
     }
+    val cacheSize = if (cache == null) 0 else 1 << cacheBits
     val groups = (0 until nGroups).map { _ =>
-      val green = readPrefixCode(r, 256 + 24).getOrElse(return None)
+      val green = readPrefixCode(r, 256 + 24 + cacheSize).getOrElse(return None)
       val red = readPrefixCode(r, 256).getOrElse(return None)
       val blue = readPrefixCode(r, 256).getOrElse(return None)
       val alpha = readPrefixCode(r, 256).getOrElse(return None)
@@ -259,6 +276,8 @@ object Vp8l {
     }
     val n = w * h
     val out = new Array[Int](n)
+    def insert(p: Int): Unit =
+      if (cache != null) cache((0x1e35a7bd * p) >>> (32 - cacheBits)) = p
     var pos = 0
     while (pos < n) {
       val gi =
@@ -279,6 +298,14 @@ object Vp8l {
         val alpha = ac.decode(r)
         if (r.failed || red < 0 || blue < 0 || alpha < 0) return None
         out(pos) = (alpha << 24) | (red << 16) | (s << 8) | blue
+        insert(out(pos))
+        pos += 1
+      } else if (s >= 256 + 24) {
+        // color-cache reference: the slot's current pixel verbatim
+        // (re-inserting it is the identity — the key is a pure function
+        // of the pixel)
+        if (cache == null || s - 280 >= cacheSize) return None
+        out(pos) = cache(s - 280)
         pos += 1
       } else {
         // backward reference
@@ -290,7 +317,11 @@ object Vp8l {
         val dist = distCode - 120
         if (dist <= 0 || dist > pos || pos + length > n) return None
         var j = 0
-        while (j < length) { out(pos + j) = out(pos + j - dist); j += 1 }
+        while (j < length) {
+          out(pos + j) = out(pos + j - dist)
+          insert(out(pos + j))
+          j += 1
+        }
         pos += length
       }
     }
@@ -604,6 +635,37 @@ object Vp8l {
     else { bw.writeBits(1, 1); bw.writeBits(sym, 8) }
   }
 
+  /** Green alphabet WITH 32 color-cache symbols (cache_bits = 5):
+    * literals 0..223 at 8 bits, 224..255 at 9, length codes unused
+    * (24 zeros via repeat-18), cache symbols 280..311 at 9 — complete
+    * (224/256 + 64/512 = 1). The repeat-16 after the 18-run legally
+    * copies the last NON-ZERO length (9), the prevLen rule the decoder
+    * implements. */
+  private def writeCachedGreenHeader(bw: BitWriter): Unit = {
+    bw.writeBits(0, 1)
+    bw.writeBits(13 - 4, 4) // through kOrder index of symbol 9
+    val clLens = new Array[Int](19)
+    clLens(8) = 2; clLens(9) = 3; clLens(16) = 1; clLens(18) = 3
+    for (i <- 0 until 13)
+      bw.writeBits(clLens(kCodeLengthCodeOrder(i)), 3)
+    bw.writeBits(0, 1)
+    val cl = canonicalCodes(clLens)
+    def sym(s: Int): Unit = { val (c, l) = cl(s); bw.writeCode(c, l) }
+    sym(8)
+    for (_ <- 0 until 37) { sym(16); bw.writeBits(6 - 3, 2) }
+    sym(8) // 1 + 37*6 + 1 = 224 eights
+    sym(9)
+    for (_ <- 0 until 5) { sym(16); bw.writeBits(6 - 3, 2) }
+    sym(9) // 1 + 5*6 + 1 = 32 nines (literals 224..255)
+    sym(18); bw.writeBits(24 - 11, 7) // 24 zero lengths for 256..279
+    for (_ <- 0 until 5) { sym(16); bw.writeBits(6 - 3, 2) }
+    sym(9); sym(9) // 5*6 + 2 = 32 nines (cache symbols 280..311)
+  }
+
+  private val cachedGreenLens: Array[Int] =
+    Array.fill(224)(8) ++ Array.fill(32)(9) ++
+      Array.fill(24)(0) ++ Array.fill(32)(9)
+
   private final case class Codebook(
       green: Map[Int, (Int, Int)],
       rb: Map[Int, (Int, Int)],
@@ -823,6 +885,54 @@ object Vp8l {
           val cb = if (((x >> 3) + (y >> 3)) % 2 == 0) cb0 else cb1
           writeLiteral(bw, cb, res)
         }
+    }
+    riffWebp(bw.result())
+  }
+
+  /** Color-CACHE stream (round 15): no transforms, cache_bits = 5,
+    * pixels cycling over `nColors` id-derived ramp colors so the stream
+    * genuinely alternates literals (which insert) and cache references
+    * (green symbols ≥ 280) — including evictions when two colors share
+    * a multiplicative-hash slot. The encoder simulates the decoder's
+    * exact cache (zero-initialized, insert-on-write), so the round-trip
+    * is bit-deterministic and the oracle states the pixels from id
+    * arithmetic alone. */
+  def encodeCachedAsset(id: Long, w: Int, h: Int, nColors: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && nColors >= 1)
+    val bw = new BitWriter
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(w - 1L, 14)
+    bw.writeBits(h - 1L, 14)
+    bw.writeBits(0, 1) // alpha hint
+    bw.writeBits(0, 3) // version
+    bw.writeBits(0, 1) // end of transforms (none)
+    bw.writeBits(1, 1) // color cache present
+    bw.writeBits(5, 4) // cache_bits = 5 (32 slots)
+    bw.writeBits(0, 1) // no meta
+    writeCachedGreenHeader(bw)
+    writeFlat256Header(bw) // red
+    writeFlat256Header(bw) // blue
+    writeSimple1(bw, 255) // alpha
+    writeSimple1(bw, 0) // distance, unused
+    val green = canonicalCodes(cachedGreenLens)
+    val rb = canonicalCodes(flat256Lens)
+    val cache = new Array[Int](32)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = rampPixel(id, ((y.toLong * w + x) % nColors))
+      val key = (0x1e35a7bd * p) >>> 27
+      if (cache(key) == p) {
+        val (c, l) = green(280 + key)
+        bw.writeCode(c, l)
+      } else {
+        cache(key) = p
+        val (gc, gl) = green((p >> 8) & 0xff)
+        bw.writeCode(gc, gl)
+        val (rc, rl) = rb((p >> 16) & 0xff)
+        bw.writeCode(rc, rl)
+        val (bc, bl) = rb(p & 0xff)
+        bw.writeCode(bc, bl)
+        // alpha 255: simple single-symbol code — zero bits
+      }
     }
     riffWebp(bw.result())
   }

@@ -233,13 +233,13 @@ object IndexCdc {
     }
   }
 
-  private def writeMarker(
+  private[streaming] def writeMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       batchId: Long): Unit =
     writeLongFile(fs, dir, markerFile, batchId)
 
-  private def writeFootprint(
+  private[streaming] def writeFootprint(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       n: Long): Unit =

@@ -1,0 +1,463 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, LayeredAnn, Similarity}
+
+/** STREAMING maintenance of the SHARDED-AND-LAYERED graph-ANN store —
+  * the last cell of the lifecycle matrix: [[IndexCdc]] maintains flat
+  * per-cell stores (q322) and [[LayeredCdc]] one layered store (q344),
+  * but the per-cell layer stacks the layered × sharded serving path
+  * reads ([[AnnIndex.shardedLayeredSearchTopK]], q345) had no
+  * maintenance — under churn each probed cell's descent would degrade
+  * exactly like the single layered store's. Here every quantizer cell
+  * is a complete layered store (level-0 graph, vecs, levels,
+  * layer_1..cap) committed through its own crash-safe write-aside swap
+  * with the [[IndexCdc]] `applied_batch` replay-skip marker and
+  * swap-time footprint manifest, and a CDC batch applies the FULL
+  * [[LayeredCdc.mergeLayeredCdcBatch]] composition per touched cell:
+  * route by the carried Debezium image, tombstone every level, repair
+  * layers then level-0 (the level-0 queue descending the repaired
+  * stack), and fold upserts in with one HNSW insert walk per batch.
+  *
+  * The COMPUTE is cell-keyed end to end, the q322 discipline: every
+  * CDC op belongs to exactly ONE cell, so the union of the touched
+  * cells' graphs behaves per query exactly like that query's own
+  * cell's graph (edges are intra-cell; a seeded beam search cannot
+  * leave its component), and the keyed tombstones, per-cell entry
+  * table, grouped queue-depth aggregates, shared descent loops, and
+  * single partitioned stage write make Spark jobs per batch
+  * independent of the touched-cell count — per-cell work survives only
+  * in the marker reads, the guard-exception rebuilds, and the pure
+  * file-rename swap loop. Semantics are spec-locked equal to applying
+  * [[LayeredCdc.mergeLayeredCdcBatch]] to each touched cell's store in
+  * isolation.
+  *
+  * Scale shape: per-batch cost is the batch's cell footprint times the
+  * layered maintenance shapes (keyed semi-joins, beam-sized seeded
+  * searches over layers holding ~|cell|/4^l nodes); untouched and
+  * already-committed cells are never opened; the driver artifacts are
+  * the touched-cell id set, the per-cell count/queue-depth maps
+  * (bounded by the footprint), and the cap-bounded layer loop. */
+object ShardedLayeredCdc {
+
+  private def cellDir(storeDir: String, cell: Long): String =
+    s"$storeDir/cell_$cell"
+
+  /** Seed the store: one complete layered store per quantizer cell
+    * (marker −1, footprint = member count). No-op per cell if a
+    * committed store exists. */
+  def initShardedLayeredStore(
+      spark: SparkSession,
+      storeDir: String,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      cap: Int,
+      graphK: Int,
+      graphRounds: Int,
+      layerK: Int,
+      layerRounds: Int,
+      initBuckets: Int): Unit = {
+    require(nCells >= 1 && cap >= 1)
+    val a = assigned.localCheckpoint()
+    for (c <- 0L until nCells.toLong) {
+      val dir = cellDir(storeDir, c)
+      val (fs, current) = DocStreams.recoverStore(spark, dir)
+      if (!fs.exists(current)) {
+        val lv = a.filter(col("cell") === c)
+          .select(col(idCol), col(vecCol),
+            LayeredAnn.levelColumn(col(idCol), cap).as("level"))
+          .localCheckpoint()
+        val n = lv.count()
+        val next = new org.apache.hadoop.fs.Path(s"$dir/next_init")
+        val g0 =
+          if (n == 0L) IndexCdc.emptyGraph(spark)
+          else Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
+            idCol, vecCol, graphK, graphRounds, initBuckets)
+        g0.write.mode("overwrite").parquet(s"$next/graph")
+        lv.select(col(idCol), col(vecCol))
+          .write.mode("overwrite").parquet(s"$next/vecs")
+        lv.select(col(idCol), col("level"))
+          .write.mode("overwrite").parquet(s"$next/levels")
+        for (l <- 1 to cap) {
+          val members = lv.filter(col("level") >= l)
+            .select(col(idCol), col(vecCol))
+          val g =
+            if (members.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
+            else Similarity.nnDescent(members, idCol, vecCol,
+              layerK, layerRounds, initBuckets)
+          g.write.mode("overwrite").parquet(s"$next/layer_$l")
+        }
+        IndexCdc.writeMarker(fs, next, -1L)
+        IndexCdc.writeFootprint(fs, next, n)
+        DocStreams.swapStore(fs, dir, next, batchId = -1L)
+      }
+    }
+  }
+
+  /** Drain a CDC stream (`op` STRING ∈ upsert|delete, `idCol`,
+    * `vecCol`) into the sharded-layered store. */
+  def startShardedLayered(
+      cdc: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      k: Int,
+      layerK: Int,
+      m: Int,
+      descBeam: Int,
+      descRounds: Int,
+      beam: Int,
+      searchRounds: Int,
+      repairThreshold: Long,
+      rebuildFraction: Double = 0.25,
+      rebuildRounds: Int = 4,
+      rebuildBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeShardedLayeredCdcBatch(batch, batchId, storeDir, cents,
+          idCol, vecCol, cap, k, layerK, m, descBeam, descRounds,
+          beam, searchRounds, repairThreshold,
+          rebuildFraction, rebuildRounds, rebuildBuckets)
+      }
+      .start()
+
+  /** The live store restricted to `cells`: one part of each named
+    * cell's store, `cell` re-attached. PATH-scoped — only the named
+    * cells' directories are ever opened. */
+  def shardedLayeredStorePart(
+      spark: SparkSession,
+      storeDir: String,
+      cells: Seq[Long],
+      part: String): DataFrame =
+    cells.map { c =>
+      spark.read.parquet(s"${cellDir(storeDir, c)}/current/$part")
+        .withColumn("cell", lit(c))
+    }.reduce(_ unionByName _)
+
+  private[graft] def mergeShardedLayeredCdcBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storeDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      k: Int,
+      layerK: Int,
+      m: Int,
+      descBeam: Int,
+      descRounds: Int,
+      beam: Int,
+      searchRounds: Int,
+      repairThreshold: Long,
+      rebuildFraction: Double = 0.25,
+      rebuildRounds: Int = 4,
+      rebuildBuckets: Int = 16): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    require(m >= 1 && descBeam >= math.max(m, layerK) && beam >= k)
+    val lvCol = LayeredAnn.levelColumn(col(idCol), cap)
+    // route by the carried image (after for upserts, BEFORE for deletes)
+    val routed = batch
+      .select(col("op"), col(idCol), col(vecCol),
+        Similarity.ivfCellColumn(col(vecCol), cents).cast("long").as("cell"))
+      .localCheckpoint()
+    val touched = routed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curByCell: Map[Long, org.apache.hadoop.fs.Path] = touched.map { c =>
+      val (_, current) = DocStreams.recoverStore(spark, cellDir(storeDir, c))
+      require(fs.exists(current),
+        s"sharded-layered store $storeDir has no committed cell $c " +
+          "(initShardedLayeredStore must seed every quantizer cell)")
+      c -> current
+    }.toMap
+    // replay skip: committed cells must not re-apply (driver file reads)
+    val applySet = touched.filter(c =>
+      IndexCdc.appliedBatch(fs, curByCell(c)) < batchId)
+    if (applySet.isEmpty) return
+    val inCells = (cs: Seq[Long]) => col("cell")
+      .isInCollection(cs.map(java.lang.Long.valueOf))
+    // ONE keyed read per store part over the apply-set cells
+    val vecs = shardedLayeredStorePart(spark, storeDir, applySet, "vecs")
+    val b = routed.filter(inCells(applySet))
+    val ups = b.filter(col("op") === "upsert")
+      .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint()
+    val removed = b.select(col("cell"), col(idCol)).distinct()
+    val remaining = vecs
+      .join(removed, Seq("cell", idCol), "left_anti")
+      .select(col("cell"), col(idCol), col(vecCol)).localCheckpoint()
+    // per-cell stats: two grouped aggregates + manifest reads (no jobs)
+    def cellCounts(df: DataFrame): Map[Long, Long] = df.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nRem = cellCounts(remaining).withDefaultValue(0L)
+    val nUps = cellCounts(ups).withDefaultValue(0L)
+    val nPrev = applySet.map(c =>
+      c -> IndexCdc.cellFootprint(spark, fs, curByCell(c))).toMap
+    // the cell-LOCAL stack-wide rebuild guard classes
+    val drained = applySet.filter(c => nRem(c) == 0L)
+    val rebuilds = applySet.filter(c => nRem(c) > 0L && nUps(c) > 0L &&
+      nUps(c).toDouble > rebuildFraction * nRem(c))
+    val incr = applySet.filterNot(c =>
+      drained.contains(c) || rebuilds.contains(c))
+    val wTopCell = Window.partitionBy(col("cell"), col("q_id"))
+      .orderBy(col("d2").asc, col("n_id"))
+    def recutCell(edges: DataFrame, kk: Int): DataFrame = edges
+      .withColumn("rank", row_number().over(wTopCell))
+      .filter(col("rank") <= kk)
+    // accumulated outputs, all (cell, q_id, n_id, d2)
+    var outG0: DataFrame = null
+    val outL = new Array[DataFrame](cap + 1)
+    def acc(cur: DataFrame, add: DataFrame): DataFrame =
+      if (cur == null) add else cur.unionByName(add)
+    // ---- incremental cells: one keyed pipeline ----------------------
+    if (incr.nonEmpty) {
+      val rem = remaining.filter(inCells(incr))
+      val remIds = rem.select(col("cell"), col(idCol).as("id"))
+      val remLv = rem.withColumn("level", lvCol).localCheckpoint()
+      def memOf(l: Int): DataFrame = remLv.filter(col("level") >= l)
+      def keyedSurviving(graphs: DataFrame, ids: DataFrame): DataFrame =
+        graphs
+          .join(ids.select(col("cell"), col("id").as("q_id")),
+            Seq("cell", "q_id"), "left_semi")
+          .join(ids.select(col("cell"), col("id").as("n_id")),
+            Seq("cell", "n_id"), "left_semi")
+          .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
+      // 1. tombstone the whole stack, keyed
+      var g0 = keyedSurviving(
+        shardedLayeredStorePart(spark, storeDir, incr, "graph"), remIds)
+        .localCheckpoint()
+      val lg = new Array[DataFrame](cap + 1)
+      for (l <- 1 to cap)
+        lg(l) = keyedSurviving(
+          shardedLayeredStorePart(spark, storeDir, incr, s"layer_$l"),
+          memOf(l).select(col("cell"), col(idCol).as("id")))
+          .localCheckpoint()
+      // per-cell stack height + top entry: ONE grouped table
+      val entries = remLv.groupBy(col("cell")).agg(max(col("level")).as("ml"))
+        .join(remLv, Seq("cell"))
+        .filter(col("level") === col("ml"))
+        .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("n_id"))
+        .localCheckpoint()
+      val cellOf = remIds.unionByName(
+        ups.filter(inCells(incr)).select(col("cell"), col(idCol).as("id")))
+      def attachCell(df: DataFrame): DataFrame = df
+        .select(col("q_id"), col("n_id"), col("d2"))
+        .join(cellOf.select(col("cell"), col("id").as("q_id")), Seq("q_id"))
+        .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
+      // entry seeds: each (cell-tagged) query walks in from ITS cell's
+      // top entry — the union-graph search is then confined to the
+      // query's own cell by connectivity
+      def entrySeeds(queries: DataFrame): DataFrame = queries
+        .join(entries.select(col("cell"), col("n_id")), Seq("cell"))
+        .select(col("id").as("q_id"), col("n_id"))
+      def queueDepths(g: DataFrame, members: DataFrame, kk: Int): Map[Long, Long] =
+        members.select(col("cell"), col(idCol).as("id"))
+          .join(g.groupBy(col("cell"), col("q_id").as("id"))
+            .agg(count(lit(1)).as("n")), Seq("cell", "id"), "left")
+          .filter(coalesce(col("n"), lit(0L)) < kk)
+          .groupBy(col("cell")).agg(count(lit(1)).as("qd")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // one shared descent over the (post-repair) layer stacks: cells
+      // whose stack is shorter than the layer pass their seeds through
+      def descend(queries: DataFrame, qCells: DataFrame): DataFrame = {
+        var seeds = qCells.join(entries.select(col("cell"), col("n_id")),
+            Seq("cell"))
+          .select(col("q_id"), col("cell"), col("n_id")).localCheckpoint()
+        for (l <- cap to 1 by -1) {
+          val act = entries.filter(col("ml") >= l).select(col("cell"))
+          val sAct = seeds.join(act, Seq("cell"), "left_semi")
+          val sPass = seeds.join(act, Seq("cell"), "left_anti")
+          val found = Similarity.graphSearchTopKSeeded(
+            lg(l).select(col("q_id"), col("n_id"), col("d2")),
+            memOf(l).select(col(idCol), col(vecCol)), queries,
+            sAct.select(col("q_id"), col("n_id")), idCol, vecCol,
+            descBeam, descRounds, m)
+          seeds = found.select(col("q_id"), col("n_id"))
+            .join(cellOf.select(col("cell"), col("id").as("q_id")),
+              Seq("q_id"))
+            .select(col("q_id"), col("cell"), col("n_id"))
+            .unionByName(sPass).localCheckpoint()
+        }
+        seeds
+      }
+      val delCells = incr.filter(c => nPrev(c) - nRem(c) > 0L)
+      if (delCells.nonEmpty) {
+        // 2. layer repairs: gate per (layer, cell) from ONE grouped
+        // queue-depth aggregate, repair the gated cells' union with
+        // per-cell entry seeds
+        for (l <- 1 to cap) {
+          val qd = queueDepths(lg(l), memOf(l), layerK)
+          val repairCells = delCells.filter(c =>
+            qd.getOrElse(c, 0L) >= repairThreshold)
+          if (repairCells.nonEmpty) {
+            val gRep = lg(l).filter(inCells(repairCells))
+            val memRep = memOf(l).filter(inCells(repairCells))
+            val repaired = AnnIndex.repairGraphSeeded(
+              gRep.select(col("q_id"), col("n_id"), col("d2")),
+              memRep.select(col(idCol), col(vecCol)), idCol, vecCol, layerK,
+              queries => entrySeeds(queries.select(col(idCol))
+                .join(cellOf.withColumnRenamed("id", idCol), Seq(idCol))
+                .select(col("cell"), col(idCol).as("id"))),
+              descBeam, descRounds)
+            lg(l) = lg(l).filter(!inCells(repairCells))
+              .unionByName(attachCell(repaired)).localCheckpoint()
+          }
+        }
+        // 3. level-0 repairs: the gated cells' queue DESCENDS the
+        // repaired stacks for its per-query seeds
+        val qd0 = queueDepths(g0, rem, k)
+        val repairCells0 = delCells.filter(c =>
+          qd0.getOrElse(c, 0L) >= repairThreshold)
+        if (repairCells0.nonEmpty) {
+          val gRep = g0.filter(inCells(repairCells0))
+          val remRep = rem.filter(inCells(repairCells0))
+          val repaired = AnnIndex.repairGraphSeeded(
+            gRep.select(col("q_id"), col("n_id"), col("d2")),
+            remRep.select(col(idCol), col(vecCol)), idCol, vecCol, k,
+            queries => descend(queries,
+              queries.select(col(idCol).as("q_id"))
+                .join(cellOf.select(col("cell"), col("id").as("q_id")),
+                  Seq("q_id")))
+              .select(col("q_id"), col("n_id")),
+            beam, searchRounds)
+          g0 = g0.filter(!inCells(repairCells0))
+            .unionByName(attachCell(repaired)).localCheckpoint()
+        }
+      }
+      if (ups.filter(inCells(incr)).limit(1).count() > 0) {
+        // 4. the HNSW insert walk, shared across cells: one descent per
+        // batch whose per-layer search both seeds the next layer and
+        // links the upserts whose hash level reaches it
+        val upsIncr = ups.filter(inCells(incr)).localCheckpoint()
+        val upsLv = upsIncr.withColumn("level", lvCol)
+        var seeds = upsIncr.select(col(idCol).as("q_id"), col("cell"))
+          .join(entries.select(col("cell"), col("n_id")), Seq("cell"))
+          .select(col("q_id"), col("cell"), col("n_id")).localCheckpoint()
+        for (l <- cap to 1 by -1) {
+          val act = entries.filter(col("ml") >= l).select(col("cell"))
+          val sAct = seeds.join(act, Seq("cell"), "left_semi")
+          val sPass = seeds.join(act, Seq("cell"), "left_anti")
+          val found = Similarity.graphSearchTopKSeeded(
+            lg(l).select(col("q_id"), col("n_id"), col("d2")),
+            memOf(l).select(col(idCol), col(vecCol)),
+            upsIncr.select(col(idCol), col(vecCol)),
+            sAct.select(col("q_id"), col("n_id")), idCol, vecCol,
+            descBeam, descRounds, descBeam).localCheckpoint()
+          val linkers = upsLv.filter(col("level") >= l)
+            .select(col(idCol).as("q_id"))
+            .join(act.join(cellOf.select(col("cell"), col("id").as("q_id")),
+              Seq("cell")).select(col("q_id")), Seq("q_id"), "left_semi")
+          val adj = recutCell(
+            attachCell(found.select(col("q_id"), col("n_id"), col("d2"))
+              .join(linkers, Seq("q_id"), "left_semi")), layerK)
+            .select(col("cell"), col("q_id").as("id"), col("n_id").as("nbr"),
+              col("d2"))
+          if (!adj.isEmpty) {
+            val rev = adj.select(col("cell"), col("nbr").as("id"),
+              col("id").as("nbr"), col("d2"))
+            lg(l) = recutCell(
+              lg(l).select(col("cell"), col("q_id").as("id"),
+                  col("n_id").as("nbr"), col("d2"))
+                .unionByName(rev).unionByName(adj)
+                .select(col("cell"), col("id").as("q_id"),
+                  col("nbr").as("n_id"), col("d2")),
+              layerK)
+              .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
+              .localCheckpoint()
+          }
+          seeds = found.withColumn("rk",
+              row_number().over(Window.partitionBy(col("q_id"))
+                .orderBy(col("d2").asc, col("n_id"))))
+            .filter(col("rk") <= m)
+            .select(col("q_id"), col("n_id"))
+            .join(cellOf.select(col("cell"), col("id").as("q_id")),
+              Seq("q_id"))
+            .select(col("q_id"), col("cell"), col("n_id"))
+            .unionByName(sPass).localCheckpoint()
+        }
+        val inserted = AnnIndex.insertBatchSeeded(
+          g0.select(col("q_id"), col("n_id"), col("d2")),
+          rem.select(col(idCol), col(vecCol)),
+          upsIncr.select(col(idCol), col(vecCol)), idCol, vecCol, k,
+          seeds.select(col("q_id"), col("n_id")), beam, searchRounds)
+        g0 = attachCell(inserted)
+      }
+      outG0 = acc(outG0, g0)
+      for (l <- 1 to cap) outL(l) = acc(outL(l), lg(l))
+    }
+    // ---- guard-exception cells: per-cell stack rebuilds --------------
+    for (c <- drained ++ rebuilds) {
+      val all = remaining.filter(col("cell") === c)
+        .unionByName(ups.filter(col("cell") === c))
+        .withColumn("level", lvCol).localCheckpoint()
+      val g0c =
+        if (nRem(c) + nUps(c) == 0L) IndexCdc.emptyGraph(spark)
+        else Similarity.nnDescent(all.select(col(idCol), col(vecCol)),
+          idCol, vecCol, k, rebuildRounds, rebuildBuckets)
+      outG0 = acc(outG0, g0c.select(col("q_id"), col("n_id"), col("d2"))
+        .withColumn("cell", lit(c)))
+      for (l <- 1 to cap) {
+        val members = all.filter(col("level") >= l)
+          .select(col(idCol), col(vecCol))
+        val g =
+          if (members.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
+          else Similarity.nnDescent(members, idCol, vecCol,
+            layerK, rebuildRounds, rebuildBuckets)
+        outL(l) = acc(outL(l), g.select(col("q_id"), col("n_id"), col("d2"))
+          .withColumn("cell", lit(c)))
+      }
+    }
+    // ---- commit: one partitioned stage write per part, then pure
+    // file renames into each cell's next_ dir and the crash-safe swap
+    val outVecs = remaining.unionByName(ups)
+    val stage = new org.apache.hadoop.fs.Path(s"$storeDir/stage_$batchId")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    recutCell(outG0.select(col("cell"), col("q_id"), col("n_id"), col("d2")), k)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/graph")
+    outVecs.select(col("cell"), col(idCol), col(vecCol))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/vecs")
+    outVecs.select(col("cell"), col(idCol), lvCol.as("level"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/levels")
+    for (l <- 1 to cap)
+      recutCell(outL(l).select(col("cell"), col("q_id"), col("n_id"),
+          col("d2")), layerK)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/layer_$l")
+    val parts = Seq("graph", "vecs", "levels") ++ (1 to cap).map(l => s"layer_$l")
+    for (c <- applySet) {
+      val next = new org.apache.hadoop.fs.Path(
+        s"${cellDir(storeDir, c)}/next_$batchId")
+      if (fs.exists(next)) fs.delete(next, true)
+      fs.mkdirs(next)
+      for (part <- parts) {
+        val src = new org.apache.hadoop.fs.Path(s"$stage/$part/cell=$c")
+        val dst = new org.apache.hadoop.fs.Path(next, part)
+        if (fs.exists(src)) fs.rename(src, dst)
+        else {
+          val empty = part match {
+            case "vecs" => vecs.limit(0).select(col(idCol), col(vecCol))
+            case "levels" => vecs.limit(0)
+              .select(col(idCol), lvCol.as("level"))
+            case _ => IndexCdc.emptyGraph(spark)
+          }
+          empty.write.mode("overwrite").parquet(dst.toString)
+        }
+      }
+      IndexCdc.writeMarker(fs, next, batchId)
+      IndexCdc.writeFootprint(fs, next, nRem(c) + nUps(c))
+      DocStreams.swapStore(fs, cellDir(storeDir, c), next, batchId)
+    }
+    fs.delete(stage, true)
+  }
+}

@@ -263,7 +263,7 @@ object ScaleProbe {
     "q315_png_interlaced/q318_png_grayscale/q319_jpeg_422_decode/q320_png_16bit" ->
       "per-asset inflate+unfilter / entropy-decode work in the shuffle-free mapPartitions codec class the probed q302/q307/q296 members time directly — Adam7 reorders the same bytes, grayscale is the same filters at bpp 1-2, and 4:2:2 is q296's decode with a different chroma axis",
     "q322_sharded_index_cdc" ->
-      "q312's rationale per cell: a probe replica dir gets FRESH cell stores, so the entry would measure the four q282-class seed builds (covered by q282's knob-scaled probe), not the per-batch maintenance it times; the per-cell batch work is the probed/locked delete+repair+insert shapes over ONLY the touched cells' stores — per-batch cost proportional to the batch's cell footprint by construction, with untouched cells never opened (path-scoped reads)",
+      "q312's rationale per cell: a probe replica dir gets FRESH cell stores, so the entry would measure the four q282-class seed builds (covered by q282's knob-scaled probe), not the per-batch maintenance it times; the batch compute is ONE cell-keyed plan over only the touched cells' stores (round 15 — Spark jobs per batch no longer grow with the touched-cell count), per-batch cost proportional to the batch's cell footprint by construction, with untouched and already-committed cells never opened (path-scoped reads)",
     "q323_wav_resample_rational" ->
       "per-asset integer polyphase convolution in the q310/q321 excluded class — bounded taps per output frame (half-width max(L,M) on the upsampled grid), strictly row-linear like the decimating FIRs",
     "q324_mp4_track_walk" ->
@@ -275,7 +275,7 @@ object ScaleProbe {
     "q328_codec_coverage_audit" ->
       "per-asset decode attempts in the shuffle-free mapPartitions codec class — the audit runs exactly the decoders the probed members (q286/q296/q302/q305/q307/q325/q331) time directly, plus a fixed-width aggregate",
     "q329_shard_rebalance" ->
-      "a rebalance run is dominated by the fresh per-cell NN-Descent seeds (initShardedStore) plus the changed cells' rebuilds — all q282-class builds whose scale behavior the knob-scaled probe covers; the decision inputs are nCells parquet-footer counts and the reassignment is one keyed ivfAssign pass over only the split cells' members",
+      "a rebalance run is dominated by the fresh per-cell NN-Descent seeds (cloned from the once-per-JVM immutable seed, whose build is q282-class and knob-probe-covered) plus the changed cells' rebuilds; the decision inputs are nCells swap-time footprint-manifest reads (driver file reads, zero jobs) and the reassignment is one keyed ivfAssign pass over only the split cells' members",
     "q332_g711_decode" ->
       "per-byte table-free integer expansion — strictly less work per byte than any probed codec member (the q303/q310 excluded class)",
     "q333_tar_ingest" ->
@@ -283,7 +283,7 @@ object ScaleProbe {
     "q334_adpcm_decode" ->
       "per-nibble constant-work state chain — less work per byte than any probed entropy decoder; asset-local state, so parallelism is by asset (the q303/q332 excluded class)",
     "q335_shard_maintenance_window" ->
-      "q322's rationale (fresh cell stores per probe dir — the seed builds dominate) plus the rebalance decision inputs being nCells parquet-footer counts; any fired rebalance is q329's excluded build class, and the CDC drain is the probed/locked per-cell batch shapes",
+      "q322's rationale (a probe replica dir needs its own seed build — the clone discipline only amortizes within one corpus) plus the rebalance decision inputs being nCells footprint-manifest reads (zero jobs); any fired rebalance is q329's excluded build class, and the CDC drain is the probed/locked cell-keyed batch plan",
     "q337_zip_ingest" ->
       "per-member Inflater + token split — the q330 probed gzip-inflate class with a directory walk instead of member headers; strictly the same work per byte",
     "q338_mp3_frame_census/q339_ogg_page_census" ->
@@ -291,7 +291,19 @@ object ScaleProbe {
     "q341_html_text_extract/q342_url_canonical_dedup" ->
       "zero-shuffle scan-stage codegen'd expression chains (regexp/replace/sort_array) — the probed corpus scans already measure the scan; q342's epilogue is one keyed aggregate of the probed groupBy class",
     "q343_wet_pipeline" ->
-      "the probed q330 gzip/WARC walk composed with q341's excluded scan-stage regex chain — both halves' scale behavior is carried by those entries; the composition adds no new shape (zero shuffle end to end, PlanSpec-locked)")
+      "the probed q330 gzip/WARC walk composed with q341's excluded scan-stage regex chain — both halves' scale behavior is carried by those entries; the composition adds no new shape (zero shuffle end to end, PlanSpec-locked)",
+    "q344_layered_index_cdc" ->
+      "q312's fresh-store rationale for the whole stack: a probe replica dir pays the layered seed build — the q282-class level-0 build plus ~n/3 extra layer volume, both covered by q282's knob-scaled probe — not the per-batch maintenance it times; the batch work is the probed/locked keyed tombstones plus beam-sized seeded searches over layers holding ~n/4^l nodes (each stage the probed q288-class keyed-join shape), under the excluded fixed micro-batch overhead",
+    "q345_sharded_layered_serve" ->
+      "reads the q314 sharded artifact plus the per-cell layer stacks, so a probe replica dir pays four q282-class level-0 cell builds and twelve (cell, layer) subgraph builds before serving a single query; the serving increment over the probed/locked q314 shape is three beam-sized (q_id, cell)-keyed descent stages over layers holding ~|cell|/4^l nodes — per-query cost stays nprobe cells' layer stacks regardless of corpus width, with layer reads partition-pruned (PlanSpec/Round15Spec-locked)",
+    "q346_flac_stereo_lpc_decode" ->
+      "per-sample constant work: Rice unary/remainder reads plus an order-2 integer dot product per sample and a constant-time inter-channel inversion — strictly the probed q336 FLAC class with one extra multiply-accumulate per sample; asset-local state, parallel by asset",
+    "q347_webp_color_cache_decode" ->
+      "per-pixel constant work: one prefix-code walk plus a multiplicative-hash slot read/insert — strictly LESS work per pixel than the probed q325 transform classes (no transform inversion at all); the q303 partition-preserving codec class",
+    "q348_mp4_sample_table_census" ->
+      "O(moov-bytes) header walk per asset (stts/stco tables are tens of entries) — q311/q324's census class, scan-bound by construction, no payload decoded",
+    "q349_sharded_layered_cdc" ->
+      "q322's and q344's rationales composed: a probe replica dir pays four per-cell layered seed builds (level-0 + two layer subgraphs each — all q282-class, knob-probe-covered), not the per-batch maintenance it times; the batch compute is ONE cell-keyed plan over only the touched cells' stacks (keyed tombstones, grouped queue depths, shared descents with short-stack pass-through, one partitioned stage write) — per-batch cost proportional to the batch's cell footprint times the probed/locked layered shapes, with untouched and committed cells never opened")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain

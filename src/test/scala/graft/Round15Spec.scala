@@ -287,6 +287,18 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  /** (relative path → (length, mtime)) for every file under dir. */
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+  }
+
   private def storeRows(store: String, part: String): Seq[String] = {
     val spark = TestSpark.spark
     spark.read.parquet(s"$store/current/$part")
@@ -411,6 +423,242 @@ class Round15Spec extends AnyFunSuite {
     assert(maintained >= fresh - 100000.0,
       s"stale descent: maintained recall $maintained vs fresh $fresh")
     assert(maintained > 500000.0, s"maintained recall collapsed: $maintained")
+  }
+
+  // ------------------------------------------------------------------
+  // Sharded-and-layered CDC (q349)
+  // ------------------------------------------------------------------
+
+  private def shardedLayeredFixture(tag: String): (String,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val spark = TestSpark.spark
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).localCheckpoint()
+    val cents = graft.operators.Similarity
+      .ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+    val assigned = graft.operators.Similarity
+      .ivfAssign(emb, "vec_id", "embedding", cents).localCheckpoint()
+    val store = java.nio.file.Files
+      .createTempDirectory(s"graft_r15_slay_$tag").toString
+    graft.streaming.ShardedLayeredCdc.initShardedLayeredStore(spark, store,
+      assigned, "vec_id", "embedding", nCells = 4, cap = 2, graphK = 5,
+      graphRounds = 2, layerK = 3, layerRounds = 2, initBuckets = 8)
+    (store, assigned, cents)
+  }
+
+  private val slayParts = Seq("graph", "vecs", "levels", "layer_1", "layer_2")
+
+  test("sharded-layered CDC: the keyed multi-cell merge equals applying " +
+      "the single-store layered merge per cell in isolation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (store, assigned, cents) = shardedLayeredFixture("eq")
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200)
+    val ids = assigned.select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecOf = (id: Long) => emb.filter(col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0)
+    // one delete in each of cells 0 and 1, one upsert into cell 2
+    val delA = ids.filter(_._2 == 0L).map(_._1).sorted.head
+    val delB = ids.filter(_._2 == 1L).map(_._1).sorted.head
+    val anchorC = ids.filter(_._2 == 2L).map(_._1).sorted.head
+    val batch = Seq(
+      ("delete", delA, vecOf(delA)), ("delete", delB, vecOf(delB)),
+      ("upsert", 400001L, vecOf(anchorC)))
+      .toDF("op", "vec_id", "embedding")
+    // expected: copy each touched cell's store into an ISOLATED layered
+    // store dir and run the q344 single-store merge on it
+    val expect = Seq(0L, 1L, 2L).map { c =>
+      val iso = java.nio.file.Files
+        .createTempDirectory(s"graft_r15_slay_iso$c").toString
+      copyDir(s"$store/cell_$c", iso)
+      val bC = batch.withColumn("cell",
+          graft.operators.Similarity.ivfCellColumn(col("embedding"), cents)
+            .cast("long"))
+        .filter(col("cell") === c).drop("cell")
+      graft.streaming.LayeredCdc.mergeLayeredCdcBatch(bC, 0L, iso,
+        "vec_id", "embedding", cap = 2, k = 5, layerK = 3, m = 2,
+        descBeam = 6, descRounds = 2, beam = 10, searchRounds = 2,
+        repairThreshold = 1L)
+      def rows(part: String) = spark.read.parquet(s"$iso/current/$part")
+        .collect().map(_.toString).sorted.toSeq
+      c -> slayParts.map(p => p -> rows(p)).toMap
+    }.toMap
+    graft.streaming.ShardedLayeredCdc.mergeShardedLayeredCdcBatch(batch, 0L,
+      store, cents, "vec_id", "embedding", cap = 2, k = 5, layerK = 3,
+      m = 2, descBeam = 6, descRounds = 2, beam = 10, searchRounds = 2,
+      repairThreshold = 1L)
+    for (c <- Seq(0L, 1L, 2L); p <- slayParts) {
+      val got = spark.read.parquet(s"$store/cell_$c/current/$p")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expect(c)(p),
+        s"cell $c part $p diverged from the per-cell layered merge")
+    }
+  }
+
+  test("sharded-layered CDC: untouched cells are never opened, and a " +
+      "replay after a partial commit reproduces the post-batch store") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (store, assigned, cents) = shardedLayeredFixture("replay")
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200)
+    val ids = assigned.select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecOf = (id: Long) => emb.filter(col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0)
+    val delA = ids.filter(_._2 == 0L).map(_._1).sorted.head
+    val delB = ids.filter(_._2 == 1L).map(_._1).sorted.head
+    val batch = Seq(
+      ("delete", delA, vecOf(delA)), ("delete", delB, vecOf(delB)))
+      .toDF("op", "vec_id", "embedding")
+    // vandalize an untouched cell's level-0 graph: opening it crashes
+    import scala.jdk.CollectionConverters._
+    val gdir = java.nio.file.Paths.get(s"$store/cell_3/current/graph")
+    java.nio.file.Files.walk(gdir).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    java.nio.file.Files.write(gdir, "not parquet".getBytes)
+    val before3 = fileState(s"$store/cell_3")
+    def merge(): Unit = graft.streaming.ShardedLayeredCdc
+      .mergeShardedLayeredCdcBatch(batch, 0L, store, cents,
+        "vec_id", "embedding", cap = 2, k = 5, layerK = 3, m = 2,
+        descBeam = 6, descRounds = 2, beam = 10, searchRounds = 2,
+        repairThreshold = 1L)
+    val pre1 = java.nio.file.Files
+      .createTempDirectory("graft_r15_slay_pre1").toString + "/c"
+    copyDir(s"$store/cell_1", pre1)
+    merge()
+    assert(fileState(s"$store/cell_3") == before3,
+      "an untouched cell was opened or rewritten")
+    def rows(c: Long, p: String) = spark.read
+      .parquet(s"$store/cell_$c/current/$p")
+      .collect().map(_.toString).sorted.toSeq
+    val want0 = slayParts.map(p => p -> rows(0L, p)).toMap
+    val want1 = slayParts.map(p => p -> rows(1L, p)).toMap
+    // crash simulation: cell 0 committed, cell 1 rolled back pre-batch
+    val c1 = java.nio.file.Paths.get(s"$store/cell_1")
+    java.nio.file.Files.walk(c1).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    copyDir(pre1, s"$store/cell_1")
+    val state0 = fileState(s"$store/cell_0")
+    merge() // the checkpointed replay
+    assert(fileState(s"$store/cell_0") == state0,
+      "replay re-applied the batch to an already-committed cell")
+    for (p <- slayParts) {
+      assert(rows(0L, p) == want0(p))
+      assert(rows(1L, p) == want1(p),
+        s"replay did not reproduce cell 1's post-batch $p")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC stereo + LPC (q346)
+  // ------------------------------------------------------------------
+
+  test("FLAC stereo: all four channel assignments round-trip exactly, " +
+      "the side channel carries 17 bits, and LPC inverts the published " +
+      "prediction") {
+    import graft.multimodal.Flac
+    // signals chosen so side = L - R exceeds 16-bit-signed/2 territory
+    // in spirit (large relative swings) and LPC residuals are nonzero
+    val n = 24
+    val L = Array.tabulate(n)(k => 90 * k % 301 - 150)
+    val R = Array.tabulate(n)(k => -(70 * k % 257) + 128)
+    for (mode <- 0 to 3; cls <- Seq(1, 2, 3, 4)) {
+      val bytes = Flac.encodeFlacStereo(Seq((mode, (cls, L), (cls, R))))
+      val got = Flac.decodeFlac(bytes)
+        .getOrElse(fail(s"mode $mode cls $cls did not decode"))
+      assert(got.channels == 2)
+      val gl = got.samples.indices.filter(_ % 2 == 0).map(got.samples)
+      val gr = got.samples.indices.filter(_ % 2 == 1).map(got.samples)
+      assert(gl == L.toSeq, s"left diverged at mode $mode cls $cls")
+      assert(gr == R.toSeq, s"right diverged at mode $mode cls $cls")
+      val wantMode = Seq("independent", "left_side", "right_side",
+        "mid_side")(mode)
+      assert(got.channelModes == Seq(wantMode))
+      if (cls == 4) assert(got.subframeTypes.forall(_ == "lpc2"))
+    }
+    // mid/side parity: an odd L + R must reconstruct exactly
+    val lOdd = Array(3, 4, 5)
+    val rOdd = Array(0, 1, 2) // L + R odd everywhere
+    val ms = Flac.decodeFlac(Flac.encodeFlacStereo(
+      Seq((3, (1, lOdd), (1, rOdd))))).get
+    assert(ms.samples.toSeq == Seq(3, 0, 4, 1, 5, 2))
+    // a flipped byte in the frame body must fail the CRC-16, dropping
+    // the stream
+    val ok = Flac.encodeFlacStereo(Seq((1, (4, L), (4, R))))
+    val bad = ok.clone()
+    bad(ok.length - 10) = (bad(ok.length - 10) ^ 0x40).toByte
+    assert(Flac.decodeFlac(bad).isEmpty)
+  }
+
+  test("FLAC mono LPC subframes round-trip through the q336 decoder " +
+      "path unchanged") {
+    import graft.multimodal.Flac
+    val xs = Array.tabulate(30)(k => 40 * k % 211 - 100)
+    val bytes = Flac.encodeFlac(Seq((4, xs), (2, xs)))
+    val got = Flac.decodeFlac(bytes).getOrElse(fail("mono LPC did not decode"))
+    assert(got.channels == 1)
+    assert(got.samples.toSeq == xs.toSeq ++ xs.toSeq)
+    assert(got.subframeTypes == Seq("lpc2", "fixed1"))
+  }
+
+  // ------------------------------------------------------------------
+  // VP8L color cache (q347)
+  // ------------------------------------------------------------------
+
+  test("VP8L color cache: cached streams round-trip pixel-exactly, " +
+      "evictions included; malformed cache shapes are rejected") {
+    import graft.multimodal.Vp8l
+    for (id <- Seq(0L, 7L, 123L, 4999L); k <- Seq(2, 5, 7)) {
+      val w = (id % 21 + 1).toInt; val h = (id % 13 + 3).toInt
+      val bytes = Vp8l.encodeCachedAsset(id, w, h, k)
+      val (gw, gh, pix, tags) = Vp8l.decode(bytes)
+        .getOrElse(fail(s"cached asset $id/$k did not decode"))
+      assert((gw, gh) == (w, h) && tags == Seq("none"))
+      for (i <- 0 until w * h)
+        assert(pix(i) == Vp8l.rampPixel(id, (i % k).toLong),
+          s"pixel $i diverged for id $id k $k")
+    }
+    // many colors force multiplicative-hash slot collisions (32 slots,
+    // 300 colors): eviction + reinsert must stay exact
+    val big = Vp8l.encodeCachedAsset(11L, 20, 15, 300)
+    val (_, _, pix2, _) = Vp8l.decode(big).get
+    for (i <- 0 until 300) assert(pix2(i) == Vp8l.rampPixel(11L, (i % 300).toLong))
+    // cache_bits = 0 under a set cache flag is malformed (spec: 1..11)
+    val bw = new Vp8l.BitWriter
+    bw.writeBits(0x2f, 8); bw.writeBits(3, 14); bw.writeBits(3, 14)
+    bw.writeBits(0, 1); bw.writeBits(0, 3)
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(1, 1) // cache present...
+    bw.writeBits(0, 4) // ...but zero bits
+    assert(Vp8l.decode(Vp8l.riffWebp(bw.result())).isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // MP4 sample-table census (q348)
+  // ------------------------------------------------------------------
+
+  test("MP4 deep walk: stts durations and stco chunk sums round-trip; " +
+      "truncated tables drop the asset") {
+    import graft.multimodal.Codecs
+    val tracks = Seq(
+      ("vide", Seq((5L, 2L), (3L, 4L)), Seq(48L, 96L, 1000L)),
+      ("soun", Seq((7L, 1L)), Seq.empty[Long]))
+    val bytes = Codecs.encodeMp4Deep("mp42", tracks)
+    val info = Codecs.walkMp4(bytes).getOrElse(fail("deep mp4 did not walk"))
+    assert(info.brand == "mp42")
+    assert(info.tracks.map(t => (t.handler, t.nSamples, t.duration,
+      t.nChunks, t.sumChunkOff)) == Vector(
+      ("vide", 8L, 22L, 3L, 1144L), ("soun", 7L, 7L, 0L, 0L)))
+    // corrupt the stts entry count to claim more runs than the box
+    // holds: the walk must drop the asset, not read past the table
+    val pat = "stts".getBytes("US-ASCII")
+    val at = bytes.indexOfSlice(pat)
+    val bad = bytes.clone()
+    bad(at + 4 + 4 + 3) = 100.toByte // entry_count low byte
+    assert(Codecs.walkMp4(bad).isEmpty)
   }
 
   test("keyed sharded CDC: a multi-cell batch equals applying the " +
