@@ -552,6 +552,39 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("round-15 index paths stay on keyed joins (no cartesian/BNL)") {
+    // the layered descent + seeded serve and the sharded-layered keyed
+    // merge's building blocks must never degenerate to CartesianProduct
+    // or BroadcastNestedLoopJoin — the 100 TB contract of every index
+    // path (the PlanSpec round-13 lock, extended to the round-15 ops)
+    val spark = TestSpark.spark
+    val emb = graft.core.Engine.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).localCheckpoint()
+    val cents = graft.operators.Similarity
+      .ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+    val assigned = graft.operators.Similarity
+      .ivfAssign(emb, "vec_id", "embedding", cents).localCheckpoint()
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_r15_plan").toString
+    val index = graft.operators.AnnIndex.buildOrLoadSharded(assigned,
+      "vec_id", "embedding", nCells = 4, graphK = 5, graphRounds = 2,
+      initBuckets = 8, indexDir = s"$idxDir/idx")
+    graft.operators.AnnIndex.buildOrLoadShardedLayers(assigned,
+      "vec_id", "embedding", nCells = 4, cap = 2, layerK = 3,
+      layerRounds = 2, initBuckets = 8, layersDir = s"$idxDir/layers")
+    val queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 24)
+    val routed = graft.operators.Similarity.ivfProbeCells(
+      queries, "vec_id", "embedding", cents, nprobe = 2)
+    val served = graft.operators.AnnIndex.shardedLayeredSearchTopK(index,
+      assigned, routed, s"$idxDir/layers", "vec_id", "embedding",
+      cap = 2, m = 2, descBeam = 4, descRounds = 1, beam = 8,
+      rounds = 2, k = 3)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sharded-layered serve degenerated to a nested loop:\n$p")
+  }
+
   // ------------------------------------------------------------------
   // FLAC stereo + LPC (q346)
   // ------------------------------------------------------------------
