@@ -327,8 +327,32 @@ object Bench {
     // entry must not silently inherit the baseline-scale ceiling
     val baselineScaleEntries =
       Set("m33_ctas_2800000_rows", "m33x_export_2800000_rows")
-    def ceilingFor(name: String): Double =
-      if (baselineScaleEntries(name)) math.max(ceiling, 160.0) else ceiling
+    // band-scaled ceilings: a fixed 60 s ceiling is calibrated for a
+    // quiet window — the r15 DRIVER window ran ~1.4-1.8x loaded and
+    // q299 (committed 2.2 s quiet) crossed it, recording a phantom
+    // crash where "slow success" was the truth. Each entry's ceiling
+    // now scales with its last committed reading (the repo's
+    // BENCH_DETAIL.json at the benched HEAD): 30x the quiet reading
+    // + 15 s of fixed-overhead slack, clamped to [env ceiling, 240 s].
+    // The BUDGET (enforced per entry on later passes) remains the
+    // window's real bound; the ceiling is only the runaway backstop,
+    // and a backstop that fires on ambient load is misreporting, not
+    // protection. Entries without a committed reading keep the env
+    // ceiling; the baseline-scale entries keep their 160 s floor.
+    val committedT: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "\"([^\"]+)\":\\{\"t\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    def ceilingFor(name: String): Double = {
+      val base = committedT.get(name).filter(_ >= 0) match {
+        case Some(t) => math.min(math.max(ceiling, t * 30.0 + 15.0), 240.0)
+        case None => ceiling
+      }
+      if (baselineScaleEntries(name)) math.max(base, 160.0) else base
+    }
     def onePass(): Seq[Double] = entries.map { case (name, run) =>
       val t = timeEntry(spark, name, run, ceilingFor(name))
       teardown(spark)
@@ -343,10 +367,17 @@ object Bench {
     // one-time costs pass 1 amortizes (seed/index builds, codegen),
     // and a single overflow estimate silently cost the artifact its
     // entire min-of-2 discipline (BENCH_r14, runs: 1). Per-entry
-    // skipping keeps two samples for everything the budget reaches —
-    // in catalog order, so the skipped suffix (if any) is explicit in
-    // the recorded attempt counts.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    // skipping keeps two samples for everything the budget reaches;
+    // the skipped entries (if any) are explicit in the recorded
+    // attempt counts.
+    // default raised 1200 → 1800 in round 16: the budget bounds a
+    // RUNAWAY window, it must not starve min-of-2 in an ordinarily
+    // loaded one — at the 359-entry catalog's ~575 s/pass quiet cost,
+    // 1200 s fit two passes only on an idle machine (the r15 driver
+    // window cut 64 entries at ~1.4x ambient load), while 1800 s covers
+    // two passes at 1.5x load; slowest-first pass-2 spending (below)
+    // keeps any residual cut on the cheap entries
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
@@ -354,17 +385,30 @@ object Bench {
     for (r <- 2 to runs) {
       val bestSoFar = mergePasses(entries.map(_._1), passes.toSeq)
       var skipped = 0
-      passes += entries.zipWithIndex.map { case ((name, run), i) =>
+      // later passes spend the remaining budget SLOWEST-FIRST: when a
+      // loaded window exhausts it, the cut falls on the cheap entries
+      // (whose sub-second spread carries no information) instead of on
+      // the slow tail — the r15 driver window cut 64 entries in catalog
+      // order and lost its second sample of exactly the entries whose
+      // spread mattered. A crashed entry sorts by its ceiling (rerun
+      // cost unknown, retry early); results land back in catalog order.
+      val res = Array.fill(entries.size)(Double.NaN)
+      val order = entries.indices.sortBy { i =>
+        -(if (bestSoFar(i)._2 >= 0) bestSoFar(i)._2
+          else ceilingFor(entries(i)._1))
+      }
+      for (i <- order) {
+        val (name, run) = entries(i)
         // a crashed entry's rerun cost is unknown: budget its ceiling
         val est =
           if (bestSoFar(i)._2 >= 0) bestSoFar(i)._2 * 1.1 + 0.5
           else ceilingFor(name)
         if (elapsedSec + est <= budget) {
-          val t = timeEntry(spark, name, run, ceilingFor(name))
+          res(i) = timeEntry(spark, name, run, ceilingFor(name))
           teardown(spark)
-          t
-        } else { skipped += 1; Double.NaN }
+        } else skipped += 1
       }
+      passes += res.toSeq
       if (skipped > 0) System.err.println(
         s"[bench] pass $r skipped $skipped entries at the " +
           s"${budget.toInt}s budget")

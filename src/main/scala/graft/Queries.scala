@@ -10334,6 +10334,16 @@ object Queries {
         graphRounds = 3, initBuckets = 16)
     }
 
+  /** The ONE build recipe for the `slay4` sharded-layered seed — every
+    * consumer (q349 CDC, q350 growth report, q351 rebalance, q352
+    * maintenance window, [[warmSeedStores]]) must seed with identical
+    * knobs or the clone-equals-fresh-build invariant breaks. */
+  private def slay4SeedBuild(s: SparkSession, assigned: DataFrame)(
+      seedDir: String): Unit =
+    graft.streaming.ShardedLayeredCdc.initShardedLayeredStore(s, seedDir,
+      assigned, "vec_id", "embedding", nCells = 4, cap = 2, graphK = 10,
+      graphRounds = 3, layerK = 5, layerRounds = 2, initBuckets = 16)
+
   /** Untimed warm hook for [[Bench]]: build the once-per-JVM immutable
     * SEED stores the mutating lifecycle entries (q322/q329/q335/q344)
     * clone from. Pass 2 never pays a seed build (the whole point of the
@@ -10365,13 +10375,9 @@ object Queries {
         "vec_id", "embedding", cap = 3, k = 15, rounds = 4,
         layerK = 5, layerRounds = 2, initBuckets = 16)
     }
-    ensureSeed("slay4", d) { seedDir =>
-      graft.streaming.ShardedLayeredCdc.initShardedLayeredStore(s, seedDir,
-        Similarity.ivfAssign(base, "vec_id", "embedding", cents)
-          .localCheckpoint(),
-        "vec_id", "embedding", nCells = 4, cap = 2, graphK = 10,
-        graphRounds = 3, layerK = 5, layerRounds = 2, initBuckets = 16)
-    }
+    ensureSeed("slay4", d)(slay4SeedBuild(s,
+      Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+        .localCheckpoint()))
   }
 
   /** Round-12 surface: the persisted/served graph-ANN index story, the
@@ -13501,6 +13507,55 @@ object Queries {
        |  WHERE rn <= 10)""".stripMargin
   }
 
+  /** lvt (cap-3 hash levels) + the 12 per-(cell, layer) subgraph chains
+    * + the per-cell three-stage descents over them, each ending at
+    * `y{c}res` (the cell's level-0 top-5 for its routed queries) — the
+    * layered serving chain shared by the batch (q345) and streaming
+    * (q353) sharded-layered oracles. Assumes [[shardedAnnOracleCtes]]'s
+    * assign / v / s{c}_nn3 / route CTEs precede it. */
+  private def shardedLayeredDescentCtes: String = {
+    def lvlCase(idExpr: String): String =
+      s"""CASE
+         |      WHEN ('0x'||substr(md5('lvl:'||$idExpr::VARCHAR),1,15))::BIGINT % 4 <> 0 THEN 0
+         |      WHEN ('0x'||substr(md5('lvl:'||$idExpr::VARCHAR),1,15))::BIGINT % 16 <> 0 THEN 1
+         |      WHEN ('0x'||substr(md5('lvl:'||$idExpr::VARCHAR),1,15))::BIGINT % 64 <> 0 THEN 2
+         |      ELSE 3 END""".stripMargin
+    // 12 per-(cell, layer) subgraph chains over the assignment
+    val layerChains = (0 to 3).flatMap(c => (1 to 3).map(l =>
+      nnGraphOracleCtes(5, 2,
+        s" WHERE vec_id IN (SELECT a.vec_id FROM assign a" +
+          s" JOIN lvt lv ON lv.vec_id = a.vec_id" +
+          s" WHERE a.cell = $c AND lv.level >= $l)",
+        p = s"c${c}l${l}_", lead = ""))).mkString(",\n")
+    // per-cell descent: entry = the cell's lowest id at its max
+    // populated level, then three seeded stages carrying top-2,
+    // then the level-0 shard search seeded by the descent output
+    val descents = (0 to 3).map { c =>
+      s"""e${c}x AS (SELECT min(a.vec_id) AS id FROM assign a
+         |  JOIN lvt l ON l.vec_id = a.vec_id
+         |  WHERE a.cell = $c AND l.level = (
+         |    SELECT max(l2.level) FROM assign a2
+         |    JOIN lvt l2 ON l2.vec_id = a2.vec_id WHERE a2.cell = $c)),
+         |y${c}s3 AS (SELECT r.q_id, e.id AS n_id FROM route r, e${c}x e
+         |  WHERE r.cell = $c),
+         |${seededSearchCtes(s"y${c}L3_", s"y${c}s3", s"c${c}l3_nn2", 6, 2)},
+         |${topMSeedsCte(s"y${c}s2", s"y${c}L3_b2", 2)},
+         |${seededSearchCtes(s"y${c}L2_", s"y${c}s2", s"c${c}l2_nn2", 6, 2)},
+         |${topMSeedsCte(s"y${c}s1", s"y${c}L2_b2", 2)},
+         |${seededSearchCtes(s"y${c}L1_", s"y${c}s1", s"c${c}l1_nn2", 6, 2)},
+         |${topMSeedsCte(s"y${c}s0", s"y${c}L1_b2", 2)},
+         |${seededSearchCtes(s"y${c}F_", s"y${c}s0", s"s${c}_nn3", 12, 3)},
+         |y${c}res AS (SELECT q_id, n_id, d2 FROM (
+         |    SELECT q_id, n_id, d2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM y${c}F_b3)
+         |  WHERE rn <= 5)""".stripMargin
+    }.mkString(",\n")
+    s"""lvt AS MATERIALIZED (SELECT vec_id, ${lvlCase("vec_id")} AS level
+       |  FROM embeddings),
+       |$layerChains,
+       |$descents""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // Round-15 surface: layered-store CDC (the q312 lifecycle composed
   // with q326's layer stack).
@@ -13513,11 +13568,11 @@ object Queries {
     // store (q326), closing the staleness gap: without it the upper
     // layers freeze at build time (deleted ids linger as layer nodes,
     // upserted ids never join their layers) and the descent degrades
-    // exactly when the index churns. Batch 0 (deletes): tombstone out
-    // of level-0 AND every layer, repair each layer's degraded queue
-    // seeded from the stack's top entry, then repair level-0 with
-    // per-queue-node seeds from a DESCENT over the just-repaired
-    // layers. Batch 1 (upserts): one HNSW insert walk — per layer one
+    // exactly when the index churns. One mixed batch: deletes
+    // tombstone out of level-0 AND every layer, each layer's degraded
+    // queue repairs seeded from the stack's top entry, then level-0
+    // repairs with per-queue-node seeds from a DESCENT over the
+    // just-repaired layers; the upserts run one HNSW insert walk — per layer one
     // seeded search whose full beam seeds the next layer down and
     // whose top-layerK cut links the upserts whose hash level reaches
     // that layer (reverse-patch re-cut), ending in the seeded level-0
@@ -13550,12 +13605,18 @@ object Queries {
           wipe(tmp)
           cdcDir.resolve(name).toFile.setLastModified(mtime)
         }
+        // ONE mixed batch (deletes + upserts): the merge tombstones,
+        // repairs, then insert-walks within a single batch, and because
+        // the upsert ids are absent from the store (tombstoning them is
+        // a no-op) the final stack is bit-identical to the former
+        // two-batch delivery — at half the bench cost (one swap, one
+        // micro-batch of whole-stack plans; the r15 driver window
+        // motivated the trim). The oracle below is unchanged.
         writeBatchFile(base.filter(col("vec_id") % 7 === 3)
-          .select(lit("delete").as("op"), col("vec_id"), col("embedding")),
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 10 === 9)
+            .select(lit("upsert").as("op"), col("vec_id"), col("embedding"))),
           "b0.parquet", 1000000L)
-        writeBatchFile(emb.filter(col("vec_id") % 10 === 9)
-          .select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
-          "b1.parquet", 2000000L)
         // fresh per-run store (CDC mutates it), cloned by file copy
         // from the immutable once-per-JVM layered seed
         val store = clonedSeedStore("layered", d, "graft_q344_store") {
@@ -13726,47 +13787,8 @@ object Queries {
           .orderBy(col("q_id"))
       },
       Some {
-        def lvlCase(idExpr: String): String =
-          s"""CASE
-             |      WHEN ('0x'||substr(md5('lvl:'||$idExpr::VARCHAR),1,15))::BIGINT % 4 <> 0 THEN 0
-             |      WHEN ('0x'||substr(md5('lvl:'||$idExpr::VARCHAR),1,15))::BIGINT % 16 <> 0 THEN 1
-             |      WHEN ('0x'||substr(md5('lvl:'||$idExpr::VARCHAR),1,15))::BIGINT % 64 <> 0 THEN 2
-             |      ELSE 3 END""".stripMargin
-        // 12 per-(cell, layer) subgraph chains over the assignment
-        val layerChains = (0 to 3).flatMap(c => (1 to 3).map(l =>
-          nnGraphOracleCtes(5, 2,
-            s" WHERE vec_id IN (SELECT a.vec_id FROM assign a" +
-              s" JOIN lvt lv ON lv.vec_id = a.vec_id" +
-              s" WHERE a.cell = $c AND lv.level >= $l)",
-            p = s"c${c}l${l}_", lead = ""))).mkString(",\n")
-        // per-cell descent: entry = the cell's lowest id at its max
-        // populated level, then three seeded stages carrying top-2,
-        // then the level-0 shard search seeded by the descent output
-        val descents = (0 to 3).map { c =>
-          s"""e${c}x AS (SELECT min(a.vec_id) AS id FROM assign a
-             |  JOIN lvt l ON l.vec_id = a.vec_id
-             |  WHERE a.cell = $c AND l.level = (
-             |    SELECT max(l2.level) FROM assign a2
-             |    JOIN lvt l2 ON l2.vec_id = a2.vec_id WHERE a2.cell = $c)),
-             |y${c}s3 AS (SELECT r.q_id, e.id AS n_id FROM route r, e${c}x e
-             |  WHERE r.cell = $c),
-             |${seededSearchCtes(s"y${c}L3_", s"y${c}s3", s"c${c}l3_nn2", 6, 2)},
-             |${topMSeedsCte(s"y${c}s2", s"y${c}L3_b2", 2)},
-             |${seededSearchCtes(s"y${c}L2_", s"y${c}s2", s"c${c}l2_nn2", 6, 2)},
-             |${topMSeedsCte(s"y${c}s1", s"y${c}L2_b2", 2)},
-             |${seededSearchCtes(s"y${c}L1_", s"y${c}s1", s"c${c}l1_nn2", 6, 2)},
-             |${topMSeedsCte(s"y${c}s0", s"y${c}L1_b2", 2)},
-             |${seededSearchCtes(s"y${c}F_", s"y${c}s0", s"s${c}_nn3", 12, 3)},
-             |y${c}res AS (SELECT q_id, n_id, d2 FROM (
-             |    SELECT q_id, n_id, d2, row_number() OVER (
-             |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM y${c}F_b3)
-             |  WHERE rn <= 5)""".stripMargin
-        }.mkString(",\n")
         s"""${shardedAnnOracleCtes(id => s"$id >= 60 AND $id < 70")},
-           |lvt AS MATERIALIZED (SELECT vec_id, ${lvlCase("vec_id")} AS level
-           |  FROM embeddings),
-           |$layerChains,
-           |$descents,
+           |$shardedLayeredDescentCtes,
            |lres AS (SELECT q_id, n_id FROM (
            |    SELECT q_id, n_id, row_number() OVER (
            |      PARTITION BY q_id ORDER BY d2, n_id) AS rank
@@ -13992,21 +14014,19 @@ object Queries {
           wipe(tmp)
           cdcDir.resolve(name).toFile.setLastModified(mtime)
         }
+        // ONE mixed batch — the q344 trim applied per cell: tombstoning
+        // the absent upsert ids is a no-op, so the single-batch final
+        // stores are bit-identical to the former two-batch delivery at
+        // half the bench cost. The oracle below is unchanged.
         writeBatchFile(base.filter(col("vec_id") % 7 === 3)
-          .select(lit("delete").as("op"), col("vec_id"), col("embedding")),
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 10 === 9)
+            .select(lit("upsert").as("op"), col("vec_id"), col("embedding"))),
           "b0.parquet", 1000000L)
-        writeBatchFile(emb.filter(col("vec_id") % 10 === 9)
-          .select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
-          "b1.parquet", 2000000L)
         // fresh per-run store cloned from the immutable per-cell layered
         // seed (the q322/q344 clone discipline)
-        val store = clonedSeedStore("slay4", d, "graft_q349_store") {
-          seedDir =>
-            graft.streaming.ShardedLayeredCdc.initShardedLayeredStore(s,
-              seedDir, assigned, "vec_id", "embedding", nCells = 4,
-              cap = 2, graphK = 10, graphRounds = 3, layerK = 5,
-              layerRounds = 2, initBuckets = 16)
-        }
+        val store = clonedSeedStore("slay4", d, "graft_q349_store")(
+          slay4SeedBuild(s, assigned))
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q349_ckpt")
         val cdc = s.readStream
           .schema("op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -14072,6 +14092,608 @@ object Queries {
            |ORDER BY cell, layer, id""".stripMargin
       }))
 
+  // --------------------------------------------------------------------
+  // Round-16 surface: the sharded-layered lifecycle's OPS column
+  // (growth report, rebalance, maintenance window — q349's store now
+  // has the full q327/q329/q335 treatment), and streaming serve over
+  // the sharded-layered index (the q316 pattern on the q345 artifact).
+  // --------------------------------------------------------------------
+  private val roundSixteenSurface: Seq[(String, Q)] = Seq(
+
+    // Per-cell GROWTH report for the SHARDED-LAYERED store
+    // (ShardedLayeredCdc.growthReport): the q327 readout extended with
+    // the stack shape the flat report has no notion of — per cell the
+    // member count (off the swap-time footprint manifest: nCells
+    // driver file reads, zero Spark jobs), corpus share in ppm,
+    // level-0 edge volume + degraded-list count, the max POPULATED
+    // level (a cell whose upper layers drained serves through a
+    // shorter descent), total layer edge volume, and the share-band
+    // verdict the layered rebalance (q351) consumes. Runs read-only
+    // against the immutable q349 seed store; the oracle replays the
+    // base-corpus assignment, all four level-0 chains, all eight
+    // (cell, layer) chains, the hash level table, and the integer
+    // share arithmetic. Scale: decisions from manifests; stats are
+    // three grouped aggregates over path-scoped reads.
+    "q350_sharded_layered_growth" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        // the report only READS — no clone, straight off the seed
+        val store = ensureSeed("slay4", d)(slay4SeedBuild(s, assigned))
+        graft.streaming.ShardedLayeredCdc.growthReport(s, store, cents,
+            k = 10, cap = 2, splitPpm = 255000L, mergePpm = 220000L)
+          .orderBy(col("cell"))
+      },
+      Some {
+        def lvlCase: String =
+          """CASE
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 4 <> 0 THEN 0
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 16 <> 0 THEN 1
+            |      ELSE 2 END""".stripMargin
+        val cellChains = (0 to 3).map(c => nnGraphOracleCtes(10, 3,
+          s" WHERE vec_id IN (SELECT vec_id FROM assign WHERE cell = $c)",
+          p = s"s${c}_", lead = "")).mkString(",\n")
+        val layerChains = (0 to 3).flatMap(c => (1 to 2).map(l =>
+          nnGraphOracleCtes(5, 2,
+            s" WHERE vec_id IN (SELECT a.vec_id FROM assign a" +
+              s" JOIN lvt lv ON lv.vec_id = a.vec_id" +
+              s" WHERE a.cell = $c AND lv.level >= $l)",
+            p = s"c${c}l${l}_", lead = ""))).mkString(",\n")
+        val stats = (0 to 3).map { c =>
+          s"""SELECT $c::BIGINT AS cell,
+             |    (SELECT count(*) FROM s${c}_nn3)::BIGINT AS n_edges,
+             |    (SELECT count(*) FROM (SELECT id FROM s${c}_nn3
+             |      GROUP BY id HAVING count(*) < 10))::BIGINT AS n_degraded,
+             |    ((SELECT count(*) FROM c${c}l1_nn2) +
+             |      (SELECT count(*) FROM c${c}l2_nn2))::BIGINT AS n_layer_edges"""
+            .stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+           |    embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+           |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+           |lvt AS MATERIALIZED (SELECT vec_id, $lvlCase AS level
+           |  FROM embeddings),
+           |$cellChains,
+           |$layerChains,
+           |stats AS ($stats),
+           |ml AS (SELECT a.cell, max(l.level)::BIGINT AS max_level
+           |  FROM assign a JOIN lvt l ON l.vec_id = a.vec_id GROUP BY a.cell),
+           |mem AS (SELECT cell, count(*)::BIGINT AS n_members
+           |  FROM assign GROUP BY cell),
+           |tot AS (SELECT count(*)::BIGINT AS n_total FROM assign)
+           |SELECT m.cell, m.n_members,
+           |  (m.n_members * 1000000 // t.n_total)::BIGINT AS share_ppm,
+           |  s.n_edges, s.n_degraded, l.max_level, s.n_layer_edges,
+           |  CASE WHEN m.n_members * 1000000 // t.n_total > 255000 THEN 'split'
+           |    WHEN m.n_members * 1000000 // t.n_total < 220000 THEN 'merge'
+           |    ELSE 'healthy' END AS recommendation
+           |FROM mem m JOIN stats s USING (cell) JOIN ml l USING (cell)
+           |  CROSS JOIN tot t
+           |ORDER BY cell""".stripMargin
+      }),
+
+    // SHARDED-LAYERED rebalance (ShardedLayeredCdc
+    // .rebalanceShardedLayeredStore): the operation q350's report
+    // recommends — q329's decision core (share-band classification off
+    // the manifests, sub-centroid picks, ivfAssign reassignment,
+    // merge-target argmax, marker/footprint inheritance, two-phase
+    // write-aside swaps) with every affected cell's staged artifact
+    // the COMPLETE layer stack: level-0 NN-Descent graph, vecs, the
+    // hash levels table, and both layer subgraphs rebuilt over the
+    // post-rebalance membership (membership changes invalidate layer
+    // subgraphs exactly as they invalidate level-0; build guards match
+    // the seed's, so a rebuilt cell is bit-identical to a fresh seed
+    // of its new membership — Round16Spec locks it, and locks
+    // untouched cells byte-identical). The [220k, 255k] band makes at
+    // least one cell split at EVERY sf's share profile (each sf draws
+    // its own embeddings; at sf0.001 two cells split AND one folds
+    // into its most-similar pool sibling, so all five actions appear)
+    // while the non-split pool stays non-empty. The oracle replays the
+    // integer share arithmetic, both sub-centroid selections, the
+    // reassignment, and the merge-target argmax. Scale: decisions
+    // from nCells manifest reads; data moves only through affected
+    // cells' keyed reassignment + stack rebuilds.
+    "q351_sharded_layered_rebalance" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        // fresh per-run clone: the rebalance mutates its store
+        val store = clonedSeedStore("slay4", d, "graft_q351_store")(
+          slay4SeedBuild(s, assigned))
+        val (report, _) = graft.streaming.ShardedLayeredCdc
+          .rebalanceShardedLayeredStore(s, store, cents, "vec_id",
+            "embedding", cap = 2, k = 10, graphRounds = 3, layerK = 5,
+            layerRounds = 2, initBuckets = 16, splitPpm = 255000L,
+            mergePpm = 220000L, rebalanceId = 1L)
+        report.orderBy(col("cell"))
+      },
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id,
+             |    embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+             |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+             |      PARTITION BY ve.vec_id
+             |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+             |        c.cent_id) AS rn
+             |    FROM ve CROSS JOIN cents c
+             |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+             |mem AS (SELECT c.cent_id AS cell, count(a.vec_id)::BIGINT AS n
+             |  FROM cents c LEFT JOIN assign a ON a.cell = c.cent_id
+             |  GROUP BY c.cent_id),
+             |tot AS (SELECT greatest(sum(n), 1)::BIGINT AS t FROM mem),
+             |shares AS (SELECT cell, n, (n * 1000000 // t.t)::BIGINT AS sp
+             |  FROM mem, tot t),
+             |spl AS (SELECT cell FROM shares WHERE sp > 255000 AND n >= 2),
+             |mrg AS (SELECT cell FROM shares WHERE sp < 220000),
+             |pool AS (SELECT cell FROM shares
+             |  WHERE cell NOT IN (SELECT cell FROM spl)
+             |    AND cell NOT IN (SELECT cell FROM mrg)),
+             |hi AS (SELECT cell,
+             |    (3 + row_number() OVER (ORDER BY cell))::BIGINT AS hi_cell
+             |  FROM spl),
+             |suba AS (SELECT a.cell, min(a.vec_id) AS a_id
+             |  FROM assign a JOIN spl s ON a.cell = s.cell GROUP BY a.cell),
+             |subb AS (SELECT cell, vec_id AS b_id FROM (
+             |    SELECT sa.cell, m.vec_id, row_number() OVER (PARTITION BY sa.cell
+             |      ORDER BY round(list_cosine_similarity(mv.e, av.e), 6) ASC,
+             |        m.vec_id) AS rn
+             |    FROM suba sa JOIN assign m ON m.cell = sa.cell
+             |      JOIN ve mv ON mv.vec_id = m.vec_id
+             |      JOIN ve av ON av.vec_id = sa.a_id) WHERE rn = 1),
+             |resplit AS (SELECT m.vec_id,
+             |    CASE WHEN round(list_cosine_similarity(mv.e, av.e), 6)
+             |        >= round(list_cosine_similarity(mv.e, bv.e), 6)
+             |      THEN m.cell ELSE h.hi_cell END AS cell
+             |  FROM assign m JOIN suba sa ON m.cell = sa.cell
+             |    JOIN subb sb ON m.cell = sb.cell JOIN hi h ON m.cell = h.cell
+             |    JOIN ve mv ON mv.vec_id = m.vec_id
+             |    JOIN ve av ON av.vec_id = sa.a_id
+             |    JOIN ve bv ON bv.vec_id = sb.b_id),
+             |mt AS (SELECT cell AS m_cell, tcell AS t_cell FROM (
+             |    SELECT mg.cell, p.cell AS tcell, row_number() OVER (
+             |      PARTITION BY mg.cell
+             |      ORDER BY round(list_cosine_similarity(mc.ce, pc.ce), 6) DESC,
+             |        p.cell) AS rn
+             |    FROM mrg mg JOIN pool p ON true
+             |      JOIN cents mc ON mc.cent_id = mg.cell
+             |      JOIN cents pc ON pc.cent_id = p.cell) WHERE rn = 1),
+             |finalm AS (SELECT vec_id, cell FROM resplit
+             |  UNION ALL SELECT a.vec_id, mt.t_cell AS cell
+             |    FROM assign a JOIN mt ON a.cell = mt.m_cell
+             |  UNION ALL SELECT a.vec_id, a.cell FROM assign a
+             |    WHERE a.cell NOT IN (SELECT cell FROM spl)
+             |      AND a.cell NOT IN (SELECT cell FROM mrg)),
+             |cnt AS (SELECT cell, count(*)::BIGINT AS n_members
+             |  FROM finalm GROUP BY cell),
+             |allc AS (SELECT cell FROM shares
+             |  UNION ALL SELECT hi_cell AS cell FROM hi),
+             |act AS (SELECT cell,
+             |    CASE WHEN cell IN (SELECT hi_cell FROM hi) THEN 'split_hi'
+             |      WHEN cell IN (SELECT cell FROM spl) THEN 'split_lo'
+             |      WHEN cell IN (SELECT cell FROM mrg) THEN 'merged_away'
+             |      WHEN cell IN (SELECT t_cell FROM mt) THEN 'merge_target'
+             |      ELSE 'kept' END AS action
+             |  FROM allc)
+             |SELECT a.cell, coalesce(c.n_members, 0)::BIGINT AS n_members,
+             |  a.action
+             |FROM act a LEFT JOIN cnt c USING (cell)
+             |ORDER BY cell""".stripMargin)),
+
+    // SHARDED-LAYERED maintenance window (ShardedLayeredCdc
+    // .maintenanceWindowLayered): the layered lifecycle composed end
+    // to end — the q349 CDC batch drains (cell-keyed tombstone /
+    // layer-then-level-0 repair / HNSW insert walk per touched cell),
+    // then the periodic job reads the DRIFTED per-cell footprints off
+    // the swap-time manifests (zero Spark jobs when nothing fires) and
+    // rebuilds affected cells' complete layer stacks only if some cell
+    // left the [220k, 255k] band — the post-CDC drift pushes at least
+    // one cell past the split bound at every sf's share profile, so
+    // the window FIRES (at sf0.001 with two splits plus a merge — all
+    // five actions). The oracle replays the post-CDC per-cell membership
+    // (survivors ∪ routed upserts) and the full rebalance decision
+    // arithmetic over those drifted counts. Scale: q349's per-batch
+    // shapes + q351's rebuild shapes, decisions from manifests.
+    "q352_sharded_layered_maintenance" -> Q(
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        def wipe(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        val cdcDir = java.nio.file.Paths.get(freshScratchDir("graft_q352_cdc"))
+        java.nio.file.Files.createDirectories(cdcDir)
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = cdcDir.resolve(s"${name}_tmp")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, cdcDir.resolve(name))
+          wipe(tmp)
+          cdcDir.resolve(name).toFile.setLastModified(mtime)
+        }
+        // the q349 single mixed batch (deletes + new-id upserts)
+        writeBatchFile(base.filter(col("vec_id") % 7 === 3)
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 10 === 9)
+            .select(lit("upsert").as("op"), col("vec_id"), col("embedding"))),
+          "b0.parquet", 1000000L)
+        val store = clonedSeedStore("slay4", d, "graft_q352_store")(
+          slay4SeedBuild(s, assigned))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q352_ckpt")
+        val cdc = s.readStream
+          .schema("op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(cdcDir.toString)
+        val q = graft.streaming.ShardedLayeredCdc.startShardedLayered(cdc,
+          store, ckpt.toString, cents, "vec_id", "embedding", cap = 2,
+          k = 10, layerK = 5, m = 2, descBeam = 6, descRounds = 2,
+          beam = 12, searchRounds = 3, repairThreshold = 1L)
+        try q.processAllAvailable() finally { q.stop(); wipe(ckpt) }
+        val (report, _) = graft.streaming.ShardedLayeredCdc
+          .maintenanceWindowLayered(s, store, cents, "vec_id", "embedding",
+            cap = 2, k = 10, graphRounds = 3, layerK = 5, layerRounds = 2,
+            initBuckets = 16, splitPpm = 255000L, mergePpm = 220000L,
+            rebalanceId = 100L)
+        report.orderBy(col("cell"))
+      },
+      benchFn = Some((s, d) => {
+        // bench variant: the maintenance WINDOW itself — manifest-read
+        // gate + the fired changed-cells-only stack rebuild — against a
+        // cloned seed. The CDC drain the verified entry composes with
+        // is exactly q349's benched per-batch shape; timing the
+        // composition would charge the window twice for the drain.
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val store = clonedSeedStore("slay4", d, "graft_q352_store")(
+          slay4SeedBuild(s, assigned))
+        val (report, _) = graft.streaming.ShardedLayeredCdc
+          .maintenanceWindowLayered(s, store, cents, "vec_id", "embedding",
+            cap = 2, k = 10, graphRounds = 3, layerK = 5, layerRounds = 2,
+            initBuckets = 16, splitPpm = 255000L, mergePpm = 220000L,
+            rebalanceId = 100L)
+        report.orderBy(col("cell"))
+      }),
+      oracle = Some("""WITH ve AS MATERIALIZED (SELECT vec_id,
+             |    embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+             |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+             |      PARTITION BY ve.vec_id
+             |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+             |        c.cent_id) AS rn
+             |    FROM ve CROSS JOIN cents c
+             |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+             |ups AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+             |      PARTITION BY ve.vec_id
+             |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+             |        c.cent_id) AS rn
+             |    FROM ve CROSS JOIN cents c
+             |    WHERE ve.vec_id % 10 = 9) WHERE rn = 1),
+             |fm0 AS MATERIALIZED (
+             |  SELECT vec_id, cell FROM assign WHERE vec_id % 7 <> 3
+             |  UNION ALL SELECT vec_id, cell FROM ups),
+             |mem AS (SELECT c.cent_id AS cell, count(f.vec_id)::BIGINT AS n
+             |  FROM cents c LEFT JOIN fm0 f ON f.cell = c.cent_id
+             |  GROUP BY c.cent_id),
+             |tot AS (SELECT greatest(sum(n), 1)::BIGINT AS t FROM mem),
+             |shares AS (SELECT cell, n, (n * 1000000 // t.t)::BIGINT AS sp
+             |  FROM mem, tot t),
+             |spl AS (SELECT cell FROM shares WHERE sp > 255000 AND n >= 2),
+             |mrg AS (SELECT cell FROM shares WHERE sp < 220000),
+             |pool AS (SELECT cell FROM shares
+             |  WHERE cell NOT IN (SELECT cell FROM spl)
+             |    AND cell NOT IN (SELECT cell FROM mrg)),
+             |hi AS (SELECT cell,
+             |    (3 + row_number() OVER (ORDER BY cell))::BIGINT AS hi_cell
+             |  FROM spl),
+             |suba AS (SELECT f.cell, min(f.vec_id) AS a_id
+             |  FROM fm0 f JOIN spl s ON f.cell = s.cell GROUP BY f.cell),
+             |subb AS (SELECT cell, vec_id AS b_id FROM (
+             |    SELECT sa.cell, m.vec_id, row_number() OVER (PARTITION BY sa.cell
+             |      ORDER BY round(list_cosine_similarity(mv.e, av.e), 6) ASC,
+             |        m.vec_id) AS rn
+             |    FROM suba sa JOIN fm0 m ON m.cell = sa.cell
+             |      JOIN ve mv ON mv.vec_id = m.vec_id
+             |      JOIN ve av ON av.vec_id = sa.a_id) WHERE rn = 1),
+             |resplit AS (SELECT m.vec_id,
+             |    CASE WHEN round(list_cosine_similarity(mv.e, av.e), 6)
+             |        >= round(list_cosine_similarity(mv.e, bv.e), 6)
+             |      THEN m.cell ELSE h.hi_cell END AS cell
+             |  FROM fm0 m JOIN suba sa ON m.cell = sa.cell
+             |    JOIN subb sb ON m.cell = sb.cell JOIN hi h ON m.cell = h.cell
+             |    JOIN ve mv ON mv.vec_id = m.vec_id
+             |    JOIN ve av ON av.vec_id = sa.a_id
+             |    JOIN ve bv ON bv.vec_id = sb.b_id),
+             |mt AS (SELECT cell AS m_cell, tcell AS t_cell FROM (
+             |    SELECT mg.cell, p.cell AS tcell, row_number() OVER (
+             |      PARTITION BY mg.cell
+             |      ORDER BY round(list_cosine_similarity(mc.ce, pc.ce), 6) DESC,
+             |        p.cell) AS rn
+             |    FROM mrg mg JOIN pool p ON true
+             |      JOIN cents mc ON mc.cent_id = mg.cell
+             |      JOIN cents pc ON pc.cent_id = p.cell) WHERE rn = 1),
+             |finalm AS (SELECT vec_id, cell FROM resplit
+             |  UNION ALL SELECT f.vec_id, mt.t_cell AS cell
+             |    FROM fm0 f JOIN mt ON f.cell = mt.m_cell
+             |  UNION ALL SELECT f.vec_id, f.cell FROM fm0 f
+             |    WHERE f.cell NOT IN (SELECT cell FROM spl)
+             |      AND f.cell NOT IN (SELECT cell FROM mrg)),
+             |cnt AS (SELECT cell, count(*)::BIGINT AS n_members
+             |  FROM finalm GROUP BY cell),
+             |allc AS (SELECT cell FROM shares
+             |  UNION ALL SELECT hi_cell AS cell FROM hi),
+             |act AS (SELECT cell,
+             |    CASE WHEN cell IN (SELECT hi_cell FROM hi) THEN 'split_hi'
+             |      WHEN cell IN (SELECT cell FROM spl) THEN 'split_lo'
+             |      WHEN cell IN (SELECT cell FROM mrg) THEN 'merged_away'
+             |      WHEN cell IN (SELECT t_cell FROM mt) THEN 'merge_target'
+             |      ELSE 'kept' END AS action
+             |  FROM allc)
+             |SELECT a.cell, coalesce(c.n_members, 0)::BIGINT AS n_members,
+             |  a.action
+             |FROM act a LEFT JOIN cnt c USING (cell)
+             |ORDER BY cell""".stripMargin)),
+
+    // STREAMING serving over the SHARDED-LAYERED index
+    // (AnnServing.serveShardedLayeredTopK): the composed online read
+    // path under streaming — query embeddings arrive as a stream; each
+    // micro-batch routes to its nprobe=2 best cells, DESCENDS each
+    // probed cell's stored layer stack for its own level-0 entry
+    // (partition-pruned layer reads), and beam-searches only those
+    // cells' level-0 subgraphs seeded by the descent. The per-cell
+    // descent metadata — (cell, max level, top entry), persisted by
+    // the layer build — is pinned ONCE before the stream starts (the
+    // q316 cellEntryPoints precedent), so micro-batches plan only the
+    // routed descent + search. Search is stateless per query: the
+    // drained append table equals the batch statement exactly whatever
+    // the micro-batching, and the oracle — the q345 layered chain over
+    // a fifth query set — emits raw (q_id, n_id, d2, rank) rows,
+    // stronger than a recall gate. Scale: q345's serve shapes per
+    // batch; nothing corpus-wide, nothing per-trigger beyond them.
+    "q353_streaming_sharded_layered_ann" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val index = operators.AnnIndex.buildOrLoadSharded(assigned,
+          "vec_id", "embedding", nCells = 4, graphK = 10, graphRounds = 3,
+          initBuckets = 16, indexDir = annIndexDir(d, "sharded"))
+        operators.AnnIndex.buildOrLoadShardedLayers(assigned,
+          "vec_id", "embedding", nCells = 4, cap = 3, layerK = 5,
+          layerRounds = 2, initBuckets = 16,
+          layersDir = annIndexDir(d, "sharded_layers"))
+        graft.streaming.AnnServing.serveShardedLayeredTopK(s, index,
+            assigned, cents, annIndexDir(d, "sharded_layers"),
+            queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") >= 70 && col("vec_id") < 80,
+            idCol = "vec_id", vecCol = "embedding", cap = 3, nprobe = 2,
+            m = 2, descBeam = 6, descRounds = 2, beam = 12, rounds = 3,
+            k = 5)
+          .select(col("q_id"), col("n_id"), col("d2"),
+            col("rank").cast("bigint").as("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""${shardedAnnOracleCtes(id => s"$id >= 70 AND $id < 80")},
+              |$shardedLayeredDescentCtes,
+              |lresr AS (SELECT q_id, n_id, d2, rank FROM (
+              |    SELECT q_id, n_id, d2, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY d2, n_id) AS rank
+              |    FROM (SELECT * FROM y0res UNION ALL SELECT * FROM y1res
+              |      UNION ALL SELECT * FROM y2res UNION ALL SELECT * FROM y3res))
+              |  WHERE rank <= 5)
+              |SELECT q_id, n_id, d2, rank::BIGINT AS rank FROM lresr
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // VP8L 2D SHORT-DISTANCE codes (Vp8l.planeCodeToDistance /
+    // encode2dAsset): distance codes 1..120 name a NEAR PIXEL through
+    // the spec's 120-entry plane-code table — yoffset·(coded width) +
+    // xoffset, x ∈ [−7, 8], clamped to ≥ 1 — instead of a scan-line
+    // distance; real cwebp output emits these near-ubiquitously for
+    // photographic content, so without them a real corpus partially
+    // downgrades to sniffed in the q328 audit. Even ids draw the
+    // diagonal ramp (pixel(x,y) = ramp(x+y)) with every row after the
+    // first one length-(w−1) copy at plane code (−1, 1) — a NEGATIVE
+    // x offset, distance w−1; odd ids the vertical ramp rowed by
+    // (0, 1) whole-row copies (distance w). The oracle predicts every
+    // pixel from id arithmetic alone — a wrong table entry, offset
+    // sign, width term, or clamp fails the hash on every even asset.
+    // Round16Spec additionally locks the table to the spec's exact
+    // neighbor SET ({(x,0):1≤x≤8} ∪ {(x,y):1≤y≤7,−7≤x≤8}) and the
+    // direct form's +120 bias. Scale: the q302 partition-preserving
+    // mapPartitions shape.
+    "q354_vp8l_2d_distances" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWebp2dAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeWebpStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH dims AS (SELECT doc_id, (doc_id % 17 + 1)::BIGINT AS w,
+             |    (doc_id % 11 + 1)::BIGINT AS h FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |    CASE WHEN doc_id % 2 = 0 THEN xs.x + ys.y ELSE xs.x END AS q
+             |  FROM dims, range(0, 17) xs(x), range(0, 11) ys(y)
+             |  WHERE xs.x < w AND ys.y < h),
+             |ps AS (SELECT doc_id,
+             |    sum(((doc_id + 3 * q) % 256) * 65536 +
+             |        ((doc_id + 5 * q) % 256) * 256 +
+             |        (doc_id + 7 * q) % 256)::BIGINT AS pixel_sum
+             |  FROM px GROUP BY doc_id)
+             |SELECT d.doc_id AS asset_id, 'vp8l' AS codec, d.w AS width,
+             |  d.h AS height, 'none' AS transform,
+             |  ps.pixel_sum, (255 * d.w * d.h)::BIGINT AS alpha_sum
+             |FROM dims d JOIN ps USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // FLAC residual-coding EXTRAS (Flac.encodeFlacExtras / the extended
+    // readSubframe): the forms real encoder output hits that q336/q346
+    // did not — WASTED BITS (flag + unary k−1: the subframe codes
+    // samples >> k at 16−k bits and the decoder shifts back; quiet
+    // material hits this routinely), the ESCAPE Rice parameter
+    // (all-ones → a 5-bit width, then unencoded two's-complement
+    // residuals), partition order > 0 (per-partition parameters, the
+    // first partition short by the predictor order), and the 5-bit
+    // RICE2 method. One class per id (wasted k ∈ 1..3 / escaped
+    // second partition / order-2 partitions at params 3+p / RICE2);
+    // the round-trip is lossless so the oracle states the INPUT
+    // samples from id arithmetic — a wrong shift-back, partition
+    // boundary, escape width, or method-1 parameter size fails the
+    // hash on every asset of that class. Scale: the q302
+    // partition-preserving mapPartitions shape.
+    "q355_flac_residual_extras" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeFlacExtraAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.decodeFlacStats(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 4 AS cls,
+             |    (doc_id % 3 + 1)::BIGINT AS nf FROM documents),
+             |fr AS (SELECT doc_id, cls, f.f AS f,
+             |    ((doc_id + f.f) % 5 * 4 + 16)::BIGINT AS ns
+             |  FROM p, range(0, 3) f(f) WHERE f.f < nf),
+             |sm AS (SELECT doc_id, f, j.j AS j,
+             |    CASE cls
+             |      WHEN 0 THEN ((doc_id + 3 * j.j + f) % 200 - 100)
+             |        * (1 << (doc_id % 3 + 1))
+             |      WHEN 1 THEN (doc_id + 5 * j.j + 2 * f) % 120 - 60
+             |      WHEN 2 THEN (doc_id + 7 * j.j + f) % 150 - 75
+             |      ELSE (doc_id + 11 * j.j + f) % 180 - 90 END AS x
+             |  FROM fr, range(0, 32) j(j) WHERE j.j < ns),
+             |agg AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+             |    sum(x)::BIGINT AS sum_pcm, sum(abs(x))::BIGINT AS sum_abs,
+             |    max(abs(x))::BIGINT AS peak_abs
+             |  FROM sm GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'flac' AS codec,
+             |  CASE WHEN p.cls = 2 THEN 'fixed2' ELSE 'fixed1' END
+             |    AS subframe_type,
+             |  8000::BIGINT AS sample_rate, p.nf AS n_frames,
+             |  a.n_samples, a.sum_pcm, a.sum_abs, a.peak_abs
+             |FROM p JOIN agg a USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // VBR MP3 census (Mpeg.walkMp3Vbr / encodeMp3Vbr): the q337 walk's
+    // CBR/no-CRC gate closed — most podcast-era MP3s are VBR, and
+    // CRC-protected frames appear in broadcast rips. Per frame the
+    // BITRATE may change (the stride must re-derive from each header;
+    // a wrong per-frame length desyncs at the very next sync word),
+    // protected frames carry the ISO CRC-16 (poly 0x8005 init 0xFFFF
+    // over header bytes 2-3 + the 32-byte stereo side info) which is
+    // VALIDATED — a mismatch drops the asset rather than desyncing —
+    // and frame 0's Xing FRAMES declaration (after side info and the
+    // CRC word) is read and reported NEXT TO the walked count, the
+    // census field a seeking player trusts and a corpus audit checks
+    // for lies. The oracle restates every per-frame bitrate through
+    // the published table, the CRC-frame count, the Xing declaration,
+    // and the duration arithmetic. Scale: the q337
+    // partition-preserving mapPartitions shape.
+    "q356_mp3_vbr_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMp3VbrAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkMp3VbrCensus(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH br(i, k) AS (VALUES (1, 32), (2, 40), (3, 48), (4, 56),
+             |  (5, 64), (6, 80), (7, 96), (8, 112), (9, 128), (10, 160),
+             |  (11, 192), (12, 224), (13, 256), (14, 320)),
+             |p AS (SELECT doc_id, (doc_id % 5 + 2)::BIGINT AS nf,
+             |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |      ELSE 32000 END::BIGINT AS rate
+             |  FROM documents),
+             |fr AS (SELECT doc_id, f.f AS f, br.k AS kbps,
+             |    ((doc_id + f.f) % 3 = 0) AS crc
+             |  FROM p, range(0, 7) f(f)
+             |    JOIN br ON br.i = (doc_id + f.f) % 14 + 1
+             |  WHERE f.f < nf),
+             |agg AS (SELECT doc_id,
+             |    sum(CASE WHEN crc THEN 1 ELSE 0 END)::BIGINT AS n_crc_frames,
+             |    min(kbps)::BIGINT AS min_kbps, max(kbps)::BIGINT AS max_kbps,
+             |    sum(kbps)::BIGINT AS sum_kbps
+             |  FROM fr GROUP BY doc_id)
+             |SELECT p.doc_id AS asset_id, 'mp3' AS codec,
+             |  p.rate AS sample_rate, p.nf AS n_frames,
+             |  a.n_crc_frames, a.min_kbps, a.max_kbps, a.sum_kbps,
+             |  CASE WHEN p.doc_id % 2 = 0 THEN p.nf ELSE -1 END::BIGINT
+             |    AS declared_frames,
+             |  (p.nf * 1152 * 1000 // p.rate)::BIGINT AS duration_ms
+             |FROM p JOIN agg a USING (doc_id)
+             |ORDER BY asset_id""".stripMargin)),
+
+    // MP4 COMPOSITION offsets + EDIT lists (Codecs.walkMp4 ctts/elst
+    // via Multimodal.walkMp4EditCensus): the q348 census extended with
+    // the two timing tables a B-frame-bearing, trimmed real MP4
+    // carries — ctts runs reduced to the track's total composition
+    // shift (Σ count·offset, overflow-checked like stts; −1 when the
+    // box is absent, distinct from a zero shift) and the edts/elst
+    // edit list reduced to entry count, duration sum, and the FIRST
+    // media_time (the priming delay a player honors — negative values
+    // are the standard form, so the s32 re-sign is under the hash).
+    // Every third asset stores chunk offsets as co64 (the 64-bit
+    // large-file form the round's hardening added). The oracle
+    // restates every field from id arithmetic. Scale: the q324
+    // partition-preserving mapPartitions shape reading O(moov) bytes.
+    "q357_mp4_edit_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMp4EditAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkMp4EditCensus(assets)
+          .orderBy(col("asset_id"), col("track_idx"))
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 3 + 1)::BIGINT AS nt
+             |  FROM documents),
+             |tr AS (SELECT doc_id, t.t AS t FROM p, range(0, 3) t(t)
+             |  WHERE t.t < nt),
+             |ct AS (SELECT doc_id, t, sum(((doc_id + 3 * j.j + t) % 5 + 1)
+             |      * ((doc_id + 7 * j.j) % 90))::BIGINT AS shift
+             |  FROM tr, range(0, 2) j(j)
+             |  WHERE (doc_id + t) % 2 = 0 AND j.j < (doc_id + t) % 4 // 2 + 1
+             |  GROUP BY doc_id, t),
+             |ed AS (SELECT doc_id, t, count(*)::BIGINT AS n_edits,
+             |    sum(100 + (doc_id + 13 * t + j.j) % 50)::BIGINT AS edur
+             |  FROM tr, range(0, 2) j(j)
+             |  WHERE (doc_id + t) % 3 = 0 AND j.j < (doc_id + t) % 2 + 1
+             |  GROUP BY doc_id, t)
+             |SELECT tr.doc_id AS asset_id, tr.t AS track_idx,
+             |  CASE WHEN (tr.doc_id + tr.t) % 2 = 0 THEN 'vide'
+             |    ELSE 'soun' END AS handler,
+             |  ((tr.doc_id + tr.t) % 7 + 1)::BIGINT AS n_samples,
+             |  (((tr.doc_id + tr.t) % 7 + 1)
+             |    * (tr.doc_id % 9 + 1))::BIGINT AS duration,
+             |  ((tr.doc_id + tr.t) % 3)::BIGINT AS n_chunks,
+             |  coalesce(ct.shift, -1)::BIGINT AS ctts_shift,
+             |  coalesce(ed.n_edits, -1)::BIGINT AS n_edits,
+             |  coalesce(ed.edur, -1)::BIGINT AS edit_duration,
+             |  CASE WHEN (tr.doc_id + tr.t) % 3 = 0
+             |    THEN tr.doc_id % 40 - 10 ELSE 0 END::BIGINT
+             |    AS first_media_time
+             |FROM tr LEFT JOIN ct USING (doc_id, t)
+             |  LEFT JOIN ed USING (doc_id, t)
+             |ORDER BY asset_id, track_idx""".stripMargin)))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
@@ -14079,5 +14701,6 @@ object Queries {
       extendedSurface ++ roundFourSurface ++ analyticsSurface ++
       roundFiveSurface ++ roundSixSurface ++ roundEightSurface ++
       roundTenSurface ++ roundElevenSurface ++ roundTwelveSurface ++
-      roundThirteenSurface ++ roundFourteenSurface ++ roundFifteenSurface
+      roundThirteenSurface ++ roundFourteenSurface ++ roundFifteenSurface ++
+      roundSixteenSurface
 }

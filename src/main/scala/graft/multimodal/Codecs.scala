@@ -1467,6 +1467,10 @@ object Codecs {
       nSamples: Long,
       duration: Long = -1L,
       nChunks: Long = -1L,
+      cttsShift: Long = -1L, // Σ count·offset, −1 when no ctts box
+      nEdits: Long = -1L, // elst entry count, −1 when no edit list
+      editDuration: Long = -1L, // Σ segment_duration, −1 when no elst
+      firstMediaTime: Long = 0L, // first elst media_time (0 without one)
       sumChunkOff: Long = -1L)
   final case class Mp4Info(brand: String, tracks: Vector[Mp4Track])
 
@@ -1522,7 +1526,10 @@ object Codecs {
     * nSamples = Σ counts rides the constant-size stsz as before. */
   def encodeMp4Deep(
       brand: String,
-      tracks: Seq[(String, Seq[(Long, Long)], Seq[Long])]): Array[Byte] = {
+      tracks: Seq[(String, Seq[(Long, Long)], Seq[Long])],
+      co64: Boolean = false,
+      cttsOf: Int => Seq[(Long, Long)] = _ => Nil,
+      editsOf: Int => Seq[(Long, Long)] = _ => Nil): Array[Byte] = {
     require(brand.length == 4 && tracks.nonEmpty)
     require(tracks.forall { case (h, runs, offs) =>
       h.length == 4 && runs.nonEmpty &&
@@ -1541,6 +1548,7 @@ object Codecs {
     def u32(v: Long): Array[Byte] = {
       val b = new Array[Byte](4); putU32be(b, 0, v); b
     }
+    def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
     val ftyp = box("ftyp",
       brand.getBytes("US-ASCII") ++ u32(0L) ++ "isom".getBytes("US-ASCII"))
     val mvhd = full("mvhd",
@@ -1557,12 +1565,31 @@ object Codecs {
       val stts = full("stts", u32(runs.length.toLong) ++
         runs.flatMap { case (c, d) => u32(c) ++ u32(d) }.toArray)
       val stsz = full("stsz", u32(16L) ++ u32(n))
-      val stco = full("stco", u32(offs.length.toLong) ++
-        offs.flatMap(u32).toArray)
-      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stco)
+      // stco (u32 offsets) or co64 (u64 — the large-file layout)
+      val stco =
+        if (co64) full("co64", u32(offs.length.toLong) ++
+          offs.flatMap(u64).toArray)
+        else full("stco", u32(offs.length.toLong) ++
+          offs.flatMap(u32).toArray)
+      // ctts (version 0): (sample_count, composition offset) runs
+      val cttsRuns = cttsOf(i)
+      val ctts =
+        if (cttsRuns.isEmpty) Array.emptyByteArray
+        else full("ctts", u32(cttsRuns.length.toLong) ++
+          cttsRuns.flatMap { case (c, o) => u32(c) ++ u32(o) }.toArray)
+      val stbl = box("stbl", stsd ++ stts ++ ctts ++ stsz ++ stco)
       val minf = box("minf", stbl)
       val mdia = box("mdia", mdhd ++ hdlr ++ minf)
-      box("trak", tkhd ++ mdia)
+      // edts/elst (version 0): (segment_duration, media_time) entries
+      // at media rate 1.0
+      val edits = editsOf(i)
+      val edts =
+        if (edits.isEmpty) Array.emptyByteArray
+        else box("edts", full("elst", u32(edits.length.toLong) ++
+          edits.flatMap { case (dur, mt) =>
+            u32(dur) ++ u32(mt & 0xffffffffL) ++ u32(0x00010000L)
+          }.toArray))
+      box("trak", tkhd ++ edts ++ mdia)
     }
     val moov = box("moov", mvhd ++ traks.reduce(_ ++ _))
     val mdat = box("mdat", Array[Byte](0, 1, 2, 3))
@@ -1574,8 +1601,9 @@ object Codecs {
     * count (both the constant-size form, whose count is the field at
     * payload offset 8, and the tabled form — same offset), the stts
     * run table reduced to the track's media DURATION (Σ count·delta —
-    * the census field a corpus inventory reports), and the stco
-    * chunk-offset table reduced to its entry count and offset sum.
+    * the census field a corpus inventory reports), and the stco (or
+    * co64 — the 64-bit form standard in large files) chunk-offset
+    * table reduced to its entry count and offset sum.
     * Every u32 size is kept as Long and bounds-checked BEFORE the
     * cursor advances (the AVI movi-walk discipline: corrupt input must
     * return None, never loop or overrun); 64-bit (size = 1) and to-end
@@ -1616,8 +1644,46 @@ object Codecs {
               var duration = -1L
               var nChunks = -1L
               var sumOff = -1L
+              var cttsShift = -1L
+              var nEdits = -1L
+              var editDur = -1L
+              var firstMt = 0L
               val tOk = walk(ts, te) { (t3, ms, me) =>
-                if (t3 != "mdia") true
+                if (t3 == "edts") walk(ms, me) { (t3b, es, ee) =>
+                  if (t3b != "elst") true
+                  else {
+                    // elst (version 0): verflags(4) entry_count(4) then
+                    // (segment_duration u32, media_time s32, rate u32)
+                    if (ee - es < 8 || b(es.toInt) != 0) false
+                    else {
+                      val nEnt = u32(es.toInt + 4)
+                      if (ee - es < 8 + 12 * nEnt) false
+                      else {
+                        var d = 0L
+                        var j = 0L
+                        var ovf = false
+                        while (j < nEnt && !ovf) {
+                          try d = Math.addExact(d,
+                            u32((es + 8 + 12 * j).toInt))
+                          catch {
+                            case _: ArithmeticException => ovf = true
+                          }
+                          j += 1
+                        }
+                        if (ovf) false
+                        else {
+                          nEdits = nEnt
+                          editDur = d
+                          firstMt =
+                            if (nEnt == 0) 0L
+                            else u32(es.toInt + 12).toInt.toLong // s32
+                          true
+                        }
+                      }
+                    }
+                  }
+                }
+                else if (t3 != "mdia") true
                 else walk(ms, me) { (t4, xs, xe) =>
                   t4 match {
                     case "hdlr" =>
@@ -1641,15 +1707,25 @@ object Codecs {
                                 val nRuns = u32(zs.toInt + 4)
                                 if (ze - zs < 8 + 8 * nRuns) false
                                 else {
+                                  // count·delta of two untrusted u32s can
+                                  // reach ~2^64: a wrapped sum would read
+                                  // as a plausible positive duration, so
+                                  // overflow marks the track malformed
                                   var d = 0L
                                   var j = 0L
-                                  while (j < nRuns) {
-                                    d += u32((zs + 8 + 8 * j).toInt) *
-                                      u32((zs + 12 + 8 * j).toInt)
+                                  var ovf = false
+                                  while (j < nRuns && !ovf) {
+                                    try d = Math.addExact(d,
+                                      Math.multiplyExact(
+                                        u32((zs + 8 + 8 * j).toInt),
+                                        u32((zs + 12 + 8 * j).toInt)))
+                                    catch {
+                                      case _: ArithmeticException => ovf = true
+                                    }
                                     j += 1
                                   }
-                                  duration = d
-                                  true
+                                  if (ovf) false
+                                  else { duration = d; true }
                                 }
                               }
                             case "stco" =>
@@ -1670,6 +1746,64 @@ object Codecs {
                                   true
                                 }
                               }
+                            case "ctts" =>
+                              // composition offsets (version 0):
+                              // verflags(4) entry_count(4) then
+                              // (sample_count, offset) u32 pairs —
+                              // reduced to Σ count·offset (the track's
+                              // total composition shift), overflow
+                              // checked like stts
+                              if (ze - zs < 8 || b(zs.toInt) != 0) false
+                              else {
+                                val nRuns = u32(zs.toInt + 4)
+                                if (ze - zs < 8 + 8 * nRuns) false
+                                else {
+                                  var d = 0L
+                                  var j = 0L
+                                  var ovf = false
+                                  while (j < nRuns && !ovf) {
+                                    try d = Math.addExact(d,
+                                      Math.multiplyExact(
+                                        u32((zs + 8 + 8 * j).toInt),
+                                        u32((zs + 12 + 8 * j).toInt)))
+                                    catch {
+                                      case _: ArithmeticException =>
+                                        ovf = true
+                                    }
+                                    j += 1
+                                  }
+                                  if (ovf) false
+                                  else { cttsShift = d; true }
+                                }
+                              }
+                            case "co64" =>
+                              // the 64-bit chunk-offset form (standard in
+                              // large files): verflags(4) entry_count(4)
+                              // then u64 offsets — same census fields as
+                              // stco, offsets summed with overflow checks
+                              if (ze - zs < 8) false
+                              else {
+                                val nOff = u32(zs.toInt + 4)
+                                if (ze - zs < 8 + 8 * nOff) false
+                                else {
+                                  var t = 0L
+                                  var j = 0L
+                                  var ovf = false
+                                  while (j < nOff && !ovf) {
+                                    val off = (u32((zs + 8 + 8 * j).toInt)
+                                      << 32) | u32((zs + 12 + 8 * j).toInt)
+                                    if (off < 0L) ovf = true // > 2^63-1:
+                                    // not a real file offset
+                                    else try t = Math.addExact(t, off)
+                                    catch {
+                                      case _: ArithmeticException => ovf = true
+                                    }
+                                    j += 1
+                                  }
+                                  if (ovf) false
+                                  else { nChunks = nOff; sumOff = t; true }
+                                }
+                              }
                             case _ => true
                           }
                         }
@@ -1683,7 +1817,9 @@ object Codecs {
                 malformed = true; false
               } else {
                 tracks += Mp4Track(handler, nSamples, duration, nChunks,
-                  math.max(sumOff, 0L))
+                  cttsShift = cttsShift, nEdits = nEdits,
+                  editDuration = editDur, firstMediaTime = firstMt,
+                  sumChunkOff = math.max(sumOff, 0L))
                 true
               }
             }

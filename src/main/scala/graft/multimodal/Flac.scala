@@ -6,12 +6,17 @@ package graft.multimodal
   * with the 14-bit sync code, UTF-8-coded frame numbers, CRC-8
   * header and CRC-16 frame checksums (both VALIDATED on decode — a
   * corrupted frame must drop the asset, not emit garbage), and the
-  * subframe types a fixed-predictor encoder emits: CONSTANT,
-  * VERBATIM, and FIXED orders 0–2 with genuine Rice-coded residuals
-  * (zigzag fold, unary quotient = q zero bits then a one, 4-bit
-  * parameter, partition order 0). LPC subframes and stereo
-  * decorrelation are documented out of scope — the subset is exactly
-  * what `flac --fast` class encoders produce for mono 16-bit.
+  * full subframe family: CONSTANT, VERBATIM, FIXED orders 0–2, and
+  * LPC at any order (precision 2–15, non-negative shift) with genuine
+  * Rice-coded residuals (zigzag fold, unary quotient = q zero bits
+  * then a one). Round 15 added stereo decorrelation (all four channel
+  * assignments — independent, left/side, right/side, mid/side — the
+  * side channel at bps + 1); round 16 closed the residual-coding
+  * scope-outs: WASTED BITS (flag + unary k−1, decode at bits − k and
+  * shift back — quiet material hits this routinely), both Rice
+  * methods (4-bit RICE and 5-bit RICE2), partition orders > 0, and
+  * the ESCAPE parameter (unencoded two's-complement residuals at a
+  * 5-bit width).
   *
   * Everything is integer-exact both directions, so decoded sample
   * sums are id-predictable: a wrong Rice fold, unary sense, warmup
@@ -328,6 +333,128 @@ object Flac {
   }
 
   // ------------------------------------------------------------------
+  // wasted-bits / partition / escape extension (round 16 — closes the
+  // residual-coding scope-outs)
+  // ------------------------------------------------------------------
+
+  /** Rice-code one residual at `param` into `w2`. */
+  private def putRice(w2: BitWriter, res: Int, param: Int): Unit = {
+    val u = zigzag(res)
+    val q = (u >> param).toInt
+    var j = 0
+    while (j < q) { w2.put(0L, 1); j += 1 }
+    w2.put(1L, 1)
+    w2.put(u & ((1L << param) - 1), param)
+  }
+
+  /** A MONO 16-bit stream whose frames exercise the residual-coding
+    * forms real encoder output hits that the q336/q346 classes do not.
+    * Each frame is (cls, k, xs):
+    *  5 — FIXED order 1 with k WASTED BITS (every sample must be a
+    *      multiple of 2^k; the subframe codes xs >> k at 16−k bits and
+    *      the decoder shifts back);
+    *  6 — FIXED order 1 at partition order 1 whose SECOND partition is
+    *      the 4-bit ESCAPE (param 0b1111): a 5-bit width (9), then
+    *      unencoded two's-complement residuals (|residual| ≤ 255);
+    *  7 — FIXED order 2 at partition order 2, per-partition Rice
+    *      parameters 3 + p (block size divisible by 4, quarter > 2);
+    *  8 — FIXED order 1 under residual METHOD 1 (5-bit RICE2 — the
+    *      wider-parameter form loud 24-bit material needs), param 4.
+    * The round-trip is lossless, so the oracle states the INPUT
+    * samples from id arithmetic (the q336 discipline). */
+  def encodeFlacExtras(frames: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val total = frames.map(_._3.length.toLong).sum
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("fLaC".getBytes("US-ASCII"))
+    head.write(0x80); head.write(0); head.write(0); head.write(34)
+    val si = new BitWriter
+    val sizes = frames.map(_._3.length)
+    si.put(sizes.min.toLong, 16); si.put(sizes.max.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)
+    si.put(8000L, 20)
+    si.put(0L, 3) // mono
+    si.put(15L, 5) // bps 16
+    si.put(total, 36)
+    si.put(0L, 64); si.put(0L, 64)
+    head.write(si.toBytes)
+    frames.zipWithIndex.foreach { case ((cls, k, xs), fIdx) =>
+      require(fIdx < 128 && xs.length >= 2)
+      val n = xs.length
+      val w = new BitWriter
+      w.put(0x3ffe, 14)
+      w.put(0L, 1); w.put(0L, 1)
+      w.put(6L, 4) // blocksize: 8-bit at end of header
+      w.put(4L, 4) // 8 kHz
+      w.put(0L, 4) // mono
+      w.put(4L, 3) // bps 16
+      w.put(0L, 1)
+      w.put(fIdx.toLong, 8)
+      w.put((n - 1).toLong, 8)
+      val headNoCrc = { w.alignZero(); w.toBytes }
+      val w2 = new BitWriter
+      headNoCrc.foreach(x => w2.put(x.toLong & 0xff, 8))
+      w2.put(crc8(headNoCrc, 0, headNoCrc.length).toLong, 8)
+      cls match {
+        case 5 =>
+          require(k >= 1 && k < 16 && xs.forall(x => (x & ((1 << k) - 1)) == 0))
+          w2.put(0L, 1); w2.put(9L, 6) // FIXED order 1
+          w2.put(1L, 1) // wasted-bits flag
+          (0 until k - 1).foreach(_ => w2.put(0L, 1))
+          w2.put(1L, 1) // unary k−1
+          val eBits = 16 - k
+          val ys = xs.map(_ >> k)
+          w2.put(ys(0).toLong & ((1L << eBits) - 1), eBits)
+          w2.put(0L, 2); w2.put(0L, 4) // RICE, partition order 0
+          w2.put(4L, 4)
+          (1 until n).foreach(i => putRice(w2, ys(i) - ys(i - 1), 4))
+        case 6 =>
+          require(n % 2 == 0 && n >= 4)
+          require((n / 2 until n).forall(i => {
+            val r0 = xs(i) - xs(i - 1); r0 >= -256 && r0 <= 255
+          }))
+          w2.put(0L, 1); w2.put(9L, 6); w2.put(0L, 1) // FIXED order 1
+          w2.put(xs(0).toLong & 0xffff, 16)
+          w2.put(0L, 2); w2.put(1L, 4) // RICE, partition order 1
+          w2.put(4L, 4) // partition 0: param 4
+          (1 until n / 2).foreach(i => putRice(w2, xs(i) - xs(i - 1), 4))
+          w2.put(15L, 4) // partition 1: ESCAPE
+          w2.put(9L, 5) // residual width 9
+          (n / 2 until n).foreach(i =>
+            w2.put((xs(i) - xs(i - 1)).toLong & 0x1ff, 9))
+        case 7 =>
+          require(n % 4 == 0 && n / 4 > 2)
+          w2.put(0L, 1); w2.put(10L, 6); w2.put(0L, 1) // FIXED order 2
+          w2.put(xs(0).toLong & 0xffff, 16)
+          w2.put(xs(1).toLong & 0xffff, 16)
+          w2.put(0L, 2); w2.put(2L, 4) // RICE, partition order 2
+          for (p <- 0 until 4) {
+            val param = 3 + p
+            w2.put(param.toLong, 4)
+            val from = math.max(p * (n / 4), 2)
+            val until = (p + 1) * (n / 4)
+            (from until until).foreach(i =>
+              putRice(w2, xs(i) - 2 * xs(i - 1) + xs(i - 2), param))
+          }
+        case 8 =>
+          w2.put(0L, 1); w2.put(9L, 6); w2.put(0L, 1) // FIXED order 1
+          w2.put(xs(0).toLong & 0xffff, 16)
+          w2.put(1L, 2); w2.put(0L, 4) // RICE2 (5-bit), partition order 0
+          w2.put(4L, 5)
+          (1 until n).foreach(i => putRice(w2, xs(i) - xs(i - 1), 4))
+        case other => throw new IllegalArgumentException(s"class $other")
+      }
+      w2.alignZero()
+      val body = w2.toBytes
+      val w3 = new BitWriter
+      body.foreach(x => w3.put(x.toLong & 0xff, 8))
+      w3.put(crc16(body, 0, body.length).toLong, 16)
+      head.write(w3.toBytes)
+    }
+    head.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // decode
   // ------------------------------------------------------------------
 
@@ -352,42 +479,82 @@ object Flac {
 
   /** One subframe at the channel's effective bit depth. Returns the
     * reconstructed samples and the declared type, or None on any
-    * out-of-subset or malformed shape. Supports CONSTANT, VERBATIM,
-    * FIXED orders 0-2, and LPC (any order, precision 2-15, non-negative
-    * shift, 4-bit Rice partition order 0 — what the q346 fixtures and
-    * real default encodes of short mono/stereo material emit). */
+    * out-of-spec or malformed shape. Supports CONSTANT, VERBATIM,
+    * FIXED orders 0-2, LPC (any order, precision 2-15, non-negative
+    * shift), WASTED BITS (flag + unary k−1: the subframe decodes at
+    * bits − k and shifts back left — real encoders emit this on quiet
+    * material whose low bits are all zero, RFC 9639 §9.2.2), and the
+    * full residual coding: both Rice methods (4-bit RICE and 5-bit
+    * RICE2), any partition order whose partition length divides the
+    * block and exceeds the predictor order, and the ESCAPE parameter
+    * (all-ones), whose partition stores residuals as unencoded
+    * two's-complement at a 5-bit-declared width (RFC 9639 §9.2.7). */
   private def readSubframe(
       r: BitReader, blockSize: Int, bits: Int): Option[(Array[Int], String)] = {
     if (r.read(1) != 0L) return None
     val typ = r.read(6).toInt
-    if (r.read(1) != 0L) return None // wasted bits unsupported in subset
+    val wasted = if (r.read(1) == 0L) 0 else r.readUnary() + 1
+    if (wasted >= bits) return None
+    val eBits = bits - wasted
     val xs = new Array[Int](blockSize)
     def riceResiduals(order: Int): Boolean = {
-      if (r.read(2) != 0L) return false // only 4-bit Rice in subset
-      if (r.read(4) != 0L) return false // partition order 0
-      val param = r.read(4).toInt
-      if (param == 15) return false // escape unsupported in subset
+      val method = r.read(2)
+      if (method > 1L) return false // 0b10/0b11 reserved
+      val pBits = if (method == 0L) 4 else 5 // RICE / RICE2
+      val escape = (1L << pBits) - 1
+      val partOrder = r.read(4).toInt
+      val nParts = 1 << partOrder
+      if (blockSize % nParts != 0) return false
+      val partLen = blockSize >> partOrder
+      if (partLen <= order && partOrder > 0) return false
       var i = order
-      while (i < blockSize) {
-        val q = r.readUnary()
-        val u = (q.toLong << param) | r.read(param)
-        xs(i) = ((u >> 1) ^ -(u & 1L)).toInt // zigzag unfold; residual only
-        i += 1
+      var p = 0
+      while (p < nParts) {
+        val cnt = if (p == 0) partLen - order else partLen
+        if (cnt < 0) return false
+        val param = r.read(pBits)
+        if (param == escape) {
+          // escaped partition: 5-bit residual width, then unencoded
+          // two's-complement residuals (width 0 = all zero)
+          val nb = r.read(5).toInt
+          var j = 0
+          while (j < cnt) {
+            xs(i) = if (nb == 0) 0 else readSigned(r, nb)
+            i += 1; j += 1
+          }
+        } else {
+          val prm = param.toInt
+          var j = 0
+          while (j < cnt) {
+            val q = r.readUnary()
+            val u = (q.toLong << prm) | r.read(prm)
+            xs(i) = ((u >> 1) ^ -(u & 1L)).toInt // zigzag unfold
+            i += 1; j += 1
+          }
+        }
+        p += 1
       }
       true
     }
+    def shiftBack(t: String): Option[(Array[Int], String)] = {
+      if (wasted > 0) {
+        var i = 0
+        while (i < blockSize) { xs(i) = xs(i) << wasted; i += 1 }
+      }
+      Some((xs, t))
+    }
     if (typ == 0) {
-      java.util.Arrays.fill(xs, readSigned(r, bits))
-      Some((xs, "constant"))
+      java.util.Arrays.fill(xs, readSigned(r, eBits))
+      shiftBack("constant")
     } else if (typ == 1) {
       var i = 0
-      while (i < blockSize) { xs(i) = readSigned(r, bits); i += 1 }
-      Some((xs, "verbatim"))
+      while (i < blockSize) { xs(i) = readSigned(r, eBits); i += 1 }
+      shiftBack("verbatim")
     } else if (typ >= 8 && typ <= 12) {
       val order = typ - 8
       if (order > 2 || order >= blockSize) return None
       var i = 0
-      while (i < order) { xs(i) = readSigned(r, bits); i += 1 }
+      while (i < order) { xs(i) = readSigned(r, eBits); i += 1 }
       if (!riceResiduals(order)) return None
       i = order
       while (i < blockSize) {
@@ -397,7 +564,7 @@ object Flac {
            else 2 * xs(i - 1) - xs(i - 2))
         i += 1
       }
-      Some((xs, s"fixed$order"))
+      shiftBack(s"fixed$order")
     } else if (typ >= 32) {
       // LPC, order = (typ & 31) + 1: warmup, QLP precision/shift/coefs,
       // then the same Rice residual machinery; prediction is the
@@ -405,7 +572,7 @@ object Flac {
       val order = typ - 31
       if (order >= blockSize) return None
       var i = 0
-      while (i < order) { xs(i) = readSigned(r, bits); i += 1 }
+      while (i < order) { xs(i) = readSigned(r, eBits); i += 1 }
       val precision = r.read(4).toInt + 1
       if (precision == 16) return None // 0b1111 is invalid per spec
       val shift = readSigned(r, 5)
@@ -422,7 +589,7 @@ object Flac {
         xs(i) += (acc >> shift).toInt
         i += 1
       }
-      Some((xs, s"lpc$order"))
+      shiftBack(s"lpc$order")
     } else None
   }
 

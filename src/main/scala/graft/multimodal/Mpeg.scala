@@ -102,6 +102,174 @@ object Mpeg {
   } catch { case _: Exception => None }
 
   // ------------------------------------------------------------------
+  // VBR + CRC (round 16 — closes the CBR/no-CRC gate: most podcast-era
+  // MP3s are VBR, and CRC-protected frames appear in broadcast rips)
+  // ------------------------------------------------------------------
+
+  /** ISO/IEC 11172-3 frame CRC: CRC-16 poly 0x8005, init 0xFFFF,
+    * MSB-first, over header bytes 2-3 then the Layer III side
+    * information. */
+  private[multimodal] def mp3Crc16(
+      b: Array[Byte], hdrAt: Int, sideAt: Int, sideLen: Int): Int = {
+    var crc = 0xffff
+    def feed(v: Int): Unit = {
+      crc ^= (v & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc =
+          if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        k += 1
+      }
+    }
+    feed(b(hdrAt + 2)); feed(b(hdrAt + 3))
+    var i = 0
+    while (i < sideLen) { feed(b(sideAt + i)); i += 1 }
+    crc
+  }
+
+  /** MPEG-1 Layer III side-information length (bytes): 17 mono, 32
+    * otherwise. */
+  private def sideInfoLen(channelMode: Int): Int =
+    if (channelMode == 3) 17 else 32
+
+  /** Synthesize a VBR stream: per-frame bitrate indices from
+    * `bitrateIdxOf`, per-frame CRC protection from `crcOf` (protected
+    * frames carry a VALID ISO CRC-16 over header bytes 2-3 + side
+    * info), and — when `xingFrames` ≥ 0 — a Xing tag in frame 0's
+    * payload (after side info, and after the CRC word if frame 0 is
+    * protected) declaring that frame count. Stereo, zero audio. */
+  def encodeMp3Vbr(
+      nFrames: Int,
+      rateIdx: Int,
+      bitrateIdxOf: Int => Int,
+      crcOf: Int => Boolean,
+      xingFrames: Long = -1L,
+      id3Size: Int = 0): Array[Byte] = {
+    require(nFrames >= 1 && rateIdx >= 0 && rateIdx <= 2 && id3Size >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(3); out.write(0); out.write(0)
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      out.write(new Array[Byte](id3Size))
+    }
+    val rate = sampleRates(rateIdx)
+    for (f <- 0 until nFrames) {
+      val bIdx = bitrateIdxOf(f)
+      require(bIdx >= 1 && bIdx <= 14)
+      val kbps = bitrateKbps(bIdx)
+      val pad = 0
+      val len = mp3FrameLen(kbps, rate, pad)
+      val crc = crcOf(f)
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = (if (crc) 0xfa else 0xfb).toByte // MPEG-1 L3, CRC bit
+      frame(2) = ((bIdx << 4) | (rateIdx << 2) | (pad << 1)).toByte
+      frame(3) = 0 // stereo
+      val sideAt = if (crc) 6 else 4
+      val sideLen = sideInfoLen(0)
+      require(len >= sideAt + sideLen + (if (f == 0 && xingFrames >= 0) 12 else 0))
+      if (f == 0 && xingFrames >= 0) {
+        val tagAt = sideAt + sideLen
+        "Xing".getBytes("US-ASCII").copyToArray(frame, tagAt)
+        frame(tagAt + 7) = 1 // flags: FRAMES field present
+        frame(tagAt + 8) = ((xingFrames >> 24) & 0xff).toByte
+        frame(tagAt + 9) = ((xingFrames >> 16) & 0xff).toByte
+        frame(tagAt + 10) = ((xingFrames >> 8) & 0xff).toByte
+        frame(tagAt + 11) = (xingFrames & 0xff).toByte
+      }
+      if (crc) {
+        val c = mp3Crc16(frame, 0, sideAt, sideLen)
+        frame(4) = ((c >> 8) & 0xff).toByte
+        frame(5) = (c & 0xff).toByte
+      }
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  final case class Mp3VbrInfo(
+      sampleRate: Int,
+      nFrames: Long,
+      nCrcFrames: Long,
+      minKbps: Int,
+      maxKbps: Int,
+      sumKbps: Long,
+      declaredFrames: Long, // Xing FRAMES field, or −1 when absent
+      durationMs: Long)
+
+  /** The VBR-aware walk: skip one ID3v2 tag, then parse every frame
+    * header letting the BITRATE vary per frame (the sample rate must
+    * not — a mid-stream rate change is a broken file, not VBR),
+    * VALIDATING the ISO CRC-16 on protected frames (a mismatch drops
+    * the asset: a desynced walk must not masquerade as a short file),
+    * and reading frame 0's Xing/Info tag (after side info and the CRC
+    * word) when present — the declared frame count a seeking player
+    * trusts, reported next to the walked count so a census can flag
+    * streams whose declaration lies. */
+  def walkMp3Vbr(b: Array[Byte]): Option[Mp3VbrInfo] = try {
+    var at = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      at = 10 + size
+    }
+    if (at >= b.length) return None
+    var rate = -1
+    var frames = 0L
+    var crcFrames = 0L
+    var minK = Int.MaxValue
+    var maxK = -1
+    var sumK = 0L
+    var declared = -1L
+    while (at < b.length) {
+      if (at + 4 > b.length) return None
+      if ((b(at) & 0xff) != 0xff || (b(at + 1) & 0xfe) != 0xfa) return None
+      val hasCrc = (b(at + 1) & 0x01) == 0
+      val bIdx = (b(at + 2) >> 4) & 0x0f
+      val rIdx = (b(at + 2) >> 2) & 0x03
+      val pad = (b(at + 2) >> 1) & 0x01
+      val chMode = (b(at + 3) >> 6) & 0x03
+      if (bIdx == 0 || bIdx == 15 || rIdx == 3) return None
+      val r = sampleRates(rIdx)
+      val k = bitrateKbps(bIdx)
+      if (rate < 0) rate = r
+      else if (rate != r) return None // a rate change is corruption
+      val len = mp3FrameLen(k, r, pad)
+      if (at + len > b.length) return None
+      val sideLen = sideInfoLen(chMode)
+      val sideAt = at + (if (hasCrc) 6 else 4)
+      if (hasCrc) {
+        if (sideAt + sideLen > at + len) return None
+        val stored = ((b(at + 4) & 0xff) << 8) | (b(at + 5) & 0xff)
+        if (stored != mp3Crc16(b, at, sideAt, sideLen)) return None
+        crcFrames += 1
+      }
+      if (frames == 0L && sideAt + sideLen + 8 <= at + len) {
+        val t = sideAt + sideLen
+        val tag = new String(b, t, 4, "US-ASCII")
+        if (tag == "Xing" || tag == "Info") {
+          val flags = ((b(t + 4) & 0xff) << 24) | ((b(t + 5) & 0xff) << 16) |
+            ((b(t + 6) & 0xff) << 8) | (b(t + 7) & 0xff)
+          if ((flags & 1) != 0 && t + 12 <= at + len)
+            declared = ((b(t + 8) & 0xffL) << 24) | ((b(t + 9) & 0xffL) << 16) |
+              ((b(t + 10) & 0xffL) << 8) | (b(t + 11) & 0xffL)
+        }
+      }
+      sumK += k
+      minK = math.min(minK, k)
+      maxK = math.max(maxK, k)
+      at += len
+      frames += 1
+    }
+    if (frames == 0) None
+    else Some(Mp3VbrInfo(rate, frames, crcFrames, minK, maxK, sumK,
+      declared, frames * 1152L * 1000L / rate))
+  } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------------
   // Ogg
   // ------------------------------------------------------------------
 

@@ -308,6 +308,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** 2D short-distance VP8L corpus ([[Vp8l.encode2dAsset]]): id-derived
+    * dims; even ids the diagonal ramp rowed by plane-code (−1, 1)
+    * copies, odd ids the vertical ramp rowed by (0, 1) whole-row
+    * copies — the backward-reference class real cwebp output emits
+    * near-ubiquitously for photographic content. */
+  def synthesizeWebp2dAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWebp2dAssets needs non-negative ids, got $i")
+        Row(i, Vp8l.encode2dAsset(i, (i % 17 + 1).toInt, (i % 11 + 1).toInt))
+      }
+    }(enc)
+  }
+
   /** Full VP8L decode over a binary column reduced to the exact pixel
     * stats the image entries pin ([[Vp8l.decode]]): packed-RGB sum,
     * alpha sum, and the transform tag the stream declared — so a wrong
@@ -402,6 +421,79 @@ object Multimodal {
             info.tracks.zipWithIndex.map { case (t, ix) =>
               Row(id, info.brand, ix.toLong, t.handler, t.nSamples,
                 t.duration, t.nChunks, t.sumChunkOff)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** MP4 corpus with COMPOSITION offsets and EDIT lists
+    * ([[Codecs.encodeMp4Deep]] with ctts/elst): B-frame-bearing tracks
+    * carry ctts runs, trimmed/delayed tracks an elst (incl. negative
+    * first media_time — the standard priming-delay form); 64-bit
+    * chunk offsets (co64) on every third asset. */
+  def synthesizeMp4EditAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMp4EditAssets needs non-negative ids, got $i")
+        val tracks = (0 until (i % 3 + 1).toInt).map { t =>
+          val handler = if ((i + t) % 2 == 0) "vide" else "soun"
+          val runs = Seq(((i + t) % 7 + 1, i % 9 + 1))
+          val offs = (0 until ((i + t) % 3).toInt).map { j =>
+            48L + (i * 7 + t * 13 + j * 29) % 1000
+          }
+          (handler, runs, offs)
+        }
+        def cttsOf(t: Int): Seq[(Long, Long)] =
+          if ((i + t) % 2 != 0) Nil
+          else (0 until ((i + t) % 4 / 2 + 1).toInt).map { j =>
+            ((i + 3 * j + t) % 5 + 1, (i + 7 * j) % 90)
+          }
+        def editsOf(t: Int): Seq[(Long, Long)] =
+          if ((i + t) % 3 != 0) Nil
+          else (0 until ((i + t) % 2 + 1).toInt).map { j =>
+            (100L + (i + 13 * t + j) % 50, (i + j) % 40 - 10)
+          }
+        Row(i, Codecs.encodeMp4Deep("mp42", tracks, co64 = i % 3 == 2,
+          cttsOf = cttsOf, editsOf = editsOf))
+      }
+    }(enc)
+  }
+
+  /** Per-track ctts/elst census over the deep walk ([[Codecs.walkMp4]]):
+    * one row per track — composition-shift volume (Σ count·offset,
+    * −1 without a ctts), edit-list entry count and duration sum (−1
+    * without an elst), and the first media_time (the priming delay a
+    * player honors; negative values are the standard form). Corrupt
+    * boxes drop the asset. Partition-preserving, driver-free. */
+  def walkMp4EditCensus(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("track_idx", LongType, nullable = false),
+      StructField("handler", StringType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration", LongType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("ctts_shift", LongType, nullable = false),
+      StructField("n_edits", LongType, nullable = false),
+      StructField("edit_duration", LongType, nullable = false),
+      StructField("first_media_time", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        graft.multimodal.Codecs.walkMp4(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          info =>
+            info.tracks.zipWithIndex.map { case (t, ix) =>
+              Row(id, ix.toLong, t.handler, t.nSamples, t.duration,
+                t.nChunks, t.cttsShift, t.nEdits, t.editDuration,
+                t.firstMediaTime)
             }
         }
       }
@@ -881,6 +973,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** FLAC residual-coding EXTRAS corpus ([[Flac.encodeFlacExtras]]) —
+    * the round-16 closure of the remaining scope-outs: per id one of
+    * WASTED BITS (samples premultiplied by 2^k), a partition-order-1
+    * stream whose second partition is the ESCAPE (unencoded 9-bit
+    * residuals), partition order 2 with per-partition Rice parameters,
+    * or the 5-bit RICE2 method — the forms real encoder output hits on
+    * quiet and loud material respectively. */
+  def synthesizeFlacExtraAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeFlacExtraAssets needs non-negative ids, got $i")
+        val cls = 5 + (i % 4).toInt
+        val k = (i % 3 + 1).toInt
+        val frames = (0 until (i % 3 + 1).toInt).map { f =>
+          val ns = ((i + f) % 5 * 4 + 16).toInt
+          val xs = Array.tabulate(ns) { j =>
+            cls match {
+              case 5 => ((((i + 3L * j + f) % 200) - 100) << k).toInt
+              case 6 => (((i + 5L * j + 2L * f) % 120) - 60).toInt
+              case 7 => (((i + 7L * j + f) % 150) - 75).toInt
+              case _ => (((i + 11L * j + f) % 180) - 90).toInt
+            }
+          }
+          (cls, k, xs)
+        }
+        Row(i, Flac.encodeFlacExtras(frames))
+      }
+    }(enc)
+  }
+
   /** STEREO FLAC corpus with LPC subframes — the round-15 closure of
     * Flac.scala's documented scope-out: 2-channel 16-bit 8 kHz streams,
     * 1-3 frames per asset, the CHANNEL-ASSIGNMENT mode cycling by id
@@ -1056,6 +1183,63 @@ object Multimodal {
         Mpeg.walkMp3(r.getAs[Array[Byte]](1)).map { info =>
           Row(id, "mp3", info.sampleRate.toLong, info.bitrateKbps.toLong,
             info.nFrames, info.durationMs)
+        }
+      }
+    }(enc)
+  }
+
+  /** VBR MP3 corpus ([[Mpeg.encodeMp3Vbr]]): per-frame id-derived
+    * bitrate indices over the full MPEG-1 L3 table, every third frame
+    * CRC-protected (valid ISO CRC-16 over header + side info), even
+    * ids carrying a Xing FRAMES declaration, some with an ID3v2
+    * shell — the podcast-era stream class the CBR walk rejects. */
+  def synthesizeMp3VbrAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMp3VbrAssets needs non-negative ids, got $i")
+        val nf = (i % 5 + 2).toInt
+        Row(i, Mpeg.encodeMp3Vbr(
+          nFrames = nf,
+          rateIdx = (i % 3).toInt,
+          bitrateIdxOf = f => ((i + f) % 14 + 1).toInt,
+          crcOf = f => (i + f) % 3 == 0,
+          xingFrames = if (i % 2 == 0) nf.toLong else -1L,
+          id3Size = (i % 4).toInt * 10))
+      }
+    }(enc)
+  }
+
+  /** VBR MP3 census ([[Mpeg.walkMp3Vbr]] — per-frame bitrates, ISO
+    * CRC-16 validation on protected frames, frame-0 Xing/Info read):
+    * rate, walked + declared frame counts, CRC-frame count, bitrate
+    * min/max/sum, duration. Unwalkable streams drop.
+    * Partition-preserving. */
+  def walkMp3VbrCensus(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_crc_frames", LongType, nullable = false),
+      StructField("min_kbps", LongType, nullable = false),
+      StructField("max_kbps", LongType, nullable = false),
+      StructField("sum_kbps", LongType, nullable = false),
+      StructField("declared_frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Mpeg.walkMp3Vbr(r.getAs[Array[Byte]](1)).map { info =>
+          Row(id, "mp3", info.sampleRate.toLong, info.nFrames,
+            info.nCrcFrames, info.minKbps.toLong, info.maxKbps.toLong,
+            info.sumKbps, info.declaredFrames, info.durationMs)
         }
       }
     }(enc)

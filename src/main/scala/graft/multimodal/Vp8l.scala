@@ -22,11 +22,13 @@ package graft.multimodal
   * ≥ 280 reading slots) plus a cache-emitting encoder class
   * ([[encodeCachedAsset]]) — real cwebp output uses the cache
   * routinely, so without it a real corpus partially downgrades to
-  * sniffed in the coverage audit. Still scoped out: the 120
-  * two-dimensional short-distance codes (the encoder always emits the
-  * direct `distance + 120` form; a 2D code → None rather than a
-  * guessed offset table). Lossy VP8 stays sniff-only
-  * ([[Codecs.sniff]]).
+  * sniffed in the coverage audit. Round 16 closed the 2D
+  * short-distance scope-out: distance codes 1..120 resolve through
+  * the spec's 120-entry plane-code table ([[kCodeToPlane]],
+  * yoffset·width + xoffset against the coded width) plus a
+  * 2D-emitting encoder class ([[encode2dAsset]]) — cwebp emits these
+  * near-ubiquitously for photographic content. Lossy VP8 stays
+  * sniff-only ([[Codecs.sniff]]).
   *
   * Everything is exact integer arithmetic — mod-256 channel math,
   * arithmetic-shift color deltas — so decoded pixels restate from id
@@ -210,6 +212,48 @@ object Vp8l {
       offset + r.readBits(extra) + 1
     }
 
+  /** The 120 TWO-DIMENSIONAL short-distance codes (WebP Lossless
+    * Bitstream Specification §"Distance Mapping" / libwebp
+    * `kCodeToPlane`): distance codes 1..120 name a near pixel by
+    * (xoffset, yoffset) rather than a scan-line distance. Each byte
+    * packs (yoffset << 4) | (8 - xoffset); the decoded distance is
+    * yoffset·width + xoffset, clamped to ≥ 1. The set is exactly
+    * {(x, 0) : 1 ≤ x ≤ 8} ∪ {(x, y) : 1 ≤ y ≤ 7, −7 ≤ x ≤ 8}
+    * (8 + 7·16 = 120 — spec-test-locked), ordered by closeness. */
+  private[graft] val kCodeToPlane: Array[Int] = Array(
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
+    0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
+    0x25, 0x2b, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b,
+    0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45, 0x4b, 0x34, 0x3c, 0x03,
+    0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d, 0x44, 0x4c,
+    0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+    0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c, 0x43, 0x4d, 0x65, 0x6b,
+    0x32, 0x3e, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5d, 0x11, 0x1f,
+    0x64, 0x6c, 0x42, 0x4e, 0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b,
+    0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e, 0x00, 0x74, 0x7c, 0x41,
+    0x4f, 0x10, 0x20, 0x62, 0x6e, 0x30, 0x73, 0x7d, 0x51, 0x5f,
+    0x40, 0x72, 0x7e, 0x61, 0x6f, 0x50, 0x71, 0x7f, 0x60, 0x70)
+
+  /** Resolve a decoded distance code against the coded width: codes
+    * 1..120 are the 2D plane codes above; larger codes are the direct
+    * scan-line distance + 120. */
+  private[graft] def planeCodeToDistance(width: Int, distCode: Int): Int =
+    if (distCode > 120) distCode - 120
+    else {
+      val p = kCodeToPlane(distCode - 1)
+      val d = (p >> 4) * width + (8 - (p & 0xf))
+      if (d >= 1) d else 1
+    }
+
+  /** The distance code for a 2D (xoffset, yoffset) pair, if the pair is
+    * one of the 120 mapped neighbors (the encoder-side inverse). */
+  private[graft] def planeCodeOf(xo: Int, yo: Int): Option[Int] = {
+    if (yo < 0 || yo > 7 || xo < -7 || xo > 8) return None
+    val packed = (yo << 4) | (8 - xo)
+    val i = kCodeToPlane.indexOf(packed)
+    if (i < 0) None else Some(i + 1)
+  }
+
   /** (code, extraBits, nExtraBits) for an LZ77 value ≥ 1. */
   def lz77Code(v: Int): (Int, Int, Int) = {
     require(v >= 1)
@@ -313,8 +357,11 @@ object Vp8l {
         val distSym = dc.decode(r)
         if (r.failed || distSym < 0) return None
         val distCode = readLz77Value(r, distSym)
-        if (distCode <= 120) return None // 2D offsets: out of scope
-        val dist = distCode - 120
+        if (distCode <= 0) return None
+        // codes 1..120 are the 2D neighbor offsets (resolved against
+        // the CODED width — the same raster LZ77 walks); above that,
+        // the direct scan-line distance + 120
+        val dist = planeCodeToDistance(w, distCode)
         if (dist <= 0 || dist > pos || pos + length > n) return None
         var j = 0
         while (j < length) {
@@ -932,6 +979,62 @@ object Vp8l {
         val (bc, bl) = rb(p & 0xff)
         bw.writeCode(bc, bl)
         // alpha 255: simple single-symbol code — zero bits
+      }
+    }
+    riffWebp(bw.result())
+  }
+
+  /** TWO-DIMENSIONAL short-distance stream (round 16): no transforms,
+    * no cache, backward references through the 120-entry plane-code
+    * table — the form real cwebp output emits near-ubiquitously for
+    * photographic content. Even ids draw the DIAGONAL ramp
+    * (pixel(x, y) = ramp(x + y)) and encode every row after the first
+    * as one length-(w−1) copy at plane code (−1, 1) (distance code 4 →
+    * distance w−1, a negative x offset); odd ids draw the vertically
+    * constant ramp (pixel(x, y) = ramp(x)) and copy whole rows at
+    * plane code (0, 1) (distance code 1 → distance w). Degenerate
+    * widths/heights fall back to literals. The decoder must resolve
+    * the plane codes against the coded width or every copied pixel —
+    * and the oracle's id-predicted sum — is wrong. */
+  def encode2dAsset(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1)
+    val diag = id % 2 == 0
+    def original(x: Int, y: Int): Int =
+      rampPixel(id, if (diag) (x + y).toLong else x.toLong)
+    val bw = new BitWriter
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(w - 1L, 14)
+    bw.writeBits(h - 1L, 14)
+    bw.writeBits(0, 1) // alpha hint
+    bw.writeBits(0, 3) // version
+    bw.writeBits(0, 1) // end of transforms (none)
+    bw.writeBits(0, 1) // no color cache
+    bw.writeBits(0, 1) // no meta
+    val distCode2d = if (diag) 4 else 1 // (-1, 1) / (0, 1)
+    val copies = h > 1 && (!diag || w > 1)
+    val cb = writeGroupHeaders(bw, mixedGreen = copies, 255,
+      if (copies) lz77Code(distCode2d)._1 else 0)
+    def literalRow(y: Int): Unit =
+      for (x <- 0 until w) writeLiteral(bw, cb, original(x, y))
+    if (!copies) {
+      for (y <- 0 until h) literalRow(y)
+    } else {
+      literalRow(0)
+      for (y <- 1 until h) {
+        // diagonal: pixels x = 0..w−2 copy from (x+1, y−1) — one
+        // length-(w−1) reference at distance w−1 — and the row's LAST
+        // pixel is the fresh diagonal value, a literal (a copy there
+        // would wrap to (0, y) in the raster). vertical: the whole row
+        // copies the previous one at distance w.
+        val copyLen = if (diag) w - 1 else w
+        val (lc, lext, lbits) = lz77Code(copyLen)
+        val (gc, gl) = cb.green(256 + lc)
+        bw.writeCode(gc, gl)
+        bw.writeBits(lext.toLong, lbits)
+        // distance symbol is the simple zero-bit code; extras follow
+        val (_, dext, dbits) = lz77Code(distCode2d)
+        bw.writeBits(dext.toLong, dbits)
+        if (diag) writeLiteral(bw, cb, original(w - 1, y))
       }
     }
     riffWebp(bw.result())

@@ -224,6 +224,18 @@ object AnnIndex {
             col(idCol), col(vecCol),
             LayeredAnn.levelColumn(col(idCol), cap).as("level"))
           .localCheckpoint()
+        // per-cell descent metadata — (cell, max populated level, top
+        // entry id), ≤ nCells rows — persists WITH the stack: serving
+        // must read it from the artifact, not re-derive it from the
+        // corpus-wide assignment per call (a full-assignment aggregate
+        // on the serve path scales with corpus width, not with the
+        // probed cells). Written first: the layer_cap _SUCCESS gate
+        // below covers it
+        lv.groupBy(col("cell")).agg(max(col("level")).as("ml"))
+          .join(lv.select(col("cell"), col(idCol), col("level")), Seq("cell"))
+          .filter(col("level") === col("ml"))
+          .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("n_id"))
+          .write.mode("overwrite").parquet(s"$layersDir/entries")
         for (l <- 1 to cap) {
           val full = (0 until nCells).map { c =>
             val members = lv.filter(col("cell") === c && col("level") >= l)
@@ -263,16 +275,21 @@ object AnnIndex {
       cap: Int,
       m: Int,
       descBeam: Int,
-      descRounds: Int): DataFrame = {
+      descRounds: Int,
+      entries: Option[DataFrame] = None): DataFrame = {
     require(cap >= 1 && m >= 1 && descBeam >= m)
     val probed = col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*)
-    val lv = assigned.select(col("cell").cast("long").as("cell"),
-      col(idCol), LayeredAnn.levelColumn(col(idCol), cap).as("level"))
-    // per-cell stack height + top entry: one grouped table, ≤ nCells rows
-    val entry = lv.groupBy(col("cell")).agg(max(col("level")).as("ml"))
-      .join(lv, Seq("cell"))
-      .filter(col("level") === col("ml"))
-      .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("n_id"))
+    // per-cell stack height + top entry: read from the STORED metadata
+    // table [[buildOrLoadShardedLayers]] writes at build time (≤ nCells
+    // rows, filtered to the probed cells) — serving must not re-derive
+    // it with a corpus-wide aggregate over the assignment, whose cost
+    // scales with corpus width instead of the probed-cell count. A
+    // streaming server pins the table once and passes it via `entries`
+    // so micro-batches skip even the small per-call read.
+    val entry = entries.getOrElse(spark.read
+        .schema("cell BIGINT, ml INT, n_id BIGINT")
+        .parquet(s"$layersDir/entries"))
+      .filter(probed)
       .localCheckpoint()
     val corpus = assigned.select(col(idCol), col(vecCol))
     var seeds = routed
@@ -318,7 +335,8 @@ object AnnIndex {
       descRounds: Int,
       beam: Int,
       rounds: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      entries: Option[DataFrame] = None): DataFrame = {
     val spark = routed.sparkSession
     val cells = routed.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -331,7 +349,7 @@ object AnnIndex {
     }
     val probed = col("cell").isin(cells.map(java.lang.Long.valueOf): _*)
     val seeds = cellDescentSeeds(spark, layersDir, assigned, routed, cells,
-      idCol, vecCol, cap, m, descBeam, descRounds)
+      idCol, vecCol, cap, m, descBeam, descRounds, entries)
     Similarity.keyedGraphSearchTopKSeeded(
       index.filter(probed),
       assigned.select(col(idCol), col(vecCol)),

@@ -106,7 +106,19 @@ object Zip {
     val floor = math.max(0, b.length - 22 - 0xffff)
     while (i >= floor && eocd < 0) {
       if (u32(b, i) == 0x06054b50L &&
-        i + 22 + u16(b, i + 20) <= b.length) eocd = i
+        i + 22 + u16(b, i + 20) <= b.length) {
+        // validate before accepting: the declared central directory
+        // must land inside the file ahead of this record and start at
+        // a CD-header signature (or declare zero entries) — an
+        // EOCD-like byte pattern INSIDE a genuine trailing comment
+        // must fall through to the true record further back
+        val cdOff0 = u32(b, i + 16)
+        val cdSize0 = u32(b, i + 12)
+        val nEnt0 = u16(b, i + 10)
+        if (cdOff0 + cdSize0 <= i &&
+          (nEnt0 == 0 || (cdOff0 + 4 <= b.length &&
+            u32(b, cdOff0.toInt) == 0x02014b50L))) eocd = i
+      }
       i -= 1
     }
     if (eocd < 0) return None

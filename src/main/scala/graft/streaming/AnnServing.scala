@@ -20,9 +20,63 @@ import graft.operators.Similarity
   */
 object AnnServing {
 
+  /** The shared serving drain: stream `queriesPath`, run `perBatch` on
+    * each micro-batch, append its rows to a session-lived parquet dir,
+    * return the drained results. The fixed per-run machinery is kept
+    * minimal — it is pure overhead multiplied by ambient load (the r15
+    * driver window read q298 at ~20x its quiet time on exactly this
+    * scaffold): `Trigger.AvailableNow` drains everything and stops
+    * itself (no post-drain no-data micro-batch, no stop handshake), and
+    * results append straight to parquet — not `saveAsTable`, whose
+    * first batch pays a Derby metastore table-create on the serving
+    * path. Search is stateless per query, so the drained table equals
+    * the batch statement regardless of micro-batching. */
+  private def drainServe(
+      spark: SparkSession,
+      queriesPath: String,
+      querySchemaDDL: String,
+      maxFilesPerTrigger: Option[Int])(
+      perBatch: DataFrame => DataFrame): DataFrame =
+    EventStreams.synchronized {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_ann_serve_").resolve("out").toString
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, EventStreams.statePartitions.toString)
+      val ckpt = EventStreams.newCheckpointDir()
+      try {
+        val reader = spark.readStream.schema(querySchemaDDL)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        val stream = reader.parquet(EventStreams.sourceDir(queriesPath))
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            perBatch(batch).write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.set(key, prev)
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator()
+            .asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch {
+          // cleanup stays best-effort, but a persistently failing delete
+          // must leave a signal (house discipline per graftbridge.Bridge)
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
+        }
+      }
+      spark.read.parquet(out)
+    }
+
   /** Drain all available query batches from `queriesPath` (parquet with
     * (idCol, vecCol) columns) against `corpus`, appending each batch's
-    * top-k to a per-JVM-tagged managed table; returns the results table.
+    * top-k to a session-lived results dir; returns the drained results.
     * `queryFilter` selects which streamed rows are queries. */
   def serveTopK(
       spark: SparkSession,
@@ -33,43 +87,12 @@ object AnnServing {
       idCol: String,
       vecCol: String,
       k: Int,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = EventStreams.synchronized {
-    val tbl = "ann_serve_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, EventStreams.statePartitions.toString)
-    val ckpt = EventStreams.newCheckpointDir()
-    try {
-      val reader = spark.readStream.schema(querySchemaDDL)
-      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-      val stream = reader.parquet(EventStreams.sourceDir(queriesPath))
-      val q = stream.writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val queries = batch.filter(queryFilter)
-          Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
-            .write.mode("append").saveAsTable(tbl)
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally {
-      spark.conf.set(key, prev)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
-          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch {
-        // cleanup stays best-effort, but a persistently failing delete
-        // must leave a signal (house discipline per graftbridge.Bridge)
-        case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
-      }
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    drainServe(spark, queriesPath, querySchemaDDL, maxFilesPerTrigger) {
+      batch =>
+        Similarity.bruteForceTopK(corpus, batch.filter(queryFilter),
+          idCol, vecCol, k)
     }
-    spark.table(tbl)
-  }
 
   /** Streaming serving against the PERSISTED graph-ANN index: each query
     * micro-batch beam-searches the stored k-NN graph
@@ -96,46 +119,15 @@ object AnnServing {
       entryIds: Seq[Long],
       beam: Int,
       rounds: Int,
-      k: Int): DataFrame = EventStreams.synchronized {
-    val tbl = "ann_graph_serve_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, EventStreams.statePartitions.toString)
-    val ckpt = EventStreams.newCheckpointDir()
+      k: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
     val closed = graph.select(col("q_id").as("q_id"), col("n_id").as("n_id"))
       .unionByName(graph.select(col("n_id").as("q_id"), col("q_id").as("n_id")))
       .distinct().localCheckpoint()
-    try {
-      val stream = spark.readStream.schema(querySchemaDDL)
-        .parquet(EventStreams.sourceDir(queriesPath))
-      val q = stream.writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val queries = batch.filter(queryFilter)
-          Similarity.graphSearchTopK(closed, corpus, queries, idCol, vecCol,
-              entryIds, beam, rounds, k)
-            .write.mode("append").saveAsTable(tbl)
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally {
-      spark.conf.set(key, prev)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
-          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch {
-        // cleanup stays best-effort, but a persistently failing delete
-        // must leave a signal (house discipline per graftbridge.Bridge)
-        case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
-      }
+    drainServe(spark, queriesPath, querySchemaDDL, None) { batch =>
+      Similarity.graphSearchTopK(closed, corpus, batch.filter(queryFilter),
+        idCol, vecCol, entryIds, beam, rounds, k)
     }
-    spark.table(tbl)
   }
 
   /** Streaming serving against the SHARDED index
@@ -161,47 +153,65 @@ object AnnServing {
       entriesPerCell: Int,
       beam: Int,
       rounds: Int,
-      k: Int): DataFrame = EventStreams.synchronized {
-    val tbl = "ann_sharded_serve_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, EventStreams.statePartitions.toString)
-    val ckpt = EventStreams.newCheckpointDir()
-    try {
-      // per-cell entry points are a pure function of the stored
-      // assignment: compute ONCE before the stream starts (one windowed
-      // rank, checkpointed to a bounded nCells·entriesPerCell table) so
-      // each micro-batch only plans the routed beam search — not a
-      // re-derivation, and not a driver job per probed cell
-      val entries = graft.operators.AnnIndex
-        .cellEntryPoints(assigned, idCol, entriesPerCell).localCheckpoint()
-      val stream = spark.readStream.schema(querySchemaDDL)
-        .parquet(EventStreams.sourceDir(queriesPath))
-      val q = stream.writeStream
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val routed = Similarity.ivfProbeCells(
-            batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
-          graft.operators.AnnIndex.shardedSearchWithEntries(index, assigned,
-              routed, entries, idCol, vecCol, beam, rounds, k)
-            .write.mode("append").saveAsTable(tbl)
-        }
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally {
-      spark.conf.set(key, prev)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
-          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch {
-        case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"best-effort checkpoint cleanup failed for $ckpt: $e")
-      }
+      k: Int): DataFrame = {
+    // per-cell entry points are a pure function of the stored
+    // assignment: compute ONCE before the stream starts (one windowed
+    // rank, checkpointed to a bounded nCells·entriesPerCell table) so
+    // each micro-batch only plans the routed beam search — not a
+    // re-derivation, and not a driver job per probed cell
+    val entries = graft.operators.AnnIndex
+      .cellEntryPoints(assigned, idCol, entriesPerCell).localCheckpoint()
+    drainServe(spark, queriesPath, querySchemaDDL, None) { batch =>
+      val routed = Similarity.ivfProbeCells(
+        batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
+      graft.operators.AnnIndex.shardedSearchWithEntries(index, assigned,
+        routed, entries, idCol, vecCol, beam, rounds, k)
     }
-    spark.table(tbl)
+  }
+
+  /** Streaming serving against the SHARDED-AND-LAYERED index — the
+    * composed online read path: each query micro-batch routes to its
+    * nprobe best cells ([[Similarity.ivfProbeCells]]), DESCENDS each
+    * probed cell's stored layer stack for its own level-0 entry
+    * ([[graft.operators.AnnIndex.cellDescentSeeds]] — partition-pruned
+    * layer reads), and beam-searches only those cells' level-0
+    * subgraphs seeded by the descent
+    * ([[graft.operators.AnnIndex.shardedLayeredSearchTopK]]). The
+    * per-cell descent metadata — (cell, max populated level, top
+    * entry), the table [[graft.operators.AnnIndex
+    * .buildOrLoadShardedLayers]] persists at build time — is pinned
+    * ONCE before the stream starts (the `cellEntryPoints` precedent),
+    * so a micro-batch plans only the routed descent + search. Search
+    * is stateless per query: the drained table equals the batch
+    * statement regardless of micro-batching. */
+  def serveShardedLayeredTopK(
+      spark: SparkSession,
+      index: DataFrame,
+      assigned: DataFrame,
+      cents: DataFrame,
+      layersDir: String,
+      queriesPath: String,
+      querySchemaDDL: String,
+      queryFilter: Column,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      nprobe: Int,
+      m: Int,
+      descBeam: Int,
+      descRounds: Int,
+      beam: Int,
+      rounds: Int,
+      k: Int): DataFrame = {
+    val entries = spark.read
+      .schema("cell BIGINT, ml INT, n_id BIGINT")
+      .parquet(s"$layersDir/entries").localCheckpoint()
+    drainServe(spark, queriesPath, querySchemaDDL, None) { batch =>
+      val routed = Similarity.ivfProbeCells(
+        batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
+      graft.operators.AnnIndex.shardedLayeredSearchTopK(index, assigned,
+        routed, layersDir, idCol, vecCol, cap, m, descBeam, descRounds,
+        beam, rounds, k, entries = Some(entries))
+    }
   }
 }

@@ -433,6 +433,39 @@ object IndexCdc {
       splitPpm: Long,
       mergePpm: Long,
       rebalanceId: Long): (DataFrame, DataFrame) = {
+    def buildGraph(members: DataFrame): DataFrame =
+      if (members.isEmpty) emptyGraph(spark)
+      else graft.operators.Similarity.nnDescent(
+        members, idCol, vecCol, k, graphRounds, initBuckets)
+    rebalanceCore(spark, storeDir, cents, idCol, vecCol,
+      splitPpm, mergePpm, rebalanceId) { (next, members) =>
+      buildGraph(members).write.mode("overwrite").parquet(s"$next/graph")
+      members.write.mode("overwrite").parquet(s"$next/vecs")
+    }
+  }
+
+  /** The rebalance DECISION + two-phase-commit core shared by the flat
+    * sharded store (above) and the sharded-LAYERED store
+    * ([[ShardedLayeredCdc.rebalanceShardedLayeredStore]]): share-band
+    * classification off the footprint manifests, sub-centroid picks,
+    * member reassignment, merge-target argmax, marker/footprint
+    * inheritance, the staged `next_` writes and the phase-2 swaps —
+    * everything except WHAT a cell's staged artifact contains. `stage`
+    * writes an affected cell's data parts from its post-rebalance
+    * member set into the given `next_` dir (the core then writes the
+    * inherited marker + footprint and swaps); membership can be empty
+    * (a merged-away cell) and the callback must write a complete,
+    * typed, servable store either way. */
+  private[streaming] def rebalanceCore(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      splitPpm: Long,
+      mergePpm: Long,
+      rebalanceId: Long)(
+      stage: (org.apache.hadoop.fs.Path, DataFrame) => Unit): (DataFrame, DataFrame) = {
     require(splitPpm > mergePpm && mergePpm >= 0)
     import graft.functions.Functions.cosineSim
     val centArr: Array[(Long, Seq[Float])] = cents.collect()
@@ -480,10 +513,6 @@ object IndexCdc {
         }
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def buildGraph(members: DataFrame): DataFrame =
-      if (members.isEmpty) emptyGraph(spark)
-      else graft.operators.Similarity.nnDescent(
-        members, idCol, vecCol, k, graphRounds, initBuckets)
     // two-phase commit: ALL next_ dirs are fully written (phase 1)
     // before the first swap (phase 2) — a merge target's union must
     // read its source's pre-rebalance vecs even when the source's own
@@ -492,12 +521,11 @@ object IndexCdc {
     // leaves every live store untouched
     val pendingSwaps = scala.collection.mutable.ArrayBuffer
       .empty[(Long, org.apache.hadoop.fs.Path)]
-    def stageCell(c: Long, graph: DataFrame, vecs: DataFrame, marker: Long,
+    def stageCell(c: Long, members: DataFrame, marker: Long,
         nVecs: Long): Unit = {
       val next = new org.apache.hadoop.fs.Path(
         s"${cellDir(storeDir, c)}/next_rebalance_$rebalanceId")
-      graph.write.mode("overwrite").parquet(s"$next/graph")
-      vecs.write.mode("overwrite").parquet(s"$next/vecs")
+      stage(next, members)
       writeMarker(fs, next, marker)
       writeFootprint(fs, next, nVecs)
       pendingSwaps += ((c, next))
@@ -535,16 +563,17 @@ object IndexCdc {
         val hiM = reassigned.filter(col("cell") === hiId).select(col(idCol), col(vecCol))
         val marker = appliedBatch(fs, curPaths(c))
         val loN = lo.count()
-        stageCell(c, buildGraph(lo), lo, marker, loN)
-        stageCell(hiId, buildGraph(hiM), hiM, marker, counts(c) - loN)
+        stageCell(c, lo, marker, loN)
+        stageCell(hiId, hiM, marker, counts(c) - loN)
         report += ((c, loN, "split_lo"))
         report += ((hiId, counts(c) - loN, "split_hi"))
         newCents += ((c, a))
         newCents += ((hiId, b))
       } else if (merges.contains(c)) {
         val marker = appliedBatch(fs, curPaths(c))
-        stageCell(c, emptyGraph(spark),
-          spark.read.parquet(s"${curPaths(c)}/vecs").limit(0), marker, 0L)
+        stageCell(c,
+          spark.read.parquet(s"${curPaths(c)}/vecs").limit(0)
+            .select(col(idCol), col(vecCol)), marker, 0L)
         report += ((c, 0L, "merged_away"))
       } else if (mergedInto.contains(c)) {
         val sources = mergedInto(c)
@@ -552,7 +581,7 @@ object IndexCdc {
           .map(x => spark.read.parquet(s"${curPaths(x)}/vecs"))
           .reduce(_ unionByName _)
         val marker = (c +: sources).map(x => appliedBatch(fs, curPaths(x))).max
-        stageCell(c, buildGraph(union), union, marker,
+        stageCell(c, union, marker,
           counts(c) + sources.map(counts).sum)
         report += ((c, counts(c) + sources.map(counts).sum, "merge_target"))
         newCents += ((c, cvec))
@@ -596,11 +625,27 @@ object IndexCdc {
       initBuckets: Int,
       splitPpm: Long,
       mergePpm: Long,
-      rebalanceId: Long): (DataFrame, DataFrame) = {
+      rebalanceId: Long): (DataFrame, DataFrame) =
+    maintenanceCore(spark, storeDir, cents, splitPpm, mergePpm)(
+      rebalanceShardedStore(spark, storeDir, cents, idCol, vecCol,
+        k, graphRounds, initBuckets, splitPpm, mergePpm, rebalanceId))
+
+  /** The maintenance-window GATE shared by the flat and layered sharded
+    * stores: read the drifted per-cell footprints off the swap-time
+    * manifests (nCells driver file reads, ZERO Spark jobs per window;
+    * parquet-count fallback only for pre-manifest stores), fire the
+    * given by-name `rebalance` only if some cell left the [mergePpm,
+    * splitPpm] band, and synthesize the all-"kept" report from the
+    * manifest counts alone otherwise — the readout is identical
+    * whether or not the window fired. */
+  private[streaming] def maintenanceCore(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      splitPpm: Long,
+      mergePpm: Long)(
+      rebalance: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     val cells = cents.select(col("cent_id")).collect().map(_.getLong(0)).sorted
-    // drifted footprints off the swap-time manifests: nCells driver file
-    // reads, ZERO Spark jobs per window (parquet-count fallback only for
-    // pre-manifest stores)
     val counts = cells.map { c =>
       val (fs, cur) = DocStreams.recoverStore(spark, cellDir(storeDir, c))
       require(fs.exists(cur),
@@ -612,9 +657,7 @@ object IndexCdc {
       val share = counts(c) * 1000000L / total
       share > splitPpm && counts(c) >= 2 || share < mergePpm
     }
-    if (out)
-      rebalanceShardedStore(spark, storeDir, cents, idCol, vecCol,
-        k, graphRounds, initBuckets, splitPpm, mergePpm, rebalanceId)
+    if (out) rebalance
     else {
       import spark.implicits._
       (cells.map(c => (c, counts(c), "kept")).toSeq

@@ -89,6 +89,8 @@ object LayeredCdc {
             .select(col(idCol), col(vecCol)), idCol, vecCol,
             layerK, layerRounds, initBuckets)
           .write.mode("overwrite").parquet(s"$next/layer_$l")
+      IndexCdc.writeMarker(fs, next, -1L)
+      IndexCdc.writeFootprint(fs, next, lv.count())
       DocStreams.swapStore(fs, storeDir, next, batchId = -1L)
     }
   }
@@ -162,6 +164,13 @@ object LayeredCdc {
     require(fs.exists(current),
       s"layered index store $storeDir must be initialized " +
         "(initLayeredStore) before CDC")
+    // replay skip: a crash AFTER the swap but BEFORE the streaming
+    // checkpoint commits re-delivers the batch — against the POST-batch
+    // stack the reverse-patch re-cut is not idempotent (evicted survivor
+    // edges would be lost for good), so a committed batch id short-
+    // circuits (the mergeShardedCdcBatch / mergeShardedLayeredCdcBatch
+    // discipline; a pre-marker store reads Long.MinValue and applies)
+    if (IndexCdc.appliedBatch(fs, current) >= batchId) return
     val graph = spark.read.parquet(s"$current/graph")
     val vecs = spark.read.parquet(s"$current/vecs")
     val lvCol = LayeredAnn.levelColumn(col(idCol), cap)
@@ -251,10 +260,21 @@ object LayeredCdc {
         val upsLv = ups.withColumn("level", lvCol).localCheckpoint()
         var seeds = ups.select(col(idCol).as("q_id"))
           .withColumn("n_id", lit(entry))
-        for (l <- math.min(maxL, cap) to 1 by -1) {
-          // search the PRE-insert layer graph (batch-blind, as at level 0)
+        for (l <- cap to 1 by -1) {
+          // search the PRE-insert layer graph (batch-blind, as at level
+          // 0). A layer ABOVE the surviving stack's max level has no
+          // members and an empty graph — the search still scores the
+          // entry seed (its vector row stands in for the member map),
+          // so an upsert whose hash level reaches such a layer LINKS to
+          // the entry instead of entering it isolated, and the
+          // pass-down seeds stay the entry row — exactly the walk the
+          // q344 oracle's unconditional per-layer link CTEs replay
+          val mem =
+            if (l <= maxL) memOf(l)
+            else remaining.filter(col(idCol) === entry)
+              .select(col(idCol), col(vecCol))
           val found = Similarity.graphSearchTopKSeeded(outLayers(l),
-              memOf(l), ups, seeds, idCol, vecCol,
+              mem, ups, seeds, idCol, vecCol,
               descBeam, descRounds, descBeam).localCheckpoint()
           val linkers = upsLv.filter(col("level") >= l)
             .select(col(idCol).as("q_id"))
@@ -291,6 +311,8 @@ object LayeredCdc {
     for (l <- 1 to cap)
       recut(outLayers(l).select(col("q_id"), col("n_id"), col("d2")), layerK)
         .write.mode("overwrite").parquet(s"$next/layer_$l")
+    IndexCdc.writeMarker(fs, next, batchId)
+    IndexCdc.writeFootprint(fs, next, nRemaining + nUpserts)
     DocStreams.swapStore(fs, storeDir, next, batchId)
   }
 

@@ -346,19 +346,28 @@ object ShardedLayeredCdc {
           .join(entries.select(col("cell"), col("n_id")), Seq("cell"))
           .select(col("q_id"), col("cell"), col("n_id")).localCheckpoint()
         for (l <- cap to 1 by -1) {
-          val act = entries.filter(col("ml") >= l).select(col("cell"))
-          val sAct = seeds.join(act, Seq("cell"), "left_semi")
-          val sPass = seeds.join(act, Seq("cell"), "left_anti")
+          // a cell whose surviving stack is SHORTER than this layer has
+          // no members and an empty subgraph there — its entry's vector
+          // row stands in for the member map, so the search still
+          // scores that cell's entry seed: an upsert whose hash level
+          // reaches the layer LINKS to its cell's entry instead of
+          // entering it isolated, and its pass-down seed stays the
+          // entry row (the walk the q349 oracle's unconditional
+          // per-(cell, layer) link CTEs replay)
+          val shortEntryVecs = rem
+            .join(entries.filter(col("ml") < l)
+                .select(col("cell"), col("n_id").as(idCol)),
+              Seq("cell", idCol), "left_semi")
+            .select(col(idCol), col(vecCol))
           val found = Similarity.graphSearchTopKSeeded(
             lg(l).select(col("q_id"), col("n_id"), col("d2")),
-            memOf(l).select(col(idCol), col(vecCol)),
+            memOf(l).select(col(idCol), col(vecCol))
+              .unionByName(shortEntryVecs),
             upsIncr.select(col(idCol), col(vecCol)),
-            sAct.select(col("q_id"), col("n_id")), idCol, vecCol,
+            seeds.select(col("q_id"), col("n_id")), idCol, vecCol,
             descBeam, descRounds, descBeam).localCheckpoint()
           val linkers = upsLv.filter(col("level") >= l)
             .select(col(idCol).as("q_id"))
-            .join(act.join(cellOf.select(col("cell"), col("id").as("q_id")),
-              Seq("cell")).select(col("q_id")), Seq("q_id"), "left_semi")
           val adj = recutCell(
             attachCell(found.select(col("q_id"), col("n_id"), col("d2"))
               .join(linkers, Seq("q_id"), "left_semi")), layerK)
@@ -385,7 +394,7 @@ object ShardedLayeredCdc {
             .join(cellOf.select(col("cell"), col("id").as("q_id")),
               Seq("q_id"))
             .select(col("q_id"), col("cell"), col("n_id"))
-            .unionByName(sPass).localCheckpoint()
+            .localCheckpoint()
         }
         val inserted = AnnIndex.insertBatchSeeded(
           g0.select(col("q_id"), col("n_id"), col("d2")),
@@ -460,4 +469,149 @@ object ShardedLayeredCdc {
     }
     fs.delete(stage, true)
   }
+
+  /** Per-cell GROWTH report for the sharded-LAYERED store — the
+    * [[graft.operators.AnnIndex.shardGrowthReport]] analog the owner of
+    * this store's CDC pipeline watches, extended with the stack shape
+    * the flat report has no notion of: per cell the member count (off
+    * the swap-time footprint manifest — nCells driver file reads, zero
+    * Spark jobs), corpus share in ppm, level-0 edge volume and
+    * degraded-list count, the max POPULATED level (a cell whose upper
+    * layers drained serves through a shorter descent), the total layer
+    * edge volume, and the action the share band implies — the verdicts
+    * [[rebalanceShardedLayeredStore]] consumes. Scale shape: decisions
+    * and shares from the manifests; the stats are three grouped
+    * aggregates over path-scoped reads of exactly these cells' parts. */
+  def growthReport(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      k: Int,
+      cap: Int,
+      splitPpm: Long,
+      mergePpm: Long): DataFrame = {
+    require(splitPpm > mergePpm && mergePpm >= 0 && cap >= 1)
+    val cells = cents.select(col("cent_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts = cells.map { c =>
+      val (_, cur) = DocStreams.recoverStore(spark, cellDir(storeDir, c))
+      require(fs.exists(cur),
+        s"sharded-layered store $storeDir has no committed cell $c")
+      c -> IndexCdc.cellFootprint(spark, fs, cur)
+    }.toMap
+    val total = math.max(counts.values.sum, 1L)
+    import spark.implicits._
+    // counts, shares and verdicts are manifest-derived driver rows
+    // (≤ nCells); only the edge/level stats touch stored data
+    val mem = cells.map { c =>
+      val n = counts(c)
+      val sp = n * 1000000L / total
+      val rec = if (sp > splitPpm) "split"
+        else if (sp < mergePpm) "merge" else "healthy"
+      (c, n, sp, rec)
+    }.toDF("cell", "n_members", "share_ppm", "recommendation")
+    val deg = shardedLayeredStorePart(spark, storeDir, cells, "graph")
+      .groupBy(col("cell"), col("q_id")).agg(count(lit(1)).as("n"))
+    val eg = deg.groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_edges"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_degraded"))
+    val ml = shardedLayeredStorePart(spark, storeDir, cells, "levels")
+      .groupBy(col("cell")).agg(max(col("level")).as("max_level"))
+    val le = (1 to cap)
+      .map(l => shardedLayeredStorePart(spark, storeDir, cells, s"layer_$l"))
+      .reduce(_ unionByName _)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_layer_edges"))
+    mem.join(eg, Seq("cell"), "left").join(ml, Seq("cell"), "left")
+      .join(le, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"), col("share_ppm"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_degraded"), lit(0L)).as("n_degraded"),
+        coalesce(col("max_level"), lit(-1)).cast("long").as("max_level"),
+        coalesce(col("n_layer_edges"), lit(0L)).as("n_layer_edges"),
+        col("recommendation"))
+  }
+
+  /** REBALANCE the sharded-layered store —
+    * [[IndexCdc.rebalanceShardedStore]]'s decision + two-phase-commit
+    * core ([[IndexCdc.rebalanceCore]]: share-band classification off
+    * the footprint manifests, sub-centroid picks, member reassignment,
+    * merge-target argmax, marker/footprint inheritance, staged writes,
+    * phase-2 swaps) applied to per-cell LAYERED stores: every affected
+    * cell's staged artifact is the COMPLETE stack — level-0 NN-Descent
+    * graph, vecs, the hash-deterministic levels table, and one subgraph
+    * per layer 1..cap rebuilt over the post-rebalance membership
+    * (membership changes invalidate layer subgraphs exactly the way
+    * they invalidate level-0; the build guards match
+    * [[initShardedLayeredStore]], so a rebuilt cell is bit-identical to
+    * a fresh seed of its new membership). Untouched cells are neither
+    * read nor rewritten beyond their footprint manifests. */
+  def rebalanceShardedLayeredStore(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      k: Int,
+      graphRounds: Int,
+      layerK: Int,
+      layerRounds: Int,
+      initBuckets: Int,
+      splitPpm: Long,
+      mergePpm: Long,
+      rebalanceId: Long): (DataFrame, DataFrame) = {
+    require(cap >= 1)
+    val lvCol = LayeredAnn.levelColumn(col(idCol), cap)
+    IndexCdc.rebalanceCore(spark, storeDir, cents, idCol, vecCol,
+      splitPpm, mergePpm, rebalanceId) { (next, members) =>
+      val lv = members.select(col(idCol), col(vecCol))
+        .withColumn("level", lvCol).localCheckpoint()
+      val g0 =
+        if (lv.isEmpty) IndexCdc.emptyGraph(spark)
+        else Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
+          idCol, vecCol, k, graphRounds, initBuckets)
+      g0.write.mode("overwrite").parquet(s"$next/graph")
+      lv.select(col(idCol), col(vecCol))
+        .write.mode("overwrite").parquet(s"$next/vecs")
+      lv.select(col(idCol), col("level"))
+        .write.mode("overwrite").parquet(s"$next/levels")
+      for (l <- 1 to cap) {
+        val m = lv.filter(col("level") >= l).select(col(idCol), col(vecCol))
+        val g =
+          if (m.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
+          else Similarity.nnDescent(m, idCol, vecCol, layerK, layerRounds,
+            initBuckets)
+        g.write.mode("overwrite").parquet(s"$next/layer_$l")
+      }
+    }
+  }
+
+  /** Post-CDC MAINTENANCE WINDOW for the sharded-layered store — the
+    * [[IndexCdc.maintenanceWindow]] gate ([[IndexCdc.maintenanceCore]]:
+    * drifted footprints off the swap-time manifests, zero Spark jobs
+    * when nothing fires) over [[rebalanceShardedLayeredStore]]: the CDC
+    * stream drains continuously, and the periodic job rebuilds affected
+    * cells' complete layer stacks only if some cell left the
+    * [mergePpm, splitPpm] band, reporting every cell either way. */
+  def maintenanceWindowLayered(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      k: Int,
+      graphRounds: Int,
+      layerK: Int,
+      layerRounds: Int,
+      initBuckets: Int,
+      splitPpm: Long,
+      mergePpm: Long,
+      rebalanceId: Long): (DataFrame, DataFrame) =
+    IndexCdc.maintenanceCore(spark, storeDir, cents, splitPpm, mergePpm)(
+      rebalanceShardedLayeredStore(spark, storeDir, cents, idCol, vecCol,
+        cap, k, graphRounds, layerK, layerRounds, initBuckets,
+        splitPpm, mergePpm, rebalanceId))
 }

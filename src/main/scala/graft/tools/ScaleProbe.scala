@@ -303,7 +303,23 @@ object ScaleProbe {
     "q348_mp4_sample_table_census" ->
       "O(moov-bytes) header walk per asset (stts/stco tables are tens of entries) — q311/q324's census class, scan-bound by construction, no payload decoded",
     "q349_sharded_layered_cdc" ->
-      "q322's and q344's rationales composed: a probe replica dir pays four per-cell layered seed builds (level-0 + two layer subgraphs each — all q282-class, knob-probe-covered), not the per-batch maintenance it times; the batch compute is ONE cell-keyed plan over only the touched cells' stacks (keyed tombstones, grouped queue depths, shared descents with short-stack pass-through, one partitioned stage write) — per-batch cost proportional to the batch's cell footprint times the probed/locked layered shapes, with untouched and committed cells never opened")
+      "q322's and q344's rationales composed: a probe replica dir pays four per-cell layered seed builds (level-0 + two layer subgraphs each — all q282-class, knob-probe-covered), not the per-batch maintenance it times; the batch compute is ONE cell-keyed plan over only the touched cells' stacks (keyed tombstones, grouped queue depths, shared descents with short-stack pass-through, one partitioned stage write) — per-batch cost proportional to the batch's cell footprint times the probed/locked layered shapes, with untouched and committed cells never opened",
+    "q350_sharded_layered_growth" ->
+      "q327's rationale over the layered store: a probe replica dir pays the q349-class per-cell stack seed builds before reporting; the report itself is manifest file reads for counts/shares (zero jobs) plus three grouped aggregates over path-scoped reads of the cells' graph/levels/layer parts — the bounded-aggregate class every probed scan already measures",
+    "q351_sharded_layered_rebalance" ->
+      "q329's rationale with stacks: decisions are nCells footprint-manifest reads (zero jobs); data moves only through the affected cells' keyed reassignment plus changed-cells-only stack rebuilds — each a q282-class NN-Descent build (knob-probe-covered) over the cell's membership, with untouched cells never read past their manifests",
+    "q352_sharded_layered_maintenance" ->
+      "q335's and q349's rationales composed: a probe replica dir pays the per-cell layered seed builds (clone discipline amortizes only within one corpus); the CDC drain is q349's probed/locked cell-keyed batch plan, the window gate is manifest reads (zero jobs), and a fired rebalance is q351's excluded changed-cells-only build class",
+    "q353_streaming_sharded_layered_ann" ->
+      "q345's rationale under the excluded fixed micro-batch overhead: a probe replica dir pays four q282-class level-0 cell builds and twelve (cell, layer) subgraph builds before the first batch; per batch the work is the probed/locked q345 descent + keyed shard search with the per-cell entry metadata pinned once per stream — per-query cost stays nprobe cells' stacks regardless of corpus width (partition-pruned, spec-locked)",
+    "q354_vp8l_2d_distances" ->
+      "per-pixel constant work: one prefix-code walk plus an O(1) plane-code table lookup and a raster copy — strictly the probed q325/q347 VP8L class (the 2D resolution replaces the direct-distance subtraction with one array index); the q303 partition-preserving codec class",
+    "q355_flac_residual_extras" ->
+      "per-sample constant work: the probed q336 FLAC class with a constant-time partition-boundary check and, per subframe, one wasted-bits shift — escape partitions read FEWER bits per residual than Rice; asset-local state, parallel by asset",
+    "q356_mp3_vbr_census" ->
+      "O(header-bytes) walk per asset — q338's census class with a 34-byte CRC-16 per protected frame and one fixed-offset Xing read per asset; stride re-derivation per frame is the same constant header arithmetic the CBR walk does, no payload decoded",
+    "q357_mp4_edit_census" ->
+      "O(moov-bytes) header walk per asset (ctts/elst tables are tens of entries, reduced by the same overflow-checked run arithmetic as stts) — q348's census class verbatim, scan-bound by construction, no payload decoded")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain
