@@ -288,6 +288,51 @@ class Round16Spec extends AnyFunSuite {
     assert(!newCents.collect().map(_.getLong(0)).contains(3L))
   }
 
+  test("sharded-layered rebalance: an untouched cell's DATA is never " +
+      "opened — decisions come from the swap-time manifests alone") {
+    val spark = TestSpark.spark
+    val (store, cents, _) = shardedLayeredFixture("blind")
+    // learn the action set on a pristine copy
+    val probe = java.nio.file.Files
+      .createTempDirectory("graft_r16_blind_probe").toString + "/s"
+    copyDir(store, probe)
+    val acts = graft.streaming.ShardedLayeredCdc
+      .rebalanceShardedLayeredStore(spark, probe, cents, "vec_id",
+        "embedding", cap = 2, k = 10, graphRounds = 3, layerK = 5,
+        layerRounds = 2, initBuckets = 16, splitPpm = 280000L,
+        mergePpm = 220000L, rebalanceId = 3L)
+      ._1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val kept = acts.collect { case (c, "kept") => c }
+    assert(kept.nonEmpty, s"fixture must leave a kept cell: $acts")
+    // poison every kept cell's parquet DATA (manifests stay): if the
+    // rebalance opened any of it, the re-run would throw
+    import scala.jdk.CollectionConverters._
+    for (c <- kept) {
+      val cur = java.nio.file.Paths.get(s"$store/cell_$c/current")
+      java.nio.file.Files.walk(cur).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !Set("applied_batch", "n_vecs").contains(p.getFileName.toString))
+        .foreach(p => java.nio.file.Files.write(p,
+          "poisoned".getBytes("US-ASCII")))
+    }
+    val acts2 = graft.streaming.ShardedLayeredCdc
+      .rebalanceShardedLayeredStore(spark, store, cents, "vec_id",
+        "embedding", cap = 2, k = 10, graphRounds = 3, layerK = 5,
+        layerRounds = 2, initBuckets = 16, splitPpm = 280000L,
+        mergePpm = 220000L, rebalanceId = 3L)
+      ._1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(acts2 == acts,
+      "poisoning kept cells' data changed the report — they were read")
+    // and the poison is still in place: neither read NOR rewritten
+    for (c <- kept) {
+      val g = java.nio.file.Paths.get(s"$store/cell_$c/current/graph")
+      val one = java.nio.file.Files.walk(g).iterator().asScala
+        .find(java.nio.file.Files.isRegularFile(_)).get
+      assert(new String(java.nio.file.Files.readAllBytes(one),
+        "US-ASCII") == "poisoned", s"kept cell $c was rewritten")
+    }
+  }
+
   test("sharded-layered maintenance window: in-band counts fire nothing " +
       "and every store stays byte-identical") {
     val spark = TestSpark.spark
