@@ -1529,7 +1529,8 @@ object Codecs {
       tracks: Seq[(String, Seq[(Long, Long)], Seq[Long])],
       co64: Boolean = false,
       cttsOf: Int => Seq[(Long, Long)] = _ => Nil,
-      editsOf: Int => Seq[(Long, Long)] = _ => Nil): Array[Byte] = {
+      editsOf: Int => Seq[(Long, Long)] = _ => Nil,
+      v1Timing: Boolean = false): Array[Byte] = {
     require(brand.length == 4 && tracks.nonEmpty)
     require(tracks.forall { case (h, runs, offs) =>
       h.length == 4 && runs.nonEmpty &&
@@ -1571,24 +1572,37 @@ object Codecs {
           offs.flatMap(u64).toArray)
         else full("stco", u32(offs.length.toLong) ++
           offs.flatMap(u32).toArray)
-      // ctts (version 0): (sample_count, composition offset) runs
+      // a full box at an explicit version (v1 timing forms)
+      def fullV(typ: String, ver: Int, body: Array[Byte]): Array[Byte] =
+        box(typ, Array[Byte](ver.toByte, 0, 0, 0) ++ body)
+      // ctts: (sample_count, composition offset) runs — u32 offsets at
+      // version 0, s32 (negative shifts allowed) at version 1
       val cttsRuns = cttsOf(i)
       val ctts =
         if (cttsRuns.isEmpty) Array.emptyByteArray
-        else full("ctts", u32(cttsRuns.length.toLong) ++
-          cttsRuns.flatMap { case (c, o) => u32(c) ++ u32(o) }.toArray)
+        else fullV("ctts", if (v1Timing) 1 else 0,
+          u32(cttsRuns.length.toLong) ++
+            cttsRuns.flatMap { case (c, o) =>
+              u32(c) ++ u32(o & 0xffffffffL)
+            }.toArray)
       val stbl = box("stbl", stsd ++ stts ++ ctts ++ stsz ++ stco)
       val minf = box("minf", stbl)
       val mdia = box("mdia", mdhd ++ hdlr ++ minf)
-      // edts/elst (version 0): (segment_duration, media_time) entries
-      // at media rate 1.0
+      // edts/elst: (segment_duration, media_time) entries at media
+      // rate 1.0 — 12-byte v0 entries or 20-byte (u64, s64) v1 entries
       val edits = editsOf(i)
       val edts =
         if (edits.isEmpty) Array.emptyByteArray
-        else box("edts", full("elst", u32(edits.length.toLong) ++
-          edits.flatMap { case (dur, mt) =>
-            u32(dur) ++ u32(mt & 0xffffffffL) ++ u32(0x00010000L)
-          }.toArray))
+        else if (v1Timing)
+          box("edts", fullV("elst", 1, u32(edits.length.toLong) ++
+            edits.flatMap { case (dur, mt) =>
+              u64(dur) ++ u64(mt) ++ u32(0x00010000L)
+            }.toArray))
+        else
+          box("edts", full("elst", u32(edits.length.toLong) ++
+            edits.flatMap { case (dur, mt) =>
+              u32(dur) ++ u32(mt & 0xffffffffL) ++ u32(0x00010000L)
+            }.toArray))
       box("trak", tkhd ++ edts ++ mdia)
     }
     val moov = box("moov", mvhd ++ traks.reduce(_ ++ _))
@@ -1652,19 +1666,28 @@ object Codecs {
                 if (t3 == "edts") walk(ms, me) { (t3b, es, ee) =>
                   if (t3b != "elst") true
                   else {
-                    // elst (version 0): verflags(4) entry_count(4) then
-                    // (segment_duration u32, media_time s32, rate u32)
-                    if (ee - es < 8 || b(es.toInt) != 0) false
+                    // elst: verflags(4) entry_count(4) then per entry
+                    // version 0: (segment_duration u32, media_time s32,
+                    // rate u32); version 1 — the 64-bit large-file form
+                    // — (u64, s64, u32). Both walked (the co64 lesson:
+                    // rejecting the v1 form drops real files).
+                    val ver = if (ee - es >= 1) b(es.toInt) & 0xff else -1
+                    if (ee - es < 8 || (ver != 0 && ver != 1)) false
                     else {
+                      val entLen = if (ver == 0) 12L else 20L
                       val nEnt = u32(es.toInt + 4)
-                      if (ee - es < 8 + 12 * nEnt) false
+                      if (ee - es < 8 + entLen * nEnt) false
                       else {
+                        def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
                         var d = 0L
                         var j = 0L
                         var ovf = false
                         while (j < nEnt && !ovf) {
-                          try d = Math.addExact(d,
-                            u32((es + 8 + 12 * j).toInt))
+                          val dur =
+                            if (ver == 0) u32((es + 8 + entLen * j).toInt)
+                            else u64((es + 8 + entLen * j).toInt)
+                          if (dur < 0L) ovf = true // u64 past 2^63-1
+                          else try d = Math.addExact(d, dur)
                           catch {
                             case _: ArithmeticException => ovf = true
                           }
@@ -1676,7 +1699,9 @@ object Codecs {
                           editDur = d
                           firstMt =
                             if (nEnt == 0) 0L
-                            else u32(es.toInt + 12).toInt.toLong // s32
+                            else if (ver == 0)
+                              u32(es.toInt + 12).toInt.toLong // s32
+                            else u64(es.toInt + 16) // s64
                           true
                         }
                       }
@@ -1747,14 +1772,19 @@ object Codecs {
                                 }
                               }
                             case "ctts" =>
-                              // composition offsets (version 0):
-                              // verflags(4) entry_count(4) then
-                              // (sample_count, offset) u32 pairs —
-                              // reduced to Σ count·offset (the track's
-                              // total composition shift), overflow
+                              // composition offsets: verflags(4)
+                              // entry_count(4) then (sample_count u32,
+                              // offset) pairs — offset u32 in version 0,
+                              // s32 in version 1 (negative shifts are
+                              // how modern muxers express B-frame
+                              // reordering without an edit-list bias) —
+                              // reduced to Σ count·offset, overflow
                               // checked like stts
-                              if (ze - zs < 8 || b(zs.toInt) != 0) false
+                              if (ze - zs < 8 ||
+                                  (b(zs.toInt) != 0 && b(zs.toInt) != 1))
+                                false
                               else {
+                                val signed = b(zs.toInt) == 1
                                 val nRuns = u32(zs.toInt + 4)
                                 if (ze - zs < 8 + 8 * nRuns) false
                                 else {
@@ -1762,10 +1792,12 @@ object Codecs {
                                   var j = 0L
                                   var ovf = false
                                   while (j < nRuns && !ovf) {
+                                    val off0 = u32((zs + 12 + 8 * j).toInt)
+                                    val off =
+                                      if (signed) off0.toInt.toLong else off0
                                     try d = Math.addExact(d,
                                       Math.multiplyExact(
-                                        u32((zs + 8 + 8 * j).toInt),
-                                        u32((zs + 12 + 8 * j).toInt)))
+                                        u32((zs + 8 + 8 * j).toInt), off))
                                     catch {
                                       case _: ArithmeticException =>
                                         ovf = true

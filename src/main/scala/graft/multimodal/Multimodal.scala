@@ -459,8 +459,11 @@ object Multimodal {
           else (0 until ((i + t) % 2 + 1).toInt).map { j =>
             (100L + (i + 13 * t + j) % 50, (i + j) % 40 - 10)
           }
+        // every fifth asset stores its timing tables in the version-1
+        // forms (s32 ctts offsets / 64-bit elst entries) — same census
+        // values, so the oracle is encoding-blind by construction
         Row(i, Codecs.encodeMp4Deep("mp42", tracks, co64 = i % 3 == 2,
-          cttsOf = cttsOf, editsOf = editsOf))
+          cttsOf = cttsOf, editsOf = editsOf, v1Timing = i % 5 == 4))
       }
     }(enc)
   }

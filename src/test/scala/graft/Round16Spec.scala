@@ -77,6 +77,30 @@ class Round16Spec extends AnyFunSuite {
     assert(Codecs.walkMp4(ok).get.tracks.head.duration == 1000000000000L)
   }
 
+  test("walkMp4: version-1 ctts (signed offsets) and version-1 elst " +
+      "(64-bit entries) walk to the same census fields as version 0") {
+    import graft.multimodal.Codecs
+    val runs = Seq((4L, 10L))
+    val ctts = Seq((2L, 30L), (2L, -10L)) // negative shift: the v1 point
+    val edits = Seq((500L, -20L), (300L, 7L))
+    val v1 = Codecs.encodeMp4Deep("mp42", Seq(("vide", runs, Seq(16L))),
+      cttsOf = _ => ctts, editsOf = _ => edits, v1Timing = true)
+    val t = Codecs.walkMp4(v1).getOrElse(fail("v1 timing did not walk"))
+      .tracks.head
+    assert(t.cttsShift == 2 * 30 - 2 * 10)
+    assert(t.nEdits == 2 && t.editDuration == 800L && t.firstMediaTime == -20L)
+    // the v0 form of NON-negative fields reads identically
+    val pos = Seq((2L, 30L), (2L, 10L))
+    val ed0 = Seq((500L, 20L), (300L, 7L))
+    val a = Codecs.walkMp4(Codecs.encodeMp4Deep("mp42",
+      Seq(("vide", runs, Seq(16L))), cttsOf = _ => pos,
+      editsOf = _ => ed0)).get.tracks.head
+    val b = Codecs.walkMp4(Codecs.encodeMp4Deep("mp42",
+      Seq(("vide", runs, Seq(16L))), cttsOf = _ => pos,
+      editsOf = _ => ed0, v1Timing = true)).get.tracks.head
+    assert(a == b, "v0 and v1 must yield the same census row")
+  }
+
   // ------------------------------------------------------------------
   // ZIP EOCD hardening: a comment containing an EOCD-like pattern must
   // not shadow the true record
