@@ -57,6 +57,46 @@ object Bench {
 
   private val groupSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Band-scaled per-entry watchdog ceiling: 30× the committed quiet
+    * reading + 15 s slack, the band term capped at 240 s — but the env
+    * ceiling stays a hard FLOOR throughout: an operator raising
+    * SPARK_GRAFT_BENCH_ENTRY_SEC above 240 must not have entries with a
+    * committed reading silently clamped back below their own env
+    * ceiling. Entries without a committed reading keep the env ceiling;
+    * baseline-scale entries keep their 160 s floor. Package-visible so
+    * the spec tests THIS formula. */
+  private[graft] def bandCeiling(
+      name: String,
+      committed: Map[String, Double],
+      envCeiling: Double,
+      baselineScale: Set[String]): Double = {
+    val base = committed.get(name).filter(_ >= 0) match {
+      case Some(t) => math.max(envCeiling, math.min(t * 30.0 + 15.0, 240.0))
+      case None => envCeiling
+    }
+    if (baselineScale(name)) math.max(base, 160.0) else base
+  }
+
+  /** The repo root the bench artifacts live under. A literal
+    * `/root/repo` silently loses the band-scaled watchdog ceilings (and
+    * writes the detail file into the void) the moment the bench runs
+    * from a worktree, a renamed checkout, or CI — resolve instead:
+    * `SPARK_GRAFT_REPO_ROOT` when set, else the first ancestor of the
+    * working directory carrying `build.sbt` (sbt forks with cwd = the
+    * project root, so this is the normal hit), else the literal as a
+    * last resort. Package-visible so the spec tests THIS resolver. */
+  private[graft] def repoRoot(
+      env: Map[String, String] = sys.env,
+      cwd: String = System.getProperty("user.dir")): String =
+    env.get("SPARK_GRAFT_REPO_ROOT").getOrElse {
+      Iterator.iterate(java.nio.file.Paths.get(cwd).toAbsolutePath)(
+          _.getParent)
+        .takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .map(_.toString)
+        .getOrElse("/root/repo")
+    }
+
   /** Time one entry under a wall-clock ceiling: its jobs run in a
     * dedicated job group; a daemon watchdog cancels the group and any
     * follow-on jobs once the ceiling passes, so the entry surfaces as a
@@ -341,18 +381,13 @@ object Bench {
     // ceiling; the baseline-scale entries keep their 160 s floor.
     val committedT: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")),
+        java.nio.file.Paths.get(s"${repoRoot()}/BENCH_DETAIL.json")),
         java.nio.charset.StandardCharsets.UTF_8)
       "\"([^\"]+)\":\\{\"t\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
-    def ceilingFor(name: String): Double = {
-      val base = committedT.get(name).filter(_ >= 0) match {
-        case Some(t) => math.min(math.max(ceiling, t * 30.0 + 15.0), 240.0)
-        case None => ceiling
-      }
-      if (baselineScaleEntries(name)) math.max(base, 160.0) else base
-    }
+    def ceilingFor(name: String): Double =
+      bandCeiling(name, committedT, ceiling, baselineScaleEntries)
     def onePass(): Seq[Double] = entries.map { case (name, run) =>
       val t = timeEntry(spark, name, run, ceilingFor(name))
       teardown(spark)
@@ -435,7 +470,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_DETAIL still wins)
     val defaultDetail =
       if (only.isDefined) "/tmp/BENCH_DETAIL_dev.json"
-      else "/root/repo/BENCH_DETAIL.json"
+      else s"${repoRoot()}/BENCH_DETAIL.json"
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", defaultDetail)
     try java.nio.file.Files.write(

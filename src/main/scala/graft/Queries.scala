@@ -14694,6 +14694,523 @@ object Queries {
              |  LEFT JOIN ed USING (doc_id, t)
              |ORDER BY asset_id, track_idx""".stripMargin)))
 
+  // --------------------------------------------------------------------
+  // Round-17 oracle helpers: live-store serving.
+  // --------------------------------------------------------------------
+
+  /** One cell's LIVE-serve chain for the q358 oracle: entry points = the
+    * 2 lowest ids of `entSrc` (a table expression with column `id` —
+    * the cell's CURRENT membership, which is what the live serve windows
+    * its entries from), then a seeded beam search (beam 12, 3 rounds)
+    * over graph CTE `g` for the routed queries of cell `c`, ending at
+    * `${p}res` (the per-cell top-5). Assumes `route` and `v` in scope. */
+  private def liveServeCellCtes(
+      p: String, c: Int, entSrc: String, g: String): String =
+    s"""${p}e AS (SELECT id FROM $entSrc t ORDER BY id LIMIT 2),
+       |${p}sd AS (SELECT r.q_id, e.id AS n_id FROM route r, ${p}e e
+       |  WHERE r.cell = $c),
+       |${seededSearchCtes(s"${p}_", s"${p}sd", g, 12, 3)},
+       |${p}res AS (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM ${p}_b3)
+       |  WHERE rn <= 5)""".stripMargin
+
+  /** One cell's LIVE layered-descent chain for the q359 oracle — the
+    * swap-manifest semantics replayed generically: ml = the cell's max
+    * populated level over `memCte` (a CTE with column `id` — the CURRENT
+    * membership), entry = the lowest id there, then a cap-2 descent in
+    * which each layer stage is ACTIVE only when the stack reaches it
+    * (ml-gated) and pass-through otherwise — exactly the [[graft
+    * .operators.AnnIndex.descentSeedsWith]] loop — ending in the
+    * descent-seeded level-0 search (beam 12, 3 rounds) and `${pfx}res`
+    * (the per-cell top-5). Assumes route / lvt / v in scope. */
+  private def liveLayeredDescentCtes(
+      pfx: String, c: Int, memCte: String,
+      l2: String, l1: String, l0: String): String =
+    s"""${pfx}m AS (SELECT max(l.level) AS ml FROM $memCte mm
+       |  JOIN lvt l ON l.vec_id = mm.id),
+       |${pfx}e AS (SELECT min(mm.id) AS id FROM $memCte mm
+       |  JOIN lvt l ON l.vec_id = mm.id
+       |  WHERE l.level = (SELECT ml FROM ${pfx}m)),
+       |${pfx}s2 AS (SELECT r.q_id, e.id AS n_id FROM route r, ${pfx}e e
+       |  WHERE r.cell = $c),
+       |${seededSearchCtes(s"${pfx}l2_", s"${pfx}s2", l2, 6, 2)},
+       |${pfx}d1 AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM ${pfx}l2_b2)
+       |  WHERE rn <= 2 AND (SELECT ml FROM ${pfx}m) >= 2
+       |  UNION ALL SELECT q_id, n_id FROM ${pfx}s2
+       |  WHERE (SELECT ml FROM ${pfx}m) < 2),
+       |${seededSearchCtes(s"${pfx}l1_", s"${pfx}d1", l1, 6, 2)},
+       |${pfx}d0 AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM ${pfx}l1_b2)
+       |  WHERE rn <= 2 AND (SELECT ml FROM ${pfx}m) >= 1
+       |  UNION ALL SELECT q_id, n_id FROM ${pfx}d1
+       |  WHERE (SELECT ml FROM ${pfx}m) < 1),
+       |${seededSearchCtes(s"${pfx}f_", s"${pfx}d0", l0, 12, 3)},
+       |${pfx}res AS (SELECT q_id, n_id, d2 FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rn FROM ${pfx}f_b3)
+       |  WHERE rn <= 5)""".stripMargin
+
+  /** Global top-5 merge of four per-cell result CTEs, phase-tagged. */
+  private def phaseMergeCte(
+      name: String, phase: Int, resOf: Int => String): String =
+    s"""$name AS (SELECT $phase::BIGINT AS phase, q_id, n_id, d2, rank FROM (
+       |    SELECT q_id, n_id, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, n_id) AS rank
+       |    FROM (SELECT * FROM ${resOf(0)} UNION ALL SELECT * FROM ${resOf(1)}
+       |      UNION ALL SELECT * FROM ${resOf(2)} UNION ALL SELECT * FROM ${resOf(3)}))
+       |  WHERE rank <= 5)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Round-17 surface: streaming serve over the LIVE CDC-maintained
+  // stores — the last composition on the ANN lifecycle (every prior
+  // serve form reads a build-time artifact; production serves the store
+  // the CDC drain keeps swapping underneath).
+  // --------------------------------------------------------------------
+  private val roundSeventeenSurface: Seq[(String, Q)] = Seq(
+
+    // LIVE serving over the flat-sharded CDC store
+    // (AnnServing.serveLiveShardedTopK): a query stream served ACROSS a
+    // store swap — phase 0 drains against the freshly seeded per-cell
+    // stores, the q322 CDC batches then swap every cell under the
+    // serving path (deletes with before-images, upserts with
+    // after-images, applied through the same merge the q322 drain
+    // runs), and phase 1 drains again: each micro-batch re-resolves the
+    // swap pointers (DocStreams.recoverStore), pins its probed cells'
+    // committed versions with an eager snapshot (no half-committed or
+    // half-pruned read — Round17Spec locks a staged-but-unswapped next_
+    // dir invisible and unprobed cells never opened), windows entry
+    // points from the CURRENT survivors, and runs the q316 keyed routed
+    // beam search. The oracle replays both phases: the seed graphs
+    // (q322's per-cell NN-Descent chains) for phase 0 and the
+    // post-CDC graphs (q322's full lifecycle chains) with
+    // post-CDC entry points for phase 1 — a serve that failed to follow
+    // the pointer, or derived entries from stale membership, fails the
+    // phase-1 rows. Scale: per batch, routing + path-scoped pinned
+    // reads of probed cells + the fixed keyed search statement;
+    // nothing corpus-wide, nothing proportional to unprobed cells.
+    "q358_live_sharded_serve" -> Q(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val store = clonedShardedSeed(s, d, "base4", "graft_q358_store",
+          assigned, nCells = 4)
+        def serve(phase: Int): DataFrame =
+          graft.streaming.AnnServing.serveLiveShardedTopK(s, store, cents,
+            queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") >= 50 && col("vec_id") < 60,
+            idCol = "vec_id", vecCol = "embedding", nprobe = 2,
+            entriesPerCell = 2, beam = 12, rounds = 3, k = 5)
+            .withColumn("phase", lit(phase.toLong))
+        // phase 0: the seeded store (drained results are parquet on
+        // disk before the swap below mutates anything)
+        val pre = serve(0)
+        // the swap under the stream: the q322 CDC batches applied
+        // through the same per-cell merge the streaming drain runs
+        graft.streaming.IndexCdc.mergeShardedCdcBatch(
+          base.filter(col("vec_id") % 7 === 3)
+            .select(lit("delete").as("op"), col("vec_id"), col("embedding")),
+          0L, store, cents, "vec_id", "embedding", k = 10,
+          entriesPerCell = 2, beam = 12, searchRounds = 3,
+          repairThreshold = 1L)
+        graft.streaming.IndexCdc.mergeShardedCdcBatch(
+          t(s, d, "embeddings").filter(col("vec_id") % 10 === 9)
+            .select(lit("upsert").as("op"), col("vec_id"), col("embedding")),
+          1L, store, cents, "vec_id", "embedding", k = 10,
+          entriesPerCell = 2, beam = 12, searchRounds = 3,
+          repairThreshold = 1L)
+        // phase 1: the post-swap store through the same serving path
+        val post = serve(1)
+        pre.unionByName(post)
+          .select(col("phase"), col("q_id"), col("n_id"), col("d2"),
+            col("rank").cast("bigint").as("rank"))
+          .orderBy(col("phase"), col("q_id"), col("rank"))
+      },
+      benchFn = Some((s, d) => {
+        // bench variant: ONE live-serve drain against the immutable
+        // base4 seed — the serving scaffold + pinned reads + keyed
+        // search are the NEW shape; the CDC merge the verified entry
+        // composes with is exactly q322's benched per-batch shape, and
+        // timing the composition would charge it twice
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val store = ensureSeed("base4", d) { seedDir =>
+          graft.streaming.IndexCdc.initShardedStore(s, seedDir, assigned,
+            "vec_id", "embedding", nCells = 4, graphK = 10,
+            graphRounds = 3, initBuckets = 16)
+        }
+        graft.streaming.AnnServing.serveLiveShardedTopK(s, store, cents,
+            queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") >= 50 && col("vec_id") < 60,
+            idCol = "vec_id", vecCol = "embedding", nprobe = 2,
+            entriesPerCell = 2, beam = 12, rounds = 3, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      }),
+      oracle = Some {
+        val phase0 = (0 to 3).map(c => liveServeCellCtes(s"a$c", c,
+          s"(SELECT vec_id AS id FROM assign WHERE cell = $c)",
+          s"c${c}_nn3")).mkString(",\n")
+        val cur = (0 to 3).map(c =>
+          s"""z${c}cur AS (SELECT id FROM c${c}_rem
+             |  UNION ALL SELECT vec_id AS id FROM ups WHERE cell = $c)"""
+            .stripMargin).mkString(",\n")
+        val phase1 = (0 to 3).map(c => liveServeCellCtes(s"z$c", c,
+          s"z${c}cur", s"c${c}_pg")).mkString(",\n")
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+           |    embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+           |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+           |ups AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id % 10 = 9) WHERE rn = 1),
+           |v AS MATERIALIZED (SELECT vec_id AS id,
+           |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+           |  FROM embeddings),
+           |route AS MATERIALIZED (SELECT vec_id AS q_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id >= 50 AND ve.vec_id < 60) WHERE rn <= 2),
+           |${(0 to 3).map(shardedCdcCellCtes).mkString(",\n")},
+           |$phase0,
+           |$cur,
+           |$phase1,
+           |${phaseMergeCte("ph0", 0, c => s"a${c}res")},
+           |${phaseMergeCte("ph1", 1, c => s"z${c}res")}
+           |SELECT phase, q_id, n_id, d2, rank::BIGINT AS rank
+           |FROM (SELECT * FROM ph0 UNION ALL SELECT * FROM ph1)
+           |ORDER BY phase, q_id, rank""".stripMargin
+      }),
+
+    // LIVE serving over the sharded-LAYERED CDC store
+    // (AnnServing.serveLiveShardedLayeredTopK): the full descent-seeded
+    // layered read path over the store the q349 drain maintains — and
+    // the reason the per-cell `entry` swap manifests exist: each
+    // micro-batch re-resolves the swap pointers, reads its probed
+    // cells' (max populated level, top entry) from the manifests the
+    // merge REWRITES at every swap (driver file reads, zero Spark
+    // jobs — a build-time entries table would descend into a
+    // tombstoned id the first time a batch deleted a cell's top
+    // entry; Round17Spec locks exactly that refresh), pins the cells'
+    // level-0/vecs/layer parts, descends the stored stacks (ml-gated
+    // pass-through per cell), and runs the descent-seeded keyed
+    // level-0 search. Phase 0 serves the seed stacks; the q349 mixed
+    // CDC batch then swaps every cell; phase 1 serves the post-CDC
+    // stacks from their refreshed manifests. The oracle replays both:
+    // seed chains + seed-membership manifests, then q349's full
+    // post-CDC stacks + post-CDC manifests, each through the ml-gated
+    // descent. Scale: per batch, routing + manifest reads + pinned
+    // path-scoped reads + q345's serve shapes; nothing corpus-wide.
+    "q359_live_sharded_layered_serve" -> Q(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val store = clonedSeedStore("slay4", d, "graft_q359_store")(
+          slay4SeedBuild(s, assigned))
+        def serve(phase: Int): DataFrame =
+          graft.streaming.AnnServing.serveLiveShardedLayeredTopK(s, store,
+            cents, queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") >= 60 && col("vec_id") < 70,
+            idCol = "vec_id", vecCol = "embedding", cap = 2, nprobe = 2,
+            m = 2, descBeam = 6, descRounds = 2, beam = 12, rounds = 3,
+            k = 5)
+            .withColumn("phase", lit(phase.toLong))
+        val pre = serve(0)
+        // the q349 mixed batch (deletes + new-id upserts) applied
+        // through the same per-cell merge the streaming drain runs —
+        // every cell swaps, every manifest rewrites
+        graft.streaming.ShardedLayeredCdc.mergeShardedLayeredCdcBatch(
+          base.filter(col("vec_id") % 7 === 3)
+            .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+            .unionByName(t(s, d, "embeddings")
+              .filter(col("vec_id") % 10 === 9)
+              .select(lit("upsert").as("op"), col("vec_id"), col("embedding"))),
+          0L, store, cents, "vec_id", "embedding", cap = 2, k = 10,
+          layerK = 5, m = 2, descBeam = 6, descRounds = 2, beam = 12,
+          searchRounds = 3, repairThreshold = 1L)
+        val post = serve(1)
+        pre.unionByName(post)
+          .select(col("phase"), col("q_id"), col("n_id"), col("d2"),
+            col("rank").cast("bigint").as("rank"))
+          .orderBy(col("phase"), col("q_id"), col("rank"))
+      },
+      benchFn = Some((s, d) => {
+        // bench variant: ONE live layered-serve drain against the
+        // immutable slay4 seed (manifest reads + pinned stack reads +
+        // descent + seeded search — the new shape); the CDC merge is
+        // q349's benched per-batch shape
+        val emb = t(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 9)
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 0L until 4L)
+        val assigned = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        val store = ensureSeed("slay4", d)(slay4SeedBuild(s, assigned))
+        graft.streaming.AnnServing.serveLiveShardedLayeredTopK(s, store,
+            cents, queriesPath = s"$d/embeddings.parquet",
+            querySchemaDDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            queryFilter = col("vec_id") >= 60 && col("vec_id") < 70,
+            idCol = "vec_id", vecCol = "embedding", cap = 2, nprobe = 2,
+            m = 2, descBeam = 6, descRounds = 2, beam = 12, rounds = 3,
+            k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      }),
+      oracle = Some {
+        def lvlCase: String =
+          """CASE
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 4 <> 0 THEN 0
+            |      WHEN ('0x'||substr(md5('lvl:'||vec_id::VARCHAR),1,15))::BIGINT % 16 <> 0 THEN 1
+            |      ELSE 2 END""".stripMargin
+        val seedMem = (0 to 3).map(c =>
+          s"""s${c}mem AS (SELECT vec_id AS id FROM assign WHERE cell = $c)""")
+          .mkString(",\n")
+        val phase0 = (0 to 3).map(c => liveLayeredDescentCtes(s"g$c", c,
+          s"s${c}mem", s"w${c}L2_nn2", s"w${c}L1_nn2", s"w${c}_nn3"))
+          .mkString(",\n")
+        val cur = (0 to 3).map(c =>
+          s"""h${c}cur AS (SELECT id FROM w${c}rem
+             |  UNION ALL SELECT vec_id AS id FROM upsr WHERE cell = $c)"""
+            .stripMargin).mkString(",\n")
+        val phase1 = (0 to 3).map(c => liveLayeredDescentCtes(s"h$c", c,
+          s"h${c}cur", s"w${c}NG2", s"w${c}NG1", s"w${c}pg"))
+          .mkString(",\n")
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+           |    embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, e AS ce FROM ve WHERE vec_id < 4),
+           |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id % 10 <> 9) WHERE rn = 1),
+           |upsr AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id % 10 = 9) WHERE rn = 1),
+           |lvt AS MATERIALIZED (SELECT vec_id, $lvlCase AS level
+           |  FROM embeddings),
+           |v AS MATERIALIZED (SELECT vec_id AS id,
+           |    [floor(x::DOUBLE * 1000.0)::BIGINT for x in embedding] AS iv
+           |  FROM embeddings),
+           |vq AS (SELECT id, iv FROM v),
+           |route AS MATERIALIZED (SELECT vec_id AS q_id, cell FROM (
+           |    SELECT ve.vec_id, c.cent_id AS cell, row_number() OVER (
+           |      PARTITION BY ve.vec_id
+           |      ORDER BY round(list_cosine_similarity(ve.e, c.ce), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM ve CROSS JOIN cents c
+           |    WHERE ve.vec_id >= 60 AND ve.vec_id < 70) WHERE rn <= 2),
+           |${(0 to 3).map(shardedLayeredCellCtes).mkString(",\n")},
+           |$seedMem,
+           |$phase0,
+           |$cur,
+           |$phase1,
+           |${phaseMergeCte("lp0", 0, c => s"g${c}res")},
+           |${phaseMergeCte("lp1", 1, c => s"h${c}res")}
+           |SELECT phase, q_id, n_id, d2, rank::BIGINT AS rank
+           |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lp1)
+           |ORDER BY phase, q_id, rank""".stripMargin
+      }),
+
+    // Ogg IDENTIFICATION census (Mpeg.walkOggIds /
+    // Multimodal.walkOggIdCensus): q339's page walk read nothing
+    // inside packets — what a real crawl audit reports per logical
+    // stream is the codec and its playback parameters, all sitting at
+    // fixed offsets in packet 0 of the BOS page (the Vorbis I §4.2.2
+    // identification header and RFC 7845's OpusHead; both specs
+    // require that packet alone on its page, no audio decode needed).
+    // Streams alternate real Vorbis and Opus headers with id-predicted
+    // channels / rate / pre-skip; later pages carry the q339 data
+    // packets, so the census reports codec fields NEXT TO the
+    // CRC-validated page/packet accounting. A wrong magic, field
+    // offset, endianness, or first-packet lacing reassembly fails the
+    // hash on every stream of that codec. Scale: the q339
+    // partition-preserving mapPartitions shape reading O(header)
+    // bytes per stream.
+    "q360_ogg_id_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeOggIdAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkOggIdCensus(assets)
+          .orderBy(col("asset_id"), col("serial"))
+      },
+      Some("""WITH st AS (SELECT d.doc_id, s.s AS s,
+             |    ((d.doc_id + s.s) % 3 + 1)::BIGINT AS np
+             |  FROM documents d, range(0, 2) s(s) WHERE s.s < d.doc_id % 2 + 1),
+             |pk AS (SELECT st.doc_id, st.s,
+             |    sum((st.doc_id + st.s + p.p) % 3 + 1)::BIGINT AS extra
+             |  FROM st, range(1, 3) p(p) WHERE p.p < st.np
+             |  GROUP BY st.doc_id, st.s),
+             |idh AS (SELECT doc_id, s,
+             |    CASE WHEN (doc_id + s) % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+             |      AS codec,
+             |    CASE WHEN (doc_id + s) % 2 = 0 THEN 0 ELSE 1 END::BIGINT
+             |      AS version,
+             |    CASE WHEN (doc_id + s) % 2 = 0 THEN (doc_id + s) % 8 + 1
+             |      ELSE (doc_id + s) // 2 % 2 + 1 END::BIGINT AS channels,
+             |    CASE WHEN (doc_id + s) % 2 <> 0 THEN 48000
+             |      WHEN (doc_id + s) // 2 % 4 = 0 THEN 44100
+             |      WHEN (doc_id + s) // 2 % 4 = 1 THEN 48000
+             |      WHEN (doc_id + s) // 2 % 4 = 2 THEN 32000
+             |      ELSE 16000 END::BIGINT AS sample_rate,
+             |    CASE WHEN (doc_id + s) % 2 = 0 THEN 0
+             |      ELSE 312 + (doc_id + s) % 100 END::BIGINT AS pre_skip
+             |  FROM st)
+             |SELECT st.doc_id AS asset_id, (st.s + 7)::BIGINT AS serial,
+             |  i.codec, i.version, i.channels, i.sample_rate, i.pre_skip,
+             |  st.np AS n_pages,
+             |  (1 + coalesce(pk.extra, 0))::BIGINT AS n_packets,
+             |  (st.doc_id + 100 * st.s + 10 * (st.np - 1))::BIGINT
+             |    AS last_granule
+             |FROM st JOIN idh i ON st.doc_id = i.doc_id AND st.s = i.s
+             |  LEFT JOIN pk ON st.doc_id = pk.doc_id AND st.s = pk.s
+             |ORDER BY asset_id, serial""".stripMargin)),
+
+    // HONEST drop reasons in the JPEG coverage audit
+    // (Jpeg.dropReason / Multimodal.jpegAuditWithReasons): q328's
+    // audit says decoded-vs-sniffed but not WHY — and on a real
+    // corpus "why" is the difference between "scoped-out coding form,
+    // acceptable" and "my pipeline is damaging bytes". The corpus
+    // plants all four drop classes — a decodable baseline, the same
+    // asset declared arithmetic-coded (SOF9), declared 12-bit
+    // precision, carrying a genuine 16-bit (pq=1) DQT — plus a
+    // 10-byte truncation, and the audit tags each sniffed asset by an
+    // independent marker walk: jpeg_arithmetic / jpeg_12bit /
+    // jpeg_16bit_quant / corrupt. A classifier that keyed off the
+    // wrong marker range, precision offset, or pq nibble fails the
+    // hash on every asset of that class. Scale: the q328
+    // partition-preserving mapPartitions shape.
+    "q361_jpeg_drop_reasons" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeJpegReasonAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.jpegAuditWithReasons(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""SELECT doc_id AS asset_id, 'jpeg' AS container,
+             |  CASE WHEN doc_id % 5 = 0 THEN 'decoded' ELSE 'sniffed' END
+             |    AS status,
+             |  CASE doc_id % 5 WHEN 0 THEN 'ok' WHEN 1 THEN 'jpeg_arithmetic'
+             |    WHEN 2 THEN 'jpeg_12bit' WHEN 3 THEN 'jpeg_16bit_quant'
+             |    ELSE 'corrupt' END AS reason
+             |FROM documents
+             |ORDER BY asset_id""".stripMargin)),
+
+    // WARC response records in the FULL Common-Crawl shape
+    // (Warc.httpResponseBody / Multimodal.warcHttpDocs): q343's WET
+    // pipeline assumed clean bare-HTML payloads — real crawl records
+    // carry the HTTP MESSAGE (status line + headers + body), bodies
+    // arrive `Transfer-Encoding: chunked` as often as
+    // Content-Length-framed, and truncated captures are routine. Even
+    // (id + rec) records frame by Content-Length (verified exactly —
+    // a short body is a truncated capture and DROPS), odd ones by
+    // chunked coding with id-predicted chunk sizes (re-assembled per
+    // RFC 9112 §7.1 incl. the 0-chunk terminator), and every
+    // (id + 5·rec) % 7 == 3 record is cut 10 bytes short at the WARC
+    // layer — dropped at the record check with its neighbors' member
+    // ordinals unshifted. The oracle id-predicts every surviving
+    // record's status, URI, and EXACT reassembled HTML — a wrong
+    // chunk-size parse, CRLF step, framing precedence, or truncation
+    // leak fails the hash. Scale: the q343 partition-preserving
+    // mapPartitions shape, zero shuffle.
+    "q362_warc_chunked_http" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeWarcHttpAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.warcHttpDocs(assets)
+          .orderBy(col("asset_id"), col("rec_idx"))
+      },
+      Some("""WITH recs AS (SELECT d.doc_id, r.r AS rec,
+             |    ((d.doc_id + 3 * r.r) % 30 + 1)::BIGINT AS n
+             |  FROM documents d, range(0, 2) r(r)
+             |  WHERE r.r < d.doc_id % 2 + 1
+             |    AND (d.doc_id + 5 * r.r) % 7 <> 3),
+             |tok AS (SELECT doc_id, rec,
+             |    string_agg(lpad(((doc_id + 9 * j.j + 5 * rec) % 100)::VARCHAR,
+             |      2, '0'), ' ' ORDER BY j.j) AS ts
+             |  FROM recs, range(0, 30) j(j) WHERE j.j < n GROUP BY doc_id, rec)
+             |SELECT r.doc_id AS asset_id, r.rec::BIGINT AS rec_idx,
+             |  'http://example.com/' || r.doc_id || '/' || r.rec AS target_uri,
+             |  200::BIGINT AS http_status,
+             |  '<html><body><p>' || t.ts || '</p></body></html>' AS html
+             |FROM recs r JOIN tok t ON r.doc_id = t.doc_id AND r.rec = t.rec
+             |ORDER BY asset_id, rec_idx""".stripMargin)),
+
+    // MPEG-audio Layers I and II (Mpeg.walkMp3Layers /
+    // Multimodal.walkMp3LayerCensus): the q337/q356 walks are Layer
+    // III only — Layers I and II share the identical header format
+    // but differ in exactly the three places a census can get subtly
+    // wrong: the bitrate TABLE (the same 4-bit index means 448 kbps
+    // in Layer I, 384 in II, 320 in III), Layer I's 4-BYTE-SLOT
+    // length arithmetic ((12·kbps·1000/rate + pad)·4 vs
+    // 144·kbps·1000/rate + pad), and the 384-vs-1152
+    // samples-per-frame duration constant. The corpus cycles all
+    // three layers with id-predicted bitrate/rate/padding; the oracle
+    // restates every field through per-layer VALUES tables and the
+    // per-layer duration arithmetic — one wrong table row or stride
+    // desyncs a whole layer class. Scale: the q337
+    // partition-preserving mapPartitions shape, O(header bytes).
+    "q363_mp3_layer_census" -> Q(
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal
+          .synthesizeMp3LayerAssets(t(s, d, "documents").select(col("doc_id")))
+        graft.multimodal.Multimodal.walkMp3LayerCensus(assets)
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH br(layer, i, k) AS (VALUES
+             |  (1, 1, 32), (1, 2, 64), (1, 3, 96), (1, 4, 128), (1, 5, 160),
+             |  (1, 6, 192), (1, 7, 224), (1, 8, 256), (1, 9, 288), (1, 10, 320),
+             |  (1, 11, 352), (1, 12, 384), (1, 13, 416), (1, 14, 448),
+             |  (2, 1, 32), (2, 2, 48), (2, 3, 56), (2, 4, 64), (2, 5, 80),
+             |  (2, 6, 96), (2, 7, 112), (2, 8, 128), (2, 9, 160), (2, 10, 192),
+             |  (2, 11, 224), (2, 12, 256), (2, 13, 320), (2, 14, 384),
+             |  (3, 1, 32), (3, 2, 40), (3, 3, 48), (3, 4, 56), (3, 5, 64),
+             |  (3, 6, 80), (3, 7, 96), (3, 8, 112), (3, 9, 128), (3, 10, 160),
+             |  (3, 11, 192), (3, 12, 224), (3, 13, 256), (3, 14, 320)),
+             |p AS (SELECT doc_id, (doc_id % 3 + 1)::BIGINT AS layer,
+             |    (doc_id % 5 + 1)::BIGINT AS nf,
+             |    (doc_id % 14 + 1)::BIGINT AS bi,
+             |    CASE doc_id // 3 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |      ELSE 32000 END::BIGINT AS rate
+             |  FROM documents)
+             |SELECT p.doc_id AS asset_id, 'mpeg_audio' AS codec, p.layer,
+             |  p.rate AS sample_rate, br.k::BIGINT AS bitrate_kbps,
+             |  p.nf AS n_frames,
+             |  (p.nf * (CASE WHEN p.layer = 1 THEN 384 ELSE 1152 END)
+             |    * 1000 // p.rate)::BIGINT AS duration_ms
+             |FROM p JOIN br ON br.layer = p.layer AND br.i = p.bi
+             |ORDER BY asset_id""".stripMargin)))
+
   /** All queries in catalog order. */
   val all: Seq[(String, Q)] =
     relational ++ textAndEvents ++ dedup ++ dedupResolve ++ similarity ++
@@ -14702,5 +15219,5 @@ object Queries {
       roundFiveSurface ++ roundSixSurface ++ roundEightSurface ++
       roundTenSurface ++ roundElevenSurface ++ roundTwelveSurface ++
       roundThirteenSurface ++ roundFourteenSurface ++ roundFifteenSurface ++
-      roundSixteenSurface
+      roundSixteenSurface ++ roundSeventeenSurface
 }

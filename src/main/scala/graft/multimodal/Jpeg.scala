@@ -921,4 +921,45 @@ object Jpeg {
     }
     None
   } catch { case _: Exception => None } // corrupt assets skip, never fail
+
+  /** WHY a sniffed-but-undecodable JPEG dropped — the honest tag the
+    * corpus coverage audit reports next to `sniffed` instead of a
+    * silent None (a real-corpus audit must say whether coverage is
+    * partial because of a scoped-out coding form or because the bytes
+    * are damaged). A cheap second marker walk, independent of the
+    * decoder: arithmetic-coded SOFs (SOF9–11/13–15) and the DAC
+    * conditioning segment tag `jpeg_arithmetic`; a Huffman SOF whose
+    * sample precision is not 8 tags `jpeg_12bit`; a DQT table in the
+    * 16-bit form tags `jpeg_16bit_quant`; anything else that still
+    * failed the decoder — truncation, bad entropy data, malformed
+    * segments — tags `corrupt`. */
+  def dropReason(b: Array[Byte]): String = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return "corrupt"
+    var at = 2
+    while (at + 4 <= b.length) {
+      if ((b(at) & 0xff) != 0xff) return "corrupt"
+      val marker = b(at + 1) & 0xff
+      val len = ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+      if (len < 2) return "corrupt"
+      marker match {
+        case m if (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) ||
+          m == 0xcc => return "jpeg_arithmetic"
+        case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 =>
+          if (at + 4 < b.length && (b(at + 4) & 0xff) != 8)
+            return "jpeg_12bit"
+        case 0xdb =>
+          var o = at + 4
+          while (o < at + 2 + len && o < b.length) {
+            if (((b(o) & 0xff) >> 4) != 0) return "jpeg_16bit_quant"
+            o += 65
+          }
+        case 0xda => return "corrupt" // supported structure up to the
+        // entropy data: the failure is damage, not a scoped-out form
+        case _ => ()
+      }
+      at += 2 + len
+    }
+    "corrupt"
+  } catch { case _: Exception => "corrupt" }
 }

@@ -102,6 +102,116 @@ object Mpeg {
   } catch { case _: Exception => None }
 
   // ------------------------------------------------------------------
+  // Layers I and II (round 17 — closes the MPEG-audio family: the
+  // header format is shared, only the bitrate table, the
+  // samples-per-frame constant, and Layer I's 4-byte-slot length
+  // arithmetic differ — ISO/IEC 11172-3 §2.4.2.3/§2.4.3.1)
+  // ------------------------------------------------------------------
+
+  private val bitrateKbpsL1 = Array(
+    0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
+  private val bitrateKbpsL2 = Array(
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0)
+
+  private def layerBitrate(layer: Int, idx: Int): Int = layer match {
+    case 1 => bitrateKbpsL1(idx)
+    case 2 => bitrateKbpsL2(idx)
+    case _ => bitrateKbps(idx)
+  }
+
+  /** Samples per MPEG-1 frame: 384 for Layer I, 1152 for II/III. */
+  def mp3SamplesPerFrame(layer: Int): Int = if (layer == 1) 384 else 1152
+
+  /** Frame byte length, per layer: Layer I counts 12·kbps·1000/rate
+    * 4-byte SLOTS (+ one 4-byte padding slot); II/III count
+    * 144·kbps·1000/rate bytes (+ one padding byte). */
+  def mp3FrameLenLayer(layer: Int, kbps: Int, rate: Int, padding: Int): Int =
+    if (layer == 1) (12 * kbps * 1000 / rate + padding) * 4
+    else 144 * kbps * 1000 / rate + padding
+
+  /** The header's layer FIELD (2 bits): 11 = Layer I, 10 = II, 01 = III. */
+  private def layerField(layer: Int): Int = layer match {
+    case 1 => 3; case 2 => 2; case _ => 1
+  }
+
+  /** Synthesize a CBR stream of any MPEG-1 layer: `nFrames` valid
+    * headers with zero audio payloads, per-frame padding from
+    * `padBit`. */
+  def encodeMp3Layered(
+      layer: Int,
+      nFrames: Int,
+      bitrateIdx: Int,
+      rateIdx: Int,
+      padBit: Int => Int): Array[Byte] = {
+    require(layer >= 1 && layer <= 3 && nFrames >= 1 &&
+      bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    val rate = sampleRates(rateIdx)
+    val kbps = layerBitrate(layer, bitrateIdx)
+    for (f <- 0 until nFrames) {
+      val pad = padBit(f) & 1
+      val len = mp3FrameLenLayer(layer, kbps, rate, pad)
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = (0xf0 | 0x08 | (layerField(layer) << 1) | 0x01).toByte
+      frame(2) = ((bitrateIdx << 4) | (rateIdx << 2) | (pad << 1)).toByte
+      frame(3) = 0 // stereo, no extras
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  final case class Mp3LayerInfo(
+      layer: Int,
+      sampleRate: Int,
+      bitrateKbps: Int,
+      nFrames: Long,
+      durationMs: Long)
+
+  /** Walk a CBR stream of ANY MPEG-1 layer: the q337 walk generalized
+    * over the layer field — per-layer bitrate table, Layer I's 4-byte
+    * slot stride, 384-vs-1152 duration arithmetic. The layer must not
+    * change mid-stream (a desync symptom, like a rate change); None on
+    * anything malformed, truncated, protected, or free-format. */
+  def walkMp3Layers(b: Array[Byte]): Option[Mp3LayerInfo] = try {
+    var at = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      at = 10 + size
+    }
+    if (at >= b.length) return None
+    var layer = -1
+    var rate = -1
+    var kbps = -1
+    var frames = 0L
+    while (at < b.length) {
+      if (at + 4 > b.length) return None
+      if ((b(at) & 0xff) != 0xff || (b(at + 1) & 0xf8) != 0xf8) return None
+      val lf = (b(at + 1) >> 1) & 0x03
+      if (lf == 0) return None // reserved
+      val ly = lf match { case 3 => 1; case 2 => 2; case _ => 3 }
+      val hasCrc = (b(at + 1) & 0x01) == 0
+      if (hasCrc) return None // the protected walk is walkMp3Vbr's
+      val bIdx = (b(at + 2) >> 4) & 0x0f
+      val rIdx = (b(at + 2) >> 2) & 0x03
+      val pad = (b(at + 2) >> 1) & 0x01
+      if (bIdx == 0 || bIdx == 15 || rIdx == 3) return None
+      val r = sampleRates(rIdx)
+      val k = layerBitrate(ly, bIdx)
+      if (layer < 0) { layer = ly; rate = r; kbps = k }
+      else if (layer != ly || rate != r || kbps != k) return None
+      val len = mp3FrameLenLayer(ly, k, r, pad)
+      if (at + len > b.length) return None
+      at += len
+      frames += 1
+    }
+    if (frames == 0) None
+    else Some(Mp3LayerInfo(layer, rate, kbps, frames,
+      frames * mp3SamplesPerFrame(layer).toLong * 1000L / rate))
+  } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------------
   // VBR + CRC (round 16 — closes the CBR/no-CRC gate: most podcast-era
   // MP3s are VBR, and CRC-protected frames appear in broadcast rips)
   // ------------------------------------------------------------------
@@ -337,20 +447,77 @@ object Mpeg {
     page
   }
 
+  /** A Vorbis I identification header (spec §4.2.2, 30 bytes): packet
+    * type 0x01 + "vorbis", version 0, channels, sample rate, three
+    * zero bitrate fields, blocksize byte, framing bit. */
+  def vorbisIdHeader(channels: Int, rate: Long): Array[Byte] = {
+    val out = new Array[Byte](30)
+    out(0) = 0x01
+    "vorbis".getBytes("US-ASCII").copyToArray(out, 1)
+    // version u32 = 0 (bytes 7..10 stay zero)
+    out(11) = channels.toByte
+    var i = 0
+    while (i < 4) { out(12 + i) = ((rate >> (8 * i)) & 0xff).toByte; i += 1 }
+    // bitrate_{max,nominal,min} s32 = 0 (bytes 16..27 stay zero)
+    out(28) = 0xb8.toByte // blocksize0 = 256 (2^8), blocksize1 = 2048 (2^11)
+    out(29) = 0x01 // framing bit
+    out
+  }
+
+  /** An Opus `OpusHead` identification header (RFC 7845 §5.1, 19 bytes
+    * at mapping family 0): magic, version 1, channels, pre-skip u16,
+    * input sample rate u32, output gain 0, mapping family 0. */
+  def opusHead(channels: Int, preSkip: Int, rate: Long): Array[Byte] = {
+    val out = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(out, 0)
+    out(8) = 0x01
+    out(9) = channels.toByte
+    out(10) = (preSkip & 0xff).toByte
+    out(11) = ((preSkip >> 8) & 0xff).toByte
+    var i = 0
+    while (i < 4) { out(12 + i) = ((rate >> (8 * i)) & 0xff).toByte; i += 1 }
+    // output gain s16 = 0; mapping family 0 (bytes 16..18 stay zero)
+    out
+  }
+
   final case class OggStream(
       serial: Long,
       nPages: Long,
       nPackets: Long,
       lastGranule: Long)
 
-  /** Walk every page, VALIDATING each CRC; count pages and COMPLETED
-    * packets (a lacing value < 255 terminates a packet) per stream
-    * serial and keep the last granule position. None on bad capture,
-    * truncation, or any CRC mismatch. */
-  def walkOgg(b: Array[Byte]): Option[Seq[OggStream]] = try {
+  /** [[OggStream]] plus the identification fields a crawl audit reports
+    * per logical stream, read from packet 0 (the BOS page's first
+    * packet — fixed-offset reads, no audio decode): codec ∈
+    * vorbis | opus | unknown, the header's version, channel count,
+    * sample rate, and Opus pre-skip (0 for Vorbis, −1 when unknown). */
+  final case class OggIdStream(
+      serial: Long,
+      codec: String,
+      version: Long,
+      channels: Long,
+      sampleRate: Long,
+      preSkip: Long,
+      nPages: Long,
+      nPackets: Long,
+      lastGranule: Long)
+
+  private final case class OggAcc(
+      nPages: Long,
+      nPackets: Long,
+      lastGranule: Long,
+      firstPacket: Array[Byte])
+
+  /** The shared page walk: every page CRC-validated, per-serial page /
+    * completed-packet / granule accounting, plus each stream's FIRST
+    * complete packet captured from its first page (where both the
+    * Vorbis and Opus identification headers live — each spec requires
+    * the id header alone on the BOS page; a first packet that continues
+    * past its page is captured as empty and identifies as unknown). */
+  private def walkOggCore(
+      b: Array[Byte]): Option[Seq[(Long, OggAcc)]] = try {
     var at = 0
-    val pages = scala.collection.mutable.LinkedHashMap
-      .empty[Long, (Long, Long, Long)] // serial -> (pages, packets, granule)
+    val pages = scala.collection.mutable.LinkedHashMap.empty[Long, OggAcc]
     if (b.length == 0) return None
     while (at < b.length) {
       if (at + 27 > b.length) return None
@@ -370,20 +537,76 @@ object Mpeg {
       if (at + 27 + nSeg > b.length) return None
       var bodyLen = 0
       var packets = 0L
+      var firstLen = -1
+      var scanning = true
       i = 0
       while (i < nSeg) {
         val v = b(at + 27 + i) & 0xff
         bodyLen += v
         if (v < 255) packets += 1
+        if (scanning) {
+          // first packet on this page: lacing values up to the first
+          // < 255 terminator
+          if (v < 255) { firstLen = bodyLen; scanning = false }
+        }
         i += 1
       }
       val end = at + 27 + nSeg + bodyLen
       if (end > b.length) return None
       if ((oggCrc(b, at, end, at + 22).toLong & 0xffffffffL) != stored) return None
-      val (p0, k0, _) = pages.getOrElse(serial, (0L, 0L, 0L))
-      pages.update(serial, (p0 + 1, k0 + packets, granule))
+      val prev = pages.get(serial)
+      val first = prev.map(_.firstPacket).getOrElse {
+        if (firstLen < 0) Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(b, at + 27 + nSeg,
+          at + 27 + nSeg + firstLen)
+      }
+      val (p0, k0) = prev.map(p => (p.nPages, p.nPackets)).getOrElse((0L, 0L))
+      pages.update(serial, OggAcc(p0 + 1, k0 + packets, granule, first))
       at = end
     }
-    Some(pages.toSeq.map { case (s, (p, k, g)) => OggStream(s, p, k, g) })
+    Some(pages.toSeq)
   } catch { case _: Exception => None }
+
+  /** Walk every page, VALIDATING each CRC; count pages and COMPLETED
+    * packets (a lacing value < 255 terminates a packet) per stream
+    * serial and keep the last granule position. None on bad capture,
+    * truncation, or any CRC mismatch. */
+  def walkOgg(b: Array[Byte]): Option[Seq[OggStream]] =
+    walkOggCore(b).map(_.map { case (s, a) =>
+      OggStream(s, a.nPages, a.nPackets, a.lastGranule)
+    })
+
+  private def leU16(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8)
+  private def leU32(b: Array[Byte], o: Int): Long =
+    leU16(b, o) | (leU16(b, o + 2) << 16)
+
+  /** [[walkOgg]] extended with the per-stream IDENTIFICATION census —
+    * what a real crawl audit reports per logical stream: packet 0 of
+    * the BOS page parsed as a Vorbis identification header
+    * (`\\x01vorbis`: version u32, channels u8, sample rate u32 — RFC
+    * wrapping of the Vorbis I spec §4.2.2) or an Opus `OpusHead` (RFC
+    * 7845 §5.1: version u8, channels u8, pre-skip u16, input sample
+    * rate u32), all little-endian fixed-offset reads; any other first
+    * packet reports codec `unknown` with −1 fields rather than
+    * dropping the stream (the page accounting stands on its own). */
+  def walkOggIds(b: Array[Byte]): Option[Seq[OggIdStream]] =
+    walkOggCore(b).map(_.map { case (s, a) =>
+      val fp = a.firstPacket
+      val vorbis = fp.length >= 30 && (fp(0) & 0xff) == 0x01 &&
+        fp(1) == 'v' && fp(2) == 'o' && fp(3) == 'r' && fp(4) == 'b' &&
+        fp(5) == 'i' && fp(6) == 's'
+      val opus = fp.length >= 19 && fp(0) == 'O' && fp(1) == 'p' &&
+        fp(2) == 'u' && fp(3) == 's' && fp(4) == 'H' && fp(5) == 'e' &&
+        fp(6) == 'a' && fp(7) == 'd'
+      if (vorbis)
+        OggIdStream(s, "vorbis", leU32(fp, 7), (fp(11) & 0xff).toLong,
+          leU32(fp, 12), 0L, a.nPages, a.nPackets, a.lastGranule)
+      else if (opus)
+        OggIdStream(s, "opus", (fp(8) & 0xff).toLong, (fp(9) & 0xff).toLong,
+          leU32(fp, 12), leU16(fp, 10), a.nPages, a.nPackets, a.lastGranule)
+      else
+        OggIdStream(s, "unknown", -1L, -1L, -1L, -1L,
+          a.nPages, a.nPackets, a.lastGranule)
+    })
 }

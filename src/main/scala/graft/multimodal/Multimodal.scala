@@ -1302,6 +1302,85 @@ object Multimodal {
     }(enc)
   }
 
+  /** Ogg corpus whose streams carry REAL identification headers in
+    * packet 0 of their BOS pages — (doc_id + s) even streams Vorbis,
+    * odd Opus, id-predicted channels / rate / pre-skip; later pages
+    * carry the q339-shaped data packets, so the page/packet accounting
+    * stays exercised alongside the id parse. */
+  def synthesizeOggIdAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeOggIdAssets needs non-negative ids, got $i")
+        val out = new java.io.ByteArrayOutputStream()
+        for (s <- 0 until (i % 2 + 1).toInt) {
+          val nPages = ((i + s) % 3 + 1).toInt
+          val idPacket =
+            if ((i + s) % 2 == 0)
+              Mpeg.vorbisIdHeader(
+                channels = ((i + s) % 8 + 1).toInt,
+                rate = (i + s) / 2 % 4 match {
+                  case 0 => 44100L; case 1 => 48000L
+                  case 2 => 32000L; case _ => 16000L
+                })
+            else
+              Mpeg.opusHead(
+                channels = ((i + s) / 2 % 2 + 1).toInt,
+                preSkip = (312 + (i + s) % 100).toInt,
+                rate = 48000L)
+          for (pg <- 0 until nPages) {
+            val packets =
+              if (pg == 0) Seq(idPacket) // the id header alone on BOS
+              else (0 until ((i + s + pg) % 3 + 1).toInt).map { k =>
+                Array.tabulate(((i + 7 * pg + s + k) % 40 + 1).toInt)(
+                  j => ((i + j + k) % 256).toByte)
+              }
+            out.write(Mpeg.encodeOggPage(
+              serial = (s + 7).toInt, pageSeq = pg,
+              granule = i + 100L * s + 10L * pg,
+              headerType = if (pg == 0) 2 else if (pg == nPages - 1) 4 else 0,
+              packets = packets))
+          }
+        }
+        Row(i, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Ogg IDENTIFICATION census ([[Mpeg.walkOggIds]]): per logical
+    * stream the codec / version / channels / sample rate / pre-skip
+    * read from packet 0, next to the page accounting. Unwalkable
+    * assets drop; an unidentifiable first packet reports `unknown`
+    * with −1 fields. Partition-preserving. */
+  def walkOggIdCensus(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("serial", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("pre_skip", LongType, nullable = false),
+      StructField("n_pages", LongType, nullable = false),
+      StructField("n_packets", LongType, nullable = false),
+      StructField("last_granule", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Mpeg.walkOggIds(r.getAs[Array[Byte]](1)).toSeq.flatMap { streams =>
+          streams.map(s => Row(id, s.serial, s.codec, s.version, s.channels,
+            s.sampleRate, s.preSkip, s.nPages, s.nPackets, s.lastGranule))
+        }
+      }
+    }(enc)
+  }
+
   /** Mixed-container document corpus for the ingest FUNNEL: id mod 3
     * cycles ustar / *.warc.gz / ZIP, each holding its id-predicted
     * fixed-width-token documents — the realistic shape of a 100 TB
@@ -1389,6 +1468,141 @@ object Multimodal {
     }(enc)
   }
 
+  /** MPEG-audio corpus across ALL THREE MPEG-1 layers: id mod 3
+    * cycles Layer I / II / III, with id-predicted bitrate index, rate
+    * index, frame count, and alternating padding — the slot-vs-byte
+    * length arithmetic differs per layer, so one wrong stride desyncs
+    * that layer's every asset. */
+  def synthesizeMp3LayerAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeMp3LayerAssets needs non-negative ids, got $i")
+        Row(i, Mpeg.encodeMp3Layered(
+          layer = (i % 3 + 1).toInt,
+          nFrames = (i % 5 + 1).toInt,
+          bitrateIdx = (i % 14 + 1).toInt,
+          rateIdx = (i / 3 % 3).toInt,
+          padBit = f => ((i + f) % 2).toInt))
+      }
+    }(enc)
+  }
+
+  /** All-layer MPEG-audio census ([[Mpeg.walkMp3Layers]]): per asset
+    * the layer, rate, bitrate, walked frame count, and duration under
+    * the per-layer samples-per-frame constant. Partition-preserving. */
+  def walkMp3LayerCensus(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("layer", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("bitrate_kbps", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Mpeg.walkMp3Layers(r.getAs[Array[Byte]](1)).map { info =>
+          Row(id, "mpeg_audio", info.layer.toLong, info.sampleRate.toLong,
+            info.bitrateKbps.toLong, info.nFrames, info.durationMs)
+        }
+      }
+    }(enc)
+  }
+
+  private def findJpegMarker(b: Array[Byte], want: Int): Int = {
+    var at = 2
+    while (at + 4 <= b.length) {
+      if ((b(at + 1) & 0xff) == want) return at
+      at += 2 + (((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff))
+    }
+    -1
+  }
+
+  /** JPEG corpus spanning the DROP-REASON classes a real crawl
+    * contains: id mod 5 cycles a decodable baseline asset, the same
+    * asset declared arithmetic-coded (SOF9), declared 12-bit sample
+    * precision, carrying a REAL 16-bit (pq=1) quantization table, and
+    * truncated to its first 10 bytes — the planted fixtures the honest
+    * audit (q361) classifies. */
+  def synthesizeJpegReasonAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeJpegReasonAssets needs non-negative ids, got $i")
+        val base = Jpeg.encodeJpegGray((i % 15 + 1).toInt, (i % 9 + 1).toInt,
+          seed = i)
+        val bytes = (i % 5) match {
+          case 0 => base
+          case 1 =>
+            val b = base.clone()
+            b(findJpegMarker(b, 0xc0) + 1) = 0xc9.toByte
+            b
+          case 2 =>
+            val b = base.clone()
+            b(findJpegMarker(b, 0xc0) + 4) = 12.toByte
+            b
+          case 3 =>
+            // splice a genuine 16-bit DQT in: pq=1, len 131, every
+            // value widened to u16 big-endian
+            val at = findJpegMarker(base, 0xdb)
+            val len = ((base(at + 2) & 0xff) << 8) | (base(at + 3) & 0xff)
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(base, 0, at)
+            out.write(0xff); out.write(0xdb)
+            val nlen = 2 + 1 + 128
+            out.write(nlen >> 8); out.write(nlen & 0xff)
+            out.write(0x10 | (base(at + 4) & 0x0f))
+            for (k <- 0 until 64) {
+              out.write(0); out.write(base(at + 5 + k) & 0xff)
+            }
+            out.write(base, at + 2 + len, base.length - (at + 2 + len))
+            out.toByteArray
+          case _ => base.take(10)
+        }
+        Row(i, bytes)
+      }
+    }(enc)
+  }
+
+  /** The coverage audit made HONEST about WHY a JPEG dropped: same
+    * decode-or-sniff verdict as [[codecCoverageAudit]], plus the
+    * [[Jpeg.dropReason]] tag for every sniffed asset (`ok` for
+    * decoded ones) — so a real-corpus audit distinguishes "scoped-out
+    * coding form" (arithmetic / 12-bit / 16-bit tables) from "damaged
+    * bytes" instead of lumping both into one sniffed bucket.
+    * Partition-preserving. */
+  def jpegAuditWithReasons(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("reason", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (status, reason) =
+          if (Jpeg.decodeJpeg(bytes).isDefined) ("decoded", "ok")
+          else ("sniffed", Jpeg.dropReason(bytes))
+        Row(id, "jpeg", status, reason)
+      }
+    }(enc)
+  }
+
   /** WARC-of-HTML crawl corpus — the true Common Crawl shape: each
     * *.warc.gz response record carries an HTML PAGE (script, style,
     * comment, attributes, entities — every extraction hazard) whose
@@ -1413,6 +1627,104 @@ object Multimodal {
           ("response", s"http://example.com/$i/$rec", html.getBytes("US-ASCII"))
         }
         Row(i, graft.sources.Warc.encodeWarcGz(recs))
+      }
+    }(enc)
+  }
+
+  /** WARC corpus in the FULL Common-Crawl response shape: each
+    * response record's payload is an HTTP message — status line,
+    * headers, and the HTML body framed either by `Content-Length`
+    * ((i + rec) even) or by `Transfer-Encoding: chunked` with
+    * id-predicted chunk sizes ((i + rec) odd) — and every
+    * (i + 5·rec) % 7 == 3 record is a TRUNCATED capture (its payload
+    * cut 10 bytes short of the declared Content-Length framing), the
+    * damage a real crawl carries. */
+  def synthesizeWarcHttpAssets(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        require(i >= 0, s"synthesizeWarcHttpAssets needs non-negative ids, got $i")
+        val out = new java.io.ByteArrayOutputStream()
+        for (rec <- 0 until (i % 2 + 1).toInt) {
+          val n = ((i + 3 * rec) % 30 + 1).toInt
+          val toks = (0 until n)
+            .map(j => f"${(i + 9L * j + 5L * rec) % 100}%02d").mkString(" ")
+          val html = "<html><body><p>" + toks + "</p></body></html>"
+          val body = html.getBytes("US-ASCII")
+          val http =
+            if ((i + rec) % 2 == 0) {
+              ("HTTP/1.1 200 OK\r\n" +
+                "Content-Type: text/html\r\n" +
+                s"Content-Length: ${body.length}\r\n" +
+                "\r\n").getBytes("US-ASCII") ++ body
+            } else {
+              val cs = ((i + rec) % 11 + 3).toInt
+              val bo = new java.io.ByteArrayOutputStream()
+              bo.write(("HTTP/1.1 200 OK\r\n" +
+                "Content-Type: text/html\r\n" +
+                "Transfer-Encoding: chunked\r\n" +
+                "\r\n").getBytes("US-ASCII"))
+              var o = 0
+              while (o < body.length) {
+                val k = math.min(cs, body.length - o)
+                bo.write(s"${k.toHexString}\r\n".getBytes("US-ASCII"))
+                bo.write(body, o, k)
+                bo.write("\r\n".getBytes("US-ASCII"))
+                o += k
+              }
+              bo.write("0\r\n\r\n".getBytes("US-ASCII"))
+              bo.toByteArray
+            }
+          val recBytes = graft.sources.Warc.formatRecord(
+            "response", s"http://example.com/$i/$rec", http)
+          val emitted =
+            if ((i + 5 * rec) % 7 == 3)
+              // truncated capture: the WARC record body stops 10 bytes
+              // short of its declared Content-Length — parseRecord must
+              // drop exactly this record and nothing else
+              recBytes.take(recBytes.length - 10)
+            else recBytes
+          out.write(graft.sources.Warc.gzipMember(emitted))
+        }
+        Row(i, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** The WARC→HTTP→HTML walk for the full-response corpus: gzip
+    * members → WARC records (truncated captures drop at the record
+    * check) → [[graft.sources.Warc.httpResponseBody]] (chunked bodies
+    * re-assembled, Content-Length bodies length-verified) → the HTML
+    * string plus the HTTP status. rec_idx is the gzip-member ordinal,
+    * so a dropped record never shifts its neighbors. Partition-
+    * preserving. */
+  def warcHttpDocs(assets: DataFrame,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("rec_idx", LongType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("http_status", LongType, nullable = false),
+      StructField("html", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select(col(idCol).cast("long"), col(bytesCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        graft.sources.Warc.gzipMembers(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          members =>
+            members.zipWithIndex.flatMap { case (m, ix) =>
+              for {
+                rec <- graft.sources.Warc.parseRecord(m)
+                if rec.recType == "response"
+                (status, body) <- graft.sources.Warc.httpResponseBody(rec.payload)
+              } yield Row(id, ix.toLong, rec.targetUri, status.toLong,
+                new String(body, "US-ASCII"))
+            }
+        }
       }
     }(enc)
   }

@@ -231,10 +231,7 @@ object AnnIndex {
         // on the serve path scales with corpus width, not with the
         // probed cells). Written first: the layer_cap _SUCCESS gate
         // below covers it
-        lv.groupBy(col("cell")).agg(max(col("level")).as("ml"))
-          .join(lv.select(col("cell"), col(idCol), col("level")), Seq("cell"))
-          .filter(col("level") === col("ml"))
-          .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("n_id"))
+        deriveLayerEntries(assigned, idCol, cap)
           .write.mode("overwrite").parquet(s"$layersDir/entries")
         for (l <- 1 to cap) {
           val full = (0 until nCells).map { c =>
@@ -249,8 +246,52 @@ object AnnIndex {
           full.write.mode("overwrite").partitionBy("cell")
             .parquet(s"$layersDir/layer_$l")
         }
+      } else if (!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$layersDir/entries/_SUCCESS"))) {
+        // MIGRATION: a layers artifact persisted before the entries
+        // table existed passes the layer_cap gate but cannot serve —
+        // backfill the table (a pure function of the assignment and the
+        // hash levels, so it equals what the build would have written)
+        // under the same build lock instead of failing every descent
+        deriveLayerEntries(assigned, idCol, cap)
+          .write.mode("overwrite").parquet(s"$layersDir/entries")
       }
     }
+  }
+
+  /** The per-cell (cell, max populated level, top entry id) descent
+    * table — a pure function of the assignment and the deterministic
+    * hash levels. [[buildOrLoadShardedLayers]] persists it with the
+    * stack; [[cellDescentSeeds]] falls back to this derivation when
+    * serving a pre-entries artifact directly. */
+  private[graft] def deriveLayerEntries(
+      assigned: DataFrame,
+      idCol: String,
+      cap: Int): DataFrame = {
+    val lv = assigned.select(col("cell").cast("long").as("cell"),
+      col(idCol), LayeredAnn.levelColumn(col(idCol), cap).as("level"))
+    lv.groupBy(col("cell")).agg(max(col("level")).as("ml"))
+      .join(lv.select(col("cell"), col(idCol), col("level")), Seq("cell"))
+      .filter(col("level") === col("ml"))
+      .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("n_id"))
+  }
+
+  /** The stored descent-entry table when the artifact has one, else the
+    * in-memory derivation from the assignment — the read side of the
+    * [[buildOrLoadShardedLayers]] migration: a pre-entries artifact
+    * keeps serving instead of dying on a missing path. */
+  private[graft] def layerEntriesTable(
+      spark: org.apache.spark.sql.SparkSession,
+      layersDir: String,
+      assigned: DataFrame,
+      idCol: String,
+      cap: Int): DataFrame = {
+    val success = new org.apache.hadoop.fs.Path(s"$layersDir/entries/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(success))
+      spark.read.schema("cell BIGINT, ml INT, n_id BIGINT")
+        .parquet(s"$layersDir/entries")
+    else deriveLayerEntries(assigned, idCol, cap)
   }
 
   /** Per-(query, cell) DESCENT seeds over the per-cell layer stacks:
@@ -285,13 +326,44 @@ object AnnIndex {
     // it with a corpus-wide aggregate over the assignment, whose cost
     // scales with corpus width instead of the probed-cell count. A
     // streaming server pins the table once and passes it via `entries`
-    // so micro-batches skip even the small per-call read.
-    val entry = entries.getOrElse(spark.read
-        .schema("cell BIGINT, ml INT, n_id BIGINT")
-        .parquet(s"$layersDir/entries"))
+    // so micro-batches skip even the small per-call read; a pre-entries
+    // artifact falls back to the assignment derivation instead of dying.
+    val entry = entries
+      .getOrElse(layerEntriesTable(spark, layersDir, assigned, idCol, cap))
       .filter(probed)
       .localCheckpoint()
     val corpus = assigned.select(col(idCol), col(vecCol))
+    descentSeedsWith(entry, corpus, routed, idCol, vecCol, cap, m,
+      descBeam, descRounds) { l =>
+      // explicit schema: a layer every cell populates with < 2 members
+      // is a legitimately EMPTY partitioned artifact (zero data files),
+      // which schema inference cannot read
+      spark.read
+        .schema("q_id BIGINT, n_id BIGINT, d2 BIGINT, rank INT, cell BIGINT")
+        .parquet(s"$layersDir/layer_$l").filter(probed)
+    }
+  }
+
+  /** The descent LOOP shared by the artifact-backed form above and the
+    * live-store serve ([[graft.streaming.AnnServing
+    * .serveLiveShardedLayeredTopK]], whose layers come from per-cell
+    * swapped stores rather than one partitioned dir): top-entry seeds
+    * from `entry` (cell, ml, n_id), then one keyed per-cell beam stage
+    * per stored layer cap..1, cells whose stack is shorter passing
+    * their seeds through unchanged. `layerOf` supplies layer l's edge
+    * table carrying `cell`. */
+  private[graft] def descentSeedsWith(
+      entry: DataFrame,
+      corpus: DataFrame,
+      routed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      m: Int,
+      descBeam: Int,
+      descRounds: Int)(
+      layerOf: Int => DataFrame): DataFrame = {
+    require(cap >= 1 && m >= 1 && descBeam >= m)
     var seeds = routed
       .select(col(idCol).as("q_id"), col("cell").cast("long").as("cell"))
       .join(entry.select(col("cell"), col("n_id")), Seq("cell"))
@@ -302,14 +374,8 @@ object AnnIndex {
       val act = entry.filter(col("ml") >= l).select(col("cell"))
       val sAct = seeds.join(act, Seq("cell"), "left_semi")
       val sPass = seeds.join(act, Seq("cell"), "left_anti")
-      // explicit schema: a layer every cell populates with < 2 members
-      // is a legitimately EMPTY partitioned artifact (zero data files),
-      // which schema inference cannot read
-      val layerG = spark.read
-        .schema("q_id BIGINT, n_id BIGINT, d2 BIGINT, rank INT, cell BIGINT")
-        .parquet(s"$layersDir/layer_$l").filter(probed)
-      val found = Similarity.keyedGraphSearchPerCell(layerG, corpus, routed,
-        sAct, idCol, vecCol, descBeam, descRounds, m)
+      val found = Similarity.keyedGraphSearchPerCell(layerOf(l), corpus,
+        routed, sAct, idCol, vecCol, descBeam, descRounds, m)
       seeds = found.select(col("q_id"), col("cell"), col("n_id"))
         .unionByName(sPass).localCheckpoint()
     }

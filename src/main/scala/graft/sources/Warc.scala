@@ -194,4 +194,96 @@ object Warc {
     records.foreach { case (t, u, p) => out.write(gzipMember(formatRecord(t, u, p))) }
     out.toByteArray
   }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode an HTTP/1.1 `Transfer-Encoding: chunked` body (RFC 9112
+    * §7.1): hex chunk-size line (chunk extensions after `;` ignored),
+    * chunk data, CRLF, repeated to the 0-size chunk, then any trailer
+    * fields up to the final blank line. None on any malformation —
+    * a bad size line, a chunk running past the buffer, a missing
+    * data CRLF, or bytes after the terminator (a length lie). */
+  def dechunk(b: Array[Byte]): Option[Array[Byte]] = try {
+    val out = new java.io.ByteArrayOutputStream()
+    var at = 0
+    while (true) {
+      val lineEnd = indexOfCrlf(b, at)
+      if (lineEnd < 0) return None
+      val sizeTok = new String(b, at, lineEnd - at, "US-ASCII")
+        .split(";", 2)(0).trim
+      if (sizeTok.isEmpty) return None
+      val n = java.lang.Long.parseLong(sizeTok, 16)
+      if (n < 0 || n > Int.MaxValue) return None
+      at = lineEnd + 2
+      if (n == 0L) {
+        // trailer section: header lines until the blank line
+        while (!(at + 1 < b.length && b(at) == '\r' && b(at + 1) == '\n')) {
+          val e = indexOfCrlf(b, at)
+          if (e < 0) return None
+          at = e + 2
+        }
+        at += 2
+        if (at != b.length) return None
+        return Some(out.toByteArray)
+      }
+      if (at + n + 2 > b.length) return None
+      out.write(b, at, n.toInt)
+      if (b(at + n.toInt) != '\r' || b(at + n.toInt + 1) != '\n') return None
+      at += n.toInt + 2
+    }
+    None
+  } catch { case _: Exception => None }
+
+  /** Parse the HTTP response block a WARC response record's payload
+    * carries (the actual Common-Crawl layout — the WARC payload is the
+    * full HTTP message, not bare HTML): status line, header fields to
+    * the first blank line, then the body under its declared framing —
+    * `Transfer-Encoding: chunked` bodies are de-chunked, a
+    * `Content-Length` body must be exactly that long (a short body is
+    * a TRUNCATED capture and drops), and a body with neither framing
+    * header is read to the end of the record. Returns (status code,
+    * decoded body); None on any malformation. */
+  def httpResponseBody(b: Array[Byte]): Option[(Int, Array[Byte])] = try {
+    var split = -1
+    var i = 0
+    while (i + 3 < b.length && split < 0) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        split = i
+      i += 1
+    }
+    if (split < 0) return None
+    val head = new String(b, 0, split, "US-ASCII").split("\r\n", -1)
+    if (head.isEmpty || !head(0).startsWith("HTTP/1.")) return None
+    val statusParts = head(0).split(" ")
+    if (statusParts.length < 2) return None
+    val status = statusParts(1).toInt
+    var chunked = false
+    var contentLength = -1L
+    for (line <- head.drop(1)) {
+      val c = line.indexOf(':')
+      if (c <= 0) return None
+      val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+      val value = line.substring(c + 1).trim
+      name match {
+        case "transfer-encoding" =>
+          chunked = value.toLowerCase(java.util.Locale.ROOT)
+            .split(",").map(_.trim).contains("chunked")
+        case "content-length" => contentLength = value.toLong
+        case _ => ()
+      }
+    }
+    val body = java.util.Arrays.copyOfRange(b, split + 4, b.length)
+    if (chunked) dechunk(body).map(status -> _)
+    else if (contentLength >= 0) {
+      if (body.length.toLong != contentLength) None // truncated capture
+      else Some(status -> body)
+    } else Some(status -> body)
+  } catch { case _: Exception => None }
 }

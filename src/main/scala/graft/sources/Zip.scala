@@ -31,6 +31,8 @@ object Zip {
   private def u32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], o: Int): Long =
+    u32(b, o) | (u32(b, o + 4) << 32)
 
   /** One archive from (name, payload, deflate?) members. Deterministic:
     * fixed DOS timestamps (0), no extra fields, no comments. */
@@ -102,6 +104,7 @@ object Zip {
     // central-directory walk never reads them; the backward scan takes
     // the LAST signature whose record is self-consistent.
     var eocd = -1
+    var loose = -1
     var i = b.length - 22
     val floor = math.max(0, b.length - 22 - 0xffff)
     while (i >= floor && eocd < 0) {
@@ -111,37 +114,100 @@ object Zip {
         // must land inside the file ahead of this record and start at
         // a CD-header signature (or declare zero entries) — an
         // EOCD-like byte pattern INSIDE a genuine trailing comment
-        // must fall through to the true record further back
+        // must fall through to the true record further back. A ZIP64
+        // EOCD carries the 0xFFFFFFFF offset sentinel (the real offset
+        // lives in the ZIP64 record): that is a legitimate record, not
+        // a comment artifact, so it passes candidacy — the walk below
+        // then rejects what it cannot address rather than this scan
+        // mislocating the record.
         val cdOff0 = u32(b, i + 16)
         val cdSize0 = u32(b, i + 12)
         val nEnt0 = u16(b, i + 10)
-        if (cdOff0 + cdSize0 <= i &&
-          (nEnt0 == 0 || (cdOff0 + 4 <= b.length &&
-            u32(b, cdOff0.toInt) == 0x02014b50L))) eocd = i
+        if (cdOff0 == 0xffffffffL ||
+          (cdOff0 + cdSize0 <= i &&
+            (nEnt0 == 0 || (cdOff0 + 4 <= b.length &&
+              u32(b, cdOff0.toInt) == 0x02014b50L)))) eocd = i
+        else if (loose < 0) loose = i
       }
       i -= 1
     }
+    // no candidate validates: a rebased archive (data-prepended / SFX
+    // stubs shift every offset, so the declared cdOff points at the
+    // wrong byte) still has a genuine EOCD — fall back to the LAST
+    // comment-fitting signature instead of refusing to locate the
+    // record; the directory walk below then accepts or rejects it on
+    // its own checks
+    if (eocd < 0) eocd = loose
     if (eocd < 0) return None
-    val n = u16(b, eocd + 10)
-    val cdSize = u32(b, eocd + 12)
-    val cdOff = u32(b, eocd + 16)
+    var n: Long = u16(b, eocd + 10).toLong
+    var cdSize = u32(b, eocd + 12)
+    var cdOff = u32(b, eocd + 16)
+    // ZIP64: any sentinel field routes through the ZIP64 EOCD locator
+    // (20 bytes immediately before the classic EOCD) to the ZIP64 EOCD
+    // record, whose 64-bit count/size/offset replace the sentinels —
+    // the form every >4 GiB or >65534-entry archive ships in
+    if (cdOff == 0xffffffffL || cdSize == 0xffffffffL || n == 0xffffL) {
+      val loc = eocd - 20
+      if (loc < 0 || u32(b, loc) != 0x07064b50L) return None
+      val z = u64(b, loc + 8)
+      if (z < 0 || z + 56 > loc || u32(b, z.toInt) != 0x06064b50L) return None
+      n = u64(b, z.toInt + 32)
+      cdSize = u64(b, z.toInt + 40)
+      cdOff = u64(b, z.toInt + 48)
+    }
     if (cdOff + cdSize > eocd) return None
+    // REBASED archive (a self-extractor stub or other prepended bytes
+    // shift every stored offset short by the prefix length): when the
+    // declared offset misses the directory, the true directory still
+    // ends where the tail records begin — recover the shift from that
+    // invariant (Info-ZIP's trick) and apply it to every offset below
+    val shift: Long =
+      if (n == 0L || u32(b, cdOff.toInt) == 0x02014b50L) 0L
+      else {
+        val d = eocd - cdOff - cdSize
+        if (d > 0 && cdOff + d + 4 <= b.length &&
+          u32(b, (cdOff + d).toInt) == 0x02014b50L) d
+        else return None
+      }
     val out = Vector.newBuilder[ZipMember]
-    var at = cdOff
-    var k = 0
+    var at = cdOff + shift
+    var k = 0L
     while (k < n) {
       if (at + 46 > eocd || u32(b, at.toInt) != 0x02014b50L) return None
       val a = at.toInt
       val method = u16(b, a + 10)
       val crc = u32(b, a + 16)
-      val csize = u32(b, a + 20)
-      val size = u32(b, a + 24)
+      var csize = u32(b, a + 20)
+      var size = u32(b, a + 24)
       val nameLen = u16(b, a + 28)
       val extraLen = u16(b, a + 30)
       val commentLen = u16(b, a + 32)
-      val lho = u32(b, a + 42)
-      if (a + 46 + nameLen > eocd) return None
+      var lho = u32(b, a + 42)
+      if (a + 46 + nameLen + extraLen > eocd) return None
       val name = new String(b, a + 46, nameLen, "US-ASCII")
+      // per-entry ZIP64 extra field (id 0x0001): 64-bit values for
+      // exactly the sentineled fields, in APPNOTE order (size, csize,
+      // then local-header offset)
+      if (csize == 0xffffffffL || size == 0xffffffffL ||
+        lho == 0xffffffffL) {
+        var e = a + 46 + nameLen
+        val eEnd = e + extraLen
+        var found = false
+        while (e + 4 <= eEnd && !found) {
+          val id = u16(b, e)
+          val len = u16(b, e + 2)
+          if (id == 0x0001) {
+            var f = e + 4
+            if (size == 0xffffffffL) { size = u64(b, f); f += 8 }
+            if (csize == 0xffffffffL) { csize = u64(b, f); f += 8 }
+            if (lho == 0xffffffffL) { lho = u64(b, f); f += 8 }
+            if (f > e + 4 + len) return None
+            found = true
+          } else e += 4 + len
+        }
+        if (!found) return None
+      }
+      lho += shift
       // through the local header to the data
       if (lho + 30 > b.length || u32(b, lho.toInt) != 0x04034b50L) return None
       val l = lho.toInt

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, min}
 
 import graft.operators.Similarity
 
@@ -203,9 +204,12 @@ object AnnServing {
       beam: Int,
       rounds: Int,
       k: Int): DataFrame = {
-    val entries = spark.read
-      .schema("cell BIGINT, ml INT, n_id BIGINT")
-      .parquet(s"$layersDir/entries").localCheckpoint()
+    // the stored table when the artifact carries one; a pre-entries
+    // artifact derives it from the assignment instead of dying on a
+    // missing path (the buildOrLoadShardedLayers migration's read side)
+    val entries = graft.operators.AnnIndex
+      .layerEntriesTable(spark, layersDir, assigned, idCol, cap)
+      .localCheckpoint()
     drainServe(spark, queriesPath, querySchemaDDL, None) { batch =>
       val routed = Similarity.ivfProbeCells(
         batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
@@ -214,4 +218,175 @@ object AnnServing {
         beam, rounds, k, entries = Some(entries))
     }
   }
+
+  private def emptyResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("n_id", LongType), StructField("d2", LongType),
+        StructField("rank", IntegerType))))
+  }
+
+  /** Resolve and PIN one probed cell's committed store version for the
+    * duration of a serve micro-batch. [[DocStreams.recoverStore]] heals
+    * a crash-interrupted swap first, so the batch always sees a COMPLETE
+    * committed store — a staged-but-unswapped `next_` dir is invisible
+    * by construction (serving never looks at anything but `current`),
+    * which is the "no half-committed read" half of the contract. The
+    * "as-of" half is the caller's: parts read from the returned path
+    * are snapshotted eagerly (localCheckpoint) before the search plan
+    * runs, so a swap landing mid-batch cannot mix two versions — each
+    * batch serves the store as of its own start, the per-batch
+    * snapshot-isolation shape a production server runs. */
+  private def pinCell(
+      spark: SparkSession,
+      storeDir: String,
+      cell: Long): org.apache.hadoop.fs.Path = {
+    val (fs, cur) = DocStreams.recoverStore(spark, s"$storeDir/cell_$cell")
+    require(fs.exists(cur),
+      s"live sharded store $storeDir has no committed cell $cell")
+    cur
+  }
+
+  /** Streaming serving against the LIVE flat-sharded CDC store
+    * ([[IndexCdc.initShardedStore]] + [[IndexCdc.startSharded]]'s
+    * per-cell swapped stores) — the production composition the
+    * build-time-artifact forms above deliberately are not: the CDC
+    * drain keeps swapping cell versions UNDER the query stream, and
+    * each micro-batch re-resolves the swap pointers and serves the
+    * then-committed versions of exactly its probed cells. Per batch:
+    * nprobe routing, per-probed-cell pin + eager snapshot of the
+    * cell's (graph, vecs) pair (path-scoped — unprobed cells' files
+    * are never opened), entry points windowed from the snapshotted
+    * membership (the [[graft.operators.AnnIndex.cellEntryPoints]]
+    * rule over CURRENT survivors — a build-time entry list would go
+    * stale the first delete), then the same keyed routed beam search
+    * the static form runs. Search is stateless per query, so the
+    * drained table equals the batch statement against whatever store
+    * version each batch pinned. */
+  def serveLiveShardedTopK(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      queriesPath: String,
+      querySchemaDDL: String,
+      queryFilter: Column,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      entriesPerCell: Int,
+      beam: Int,
+      rounds: Int,
+      k: Int,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    drainServe(spark, queriesPath, querySchemaDDL, maxFilesPerTrigger) {
+      batch =>
+        val routed = Similarity.ivfProbeCells(
+          batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
+          .localCheckpoint()
+        val cells = routed.select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (cells.isEmpty) emptyResult(spark)
+        else {
+          cells.foreach(pinCell(spark, storeDir, _))
+          // eager snapshots = the batch's pinned view (see pinCell)
+          val index = IndexCdc.shardedStoreGraph(spark, storeDir, cells)
+            .localCheckpoint()
+          val vecs = IndexCdc.shardedStoreVecs(spark, storeDir, cells)
+            .localCheckpoint()
+          val entries = graft.operators.AnnIndex
+            .cellEntryPoints(vecs, idCol, entriesPerCell)
+          graft.operators.AnnIndex.shardedSearchWithEntries(index,
+            vecs.select(col(idCol), col(vecCol)), routed, entries,
+            idCol, vecCol, beam, rounds, k)
+        }
+    }
+
+  /** Streaming serving against the LIVE sharded-layered CDC store
+    * ([[ShardedLayeredCdc.initShardedLayeredStore]] +
+    * [[ShardedLayeredCdc.startShardedLayered]]) — the last composition
+    * on the ANN lifecycle: the full descent-seeded layered read path
+    * over per-cell stores that a CDC drain keeps swapping. Per batch:
+    * nprobe routing; per-probed-cell pin; descent metadata from the
+    * swap-time `entry` manifests ([[IndexCdc.readEntryMeta]] — driver
+    * file reads, zero Spark jobs; a legacy cell without one derives
+    * its row from its levels part once per batch); eager snapshot of
+    * the probed cells' level-0 graphs, vecs, and each stored layer
+    * (path-scoped); then the shared descent
+    * ([[graft.operators.AnnIndex.descentSeedsWith]]) and the
+    * descent-seeded keyed level-0 search. The manifests are REWRITTEN
+    * at every swap (merge, rebalance, seed), so a batch served after
+    * a delete of some cell's top entry descends from the new entry,
+    * never a tombstoned id. */
+  def serveLiveShardedLayeredTopK(
+      spark: SparkSession,
+      storeDir: String,
+      cents: DataFrame,
+      queriesPath: String,
+      querySchemaDDL: String,
+      queryFilter: Column,
+      idCol: String,
+      vecCol: String,
+      cap: Int,
+      nprobe: Int,
+      m: Int,
+      descBeam: Int,
+      descRounds: Int,
+      beam: Int,
+      rounds: Int,
+      k: Int,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    drainServe(spark, queriesPath, querySchemaDDL, maxFilesPerTrigger) {
+      batch =>
+        val routed = Similarity.ivfProbeCells(
+          batch.filter(queryFilter), idCol, vecCol, cents, nprobe)
+          .localCheckpoint()
+        val cells = routed.select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        if (cells.isEmpty) emptyResult(spark)
+        else {
+          val fs = new org.apache.hadoop.fs.Path(storeDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val pinned: Map[Long, org.apache.hadoop.fs.Path] =
+            cells.map(c => c -> pinCell(spark, storeDir, c)).toMap
+          def part(name: String, cs: Seq[Long]): DataFrame = cs.map { c =>
+            spark.read.parquet(s"${pinned(c)}/$name")
+              .withColumn("cell", lit(c))
+          }.reduce(_ unionByName _)
+          // descent metadata: the swap manifests (driver file reads);
+          // pre-manifest cells fall back to one levels aggregate
+          val manifested: Map[Long, Option[(Int, Long)]] = cells
+            .flatMap(c => IndexCdc.readEntryMeta(fs, pinned(c)).map(c -> _))
+            .toMap
+          val legacy = cells.filterNot(manifested.contains)
+          val derived: Seq[(Long, (Int, Long))] =
+            if (legacy.isEmpty) Seq.empty
+            else {
+              val lvLegacy = part("levels", legacy).localCheckpoint()
+              lvLegacy.groupBy(col("cell")).agg(max(col("level")).as("ml"))
+                .join(lvLegacy, Seq("cell"))
+                .filter(col("level") === col("ml"))
+                .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("nid"))
+                .collect().toSeq
+                .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+            }
+          import spark.implicits._
+          val entry = (manifested.toSeq.collect {
+              case (c, Some((ml, id))) => (c, ml, id)
+            } ++ derived.map { case (c, (ml, id)) => (c, ml, id) })
+            .toDF("cell", "ml", "n_id").localCheckpoint()
+          val g0 = part("graph", cells).localCheckpoint()
+          val vecs = part("vecs", cells).localCheckpoint()
+          val corpus = vecs.select(col(idCol), col(vecCol))
+          val seeds = graft.operators.AnnIndex.descentSeedsWith(entry,
+            corpus, routed, idCol, vecCol, cap, m, descBeam, descRounds)(
+            l => part(s"layer_$l", cells)
+              .select(col("q_id"), col("n_id"), col("d2"), col("cell"))
+              .localCheckpoint())
+          Similarity.keyedGraphSearchTopKSeeded(
+            g0.select(col("cell"), col("q_id"), col("n_id"), col("d2")),
+            corpus, routed, seeds, idCol, vecCol, beam, rounds, k)
+        }
+    }
 }

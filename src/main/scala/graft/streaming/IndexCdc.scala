@@ -209,6 +209,52 @@ object IndexCdc {
     * window watches thousands of cells. */
   private val footprintFile = "n_vecs"
 
+  /** Per-cell descent-entry manifest for LAYERED cell stores, written at
+    * swap time beside the applied-batch marker and footprint: the
+    * (max populated level, top entry id) pair a layered serve descends
+    * from. Persisting it with every swap is what lets a LIVE-store
+    * server ([[AnnServing.serveLiveShardedLayeredTopK]]) seed its
+    * descents with nCells driver file reads — zero Spark jobs — instead
+    * of re-aggregating each probed cell's levels per micro-batch, and
+    * what keeps the metadata fresh under CDC churn (a build-time-only
+    * table would go stale the first time a batch deleted a cell's top
+    * entry). Content is `ml,n_id`, or the literal `none` for a cell
+    * swapped in empty. */
+  private val entryFile = "entry"
+
+  private[graft] def writeEntryMeta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      meta: Option[(Int, Long)]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, entryFile), true)
+    try out.write(meta.fold("none") { case (ml, id) => s"$ml,$id" }
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The cell's persisted descent-entry metadata: outer None if the
+    * manifest is absent (a store written before it existed — the caller
+    * derives from the levels part instead); Some(None) for an empty
+    * cell; Some(Some((ml, nId))) otherwise. */
+  private[graft] def readEntryMeta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Option[(Int, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, entryFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        finally in.close()
+      if (txt == "none") Some(None)
+      else {
+        val Array(ml, id) = txt.split(",")
+        Some(Some((ml.toInt, id.toLong)))
+      }
+    }
+  }
+
   private def writeLongFile(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,

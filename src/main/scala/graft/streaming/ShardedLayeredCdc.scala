@@ -46,6 +46,17 @@ object ShardedLayeredCdc {
   private def cellDir(storeDir: String, cell: Long): String =
     s"$storeDir/cell_$cell"
 
+  /** The (max populated level, top entry id) descent metadata of one
+    * cell's membership-with-levels table — what every commit path
+    * persists into the cell's swap manifest ([[IndexCdc.writeEntryMeta]]).
+    * One bounded driver row (the cell's own membership), None when the
+    * cell is empty. */
+  private def entryMetaOf(
+      lv: DataFrame, idCol: String): Option[(Int, Long)] =
+    lv.orderBy(col("level").desc, col(idCol).asc)
+      .select(col("level"), col(idCol)).limit(1).collect().headOption
+      .map(r => (r.getInt(0), r.getLong(1)))
+
   /** Seed the store: one complete layered store per quantizer cell
     * (marker −1, footprint = member count). No-op per cell if a
     * committed store exists. */
@@ -94,6 +105,7 @@ object ShardedLayeredCdc {
         }
         IndexCdc.writeMarker(fs, next, -1L)
         IndexCdc.writeFootprint(fs, next, n)
+        IndexCdc.writeEntryMeta(fs, next, entryMetaOf(lv, idCol))
         DocStreams.swapStore(fs, dir, next, batchId = -1L)
       }
     }
@@ -444,6 +456,17 @@ object ShardedLayeredCdc {
           col("d2")), layerK)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/layer_$l")
     val parts = Seq("graph", "vecs", "levels") ++ (1 to cap).map(l => s"layer_$l")
+    // per-cell descent-entry metadata (max populated level, top entry)
+    // for the swap manifests: ONE grouped aggregate over the post-batch
+    // membership (bounded by the touched cells), persisted beside the
+    // applied-batch marker so a live-store server seeds its descents
+    // from driver file reads instead of re-aggregating levels per batch
+    val lvAll = outVecs.select(col("cell"), col(idCol), lvCol.as("level"))
+    val entryByCell: Map[Long, (Int, Long)] = lvAll
+      .groupBy(col("cell")).agg(max(col("level")).as("ml"))
+      .join(lvAll, Seq("cell")).filter(col("level") === col("ml"))
+      .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("nid"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     for (c <- applySet) {
       val next = new org.apache.hadoop.fs.Path(
         s"${cellDir(storeDir, c)}/next_$batchId")
@@ -465,6 +488,7 @@ object ShardedLayeredCdc {
       }
       IndexCdc.writeMarker(fs, next, batchId)
       IndexCdc.writeFootprint(fs, next, nRem(c) + nUps(c))
+      IndexCdc.writeEntryMeta(fs, next, entryByCell.get(c))
       DocStreams.swapStore(fs, cellDir(storeDir, c), next, batchId)
     }
     fs.delete(stage, true)
@@ -585,6 +609,11 @@ object ShardedLayeredCdc {
             initBuckets)
         g.write.mode("overwrite").parquet(s"$next/layer_$l")
       }
+      // rebuilt membership → rebuilt descent metadata: the swap manifest
+      // must never outlive the stack it describes
+      IndexCdc.writeEntryMeta(
+        next.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        next, entryMetaOf(lv, idCol))
     }
   }
 

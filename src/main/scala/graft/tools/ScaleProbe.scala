@@ -307,9 +307,9 @@ object ScaleProbe {
     "q350_sharded_layered_growth" ->
       "q327's rationale over the layered store: a probe replica dir pays the q349-class per-cell stack seed builds before reporting; the report itself is manifest file reads for counts/shares (zero jobs) plus three grouped aggregates over path-scoped reads of the cells' graph/levels/layer parts — the bounded-aggregate class every probed scan already measures",
     "q351_sharded_layered_rebalance" ->
-      "q329's rationale with stacks: decisions are nCells footprint-manifest reads (zero jobs); data moves only through the affected cells' keyed reassignment plus changed-cells-only stack rebuilds — each a q282-class NN-Descent build (knob-probe-covered) over the cell's membership, with untouched cells never read past their manifests",
+      "the catalog ENTRY is excluded (its timed body would be dominated by the fresh q282-class seed-clone discipline at a probe replica dir), but the operation itself is now MEASURED: the bespoke q351_rebalance_knob_scaled probe row times the clone + manifest-read decisions + affected-cells-only staged stack rebuilds + swaps at 10x with nCells knob-scaled (4*factor) and the share bands scaled to match — the rationale upgraded to a reading, as round 13 did for NN-Descent",
     "q352_sharded_layered_maintenance" ->
-      "q335's and q349's rationales composed: a probe replica dir pays the per-cell layered seed builds (clone discipline amortizes only within one corpus); the CDC drain is q349's probed/locked cell-keyed batch plan, the window gate is manifest reads (zero jobs), and a fired rebalance is q351's excluded changed-cells-only build class",
+      "q335's and q349's rationales composed: the CDC drain is q349's probed/locked cell-keyed batch plan, the window GATE is nCells manifest file reads (zero Spark jobs), and a fired rebalance is exactly the path q351_rebalance_knob_scaled now measures at 10x — the window adds nothing but the gate to that reading",
     "q353_streaming_sharded_layered_ann" ->
       "q345's rationale under the excluded fixed micro-batch overhead: a probe replica dir pays four q282-class level-0 cell builds and twelve (cell, layer) subgraph builds before the first batch; per batch the work is the probed/locked q345 descent + keyed shard search with the per-cell entry metadata pinned once per stream — per-query cost stays nprobe cells' stacks regardless of corpus width (partition-pruned, spec-locked)",
     "q354_vp8l_2d_distances" ->
@@ -319,7 +319,19 @@ object ScaleProbe {
     "q356_mp3_vbr_census" ->
       "O(header-bytes) walk per asset — q338's census class with a 34-byte CRC-16 per protected frame and one fixed-offset Xing read per asset; stride re-derivation per frame is the same constant header arithmetic the CBR walk does, no payload decoded",
     "q357_mp4_edit_census" ->
-      "O(moov-bytes) header walk per asset (ctts/elst tables are tens of entries, reduced by the same overflow-checked run arithmetic as stts) — q348's census class verbatim, scan-bound by construction, no payload decoded")
+      "O(moov-bytes) header walk per asset (ctts/elst tables are tens of entries, reduced by the same overflow-checked run arithmetic as stts) — q348's census class verbatim, scan-bound by construction, no payload decoded",
+    "q358_live_sharded_serve" ->
+      "q316's probed keyed-serve shape plus, per batch, nCells swap-pointer file resolutions and an eager snapshot of the PROBED cells' (graph, vecs) pairs — path-scoped reads bounded by the probed-cell footprint, not the corpus (Round17Spec locks unprobed cells never opened); the verified entry additionally pays two q322-class CDC merges, which are q322's already-probed per-batch shape",
+    "q359_live_sharded_layered_serve" ->
+      "q353's rationale against the LIVE store: per batch nCells manifest file reads (zero jobs — the entry manifests exist precisely to keep descent seeding off the data path), a path-scoped pinned read of the probed cells' stacks, and the probed/locked q345 descent + keyed search; the verified entry's CDC merge is q349's already-probed per-batch shape",
+    "q360_ogg_id_census" ->
+      "O(header-bytes) walk per asset: q339's page/CRC census class plus one fixed-offset 19-30 byte parse of packet 0 per stream — no audio decode, asset-local, partition-preserving",
+    "q361_jpeg_drop_reasons" ->
+      "per-asset one baseline decode attempt (the probed q286 class) plus an O(marker-bytes) classification walk that reads only segment headers — asset-local, partition-preserving, the q328 audit class",
+    "q362_warc_chunked_http" ->
+      "q343's probed WET class with a linear single-pass chunk reassembly per body (each byte copied once; chunk-size lines are O(records·chunks) header bytes) — asset-local mapPartitions, zero shuffle",
+    "q363_mp3_layer_census" ->
+      "O(header-bytes) walk per asset — q337/q338's census class with a per-layer table lookup and the same constant per-frame stride arithmetic (Layer I's slot multiply is one shift); no payload decoded, asset-local, partition-preserving")
 
   /** Per-table key columns, each mapped to its key DOMAIN. The stride
     * for a domain is computed as max+1 over EVERY column in that domain
@@ -530,7 +542,95 @@ object ScaleProbe {
         f"[scale] $n%-28s base=$tb%8.2fs x$factor=$ts%8.2fs ratio=$ratio (knob-scaled)")
       s""""$n":{"t_base":${f"$tb%.3f"},"t_x$factor":${f"$ts%.3f"},"ratio":$ratio,"knob_scaled":true}"""
     }
-    val allRows = rows ++ customRows
+    // Round-17: a REAL 10x measurement of the sharded-layered
+    // rebalance's decision + stage path (q351/q352 previously carried
+    // restating rationales only). The seed store is built UNTIMED once
+    // per scale — it is exactly the q282-class build the exclusions
+    // cover — with the cell count knob-scaled with the corpus
+    // (nCells = 4·factor: production's response to 10x data, holding
+    // per-cell membership ~constant) and the share bands scaled by
+    // 1/nCells so the band semantics match across scales (at factor 1
+    // they are q351's own 255000/220000). The timed window is what the
+    // operator actually costs in steady state: the per-run clone (a
+    // linear file copy — the entry's own isolation discipline), the
+    // manifest-read decisions, the affected cells' staged complete
+    // stack rebuilds, and the swaps. The affected-cell count is logged
+    // with each reading: the workload is decisions + per-affected-cell
+    // rebuilds, so the ratio tracks how many cells drift out of band
+    // at scale — the production cost driver itself.
+    val rebalanceRow: String = {
+      def copyTree(from: String, to: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val src = java.nio.file.Paths.get(from)
+        java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+          val rel = src.relativize(p).toString
+          if (rel != "_SEEDED") {
+            val dst = java.nio.file.Paths.get(to).resolve(rel)
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(dst)
+            else java.nio.file.Files.copy(p, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+      def seedFor(dir: String, f: Int): (String, DataFrame) = {
+        val emb = graft.core.Engine.table(spark, dir, "embeddings")
+          .filter(col("vec_id") % 10 =!= 9)
+        val cents = graft.operators.Similarity.ivfCentroids(
+          graft.core.Engine.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", 0L until (4L * f)).localCheckpoint()
+        val assigned = graft.operators.Similarity.ivfAssign(
+          emb, "vec_id", "embedding", cents).localCheckpoint()
+        val seed = s"/tmp/graft_scale_slay_f${f}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(seed, "_SEEDED"))) {
+          graft.streaming.ShardedLayeredCdc.initShardedLayeredStore(spark,
+            seed, assigned, "vec_id", "embedding", nCells = 4 * f, cap = 2,
+            graphK = 10, graphRounds = 3, layerK = 5, layerRounds = 2,
+            initBuckets = 16)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(seed, "_SEEDED"))
+        }
+        (seed, cents)
+      }
+      def timedRun(dir: String, f: Int): Double = {
+        val (seed, cents) = seedFor(dir, f) // untimed: built once per scale
+        val t0 = System.nanoTime()
+        try {
+          val dst = java.nio.file.Files
+            .createTempDirectory("graft_scale_reb_").toString
+          copyTree(seed, dst)
+          val (report, _) = graft.streaming.ShardedLayeredCdc
+            .rebalanceShardedLayeredStore(spark, dst, cents, "vec_id",
+              "embedding", cap = 2, k = 10, graphRounds = 3, layerK = 5,
+              layerRounds = 2, initBuckets = 16,
+              splitPpm = 1020000L / (4L * f), mergePpm = 880000L / (4L * f),
+              rebalanceId = 9L)
+          val acts = report.groupBy(col("action")).count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+            .mkString(",")
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[scale] q351_rebalance_knob_scaled f=$f t=$t%.2fs actions: $acts")
+          t
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[scale] q351_rebalance_knob_scaled FAILED at $dir: ${e.getMessage}")
+            -1.0
+        } finally graft.Bench.teardown(spark)
+      }
+      val tb = (1 to runs).map(_ => timedRun(baseDir, 1))
+        .filter(_ >= 0).minOption.getOrElse(-1.0)
+      val ts = (1 to runs).map(_ => timedRun(outDir, factor))
+        .filter(_ >= 0).minOption.getOrElse(-1.0)
+      val ratio = ratioOf(ts, tb)
+      System.err.println(
+        f"[scale] q351_rebalance_knob_scaled base=$tb%8.2fs x$factor=$ts%8.2fs ratio=$ratio (knob-scaled cells)")
+      s""""q351_rebalance_knob_scaled":{"t_base":${f"$tb%.3f"},"t_x$factor":${f"$ts%.3f"},"ratio":$ratio,"knob_scaled":true}"""
+    }
+    val allRows = rows ++ customRows ++ Seq(rebalanceRow)
     val excl = excluded.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
     val json =
       s"""{"factor":$factor,"base":"$baseDir","runs":$runs,"entries":${allRows.mkString("{", ",", "}")},"excluded":{$excl}}"""
