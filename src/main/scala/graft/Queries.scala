@@ -34,6 +34,22 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** Asset-id seed for the synthesized multimodal corpora, spread across
+    * the session's parallelism. The fixture ids arrive as ONE small
+    * parquet split, and the partition-preserving synthesize→decode
+    * mapPartitions chains inherit that single partition — serializing
+    * all the per-asset codec CPU on one core (guide §2.5: input skew,
+    * fix at the source — measured 16.7 s of single-task CPU on
+    * q325's VP8L chain). Only the 8-byte ids are shuffled, never the
+    * synthesized payloads (guide §8: move the lightweight proxy, not
+    * the heavy bytes); downstream of this one id exchange the codec
+    * chain stays exchange-free (PlanSpec lock on the operators). The
+    * count is the session's own parallelism, not a constant — on a
+    * cluster it is the cluster's core count. */
+  private def assetIds(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+
   /** Order-independent double aggregation: cast to DECIMAL(18,6) BEFORE
     * summing (decimal addition is exact, so partial-aggregation order
     * cannot move the result), round, and surface as double. Spark's
@@ -1344,7 +1360,7 @@ object Queries {
     "q65_real_codec_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMediaAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMediaAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeMedia(assets)
           .select(
             col("asset_id"), col("codec"), col("width"), col("height"),
@@ -6133,6 +6149,7 @@ object Queries {
       (s, d) => {
         val ids = t(s, d, "documents")
           .filter(col("doc_id") < 800).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)
         val assets = graft.multimodal.Multimodal.synthesizeMediaAssets(ids)
         val resized = graft.multimodal.Multimodal.resizeImages(assets, scaleDen = 2)
         val info = graft.multimodal.Multimodal.decodeMedia(resized)
@@ -10114,7 +10131,7 @@ object Queries {
     "q286_jpeg_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeJpegAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeJpegAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeJpegStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -10723,7 +10740,7 @@ object Queries {
     "q296_jpeg_420_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeJpeg420Assets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeJpeg420Assets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeJpegStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11014,7 +11031,7 @@ object Queries {
     "q302_png_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizePngAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizePngAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodePngStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11047,7 +11064,7 @@ object Queries {
     "q303_wav_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWavAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWavStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11077,7 +11094,7 @@ object Queries {
     "q304_bmp_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeBmpAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeBmpAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeBmpStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11110,7 +11127,7 @@ object Queries {
     "q305_avi_frame_extract" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeAviAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeAviAssets(assetIds(s, d))
         graft.multimodal.Multimodal.sampleFrameStats(assets, stride = 2)
           .orderBy(col("asset_id"), col("frame_idx"))
       },
@@ -11145,7 +11162,7 @@ object Queries {
     "q306_wav_resample" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWavAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWavStats(
             graft.multimodal.Multimodal.resampleAudio(assets, den = 2))
           .orderBy(col("asset_id"))
@@ -11328,7 +11345,7 @@ object Queries {
     "q307_jpeg_progressive_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeJpegProgressiveAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeJpegProgressiveAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeJpegStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11388,7 +11405,7 @@ object Queries {
     "q308_avi_mjpeg_frames" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMjpegAviAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMjpegAviAssets(assetIds(s, d))
         graft.multimodal.Multimodal.sampleFrameStats(assets, stride = 1)
           .orderBy(col("asset_id"), col("frame_idx"))
       },
@@ -11433,7 +11450,7 @@ object Queries {
     "q309_png_palette_rgba" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizePngExtAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizePngExtAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodePngFullStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11479,7 +11496,7 @@ object Queries {
     "q310_wav_resample_fir" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWavAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWavStats(
             graft.multimodal.Multimodal.resampleAudioFir(assets))
           .orderBy(col("asset_id"))
@@ -11529,7 +11546,7 @@ object Queries {
     "q311_container_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeCensusAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeCensusAssets(assetIds(s, d))
         graft.multimodal.Multimodal.sniffContainers(assets)
           .groupBy(col("container")).agg(count(lit(1)).as("n_assets"))
           .orderBy(col("container"))
@@ -11745,7 +11762,7 @@ object Queries {
     "q315_png_interlaced" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizePngInterlacedAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizePngInterlacedAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodePngFullStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11818,7 +11835,7 @@ object Queries {
     "q317_avi_mjpeg_color" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMjpegColorAviAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMjpegColorAviAssets(assetIds(s, d))
         graft.multimodal.Multimodal.sampleFrameStats(assets, stride = 1)
           .orderBy(col("asset_id"), col("frame_idx"))
       },
@@ -11870,7 +11887,7 @@ object Queries {
     "q318_png_grayscale" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizePngGrayAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizePngGrayAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodePngFullStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11904,7 +11921,7 @@ object Queries {
     "q319_jpeg_422_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeJpeg422Assets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeJpeg422Assets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeJpegStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11946,7 +11963,7 @@ object Queries {
     "q320_png_16bit" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizePng16Assets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizePng16Assets(assetIds(s, d))
         graft.multimodal.Multimodal.decodePngFullStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -11979,7 +11996,7 @@ object Queries {
     "q321_wav_resample_fir3" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWavAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWavAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWavStats(
             graft.multimodal.Multimodal.resampleAudioFir(assets, den = 3))
           .orderBy(col("asset_id"))
@@ -12246,7 +12263,7 @@ object Queries {
     "q323_wav_resample_rational" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWav441Assets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWav441Assets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWavStats(
             graft.multimodal.Multimodal.resampleAudioRational(assets, 160, 441))
           .orderBy(col("asset_id"))
@@ -12300,7 +12317,7 @@ object Queries {
     "q324_mp4_track_walk" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMp4Assets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMp4Assets(assetIds(s, d))
         graft.multimodal.Multimodal.walkMp4Tracks(assets)
           .orderBy(col("asset_id"), col("track_idx"))
       },
@@ -12335,7 +12352,7 @@ object Queries {
     "q325_webp_lossless_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWebpAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWebpAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWebpStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -12530,7 +12547,7 @@ object Queries {
     "q328_codec_coverage_audit" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeCensusAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeCensusAssets(assetIds(s, d))
         val weathered = assets.withColumn("bytes",
           when(col("asset_id") % 17 === 5, substring(col("bytes"), 1, 10))
             .otherwise(col("bytes")))
@@ -12681,7 +12698,7 @@ object Queries {
     "q330_warc_gz_ingest" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWarcGzAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWarcGzAssets(assetIds(s, d))
         graft.multimodal.Multimodal.parseWarcGzStats(assets)
           .orderBy(col("asset_id"), col("rec_idx"))
       },
@@ -12715,7 +12732,7 @@ object Queries {
     "q331_gif_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeGifAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeGifAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeGifStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -12748,7 +12765,7 @@ object Queries {
     "q332_g711_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWavG711Assets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWavG711Assets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWavG711Stats(assets)
           .orderBy(col("asset_id"))
       },
@@ -12799,7 +12816,7 @@ object Queries {
     "q333_tar_ingest" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeTarAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeTarAssets(assetIds(s, d))
         graft.multimodal.Multimodal.parseTarStats(assets)
           .orderBy(col("asset_id"), col("member_idx"))
       },
@@ -12832,7 +12849,7 @@ object Queries {
     "q334_adpcm_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWavAdpcmAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWavAdpcmAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWavAdpcmStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -13052,7 +13069,7 @@ object Queries {
     "q336_flac_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeFlacAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeFlacAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeFlacStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -13102,7 +13119,7 @@ object Queries {
     "q337_zip_ingest" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeZipAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeZipAssets(assetIds(s, d))
         graft.multimodal.Multimodal.parseZipStats(assets)
           .orderBy(col("asset_id"), col("member_idx"))
       },
@@ -13133,7 +13150,7 @@ object Queries {
     "q338_mp3_frame_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMp3Assets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMp3Assets(assetIds(s, d))
         graft.multimodal.Multimodal.walkMp3Stats(assets)
           .orderBy(col("asset_id"))
       },
@@ -13162,7 +13179,7 @@ object Queries {
     "q339_ogg_page_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeOggAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeOggAssets(assetIds(s, d))
         graft.multimodal.Multimodal.walkOggStats(assets)
           .orderBy(col("asset_id"), col("serial"))
       },
@@ -13193,7 +13210,7 @@ object Queries {
     "q340_mixed_corpus_funnel" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMixedCorpusAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMixedCorpusAssets(assetIds(s, d))
         graft.multimodal.Multimodal.extractCorpusDocs(assets)
           .orderBy(col("asset_id"), col("member_idx"))
       },
@@ -13322,7 +13339,7 @@ object Queries {
     "q343_wet_pipeline" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWarcHtmlAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWarcHtmlAssets(assetIds(s, d))
         graft.multimodal.Multimodal.warcHtmlDocs(assets)
           .select(col("asset_id"), col("rec_idx"), col("target_uri"),
             TextAnalysis.extractHtmlText(col("html")).as("extracted"))
@@ -13846,7 +13863,7 @@ object Queries {
     "q346_flac_stereo_lpc_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeFlacStereoAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeFlacStereoAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeFlacStereoStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -13897,7 +13914,7 @@ object Queries {
     "q347_webp_color_cache_decode" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWebpCachedAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWebpCachedAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWebpStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -13934,7 +13951,7 @@ object Queries {
     "q348_mp4_sample_table_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMp4DeepAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMp4DeepAssets(assetIds(s, d))
         graft.multimodal.Multimodal.walkMp4Census(assets)
           .orderBy(col("asset_id"), col("track_idx"))
       },
@@ -14527,7 +14544,7 @@ object Queries {
     "q354_vp8l_2d_distances" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWebp2dAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWebp2dAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeWebpStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -14566,7 +14583,7 @@ object Queries {
     "q355_flac_residual_extras" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeFlacExtraAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeFlacExtraAssets(assetIds(s, d))
         graft.multimodal.Multimodal.decodeFlacStats(assets)
           .orderBy(col("asset_id"))
       },
@@ -14613,7 +14630,7 @@ object Queries {
     "q356_mp3_vbr_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMp3VbrAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMp3VbrAssets(assetIds(s, d))
         graft.multimodal.Multimodal.walkMp3VbrCensus(assets)
           .orderBy(col("asset_id"))
       },
@@ -14659,7 +14676,7 @@ object Queries {
     "q357_mp4_edit_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMp4EditAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMp4EditAssets(assetIds(s, d))
         graft.multimodal.Multimodal.walkMp4EditCensus(assets)
           .orderBy(col("asset_id"), col("track_idx"))
       },
@@ -15060,7 +15077,7 @@ object Queries {
     "q360_ogg_id_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeOggIdAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeOggIdAssets(assetIds(s, d))
         graft.multimodal.Multimodal.walkOggIdCensus(assets)
           .orderBy(col("asset_id"), col("serial"))
       },
@@ -15113,7 +15130,7 @@ object Queries {
     "q361_jpeg_drop_reasons" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeJpegReasonAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeJpegReasonAssets(assetIds(s, d))
         graft.multimodal.Multimodal.jpegAuditWithReasons(assets)
           .orderBy(col("asset_id"))
       },
@@ -15146,7 +15163,7 @@ object Queries {
     "q362_warc_chunked_http" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeWarcHttpAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeWarcHttpAssets(assetIds(s, d))
         graft.multimodal.Multimodal.warcHttpDocs(assets)
           .orderBy(col("asset_id"), col("rec_idx"))
       },
@@ -15183,7 +15200,7 @@ object Queries {
     "q363_mp3_layer_census" -> Q(
       (s, d) => {
         val assets = graft.multimodal.Multimodal
-          .synthesizeMp3LayerAssets(t(s, d, "documents").select(col("doc_id")))
+          .synthesizeMp3LayerAssets(assetIds(s, d))
         graft.multimodal.Multimodal.walkMp3LayerCensus(assets)
           .orderBy(col("asset_id"))
       },

@@ -109,23 +109,57 @@ object Vp8l {
   }
 
   /** A decodable prefix code: either a zero-bit single-symbol code (the
-    * simple form's 1-symbol case) or a (len, code) → symbol walk. */
+    * simple form's 1-symbol case) or a canonical (len, code) → symbol
+    * walk. Decoding uses the canonical first-code/offset arrays — per
+    * canonical construction the codes of length l are consecutive from
+    * the DEFLATE `nextCode(l)` in symbol order, so membership is one
+    * range check and the symbol one array index per length step. This
+    * accepts and returns EXACTLY the (len, code) → symbol pairs the
+    * former Map held (bit-identical decode); it just drops the per-bit
+    * tuple allocation + hash lookup that dominated the q325/q347/q354
+    * decode profiles. */
   final class PrefixCode(lens: Array[Int], single: Int = -1) {
-    private val table: Map[(Int, Int), Int] =
-      if (single >= 0) Map.empty
-      else canonicalCodes(lens).map { case (s, (c, l)) => (l, c) -> s }
     private val maxLen = if (single >= 0) 0 else lens.foldLeft(0)(math.max)
+    // firstCode(l) = canonical code of the first symbol of length l;
+    // firstIdx(l) = its position in the (len, code)-sorted symbol list;
+    // count(l) = how many symbols have length l; syms = that list.
+    private val count = new Array[Int](maxLen + 1)
+    private val firstCode = new Array[Int](maxLen + 1)
+    private val firstIdx = new Array[Int](maxLen + 1)
+    private val syms: Array[Int] = if (single >= 0) Array.empty else {
+      var s = 0
+      while (s < lens.length) {
+        if (lens(s) > 0) count(lens(s)) += 1
+        s += 1
+      }
+      var code = 0
+      var idx = 0
+      var l = 1
+      while (l <= maxLen) {
+        code = (code + count(l - 1)) << 1
+        firstCode(l) = code
+        firstIdx(l) = idx
+        idx += count(l)
+        l += 1
+      }
+      val out = new Array[Int](idx)
+      val next = firstIdx.clone()
+      s = 0
+      while (s < lens.length) {
+        if (lens(s) > 0) { out(next(lens(s))) = s; next(lens(s)) += 1 }
+        s += 1
+      }
+      out
+    }
     def decode(r: BitReader): Int = {
       if (single >= 0) return single
       var code = 0
       var len = 0
-      while (len <= maxLen) {
+      while (len < maxLen) {
         code = (code << 1) | r.readBit()
         len += 1
-        table.get((len, code)) match {
-          case Some(s) => return s
-          case None =>
-        }
+        val off = code - firstCode(len)
+        if (off >= 0 && off < count(len)) return syms(firstIdx(len) + off)
       }
       -1 // not a valid code — caller surfaces None
     }

@@ -376,14 +376,23 @@ object AnnServing {
               case (c, Some((ml, id))) => (c, ml, id)
             } ++ derived.map { case (c, (ml, id)) => (c, ml, id) })
             .toDF("cell", "ml", "n_id").localCheckpoint()
-          val g0 = part("graph", cells).localCheckpoint()
-          val vecs = part("vecs", cells).localCheckpoint()
+          // the batch's pinned snapshots — level-0 graph, vecs, and the
+          // cap layer parts — are independent path-scoped reads:
+          // overlap their materialization (guide §2.6)
+          val snaps = graft.core.Par.run[DataFrame](Seq[() => DataFrame](
+            () => part("graph", cells).localCheckpoint(),
+            () => part("vecs", cells).localCheckpoint()) ++
+            (1 to cap).map(l => () => part(s"layer_$l", cells)
+              .select(col("q_id"), col("n_id"), col("d2"), col("cell"))
+              .localCheckpoint()))
+          val g0 = snaps(0)
+          val vecs = snaps(1)
+          val layerSnap: Map[Int, DataFrame] =
+            (1 to cap).map(l => l -> snaps(1 + l)).toMap
           val corpus = vecs.select(col(idCol), col(vecCol))
           val seeds = graft.operators.AnnIndex.descentSeedsWith(entry,
             corpus, routed, idCol, vecCol, cap, m, descBeam, descRounds)(
-            l => part(s"layer_$l", cells)
-              .select(col("q_id"), col("n_id"), col("d2"), col("cell"))
-              .localCheckpoint())
+            layerSnap)
           Similarity.keyedGraphSearchTopKSeeded(
             g0.select(col("cell"), col("q_id"), col("n_id"), col("d2")),
             corpus, routed, seeds, idCol, vecCol, beam, rounds, k)

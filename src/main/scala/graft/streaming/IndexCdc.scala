@@ -127,9 +127,10 @@ object IndexCdc {
     // upsert replaces: drop existing state for upserted ids too
     val removed = dels.unionByName(ups.select(col(idCol))).distinct()
     val remaining = vecs.join(removed, Seq(idCol), "left_anti").localCheckpoint()
-    val nRemoved = vecs.count() - remaining.count()
-    val nUpserts = ups.count()
-    val nRemaining = remaining.count()
+    // three independent bounded counts — overlapped (guide §2.6)
+    val Seq(nVecs, nUpserts, nRemaining) = graft.core.Par.run(Seq(
+      () => vecs.count(), () => ups.count(), () => remaining.count()))
+    val nRemoved = nVecs - nRemaining
     var g = AnnIndex.survivingEdges(graph, remaining, idCol)
     if (nUpserts > 0 && nUpserts.toDouble > rebuildFraction * math.max(nRemaining, 1L)) {
       // batch too large for the insert approximation (its vectors are
@@ -159,10 +160,12 @@ object IndexCdc {
     val outGraph = g.select(col("q_id"), col("n_id"), col("d2"))
       .withColumn("rank", row_number().over(wTop))
     val outVecs = remaining.unionByName(ups)
-    // write-then-swap: a crash mid-write must not destroy the only copy
+    // write-then-swap: a crash mid-write must not destroy the only copy;
+    // the two part writes are independent — overlapped (guide §2.6)
     val next = new org.apache.hadoop.fs.Path(s"$storeDir/next_$batchId")
-    outGraph.write.mode("overwrite").parquet(s"$next/graph")
-    outVecs.write.mode("overwrite").parquet(s"$next/vecs")
+    graft.core.Par.exec(Seq(
+      () => outGraph.write.mode("overwrite").parquet(s"$next/graph"),
+      () => outVecs.write.mode("overwrite").parquet(s"$next/vecs")))
     DocStreams.swapStore(fs, storeDir, next, batchId)
   }
 
@@ -342,7 +345,9 @@ object IndexCdc {
       initBuckets: Int): Unit = {
     require(nCells >= 1)
     val a = assigned.localCheckpoint()
-    for (c <- 0L until nCells.toLong) {
+    // per-cell seeds are independent stores under distinct dirs —
+    // overlapped (guide §2.6), per-cell content unchanged
+    graft.core.Par.exec((0L until nCells.toLong).map(c => () => {
       val dir = cellDir(storeDir, c)
       val (fs, current) = DocStreams.recoverStore(spark, dir)
       if (!fs.exists(current)) {
@@ -353,13 +358,14 @@ object IndexCdc {
           else graft.operators.Similarity.nnDescent(
             members, idCol, vecCol, graphK, graphRounds, initBuckets)
         val next = new org.apache.hadoop.fs.Path(s"$dir/next_init")
-        g.write.mode("overwrite").parquet(s"$next/graph")
-        members.write.mode("overwrite").parquet(s"$next/vecs")
+        graft.core.Par.exec(Seq(
+          () => g.write.mode("overwrite").parquet(s"$next/graph"),
+          () => members.write.mode("overwrite").parquet(s"$next/vecs")))
         writeMarker(fs, next, -1L)
         writeFootprint(fs, next, n)
         DocStreams.swapStore(fs, dir, next, batchId = -1L)
       }
-    }
+    }))
   }
 
   /** Read the live sharded store restricted to `cells` — the graphs of
@@ -485,8 +491,11 @@ object IndexCdc {
         members, idCol, vecCol, k, graphRounds, initBuckets)
     rebalanceCore(spark, storeDir, cents, idCol, vecCol,
       splitPpm, mergePpm, rebalanceId) { (next, members) =>
-      buildGraph(members).write.mode("overwrite").parquet(s"$next/graph")
-      members.write.mode("overwrite").parquet(s"$next/vecs")
+      // the graph build+write and the member write are independent
+      graft.core.Par.exec(Seq(
+        () => buildGraph(members).write.mode("overwrite")
+          .parquet(s"$next/graph"),
+        () => members.write.mode("overwrite").parquet(s"$next/vecs")))
     }
   }
 
@@ -564,18 +573,29 @@ object IndexCdc {
     // read its source's pre-rebalance vecs even when the source's own
     // store swaps in the same rebalance (lazy reads + an eager swap
     // would otherwise see the emptied source), and a crash in phase 1
-    // leaves every live store untouched
-    val pendingSwaps = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, org.apache.hadoop.fs.Path)]
-    def stageCell(c: Long, members: DataFrame, marker: Long,
-        nVecs: Long): Unit = {
+    // leaves every live store untouched.
+    // Phase 1 is DEFERRED-then-OVERLAPPED (guide §2.6): the decision
+    // loop below stays sequential (split ids must assign
+    // deterministically in cell order), but each affected cell's
+    // staging action — member reads/reassignment, stack build, part
+    // writes, marker + footprint — touches only that cell's own next_
+    // dir, so the actions are mutually independent and run on a small
+    // pool. Report/centroid CONTENT is computed exactly as before
+    // (both outputs are ordered by cell/cent_id on return, so
+    // accumulation order never mattered).
+    def stageOne(c: Long, members: DataFrame, marker: Long,
+        nVecs: Long): (Long, org.apache.hadoop.fs.Path) = {
       val next = new org.apache.hadoop.fs.Path(
         s"${cellDir(storeDir, c)}/next_rebalance_$rebalanceId")
       stage(next, members)
       writeMarker(fs, next, marker)
       writeFootprint(fs, next, nVecs)
-      pendingSwaps += ((c, next))
+      (c, next)
     }
+    // each staging thunk returns (swaps, report rows, new centroids)
+    type StageOut = (Seq[(Long, org.apache.hadoop.fs.Path)],
+      Seq[(Long, Long, String)], Seq[(Long, Seq[Float])])
+    val thunks = scala.collection.mutable.ArrayBuffer.empty[() => StageOut]
     val report = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
     val newCents = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
     var nextId = cells.max + 1
@@ -585,52 +605,58 @@ object IndexCdc {
       if (splits.contains(c)) {
         val hiId = nextId
         nextId += 1
-        val members = spark.read.parquet(s"${curPaths(c)}/vecs").localCheckpoint()
-        val a = members.orderBy(col(idCol)).limit(1)
-          .select(col(vecCol)).collect()(0).getSeq[Float](0)
-        val b = members
-          .select(col(idCol), col(vecCol),
-            round(cosineSim(col(vecCol), lit(a.toArray)), 6).as("c"))
-          .orderBy(col("c").asc, col(idCol).asc).limit(1)
-          .select(col(vecCol)).collect()(0).getSeq[Float](0)
-        val subCents = graft.operators.Similarity.ivfCentroids(
-          spark.createDataFrame(java.util.List.of(
-              org.apache.spark.sql.Row(c, a), org.apache.spark.sql.Row(hiId, b)),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("cent_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("cent_vec",
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.FloatType))))),
-          "cent_id", "cent_vec", Seq(c, hiId))
-        val reassigned = graft.operators.Similarity
-          .ivfAssign(members, idCol, vecCol, subCents).localCheckpoint()
-        val lo = reassigned.filter(col("cell") === c).select(col(idCol), col(vecCol))
-        val hiM = reassigned.filter(col("cell") === hiId).select(col(idCol), col(vecCol))
-        val marker = appliedBatch(fs, curPaths(c))
-        val loN = lo.count()
-        stageCell(c, lo, marker, loN)
-        stageCell(hiId, hiM, marker, counts(c) - loN)
-        report += ((c, loN, "split_lo"))
-        report += ((hiId, counts(c) - loN, "split_hi"))
-        newCents += ((c, a))
-        newCents += ((hiId, b))
+        thunks += (() => {
+          val members = spark.read.parquet(s"${curPaths(c)}/vecs").localCheckpoint()
+          val a = members.orderBy(col(idCol)).limit(1)
+            .select(col(vecCol)).collect()(0).getSeq[Float](0)
+          val b = members
+            .select(col(idCol), col(vecCol),
+              round(cosineSim(col(vecCol), lit(a.toArray)), 6).as("c"))
+            .orderBy(col("c").asc, col(idCol).asc).limit(1)
+            .select(col(vecCol)).collect()(0).getSeq[Float](0)
+          val subCents = graft.operators.Similarity.ivfCentroids(
+            spark.createDataFrame(java.util.List.of(
+                org.apache.spark.sql.Row(c, a), org.apache.spark.sql.Row(hiId, b)),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("cent_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("cent_vec",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.FloatType))))),
+            "cent_id", "cent_vec", Seq(c, hiId))
+          val reassigned = graft.operators.Similarity
+            .ivfAssign(members, idCol, vecCol, subCents).localCheckpoint()
+          val lo = reassigned.filter(col("cell") === c).select(col(idCol), col(vecCol))
+          val hiM = reassigned.filter(col("cell") === hiId).select(col(idCol), col(vecCol))
+          val marker = appliedBatch(fs, curPaths(c))
+          val loN = lo.count()
+          // the two halves' stage writes are themselves independent
+          val swaps = graft.core.Par.run(Seq(
+            () => stageOne(c, lo, marker, loN),
+            () => stageOne(hiId, hiM, marker, counts(c) - loN)))
+          (swaps,
+            Seq((c, loN, "split_lo"), (hiId, counts(c) - loN, "split_hi")),
+            Seq((c, a), (hiId, b)))
+        })
       } else if (merges.contains(c)) {
-        val marker = appliedBatch(fs, curPaths(c))
-        stageCell(c,
-          spark.read.parquet(s"${curPaths(c)}/vecs").limit(0)
-            .select(col(idCol), col(vecCol)), marker, 0L)
-        report += ((c, 0L, "merged_away"))
+        thunks += (() => {
+          val marker = appliedBatch(fs, curPaths(c))
+          val swap = stageOne(c,
+            spark.read.parquet(s"${curPaths(c)}/vecs").limit(0)
+              .select(col(idCol), col(vecCol)), marker, 0L)
+          (Seq(swap), Seq((c, 0L, "merged_away")), Seq.empty)
+        })
       } else if (mergedInto.contains(c)) {
-        val sources = mergedInto(c)
-        val union = (c +: sources)
-          .map(x => spark.read.parquet(s"${curPaths(x)}/vecs"))
-          .reduce(_ unionByName _)
-        val marker = (c +: sources).map(x => appliedBatch(fs, curPaths(x))).max
-        stageCell(c, union, marker,
-          counts(c) + sources.map(counts).sum)
-        report += ((c, counts(c) + sources.map(counts).sum, "merge_target"))
-        newCents += ((c, cvec))
+        thunks += (() => {
+          val sources = mergedInto(c)
+          val union = (c +: sources)
+            .map(x => spark.read.parquet(s"${curPaths(x)}/vecs"))
+            .reduce(_ unionByName _)
+          val marker = (c +: sources).map(x => appliedBatch(fs, curPaths(x))).max
+          val n = counts(c) + sources.map(counts).sum
+          val swap = stageOne(c, union, marker, n)
+          (Seq(swap), Seq((c, n, "merge_target")), Seq((c, cvec)))
+        })
       } else {
         // untouched: neither read (beyond the footprint manifest) nor
         // rewritten
@@ -638,6 +664,9 @@ object IndexCdc {
         newCents += ((c, cvec))
       }
     }
+    val staged = graft.core.Par.run(thunks.toSeq)
+    val pendingSwaps = staged.flatMap(_._1)
+    staged.foreach { case (_, rows, cs) => report ++= rows; newCents ++= cs }
     // phase 2: every next_ dir is complete — swap them in
     for ((c, next) <- pendingSwaps)
       DocStreams.swapStore(fs, cellDir(storeDir, c), next, rebalanceId)
@@ -882,25 +911,28 @@ object IndexCdc {
       Some(g)
     }
     // ---- guard-exception cells: per-cell NN-Descent (bounded by the
-    // cells the batch drains or swamps, not the touched-cell count) ----
-    val built: Seq[DataFrame] = (drained ++ rebuilds).map { c =>
-      val upsC = ups.filter(col("cell") === c).select(col(idCol), col(vecCol))
-      val remC = remaining.filter(col("cell") === c)
-        .select(col(idCol), col(vecCol))
-      val g =
-        if (nRem(c) == 0L && nUps(c) == 0L) emptyGraph(spark)
-        else if (nRem(c) == 0L)
-          // fully drained: nothing to repair or link against
-          graft.operators.Similarity.nnDescent(
-            upsC, idCol, vecCol, k, rebuildRounds, rebuildBuckets)
-        else
-          // swamped: the insert approximation's blind spot (new→new
-          // edges can never exist) is closed by a full rebuild
-          graft.operators.Similarity.nnDescent(
-            remC.unionByName(upsC), idCol, vecCol,
-            k, rebuildRounds, rebuildBuckets)
-      g.select(col("q_id"), col("n_id"), col("d2")).withColumn("cell", lit(c))
-    }
+    // cells the batch drains or swamps, not the touched-cell count);
+    // the per-cell builds are mutually independent — overlapped
+    // (guide §2.6), results folded in the same deterministic order ----
+    val built: Seq[DataFrame] = graft.core.Par.run(
+      (drained ++ rebuilds).map(c => () => {
+        val upsC = ups.filter(col("cell") === c).select(col(idCol), col(vecCol))
+        val remC = remaining.filter(col("cell") === c)
+          .select(col(idCol), col(vecCol))
+        val g =
+          if (nRem(c) == 0L && nUps(c) == 0L) emptyGraph(spark)
+          else if (nRem(c) == 0L)
+            // fully drained: nothing to repair or link against
+            graft.operators.Similarity.nnDescent(
+              upsC, idCol, vecCol, k, rebuildRounds, rebuildBuckets)
+          else
+            // swamped: the insert approximation's blind spot (new→new
+            // edges can never exist) is closed by a full rebuild
+            graft.operators.Similarity.nnDescent(
+              remC.unionByName(upsC), idCol, vecCol,
+              k, rebuildRounds, rebuildBuckets)
+        g.select(col("q_id"), col("n_id"), col("d2")).withColumn("cell", lit(c))
+      }))
     // canonical stored shape: rank = position in the node's list; the
     // (cell, q_id) window decomposes into the per-cell per-node windows
     val wTop = Window.partitionBy(col("cell"), col("q_id"))
@@ -915,10 +947,12 @@ object IndexCdc {
     // committed through the crash-safe write-aside swap
     val stage = new org.apache.hadoop.fs.Path(s"$storeDir/stage_$batchId")
     if (fs.exists(stage)) fs.delete(stage, true) // a replayed batch's leftover
-    outGraph.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$stage/graph")
-    outVecs.select(col("cell"), col(idCol), col(vecCol))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/vecs")
+    // the two partitioned stage writes are independent — overlapped
+    graft.core.Par.exec(Seq(
+      () => outGraph.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$stage/graph"),
+      () => outVecs.select(col("cell"), col(idCol), col(vecCol))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/vecs")))
     for (c <- applySet) {
       val next = new org.apache.hadoop.fs.Path(
         s"${cellDir(storeDir, c)}/next_$batchId")

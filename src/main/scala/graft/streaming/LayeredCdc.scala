@@ -77,18 +77,21 @@ object LayeredCdc {
       val lv = emb.select(col(idCol), col(vecCol),
         LayeredAnn.levelColumn(col(idCol), cap).as("level")).localCheckpoint()
       val next = new org.apache.hadoop.fs.Path(s"$storeDir/next_init")
-      Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
-          idCol, vecCol, k, rounds, initBuckets)
-        .write.mode("overwrite").parquet(s"$next/graph")
-      lv.select(col(idCol), col(vecCol))
-        .write.mode("overwrite").parquet(s"$next/vecs")
-      lv.select(col(idCol), col("level"))
-        .write.mode("overwrite").parquet(s"$next/levels")
-      for (l <- 1 to cap)
-        layerBuild(spark, lv.filter(col("level") >= l)
-            .select(col(idCol), col(vecCol)), idCol, vecCol,
-            layerK, layerRounds, initBuckets)
-          .write.mode("overwrite").parquet(s"$next/layer_$l")
+      // the seed stack's parts all derive from the checkpointed lv and
+      // land in distinct files — overlapped (guide §2.6)
+      graft.core.Par.exec(Seq[() => Unit](
+        () => Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
+            idCol, vecCol, k, rounds, initBuckets)
+          .write.mode("overwrite").parquet(s"$next/graph"),
+        () => lv.select(col(idCol), col(vecCol))
+          .write.mode("overwrite").parquet(s"$next/vecs"),
+        () => lv.select(col(idCol), col("level"))
+          .write.mode("overwrite").parquet(s"$next/levels")) ++
+        (1 to cap).map(l => () =>
+          layerBuild(spark, lv.filter(col("level") >= l)
+              .select(col(idCol), col(vecCol)), idCol, vecCol,
+              layerK, layerRounds, initBuckets)
+            .write.mode("overwrite").parquet(s"$next/layer_$l")))
       IndexCdc.writeMarker(fs, next, -1L)
       IndexCdc.writeFootprint(fs, next, lv.count())
       DocStreams.swapStore(fs, storeDir, next, batchId = -1L)
@@ -179,9 +182,10 @@ object LayeredCdc {
       .select(col(idCol), col(vecCol)).localCheckpoint()
     val removed = dels.unionByName(ups.select(col(idCol))).distinct()
     val remaining = vecs.join(removed, Seq(idCol), "left_anti").localCheckpoint()
-    val nRemoved = vecs.count() - remaining.count()
-    val nUpserts = ups.count()
-    val nRemaining = remaining.count()
+    // three independent bounded counts — overlapped (guide §2.6)
+    val Seq(nVecs, nUpserts, nRemaining) = graft.core.Par.run(Seq(
+      () => vecs.count(), () => ups.count(), () => remaining.count()))
+    val nRemoved = nVecs - nRemaining
     // surviving member sets per layer (level is the pure id hash)
     val remLv = remaining.withColumn("level", lvCol).localCheckpoint()
     def memOf(l: Int): DataFrame = remLv.filter(col("level") >= l)
@@ -197,28 +201,40 @@ object LayeredCdc {
       // batch invalidates level-0 AND every layer subgraph
       val all = remaining.unionByName(ups)
         .withColumn("level", lvCol).localCheckpoint()
-      g0 =
-        if (nRemaining + nUpserts == 0L) IndexCdc.emptyGraph(spark)
-        else Similarity.nnDescent(all.select(col(idCol), col(vecCol)),
-          idCol, vecCol, k, rebuildRounds, rebuildBuckets)
-      for (l <- 1 to cap)
-        outLayers(l) = layerBuild(spark,
+      // level-0 and the cap layer rebuilds are mutually independent
+      // NN-Descent runs over the checkpointed membership — overlap them
+      // (guide §2.6); content is per-build deterministic either way
+      val builds = graft.core.Par.run[DataFrame](
+        (() =>
+          if (nRemaining + nUpserts == 0L) IndexCdc.emptyGraph(spark)
+          else Similarity.nnDescent(all.select(col(idCol), col(vecCol)),
+            idCol, vecCol, k, rebuildRounds, rebuildBuckets)) +:
+        (1 to cap).map(l => () => layerBuild(spark,
           all.filter(col("level") >= l).select(col(idCol), col(vecCol)),
-          idCol, vecCol, layerK, rebuildRounds, rebuildBuckets)
+          idCol, vecCol, layerK, rebuildRounds, rebuildBuckets)))
+      g0 = builds.head
+      for (l <- 1 to cap) outLayers(l) = builds(l)
     } else {
-      // ---- 1. tombstone the whole stack --------------------------------
-      g0 = AnnIndex.survivingEdges(graph, remaining, idCol)
-        .select(col("q_id"), col("n_id"), col("d2")).localCheckpoint()
-      for (l <- 1 to cap)
-        outLayers(l) = AnnIndex.survivingEdges(
+      // ---- 1. tombstone the whole stack — the level-0 and per-layer
+      // keyed semi-join snapshots are mutually independent: overlap
+      // their materialization (guide §2.6)
+      val tomb = graft.core.Par.run[DataFrame](
+        (() => AnnIndex.survivingEdges(graph, remaining, idCol)
+          .select(col("q_id"), col("n_id"), col("d2")).localCheckpoint()) +:
+        (1 to cap).map(l => () => AnnIndex.survivingEdges(
             spark.read.parquet(s"$current/layer_$l"), memOf(l), idCol)
-          .select(col("q_id"), col("n_id"), col("d2")).localCheckpoint()
+          .select(col("q_id"), col("n_id"), col("d2")).localCheckpoint()))
+      g0 = tomb.head
+      for (l <- 1 to cap) outLayers(l) = tomb(l)
       // the stack's two driver scalars: max populated surviving level
       // and its lowest id — the descent entry (a member of EVERY layer
-      // at or below its own level)
-      val maxL = remLv.agg(max(col("level"))).head().getInt(0)
-      val entry = remLv.filter(col("level") === maxL)
-        .agg(min(col(idCol))).head().getLong(0)
+      // at or below its own level). One ordered limit-1 job instead of
+      // two aggregates: the (level DESC, id ASC) head IS
+      // (max level, min id at that level).
+      val entryRow = remLv.orderBy(col("level").desc, col(idCol).asc)
+        .select(col("level"), col(idCol)).limit(1).head()
+      val maxL = entryRow.getInt(0)
+      val entry = entryRow.getLong(1)
       def queueDepth(g: DataFrame, members: DataFrame, kk: Int): Long =
         members.select(col(idCol).as("id"))
           .join(g.groupBy(col("q_id").as("id")).agg(count(lit(1)).as("n")),
@@ -226,16 +242,21 @@ object LayeredCdc {
           .filter(coalesce(col("n"), lit(0L)) < kk).count()
       if (nRemoved > 0) {
         // ---- 2. layer repairs (top entry seeds every queue node) ------
-        for (l <- 1 to math.min(maxL, cap)) {
-          val mem = memOf(l).localCheckpoint()
-          if (queueDepth(outLayers(l), mem, layerK) >= repairThreshold)
-            outLayers(l) = AnnIndex.repairGraphSeeded(outLayers(l), mem,
-                idCol, vecCol, layerK,
-                queries => queries.select(col(idCol).as("q_id"))
-                  .withColumn("n_id", lit(entry)),
-                descBeam, descRounds)
-              .select(col("q_id"), col("n_id"), col("d2")).localCheckpoint()
-        }
+        // each layer's gate + repair touches only ITS subgraph and
+        // member set: mutually independent — overlap them (guide §2.6)
+        val repairedLayers = graft.core.Par.run[(Int, Option[DataFrame])](
+          (1 to math.min(maxL, cap)).map(l => () => {
+            val mem = memOf(l).localCheckpoint()
+            if (queueDepth(outLayers(l), mem, layerK) >= repairThreshold)
+              l -> Some(AnnIndex.repairGraphSeeded(outLayers(l), mem,
+                  idCol, vecCol, layerK,
+                  queries => queries.select(col(idCol).as("q_id"))
+                    .withColumn("n_id", lit(entry)),
+                  descBeam, descRounds)
+                .select(col("q_id"), col("n_id"), col("d2")).localCheckpoint())
+            else l -> None
+          }))
+        for ((l, r) <- repairedLayers; g <- r) outLayers(l) = g
         // ---- 3. level-0 repair: degraded nodes DESCEND the repaired
         // stack for their per-query seeds -------------------------------
         if (queueDepth(g0, remaining, k) >= repairThreshold)
@@ -281,36 +302,51 @@ object LayeredCdc {
           val adj = recut(found.select(col("q_id"), col("n_id"), col("d2"))
               .join(linkers, Seq("q_id"), "left_semi"), layerK)
             .select(col("q_id").as("id"), col("n_id").as("nbr"), col("d2"))
-          if (!adj.isEmpty) {
-            val rev = adj.select(col("nbr").as("id"), col("id").as("nbr"),
-              col("d2"))
-            outLayers(l) = recut(
-              outLayers(l).select(col("q_id").as("id"), col("n_id").as("nbr"),
+          // the layer's link-in re-cut and the next layer's seeds both
+          // derive from the checkpointed `found` and are independent of
+          // each other — overlap them (guide §2.6)
+          val Seq(newLayer, newSeeds) = graft.core.Par.run[Option[DataFrame]](Seq(
+            () =>
+              if (adj.isEmpty) None
+              else {
+                val rev = adj.select(col("nbr").as("id"), col("id").as("nbr"),
                   col("d2"))
-                .unionByName(rev).unionByName(adj)
-                .select(col("id").as("q_id"), col("nbr").as("n_id"), col("d2")),
-              layerK)
-              .select(col("q_id"), col("n_id"), col("d2")).localCheckpoint()
-          }
-          seeds = recut(found, m).select(col("q_id"), col("n_id"))
-            .localCheckpoint()
+                Some(recut(
+                  outLayers(l).select(col("q_id").as("id"),
+                      col("n_id").as("nbr"), col("d2"))
+                    .unionByName(rev).unionByName(adj)
+                    .select(col("id").as("q_id"), col("nbr").as("n_id"),
+                      col("d2")),
+                  layerK)
+                  .select(col("q_id"), col("n_id"), col("d2"))
+                  .localCheckpoint())
+              },
+            () => Some(recut(found, m).select(col("q_id"), col("n_id"))
+              .localCheckpoint())))
+          newLayer.foreach(outLayers(l) = _)
+          seeds = newSeeds.get
         }
         g0 = AnnIndex.insertBatchSeeded(g0, remaining, ups, idCol, vecCol,
             k, seeds, beam, searchRounds)
           .select(col("q_id"), col("n_id"), col("d2"))
       }
     }
-    // ---- commit: one co-versioned swap of the whole stack --------------
+    // ---- commit: one co-versioned swap of the whole stack. The
+    // cap + 3 part writes land in distinct dirs under the same next_
+    // staging root — mutually independent, overlapped (guide §2.6);
+    // the swap below waits for all of them either way ----------------
     val outVecs = remaining.unionByName(ups)
     val next = new org.apache.hadoop.fs.Path(s"$storeDir/next_$batchId")
-    recut(g0.select(col("q_id"), col("n_id"), col("d2")), k)
-      .write.mode("overwrite").parquet(s"$next/graph")
-    outVecs.write.mode("overwrite").parquet(s"$next/vecs")
-    outVecs.select(col(idCol), lvCol.as("level"))
-      .write.mode("overwrite").parquet(s"$next/levels")
-    for (l <- 1 to cap)
-      recut(outLayers(l).select(col("q_id"), col("n_id"), col("d2")), layerK)
-        .write.mode("overwrite").parquet(s"$next/layer_$l")
+    val g0Final = g0
+    graft.core.Par.exec(Seq[() => Unit](
+      () => recut(g0Final.select(col("q_id"), col("n_id"), col("d2")), k)
+        .write.mode("overwrite").parquet(s"$next/graph"),
+      () => outVecs.write.mode("overwrite").parquet(s"$next/vecs"),
+      () => outVecs.select(col(idCol), lvCol.as("level"))
+        .write.mode("overwrite").parquet(s"$next/levels")) ++
+      (1 to cap).map(l => () =>
+        recut(outLayers(l).select(col("q_id"), col("n_id"), col("d2")), layerK)
+          .write.mode("overwrite").parquet(s"$next/layer_$l")))
     IndexCdc.writeMarker(fs, next, batchId)
     IndexCdc.writeFootprint(fs, next, nRemaining + nUpserts)
     DocStreams.swapStore(fs, storeDir, next, batchId)

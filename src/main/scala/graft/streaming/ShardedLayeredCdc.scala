@@ -75,7 +75,9 @@ object ShardedLayeredCdc {
       initBuckets: Int): Unit = {
     require(nCells >= 1 && cap >= 1)
     val a = assigned.localCheckpoint()
-    for (c <- 0L until nCells.toLong) {
+    // per-cell seeds are independent stores under distinct dirs —
+    // overlapped (guide §2.6), per-cell content unchanged
+    graft.core.Par.exec((0L until nCells.toLong).map(c => () => {
       val dir = cellDir(storeDir, c)
       val (fs, current) = DocStreams.recoverStore(spark, dir)
       if (!fs.exists(current)) {
@@ -85,30 +87,33 @@ object ShardedLayeredCdc {
           .localCheckpoint()
         val n = lv.count()
         val next = new org.apache.hadoop.fs.Path(s"$dir/next_init")
-        val g0 =
-          if (n == 0L) IndexCdc.emptyGraph(spark)
-          else Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
-            idCol, vecCol, graphK, graphRounds, initBuckets)
-        g0.write.mode("overwrite").parquet(s"$next/graph")
-        lv.select(col(idCol), col(vecCol))
-          .write.mode("overwrite").parquet(s"$next/vecs")
-        lv.select(col(idCol), col("level"))
-          .write.mode("overwrite").parquet(s"$next/levels")
-        for (l <- 1 to cap) {
-          val members = lv.filter(col("level") >= l)
-            .select(col(idCol), col(vecCol))
-          val g =
-            if (members.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
-            else Similarity.nnDescent(members, idCol, vecCol,
-              layerK, layerRounds, initBuckets)
-          g.write.mode("overwrite").parquet(s"$next/layer_$l")
-        }
+        graft.core.Par.exec(Seq[() => Unit](
+          () => {
+            val g0 =
+              if (n == 0L) IndexCdc.emptyGraph(spark)
+              else Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
+                idCol, vecCol, graphK, graphRounds, initBuckets)
+            g0.write.mode("overwrite").parquet(s"$next/graph")
+          },
+          () => lv.select(col(idCol), col(vecCol))
+            .write.mode("overwrite").parquet(s"$next/vecs"),
+          () => lv.select(col(idCol), col("level"))
+            .write.mode("overwrite").parquet(s"$next/levels")) ++
+          (1 to cap).map(l => () => {
+            val members = lv.filter(col("level") >= l)
+              .select(col(idCol), col(vecCol))
+            val g =
+              if (members.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
+              else Similarity.nnDescent(members, idCol, vecCol,
+                layerK, layerRounds, initBuckets)
+            g.write.mode("overwrite").parquet(s"$next/layer_$l")
+          }))
         IndexCdc.writeMarker(fs, next, -1L)
         IndexCdc.writeFootprint(fs, next, n)
         IndexCdc.writeEntryMeta(fs, next, entryMetaOf(lv, idCol))
         DocStreams.swapStore(fs, dir, next, batchId = -1L)
       }
-    }
+    }))
   }
 
   /** Drain a CDC stream (`op` STRING ∈ upsert|delete, `idCol`,
@@ -246,16 +251,19 @@ object ShardedLayeredCdc {
           .join(ids.select(col("cell"), col("id").as("n_id")),
             Seq("cell", "n_id"), "left_semi")
           .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
-      // 1. tombstone the whole stack, keyed
-      var g0 = keyedSurviving(
-        shardedLayeredStorePart(spark, storeDir, incr, "graph"), remIds)
-        .localCheckpoint()
-      val lg = new Array[DataFrame](cap + 1)
-      for (l <- 1 to cap)
-        lg(l) = keyedSurviving(
+      // 1. tombstone the whole stack, keyed — the level-0 and per-layer
+      // snapshots are mutually independent: overlap them (guide §2.6)
+      val tomb = graft.core.Par.run[DataFrame](
+        (() => keyedSurviving(
+          shardedLayeredStorePart(spark, storeDir, incr, "graph"), remIds)
+          .localCheckpoint()) +:
+        (1 to cap).map(l => () => keyedSurviving(
           shardedLayeredStorePart(spark, storeDir, incr, s"layer_$l"),
           memOf(l).select(col("cell"), col(idCol).as("id")))
-          .localCheckpoint()
+          .localCheckpoint()))
+      var g0 = tomb.head
+      val lg = new Array[DataFrame](cap + 1)
+      for (l <- 1 to cap) lg(l) = tomb(l)
       // per-cell stack height + top entry: ONE grouped table
       val entries = remLv.groupBy(col("cell")).agg(max(col("level")).as("ml"))
         .join(remLv, Seq("cell"))
@@ -308,25 +316,30 @@ object ShardedLayeredCdc {
       if (delCells.nonEmpty) {
         // 2. layer repairs: gate per (layer, cell) from ONE grouped
         // queue-depth aggregate, repair the gated cells' union with
-        // per-cell entry seeds
-        for (l <- 1 to cap) {
-          val qd = queueDepths(lg(l), memOf(l), layerK)
-          val repairCells = delCells.filter(c =>
-            qd.getOrElse(c, 0L) >= repairThreshold)
-          if (repairCells.nonEmpty) {
-            val gRep = lg(l).filter(inCells(repairCells))
-            val memRep = memOf(l).filter(inCells(repairCells))
-            val repaired = AnnIndex.repairGraphSeeded(
-              gRep.select(col("q_id"), col("n_id"), col("d2")),
-              memRep.select(col(idCol), col(vecCol)), idCol, vecCol, layerK,
-              queries => entrySeeds(queries.select(col(idCol))
-                .join(cellOf.withColumnRenamed("id", idCol), Seq(idCol))
-                .select(col("cell"), col(idCol).as("id"))),
-              descBeam, descRounds)
-            lg(l) = lg(l).filter(!inCells(repairCells))
-              .unionByName(attachCell(repaired)).localCheckpoint()
-          }
-        }
+        // per-cell entry seeds. Each layer's gate + repair touches only
+        // ITS subgraph union — mutually independent, overlapped
+        // (guide §2.6)
+        val repairedLayers = graft.core.Par.run[(Int, Option[DataFrame])](
+          (1 to cap).map(l => () => {
+            val qd = queueDepths(lg(l), memOf(l), layerK)
+            val repairCells = delCells.filter(c =>
+              qd.getOrElse(c, 0L) >= repairThreshold)
+            if (repairCells.isEmpty) l -> None
+            else {
+              val gRep = lg(l).filter(inCells(repairCells))
+              val memRep = memOf(l).filter(inCells(repairCells))
+              val repaired = AnnIndex.repairGraphSeeded(
+                gRep.select(col("q_id"), col("n_id"), col("d2")),
+                memRep.select(col(idCol), col(vecCol)), idCol, vecCol, layerK,
+                queries => entrySeeds(queries.select(col(idCol))
+                  .join(cellOf.withColumnRenamed("id", idCol), Seq(idCol))
+                  .select(col("cell"), col(idCol).as("id"))),
+                descBeam, descRounds)
+              l -> Some(lg(l).filter(!inCells(repairCells))
+                .unionByName(attachCell(repaired)).localCheckpoint())
+            }
+          }))
+        for ((l, r) <- repairedLayers; g <- r) lg(l) = g
         // 3. level-0 repairs: the gated cells' queue DESCENDS the
         // repaired stacks for its per-query seeds
         val qd0 = queueDepths(g0, rem, k)
@@ -348,7 +361,9 @@ object ShardedLayeredCdc {
             .unionByName(attachCell(repaired)).localCheckpoint()
         }
       }
-      if (ups.filter(inCells(incr)).limit(1).count() > 0) {
+      // nUps is the per-cell upsert count map — deriving the gate from
+      // it is the same truth value as counting ups∩incr, minus one job
+      if (incr.exists(c => nUps(c) > 0L)) {
         // 4. the HNSW insert walk, shared across cells: one descent per
         // batch whose per-layer search both seeds the next layer and
         // links the upserts whose hash level reaches it
@@ -385,28 +400,36 @@ object ShardedLayeredCdc {
               .join(linkers, Seq("q_id"), "left_semi")), layerK)
             .select(col("cell"), col("q_id").as("id"), col("n_id").as("nbr"),
               col("d2"))
-          if (!adj.isEmpty) {
-            val rev = adj.select(col("cell"), col("nbr").as("id"),
-              col("id").as("nbr"), col("d2"))
-            lg(l) = recutCell(
-              lg(l).select(col("cell"), col("q_id").as("id"),
-                  col("n_id").as("nbr"), col("d2"))
-                .unionByName(rev).unionByName(adj)
-                .select(col("cell"), col("id").as("q_id"),
-                  col("nbr").as("n_id"), col("d2")),
-              layerK)
-              .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
-              .localCheckpoint()
-          }
-          seeds = found.withColumn("rk",
-              row_number().over(Window.partitionBy(col("q_id"))
-                .orderBy(col("d2").asc, col("n_id"))))
-            .filter(col("rk") <= m)
-            .select(col("q_id"), col("n_id"))
-            .join(cellOf.select(col("cell"), col("id").as("q_id")),
-              Seq("q_id"))
-            .select(col("q_id"), col("cell"), col("n_id"))
-            .localCheckpoint()
+          // the layer's link-in re-cut and the next layer's seeds both
+          // derive from the checkpointed `found` — overlap (guide §2.6)
+          val Seq(newLayer, newSeeds) =
+            graft.core.Par.run[Option[DataFrame]](Seq(
+              () =>
+                if (adj.isEmpty) None
+                else {
+                  val rev = adj.select(col("cell"), col("nbr").as("id"),
+                    col("id").as("nbr"), col("d2"))
+                  Some(recutCell(
+                    lg(l).select(col("cell"), col("q_id").as("id"),
+                        col("n_id").as("nbr"), col("d2"))
+                      .unionByName(rev).unionByName(adj)
+                      .select(col("cell"), col("id").as("q_id"),
+                        col("nbr").as("n_id"), col("d2")),
+                    layerK)
+                    .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
+                    .localCheckpoint())
+                },
+              () => Some(found.withColumn("rk",
+                  row_number().over(Window.partitionBy(col("q_id"))
+                    .orderBy(col("d2").asc, col("n_id"))))
+                .filter(col("rk") <= m)
+                .select(col("q_id"), col("n_id"))
+                .join(cellOf.select(col("cell"), col("id").as("q_id")),
+                  Seq("q_id"))
+                .select(col("q_id"), col("cell"), col("n_id"))
+                .localCheckpoint())))
+          newLayer.foreach(lg(l) = _)
+          seeds = newSeeds.get
         }
         val inserted = AnnIndex.insertBatchSeeded(
           g0.select(col("q_id"), col("n_id"), col("d2")),
@@ -418,55 +441,73 @@ object ShardedLayeredCdc {
       outG0 = acc(outG0, g0)
       for (l <- 1 to cap) outL(l) = acc(outL(l), lg(l))
     }
-    // ---- guard-exception cells: per-cell stack rebuilds --------------
-    for (c <- drained ++ rebuilds) {
-      val all = remaining.filter(col("cell") === c)
-        .unionByName(ups.filter(col("cell") === c))
-        .withColumn("level", lvCol).localCheckpoint()
-      val g0c =
-        if (nRem(c) + nUps(c) == 0L) IndexCdc.emptyGraph(spark)
-        else Similarity.nnDescent(all.select(col(idCol), col(vecCol)),
-          idCol, vecCol, k, rebuildRounds, rebuildBuckets)
-      outG0 = acc(outG0, g0c.select(col("q_id"), col("n_id"), col("d2"))
+    // ---- guard-exception cells: per-cell stack rebuilds — each cell's
+    // 1 + cap NN-Descent builds are independent of every other cell's
+    // (and of each other): run them overlapped (guide §2.6) and fold
+    // the results in deterministic (cell, level) order afterwards -----
+    val rebuilt: Seq[(Long, Seq[DataFrame])] = graft.core.Par.run(
+      (drained ++ rebuilds).map(c => () => {
+        val all = remaining.filter(col("cell") === c)
+          .unionByName(ups.filter(col("cell") === c))
+          .withColumn("level", lvCol).localCheckpoint()
+        val stack = graft.core.Par.run[DataFrame](
+          (() =>
+            if (nRem(c) + nUps(c) == 0L) IndexCdc.emptyGraph(spark)
+            else Similarity.nnDescent(all.select(col(idCol), col(vecCol)),
+              idCol, vecCol, k, rebuildRounds, rebuildBuckets)) +:
+          (1 to cap).map(l => () => {
+            val members = all.filter(col("level") >= l)
+              .select(col(idCol), col(vecCol))
+            if (members.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
+            else Similarity.nnDescent(members, idCol, vecCol,
+              layerK, rebuildRounds, rebuildBuckets)
+          }))
+        c -> stack
+      }))
+    for ((c, stack) <- rebuilt) {
+      outG0 = acc(outG0, stack.head.select(col("q_id"), col("n_id"), col("d2"))
         .withColumn("cell", lit(c)))
-      for (l <- 1 to cap) {
-        val members = all.filter(col("level") >= l)
-          .select(col(idCol), col(vecCol))
-        val g =
-          if (members.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
-          else Similarity.nnDescent(members, idCol, vecCol,
-            layerK, rebuildRounds, rebuildBuckets)
-        outL(l) = acc(outL(l), g.select(col("q_id"), col("n_id"), col("d2"))
+      for (l <- 1 to cap)
+        outL(l) = acc(outL(l), stack(l)
+          .select(col("q_id"), col("n_id"), col("d2"))
           .withColumn("cell", lit(c)))
-      }
     }
     // ---- commit: one partitioned stage write per part, then pure
     // file renames into each cell's next_ dir and the crash-safe swap
     val outVecs = remaining.unionByName(ups)
     val stage = new org.apache.hadoop.fs.Path(s"$storeDir/stage_$batchId")
     if (fs.exists(stage)) fs.delete(stage, true)
-    recutCell(outG0.select(col("cell"), col("q_id"), col("n_id"), col("d2")), k)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/graph")
-    outVecs.select(col("cell"), col(idCol), col(vecCol))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/vecs")
-    outVecs.select(col("cell"), col(idCol), lvCol.as("level"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/levels")
-    for (l <- 1 to cap)
+    val outG0Final = outG0
+    // the cap + 3 partitioned stage writes land in distinct dirs and the
+    // manifest aggregate below reads only checkpointed inputs — all
+    // mutually independent: overlap them (guide §2.6). entryByCell is
+    // the per-cell descent-entry metadata (max populated level, top
+    // entry) for the swap manifests: ONE grouped aggregate over the
+    // post-batch membership (bounded by the touched cells), persisted
+    // beside the applied-batch marker so a live-store server seeds its
+    // descents from driver file reads instead of re-aggregating levels
+    // per batch
+    val lvAll = outVecs.select(col("cell"), col(idCol), lvCol.as("level"))
+    var entryByCell: Map[Long, (Int, Long)] = Map.empty
+    graft.core.Par.exec(Seq[() => Unit](
+      () => recutCell(outG0Final.select(col("cell"), col("q_id"), col("n_id"),
+          col("d2")), k)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/graph"),
+      () => outVecs.select(col("cell"), col(idCol), col(vecCol))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/vecs"),
+      () => outVecs.select(col("cell"), col(idCol), lvCol.as("level"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/levels"),
+      () => entryByCell = lvAll
+        .groupBy(col("cell")).agg(max(col("level")).as("ml"))
+        .join(lvAll, Seq("cell")).filter(col("level") === col("ml"))
+        .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("nid"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    ) ++ (1 to cap).map(l => () =>
       recutCell(outL(l).select(col("cell"), col("q_id"), col("n_id"),
           col("d2")), layerK)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/layer_$l")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$stage/layer_$l")))
     val parts = Seq("graph", "vecs", "levels") ++ (1 to cap).map(l => s"layer_$l")
-    // per-cell descent-entry metadata (max populated level, top entry)
-    // for the swap manifests: ONE grouped aggregate over the post-batch
-    // membership (bounded by the touched cells), persisted beside the
-    // applied-batch marker so a live-store server seeds its descents
-    // from driver file reads instead of re-aggregating levels per batch
-    val lvAll = outVecs.select(col("cell"), col(idCol), lvCol.as("level"))
-    val entryByCell: Map[Long, (Int, Long)] = lvAll
-      .groupBy(col("cell")).agg(max(col("level")).as("ml"))
-      .join(lvAll, Seq("cell")).filter(col("level") === col("ml"))
-      .groupBy(col("cell"), col("ml")).agg(min(col(idCol)).as("nid"))
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     for (c <- applySet) {
       val next = new org.apache.hadoop.fs.Path(
         s"${cellDir(storeDir, c)}/next_$batchId")
@@ -592,28 +633,35 @@ object ShardedLayeredCdc {
       splitPpm, mergePpm, rebalanceId) { (next, members) =>
       val lv = members.select(col(idCol), col(vecCol))
         .withColumn("level", lvCol).localCheckpoint()
-      val g0 =
-        if (lv.isEmpty) IndexCdc.emptyGraph(spark)
-        else Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
-          idCol, vecCol, k, graphRounds, initBuckets)
-      g0.write.mode("overwrite").parquet(s"$next/graph")
-      lv.select(col(idCol), col(vecCol))
-        .write.mode("overwrite").parquet(s"$next/vecs")
-      lv.select(col(idCol), col("level"))
-        .write.mode("overwrite").parquet(s"$next/levels")
-      for (l <- 1 to cap) {
-        val m = lv.filter(col("level") >= l).select(col(idCol), col(vecCol))
-        val g =
-          if (m.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
-          else Similarity.nnDescent(m, idCol, vecCol, layerK, layerRounds,
-            initBuckets)
-        g.write.mode("overwrite").parquet(s"$next/layer_$l")
-      }
-      // rebuilt membership → rebuilt descent metadata: the swap manifest
-      // must never outlive the stack it describes
-      IndexCdc.writeEntryMeta(
-        next.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        next, entryMetaOf(lv, idCol))
+      // the staged stack's parts — level-0 build+write, vecs, levels,
+      // each layer's build+write, and the descent-entry manifest — all
+      // derive from the checkpointed lv and land in distinct files
+      // under next_: mutually independent, overlapped (guide §2.6)
+      graft.core.Par.exec(Seq[() => Unit](
+        () => {
+          val g0 =
+            if (lv.isEmpty) IndexCdc.emptyGraph(spark)
+            else Similarity.nnDescent(lv.select(col(idCol), col(vecCol)),
+              idCol, vecCol, k, graphRounds, initBuckets)
+          g0.write.mode("overwrite").parquet(s"$next/graph")
+        },
+        () => lv.select(col(idCol), col(vecCol))
+          .write.mode("overwrite").parquet(s"$next/vecs"),
+        () => lv.select(col(idCol), col("level"))
+          .write.mode("overwrite").parquet(s"$next/levels"),
+        // rebuilt membership → rebuilt descent metadata: the swap
+        // manifest must never outlive the stack it describes
+        () => IndexCdc.writeEntryMeta(
+          next.getFileSystem(spark.sparkContext.hadoopConfiguration),
+          next, entryMetaOf(lv, idCol))) ++
+        (1 to cap).map(l => () => {
+          val m = lv.filter(col("level") >= l).select(col(idCol), col(vecCol))
+          val g =
+            if (m.limit(2).count() < 2) IndexCdc.emptyGraph(spark)
+            else Similarity.nnDescent(m, idCol, vecCol, layerK, layerRounds,
+              initBuckets)
+          g.write.mode("overwrite").parquet(s"$next/layer_$l")
+        }))
     }
   }
 
