@@ -11721,11 +11721,14 @@ object Queries {
         val queries = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
         val routed = Similarity.ivfProbeCells(queries, "vec_id", "embedding",
           cents, nprobe = 2)
-        val merged = operators.AnnIndex.shardedSearchTopK(index, assigned,
-          routed, "vec_id", "embedding", entriesPerCell = 2,
-          beam = 12, rounds = 3, k = 5)
-        Similarity.recallAtK(merged,
-            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5), k = 5)
+        // the sharded serve and the exact ground truth are independent —
+        // overlap them (guide §2.6)
+        val Seq(merged, exact) = graft.core.Par.run[DataFrame](Seq(
+          () => operators.AnnIndex.shardedSearchTopK(index, assigned,
+            routed, "vec_id", "embedding", entriesPerCell = 2,
+            beam = 12, rounds = 3, k = 5),
+          () => Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5)))
+        Similarity.recallAtK(merged, exact, k = 5)
           .orderBy(col("q_id"))
       },
       Some(s"""${shardedAnnOracleCtes(c => s"$c >= 40 AND $c < 50")},
@@ -12408,12 +12411,15 @@ object Queries {
           cap = 3, layerK = 5, layerRounds = 2, initBuckets = 16,
           indexDir = annIndexDir(d, "layered"))
         val queries = emb.filter(col("vec_id") >= 60 && col("vec_id") < 70)
-        val served = operators.LayeredAnn.searchTopK(s, annIndexDir(d, "layered"),
-          stored, emb, queries, "vec_id", "embedding",
-          cap = 3, m = 2, descBeam = 6, descRounds = 2,
-          beam = 12, rounds = 3, k = 5)
-        Similarity.recallAtK(served,
-            Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5), k = 5)
+        // the layered serve and the exact ground truth are independent —
+        // overlap them (guide §2.6)
+        val Seq(served, exact) = graft.core.Par.run[DataFrame](Seq(
+          () => operators.LayeredAnn.searchTopK(s, annIndexDir(d, "layered"),
+            stored, emb, queries, "vec_id", "embedding",
+            cap = 3, m = 2, descBeam = 6, descRounds = 2,
+            beam = 12, rounds = 3, k = 5),
+          () => Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5)))
+        Similarity.recallAtK(served, exact, k = 5)
           .orderBy(col("q_id"))
       },
       Some {
@@ -13785,15 +13791,18 @@ object Queries {
         val queries = emb.filter(col("vec_id") >= 60 && col("vec_id") < 70)
         val routed = Similarity.ivfProbeCells(
           queries, "vec_id", "embedding", cents, nprobe = 2).localCheckpoint()
-        val layered = operators.AnnIndex.shardedLayeredSearchTopK(index,
-          assigned, routed, annIndexDir(d, "sharded_layers"),
-          "vec_id", "embedding", cap = 3, m = 2, descBeam = 6,
-          descRounds = 2, beam = 12, rounds = 3, k = 5)
-        val fixed = operators.AnnIndex.shardedSearchTopK(index, assigned,
-          routed, "vec_id", "embedding", entriesPerCell = 2,
-          beam = 12, rounds = 3, k = 5)
-        val exact = Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5)
-          .localCheckpoint()
+        // the two serve forms and the exact ground truth are mutually
+        // independent reads of immutable artifacts — overlap (guide §2.6)
+        val Seq(layered, fixed, exact) = graft.core.Par.run[DataFrame](Seq(
+          () => operators.AnnIndex.shardedLayeredSearchTopK(index,
+            assigned, routed, annIndexDir(d, "sharded_layers"),
+            "vec_id", "embedding", cap = 3, m = 2, descBeam = 6,
+            descRounds = 2, beam = 12, rounds = 3, k = 5),
+          () => operators.AnnIndex.shardedSearchTopK(index, assigned,
+            routed, "vec_id", "embedding", entriesPerCell = 2,
+            beam = 12, rounds = 3, k = 5),
+          () => Similarity.l2TopK(emb, queries, "vec_id", "embedding", k = 5)
+            .localCheckpoint()))
         Similarity.recallAtK(layered, exact, k = 5)
           .select(col("q_id"), col("k"),
             col("n_hit").as("n_hit_layered"),

@@ -1275,26 +1275,40 @@ object TextAnalysis {
       .select(col("w"), col("i"), col("j"), col("piece"))
       .localCheckpoint() // feeds both count recurrences + the join below
     val maxLen = 1 << squarings
-    // forward: nF(1) = 1; nF(p) = Σ_{opt (i,p)} nF(i) — positions are
-    // topological (edges only go forward), so ascending-p rounds suffice
-    var nf = words.select(col("w"), lit(1).as("pos"), lit(1L).as("n"))
-    for (p <- 2 to maxLen + 1) {
-      val step = opt.filter(col("j") === p)
-        .join(nf.select(col("w"), col("pos").as("i"), col("n")), Seq("w", "i"))
-        .groupBy(col("w")).agg(sum(col("n")).as("n"))
-        .select(col("w"), lit(p).as("pos"), col("n"))
-      nf = nf.unionByName(step).localCheckpoint()
-    }
-    // backward: nB(len+1) = 1; nB(p) = Σ_{opt (p,j)} nB(j), descending p
-    var nb = words.select(
-      col("w"), (length(col("w")) + 1).as("pos"), lit(1L).as("n"))
-    for (p <- maxLen to 1 by -1) {
-      val step = opt.filter(col("i") === p)
-        .join(nb.select(col("w"), col("pos").as("j"), col("n")), Seq("w", "j"))
-        .groupBy(col("w")).agg(sum(col("n")).as("n"))
-        .select(col("w"), lit(p).as("pos"), col("n"))
-      nb = nb.unionByName(step).localCheckpoint()
-    }
+    // the forward and backward path-count recurrences both read only
+    // the checkpointed optimal-edge DAG and are independent of each
+    // other — overlap the two sequential-round chains (guide §2.6)
+    val Seq(nf, nb) = graft.core.Par.run[DataFrame](Seq(
+      () => {
+        // forward: nF(1) = 1; nF(p) = Σ_{opt (i,p)} nF(i) — positions
+        // are topological (edges only go forward), so ascending-p
+        // rounds suffice
+        var acc = words.select(col("w"), lit(1).as("pos"), lit(1L).as("n"))
+        for (p <- 2 to maxLen + 1) {
+          val step = opt.filter(col("j") === p)
+            .join(acc.select(col("w"), col("pos").as("i"), col("n")),
+              Seq("w", "i"))
+            .groupBy(col("w")).agg(sum(col("n")).as("n"))
+            .select(col("w"), lit(p).as("pos"), col("n"))
+          acc = acc.unionByName(step).localCheckpoint()
+        }
+        acc
+      },
+      () => {
+        // backward: nB(len+1) = 1; nB(p) = Σ_{opt (p,j)} nB(j),
+        // descending p
+        var acc = words.select(
+          col("w"), (length(col("w")) + 1).as("pos"), lit(1L).as("n"))
+        for (p <- maxLen to 1 by -1) {
+          val step = opt.filter(col("i") === p)
+            .join(acc.select(col("w"), col("pos").as("j"), col("n")),
+              Seq("w", "j"))
+            .groupBy(col("w")).agg(sum(col("n")).as("n"))
+            .select(col("w"), lit(p).as("pos"), col("n"))
+          acc = acc.unionByName(step).localCheckpoint()
+        }
+        acc
+      }))
     val npaths = nb.filter(col("pos") === 1)
       .select(col("w"), col("n").as("npaths"))
     opt
