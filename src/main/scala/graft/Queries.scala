@@ -50,6 +50,33 @@ object Queries {
     t(s, d, "documents").select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** The stream-stream outer joins' GLOBAL watermark, engine-exact.
+    * Both join branches carry their own `withWatermark` over their
+    * FILTERED rows (clicks / errors), and Spark's default
+    * `multipleWatermarkPolicy=min` advances the global watermark to
+    * the LAGGING side's max event time − delay — NOT the whole
+    * table's max. A deterministic eviction gate computed off the
+    * global max silently keeps outer-null rows the engine never
+    * evicts as soon as one side's tail goes quiet (a fixture whose
+    * last error sits hours before its last click — exactly the
+    * sf0.001 draw that exposed this). Both the entry and its oracle
+    * restate this exact min-of-side-maxima expression, so the gate
+    * stays replayable in any engine. */
+  private def ssOuterWmMs(s: SparkSession, d: String): Long = {
+    val r = t(s, d, "events").agg(
+      max(when(col("event_type") === "click", unix_millis(col("ts")))),
+      max(when(col("event_type") === "error", unix_millis(col("ts")))))
+      .collect()(0)
+    math.min(r.getLong(0), r.getLong(1)) - 600000L
+  }
+
+  /** [[ssOuterWmMs]]'s oracle twin (DuckDB). */
+  private val ssOuterWmCte: String =
+    """wm AS (SELECT least(
+      |    max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END),
+      |    max(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END))
+      |    - 600000 AS w FROM events)""".stripMargin
+
   /** Order-independent double aggregation: cast to DECIMAL(18,6) BEFORE
     * summing (decimal addition is exact, so partial-aggregation order
     * cannot move the result), round, and surface as double. Spark's
@@ -6000,9 +6027,7 @@ object Queries {
         s.catalog.dropTempView(name)
         val es = graft.streaming.EventStreams
         val src = es.readStream(s, s"$d/events.parquet")
-        val wmMs = t(s, d, "events")
-          .agg(max(unix_millis(col("ts"))).as("m")).collect()(0)
-          .getLong(0) - 600000L
+        val wmMs = ssOuterWmMs(s, d)
         es.drainToTable(s, es.clickErrorLeftJoin(
             src.filter(col("event_type") === "click"),
             src.filter(col("event_type") === "error")), name)
@@ -6014,7 +6039,7 @@ object Queries {
             col("click_ms") < lit(wmMs - 1800000L))
           .orderBy(col("click_id"), col("err_ms"))
       },
-      Some("""WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events),
+      Some(s"""WITH $ssOuterWmCte,
              |m AS (SELECT c.event_id AS click_id, c.user_id,
              |    epoch_ms(c.ts) AS click_ms, epoch_ms(e.ts) AS err_ms,
              |    e.value AS err_value
@@ -7095,9 +7120,7 @@ object Queries {
         s.catalog.dropTempView(name)
         val es = graft.streaming.EventStreams
         val src = es.readStream(s, s"$d/events.parquet")
-        val wmMs = t(s, d, "events")
-          .agg(max(unix_millis(col("ts"))).as("m")).collect()(0)
-          .getLong(0) - 600000L
+        val wmMs = ssOuterWmMs(s, d)
         es.drainToTable(s, es.clickErrorFullJoin(
             src.filter(col("event_type") === "click"),
             src.filter(col("event_type") === "error")), name)
@@ -7116,8 +7139,7 @@ object Queries {
               col("err_ms") < lit(wmMs - 3600000L)))
           .orderBy(col("click_id"), col("err_id"))
       },
-      Some("""WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w
-             |  FROM events),
+      Some(s"""WITH $ssOuterWmCte,
              |c AS (SELECT event_id AS click_id, user_id, ts AS cts,
              |    epoch_ms(ts) AS click_ms
              |  FROM events WHERE event_type = 'click'),
@@ -7778,9 +7800,7 @@ object Queries {
         s.catalog.dropTempView(name)
         val es = graft.streaming.EventStreams
         val src = es.readStream(s, s"$d/events.parquet")
-        val wmMs = t(s, d, "events")
-          .agg(max(unix_millis(col("ts"))).as("m")).collect()(0)
-          .getLong(0) - 600000L
+        val wmMs = ssOuterWmMs(s, d)
         es.drainToTable(s, es.clickErrorRightJoin(
             src.filter(col("event_type") === "click"),
             src.filter(col("event_type") === "error")), name)
@@ -7795,8 +7815,7 @@ object Queries {
             col("err_ms") < lit(wmMs - 3600000L))
           .orderBy(col("err_id"), col("click_id"))
       },
-      Some("""WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w
-             |  FROM events),
+      Some(s"""WITH $ssOuterWmCte,
              |c AS (SELECT event_id AS click_id, user_id, ts AS cts,
              |    epoch_ms(ts) AS click_ms
              |  FROM events WHERE event_type = 'click'),
