@@ -1241,7 +1241,11 @@ object Similarity {
           .filter(col("id") =!= col("nbr"))
           .select(col("id"), col("nbr"), d2(col("iv"), col("niv")).as("d2")))
           .drop("rank")
-      }.reduce(_ unionByName _).distinct() // pairs co-bucketed in both systems
+      }.reduce(_ unionByName _)
+      // pairs co-bucketed in both systems; repartition(id) lets the
+      // cross-system dedup and the top-k window share ONE exchange
+      // (subset clustering — optimization guide §2.4)
+      .repartition(col("id")).distinct()
     var nn = topK(init).drop("rank")
     // incremental search (the paper's §2.3 rule, made exact): a pair
     // whose BOTH general-graph edges already existed last round was
@@ -1271,12 +1275,18 @@ object Similarity {
         .join(flagged.select(
           col("id").as("mid"), col("nbr").as("w"), col("fresh").as("fw")), "mid")
         .filter(col("u") =!= col("w") && (col("fu") || col("fw")))
-        .select(col("u").as("id"), col("w").as("nbr")).distinct()
+        .select(col("u").as("id"), col("w").as("nbr"))
+        // exchange fusion (guide §2.4): repartition(id) serves both the
+        // candidate dedup and the first rescoring join; repartition(id)
+        // below serves both the old∪new dedup and the top-k window.
+        // Partitioning never changes distinct/join/window content.
+        .repartition(col("id")).distinct()
       val scored = cand
         .join(v.select(col("id"), col("iv").as("qiv")), "id")
         .join(v.select(col("id").as("nbr"), col("iv").as("niv")), "nbr")
         .select(col("id"), col("nbr"), d2(col("qiv"), col("niv")).as("d2"))
-      nn = topK(nn.unionByName(scored).distinct()).drop("rank")
+      nn = topK(nn.unionByName(scored)
+        .repartition(col("id")).distinct()).drop("rank")
       prevG = g
       if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
         nn = nn.localCheckpoint()
@@ -1356,10 +1366,20 @@ object Similarity {
     var b = keep(score(seeds.select(col("q_id"), col("n_id"))), beam)
       .drop("rank")
     for (r <- 1 to rounds) {
+      // exchange fusion (optimization guide §2.4): clustering by a SUBSET
+      // of the distinct keys satisfies the aggregate's distribution, so
+      // an explicit repartition on the NEXT operator's key makes the
+      // dedup and its consumer share one exchange — repartition(n_id)
+      // serves both the candidate dedup and the vector-lookup join;
+      // repartition(q_id) serves both the beam dedup and the top-k
+      // window. Partitioning never changes what distinct/join/window
+      // compute, only where rows sit, so results are bit-identical.
       val cand = b.select(col("q_id"), col("n_id").as("node"))
         .join(g, "node")
-        .select(col("q_id"), col("nbr").as("n_id")).distinct()
-      b = keep(score(cand).unionByName(b).distinct(), beam).drop("rank")
+        .select(col("q_id"), col("nbr").as("n_id"))
+        .repartition(col("n_id")).distinct()
+      b = keep(score(cand).unionByName(b)
+        .repartition(col("q_id")).distinct(), beam).drop("rank")
       if (r < rounds) b = b.localCheckpoint() // beam-sized; truncates the
       // per-round window/join lineage exactly like nnDescent's rounds
     }
@@ -1478,10 +1498,17 @@ object Similarity {
         col("n_id"))), beam)
       .drop("rank")
     for (r <- 1 to rounds) {
+      // exchange fusion on subset clustering, as in graphSearchTopKSeeded:
+      // repartition(n_id) feeds both the candidate dedup and the vector
+      // join; repartition(q_id) feeds the beam dedup, the (q_id, cell)
+      // window (q_id alone clusters it), and — because project/filter
+      // preserve partitioning — the caller's cross-cell merge window too
       val cand = b.select(col("q_id"), col("cell"), col("n_id").as("node"))
         .join(g, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("nbr").as("n_id")).distinct()
-      b = keep(score(cand).unionByName(b).distinct(), beam).drop("rank")
+        .select(col("q_id"), col("cell"), col("nbr").as("n_id"))
+        .repartition(col("n_id")).distinct()
+      b = keep(score(cand).unionByName(b)
+        .repartition(col("q_id")).distinct(), beam).drop("rank")
       if (r < rounds) b = b.localCheckpoint()
     }
     keep(b, k)
