@@ -321,22 +321,11 @@ object Bench {
         val csv = graft.pipeline.M33Pipeline.ctasCsv(
           graft.pipeline.M33Pipeline.schemView(
             graft.pipeline.M33Pipeline.rawTable(spark, root)), s"$base/exportwh")
-        // Embedded-sink engine sizing (the DBA knobs a real RDBMS sink
-        // would run with; durability semantics untouched — log is still
-        // synced at every commit): Derby's defaults are a 4 MB page
-        // cache and 32 KB log buffer, sized for tiny embedded apps, not
-        // a 2.8 M-row bulk load whose table outgrows the cache in the
-        // first seconds. Must be set before the engine boots (the
-        // warmup connection below); per-JVM, bench-only.
-        System.setProperty("derby.storage.pageCacheSize", "8000") // 32 MB
-        System.setProperty("derby.storage.pageSize", "32768")
-        System.setProperty("derby.storage.logBufferSize", "1048576")
-        // each mapper's ~700k-row transaction blows the default 5000-lock
-        // escalation threshold, converting its row locks into an
-        // exclusive TABLE lock — which serializes the 4 parallel
-        // mappers the export exists to run. Keep row locks so the
-        // writers actually overlap (same isolation, same durability).
-        System.setProperty("derby.locks.escalationThreshold", "1000000")
+        // embedded-sink engine sizing lives with the sink, not the
+        // harness (r17 verdict): see JdbcSink.tuneEmbeddedDerbyForBulkLoad
+        // — same knobs, same semantics, set before the engine boots (the
+        // warmup connection below)
+        graft.sinks.JdbcSink.tuneEmbeddedDerbyForBulkLoad()
         val url = s"jdbc:derby:$base/benchdb;create=true"
         // untimed Derby warm-up: boot the database and touch the insert
         // path once during setup so pass 1 doesn't pay the engine boot —

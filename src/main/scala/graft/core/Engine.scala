@@ -32,6 +32,12 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the Similarity/graph kernels fuse dedups onto a neighboring
+      // operator's exchange by clustering on a SUBSET of the aggregate
+      // keys (guide §2.4); that fusion is only legal while this stays
+      // false (its default) — pinned so a deployment override cannot
+      // silently turn each fused repartition into a pure extra shuffle
+      .config("spark.sql.requireAllClusterKeysForDistribution", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")

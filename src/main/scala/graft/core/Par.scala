@@ -25,6 +25,13 @@ object Par {
     * return their results in input order. 2-4 jobs in flight is plenty
     * (guide §2.6) — enough to fill scheduling gaps, not so many that
     * driver-side planning serializes on contended locks. */
+  /** Generous ceiling on one overlapped group (seconds). A hung child
+    * job must fail the entry loudly, not hold its thread forever: the
+    * Bench watchdog cancels job groups, but Verify has no such guard —
+    * an Inf await there would hang the whole gate on one stuck action. */
+  private val awaitSec: Long =
+    sys.env.getOrElse("SPARK_GRAFT_PAR_TIMEOUT_SEC", "3600").toLong
+
   def run[A](thunks: Seq[() => A], maxThreads: Int = 4): Seq[A] =
     if (thunks.sizeIs <= 1) thunks.map(_())
     else {
@@ -35,7 +42,7 @@ object Par {
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(
           thunks.map(t => scala.concurrent.Future(t()))),
-        scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.duration.Duration(awaitSec, "s"))
       finally pool.shutdown()
     }
 

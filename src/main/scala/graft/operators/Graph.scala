@@ -89,7 +89,7 @@ object Graph {
     // one exchange per iteration instead of three, the difference
     // between O(iters) and O(3·iters) network passes on a 100 TB edge
     // list.
-    val withDeg = durable(e.join(deg, "src").repartition(col("src")))
+    lazy val withDegL = durable(e.join(deg, "src").repartition(col("src")))
     // personalized variant (teleport mass lands ONLY on the seed set —
     // "rank relative to these nodes", the recommendation/endorsement
     // form): the node list carries a 0/1 seed flag that gates both the
@@ -101,7 +101,7 @@ object Graph {
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    val nodes = durable((personalizeTo match {
+    lazy val nodesL = durable((personalizeTo match {
       case Some(sd) =>
         nodes0.join(
             sd.select(col("node")).distinct().withColumn("is_seed", lit(1L)),
@@ -109,11 +109,18 @@ object Graph {
           .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       case None => nodes0.withColumn("is_seed", lit(1L))
     }).repartition(col("node")))
+    // the two static structures both read the checkpointed edge list and
+    // are mutually independent — materialize them overlapped (guide §2.6)
+    val Seq(withDeg, nodes) =
+      graft.core.Par.run[DataFrame](Seq(() => withDegL, () => nodesL))
     val teleport = (1000000L * (dampingDen - dampingNum)) / dampingDen
     var ranks = nodes.select(
       col("node"), (col("is_seed") * lit(1000000L)).as("p"))
+    // the last eagerly-truncated generation still referenced by `ranks` —
+    // its blocks may only be dropped once a NEWER truncation (which no
+    // longer reads them) has materialized
+    var lastTrunc: DataFrame = null
     for (iter <- 1 to iterations) {
-      val prev = ranks
       val contrib = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .groupBy(col("dst"))
@@ -125,21 +132,33 @@ object Graph {
           // `div`, not `/`: Column./ on longs is double division in Spark
           expr(s"($teleport * is_seed) + ($dampingNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampingDen")
             .as("p"))
-      // every k-th round's ranks go to durable storage (restart point);
-      // in-between rounds keep the cheap executor-local truncation
+      // Truncation policy (guide §5): `ranks` is referenced exactly ONCE
+      // per round, so the un-truncated logical plan grows LINEARLY — a
+      // per-round eager localCheckpoint bought nothing but a blocking job
+      // and block-manager churn per round (the q117 residual). The local
+      // flavor now truncates every 3rd round only (and never on the last
+      // — the caller's action materializes it), so a 3-iteration PageRank
+      // is ONE job; the co-partitioned exchange-free join layout is
+      // static within a plan, checkpointed or not. The reliable flavor
+      // keeps its contract: durable restart point every k-th round.
       ranks =
         if (checkpointEvery > 0 && iter % checkpointEvery == 0) next.checkpoint()
-        else next.localCheckpoint()
-      // the superseded round's rank blocks are dead the moment the new
-      // checkpoint materializes (localCheckpoint is eager) — drop them
+        else if (checkpointEvery > 0) next.localCheckpoint()
+        else if (iter % 3 == 0 && iter < iterations) next.localCheckpoint()
+        else next
+      // the superseded generation's blocks are dead the moment a NEWER
+      // truncation materializes (both flavors are eager) — drop them
       // now, not at session teardown, so k rounds never pin k
       // generations of rank RDDs in executor memory (and, reliable
       // flavor, k generations of checkpoint dirs on durable storage).
-      // Targeted through the frame's own LogicalRDD (round 1's prev is
-      // a plain Project over `nodes` → no-op, keeping the per-round-
-      // reused node list); a context-global sweep would corrupt
-      // concurrent queries.
-      org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(prev)
+      // Targeted through the frame's own LogicalRDD; a context-global
+      // sweep would corrupt concurrent queries. Only when the new ranks
+      // IS truncated: an un-truncated ranks still reads lastTrunc.
+      if (ranks ne next) {
+        if (lastTrunc != null)
+          org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(lastTrunc)
+        lastTrunc = ranks
+      }
     }
     ranks.select(col("node"), col("p").as("rank_ppm"))
   }

@@ -1210,6 +1210,44 @@ object Similarity {
     * analyzer before the first task — 0 is for single-round plan
     * inspection only. Returns
     * (q_id, n_id, d2, rank ≤ k) — the [[recallAtK]] `approx` shape. */
+  /** Keyed exact top-n: the `distinct()` + `row_number().over(window)`
+    * pair fused into ONE aggregate (optimization guide §2.3/§2.4).
+    * `collect_set` dedups the (ord, id) pairs of each key group WITH
+    * map-side partial aggregation (duplicates die before the exchange —
+    * the window form shipped them all, see ADVICE r17), `array_sort`
+    * orders each set by (ord ASC, id ASC) — struct comparison is
+    * field-by-field, exactly the windows' (d2, id) order; no nulls in
+    * either field — and `slice` keeps the first n. One exchange + one
+    * hash aggregate per call, no sort, no second dedup aggregate.
+    * Equivalence to dedup-then-rank needs the (ord, id) pairs distinct
+    * per key AFTER dedup, which holds everywhere: `id` is unique within
+    * a key group's deduped candidate/beam/edge set and `ord` is a
+    * deterministic function of (key, id), so the sorted set's first n
+    * ARE the window's rank 1..n rows. Emits (keys..., id, ord [, rank]). */
+  private[graft] def topNAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      ordName: String,
+      idName: String,
+      n: Int,
+      rank: Boolean = false): DataFrame = {
+    val kc = keys.map(col)
+    val grouped = df.groupBy(kc: _*)
+      .agg(slice(array_sort(collect_set(struct(col(ordName), col(idName)))),
+        1, n).as("_top"))
+    if (rank)
+      grouped
+        .select(kc :+ posexplode(col("_top")).as(Seq("_pos", "_t")): _*)
+        .select(kc ++ Seq(col(s"_t.$idName").as(idName),
+          col(s"_t.$ordName").as(ordName),
+          (col("_pos") + 1).cast("int").as("rank")): _*)
+    else
+      grouped
+        .select(kc :+ explode(col("_top")).as("_t"): _*)
+        .select(kc ++ Seq(col(s"_t.$idName").as(idName),
+          col(s"_t.$ordName").as(ordName)): _*)
+  }
+
   def nnDescent(
       emb: DataFrame,
       idCol: String,
@@ -1226,27 +1264,26 @@ object Similarity {
     // zip_with/aggregate lambda pair costs ~4x in interpreted closures
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       l2Dist2(a, b)
-    val wTop = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("nbr"))
-    def topK(scored: DataFrame): DataFrame =
-      scored.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    // dedup + top-k in one keyed aggregate (topNAgg) — within a bucket
+    // system pairs are already unique (one bucket per id per system), so
+    // the set dedup is a no-op there and the aggregate IS the window
+    def keep(scored: DataFrame, n: Int, rank: Boolean = false): DataFrame =
+      topNAgg(scored, Seq("id"), "d2", "nbr", n, rank)
     // top-k per bucket system FIRST (top-k over a union = top-k over the
-    // union of per-set top-ks), so the cross-system dedup distinct runs
-    // over 2·n·k rows, never the n·bucketSize scored-pair volume
+    // union of per-set top-ks), so the cross-system dedup runs over
+    // 2·n·k rows, never the n·bucketSize scored-pair volume
     val init = Seq(2654435761L, 2246822519L).map { m =>
         val bucketed = v.withColumn("bkt",
           pmod(shiftright(col("id") * lit(m), 16), lit(initBuckets.toLong)))
-        topK(bucketed.select(col("bkt"), col("id"), col("iv"))
+        keep(bucketed.select(col("bkt"), col("id"), col("iv"))
           .join(bucketed.select(
             col("bkt"), col("id").as("nbr"), col("iv").as("niv")), "bkt")
           .filter(col("id") =!= col("nbr"))
-          .select(col("id"), col("nbr"), d2(col("iv"), col("niv")).as("d2")))
-          .drop("rank")
+          .select(col("id"), col("nbr"), d2(col("iv"), col("niv")).as("d2")), k)
       }.reduce(_ unionByName _)
-      // pairs co-bucketed in both systems; repartition(id) lets the
-      // cross-system dedup and the top-k window share ONE exchange
-      // (subset clustering — optimization guide §2.4)
-      .repartition(col("id")).distinct()
-    var nn = topK(init).drop("rank")
+    // pairs co-bucketed in both systems dedup inside the same aggregate
+    // that re-cuts the union to top-k — one exchange, map-side partial
+    var nn = keep(init, k)
     // incremental search (the paper's §2.3 rule, made exact): a pair
     // whose BOTH general-graph edges already existed last round was
     // proposed and scored last round with the same middle node, and each
@@ -1257,8 +1294,9 @@ object Similarity {
     // neighborhoods touched by fresh edges).
     var prevG: DataFrame = null
     for (r <- 1 to rounds) {
-      val wRev = Window.partitionBy(col("nbr")).orderBy(col("d2").asc, col("id"))
-      val rev = nn.withColumn("rr", row_number().over(wRev)).filter(col("rr") <= k)
+      // reverse top-k: same fused aggregate, keyed by nbr (nn is unique
+      // per (id, nbr), so set-dedup is a no-op and order is the window's)
+      val rev = topNAgg(nn, Seq("nbr"), "d2", "id", k)
         .select(col("nbr").as("id"), col("id").as("nbr"))
       var g = nn.select(col("id"), col("nbr")).unionByName(rev).distinct()
       if (checkpointEvery > 0) g = g.localCheckpoint() // reused next round
@@ -1277,21 +1315,27 @@ object Similarity {
         .filter(col("u") =!= col("w") && (col("fu") || col("fw")))
         .select(col("u").as("id"), col("w").as("nbr"))
         // exchange fusion (guide §2.4): repartition(id) serves both the
-        // candidate dedup and the first rescoring join; repartition(id)
-        // below serves both the old∪new dedup and the top-k window.
-        // Partitioning never changes distinct/join/window content.
+        // candidate dedup and the first rescoring join — partitioning
+        // never changes distinct/join content. Tradeoff (ADVICE r17):
+        // clustering the dedup on the single join key drops its map-side
+        // partial (the ~2x duplicated fan-out crosses this one exchange
+        // undeduplicated) and concentrates hub-node rows; if large-scale
+        // runs show straggler partitions here, fall back to a plain
+        // distinct (partial dedup, one extra exchange) or salt the key.
         .repartition(col("id")).distinct()
       val scored = cand
         .join(v.select(col("id"), col("iv").as("qiv")), "id")
         .join(v.select(col("id").as("nbr"), col("iv").as("niv")), "nbr")
         .select(col("id"), col("nbr"), d2(col("qiv"), col("niv")).as("d2"))
-      nn = topK(nn.unionByName(scored)
-        .repartition(col("id")).distinct()).drop("rank")
+      // old∪new dedup + re-cut in one keyed aggregate (map-side partial
+      // dedup restored — the r17 repartition+distinct+window form shipped
+      // the union undeduplicated)
+      nn = keep(nn.unionByName(scored), k)
       prevG = g
       if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
         nn = nn.localCheckpoint()
     }
-    topK(nn).select(
+    keep(nn, k, rank = true).select(
       col("id").as("q_id"), col("nbr").as("n_id"), col("d2"), col("rank"))
   }
 
@@ -1352,38 +1396,48 @@ object Similarity {
       x => floor(x.cast("double") * lit(1000.0)).cast("long"))
     val v = corpus.select(col(idCol).as("n_id"), iv.as("niv"))
     val q = queries.select(col(idCol).as("q_id"), iv.as("qiv"))
-    // undirected closure: k-NN edges are directed; search wants both
-    val g = graph.select(col("q_id").as("node"), col("n_id").as("nbr"))
+    // undirected closure: k-NN edges are directed; search wants both.
+    // Laid out hash(node) + sorted BEFORE the eager checkpoint (subset
+    // clustering satisfies the dedup's distribution; LogicalRDD keeps
+    // both partitioning and ordering), so every round's expansion join
+    // consumes it with NO per-round exchange or sort on this side. Lazy:
+    // rounds = 0 never touches it.
+    lazy val g = graph.select(col("q_id").as("node"), col("n_id").as("nbr"))
       .unionByName(graph.select(col("n_id").as("node"), col("q_id").as("nbr")))
-      .distinct().localCheckpoint()
+      .repartition(col("node")).distinct()
+      .sortWithinPartitions(col("node"))
+      .localCheckpoint()
     def score(cand: DataFrame): DataFrame =
       cand.join(v, "n_id").join(broadcast(q), "q_id")
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"), l2Dist2(col("qiv"), col("niv")).as("d2"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
-    def keep(df: DataFrame, n: Int): DataFrame =
-      df.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= n)
+    // beam dedup + re-cut fused into one keyed aggregate (topNAgg): one
+    // exchange + hash aggregate per round where the r17 shape paid an
+    // exchange-sharing distinct AND a window sort
+    def keep(df: DataFrame, n: Int, rank: Boolean = false): DataFrame =
+      topNAgg(df, Seq("q_id"), "d2", "n_id", n, rank)
     var b = keep(score(seeds.select(col("q_id"), col("n_id"))), beam)
-      .drop("rank")
     for (r <- 1 to rounds) {
-      // exchange fusion (optimization guide §2.4): clustering by a SUBSET
-      // of the distinct keys satisfies the aggregate's distribution, so
-      // an explicit repartition on the NEXT operator's key makes the
-      // dedup and its consumer share one exchange — repartition(n_id)
-      // serves both the candidate dedup and the vector-lookup join;
-      // repartition(q_id) serves both the beam dedup and the top-k
-      // window. Partitioning never changes what distinct/join/window
-      // compute, only where rows sit, so results are bit-identical.
+      // repartition(n_id) serves both the candidate dedup and the
+      // vector-lookup join (guide §2.4 subset clustering; needs the
+      // default spark.sql.requireAllClusterKeysForDistribution=false,
+      // pinned in Engine.session). Skew note (ADVICE r17): the fused
+      // dedup has no map-side partial and hubs concentrate on one key —
+      // salt or fall back to plain distinct if stragglers appear at scale.
       val cand = b.select(col("q_id"), col("n_id").as("node"))
         .join(g, "node")
         .select(col("q_id"), col("nbr").as("n_id"))
         .repartition(col("n_id")).distinct()
-      b = keep(score(cand).unionByName(b)
-        .repartition(col("q_id")).distinct(), beam).drop("rank")
-      if (r < rounds) b = b.localCheckpoint() // beam-sized; truncates the
-      // per-round window/join lineage exactly like nnDescent's rounds
+      b = keep(score(cand).unionByName(b), beam)
+      // no per-round eager checkpoint for the catalog's small round
+      // counts: the plan references b twice per round, and exchange
+      // reuse dedups the copies' physical subtrees, so the whole search
+      // runs as ONE job instead of a job per round (the q344/q349 wall
+      // was inter-job scheduling gaps, not compute). Every 3rd round
+      // still truncates so deep searches keep bounded logical plans.
+      if (r < rounds && r % 3 == 0) b = b.localCheckpoint()
     }
-    keep(b, k)
+    keep(b, k, rank = true)
   }
 
   /** CELL-KEYED beam search — [[graphSearchTopK]] run simultaneously
@@ -1479,7 +1533,7 @@ object Similarity {
       iv.as("qiv"))
     // undirected closure, cell-keyed: edges are intra-cell, so the
     // reversal never crosses a shard boundary
-    val g = index.select(col("cell").cast("long").as("cell"),
+    lazy val g = index.select(col("cell").cast("long").as("cell"),
         col("q_id").as("node"), col("n_id").as("nbr"))
       .unionByName(index.select(col("cell").cast("long").as("cell"),
         col("n_id").as("node"), col("q_id").as("nbr")))
@@ -1489,28 +1543,34 @@ object Similarity {
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("cell"), col("n_id"),
           l2Dist2(col("qiv"), col("niv")).as("d2"))
-    val wTop = Window.partitionBy(col("q_id"), col("cell"))
-      .orderBy(col("d2").asc, col("n_id"))
-    def keep(df: DataFrame, n: Int): DataFrame =
-      df.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= n)
+    // per-(query, cell) dedup + re-cut in one keyed aggregate — the
+    // graphSearchTopKSeeded form with cell riding the key. Clustered by
+    // q_id alone (subset clustering, guide §2.4): one exchange serves
+    // the aggregate, the final re-cut AND the caller's cross-cell merge
+    // window — the r17 fusion, with the distinct+window pair collapsed
+    // into the aggregate (no sort, no second dedup)
+    def keep(df: DataFrame, n: Int, rank: Boolean = false): DataFrame =
+      topNAgg(df, Seq("q_id", "cell"), "d2", "n_id", n, rank)
     var b = keep(score(
       seeds.select(col("q_id"), col("cell").cast("long").as("cell"),
-        col("n_id"))), beam)
-      .drop("rank")
+        col("n_id"))).repartition(col("q_id")), beam)
     for (r <- 1 to rounds) {
-      // exchange fusion on subset clustering, as in graphSearchTopKSeeded:
       // repartition(n_id) feeds both the candidate dedup and the vector
-      // join; repartition(q_id) feeds the beam dedup, the (q_id, cell)
-      // window (q_id alone clusters it), and — because project/filter
-      // preserve partitioning — the caller's cross-cell merge window too
+      // join (subset clustering, guide §2.4 — same config note and skew
+      // tradeoff as graphSearchTopKSeeded's round body)
       val cand = b.select(col("q_id"), col("cell"), col("n_id").as("node"))
         .join(g, Seq("cell", "node"))
         .select(col("q_id"), col("cell"), col("nbr").as("n_id"))
         .repartition(col("n_id")).distinct()
-      b = keep(score(cand).unionByName(b)
-        .repartition(col("q_id")).distinct(), beam).drop("rank")
+      b = keep(score(cand).unionByName(b).repartition(col("q_id")), beam)
+      // beam-sized eager truncation per round: accurate stats keep the
+      // next round's expansion join a STATIC broadcast (an un-truncated
+      // aggregate's estimate flips it to a shuffle AQE must repair —
+      // measured slower on the descent-heavy serve entries)
       if (r < rounds) b = b.localCheckpoint()
     }
-    keep(b, k)
+    // b is already hash(q_id)-clustered (checkpoint preserves it): the
+    // final re-cut and the caller's merge window add NO exchange
+    keep(b, k, rank = true)
   }
 }

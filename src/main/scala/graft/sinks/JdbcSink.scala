@@ -15,6 +15,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object JdbcSink {
 
+  /** Size an EMBEDDED Derby sink engine for a bulk parallel export — the
+    * DBA knobs a real RDBMS sink runs with, owned by the sink layer so
+    * harnesses stay pure consumers. Derby's defaults (4 MB page cache,
+    * 32 KB log buffer, 5000-lock escalation) are sized for tiny embedded
+    * apps: each export mapper's few-hundred-k-row transaction blows the
+    * lock-escalation threshold, converting its row locks into an
+    * exclusive TABLE lock — which serializes the parallel mappers the
+    * export exists to run. Keeping row locks and sizing cache/pages/log
+    * for bulk load changes NO isolation or durability semantics (the log
+    * still syncs at every commit). Must be called BEFORE the engine
+    * boots (the first connection); per-JVM, idempotent. */
+  def tuneEmbeddedDerbyForBulkLoad(): Unit = {
+    System.setProperty("derby.storage.pageCacheSize", "8000") // 32 MB
+    System.setProperty("derby.storage.pageSize", "32768")
+    System.setProperty("derby.storage.logBufferSize", "1048576")
+    System.setProperty("derby.locks.escalationThreshold", "1000000")
+  }
+
   /** S19: DDL/statement passthrough to the sink database (the analog of
     * `sqlcmd -i file.sql`; playground.py:703-708). */
   def execStatements(url: String, statements: Seq[String]): Unit = {
