@@ -486,9 +486,13 @@ object AnnIndex {
       .localCheckpoint() // feeds both directions below
     val rev = newEdges.select(col("nbr").as("id"), col("id").as("nbr"), col("d2"))
     val old = graph.select(col("q_id").as("id"), col("n_id").as("nbr"), col("d2"))
-    val wTop = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("nbr"))
-    old.unionByName(rev).unionByName(newEdges)
-      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    // per-node top-k over the union in ONE keyed aggregate (no sort of
+    // the k·n edge table — Similarity.topNAgg): the three legs are
+    // pairwise disjoint on (id, nbr) — old targets base ids, rev targets
+    // batch ids, new edges' sources are batch ids — so the set-dedup is
+    // a no-op and the aggregate's order IS the window's (d2, nbr) rank
+    Similarity.topNAgg(old.unionByName(rev).unionByName(newEdges),
+        Seq("id"), "d2", "nbr", k, rank = true)
       .select(col("id").as("q_id"), col("nbr").as("n_id"), col("d2"), col("rank"))
   }
 
@@ -625,12 +629,13 @@ object AnnIndex {
     val queries = queue.select(col("id").as(idCol))
       .join(remaining, idCol)
     val found = search(g, queries)
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
-    val repaired = g.join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
-      .select(col("q_id"), col("n_id"), col("d2"))
-      .unionByName(found.select(col("q_id"), col("n_id"), col("d2")))
-      .distinct()
-      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    // dedup + per-node re-cut fused into one keyed aggregate
+    // (Similarity.topNAgg — replaces the distinct + window-sort pair)
+    val repaired = Similarity.topNAgg(
+      g.join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_semi")
+        .select(col("q_id"), col("n_id"), col("d2"))
+        .unionByName(found.select(col("q_id"), col("n_id"), col("d2"))),
+      Seq("q_id"), "d2", "n_id", k, rank = true)
     (g, queue, repaired)
   }
 
@@ -652,11 +657,13 @@ object AnnIndex {
       (gg, queries) => Similarity.graphSearchTopKSeeded(
         gg, remaining, queries, seedsFor(queries), idCol, vecCol,
         beam, searchRounds, beam))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
-    val untouched = g
-      .join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
-      .select(col("q_id"), col("n_id"), col("d2"))
-      .withColumn("rank", row_number().over(wTop))
+    // non-queue lists are ≤ k rows each (kept lists of a rank-cut stored
+    // graph, only ever shrunk by tombstoning), so re-ranking them is the
+    // same fused aggregate with n = k — no sort of the k·n edge table
+    val untouched = Similarity.topNAgg(
+      g.join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
+        .select(col("q_id"), col("n_id"), col("d2")),
+      Seq("q_id"), "d2", "n_id", k, rank = true)
     untouched.unionByName(
       repaired.select(col("q_id"), col("n_id"), col("d2"), col("rank")))
   }
@@ -698,11 +705,11 @@ object AnnIndex {
       searchRounds: Int): DataFrame = {
     val (g, queue, repaired) = repairSearch(
       keptGraph, remaining, idCol, vecCol, k, entryIds, beam, searchRounds)
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
-    val untouched = g
-      .join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
-      .select(col("q_id"), col("n_id"), col("d2"))
-      .withColumn("rank", row_number().over(wTop))
+    // same fused re-rank as repairGraphSeeded (kept lists are ≤ k rows)
+    val untouched = Similarity.topNAgg(
+      g.join(queue.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
+        .select(col("q_id"), col("n_id"), col("d2")),
+      Seq("q_id"), "d2", "n_id", k, rank = true)
     untouched.unionByName(
       repaired.select(col("q_id"), col("n_id"), col("d2"), col("rank")))
   }

@@ -1397,16 +1397,28 @@ object Similarity {
     val v = corpus.select(col(idCol).as("n_id"), iv.as("niv"))
     val q = queries.select(col(idCol).as("q_id"), iv.as("qiv"))
     // undirected closure: k-NN edges are directed; search wants both.
-    // Laid out hash(node) + sorted BEFORE the eager checkpoint (subset
-    // clustering satisfies the dedup's distribution; LogicalRDD keeps
-    // both partitioning and ordering), so every round's expansion join
-    // consumes it with NO per-round exchange or sort on this side. Lazy:
-    // rounds = 0 never touches it.
-    lazy val g = graph.select(col("q_id").as("node"), col("n_id").as("nbr"))
-      .unionByName(graph.select(col("n_id").as("node"), col("q_id").as("nbr")))
-      .repartition(col("node")).distinct()
-      .sortWithinPartitions(col("node"))
-      .localCheckpoint()
+    // Laid out hash(node) (subset clustering satisfies the dedup's
+    // distribution), so every round's expansion join consumes it with no
+    // per-round exchange on this side. The eager checkpoint exists ONLY
+    // to bound logical-plan growth: the closure references `graph` twice
+    // and each round references the closure, so a COMPOSED input (e.g.
+    // insertBatch over an un-checkpointed repair output, the q313 shape)
+    // would otherwise copy its whole tree ~2·rounds times into the
+    // analyzer (measured +25 s of pure driver gap). When the input is
+    // already a LEAF (checkpointed store snapshot / parquet read — every
+    // CDC and serve call site), the copies are a few nodes each, exchange
+    // reuse materializes the closure once per action anyway, and the
+    // checkpoint is one more blocking job per search call (the q344/q349
+    // wall) — skip it. Plan-shape introspection only; results identical.
+    lazy val g = {
+      val closure = graph
+        .select(col("q_id").as("node"), col("n_id").as("nbr"))
+        .unionByName(graph.select(col("n_id").as("node"), col("q_id").as("nbr")))
+        .repartition(col("node")).distinct()
+      val inputNodes = org.apache.spark.sql.graftbridge.Bridge
+        .logicalPlan(graph).collect { case p => p }.size
+      if (inputNodes <= 8) closure else closure.localCheckpoint()
+    }
     def score(cand: DataFrame): DataFrame =
       cand.join(v, "n_id").join(broadcast(q), "q_id")
         .filter(col("q_id") =!= col("n_id"))
@@ -1532,12 +1544,21 @@ object Similarity {
     val q = routed.select(col(idCol).as("q_id"), col("cell").cast("long").as("cell"),
       iv.as("qiv"))
     // undirected closure, cell-keyed: edges are intra-cell, so the
-    // reversal never crosses a shard boundary
-    lazy val g = index.select(col("cell").cast("long").as("cell"),
-        col("q_id").as("node"), col("n_id").as("nbr"))
-      .unionByName(index.select(col("cell").cast("long").as("cell"),
-        col("n_id").as("node"), col("q_id").as("nbr")))
-      .distinct().localCheckpoint()
+    // reversal never crosses a shard boundary. Checkpointed only when
+    // the input subtree is composed (same plan-growth-vs-job tradeoff as
+    // graphSearchTopKSeeded's closure — the per-layer descent inputs are
+    // pinned snapshot leaves, so their closure checkpoint was one more
+    // blocking job per layer per micro-batch)
+    lazy val g = {
+      val closure = index.select(col("cell").cast("long").as("cell"),
+          col("q_id").as("node"), col("n_id").as("nbr"))
+        .unionByName(index.select(col("cell").cast("long").as("cell"),
+          col("n_id").as("node"), col("q_id").as("nbr")))
+        .distinct()
+      val inputNodes = org.apache.spark.sql.graftbridge.Bridge
+        .logicalPlan(index).collect { case p => p }.size
+      if (inputNodes <= 8) closure else closure.localCheckpoint()
+    }
     def score(cand: DataFrame): DataFrame =
       cand.join(v, "n_id").join(broadcast(q), Seq("q_id", "cell"))
         .filter(col("q_id") =!= col("n_id"))

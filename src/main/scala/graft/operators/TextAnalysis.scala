@@ -1076,11 +1076,16 @@ object TextAnalysis {
         Seq("w", "i"))
       .filter(col("cost") + col("cej") === col("cei"))
       .join(onpath.select(col("w"), col("pos").as("i")), Seq("w", "i"))
-    val wPick = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w"), col("i"))
-      .orderBy(col("j").desc, col("piece"))
-    opt.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-      .select(col("w"), col("i"), col("j"), col("piece"), col("cost"))
+    // argmax in one keyed aggregate instead of a window sort: per (w, i)
+    // the chosen edge is the LONGEST optimal one, and (w, i, j) fully
+    // determines piece and cost (piece = substr(w, i, j−i); opt is
+    // unique per (w, i, j) — dmat is a groupBy output), so ties on j
+    // cannot occur and max_by(·, j) IS the (j DESC, piece) rank-1 row
+    opt.groupBy(col("w"), col("i"))
+      .agg(max_by(struct(col("j"), col("piece"), col("cost")), col("j"))
+        .as("_e"))
+      .select(col("w"), col("i"), col("_e.j").as("j"),
+        col("_e.piece").as("piece"), col("_e.cost").as("cost"))
   }
 
   /** Seeding + `emRounds` of hard EM. Seed = every corpus char

@@ -154,11 +154,12 @@ object IndexCdc {
           k, entryIds, beam, searchRounds)
     }
     // canonical stored shape: rank = position in the node's list (kept
-    // lists have gaps after a delete-only batch; re-rank is one keyed
-    // window over the k·n edge table)
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
-    val outGraph = g.select(col("q_id"), col("n_id"), col("d2"))
-      .withColumn("rank", row_number().over(wTop))
+    // lists have gaps after a delete-only batch). Lists are ≤ k rows
+    // each (every producer above is a rank-cut), so the re-rank is the
+    // fused keyed aggregate — no sort of the k·n edge table
+    val outGraph = graft.operators.Similarity.topNAgg(
+      g.select(col("q_id"), col("n_id"), col("d2")),
+      Seq("q_id"), "d2", "n_id", k, rank = true)
     val outVecs = remaining.unionByName(ups)
     // write-then-swap: a crash mid-write must not destroy the only copy;
     // the two part writes are independent — overlapped (guide §2.6)
@@ -934,13 +935,13 @@ object IndexCdc {
         g.select(col("q_id"), col("n_id"), col("d2")).withColumn("cell", lit(c))
       }))
     // canonical stored shape: rank = position in the node's list; the
-    // (cell, q_id) window decomposes into the per-cell per-node windows
-    val wTop = Window.partitionBy(col("cell"), col("q_id"))
-      .orderBy(col("d2").asc, col("n_id"))
-    val outGraph = (incrOut.toSeq ++ built)
-      .map(_.select(col("cell"), col("q_id"), col("n_id"), col("d2")))
-      .reduce(_ unionByName _)
-      .withColumn("rank", row_number().over(wTop))
+    // (cell, q_id)-keyed fused aggregate decomposes into the per-cell
+    // per-node re-cuts (lists are ≤ k rows, cells disjoint — no sort)
+    val outGraph = graft.operators.Similarity.topNAgg(
+      (incrOut.toSeq ++ built)
+        .map(_.select(col("cell"), col("q_id"), col("n_id"), col("d2")))
+        .reduce(_ unionByName _),
+      Seq("cell", "q_id"), "d2", "n_id", k, rank = true)
     val outVecs = remaining.unionByName(ups)
     // ONE partitioned stage write per table (two jobs, not two × cells),
     // then each cell's next_ dir is assembled by pure file renames and

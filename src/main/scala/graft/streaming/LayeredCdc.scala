@@ -190,9 +190,12 @@ object LayeredCdc {
     val remLv = remaining.withColumn("level", lvCol).localCheckpoint()
     def memOf(l: Int): DataFrame = remLv.filter(col("level") >= l)
       .select(col(idCol), col(vecCol))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
-    def recut(edges: DataFrame, kk: Int): DataFrame = edges
-      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= kk)
+    // per-node re-cut as the fused keyed aggregate (Similarity.topNAgg):
+    // every input below unions pairwise-(q_id, n_id)-disjoint rank-cut
+    // legs, so set-dedup is a no-op and the aggregate IS the window
+    def recut(edges: DataFrame, kk: Int): DataFrame =
+      Similarity.topNAgg(edges.select(col("q_id"), col("n_id"), col("d2")),
+        Seq("q_id"), "d2", "n_id", kk, rank = true)
     var g0: DataFrame = null
     val outLayers = new Array[DataFrame](cap + 1) // 1..cap used
     if (nRemaining == 0L || (nUpserts > 0 &&

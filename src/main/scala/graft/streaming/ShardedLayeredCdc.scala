@@ -228,11 +228,12 @@ object ShardedLayeredCdc {
       nUps(c).toDouble > rebuildFraction * nRem(c))
     val incr = applySet.filterNot(c =>
       drained.contains(c) || rebuilds.contains(c))
-    val wTopCell = Window.partitionBy(col("cell"), col("q_id"))
-      .orderBy(col("d2").asc, col("n_id"))
-    def recutCell(edges: DataFrame, kk: Int): DataFrame = edges
-      .withColumn("rank", row_number().over(wTopCell))
-      .filter(col("rank") <= kk)
+    // per-(cell, node) re-cut as the fused keyed aggregate — the
+    // LayeredCdc.recut rationale with cell riding the key
+    def recutCell(edges: DataFrame, kk: Int): DataFrame =
+      Similarity.topNAgg(
+        edges.select(col("cell"), col("q_id"), col("n_id"), col("d2")),
+        Seq("cell", "q_id"), "d2", "n_id", kk, rank = true)
     // accumulated outputs, all (cell, q_id, n_id, d2)
     var outG0: DataFrame = null
     val outL = new Array[DataFrame](cap + 1)
@@ -419,10 +420,9 @@ object ShardedLayeredCdc {
                     .select(col("cell"), col("q_id"), col("n_id"), col("d2"))
                     .localCheckpoint())
                 },
-              () => Some(found.withColumn("rk",
-                  row_number().over(Window.partitionBy(col("q_id"))
-                    .orderBy(col("d2").asc, col("n_id"))))
-                .filter(col("rk") <= m)
+              () => Some(Similarity.topNAgg(
+                  found.select(col("q_id"), col("n_id"), col("d2")),
+                  Seq("q_id"), "d2", "n_id", m)
                 .select(col("q_id"), col("n_id"))
                 .join(cellOf.select(col("cell"), col("id").as("q_id")),
                   Seq("q_id"))
